@@ -1,0 +1,144 @@
+package graft.schema
+
+import org.apache.spark.sql.{functions => F}
+
+/** The process-wide schema registry — Spark-side equivalent of the
+  * reference's `Hive::$meta[$model]` singleton cache
+  * (`classes/hive/model.php:14-16,69-79`): declare once, look up by
+  * model name everywhere.
+  *
+  * The driver's test tables (FIXTURES.md §B) are pre-registered,
+  * with relations instantiating the reference's relation algebra on
+  * the TPC-H-ish star schema (FIXTURES.md "Relation mapping").
+  */
+object Catalog {
+
+  private var defs: Map[String, TableDef] = Map.empty
+
+  def register(t: TableDef): TableDef = synchronized { defs += t.name -> t; t }
+
+  def apply(name: String): TableDef =
+    defs.getOrElse(name, throw new IllegalArgumentException(
+      s"unregistered table '$name' (have: ${defs.keys.mkString(", ")})"))
+
+  def tables: Seq[String] = defs.keys.toSeq.sorted
+
+  // ---- driver parquet tables (FIXTURES.md §B) ----
+
+  register(TableDef("region",
+    fields = Seq(
+      Field("r_regionkey", FInt, primary = true, nullable = false),
+      Field("r_name", FStr)),
+    sorting = Seq("r_regionkey" -> Asc)))
+
+  register(TableDef("nation",
+    fields = Seq(
+      Field("n_nationkey", FInt, primary = true, nullable = false),
+      Field("n_name", FStr),
+      Field("n_regionkey", FInt)),
+    sorting = Seq("n_nationkey" -> Asc),
+    relations = Map(
+      "region" -> BelongsTo("region", Seq("n_regionkey" -> "r_regionkey")))))
+
+  register(TableDef("customer",
+    fields = Seq(
+      Field("c_custkey", FAuto, primary = true, unique = true, nullable = false),
+      Field("c_name", FStr, rules = Seq(NotEmpty, MinLength(5), MaxLength(127))),
+      Field("c_nationkey", FInt),
+      Field("c_acctbal", FFloat(2)),
+      Field("c_mktsegment", FEnum(Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")))),
+    sorting = Seq("c_custkey" -> Asc),
+    relations = Map(
+      "nation" -> BelongsTo("nation", Seq("c_nationkey" -> "n_nationkey")),
+      "orders" -> HasMany("orders", Seq("c_custkey" -> "o_custkey"))),
+    aliases = Map(
+      // README.md:161-170 full_name-style computed column
+      "c_label" -> (_ => F.trim(F.concat_ws(" ", F.col("c_name"), F.col("c_mktsegment")))))))
+
+  register(TableDef("supplier",
+    fields = Seq(
+      Field("s_suppkey", FAuto, primary = true, unique = true, nullable = false),
+      Field("s_name", FStr, rules = Seq(NotEmpty)),
+      Field("s_nationkey", FInt),
+      Field("s_acctbal", FFloat(2))),
+    sorting = Seq("s_suppkey" -> Asc),
+    relations = Map(
+      "nation" -> BelongsTo("nation", Seq("s_nationkey" -> "n_nationkey")))))
+
+  register(TableDef("part",
+    fields = Seq(
+      Field("p_partkey", FAuto, primary = true, unique = true, nullable = false),
+      Field("p_name", FStr),
+      Field("p_brand", FStr),
+      Field("p_type", FStr),
+      Field("p_size", FInt),
+      Field("p_retailprice", FFloat(2))),
+    sorting = Seq("p_partkey" -> Asc),
+    relations = Map(
+      // N:M — parts appear in orders through lineitem (the pivot)
+      "orders" -> ManyToMany("orders", through = "lineitem",
+        localKey = "p_partkey" -> "l_partkey",
+        remoteKey = "l_orderkey" -> "o_orderkey"))))
+
+  register(TableDef("orders",
+    fields = Seq(
+      Field("o_orderkey", FAuto, primary = true, unique = true, nullable = false),
+      Field("o_custkey", FInt, nullable = false),
+      Field("o_orderstatus", FEnum(Seq("F", "O", "P"))),
+      Field("o_totalprice", FFloat(2)),
+      Field("o_orderdate", FTimestamp(), autoNowCreate = true),
+      Field("o_orderpriority", FStr)),
+    sorting = Seq("o_orderdate" -> Desc, "o_orderkey" -> Asc),
+    relations = Map(
+      "customer" -> BelongsTo("customer", Seq("o_custkey" -> "c_custkey")),
+      "lineitem" -> HasMany("lineitem", Seq("o_orderkey" -> "l_orderkey")))))
+
+  register(TableDef("lineitem",
+    fields = Seq(
+      Field("l_orderkey", FInt, primary = true, nullable = false),
+      Field("l_partkey", FInt, nullable = false),
+      Field("l_suppkey", FInt, nullable = false),
+      Field("l_linenumber", FInt, primary = true, nullable = false),
+      Field("l_quantity", FFloat(2)),
+      Field("l_extendedprice", FFloat(2)),
+      Field("l_discount", FFloat(2)),
+      Field("l_tax", FFloat(2)),
+      Field("l_returnflag", FEnum(Seq("A", "N", "R"))),
+      Field("l_linestatus", FEnum(Seq("F", "O"))),
+      Field("l_shipdate", FTimestamp())),
+    sorting = Seq("l_orderkey" -> Asc, "l_linenumber" -> Asc),
+    relations = Map(
+      "orders" -> BelongsTo("orders", Seq("l_orderkey" -> "o_orderkey")),
+      "part" -> BelongsTo("part", Seq("l_partkey" -> "p_partkey")),
+      "supplier" -> BelongsTo("supplier", Seq("l_suppkey" -> "s_suppkey")))))
+
+  register(TableDef("events",
+    fields = Seq(
+      Field("event_id", FAuto, primary = true, unique = true, nullable = false),
+      // physical: int64 epoch-nanos (parquet TIMESTAMP(NANOS), read
+      // under nanosAsLong) → logical TIMESTAMP_NTZ at micro precision,
+      // matching how the DuckDB oracle sees post-truncation instants.
+      Field("ts", FTimestamp("yyyy-MM-dd HH:mm:ss"), readExpr = Some(c =>
+        F.timestamp_micros((c / 1000L).cast("long")).cast("timestamp_ntz"))),
+      Field("user_id", FInt),
+      Field("event_type", FStr),
+      Field("value", FFloat(4)),
+      Field("props", FText)),
+    sorting = Seq("event_id" -> Asc)))
+
+  register(TableDef("documents",
+    fields = Seq(
+      Field("doc_id", FAuto, primary = true, unique = true, nullable = false),
+      Field("text", FText, rules = Seq(NotEmpty)),
+      Field("lang", FStr),
+      Field("source", FStr),
+      Field("n_chars", FInt)),
+    sorting = Seq("doc_id" -> Asc)))
+
+  register(TableDef("embeddings",
+    fields = Seq(
+      Field("vec_id", FAuto, primary = true, unique = true, nullable = false),
+      Field("embedding", FVector),
+      Field("label", FInt)),
+    sorting = Seq("vec_id" -> Asc)))
+}

@@ -1,0 +1,47 @@
+package graft.sources
+
+import graft.schema.{Catalog, TableDef}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+/** Table scans (SURVEY §2.1 S1): SELECT the declared fields, aliased
+  * from their physical columns, FROM the model's table
+  * (`model.php:1138-1173` + `meta.php:150-177`).
+  *
+  * The projection is declarative, so Catalyst pushes column pruning
+  * and any later filters into the parquet reader (check
+  * `PushedFilters`/`ReadSchema` in .explain). No casts are applied on
+  * scan — declared types mirror storage, keeping the scan zero-copy
+  * and schema-identical to the oracle's view of the same files.
+  */
+object Tables {
+
+  /** Physical path of a table under a scale-factor directory. */
+  def path(sfDir: String, table: String): String = s"$sfDir/$table.parquet"
+
+  /** S1: full declared-field scan with physical→logical aliasing.
+    * Fields with a `readExpr` get their storage→logical transform
+    * applied inline (still one pruned parquet scan). */
+  def scan(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
+    // as int64 under this legacy flag; runtime-settable, idempotent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val t = Catalog(table)
+    val raw = spark.read.parquet(path(sfDir, table))
+    raw.select(t.fields.map { f =>
+      val base = F.col(f.physical)
+      f.readExpr.fold(base)(fn => fn(base)).alias(f.name)
+    }: _*)
+  }
+
+  /** Scan with computed alias columns materialized
+    * (`model.php:199-206`): each alias is appended as a named column
+    * over the declared projection. */
+  def scanWithAliases(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val t = Catalog(table)
+    t.aliases.foldLeft(scan(spark, sfDir, table)) {
+      case (df, (name, expr)) => df.withColumn(name, expr(F.col(name)))
+    }
+  }
+
+  def tableDef(table: String): TableDef = Catalog(table)
+}

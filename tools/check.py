@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet written by graft.Verify,
+runs the matching oracle_sql.json entry in DuckDB against the same
+parquet tables, sorts columns by name, canonicalizes values (floats
+rounded, timestamps to isoformat at microsecond precision), sorts
+rows, and diffs. Prints PASS/FAIL per query.
+"""
+import sys, os, json, math, glob
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style float normalization: round to ~9 significant digits
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "isoformat"):
+        s = v.isoformat()
+        return s[:26]  # truncate to microseconds
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_of(cols, names):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    n = len(cols[0]) if cols else 0
+    out = []
+    for r in range(n):
+        out.append(tuple(canon(cols[i][r]) for i in order))
+    out.sort()
+    return [",".join(r) for r in out], [names[i] for i in order]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output at {res_dir}")
+            n_fail += 1
+            continue
+        tbl = pq.read_table(res_dir)
+        s_names = tbl.column_names
+        s_cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        s_rows, s_order = rows_of(s_cols, s_names)
+        try:
+            cur = con.execute(sql)
+            d_names = [d[0] for d in cur.description]
+            d_data = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        d_cols = [[row[i] for row in d_data] for i in range(len(d_names))]
+        if not d_cols:
+            d_cols = [[] for _ in d_names]
+        d_rows, d_order = rows_of(d_cols, d_names)
+        if sorted(s_names) != sorted(d_names):
+            print(f"FAIL {name}: columns spark={sorted(s_names)} duck={sorted(d_names)}")
+            n_fail += 1
+            continue
+        if s_rows == d_rows:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+            for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+                if a != b:
+                    print(f"  first diff at row {i} (cols {s_order}):")
+                    print(f"    spark: {a[:300]}")
+                    print(f"    duck : {b[:300]}")
+                    break
+            else:
+                src = s_rows if len(s_rows) > len(d_rows) else d_rows
+                which = "spark" if len(s_rows) > len(d_rows) else "duck"
+                print(f"  extra rows in {which}: {src[min(len(s_rows), len(d_rows))][:300]}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
