@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import java.sql.Timestamp
 
-import graft.operators.Read
+import graft.operators.{Joins, Read, Validate, Writes}
+import graft.schema.{Catalog, FTimestamp}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,68 +25,189 @@ object SparkEntry {
     Read.read(spark, "/root/testdata/sf0.001", "orders",
       example = Map("o_custkey" -> 7L), limit = Some(10))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // S1/P1 — full declared-field aliased scan
-    "s1_scan_project" -> ((s, dir) => Tables.scan(s, dir, "customer")),
+  private val ordersCols =
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+  private val customerCols =
+    "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+  private val partCols =
+    "p_partkey, p_name, p_brand, p_type, p_size, p_retailprice"
 
-    // S2/P3 — point lookup by unique key
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 scans ----
+    "s1_scan_project" -> ((s, dir) => Tables.scan(s, dir, "customer")),
     "s2_point_lookup" -> ((s, dir) =>
       Read.read(s, dir, "customer", example = Map("c_custkey" -> 42L),
         limit = Some(1), sorted = false)),
 
-    // P3 — query-by-example conjunctive equality + declared sort
+    // ---- §2.2 projections / filters ----
     "p3_qbe" -> ((s, dir) =>
       Read.read(s, dir, "orders",
         example = Map("o_custkey" -> 7L, "o_orderstatus" -> "F"))),
-
-    // P4 — arbitrary predicate passthrough
     "p4_predicate" -> ((s, dir) =>
       Read.read(s, dir, "orders",
         extra = Some(F.col("o_totalprice") > 150000.0 &&
           F.col("o_orderdate") >= F.lit(Timestamp.valueOf("1998-01-01 00:00:00"))),
         sorted = false)),
+    "p6_computed" -> ((s, dir) => Tables.scanWithAliases(s, dir, "customer")),
 
-    // O1/O3 — declared multi-column sort + LIMIT (top-k)
-    "o1_sort_limit" -> ((s, dir) =>
-      Read.read(s, dir, "orders", limit = Some(10))),
-
-    // P2/O4 — select_list: DISTINCT two-column projection
+    // ---- §2.5 sort / limit / distinct ----
+    "o1_sort_limit" -> ((s, dir) => Read.read(s, dir, "orders", limit = Some(10))),
     "o4_select_list" -> ((s, dir) =>
       Read.selectList(s, dir, "nation", "n_nationkey", "n_name")),
 
-    // A1 — total(): COUNT(*) over filtered subquery
+    // ---- §2.4 aggregates ----
     "a1_total" -> ((s, dir) =>
       Read.total(s, dir, "lineitem",
         extra = Some(F.col("l_shipdate") >= F.lit(Timestamp.valueOf("1995-01-01 00:00:00")) &&
           F.col("l_shipdate") < F.lit(Timestamp.valueOf("1996-01-01 00:00:00"))))),
-
-    // A2 — uniqueness probe as a count frame (oracled form of is_unique)
     "a2_unique_probe" -> ((s, dir) =>
       Tables.scan(s, dir, "customer")
         .filter(F.col("c_custkey") === 42L)
-        .agg(F.count(F.lit(1)).as("n")))
+        .agg(F.count(F.lit(1)).as("n"))),
+
+    // ---- §2.3 joins ----
+    "j1_belongs_to" -> ((s, dir) => Joins.related(s, dir, "orders", "customer")),
+    "j2_has_many" -> ((s, dir) =>
+      Joins.related(s, dir, "customer", "orders", example = Map("c_custkey" -> 7L))),
+    "j3_many_to_many" -> ((s, dir) =>
+      Joins.related(s, dir, "part", "orders", example = Map("p_partkey" -> 1L))),
+    "j4_semi_ids" -> ((s, dir) =>
+      Joins.relatedIds(s, dir, "part", "orders", Map("p_partkey" -> 1L))),
+
+    // ---- §2.1 write-path merges (S5-S8) ----
+    "s5_insert" -> ((s, dir) => {
+      val base = Tables.scan(s, dir, "orders")
+      val batch = base.filter(F.col("o_orderkey") <= 3L)
+      Writes.insert(base, batch, "o_orderkey", Seq(F.col("o_orderkey")))
+    }),
+    "s6_update" -> ((s, dir) => {
+      val base = Tables.scan(s, dir, "orders")
+      val delta = base.filter(F.col("o_orderstatus") === "P")
+        .select(F.col("o_orderkey"),
+          F.lit("1-URGENT").as("o_orderpriority"),
+          (F.col("o_totalprice") * 1.1).as("o_totalprice"))
+      Writes.update(base, delta, Seq("o_orderkey"))
+    }),
+    "s7_delete" -> ((s, dir) => {
+      val base = Tables.scan(s, dir, "orders")
+      val badCust = Tables.scan(s, dir, "customer")
+        .filter(F.col("c_nationkey") === 3).select("c_custkey")
+      val victims = base.join(F.broadcast(badCust),
+        base("o_custkey") === badCust("c_custkey"), "left_semi")
+      Writes.delete(base, victims, Seq("o_orderkey"))
+    }),
+    "s8_upsert" -> ((s, dir) => {
+      val base = Tables.scan(s, dir, "orders")
+      val updates = base.filter(F.col("o_orderkey") <= 10L)
+        .withColumn("o_orderpriority", F.lit("5-LOW"))
+      val inserts = base.filter(F.col("o_orderkey") <= 5L)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10000000L)
+      Writes.upsert(base, updates.unionByName(inserts), Seq("o_orderkey"))
+    }),
+
+    // ---- §2.6 scalar functions / validation ----
+    "f2_lenient_ts" -> ((s, dir) =>
+      Tables.scan(s, dir, "orders").select(
+        F.col("o_orderkey"),
+        FTimestamp.lenientParse(F.date_format(F.col("o_orderdate"), "MM/dd/yyyy"))
+          .cast("timestamp_ntz").as("parsed"))),
+    "f_verbose" -> ((s, dir) =>
+      Tables.scan(s, dir, "orders").select(
+        F.col("o_orderkey"),
+        F.date_format(F.col("o_orderdate"), "MM/dd/yyyy").as("d_verbose"),
+        F.when(F.col("o_orderstatus") === "F", "Yes").otherwise("No").as("is_final"),
+        // format_number (the FFloat verbose) adds locale separators,
+        // which the DuckDB oracle cannot reproduce on floats — the
+        // oracled column uses plain %.2f; format_number is pinned by a
+        // golden ScalaTest instead.
+        F.format_string("%.2f", F.col("o_totalprice")).as("price_fmt"))),
+    "f1_casts" -> ((s, dir) =>
+      Tables.scan(s, dir, "events").select(
+        F.col("event_id"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").as("k"),
+        F.nullif(F.trim(F.col("event_type")), F.lit("")).as("etype"))),
+    "s10_json" -> ((s, dir) =>
+      Tables.scan(s, dir, "nation").select(
+        F.col("n_nationkey"),
+        F.to_json(F.struct(F.col("n_nationkey"), F.col("n_name"))).as("js"))),
+    "f10_validate" -> ((s, dir) =>
+      Validate.report(Tables.scan(s, dir, "customer"), Catalog("customer")))
   )
 
   def oracleSql: Map[String, String] = Map(
-    "s1_scan_project" ->
-      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
-    "s2_point_lookup" ->
-      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey = 42",
+    "s1_scan_project" -> s"SELECT $customerCols FROM customer",
+    "s2_point_lookup" -> s"SELECT $customerCols FROM customer WHERE c_custkey = 42",
     "p3_qbe" ->
-      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
-        "FROM orders WHERE o_custkey = 7 AND o_orderstatus = 'F'"),
+      s"SELECT $ordersCols FROM orders WHERE o_custkey = 7 AND o_orderstatus = 'F'",
     "p4_predicate" ->
-      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
-        "FROM orders WHERE o_totalprice > 150000.0 AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"),
+      (s"SELECT $ordersCols FROM orders " +
+        "WHERE o_totalprice > 150000.0 AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"),
+    "p6_computed" ->
+      (s"SELECT $customerCols, trim(concat_ws(' ', c_name, c_mktsegment)) AS c_label " +
+        "FROM customer"),
     "o1_sort_limit" ->
-      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
-        "FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 10"),
-    "o4_select_list" ->
-      "SELECT DISTINCT n_nationkey, n_name FROM nation",
+      s"SELECT $ordersCols FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 10",
+    "o4_select_list" -> "SELECT DISTINCT n_nationkey, n_name FROM nation",
     "a1_total" ->
       ("SELECT COUNT(*) AS total FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' " +
         "AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'"),
-    "a2_unique_probe" ->
-      "SELECT COUNT(*) AS n FROM customer WHERE c_custkey = 42"
+    "a2_unique_probe" -> "SELECT COUNT(*) AS n FROM customer WHERE c_custkey = 42",
+    "j1_belongs_to" ->
+      (s"SELECT $ordersCols, $customerCols FROM orders JOIN customer ON o_custkey = c_custkey"),
+    "j2_has_many" ->
+      (s"SELECT $customerCols, $ordersCols FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "WHERE c_custkey = 7"),
+    "j3_many_to_many" ->
+      (s"SELECT $partCols, $ordersCols FROM part " +
+        "JOIN lineitem ON p_partkey = l_partkey JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE p_partkey = 1"),
+    "j4_semi_ids" ->
+      "SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey = 1",
+    "s5_insert" ->
+      (s"SELECT $ordersCols FROM orders UNION ALL " +
+        "SELECT (SELECT max(o_orderkey) FROM orders) + row_number() OVER (ORDER BY o_orderkey), " +
+        "o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey <= 3"),
+    "s6_update" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, " +
+        "CASE WHEN o_orderstatus = 'P' THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority " +
+        "FROM orders"),
+    "s7_delete" ->
+      (s"SELECT $ordersCols FROM orders WHERE NOT EXISTS " +
+        "(SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_nationkey = 3)"),
+    "s8_upsert" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+        "CASE WHEN o_orderkey <= 10 THEN '5-LOW' ELSE o_orderpriority END AS o_orderpriority " +
+        "FROM orders UNION ALL " +
+        "SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+        "o_orderpriority FROM orders WHERE o_orderkey <= 5"),
+    "f2_lenient_ts" ->
+      ("SELECT o_orderkey, strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS parsed " +
+        "FROM orders"),
+    "f_verbose" ->
+      ("SELECT o_orderkey, strftime(o_orderdate, '%m/%d/%Y') AS d_verbose, " +
+        "CASE WHEN o_orderstatus = 'F' THEN 'Yes' ELSE 'No' END AS is_final, " +
+        "printf('%.2f', o_totalprice) AS price_fmt FROM orders"),
+    "f1_casts" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+        "nullif(trim(event_type), '') AS etype FROM events"),
+    "s10_json" ->
+      ("SELECT n_nationkey, CAST(to_json(struct_pack(n_nationkey := n_nationkey, " +
+        "n_name := n_name)) AS VARCHAR) AS js FROM nation"),
+    "f10_validate" ->
+      (s"SELECT $customerCols, " +
+        "(c_name IS NOT NULL AND trim(c_name) <> '') AS ok_c_name_not_empty, " +
+        "(c_name IS NULL OR length(c_name) >= 5) AS ok_c_name_min_length_5, " +
+        "(c_name IS NULL OR length(c_name) <= 127) AS ok_c_name_max_length_127, " +
+        "(c_acctbal IS NULL OR (c_acctbal >= -1000.0 AND c_acctbal <= 10000.0)) AS ok_c_acctbal_range, " +
+        "(c_mktsegment IS NULL OR c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')) AS ok_c_mktsegment_in_set, " +
+        "(CASE WHEN (c_name IS NOT NULL AND trim(c_name) <> '') THEN 0 ELSE 1 END + " +
+        " CASE WHEN (c_name IS NULL OR length(c_name) >= 5) THEN 0 ELSE 1 END + " +
+        " CASE WHEN (c_name IS NULL OR length(c_name) <= 127) THEN 0 ELSE 1 END + " +
+        " CASE WHEN (c_acctbal IS NULL OR (c_acctbal >= -1000.0 AND c_acctbal <= 10000.0)) THEN 0 ELSE 1 END + " +
+        " CASE WHEN (c_mktsegment IS NULL OR c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')) THEN 0 ELSE 1 END) " +
+        "::INTEGER AS n_errors FROM customer")
   )
 }

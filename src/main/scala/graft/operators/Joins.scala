@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.schema._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
+
+/** Relation joins (SURVEY §2.3) — the reference's relation algebra
+  * (`classes/hive/relation/<kind>.php`) driven by the declared
+  * `TableDef.relations`.
+  *
+  * Scale notes:
+  *  - All reference joins are equi-joins along declared keys, so they
+  *    shuffle-partition on the join key — co-location friendly.
+  *  - Fixed-size dimension tables (region: 5 rows, nation: 25 rows —
+  *    constant at every scale factor) are explicitly broadcast; for
+  *    everything else Catalyst's size estimate + AQE picks
+  *    broadcast-hash vs sort-merge, which is the right call when the
+  *    "small" side grows with SF.
+  */
+object Joins {
+
+  /** Dimension tables whose cardinality does not grow with data
+    * scale — always broadcast-safe, even at 100 TB. */
+  private val fixedSizeDims = Set("region", "nation")
+
+  private def maybeBroadcast(name: String, df: DataFrame): DataFrame =
+    if (fixedSizeDims(name)) F.broadcast(df) else df
+
+  /** J1/J2/J3 — materialize `local` with its related `relName` rows
+    * joined in (all declared columns of both sides; FK columns appear
+    * once per side, as the reference keeps both, `model.php:272-283`).
+    *
+    * - BelongsTo / HasOne → 1:1 equi-join on `using` (J1)
+    * - HasMany → 1:N equi-join (J2)
+    * - ManyToMany → double equi-join through the pivot (J3)
+    *
+    * `example` is a QBE filter on the LOCAL side applied before the
+    * join (the reference's parent-conditions merge,
+    * `hasmany.php:29-44`) — it prunes the probe side early so the
+    * filter is pushed below the shuffle.
+    */
+  def related(spark: SparkSession, sfDir: String, local: String, relName: String,
+              example: Map[String, Any] = Map.empty): DataFrame = {
+    val t = Catalog(local)
+    val rel = t.relations.getOrElse(relName, throw new IllegalArgumentException(
+      s"undeclared relation '$relName' on '$local'"))
+    val localDf = Tables.scan(spark, sfDir, local).filter(Read.qbe(t, example))
+
+    rel match {
+      case r @ (_: BelongsTo | _: HasOne | _: HasMany) =>
+        val remote = remoteWithConditions(spark, sfDir, r)
+        val cond = r.using.map { case (l, rm) =>
+          localDf(l) === remote(rm)
+        }.reduce(_ && _)
+        localDf.join(maybeBroadcast(r.model, remote), cond, "inner")
+
+      case m: ManyToMany =>
+        val pivot = Tables.scan(spark, sfDir, m.through)
+        val remote = remoteWithConditions(spark, sfDir, m)
+        val (lk, pk1) = m.localKey
+        val (pk2, rk) = m.remoteKey
+        // project the pivot to just its two key columns before the
+        // join — column pruning keeps the shuffle payload minimal
+        val pivotKeys = pivot.select(pk1, pk2)
+        localDf
+          .join(pivotKeys, localDf(lk) === pivotKeys(pk1), "inner")
+          .join(maybeBroadcast(m.model, remote), pivotKeys(pk2) === remote(rk), "inner")
+          .drop(pk1, pk2)
+    }
+  }
+
+  /** J4 — many-to-many membership id list (`manytomany.php:20-54`):
+    * only the remote-side ids related to the QBE-selected local rows,
+    * deduplicated. Implemented as a semi-join-shaped pivot projection:
+    * no remote table scan at all. */
+  def relatedIds(spark: SparkSession, sfDir: String, local: String, relName: String,
+                 example: Map[String, Any]): DataFrame = {
+    val t = Catalog(local)
+    val m = t.relations(relName) match {
+      case m: ManyToMany => m
+      case other => throw new IllegalArgumentException(
+        s"relatedIds needs a many_to_many relation, got $other")
+    }
+    val (lk, pk1) = m.localKey
+    val (pk2, _) = m.remoteKey
+    val localIds = Tables.scan(spark, sfDir, local)
+      .filter(Read.qbe(t, example)).select(lk)
+    val pivot = Tables.scan(spark, sfDir, m.through).select(pk1, pk2)
+    // local side after QBE is typically tiny (a point lookup) —
+    // broadcast it so the pivot scan never shuffles
+    pivot.join(F.broadcast(localIds), pivot(pk1) === localIds(lk), "left_semi")
+      .select(pk2).distinct()
+  }
+
+  /** Remote scan with the relation's constant conditions applied
+    * (`relation.php:29-31`, P5). */
+  private def remoteWithConditions(spark: SparkSession, sfDir: String,
+                                   rel: Relation): DataFrame = {
+    val remote = Tables.scan(spark, sfDir, rel.model)
+    rel.conditions.foldLeft(remote) { case (df, (c, v)) =>
+      df.filter(F.col(c) === F.lit(v))
+    }
+  }
+}

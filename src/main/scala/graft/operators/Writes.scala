@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.schema.{Catalog, TableDef}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Write-path operators (SURVEY §2.1 S5-S8) as pure
+  * DataFrame→DataFrame merges — the reference's mutable-record CRUD
+  * (`model.php:667-885`) re-expressed for immutable columnar storage:
+  * the caller rewrites the result (or feeds it to a MERGE-capable
+  * table format); nothing here mutates files in place.
+  *
+  * Scale notes: every merge is a single equi-join on the primary key
+  * — shuffle-partitioned by pk, AQE-skew-safe. The delta side of
+  * update/upsert is normally tiny relative to base, so Catalyst
+  * broadcasts it; nothing ever collects to the driver.
+  */
+object Writes {
+
+  /** S5 — INSERT with auto-id assignment (`model.php:667-706`).
+    * New ids are `max(existing) + row_number() over (order by the
+    * batch's natural order)` — deterministic, unlike
+    * `monotonically_increasing_id`, and gap-free within a batch
+    * (documented non-gapless across retries, SURVEY §7).
+    *
+    * The unpartitioned row_number window serializes the NEW BATCH
+    * only (insert batches are small relative to base); the base table
+    * contributes just a 1-row max() aggregate. `orderWithin` must be
+    * a deterministic ordering of the batch (e.g. its natural key). */
+  def insert(base: DataFrame, rows: DataFrame, autoCol: String,
+             orderWithin: Seq[Column]): DataFrame = {
+    val maxId = base.agg(F.coalesce(F.max(F.col(autoCol)), F.lit(0L)).as("mx"))
+    val numbered = rows
+      .withColumn("__rn", F.row_number().over(Window.orderBy(orderWithin: _*)))
+      .crossJoin(F.broadcast(maxId))
+      .withColumn(autoCol, F.col("mx") + F.col("__rn"))
+      .drop("__rn", "mx")
+      .select(base.columns.map(F.col): _*) // align column order
+    base.unionByName(numbered)
+  }
+
+  /** S6 — delta UPDATE (`model.php:775-811`, `query_update`
+    * `model.php:1185-1220`): `delta` carries the primary key plus ONLY
+    * the changed columns (the reference's `$__changed` set); unchanged
+    * columns never travel. Left-join merge: delta value wins when
+    * present.
+    *
+    * No-op elision (`model.php:789-793`): an empty delta schema
+    * (nothing but pk) returns base unchanged without a join. */
+  def update(base: DataFrame, delta: DataFrame, pk: Seq[String]): DataFrame = {
+    val changedCols = delta.columns.filterNot(pk.contains)
+    if (changedCols.isEmpty) return base // no-op elision
+    val d = delta.select((pk ++ changedCols).map(c =>
+      delta(c).alias(if (pk.contains(c)) c else s"__d_$c")): _*)
+    val joined = base.join(d, pk, "left")
+    val merged = base.columns.foldLeft(joined) { (df, c) =>
+      if (changedCols.contains(c))
+        df.withColumn(c, F.coalesce(F.col(s"__d_$c"), F.col(c)))
+      else df
+    }
+    merged.select(base.columns.map(F.col): _*)
+  }
+
+  /** S7 — DELETE (`model.php:831-853`): anti-join on the victim key
+    * set. `victims` needs only the pk columns. */
+  def delete(base: DataFrame, victims: DataFrame, pk: Seq[String]): DataFrame =
+    base.join(victims.select(pk.map(F.col): _*), pk, "left_anti")
+
+  /** S8 — UPSERT (`save()`, `model.php:873-885`): full-schema `rows`
+    * replace matching pk rows and append the rest. Row-wise:
+    * new-row wins; base rows without a match pass through. */
+  def upsert(base: DataFrame, rows: DataFrame, pk: Seq[String]): DataFrame =
+    base.join(rows.select(pk.map(F.col): _*), pk, "left_anti")
+      .unionByName(rows.select(base.columns.map(F.col): _*))
+
+  /** Auto-now column stamping (`field/timestamp.php:16-21`,
+    * `model.php:672-679,780-787`): set each auto_now_create /
+    * auto_now_update field to `now` on the way through the write path.
+    * `now` is injected (not `current_timestamp()`) so writes are
+    * deterministic and replayable. */
+  def stampAutoNow(t: TableDef, rows: DataFrame, now: Column,
+                   creating: Boolean): DataFrame =
+    t.fields.filter(f => if (creating) f.autoNowCreate else f.autoNowUpdate)
+      .foldLeft(rows)((df, f) => df.withColumn(f.name, now))
+
+  /** Cell-write transform hooks (`field.php:44-46`): apply each
+    * field's on_change expression to incoming rows. */
+  def applyOnChange(t: TableDef, rows: DataFrame): DataFrame =
+    t.fields.filter(_.onChange.isDefined).foldLeft(rows)((df, f) =>
+      df.withColumn(f.name, f.onChange.get(F.col(f.name))))
+}

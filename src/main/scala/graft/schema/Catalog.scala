@@ -45,8 +45,9 @@ object Catalog {
       Field("c_custkey", FAuto, primary = true, unique = true, nullable = false),
       Field("c_name", FStr, rules = Seq(NotEmpty, MinLength(5), MaxLength(127))),
       Field("c_nationkey", FInt),
-      Field("c_acctbal", FFloat(2)),
-      Field("c_mktsegment", FEnum(Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")))),
+      Field("c_acctbal", FFloat(2), rules = Seq(InRange(-1000.0, 10000.0))),
+      Field("c_mktsegment", FEnum(Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")),
+        rules = Seq(InSet(Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))))),
     sorting = Seq("c_custkey" -> Asc),
     relations = Map(
       "nation" -> BelongsTo("nation", Seq("c_nationkey" -> "n_nationkey")),

@@ -95,11 +95,12 @@ object FTimestamp {
     * m/d/Y, epoch seconds — first match wins. */
   def lenientParse(raw: Column): Column = {
     val s = F.trim(raw.cast(StringType))
+    // try_to_timestamp (never throws) instead of cast — Spark 4 runs
+    // with ANSI mode on, where a failed string→timestamp cast errors.
     F.coalesce(
-      raw.cast(TimestampType), // already a timestamp/date or castable
+      F.try_to_timestamp(s), // ISO datetime/date, Spark's default parse
       F.try_to_timestamp(s, F.lit("yyyy-MM-dd HH:mm:ss")),
       F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
-      F.try_to_timestamp(s, F.lit("yyyy-MM-dd")),
       F.try_to_timestamp(s, F.lit("MM/dd/yyyy")),
       // bare epoch seconds
       F.when(s.rlike("^\\d{9,11}$"), s.cast(LongType).cast(TimestampType))

@@ -57,11 +57,11 @@ case object EmailRule extends Rule {
     c.cast(StringType).rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
 }
 final case class InSet(values: Seq[String]) extends Rule {
-  val name = s"in_set[${values.mkString("|")}]"
+  val name = "in_set"
   def ok(c: Column): Column = c.isin(values: _*)
 }
 final case class InRange(lo: Double, hi: Double) extends Rule {
-  val name = s"range[$lo,$hi]"
+  val name = "range"
   def ok(c: Column): Column = c >= lo && c <= hi
 }
 
