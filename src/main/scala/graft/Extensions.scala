@@ -1,0 +1,296 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+import graft.functions.Text
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+import graft.streaming.EventWindows
+
+/** North-star extension queries (BASELINE.json): dedup, similarity
+  * search, text analysis, windowed events, streaming, multimodal —
+  * each with a DuckDB oracle where ANSI SQL can express it.
+  *
+  * Everything hash-portable is md5-based (`Text.hash60`), so MinHash
+  * and SimHash oracles reproduce bit-identical signatures in DuckDB.
+  */
+object Extensions {
+
+  // shared SQL fragments for the oracle side
+  private val toksSql =
+    "SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok FROM documents"
+  private def h60(expr: String) =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
+  private val MINHASH_K = 16
+  private val MINHASH_BANDS = 4
+
+  private val stopSql = Text.stopwords.map { case (l, ws) =>
+    l -> ws.mkString("['", "', '", "']")
+  }
+
+  private def hitsSql(lang: String) =
+    s"len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')), ${stopSql(lang)}))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- grouped aggregation (driver-example shape; TPC-H Q1 style) ----
+    "a3_group_agg" -> ((s, dir) =>
+      Tables.scan(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          F.sum("l_quantity").as("sum_qty"),
+          F.sum("l_extendedprice").as("sum_base_price"),
+          F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .as("sum_disc_price"),
+          F.avg("l_quantity").as("avg_qty"),
+          F.count(F.lit(1)).as("count_order"))),
+
+    // ---- window functions: top-N per group ----
+    "x_window_topn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
+      Tables.scan(s, dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // ---- text analysis ----
+    "x_text_stats" -> ((s, dir) =>
+      Tables.scan(s, dir, "documents").select(
+        F.col("doc_id"),
+        Text.tokenCount(F.col("text")).as("n_tokens"),
+        Text.subTokenCount(F.col("text")).as("n_subtokens"),
+        Text.charCount(F.col("text")).as("n_chars_calc"),
+        Text.avgTokenLen(F.col("text")).as("avg_token_len"),
+        Text.punctRatio(F.col("text")).as("punct_ratio"),
+        Text.stopwordRatio(F.col("text")).as("stopword_ratio"),
+        Text.qualityScore(F.col("text")).as("quality"))),
+
+    "x_lang_id" -> ((s, dir) =>
+      Tables.scan(s, dir, "documents").select(
+        F.col("doc_id"), F.col("lang").as("labeled_lang"),
+        Text.langId(F.col("text")).as("pred_lang"))),
+
+    "x_fingerprint" -> ((s, dir) =>
+      Tables.scan(s, dir, "documents").select(
+        F.col("doc_id"),
+        Text.fingerprint(F.col("text")).as("fp"),
+        Text.bagFingerprint(F.col("text")).as("bag_fp"))),
+
+    // ---- dedup ----
+    "x_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.scan(s, dir, "documents"), "doc_id", "text",
+        minCount = 1)),
+
+    "x_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+        Tables.scan(s, dir, "documents").filter(F.col("doc_id") < 300),
+        "doc_id", "text", threshold = 0.9)),
+
+    "x_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", k = MINHASH_K)),
+
+    "x_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(
+        Tables.scan(s, dir, "documents").filter(F.col("doc_id") < 200),
+        "doc_id", "text", k = MINHASH_K, bands = MINHASH_BANDS,
+        threshold = 0.75)),
+
+    "x_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.scan(s, dir, "documents"), "doc_id", "text",
+        bits = 32)),
+
+    "x_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        Tables.scan(s, dir, "documents").filter(F.col("doc_id") < 200),
+        "doc_id", "text", bits = 32, maxHamming = 3)),
+
+    // ---- similarity search ----
+    "x_embed_topk" -> ((s, dir) => {
+      val emb = Tables.scan(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(F.col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+    }),
+
+    "x_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.scan(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45)),
+
+    // IVF ANN — scale path; approximate by construction, so checked
+    // rows-only (no closed-form ANSI oracle for recall-bounded output)
+    "x_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.scan(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nprobe = 2)
+    }),
+
+    // ---- events: windowed aggregation (batch) + streaming twin ----
+    "x_window_tumbling" -> ((s, dir) =>
+      EventWindows.tumblingHourly(Tables.scan(s, dir, "events"))),
+    "x_window_sliding" -> ((s, dir) =>
+      EventWindows.slidingHourly(Tables.scan(s, dir, "events"))),
+    "x_window_session" -> ((s, dir) =>
+      EventWindows.sessions(Tables.scan(s, dir, "events"), "10 minutes")),
+    "x_stream_tumbling" -> ((s, dir) =>
+      EventWindows.streamingTumblingHourly(s, dir)),
+
+    // ---- multimodal plumbing (column twin of the decode stage) ----
+    "x_multimodal_meta" -> ((s, dir) =>
+      Multimodal.metaColumns(Tables.scan(s, dir, "documents"), "doc_id", "text"))
+  )
+
+  def oracleSql: Map[String, String] = {
+    val mhMins = (0 until MINHASH_K)
+      .map(i => s"min(${h60(s"'$i:' || tok")}) AS mh$i").mkString(", ")
+    val rowsPerBand = MINHASH_K / MINHASH_BANDS
+    val bandRows = (0 until MINHASH_BANDS).map { b =>
+      val cat = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash, " +
+        (0 until MINHASH_K).map(i => s"mh$i").mkString(", ") + " FROM sig"
+    }.mkString(" UNION ALL ")
+    val estTerms = (0 until MINHASH_K)
+      .map(i => s"CASE WHEN l.mh$i = r.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    val simhashBitSums = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h & ${1L << b}) <> 0 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val simhashAssemble = (0 until 32)
+      .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+
+    Map(
+      "a3_group_agg" ->
+        ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+          "sum(l_extendedprice) AS sum_base_price, " +
+          "sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price, " +
+          "avg(l_quantity) AS avg_qty, count(*) AS count_order " +
+          "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+      "x_window_topn" ->
+        ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+          "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +
+          "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+          "FROM orders) WHERE rn <= 3"),
+      "x_text_stats" ->
+        ("SELECT doc_id, " +
+          "len(string_split_regex(lower(text), '\\s+')) AS n_tokens, " +
+          "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subtokens, " +
+          "length(text) AS n_chars_calc, " +
+          "length(regexp_replace(lower(text), '\\s+', '', 'g')) * 1.0 / " +
+          "greatest(len(string_split_regex(lower(text), '\\s+')) * 1.0, 1.0) AS avg_token_len, " +
+          "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / " +
+          "greatest(length(text) * 1.0, 1.0) AS punct_ratio, " +
+          s"${hitsSql("en")} * 1.0 / " +
+          "greatest(len(list_distinct(string_split_regex(lower(text), '\\s+'))) * 1.0, 1.0) AS stopword_ratio, " +
+          "(least(length(text) * 1.0 / 200.0, 1.0) * 0.3) + " +
+          "((1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / " +
+          "greatest(length(text) * 1.0, 1.0)) * 5.0, 1.0)) * 0.2) + " +
+          s"(least((${hitsSql("en")} * 1.0 / " +
+          "greatest(len(list_distinct(string_split_regex(lower(text), '\\s+'))) * 1.0, 1.0)) * 4.0, 1.0) * 0.3) + " +
+          "(CASE WHEN (length(regexp_replace(lower(text), '\\s+', '', 'g')) * 1.0 / " +
+          "greatest(len(string_split_regex(lower(text), '\\s+')) * 1.0, 1.0)) >= 3.0 " +
+          "AND (length(regexp_replace(lower(text), '\\s+', '', 'g')) * 1.0 / " +
+          "greatest(len(string_split_regex(lower(text), '\\s+')) * 1.0, 1.0)) <= 10.0 " +
+          "THEN 1.0 ELSE 0.5 END * 0.2) AS quality " +
+          "FROM documents"),
+      "x_lang_id" ->
+        ("SELECT doc_id, labeled_lang, CASE " +
+          "WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und' " +
+          "WHEN en >= es AND en >= de AND en >= fr THEN 'en' " +
+          "WHEN es >= de AND es >= fr THEN 'es' " +
+          "WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang FROM (" +
+          s"SELECT doc_id, lang AS labeled_lang, ${hitsSql("en")} AS en, " +
+          s"${hitsSql("es")} AS es, ${hitsSql("de")} AS de, ${hitsSql("fr")} AS fr " +
+          "FROM documents)"),
+      "x_fingerprint" ->
+        ("SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp, " +
+          "md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\\s+'))), ' ')) AS bag_fp " +
+          "FROM documents"),
+      "x_dedup_exact" ->
+        ("SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp, " +
+          "min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY fp"),
+      "x_dedup_jaccard" ->
+        ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + " WHERE doc_id < 300) WHERE tok <> ''), " +
+          "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), " +
+          "inter AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i " +
+          "FROM toks l JOIN toks r ON l.tok = r.tok AND l.doc_id < r.doc_id GROUP BY 1, 2) " +
+          "SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard FROM inter " +
+          "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+          "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.9"),
+      "x_minhash_sig" ->
+        ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> '') " +
+          s"SELECT doc_id, $mhMins FROM toks GROUP BY doc_id"),
+      "x_minhash_pairs" ->
+        ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + " WHERE doc_id < 200) WHERE tok <> ''), " +
+          s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
+          s"bands AS ($bandRows), " +
+          "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, " +
+          (0 until MINHASH_K).map(i => s"l.mh$i AS lmh$i, r.mh$i AS rmh$i").mkString(", ") + " " +
+          "FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+          "AND l.doc_id < r.doc_id) " +
+          "SELECT id_a, id_b, est_jaccard FROM (SELECT id_a, id_b, (" +
+          (0 until MINHASH_K).map(i => s"CASE WHEN lmh$i = rmh$i THEN 1 ELSE 0 END").mkString(" + ") +
+          s") * 1.0 / $MINHASH_K AS est_jaccard FROM cand) WHERE est_jaccard >= 0.75"),
+      "x_simhash" ->
+        ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> ''), " +
+          s"h AS (SELECT doc_id, ${h60("tok")} AS h FROM toks), " +
+          s"bitsums AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id) " +
+          s"SELECT doc_id, $simhashAssemble AS simhash FROM bitsums"),
+      "x_simhash_pairs" ->
+        ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + " WHERE doc_id < 200) WHERE tok <> ''), " +
+          s"h AS (SELECT doc_id, ${h60("tok")} AS h FROM toks), " +
+          s"bitsums AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id), " +
+          s"sig AS (SELECT doc_id, $simhashAssemble AS simhash FROM bitsums) " +
+          "SELECT l.doc_id AS id_a, r.doc_id AS id_b, " +
+          "bit_count(xor(l.simhash, r.simhash)) AS hamming FROM sig l JOIN sig r " +
+          "ON l.doc_id < r.doc_id WHERE bit_count(xor(l.simhash, r.simhash)) <= 3"),
+      "x_embed_topk" ->
+        ("SELECT query_id, match_id, sim, rank FROM (" +
+          "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
+          "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim, " +
+          "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+          "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC, " +
+          "c.vec_id ASC) AS rank " +
+          "FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id " +
+          "WHERE q.vec_id < 5) WHERE rank <= 10"),
+      "x_embed_neardup" ->
+        ("SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+          "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
+          "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+          "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45"),
+      "x_window_tumbling" ->
+        ("SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
+          "event_type, count(*) AS n, sum(value) AS sum_value FROM events " +
+          "GROUP BY 1, 2"),
+      "x_window_sliding" ->
+        ("WITH expanded AS (" +
+          "SELECT make_timestamp((epoch_ns(ts) // 1800000000000) * 1800000000) AS w_start, " +
+          "event_type, value FROM events UNION ALL " +
+          "SELECT make_timestamp(((epoch_ns(ts) // 1800000000000) - 1) * 1800000000) AS w_start, " +
+          "event_type, value FROM events) " +
+          "SELECT w_start, event_type, count(*) AS n, sum(value) AS sum_value " +
+          "FROM expanded GROUP BY 1, 2"),
+      "x_window_session" ->
+        ("WITH e AS (SELECT user_id, ts, value, " +
+          "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), " +
+          "m AS (SELECT user_id, ts, value, CASE WHEN prev IS NULL OR " +
+          "ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s FROM e), " +
+          "s AS (SELECT user_id, ts, value, sum(new_s) OVER " +
+          "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+          "SELECT user_id, CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start, " +
+          "count(*) AS n_events, sum(value) AS sum_value FROM s GROUP BY user_id, sid"),
+      "x_stream_tumbling" ->
+        ("SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
+          "event_type, count(*) AS n, sum(value) AS sum_value FROM events " +
+          "GROUP BY 1, 2"),
+      "x_multimodal_meta" ->
+        ("SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum, " +
+          "CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 960 AS INTEGER) AS width, " +
+          "CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 960 AS INTEGER) AS height " +
+          "FROM documents")
+    )
+  }
+}

@@ -32,7 +32,8 @@ object SparkEntry {
   private val partCols =
     "p_partkey, p_name, p_brand, p_type, p_size, p_retailprice"
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // ---- §2.1 scans ----
     "s1_scan_project" -> ((s, dir) => Tables.scan(s, dir, "customer")),
     "s2_point_lookup" -> ((s, dir) =>
@@ -132,7 +133,7 @@ object SparkEntry {
         F.to_json(F.struct(F.col("n_nationkey"), F.col("n_name"))).as("js"))),
     "f10_validate" -> ((s, dir) =>
       Validate.report(Tables.scan(s, dir, "customer"), Catalog("customer")))
-  )
+  ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
     "s1_scan_project" -> s"SELECT $customerCols FROM customer",
@@ -209,5 +210,5 @@ object SparkEntry {
         " CASE WHEN (c_acctbal IS NULL OR (c_acctbal >= -1000.0 AND c_acctbal <= 10000.0)) THEN 0 ELSE 1 END + " +
         " CASE WHEN (c_mktsegment IS NULL OR c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')) THEN 0 ELSE 1 END) " +
         "::INTEGER AS n_errors FROM customer")
-  )
+  ) ++ Extensions.oracleSql
 }

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Deduplication for training-data pipelines (north-star extension):
+  * exact, MinHash/LSH, SimHash, and token-set Jaccard near-dup.
+  *
+  * Scale design:
+  *  - Exact dedup groups on a 128-bit fingerprint, not the raw text —
+  *    the shuffle moves 16 bytes + id per row, never documents.
+  *  - MinHash signatures are computed with one explode + one
+  *    map-side-combined groupBy (k mins); the LSH band join only
+  *    shuffles (band_idx, band_hash, id) triples. Candidate
+  *    verification uses the signature-estimated Jaccard — no second
+  *    pass over text.
+  *  - All hashes are md5-derived (`Text.hash60`) — deterministic,
+  *    engine-portable, seedable.
+  *  - Self-joins pair ids with `a < b` so each pair shuffles once.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: rows whose normalized text collides on
+    * md5. Returns one row per duplicated fingerprint with the kept
+    * (minimum) id and the group size. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String,
+                  minCount: Long = 2): DataFrame =
+    df.select(F.col(idCol), Text.fingerprint(F.col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(F.min(idCol).as("keep_id"), F.count(F.lit(1)).as("dup_count"))
+      .filter(F.col("dup_count") >= minCount)
+
+  /** Exact-deduplicated view: keeps the minimum id per fingerprint. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df.select(F.col(idCol), Text.fingerprint(F.col(textCol)).as("fp"))
+      .groupBy("fp").agg(F.min(idCol).as(idCol))
+    df.join(keep.select(idCol), Seq(idCol), "left_semi")
+  }
+
+  /** Seeded portable token hash: md5("<seed>:<token>") → 60-bit long. */
+  private def seededHash(tok: Column, seed: Int): Column =
+    Text.hash60(F.concat(F.lit(s"$seed:"), tok))
+
+  /** MinHash signatures: k independent min-hashes over the distinct
+    * token set. One row per id, columns mh0..mh{k-1}. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16): DataFrame = {
+    val toks = df.select(F.col(idCol),
+      F.explode(Text.distinctTokens(F.col(textCol))).as("tok"))
+      .filter(F.col("tok") =!= "")
+    val mins = (0 until k).map(s => F.min(seededHash(F.col("tok"), s)).as(s"mh$s"))
+    toks.groupBy(idCol).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * Bands the k-wide signature into `bands` groups of k/bands rows;
+    * two docs are candidates iff they agree on ALL hashes of at least
+    * one band (classic LSH banding). Candidates are then scored by
+    * the signature-estimated Jaccard (matching minhash fraction) and
+    * kept when ≥ `threshold`.
+    *
+    * The band join key is a single md5 over the band's hashes —
+    * constant-width shuffle rows regardless of k. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val sig = minhashSignatures(df, idCol, textCol, k)
+
+    val bandCols = (0 until bands).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => F.col(s"mh$i").cast("string"))
+      F.struct(F.lit(b).as("band_idx"),
+        F.md5(F.concat_ws(",", hs: _*)).as("band_hash")).as(s"b$b")
+    }
+    val banded = sig.select(F.col(idCol) +: (0 until k).map(i => F.col(s"mh$i")) :+
+      F.explode(F.array(bandCols: _*)).as("band"): _*)
+      .select(F.col(idCol), F.col("band.band_idx").as("band_idx"),
+        F.col("band.band_hash").as("band_hash"),
+        F.array((0 until k).map(i => F.col(s"mh$i")): _*).as("sig"))
+
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    val cand = l.join(r,
+        F.col("l.band_idx") === F.col("r.band_idx") &&
+        F.col("l.band_hash") === F.col("r.band_hash") &&
+        F.col(s"l.$idCol") < F.col(s"r.$idCol"))
+      .select(F.col(s"l.$idCol").as("id_a"), F.col(s"r.$idCol").as("id_b"),
+        F.col("l.sig").as("sig_a"), F.col("r.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .withColumn("est_jaccard",
+        F.aggregate(F.zip_with(F.col("sig_a"), F.col("sig_b"),
+            (x, y) => F.when(x === y, 1).otherwise(0)),
+          F.lit(0), (acc, x) => acc + x).cast("double") / k.toDouble)
+      .filter(F.col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash signature (default 32 bits from the 60-bit token hash):
+    * bit b of the signature is set iff more tokens have bit b set
+    * than clear. One explode + one grouped sum per bit. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 32): DataFrame = {
+    val toks = df.select(F.col(idCol),
+        F.explode(Text.distinctTokens(F.col(textCol))).as("tok"))
+      .filter(F.col("tok") =!= "")
+      .withColumn("h", Text.hash60(F.col("tok")))
+    val bitSums = (0 until bits).map { b =>
+      F.sum(F.when(F.col("h").bitwiseAND(F.lit(1L << b)) =!= 0L, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    val summed = toks.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map { b =>
+      F.when(F.col(s"s$b") > 0, F.lit(1L << b)).otherwise(F.lit(0L))
+    }.reduce(_ + _)
+    summed.select(F.col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming. The join
+    * is banded on the signature's bytes (any near pair shares at
+    * least one identical byte when maxHamming < bytes) to avoid the
+    * quadratic cross join. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 32, maxHamming: Int = 3): DataFrame = {
+    val bytesN = bits / 8
+    val sig = simhash(df, idCol, textCol, bits)
+    val banded = sig.select(F.col(idCol), F.col("simhash"),
+      F.explode(F.array((0 until bytesN).map(i =>
+        F.struct(F.lit(i).as("byte_idx"),
+          F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(0xffL)).as("byte_val"))
+      ): _*)).as("b"))
+      .select(F.col(idCol), F.col("simhash"),
+        F.col("b.byte_idx").as("byte_idx"), F.col("b.byte_val").as("byte_val"))
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    l.join(r,
+        F.col("l.byte_idx") === F.col("r.byte_idx") &&
+        F.col("l.byte_val") === F.col("r.byte_val") &&
+        F.col(s"l.$idCol") < F.col(s"r.$idCol"))
+      .select(F.col(s"l.$idCol").as("id_a"), F.col(s"r.$idCol").as("id_b"),
+        F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(F.col("hamming") <= maxHamming)
+  }
+
+  /** Exact token-set Jaccard pairs ≥ threshold. Quadratic in the
+    * worst case — callers pre-filter to a candidate set (or feed LSH
+    * candidates); the join is on shared tokens so disjoint docs never
+    * pair. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    val toks = df.select(F.col(idCol),
+        F.explode(Text.distinctTokens(F.col(textCol))).as("tok"))
+      .filter(F.col("tok") =!= "")
+    val sizes = toks.groupBy(idCol).agg(F.count(F.lit(1)).as("sz"))
+    val l = toks.alias("l"); val r = toks.alias("r")
+    val inter = l.join(r,
+        F.col("l.tok") === F.col("r.tok") && F.col(s"l.$idCol") < F.col(s"r.$idCol"))
+      .groupBy(F.col(s"l.$idCol").as("id_a"), F.col(s"r.$idCol").as("id_b"))
+      .agg(F.count(F.lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", F.col("inter").cast("double") /
+        (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"))
+      .filter(F.col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

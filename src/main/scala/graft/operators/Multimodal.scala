@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+
+/** Multimodal column plumbing (north-star extension): treat
+  * image/audio/video payloads as opaque `binary` columns with typed
+  * metadata, processed by a distributed decode/feature stage.
+  *
+  * The Spark-side plumbing — schema, batching, partition-parallel
+  * decode, metadata extraction — is real and tested. The actual
+  * media decode is STUBBED (`decodeStub`): this container has no
+  * image/audio libraries, so the stub derives deterministic fake
+  * features from the payload bytes. Swapping in a real decoder means
+  * replacing ONE function body; every seam around it stays.
+  *
+  * Scale: decode runs via `mapPartitions` over the payload Dataset —
+  * one decoder context per partition (the expensive part with real
+  * codecs), streaming through rows without materializing a partition
+  * in memory. Metadata-only paths stay pure-Column (codegen).
+  */
+object Multimodal {
+
+  /** A decoded media record: id + fake "image" features. */
+  final case class MediaMeta(doc_id: Long, byte_len: Int, checksum: String,
+                             width: Int, height: Int)
+
+  /** Attach a binary payload column (here: utf-8 of the text column,
+    * standing in for real image bytes loaded from a blob store). */
+  def attachPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(F.col(idCol), F.col(textCol).cast("binary").as("payload"))
+
+  /** STUB decoder — deterministic fake in place of e.g. a JPEG
+    * decode. Real implementation would parse `bytes` with an imaging
+    * library; dimensions here are carved from the md5 so the pipeline
+    * has realistic-shaped, reproducible outputs. */
+  private def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val hex = md.map("%02x".format(_)).mkString
+    val w = 64 + (java.lang.Long.parseLong(hex.substring(0, 4), 16) % 960L).toInt
+    val h = 64 + (java.lang.Long.parseLong(hex.substring(4, 8), 16) % 960L).toInt
+    MediaMeta(id, bytes.length, hex, w, h)
+  }
+
+  /** Partition-parallel decode of payloads → typed metadata Dataset.
+    * This is the `mapInPandas`-shaped stage: per-partition setup, row
+    * streaming, typed output schema. */
+  def decode(spark: SparkSession, payloads: DataFrame, idCol: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    payloads.select(F.col(idCol).cast("long"), F.col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real decoder: init codec context once per partition here
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  /** Pure-Column twin of the decode metadata (oracle-portable): the
+    * md5/length/dimension math expressed as SQL functions — used to
+    * cross-check the mapPartitions path and for the DuckDB oracle. */
+  def metaColumns(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val payload = F.col(textCol).cast("binary")
+    val hex = F.md5(payload)
+    df.select(
+      F.col(idCol),
+      F.octet_length(payload).as("byte_len"),
+      hex.as("checksum"),
+      (F.lit(64) + F.conv(F.substring(hex, 1, 4), 16, 10).cast("long") % 960L)
+        .cast("int").as("width"),
+      (F.lit(64) + F.conv(F.substring(hex, 5, 4), 16, 10).cast("long") % 960L)
+        .cast("int").as("height"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Similarity search over embedding columns (north-star extension):
+  * brute-force cosine top-k as the exact baseline, and an IVF-style
+  * bucketed variant as the scale path.
+  *
+  * Scale design:
+  *  - The query set is always broadcast; the corpus is scanned once,
+  *    never collected.
+  *  - Dot products are `zip_with`/`aggregate` Column expressions over
+  *    the array — evaluated inside codegen, no UDF, no per-row JVM
+  *    boxing of the vectors.
+  *  - Brute force is O(|corpus|·|queries|) but embarrassingly
+  *    parallel — correct baseline at any scale, wall-clock bounded by
+  *    queries count. IVF reduces scanned candidates to the probed
+  *    cells only; recall < 1 by construction.
+  */
+object Similarity {
+
+  /** Element-wise double view of a float array column. */
+  private def asDouble(a: Column): Column = F.transform(a, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(asDouble(a), asDouble(b), _ * _),
+      F.lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = F.sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k.
+    *
+    * `queries` must be small (it is broadcast). Result: one row per
+    * (query, rank) with the matched id and the cosine similarity
+    * rounded to 6 dp (rounding makes rank ties deterministic and
+    * engine-portable). Self-matches are excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = F.broadcast(queries.select(
+      F.col(idCol).as("query_id"), F.col(vecCol).as("q_vec")))
+    val scored = corpus.select(F.col(idCol).as("match_id"), F.col(vecCol).as("c_vec"))
+      .join(q, F.col("match_id") =!= F.col("query_id"))
+      .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("match_id").asc)
+    scored
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "match_id", "sim", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold over all
+    * pairs of the given frame (callers bound the frame or pre-bucket;
+    * the pair space is quadratic). `a < b` canonical orientation. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val l = df.select(F.col(idCol).as("id_a"), F.col(vecCol).as("v_a"))
+    val r = df.select(F.col(idCol).as("id_b"), F.col(vecCol).as("v_b"))
+    l.join(r, F.col("id_a") < F.col("id_b"))
+      .withColumn("sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+      .filter(F.col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** IVF-style ANN (scale path).
+    *
+    * Coarse quantization: `centroids` (small, broadcast) partition the
+    * corpus into cells by nearest-centroid; each query probes its
+    * `nprobe` nearest cells and ranks only those candidates. Recall
+    * trades off with nprobe; the corpus-side assignment is one
+    * broadcast-join pass, the search shuffles only probed cells.
+    *
+    * Centroid selection is the caller's policy (k-means upstream, or
+    * a deterministic sample); this operator only does the assignment
+    * + probed search. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = F.broadcast(centroids.select(
+      F.col(idCol).as("cent_id"), F.col(vecCol).as("cent_vec")))
+
+    def nearestCells(df: DataFrame, id: String, vec: String, n: Int,
+                     outId: String): DataFrame = {
+      val w = Window.partitionBy(id)
+        .orderBy(F.col("csim").desc, F.col("cent_id").asc)
+      df.select(F.col(id), F.col(vec))
+        .join(cents, F.lit(true))
+        .withColumn("csim", F.round(cosine(F.col(vec), F.col("cent_vec")), 6))
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n)
+        .select(F.col(id).as(outId), F.col("cent_id").as("cell"), F.col(vec))
+    }
+
+    val corpusCells = nearestCells(corpus, idCol, vecCol, 1, "match_id")
+      .withColumnRenamed(vecCol, "c_vec")
+    val queryCells = nearestCells(queries, idCol, vecCol, nprobe, "query_id")
+      .withColumnRenamed(vecCol, "q_vec")
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("match_id").asc)
+    corpusCells.join(F.broadcast(queryCells), Seq("cell"))
+      .filter(F.col("match_id") =!= F.col("query_id"))
+      .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "match_id", "sim", "rank")
+  }
+}

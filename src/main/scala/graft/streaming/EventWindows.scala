@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.sources.Tables
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+/** Windowed event aggregation (north-star extension, SURVEY §2.7):
+  * tumbling / sliding / session windows over the `events` table, with
+  * a batch implementation (oracle-comparable) and a Structured
+  * Streaming twin of the tumbling aggregation behind the same
+  * column logic.
+  *
+  * Scale: one shuffle on (window, event_type) with map-side partial
+  * aggregation; watermarking bounds streaming state. Session windows
+  * shuffle once on user_id.
+  */
+object EventWindows {
+
+  /** Batch tumbling window: count + sum(value) per (hour, type).
+    * Output window start is TIMESTAMP_NTZ at second precision for
+    * oracle portability. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(F.window(F.col("ts"), "1 hour").as("w"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sum_value"))
+      .select(F.col("w.start").cast("timestamp_ntz").as("w_start"),
+        F.col("event_type"), F.col("n"), F.col("sum_value"))
+
+  /** Batch sliding window: 1-hour width, 30-minute slide — each event
+    * lands in exactly two windows. */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(F.window(F.col("ts"), "1 hour", "30 minutes").as("w"),
+        F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sum_value"))
+      .select(F.col("w.start").cast("timestamp_ntz").as("w_start"),
+        F.col("event_type"), F.col("n"), F.col("sum_value"))
+
+  /** Batch session windows per user: sessions close after `gap` of
+    * inactivity. Session start is truncated to seconds for oracle
+    * portability (gaps-and-islands in ANSI SQL reproduces this
+    * exactly; sub-second session boundaries would compare at
+    * different native precisions). */
+  def sessions(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(F.session_window(F.col("ts"), gap).as("w"), F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n_events"), F.sum("value").as("sum_value"))
+      .select(F.col("user_id"),
+        F.date_trunc("second", F.col("w.start")).cast("timestamp_ntz").as("session_start"),
+        F.col("n_events"), F.col("sum_value"))
+
+  /** Structured Streaming twin of [[tumblingHourly]]: reads the same
+    * parquet directory as a stream (one file per micro-batch), applies
+    * a watermark, and aggregates into an in-memory complete-mode sink.
+    * Returns the final result frame after the stream drains — so the
+    * same DuckDB oracle validates the streaming path.
+    *
+    * The watermark bounds state at `10 minutes` past the max seen
+    * event time — on an unbounded production stream this is what
+    * makes the aggregation memory-safe. */
+  def streamingTumblingHourly(spark: SparkSession, sfDir: String,
+                              queryName: String = "stream_tumbling"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // streaming reads need an explicit schema: physical layout, ts as
+    // int64 nanos (see Tables.scan)
+    val physSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file-stream source requires a directory: stream the SF dir
+    // with a glob pinned to the events table
+    val stream = spark.readStream.schema(physSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts",
+        F.timestamp_micros((F.col("ts") / 1000L).cast("long")))
+      .withWatermark("ts", "10 minutes")
+
+    val agg = stream
+      .groupBy(F.window(F.col("ts"), "1 hour").as("w"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sum_value"))
+      .select(F.col("w.start").cast("timestamp_ntz").as("w_start"),
+        F.col("event_type"), F.col("n"), F.col("sum_value"))
+
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+}

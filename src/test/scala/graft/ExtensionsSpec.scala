@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+import graft.streaming.EventWindows
+import org.apache.spark.sql.{functions => F}
+
+class ExtensionsSpec extends SparkSpec {
+
+  lazy val docs = Tables.scan(spark, sf, "documents")
+  lazy val emb = Tables.scan(spark, sf, "embeddings")
+
+  test("langId predicts a language for every doc") {
+    val preds = docs.select(Text.langId(F.col("text")).as("p"))
+      .groupBy("p").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(preds.values.sum == docs.count())
+    assert(preds.keySet.subsetOf(Set("en", "es", "de", "fr", "und")))
+  }
+
+  test("exact dedup keeps one row per fingerprint") {
+    val deduped = Dedup.exactDedup(docs, "doc_id", "text")
+    val nFp = docs.select(Text.fingerprint(F.col("text"))).distinct().count()
+    assert(deduped.count() == nFp)
+  }
+
+  test("exact dedup collapses a planted duplicate") {
+    val dup = docs.limit(1).withColumn("doc_id", F.lit(999999L))
+    val withDup = docs.unionByName(dup)
+    val groups = Dedup.exactGroups(withDup, "doc_id", "text")
+    assert(groups.count() == 1)
+    val g = groups.collect()(0)
+    assert(g.getAs[Long]("dup_count") == 2)
+  }
+
+  test("simhash byte-banding finds ALL pairs with hamming <= 3 (LSH completeness)") {
+    val subset = docs.filter(F.col("doc_id") < 100)
+    val sig = Dedup.simhash(subset, "doc_id", "text", bits = 32)
+    val l = sig.select(F.col("doc_id").as("a"), F.col("simhash").as("sa"))
+    val r = sig.select(F.col("doc_id").as("b"), F.col("simhash").as("sb"))
+    val brute = l.join(r, F.col("a") < F.col("b"))
+      .withColumn("h", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+      .filter(F.col("h") <= 3)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val banded = Dedup.simhashPairs(subset, "doc_id", "text", bits = 32, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(banded == brute)
+  }
+
+  test("minhash est_jaccard approximates true jaccard") {
+    val subset = docs.filter(F.col("doc_id") < 100)
+    val est = Dedup.minhashPairs(subset, "doc_id", "text", k = 16, bands = 4,
+        threshold = 0.0)
+      .select("id_a", "id_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = Dedup.jaccardPairs(subset, "doc_id", "text", threshold = 0.0)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // k=16 minhash: per-pair sigma = sqrt(j(1-j)/16) ~ 0.12, so bound
+    // the MEAN absolute error (tight) and the max loosely
+    val diffs = est.collect { case (k, e) if truth.contains(k) => math.abs(e - truth(k)) }
+    assert(diffs.nonEmpty)
+    assert(diffs.sum / diffs.size < 0.15, s"mean err ${diffs.sum / diffs.size}")
+    assert(diffs.max < 0.55, s"max err ${diffs.max}")
+  }
+
+  test("brute-force topk returns k ranked matches per query") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter(F.col("vec_id") < 3),
+      "vec_id", "embedding", k = 5).collect()
+    assert(out.length == 15)
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+    }
+  }
+
+  test("IVF probes recover most brute-force neighbors (recall sanity)") {
+    val queries = emb.filter(F.col("vec_id") < 3)
+    val cents = emb.filter(F.col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, cents, "vec_id", "embedding",
+        k = 10, nprobe = 4).select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    // half the centroids probed -> expect some overlap, not exact recall
+    assert((exact intersect approx).nonEmpty)
+  }
+
+  test("streaming tumbling equals batch tumbling") {
+    val batch = EventWindows.tumblingHourly(Tables.scan(spark, sf, "events"))
+      .collect().map(_.toSeq).toSet
+    val stream = EventWindows.streamingTumblingHourly(spark, sf, "spec_stream")
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+  }
+
+  test("multimodal mapPartitions decode matches the column twin") {
+    val viaDs = Multimodal.decode(spark,
+        Multimodal.attachPayload(docs, "doc_id", "text"), "doc_id")
+      .collect().map(m => (m.doc_id, m.byte_len, m.checksum, m.width, m.height)).toSet
+    val viaCols = Multimodal.metaColumns(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(viaDs == viaCols)
+  }
+}
