@@ -20,12 +20,11 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   */
 object Similarity {
 
-  /** Element-wise double view of a float array column. */
-  private def asDouble(a: Column): Column = F.transform(a, _.cast("double"))
-
+  /** Allocation-free codegen'd dot product (graft.plans.DotProduct);
+    * double accumulation in element order, bit-compatible with the
+    * `zip_with`/`aggregate` composition and the DuckDB oracle. */
   def dot(a: Column, b: Column): Column =
-    F.aggregate(F.zip_with(asDouble(a), asDouble(b), _ * _),
-      F.lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = F.sqrt(dot(a, a))
 
@@ -39,11 +38,16 @@ object Similarity {
     * engine-portable). Self-matches are excluded. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms are precomputed per side — each pair then costs exactly
+    // one dot product instead of three
     val q = F.broadcast(queries.select(
-      F.col(idCol).as("query_id"), F.col(vecCol).as("q_vec")))
-    val scored = corpus.select(F.col(idCol).as("match_id"), F.col(vecCol).as("c_vec"))
+      F.col(idCol).as("query_id"), F.col(vecCol).as("q_vec"),
+      norm(F.col(vecCol)).as("q_nrm")))
+    val scored = corpus.select(F.col(idCol).as("match_id"), F.col(vecCol).as("c_vec"),
+        norm(F.col(vecCol)).as("c_nrm"))
       .join(q, F.col("match_id") =!= F.col("query_id"))
-      .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+      .withColumn("sim", F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("sim").desc, F.col("match_id").asc)
     scored
@@ -57,10 +61,13 @@ object Similarity {
     * the pair space is quadratic). `a < b` canonical orientation. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val l = df.select(F.col(idCol).as("id_a"), F.col(vecCol).as("v_a"))
-    val r = df.select(F.col(idCol).as("id_b"), F.col(vecCol).as("v_b"))
+    val l = df.select(F.col(idCol).as("id_a"), F.col(vecCol).as("v_a"),
+      norm(F.col(vecCol)).as("n_a"))
+    val r = df.select(F.col(idCol).as("id_b"), F.col(vecCol).as("v_b"),
+      norm(F.col(vecCol)).as("n_b"))
     l.join(r, F.col("id_a") < F.col("id_b"))
-      .withColumn("sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+      .withColumn("sim", F.round(
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6))
       .filter(F.col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
