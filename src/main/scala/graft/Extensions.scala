@@ -137,6 +137,17 @@ object Extensions {
       EventWindows.sessions(Tables.scan(s, dir, "events"), "10 minutes")),
     "x_stream_tumbling" -> ((s, dir) =>
       EventWindows.streamingTumblingHourly(s, dir)),
+    "x_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamingDedup(s, dir)),
+
+    // Aggregator-based top-k: identical output to x_embed_topk via a
+    // typed TopKAggregator (map-side bounded heaps) instead of a
+    // window sort — same oracle validates both implementations
+    "x_topk_agg" -> ((s, dir) => {
+      val emb = Tables.scan(s, dir, "embeddings")
+      Similarity.bruteForceTopKAgg(emb, emb.filter(F.col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+    }),
 
     // ---- multimodal plumbing (column twin of the decode stage) ----
     "x_multimodal_meta" -> ((s, dir) =>
@@ -286,6 +297,19 @@ object Extensions {
         ("SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
           "event_type, count(*) AS n, sum(value) AS sum_value FROM events " +
           "GROUP BY 1, 2"),
+      "x_stream_dedup" ->
+        ("SELECT min(doc_id) AS doc_id, fp FROM (SELECT doc_id, " +
+          "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp " +
+          "FROM documents) GROUP BY fp"),
+      "x_topk_agg" ->
+        ("SELECT query_id, match_id, sim, rank FROM (" +
+          "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
+          "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim, " +
+          "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+          "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC, " +
+          "c.vec_id ASC) AS rank " +
+          "FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id " +
+          "WHERE q.vec_id < 5) WHERE rank <= 10"),
       "x_multimodal_meta" ->
         ("SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum, " +
           "CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 960 AS INTEGER) AS width, " +

@@ -74,6 +74,11 @@ object SparkEntry {
       Joins.related(s, dir, "part", "orders", example = Map("p_partkey" -> 1L))),
     "j4_semi_ids" -> ((s, dir) =>
       Joins.relatedIds(s, dir, "part", "orders", Map("p_partkey" -> 1L))),
+    "j1b_has_one" -> ((s, dir) =>
+      Joins.related(s, dir, "nation", "first_customer")),
+    "j5_conditions" -> ((s, dir) =>
+      Joins.related(s, dir, "customer", "open_orders",
+        example = Map("c_custkey" -> 7L))),
 
     // ---- §2.1 write-path merges (S5-S8) ----
     "s5_insert" -> ((s, dir) => {
@@ -164,6 +169,14 @@ object SparkEntry {
         "WHERE p_partkey = 1"),
     "j4_semi_ids" ->
       "SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey = 1",
+    "j1b_has_one" ->
+      ("SELECT n_nationkey, n_name, n_regionkey, " + customerCols + " FROM nation JOIN " +
+        "(SELECT " + customerCols + " FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY c_nationkey ORDER BY c_custkey ASC) AS rn FROM customer) " +
+        "WHERE rn = 1) c ON n_nationkey = c_nationkey"),
+    "j5_conditions" ->
+      (s"SELECT $customerCols, $ordersCols FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "WHERE c_custkey = 7 AND o_orderstatus = 'O'"),
     "s5_insert" ->
       (s"SELECT $ordersCols FROM orders UNION ALL " +
         "SELECT (SELECT max(o_orderkey) FROM orders) + row_number() OVER (ORDER BY o_orderkey), " +

@@ -47,7 +47,25 @@ object Joins {
     val localDf = Tables.scan(spark, sfDir, local).filter(Read.qbe(t, example))
 
     rel match {
-      case r @ (_: BelongsTo | _: HasOne | _: HasMany) =>
+      case r: HasOne =>
+        // one deterministic child per parent: the reference reads the
+        // first child row (LIMIT 1 under the child's declared sort,
+        // hasone.php:13-36); table-at-a-time that is rank 1 per parent
+        // over the child primary key
+        import org.apache.spark.sql.expressions.Window
+        val remote = remoteWithConditions(spark, sfDir, r)
+        val childPk = Catalog(r.model).primaryKeys.map(f => F.col(f.name).asc)
+        val parentKeys = r.using.map { case (_, rm) => F.col(rm) }
+        val first = remote
+          .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(parentKeys: _*).orderBy(childPk: _*)))
+          .filter(F.col("__rn") === 1).drop("__rn")
+        val cond = r.using.map { case (l, rm) =>
+          localDf(l) === first(rm)
+        }.reduce(_ && _)
+        localDf.join(maybeBroadcast(r.model, first), cond, "inner")
+
+      case r @ (_: BelongsTo | _: HasMany) =>
         val remote = remoteWithConditions(spark, sfDir, r)
         val cond = r.using.map { case (l, rm) =>
           localDf(l) === remote(rm)

@@ -56,6 +56,36 @@ object Similarity {
       .select("query_id", "match_id", "sim", "rank")
   }
 
+  /** Aggregator-based top-k (scale path): same result as
+    * [[bruteForceTopK]], but candidates are reduced map-side to ≤ k
+    * rows per query by [[graft.plans.TopKAggregator]] BEFORE the
+    * shuffle — the exchange moves O(queries × k) rows instead of the
+    * full |corpus| × |queries| candidate set that the window
+    * formulation sorts. */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = F.broadcast(queries.select(
+      F.col(idCol).as("query_id"), F.col(vecCol).as("q_vec"),
+      norm(F.col(vecCol)).as("q_nrm")))
+    val scored = corpus.select(F.col(idCol).as("match_id"), F.col(vecCol).as("c_vec"),
+        norm(F.col(vecCol)).as("c_nrm"))
+      .join(q, F.col("match_id") =!= F.col("query_id"))
+      .select(F.col("query_id"), F.col("match_id"),
+        F.round(dot(F.col("q_vec"), F.col("c_vec")) /
+          (F.col("q_nrm") * F.col("c_nrm")), 6).as("sim"))
+      .as[(Long, Long, Double)]
+    val agg = new graft.plans.TopKAggregator(k)
+    scored.groupByKey(_._1)
+      .mapValues { case (_, id, s) => (id, s) }
+      .agg(agg.toColumn.name("topk"))
+      .flatMap { case (qid, items) =>
+        items.iterator.zipWithIndex.map { case ((id, s), i) => (qid, id, s, i + 1) }
+      }
+      .toDF("query_id", "match_id", "sim", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold over all
     * pairs of the given frame (callers bound the frame or pre-bucket;
     * the pair space is quadratic). `a < b` canonical orientation. */

@@ -38,7 +38,11 @@ object Catalog {
       Field("n_regionkey", FInt)),
     sorting = Seq("n_nationkey" -> Asc),
     relations = Map(
-      "region" -> BelongsTo("region", Seq("n_regionkey" -> "r_regionkey")))))
+      "region" -> BelongsTo("region", Seq("n_regionkey" -> "r_regionkey")),
+      // has_one: remote-side FK, one deterministic child per parent
+      // (reference reads the first child under the child's declared
+      // sort, relation/hasone.php:13-36 + LIMIT 1)
+      "first_customer" -> HasOne("customer", Seq("n_nationkey" -> "c_nationkey")))))
 
   register(TableDef("customer",
     fields = Seq(
@@ -51,7 +55,10 @@ object Catalog {
     sorting = Seq("c_custkey" -> Asc),
     relations = Map(
       "nation" -> BelongsTo("nation", Seq("c_nationkey" -> "n_nationkey")),
-      "orders" -> HasMany("orders", Seq("c_custkey" -> "o_custkey"))),
+      "orders" -> HasMany("orders", Seq("c_custkey" -> "o_custkey")),
+      // relation constant conditions (P5, relation.php:29-31)
+      "open_orders" -> HasMany("orders", Seq("c_custkey" -> "o_custkey"),
+        conditions = Map("o_orderstatus" -> "O"))),
     aliases = Map(
       // README.md:161-170 full_name-style computed column
       "c_label" -> (_ => F.trim(F.concat_ws(" ", F.col("c_name"), F.col("c_mktsegment")))))))

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Joins, Read, Similarity, Writes}
+import graft.plans.GraftFunctions
+import graft.schema.{Catalog, Field, FStr, TableDef}
+import graft.sources.Tables
+import org.apache.spark.sql.{functions => F}
+
+/** Coverage for the remaining SURVEY §2 surface: has_one (J1),
+  * relation conditions (P5), keyed dictionary (O5), typed hydration
+  * (S9), on_change hooks (P7), and the custom-expression SQL surface. */
+class CoverageSpec extends SparkSpec {
+
+  test("has_one returns exactly one child per parent (first by child pk)") {
+    val df = Joins.related(spark, sf, "nation", "first_customer")
+    val perParent = df.groupBy("n_nationkey").count().collect()
+    assert(perParent.forall(_.getLong(1) == 1))
+    // the chosen child is the minimum custkey of that nation
+    val row = df.filter(F.col("n_nationkey") === 3).collect()
+    if (row.nonEmpty) {
+      val minCk = Tables.scan(spark, sf, "customer")
+        .filter(F.col("c_nationkey") === 3)
+        .agg(F.min("c_custkey")).collect()(0).getLong(0)
+      assert(row(0).getAs[Long]("c_custkey") == minCk)
+    }
+  }
+
+  test("relation constant conditions filter the remote side") {
+    val df = Joins.related(spark, sf, "customer", "open_orders",
+      Map("c_custkey" -> 7L))
+    val statuses = df.select("o_orderstatus").distinct().collect().map(_.getString(0))
+    assert(statuses.forall(_ == "O"))
+  }
+
+  test("selectMap materializes the keyed dictionary (O5)") {
+    val m = Read.selectMap(spark, sf, "region", "r_regionkey", "r_name")
+    assert(m.size == 5 && m.contains("0"))
+  }
+
+  test("typed Dataset hydration (S9): case-class encoder over scan") {
+    import spark.implicits._
+    val ds = Tables.scan(spark, sf, "region").as[RegionRow]
+    val rows = ds.collect()
+    assert(rows.length == 5 && rows.forall(_.r_name.nonEmpty))
+  }
+
+  test("on_change hook transforms values in the write path (P7)") {
+    import spark.implicits._
+    val t = TableDef("t", Seq(
+      Field("id", graft.schema.FAuto, primary = true),
+      Field("name", FStr, onChange = Some(c => F.upper(F.trim(c))))))
+    val rows = Seq((1L, "  alice "), (2L, "bob")).toDF("id", "name")
+    val out = Writes.applyOnChange(t, rows).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "ALICE" && out(2L) == "BOB")
+  }
+
+  test("aggregator top-k equals window top-k") {
+    val emb = Tables.scan(spark, sf, "embeddings")
+    val q = emb.filter(F.col("vec_id") < 3)
+    val win = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val agg = Similarity.bruteForceTopKAgg(emb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(win == agg)
+  }
+
+  test("dot_product is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(got == 11.0)
+  }
+
+  test("streaming dedup emits one row per fingerprint") {
+    val out = graft.streaming.StreamingOps.streamingDedup(spark, sf, "cov_dedup")
+    val docs = Tables.scan(spark, sf, "documents")
+    assert(out.count() == docs.count()) // all fixture texts are unique
+    assert(out.columns.toSeq == Seq("doc_id", "fp"))
+  }
+
+  test("stamp auto-now sets create/update timestamp fields") {
+    import spark.implicits._
+    val now = F.lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    val t = Catalog("orders")
+    val rows = Tables.scan(spark, sf, "orders").limit(2)
+    val stamped = Writes.stampAutoNow(t, rows, now, creating = true)
+    val vals = stamped.select("o_orderdate").as[java.sql.Timestamp].collect()
+    assert(vals.forall(_.toString.startsWith("2020-01-01")))
+  }
+}
+
+case class RegionRow(r_regionkey: Int, r_name: String)
