@@ -110,6 +110,24 @@ object Joins {
       .select(pk2).distinct()
   }
 
+  /** Skew-safe equi-join (scale utility): salts the skewed (left)
+    * side's key into `saltBuckets` sub-keys and explodes the build
+    * (right) side once per salt, so one hot key spreads over
+    * `saltBuckets` reducers instead of stalling a single task.
+    *
+    * AQE's skew-join handling covers sort-merge joins at runtime;
+    * this explicit form is for when the skew is known ahead of time
+    * (e.g. a null-heavy FK or a celebrity key) or AQE is unavailable.
+    * Output columns = left ++ right (join keys deduplicated). */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltBuckets: Int = 16): DataFrame = {
+    val salted = left.withColumn("__salt",
+      F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(saltBuckets)))
+    val exploded = right.withColumn("__salt",
+      F.explode(F.array((0 until saltBuckets).map(F.lit): _*)))
+    salted.join(exploded, keys :+ "__salt", "inner").drop("__salt")
+  }
+
   /** Remote scan with the relation's constant conditions applied
     * (`relation.php:29-31`, P5). */
   private def remoteWithConditions(spark: SparkSession, sfDir: String,

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Read, Writes, Joins}
+import graft.schema._
+import graft.sources.Tables
+import org.apache.spark.sql.{functions => F}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based laws (SURVEY §5.3): coercion semantics, QBE ≡
+  * manual filter, merge row-count invariants, timestamp round-trip.
+  * Data-driven through one DataFrame per property (not one job per
+  * sample) to keep the suite fast. */
+class PropertySpec extends SparkSpec {
+
+  private def checkProp(p: Prop, n: Int = 5): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  import spark.implicits._
+
+  test("coercion law: empty/blank -> NULL (nullable) or default") {
+    val samples = Seq("", "   ", null, "42", "7", "-3", "0")
+    val df = samples.toDF("raw")
+    val nullable = df.select(FInt.coerce(F.col("raw")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(nullable.take(3).forall(_.isEmpty)) // empties -> NULL
+    assert(nullable.drop(3).flatten.sameElements(Array(42L, 7L, -3L, 0L)))
+    val defaulted = df.select(
+      FInt.coerce(F.col("raw"), nullable = false, default = Some(99L)).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(defaulted.take(3).forall(_.contains(99L)))
+  }
+
+  test("QBE filter ≡ manually composed predicate (any example subset)") {
+    val t = Catalog("orders")
+    val base = Tables.scan(spark, sf, "orders")
+    val examples = Seq(
+      Map[String, Any]("o_custkey" -> 7L),
+      Map[String, Any]("o_orderstatus" -> "F"),
+      Map[String, Any]("o_custkey" -> 7L, "o_orderstatus" -> "O"),
+      Map[String, Any]())
+    examples.foreach { ex =>
+      val viaQbe = base.filter(Read.qbe(t, ex)).count()
+      val manual = ex.foldLeft(base) { case (df, (c, v)) =>
+        df.filter(F.col(c) === F.lit(v))
+      }.count()
+      assert(viaQbe == manual, s"example $ex")
+    }
+  }
+
+  test("merge invariants: |upsert| = |base| + |new keys|; |delete| = |base| - |victims∩base|; update preserves count") {
+    val base = Tables.scan(spark, sf, "orders")
+    val n = base.count()
+    checkProp(Prop.forAllNoShrink(Gen.choose(1L, 50L), Gen.choose(0L, 30L)) { (upTo, newN) =>
+      val updates = base.filter(F.col("o_orderkey") <= upTo)
+      val inserts = base.filter(F.col("o_orderkey") <= newN)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1000000L)
+      val nNew = inserts.count()
+      val up = Writes.upsert(base, updates.unionByName(inserts), Seq("o_orderkey"))
+      val del = Writes.delete(base, updates, Seq("o_orderkey"))
+      val updEq = Writes.update(base,
+        updates.select(F.col("o_orderkey"), F.lit("Z").as("o_orderpriority")),
+        Seq("o_orderkey")).count() == n
+      (up.count() == n + nNew) && (del.count() == n - updates.count()) && updEq
+    })
+  }
+
+  test("timestamp verbose/parse round-trip at date precision") {
+    val t = FTimestamp("MM/dd/yyyy")
+    val df = Tables.scan(spark, sf, "orders").limit(50)
+      .select(F.col("o_orderdate").as("ts"))
+    val round = df.select(
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").as("expect"),
+        FTimestamp.lenientParse(t.verbose(F.col("ts"))).cast("timestamp_ntz").as("got"))
+      .filter(F.col("expect") =!= F.col("got")).count()
+    assert(round == 0)
+  }
+
+  test("salted join equals plain join") {
+    val orders = Tables.scan(spark, sf, "orders")
+    val cust = Tables.scan(spark, sf, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(cust, Seq("o_custkey"), "inner").count()
+    val salted = Joins.saltedJoin(orders, cust, Seq("o_custkey"), 8).count()
+    assert(plain == salted)
+  }
+}
