@@ -57,16 +57,36 @@ object Extensions {
     }),
 
     // ---- text analysis ----
+    // staged select: each regex/split runs ONCE and downstream metrics
+    // reference the materialized attribute — identical formulas to the
+    // Text.* one-shot forms (same oracle), but ~3x less regex work
     "x_text_stats" -> ((s, dir) =>
-      Tables.scan(s, dir, "documents").select(
-        F.col("doc_id"),
-        Text.tokenCount(F.col("text")).as("n_tokens"),
-        Text.subTokenCount(F.col("text")).as("n_subtokens"),
-        Text.charCount(F.col("text")).as("n_chars_calc"),
-        Text.avgTokenLen(F.col("text")).as("avg_token_len"),
-        Text.punctRatio(F.col("text")).as("punct_ratio"),
-        Text.stopwordRatio(F.col("text")).as("stopword_ratio"),
-        Text.qualityScore(F.col("text")).as("quality"))),
+      Tables.scan(s, dir, "documents")
+        .select(F.col("doc_id"), F.col("text"),
+          Text.tokenCount(F.col("text")).cast("double").as("__nt"),
+          F.size(F.regexp_extract_all(F.col("text"),
+            F.lit("[^A-Za-z0-9\\s]"), F.lit(0))).cast("double").as("__np"),
+          Text.stopwordHits(F.col("text"), "en").cast("double").as("__nh"),
+          F.size(Text.distinctTokens(F.col("text"))).cast("double").as("__nd"),
+          F.length(F.regexp_replace(F.lower(F.col("text")), "\\s+", ""))
+            .cast("double").as("__nc"))
+        .select(F.col("doc_id"),
+          F.col("__nt").cast("int").as("n_tokens"),
+          Text.subTokenCount(F.col("text")).as("n_subtokens"),
+          Text.charCount(F.col("text")).as("n_chars_calc"),
+          (F.col("__nc") / F.greatest(F.col("__nt"), F.lit(1.0))).as("avg_token_len"),
+          (F.col("__np") / F.greatest(F.length(F.col("text")).cast("double"), F.lit(1.0)))
+            .as("punct_ratio"),
+          (F.col("__nh") / F.greatest(F.col("__nd"), F.lit(1.0))).as("stopword_ratio"),
+          ((F.least(F.length(F.col("text")).cast("double") / 200.0, F.lit(1.0)) * 0.3) +
+            ((F.lit(1.0) - F.least((F.col("__np") /
+              F.greatest(F.length(F.col("text")).cast("double"), F.lit(1.0))) * 5.0,
+              F.lit(1.0))) * 0.2) +
+            (F.least((F.col("__nh") / F.greatest(F.col("__nd"), F.lit(1.0))) * 4.0,
+              F.lit(1.0)) * 0.3) +
+            (F.when((F.col("__nc") / F.greatest(F.col("__nt"), F.lit(1.0))) >= 3.0 &&
+              (F.col("__nc") / F.greatest(F.col("__nt"), F.lit(1.0))) <= 10.0, 1.0)
+              .otherwise(0.5) * 0.2)).as("quality"))),
 
     "x_lang_id" -> ((s, dir) =>
       Tables.scan(s, dir, "documents").select(
@@ -155,8 +175,10 @@ object Extensions {
   )
 
   def oracleSql: Map[String, String] = {
+    val P = Dedup.MINHASH_P
     val mhMins = (0 until MINHASH_K)
-      .map(i => s"min(${h60(s"'$i:' || tok")}) AS mh$i").mkString(", ")
+      .map(i => s"min((${Dedup.minhashA(i)} * (${h60("tok")} % $P) + " +
+        s"${Dedup.minhashB(i)}) % $P) AS mh$i").mkString(", ")
     val rowsPerBand = MINHASH_K / MINHASH_BANDS
     val bandRows = (0 until MINHASH_BANDS).map { b =>
       val cat = (b * rowsPerBand until (b + 1) * rowsPerBand)

@@ -37,9 +37,17 @@ object Dedup {
     df.join(keep.select(idCol), Seq(idCol), "left_semi")
   }
 
-  /** Seeded portable token hash: md5("<seed>:<token>") → 60-bit long. */
-  private def seededHash(tok: Column, seed: Int): Column =
-    Text.hash60(F.concat(F.lit(s"$seed:"), tok))
+  /** Universal-hash family for MinHash: h_s(x) = (a_s·x + b_s) mod P
+    * over a single md5-derived base hash. One md5 per token total
+    * (instead of one per seed); the mixes are integer-only and stay
+    * below 2^62, so they are portable to any engine with 64-bit
+    * arithmetic (the DuckDB oracle uses the same literals). */
+  val MINHASH_P: Long = 2147483647L // 2^31 - 1, prime
+  def minhashA(s: Int): Long = {
+    val a = (2654435761L * (s + 1)) % MINHASH_P
+    if (a == 0) 1L else a
+  }
+  def minhashB(s: Int): Long = (40503L * (s + 1) + 17) % MINHASH_P
 
   /** MinHash signatures: k independent min-hashes over the distinct
     * token set. One row per id, columns mh0..mh{k-1}. */
@@ -48,7 +56,10 @@ object Dedup {
     val toks = df.select(F.col(idCol),
       F.explode(Text.distinctTokens(F.col(textCol))).as("tok"))
       .filter(F.col("tok") =!= "")
-    val mins = (0 until k).map(s => F.min(seededHash(F.col("tok"), s)).as(s"mh$s"))
+      .withColumn("h", Text.hash60(F.col("tok")) % MINHASH_P)
+    val mins = (0 until k).map(s =>
+      F.min((F.lit(minhashA(s)) * F.col("h") + F.lit(minhashB(s))) % MINHASH_P)
+        .as(s"mh$s"))
     toks.groupBy(idCol).agg(mins.head, mins.tail: _*)
   }
 

@@ -49,6 +49,26 @@ object EventWindows {
         F.date_trunc("second", F.col("w.start")).cast("timestamp_ntz").as("session_start"),
         F.col("n_events"), F.col("sum_value"))
 
+  /** Gaps-and-islands formulation of [[sessions]] — same result, one
+    * window sort on user_id instead of the session_window operator's
+    * merge pass. Useful to cross-check and as a fallback plan shape. */
+  def sessionsGai(events: DataFrame, gapMinutes: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("__prev", F.lag("ts", 1).over(byUser))
+      .withColumn("__new", F.when(F.col("__prev").isNull ||
+        F.unix_micros(F.col("ts").cast("timestamp")) -
+          F.unix_micros(F.col("__prev").cast("timestamp")) >= gapMinutes * 60000000L, 1)
+        .otherwise(0))
+      .withColumn("__sid", F.sum("__new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "__sid")
+      .agg(F.count(F.lit(1)).as("n_events"), F.sum("value").as("sum_value"),
+        F.date_trunc("second", F.min("ts")).cast("timestamp_ntz").as("session_start"))
+      .select("user_id", "session_start", "n_events", "sum_value")
+  }
+
   /** Structured Streaming twin of [[tumblingHourly]]: reads the same
     * parquet directory as a stream (one file per micro-batch), applies
     * a watermark, and aggregates into an in-memory complete-mode sink.

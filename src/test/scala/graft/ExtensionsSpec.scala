@@ -89,6 +89,15 @@ class ExtensionsSpec extends SparkSpec {
     assert((exact intersect approx).nonEmpty)
   }
 
+  test("session_window equals gaps-and-islands formulation") {
+    val ev = Tables.scan(spark, sf, "events")
+    val a = EventWindows.sessions(ev, "10 minutes")
+      .collect().map(_.toSeq).toSet
+    val b = EventWindows.sessionsGai(ev, 10)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("streaming tumbling equals batch tumbling") {
     val batch = EventWindows.tumblingHourly(Tables.scan(spark, sf, "events"))
       .collect().map(_.toSeq).toSet
