@@ -22,12 +22,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: run every query once at the smallest SF so the timed
-    // pass measures steady-state execution (codegen cache, JIT, FS
-    // metadata) rather than first-touch compilation of each plan
-    val warmDir = "/root/testdata/sf0.001"
+    // warm-up: run every query once against the target SF so the
+    // timed pass measures steady-state execution (codegen cache, JIT,
+    // file-footer metadata) rather than first-touch costs
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
