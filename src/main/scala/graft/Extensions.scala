@@ -109,6 +109,14 @@ object Extensions {
         Tables.scan(s, dir, "documents").filter(F.col("doc_id") < 300),
         "doc_id", "text", threshold = 0.9)),
 
+    // word-trigram shingle Jaccard: order-sensitive near-dup — the
+    // shingle unit separates true edits/reorders from shared vocabulary
+    "x_dedup_ngram" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+        Tables.scan(s, dir, "documents").filter(F.col("doc_id") < 300),
+        "doc_id", "text", threshold = 0.5,
+        terms = Text.distinctShingles(_, 3))),
+
     "x_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(Tables.scan(s, dir, "documents"),
         "doc_id", "text", k = MINHASH_K)),
@@ -253,6 +261,20 @@ object Extensions {
           "SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard FROM inter " +
           "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
           "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.9"),
+      "x_dedup_ngram" ->
+        ("WITH sh AS (SELECT doc_id, unnest(list_distinct(" +
+          "CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), " +
+          "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) " +
+          "ELSE [array_to_string(t, ' ')] END)) AS tok FROM " +
+          "(SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t " +
+          "FROM documents WHERE doc_id < 300)), " +
+          "toks AS (SELECT doc_id, tok FROM sh WHERE tok <> ''), " +
+          "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), " +
+          "inter AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i " +
+          "FROM toks l JOIN toks r ON l.tok = r.tok AND l.doc_id < r.doc_id GROUP BY 1, 2) " +
+          "SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard FROM inter " +
+          "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+          "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5"),
       "x_minhash_sig" ->
         ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> '') " +
           s"SELECT doc_id, $mhMins FROM toks GROUP BY doc_id"),

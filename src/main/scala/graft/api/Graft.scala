@@ -1,0 +1,115 @@
+package graft.api
+
+import graft.operators.{Joins, Read, Validate, Writes}
+import graft.schema.Catalog
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions => F}
+
+/** Fluent record-style façade mirroring the reference's public API
+  * (`Hive::factory('user', ...)->read()` and friends,
+  * `/root/reference/README.md:64-153`) over the table-at-a-time
+  * engine. A reference user's call shapes translate one-to-one:
+  *
+  * {{{
+  * val g = Graft(spark, "/root/testdata/sf0.001")
+  * g.model("customer").where("c_custkey", 42L).readOne()   // factory+read
+  * g.model("orders").where("o_custkey", 7L).read()         // multi-read
+  * g.model("orders").where("o_custkey", 7L).total()        // total()
+  * g.model("customer").related("orders")                   // $user->orders
+  * g.model("orders").delete(pred)                          // bulk delete
+  * }}}
+  *
+  * Unlike the reference (one SQL round-trip per record), every method
+  * returns a lazy DataFrame plan — Catalyst fuses whatever the caller
+  * chains next.
+  */
+final case class Graft(spark: SparkSession, sfDir: String) {
+  def model(name: String): ModelQuery = ModelQuery(spark, sfDir, name)
+}
+
+final case class ModelQuery(
+    spark: SparkSession, sfDir: String, table: String,
+    example: Map[String, Any] = Map.empty,
+    extra: Option[Column] = None) {
+
+  private def t = Catalog(table)
+
+  /** QBE condition on a declared field (`__set` + prepared read). */
+  def where(field: String, value: Any): ModelQuery = {
+    t.field(field) // undeclared-field check, model.php:219-225
+    copy(example = example + (field -> value))
+  }
+
+  /** Arbitrary predicate passthrough (P4). */
+  def filter(pred: Column): ModelQuery =
+    copy(extra = Some(extra.fold(pred)(_ && pred)))
+
+  /** Multi-row read with declared sort (S3). */
+  def read(limit: Option[Int] = None): DataFrame =
+    Read.read(spark, sfDir, table, example, extra, limit)
+
+  /** Point lookup (S2): first row under the declared sort, if any. */
+  def readOne(): Option[Row] =
+    Read.read(spark, sfDir, table, example, extra, limit = Some(1))
+      .collect().headOption
+
+  /** COUNT over the current conditions (A1). */
+  def total(): Long =
+    Read.total(spark, sfDir, table, example, extra).collect()(0).getLong(0)
+
+  /** Relation traversal (J1-J3): related rows of the selected set. */
+  def related(relName: String): DataFrame =
+    Joins.related(spark, sfDir, table, relName, example)
+
+  /** Distinct key→value dictionary (P2/O4/O5). */
+  def selectList(key: String, value: String): DataFrame =
+    Read.selectList(spark, sfDir, table, key, value)
+
+  // ---- write path: pure merge results (caller persists) ----
+
+  /** INSERT with auto-id assignment (S5). */
+  def create(rows: DataFrame): DataFrame = {
+    val base = Tables.scan(spark, sfDir, table)
+    val autoCol = t.fields.find(_.isAuto).map(_.name)
+      .getOrElse(t.primaryKeys.head.name)
+    val order = t.primaryKeys.map(f => F.col(f.name))
+    Writes.insert(base, rows, autoCol, order)
+  }
+
+  /** Delta UPDATE of the QBE-selected rows (S6): `sets` are the
+    * changed columns only. */
+  def update(sets: Map[String, Column]): DataFrame = {
+    val base = Tables.scan(spark, sfDir, table)
+    val pk = t.primaryKeys.map(_.name)
+    var selected = base.filter(Read.qbe(t, example))
+    extra.foreach(p => selected = selected.filter(p))
+    val delta = selected.select(
+      (pk.map(F.col) ++ sets.map { case (c, e) => e.as(c) }).toSeq: _*)
+    Writes.update(base, delta, pk)
+  }
+
+  /** DELETE of the QBE/predicate-selected rows (S7). */
+  def delete(): DataFrame = {
+    val base = Tables.scan(spark, sfDir, table)
+    val pk = t.primaryKeys.map(_.name)
+    var victims = base.filter(Read.qbe(t, example))
+    extra.foreach(p => victims = victims.filter(p))
+    Writes.delete(base, victims, pk)
+  }
+
+  /** UPSERT (S8, `save()`). */
+  def save(rows: DataFrame): DataFrame =
+    Writes.upsert(Tables.scan(spark, sfDir, table), rows,
+      t.primaryKeys.map(_.name))
+
+  /** Validation report over the selected rows (F10/F11). */
+  def validate(): DataFrame = {
+    var df = Tables.scan(spark, sfDir, table).filter(Read.qbe(t, example))
+    extra.foreach(p => df = df.filter(p))
+    Validate.report(df, t)
+  }
+
+  /** JSON export (S10): one JSON document per selected row. */
+  def asJson(): DataFrame =
+    read().select(F.to_json(F.struct(F.col("*"))).as("json"))
+}

@@ -28,6 +28,22 @@ object Text {
   def subTokenCount(text: Column): Column =
     F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), F.lit(0)))
 
+  /** Word n-gram shingles over the whitespace tokens: the standard
+    * unit for near-dup detection (MinHash/Jaccard over shingles sees
+    * word ORDER, unlike bag-of-words). Texts shorter than n tokens
+    * yield one whole-text shingle. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val cnt = F.size(toks)
+    F.when(cnt >= n,
+      F.transform(F.sequence(F.lit(1), cnt - (n - 1)), i =>
+        F.concat_ws(" ", (0 until n).map(o => F.element_at(toks, i + o)): _*)))
+      .otherwise(F.array(F.array_join(toks, " ")))
+  }
+
+  def distinctShingles(text: Column, n: Int = 3): Column =
+    F.array_distinct(shingles(text, n))
+
   /** Portable 60-bit hash: first 15 hex digits of md5, as a
     * non-negative long. Identical in any engine with md5 —
     * this is the backbone of MinHash/SimHash/fingerprints. */

@@ -52,9 +52,10 @@ object Dedup {
   /** MinHash signatures: k independent min-hashes over the distinct
     * token set. One row per id, columns mh0..mh{k-1}. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 16): DataFrame = {
+                        k: Int = 16,
+                        terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
     val toks = df.select(F.col(idCol),
-      F.explode(Text.distinctTokens(F.col(textCol))).as("tok"))
+      F.explode(terms(F.col(textCol))).as("tok"))
       .filter(F.col("tok") =!= "")
       .withColumn("h", Text.hash60(F.col("tok")) % MINHASH_P)
     val mins = (0 until k).map(s =>
@@ -75,10 +76,11 @@ object Dedup {
     * constant-width shuffle rows regardless of k. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, bands: Int = 4,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7,
+                   terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, k)
+    val sig = minhashSignatures(df, idCol, textCol, k, terms)
 
     val bandCols = (0 until bands).map { b =>
       val hs = (b * rowsPerBand until (b + 1) * rowsPerBand)
@@ -115,9 +117,10 @@ object Dedup {
     * bit b of the signature is set iff more tokens have bit b set
     * than clear. One explode + one grouped sum per bit. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              bits: Int = 32): DataFrame = {
+              bits: Int = 32,
+              terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
     val toks = df.select(F.col(idCol),
-        F.explode(Text.distinctTokens(F.col(textCol))).as("tok"))
+        F.explode(terms(F.col(textCol))).as("tok"))
       .filter(F.col("tok") =!= "")
       .withColumn("h", Text.hash60(F.col("tok")))
     val bitSums = (0 until bits).map { b =>
@@ -163,9 +166,10 @@ object Dedup {
     * candidates); the join is on shared tokens so disjoint docs never
     * pair. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double,
+                   terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
     val toks = df.select(F.col(idCol),
-        F.explode(Text.distinctTokens(F.col(textCol))).as("tok"))
+        F.explode(terms(F.col(textCol))).as("tok"))
       .filter(F.col("tok") =!= "")
     val sizes = toks.groupBy(idCol).agg(F.count(F.lit(1)).as("sz"))
     val l = toks.alias("l"); val r = toks.alias("r")
