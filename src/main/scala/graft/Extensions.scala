@@ -51,7 +51,7 @@ object Extensions {
       val w = Window.partitionBy("o_custkey")
         .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
       Tables.scan(s, dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     }),
@@ -71,9 +71,9 @@ object Extensions {
           F.length(F.regexp_replace(F.lower(F.col("text")), "\\s+", ""))
             .cast("double").as("__nc"))
         .select(F.col("doc_id"),
-          F.col("__nt").cast("int").as("n_tokens"),
-          Text.subTokenCount(F.col("text")).as("n_subtokens"),
-          Text.charCount(F.col("text")).as("n_chars_calc"),
+          F.col("__nt").cast("long").as("n_tokens"),
+          Text.subTokenCount(F.col("text")).cast("long").as("n_subtokens"),
+          Text.charCount(F.col("text")).cast("long").as("n_chars_calc"),
           (F.col("__nc") / F.greatest(F.col("__nt"), F.lit(1.0))).as("avg_token_len"),
           (F.col("__np") / F.greatest(F.length(F.col("text")).cast("double"), F.lit(1.0)))
             .as("punct_ratio"),
@@ -300,7 +300,7 @@ object Extensions {
           s"bitsums AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id), " +
           s"sig AS (SELECT doc_id, $simhashAssemble AS simhash FROM bitsums) " +
           "SELECT l.doc_id AS id_a, r.doc_id AS id_b, " +
-          "bit_count(xor(l.simhash, r.simhash)) AS hamming FROM sig l JOIN sig r " +
+          "bit_count(xor(l.simhash, r.simhash))::INTEGER AS hamming FROM sig l JOIN sig r " +
           "ON l.doc_id < r.doc_id WHERE bit_count(xor(l.simhash, r.simhash)) <= 3"),
       "x_embed_topk" ->
         ("SELECT query_id, match_id, sim, rank FROM (" +

@@ -21,7 +21,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
 object Multimodal {
 
   /** A decoded media record: id + fake "image" features. */
-  final case class MediaMeta(doc_id: Long, byte_len: Int, checksum: String,
+  final case class MediaMeta(doc_id: Long, byte_len: Long, checksum: String,
                              width: Int, height: Int)
 
   /** Attach a binary payload column (here: utf-8 of the text column,
@@ -38,7 +38,7 @@ object Multimodal {
     val hex = md.map("%02x".format(_)).mkString
     val w = 64 + (java.lang.Long.parseLong(hex.substring(0, 4), 16) % 960L).toInt
     val h = 64 + (java.lang.Long.parseLong(hex.substring(4, 8), 16) % 960L).toInt
-    MediaMeta(id, bytes.length, hex, w, h)
+    MediaMeta(id, bytes.length.toLong, hex, w, h)
   }
 
   /** Partition-parallel decode of payloads → typed metadata Dataset.
@@ -62,7 +62,7 @@ object Multimodal {
     val hex = F.md5(payload)
     df.select(
       F.col(idCol),
-      F.octet_length(payload).as("byte_len"),
+      F.octet_length(payload).cast("long").as("byte_len"),
       hex.as("checksum"),
       (F.lit(64) + F.conv(F.substring(hex, 1, 4), 16, 10).cast("long") % 960L)
         .cast("int").as("width"),

@@ -51,7 +51,7 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("sim").desc, F.col("match_id").asc)
     scored
-      .withColumn("rank", F.row_number().over(w))
+      .withColumn("rank", F.row_number().over(w).cast("long"))
       .filter(F.col("rank") <= k)
       .select("query_id", "match_id", "sim", "rank")
   }
@@ -81,7 +81,7 @@ object Similarity {
       .mapValues { case (_, id, s) => (id, s) }
       .agg(agg.toColumn.name("topk"))
       .flatMap { case (qid, items) =>
-        items.iterator.zipWithIndex.map { case ((id, s), i) => (qid, id, s, i + 1) }
+        items.iterator.zipWithIndex.map { case ((id, s), i) => (qid, id, s, (i + 1).toLong) }
       }
       .toDF("query_id", "match_id", "sim", "rank")
   }
@@ -140,7 +140,7 @@ object Similarity {
     corpusCells.join(F.broadcast(queryCells), Seq("cell"))
       .filter(F.col("match_id") =!= F.col("query_id"))
       .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
-      .withColumn("rank", F.row_number().over(w))
+      .withColumn("rank", F.row_number().over(w).cast("long"))
       .filter(F.col("rank") <= k)
       .select("query_id", "match_id", "sim", "rank")
   }

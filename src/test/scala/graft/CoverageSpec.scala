@@ -59,9 +59,9 @@ class CoverageSpec extends SparkSpec {
     val emb = Tables.scan(spark, sf, "embeddings")
     val q = emb.filter(F.col("vec_id") < 3)
     val win = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     val agg = Similarity.bruteForceTopKAgg(emb, q, "vec_id", "embedding", 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(win == agg)
   }
 

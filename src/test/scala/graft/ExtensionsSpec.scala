@@ -70,7 +70,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.length == 15)
     val byQ = out.groupBy(_.getAs[Long]("query_id"))
     byQ.values.foreach { rows =>
-      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      val sims = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
       assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
     }
   }
@@ -111,7 +111,7 @@ class ExtensionsSpec extends SparkSpec {
         Multimodal.attachPayload(docs, "doc_id", "text"), "doc_id")
       .collect().map(m => (m.doc_id, m.byte_len, m.checksum, m.width, m.height)).toSet
     val viaCols = Multimodal.metaColumns(docs, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getInt(3), r.getInt(4))).toSet
     assert(viaDs == viaCols)
   }
