@@ -167,6 +167,8 @@ object Extensions {
       EventWindows.streamingTumblingHourly(s, dir)),
     "x_stream_dedup" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamingDedup(s, dir)),
+    "x_stream_state" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamingUserTotals(s, dir)),
 
     // Aggregator-based top-k: identical output to x_embed_topk via a
     // typed TopKAggregator (map-side bounded heaps) instead of a
@@ -341,6 +343,9 @@ object Extensions {
         ("SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
           "event_type, count(*) AS n, sum(value) AS sum_value FROM events " +
           "GROUP BY 1, 2"),
+      "x_stream_state" ->
+        ("SELECT user_id, count(*) AS n_events, sum(value) AS sum_value " +
+          "FROM events GROUP BY user_id"),
       "x_stream_dedup" ->
         ("SELECT min(doc_id) AS doc_id, fp FROM (SELECT doc_id, " +
           "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp " +

@@ -44,4 +44,16 @@ object Tables {
   }
 
   def tableDef(table: String): TableDef = Catalog(table)
+
+  /** Bucketed materialization for co-located joins (scale path): two
+    * tables bucketed+sorted on their join key with the same bucket
+    * count sort-merge-join WITHOUT a shuffle — at 100 TB this turns
+    * every repeated fact↔fact join on the declared keys into a local
+    * merge. Requires saveAsTable (bucket metadata lives in the
+    * catalog). */
+  def writeBucketed(df: DataFrame, catalogTable: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(catalogTable)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.{functions => F}
+
+/** Physical-plan regression guards: the scale-relevant plan
+  * properties (.explain invariants) asserted so refactors can't
+  * silently lose pushdown, pruning, broadcast, or bucket
+  * co-location. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("predicates are pushed into the parquet scan (p4)") {
+    val plan = planOf("p4_predicate")
+    assert(plan.contains("PushedFilters: ["), plan.take(500))
+    assert(plan.contains("GreaterThan(o_totalprice"), "price filter not pushed")
+  }
+
+  test("aggregation prunes columns at the scan (a3)") {
+    val plan = planOf("a3_group_agg")
+    assert(!plan.contains("l_shipdate"), "scan reads columns the agg never uses")
+    assert(plan.contains("l_returnflag"))
+  }
+
+  test("dimension join broadcasts the small side (j1)") {
+    assert(planOf("j1_belongs_to").contains("BroadcastHashJoin"))
+  }
+
+  test("whole-stage codegen covers the scan->filter->project spine (p4)") {
+    // codegen'd operators print with the `*(stageId)` star prefix
+    assert(planOf("p4_predicate").contains("*(1) Filter"))
+  }
+
+  test("bucketed tables sort-merge-join without a shuffle") {
+    // warehouse.dir is a static conf — tables land in ./spark-warehouse
+    // (gitignored) and are dropped in the finally block
+    val orders = Tables.scan(spark, sf, "orders")
+    val cust = Tables.scan(spark, sf, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    Tables.writeBucketed(orders, "b_orders", "o_custkey", 4)
+    Tables.writeBucketed(cust, "b_cust", "o_custkey", 4)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_cust"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(600)}")
+      // sanity: result matches the unbucketed join
+      assert(joined.count() == orders.join(cust, "o_custkey").count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_cust")
+    }
+  }
+
+  test("flatMapGroupsWithState totals equal batch groupBy") {
+    val stream = graft.streaming.StreamingOps.streamingUserTotals(spark, sf, "ps_state")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Tables.scan(spark, sf, "events")
+      .groupBy("user_id").agg(F.count(F.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch)
+  }
+}
