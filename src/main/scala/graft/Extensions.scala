@@ -97,7 +97,10 @@ object Extensions {
       Tables.scan(s, dir, "documents").select(
         F.col("doc_id"),
         Text.fingerprint(F.col("text")).as("fp"),
-        Text.bagFingerprint(F.col("text")).as("bag_fp"))),
+        Text.bagFingerprint(F.col("text")).as("bag_fp"),
+        graft.plans.RollingHash.rollingHash(
+          F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " "))
+          .as("roll_fp"))),
 
     // ---- dedup ----
     "x_dedup_exact" -> ((s, dir) =>
@@ -249,9 +252,13 @@ object Extensions {
           s"${hitsSql("es")} AS es, ${hitsSql("de")} AS de, ${hitsSql("fr")} AS fr " +
           "FROM documents)"),
       "x_fingerprint" ->
-        ("SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp, " +
-          "md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\\s+'))), ' ')) AS bag_fp " +
-          "FROM documents"),
+        ("SELECT doc_id, md5(norm) AS fp, " +
+          "md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\\s+'))), ' ')) AS bag_fp, " +
+          "CASE WHEN length(norm) = 0 THEN 0 ELSE list_reduce(" +
+          "list_transform(range(1, length(norm) + 1), i -> ord(substr(norm, i, 1))::BIGINT), " +
+          "(a, b) -> (a * 1000003 + b) % 2147483647) END AS roll_fp FROM " +
+          "(SELECT doc_id, text, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm " +
+          "FROM documents)"),
       "x_dedup_exact" ->
         ("SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp, " +
           "min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY fp"),

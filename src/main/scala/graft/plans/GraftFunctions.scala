@@ -18,7 +18,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1)))
+    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "rolling_hash" -> (exprs => RollingHash(exprs(0)))
   )
 
   def register(spark: SparkSession): Unit = functions.foreach { case (name, builder) =>

@@ -73,6 +73,16 @@ class CoverageSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("rolling_hash golden + SQL registration") {
+    GraftFunctions.register(spark)
+    // polynomial: fold 'hello' codes with acc*1000003 + c mod 2^31-1
+    val expected = "hello".foldLeft(0L)((a, c) =>
+      if (a == 0 && c == 'h') c.toLong else (a * 1000003L + c.toLong) % 2147483647L)
+    val got = spark.sql("SELECT rolling_hash('hello') AS h").collect()(0).getLong(0)
+    assert(got == expected && got == 1806177846L) // cross-checked vs DuckDB list_reduce
+    assert(spark.sql("SELECT rolling_hash('') AS h").collect()(0).getLong(0) == 0L)
+  }
+
   test("streaming dedup emits one row per fingerprint") {
     val out = graft.streaming.StreamingOps.streamingDedup(spark, sf, "cov_dedup")
     val docs = Tables.scan(spark, sf, "documents")
