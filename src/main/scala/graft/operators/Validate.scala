@@ -23,10 +23,11 @@ object Validate {
     * reference only runs value rules on present values,
     * `model.php:995-1010` — rules other than not_empty are
     * vacuously true on NULL). */
-  def report(df: DataFrame, t: TableDef): DataFrame = {
+  def report(df: DataFrame, t: TableDef,
+             context: Option[String] = None): DataFrame = {
     val checks: Seq[(String, Column)] = for {
       f <- t.fields
-      r <- f.rules
+      r <- f.rulesFor(context)
     } yield {
       val c = F.col(f.name)
       val ok = r match {

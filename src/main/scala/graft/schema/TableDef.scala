@@ -20,6 +20,10 @@ final case class Field(
     autoNowCreate: Boolean = false,
     autoNowUpdate: Boolean = false,
     rules: Seq[Rule] = Nil,
+    /** context-specific rules (`meta.php:43-61`: the reference keys
+      * callbacks/filters by create/update context) */
+    createRules: Seq[Rule] = Nil,
+    updateRules: Seq[Rule] = Nil,
     onChange: Option[Column => Column] = None,
     /** storage→logical transform applied at scan time, for physical
       * encodings Spark can't map natively (e.g. the events table's
@@ -28,6 +32,14 @@ final case class Field(
 ) {
   def physical: String = column.getOrElse(name)
   def isAuto: Boolean = ftype == FAuto
+
+  /** Rules active for a validation context (`model.php:940-1026`):
+    * the shared set plus the context-specific set. */
+  def rulesFor(context: Option[String]): Seq[Rule] = context match {
+    case Some("create") => rules ++ createRules
+    case Some("update") => rules ++ updateRules
+    case _ => rules
+  }
 }
 
 /** Declarative validation rules (`README.md:42-52`, applied at

@@ -73,6 +73,32 @@ class CoverageSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("physical->logical column mapping (meta.php:150-177)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_phys").toString
+    Seq((1L, "a"), (2L, "b")).toDF("user_id_raw", "user_name_col")
+      .write.mode("overwrite").parquet(s"$tmp/usr.parquet")
+    Catalog.register(TableDef("usr", Seq(
+      Field("id", graft.schema.FAuto, primary = true, column = Some("user_id_raw")),
+      Field("name", FStr, column = Some("user_name_col")))))
+    val df = Tables.scan(spark, tmp, "usr")
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.filter(F.col("id") === 2L).collect()(0).getString(1) == "b")
+  }
+
+  test("per-context validation rules (meta.php:43-61)") {
+    import spark.implicits._
+    val t = TableDef("ctx", Seq(
+      Field("id", graft.schema.FAuto, primary = true),
+      Field("pw", FStr, rules = Seq(graft.schema.NotEmpty),
+        createRules = Seq(graft.schema.MinLength(5)))))
+    val rows = Seq((1L, "abc")).toDF("id", "pw")
+    val base = graft.operators.Validate.report(rows, t).collect()(0)
+    val create = graft.operators.Validate.report(rows, t, Some("create")).collect()(0)
+    assert(base.getAs[Int]("n_errors") == 0)    // shared rules only
+    assert(create.getAs[Int]("n_errors") == 1)  // min_length kicks in on create
+  }
+
   test("rolling_hash golden + SQL registration") {
     GraftFunctions.register(spark)
     // polynomial: fold 'hello' codes with acc*1000003 + c mod 2^31-1

@@ -82,6 +82,21 @@ def main():
             print(f"FAIL {name}: columns spark={sorted(s_names)} duck={sorted(d_names)}")
             n_fail += 1
             continue
+        # arrow-level schema parity (the driver compares types too):
+        # int-width drift (spark size()/row_number() = int32 vs duckdb
+        # len()/row_number() = int64) must be caught here
+        try:
+            duck_arrow = con.execute(sql).arrow()
+            s_types = {f.name: str(f.type) for f in tbl.schema}
+            d_types = {f.name: str(f.type) for f in duck_arrow.schema}
+            tdiff = {k: (s_types.get(k), d_types.get(k))
+                     for k in s_types if s_types.get(k) != d_types.get(k)}
+            if tdiff:
+                print(f"FAIL {name}: type drift {tdiff}")
+                n_fail += 1
+                continue
+        except Exception:
+            pass  # arrow conversion unsupported for some types; values still compared
         if s_rows == d_rows:
             print(f"PASS {name} ({len(s_rows)} rows)")
             n_pass += 1
