@@ -91,8 +91,14 @@ object Similarity {
     * the pair space is quadratic). `a < b` canonical orientation. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val l = df.select(F.col(idCol).as("id_a"), F.col(vecCol).as("v_a"),
-      norm(F.col(vecCol)).as("n_a"))
+    // the pair join broadcasts the right side and streams the left;
+    // a small corpus often arrives as ONE input split, which would
+    // serialize the whole O(n²) pair loop on a single task — spread
+    // the streamed side across the cluster first
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    val l = df.repartition(para)
+      .select(F.col(idCol).as("id_a"), F.col(vecCol).as("v_a"),
+        norm(F.col(vecCol)).as("n_a"))
     val r = df.select(F.col(idCol).as("id_b"), F.col(vecCol).as("v_b"),
       norm(F.col(vecCol)).as("n_b"))
     l.join(r, F.col("id_a") < F.col("id_b"))
