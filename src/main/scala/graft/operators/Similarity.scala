@@ -94,14 +94,18 @@ object Similarity {
     // the pair join broadcasts the right side and streams the left;
     // a small corpus often arrives as ONE input split, which would
     // serialize the whole O(n²) pair loop on a single task — spread
-    // the streamed side across the cluster first
+    // the streamed side first (only when it is under-partitioned; a
+    // large pre-split corpus keeps its layout)
     val para = df.sparkSession.sparkContext.defaultParallelism
-    val l = df.repartition(para)
+    val spread = if (df.rdd.getNumPartitions < para) df.repartition(para) else df
+    val l = spread
       .select(F.col(idCol).as("id_a"), F.col(vecCol).as("v_a"),
         norm(F.col(vecCol)).as("n_a"))
     val r = df.select(F.col(idCol).as("id_b"), F.col(vecCol).as("v_b"),
       norm(F.col(vecCol)).as("n_b"))
-    l.join(r, F.col("id_a") < F.col("id_b"))
+    // pin BuildRight so AQE can't flip the broadcast onto the side we
+    // just spread out
+    l.join(F.broadcast(r), F.col("id_a") < F.col("id_b"))
       .withColumn("sim", F.round(
         dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6))
       .filter(F.col("sim") >= threshold)
