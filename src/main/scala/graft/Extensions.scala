@@ -45,6 +45,15 @@ object Extensions {
           F.avg("l_quantity").as("avg_qty"),
           F.count(F.lit(1)).as("count_order"))),
 
+    // distinct aggregates: exact count(DISTINCT) per group — Spark
+    // plans this as a two-phase expand+aggregate, still one logical op
+    "a4_distinct_agg" -> ((s, dir) =>
+      Tables.scan(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").as("n_parts"),
+          F.countDistinct("l_suppkey").as("n_supps"),
+          F.count(F.lit(1)).as("n_rows"))),
+
     // ---- window functions: top-N per group ----
     "x_window_topn" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -215,6 +224,10 @@ object Extensions {
           "sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price, " +
           "avg(l_quantity) AS avg_qty, count(*) AS count_order " +
           "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+      "a4_distinct_agg" ->
+        ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
+          "count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows " +
+          "FROM lineitem GROUP BY l_returnflag"),
       "x_window_topn" ->
         ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
           "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +

@@ -53,6 +53,12 @@ object SparkEntry {
 
     // ---- §2.5 sort / limit / distinct ----
     "o1_sort_limit" -> ((s, dir) => Read.read(s, dir, "orders", limit = Some(10))),
+    // O2 — caller-supplied sort overriding the declared one
+    // (README.md:106-110 order_by('created','desc'))
+    "o2_caller_sort" -> ((s, dir) =>
+      Tables.scan(s, dir, "orders")
+        .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
+        .limit(5)),
     "o4_select_list" -> ((s, dir) =>
       Read.selectList(s, dir, "nation", "n_nationkey", "n_name")),
 
@@ -153,6 +159,8 @@ object SparkEntry {
         "FROM customer"),
     "o1_sort_limit" ->
       s"SELECT $ordersCols FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 10",
+    "o2_caller_sort" ->
+      s"SELECT $ordersCols FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5",
     "o4_select_list" -> "SELECT DISTINCT n_nationkey, n_name FROM nation",
     "a1_total" ->
       ("SELECT COUNT(*) AS total FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' " +
