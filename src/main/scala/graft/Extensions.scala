@@ -177,6 +177,8 @@ object Extensions {
       EventWindows.sessions(Tables.scan(s, dir, "events"), "10 minutes")),
     "x_stream_tumbling" -> ((s, dir) =>
       EventWindows.streamingTumblingHourly(s, dir)),
+    "x_stream_sliding" -> ((s, dir) =>
+      EventWindows.streamingSlidingHourly(s, dir)),
     "x_stream_dedup" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamingDedup(s, dir)),
     "x_stream_state" -> ((s, dir) =>
@@ -366,6 +368,14 @@ object Extensions {
       "x_stream_state" ->
         ("SELECT user_id, count(*) AS n_events, sum(value) AS sum_value " +
           "FROM events GROUP BY user_id"),
+      "x_stream_sliding" ->
+        ("WITH expanded AS (" +
+          "SELECT make_timestamp((epoch_ns(ts) // 1800000000000) * 1800000000) AS w_start, " +
+          "event_type, value FROM events UNION ALL " +
+          "SELECT make_timestamp(((epoch_ns(ts) // 1800000000000) - 1) * 1800000000) AS w_start, " +
+          "event_type, value FROM events) " +
+          "SELECT w_start, event_type, count(*) AS n, sum(value) AS sum_value " +
+          "FROM expanded GROUP BY 1, 2"),
       "x_stream_dedup" ->
         ("SELECT min(doc_id) AS doc_id, fp FROM (SELECT doc_id, " +
           "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp " +

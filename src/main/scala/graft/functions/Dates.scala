@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, functions => F}
+
+/** Relative date arithmetic (SURVEY §2.6 F5) — the reference leans on
+  * `strtotime('-1 year')` for bulk-delete cutoffs
+  * (`/root/reference/README.md:150-151`). Here the supported subset is
+  * parsed once on the driver and becomes interval arithmetic on a
+  * Column — deterministic given an anchor, codegen-friendly, and
+  * never a string round-trip on executors. */
+object Dates {
+
+  private val Rel = """^\s*([+-]?\d+)\s+(year|month|week|day|hour|minute|second)s?\s*$""".r
+
+  /** `relative("-1 year", anchor)`: shift `anchor` by the offset
+    * expression. Supported: signed integer + year/month/week/day/
+    * hour/minute/second (plural ok). Throws on anything else —
+    * lenient silent parses hide data bugs. */
+  def relative(offset: String, anchor: Column): Column = offset match {
+    case Rel(n, unit) =>
+      val k = n.toInt
+      unit match {
+        case "year"   => F.add_months(anchor, 12 * k)
+        case "month"  => F.add_months(anchor, k)
+        case "week"   => F.date_add(anchor, 7 * k)
+        case "day"    => F.date_add(anchor, k)
+        case "hour"   => anchor + F.expr(s"INTERVAL $k HOURS")
+        case "minute" => anchor + F.expr(s"INTERVAL $k MINUTES")
+        case "second" => anchor + F.expr(s"INTERVAL $k SECONDS")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"unsupported relative date expression: '$offset'")
+  }
+
+  /** The reference's `strtotime('-1 year')` anchored at now —
+    * nondeterministic by nature; prefer the two-arg form in anything
+    * replayable. */
+  def relativeToNow(offset: String): Column =
+    relative(offset, F.current_timestamp())
+}

@@ -69,6 +69,14 @@ object EventWindows {
       .select("user_id", "session_start", "n_events", "sum_value")
   }
 
+  /** Structured Streaming twin of [[slidingHourly]] — same 1h/30min
+    * windows, watermark-bounded state, memory sink drained to a frame
+    * so the batch oracle validates the streaming path too. */
+  def streamingSlidingHourly(spark: SparkSession, sfDir: String,
+                             queryName: String = "stream_sliding"): DataFrame =
+    runStreamingWindow(spark, sfDir, queryName,
+      F.window(F.col("ts"), "1 hour", "30 minutes"))
+
   /** Structured Streaming twin of [[tumblingHourly]]: reads the same
     * parquet directory as a stream (one file per micro-batch), applies
     * a watermark, and aggregates into an in-memory complete-mode sink.
@@ -79,10 +87,16 @@ object EventWindows {
     * event time — on an unbounded production stream this is what
     * makes the aggregation memory-safe. */
   def streamingTumblingHourly(spark: SparkSession, sfDir: String,
-                              queryName: String = "stream_tumbling"): DataFrame = {
+                              queryName: String = "stream_tumbling"): DataFrame =
+    runStreamingWindow(spark, sfDir, queryName, F.window(F.col("ts"), "1 hour"))
+
+  /** Shared streaming scaffold: parquet file stream of the events
+    * table (explicit physical schema — int64 nano ts, see
+    * Tables.scan), ns→µs conversion, 10-minute watermark, windowed
+    * count/sum, complete-mode memory sink drained synchronously. */
+  private def runStreamingWindow(spark: SparkSession, sfDir: String,
+                                 queryName: String, windowCol: org.apache.spark.sql.Column): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // streaming reads need an explicit schema: physical layout, ts as
-    // int64 nanos (see Tables.scan)
     val physSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -98,7 +112,7 @@ object EventWindows {
       .withWatermark("ts", "10 minutes")
 
     val agg = stream
-      .groupBy(F.window(F.col("ts"), "1 hour").as("w"), F.col("event_type"))
+      .groupBy(windowCol.as("w"), F.col("event_type"))
       .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sum_value"))
       .select(F.col("w.start").cast("timestamp_ntz").as("w_start"),
         F.col("event_type"), F.col("n"), F.col("sum_value"))

@@ -99,6 +99,32 @@ class CoverageSpec extends SparkSpec {
     assert(create.getAs[Int]("n_errors") == 1)  // min_length kicks in on create
   }
 
+  test("QBE null value becomes IS NULL") {
+    import spark.implicits._
+    val t = TableDef("nl", Seq(
+      Field("id", graft.schema.FAuto, primary = true),
+      Field("name", FStr)))
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("id", "name")
+    val hit = df.filter(graft.operators.Read.qbe(t, Map("name" -> null))).collect()
+    assert(hit.length == 1 && hit(0).getLong(0) == 2L)
+  }
+
+  test("relative date math (F5: strtotime('-1 year') equivalents)") {
+    import spark.implicits._
+    val anchor = Seq("2001-03-10 12:00:00").toDF("s")
+      .select(F.col("s").cast("timestamp").as("ts"))
+    def shifted(off: String): String =
+      anchor.select(graft.functions.Dates.relative(off, F.col("ts")).cast("string"))
+        .collect()(0).getString(0)
+    assert(shifted("-1 year").startsWith("2000-03-10"))
+    assert(shifted("2 months").startsWith("2001-05-10"))
+    assert(shifted("-1 week").startsWith("2001-03-03"))
+    assert(shifted("36 hours") == "2001-03-12 00:00:00")
+    intercept[IllegalArgumentException] {
+      graft.functions.Dates.relative("next fortnight", F.col("ts"))
+    }
+  }
+
   test("rolling_hash golden + SQL registration") {
     GraftFunctions.register(spark)
     // polynomial: fold 'hello' codes with acc*1000003 + c mod 2^31-1
