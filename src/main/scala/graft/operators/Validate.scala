@@ -50,7 +50,7 @@ object Validate {
     * partition into valid/invalid). */
   def valid(df: DataFrame, t: TableDef): DataFrame =
     report(df, t).filter(F.col("n_errors") === 0)
-      .select(df.columns.map(F.col): _*)
+      .select(df.columns.toIndexedSeq.map(F.col): _*)
 
   def invalid(df: DataFrame, t: TableDef): DataFrame =
     report(df, t).filter(F.col("n_errors") > 0)

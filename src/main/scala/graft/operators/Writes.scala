@@ -35,7 +35,7 @@ object Writes {
       .crossJoin(F.broadcast(maxId))
       .withColumn(autoCol, F.col("mx") + F.col("__rn"))
       .drop("__rn", "mx")
-      .select(base.columns.map(F.col): _*) // align column order
+      .select(base.columns.toIndexedSeq.map(F.col): _*) // align column order
     base.unionByName(numbered)
   }
 
@@ -58,7 +58,7 @@ object Writes {
         df.withColumn(c, F.coalesce(F.col(s"__d_$c"), F.col(c)))
       else df
     }
-    merged.select(base.columns.map(F.col): _*)
+    merged.select(base.columns.toIndexedSeq.map(F.col): _*)
   }
 
   /** S7 — DELETE (`model.php:831-853`): anti-join on the victim key
@@ -71,7 +71,7 @@ object Writes {
     * new-row wins; base rows without a match pass through. */
   def upsert(base: DataFrame, rows: DataFrame, pk: Seq[String]): DataFrame =
     base.join(rows.select(pk.map(F.col): _*), pk, "left_anti")
-      .unionByName(rows.select(base.columns.map(F.col): _*))
+      .unionByName(rows.select(base.columns.toIndexedSeq.map(F.col): _*))
 
   /** Auto-now column stamping (`field/timestamp.php:16-21`,
     * `model.php:672-679,780-787`): set each auto_now_create /

@@ -59,6 +59,20 @@ class ApiSpec extends SparkSpec {
     assert(js.startsWith("{") && js.contains("r_name"))
   }
 
+  test("ChildSet tracks removals like Hive_Container (container.php:150-158)") {
+    val kids = g.model("orders").where("o_custkey", 7L).read()
+    val n = kids.count()
+    val firstTwo = kids.select("o_orderkey").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    val cs = graft.api.ChildSet(kids, "o_orderkey").remove(firstTwo)
+    assert(cs.result().count() == n - 2)
+    assert(cs.removedKeys().collect().map(_.getLong(0)).toSet == firstTwo.toSet)
+    // add + remove compose
+    val extra = kids.limit(1).withColumn("o_orderkey", F.lit(424242L))
+    val cs2 = cs.add(extra)
+    assert(cs2.result().count() == n - 2 + 1)
+  }
+
   test("shingles golden") {
     import spark.implicits._
     val got = Seq("a b c d e", "x y").toDF("t")
