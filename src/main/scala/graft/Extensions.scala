@@ -54,6 +54,24 @@ object Extensions {
           F.countDistinct("l_suppkey").as("n_supps"),
           F.count(F.lit(1)).as("n_rows"))),
 
+    // hierarchical totals: ROLLUP produces (flag,status), (flag), ()
+    // grand-total levels in one pass — no key NULLs in the data, so
+    // the level-indicator NULLs are unambiguous
+    "a5_rollup" -> ((s, dir) =>
+      Tables.scan(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").as("sum_qty"),
+          F.count(F.lit(1)).as("n_rows"))),
+
+    // pivot: one column per l_linestatus value — fixed value list so
+    // the plan is a single pass (no distinct-values pre-query)
+    "a6_pivot" -> ((s, dir) =>
+      Tables.scan(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(F.sum("l_quantity"))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")),
+
     // ---- window functions: top-N per group ----
     "x_window_topn" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -229,6 +247,15 @@ object Extensions {
       "a4_distinct_agg" ->
         ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
           "count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows " +
+          "FROM lineitem GROUP BY l_returnflag"),
+      "a5_rollup" ->
+        ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+          "count(*) AS n_rows FROM lineitem " +
+          "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+      "a6_pivot" ->
+        ("SELECT l_returnflag, " +
+          "sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f, " +
+          "sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o " +
           "FROM lineitem GROUP BY l_returnflag"),
       "x_window_topn" ->
         ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
