@@ -25,16 +25,20 @@ sealed trait FieldType {
   /** Raw → typed coercion with empty→NULL/default semantics.
     * The reference treats PHP-falsy values as empty
     * (`field/integer.php:13-26`); we pin the saner subset: NULL and
-    * blank strings are empty (documented divergence, SURVEY §7). */
+    * blank strings are empty (documented divergence, SURVEY §7).
+    * Unparseable non-empty input coerces to the same fallback rather
+    * than throwing — PHP casts never error, and Spark 4 runs ANSI-on
+    * where a plain `cast` would raise on garbage, so the cast goes
+    * through `try_cast`. */
   def coerce(raw: Column, nullable: Boolean = true, default: Option[Any] = None): Column = {
     val empty = raw.isNull || (F.trim(raw.cast(StringType)) === F.lit(""))
     val fallback =
       if (!nullable && default.isDefined) F.lit(default.get).cast(sparkType)
       else F.lit(null).cast(sparkType)
-    F.when(empty, fallback).otherwise(cast(raw))
+    F.when(empty, fallback).otherwise(F.coalesce(cast(raw), fallback))
   }
 
-  protected def cast(raw: Column): Column = raw.cast(sparkType)
+  protected def cast(raw: Column): Column = raw.try_cast(sparkType)
 
   /** Typed → display string. */
   def verbose(typed: Column): Column = typed.cast(StringType)

@@ -32,6 +32,21 @@ class PropertySpec extends SparkSpec {
     assert(defaulted.take(3).forall(_.contains(99L)))
   }
 
+  test("coercion never throws under ANSI mode: garbage -> NULL/default") {
+    val garbage = Seq("abc", "12x", "1.2.3", "½", "NaNbut", "--5", "0x1G", "∞")
+    val df = garbage.toDF("raw")
+    val types: Seq[(String, FieldType)] = Seq(
+      "int" -> FInt, "float" -> FFloat(2), "bool" -> FBool, "ts" -> FTimestamp())
+    types.foreach { case (label, t) =>
+      val asNull = df.select(t.coerce(F.col("raw")).as("v")).collect()
+      assert(asNull.forall(_.isNullAt(0)), s"$label: garbage must coerce to NULL")
+      val withDefault = df.select(
+        t.coerce(F.col("raw"), nullable = false, default = Some(0)).as("v")).collect()
+      assert(withDefault.forall(r => !r.isNullAt(0)),
+        s"$label: garbage must coerce to the default when not nullable")
+    }
+  }
+
   test("QBE filter ≡ manually composed predicate (any example subset)") {
     val t = Catalog("orders")
     val base = Tables.scan(spark, sf, "orders")
