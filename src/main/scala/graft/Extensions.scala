@@ -72,6 +72,27 @@ object Extensions {
         .agg(F.sum("l_quantity"))
         .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")),
 
+    // post-aggregation filter (HAVING)
+    "a7_having" -> ((s, dir) =>
+      Tables.scan(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).as("n_orders"),
+          F.sum("o_totalprice").as("spend"))
+        .filter(F.col("n_orders") >= 12)),
+
+    // end-to-end cleaning pipeline: quality-gate -> exact dedup ->
+    // per-language counts — the composed shape of a training-data
+    // preparation job, verified as one plan
+    "x_pipeline_clean" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      val scored = docs.withColumn("q", Text.qualityScore(F.col("text")))
+        .filter(F.col("q") >= 0.55)
+      val deduped = Dedup.exactDedup(scored, "doc_id", "text")
+      deduped.groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.avg("q").as("avg_quality"))
+    }),
+
     // ---- window functions: top-N per group ----
     "x_window_topn" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -257,6 +278,29 @@ object Extensions {
           "sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f, " +
           "sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o " +
           "FROM lineitem GROUP BY l_returnflag"),
+      "a7_having" ->
+        ("SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend " +
+          "FROM orders GROUP BY o_custkey HAVING count(*) >= 12"),
+      "x_pipeline_clean" -> {
+        val qualityExpr =
+          "(least(length(text) * 1.0 / 200.0, 1.0) * 0.3) + " +
+          "((1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / " +
+          "greatest(length(text) * 1.0, 1.0)) * 5.0, 1.0)) * 0.2) + " +
+          s"(least((${hitsSql("en")} * 1.0 / " +
+          "greatest(len(list_distinct(string_split_regex(lower(text), '\\s+'))) * 1.0, 1.0)) * 4.0, 1.0) * 0.3) + " +
+          "(CASE WHEN (length(regexp_replace(lower(text), '\\s+', '', 'g')) * 1.0 / " +
+          "greatest(len(string_split_regex(lower(text), '\\s+')) * 1.0, 1.0)) >= 3.0 " +
+          "AND (length(regexp_replace(lower(text), '\\s+', '', 'g')) * 1.0 / " +
+          "greatest(len(string_split_regex(lower(text), '\\s+')) * 1.0, 1.0)) <= 10.0 " +
+          "THEN 1.0 ELSE 0.5 END * 0.2)"
+        ("WITH gated AS (SELECT doc_id, text, lang, " + qualityExpr + " AS q " +
+          "FROM documents WHERE (" + qualityExpr + ") >= 0.55), " +
+          "keep AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, " +
+          "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM gated) " +
+          "GROUP BY fp) " +
+          "SELECT lang, count(*) AS n_docs, avg(q) AS avg_quality " +
+          "FROM gated JOIN keep USING (doc_id) GROUP BY lang")
+      },
       "x_window_topn" ->
         ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
           "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +
