@@ -50,16 +50,21 @@ object Joins {
       case r: HasOne =>
         // one deterministic child per parent: the reference reads the
         // first child row (LIMIT 1 under the child's declared sort,
-        // hasone.php:13-36); table-at-a-time that is rank 1 per parent
-        // over the child primary key
-        import org.apache.spark.sql.expressions.Window
+        // hasone.php:13-36); table-at-a-time that is min-by-child-pk
+        // per parent. min_by is a declarative aggregate, so it gets
+        // map-side partial aggregation — each input partition reduces
+        // to at most one candidate row per parent key BEFORE the
+        // shuffle, where the row_number-window formulation would
+        // shuffle + sort EVERY child row (wrong shape at fact scale).
         val remote = remoteWithConditions(spark, sfDir, r)
-        val childPk = Catalog(r.model).primaryKeys.map(f => F.col(f.name).asc)
-        val parentKeys = r.using.map { case (_, rm) => F.col(rm) }
+        val childPk = Catalog(r.model).primaryKeys.map(f => F.col(f.name))
+        val parentKeys = r.using.map { case (_, rm) => rm }
         val first = remote
-          .withColumn("__rn", F.row_number().over(
-            Window.partitionBy(parentKeys: _*).orderBy(childPk: _*)))
-          .filter(F.col("__rn") === 1).drop("__rn")
+          .groupBy(parentKeys.map(F.col): _*)
+          .agg(F.min_by(
+            F.struct(remote.columns.toIndexedSeq.map(F.col): _*),
+            F.struct(childPk: _*)).as("__first"))
+          .select(F.col("__first.*"))
         val cond = r.using.map { case (l, rm) =>
           localDf(l) === first(rm)
         }.reduce(_ && _)

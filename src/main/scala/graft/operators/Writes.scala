@@ -18,23 +18,37 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
 object Writes {
 
   /** S5 — INSERT with auto-id assignment (`model.php:667-706`).
-    * New ids are `max(existing) + row_number() over (order by the
-    * batch's natural order)` — deterministic, unlike
-    * `monotonically_increasing_id`, and gap-free within a batch
+    * New ids are `max(existing) + rank(orderWithin)` — deterministic,
+    * unlike `monotonically_increasing_id`, and gap-free within a batch
     * (documented non-gapless across retries, SURVEY §7).
     *
-    * The unpartitioned row_number window serializes the NEW BATCH
-    * only (insert batches are small relative to base); the base table
-    * contributes just a 1-row max() aggregate. `orderWithin` must be
-    * a deterministic ordering of the batch (e.g. its natural key). */
+    * The global rank is computed WITHOUT a single-task global sort
+    * (which would serialize a 100x-scale backfill batch): range-
+    * partition on `orderWithin`, rank locally per partition, then add
+    * each partition's row-count prefix sum. The offsets frame is one
+    * row per partition — the prefix-sum window and the broadcast are
+    * O(partitions), never O(rows). `orderWithin` must be a total order
+    * of the batch (e.g. its natural key) for ids to be deterministic
+    * under any partitioning. */
   def insert(base: DataFrame, rows: DataFrame, autoCol: String,
              orderWithin: Seq[Column]): DataFrame = {
     val maxId = base.agg(F.coalesce(F.max(F.col(autoCol)), F.lit(0L)).as("mx"))
-    val numbered = rows
-      .withColumn("__rn", F.row_number().over(Window.orderBy(orderWithin: _*)))
+    val parts = math.max(rows.sparkSession.sparkContext.defaultParallelism, 1)
+    val local = rows
+      .repartitionByRange(parts, orderWithin: _*)
+      .withColumn("__pid", F.spark_partition_id())
+      .withColumn("__lrn", F.row_number().over(
+        Window.partitionBy("__pid").orderBy(orderWithin: _*)).cast("long"))
+    val offsets = local.groupBy("__pid").agg(F.count(F.lit(1)).as("__cnt"))
+      .withColumn("__off", F.coalesce(F.sum("__cnt").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0L)))
+      .select("__pid", "__off")
+    val numbered = local
+      .join(F.broadcast(offsets), "__pid")
       .crossJoin(F.broadcast(maxId))
-      .withColumn(autoCol, F.col("mx") + F.col("__rn"))
-      .drop("__rn", "mx")
+      .withColumn(autoCol, F.col("mx") + F.col("__off") + F.col("__lrn"))
+      .drop("__pid", "__lrn", "__off", "mx")
       .select(base.columns.toIndexedSeq.map(F.col): _*) // align column order
     base.unionByName(numbered)
   }
@@ -47,11 +61,13 @@ object Writes {
     *
     * No-op elision (`model.php:789-793`): an empty delta schema
     * (nothing but pk) returns base unchanged without a join. */
-  def update(base: DataFrame, delta: DataFrame, pk: Seq[String]): DataFrame = {
+  def update(base: DataFrame, delta: DataFrame, pk: Seq[String],
+             limit: Option[Int] = None): DataFrame = {
     val changedCols = delta.columns.filterNot(pk.contains)
     if (changedCols.isEmpty) return base // no-op elision
-    val d = delta.select((pk ++ changedCols).map(c =>
-      delta(c).alias(if (pk.contains(c)) c else s"__d_$c")): _*)
+    val limited = applyLimit(delta, pk, limit)
+    val d = limited.select((pk ++ changedCols).map(c =>
+      limited(c).alias(if (pk.contains(c)) c else s"__d_$c")): _*)
     val joined = base.join(d, pk, "left")
     val merged = base.columns.foldLeft(joined) { (df, c) =>
       if (changedCols.contains(c))
@@ -63,8 +79,21 @@ object Writes {
 
   /** S7 — DELETE (`model.php:831-853`): anti-join on the victim key
     * set. `victims` needs only the pk columns. */
-  def delete(base: DataFrame, victims: DataFrame, pk: Seq[String]): DataFrame =
-    base.join(victims.select(pk.map(F.col): _*), pk, "left_anti")
+  def delete(base: DataFrame, victims: DataFrame, pk: Seq[String],
+             limit: Option[Int] = None): DataFrame =
+    base.join(applyLimit(victims, pk, limit).select(pk.map(F.col): _*),
+      pk, "left_anti")
+
+  /** The reference's `LIMIT n` DML clause (`model.php:775,831`,
+    * compiled at `model.php:1213-1217,1248-1252`, default `$limit = 1`):
+    * restrict a delta/victim set to its first `n` rows by primary key.
+    * SQL LIMIT-without-ORDER is nondeterministic; SURVEY §7 pins the
+    * sane table-at-a-time semantics — sort by pk, then limit. The
+    * limited set is always tiny (TakeOrderedAndProject, no global
+    * sort materialization), so downstream merges broadcast it. */
+  private def applyLimit(df: DataFrame, pk: Seq[String],
+                         limit: Option[Int]): DataFrame =
+    limit.fold(df)(n => df.orderBy(pk.map(F.col(_).asc): _*).limit(n))
 
   /** S8 — UPSERT (`save()`, `model.php:873-885`): full-schema `rows`
     * replace matching pk rows and append the rest. Row-wise:

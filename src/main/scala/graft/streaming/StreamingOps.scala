@@ -8,17 +8,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   * first-occurrence dedup and custom per-key state via
   * `flatMapGroupsWithState`.
   *
-  * Scale notes: streaming `dropDuplicates` keeps one state entry per
-  * key for the lifetime of the query (bound it with a watermark +
-  * key-with-event-time in production); the fingerprint is 32 hex chars
-  * — state is tiny and constant per document regardless of text size.
+  * Scale notes: both operators bound their state — streaming state
+  * that only grows is a slow-motion OOM on a real 100 TB stream. The
+  * dedup keeps one 32-hex-char fingerprint per document within the
+  * watermark horizon (`dropDuplicatesWithinWatermark`: state entries
+  * expire once the watermark passes them); the per-user totals carry a
+  * processing-time timeout so idle keys are evicted.
   */
 object StreamingOps {
 
   /** Streaming exact dedup over the documents stream: emits the first
     * occurrence of each content fingerprint (md5 of normalized text).
     * Append-mode stateful dedup — the streaming twin of
-    * [[graft.operators.Dedup.exactDedup]]. */
+    * [[graft.operators.Dedup.exactDedup]].
+    *
+    * State is watermark-bounded: the ingest timestamp (derived
+    * deterministically from the arrival order here; wall-clock in
+    * production) carries a 1-hour watermark and
+    * `dropDuplicatesWithinWatermark` drops fingerprint entries once
+    * the watermark passes them — duplicates arriving farther apart
+    * than the horizon are both emitted, the documented trade for
+    * bounded state. */
   def streamingDedup(spark: SparkSession, sfDir: String,
                      queryName: String = "stream_dedup"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -29,8 +39,13 @@ object StreamingOps {
     val stream = spark.readStream.schema(physSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
-      .select(F.col("doc_id"), Text.fingerprint(F.col("text")).as("fp"))
-      .dropDuplicates("fp")
+      .select(F.col("doc_id"), Text.fingerprint(F.col("text")).as("fp"),
+        // deterministic stand-in for the ingest time: one second per
+        // document in arrival (doc_id) order
+        F.timestamp_seconds(F.col("doc_id")).as("ingest_ts"))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("ingest_ts")
     val q = stream.writeStream
       .outputMode("append")
       .format("memory")
