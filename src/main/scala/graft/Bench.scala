@@ -31,18 +31,27 @@ object Bench {
     }
     // median of 3 timed passes per query: one contended/GC-unlucky
     // pass on a shared box can otherwise record a 10-40x outlier and
-    // poison the recorded baseline for every later round
+    // poison the recorded baseline for every later round.
+    // Passes are INTERLEAVED round-robin (pass 1 of every query, then
+    // pass 2, ...): back-to-back passes of one query all land in the
+    // same contended stretch of a shared box, so a per-query median
+    // alone cannot remove a box-noise episode — spreading each
+    // query's samples across the whole run can.
     val passes = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until passes).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(passes / 2)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = Array.fill(names.size)(Vector.empty[Double])
+    for (_ <- 0 until passes; i <- names.indices) {
+      val (name, fn) = names(i)
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      samples(i) :+= (System.nanoTime() - t0) / 1e9
+    }
+    val results = names.indices.map { i =>
+      val sorted = samples(i).sorted
+      names(i)._1 -> sorted(sorted.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -24,6 +24,11 @@ object Extensions {
 
   private val MINHASH_K = 16
   private val MINHASH_BANDS = 4
+  private val NGRAM_BANDS = 8 // 8 bands × 2 rows — recall for the 0.5 threshold
+  private val SIGNLSH_PLANES = 16
+  private val SIGNLSH_BANDS = 4
+  private val ANN_CENT_STRIDE = 61 // every 61st vector is a centroid
+  private val ANN_NPROBE = 2
 
   private val stopSql = Text.stopwords.map { case (l, ws) =>
     l -> ws.mkString("['", "', '", "']")
@@ -155,17 +160,22 @@ object Extensions {
       Dedup.exactGroups(Tables.scan(s, dir, "documents"), "doc_id", "text",
         minCount = 1)),
 
+    // exact Jaccard verified on MinHash-LSH candidates — runs uncapped
+    // over the FULL corpus (the banding bounds the candidate space;
+    // the exact intersection touches candidate pairs only)
     "x_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(
-        Tables.scan(s, dir, "documents").filter(F.col("doc_id") < 300),
-        "doc_id", "text", threshold = 0.9)),
+      Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.9,
+        k = MINHASH_K, bands = MINHASH_BANDS)),
 
     // word-trigram shingle Jaccard: order-sensitive near-dup — the
-    // shingle unit separates true edits/reorders from shared vocabulary
+    // shingle unit separates true edits/reorders from shared
+    // vocabulary. More, narrower bands (8×2) than the word-level query:
+    // the 0.5 threshold needs the higher capture probability.
     "x_dedup_ngram" -> ((s, dir) =>
-      Dedup.jaccardPairs(
-        Tables.scan(s, dir, "documents").filter(F.col("doc_id") < 300),
+      Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
         "doc_id", "text", threshold = 0.5,
+        k = MINHASH_K, bands = NGRAM_BANDS,
         terms = Text.distinctShingles(_, 3))),
 
     "x_minhash_sig" -> ((s, dir) =>
@@ -173,8 +183,7 @@ object Extensions {
         "doc_id", "text", k = MINHASH_K)),
 
     "x_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(
-        Tables.scan(s, dir, "documents").filter(F.col("doc_id") < 200),
+      Dedup.minhashPairs(Tables.scan(s, dir, "documents"),
         "doc_id", "text", k = MINHASH_K, bands = MINHASH_BANDS,
         threshold = 0.75)),
 
@@ -183,8 +192,7 @@ object Extensions {
         bits = 32)),
 
     "x_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(
-        Tables.scan(s, dir, "documents").filter(F.col("doc_id") < 200),
+      Dedup.simhashPairs(Tables.scan(s, dir, "documents"),
         "doc_id", "text", bits = 32, maxHamming = 3)),
 
     // ---- similarity search ----
@@ -194,17 +202,23 @@ object Extensions {
         "vec_id", "embedding", k = 10)
     }),
 
+    // sign-LSH banded near-dup: hyperplane sign buckets prefilter the
+    // pair space (equi-join on (band_idx, bucket)); exact cosine
+    // verifies candidates only — no all-pairs nested loop
     "x_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.scan(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.45)),
+        "vec_id", "embedding", threshold = 0.45,
+        planes = SIGNLSH_PLANES, bands = SIGNLSH_BANDS)),
 
-    // IVF ANN — scale path; approximate by construction, so checked
-    // rows-only (no closed-form ANSI oracle for recall-bounded output)
+    // IVF ANN — scale path. Centroids: every 61st vector (stride
+    // sampling: deterministic, spread across the corpus, oracle-
+    // expressible); assignment is a map-side argmax over centroid
+    // literals; the oracle replays the identical cells + probing.
     "x_ann_ivf" -> ((s, dir) => {
       val emb = Tables.scan(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < 5),
-        emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
-        k = 10, nprobe = 2)
+        emb.filter(F.col("vec_id") % ANN_CENT_STRIDE === 0),
+        "vec_id", "embedding", k = 10, nprobe = ANN_NPROBE)
     }),
 
     // ---- events: windowed aggregation (batch) + streaming twin ----
@@ -237,20 +251,108 @@ object Extensions {
       Multimodal.metaColumns(Tables.scan(s, dir, "documents"), "doc_id", "text"))
   )
 
-  def oracleSql: Map[String, String] = {
+  /** k min-hash aggregate expressions (same universal-hash literals
+    * as [[Dedup.minhashA]]/[[Dedup.minhashB]] — bit-identical sigs). */
+  private def mhMinsSql: String = {
     val P = Dedup.MINHASH_P
-    val mhMins = (0 until MINHASH_K)
+    (0 until MINHASH_K)
       .map(i => s"min((${Dedup.minhashA(i)} * (${h60("tok")} % $P) + " +
         s"${Dedup.minhashB(i)}) % $P) AS mh$i").mkString(", ")
-    val rowsPerBand = MINHASH_K / MINHASH_BANDS
-    val bandRows = (0 until MINHASH_BANDS).map { b =>
+  }
+
+  /** One UNION ALL branch per band over a `sig` CTE — mirrors
+    * [[Dedup]]'s banding (md5 over ','-joined band hashes). */
+  private def bandRowsSql(bands: Int): String = {
+    val rowsPerBand = MINHASH_K / bands
+    (0 until bands).map { b =>
       val cat = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash, " +
         (0 until MINHASH_K).map(i => s"mh$i").mkString(", ") + " FROM sig"
     }.mkString(" UNION ALL ")
-    val estTerms = (0 until MINHASH_K)
-      .map(i => s"CASE WHEN l.mh$i = r.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+  }
+
+  /** Full LSH-candidate exact-Jaccard pipeline (the DuckDB twin of
+    * [[Dedup.jaccardPairsLsh]]): `toksCte` must define a CTE chain
+    * ending in `toks(doc_id, tok)`. */
+  private def jaccardLshSql(toksCte: String, bands: Int,
+                            threshold: Double): String =
+    s"WITH $toksCte, " +
+      s"sig AS (SELECT doc_id, $mhMinsSql FROM toks GROUP BY doc_id), " +
+      s"bands AS (${bandRowsSql(bands)}), " +
+      "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+      "FROM bands l JOIN bands r ON l.band_idx = r.band_idx " +
+      "AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), " +
+      "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), " +
+      "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c " +
+      "JOIN toks a ON a.doc_id = c.id_a " +
+      "JOIN toks b ON b.doc_id = c.id_b AND b.tok = a.tok GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard FROM inter " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      s"WHERE i * 1.0 / (sa.sz + sb.sz - i) >= $threshold"
+
+  /** DuckDB twin of [[Similarity.hyperplane]]: ±1 weight list for
+    * sign-LSH plane p, seeded by the same md5 keys. */
+  private def hyperplaneSql(p: Int): String =
+    "list_transform(range(0, len(embedding)), j -> CASE WHEN " +
+      s"(CAST('0x' || substr(md5('hp' || $p || '_' || j), 1, 15) AS BIGINT) & 1) = 0 " +
+      "THEN 1.0 ELSE -1.0 END)"
+
+  /** Sign-LSH banded near-dup pipeline (DuckDB twin of
+    * [[Similarity.nearDupPairs]]). */
+  private def nearDupLshSql(planes: Int, bands: Int,
+                            threshold: Double): String = {
+    val bitsPerBand = planes / bands
+    val bitCols = (0 until planes).map { p =>
+      "CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+        s"${hyperplaneSql(p)}), 6) >= 0 THEN 1 ELSE 0 END AS bit$p"
+    }.mkString(", ")
+    val bandRows = (0 until bands).map { b =>
+      val bucket = (0 until bitsPerBand)
+        .map(i => s"bit${b * bitsPerBand + i} * ${1 << i}").mkString(" + ")
+      s"SELECT vec_id, $b AS band_idx, $bucket AS bucket FROM sb"
+    }.mkString(" UNION ALL ")
+    val sim = "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+      "CAST(b.embedding AS DOUBLE[])), 6)"
+    s"WITH sb AS (SELECT vec_id, embedding, $bitCols FROM embeddings), " +
+      s"banded AS ($bandRows), " +
+      "cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b " +
+      "FROM banded l JOIN banded r ON l.band_idx = r.band_idx " +
+      "AND l.bucket = r.bucket AND l.vec_id < r.vec_id) " +
+      s"SELECT c.id_a, c.id_b, $sim AS sim FROM cand c " +
+      "JOIN embeddings a ON a.vec_id = c.id_a " +
+      "JOIN embeddings b ON b.vec_id = c.id_b " +
+      s"WHERE $sim >= $threshold"
+  }
+
+  /** IVF ANN pipeline (DuckDB twin of [[Similarity.ivfTopK]] with
+    * stride-sampled centroids): identical cells, probing, and
+    * tie-breaks. */
+  private def ivfSql(stride: Int, nprobe: Int, k: Int): String = {
+    val csim = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(c.cvec AS DOUBLE[])), 6)"
+    s"WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec " +
+      s"FROM embeddings WHERE vec_id % $stride = 0), " +
+      "asgn AS (SELECT e.vec_id, e.embedding, c.cent_id, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, c.cent_id ASC) AS rn " +
+      "FROM embeddings e CROSS JOIN cents c), " +
+      "ccells AS (SELECT vec_id AS match_id, embedding AS c_vec, cent_id AS cell " +
+      "FROM asgn WHERE rn = 1), " +
+      "qcells AS (SELECT vec_id AS query_id, embedding AS q_vec, cent_id AS cell " +
+      s"FROM asgn WHERE vec_id < 5 AND rn <= $nprobe), " +
+      "cand AS (SELECT q.query_id, cc.match_id, " +
+      "round(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), " +
+      "CAST(cc.c_vec AS DOUBLE[])), 6) AS sim " +
+      "FROM qcells q JOIN ccells cc USING (cell) WHERE cc.match_id <> q.query_id) " +
+      "SELECT query_id, match_id, sim, rank FROM (" +
+      "SELECT query_id, match_id, sim, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rank FROM cand) " +
+      s"WHERE rank <= $k"
+  }
+
+  def oracleSql: Map[String, String] = {
+    val mhMins = mhMinsSql
+    val bandRows = bandRowsSql(MINHASH_BANDS)
     val simhashBitSums = (0 until 32)
       .map(b => s"sum(CASE WHEN (h & ${1L << b}) <> 0 THEN 1 ELSE -1 END) AS s$b")
       .mkString(", ")
@@ -348,33 +450,23 @@ object Extensions {
       "x_dedup_exact" ->
         ("SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp, " +
           "min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY fp"),
-      "x_dedup_jaccard" ->
-        ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + " WHERE doc_id < 300) WHERE tok <> ''), " +
-          "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), " +
-          "inter AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i " +
-          "FROM toks l JOIN toks r ON l.tok = r.tok AND l.doc_id < r.doc_id GROUP BY 1, 2) " +
-          "SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard FROM inter " +
-          "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
-          "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.9"),
-      "x_dedup_ngram" ->
-        ("WITH sh AS (SELECT doc_id, unnest(list_distinct(" +
+      "x_dedup_jaccard" -> jaccardLshSql(
+        "toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> '')",
+        MINHASH_BANDS, 0.9),
+      "x_dedup_ngram" -> jaccardLshSql(
+        "sh AS (SELECT doc_id, unnest(list_distinct(" +
           "CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), " +
           "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) " +
           "ELSE [array_to_string(t, ' ')] END)) AS tok FROM " +
           "(SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t " +
-          "FROM documents WHERE doc_id < 300)), " +
-          "toks AS (SELECT doc_id, tok FROM sh WHERE tok <> ''), " +
-          "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), " +
-          "inter AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i " +
-          "FROM toks l JOIN toks r ON l.tok = r.tok AND l.doc_id < r.doc_id GROUP BY 1, 2) " +
-          "SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard FROM inter " +
-          "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
-          "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5"),
+          "FROM documents)), " +
+          "toks AS (SELECT doc_id, tok FROM sh WHERE tok <> '')",
+        NGRAM_BANDS, 0.5),
       "x_minhash_sig" ->
         ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> '') " +
           s"SELECT doc_id, $mhMins FROM toks GROUP BY doc_id"),
       "x_minhash_pairs" ->
-        ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + " WHERE doc_id < 200) WHERE tok <> ''), " +
+        ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> ''), " +
           s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
           s"bands AS ($bandRows), " +
           "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, " +
@@ -390,7 +482,7 @@ object Extensions {
           s"bitsums AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id) " +
           s"SELECT doc_id, $simhashAssemble AS simhash FROM bitsums"),
       "x_simhash_pairs" ->
-        ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + " WHERE doc_id < 200) WHERE tok <> ''), " +
+        ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> ''), " +
           s"h AS (SELECT doc_id, ${h60("tok")} AS h FROM toks), " +
           s"bitsums AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id), " +
           s"sig AS (SELECT doc_id, $simhashAssemble AS simhash FROM bitsums) " +
@@ -406,11 +498,8 @@ object Extensions {
           "c.vec_id ASC) AS rank " +
           "FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id " +
           "WHERE q.vec_id < 5) WHERE rank <= 10"),
-      "x_embed_neardup" ->
-        ("SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-          "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim " +
-          "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
-          "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45"),
+      "x_embed_neardup" -> nearDupLshSql(SIGNLSH_PLANES, SIGNLSH_BANDS, 0.45),
+      "x_ann_ivf" -> ivfSql(ANN_CENT_STRIDE, ANN_NPROBE, 10),
       "x_window_tumbling" ->
         ("SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
           "event_type, count(*) AS n, sum(value) AS sum_value FROM events " +

@@ -108,6 +108,20 @@ object SparkEntry {
         base("o_custkey") === badCust("c_custkey"), "left_semi")
       Writes.delete(base, victims, Seq("o_orderkey"))
     }),
+    // reference LIMIT-n DML (`model.php:775,831`, compiled at
+    // `model.php:1213-1217,1248-1252`): delta/victim set restricted to
+    // its first n rows by primary key
+    "s6b_update_limit" -> ((s, dir) => {
+      val base = Tables.scan(s, dir, "orders")
+      val delta = base.filter(F.col("o_orderstatus") === "P")
+        .select(F.col("o_orderkey"), F.lit("1-URGENT").as("o_orderpriority"))
+      Writes.update(base, delta, Seq("o_orderkey"), limit = Some(5))
+    }),
+    "s7b_delete_limit" -> ((s, dir) => {
+      val base = Tables.scan(s, dir, "orders")
+      val victims = base.filter(F.col("o_orderstatus") === "F")
+      Writes.delete(base, victims, Seq("o_orderkey"), limit = Some(10))
+    }),
     "s8_upsert" -> ((s, dir) => {
       val base = Tables.scan(s, dir, "orders")
       val updates = base.filter(F.col("o_orderkey") <= 10L)
@@ -143,7 +157,30 @@ object SparkEntry {
         F.col("n_nationkey"),
         F.to_json(F.struct(F.col("n_nationkey"), F.col("n_name"))).as("js"))),
     "f10_validate" -> ((s, dir) =>
-      Validate.report(Tables.scan(s, dir, "customer"), Catalog("customer")))
+      Validate.report(Tables.scan(s, dir, "customer"), Catalog("customer"))),
+    // FEmail + FBool end-to-end: the customer_profile model derives a
+    // validated email (EmailRule: both pass and fail rows exist by
+    // construction) and a boolean rendered through FBool's Yes/No
+    // verbose (field/email.php, field/boolean.php:13-33)
+    "f12_email_bool" -> ((s, dir) => {
+      val t = Catalog("customer_profile")
+      Validate.report(Tables.scan(s, dir, "customer_profile"), t)
+        .withColumn("active_verbose",
+          t.field("c_active").ftype.verbose(F.col("c_active")))
+    }),
+
+    // ---- SQL surface: registered views + native graft expressions ----
+    "sql_group_agg" -> ((s, dir) => {
+      Tables.scan(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "count(*) AS n_rows FROM lineitem_v GROUP BY l_returnflag, l_linestatus")
+    }),
+    "sql_dot_product" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      Tables.scan(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql("SELECT vec_id, round(dot_product(embedding, embedding), 6) AS sq_norm " +
+        "FROM embeddings_v")
+    })
   ) ++ Extensions.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -199,6 +236,15 @@ object SparkEntry {
     "s7_delete" ->
       (s"SELECT $ordersCols FROM orders WHERE NOT EXISTS " +
         "(SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_nationkey = 3)"),
+    "s6b_update_limit" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+        "CASE WHEN o_orderkey IN (SELECT o_orderkey FROM orders " +
+        "WHERE o_orderstatus = 'P' ORDER BY o_orderkey ASC LIMIT 5) " +
+        "THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority FROM orders"),
+    "s7b_delete_limit" ->
+      (s"SELECT $ordersCols FROM orders WHERE o_orderkey NOT IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' " +
+        "ORDER BY o_orderkey ASC LIMIT 10)"),
     "s8_upsert" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
         "CASE WHEN o_orderkey <= 10 THEN '5-LOW' ELSE o_orderpriority END AS o_orderpriority " +
@@ -230,6 +276,26 @@ object SparkEntry {
         " CASE WHEN (c_name IS NULL OR length(c_name) <= 127) THEN 0 ELSE 1 END + " +
         " CASE WHEN (c_acctbal IS NULL OR (c_acctbal >= -1000.0 AND c_acctbal <= 10000.0)) THEN 0 ELSE 1 END + " +
         " CASE WHEN (c_mktsegment IS NULL OR c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')) THEN 0 ELSE 1 END) " +
-        "::INTEGER AS n_errors FROM customer")
+        "::INTEGER AS n_errors FROM customer"),
+    "f12_email_bool" -> {
+      val emailRe = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+      ("SELECT c_custkey, c_email, c_active, " +
+        "(c_email IS NOT NULL AND trim(c_email) <> '') AS ok_c_email_not_empty, " +
+        s"(c_email IS NULL OR regexp_matches(c_email, '$emailRe')) AS ok_c_email_email, " +
+        "(CASE WHEN (c_email IS NOT NULL AND trim(c_email) <> '') THEN 0 ELSE 1 END + " +
+        s" CASE WHEN (c_email IS NULL OR regexp_matches(c_email, '$emailRe')) THEN 0 ELSE 1 END" +
+        ")::INTEGER AS n_errors, " +
+        "CASE WHEN c_active THEN 'Yes' ELSE 'No' END AS active_verbose FROM (" +
+        "SELECT c_custkey, regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') || " +
+        "CASE WHEN right(c_name, 1) IN ('0', '5') THEN '@invalid' " +
+        "ELSE '@example.com' END AS c_email, " +
+        "c_acctbal > 0 AS c_active FROM customer)")
+    },
+    "sql_group_agg" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "sql_dot_product" ->
+      ("SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+        "CAST(embedding AS DOUBLE[])), 6) AS sq_norm FROM embeddings")
   ) ++ Extensions.oracleSql
 }

@@ -77,24 +77,29 @@ final case class ModelQuery(
   }
 
   /** Delta UPDATE of the QBE-selected rows (S6): `sets` are the
-    * changed columns only. */
-  def update(sets: Map[String, Column]): DataFrame = {
+    * changed columns only. `limit` is the reference's LIMIT-n DML
+    * clause (`model.php:775`, default `$limit = 1` there) — pass
+    * `Some(1)` for reference-default single-row semantics; graft's
+    * default is the set-oriented unlimited update (documented
+    * divergence, SURVEY §7). */
+  def update(sets: Map[String, Column], limit: Option[Int] = None): DataFrame = {
     val base = Tables.scan(spark, sfDir, table)
     val pk = t.primaryKeys.map(_.name)
     var selected = base.filter(Read.qbe(t, example))
     extra.foreach(p => selected = selected.filter(p))
     val delta = selected.select(
       (pk.map(F.col) ++ sets.map { case (c, e) => e.as(c) }).toSeq: _*)
-    Writes.update(base, delta, pk)
+    Writes.update(base, delta, pk, limit)
   }
 
-  /** DELETE of the QBE/predicate-selected rows (S7). */
-  def delete(): DataFrame = {
+  /** DELETE of the QBE/predicate-selected rows (S7); `limit` as in
+    * [[update]] (`model.php:831`). */
+  def delete(limit: Option[Int] = None): DataFrame = {
     val base = Tables.scan(spark, sfDir, table)
     val pk = t.primaryKeys.map(_.name)
     var victims = base.filter(Read.qbe(t, example))
     extra.foreach(p => victims = victims.filter(p))
-    Writes.delete(base, victims, pk)
+    Writes.delete(base, victims, pk, limit)
   }
 
   /** UPSERT (S8, `save()`). */

@@ -64,47 +64,55 @@ object Dedup {
     toks.groupBy(idCol).agg(mins.head, mins.tail: _*)
   }
 
-  /** MinHash-LSH near-duplicate pairs.
-    *
-    * Bands the k-wide signature into `bands` groups of k/bands rows;
-    * two docs are candidates iff they agree on ALL hashes of at least
-    * one band (classic LSH banding). Candidates are then scored by
-    * the signature-estimated Jaccard (matching minhash fraction) and
-    * kept when ≥ `threshold`.
-    *
-    * The band join key is a single md5 over the band's hashes —
-    * constant-width shuffle rows regardless of k. */
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 16, bands: Int = 4,
-                   threshold: Double = 0.7,
-                   terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
+  /** LSH banding over a signature frame: one row per (id, band),
+    * keyed by md5 over the band's hashes — constant-width shuffle rows
+    * regardless of k. Carries the full signature array alongside for
+    * estimated-Jaccard scoring. */
+  private def bandSignatures(sig: DataFrame, idCol: String,
+                             k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, k, terms)
-
     val bandCols = (0 until bands).map { b =>
       val hs = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => F.col(s"mh$i").cast("string"))
       F.struct(F.lit(b).as("band_idx"),
         F.md5(F.concat_ws(",", hs: _*)).as("band_hash")).as(s"b$b")
     }
-    val banded = sig.select(F.col(idCol) +: (0 until k).map(i => F.col(s"mh$i")) :+
+    sig.select(F.col(idCol) +: (0 until k).map(i => F.col(s"mh$i")) :+
       F.explode(F.array(bandCols: _*)).as("band"): _*)
       .select(F.col(idCol), F.col("band.band_idx").as("band_idx"),
         F.col("band.band_hash").as("band_hash"),
         F.array((0 until k).map(i => F.col(s"mh$i")): _*).as("sig"))
+  }
 
+  /** Candidate pairs from LSH banding: two docs are candidates iff
+    * they agree on ALL hashes of at least one band. The self-join is
+    * an equi-join on (band_idx, band_hash) — pair volume is governed
+    * by band selectivity, never the full n² cross space. */
+  private def bandCandidates(banded: DataFrame, idCol: String): DataFrame = {
     val l = banded.alias("l")
     val r = banded.alias("r")
-    val cand = l.join(r,
+    l.join(r,
         F.col("l.band_idx") === F.col("r.band_idx") &&
         F.col("l.band_hash") === F.col("r.band_hash") &&
         F.col(s"l.$idCol") < F.col(s"r.$idCol"))
       .select(F.col(s"l.$idCol").as("id_a"), F.col(s"r.$idCol").as("id_b"),
         F.col("l.sig").as("sig_a"), F.col("r.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
+  }
 
-    cand
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * Bands the k-wide signature into `bands` groups of k/bands rows;
+    * candidates (see [[bandCandidates]]) are scored by the
+    * signature-estimated Jaccard (matching minhash fraction) and
+    * kept when ≥ `threshold`. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.7,
+                   terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, k, terms)
+    bandCandidates(bandSignatures(sig, idCol, k, bands), idCol)
       .withColumn("est_jaccard",
         F.aggregate(F.zip_with(F.col("sig_a"), F.col("sig_b"),
             (x, y) => F.when(x === y, 1).otherwise(0)),
@@ -162,9 +170,9 @@ object Dedup {
   }
 
   /** Exact token-set Jaccard pairs ≥ threshold. Quadratic in the
-    * worst case — callers pre-filter to a candidate set (or feed LSH
-    * candidates); the join is on shared tokens so disjoint docs never
-    * pair. */
+    * worst case (`Σ df(tok)²` over the inverted-token self-join) —
+    * callers MUST pre-filter to a bounded candidate set; the scale
+    * path is [[jaccardPairsLsh]]. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double,
                    terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
@@ -177,6 +185,44 @@ object Dedup {
         F.col("l.tok") === F.col("r.tok") && F.col(s"l.$idCol") < F.col(s"r.$idCol"))
       .groupBy(F.col(s"l.$idCol").as("id_a"), F.col(s"r.$idCol").as("id_b"))
       .agg(F.count(F.lit(1)).as("inter"))
+    withJaccard(inter, sizes, idCol, threshold)
+  }
+
+  /** Exact Jaccard verified on MinHash-LSH candidates (scale path).
+    *
+    * Candidate generation is the [[minhashPairs]] banding — an
+    * equi-join on band hashes whose pair volume is governed by band
+    * selectivity (tune k/bands to the target threshold: wider bands →
+    * higher precision, more bands → higher recall). The exact
+    * intersection then runs ONLY over candidate pairs: `cand ⋈ toks_a
+    * ⋈ toks_b` costs Σ over candidates of |tokens(a)|, never the
+    * `Σ df(tok)²` of the all-pairs inverted join — this is what lets
+    * the operator run uncapped over the full corpus.
+    *
+    * Recall is the LSH capture probability `1-(1-j^r)^b` at true
+    * Jaccard j (r = k/bands rows per band) — a documented trade, and
+    * deterministic: the DuckDB oracle replays the identical banding. */
+  def jaccardPairsLsh(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, k: Int = 16, bands: Int = 4,
+                      terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, k, terms)
+    val cand = bandCandidates(bandSignatures(sig, idCol, k, bands), idCol)
+      .select("id_a", "id_b")
+    val toks = df.select(F.col(idCol),
+        F.explode(terms(F.col(textCol))).as("tok"))
+      .filter(F.col("tok") =!= "")
+    val sizes = toks.groupBy(idCol).agg(F.count(F.lit(1)).as("sz"))
+    val inter = cand
+      .join(toks.select(F.col(idCol).as("id_a"), F.col("tok")), Seq("id_a"))
+      .join(toks.select(F.col(idCol).as("id_b"), F.col("tok")), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b")
+      .agg(F.count(F.lit(1)).as("inter"))
+    withJaccard(inter, sizes, idCol, threshold)
+  }
+
+  /** Shared tail: attach set sizes, compute |∩|/|∪|, filter. */
+  private def withJaccard(inter: DataFrame, sizes: DataFrame, idCol: String,
+                          threshold: Double): DataFrame =
     inter
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -184,5 +230,4 @@ object Dedup {
         (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"))
       .filter(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 }

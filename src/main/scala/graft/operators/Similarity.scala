@@ -86,26 +86,66 @@ object Similarity {
       .toDF("query_id", "match_id", "sim", "rank")
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold over all
-    * pairs of the given frame (callers bound the frame or pre-bucket;
-    * the pair space is quadratic). `a < b` canonical orientation. */
+  /** Deterministic 60-bit md5 hash of a string — the Scala-side twin
+    * of `Text.hash60` (same value as DuckDB
+    * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`), used to seed the
+    * sign-LSH hyperplanes reproducibly on both engines. */
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Rademacher (±1) hyperplane weights for sign-LSH: component d of
+    * plane p is +1 iff bit 0 of md5("hp{p}_{d}") is 0 — reproducible
+    * in any engine with md5. */
+  private[graft] def hyperplane(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => if ((hash60(s"hp${p}_$d") & 1L) == 0L) 1.0 else -1.0)
+
+  /** Embedding near-duplicate pairs ≥ cosine threshold, banded by
+    * random-hyperplane sign buckets (SimHash-for-vectors).
+    *
+    * Each vector gets `planes` sign bits (sign of the dot product
+    * against an md5-seeded ±1 hyperplane); the bits are grouped into
+    * `bands` buckets and two vectors are candidates iff they agree on
+    * ALL bits of at least one band — an equi-join on (band_idx,
+    * bucket), never the n² cross space. Exact cosine then verifies
+    * candidates only.
+    *
+    * Recall at true angle θ is `1-(1-(1-θ/π)^r)^b` (r bits per band)
+    * — a documented trade, deterministic on both engines: the DuckDB
+    * oracle replays the identical hyperplanes and banding. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double): DataFrame = {
-    // the pair join broadcasts the right side and streams the left;
-    // a small corpus often arrives as ONE input split, which would
-    // serialize the whole O(n²) pair loop on a single task — spread
-    // the streamed side first (only when it is under-partitioned; a
-    // large pre-split corpus keeps its layout)
-    val para = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < para) df.repartition(para) else df
-    val l = spread
-      .select(F.col(idCol).as("id_a"), F.col(vecCol).as("v_a"),
-        norm(F.col(vecCol)).as("n_a"))
-    val r = df.select(F.col(idCol).as("id_b"), F.col(vecCol).as("v_b"),
-      norm(F.col(vecCol)).as("n_b"))
-    // pin BuildRight so AQE can't flip the broadcast onto the side we
-    // just spread out
-    l.join(F.broadcast(r), F.col("id_a") < F.col("id_b"))
+                   threshold: Double, planes: Int = 16,
+                   bands: Int = 4): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val bitsPerBand = planes / bands
+    // O(1) scalar probe for the embedding width (drives the literal
+    // weight vectors; never collects data rows)
+    val dim = df.select(F.size(F.col(vecCol))).head().getInt(0)
+    val bits = (0 until planes).map { p =>
+      F.when(F.round(dot(F.col(vecCol), F.typedlit(hyperplane(p, dim))), 6) >= 0, 1)
+        .otherwise(0).as(s"__bit$p")
+    }
+    val signed = df.select(F.col(idCol) +: F.col(vecCol) +: bits: _*)
+    val bandCols = (0 until bands).map { b =>
+      val bucket = (0 until bitsPerBand)
+        .map(i => F.col(s"__bit${b * bitsPerBand + i}") * (1 << i))
+        .reduce(_ + _)
+      F.struct(F.lit(b).as("band_idx"), bucket.as("bucket")).as(s"bb$b")
+    }
+    val banded = signed
+      .select(F.col(idCol), F.col(vecCol),
+        F.explode(F.array(bandCols: _*)).as("bb"))
+      .select(F.col(idCol), F.col(vecCol),
+        F.col("bb.band_idx").as("band_idx"), F.col("bb.bucket").as("bucket"))
+    val l = banded.select(F.col(idCol).as("id_a"), F.col(vecCol).as("v_a"),
+      norm(F.col(vecCol)).as("n_a"), F.col("band_idx"), F.col("bucket"))
+    val r = banded.select(F.col(idCol).as("id_b"), F.col(vecCol).as("v_b"),
+      norm(F.col(vecCol)).as("n_b"), F.col("band_idx"), F.col("bucket"))
+    l.join(r, Seq("band_idx", "bucket"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("sim", F.round(
         dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6))
       .filter(F.col("sim") >= threshold)
@@ -114,42 +154,69 @@ object Similarity {
 
   /** IVF-style ANN (scale path).
     *
-    * Coarse quantization: `centroids` (small, broadcast) partition the
-    * corpus into cells by nearest-centroid; each query probes its
-    * `nprobe` nearest cells and ranks only those candidates. Recall
-    * trades off with nprobe; the corpus-side assignment is one
-    * broadcast-join pass, the search shuffles only probed cells.
+    * Coarse quantization: `centroids` (small by contract — a sample
+    * or upstream k-means; collected once and shipped as literal
+    * vectors) partition the corpus into cells by nearest-centroid;
+    * each query probes its `nprobe` nearest cells and ranks only
+    * those candidates.
     *
-    * Centroid selection is the caller's policy (k-means upstream, or
-    * a deterministic sample); this operator only does the assignment
-    * + probed search. */
+    * Cell assignment is a per-row argmax over the centroid literals —
+    * pure map-side work inside codegen, ZERO exchange (the previous
+    * formulation exploded corpus × centroids through a `row_number`
+    * window shuffle). The only shuffle left is the final per-query
+    * rank over probed-cell candidates. Ties on cell similarity go to
+    * the lower centroid id on both engines (lexicographic max over
+    * `(csim, -cent_id)` here; `ORDER BY csim DESC, cent_id ASC` in
+    * the oracle). Recall trades off with nprobe by construction. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val cents = F.broadcast(centroids.select(
-      F.col(idCol).as("cent_id"), F.col(vecCol).as("cent_vec")))
+    // centroids are small by contract: one driver collect, then
+    // literal vectors (precomputed norms) — never a per-row join
+    val cents: Array[(Long, Seq[Float], Double)] = centroids
+      .select(F.col(idCol).cast("long"), F.col(vecCol))
+      .collect()
+      .map { r =>
+        val cid = r.getLong(0)
+        val cv = r.getSeq[Float](1)
+        // same arithmetic as norm(): left-to-right double accumulation
+        var acc = 0.0; cv.foreach(x => acc += x.toDouble * x.toDouble)
+        (cid, cv, math.sqrt(acc))
+      }
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfTopK needs at least one centroid")
 
-    def nearestCells(df: DataFrame, id: String, vec: String, n: Int,
-                     outId: String): DataFrame = {
-      val w = Window.partitionBy(id)
-        .orderBy(F.col("csim").desc, F.col("cent_id").asc)
-      df.select(F.col(id), F.col(vec))
-        .join(cents, F.lit(true))
-        .withColumn("csim", F.round(cosine(F.col(vec), F.col("cent_vec")), 6))
-        .withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= n)
-        .select(F.col(id).as(outId), F.col("cent_id").as("cell"), F.col(vec))
-    }
+    /** (csim, -cent_id) structs for every centroid — lexicographic
+      * max/sort picks best similarity, ties to the LOWER id. */
+    def cellStructs(vec: Column, nrm: Column): Seq[Column] =
+      cents.toSeq.map { case (cid, cv, cnorm) =>
+        F.struct(
+          F.round(dot(vec, F.typedlit(cv)) / (nrm * F.lit(cnorm)), 6).as("csim"),
+          F.lit(-cid).as("neg_id"))
+      }
 
-    val corpusCells = nearestCells(corpus, idCol, vecCol, 1, "match_id")
-      .withColumnRenamed(vecCol, "c_vec")
-    val queryCells = nearestCells(queries, idCol, vecCol, nprobe, "query_id")
-      .withColumnRenamed(vecCol, "q_vec")
+    val corpusCells = corpus
+      .select(F.col(idCol).as("match_id"), F.col(vecCol).as("c_vec"),
+        norm(F.col(vecCol)).as("c_nrm"))
+      .withColumn("cell",
+        -F.array_max(F.array(cellStructs(F.col("c_vec"), F.col("c_nrm")): _*))
+          .getField("neg_id"))
+
+    val queryCells = queries
+      .select(F.col(idCol).as("query_id"), F.col(vecCol).as("q_vec"),
+        norm(F.col(vecCol)).as("q_nrm"))
+      .withColumn("probed", F.slice(
+        F.sort_array(F.array(cellStructs(F.col("q_vec"), F.col("q_nrm")): _*),
+          asc = false), 1, nprobe))
+      .withColumn("pc", F.explode(F.col("probed")))
+      .select(F.col("query_id"), F.col("q_vec"), F.col("q_nrm"),
+        (-F.col("pc.neg_id")).as("cell"))
 
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("sim").desc, F.col("match_id").asc)
     corpusCells.join(F.broadcast(queryCells), Seq("cell"))
       .filter(F.col("match_id") =!= F.col("query_id"))
-      .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+      .withColumn("sim", F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6))
       .withColumn("rank", F.row_number().over(w).cast("long"))
       .filter(F.col("rank") <= k)
       .select("query_id", "match_id", "sim", "rank")

@@ -63,6 +63,26 @@ object Catalog {
       // README.md:161-170 full_name-style computed column
       "c_label" -> (_ => F.trim(F.concat_ws(" ", F.col("c_name"), F.col("c_mktsegment")))))))
 
+  // email + boolean field types end-to-end (reference README.md:42-49,
+  // field/email.php, field/boolean.php:13-33): a second model over the
+  // stored customer table (storage override) deriving a validated
+  // email and a Yes/No boolean from existing physical columns.
+  register(TableDef("customer_profile",
+    storage = Some("customer"),
+    fields = Seq(
+      Field("c_custkey", FAuto, primary = true, unique = true, nullable = false),
+      // deterministic synthetic email: names ending in 0/5 get a
+      // TLD-less (invalid) address so EmailRule has both outcomes
+      Field("c_email", FEmail, column = Some("c_name"),
+        rules = Seq(NotEmpty, EmailRule),
+        readExpr = Some(c => F.concat(
+          F.regexp_replace(F.lower(c), "[^a-z0-9]", ""),
+          F.when(F.substring(c, -1, 1).isin("0", "5"), "@invalid")
+            .otherwise("@example.com")))),
+      Field("c_active", FBool, column = Some("c_acctbal"),
+        readExpr = Some(c => c > 0.0))),
+    sorting = Seq("c_custkey" -> Asc)))
+
   register(TableDef("supplier",
     fields = Seq(
       Field("s_suppkey", FAuto, primary = true, unique = true, nullable = false),

@@ -120,8 +120,17 @@ final case class TableDef(
     relations: Map[String, Relation] = Map.empty,
     /** computed columns: logical name → expression over the scanned
       * frame (`model.php:199-206`, README.md:161-170) */
-    aliases: Map[String, Column => Column] = Map.empty
+    aliases: Map[String, Column => Column] = Map.empty,
+    /** physical table name when it differs from the model name — the
+      * table-level twin of `Field.column` (`meta.php:150-177`: the
+      * reference maps `$meta->table` independently of the model id).
+      * Lets several models project different field views of one
+      * stored table. */
+    storage: Option[String] = None
 ) {
+  /** Name of the stored table backing this model. */
+  def storageName: String = storage.getOrElse(name)
+
   def field(n: String): Field =
     fields.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(

@@ -26,7 +26,7 @@ object Tables {
     // as int64 under this legacy flag; runtime-settable, idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val t = Catalog(table)
-    val raw = spark.read.parquet(path(sfDir, table))
+    val raw = spark.read.parquet(path(sfDir, t.storageName))
     raw.select(t.fields.map { f =>
       val base = F.col(f.physical)
       f.readExpr.fold(base)(fn => fn(base)).alias(f.name)

@@ -8,52 +8,77 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   * first-occurrence dedup and custom per-key state via
   * `flatMapGroupsWithState`.
   *
-  * Scale notes: both operators bound their state — streaming state
-  * that only grows is a slow-motion OOM on a real 100 TB stream. The
-  * dedup keeps one 32-hex-char fingerprint per document within the
-  * watermark horizon (`dropDuplicatesWithinWatermark`: state entries
-  * expire once the watermark passes them); the per-user totals carry a
-  * processing-time timeout so idle keys are evicted.
+  * Scale notes: streaming state that only grows is a slow-motion OOM
+  * on a real 100 TB stream. [[streamingDedup]] keeps global
+  * (unbounded) fingerprint state because its contract is exact
+  * first-occurrence dedup — identical output to the batch
+  * [[graft.operators.Dedup.exactDedup]]; the state entry is one
+  * 32-hex-char fingerprint per distinct document, tiny relative to
+  * the text it deduplicates. [[streamingDedupBounded]] is the
+  * bounded-state variant (watermark horizon, documented recall
+  * trade). The per-user totals carry a processing-time timeout so
+  * idle keys are evicted.
   */
 object StreamingOps {
 
-  /** Streaming exact dedup over the documents stream: emits the first
-    * occurrence of each content fingerprint (md5 of normalized text).
-    * Append-mode stateful dedup — the streaming twin of
-    * [[graft.operators.Dedup.exactDedup]].
-    *
-    * State is watermark-bounded: the ingest timestamp (derived
-    * deterministically from the arrival order here; wall-clock in
-    * production) carries a 1-hour watermark and
-    * `dropDuplicatesWithinWatermark` drops fingerprint entries once
-    * the watermark passes them — duplicates arriving farther apart
-    * than the horizon are both emitted, the documented trade for
-    * bounded state. */
-  def streamingDedup(spark: SparkSession, sfDir: String,
-                     queryName: String = "stream_dedup"): DataFrame = {
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def docsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val stream = spark.readStream.schema(physSchema)
+    spark.readStream.schema(docsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
-      .select(F.col("doc_id"), Text.fingerprint(F.col("text")).as("fp"),
-        // deterministic stand-in for the ingest time: one second per
-        // document in arrival (doc_id) order
-        F.timestamp_seconds(F.col("doc_id")).as("ingest_ts"))
-      .withWatermark("ingest_ts", "1 hour")
-      .dropDuplicatesWithinWatermark("fp")
-      .drop("ingest_ts")
-    val q = stream.writeStream
+  }
+
+  private def runToTable(df: DataFrame, queryName: String): DataFrame = {
+    val q = df.writeStream
       .outputMode("append")
       .format("memory")
       .queryName(queryName)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    df.sparkSession.table(queryName)
   }
+
+  /** Streaming exact dedup over the documents stream: emits the first
+    * occurrence of each content fingerprint (md5 of normalized text).
+    * Append-mode stateful dedup — the streaming twin of
+    * [[graft.operators.Dedup.exactDedup]], with identical global
+    * first-occurrence semantics (no horizon: a duplicate arriving a
+    * year later is still suppressed). State grows with the number of
+    * DISTINCT fingerprints — one 16-byte hash per unique document;
+    * when that is too much, use [[streamingDedupBounded]]. */
+  def streamingDedup(spark: SparkSession, sfDir: String,
+                     queryName: String = "stream_dedup"): DataFrame =
+    runToTable(
+      docsStream(spark, sfDir)
+        .select(F.col("doc_id"), Text.fingerprint(F.col("text")).as("fp"))
+        .dropDuplicates("fp"),
+      queryName)
+
+  /** Bounded-state streaming dedup: the ingest timestamp (derived
+    * deterministically from arrival order here; wall-clock in
+    * production) carries a watermark and
+    * `dropDuplicatesWithinWatermark` drops fingerprint entries once
+    * the watermark passes them — duplicates arriving farther apart
+    * than the horizon are BOTH emitted, the documented trade for
+    * state bounded by the horizon's arrival rate. The synthetic
+    * ingest time is offset by +1s so the first row does not coincide
+    * with Spark's initial (epoch) watermark and get dropped as late. */
+  def streamingDedupBounded(spark: SparkSession, sfDir: String,
+                            horizon: String = "1 hour",
+                            queryName: String = "stream_dedup_bounded"): DataFrame =
+    runToTable(
+      docsStream(spark, sfDir)
+        .select(F.col("doc_id"), Text.fingerprint(F.col("text")).as("fp"),
+          F.timestamp_seconds(F.col("doc_id") + 1).as("ingest_ts"))
+        .withWatermark("ingest_ts", horizon)
+        .dropDuplicatesWithinWatermark("fp")
+        .drop("ingest_ts"),
+      queryName)
 
   /** Running per-user totals carried in custom state. */
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
@@ -62,10 +87,16 @@ object StreamingOps {
     * running (count, sum) per user across micro-batches and emits the
     * updated totals whenever the user appears in a batch. This is the
     * template for state Spark's built-ins can't express (per-key
-    * models, decaying counters, custom session logic); production
-    * variants add a `GroupStateTimeout` to bound state lifetime. */
+    * models, decaying counters, custom session logic).
+    *
+    * State is bounded by a processing-time timeout: a user idle for
+    * `idleTimeout` has their totals evicted (and nothing emitted —
+    * eviction is a state-size mechanism, not an output). At 100 TB
+    * stream scale this is what keeps the state store from
+    * accumulating every user ever seen. */
   def streamingUserTotals(spark: SparkSession, sfDir: String,
-                          queryName: String = "stream_user_totals"): DataFrame = {
+                          queryName: String = "stream_user_totals",
+                          idleTimeout: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -81,22 +112,39 @@ object StreamingOps {
       .as[(Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Double), UserTotals](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (user: Long, rows: Iterator[(Long, Double)],
          state: GroupState[(Long, Double)]) =>
-          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
-          var n = n0; var s = s0
-          rows.foreach { case (_, v) => n += 1; s += v }
-          state.update((n, s))
-          Iterator.single(UserTotals(user, n, s))
+          if (state.hasTimedOut) {
+            // idle-key eviction: drop the totals, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0; var s = s0
+            rows.foreach { case (_, v) => n += 1; s += v }
+            state.update((n, s))
+            state.setTimeoutDuration(idleTimeout)
+            Iterator.single(UserTotals(user, n, s))
+          }
       }
 
+    // single-batch trigger, NOT processAllAvailable(): with
+    // ProcessingTimeTimeout, FlatMapGroupsWithStateExec reports
+    // shouldRunAnotherBatch = true on every batch (timeouts can fire
+    // at any processing time), so the default trigger keeps
+    // constructing no-data micro-batches and processAllAvailable
+    // never observes a quiescent stream. The single-batch executor
+    // processes everything available and terminates deterministically;
+    // a production deployment uses a continuous trigger so the
+    // timeout batches actually fire.
     val q = perUser.writeStream
       .outputMode("append")
       .format("memory")
       .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.awaitTermination() finally q.stop()
     spark.table(queryName)
   }
 }

@@ -142,6 +142,17 @@ class CoverageSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "fp"))
   }
 
+  test("bounded streaming dedup does not drop the epoch-adjacent first row") {
+    // regression guard: doc_id=0's synthetic ingest time must not
+    // coincide with Spark's initial (epoch) watermark and be dropped
+    // as late — the +1s offset keeps every row inside the horizon
+    val out = graft.streaming.StreamingOps.streamingDedupBounded(
+      spark, sf, queryName = "cov_dedup_bounded")
+    val docs = Tables.scan(spark, sf, "documents")
+    assert(out.count() == docs.count())
+    assert(out.filter(F.col("doc_id") === 0L).count() == 1)
+  }
+
   test("stamp auto-now sets create/update timestamp fields") {
     import spark.implicits._
     val now = F.lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))

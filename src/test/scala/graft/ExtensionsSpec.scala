@@ -64,6 +64,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(diffs.max < 0.55, s"max err ${diffs.max}")
   }
 
+  test("LSH-candidate jaccard is a subset of exact jaccard with identical scores") {
+    val subset = docs.filter(F.col("doc_id") < 100)
+    val exact = Dedup.jaccardPairs(subset, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.jaccardPairsLsh(subset, "doc_id", "text", threshold = 0.5,
+        k = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, j) =>
+      assert(exact.contains(pair) && math.abs(exact(pair) - j) < 1e-12,
+        s"$pair: lsh=$j exact=${exact.get(pair)}")
+    }
+    // high-similarity pairs are what LSH must not lose: at j >= 0.9
+    // the 8x2 banding captures with prob 1-(1-0.81)^8 > 0.99997
+    val high = exact.collect { case (p, j) if j >= 0.9 => p }
+    assert(high.forall(lsh.contains),
+      s"missed high-jaccard pairs: ${high.filterNot(lsh.contains)}")
+  }
+
+  test("sign-LSH near-dup pairs are a subset of brute force with identical sims") {
+    val brute = emb.alias("a").join(emb.alias("b"),
+        F.col("a.vec_id") < F.col("b.vec_id"))
+      .select(F.col("a.vec_id").as("id_a"), F.col("b.vec_id").as("id_b"),
+        F.round(Similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+          .as("sim"))
+      .filter(F.col("sim") >= 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.45, planes = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    banded.foreach { case (pair, s) =>
+      assert(brute.contains(pair) && math.abs(brute(pair) - s) < 1e-12,
+        s"$pair: banded=$s brute=${brute.get(pair)}")
+    }
+  }
+
   test("brute-force topk returns k ranked matches per query") {
     val out = Similarity.bruteForceTopK(emb, emb.filter(F.col("vec_id") < 3),
       "vec_id", "embedding", k = 5).collect()
@@ -75,18 +111,33 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("IVF probes recover most brute-force neighbors (recall sanity)") {
+  test("IVF with nprobe = all cells equals brute force exactly") {
+    // probing every cell makes the candidate set the whole corpus, so
+    // the ranked output must be IDENTICAL to the exhaustive search —
+    // the strongest deterministic check of assignment + ranking
     val queries = emb.filter(F.col("vec_id") < 3)
-    val cents = emb.filter(F.col("vec_id") < 8)
+    val cents = emb.filter(F.col("vec_id") % 61 === 0)
+    val nCents = cents.count().toInt
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(_.toSeq).toSet
+    val full = Similarity.ivfTopK(emb, queries, cents, "vec_id", "embedding",
+        k = 10, nprobe = nCents).collect().map(_.toSeq).toSet
+    assert(full == exact)
+  }
+
+  test("IVF recall@10 at the production config (stride centroids, nprobe 2)") {
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val cents = emb.filter(F.col("vec_id") % 61 === 0)
+    val nCents = cents.count().toInt
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
       .select("query_id", "match_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.ivfTopK(emb, queries, cents, "vec_id", "embedding",
-        k = 10, nprobe = 4).select("query_id", "match_id").collect()
+        k = 10, nprobe = 2).select("query_id", "match_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(approx.nonEmpty)
-    // half the centroids probed -> expect some overlap, not exact recall
-    assert((exact intersect approx).nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"IVF recall@10 = $recall%.2f (nprobe 2 of $nCents cells)")
+    assert(recall >= 0.2, f"recall@10 $recall%.2f below sanity floor")
   }
 
   test("session_window equals gaps-and-islands formulation") {

@@ -81,6 +81,31 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("LIMIT-n DML: at most n rows change, and they are the first n by pk") {
+    // reference update()/delete() take a LIMIT clause (model.php:775,
+    // 831, default $limit = 1) — rows changed ≤ n, chosen by pk order
+    val base = Tables.scan(spark, sf, "orders")
+    val n = base.count()
+    checkProp(Prop.forAllNoShrink(Gen.choose(1, 8)) { lim =>
+      val victims = base.filter(F.col("o_orderstatus") === "F")
+      val firstByPk = victims.orderBy(F.col("o_orderkey").asc).limit(lim)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      val deleted = Writes.delete(base, victims, Seq("o_orderkey"),
+        limit = Some(lim))
+      val survivorKeys = deleted.select("o_orderkey").collect()
+        .map(_.getLong(0)).toSet
+      val delOk = (n - deleted.count()) <= lim &&
+        firstByPk.forall(k => !survivorKeys.contains(k))
+      val delta = victims.select(F.col("o_orderkey"),
+        F.lit("9-TEST").as("o_orderpriority"))
+      val changed = Writes.update(base, delta, Seq("o_orderkey"),
+        limit = Some(lim))
+        .filter(F.col("o_orderpriority") === "9-TEST")
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      delOk && changed.size <= lim && changed == firstByPk
+    }, n = 3)
+  }
+
   test("timestamp verbose/parse round-trip at date precision") {
     val t = FTimestamp("MM/dd/yyyy")
     val df = Tables.scan(spark, sf, "orders").limit(50)
