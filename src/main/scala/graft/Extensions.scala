@@ -162,11 +162,17 @@ object Extensions {
 
     // exact Jaccard verified on MinHash-LSH candidates — runs uncapped
     // over the FULL corpus (the banding bounds the candidate space;
-    // the exact intersection touches candidate pairs only)
+    // the exact intersection touches gate-surviving candidates only).
+    // Terms are word BIGRAMS, not unigrams: this corpus's documents
+    // share nearly their whole unigram vocabulary by construction
+    // (unigram Jaccard ~1 for a third of ALL pairs), so a bag-of-words
+    // near-dup query degenerates to the quadratic pair space on any
+    // engine — order-sensitive shingles measure true duplication.
     "x_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
-        "doc_id", "text", threshold = 0.9,
-        k = MINHASH_K, bands = MINHASH_BANDS)),
+        "doc_id", "text", threshold = 0.8,
+        k = MINHASH_K, bands = MINHASH_BANDS,
+        terms = Text.distinctShingles(_, 2))),
 
     // word-trigram shingle Jaccard: order-sensitive near-dup — the
     // shingle unit separates true edits/reorders from shared
@@ -182,18 +188,24 @@ object Extensions {
       Dedup.minhashSignatures(Tables.scan(s, dir, "documents"),
         "doc_id", "text", k = MINHASH_K)),
 
+    // signature-only near-dup (no exact verification pass) — trigram
+    // shingle terms for the same reason as x_dedup_jaccard: unigram
+    // signatures are near-identical across this corpus
     "x_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.scan(s, dir, "documents"),
         "doc_id", "text", k = MINHASH_K, bands = MINHASH_BANDS,
-        threshold = 0.75)),
+        threshold = 0.75, terms = Text.distinctShingles(_, 3))),
 
     "x_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.scan(s, dir, "documents"), "doc_id", "text",
         bits = 32)),
 
+    // hamming-banded simhash pairs over trigram shingles (unigram
+    // simhashes collide corpus-wide here — see x_dedup_jaccard)
     "x_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.scan(s, dir, "documents"),
-        "doc_id", "text", bits = 32, maxHamming = 3)),
+        "doc_id", "text", bits = 32, maxHamming = 3,
+        terms = Text.distinctShingles(_, 3))),
 
     // ---- similarity search ----
     "x_embed_topk" -> ((s, dir) => {
@@ -272,17 +284,44 @@ object Extensions {
     }.mkString(" UNION ALL ")
   }
 
+  /** Matching-minhash-fraction (estimated Jaccard) between aliases l
+    * and r — the SQL twin of [[Dedup]]'s flat codegen'd sum. */
+  private def estSql: String =
+    "(" + (0 until MINHASH_K)
+      .map(i => s"CASE WHEN l.mh$i = r.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ") + s") * 1.0 / $MINHASH_K"
+
+  /** CTE chain ending in `toks(doc_id, tok)` of distinct word
+    * n-gram shingles — the twin of `Text.distinctShingles(_, n)`
+    * (short texts yield one whole-text shingle). */
+  private def shingleToksCte(n: Int): String = {
+    val grams = (0 until n).map(o => if (o == 0) "t[i]" else s"t[i+$o]")
+      .mkString(" || ' ' || ")
+    val hi = if (n == 2) "len(t)" else s"len(t) - ${n - 2}"
+    "sh AS (SELECT doc_id, unnest(list_distinct(" +
+      s"CASE WHEN len(t) >= $n THEN list_transform(range(1, $hi), " +
+      s"i -> $grams) " +
+      "ELSE [array_to_string(t, ' ')] END)) AS tok FROM " +
+      "(SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t " +
+      "FROM documents)), " +
+      "toks AS (SELECT doc_id, tok FROM sh WHERE tok <> '')"
+  }
+
   /** Full LSH-candidate exact-Jaccard pipeline (the DuckDB twin of
     * [[Dedup.jaccardPairsLsh]]): `toksCte` must define a CTE chain
-    * ending in `toks(doc_id, tok)`. */
+    * ending in `toks(doc_id, tok)`. Candidates are gated at
+    * `threshold - estSlack` on the signature-estimated Jaccard,
+    * exactly as the Spark side is. */
   private def jaccardLshSql(toksCte: String, bands: Int,
-                            threshold: Double): String =
+                            threshold: Double,
+                            estSlack: Double = 0.25): String =
     s"WITH $toksCte, " +
       s"sig AS (SELECT doc_id, $mhMinsSql FROM toks GROUP BY doc_id), " +
       s"bands AS (${bandRowsSql(bands)}), " +
       "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
       "FROM bands l JOIN bands r ON l.band_idx = r.band_idx " +
-      "AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), " +
+      "AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id " +
+      s"WHERE $estSql >= ${math.max(0.0, threshold - estSlack)}), " +
       "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), " +
       "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c " +
       "JOIN toks a ON a.doc_id = c.id_a " +
@@ -450,39 +489,26 @@ object Extensions {
       "x_dedup_exact" ->
         ("SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp, " +
           "min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY fp"),
-      "x_dedup_jaccard" -> jaccardLshSql(
-        "toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> '')",
-        MINHASH_BANDS, 0.9),
-      "x_dedup_ngram" -> jaccardLshSql(
-        "sh AS (SELECT doc_id, unnest(list_distinct(" +
-          "CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), " +
-          "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) " +
-          "ELSE [array_to_string(t, ' ')] END)) AS tok FROM " +
-          "(SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t " +
-          "FROM documents)), " +
-          "toks AS (SELECT doc_id, tok FROM sh WHERE tok <> '')",
-        NGRAM_BANDS, 0.5),
+      "x_dedup_jaccard" -> jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8),
+      "x_dedup_ngram" -> jaccardLshSql(shingleToksCte(3), NGRAM_BANDS, 0.5),
       "x_minhash_sig" ->
         ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> '') " +
           s"SELECT doc_id, $mhMins FROM toks GROUP BY doc_id"),
       "x_minhash_pairs" ->
-        ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> ''), " +
+        (s"WITH ${shingleToksCte(3)}, " +
           s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
-          s"bands AS ($bandRows), " +
-          "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, " +
-          (0 until MINHASH_K).map(i => s"l.mh$i AS lmh$i, r.mh$i AS rmh$i").mkString(", ") + " " +
+          s"bands AS ($bandRows) " +
+          "SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, " +
+          s"$estSql AS est_jaccard " +
           "FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
-          "AND l.doc_id < r.doc_id) " +
-          "SELECT id_a, id_b, est_jaccard FROM (SELECT id_a, id_b, (" +
-          (0 until MINHASH_K).map(i => s"CASE WHEN lmh$i = rmh$i THEN 1 ELSE 0 END").mkString(" + ") +
-          s") * 1.0 / $MINHASH_K AS est_jaccard FROM cand) WHERE est_jaccard >= 0.75"),
+          s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.75"),
       "x_simhash" ->
         ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> ''), " +
           s"h AS (SELECT doc_id, ${h60("tok")} AS h FROM toks), " +
           s"bitsums AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id) " +
           s"SELECT doc_id, $simhashAssemble AS simhash FROM bitsums"),
       "x_simhash_pairs" ->
-        ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> ''), " +
+        (s"WITH ${shingleToksCte(3)}, " +
           s"h AS (SELECT doc_id, ${h60("tok")} AS h FROM toks), " +
           s"bitsums AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id), " +
           s"sig AS (SELECT doc_id, $simhashAssemble AS simhash FROM bitsums) " +

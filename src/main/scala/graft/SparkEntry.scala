@@ -180,6 +180,14 @@ object SparkEntry {
       Tables.scan(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
       s.sql("SELECT vec_id, round(dot_product(embedding, embedding), 6) AS sq_norm " +
         "FROM embeddings_v")
+    }),
+    // whole-catalog SQL: enableSql() registers every declared model
+    // as a view, then an arbitrary multi-table query runs through
+    // spark.sql with no DataFrame code at all
+    "sql_catalog_join" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql()
+      s.sql("SELECT n_name, count(*) AS n_customers, avg(c_acctbal) AS avg_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")
     })
   ) ++ Extensions.queries
 
@@ -296,6 +304,9 @@ object SparkEntry {
         "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"),
     "sql_dot_product" ->
       ("SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), " +
-        "CAST(embedding AS DOUBLE[])), 6) AS sq_norm FROM embeddings")
+        "CAST(embedding AS DOUBLE[])), 6) AS sq_norm FROM embeddings"),
+    "sql_catalog_join" ->
+      ("SELECT n_name, count(*) AS n_customers, avg(c_acctbal) AS avg_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")
   ) ++ Extensions.oracleSql
 }

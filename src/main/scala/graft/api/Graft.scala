@@ -25,6 +25,20 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions => 
   */
 final case class Graft(spark: SparkSession, sfDir: String) {
   def model(name: String): ModelQuery = ModelQuery(spark, sfDir, name)
+
+  /** Register every declared model as a temp view named after the
+    * model (declared fields, physical-column mapping and read
+    * expressions applied) plus graft's native SQL functions
+    * (`dot_product`, `rolling_hash`) — after this the whole catalog
+    * is queryable through `spark.sql`. On a cluster with a shared
+    * metastore the same scans would be saved as external tables;
+    * temp views are the session-scoped equivalent. */
+  def enableSql(): Unit = {
+    graft.plans.GraftFunctions.register(spark)
+    Catalog.tables.foreach { t =>
+      Tables.scan(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+  }
 }
 
 final case class ModelQuery(

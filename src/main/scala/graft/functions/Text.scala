@@ -31,13 +31,22 @@ object Text {
   /** Word n-gram shingles over the whitespace tokens: the standard
     * unit for near-dup detection (MinHash/Jaccard over shingles sees
     * word ORDER, unlike bag-of-words). Texts shorter than n tokens
-    * yield one whole-text shingle. */
+    * yield one whole-text shingle.
+    *
+    * Built as `arrays_zip` over n shifted slices of the token array,
+    * NOT as `transform(sequence(...), i -> element_at(toks, i+o))`:
+    * higher-order lambdas re-evaluate captured non-attribute
+    * subtrees per element, so the element_at form re-runs the regex
+    * split n times per shingle — O(words²) per row. The slice form
+    * evaluates the split a constant number of times per row. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
     val cnt = F.size(toks)
+    val zipped = F.arrays_zip(
+      (0 until n).map(o => F.slice(toks, F.lit(o + 1), cnt - (n - 1))): _*)
     F.when(cnt >= n,
-      F.transform(F.sequence(F.lit(1), cnt - (n - 1)), i =>
-        F.concat_ws(" ", (0 until n).map(o => F.element_at(toks, i + o)): _*)))
+      F.transform(zipped, s =>
+        F.concat_ws(" ", (0 until n).map(o => s.getField(o.toString)): _*)))
       .otherwise(F.array(F.array_join(toks, " ")))
   }
 

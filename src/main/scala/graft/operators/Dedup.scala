@@ -66,8 +66,11 @@ object Dedup {
 
   /** LSH banding over a signature frame: one row per (id, band),
     * keyed by md5 over the band's hashes — constant-width shuffle rows
-    * regardless of k. Carries the full signature array alongside for
-    * estimated-Jaccard scoring. */
+    * regardless of k. Carries the flat mh columns alongside so
+    * candidate scoring stays inside whole-stage codegen (an array +
+    * `zip_with`/`aggregate` formulation drops the filter out of
+    * codegen into interpreted per-row eval — 10×+ slower on wide
+    * candidate sets). */
   private def bandSignatures(sig: DataFrame, idCol: String,
                              k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
@@ -80,24 +83,33 @@ object Dedup {
     }
     sig.select(F.col(idCol) +: (0 until k).map(i => F.col(s"mh$i")) :+
       F.explode(F.array(bandCols: _*)).as("band"): _*)
-      .select(F.col(idCol), F.col("band.band_idx").as("band_idx"),
-        F.col("band.band_hash").as("band_hash"),
-        F.array((0 until k).map(i => F.col(s"mh$i")): _*).as("sig"))
+      .select(F.col(idCol) +: F.col("band.band_idx").as("band_idx") +:
+        F.col("band.band_hash").as("band_hash") +:
+        (0 until k).map(i => F.col(s"mh$i")): _*)
   }
 
   /** Candidate pairs from LSH banding: two docs are candidates iff
     * they agree on ALL hashes of at least one band. The self-join is
     * an equi-join on (band_idx, band_hash) — pair volume is governed
-    * by band selectivity, never the full n² cross space. */
-  private def bandCandidates(banded: DataFrame, idCol: String): DataFrame = {
+    * by band selectivity, never the full n² cross space. Candidates
+    * are scored by the signature-estimated Jaccard (matching minhash
+    * fraction, a flat codegen'd sum) and gated at `minEst` BEFORE the
+    * dedup shuffle, so over-generated band collisions die in the map
+    * stage. */
+  private def bandCandidates(banded: DataFrame, idCol: String, k: Int,
+                             minEst: Double): DataFrame = {
     val l = banded.alias("l")
     val r = banded.alias("r")
+    val est = (0 until k)
+      .map(i => F.when(F.col(s"l.mh$i") === F.col(s"r.mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k.toDouble
     l.join(r,
         F.col("l.band_idx") === F.col("r.band_idx") &&
         F.col("l.band_hash") === F.col("r.band_hash") &&
         F.col(s"l.$idCol") < F.col(s"r.$idCol"))
       .select(F.col(s"l.$idCol").as("id_a"), F.col(s"r.$idCol").as("id_b"),
-        F.col("l.sig").as("sig_a"), F.col("r.sig").as("sig_b"))
+        est.as("est_jaccard"))
+      .filter(F.col("est_jaccard") >= minEst)
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -112,12 +124,7 @@ object Dedup {
                    threshold: Double = 0.7,
                    terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, k, terms)
-    bandCandidates(bandSignatures(sig, idCol, k, bands), idCol)
-      .withColumn("est_jaccard",
-        F.aggregate(F.zip_with(F.col("sig_a"), F.col("sig_b"),
-            (x, y) => F.when(x === y, 1).otherwise(0)),
-          F.lit(0), (acc, x) => acc + x).cast("double") / k.toDouble)
-      .filter(F.col("est_jaccard") >= threshold)
+    bandCandidates(bandSignatures(sig, idCol, k, bands), idCol, k, threshold)
       .select("id_a", "id_b", "est_jaccard")
   }
 
@@ -147,9 +154,10 @@ object Dedup {
     * least one identical byte when maxHamming < bytes) to avoid the
     * quadratic cross join. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   bits: Int = 32, maxHamming: Int = 3): DataFrame = {
+                   bits: Int = 32, maxHamming: Int = 3,
+                   terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
     val bytesN = bits / 8
-    val sig = simhash(df, idCol, textCol, bits)
+    val sig = simhash(df, idCol, textCol, bits, terms)
     val banded = sig.select(F.col(idCol), F.col("simhash"),
       F.explode(F.array((0 until bytesN).map(i =>
         F.struct(F.lit(i).as("byte_idx"),
@@ -199,14 +207,26 @@ object Dedup {
     * `Σ df(tok)²` of the all-pairs inverted join — this is what lets
     * the operator run uncapped over the full corpus.
     *
+    * Between banding and exact verification sits the estimated-Jaccard
+    * gate: candidates whose signature-estimated Jaccard falls below
+    * `threshold - estSlack` are dropped in the (codegen'd) map stage.
+    * The default slack of 0.25 is ~2σ of the k=16 estimator
+    * (σ = sqrt(j(1-j)/k) ≤ 0.125), so true pairs at the threshold
+    * survive with high probability while band-collision noise — the
+    * failure mode of narrow bands on low-similarity corpora — never
+    * reaches the token-intersection join.
+    *
     * Recall is the LSH capture probability `1-(1-j^r)^b` at true
-    * Jaccard j (r = k/bands rows per band) — a documented trade, and
-    * deterministic: the DuckDB oracle replays the identical banding. */
+    * Jaccard j (r = k/bands rows per band), times the gate's survival
+    * probability — a documented trade, and deterministic: the DuckDB
+    * oracle replays the identical banding and gate. */
   def jaccardPairsLsh(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, k: Int = 16, bands: Int = 4,
+                      estSlack: Double = 0.25,
                       terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, k, terms)
-    val cand = bandCandidates(bandSignatures(sig, idCol, k, bands), idCol)
+    val cand = bandCandidates(bandSignatures(sig, idCol, k, bands), idCol, k,
+        math.max(0.0, threshold - estSlack))
       .select("id_a", "id_b")
     val toks = df.select(F.col(idCol),
         F.explode(terms(F.col(textCol))).as("tok"))
