@@ -143,13 +143,19 @@ object Similarity {
       norm(F.col(vecCol)).as("n_a"), F.col("band_idx"), F.col("bucket"))
     val r = banded.select(F.col(idCol).as("id_b"), F.col(vecCol).as("v_b"),
       norm(F.col(vecCol)).as("n_b"), F.col("band_idx"), F.col("bucket"))
+    // score and threshold-filter BEFORE the pair dedup: the cosine is
+    // codegen'd map-side work on the join output, so a pair colliding
+    // in several bands is scored at most `bands` times (cheap), while
+    // deduping first would shuffle every candidate WITH both raw
+    // vectors attached — at 64 floats a side that is ~30x the bytes
+    // of the (id_a, id_b, sim) rows that survive the threshold
     l.join(r, Seq("band_idx", "bucket"))
       .filter(F.col("id_a") < F.col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("sim", F.round(
         dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6))
       .filter(F.col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** IVF-style ANN (scale path).
