@@ -246,6 +246,14 @@ object Extensions {
       EventWindows.streamingSlidingHourly(s, dir)),
     "x_stream_dedup" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamingDedup(s, dir)),
+    // bounded-state variant: state entries expire behind the
+    // watermark horizon. The correctness fixture's synthetic ingest
+    // span (1 s per doc) fits inside the 1-hour horizon, so the
+    // output is provably identical to global first-occurrence dedup —
+    // which is exactly what the oracle checks; past the horizon the
+    // re-emit trade is documented on the operator.
+    "x_stream_dedup_bounded" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamingDedupBounded(s, dir)),
     "x_stream_state" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamingUserTotals(s, dir)),
 
@@ -563,6 +571,12 @@ object Extensions {
           "SELECT w_start, event_type, count(*) AS n, sum(value) AS sum_value " +
           "FROM expanded GROUP BY 1, 2"),
       "x_stream_dedup" ->
+        ("SELECT min(doc_id) AS doc_id, fp FROM (SELECT doc_id, " +
+          "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp " +
+          "FROM documents) GROUP BY fp"),
+      // same first-occurrence semantics within the horizon (the
+      // fixture's ingest span fits inside it — see the query comment)
+      "x_stream_dedup_bounded" ->
         ("SELECT min(doc_id) AS doc_id, fp FROM (SELECT doc_id, " +
           "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp " +
           "FROM documents) GROUP BY fp"),
