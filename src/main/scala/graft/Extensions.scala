@@ -29,6 +29,7 @@ object Extensions {
   private val SIGNLSH_BANDS = 4
   private val ANN_CENT_STRIDE = 61 // every 61st vector is a centroid
   private val ANN_NPROBE = 2
+  private val ANN_N_QUERIES = 5 // query set = vec_id < this, BOTH engines
 
   private val stopSql = Text.stopwords.map { case (l, ws) =>
     l -> ws.mkString("['", "', '", "']")
@@ -228,7 +229,7 @@ object Extensions {
     // literals; the oracle replays the identical cells + probing.
     "x_ann_ivf" -> ((s, dir) => {
       val emb = Tables.scan(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < 5),
+      Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < ANN_N_QUERIES),
         emb.filter(F.col("vec_id") % ANN_CENT_STRIDE === 0),
         "vec_id", "embedding", k = 10, nprobe = ANN_NPROBE)
     }),
@@ -375,7 +376,8 @@ object Extensions {
   /** IVF ANN pipeline (DuckDB twin of [[Similarity.ivfTopK]] with
     * stride-sampled centroids): identical cells, probing, and
     * tie-breaks. */
-  private def ivfSql(stride: Int, nprobe: Int, k: Int): String = {
+  private def ivfSql(stride: Int, nprobe: Int, k: Int,
+                     nQueries: Int): String = {
     val csim = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
       "CAST(c.cvec AS DOUBLE[])), 6)"
     s"WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec " +
@@ -386,7 +388,7 @@ object Extensions {
       "ccells AS (SELECT vec_id AS match_id, embedding AS c_vec, cent_id AS cell " +
       "FROM asgn WHERE rn = 1), " +
       "qcells AS (SELECT vec_id AS query_id, embedding AS q_vec, cent_id AS cell " +
-      s"FROM asgn WHERE vec_id < 5 AND rn <= $nprobe), " +
+      s"FROM asgn WHERE vec_id < $nQueries AND rn <= $nprobe), " +
       "cand AS (SELECT q.query_id, cc.match_id, " +
       "round(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), " +
       "CAST(cc.c_vec AS DOUBLE[])), 6) AS sim " +
@@ -533,7 +535,7 @@ object Extensions {
           "FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id " +
           "WHERE q.vec_id < 5) WHERE rank <= 10"),
       "x_embed_neardup" -> nearDupLshSql(SIGNLSH_PLANES, SIGNLSH_BANDS, 0.45),
-      "x_ann_ivf" -> ivfSql(ANN_CENT_STRIDE, ANN_NPROBE, 10),
+      "x_ann_ivf" -> ivfSql(ANN_CENT_STRIDE, ANN_NPROBE, 10, ANN_N_QUERIES),
       "x_window_tumbling" ->
         ("SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
           "event_type, count(*) AS n, sum(value) AS sum_value FROM events " +

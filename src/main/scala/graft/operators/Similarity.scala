@@ -121,8 +121,15 @@ object Similarity {
     require(planes % bands == 0, "bands must divide planes")
     val bitsPerBand = planes / bands
     // O(1) scalar probe for the embedding width (drives the literal
-    // weight vectors; never collects data rows)
-    val dim = df.select(F.size(F.col(vecCol))).head().getInt(0)
+    // weight vectors; never collects data rows). An empty or
+    // null-vector-first frame has no width to probe — return the
+    // empty pair frame instead of throwing.
+    val dimRow = df.select(F.size(F.col(vecCol)).as("d"))
+      .filter(F.col("d") > 0).head(1)
+    if (dimRow.isEmpty)
+      return df.limit(0).select(F.col(idCol).as("id_a"),
+        F.col(idCol).as("id_b"), F.lit(0.0).as("sim"))
+    val dim = dimRow(0).getInt(0)
     val bits = (0 until planes).map { p =>
       F.when(F.round(dot(F.col(vecCol), F.typedlit(hyperplane(p, dim))), 6) >= 0, 1)
         .otherwise(0).as(s"__bit$p")

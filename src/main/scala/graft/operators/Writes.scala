@@ -34,19 +34,26 @@ object Writes {
              orderWithin: Seq[Column]): DataFrame = {
     val maxId = base.agg(F.coalesce(F.max(F.col(autoCol)), F.lit(0L)).as("mx"))
     val parts = math.max(rows.sparkSession.sparkContext.defaultParallelism, 1)
-    // persisted: `local` feeds BOTH the numbered rows and the offsets
-    // frame. Without the pin, correctness would hinge on Spark
+    // checkpointed: `local` feeds BOTH the numbered rows and the
+    // offsets frame. Without the pin, correctness would hinge on Spark
     // deduplicating the two identical range exchanges
     // (spark.sql.exchange.reuse) — if the subtrees were planned
     // independently, RangePartitioner's sampled boundaries could
     // differ per side and per-pid counts would no longer match the
     // pids rows actually landed in (duplicate/skipped ids).
+    // localCheckpoint(eager) rather than persist(): both pin the
+    // computed partitions, but a persist'ed plan stays in the
+    // CacheManager until an explicit unpersist (which no lazy-result
+    // API can ever safely call), while a checkpointed RDD is cleaned
+    // by the ContextCleaner once unreferenced. Eager execution also
+    // matches the reference: its create() runs the INSERT immediately
+    // (`model.php:734`).
     val local = rows
       .repartitionByRange(parts, orderWithin: _*)
       .withColumn("__pid", F.spark_partition_id())
       .withColumn("__lrn", F.row_number().over(
         Window.partitionBy("__pid").orderBy(orderWithin: _*)).cast("long"))
-      .persist()
+      .localCheckpoint(eager = true)
     val offsets = local.groupBy("__pid").agg(F.count(F.lit(1)).as("__cnt"))
       .withColumn("__off", F.coalesce(F.sum("__cnt").over(
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),

@@ -83,33 +83,15 @@ object StreamingOps {
   /** Running per-user totals carried in custom state. */
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
-  /** Custom keyed state via `flatMapGroupsWithState`: maintains a
-    * running (count, sum) per user across micro-batches and emits the
-    * updated totals whenever the user appears in a batch. This is the
-    * template for state Spark's built-ins can't express (per-key
-    * models, decaying counters, custom session logic).
-    *
-    * State is bounded by a processing-time timeout: a user idle for
-    * `idleTimeout` has their totals evicted (and nothing emitted —
-    * eviction is a state-size mechanism, not an output). At 100 TB
-    * stream scale this is what keeps the state store from
-    * accumulating every user ever seen. */
-  def streamingUserTotals(spark: SparkSession, sfDir: String,
-                          queryName: String = "stream_user_totals",
-                          idleTimeout: String = "1 hour"): DataFrame = {
+  /** The stateful transform behind [[streamingUserTotals]], exposed
+    * so tests can drive it with a multi-batch source (the timeout
+    * branch only fires in a batch AFTER the one that set it). */
+  def userTotalsTransform(events: org.apache.spark.sql.Dataset[(Long, Double)],
+                          idleTimeout: String)
+      : org.apache.spark.sql.Dataset[UserTotals] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-
-    val perUser = spark.readStream.schema(physSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .select(F.col("user_id"), F.col("value"))
-      .as[(Long, Double)]
+    import events.sparkSession.implicits._
+    events
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Double), UserTotals](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
@@ -128,6 +110,36 @@ object StreamingOps {
             Iterator.single(UserTotals(user, n, s))
           }
       }
+  }
+
+  /** Custom keyed state via `flatMapGroupsWithState`: maintains a
+    * running (count, sum) per user across micro-batches and emits the
+    * updated totals whenever the user appears in a batch. This is the
+    * template for state Spark's built-ins can't express (per-key
+    * models, decaying counters, custom session logic).
+    *
+    * State is bounded by a processing-time timeout: a user idle for
+    * `idleTimeout` has their totals evicted (and nothing emitted —
+    * eviction is a state-size mechanism, not an output). At 100 TB
+    * stream scale this is what keeps the state store from
+    * accumulating every user ever seen. */
+  def streamingUserTotals(spark: SparkSession, sfDir: String,
+                          queryName: String = "stream_user_totals",
+                          idleTimeout: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    val perUser = userTotalsTransform(
+      spark.readStream.schema(physSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .select(F.col("user_id"), F.col("value"))
+        .as[(Long, Double)],
+      idleTimeout)
 
     // single-batch trigger, NOT processAllAvailable(): with
     // ProcessingTimeTimeout, FlatMapGroupsWithStateExec reports

@@ -153,6 +153,39 @@ class CoverageSpec extends SparkSpec {
     assert(out.filter(F.col("doc_id") === 0L).count() == 1)
   }
 
+  test("user-totals state evicts idle keys via processing-time timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, Double)]
+    val out = graft.streaming.StreamingOps.userTotalsTransform(
+      src.toDS(), idleTimeout = "1 second")
+    // default trigger: with ProcessingTimeTimeout the engine keeps
+    // running no-data batches, which is exactly what fires the
+    // timeout without a second addData
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("cov_evict").start()
+    def rowsFor(n: Long): Seq[(Long, Long, Double)] =
+      spark.table("cov_evict").as[(Long, Long, Double)].collect().toSeq
+        .filter(_._1 == n)
+    def awaitRow(pred: Seq[(Long, Long, Double)] => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!pred(rowsFor(7L)) && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(pred(rowsFor(7L)), s"timed out; rows=${rowsFor(7L)}")
+    }
+    try {
+      src.addData((7L, 1.0))
+      awaitRow(_.contains((7L, 1L, 1.0)))
+      Thread.sleep(1500) // let the 1s idle timeout expire → eviction batch
+      src.addData((7L, 2.0))
+      // count restarts at 1: the state was removed, not continued
+      // (an un-evicted state would emit (7, 2, 3.0))
+      awaitRow(_.contains((7L, 1L, 2.0)))
+      assert(!rowsFor(7L).contains((7L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("stamp auto-now sets create/update timestamp fields") {
     import spark.implicits._
     val now = F.lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
