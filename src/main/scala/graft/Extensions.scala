@@ -156,6 +156,26 @@ object Extensions {
           F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " "))
           .as("roll_fp"))),
 
+    // PII-style masking: URL → email → phone chained regex passes,
+    // plus a flag for rows the pass changed (audit selectivity)
+    "x_redact" -> ((s, dir) =>
+      Tables.scan(s, dir, "documents")
+        .select(F.col("doc_id"), F.col("text"),
+          Text.redact(F.col("text")).as("clean_text"))
+        .select(F.col("doc_id"), F.col("clean_text"),
+          (F.col("clean_text") =!= F.col("text")).as("was_redacted"))),
+
+    // exact length quantiles per language: percentile() is Spark's
+    // exact interpolated quantile — the distributed twin of DuckDB's
+    // quantile_cont (one shuffle, no sampling)
+    "x_length_quantiles" -> ((s, dir) =>
+      Tables.scan(s, dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.percentile(F.col("n_chars"), F.lit(0.5)).as("p50_chars"),
+          F.percentile(F.col("n_chars"), F.lit(0.9)).as("p90_chars"),
+          F.percentile(F.col("n_chars"), F.lit(0.99)).as("p99_chars"))),
+
     // ---- dedup ----
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.scan(s, dir, "documents"), "doc_id", "text",
@@ -496,6 +516,20 @@ object Extensions {
           "(a, b) -> (a * 1000003 + b) % 2147483647) END AS roll_fp FROM " +
           "(SELECT doc_id, text, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm " +
           "FROM documents)"),
+      "x_redact" -> {
+        val clean = "regexp_replace(regexp_replace(regexp_replace(text, " +
+          s"'${Text.urlRe}', '[URL]', 'g'), " +
+          s"'${Text.emailRe}', '[EMAIL]', 'g'), " +
+          s"'${Text.phoneRe}', '[PHONE]', 'g')"
+        s"SELECT doc_id, $clean AS clean_text, $clean <> text AS was_redacted " +
+          "FROM documents"
+      },
+      "x_length_quantiles" ->
+        ("SELECT lang, count(*) AS n_docs, " +
+          "quantile_cont(n_chars, 0.5) AS p50_chars, " +
+          "quantile_cont(n_chars, 0.9) AS p90_chars, " +
+          "quantile_cont(n_chars, 0.99) AS p99_chars " +
+          "FROM documents GROUP BY lang"),
       "x_dedup_exact" ->
         ("SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp, " +
           "min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY fp"),

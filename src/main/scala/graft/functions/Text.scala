@@ -69,6 +69,24 @@ object Text {
   def bagFingerprint(text: Column): Column =
     F.md5(F.array_join(F.array_sort(distinctTokens(text)), " "))
 
+  // ---- PII-style masking ----
+
+  /** Portable regexes (no lookaround — valid in both Java regex and
+    * RE2, so the DuckDB oracle replays them verbatim). URL first so an
+    * address inside a URL is masked as [URL], not split by [EMAIL]. */
+  val urlRe = "https?://[^\\s]+"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+
+  /** Mask URLs, emails, and phone-shaped digit runs — the standard
+    * pre-training redaction pass, as pure codegen'd Column work. */
+  def redact(text: Column): Column =
+    F.regexp_replace(
+      F.regexp_replace(
+        F.regexp_replace(text, urlRe, "[URL]"),
+        emailRe, "[EMAIL]"),
+      phoneRe, "[PHONE]")
+
   // ---- language ID (stopword heuristic) ----
 
   /** Tiny per-language stopword inventories. Deterministic, public

@@ -60,6 +60,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("LSH pair queries never plan a nested-loop or cartesian pair space") {
+    // the round-2 formulations were O(n²): a broadcast nested-loop on
+    // id_a < id_b (embeddings) and an inverted-token self-join
+    // (jaccard). These guards pin the banded equi-join shape.
+    for (q <- Seq("x_embed_neardup", "x_dedup_jaccard", "x_dedup_ngram",
+        "x_minhash_pairs", "x_simhash_pairs")) {
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q fell back to a nested-loop pair join")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plans a cartesian pair space")
+    }
+  }
+
+  test("IVF cell assignment is map-side (no window shuffle before the probe join)") {
+    // corpus→cell used to row_number() over corpus×centroids; the
+    // argmax-over-literals form needs exactly one exchange — the
+    // final per-query rank
+    val nShuffles = "Exchange ".r.findAllIn(planOf("x_ann_ivf")).length
+    assert(nShuffles <= 2, s"IVF re-grew shuffles: $nShuffles")
+  }
+
   test("flatMapGroupsWithState totals equal batch groupBy") {
     val stream = graft.streaming.StreamingOps.streamingUserTotals(spark, sf, "ps_state")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
