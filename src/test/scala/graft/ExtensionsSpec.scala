@@ -18,6 +18,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(preds.keySet.subsetOf(Set("en", "es", "de", "fr", "und")))
   }
 
+  test("redact masks urls, emails, and phone runs (fixture has none — prove intent)") {
+    import spark.implicits._
+    val masked = Seq(
+      "mail a.user+tag@example.co.uk now",
+      "see https://example.com/a?b=c#d for details",
+      "call +1 (555) 123-4567 today",
+      "email me at bob@host.io via http://t.co/x",
+      "clean text with no pii at all")
+      .toDF("text").select(Text.redact(F.col("text")).as("t"))
+      .as[String].collect()
+    assert(masked(0) == "mail [EMAIL] now")
+    assert(masked(1) == "see [URL] for details")
+    assert(masked(2) == "call [PHONE] today")
+    assert(masked(3) == "email me at [EMAIL] via [URL]")
+    assert(masked(4) == "clean text with no pii at all")
+  }
+
   test("exact dedup keeps one row per fingerprint") {
     val deduped = Dedup.exactDedup(docs, "doc_id", "text")
     val nFp = docs.select(Text.fingerprint(F.col("text"))).distinct().count()
