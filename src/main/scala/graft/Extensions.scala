@@ -265,6 +265,8 @@ object Extensions {
       EventWindows.streamingTumblingHourly(s, dir)),
     "x_stream_sliding" -> ((s, dir) =>
       EventWindows.streamingSlidingHourly(s, dir)),
+    "x_stream_session" -> ((s, dir) =>
+      EventWindows.streamingSessions(s, dir, "10 minutes")),
     "x_stream_dedup" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamingDedup(s, dir)),
     // bounded-state variant: state entries expire behind the
@@ -428,6 +430,17 @@ object Extensions {
     val simhashAssemble = (0 until 32)
       .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
+    // gaps-and-islands sessionization — oracle for BOTH the batch
+    // session_window query and its streaming twin (same merged result)
+    val sessionGaiSql =
+      "WITH e AS (SELECT user_id, ts, value, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), " +
+        "m AS (SELECT user_id, ts, value, CASE WHEN prev IS NULL OR " +
+        "ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "s AS (SELECT user_id, ts, value, sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start, " +
+        "count(*) AS n_events, sum(value) AS sum_value FROM s GROUP BY user_id, sid"
 
     Map(
       "a3_group_agg" ->
@@ -582,15 +595,9 @@ object Extensions {
           "event_type, value FROM events) " +
           "SELECT w_start, event_type, count(*) AS n, sum(value) AS sum_value " +
           "FROM expanded GROUP BY 1, 2"),
-      "x_window_session" ->
-        ("WITH e AS (SELECT user_id, ts, value, " +
-          "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), " +
-          "m AS (SELECT user_id, ts, value, CASE WHEN prev IS NULL OR " +
-          "ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s FROM e), " +
-          "s AS (SELECT user_id, ts, value, sum(new_s) OVER " +
-          "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
-          "SELECT user_id, CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start, " +
-          "count(*) AS n_events, sum(value) AS sum_value FROM s GROUP BY user_id, sid"),
+      "x_window_session" -> sessionGaiSql,
+      // the streaming twin drains to the identical merged sessions
+      "x_stream_session" -> sessionGaiSql,
       "x_stream_tumbling" ->
         ("SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
           "event_type, count(*) AS n, sum(value) AS sum_value FROM events " +

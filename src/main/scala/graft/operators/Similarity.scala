@@ -234,4 +234,60 @@ object Similarity {
       .filter(F.col("rank") <= k)
       .select("query_id", "match_id", "sim", "rank")
   }
+
+  /** Deterministic spherical Lloyd k-means over the embedding column —
+    * the IVF centroid trainer (better cell balance and recall than a
+    * raw sample for the same nprobe).
+    *
+    * Init is the stride sample (first k vectors with `id % (n/k) ==
+    * 0`, id order); each round assigns every vector to its
+    * cosine-nearest centroid with the same map-side argmax as
+    * [[ivfTopK]] (no shuffle beyond the per-cell mean), then recomputes
+    * cell means via posexplode + one grouped avg — the per-round
+    * driver traffic is k×dim doubles, never corpus rows. Empty cells
+    * keep their previous centroid. No RNG anywhere: identical inputs
+    * give identical centroids on every run.
+    *
+    * Returns (cent_id, centroid) with float vectors, directly usable
+    * as [[ivfTopK]]'s `centroids` frame. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    require(n > 0 && k > 0, "kmeans needs a non-empty corpus and k > 0")
+    val stride = math.max(1L, n / k)
+    var cents: Array[Array[Double]] = df
+      .filter(F.col(idCol) % stride === 0)
+      .orderBy(F.col(idCol)).limit(k)
+      .select(F.col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    for (_ <- 0 until iters) {
+      val structs = cents.zipWithIndex.map { case (cv, ci) =>
+        val cnorm = math.sqrt(cv.map(x => x * x).sum)
+        F.struct(
+          F.round(dot(F.col(vecCol), F.typedlit(cv.toSeq)) /
+            (norm(F.col(vecCol)) * F.lit(cnorm)), 6).as("csim"),
+          F.lit(-ci).as("neg_id"))
+      }
+      val means = df
+        .withColumn("cell",
+          -F.array_max(F.array(structs.toIndexedSeq: _*)).getField("neg_id"))
+        .select(F.col("cell"), F.posexplode(F.col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(F.avg("x").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        means.get(ci).map(_.toArray).getOrElse(old)
+      }
+    }
+    spark.createDataFrame(
+        cents.zipWithIndex.map { case (cv, ci) =>
+          (ci.toLong, cv.map(_.toFloat).toSeq) }.toIndexedSeq)
+      .toDF(idCol, vecCol)
+  }
 }

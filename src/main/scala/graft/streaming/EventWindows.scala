@@ -90,12 +90,31 @@ object EventWindows {
                               queryName: String = "stream_tumbling"): DataFrame =
     runStreamingWindow(spark, sfDir, queryName, F.window(F.col("ts"), "1 hour"))
 
-  /** Shared streaming scaffold: parquet file stream of the events
-    * table (explicit physical schema — int64 nano ts, see
-    * Tables.scan), ns→µs conversion, 10-minute watermark, windowed
-    * count/sum, complete-mode memory sink drained synchronously. */
-  private def runStreamingWindow(spark: SparkSession, sfDir: String,
-                                 queryName: String, windowCol: org.apache.spark.sql.Column): DataFrame = {
+  /** Structured Streaming twin of [[sessions]]: `session_window`
+    * over the event stream, watermark-bounded session state,
+    * complete-mode memory sink so the batch oracle validates the
+    * merged sessions. On a production stream append mode + the
+    * watermark emits each session once it can no longer grow; the
+    * complete sink here is what lets a finite fixture drain to the
+    * exact batch result. */
+  def streamingSessions(spark: SparkSession, sfDir: String,
+                        gap: String = "10 minutes",
+                        queryName: String = "stream_session"): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(F.session_window(F.col("ts"), gap).as("w"), F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n_events"), F.sum("value").as("sum_value"))
+      .select(F.col("user_id"),
+        F.date_trunc("second", F.col("w.start")).cast("timestamp_ntz")
+          .as("session_start"),
+        F.col("n_events"), F.col("sum_value"))
+    runToTable(agg, queryName)
+  }
+
+  /** Watermarked event stream shared by the streaming twins: parquet
+    * file stream of the events table (explicit physical schema —
+    * int64 nano ts, see Tables.scan), ns→µs conversion, 10-minute
+    * watermark. */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val physSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
@@ -103,26 +122,35 @@ object EventWindows {
       StructField("value", DoubleType), StructField("props", StringType)))
     // the file-stream source requires a directory: stream the SF dir
     // with a glob pinned to the events table
-    val stream = spark.readStream.schema(physSchema)
+    spark.readStream.schema(physSchema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts",
         F.timestamp_micros((F.col("ts") / 1000L).cast("long")))
       .withWatermark("ts", "10 minutes")
+  }
 
-    val agg = stream
-      .groupBy(windowCol.as("w"), F.col("event_type"))
-      .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sum_value"))
-      .select(F.col("w.start").cast("timestamp_ntz").as("w_start"),
-        F.col("event_type"), F.col("n"), F.col("sum_value"))
-
+  private def runToTable(agg: DataFrame, queryName: String): DataFrame = {
     val q = agg.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    agg.sparkSession.table(queryName)
+  }
+
+  /** Shared streaming scaffold for the time-window twins: windowed
+    * count/sum over [[eventsStream]], complete-mode memory sink
+    * drained synchronously. */
+  private def runStreamingWindow(spark: SparkSession, sfDir: String,
+                                 queryName: String, windowCol: org.apache.spark.sql.Column): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(windowCol.as("w"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sum_value"))
+      .select(F.col("w.start").cast("timestamp_ntz").as("w_start"),
+        F.col("event_type"), F.col("n"), F.col("sum_value"))
+    runToTable(agg, queryName)
   }
 }

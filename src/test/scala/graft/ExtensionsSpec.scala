@@ -157,6 +157,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.2, f"recall@10 $recall%.2f below sanity floor")
   }
 
+  test("kmeans centroids are deterministic and don't lose recall vs the stride sample") {
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val approx = Similarity.ivfTopK(emb, queries, cents, "vec_id", "embedding",
+          k = 10, nprobe = 2).select("query_id", "match_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val km1 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val km2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+    assert(km1.collect().map(_.toSeq).toSeq == km2.collect().map(_.toSeq).toSeq,
+      "kmeans is not deterministic")
+    val stride = emb.filter(F.col("vec_id") % (emb.count() / 8) === 0)
+      .orderBy("vec_id").limit(8)
+    val (rk, rs) = (recall(km1), recall(stride))
+    info(f"recall@10 kmeans=$rk%.2f stride=$rs%.2f (k=8, nprobe=2)")
+    assert(rk >= rs - 0.05, f"kmeans recall $rk%.2f below stride $rs%.2f")
+  }
+
   test("session_window equals gaps-and-islands formulation") {
     val ev = Tables.scan(spark, sf, "events")
     val a = EventWindows.sessions(ev, "10 minutes")
