@@ -72,7 +72,8 @@ object Dedup {
     * codegen into interpreted per-row eval — 10×+ slower on wide
     * candidate sets). */
   private def bandSignatures(sig: DataFrame, idCol: String,
-                             k: Int, bands: Int): DataFrame = {
+                             k: Int, bands: Int,
+                             carry: Seq[String] = Nil): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
     val bandCols = (0 until bands).map { b =>
@@ -81,11 +82,12 @@ object Dedup {
       F.struct(F.lit(b).as("band_idx"),
         F.md5(F.concat_ws(",", hs: _*)).as("band_hash")).as(s"b$b")
     }
-    sig.select(F.col(idCol) +: (0 until k).map(i => F.col(s"mh$i")) :+
+    val keep = (0 until k).map(i => s"mh$i") ++ carry
+    sig.select(F.col(idCol) +: keep.map(F.col) :+
       F.explode(F.array(bandCols: _*)).as("band"): _*)
       .select(F.col(idCol) +: F.col("band.band_idx").as("band_idx") +:
         F.col("band.band_hash").as("band_hash") +:
-        (0 until k).map(i => F.col(s"mh$i")): _*)
+        keep.map(F.col): _*)
   }
 
   /** Candidate pairs from LSH banding: two docs are candidates iff
@@ -97,18 +99,21 @@ object Dedup {
     * dedup shuffle, so over-generated band collisions die in the map
     * stage. */
   private def bandCandidates(banded: DataFrame, idCol: String, k: Int,
-                             minEst: Double): DataFrame = {
+                             minEst: Double,
+                             carry: Seq[String] = Nil): DataFrame = {
     val l = banded.alias("l")
     val r = banded.alias("r")
     val est = (0 until k)
       .map(i => F.when(F.col(s"l.mh$i") === F.col(s"r.mh$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / k.toDouble
+    val carried = carry.flatMap(c =>
+      Seq(F.col(s"l.$c").as(s"${c}_a"), F.col(s"r.$c").as(s"${c}_b")))
     l.join(r,
         F.col("l.band_idx") === F.col("r.band_idx") &&
         F.col("l.band_hash") === F.col("r.band_hash") &&
         F.col(s"l.$idCol") < F.col(s"r.$idCol"))
-      .select(F.col(s"l.$idCol").as("id_a"), F.col(s"r.$idCol").as("id_b"),
-        est.as("est_jaccard"))
+      .select(F.col(s"l.$idCol").as("id_a") +: F.col(s"r.$idCol").as("id_b") +:
+        est.as("est_jaccard") +: carried: _*)
       .filter(F.col("est_jaccard") >= minEst)
       .dropDuplicates("id_a", "id_b")
   }
@@ -224,20 +229,33 @@ object Dedup {
                       threshold: Double, k: Int = 16, bands: Int = 4,
                       estSlack: Double = 0.25,
                       terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, k, terms)
-    val cand = bandCandidates(bandSignatures(sig, idCol, k, bands), idCol, k,
-        math.max(0.0, threshold - estSlack))
-      .select("id_a", "id_b")
     val toks = df.select(F.col(idCol),
         F.explode(terms(F.col(textCol))).as("tok"))
       .filter(F.col("tok") =!= "")
-    val sizes = toks.groupBy(idCol).agg(F.count(F.lit(1)).as("sz"))
-    val inter = cand
+      .withColumn("h", Text.hash60(F.col("tok")) % MINHASH_P)
+    // one grouped pass yields BOTH the k-wide signature and the term
+    // count (terms are distinct per doc, so count(*) = |term set|);
+    // the sizes then ride THROUGH the banding as carried columns, so
+    // no separate sizes frame and no post-intersection size joins —
+    // the jaccard denominator is already on every candidate row
+    val mins = (0 until k).map(s =>
+      F.min((F.lit(minhashA(s)) * F.col("h") + F.lit(minhashB(s))) % MINHASH_P)
+        .as(s"mh$s"))
+    val sigSz = toks.groupBy(idCol)
+      .agg(mins.head, (mins.tail :+ F.count(F.lit(1)).as("sz")): _*)
+    val cand = bandCandidates(
+        bandSignatures(sigSz, idCol, k, bands, carry = Seq("sz")), idCol, k,
+        math.max(0.0, threshold - estSlack), carry = Seq("sz"))
+      .select("id_a", "id_b", "sz_a", "sz_b")
+    cand
       .join(toks.select(F.col(idCol).as("id_a"), F.col("tok")), Seq("id_a"))
       .join(toks.select(F.col(idCol).as("id_b"), F.col("tok")), Seq("id_b", "tok"))
-      .groupBy("id_a", "id_b")
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(F.count(F.lit(1)).as("inter"))
-    withJaccard(inter, sizes, idCol, threshold)
+      .withColumn("jaccard", F.col("inter").cast("double") /
+        (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"))
+      .filter(F.col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Shared tail: attach set sizes, compute |∩|/|∪|, filter. */
