@@ -11,9 +11,9 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   *    the shuffle moves 16 bytes + id per row, never documents.
   *  - MinHash signatures are computed with one explode + one
   *    map-side-combined groupBy (k mins); the LSH band join only
-  *    shuffles (band_idx, band_hash, id) triples. Candidate
-  *    verification uses the signature-estimated Jaccard — no second
-  *    pass over text.
+  *    shuffles constant-width (band_idx, band_hash, id, sig) rows.
+  *    Candidates are gated on the signature-estimated Jaccard (a flat
+  *    codegen'd sum) before any shuffle or exact verification.
   *  - All hashes are md5-derived (`Text.hash60`) — deterministic,
   *    engine-portable, seedable.
   *  - Self-joins pair ids with `a < b` so each pair shuffles once.

@@ -4,19 +4,22 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 /** Similarity search over embedding columns (north-star extension):
-  * brute-force cosine top-k as the exact baseline, and an IVF-style
-  * bucketed variant as the scale path.
+  * brute-force cosine top-k as the exact baseline, sign-LSH banded
+  * near-dup pairs, and an IVF-style bucketed variant (with an
+  * optional k-means centroid trainer) as the scale paths.
   *
   * Scale design:
   *  - The query set is always broadcast; the corpus is scanned once,
   *    never collected.
-  *  - Dot products are `zip_with`/`aggregate` Column expressions over
-  *    the array — evaluated inside codegen, no UDF, no per-row JVM
-  *    boxing of the vectors.
+  *  - Dot products run through [[graft.plans.DotProduct]] — a native
+  *    codegen'd Catalyst expression, no UDF, no per-row JVM boxing.
+  *    Norms are precomputed per side so each pair costs one dot.
   *  - Brute force is O(|corpus|·|queries|) but embarrassingly
   *    parallel — correct baseline at any scale, wall-clock bounded by
   *    queries count. IVF reduces scanned candidates to the probed
-  *    cells only; recall < 1 by construction.
+  *    cells only; sign-LSH bounds the near-dup pair space to bucket
+  *    collisions; recall < 1 by construction for both, with the
+  *    trade documented per operator.
   */
 object Similarity {
 

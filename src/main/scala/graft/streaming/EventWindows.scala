@@ -5,10 +5,9 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 /** Windowed event aggregation (north-star extension, SURVEY §2.7):
-  * tumbling / sliding / session windows over the `events` table, with
-  * a batch implementation (oracle-comparable) and a Structured
-  * Streaming twin of the tumbling aggregation behind the same
-  * column logic.
+  * tumbling / sliding / session windows over the `events` table, each
+  * with a batch implementation (oracle-comparable) and a Structured
+  * Streaming twin behind the same column logic.
   *
   * Scale: one shuffle on (window, event_type) with map-side partial
   * aggregation; watermarking bounds streaming state. Session windows
