@@ -195,6 +195,16 @@ object Extensions {
         k = MINHASH_K, bands = MINHASH_BANDS,
         terms = Text.distinctShingles(_, 2))),
 
+    // dup GROUPS: connected components over the bigram-jaccard pairs
+    // (transitive near-dup closure, min-id component labels) — the
+    // keep-one-per-cluster step of a dedup pipeline
+    "x_dedup_components" -> ((s, dir) =>
+      Dedup.dupComponents(
+        Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8,
+          k = MINHASH_K, bands = MINHASH_BANDS,
+          terms = Text.distinctShingles(_, 2)))),
+
     // word-trigram shingle Jaccard: order-sensitive near-dup — the
     // shingle unit separates true edits/reorders from shared
     // vocabulary. More, narrower bands (8×2) than the word-level query:
@@ -547,6 +557,15 @@ object Extensions {
         ("SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp, " +
           "min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY fp"),
       "x_dedup_jaccard" -> jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8),
+      // transitive closure over the same pairs via a recursive CTE
+      "x_dedup_components" ->
+        ("WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" +
+          jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + ")), " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+          "UNION ALL SELECT id_b, id_a FROM pairs), " +
+          "reach AS (SELECT src AS id, src AS r FROM edges " +
+          "UNION SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id) " +
+          "SELECT id, min(r) AS component FROM reach GROUP BY id"),
       "x_dedup_ngram" -> jaccardLshSql(shingleToksCte(3), NGRAM_BANDS, 0.5),
       "x_minhash_sig" ->
         ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> '') " +

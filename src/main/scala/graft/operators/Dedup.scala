@@ -258,6 +258,51 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over near-dup pairs — the dup-GROUP step
+    * that follows any pair generator: docs linked (transitively)
+    * through pairs share a component, labeled by the minimum doc id
+    * in it ("keep the first, drop the rest" falls out as
+    * `id != component`).
+    *
+    * Small-step label propagation: each round every node takes the
+    * min of its own label and its neighbors' labels (one equi-join +
+    * one grouped min — all shuffles on the id key, map-side
+    * combined); converges in O(component diameter) rounds, which for
+    * near-dup cliques is 1-2. Each round is localCheckpoint'ed so
+    * the plan doesn't deepen with iterations (lineage truncation —
+    * the loop-in-driver pattern every iterative distributed algorithm
+    * on Spark needs). Only docs appearing in at least one pair are
+    * labeled; singletons are their own trivial component by
+    * definition and never enter the join. Deterministic: no RNG,
+    * min-label is order-free. */
+  def dupComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
+    val sym = edges.union(
+      edges.select(F.col("dst").as("src"), F.col("src").as("dst")))
+    var labels = sym.select(F.col("src").as("id")).distinct()
+      .withColumn("component", F.col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(F.col("dst").as("id"))
+        .agg(F.min("component").as("ncomp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(F.col("id"),
+          F.least(F.col("component"),
+            F.coalesce(F.col("ncomp"), F.col("component"))).as("component"),
+          (F.coalesce(F.col("ncomp"), F.col("component")) <
+            F.col("component")).as("__changed"))
+        .localCheckpoint(true)
+      converged = updated.filter(F.col("__changed")).isEmpty
+      labels = updated.drop("__changed")
+      i += 1
+    }
+    labels
+  }
+
   /** Shared tail: attach set sizes, compute |∩|/|∪|, filter. */
   private def withJaccard(inter: DataFrame, sizes: DataFrame, idCol: String,
                           threshold: Double): DataFrame =

@@ -81,6 +81,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(diffs.max < 0.55, s"max err ${diffs.max}")
   }
 
+  test("dupComponents merges transitive chains to the min-id label") {
+    import spark.implicits._
+    // 1-2-3 is a chain (1,3 never paired directly); 5-6 separate
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (5L, 6L, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    val comps = Dedup.dupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("LSH-candidate jaccard is a subset of exact jaccard with identical scores") {
     val subset = docs.filter(F.col("doc_id") < 100)
     val exact = Dedup.jaccardPairs(subset, "doc_id", "text", threshold = 0.5)
