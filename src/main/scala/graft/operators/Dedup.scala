@@ -277,8 +277,12 @@ object Dedup {
     * min-label is order-free. */
   def dupComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
+    // pin the symmetric edge list once: every round joins against it,
+    // and without the checkpoint the upstream pair generator (often a
+    // full LSH pipeline) would re-execute per iteration
     val sym = edges.union(
-      edges.select(F.col("dst").as("src"), F.col("src").as("dst")))
+        edges.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      .localCheckpoint(true)
     var labels = sym.select(F.col("src").as("id")).distinct()
       .withColumn("component", F.col("id"))
       .localCheckpoint(true)
