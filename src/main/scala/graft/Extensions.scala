@@ -205,6 +205,23 @@ object Extensions {
           k = MINHASH_K, bands = MINHASH_BANDS,
           terms = Text.distinctShingles(_, 2)))),
 
+    // the materialized OUTPUT of transitive dedup: every doc that is
+    // not a non-representative member of a near-dup component (i.e.
+    // keep component minima and all unpaired docs) — what a cleaning
+    // pipeline actually writes back out
+    "x_dedup_keep" -> ((s, dir) => {
+      val comps = Dedup.dupComponents(
+        Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8,
+          k = MINHASH_K, bands = MINHASH_BANDS,
+          terms = Text.distinctShingles(_, 2)))
+      val drop = comps.filter(F.col("id") =!= F.col("component"))
+        .select(F.col("id").as("doc_id"))
+      Tables.scan(s, dir, "documents")
+        .join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // word-trigram shingle Jaccard: order-sensitive near-dup — the
     // shingle unit separates true edits/reorders from shared
     // vocabulary. More, narrower bands (8×2) than the word-level query:
@@ -557,6 +574,17 @@ object Extensions {
         ("SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp, " +
           "min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY fp"),
       "x_dedup_jaccard" -> jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8),
+      "x_dedup_keep" ->
+        ("WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" +
+          jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + ")), " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+          "UNION ALL SELECT id_b, id_a FROM pairs), " +
+          "reach AS (SELECT src AS id, src AS r FROM edges " +
+          "UNION SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id), " +
+          "drops AS (SELECT id FROM (SELECT id, min(r) AS component " +
+          "FROM reach GROUP BY id) WHERE id <> component) " +
+          "SELECT doc_id, lang, source, n_chars FROM documents " +
+          "WHERE doc_id NOT IN (SELECT id FROM drops)"),
       // transitive closure over the same pairs via a recursive CTE
       "x_dedup_components" ->
         ("WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" +
