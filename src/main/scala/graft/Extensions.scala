@@ -168,13 +168,21 @@ object Extensions {
     // exact length quantiles per language: percentile() is Spark's
     // exact interpolated quantile — the distributed twin of DuckDB's
     // quantile_cont (one shuffle, no sampling)
+    // one percentile aggregate with an array of percentages — the
+    // exact-percentile buffer (full per-group value list) is built
+    // once and shared by all three quantiles, then the array is
+    // projected into scalar columns (array OUTPUTS fail the arrow
+    // compare on element name/nullability, scalars don't)
     "x_length_quantiles" -> ((s, dir) =>
       Tables.scan(s, dir, "documents")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).as("n_docs"),
-          F.percentile(F.col("n_chars"), F.lit(0.5)).as("p50_chars"),
-          F.percentile(F.col("n_chars"), F.lit(0.9)).as("p90_chars"),
-          F.percentile(F.col("n_chars"), F.lit(0.99)).as("p99_chars"))),
+          F.percentile(F.col("n_chars"),
+            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).as("__ps"))
+        .select(F.col("lang"), F.col("n_docs"),
+          F.col("__ps").getItem(0).as("p50_chars"),
+          F.col("__ps").getItem(1).as("p90_chars"),
+          F.col("__ps").getItem(2).as("p99_chars"))),
 
     // ---- dedup ----
     "x_dedup_exact" -> ((s, dir) =>

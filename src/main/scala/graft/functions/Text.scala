@@ -72,11 +72,15 @@ object Text {
   // ---- PII-style masking ----
 
   /** Portable regexes (no lookaround — valid in both Java regex and
-    * RE2, so the DuckDB oracle replays them verbatim). URL first so an
-    * address inside a URL is masked as [URL], not split by [EMAIL]. */
-  val urlRe = "https?://[^\\s]+"
+    * RE2, so the DuckDB oracle replays them verbatim). Whitespace is
+    * an EXPLICIT class, not `\s`: Java's `\s` includes vertical tab
+    * (\x0B) while RE2's does not, so `\s` would diverge between
+    * engines on texts containing \x0B. URL first so an address inside
+    * a URL is masked as [URL], not split by [EMAIL]. */
+  private val wsClass = " \\t\\n\\x0B\\f\\r"
+  val urlRe = s"https?://[^$wsClass]+"
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val phoneRe = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+  val phoneRe = s"\\+?[0-9][0-9()\\-$wsClass]{7,}[0-9]"
 
   /** Mask URLs, emails, and phone-shaped digit runs — the standard
     * pre-training redaction pass, as pure codegen'd Column work. */

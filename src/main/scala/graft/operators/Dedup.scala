@@ -49,20 +49,32 @@ object Dedup {
   }
   def minhashB(s: Int): Long = (40503L * (s + 1) + 17) % MINHASH_P
 
+  /** One row per (id, non-empty term) — the shared term-explode
+    * every signature/intersection path starts from. */
+  private def termRows(df: DataFrame, idCol: String, textCol: String,
+                       terms: Column => Column): DataFrame =
+    df.select(F.col(idCol), F.explode(terms(F.col(textCol))).as("tok"))
+      .filter(F.col("tok") =!= "")
+
+  /** k min-hash aggregates over a term frame, plus optional extra
+    * aggregates computed in the SAME grouped pass (e.g. the term
+    * count). Single home of the universal-hash formula — the DuckDB
+    * oracle twin (`mhMinsSql`) mirrors exactly this. */
+  private def sigAgg(toks: DataFrame, idCol: String, k: Int,
+                     extras: Seq[Column] = Nil): DataFrame = {
+    val hashed = toks.withColumn("h", Text.hash60(F.col("tok")) % MINHASH_P)
+    val mins = (0 until k).map(s =>
+      F.min((F.lit(minhashA(s)) * F.col("h") + F.lit(minhashB(s))) % MINHASH_P)
+        .as(s"mh$s"))
+    hashed.groupBy(idCol).agg(mins.head, (mins.tail ++ extras): _*)
+  }
+
   /** MinHash signatures: k independent min-hashes over the distinct
     * token set. One row per id, columns mh0..mh{k-1}. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16,
-                        terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
-    val toks = df.select(F.col(idCol),
-      F.explode(terms(F.col(textCol))).as("tok"))
-      .filter(F.col("tok") =!= "")
-      .withColumn("h", Text.hash60(F.col("tok")) % MINHASH_P)
-    val mins = (0 until k).map(s =>
-      F.min((F.lit(minhashA(s)) * F.col("h") + F.lit(minhashB(s))) % MINHASH_P)
-        .as(s"mh$s"))
-    toks.groupBy(idCol).agg(mins.head, mins.tail: _*)
-  }
+                        terms: Column => Column = Text.distinctTokens(_)): DataFrame =
+    sigAgg(termRows(df, idCol, textCol, terms), idCol, k)
 
   /** LSH banding over a signature frame: one row per (id, band),
     * keyed by md5 over the band's hashes — constant-width shuffle rows
@@ -139,9 +151,7 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = 32,
               terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
-    val toks = df.select(F.col(idCol),
-        F.explode(terms(F.col(textCol))).as("tok"))
-      .filter(F.col("tok") =!= "")
+    val toks = termRows(df, idCol, textCol, terms)
       .withColumn("h", Text.hash60(F.col("tok")))
     val bitSums = (0 until bits).map { b =>
       F.sum(F.when(F.col("h").bitwiseAND(F.lit(1L << b)) =!= 0L, 1)
@@ -189,9 +199,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double,
                    terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
-    val toks = df.select(F.col(idCol),
-        F.explode(terms(F.col(textCol))).as("tok"))
-      .filter(F.col("tok") =!= "")
+    val toks = termRows(df, idCol, textCol, terms)
     val sizes = toks.groupBy(idCol).agg(F.count(F.lit(1)).as("sz"))
     val l = toks.alias("l"); val r = toks.alias("r")
     val inter = l.join(r,
@@ -229,20 +237,13 @@ object Dedup {
                       threshold: Double, k: Int = 16, bands: Int = 4,
                       estSlack: Double = 0.25,
                       terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
-    val toks = df.select(F.col(idCol),
-        F.explode(terms(F.col(textCol))).as("tok"))
-      .filter(F.col("tok") =!= "")
-      .withColumn("h", Text.hash60(F.col("tok")) % MINHASH_P)
+    val toks = termRows(df, idCol, textCol, terms)
     // one grouped pass yields BOTH the k-wide signature and the term
     // count (terms are distinct per doc, so count(*) = |term set|);
     // the sizes then ride THROUGH the banding as carried columns, so
     // no separate sizes frame and no post-intersection size joins —
     // the jaccard denominator is already on every candidate row
-    val mins = (0 until k).map(s =>
-      F.min((F.lit(minhashA(s)) * F.col("h") + F.lit(minhashB(s))) % MINHASH_P)
-        .as(s"mh$s"))
-    val sigSz = toks.groupBy(idCol)
-      .agg(mins.head, (mins.tail :+ F.count(F.lit(1)).as("sz")): _*)
+    val sigSz = sigAgg(toks, idCol, k, Seq(F.count(F.lit(1)).as("sz")))
     val cand = bandCandidates(
         bandSignatures(sigSz, idCol, k, bands, carry = Seq("sz")), idCol, k,
         math.max(0.0, threshold - estSlack), carry = Seq("sz"))
@@ -252,8 +253,8 @@ object Dedup {
       .join(toks.select(F.col(idCol).as("id_b"), F.col("tok")), Seq("id_b", "tok"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(F.count(F.lit(1)).as("inter"))
-      .withColumn("jaccard", F.col("inter").cast("double") /
-        (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"))
+      .withColumn("jaccard",
+        jaccardOf(F.col("inter"), F.col("sz_a"), F.col("sz_b")))
       .filter(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -264,14 +265,18 @@ object Dedup {
     * in it ("keep the first, drop the rest" falls out as
     * `id != component`).
     *
-    * Small-step label propagation: each round every node takes the
-    * min of its own label and its neighbors' labels (one equi-join +
-    * one grouped min — all shuffles on the id key, map-side
-    * combined); converges in O(component diameter) rounds, which for
-    * near-dup cliques is 1-2. Each round is localCheckpoint'ed so
-    * the plan doesn't deepen with iterations (lineage truncation —
-    * the loop-in-driver pattern every iterative distributed algorithm
-    * on Spark needs). Only docs appearing in at least one pair are
+    * Each round does min-label propagation (every node takes the min
+    * of its own and its neighbors' labels — one equi-join + one
+    * grouped min, all shuffles on the id key, map-side combined)
+    * followed by pointer jumping (each node re-labels to its label's
+    * label), so convergence is O(log diameter) rounds — maxIters = 20
+    * covers any component a dedup job could meet, and the operator
+    * THROWS rather than return unconverged (silently wrong) labels.
+    * Each round is localCheckpoint'ed so the plan doesn't deepen with
+    * iterations (lineage truncation — the loop-in-driver pattern
+    * every iterative distributed algorithm on Spark needs; superseded
+    * checkpoints are reclaimed by the ContextCleaner once the loop
+    * rebinds past them). Only docs appearing in at least one pair are
     * labeled; singletons are their own trivial component by
     * definition and never enter the join. Deterministic: no RNG,
     * min-label is order-free. */
@@ -293,19 +298,36 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(F.col("dst").as("id"))
         .agg(F.min("component").as("ncomp"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(F.col("id"),
           F.least(F.col("component"),
-            F.coalesce(F.col("ncomp"), F.col("component"))).as("component"),
-          (F.coalesce(F.col("ncomp"), F.col("component")) <
-            F.col("component")).as("__changed"))
+            F.coalesce(F.col("ncomp"), F.col("component"))).as("component"))
+      // pointer jump: follow the label one hop (label := label's
+      // label). Every label is the id of a node in the frame, so the
+      // self-join resolves; this is what turns O(diameter) rounds
+      // into O(log diameter) on long chains
+      val parents = propagated
+        .select(F.col("id").as("component"), F.col("component").as("__parent"))
+      val updated = propagated.join(parents, Seq("component"), "left")
+        .select(F.col("id"),
+          F.coalesce(F.col("__parent"), F.col("component")).as("component"))
         .localCheckpoint(true)
-      converged = updated.filter(F.col("__changed")).isEmpty
-      labels = updated.drop("__changed")
+      converged = updated.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(F.col("n.component") < F.col("o.component"))
+        .isEmpty
+      labels = updated
       i += 1
     }
+    require(converged,
+      s"dupComponents did not converge in $maxIters rounds — component " +
+        "diameter exceeds 2^maxIters; raise maxIters")
     labels
   }
+
+  /** |∩|/|∪| from the intersection count and the two set sizes. */
+  private def jaccardOf(inter: Column, szA: Column, szB: Column): Column =
+    inter.cast("double") / (szA + szB - inter).cast("double")
 
   /** Shared tail: attach set sizes, compute |∩|/|∪|, filter. */
   private def withJaccard(inter: DataFrame, sizes: DataFrame, idCol: String,
@@ -313,8 +335,8 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard", F.col("inter").cast("double") /
-        (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"))
+      .withColumn("jaccard",
+        jaccardOf(F.col("inter"), F.col("sz_a"), F.col("sz_b")))
       .filter(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 }

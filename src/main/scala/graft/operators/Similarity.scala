@@ -274,6 +274,10 @@ object Similarity {
             (norm(F.col(vecCol)) * F.lit(cnorm)), 6).as("csim"),
           F.lit(-ci).as("neg_id"))
       }
+      // means are rounded to 9 dp on the driver: avg() merges partial
+      // sums in shuffle-fetch order, so the raw double can wobble by
+      // an ulp between runs — rounding far above ulp scale restores
+      // run-to-run identical centroids (the documented contract)
       val means = df
         .withColumn("cell",
           -F.array_max(F.array(structs.toIndexedSeq: _*)).getField("neg_id"))
@@ -282,7 +286,8 @@ object Similarity {
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          cell -> rows.sortBy(_.getInt(1))
+            .map(r => math.rint(r.getDouble(2) * 1e9) / 1e9)
         }
       cents = cents.zipWithIndex.map { case (old, ci) =>
         means.get(ci).map(_.toArray).getOrElse(old)

@@ -91,6 +91,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("dupComponents converges on a chain far longer than the round budget") {
+    import spark.implicits._
+    // a 200-node path: plain min-propagation needs 199 rounds; the
+    // pointer-jumping rounds must close it within maxIters = 20
+    val chain = (0L until 199L).map(i => (i, i + 1, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val comps = Dedup.dupComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 200 && comps.values.forall(_ == 0L))
+  }
+
   test("LSH-candidate jaccard is a subset of exact jaccard with identical scores") {
     val subset = docs.filter(F.col("doc_id") < 100)
     val exact = Dedup.jaccardPairs(subset, "doc_id", "text", threshold = 0.5)
