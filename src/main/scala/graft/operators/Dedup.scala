@@ -299,24 +299,24 @@ object Dedup {
         .groupBy(F.col("dst").as("id"))
         .agg(F.min("component").as("ncomp"))
       val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(F.col("id"),
+        .select(F.col("id"), F.col("component").as("__old"),
           F.least(F.col("component"),
             F.coalesce(F.col("ncomp"), F.col("component"))).as("component"))
       // pointer jump: follow the label one hop (label := label's
       // label). Every label is the id of a node in the frame, so the
       // self-join resolves; this is what turns O(diameter) rounds
-      // into O(log diameter) on long chains
+      // into O(log diameter) on long chains. The previous label rides
+      // along so convergence is a filter on this frame, not a join.
       val parents = propagated
         .select(F.col("id").as("component"), F.col("component").as("__parent"))
       val updated = propagated.join(parents, Seq("component"), "left")
         .select(F.col("id"),
-          F.coalesce(F.col("__parent"), F.col("component")).as("component"))
+          F.coalesce(F.col("__parent"), F.col("component")).as("component"),
+          (F.coalesce(F.col("__parent"), F.col("component")) <
+            F.col("__old")).as("__changed"))
         .localCheckpoint(true)
-      converged = updated.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(F.col("n.component") < F.col("o.component"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(F.col("__changed")).isEmpty
+      labels = updated.drop("__changed")
       i += 1
     }
     require(converged,
