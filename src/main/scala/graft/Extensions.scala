@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, Temporal}
 import graft.sources.Tables
 import graft.streaming.EventWindows
 
@@ -30,6 +30,11 @@ object Extensions {
   private val ANN_CENT_STRIDE = 61 // every 61st vector is a centroid
   private val ANN_NPROBE = 2
   private val ANN_N_QUERIES = 5 // query set = vec_id < this, BOTH engines
+  private val DECON_N = 4 // decontamination n-gram width
+  private val DECON_MOD = 41 // benchmark split: doc_id % DECON_MOD == 0
+  private val SAMPLE_PCT = 20 // hash-sample keep rate (of 100 buckets)
+  private val QUOTA_PER_SOURCE = 15 // per-source cap (truncates at all SFs)
+  private val RANGE_WINDOW_SEC = 300L // range-join half-window
 
   private val stopSql = Text.stopwords.map { case (l, ws) =>
     l -> ws.mkString("['", "', '", "']")
@@ -326,7 +331,57 @@ object Extensions {
 
     // ---- multimodal plumbing (column twin of the decode stage) ----
     "x_multimodal_meta" -> ((s, dir) =>
-      Multimodal.metaColumns(Tables.scan(s, dir, "documents"), "doc_id", "text"))
+      Multimodal.metaColumns(Tables.scan(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- corpus curation ----
+    // benchmark decontamination: training docs sharing a distinct
+    // word 4-gram with the mod-41 "eval split" — the audit list a
+    // pre-training pipeline drops before tokenization
+    "x_decontaminate" -> ((s, dir) =>
+      Curation.contaminated(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", F.col("doc_id") % DECON_MOD === 0, n = DECON_N)),
+
+    // Gopher-style repetition metrics + keep verdict per doc
+    "x_repetition" -> ((s, dir) =>
+      Curation.repetitionMetrics(Tables.scan(s, dir, "documents"),
+        "doc_id", "text")),
+
+    // deterministic, shuffle-free Bernoulli-by-hash sample
+    "x_sample_hash" -> ((s, dir) =>
+      Curation.hashSample(Tables.scan(s, dir, "documents"), "doc_id",
+          SAMPLE_PCT)
+        .select("doc_id", "lang", "source")),
+
+    // per-source quota cap in deterministic hash order
+    "x_sample_quota" -> ((s, dir) =>
+      Curation.quotaPerGroup(Tables.scan(s, dir, "documents"),
+          "doc_id", "source", QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "lang", "rk")),
+
+    // ---- temporal joins over events ----
+    // as-of join: each click carries the most recent purchase (ts,
+    // value) by the same user at-or-before its timestamp
+    "x_asof_join" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+      Temporal.asofJoin(
+        ev.filter(F.col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") === "purchase")
+          .select("user_id", "ts", "value"),
+        "user_id", "ts", "value", prefix = "purchase")
+    }),
+
+    // bucketed range join: clicks within ±5 min of each error event,
+    // per user (zero-neighbor errors included)
+    "x_range_join" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+      Temporal.rangeCountJoin(
+        ev.filter(F.col("event_type") === "error")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") === "click")
+          .select("user_id", "ts"),
+        "event_id", "user_id", "ts", RANGE_WINDOW_SEC)
+    })
   )
 
   /** k min-hash aggregate expressions (same universal-hash literals
@@ -691,7 +746,53 @@ object Extensions {
         ("SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum, " +
           "CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 960 AS INTEGER) AS width, " +
           "CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 960 AS INTEGER) AS height " +
-          "FROM documents")
+          "FROM documents"),
+      "x_decontaminate" ->
+        (s"WITH ${shingleToksCte(DECON_N)}, " +
+          s"bench AS (SELECT DISTINCT tok FROM toks WHERE doc_id % $DECON_MOD = 0) " +
+          "SELECT t.doc_id, count(*) AS n_shared FROM toks t " +
+          s"JOIN bench b USING (tok) WHERE t.doc_id % $DECON_MOD <> 0 " +
+          "GROUP BY t.doc_id"),
+      "x_repetition" ->
+        ("WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t " +
+          "FROM documents), " +
+          "sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN " +
+          "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) " +
+          "ELSE [array_to_string(t, ' ')] END) AS g FROM t), " +
+          "cnts AS (SELECT doc_id, g, count(*) AS c FROM sh WHERE g <> '' " +
+          "GROUP BY doc_id, g) " +
+          "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, " +
+          "max(c) * 1.0 / sum(c) AS top_bigram_frac, " +
+          "1.0 - count(*) * 1.0 / sum(c) AS dup_bigram_frac, " +
+          "max(c) * 1.0 / sum(c) <= 0.08 AS keep " +
+          "FROM cnts GROUP BY doc_id"),
+      "x_sample_hash" ->
+        ("SELECT doc_id, lang, source FROM documents " +
+          s"WHERE ${h60("doc_id::VARCHAR")} % 100 < $SAMPLE_PCT"),
+      "x_sample_quota" ->
+        ("SELECT doc_id, source, lang, rk FROM (" +
+          "SELECT doc_id, source, lang, row_number() OVER (" +
+          s"PARTITION BY source ORDER BY ${h60("doc_id::VARCHAR")} ASC, " +
+          "doc_id ASC) AS rk FROM documents) " +
+          s"WHERE rk <= $QUOTA_PER_SOURCE"),
+      "x_asof_join" ->
+        ("WITH p AS (SELECT user_id, ts, max(value) AS pv FROM events " +
+          "WHERE event_type = 'purchase' GROUP BY user_id, ts), " +
+          "c AS (SELECT event_id, user_id, ts FROM events " +
+          "WHERE event_type = 'click') " +
+          "SELECT c.user_id, c.ts, c.event_id, p.ts AS purchase_ts, " +
+          "p.pv AS purchase_value " +
+          "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"),
+      "x_range_join" ->
+        ("WITH e AS (SELECT event_id, user_id, ts FROM events " +
+          "WHERE event_type = 'error'), " +
+          "c AS (SELECT user_id, ts AS cts FROM events " +
+          "WHERE event_type = 'click') " +
+          "SELECT e.event_id, e.user_id, e.ts, count(c.cts) AS n_nearby " +
+          s"FROM e LEFT JOIN c ON c.user_id = e.user_id AND c.cts BETWEEN " +
+          s"e.ts - INTERVAL $RANGE_WINDOW_SEC SECOND AND " +
+          s"e.ts + INTERVAL $RANGE_WINDOW_SEC SECOND " +
+          "GROUP BY e.event_id, e.user_id, e.ts")
     )
   }
 }

@@ -37,4 +37,15 @@ object Dates {
     * replayable. */
   def relativeToNow(offset: String): Column =
     relative(offset, F.current_timestamp())
+
+  /** Exact epoch-ns → epoch-µs truncation for an int64 nanos column.
+    * NOT `(c / 1000L)`: Spark's long `/` is DOUBLE division, and at
+    * 2024-era nanos (~1.7e18) the double ulp is 256 ns — the quotient
+    * lands a hair above the true value on some rows and the long cast
+    * then reads one microsecond HIGH. Decimal division is exact here
+    * (≤ 3 fractional digits, result scale ≥ 6) and the long cast
+    * truncates toward zero — bit-identical to the oracle engine's
+    * ns→µs truncation on every row. */
+  def nanosToMicros(c: Column): Column =
+    (c.cast("decimal(20,0)") / F.lit(1000)).cast("long")
 }

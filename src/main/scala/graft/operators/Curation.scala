@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Corpus-curation operators for training-data pipelines (north-star
+  * extension): benchmark decontamination, repetition-based quality
+  * filtering, and deterministic sampling/quota capping.
+  *
+  * Scale design:
+  *  - Decontamination is an equi-join on the shared n-gram — pair
+  *    volume is Σ over grams of df_train(g)·df_bench(g), never the
+  *    train×bench cross space; the benchmark gram set is tiny in
+  *    practice and AQE broadcasts it.
+  *  - Repetition metrics are two map-side-combinable grouped passes
+  *    over the exploded n-gram frame (no per-row quadratic scans).
+  *  - Hash sampling is a map-only filter (no shuffle, no RNG — the
+  *    md5-derived hash makes the sample reproducible on any engine).
+  *  - Quota capping is a per-group top-k; the hash order makes the
+  *    kept subset deterministic and uniformly spread.
+  */
+object Curation {
+
+  /** Training docs contaminated by a benchmark/eval split: docs
+    * outside `benchPred` sharing at least one distinct word `n`-gram
+    * with any doc inside it, with the count of shared distinct grams.
+    *
+    * This is the standard n-gram-overlap decontamination pass run
+    * before pre-training (drop or audit the returned ids). The join
+    * key is the gram string itself — exact, no hash false-positives;
+    * the benchmark side is `distinct` gram values only, so its
+    * footprint is the eval corpus's vocabulary, not its row count. */
+  def contaminated(df: DataFrame, idCol: String, textCol: String,
+                   benchPred: Column, n: Int = 4): DataFrame = {
+    def grams(d: DataFrame): DataFrame =
+      d.select(F.col(idCol),
+          F.explode(Text.distinctShingles(F.col(textCol), n)).as("g"))
+        .filter(F.col("g") =!= "")
+    val benchGrams = grams(df.filter(benchPred)).select("g").distinct()
+    grams(df.filter(!benchPred))
+      .join(benchGrams, Seq("g"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_shared"))
+  }
+
+  /** The decontaminated corpus: `df` minus [[contaminated]] docs (the
+    * benchmark rows themselves are kept — they are the eval set). */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+                    benchPred: Column, n: Int = 4): DataFrame =
+    df.join(contaminated(df, idCol, textCol, benchPred, n).select(idCol),
+      Seq(idCol), "left_anti")
+
+  /** Per-doc repetition metrics (Gopher-style quality filters):
+    * bigram count, most-frequent-bigram fraction, duplicated-bigram
+    * fraction, and the keep/drop verdict at `maxTopFrac`.
+    *
+    * Both fractions come from one exploded-bigram frame aggregated
+    * twice ((id, gram) counts, then per-id max/sum/distinct) — every
+    * shuffle is map-side combined and carries (id, gram-count) rows
+    * only, never text. */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+                        maxTopFrac: Double = 0.08): DataFrame = {
+    val counts = df
+      .select(F.col(idCol), F.explode(Text.shingles(F.col(textCol), 2)).as("g"))
+      .filter(F.col("g") =!= "")
+      .groupBy(idCol, "g")
+      .agg(F.count(F.lit(1)).as("c"))
+    counts.groupBy(idCol)
+      .agg(F.sum("c").as("n_bigrams"),
+        F.max("c").as("__maxc"),
+        F.count(F.lit(1)).as("__ndistinct"))
+      .select(F.col(idCol),
+        F.col("n_bigrams"),
+        (F.col("__maxc").cast("double") / F.col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"),
+        (F.lit(1.0) - F.col("__ndistinct").cast("double") /
+          F.col("n_bigrams").cast("double")).as("dup_bigram_frac"),
+        (F.col("__maxc").cast("double") / F.col("n_bigrams").cast("double")
+          <= maxTopFrac).as("keep"))
+  }
+
+  /** Deterministic Bernoulli-by-hash sample: keeps rows whose
+    * md5-derived id hash lands under `pct` of 100 buckets. Map-only
+    * (no shuffle, no seed state); the same row is kept on every
+    * engine, every run, every cluster size — which is what makes
+    * held-out splits of a 100 TB corpus reproducible. */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(Text.hash60(F.col(idCol)) % 100 < pct)
+
+  /** Per-group quota cap (RefinedWeb-style source/domain capping):
+    * keeps at most `quota` rows per `groupCol` value, chosen by the
+    * deterministic md5-hash order of ids (a reproducible uniform
+    * subsample of each group, not "whatever sorted first").
+    *
+    * One shuffle on the group key. Groups far exceeding the quota
+    * still sort fully within their partition (rank-then-filter); for
+    * heavily skewed group sizes, pre-filter with [[hashSample]] at a
+    * rate that bounds the expected group size near the quota, then
+    * cap exactly. */
+  def quotaPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                    quota: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(Text.hash60(F.col(idCol)).asc, F.col(idCol).asc)
+    df.withColumn("rk", F.row_number().over(w).cast("long"))
+      .filter(F.col("rk") <= quota)
+  }
+}

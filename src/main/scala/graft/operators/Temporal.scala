@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Temporal joins Spark has no native operator for, composed from
+  * primitives it optimizes well (SURVEY §2.3 note: the reference has
+  * equi-joins only — these are north-star additions for event data).
+  *
+  * Scale design:
+  *  - As-of join: union + one window pass partitioned by the key —
+  *    a single shuffle, no per-row probe joins, no range explosion.
+  *    This is the standard "merge the two streams and carry the last
+  *    build row forward" formulation; it scales with Σ rows, not
+  *    probe×build.
+  *  - Range join: bucketed to the window width so each candidate pair
+  *    meets in exactly one equi-join bucket triplet — never the
+  *    quadratic theta-join Spark would otherwise plan (a
+  *    BroadcastNestedLoopJoin at best). Pair volume is bounded by
+  *    per-(key, bucket) density, tunable via the window width.
+  */
+object Temporal {
+
+  /** As-of join: for every probe row, the most recent build row with
+    * build.ts <= probe.ts for the same key (NULLs when none — left
+    * semantics). Build rows are first reduced to one per (key, ts)
+    * (max of `buildValCol`) so the result is deterministic under ties.
+    *
+    * Implementation: tag build (0) and probe (1) rows, union, and run
+    * one `last(..., ignoreNulls)` window ordered by (ts, tag) — build
+    * rows sort before probe rows at equal ts, which yields the
+    * inclusive (>=) as-of match. Output = probe columns +
+    * `{prefix}_ts`, `{prefix}_value`. */
+  def asofJoin(probe: DataFrame, build: DataFrame, keyCol: String,
+               tsCol: String, buildValCol: String,
+               prefix: String = "asof"): DataFrame = {
+    val extras = probe.columns.toSeq.filterNot(c => c == keyCol || c == tsCol)
+    val bvalType = build.schema(buildValCol).dataType
+    val bSide = build.groupBy(keyCol, tsCol)
+      .agg(F.max(buildValCol).as("__bval"))
+      .select(F.col(keyCol) +: F.col(tsCol) +: F.lit(0).as("__tag") +:
+        F.col("__bval") +:
+        extras.map(c => F.lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    val pSide = probe.select(F.col(keyCol) +: F.col(tsCol) +:
+      F.lit(1).as("__tag") +: F.lit(null).cast(bvalType).as("__bval") +:
+      extras.map(F.col): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(F.col(tsCol).asc, F.col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bSide.unionByName(pSide)
+      .withColumn(s"${prefix}_ts",
+        F.last(F.when(F.col("__tag") === 0, F.col(tsCol)), ignoreNulls = true)
+          .over(w))
+      .withColumn(s"${prefix}_value",
+        F.last(F.when(F.col("__tag") === 0, F.col("__bval")), ignoreNulls = true)
+          .over(w))
+      .filter(F.col("__tag") === 1)
+      .select(F.col(keyCol) +: F.col(tsCol) +: extras.map(F.col) :+
+        F.col(s"${prefix}_ts") :+ F.col(s"${prefix}_value"): _*)
+  }
+
+  /** Range-count join: for every anchor row, the number of `other`
+    * rows with the same key within ±`windowSec` of its timestamp
+    * (inclusive both ends); anchors with no neighbors count 0.
+    *
+    * Implementation: both sides are bucketed at `windowSec` width;
+    * anchors replicate into (bucket-1, bucket, bucket+1), so every
+    * true neighbor meets its anchor in exactly one equi-join bucket —
+    * each surviving pair is produced once, no dedup needed. The final
+    * left join restores zero-count anchors. */
+  def rangeCountJoin(anchors: DataFrame, other: DataFrame, idCol: String,
+                     keyCol: String, tsCol: String,
+                     windowSec: Long): DataFrame = {
+    val usec = windowSec * 1000000L
+    // unix_micros requires TIMESTAMP; ntz columns are cast through
+    // the (UTC-pinned) session zone — consistent on both join sides,
+    // and only bucket ALIGNMENT depends on it, never pair membership
+    def micros(c: org.apache.spark.sql.Column) =
+      F.unix_micros(c.cast("timestamp"))
+    val aBucket = F.floor(micros(F.col(tsCol)) / usec)
+    val lb = anchors
+      .withColumn("__b",
+        F.explode(F.array(aBucket - 1, aBucket, aBucket + 1)))
+    val rb = other.select(F.col(keyCol),
+        F.col(tsCol).as("__rts"))
+      .withColumn("__b", F.floor(micros(F.col("__rts")) / usec))
+    val cnt = lb.join(rb, Seq(keyCol, "__b"))
+      .filter(F.abs(micros(F.col("__rts")) -
+        micros(F.col(tsCol))) <= usec)
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("__n"))
+    anchors.join(cnt, Seq(idCol), "left")
+      .withColumn("n_nearby", F.coalesce(F.col("__n"), F.lit(0L)))
+      .drop("__n")
+  }
+}

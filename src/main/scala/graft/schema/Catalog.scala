@@ -147,7 +147,8 @@ object Catalog {
       // under nanosAsLong) → logical TIMESTAMP_NTZ at micro precision,
       // matching how the DuckDB oracle sees post-truncation instants.
       Field("ts", FTimestamp("yyyy-MM-dd HH:mm:ss"), readExpr = Some(c =>
-        F.timestamp_micros((c / 1000L).cast("long")).cast("timestamp_ntz"))),
+        F.timestamp_micros(graft.functions.Dates.nanosToMicros(c))
+          .cast("timestamp_ntz"))),
       Field("user_id", FInt),
       Field("event_type", FStr),
       Field("value", FFloat(4)),

@@ -126,7 +126,7 @@ object EventWindows {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts",
-        F.timestamp_micros((F.col("ts") / 1000L).cast("long")))
+        F.timestamp_micros(graft.functions.Dates.nanosToMicros(F.col("ts"))))
       .withWatermark("ts", "10 minutes")
   }
 

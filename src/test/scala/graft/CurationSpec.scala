@@ -1,0 +1,150 @@
+package graft
+
+import graft.operators.{Curation, Temporal}
+import graft.sources.Tables
+import org.apache.spark.sql.{functions => F}
+import java.sql.Timestamp
+
+/** Pins the curation + temporal-join operators on crafted fixtures
+  * (the oracle pins them on the real tables; these pin the edge
+  * semantics the fixtures can't reach). */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val docs = Tables.scan(spark, sf, "documents")
+
+  test("contaminated flags exactly the docs sharing an n-gram with the bench split") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // bench (id % 2 == 0 for this test)
+      (1L, "alpha beta gamma delta zeta"),    // shares 4-gram "alpha beta gamma delta"
+      (3L, "one two three four five"),        // disjoint
+      (5L, "gamma delta epsilon alpha beta")  // shares no 4-gram (different order)
+    ).toDF("doc_id", "text")
+    val out = Curation.contaminated(df, "doc_id", "text",
+        F.col("doc_id") % 2 === 0, n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L))
+  }
+
+  test("decontaminate keeps bench rows and drops contaminated ones") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta zeta"),
+      (3L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val kept = Curation.decontaminate(df, "doc_id", "text",
+        F.col("doc_id") % 2 === 0, n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L))
+  }
+
+  test("repetitionMetrics measures top/dup bigram fractions") {
+    val df = Seq(
+      (1L, "a b a b a b"),  // bigrams: ab,ba,ab,ba,ab -> top 3/5, dup 1-2/5
+      (2L, "w x y z")       // 3 distinct bigrams
+    ).toDF("doc_id", "text")
+    val m = Curation.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(m(1L) == ((5L, 3.0 / 5.0, 1.0 - 2.0 / 5.0, false)))
+    assert(m(2L) == ((3L, 1.0 / 3.0, 0.0, false)))
+  }
+
+  test("repetition of a single-token text is the whole-text shingle") {
+    val m = Curation.repetitionMetrics(Seq((1L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(m.length == 1 && m(0).getLong(1) == 1L)
+  }
+
+  test("hashSample is deterministic and map-only") {
+    val a = Curation.hashSample(docs, "doc_id", 20).select("doc_id")
+      .as[Long].collect().toSet
+    val b = Curation.hashSample(docs, "doc_id", 20).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a == b && a.nonEmpty && a.size < docs.count())
+    // no exchange in the plan: sampling must not shuffle
+    val plan = Curation.hashSample(docs, "doc_id", 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("quotaPerGroup caps every group at the quota, deterministically") {
+    val out = Curation.quotaPerGroup(docs, "doc_id", "source", 3)
+    val sizes = out.groupBy("source").count().as[(String, Long)].collect()
+    assert(sizes.nonEmpty && sizes.forall(_._2 <= 3))
+    val a = out.select("doc_id").as[Long].collect().sorted
+    val b = Curation.quotaPerGroup(docs, "doc_id", "source", 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
+  // ---- temporal ----
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin carries the latest at-or-before build row, NULL when none") {
+    val probe = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")), // after both purchases
+      (11L, 1L, ts("2024-01-01 08:30:00")), // between
+      (12L, 1L, ts("2024-01-01 07:00:00")), // before any -> NULL
+      (13L, 2L, ts("2024-01-01 09:00:00"))  // equal ts -> inclusive match
+    ).toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 5.0),
+      (1L, ts("2024-01-01 09:00:00"), 7.0),
+      (2L, ts("2024-01-01 09:00:00"), 9.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Temporal.asofJoin(probe, build, "user_id", "ts", "value",
+        prefix = "p")
+      .select("event_id", "p_ts", "p_value")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.get(2)))).toMap
+    assert(out(10L) == ((Some(ts("2024-01-01 09:00:00")), Some(7.0))))
+    assert(out(11L) == ((Some(ts("2024-01-01 08:00:00")), Some(5.0))))
+    assert(out(12L) == ((None, None)))
+    assert(out(13L) == ((Some(ts("2024-01-01 09:00:00")), Some(9.0))))
+  }
+
+  test("asofJoin deduplicates equal-ts build rows to the max value") {
+    val probe = Seq((1L, 1L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 3.0),
+      (1L, ts("2024-01-01 09:00:00"), 8.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Temporal.asofJoin(probe, build, "user_id", "ts", "value")
+      .select("asof_value").as[Double].collect()
+    assert(out.toSeq == Seq(8.0))
+  }
+
+  test("rangeCountJoin counts inclusive-window neighbors, zero included") {
+    val anchors = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-01 12:00:00")), // isolated -> 0
+      (3L, 2L, ts("2024-01-01 10:00:00"))  // other key -> 0
+    ).toDF("event_id", "user_id", "ts")
+    val other = Seq(
+      (1L, ts("2024-01-01 09:55:01")), // inside -5min
+      (1L, ts("2024-01-01 10:05:00")), // exactly +5min -> inclusive
+      (1L, ts("2024-01-01 10:05:01"))  // outside
+    ).toDF("user_id", "ts")
+    val out = Temporal.rangeCountJoin(anchors, other, "event_id",
+        "user_id", "ts", 300L)
+      .select("event_id", "n_nearby")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("rangeCountJoin plans a bucketed equi-join, not a nested loop") {
+    val ev = Tables.scan(spark, sf, "events")
+    val plan = Temporal.rangeCountJoin(
+      ev.filter(F.col("event_type") === "error")
+        .select("event_id", "user_id", "ts"),
+      ev.filter(F.col("event_type") === "click").select("user_id", "ts"),
+      "event_id", "user_id", "ts", 300L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+}
