@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses `runMain graft.Bench` stdout for one JSON
+// line: inherit the forked process's stdout directly (no "[info] "
+// prefix on every line) and drop sbt's trailing "[success] Total
+// time" banner so the JSON line is the last line of output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -53,10 +53,19 @@ object Bench {
       val sorted = samples(i).sorted
       names(i)._1 -> sorted(sorted.size / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only a bounded tail of this process's output
+    // and parses the JSON line out of it, so the line must (a) be the
+    // LAST thing printed — after spark.stop(), so no shutdown logging
+    // can follow it — and (b) stay short: millisecond precision keeps
+    // ~70 per-query entries well under the driver's 2000-char tail
+    // buffer (full nanosecond doubles overflowed it and the line was
+    // truncated mid-parse in rounds 1-3).
+    def ms3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

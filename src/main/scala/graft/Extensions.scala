@@ -319,6 +319,10 @@ object Extensions {
       graft.streaming.StreamingOps.streamingDedupBounded(s, dir)),
     "x_stream_state" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamingUserTotals(s, dir)),
+    // stream-stream interval join (append mode, watermark-bounded
+    // join state): clicks ⋈ same-user purchases ≤ 2 h before
+    "x_stream_join" -> ((s, dir) =>
+      EventWindows.streamingIntervalJoin(s, dir)),
 
     // Aggregator-based top-k: identical output to x_embed_topk via a
     // typed TopKAggregator (map-side bounded heaps) instead of a
@@ -775,6 +779,13 @@ object Extensions {
           s"PARTITION BY source ORDER BY ${h60("doc_id::VARCHAR")} ASC, " +
           "doc_id ASC) AS rk FROM documents) " +
           s"WHERE rk <= $QUOTA_PER_SOURCE"),
+      "x_stream_join" ->
+        ("SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, " +
+          "p.event_id AS purchase_id, p.ts AS purchase_ts, " +
+          "p.value AS p_value " +
+          "FROM events c JOIN events p ON c.event_type = 'click' " +
+          "AND p.event_type = 'purchase' AND p.user_id = c.user_id " +
+          "AND p.ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts"),
       "x_asof_join" ->
         ("WITH p AS (SELECT user_id, ts, max(value) AS pv FROM events " +
           "WHERE event_type = 'purchase' GROUP BY user_id, ts), " +

@@ -217,15 +217,38 @@ object Similarity {
         -F.array_max(F.array(cellStructs(F.col("c_vec"), F.col("c_nrm")): _*))
           .getField("neg_id"))
 
+    // query-side probing runs on the DRIVER: queries are small by the
+    // same contract that lets them broadcast, and resolving their
+    // nprobe cells in Scala halves the generated-code volume (the
+    // corpus side is the only remaining centroid-literal tree — at
+    // ~100 centroids the duplicated codegen dominated this operator's
+    // wall-clock as pure plan-compile overhead). Arithmetic mirrors
+    // cellStructs exactly: left-to-right double accumulation,
+    // HALF_UP rounding at 6 dp, ties to the lower centroid id.
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val queryCells = queries
-      .select(F.col(idCol).as("query_id"), F.col(vecCol).as("q_vec"),
-        norm(F.col(vecCol)).as("q_nrm"))
-      .withColumn("probed", F.slice(
-        F.sort_array(F.array(cellStructs(F.col("q_vec"), F.col("q_nrm")): _*),
-          asc = false), 1, nprobe))
-      .withColumn("pc", F.explode(F.col("probed")))
-      .select(F.col("query_id"), F.col("q_vec"), F.col("q_nrm"),
-        (-F.col("pc.neg_id")).as("cell"))
+      .select(F.col(idCol).cast("long"), F.col(vecCol))
+      .collect()
+      .toSeq
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Float](1)
+        var acc = 0.0; qv.foreach(x => acc += x.toDouble * x.toDouble)
+        val qnrm = math.sqrt(acc)
+        cents.map { case (cid, cv, cnorm) =>
+          var d = 0.0
+          var i = 0
+          while (i < qv.length) { d += qv(i).toDouble * cv(i).toDouble; i += 1 }
+          val csim = BigDecimal(d / (qnrm * cnorm))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (qid, qv, qnrm, cid, csim)
+        }
+          .sortBy { case (_, _, _, cid, csim) => (-csim, cid) }
+          .take(nprobe)
+          .map { case (qid2, qv2, qnrm2, cid, _) => (qid2, qv2, qnrm2, cid) }
+      }
+      .toDF("query_id", "q_vec", "q_nrm", "cell")
 
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("sim").desc, F.col("match_id").asc)

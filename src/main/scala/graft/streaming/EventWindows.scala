@@ -109,6 +109,38 @@ object EventWindows {
     runToTable(agg, queryName)
   }
 
+  /** Structured Streaming stream-stream INTERVAL JOIN: each click
+    * joined to the same user's purchases in the 2 hours before it
+    * (inclusive both ends). Both sides are watermarked and the join
+    * condition bounds each side's event time against the other, so
+    * Spark evicts join state as the watermark advances — the
+    * memory-safety contract for an unbounded production stream. Inner
+    * join in append mode: every match is emitted exactly once, and a
+    * finite fixture drains to the identical batch-join result the
+    * oracle computes. */
+  def streamingIntervalJoin(spark: SparkSession, sfDir: String,
+                            queryName: String = "stream_join"): DataFrame = {
+    val clicks = eventsStream(spark, sfDir)
+      .filter(F.col("event_type") === "click")
+      .select(F.col("event_id").as("click_id"), F.col("user_id"),
+        F.col("ts").as("click_ts"))
+    val purchases = eventsStream(spark, sfDir)
+      .filter(F.col("event_type") === "purchase")
+      .select(F.col("event_id").as("purchase_id"),
+        F.col("user_id").as("__p_user"), F.col("ts").as("purchase_ts"),
+        F.col("value").as("p_value"))
+    val joined = clicks.join(purchases,
+        F.col("user_id") === F.col("__p_user") &&
+        F.col("purchase_ts") >= F.col("click_ts") - F.expr("INTERVAL 2 HOURS") &&
+        F.col("purchase_ts") <= F.col("click_ts"))
+      .select(F.col("click_id"), F.col("user_id"),
+        F.col("click_ts").cast("timestamp_ntz").as("click_ts"),
+        F.col("purchase_id"),
+        F.col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        F.col("p_value"))
+    runToTable(joined, queryName, mode = "append")
+  }
+
   /** Watermarked event stream shared by the streaming twins: parquet
     * file stream of the events table (explicit physical schema —
     * int64 nano ts, see Tables.scan), ns→µs conversion, 10-minute
@@ -130,9 +162,10 @@ object EventWindows {
       .withWatermark("ts", "10 minutes")
   }
 
-  private def runToTable(agg: DataFrame, queryName: String): DataFrame = {
+  private def runToTable(agg: DataFrame, queryName: String,
+                         mode: String = "complete"): DataFrame = {
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(queryName)
       .start()

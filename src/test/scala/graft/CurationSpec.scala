@@ -136,6 +136,22 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("streaming interval join drains to the batch join result") {
+    val ev = Tables.scan(spark, sf, "events")
+    val batch = ev.filter(F.col("event_type") === "click").alias("c")
+      .join(ev.filter(F.col("event_type") === "purchase").alias("p"),
+        F.col("p.user_id") === F.col("c.user_id") &&
+        F.col("p.ts") >= F.col("c.ts") - F.expr("INTERVAL 2 HOURS") &&
+        F.col("p.ts") <= F.col("c.ts"))
+      .select(F.col("c.event_id").as("click_id"),
+        F.col("p.event_id").as("purchase_id"))
+      .as[(Long, Long)].collect().toSet
+    val streamed = graft.streaming.EventWindows
+      .streamingIntervalJoin(spark, sf, "stream_join_spec")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("rangeCountJoin plans a bucketed equi-join, not a nested loop") {
     val ev = Tables.scan(spark, sf, "events")
     val plan = Temporal.rangeCountJoin(
