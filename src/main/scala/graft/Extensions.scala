@@ -448,9 +448,13 @@ object Extensions {
       "AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id " +
       s"WHERE $estSql >= ${math.max(0.0, threshold - estSlack)}), " +
       "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), " +
+      // the exact intersection joins on the 60-bit term hash, the
+      // same value the Spark side shuffles (Dedup.jaccardPairsLsh
+      // hashes each term once and joins on the long)
+      s"th AS (SELECT doc_id, ${h60("tok")} AS h FROM toks), " +
       "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c " +
-      "JOIN toks a ON a.doc_id = c.id_a " +
-      "JOIN toks b ON b.doc_id = c.id_b AND b.tok = a.tok GROUP BY 1, 2) " +
+      "JOIN th a ON a.doc_id = c.id_a " +
+      "JOIN th b ON b.doc_id = c.id_b AND b.h = a.h GROUP BY 1, 2) " +
       "SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard FROM inter " +
       "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
       s"WHERE i * 1.0 / (sa.sz + sb.sz - i) >= $threshold"

@@ -62,9 +62,11 @@ object Dedup {
     * oracle twin (`mhMinsSql`) mirrors exactly this. */
   private def sigAgg(toks: DataFrame, idCol: String, k: Int,
                      extras: Seq[Column] = Nil): DataFrame = {
-    val hashed = toks.withColumn("h", Text.hash60(F.col("tok")) % MINHASH_P)
+    val hashed =
+      if (toks.columns.contains("h")) toks.withColumn("hm", F.col("h") % MINHASH_P)
+      else toks.withColumn("hm", Text.hash60(F.col("tok")) % MINHASH_P)
     val mins = (0 until k).map(s =>
-      F.min((F.lit(minhashA(s)) * F.col("h") + F.lit(minhashB(s))) % MINHASH_P)
+      F.min((F.lit(minhashA(s)) * F.col("hm") + F.lit(minhashB(s))) % MINHASH_P)
         .as(s"mh$s"))
     hashed.groupBy(idCol).agg(mins.head, (mins.tail ++ extras): _*)
   }
@@ -237,7 +239,18 @@ object Dedup {
                       threshold: Double, k: Int = 16, bands: Int = 4,
                       estSlack: Double = 0.25,
                       terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
+    // Hash each term to its 60-bit md5 prefix ONCE and pin the frame:
+    // it feeds the signature pass AND both sides of the exact-verify
+    // join, and without the checkpoint the text split + shingle
+    // explode + md5 lineage re-executes per consumer (3× the dominant
+    // cost). Downstream the intersection joins on the fixed-width
+    // long, never the variable-length shingle string — the verify
+    // shuffle carries 16 bytes per row. The DuckDB oracle intersects
+    // the same hashes, so parity is exact even under (cosmically
+    // unlikely) 60-bit collisions.
     val toks = termRows(df, idCol, textCol, terms)
+      .select(F.col(idCol), Text.hash60(F.col("tok")).as("h"))
+      .localCheckpoint(true)
     // one grouped pass yields BOTH the k-wide signature and the term
     // count (terms are distinct per doc, so count(*) = |term set|);
     // the sizes then ride THROUGH the banding as carried columns, so
@@ -249,8 +262,8 @@ object Dedup {
         math.max(0.0, threshold - estSlack), carry = Seq("sz"))
       .select("id_a", "id_b", "sz_a", "sz_b")
     cand
-      .join(toks.select(F.col(idCol).as("id_a"), F.col("tok")), Seq("id_a"))
-      .join(toks.select(F.col(idCol).as("id_b"), F.col("tok")), Seq("id_b", "tok"))
+      .join(toks.select(F.col(idCol).as("id_a"), F.col("h")), Seq("id_a"))
+      .join(toks.select(F.col(idCol).as("id_b"), F.col("h")), Seq("id_b", "h"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(F.count(F.lit(1)).as("inter"))
       .withColumn("jaccard",
