@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 import graft.functions.Text
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, Temporal}
+import graft.operators.{Curation, Dedup, Joins, Multimodal, Similarity, Skew, Temporal}
 import graft.sources.Tables
 import graft.streaming.EventWindows
 
@@ -35,6 +35,9 @@ object Extensions {
   private val SAMPLE_PCT = 20 // hash-sample keep rate (of 100 buckets)
   private val QUOTA_PER_SOURCE = 15 // per-source cap (truncates at all SFs)
   private val RANGE_WINDOW_SEC = 300L // range-join half-window
+  private val SALT_BUCKETS = 16 // skew-mitigation salt fan-out
+  private val TFIDF_TOPK = 3 // tf-idf terms kept per document
+  private val EMB_DIM = 64 // fixture embedding width (oracle range)
 
   private val stopSql = Text.stopwords.map { case (l, ws) =>
     l -> ws.mkString("['", "', '", "']")
@@ -385,7 +388,40 @@ object Extensions {
         ev.filter(F.col("event_type") === "click")
           .select("user_id", "ts"),
         "event_id", "user_id", "ts", RANGE_WINDOW_SEC)
-    })
+    }),
+
+    // ---- skew mitigation (identical results, hot-key-proof plans) ----
+    // per-user event rollup through a salted two-stage aggregation:
+    // no reducer ever owns a whole user
+    "x_skew_agg" -> ((s, dir) =>
+      Skew.saltedAgg(Tables.scan(s, dir, "events"), "user_id",
+        F.col("event_id"), "value", SALT_BUCKETS)),
+
+    // click events ⋈ customer dim with the dim replicated per salt
+    // bucket — a hot user's clicks spread over SALT_BUCKETS reducers
+    "x_skew_join" -> ((s, dir) => {
+      val clicks = Tables.scan(s, dir, "events")
+        .filter(F.col("event_type") === "click")
+        .select("event_id", "user_id", "value")
+      val dim = Tables.scan(s, dir, "customer")
+        .select(F.col("c_custkey").as("user_id"), F.col("c_name"))
+      Joins.saltedJoin(clicks, dim, Seq("user_id"), SALT_BUCKETS,
+          saltFrom = F.col("event_id"))
+        .select("event_id", "user_id", "c_name", "value")
+    }),
+
+    // ---- embedding analytics ----
+    // per-label mean embedding in long (label, dim, centroid, n) form
+    // — class prototypes / IVF seeding, no vectors ever collected
+    "x_embed_centroid" -> ((s, dir) =>
+      Similarity.groupCentroids(Tables.scan(s, dir, "embeddings"),
+        "label", "embedding")),
+
+    // top-3 tf-idf terms per document (keyword extraction), ranked on
+    // the 6-dp-rounded score so the ranking is engine-stable
+    "x_tfidf" -> ((s, dir) =>
+      Curation.tfidfTopTerms(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", TFIDF_TOPK))
   )
 
   /** k min-hash aggregate expressions (same universal-hash literals
@@ -807,7 +843,38 @@ object Extensions {
           s"FROM e LEFT JOIN c ON c.user_id = e.user_id AND c.cts BETWEEN " +
           s"e.ts - INTERVAL $RANGE_WINDOW_SEC SECOND AND " +
           s"e.ts + INTERVAL $RANGE_WINDOW_SEC SECOND " +
-          "GROUP BY e.event_id, e.user_id, e.ts")
+          "GROUP BY e.event_id, e.user_id, e.ts"),
+      // the skew twins' oracles are the PLAIN aggregation/join — the
+      // salted plans must be result-identical to the unsalted ones
+      "x_skew_agg" ->
+        ("SELECT user_id, count(*) AS n_rows, sum(value) AS sum_value, " +
+          "min(value) AS min_value, max(value) AS max_value " +
+          "FROM events GROUP BY user_id"),
+      "x_skew_join" ->
+        ("SELECT e.event_id, e.user_id, c.c_name, e.value FROM events e " +
+          "JOIN customer c ON c.c_custkey = e.user_id " +
+          "WHERE e.event_type = 'click'"),
+      "x_embed_centroid" ->
+        ("SELECT label, i - 1 AS dim, " +
+          "round(avg(embedding[i]::DOUBLE), 6) AS centroid, count(*) AS n " +
+          "FROM embeddings CROSS JOIN " +
+          s"(SELECT unnest(range(1, ${EMB_DIM + 1})) AS i) d " +
+          "GROUP BY label, dim"),
+      "x_tfidf" ->
+        ("WITH toks AS (SELECT doc_id, " +
+          "unnest(string_split_regex(lower(text), '\\s+')) AS term " +
+          "FROM documents), " +
+          "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks " +
+          "WHERE term <> '' GROUP BY 1, 2), " +
+          "d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+          "n AS (SELECT count(DISTINCT doc_id) AS n FROM documents) " +
+          "SELECT doc_id, rk, term, tfidf FROM (" +
+          "SELECT tf.doc_id, tf.term, " +
+          "round(tf.tf * ln((n.n + 1.0) / (d.df + 1.0)), 6) AS tfidf, " +
+          "row_number() OVER (PARTITION BY tf.doc_id ORDER BY " +
+          "round(tf.tf * ln((n.n + 1.0) / (d.df + 1.0)), 6) DESC, " +
+          "tf.term ASC) AS rk " +
+          s"FROM tf JOIN d USING (term), n) WHERE rk <= $TFIDF_TOPK")
     )
   }
 }

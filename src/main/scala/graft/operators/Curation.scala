@@ -105,4 +105,39 @@ object Curation {
     df.withColumn("rk", F.row_number().over(w).cast("long"))
       .filter(F.col("rk") <= quota)
   }
+
+  /** Top-`topK` terms per document by tf-idf (keyword extraction /
+    * corpus topicality audit). tf is the raw in-doc term count, idf is
+    * the smoothed `ln((N+1)/(df+1))`; scores are rounded to 6 dp and
+    * ranked (score desc, term asc) BY THE ROUNDED VALUE, so the
+    * ranking — not just the printed score — is stable across engines
+    * whose `ln` differ in the last ulp.
+    *
+    * Three map-side-combinable grouped passes over one exploded token
+    * frame: (doc, term) counts; document frequencies from the distinct
+    * side of that SAME frame (never a re-explode); N as a broadcast
+    * one-row frame (kept lazy — no driver-side count()). The final
+    * per-doc top-k is a window over ~unique-terms-per-doc rows.
+    * Common terms (high df) have high-fanout join rows, but the join
+    * key carries only (term, df) — at 100 TB the df frame is
+    * vocabulary-sized and AQE broadcasts it. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 3): DataFrame = {
+    val tf = df.select(F.col(idCol),
+        F.explode(Text.tokens(F.col(textCol))).as("term"))
+      .filter(F.col("term") =!= "")
+      .groupBy(idCol, "term")
+      .agg(F.count(F.lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val ndocs = df.select(F.countDistinct(F.col(idCol)).as("__n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(F.broadcast(ndocs))
+      .withColumn("tfidf", F.round(F.col("tf") *
+        F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)), 6))
+    val w = Window.partitionBy(idCol)
+      .orderBy(F.col("tfidf").desc, F.col("term").asc)
+    scored.withColumn("rk", F.row_number().over(w).cast("long"))
+      .filter(F.col("rk") <= topK)
+      .select(F.col(idCol), F.col("rk"), F.col("term"), F.col("tfidf"))
+  }
 }

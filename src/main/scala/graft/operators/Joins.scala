@@ -123,11 +123,15 @@ object Joins {
     * AQE's skew-join handling covers sort-merge joins at runtime;
     * this explicit form is for when the skew is known ahead of time
     * (e.g. a null-heavy FK or a celebrity key) or AQE is unavailable.
-    * Output columns = left ++ right (join keys deduplicated). */
+    * `saltFrom` picks the salt source: pass a column that varies
+    * within a key (a row id) for a deterministic, replayable salt;
+    * the default hashes a synthetic row id (fine when only the result
+    * set matters). Output columns = left ++ right (join keys
+    * deduplicated). */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-                 saltBuckets: Int = 16): DataFrame = {
-    val salted = left.withColumn("__salt",
-      F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(saltBuckets)))
+                 saltBuckets: Int = 16,
+                 saltFrom: Column = F.hash(F.monotonically_increasing_id())): DataFrame = {
+    val salted = left.withColumn("__salt", F.pmod(saltFrom, F.lit(saltBuckets)))
     val exploded = right.withColumn("__salt",
       F.explode(F.array((0 until saltBuckets).map(F.lit): _*)))
     salted.join(exploded, keys :+ "__salt", "inner").drop("__salt")

@@ -321,4 +321,26 @@ object Similarity {
           (ci.toLong, cv.map(_.toFloat).toSeq) }.toIndexedSeq)
       .toDF(idCol, vecCol)
   }
+
+  /** Per-group mean embedding in long form: one row per (group, dim)
+    * with the dimension's mean and the group size. The distributed
+    * building block of centroid/prototype computation (class
+    * prototypes, IVF cell seeding, drift monitoring).
+    *
+    * posexplode + one grouped avg: the shuffle carries (group, dim,
+    * partial sum/count) — map-side combined, `groups × dim` result
+    * rows regardless of corpus size, no vectors ever collected. Long
+    * form rather than an array column deliberately: it re-aggregates
+    * incrementally (a new batch folds in via weighted sums) and
+    * compares across engines without array-element type pitfalls.
+    * Means are rounded to 6 dp — far above the ulp-order wobble of
+    * shuffle-merge-order double addition, so results are run-to-run
+    * and engine-to-engine stable. */
+  def groupCentroids(df: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame =
+    df.select(F.col(groupCol),
+        F.posexplode(F.col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(F.col(groupCol), F.col("dim").cast("long").as("dim"))
+      .agg(F.round(F.avg(F.col("x").cast("double")), 6).as("centroid"),
+        F.count(F.lit(1)).as("n"))
 }
