@@ -1,11 +1,15 @@
 package graft.plans
 
+import graft.schema.Catalog
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
 
-/** SQL surface for graft's native expressions.
+/** SQL surface for graft's native expressions and catalog-driven
+  * planning rules.
   *
   * Two registration paths:
   *  - [[GraftFunctions.register]] — runtime registration into an
@@ -13,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - [[GraftSparkExtensions]] — `SparkSessionExtensions` injection for
   *    `spark.sql.extensions=graft.plans.GraftSparkExtensions` /
   *    `SparkSession.builder().withExtensions(...)` (production: every
-  *    session gets the functions at build time).
+  *    session gets the functions + rules at build time).
   */
 object GraftFunctions {
 
@@ -27,10 +31,49 @@ object GraftFunctions {
       name, builder, "scala_udf")
   }
 
-  private[plans] def inject(e: SparkSessionExtensions): Unit =
+  private[plans] def inject(e: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[DotProduct].getName, name), builder))
+    }
+    e.injectPostHocResolutionRule(BroadcastFixedDims)
+  }
+}
+
+/** Catalyst rule: joins against a catalog-declared fixed-cardinality
+  * dimension (`TableDef.broadcastDim` — region, nation) get a
+  * BROADCAST join hint stamped on that side, so every SQL user of the
+  * registered views gets the broadcast plan the schema guarantees is
+  * safe — no per-query hints, no reliance on size estimation (which
+  * can't see through views at 100 TB fact scale, and which a
+  * conservative `autoBroadcastJoinThreshold=-1` deployment disables
+  * entirely).
+  *
+  * Runs post-hoc in the analyzer (aliases are erased before the
+  * optimizer's own batches, so the table identity only exists here).
+  * Idempotent: only joins with no existing hint are touched, so the
+  * analyzer's fixed-point loop terminates and user-written hints
+  * always win. DataFrame-API reads don't produce aliased scans and
+  * are untouched — the explicit `broadcast()` calls in [[graft.operators.Joins]]
+  * remain the API-side contract. */
+case class BroadcastFixedDims(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  @annotation.tailrec
+  private def dimLeaf(p: LogicalPlan): Boolean = p match {
+    case SubqueryAlias(id, child) =>
+      Catalog.broadcastDims.contains(id.name) || dimLeaf(child)
+    case Project(_, child) => dimLeaf(child)
+    case Filter(_, child) => dimLeaf(child)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case j: Join if j.resolved && j.hint == JoinHint.NONE &&
+          (dimLeaf(j.left) || dimLeaf(j.right)) =>
+        val hintOf = (side: LogicalPlan) =>
+          if (dimLeaf(side)) Some(HintInfo(strategy = Some(BROADCAST))) else None
+        j.copy(hint = JoinHint(hintOf(j.left), hintOf(j.right)))
     }
 }
 

@@ -23,13 +23,19 @@ object Catalog {
 
   def tables: Seq[String] = defs.keys.toSeq.sorted
 
+  /** Names of declared fixed-cardinality dimensions (see
+    * [[TableDef.broadcastDim]]). */
+  def broadcastDims: Set[String] =
+    defs.collect { case (n, t) if t.broadcastDim => n }.toSet
+
   // ---- driver parquet tables (FIXTURES.md §B) ----
 
   register(TableDef("region",
     fields = Seq(
       Field("r_regionkey", FInt, primary = true, nullable = false),
       Field("r_name", FStr)),
-    sorting = Seq("r_regionkey" -> Asc)))
+    sorting = Seq("r_regionkey" -> Asc),
+    broadcastDim = true))
 
   register(TableDef("nation",
     fields = Seq(
@@ -42,7 +48,8 @@ object Catalog {
       // has_one: remote-side FK, one deterministic child per parent
       // (reference reads the first child under the child's declared
       // sort, relation/hasone.php:13-36 + LIMIT 1)
-      "first_customer" -> HasOne("customer", Seq("n_nationkey" -> "c_nationkey")))))
+      "first_customer" -> HasOne("customer", Seq("n_nationkey" -> "c_nationkey"))),
+    broadcastDim = true))
 
   register(TableDef("customer",
     fields = Seq(

@@ -126,7 +126,12 @@ final case class TableDef(
       * reference maps `$meta->table` independently of the model id).
       * Lets several models project different field views of one
       * stored table. */
-    storage: Option[String] = None
+    storage: Option[String] = None,
+    /** declared fixed-cardinality dimension: the schema GUARANTEES
+      * this table stays broadcast-small at any fact scale (region,
+      * nation). SQL joins against it get a broadcast hint stamped by
+      * [[graft.plans.BroadcastFixedDims]]. */
+    broadcastDim: Boolean = false
 ) {
   /** Name of the stored table backing this model. */
   def storageName: String = storage.getOrElse(name)

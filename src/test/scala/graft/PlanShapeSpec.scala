@@ -92,4 +92,32 @@ class PlanShapeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(stream == batch)
   }
+
+  test("SQL joins against declared dims broadcast without hints or size stats") {
+    // views registered directly (not enableSql): other suites add
+    // test-only models to the process-wide Catalog with no parquet
+    // backing, and this test only needs these two
+    Tables.scan(spark, sf, "customer").createOrReplaceTempView("customer")
+    Tables.scan(spark, sf, "nation").createOrReplaceTempView("nation")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable size-based broadcast entirely: only the catalog rule
+    // (BroadcastFixedDims via GraftSparkExtensions) can produce a
+    // broadcast plan here
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sqlPlan = spark.sql(
+          "SELECT c.c_name, n.n_name FROM customer c " +
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey")
+        .queryExecution.executedPlan.toString
+      assert(sqlPlan.contains("BroadcastHashJoin"), sqlPlan.take(800))
+      // control: the DataFrame-API join has no aliased scan for the
+      // rule to recognize — with the threshold off it must stay a
+      // sort-merge join, proving the hint came from the rule
+      val ctrl = Tables.scan(spark, sf, "customer")
+        .join(Tables.scan(spark, sf, "nation"),
+          F.col("c_nationkey") === F.col("n_nationkey"))
+        .queryExecution.executedPlan.toString
+      assert(!ctrl.contains("BroadcastHashJoin"), ctrl.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
