@@ -138,19 +138,7 @@ object EventWindows {
         F.col("purchase_id"),
         F.col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
         F.col("p_value"))
-    // A stream-stream join keeps FOUR state stores per shuffle
-    // partition (left/right × key-index/value); at a session default
-    // of 32 partitions that is 128 store lifecycles per micro-batch —
-    // pure fixed overhead that dwarfs this join's data. Streaming
-    // queries pin their partition count at start, so scope a smaller
-    // value to this query only (state-keyed shuffles here carry a few
-    // thousand rows per batch; 8 partitions is still parallel). On a
-    // real cluster this knob is sized to state volume, not cores.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(prev.toInt, 8).toString)
-    try runToTable(joined, queryName, mode = "append")
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    runToTable(joined, queryName, mode = "append")
   }
 
   /** Watermarked event stream shared by the streaming twins: parquet
@@ -175,15 +163,16 @@ object EventWindows {
   }
 
   private def runToTable(agg: DataFrame, queryName: String,
-                         mode: String = "complete"): DataFrame = {
-    val q = agg.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    agg.sparkSession.table(queryName)
-  }
+                         mode: String = "complete"): DataFrame =
+    StatePartitions.scoped(agg.sparkSession) {
+      val q = agg.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      agg.sparkSession.table(queryName)
+    }
 
   /** Shared streaming scaffold for the time-window twins: windowed
     * count/sum over [[eventsStream]], complete-mode memory sink

@@ -33,15 +33,16 @@ object StreamingOps {
       .parquet(sfDir)
   }
 
-  private def runToTable(df: DataFrame, queryName: String): DataFrame = {
-    val q = df.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    df.sparkSession.table(queryName)
-  }
+  private def runToTable(df: DataFrame, queryName: String): DataFrame =
+    StatePartitions.scoped(df.sparkSession) {
+      val q = df.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      df.sparkSession.table(queryName)
+    }
 
   /** Streaming exact dedup over the documents stream: emits the first
     * occurrence of each content fingerprint (md5 of normalized text).
@@ -150,13 +151,15 @@ object StreamingOps {
     // processes everything available and terminates deterministically;
     // a production deployment uses a continuous trigger so the
     // timeout batches actually fire.
-    val q = perUser.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
-      .start()
-    try q.awaitTermination() finally q.stop()
-    spark.table(queryName)
+    StatePartitions.scoped(spark) {
+      val q = perUser.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.table(queryName)
+    }
   }
 }
