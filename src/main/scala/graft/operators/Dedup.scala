@@ -295,12 +295,29 @@ object Dedup {
     * min-label is order-free. */
   def dupComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
-    // pin the symmetric edge list once: every round joins against it,
-    // and without the checkpoint the upstream pair generator (often a
-    // full LSH pipeline) would re-execute per iteration
+    // pin the symmetric edge list once, at FULL session parallelism —
+    // this is where the upstream pair generator (often a whole LSH
+    // pipeline) executes, and without the checkpoint it would
+    // re-execute per iteration
     val sym = edges.union(
         edges.select(F.col("dst").as("src"), F.col("src").as("dst")))
       .localCheckpoint(true)
+    // The label frames are pair-bounded (one row per doc that appears
+    // in a pair — orders of magnitude smaller than the corpus), but
+    // each round launches 4+ exchanges; at a batch session's
+    // partition count most of those tasks are empty. Scope the LOOP
+    // (pairs are already pinned above) to a small partition count,
+    // never raising the session value — on a cluster this is sized to
+    // the pair volume, not the corpus.
+    val spark = pairs.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(prev.toInt, 8).toString)
+    try dupComponentsLoop(sym, maxIters)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def dupComponentsLoop(sym: DataFrame, maxIters: Int): DataFrame = {
     var labels = sym.select(F.col("src").as("id")).distinct()
       .withColumn("component", F.col("id"))
       .localCheckpoint(true)
