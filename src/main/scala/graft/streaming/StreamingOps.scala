@@ -81,6 +81,35 @@ object StreamingOps {
         .drop("ingest_ts"),
       queryName)
 
+  /** Exactly-once streaming parquet sink via `foreachBatch`: each
+    * micro-batch of the deduplicated documents stream lands in its
+    * own `batch_id=<n>` partition directory with `overwrite` mode, so
+    * a replayed batch (failure/retry — Structured Streaming replays
+    * the SAME batch id with the SAME data) overwrites its own output
+    * instead of appending duplicates. This idempotent-write pattern
+    * is the standard exactly-once contract for file sinks; the
+    * batch-id partitioning also gives downstream consumers an
+    * incremental-load key. Returns the reassembled output read back
+    * from `outDir`. */
+  def streamingDedupToParquet(spark: SparkSession, sfDir: String,
+                              outDir: String): DataFrame = {
+    val deduped = docsStream(spark, sfDir)
+      .select(F.col("doc_id"), Text.fingerprint(F.col("text")).as("fp"))
+      .dropDuplicates("fp")
+    StatePartitions.scoped(spark) {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          (): Unit
+        }
+        .option("checkpointLocation", s"$outDir/_checkpoint")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(s"$outDir/batch_id=*")
+  }
+
   /** Running per-user totals carried in custom state. */
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
