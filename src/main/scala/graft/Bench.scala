@@ -61,7 +61,10 @@ object Bench {
     // ~70 per-query entries well under the driver's 2000-char tail
     // buffer (full nanosecond doubles overflowed it and the line was
     // truncated mid-parse in rounds 1-3).
-    def ms3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would otherwise
+    // emit invalid JSON
+    def ms3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

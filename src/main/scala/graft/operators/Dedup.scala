@@ -61,9 +61,13 @@ object Dedup {
     * count). Single home of the universal-hash formula — the DuckDB
     * oracle twin (`mhMinsSql`) mirrors exactly this. */
   private def sigAgg(toks: DataFrame, idCol: String, k: Int,
-                     extras: Seq[Column] = Nil): DataFrame = {
+                     extras: Seq[Column] = Nil,
+                     preHashed: Boolean = false): DataFrame = {
+    // preHashed: the frame carries the 60-bit term hash in `h`
+    // (jaccardPairsLsh hashes once and reuses it for the verify
+    // join); otherwise hash the raw `tok` strings here
     val hashed =
-      if (toks.columns.contains("h")) toks.withColumn("hm", F.col("h") % MINHASH_P)
+      if (preHashed) toks.withColumn("hm", F.col("h") % MINHASH_P)
       else toks.withColumn("hm", Text.hash60(F.col("tok")) % MINHASH_P)
     val mins = (0 until k).map(s =>
       F.min((F.lit(minhashA(s)) * F.col("hm") + F.lit(minhashB(s))) % MINHASH_P)
@@ -256,7 +260,8 @@ object Dedup {
     // the sizes then ride THROUGH the banding as carried columns, so
     // no separate sizes frame and no post-intersection size joins —
     // the jaccard denominator is already on every candidate row
-    val sigSz = sigAgg(toks, idCol, k, Seq(F.count(F.lit(1)).as("sz")))
+    val sigSz = sigAgg(toks, idCol, k, Seq(F.count(F.lit(1)).as("sz")),
+      preHashed = true)
     val cand = bandCandidates(
         bandSignatures(sigSz, idCol, k, bands, carry = Seq("sz")), idCol, k,
         math.max(0.0, threshold - estSlack), carry = Seq("sz"))
@@ -306,15 +311,11 @@ object Dedup {
     // in a pair — orders of magnitude smaller than the corpus), but
     // each round launches 4+ exchanges; at a batch session's
     // partition count most of those tasks are empty. Scope the LOOP
-    // (pairs are already pinned above) to a small partition count,
-    // never raising the session value — on a cluster this is sized to
-    // the pair volume, not the corpus.
-    val spark = pairs.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(prev.toInt, 8).toString)
-    try dupComponentsLoop(sym, maxIters)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // (pairs are already pinned above) to a small partition count —
+    // on a cluster this is sized to the pair volume, not the corpus.
+    graft.ScopedShufflePartitions(pairs.sparkSession) {
+      dupComponentsLoop(sym, maxIters)
+    }
   }
 
   private def dupComponentsLoop(sym: DataFrame, maxIters: Int): DataFrame = {

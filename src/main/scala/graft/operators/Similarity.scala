@@ -240,8 +240,15 @@ object Similarity {
           var d = 0.0
           var i = 0
           while (i < qv.length) { d += qv(i).toDouble * cv(i).toDouble; i += 1 }
-          val csim = BigDecimal(d / (qnrm * cnorm))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val raw = d / (qnrm * cnorm)
+          // a zero-norm (or empty) query yields NaN — rank it below
+          // every real similarity instead of crashing in BigDecimal
+          // (the Catalyst path this mirrors degrades the same way)
+          val csim =
+            if (java.lang.Double.isFinite(raw))
+              BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+            else Double.NegativeInfinity
           (qid, qv, qnrm, cid, csim)
         }
           .sortBy { case (_, _, _, cid, csim) => (-csim, cid) }

@@ -47,16 +47,22 @@ object Temporal {
     val w = Window.partitionBy(keyCol)
       .orderBy(F.col(tsCol).asc, F.col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ts and value are carried in ONE struct so they always come from
+    // the SAME build row: with two independent last(_, ignoreNulls)
+    // calls, a latest build row holding a NULL value would be skipped
+    // by the value column but not the ts column, pairing a newer ts
+    // with an older row's value. The when() leaves the whole struct
+    // NULL on probe rows (skipped); a build row's struct is non-null
+    // even when its value field is NULL.
     bSide.unionByName(pSide)
-      .withColumn(s"${prefix}_ts",
-        F.last(F.when(F.col("__tag") === 0, F.col(tsCol)), ignoreNulls = true)
-          .over(w))
-      .withColumn(s"${prefix}_value",
-        F.last(F.when(F.col("__tag") === 0, F.col("__bval")), ignoreNulls = true)
-          .over(w))
+      .withColumn("__asof",
+        F.last(F.when(F.col("__tag") === 0,
+            F.struct(F.col(tsCol).as("ts"), F.col("__bval").as("v"))),
+          ignoreNulls = true).over(w))
       .filter(F.col("__tag") === 1)
       .select(F.col(keyCol) +: F.col(tsCol) +: extras.map(F.col) :+
-        F.col(s"${prefix}_ts") :+ F.col(s"${prefix}_value"): _*)
+        F.col("__asof.ts").as(s"${prefix}_ts") :+
+        F.col("__asof.v").as(s"${prefix}_value"): _*)
   }
 
   /** Range-count join: for every anchor row, the number of `other`

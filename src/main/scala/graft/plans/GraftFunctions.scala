@@ -60,8 +60,17 @@ case class BroadcastFixedDims(spark: SparkSession) extends Rule[LogicalPlan] {
 
   @annotation.tailrec
   private def dimLeaf(p: LogicalPlan): Boolean = p match {
-    case SubqueryAlias(id, child) =>
-      Catalog.broadcastDims.contains(id.name) || dimLeaf(child)
+    case s @ SubqueryAlias(id, child) =>
+      // the NAME alone is spoofable (a CTE or user alias called
+      // "nation" over a fact table must NOT broadcast): require the
+      // aliased subtree to still expose every declared column of the
+      // dim — an alias point sits over the full view, so a genuine
+      // dim always passes and a name-collision over another relation
+      // does not
+      (Catalog.broadcastDims.contains(id.name) && {
+        val declared = Catalog(id.name).fields.map(_.name).toSet
+        declared.subsetOf(s.output.map(_.name).toSet)
+      }) || dimLeaf(child)
     case Project(_, child) => dimLeaf(child)
     case Filter(_, child) => dimLeaf(child)
     case _ => false

@@ -164,7 +164,7 @@ object EventWindows {
 
   private def runToTable(agg: DataFrame, queryName: String,
                          mode: String = "complete"): DataFrame =
-    StatePartitions.scoped(agg.sparkSession) {
+    graft.ScopedShufflePartitions(agg.sparkSession) {
       val q = agg.writeStream
         .outputMode(mode)
         .format("memory")

@@ -34,7 +34,7 @@ object StreamingOps {
   }
 
   private def runToTable(df: DataFrame, queryName: String): DataFrame =
-    StatePartitions.scoped(df.sparkSession) {
+    graft.ScopedShufflePartitions(df.sparkSession) {
       val q = df.writeStream
         .outputMode("append")
         .format("memory")
@@ -96,7 +96,7 @@ object StreamingOps {
     val deduped = docsStream(spark, sfDir)
       .select(F.col("doc_id"), Text.fingerprint(F.col("text")).as("fp"))
       .dropDuplicates("fp")
-    StatePartitions.scoped(spark) {
+    graft.ScopedShufflePartitions(spark) {
       val q = deduped.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -180,7 +180,7 @@ object StreamingOps {
     // processes everything available and terminates deterministically;
     // a production deployment uses a continuous trigger so the
     // timeout batches actually fire.
-    StatePartitions.scoped(spark) {
+    graft.ScopedShufflePartitions(spark) {
       val q = perUser.writeStream
         .outputMode("append")
         .format("memory")

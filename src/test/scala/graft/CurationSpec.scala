@@ -106,6 +106,23 @@ class CurationSpec extends SparkSpec {
     assert(out(13L) == ((Some(ts("2024-01-01 09:00:00")), Some(9.0))))
   }
 
+  test("asofJoin pairs ts and value from the SAME build row when the value is NULL") {
+    // regression: two independent last(_, ignoreNulls) calls skipped a
+    // NULL-valued latest build row on the value column only, pairing
+    // the newer ts with an older row's value
+    val probe = Seq((20L, 1L, ts("2024-01-01 11:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 10:00:00"), None: Option[Double])
+    ).toDF("user_id", "ts", "value")
+    val r = Temporal.asofJoin(probe, build, "user_id", "ts", "value",
+        prefix = "p")
+      .select("p_ts", "p_value").collect()(0)
+    assert(r.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+    assert(r.isNullAt(1), "value must come from the 10:00 row (NULL)")
+  }
+
   test("asofJoin deduplicates equal-ts build rows to the max value") {
     val probe = Seq((1L, 1L, ts("2024-01-01 10:00:00")))
       .toDF("event_id", "user_id", "ts")

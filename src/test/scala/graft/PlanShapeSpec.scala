@@ -118,6 +118,15 @@ class PlanShapeSpec extends SparkSpec {
           F.col("c_nationkey") === F.col("n_nationkey"))
         .queryExecution.executedPlan.toString
       assert(!ctrl.contains("BroadcastHashJoin"), ctrl.take(800))
+      // spoof control: a user alias named like a dim over a NON-dim
+      // relation must not trigger the hint (the rule checks the
+      // declared dim schema, not just the alias name)
+      Tables.scan(spark, sf, "orders").createOrReplaceTempView("orders_v")
+      val spoof = spark.sql(
+          "SELECT nation.o_orderkey FROM orders_v nation " +
+            "JOIN customer c ON nation.o_custkey = c.c_custkey")
+        .queryExecution.executedPlan.toString
+      assert(!spoof.contains("BroadcastHashJoin"), spoof.take(800))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
