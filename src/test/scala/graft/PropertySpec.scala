@@ -125,4 +125,100 @@ class PropertySpec extends SparkSpec {
     val salted = Joins.saltedJoin(orders, cust, Seq("o_custkey"), 8).count()
     assert(plain == salted)
   }
+
+  test("salted agg law: equals plain groupBy on random skewed data") {
+    val rows = Gen.listOfN(60, for {
+      key <- Gen.frequency(4 -> Gen.const(1L), 1 -> Gen.choose(2L, 5L))
+      value <- Gen.choose(-100.0, 100.0)
+    } yield (key, value))
+    checkProp(Prop.forAll(rows) { data =>
+      data.isEmpty || {
+        val df = data.zipWithIndex
+          .map { case ((k, v), i) => (i.toLong, k, v) }
+          .toDF("row_id", "key", "value")
+        val plain = df.groupBy("key")
+          .agg(F.count(F.lit(1)).as("n"), F.min("value").as("mn"),
+            F.max("value").as("mx"))
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+        val salted = graft.operators.Skew
+          .saltedAgg(df, "key", F.col("row_id"), "value", buckets = 4)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+        salted == plain
+      }
+    }, n = 3)
+  }
+
+  test("as-of law: window formulation equals brute-force per-probe scan") {
+    import java.sql.Timestamp
+    val rows = for {
+      nb <- Gen.choose(1, 8); np <- Gen.choose(1, 8)
+      build <- Gen.listOfN(nb, for {
+        k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 50L)
+        v <- Gen.option(Gen.choose(0.0, 9.0))
+      } yield (k, t, v))
+      probe <- Gen.listOfN(np, for {
+        k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+    } yield (build, probe)
+    checkProp(Prop.forAll(rows) { case (build, probe) =>
+      def ts(s: Long) = new Timestamp(s * 1000L)
+      val bDf = build.map { case (k, t, v) => (k, ts(t), v) }
+        .toDF("user_id", "ts", "value")
+      val pDf = probe.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+        .toDF("event_id", "user_id", "ts")
+      // reference: reduce build to (key, ts) -> max value (None only
+      // when every value at that ts is None), then latest at-or-before
+      val reduced = build.groupBy(b => (b._1, b._2)).map { case ((k, t), g) =>
+        (k, t) -> g.flatMap(_._3).maxOption
+      }
+      val expect = probe.zipWithIndex.map { case ((k, t), i) =>
+        val cands = reduced.filter { case ((bk, bt), _) => bk == k && bt <= t }
+        i.toLong -> cands.toSeq.sortBy(_._1._2).lastOption
+          .map { case ((_, bt), v) => (Some(bt), v) }
+          .getOrElse((None, None))
+      }.toMap
+      val got = graft.operators.Temporal
+        .asofJoin(pDf, bDf, "user_id", "ts", "value", prefix = "p")
+        .collect().map { r =>
+          // output columns: user_id, ts, event_id (extra), p_ts, p_value
+          r.getLong(2) -> ((
+            if (r.isNullAt(3)) None else Some(r.getTimestamp(3).getTime / 1000L),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        }.toMap
+      got == expect
+    }, n = 5)
+  }
+
+  test("components law: min-label propagation equals union-find") {
+    val edges = Gen.listOfN(12, for {
+      a <- Gen.choose(0L, 15L); b <- Gen.choose(0L, 15L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    checkProp(Prop.forAll(edges) { es =>
+      es.isEmpty || {
+        val pairs = es.toDF("id_a", "id_b")
+        val got = graft.operators.Dedup.dupComponents(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonical label = min node id per root group
+        val byRoot = nodes.groupBy(find)
+        val expect = byRoot.flatMap { case (_, ns) =>
+          val m = ns.min; ns.map(_ -> m)
+        }.toMap
+        got == expect
+      }
+    }, n = 5)
+  }
 }
