@@ -188,6 +188,16 @@ object SparkEntry {
       graft.api.Graft(s, dir).enableSql()
       s.sql("SELECT n_name, count(*) AS n_customers, avg(c_acctbal) AS avg_bal " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")
+    }),
+
+    // star join through BOTH declared dims — the BroadcastFixedDims
+    // rule (GraftSparkExtensions) stamps the broadcast hints; no
+    // per-query hints, no size estimation (PlanShapeSpec pins the plan)
+    "sql_star_join" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql()
+      s.sql("SELECT r_name, n_name, count(*) AS n_customers " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name")
     })
   ) ++ Extensions.queries
 
@@ -307,6 +317,10 @@ object SparkEntry {
         "CAST(embedding AS DOUBLE[])), 6) AS sq_norm FROM embeddings"),
     "sql_catalog_join" ->
       ("SELECT n_name, count(*) AS n_customers, avg(c_acctbal) AS avg_bal " +
-        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    "sql_star_join" ->
+      ("SELECT r_name, n_name, count(*) AS n_customers " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name")
   ) ++ Extensions.oracleSql
 }

@@ -127,6 +127,14 @@ class PlanShapeSpec extends SparkSpec {
             "JOIN customer c ON nation.o_custkey = c.c_custkey")
         .queryExecution.executedPlan.toString
       assert(!spoof.contains("BroadcastHashJoin"), spoof.take(800))
+      // the graded star join broadcasts BOTH dims through the rule
+      Tables.scan(spark, sf, "region").createOrReplaceTempView("region")
+      val star = spark.sql(
+          "SELECT r_name, n_name, count(*) AS n FROM customer " +
+            "JOIN nation ON c_nationkey = n_nationkey " +
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name")
+        .queryExecution.executedPlan.toString
+      assert(star.split("BroadcastHashJoin").length - 1 == 2, star.take(800))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
