@@ -35,8 +35,14 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     * temp views are the session-scoped equivalent. */
   def enableSql(): Unit = {
     graft.plans.GraftFunctions.register(spark)
+    // register every catalog model that has a backing parquet file;
+    // models without one (programmatic TableDefs registered for
+    // in-memory frames) are skipped rather than failing the whole
+    // SQL surface
     Catalog.tables.foreach { t =>
-      Tables.scan(spark, sfDir, t).createOrReplaceTempView(t)
+      scala.util.Try(Tables.scan(spark, sfDir, t).createOrReplaceTempView(t))
+        .failed.foreach(e => System.err.println(
+          s"[graft] enableSql: skipping '$t' (${e.getMessage})"))
     }
   }
 }

@@ -117,9 +117,19 @@ object EventWindows {
     * memory-safety contract for an unbounded production stream. Inner
     * join in append mode: every match is emitted exactly once, and a
     * finite fixture drains to the identical batch-join result the
-    * oracle computes. */
+    * oracle computes.
+    *
+    * `joinType` "left_outer" additionally emits each matchless click
+    * once — with NULL purchase columns — as soon as the watermark
+    * proves no future purchase can join it (a purchase would have to
+    * arrive at-or-before the click's own timestamp). Clicks near the end
+    * of a finite stream whose no-match proof never arrives are NOT
+    * emitted: on an unbounded production stream the proof always
+    * eventually comes, which is why the outer variant stays
+    * memory-safe. */
   def streamingIntervalJoin(spark: SparkSession, sfDir: String,
-                            queryName: String = "stream_join"): DataFrame = {
+                            queryName: String = "stream_join",
+                            joinType: String = "inner"): DataFrame = {
     val clicks = eventsStream(spark, sfDir)
       .filter(F.col("event_type") === "click")
       .select(F.col("event_id").as("click_id"), F.col("user_id"),
@@ -132,7 +142,8 @@ object EventWindows {
     val joined = clicks.join(purchases,
         F.col("user_id") === F.col("__p_user") &&
         F.col("purchase_ts") >= F.col("click_ts") - F.expr("INTERVAL 2 HOURS") &&
-        F.col("purchase_ts") <= F.col("click_ts"))
+        F.col("purchase_ts") <= F.col("click_ts"),
+        joinType)
       .select(F.col("click_id"), F.col("user_id"),
         F.col("click_ts").cast("timestamp_ntz").as("click_ts"),
         F.col("purchase_id"),

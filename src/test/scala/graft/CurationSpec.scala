@@ -169,6 +169,43 @@ class CurationSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("left-outer streaming interval join: matches exact, null rows sound and eventually complete") {
+    val ev = Tables.scan(spark, sf, "events")
+    val batchMatched = ev.filter(F.col("event_type") === "click").alias("c")
+      .join(ev.filter(F.col("event_type") === "purchase").alias("p"),
+        F.col("p.user_id") === F.col("c.user_id") &&
+        F.col("p.ts") >= F.col("c.ts") - F.expr("INTERVAL 2 HOURS") &&
+        F.col("p.ts") <= F.col("c.ts"))
+      .select(F.col("c.event_id").as("click_id"),
+        F.col("p.event_id").as("purchase_id"))
+      .as[(Long, Long)].collect().toSet
+    val streamed = graft.streaming.EventWindows
+      .streamingIntervalJoin(spark, sf, "stream_join_outer_spec",
+        joinType = "left_outer")
+      .select("click_id", "purchase_id", "click_ts").collect()
+    val streamedMatched = streamed.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1) the matched subset is exactly the batch inner join
+    assert(streamedMatched == batchMatched && batchMatched.nonEmpty)
+    // 2) soundness: every null-purchase row is a click the batch join
+    //    really can't match
+    val batchMatchedClicks = batchMatched.map(_._1)
+    val nullRows = streamed.filter(_.isNullAt(1))
+    assert(nullRows.nonEmpty, "fixture should contain matchless clicks")
+    assert(nullRows.forall(r => !batchMatchedClicks.contains(r.getLong(0))))
+    // 3) eventual completeness: matchless clicks comfortably older than
+    //    the final watermark (max event ts - delay, wide margin here)
+    //    MUST have been emitted — this is the outer join's liveness
+    val maxTs = ev.agg(F.max("ts")).collect()(0)
+      .getAs[java.time.LocalDateTime](0)
+    val cutoff = maxTs.minusDays(1)
+    val oldUnmatched = ev.filter(F.col("event_type") === "click")
+      .filter(F.col("ts") < F.lit(cutoff))
+      .select("event_id").as[Long].collect().toSet -- batchMatchedClicks
+    val emittedNullClicks = nullRows.map(_.getLong(0)).toSet
+    assert(oldUnmatched.subsetOf(emittedNullClicks))
+  }
+
   test("rangeCountJoin plans a bucketed equi-join, not a nested loop") {
     val ev = Tables.scan(spark, sf, "events")
     val plan = Temporal.rangeCountJoin(
