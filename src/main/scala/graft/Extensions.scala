@@ -36,6 +36,7 @@ object Extensions {
   private val QUOTA_PER_SOURCE = 15 // per-source cap (truncates at all SFs)
   private val RANGE_WINDOW_SEC = 300L // range-join half-window
   private val SALT_BUCKETS = 16 // skew-mitigation salt fan-out
+  private val INCR_MOD = 10 // incremental dedup: doc_id % this == 0 is the batch
   private val TFIDF_TOPK = 3 // tf-idf terms kept per document
   private val EMB_DIM = 64 // fixture embedding width (oracle range)
 
@@ -236,6 +237,19 @@ object Extensions {
       Tables.scan(s, dir, "documents")
         .join(drop, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    // incremental-ingest dedup: the mod-10 "incoming batch" cleaned
+    // against the rest of the corpus (in-batch dedup + anti-join on
+    // the existing fingerprint set) — the production shape of exact
+    // dedup for a continuously ingesting pipeline
+    "x_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      Dedup.incrementalDedup(
+          docs.filter(F.col("doc_id") % INCR_MOD =!= 0),
+          docs.filter(F.col("doc_id") % INCR_MOD === 0),
+          "doc_id", "text")
+        .select("doc_id", "lang", "source")
     }),
 
     // word-trigram shingle Jaccard: order-sensitive near-dup — the
@@ -680,6 +694,16 @@ object Extensions {
       "x_dedup_exact" ->
         ("SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp, " +
           "min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY fp"),
+      "x_dedup_incremental" ->
+        ("WITH f AS (SELECT doc_id, lang, source, " +
+          "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp " +
+          "FROM documents), " +
+          s"inc AS (SELECT * FROM f WHERE doc_id % $INCR_MOD = 0), " +
+          s"seen AS (SELECT DISTINCT fp FROM f WHERE doc_id % $INCR_MOD <> 0), " +
+          "kept AS (SELECT fp, min(doc_id) AS doc_id FROM inc GROUP BY fp) " +
+          "SELECT i.doc_id, i.lang, i.source FROM inc i " +
+          "JOIN kept k ON i.doc_id = k.doc_id " +
+          "WHERE i.fp NOT IN (SELECT fp FROM seen)"),
       "x_dedup_jaccard" -> jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8),
       "x_dedup_keep" ->
         ("WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" +

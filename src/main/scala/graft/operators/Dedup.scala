@@ -37,6 +37,29 @@ object Dedup {
     df.join(keep.select(idCol), Seq(idCol), "left_semi")
   }
 
+  /** Incremental-ingest dedup: the rows of `incoming` that survive
+    * dedup against an EXISTING corpus — the production shape of exact
+    * dedup, where each new crawl/batch is cleaned against everything
+    * already ingested instead of re-deduplicating the world.
+    *
+    * Two passes, both on the 16-byte fingerprint: in-batch dedup
+    * (keep the minimum id per fingerprint inside `incoming`), then a
+    * left-anti join against the corpus's distinct fingerprint set.
+    * At scale the corpus side reduces to its distinct fingerprints
+    * before the join — the shuffle carries 16 bytes per EXISTING
+    * document, never its text, and the incoming batch (typically
+    * orders of magnitude smaller than the corpus) is the streamed
+    * side. */
+  def incrementalDedup(corpus: DataFrame, incoming: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val seen = corpus
+      .select(Text.fingerprint(F.col(textCol)).as("fp")).distinct()
+    val inBatch = exactDedup(incoming, idCol, textCol)
+    inBatch.withColumn("fp", Text.fingerprint(F.col(textCol)))
+      .join(seen, Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
   /** Universal-hash family for MinHash: h_s(x) = (a_s·x + b_s) mod P
     * over a single md5-derived base hash. One md5 per token total
     * (instead of one per seed); the mixes are integer-only and stay

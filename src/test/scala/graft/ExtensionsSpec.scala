@@ -50,6 +50,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(g.getAs[Long]("dup_count") == 2)
   }
 
+  test("incrementalDedup drops corpus-seen texts and in-batch duplicates") {
+    import spark.implicits._
+    val corpus = Seq((1L, "seen text"), (2L, "other")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "seen text"),   // already in the corpus -> dropped
+      (11L, "fresh"),       // first in-batch occurrence -> kept
+      (12L, "fresh"),       // in-batch duplicate -> dropped
+      (13L, "brand new")    // kept
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .incrementalDedup(corpus, incoming, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L))
+  }
+
   test("simhash byte-banding finds ALL pairs with hamming <= 3 (LSH completeness)") {
     val subset = docs.filter(F.col("doc_id") < 100)
     val sig = Dedup.simhash(subset, "doc_id", "text", bits = 32)
