@@ -36,7 +36,13 @@ object Extensions {
   private val QUOTA_PER_SOURCE = 15 // per-source cap (truncates at all SFs)
   private val RANGE_WINDOW_SEC = 300L // range-join half-window
   private val SALT_BUCKETS = 16 // skew-mitigation salt fan-out
-  private val INCR_MOD = 10 // incremental dedup: doc_id % this == 0 is the batch
+  // incremental dedup: doc_id % this == 0 is the incoming batch. 3, not
+  // a rounder number, because the fixture's duplicate groups must
+  // actually INTERSECT the split for the graded query to exercise both
+  // drop paths (at sf0.1, mod 3 puts one dup pair fully in-batch and
+  // splits another across batch/corpus; mod 10 touched none — the
+  // query graded a pass-through)
+  private val INCR_MOD = 3
   private val TFIDF_TOPK = 3 // tf-idf terms kept per document
   private val EMB_DIM = 64 // fixture embedding width (oracle range)
 
@@ -703,7 +709,10 @@ object Extensions {
           "kept AS (SELECT fp, min(doc_id) AS doc_id FROM inc GROUP BY fp) " +
           "SELECT i.doc_id, i.lang, i.source FROM inc i " +
           "JOIN kept k ON i.doc_id = k.doc_id " +
-          "WHERE i.fp NOT IN (SELECT fp FROM seen)"),
+          // NOT EXISTS, not NOT IN: a NULL fingerprint (NULL text)
+          // must behave like Spark's left_anti (NULL keys never
+          // match), where NOT IN would nuke the whole result
+          "WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = i.fp)"),
       "x_dedup_jaccard" -> jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8),
       "x_dedup_keep" ->
         ("WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" +

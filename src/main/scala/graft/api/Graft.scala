@@ -38,11 +38,16 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     // register every catalog model that has a backing parquet file;
     // models without one (programmatic TableDefs registered for
     // in-memory frames) are skipped rather than failing the whole
-    // SQL surface
+    // SQL surface. On failure any SAME-NAMED view from a previous
+    // enableSql (different sfDir) is dropped too — a stale view
+    // silently serving the old directory's data is worse than
+    // TABLE_OR_VIEW_NOT_FOUND
     Catalog.tables.foreach { t =>
       scala.util.Try(Tables.scan(spark, sfDir, t).createOrReplaceTempView(t))
-        .failed.foreach(e => System.err.println(
-          s"[graft] enableSql: skipping '$t' (${e.getMessage})"))
+        .failed.foreach { e =>
+          spark.catalog.dropTempView(t)
+          System.err.println(s"[graft] enableSql: skipping '$t' (${e.getMessage})")
+        }
     }
   }
 }

@@ -54,10 +54,16 @@ object Dedup {
                        idCol: String, textCol: String): DataFrame = {
     val seen = corpus
       .select(Text.fingerprint(F.col(textCol)).as("fp")).distinct()
-    val inBatch = exactDedup(incoming, idCol, textCol)
-    inBatch.withColumn("fp", Text.fingerprint(F.col(textCol)))
+    // fingerprint the batch ONCE; both dedup passes then run over the
+    // skinny (fp, id) frame — the in-batch keep set and the anti-join
+    // against the corpus shuffle 16-byte hashes plus an id, never
+    // text. One final semi-join rehydrates the surviving full rows.
+    val keepIds = incoming
+      .select(F.col(idCol), Text.fingerprint(F.col(textCol)).as("fp"))
+      .groupBy("fp").agg(F.min(idCol).as(idCol))
       .join(seen, Seq("fp"), "left_anti")
-      .drop("fp")
+      .select(idCol)
+    incoming.join(keepIds, Seq(idCol), "left_semi")
   }
 
   /** Universal-hash family for MinHash: h_s(x) = (a_s·x + b_s) mod P
