@@ -44,6 +44,8 @@ object Extensions {
   // query graded a pass-through)
   private val INCR_MOD = 3
   private val TFIDF_TOPK = 3 // tf-idf terms kept per document
+  private val PMI_MIN_COUNT = 5 // bigram support floor for PMI
+  private val PMI_TOPK = 20 // collocation pairs kept
   private val EMB_DIM = 64 // fixture embedding width (oracle range)
 
   private val stopSql = Text.stopwords.map { case (l, ws) =>
@@ -441,7 +443,14 @@ object Extensions {
     // the 6-dp-rounded score so the ranking is engine-stable
     "x_tfidf" -> ((s, dir) =>
       Curation.tfidfTopTerms(Tables.scan(s, dir, "documents"),
-        "doc_id", "text", TFIDF_TOPK))
+        "doc_id", "text", TFIDF_TOPK)),
+
+    // corpus collocations: top adjacent word pairs by PMI with a
+    // support floor — the phrase-mining signal for tokenizer/vocab
+    // decisions; ranked on the rounded score (engine-stable)
+    "x_pmi" -> ((s, dir) =>
+      Curation.pmiTopPairs(Tables.scan(s, dir, "documents"),
+        "text", PMI_MIN_COUNT, PMI_TOPK))
   )
 
   /** k min-hash aggregate expressions (same universal-hash literals
@@ -907,7 +916,29 @@ object Extensions {
           "row_number() OVER (PARTITION BY tf.doc_id ORDER BY " +
           "round(tf.tf * ln((n.n + 1.0) / (d.df + 1.0)), 6) DESC, " +
           "tf.term ASC) AS rk " +
-          s"FROM tf JOIN d USING (term), n) WHERE rk <= $TFIDF_TOPK")
+          s"FROM tf JOIN d USING (term), n) WHERE rk <= $TFIDF_TOPK"),
+      "x_pmi" ->
+        ("WITH t AS (SELECT string_split_regex(lower(text), '\\s+') AS t " +
+          "FROM documents), " +
+          "toks AS (SELECT unnest(t) AS tok FROM t), " +
+          "u AS (SELECT tok, count(*) AS cu FROM toks WHERE tok <> '' " +
+          "GROUP BY tok), " +
+          "big AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN " +
+          "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) " +
+          "ELSE [] END) AS g FROM t), " +
+          "bc AS (SELECT g, count(*) AS pair_count FROM big GROUP BY g " +
+          s"HAVING count(*) >= $PMI_MIN_COUNT), " +
+          "nu AS (SELECT count(*) AS nu FROM toks WHERE tok <> ''), " +
+          "nb AS (SELECT count(*) AS nb FROM big) " +
+          "SELECT string_split(g, ' ')[1] AS term_a, " +
+          "string_split(g, ' ')[2] AS term_b, pair_count, " +
+          "round(ln((pair_count::DOUBLE * nu.nu * nu.nu) / " +
+          "(nb.nb::DOUBLE * a.cu * b.cu)), 6) AS pmi " +
+          "FROM bc, nu, nb " +
+          "JOIN u a ON a.tok = string_split(g, ' ')[1] " +
+          "JOIN u b ON b.tok = string_split(g, ' ')[2] " +
+          "ORDER BY pmi DESC, term_a ASC, term_b ASC " +
+          s"LIMIT $PMI_TOPK")
     )
   }
 }

@@ -121,6 +121,51 @@ object Curation {
     * Common terms (high df) have high-fanout join rows, but the join
     * key carries only (term, df) — at 100 TB the df frame is
     * vocabulary-sized and AQE broadcasts it. */
+  /** Corpus-wide collocations: the `topK` adjacent word pairs by
+    * pointwise mutual information, `pmi = ln(p(a,b) / (p(a)·p(b)))`
+    * with bigram/unigram probabilities over the whole corpus and a
+    * `minCount` support floor (PMI is noise without one). The classic
+    * phrase-mining signal ("new york"-style units for tokenizer and
+    * n-gram vocabulary decisions).
+    *
+    * Three grouped passes (unigram counts, bigram counts, totals as a
+    * broadcast one-row frame), all map-side combinable; the pair
+    * frame after the support floor is vocabulary-sized, so the final
+    * global top-k sort is trivial. The ratio is computed in double
+    * with identical association on both engines, scores are rounded
+    * to 6 dp, and the top-k selection orders by the ROUNDED score
+    * with (term_a, term_b) tie-breaks — deterministic across engines
+    * whose `ln` differs in the last ulp. */
+  def pmiTopPairs(df: DataFrame, textCol: String, minCount: Long = 5,
+                  topK: Int = 20): DataFrame = {
+    val toks = df.select(F.explode(Text.tokens(F.col(textCol))).as("tok"))
+      .filter(F.col("tok") =!= "")
+    val uni = toks.groupBy("tok").agg(F.count(F.lit(1)).as("cu"))
+    // adjacent pairs only: the <2-token whole-text fallback shingle
+    // has no space and is excluded
+    val bigrams = df
+      .select(F.explode(Text.shingles(F.col(textCol), 2)).as("g"))
+      .filter(F.col("g").contains(" "))
+    val pairs = bigrams.groupBy("g").agg(F.count(F.lit(1)).as("pair_count"))
+      .filter(F.col("pair_count") >= minCount)
+      .withColumn("term_a", F.split(F.col("g"), " ").getItem(0))
+      .withColumn("term_b", F.split(F.col("g"), " ").getItem(1))
+    val totals = toks.agg(F.count(F.lit(1)).as("__nu"))
+      .crossJoin(bigrams.agg(F.count(F.lit(1)).as("__nb")))
+    pairs
+      .join(uni.select(F.col("tok").as("term_a"), F.col("cu").as("__ca")),
+        Seq("term_a"))
+      .join(uni.select(F.col("tok").as("term_b"), F.col("cu").as("__cb")),
+        Seq("term_b"))
+      .crossJoin(F.broadcast(totals))
+      .withColumn("pmi", F.round(F.log(
+        (F.col("pair_count").cast("double") * F.col("__nu") * F.col("__nu")) /
+          (F.col("__nb").cast("double") * F.col("__ca") * F.col("__cb"))), 6))
+      .orderBy(F.col("pmi").desc, F.col("term_a").asc, F.col("term_b").asc)
+      .limit(topK)
+      .select("term_a", "term_b", "pair_count", "pmi")
+  }
+
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     topK: Int = 3): DataFrame = {
     val tf = df.select(F.col(idCol),

@@ -64,6 +64,19 @@ class SkewSpec extends SparkSpec {
       (2, 0L) -> ((10.0, 1L)), (2, 1L) -> ((-10.0, 1L))))
   }
 
+  test("pmi ranks a planted collocation above independent pairs") {
+    // two recurring pairs: "neural network" (tight collocation — both
+    // words ONLY occur together) and "the neural" ("the" is spread
+    // across three positions per doc, diluting its association) —
+    // PMI must rank the tight pair first
+    val docs = (0 until 10).map { i =>
+      (i.toLong, s"the a$i the neural network b$i the c$i")
+    }.toDF("doc_id", "text")
+    val out = Curation.pmiTopPairs(docs, "text", minCount = 5, topK = 3)
+      .select("term_a", "term_b").as[(String, String)].collect()
+    assert(out.toSeq == Seq(("neural", "network"), ("the", "neural")))
+  }
+
   test("tfidf ranks rarer terms above common ones and caps at topK") {
     val df = Seq(
       (1L, "apple banana banana"),
