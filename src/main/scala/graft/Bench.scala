@@ -68,7 +68,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    spark.stop()
+    // Try: a shutdown race (e.g. streaming state-store threads) must
+    // not swallow the JSON line the driver parses — emit it regardless
+    scala.util.Try(spark.stop())
     println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }

@@ -100,27 +100,16 @@ object Curation {
     * cap exactly. */
   def quotaPerGroup(df: DataFrame, idCol: String, groupCol: String,
                     quota: Int): DataFrame = {
+    // `rk` is this operator's output rank column; a same-named input
+    // column would be silently overwritten by withColumn — fail fast
+    require(!df.columns.contains("rk"),
+      "quotaPerGroup reserves the output column name 'rk'; rename it on the input")
     val w = Window.partitionBy(groupCol)
       .orderBy(Text.hash60(F.col(idCol)).asc, F.col(idCol).asc)
     df.withColumn("rk", F.row_number().over(w).cast("long"))
       .filter(F.col("rk") <= quota)
   }
 
-  /** Top-`topK` terms per document by tf-idf (keyword extraction /
-    * corpus topicality audit). tf is the raw in-doc term count, idf is
-    * the smoothed `ln((N+1)/(df+1))`; scores are rounded to 6 dp and
-    * ranked (score desc, term asc) BY THE ROUNDED VALUE, so the
-    * ranking — not just the printed score — is stable across engines
-    * whose `ln` differ in the last ulp.
-    *
-    * Three map-side-combinable grouped passes over one exploded token
-    * frame: (doc, term) counts; document frequencies from the distinct
-    * side of that SAME frame (never a re-explode); N as a broadcast
-    * one-row frame (kept lazy — no driver-side count()). The final
-    * per-doc top-k is a window over ~unique-terms-per-doc rows.
-    * Common terms (high df) have high-fanout join rows, but the join
-    * key carries only (term, df) — at 100 TB the df frame is
-    * vocabulary-sized and AQE broadcasts it. */
   /** Corpus-wide collocations: the `topK` adjacent word pairs by
     * pointwise mutual information, `pmi = ln(p(a,b) / (p(a)·p(b)))`
     * with bigram/unigram probabilities over the whole corpus and a
@@ -166,6 +155,23 @@ object Curation {
       .select("term_a", "term_b", "pair_count", "pmi")
   }
 
+  /** Top-`topK` terms per document by tf-idf (keyword extraction /
+    * corpus topicality audit). tf is the raw in-doc term count, idf is
+    * the smoothed `ln((N+1)/(df+1))`; scores are rounded to 6 dp and
+    * ranked (score desc, term asc) BY THE ROUNDED VALUE, so the
+    * ranking — not just the printed score — is stable across engines
+    * whose `ln` differ in the last ulp.
+    *
+    * Three map-side-combinable grouped passes over one exploded token
+    * frame: (doc, term) counts; document frequencies from the distinct
+    * side of that SAME frame (never a re-explode); N as a broadcast
+    * one-row frame (kept lazy — no driver-side count()). The final
+    * per-doc top-k is a window over ~unique-terms-per-doc rows.
+    * Common terms (high df) have high-fanout join rows, but the join
+    * key carries only (term, df) — at 100 TB the df frame is
+    * vocabulary-sized and AQE broadcasts it.
+    *
+    * Output reserves the column name `rk` (the per-doc rank). */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     topK: Int = 3): DataFrame = {
     val tf = df.select(F.col(idCol),

@@ -223,8 +223,12 @@ object Dedup {
         F.col(s"l.$idCol") < F.col(s"r.$idCol"))
       .select(F.col(s"l.$idCol").as("id_a"), F.col(s"r.$idCol").as("id_b"),
         F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // filter BEFORE dedup: hamming is already computed map-side, so
+      // rejecting failing candidates here keeps them out of the
+      // dropDuplicates exchange — only surviving pairs shuffle (same
+      // order, same rationale as Similarity.nearDupPairs)
       .filter(F.col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact token-set Jaccard pairs ≥ threshold. Quadratic in the

@@ -131,7 +131,13 @@ object Joins {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltBuckets: Int = 16,
                  saltFrom: Column = F.hash(F.monotonically_increasing_id())): DataFrame = {
-    val salted = left.withColumn("__salt", F.pmod(saltFrom, F.lit(saltBuckets)))
+    require(!(left.columns ++ right.columns).contains("__salt"),
+      "saltedJoin reserves the intermediate column name '__salt'")
+    // coalesce: a NULL saltFrom value must still land in SOME bucket —
+    // a NULL salt would fail the inner equi-join and silently drop the
+    // row, breaking the "result-identical to the plain join" contract
+    val salted = left.withColumn("__salt",
+      F.coalesce(F.pmod(saltFrom, F.lit(saltBuckets)), F.lit(0)))
     val exploded = right.withColumn("__salt",
       F.explode(F.array((0 until saltBuckets).map(F.lit): _*)))
     salted.join(exploded, keys :+ "__salt", "inner").drop("__salt")

@@ -217,13 +217,15 @@ object Similarity {
         -F.array_max(F.array(cellStructs(F.col("c_vec"), F.col("c_nrm")): _*))
           .getField("neg_id"))
 
-    // query-side probing runs on the DRIVER: queries are small by the
-    // same contract that lets them broadcast, and resolving their
-    // nprobe cells in Scala halves the generated-code volume (the
-    // corpus side is the only remaining centroid-literal tree — at
-    // ~100 centroids the duplicated codegen dominated this operator's
-    // wall-clock as pure plan-compile overhead). Arithmetic mirrors
-    // cellStructs exactly: left-to-right double accumulation,
+    // query-side probing runs on the DRIVER: queries are eagerly
+    // collect()ed at plan-BUILD time (they are small by the same
+    // contract that lets them broadcast — callers handing a lazy /
+    // expensive frame here pay its evaluation immediately), and
+    // resolving their nprobe cells in Scala halves the generated-code
+    // volume (the corpus side is the only remaining centroid-literal
+    // tree — at ~100 centroids the duplicated codegen dominated this
+    // operator's wall-clock as pure plan-compile overhead). Arithmetic
+    // mirrors cellStructs exactly: left-to-right double accumulation,
     // HALF_UP rounding at 6 dp, ties to the lower centroid id.
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -242,8 +244,13 @@ object Similarity {
           while (i < qv.length) { d += qv(i).toDouble * cv(i).toDouble; i += 1 }
           val raw = d / (qnrm * cnorm)
           // a zero-norm (or empty) query yields NaN — rank it below
-          // every real similarity instead of crashing in BigDecimal
-          // (the Catalyst path this mirrors degrades the same way)
+          // every real similarity instead of crashing in BigDecimal.
+          // Deliberately NOT Spark's ordering: Catalyst sorts NaN
+          // ABOVE every double, so the old in-plan formulation would
+          // have probed the cells in the opposite order for a
+          // degenerate query. "A meaningless similarity probes last"
+          // is the defensible semantics, so we keep it and document
+          // the divergence here.
           val csim =
             if (java.lang.Double.isFinite(raw))
               BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)

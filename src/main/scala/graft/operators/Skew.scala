@@ -28,8 +28,12 @@ object Skew {
     * deterministic and engine-portable. */
   def saltedAgg(df: DataFrame, keyCol: String, saltFrom: Column,
                 valCol: String, buckets: Int = 16): DataFrame = {
+    require(!df.columns.contains("__salt"),
+      "saltedAgg reserves the intermediate column name '__salt'")
+    // coalesce: NULL saltFrom values still aggregate (into bucket 0) —
+    // keeps bucket assignment total, and matches saltedJoin's handling
     val partial = df
-      .withColumn("__salt", F.pmod(saltFrom, F.lit(buckets)))
+      .withColumn("__salt", F.coalesce(F.pmod(saltFrom, F.lit(buckets)), F.lit(0)))
       .groupBy(F.col(keyCol), F.col("__salt"))
       .agg(F.count(F.lit(1)).as("__n"),
         F.sum(F.col(valCol)).as("__s"),

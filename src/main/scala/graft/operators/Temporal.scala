@@ -34,6 +34,11 @@ object Temporal {
   def asofJoin(probe: DataFrame, build: DataFrame, keyCol: String,
                tsCol: String, buildValCol: String,
                prefix: String = "asof"): DataFrame = {
+    // internal tag/value/struct columns — a same-named input column
+    // would be silently clobbered, so fail fast instead
+    val reserved = Seq("__tag", "__bval", "__asof")
+    require(!(probe.columns ++ build.columns).exists(reserved.contains),
+      s"asofJoin reserves the column names ${reserved.mkString(", ")}")
     val extras = probe.columns.toSeq.filterNot(c => c == keyCol || c == tsCol)
     val bvalType = build.schema(buildValCol).dataType
     val bSide = build.groupBy(keyCol, tsCol)
