@@ -30,6 +30,16 @@ object Extensions {
   private val ANN_CENT_STRIDE = 61 // every 61st vector is a centroid
   private val ANN_NPROBE = 2
   private val ANN_N_QUERIES = 5 // query set = vec_id < this, BOTH engines
+  // kmeans-trained IVF (x_ann_kmeans). nprobe 8 of 10 cells: the
+  // fixture's embeddings are ISOTROPIC (same-label mean cosine ~0.002
+  // — no cluster structure for ANY partitioner to exploit), so
+  // recall@10 is structurally ~nprobe/k; 8/10 measures 0.96-0.98
+  // across sf0.001/0.01/0.1 (ExtensionsSpec pins >= 0.9). On real
+  // clustered embeddings the same machinery reaches that recall at
+  // nprobe 1-2; the fixture makes the trade steep, not the operator.
+  private val ANN_KMEANS_K = 10
+  private val ANN_KMEANS_ITERS = 3
+  private val ANN_KMEANS_NPROBE = 8
   private val DECON_N = 4 // decontamination n-gram width
   private val DECON_MOD = 41 // benchmark split: doc_id % DECON_MOD == 0
   private val SAMPLE_PCT = 20 // hash-sample keep rate (of 100 buckets)
@@ -319,6 +329,18 @@ object Extensions {
         "vec_id", "embedding", k = 10, nprobe = ANN_NPROBE)
     }),
 
+    // IVF with TRAINED centroids: the deterministic Lloyd trainer
+    // feeds the same probe; the oracle replays the training itself as
+    // unrolled SQL rounds, so centroid parity is checked, not assumed.
+    // Recall is pinned in ExtensionsSpec (see ANN_KMEANS_NPROBE note).
+    "x_ann_kmeans" -> ((s, dir) => {
+      val emb = Tables.scan(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = ANN_KMEANS_K, iters = ANN_KMEANS_ITERS)
+      Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < ANN_N_QUERIES),
+        cents, "vec_id", "embedding", k = 10, nprobe = ANN_KMEANS_NPROBE)
+    }),
+
     // ---- events: windowed aggregation (batch) + streaming twin ----
     "x_window_tumbling" -> ((s, dir) =>
       EventWindows.tumblingHourly(Tables.scan(s, dir, "events"))),
@@ -558,16 +580,13 @@ object Extensions {
       s"WHERE $sim >= $threshold"
   }
 
-  /** IVF ANN pipeline (DuckDB twin of [[Similarity.ivfTopK]] with
-    * stride-sampled centroids): identical cells, probing, and
-    * tie-breaks. */
-  private def ivfSql(stride: Int, nprobe: Int, k: Int,
-                     nQueries: Int): String = {
+  /** The IVF probe stage shared by both ANN oracles: assignment,
+    * query-cell probing, candidate ranking. Expects a preceding CTE
+    * `cents(cent_id, cvec)`. */
+  private def ivfBodySql(nprobe: Int, k: Int, nQueries: Int): String = {
     val csim = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
       "CAST(c.cvec AS DOUBLE[])), 6)"
-    s"WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec " +
-      s"FROM embeddings WHERE vec_id % $stride = 0), " +
-      "asgn AS (SELECT e.vec_id, e.embedding, c.cent_id, " +
+    "asgn AS (SELECT e.vec_id, e.embedding, c.cent_id, " +
       s"row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, c.cent_id ASC) AS rn " +
       "FROM embeddings e CROSS JOIN cents c), " +
       "ccells AS (SELECT vec_id AS match_id, embedding AS c_vec, cent_id AS cell " +
@@ -582,6 +601,51 @@ object Extensions {
       "SELECT query_id, match_id, sim, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rank FROM cand) " +
       s"WHERE rank <= $k"
+  }
+
+  /** IVF ANN pipeline (DuckDB twin of [[Similarity.ivfTopK]] with
+    * stride-sampled centroids): identical cells, probing, and
+    * tie-breaks. */
+  private def ivfSql(stride: Int, nprobe: Int, k: Int,
+                     nQueries: Int): String =
+    s"WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec " +
+      s"FROM embeddings WHERE vec_id % $stride = 0), " +
+      ivfBodySql(nprobe, k, nQueries)
+
+  /** DuckDB twin of `kmeansCentroids` + `ivfTopK`: replays the
+    * deterministic Lloyd training — stride init, argmax assignment on
+    * the 6-dp-rounded cosine (ties to the lower centroid id),
+    * 9-dp-rounded cell means, empty cells keep their previous
+    * centroid — as `iters` unrolled CTE rounds, then runs the same
+    * IVF probe as [[ivfBodySql]]. Rounding at 6/9 dp is what makes
+    * the replay engine-exact: it absorbs summation-order ulp wobble
+    * on both sides, and both engines round half away from zero. */
+  private def annKmeansSql(kc: Int, iters: Int, nprobe: Int, k: Int,
+                           nQueries: Int): String = {
+    val init =
+      s"st AS (SELECT greatest(1, count(*) // $kc) AS s FROM embeddings), " +
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, " +
+        "CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings " +
+        s"WHERE vec_id % (SELECT s FROM st) = 0 ORDER BY vec_id LIMIT $kc), "
+    val rounds = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      s"a$i AS (SELECT e.vec_id, e.embedding, c.cent_id, " +
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, " +
+        s"c.cent_id ASC) AS rn FROM embeddings e CROSS JOIN $prev c), " +
+        // parallel unnests zip: (pos, element) rows, DuckDB's posexplode
+        s"x$i AS (SELECT cent_id, unnest(generate_series(1, len(embedding))) AS pos, " +
+        s"unnest(CAST(embedding AS DOUBLE[])) AS x FROM a$i WHERE rn = 1), " +
+        s"m$i AS (SELECT cent_id, list(m ORDER BY pos) AS v FROM " +
+        s"(SELECT cent_id, pos, round(avg(x), 9) AS m FROM x$i GROUP BY cent_id, pos) " +
+        "GROUP BY cent_id), " +
+        s"c$i AS (SELECT c.cent_id, coalesce(m.v, c.cvec) AS cvec " +
+        s"FROM $prev c LEFT JOIN m$i m USING (cent_id))"
+    }.mkString(", ")
+    // the Scala trainer emits FLOAT centroids — replicate the narrowing
+    "WITH " + init + rounds +
+      s", cents AS (SELECT cent_id, CAST(cvec AS FLOAT[]) AS cvec FROM c$iters), " +
+      ivfBodySql(nprobe, k, nQueries)
   }
 
   def oracleSql: Map[String, String] = {
@@ -779,6 +843,8 @@ object Extensions {
           "WHERE q.vec_id < 5) WHERE rank <= 10"),
       "x_embed_neardup" -> nearDupLshSql(SIGNLSH_PLANES, SIGNLSH_BANDS, 0.45),
       "x_ann_ivf" -> ivfSql(ANN_CENT_STRIDE, ANN_NPROBE, 10, ANN_N_QUERIES),
+      "x_ann_kmeans" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
+        ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES),
       "x_window_tumbling" ->
         ("SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
           "event_type, count(*) AS n, sum(value) AS sum_value FROM events " +

@@ -314,7 +314,10 @@ object Similarity {
       // means are rounded to 9 dp on the driver: avg() merges partial
       // sums in shuffle-fetch order, so the raw double can wobble by
       // an ulp between runs — rounding far above ulp scale restores
-      // run-to-run identical centroids (the documented contract)
+      // run-to-run identical centroids (the documented contract).
+      // HALF_UP (away from zero), not rint's HALF_EVEN: DuckDB's
+      // round() is half-away-from-zero, and the x_ann_kmeans oracle
+      // replays this training step with round(avg(x), 9)
       val means = df
         .withColumn("cell",
           -F.array_max(F.array(structs.toIndexedSeq: _*)).getField("neg_id"))
@@ -324,7 +327,8 @@ object Similarity {
         .groupBy(_.getInt(0))
         .map { case (cell, rows) =>
           cell -> rows.sortBy(_.getInt(1))
-            .map(r => math.rint(r.getDouble(2) * 1e9) / 1e9)
+            .map(r => BigDecimal(r.getDouble(2))
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
       cents = cents.zipWithIndex.map { case (old, ci) =>
         means.get(ci).map(_.toArray).getOrElse(old)
