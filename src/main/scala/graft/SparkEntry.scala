@@ -181,20 +181,22 @@ object SparkEntry {
       s.sql("SELECT vec_id, round(dot_product(embedding, embedding), 6) AS sq_norm " +
         "FROM embeddings_v")
     }),
-    // whole-catalog SQL: enableSql() registers every declared model
-    // as a view, then an arbitrary multi-table query runs through
-    // spark.sql with no DataFrame code at all
+    // whole-catalog SQL through the PERSISTENT catalog: external
+    // parquet tables + catalog views in the warehouse (the metastore
+    // path — BASELINE.json's stated approach), then an arbitrary
+    // multi-table query runs through spark.sql with no DataFrame code
     "sql_catalog_join" -> ((s, dir) => {
-      graft.api.Graft(s, dir).enableSql()
+      graft.api.Graft(s, dir).enableSql(persistent = true)
       s.sql("SELECT n_name, count(*) AS n_customers, avg(c_acctbal) AS avg_bal " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")
     }),
 
     // star join through BOTH declared dims — the BroadcastFixedDims
     // rule (GraftSparkExtensions) stamps the broadcast hints; no
-    // per-query hints, no size estimation (PlanShapeSpec pins the plan)
+    // per-query hints, no size estimation (PlanShapeSpec pins the plan
+    // — including through the persistent catalog views)
     "sql_star_join" -> ((s, dir) => {
-      graft.api.Graft(s, dir).enableSql()
+      graft.api.Graft(s, dir).enableSql(persistent = true)
       s.sql("SELECT r_name, n_name, count(*) AS n_customers " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name")

@@ -26,15 +26,29 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions => 
 final case class Graft(spark: SparkSession, sfDir: String) {
   def model(name: String): ModelQuery = ModelQuery(spark, sfDir, name)
 
-  /** Register every declared model as a temp view named after the
-    * model (declared fields, physical-column mapping and read
-    * expressions applied) plus graft's native SQL functions
-    * (`dot_product`, `rolling_hash`) — after this the whole catalog
-    * is queryable through `spark.sql`. On a cluster with a shared
-    * metastore the same scans would be saved as external tables;
-    * temp views are the session-scoped equivalent. */
-  def enableSql(): Unit = {
+  /** Register every declared model for `spark.sql` access (declared
+    * fields, physical-column mapping and read expressions applied)
+    * plus graft's native SQL functions (`dot_product`,
+    * `rolling_hash`).
+    *
+    * Two modes — this is the Spark-side equivalent of the reference's
+    * process-wide `Hive::$meta` registry (`model.php:69-79`):
+    *  - `persistent = false` (default): session temp views. Nothing
+    *    written to the warehouse; right for notebooks and tests.
+    *  - `persistent = true`: the metastore path. Each model's storage
+    *    is registered ONCE as an external parquet table
+    *    (`<storage>_store` — no data copied, schema from the footers)
+    *    and the declared projection becomes a catalog VIEW named
+    *    after the model (read expressions rendered to SQL via
+    *    `Expression.sql`). With a shared metastore these survive the
+    *    session, are visible to every engine on the warehouse, and
+    *    carry table-level metadata (the bucketing registered by
+    *    [[Tables.writeBucketed]] lands in the same catalog). */
+  def enableSql(persistent: Boolean = false): Unit = {
     graft.plans.GraftFunctions.register(spark)
+    // events.ts is parquet TIMESTAMP(NANOS): catalog-table reads skip
+    // Tables.scan, so the legacy flag must be on the session conf
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // register every catalog model that has a backing parquet file;
     // models without one (programmatic TableDefs registered for
     // in-memory frames) are skipped rather than failing the whole
@@ -43,12 +57,41 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     // silently serving the old directory's data is worse than
     // TABLE_OR_VIEW_NOT_FOUND
     Catalog.tables.foreach { t =>
-      scala.util.Try(Tables.scan(spark, sfDir, t).createOrReplaceTempView(t))
-        .failed.foreach { e =>
-          spark.catalog.dropTempView(t)
-          System.err.println(s"[graft] enableSql: skipping '$t' (${e.getMessage})")
-        }
+      val register = scala.util.Try {
+        if (persistent) registerPersistent(t)
+        else Tables.scan(spark, sfDir, t).createOrReplaceTempView(t)
+      }
+      register.failed.foreach { e =>
+        spark.catalog.dropTempView(t)
+        System.err.println(s"[graft] enableSql: skipping '$t' (${e.getMessage})")
+      }
     }
+  }
+
+  private def registerPersistent(t: String): Unit = {
+    val td = Catalog(t)
+    val store = s"${td.storageName}_store"
+    // a temp view with the model's name would shadow the catalog view
+    spark.catalog.dropTempView(t)
+    // external table over the storage files, shared by every model on
+    // the same storage (customer_profile reuses customer's). Recreate
+    // if it exists: it may point at another sfDir's files.
+    spark.sql(s"DROP TABLE IF EXISTS $store")
+    spark.catalog.createTable(store, Tables.path(sfDir, td.storageName), "parquet")
+    // render the declared projection to SQL text by ANALYZING it
+    // against the store table first — resolved NamedExpression.sql is
+    // the supported SQL rendering (Column-node toString is not)
+    val projected = spark.table(store).select(td.fields.map { f =>
+      val base = F.col(f.physical)
+      f.readExpr.fold(base)(fn => fn(base)).alias(f.name)
+    }: _*)
+    val proj = projected.queryExecution.analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.map(_.sql).mkString(", ")
+      case other => throw new IllegalStateException(
+        s"expected a Project over $store, analyzed to ${other.nodeName}")
+    }
+    spark.sql(s"CREATE OR REPLACE VIEW $t AS SELECT $proj FROM $store")
   }
 }
 

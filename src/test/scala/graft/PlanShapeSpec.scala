@@ -1,5 +1,6 @@
 package graft
 
+import graft.schema.Catalog
 import graft.sources.Tables
 import org.apache.spark.sql.{functions => F}
 
@@ -91,6 +92,38 @@ class PlanShapeSpec extends SparkSpec {
       .groupBy("user_id").agg(F.count(F.lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(stream == batch)
+  }
+
+  test("persistent catalog registers external tables + views and keeps the broadcast rule") {
+    graft.api.Graft(spark, sf).enableSql(persistent = true)
+    // external storage tables and model views are real catalog objects
+    assert(spark.catalog.tableExists("customer_store"), "external table missing")
+    assert(spark.catalog.tableExists("customer"), "model view missing")
+    assert(spark.catalog.getTable("customer").tableType == "VIEW")
+    // read-expression models render through Expression.sql: the email
+    // derivation and the nanos->ntz timestamp both survive the trip
+    assert(spark.table("customer_profile").columns.contains("c_email"))
+    assert(spark.table("events").schema("ts").dataType.typeName == "timestamp_ntz")
+    // the graded star join through CATALOG views still broadcasts both
+    // dims via BroadcastFixedDims (no size stats, no hints)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val star = spark.sql(
+          "SELECT r_name, n_name, count(*) AS n FROM customer " +
+            "JOIN nation ON c_nationkey = n_nationkey " +
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name")
+        .queryExecution.executedPlan.toString
+      assert(star.split("BroadcastHashJoin").length - 1 == 2, star.take(800))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // drop the catalog objects so suites relying on temp-view
+      // resolution of the same names see their own views
+      Catalog.tables.foreach { t =>
+        spark.sql(s"DROP VIEW IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${Catalog(t).storageName}_store")
+      }
+    }
   }
 
   test("SQL joins against declared dims broadcast without hints or size stats") {
