@@ -270,6 +270,21 @@ object Extensions {
         .select("doc_id", "lang", "source")
     }),
 
+    // incremental-ingest NEAR-dup: the same mod-3 batch cleaned
+    // against the corpus by LSH band collision + estimated Jaccard —
+    // the near-dup twin of x_dedup_incremental. Trigram shingles and
+    // the 0.5 threshold match x_dedup_ngram, so the fixture's known
+    // near-dup pairs exercise both drop paths across the split.
+    "x_neardup_incremental" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      Dedup.incrementalNearDedup(
+          docs.filter(F.col("doc_id") % INCR_MOD =!= 0),
+          docs.filter(F.col("doc_id") % INCR_MOD === 0),
+          "doc_id", "text", k = MINHASH_K, bands = NGRAM_BANDS,
+          threshold = 0.5, terms = Text.distinctShingles(_, 3))
+        .select("doc_id", "lang", "source")
+    }),
+
     // word-trigram shingle Jaccard: order-sensitive near-dup — the
     // shingle unit separates true edits/reorders from shared
     // vocabulary. More, narrower bands (8×2) than the word-level query:
@@ -786,6 +801,24 @@ object Extensions {
           // must behave like Spark's left_anti (NULL keys never
           // match), where NOT IN would nuke the whole result
           "WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = i.fp)"),
+      "x_neardup_incremental" ->
+        (s"WITH ${shingleToksCte(3)}, " +
+          s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
+          s"bands AS (${bandRowsSql(NGRAM_BANDS)}), " +
+          s"bb AS (SELECT * FROM bands WHERE doc_id % $INCR_MOD = 0), " +
+          s"bc AS (SELECT * FROM bands WHERE doc_id % $INCR_MOD <> 0), " +
+          // in-batch greedy keep-lowest-id, then the corpus probe —
+          // the two drop paths of Dedup.incrementalNearDedup
+          "dropin AS (SELECT DISTINCT r.doc_id FROM bb l JOIN bb r " +
+          "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+          s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+          "dropx AS (SELECT DISTINCT l.doc_id FROM bb l JOIN bc r " +
+          "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+          s"WHERE $estSql >= 0.5) " +
+          "SELECT doc_id, lang, source FROM documents " +
+          s"WHERE doc_id % $INCR_MOD = 0 " +
+          "AND doc_id NOT IN (SELECT doc_id FROM dropin) " +
+          "AND doc_id NOT IN (SELECT doc_id FROM dropx)"),
       "x_dedup_jaccard" -> jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8),
       "x_dedup_keep" ->
         ("WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" +

@@ -66,6 +66,51 @@ object Dedup {
     incoming.join(keepIds, Seq(idCol), "left_semi")
   }
 
+  /** Incremental-ingest NEAR-dup: the rows of `incoming` that are not
+    * near-duplicates of the existing corpus or of another batch row —
+    * the production shape of LSH dedup for a continuously ingesting
+    * pipeline (clean each crawl against everything already kept,
+    * never re-deduplicate the world).
+    *
+    * Near-dup = LSH band collision AND signature-estimated Jaccard ≥
+    * `threshold`. Two drop paths:
+    *  - in-batch: a row dominated by ANY lower-id batch row drops
+    *    (greedy keep-lowest-id — order-free, engine-replayable; note
+    *    a dropped row still dominates higher-id rows, the standard
+    *    greedy LSH-dedup semantics);
+    *  - cross: a row banding with ANY corpus row at ≥ threshold drops.
+    *
+    * Scale design: both sides reduce to banded constant-width
+    * signature rows before any join; the cross join is a batch×corpus
+    * equi-join on (band_idx, band_hash) whose batch side is tiny —
+    * AQE broadcasts it, so the corpus's banded signatures are
+    * scanned once and never shuffled. In a standing pipeline the
+    * corpus's signatures/bands would be materialized incrementally
+    * (append the kept batch's rows each ingest) rather than recomputed
+    * — this operator takes the corpus frame as given so callers can
+    * hand it either. */
+  def incrementalNearDedup(corpus: DataFrame, incoming: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int = 16, bands: Int = 4,
+                           threshold: Double = 0.7,
+                           terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
+    val bandedB = bandSignatures(
+      minhashSignatures(incoming, idCol, textCol, k, terms), idCol, k, bands)
+    val bandedC = bandSignatures(
+      minhashSignatures(corpus, idCol, textCol, k, terms), idCol, k, bands)
+    val inBatchDrop = bandCandidates(bandedB, idCol, k, threshold)
+      .select(F.col("id_b").as(idCol))
+    val l = bandedB.alias("l")
+    val r = bandedC.alias("r")
+    val crossDrop = l.join(r,
+        F.col("l.band_idx") === F.col("r.band_idx") &&
+        F.col("l.band_hash") === F.col("r.band_hash"))
+      .filter(estJaccard(k) >= threshold)
+      .select(F.col(s"l.$idCol").as(idCol))
+    val drops = inBatchDrop.union(crossDrop).distinct()
+    incoming.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Universal-hash family for MinHash: h_s(x) = (a_s·x + b_s) mod P
     * over a single md5-derived base hash. One md5 per token total
     * (instead of one per seed); the mixes are integer-only and stay
@@ -145,14 +190,19 @@ object Dedup {
     * fraction, a flat codegen'd sum) and gated at `minEst` BEFORE the
     * dedup shuffle, so over-generated band collisions die in the map
     * stage. */
+  /** Matching-minhash fraction between the `l`/`r` aliases of two
+    * banded signature frames — a flat codegen'd sum. */
+  private def estJaccard(k: Int): Column =
+    (0 until k)
+      .map(i => F.when(F.col(s"l.mh$i") === F.col(s"r.mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k.toDouble
+
   private def bandCandidates(banded: DataFrame, idCol: String, k: Int,
                              minEst: Double,
                              carry: Seq[String] = Nil): DataFrame = {
     val l = banded.alias("l")
     val r = banded.alias("r")
-    val est = (0 until k)
-      .map(i => F.when(F.col(s"l.mh$i") === F.col(s"r.mh$i"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / k.toDouble
+    val est = estJaccard(k)
     val carried = carry.flatMap(c =>
       Seq(F.col(s"l.$c").as(s"${c}_a"), F.col(s"r.$c").as(s"${c}_b")))
     l.join(r,

@@ -65,6 +65,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(out == Set(11L, 13L))
   }
 
+  test("incrementalNearDedup drops near-dups of the corpus and of lower-id batch rows") {
+    import spark.implicits._
+    // same LSH config as the graded query; the repeated sentence makes
+    // trigram-shingle sets identical (est jaccard 1.0) between pairs
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val corpus = Seq((1L, long), (2L, "unrelated corpus text entirely")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, long),   // near-dup (identical shingles) of corpus doc 1 -> dropped
+      (11L, other),  // first occurrence in batch -> kept
+      (12L, other),  // dominated by 11 in-batch -> dropped
+      (13L, "completely different fresh content here now")) // kept
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDedup(corpus, incoming, "doc_id", "text",
+        k = 16, bands = 8, threshold = 0.5,
+        terms = Text.distinctShingles(_, 3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L))
+    // graded-query non-vacuity at this SF: the mod-3 split must
+    // exercise BOTH drop paths (in-batch and cross) on the fixture
+    val batch = docs.filter(F.col("doc_id") % 3 === 0)
+    val kept = SparkEntry.queries("x_neardup_incremental")(spark, sf).count()
+    assert(kept < batch.count(), "graded incremental near-dedup dropped nothing")
+  }
+
   test("simhash byte-banding finds ALL pairs with hamming <= 3 (LSH completeness)") {
     val subset = docs.filter(F.col("doc_id") < 100)
     val sig = Dedup.simhash(subset, "doc_id", "text", bits = 32)
