@@ -369,6 +369,11 @@ object Extensions {
       EventWindows.streamingSlidingHourly(s, dir)),
     "x_stream_session" -> ((s, dir) =>
       EventWindows.streamingSessions(s, dir, "10 minutes")),
+    // production-emission twin: append mode, sessions emitted once
+    // when the watermark closes them; stream-tail sessions stay open
+    // by design and the oracle excludes exactly those
+    "x_stream_session_append" -> ((s, dir) =>
+      EventWindows.streamingSessionsAppend(s, dir, "10 minutes")),
     "x_stream_dedup" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamingDedup(s, dir)),
     // bounded-state variant: state entries expire behind the
@@ -684,6 +689,26 @@ object Extensions {
         "SELECT user_id, CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start, " +
         "count(*) AS n_events, sum(value) AS sum_value FROM s GROUP BY user_id, sid"
 
+    // append-mode twin: only sessions the FINAL watermark (max ts −
+    // 10 min delay) can close — session end (last event + 10 min gap)
+    // at-or-before the watermark. No fixture session sits exactly on
+    // the boundary at any SF (checked 0.001/0.01/0.1), so <= vs <
+    // cannot flip the result.
+    val sessionAppendSql =
+      "WITH e AS (SELECT user_id, ts, value, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), " +
+        "m AS (SELECT user_id, ts, value, CASE WHEN prev IS NULL OR " +
+        "ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "s AS (SELECT user_id, ts, value, sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m), " +
+        "sess AS (SELECT user_id, " +
+        "CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start, " +
+        "count(*) AS n_events, sum(value) AS sum_value, max(ts) AS last_ts " +
+        "FROM s GROUP BY user_id, sid), " +
+        "wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events) " +
+        "SELECT user_id, session_start, n_events, sum_value FROM sess, wm " +
+        "WHERE last_ts + INTERVAL 10 MINUTE <= w"
+
     Map(
       "a3_group_agg" ->
         ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
@@ -893,6 +918,7 @@ object Extensions {
       "x_window_session" -> sessionGaiSql,
       // the streaming twin drains to the identical merged sessions
       "x_stream_session" -> sessionGaiSql,
+      "x_stream_session_append" -> sessionAppendSql,
       "x_stream_tumbling" ->
         ("SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
           "event_type, count(*) AS n, sum(value) AS sum_value FROM events " +

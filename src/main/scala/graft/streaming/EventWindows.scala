@@ -109,6 +109,32 @@ object EventWindows {
     runToTable(agg, queryName)
   }
 
+  /** PRODUCTION-emission twin of [[streamingSessions]]: append mode.
+    * Each session is emitted exactly ONCE, when the watermark proves
+    * it can no longer grow (watermark ≥ session end = last event +
+    * gap) — the shape an unbounded pipeline runs, where complete mode
+    * would re-emit the whole result every trigger and hold it all in
+    * the sink forever.
+    *
+    * On a finite fixture the final watermark rests at max(ts) − the
+    * watermark delay, so sessions ending within `gap + delay` of the
+    * stream's last event are still open when the stream drains and
+    * are NOT emitted — exactly what production would do (their
+    * no-growth proof hasn't arrived yet). The oracle is the
+    * gaps-and-islands SQL restricted to watermark-closeable sessions. */
+  def streamingSessionsAppend(spark: SparkSession, sfDir: String,
+                              gap: String = "10 minutes",
+                              queryName: String = "stream_session_append"): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(F.session_window(F.col("ts"), gap).as("w"), F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n_events"), F.sum("value").as("sum_value"))
+      .select(F.col("user_id"),
+        F.date_trunc("second", F.col("w.start")).cast("timestamp_ntz")
+          .as("session_start"),
+        F.col("n_events"), F.col("sum_value"))
+    runToTable(agg, queryName, mode = "append")
+  }
+
   /** Structured Streaming stream-stream INTERVAL JOIN: each click
     * joined to the same user's purchases in the 2 hours before it
     * (inclusive both ends). Both sides are watermarked and the join

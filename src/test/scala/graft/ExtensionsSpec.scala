@@ -279,6 +279,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("append-mode streaming sessions emit exactly the watermark-closeable set") {
+    val ev = Tables.scan(spark, sf, "events")
+    val maxTs = ev.agg(F.max("ts")).collect()(0).getAs[java.time.LocalDateTime](0)
+    // a session is closeable when its end (last event + gap) is at or
+    // before the final watermark (max ts - 10 min delay)
+    val expected = ev
+      .groupBy(F.session_window(F.col("ts"), "10 minutes").as("w"), F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n_events"), F.sum("value").as("sum_value"))
+      .filter(F.col("w.end") <= F.lit(maxTs) - F.expr("INTERVAL 10 MINUTES"))
+      .select(F.col("user_id"),
+        F.date_trunc("second", F.col("w.start")).cast("timestamp_ntz").as("session_start"),
+        F.col("n_events"), F.col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val emitted = EventWindows.streamingSessionsAppend(spark, sf, "10 minutes",
+        "spec_session_append")
+      .collect().map(_.toSeq).toSet
+    assert(emitted.nonEmpty && emitted == expected)
+    // and the open tail sessions genuinely exist (the append result is
+    // a strict subset of the complete-mode merged sessions)
+    val all = EventWindows.sessions(ev, "10 minutes").collect().map(_.toSeq).toSet
+    assert(emitted.subsetOf(all) && emitted.size < all.size)
+  }
+
   test("multimodal mapPartitions decode matches the column twin") {
     val viaDs = Multimodal.decode(spark,
         Multimodal.attachPayload(docs, "doc_id", "text"), "doc_id")
