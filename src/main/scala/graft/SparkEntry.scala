@@ -132,11 +132,23 @@ object SparkEntry {
     }),
 
     // ---- §2.6 scalar functions / validation ----
-    "f2_lenient_ts" -> ((s, dir) =>
+    // mixed-format fixture: four concrete formats of the reference's
+    // strtotime cascade (field/timestamp.php:30-38) — ISO datetime,
+    // ISO-T, US m/d/Y, bare epoch seconds — chosen per row, all parsed
+    // by the ONE lenientParse cascade. Order dates are midnight-only,
+    // so every format round-trips to the same instant.
+    "f2_lenient_ts" -> ((s, dir) => {
+      val d = F.col("o_orderdate")
+      val raw = F.when(F.col("o_orderkey") % 4 === 0,
+          F.date_format(d, "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("o_orderkey") % 4 === 1,
+          F.date_format(d, "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(F.col("o_orderkey") % 4 === 2, F.date_format(d, "MM/dd/yyyy"))
+        .otherwise(F.unix_seconds(d.cast("timestamp")).cast("string"))
       Tables.scan(s, dir, "orders").select(
         F.col("o_orderkey"),
-        FTimestamp.lenientParse(F.date_format(F.col("o_orderdate"), "MM/dd/yyyy"))
-          .cast("timestamp_ntz").as("parsed"))),
+        FTimestamp.lenientParse(raw).cast("timestamp_ntz").as("parsed"))
+    }),
     "f_verbose" -> ((s, dir) =>
       Tables.scan(s, dir, "orders").select(
         F.col("o_orderkey"),
@@ -272,8 +284,21 @@ object SparkEntry {
         "SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
         "o_orderpriority FROM orders WHERE o_orderkey <= 5"),
     "f2_lenient_ts" ->
-      ("SELECT o_orderkey, strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS parsed " +
-        "FROM orders"),
+      ("WITH raws AS (SELECT o_orderkey, CASE CAST(o_orderkey % 4 AS INT) " +
+        "WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') " +
+        "WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') " +
+        "WHEN 2 THEN strftime(o_orderdate, '%m/%d/%Y') " +
+        "ELSE CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR) END AS raw " +
+        "FROM orders) " +
+        "SELECT o_orderkey, coalesce(" +
+        "try_strptime(raw, '%Y-%m-%d %H:%M:%S'), " +
+        "try_strptime(raw, '%Y-%m-%dT%H:%M:%S'), " +
+        "try_strptime(raw, '%m/%d/%Y'), " +
+        // bare epoch seconds: make_timestamp takes epoch MICROS and
+        // yields a plain (ntz) timestamp — no session-zone dependence
+        "CASE WHEN regexp_matches(raw, '^\\d{9,11}$') " +
+        "THEN make_timestamp(CAST(raw AS BIGINT) * 1000000) END) AS parsed " +
+        "FROM raws"),
     "f_verbose" ->
       ("SELECT o_orderkey, strftime(o_orderdate, '%m/%d/%Y') AS d_verbose, " +
         "CASE WHEN o_orderstatus = 'F' THEN 'Yes' ELSE 'No' END AS is_final, " +
