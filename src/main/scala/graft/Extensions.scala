@@ -65,6 +65,14 @@ object Extensions {
   private def hitsSql(lang: String) =
     s"len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')), ${stopSql(lang)}))"
 
+  /** Hot-key derivation for the skew twins: every user not divisible
+    * by 5 collapses onto user 1 (~80% of rows on one key). Pure
+    * arithmetic — the oracle replays it verbatim. */
+  private def skewKey: org.apache.spark.sql.Column =
+    F.when(F.col("user_id") % 5 === 0, F.col("user_id")).otherwise(F.lit(1L))
+  private val skewKeySql =
+    "CASE WHEN user_id % 5 = 0 THEN user_id ELSE 1 END"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- grouped aggregation (driver-example shape; TPC-H Q1 style) ----
     "a3_group_agg" -> ((s, dir) =>
@@ -455,18 +463,25 @@ object Extensions {
     }),
 
     // ---- skew mitigation (identical results, hot-key-proof plans) ----
-    // per-user event rollup through a salted two-stage aggregation:
-    // no reducer ever owns a whole user
+    // GENUINE skew, not a balanced fixture: ~80% of events collapse
+    // onto one hot key (every user_id not divisible by 5 becomes
+    // user 1) — the celebrity-key distribution the salted plans
+    // exist for. The derivation is pure arithmetic, so the oracle
+    // replays it and checks result-identity with the PLAIN agg/join;
+    // SkewSpec separately pins that the salted partial stage bounds
+    // the hottest reducer group to ~1/SALT_BUCKETS of the hot key.
     "x_skew_agg" -> ((s, dir) =>
-      Skew.saltedAgg(Tables.scan(s, dir, "events"), "user_id",
-        F.col("event_id"), "value", SALT_BUCKETS)),
+      Skew.saltedAgg(
+        Tables.scan(s, dir, "events").withColumn("skew_user", skewKey),
+        "skew_user", F.col("event_id"), "value", SALT_BUCKETS)),
 
-    // click events ⋈ customer dim with the dim replicated per salt
-    // bucket — a hot user's clicks spread over SALT_BUCKETS reducers
+    // hot-keyed click events ⋈ customer dim with the dim replicated
+    // per salt bucket — the hot user's clicks spread over
+    // SALT_BUCKETS reducers instead of stalling one task
     "x_skew_join" -> ((s, dir) => {
       val clicks = Tables.scan(s, dir, "events")
         .filter(F.col("event_type") === "click")
-        .select("event_id", "user_id", "value")
+        .select(F.col("event_id"), skewKey.as("user_id"), F.col("value"))
       val dim = Tables.scan(s, dir, "customer")
         .select(F.col("c_custkey").as("user_id"), F.col("c_name"))
       Joins.saltedJoin(clicks, dim, Seq("user_id"), SALT_BUCKETS,
@@ -1014,13 +1029,15 @@ object Extensions {
       // the skew twins' oracles are the PLAIN aggregation/join — the
       // salted plans must be result-identical to the unsalted ones
       "x_skew_agg" ->
-        ("SELECT user_id, count(*) AS n_rows, sum(value) AS sum_value, " +
+        (s"SELECT $skewKeySql AS skew_user, count(*) AS n_rows, " +
+          "sum(value) AS sum_value, " +
           "min(value) AS min_value, max(value) AS max_value " +
-          "FROM events GROUP BY user_id"),
+          "FROM events GROUP BY 1"),
       "x_skew_join" ->
-        ("SELECT e.event_id, e.user_id, c.c_name, e.value FROM events e " +
-          "JOIN customer c ON c.c_custkey = e.user_id " +
-          "WHERE e.event_type = 'click'"),
+        (s"WITH e AS (SELECT event_id, $skewKeySql AS user_id, value " +
+          "FROM events WHERE event_type = 'click') " +
+          "SELECT e.event_id, e.user_id, c.c_name, e.value FROM e " +
+          "JOIN customer c ON c.c_custkey = e.user_id"),
       "x_embed_centroid" ->
         ("SELECT label, i - 1 AS dim, " +
           "round(avg(embedding[i]::DOUBLE), 6) AS centroid, count(*) AS n " +
