@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 import graft.functions.Text
-import graft.operators.{Curation, Dedup, Joins, Multimodal, Similarity, Skew, Temporal}
+import graft.operators.{Curation, Dedup, Joins, Layout, Multimodal, Similarity, Skew, Temporal}
 import graft.sources.Tables
 import graft.streaming.EventWindows
 
@@ -53,6 +53,16 @@ object Extensions {
   // splits another across batch/corpus; mod 10 touched none — the
   // query graded a pass-through)
   private val INCR_MOD = 3
+  // partition-pruned layout: the queried week (7 of the fixture's 30
+  // event_date partitions — the other 23 are never listed into the plan)
+  private val PRUNE_FROM = "2024-01-08"
+  private val PRUNE_TO = "2024-01-14"
+  // blocked fuzzy dedup: 24-char blocking prefix (fixture: 5k docs →
+  // 4.75k blocks, max block 4), Levenshtein over the first 80 chars
+  private val FUZZY_BLOCK = 24
+  private val FUZZY_PREFIX = 80
+  private val FUZZY_MAXDIST = 8
+  private val SETOPS_CUTOFF = 300000.0 // hi-spend segment floor
   private val TFIDF_TOPK = 3 // tf-idf terms kept per document
   private val PMI_MIN_COUNT = 5 // bigram support floor for PMI
   private val PMI_TOPK = 20 // collocation pairs kept
@@ -507,8 +517,46 @@ object Extensions {
     // decisions; ranked on the rounded score (engine-stable)
     "x_pmi" -> ((s, dir) =>
       Curation.pmiTopPairs(Tables.scan(s, dir, "documents"),
-        "text", PMI_MIN_COUNT, PMI_TOPK))
+        "text", PMI_MIN_COUNT, PMI_TOPK)),
+
+    // ---- physical layout (scale path) ----
+    // date-partitioned materialization + partition-pruned read-back:
+    // only the 7/30 event_date directories inside the queried week
+    // are listed into the scan (PartitionFilters, pinned by
+    // PlanShapeSpec); the aggregation runs on the pruned subset only
+    "x_partition_prune" -> ((s, dir) => {
+      val out = layoutDir(dir, "events_by_date")
+      Layout.writeDatePartitioned(Tables.scan(s, dir, "events"), "ts", out)
+      Layout.readDateRange(s, out, PRUNE_FROM, PRUNE_TO)
+        .groupBy("event_date", "event_type")
+        .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sum_value"))
+    }),
+
+    // blocked fuzzy dedup: prefix-blocked candidates verified by
+    // Levenshtein — catches the character-level (typo/OCR)
+    // duplicates the token-set families under-weigh
+    "x_dedup_fuzzy" -> ((s, dir) =>
+      Dedup.fuzzyPairs(Tables.scan(s, dir, "documents"), "doc_id", "text",
+        FUZZY_BLOCK, FUZZY_PREFIX, FUZZY_MAXDIST)),
+
+    // set operations (absent from the reference — SURVEY §2.5 — but
+    // table stakes for an analytics engine): symmetric difference of
+    // two order-derived customer segments via UNION/INTERSECT/EXCEPT
+    "o7_set_ops" -> ((s, dir) => {
+      val o = Tables.scan(s, dir, "orders")
+      val hi = o.filter(F.col("o_totalprice") > SETOPS_CUTOFF)
+        .select("o_custkey")
+      val fin = o.filter(F.col("o_orderstatus") === "F")
+        .select("o_custkey")
+      hi.union(fin).distinct().except(hi.intersect(fin))
+    })
   )
+
+  /** Scratch dir for layout materializations — unique per SF dir so
+    * concurrent runs at different scales don't collide; the writers'
+    * overwrite mode keeps re-runs idempotent. */
+  private def layoutDir(sfDir: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${name}_${new java.io.File(sfDir).getName}"
 
   /** k min-hash aggregate expressions (same universal-hash literals
     * as [[Dedup.minhashA]]/[[Dedup.minhashB]] — bit-identical sigs). */
@@ -1080,7 +1128,28 @@ object Extensions {
           "JOIN u a ON a.tok = string_split(g, ' ')[1] " +
           "JOIN u b ON b.tok = string_split(g, ' ')[2] " +
           "ORDER BY pmi DESC, term_a ASC, term_b ASC " +
-          s"LIMIT $PMI_TOPK")
+          s"LIMIT $PMI_TOPK"),
+      // the oracle aggregates the raw events under the same date
+      // restriction the pruned layout read applies
+      "x_partition_prune" ->
+        ("SELECT CAST(ts AS DATE) AS event_date, event_type, " +
+          "count(*) AS n, sum(value) AS sum_value FROM events " +
+          s"WHERE CAST(ts AS DATE) BETWEEN DATE '$PRUNE_FROM' AND DATE '$PRUNE_TO' " +
+          "GROUP BY 1, 2"),
+      "x_dedup_fuzzy" ->
+        ("WITH n AS (SELECT doc_id, " +
+          "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm " +
+          "FROM documents) " +
+          "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+          s"levenshtein(substr(a.norm, 1, $FUZZY_PREFIX), substr(b.norm, 1, $FUZZY_PREFIX)) AS dist " +
+          s"FROM n a JOIN n b ON substr(a.norm, 1, $FUZZY_BLOCK) = substr(b.norm, 1, $FUZZY_BLOCK) " +
+          "AND a.doc_id < b.doc_id " +
+          s"WHERE levenshtein(substr(a.norm, 1, $FUZZY_PREFIX), substr(b.norm, 1, $FUZZY_PREFIX)) <= $FUZZY_MAXDIST"),
+      "o7_set_ops" ->
+        (s"(SELECT o_custkey FROM orders WHERE o_totalprice > $SETOPS_CUTOFF " +
+          "UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') " +
+          s"EXCEPT (SELECT o_custkey FROM orders WHERE o_totalprice > $SETOPS_CUTOFF " +
+          "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')")
     )
   }
 }

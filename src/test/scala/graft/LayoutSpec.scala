@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Layout
+import graft.sources.Tables
+import org.apache.spark.sql.{functions => F}
+
+/** Physical-layout guarantees: the properties that make the written
+  * files cheap to read back at scale. */
+class LayoutSpec extends SparkSpec {
+
+  private def scratch(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_layoutspec_$name"
+
+  test("range-clustered write yields disjoint per-file key ranges") {
+    val out = scratch("orders_by_key")
+    val orders = Tables.scan(spark, sf, "orders")
+    Layout.writeRangeClustered(orders, "o_orderkey", 8, out)
+
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 2, s"expected multiple files, got ${files.length}")
+
+    // every file covers a key range disjoint from every other file's —
+    // the property parquet min/max footer stats turn into file skipping
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(F.min("o_orderkey"), F.max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file ranges overlap: max $hi >= next min $lo2")
+      case _ =>
+    }
+
+    // clustering is a re-layout, not a transformation
+    assert(spark.read.parquet(out).count() == orders.count())
+  }
+
+  test("date-partitioned write round-trips and the pruned read restricts rows") {
+    val out = scratch("events_by_date")
+    val events = Tables.scan(spark, sf, "events")
+    Layout.writeDatePartitioned(events, "ts", out)
+
+    val all = spark.read.parquet(out)
+    assert(all.count() == events.count())
+    val week = Layout.readDateRange(spark, out, "2024-01-08", "2024-01-14")
+    val expected = events
+      .filter(F.to_date(F.col("ts")).between("2024-01-08", "2024-01-14"))
+      .count()
+    assert(week.count() == expected)
+    assert(week.count() > 0 && week.count() < all.count())
+  }
+
+  test("writeDatePartitioned rejects an input that already has event_date") {
+    val events = Tables.scan(spark, sf, "events")
+      .withColumn("event_date", F.lit("x"))
+    intercept[IllegalArgumentException] {
+      Layout.writeDatePartitioned(events, "ts", scratch("reject"))
+    }
+  }
+}

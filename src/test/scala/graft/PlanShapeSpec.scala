@@ -85,6 +85,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(nShuffles == 1, s"IVF re-grew shuffles: $nShuffles")
   }
 
+  test("date-partitioned layout prunes partitions at the scan (x_partition_prune)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("x_partition_prune")(spark, sf)
+    df.collect() // materialize so AQE finalizes and scan metrics fill
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan) // AQE stages are leaves
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no file scan in the pruned-read plan"))
+    assert(scan.metadata("PartitionFilters").contains("event_date"),
+      s"date filter did not become a partition filter: ${scan.metadata("PartitionFilters")}")
+    // the fixture spans 30 event_date partitions; the week-range read
+    // must list exactly its 7 into the scan
+    assert(scan.metrics("numPartitions").value == 7,
+      s"expected 7 partitions read, got ${scan.metrics("numPartitions").value}")
+  }
+
   test("flatMapGroupsWithState totals equal batch groupBy") {
     val stream = graft.streaming.StreamingOps.streamingUserTotals(spark, sf, "ps_state")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
