@@ -63,6 +63,7 @@ object Extensions {
   private val FUZZY_PREFIX = 80
   private val FUZZY_MAXDIST = 8
   private val SETOPS_CUTOFF = 300000.0 // hi-spend segment floor
+  private val PACK_BUDGET = 2048L // tokens per packed training sequence
   private val TFIDF_TOPK = 3 // tf-idf terms kept per document
   private val PMI_MIN_COUNT = 5 // bigram support floor for PMI
   private val PMI_TOPK = 20 // collocation pairs kept
@@ -531,6 +532,12 @@ object Extensions {
         .groupBy("event_date", "event_type")
         .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sum_value"))
     }),
+
+    // contiguous sequence packing: per-source token-budget bins —
+    // the document→fixed-context-training-sequence assignment step
+    "x_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(Tables.scan(s, dir, "documents"),
+        "doc_id", "source", "text", PACK_BUDGET)),
 
     // blocked fuzzy dedup: prefix-blocked candidates verified by
     // Levenshtein — catches the character-level (typo/OCR)
@@ -1136,6 +1143,15 @@ object Extensions {
           "count(*) AS n, sum(value) AS sum_value FROM events " +
           s"WHERE CAST(ts AS DATE) BETWEEN DATE '$PRUNE_FROM' AND DATE '$PRUNE_TO' " +
           "GROUP BY 1, 2"),
+      "x_pack_sequences" ->
+        ("WITH t AS (SELECT doc_id, source, " +
+          "CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens " +
+          "FROM documents) " +
+          "SELECT doc_id, source, n_tokens, " +
+          "CAST(floor(coalesce(sum(n_tokens) OVER (" +
+          "PARTITION BY source ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+          s"/ $PACK_BUDGET.0) AS BIGINT) AS bin FROM t"),
       "x_dedup_fuzzy" ->
         ("WITH n AS (SELECT doc_id, " +
           "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm " +

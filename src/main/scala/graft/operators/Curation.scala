@@ -110,6 +110,35 @@ object Curation {
       .filter(F.col("rk") <= quota)
   }
 
+  /** Greedy contiguous sequence packing: assign each document to a
+    * token-budget bin within its group (source/shard) — the batch
+    * twin of packing documents into fixed-context training sequences.
+    * Documents fill bins in deterministic `idCol` order; a document
+    * lands in the bin where its FIRST token falls
+    * (`bin = floor(preceding-group-tokens / budget)`), so a bin may
+    * overflow by at most one document — the standard contiguous-fill
+    * trade, chosen because it keeps the assignment a pure prefix-sum
+    * (exact bin-capacity packing is inherently sequential).
+    *
+    * Scale: one shuffle on `groupCol` + one window sort per group —
+    * the same cost profile as [[quotaPerGroup]]. Packing is
+    * per-shard by construction in a real pipeline (each output shard
+    * packs its own documents), so the group is the parallelism unit;
+    * a single giant group should be pre-split into hash shards first
+    * (e.g. add `pmod(hash60(id), shards)` to the group key — bin
+    * numbering stays deterministic per shard). */
+  def packSequences(df: DataFrame, idCol: String, groupCol: String,
+                    textCol: String, budget: Long): DataFrame = {
+    require(!df.columns.exists(Seq("n_tokens", "bin").contains),
+      "packSequences reserves output column names 'n_tokens' and 'bin'")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(F.col(idCol), F.col(groupCol),
+        Text.tokenCount(F.col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0L)) / budget))
+  }
+
   /** Corpus-wide collocations: the `topK` adjacent word pairs by
     * pointwise mutual information, `pmi = ln(p(a,b) / (p(a)·p(b)))`
     * with bigram/unigram probabilities over the whole corpus and a

@@ -83,6 +83,36 @@ class CurationSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("packSequences: contiguous fill, ≤1-doc overflow, assignment total") {
+    val budget = 10L
+    val df = Seq(
+      // source a: tokens 4,4,4 → cum-starts 0,4,8 → bins 0,0,0 (8 < 10)
+      (1L, "a", "w w w w"), (2L, "a", "w w w w"), (3L, "a", "w w w w"),
+      // next doc starts at 12 → bin 1
+      (4L, "a", "w w"),
+      // source b: a 25-token doc spans bins; next doc starts at 25 → bin 2
+      (10L, "b", Seq.fill(25)("w").mkString(" ")), (11L, "b", "w")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.packSequences(df, "doc_id", "source", "text", budget)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 4L, 0L), (2L, "a", 4L, 0L), (3L, "a", 4L, 0L),
+      (4L, "a", 2L, 1L),
+      (10L, "b", 25L, 0L), (11L, "b", 1L, 2L)))
+
+    // real-table invariant: within each (source, bin), every doc but
+    // the last starts inside the budget — overflow is at most the
+    // final document (the contiguous-fill contract)
+    val packed = Curation.packSequences(docs, "doc_id", "source", "text", 2048L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(packed.length == docs.count())
+    packed.groupBy(r => (r._2, r._4)).foreach { case ((src, bin), rs) =>
+      val toks = rs.sortBy(_._1).map(_._3)
+      assert(toks.dropRight(1).sum < 2048L,
+        s"bin ($src,$bin) admitted a doc starting past the budget")
+    }
+  }
+
   test("asofJoin carries the latest at-or-before build row, NULL when none") {
     val probe = Seq(
       (10L, 1L, ts("2024-01-01 10:00:00")), // after both purchases

@@ -53,6 +53,25 @@ class LayoutSpec extends SparkSpec {
     assert(week.count() > 0 && week.count() < all.count())
   }
 
+  test("date-partitioned layout gets dynamic partition pruning from a dim join") {
+    // the runtime half of the pruning story: when the date restriction
+    // arrives via a JOIN instead of a literal predicate, Spark's DPP
+    // turns the dim's broadcast into a partition filter subquery — the
+    // fact side still never lists the excluded directories
+    val out = scratch("events_dpp")
+    Layout.writeDatePartitioned(Tables.scan(spark, sf, "events"), "ts", out)
+    val facts = spark.read.parquet(out)
+    val dim = spark.range(31)
+      .select(F.date_add(F.lit("2024-01-01").cast("date"),
+          F.col("id").cast("int")).as("event_date"),
+        (F.col("id") % 7 === 0).as("keep"))
+    val joined = facts.join(dim.filter(F.col("keep")), "event_date")
+      .groupBy("event_type").agg(F.count(F.lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no DPP subquery in the fact scan:\n${plan.take(800)}")
+  }
+
   test("writeDatePartitioned rejects an input that already has event_date") {
     val events = Tables.scan(spark, sf, "events")
       .withColumn("event_date", F.lit("x"))
