@@ -76,6 +76,20 @@ object Extensions {
   private def hitsSql(lang: String) =
     s"len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')), ${stopSql(lang)}))"
 
+  /** DuckDB twin of [[Text.qualityScore]] — shared by the pipeline
+    * oracles (`x_pipeline_clean`, `x_pipeline_pack`). */
+  private lazy val qualitySql: String =
+    "(least(length(text) * 1.0 / 200.0, 1.0) * 0.3) + " +
+    "((1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / " +
+    "greatest(length(text) * 1.0, 1.0)) * 5.0, 1.0)) * 0.2) + " +
+    s"(least((${hitsSql("en")} * 1.0 / " +
+    "greatest(len(list_distinct(string_split_regex(lower(text), '\\s+'))) * 1.0, 1.0)) * 4.0, 1.0) * 0.3) + " +
+    "(CASE WHEN (length(regexp_replace(lower(text), '\\s+', '', 'g')) * 1.0 / " +
+    "greatest(len(string_split_regex(lower(text), '\\s+')) * 1.0, 1.0)) >= 3.0 " +
+    "AND (length(regexp_replace(lower(text), '\\s+', '', 'g')) * 1.0 / " +
+    "greatest(len(string_split_regex(lower(text), '\\s+')) * 1.0, 1.0)) <= 10.0 " +
+    "THEN 1.0 ELSE 0.5 END * 0.2)"
+
   /** Hot-key derivation for the skew twins: every user not divisible
     * by 5 collapses onto user 1 (~80% of rows on one key). Pure
     * arithmetic — the oracle replays it verbatim. */
@@ -143,6 +157,20 @@ object Extensions {
       deduped.groupBy("lang")
         .agg(F.count(F.lit(1)).as("n_docs"),
           F.avg("q").as("avg_quality"))
+    }),
+
+    // the SAME gate + dedup continued to the finished artifact:
+    // quota-cap per source, then pack into token-budget training
+    // sequences — corpus in, sequence assignment out, one plan
+    "x_pipeline_pack" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      val gated = docs.withColumn("q", Text.qualityScore(F.col("text")))
+        .filter(F.col("q") >= 0.55)
+      val deduped = Dedup.exactDedup(gated, "doc_id", "text")
+      val capped = Curation.quotaPerGroup(deduped, "doc_id", "source",
+        QUOTA_PER_SOURCE)
+      Curation.packSequences(capped.drop("rk"), "doc_id", "source", "text",
+        PACK_BUDGET)
     }),
 
     // ---- window functions: top-N per group ----
@@ -802,26 +830,35 @@ object Extensions {
       "a7_having" ->
         ("SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend " +
           "FROM orders GROUP BY o_custkey HAVING count(*) >= 12"),
-      "x_pipeline_clean" -> {
-        val qualityExpr =
-          "(least(length(text) * 1.0 / 200.0, 1.0) * 0.3) + " +
-          "((1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / " +
-          "greatest(length(text) * 1.0, 1.0)) * 5.0, 1.0)) * 0.2) + " +
-          s"(least((${hitsSql("en")} * 1.0 / " +
-          "greatest(len(list_distinct(string_split_regex(lower(text), '\\s+'))) * 1.0, 1.0)) * 4.0, 1.0) * 0.3) + " +
-          "(CASE WHEN (length(regexp_replace(lower(text), '\\s+', '', 'g')) * 1.0 / " +
-          "greatest(len(string_split_regex(lower(text), '\\s+')) * 1.0, 1.0)) >= 3.0 " +
-          "AND (length(regexp_replace(lower(text), '\\s+', '', 'g')) * 1.0 / " +
-          "greatest(len(string_split_regex(lower(text), '\\s+')) * 1.0, 1.0)) <= 10.0 " +
-          "THEN 1.0 ELSE 0.5 END * 0.2)"
-        ("WITH gated AS (SELECT doc_id, text, lang, " + qualityExpr + " AS q " +
-          "FROM documents WHERE (" + qualityExpr + ") >= 0.55), " +
+      "x_pipeline_clean" ->
+        ("WITH gated AS (SELECT doc_id, text, lang, " + qualitySql + " AS q " +
+          "FROM documents WHERE (" + qualitySql + ") >= 0.55), " +
           "keep AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, " +
           "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM gated) " +
           "GROUP BY fp) " +
           "SELECT lang, count(*) AS n_docs, avg(q) AS avg_quality " +
-          "FROM gated JOIN keep USING (doc_id) GROUP BY lang")
-      },
+          "FROM gated JOIN keep USING (doc_id) GROUP BY lang"),
+      // same gate + dedup as x_pipeline_clean, then quota-cap and
+      // pack — the full corpus→training-sequences chain in one plan
+      "x_pipeline_pack" ->
+        ("WITH gated AS (SELECT doc_id, text, source, " + qualitySql + " AS q " +
+          "FROM documents WHERE (" + qualitySql + ") >= 0.55), " +
+          "keep AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, " +
+          "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM gated) " +
+          "GROUP BY fp), " +
+          "capped AS (SELECT doc_id, source, text FROM (" +
+          "SELECT g.doc_id, g.source, g.text, row_number() OVER (" +
+          s"PARTITION BY g.source ORDER BY ${h60("g.doc_id::VARCHAR")} ASC, " +
+          "g.doc_id ASC) AS rk FROM gated g JOIN keep USING (doc_id)) " +
+          s"WHERE rk <= $QUOTA_PER_SOURCE), " +
+          "t AS (SELECT doc_id, source, " +
+          "CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens " +
+          "FROM capped) " +
+          "SELECT doc_id, source, n_tokens, " +
+          "CAST(floor(coalesce(sum(n_tokens) OVER (" +
+          "PARTITION BY source ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+          s"/ $PACK_BUDGET.0) AS BIGINT) AS bin FROM t"),
       "x_window_topn" ->
         ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
           "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +

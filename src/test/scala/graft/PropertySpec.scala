@@ -150,6 +150,41 @@ class PropertySpec extends SparkSpec {
     }, n = 3)
   }
 
+  test("fuzzy-pairs law: blocked join equals brute-force prefix Levenshtein") {
+    // reference edit distance (classic DP) over the operator's exact
+    // candidate contract: same block prefix AND prefix distance ≤ d
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val texts = Gen.listOfN(12, for {
+      base <- Gen.oneOf("the quick brown fox", "lorem ipsum dolor",
+        "pack my box with jugs")
+      noise <- Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+      pad <- Gen.oneOf("", "  ", " extra words here")
+    } yield s"$base $noise$pad")
+    checkProp(Prop.forAll(texts) { ts =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .fuzzyPairs(df, "doc_id", "text", blockLen = 8, prefixLen = 16, maxDist = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (a, i) <- ts.zipWithIndex; (b, j) <- ts.zipWithIndex if i < j
+        na = norm(a); nb = norm(b)
+        if na.take(8) == nb.take(8)
+        dist = lev(na.take(16), nb.take(16)) if dist <= 3
+      } yield (i.toLong, j.toLong, dist.toLong)).toSet
+      got == want
+    }, n = 4)
+  }
+
   test("as-of law: window formulation equals brute-force per-probe scan") {
     import java.sql.Timestamp
     val rows = for {
