@@ -68,6 +68,12 @@ object Extensions {
   private val PMI_MIN_COUNT = 5 // bigram support floor for PMI
   private val PMI_TOPK = 20 // collocation pairs kept
   private val EMB_DIM = 64 // fixture embedding width (oracle range)
+  private val SPLIT_TRAIN = 80 // stratified split: first 80 hash buckets
+  private val SPLIT_VAL = 10 // next 10 buckets → val; remainder → test
+  private val BLOOM_FPP = 0.01 // decontamination Bloom false-positive rate
+  private val CHUNK_SIZE = 32 // tokens per chunk window
+  private val CHUNK_STRIDE = 24 // chunk start step (8-token overlap)
+  private val QUANT_TOPK = 10 // neighbors kept by the quantized top-k
 
   private val stopSql = Text.stopwords.map { case (l, ws) =>
     l -> ws.mkString("['", "', '", "']")
@@ -584,6 +590,62 @@ object Extensions {
       val fin = o.filter(F.col("o_orderstatus") === "F")
         .select("o_custkey")
       hi.union(fin).distinct().except(hi.intersect(fin))
+    }),
+
+    // deterministic stratified train/val/test split: the assignment
+    // is a pure function of the id hash (map-only, no RNG), so splits
+    // are append-stable — new ingest never reshuffles held-out docs
+    "x_split_stratified" -> ((s, dir) =>
+      Curation.assignSplit(Tables.scan(s, dir, "documents"), "doc_id",
+          SPLIT_TRAIN, SPLIT_VAL)
+        .select("doc_id", "source", "split")),
+
+    // decontamination behind a broadcast Bloom pre-filter: grams that
+    // can't be contaminated die map-side before any shuffle; the
+    // exact confirm join makes it result-identical to
+    // x_decontaminate (one oracle validates both)
+    "x_decontaminate_bloom" -> ((s, dir) =>
+      Curation.contaminatedBloom(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", F.col("doc_id") % DECON_MOD === 0,
+        n = DECON_N, fpp = BLOOM_FPP)),
+
+    // fixed-size overlapping token-window chunking (RAG indexing /
+    // long-doc segmentation); chunk bodies leave the plan as md5
+    // fingerprints, not text
+    "x_chunk_docs" -> ((s, dir) =>
+      Curation.chunkDocs(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", CHUNK_SIZE, CHUNK_STRIDE)),
+
+    // int8-quantized cosine top-k: 4× fewer bytes per vector on the
+    // wire than float32; integer dot/norms make the scores exact on
+    // any engine; recall@10 vs the float baseline pinned ≥ 0.9 in
+    // ExtensionsSpec
+    "x_embed_quantized" -> ((s, dir) => {
+      val emb = Tables.scan(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb,
+        emb.filter(F.col("vec_id") < ANN_N_QUERIES),
+        "vec_id", "embedding", k = QUANT_TOPK)
+    }),
+
+    // per-user running total + step delta over purchase events — the
+    // cumulative/lag analytic-window family. The running sum is done
+    // in DECIMAL so it is EXACT: a double running sum's value would
+    // depend on accumulation order (Spark folds sequentially, DuckDB
+    // uses segment trees), which no output rounding can fully mask
+    "x_window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.scan(s, dir, "events")
+        .filter(F.col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("running_total",
+          F.sum(F.col("value").cast("decimal(18,6)")).over(wRun)
+            .cast("decimal(18,6)"))
+        .withColumn("delta",
+          F.round(F.col("value") - F.lag("value", 1).over(w), 6))
     })
   )
 
@@ -620,6 +682,16 @@ object Extensions {
     "(" + (0 until MINHASH_K)
       .map(i => s"CASE WHEN l.mh$i = r.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ") + s") * 1.0 / $MINHASH_K"
+
+  /** Oracle for both decontamination variants (exact and
+    * Bloom-pre-filtered — the latter is result-identical by
+    * construction). */
+  private lazy val deconSql: String =
+    s"WITH ${shingleToksCte(DECON_N)}, " +
+      s"bench AS (SELECT DISTINCT tok FROM toks WHERE doc_id % $DECON_MOD = 0) " +
+      "SELECT t.doc_id, count(*) AS n_shared FROM toks t " +
+      s"JOIN bench b USING (tok) WHERE t.doc_id % $DECON_MOD <> 0 " +
+      "GROUP BY t.doc_id"
 
   /** CTE chain ending in `toks(doc_id, tok)` of distinct word
     * n-gram shingles — the twin of `Text.distinctShingles(_, n)`
@@ -1065,12 +1137,10 @@ object Extensions {
           "CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 960 AS INTEGER) AS width, " +
           "CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 960 AS INTEGER) AS height " +
           "FROM documents"),
-      "x_decontaminate" ->
-        (s"WITH ${shingleToksCte(DECON_N)}, " +
-          s"bench AS (SELECT DISTINCT tok FROM toks WHERE doc_id % $DECON_MOD = 0) " +
-          "SELECT t.doc_id, count(*) AS n_shared FROM toks t " +
-          s"JOIN bench b USING (tok) WHERE t.doc_id % $DECON_MOD <> 0 " +
-          "GROUP BY t.doc_id"),
+      "x_decontaminate" -> deconSql,
+      // the Bloom variant is result-identical by construction (no
+      // false negatives + exact confirm join) — same oracle
+      "x_decontaminate_bloom" -> deconSql,
       "x_repetition" ->
         ("WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t " +
           "FROM documents), " +
@@ -1202,7 +1272,48 @@ object Extensions {
         (s"(SELECT o_custkey FROM orders WHERE o_totalprice > $SETOPS_CUTOFF " +
           "UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') " +
           s"EXCEPT (SELECT o_custkey FROM orders WHERE o_totalprice > $SETOPS_CUTOFF " +
-          "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')")
+          "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"),
+      "x_split_stratified" ->
+        ("SELECT doc_id, source, CASE " +
+          s"WHEN ${h60("doc_id::VARCHAR")} % 100 < $SPLIT_TRAIN THEN 'train' " +
+          s"WHEN ${h60("doc_id::VARCHAR")} % 100 < ${SPLIT_TRAIN + SPLIT_VAL} THEN 'val' " +
+          "ELSE 'test' END AS split FROM documents"),
+      "x_chunk_docs" ->
+        ("WITH t AS (SELECT doc_id, " +
+          "string_split_regex(lower(text), '\\s+') AS t FROM documents), " +
+          s"c AS (SELECT doc_id, t, CASE WHEN len(t) <= $CHUNK_SIZE THEN 1 " +
+          s"ELSE CAST(ceil((len(t) - $CHUNK_SIZE) * 1.0 / $CHUNK_STRIDE) AS BIGINT) + 1 END AS nc FROM t), " +
+          "e AS (SELECT doc_id, t, unnest(range(0, nc)) AS chunk_id FROM c), " +
+          s"sl AS (SELECT doc_id, chunk_id, list_slice(t, chunk_id * $CHUNK_STRIDE + 1, " +
+          s"chunk_id * $CHUNK_STRIDE + $CHUNK_SIZE) AS ch FROM e) " +
+          "SELECT doc_id, chunk_id, CAST(len(ch) AS BIGINT) AS n_chunk_tokens, " +
+          "md5(array_to_string(ch, ' ')) AS chunk_fp FROM sl"),
+      "x_embed_quantized" -> {
+        val qdot = "CAST(list_sum(list_transform(range(1, len(q.q) + 1), " +
+          "i -> q.q[i] * c.q[i])) AS DOUBLE) / greatest(q.nrm * c.nrm, 1e-30)"
+        "WITH v AS (SELECT vec_id, embedding, 127.0 / greatest(" +
+          "list_aggregate(list_transform(embedding, y -> abs(y::DOUBLE)), 'max'), " +
+          "1e-30) AS scale FROM embeddings), " +
+          "qv AS (SELECT vec_id, list_transform(embedding, " +
+          "x -> CAST(floor(x::DOUBLE * scale + 0.5) AS BIGINT)) AS q FROM v), " +
+          "n AS (SELECT vec_id, q, " +
+          "sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm FROM qv) " +
+          "SELECT query_id, match_id, sim, rank FROM (" +
+          "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
+          s"round($qdot, 6) AS sim, " +
+          "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+          s"round($qdot, 6) DESC, c.vec_id ASC) AS rank " +
+          s"FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < $ANN_N_QUERIES) " +
+          s"WHERE rank <= $QUANT_TOPK"
+      },
+      "x_window_running" ->
+        ("SELECT event_id, user_id, ts, value, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (" +
+          "PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS running_total, " +
+          "round(value - lag(value) OVER (" +
+          "PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta " +
+          "FROM events WHERE event_type = 'purchase'")
     )
   }
 }

@@ -51,6 +51,97 @@ object Curation {
     df.join(contaminated(df, idCol, textCol, benchPred, n).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** [[contaminated]] with a Bloom pre-filter (the 100 TB shape):
+    * the benchmark gram set is folded into a Bloom filter, broadcast
+    * inside the task closure, and applied MAP-SIDE over the training
+    * grams — the overwhelming majority of the corpus's grams (the
+    * ones appearing in no benchmark doc) die before the shuffle, so
+    * the exchange carries only probable hits instead of every gram
+    * occurrence in the training corpus. Candidates that survive are
+    * confirmed by the same exact equi-join as [[contaminated]];
+    * Bloom filters have no false negatives, so the result is
+    * RESULT-IDENTICAL to the exact operator (same oracle validates
+    * both) — `fpp` only tunes how much dead traffic leaks through.
+    *
+    * At 1000 executors this is the difference between shuffling the
+    * full corpus gram stream (~tokens-per-corpus rows) and shuffling
+    * ~df_bench-weighted hits; the filter itself is a few MB for
+    * millions of benchmark grams at fpp 0.01. */
+  def contaminatedBloom(df: DataFrame, idCol: String, textCol: String,
+                        benchPred: Column, n: Int = 4,
+                        fpp: Double = 0.01): DataFrame = {
+    def grams(d: DataFrame): DataFrame =
+      d.select(F.col(idCol),
+          F.explode(Text.distinctShingles(F.col(textCol), n)).as("g"))
+        .filter(F.col("g") =!= "")
+    val benchGrams = grams(df.filter(benchPred)).select("g").distinct()
+    // expectedNumItems: one pass over the (small) benchmark side to
+    // size the filter; the count is cheap relative to mis-sizing it
+    val nBench = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("g", nBench, fpp)
+    val mightContain = F.udf((g: String) => g != null && bloom.mightContain(g))
+    grams(df.filter(!benchPred))
+      .filter(mightContain(F.col("g"))) // map-side kill, no shuffle yet
+      .join(benchGrams, Seq("g")) // exact confirm: no false positives
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_shared"))
+  }
+
+  /** Deterministic stratified train/val/test assignment: each row's
+    * split is a pure function of its id hash (`hash60(id) % 100` —
+    * first `trainPct` buckets → train, next `valPct` → val, rest →
+    * test). Map-only, no RNG, no shuffle: the same document lands in
+    * the same split on every engine, run, and cluster size, and new
+    * data appended later NEVER reshuffles existing assignments — the
+    * property that keeps a 100 TB corpus's held-out split stable
+    * across ingest rounds. Adds the column `split`. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    require(!df.columns.contains("split"),
+      "assignSplit reserves the output column name 'split'; rename it on the input")
+    val bucket = Text.hash60(F.col(idCol)) % 100
+    df.withColumn("split",
+      F.when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Fixed-size overlapping token-window chunking — the document →
+    * model-context segmentation step (RAG indexing, long-doc
+    * training). Each document yields `max(1, ceil((n-size)/stride)+1)`
+    * chunks of `size` tokens starting every `stride` tokens; the last
+    * chunk may be shorter. Output: one row per chunk with its ordinal,
+    * token count, and an md5 fingerprint of the joined chunk text
+    * (the dedup/index key — the chunk BODY stays out of downstream
+    * shuffles unless explicitly selected).
+    *
+    * Map-only: the chunk index is generated per row with `sequence` +
+    * `explode` and sliced from one tokenization — no shuffle, no
+    * re-tokenization per chunk, linear in corpus size. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    require(!df.columns.exists(Seq("chunk_id", "n_chunk_tokens", "chunk_fp").contains),
+      "chunkDocs reserves output column names 'chunk_id', 'n_chunk_tokens', 'chunk_fp'")
+    val toks = Text.tokens(F.col(textCol))
+    val n = F.size(toks)
+    // chunks fully covering the doc: one when n <= size, else one per
+    // stride start until the window reaches the end
+    val nChunks = F.when(n <= size, F.lit(1L))
+      .otherwise(F.ceil((n - size).cast("double") / stride) + 1L)
+    df.select(F.col(idCol), toks.as("__toks"),
+        F.explode(F.sequence(F.lit(0L), nChunks - 1L)).as("chunk_id"))
+      .select(F.col(idCol), F.col("chunk_id"),
+        F.slice(F.col("__toks"), (F.col("chunk_id") * stride + 1L).cast("int"),
+          F.lit(size)).as("__chunk"))
+      .select(F.col(idCol), F.col("chunk_id"),
+        F.size(F.col("__chunk")).cast("long").as("n_chunk_tokens"),
+        F.md5(F.array_join(F.col("__chunk"), " ")).as("chunk_fp"))
+  }
+
   /** Per-doc repetition metrics (Gopher-style quality filters):
     * bigram count, most-frequent-bigram fraction, duplicated-bigram
     * fraction, and the keep/drop verdict at `maxTopFrac`.

