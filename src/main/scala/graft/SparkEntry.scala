@@ -212,8 +212,49 @@ object SparkEntry {
       s.sql("SELECT r_name, n_name, count(*) AS n_customers " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name")
+    }),
+
+    // classic OLAP multi-join shapes (TPC-H Q3/Q5 on the fixture's
+    // column subset), run as pure SQL through the catalog — the
+    // dialect-shared text below IS the oracle, so the two engines run
+    // the identical query. Revenue accumulates in DECIMAL: exact, so
+    // neither the values nor the top-10 ranking depend on float
+    // accumulation order (Spark partial aggs vs DuckDB parallel scan)
+    "sql_tpch_q3" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql(persistent = true)
+      s.sql(tpchQ3Sql)
+    }),
+    "sql_tpch_q5" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql(persistent = true)
+      s.sql(tpchQ5Sql)
     })
   ) ++ Extensions.queries
+
+  /** Dialect-shared TPC-H-shape SQL (identical text runs on Spark and
+    * DuckDB): Q3 shipping-priority top-10 and Q5 local-supplier
+    * volume, restricted to the fixture's columns. */
+  private val revenueSql =
+    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS revenue"
+  private val tpchQ3Sql: String =
+    s"SELECT l_orderkey, o_orderdate, $revenueSql " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "WHERE c_mktsegment = 'BUILDING' " +
+      "AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' " +
+      "AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00' " +
+      "GROUP BY l_orderkey, o_orderdate " +
+      "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+  private val tpchQ5Sql: String =
+    s"SELECT n_name, $revenueSql " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' " +
+      "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+      "GROUP BY n_name ORDER BY revenue DESC"
 
   def oracleSql: Map[String, String] = Map(
     "s1_scan_project" -> s"SELECT $customerCols FROM customer",
@@ -348,6 +389,9 @@ object SparkEntry {
     "sql_star_join" ->
       ("SELECT r_name, n_name, count(*) AS n_customers " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
-        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name")
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name"),
+    // dialect-shared: the oracle runs the IDENTICAL text Spark ran
+    "sql_tpch_q3" -> tpchQ3Sql,
+    "sql_tpch_q5" -> tpchQ5Sql
   ) ++ Extensions.oracleSql
 }

@@ -75,6 +75,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H Q5 shape: all dims broadcast, facts never cartesian") {
+    // customer/supplier/nation/region are all declared fixed-or-small
+    // dims — a 100 TB lineitem must reach the agg through broadcast
+    // hash joins on the fact spine, never a nested loop
+    val plan = planOf("sql_tpch_q5")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "Q5 planned a non-equi pair space")
+  }
+
   test("IVF cell assignment is map-side (no window shuffle before the probe join)") {
     // corpus→cell used to row_number() over corpus×centroids; the
     // argmax-over-literals form needs exactly one SHUFFLE exchange —
