@@ -427,6 +427,10 @@ object Extensions {
     // by design and the oracle excludes exactly those
     "x_stream_session_append" -> ((s, dir) =>
       EventWindows.streamingSessionsAppend(s, dir, "10 minutes")),
+    // append-mode tumbling twin: hourly windows emitted once when the
+    // watermark closes them; the stream-tail windows stay open
+    "x_stream_tumbling_append" -> ((s, dir) =>
+      EventWindows.streamingTumblingAppend(s, dir)),
     "x_stream_dedup" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamingDedup(s, dir)),
     // bounded-state variant: state entries expire behind the
@@ -626,6 +630,26 @@ object Extensions {
         emb.filter(F.col("vec_id") < ANN_N_QUERIES),
         "vec_id", "embedding", k = QUANT_TOPK)
     }),
+
+    // metadata-FILTERED similarity search: exact top-k over only the
+    // English-language corpus vectors (predicate applied BEFORE any
+    // scoring, so k always fills from the allowed set — never the
+    // post-filter-and-under-fill mistake)
+    "x_embed_filtered" -> ((s, dir) => {
+      val emb = Tables.scan(s, dir, "embeddings")
+      val allowed = Tables.scan(s, dir, "documents")
+        .filter(F.col("lang") === "en")
+        .select(F.col("doc_id").as("vec_id"))
+      Similarity.filteredTopK(emb, allowed,
+        emb.filter(F.col("vec_id") < ANN_N_QUERIES),
+        "vec_id", "embedding", k = 10)
+    }),
+
+    // cross-source vocabulary overlap: token-set Jaccard between
+    // every source pair — the mirrored-source audit before dedup
+    "x_source_overlap" -> ((s, dir) =>
+      Curation.vocabularyOverlap(Tables.scan(s, dir, "documents"),
+        "source", "text")),
 
     // per-user running total + step delta over purchase events — the
     // cumulative/lag analytic-window family. The running sum is done
@@ -1078,6 +1102,30 @@ object Extensions {
           "c.vec_id ASC) AS rank " +
           "FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id " +
           "WHERE q.vec_id < 5) WHERE rank <= 10"),
+      "x_embed_filtered" ->
+        ("WITH allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'), " +
+          "c AS (SELECT e.vec_id, e.embedding FROM embeddings e " +
+          "JOIN allowed a ON e.vec_id = a.vec_id) " +
+          "SELECT query_id, match_id, sim, rank FROM (" +
+          "SELECT q.vec_id AS query_id, c.vec_id AS match_id, " +
+          "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim, " +
+          "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+          "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC, " +
+          "c.vec_id ASC) AS rank " +
+          "FROM embeddings q JOIN c ON q.vec_id <> c.vec_id " +
+          s"WHERE q.vec_id < $ANN_N_QUERIES) WHERE rank <= 10"),
+      "x_source_overlap" ->
+        ("WITH gt AS (SELECT DISTINCT source AS g, tok FROM (" +
+          "SELECT source, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok " +
+          "FROM documents) WHERE tok <> ''), " +
+          "sizes AS (SELECT g, count(*) AS n FROM gt GROUP BY g), " +
+          "inter AS (SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_common " +
+          "FROM gt a JOIN gt b ON a.tok = b.tok AND a.g < b.g GROUP BY 1, 2) " +
+          "SELECT group_a, group_b, n_common, " +
+          "round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard " +
+          "FROM inter " +
+          "JOIN sizes sa ON sa.g = group_a " +
+          "JOIN sizes sb ON sb.g = group_b"),
       "x_embed_neardup" -> nearDupLshSql(SIGNLSH_PLANES, SIGNLSH_BANDS, 0.45),
       "x_ann_ivf" -> ivfSql(ANN_CENT_STRIDE, ANN_NPROBE, 10, ANN_N_QUERIES),
       "x_ann_kmeans" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
@@ -1098,6 +1146,15 @@ object Extensions {
       // the streaming twin drains to the identical merged sessions
       "x_stream_session" -> sessionGaiSql,
       "x_stream_session_append" -> sessionAppendSql,
+      // batch tumbling restricted to watermark-closeable windows
+      // (window end <= max(ts) - watermark delay)
+      "x_stream_tumbling_append" ->
+        ("WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events) " +
+          "SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
+          "event_type, count(*) AS n, sum(value) AS sum_value FROM events, wm " +
+          "WHERE make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) " +
+          "+ INTERVAL 1 HOUR <= wm.w " +
+          "GROUP BY 1, 2"),
       "x_stream_tumbling" ->
         ("SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
           "event_type, count(*) AS n, sum(value) AS sum_value FROM events " +

@@ -230,6 +230,40 @@ object Curation {
         F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0L)) / budget))
   }
 
+  /** Cross-group vocabulary overlap: token-set Jaccard between every
+    * pair of `groupCol` values (source/domain/shard) — the corpus
+    * audit that flags mirrored or near-mirrored sources before dedup
+    * even runs, and informs per-source quota decisions.
+    *
+    * Scale: the corpus collapses to distinct (group, token) rows
+    * (per-group vocabulary, not token stream) before any join; the
+    * token self-join fans out per token only to the number of groups
+    * containing it (≤ |groups|, usually far fewer), and the output is
+    * |groups|² at most — tiny. Nothing here scales with document
+    * count except the initial distinct, which is one map-side-combined
+    * shuffle of (group, token) pairs. */
+  def vocabularyOverlap(df: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val gt = df.select(F.col(groupCol).as("g"),
+        F.explode(Text.distinctTokens(F.col(textCol))).as("tok"))
+      .filter(F.col("tok") =!= "")
+      .distinct()
+    val sizes = gt.groupBy("g").agg(F.count(F.lit(1)).as("n"))
+    val inter = gt.as("a")
+      .join(gt.as("b"),
+        F.col("a.tok") === F.col("b.tok") && F.col("a.g") < F.col("b.g"))
+      .groupBy(F.col("a.g").as("group_a"), F.col("b.g").as("group_b"))
+      .agg(F.count(F.lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(F.col("g").as("group_a"), F.col("n").as("__na")),
+        Seq("group_a"))
+      .join(sizes.select(F.col("g").as("group_b"), F.col("n").as("__nb")),
+        Seq("group_b"))
+      .select(F.col("group_a"), F.col("group_b"), F.col("n_common"),
+        F.round(F.col("n_common") /
+          (F.col("__na") + F.col("__nb") - F.col("n_common")), 6).as("jaccard"))
+  }
+
   /** Corpus-wide collocations: the `topK` adjacent word pairs by
     * pointwise mutual information, `pmi = ln(p(a,b) / (p(a)·p(b)))`
     * with bigram/unigram probabilities over the whole corpus and a

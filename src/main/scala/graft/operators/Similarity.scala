@@ -89,6 +89,23 @@ object Similarity {
       .toDF("query_id", "match_id", "sim", "rank")
   }
 
+  /** Metadata-FILTERED similarity search: exact top-k over only the
+    * corpus vectors whose id appears in `allowedIds` (the
+    * lang/quality/source predicate of a retrieval pipeline). The
+    * filter is applied BEFORE any scoring — as a semi-join on the id,
+    * so no disallowed vector is ever scored, and (with a small or
+    * pre-aggregated allow-list) it broadcasts; when the metadata
+    * lives in the corpus table itself, pass the predicate to
+    * `corpus.filter` instead and it pushes into the parquet scan.
+    * Post-filtering top-k results would instead under-fill k whenever
+    * the filter is selective — the classic filtered-ANN mistake. */
+  def filteredTopK(corpus: DataFrame, allowedIds: DataFrame,
+                   queries: DataFrame, idCol: String, vecCol: String,
+                   k: Int): DataFrame =
+    bruteForceTopK(
+      corpus.join(allowedIds.select(idCol), Seq(idCol), "left_semi"),
+      queries, idCol, vecCol, k)
+
   /** Symmetric int8 scalar quantization of a float embedding: each
     * vector is scaled by `127 / max(|x_i|)` and the elements rounded
     * to integers in [-127, 127] (`floor(x·scale + 0.5)` — plain

@@ -89,6 +89,23 @@ object EventWindows {
                               queryName: String = "stream_tumbling"): DataFrame =
     runStreamingWindow(spark, sfDir, queryName, F.window(F.col("ts"), "1 hour"))
 
+  /** PRODUCTION-emission twin of [[streamingTumblingHourly]]: append
+    * mode — each hourly window is emitted exactly once, when the
+    * watermark proves no more of its events can arrive (watermark ≥
+    * window end). Windows ending within the watermark delay of the
+    * stream's final event are still open when a finite fixture
+    * drains and are NOT emitted — production behavior; the oracle
+    * restricts the batch aggregation to watermark-closeable windows. */
+  def streamingTumblingAppend(spark: SparkSession, sfDir: String,
+                              queryName: String = "stream_tumbling_append"): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(F.window(F.col("ts"), "1 hour").as("w"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sum_value"))
+      .select(F.col("w.start").cast("timestamp_ntz").as("w_start"),
+        F.col("event_type"), F.col("n"), F.col("sum_value"))
+    runToTable(agg, queryName, mode = "append")
+  }
+
   /** Structured Streaming twin of [[sessions]]: `session_window`
     * over the event stream, watermark-bounded session state,
     * complete-mode memory sink so the batch oracle validates the

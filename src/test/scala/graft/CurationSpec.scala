@@ -136,6 +136,18 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("vocabularyOverlap computes pairwise token-set Jaccard, overlapping pairs only") {
+    val df = Seq(
+      ("a", "x y z"), ("b", "y z w"), ("c", "q"),
+      ("a", "x")  // second doc, same vocab — distinct must collapse it
+    ).toDF("source", "text")
+    val got = Curation.vocabularyOverlap(df, "source", "text")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // |a∩b| = {y,z} = 2, |a∪b| = {x,y,z,w} = 4; disjoint pairs absent
+    assert(got == Map(("a", "b") -> (2L, 0.5)))
+  }
+
   // ---- temporal ----
 
   private def ts(s: String) = Timestamp.valueOf(s)

@@ -278,6 +278,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall@10 $recall%.2f below the 0.9 contract")
   }
 
+  test("filteredTopK scores only allowed vectors and fills k from them") {
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val allowed = Tables.scan(spark, sf, "documents")
+      .filter(F.col("lang") === "en")
+      .select(F.col("doc_id").as("vec_id"))
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val got = Similarity.filteredTopK(emb, allowed, queries,
+      "vec_id", "embedding", 10).collect()
+    assert(got.forall(r => allowedIds.contains(r.getLong(1))),
+      "a disallowed vector leaked into the result")
+    // identical to brute force over the pre-filtered corpus — the
+    // filter-BEFORE-score contract (post-filtering would under-fill)
+    val expect = Similarity.bruteForceTopK(
+      emb.join(allowed, Seq("vec_id"), "left_semi"), queries,
+      "vec_id", "embedding", 10).collect().map(_.toSeq).toSet
+    assert(got.map(_.toSeq).toSet == expect)
+    assert(got.count(_.getLong(0) == 0L) == 10, "k under-filled")
+  }
+
   test("quantize maps to [-127,127] ints and zero vectors to zero") {
     import spark.implicits._
     val df = Seq(
