@@ -74,6 +74,9 @@ object Extensions {
   private val CHUNK_SIZE = 32 // tokens per chunk window
   private val CHUNK_STRIDE = 24 // chunk start step (8-token overlap)
   private val QUANT_TOPK = 10 // neighbors kept by the quantized top-k
+  private val WEIGHTED_RATE = 0.5 // top-quality keep rate for weighted sampling
+  private val WEIGHTED_GRAN = 10000 // weighted-sample hash granularity
+  private val QUALITY_GATE = 0.5 // per-source report quality floor
 
   private val stopSql = Text.stopwords.map { case (l, ws) =>
     l -> ws.mkString("['", "', '", "']")
@@ -651,6 +654,21 @@ object Extensions {
       Curation.vocabularyOverlap(Tables.scan(s, dir, "documents"),
         "source", "text")),
 
+    // quality-PROPORTIONAL deterministic sampling: keep probability
+    // scales with the doc's quality score (map-only, RNG-free — the
+    // weighted twin of x_sample_hash)
+    "x_sample_weighted" -> ((s, dir) =>
+      Curation.weightedSample(Tables.scan(s, dir, "documents"), "doc_id",
+          graft.functions.Text.qualityScore(F.col("text")), WEIGHTED_RATE)
+        .select("doc_id", "lang", "source")),
+
+    // per-source corpus health report: doc counts, mean tokens, mean
+    // quality, docs above the quality gate — the dashboard that
+    // drives quota/weighting decisions
+    "x_source_quality" -> ((s, dir) =>
+      Curation.sourceQualityReport(Tables.scan(s, dir, "documents"),
+        "source", "text", QUALITY_GATE)),
+
     // per-user running total + step delta over purchase events — the
     // cumulative/lag analytic-window family. The running sum is done
     // in DECIMAL so it is EXACT: a double running sum's value would
@@ -1214,6 +1232,19 @@ object Extensions {
       "x_sample_hash" ->
         ("SELECT doc_id, lang, source FROM documents " +
           s"WHERE ${h60("doc_id::VARCHAR")} % 100 < $SAMPLE_PCT"),
+      // keep-threshold replays the Spark arithmetic exactly:
+      // floor(clamped-quality * (rate * granularity))
+      "x_sample_weighted" ->
+        ("SELECT doc_id, lang, source FROM documents " +
+          s"WHERE ${h60("doc_id::VARCHAR")} % $WEIGHTED_GRAN < " +
+          s"floor(least(greatest(($qualitySql), 0.0), 1.0) * " +
+          s"${WEIGHTED_RATE * WEIGHTED_GRAN})"),
+      "x_source_quality" ->
+        ("SELECT source, count(*) AS n_docs, " +
+          "avg(len(string_split_regex(lower(text), '\\s+')) * 1.0) AS avg_tokens, " +
+          s"avg($qualitySql) AS avg_quality, " +
+          s"CAST(sum(CASE WHEN ($qualitySql) >= $QUALITY_GATE THEN 1 ELSE 0 END) AS BIGINT) AS n_quality " +
+          "FROM documents GROUP BY source"),
       "x_sample_quota" ->
         ("SELECT doc_id, source, lang, rk FROM (" +
           "SELECT doc_id, source, lang, row_number() OVER (" +

@@ -179,6 +179,22 @@ object Curation {
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(Text.hash60(F.col(idCol)) % 100 < pct)
 
+  /** Deterministic WEIGHTED sampling: row kept iff
+    * `hash60(id) % granularity < floor(weight · rate · granularity)`
+    * — keep probability proportional to a per-row weight column
+    * (quality score, source priority), with the same map-only,
+    * RNG-free, engine-portable properties as [[hashSample]]. The
+    * standard quality-proportional downsample of a web corpus: high
+    * quality survives at `rate`, junk at `quality·rate`. Weights are
+    * clamped to [0, 1]. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     rate: Double, granularity: Int = 10000): DataFrame = {
+    require(rate > 0.0 && rate <= 1.0, s"rate must be in (0,1], got $rate")
+    val w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    df.filter(Text.hash60(F.col(idCol)) % granularity <
+      F.floor(w * (rate * granularity)))
+  }
+
   /** Per-group quota cap (RefinedWeb-style source/domain capping):
     * keeps at most `quota` rows per `groupCol` value, chosen by the
     * deterministic md5-hash order of ids (a reproducible uniform
@@ -228,6 +244,22 @@ object Curation {
         Text.tokenCount(F.col(textCol)).cast("long").as("n_tokens"))
       .withColumn("bin",
         F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0L)) / budget))
+  }
+
+  /** Per-group corpus quality dashboard: document count, mean token
+    * count, mean quality score, and the count of docs at-or-above
+    * `minQuality` — the per-source health report that drives quota
+    * and weighting decisions. One map-side-combinable grouped pass;
+    * output is |groups| rows. */
+  def sourceQualityReport(df: DataFrame, groupCol: String, textCol: String,
+                          minQuality: Double = 0.5): DataFrame = {
+    val t = F.col(textCol)
+    df.groupBy(groupCol).agg(
+      F.count(F.lit(1)).as("n_docs"),
+      F.avg(Text.tokenCount(t).cast("double")).as("avg_tokens"),
+      F.avg(Text.qualityScore(t)).as("avg_quality"),
+      F.sum(F.when(Text.qualityScore(t) >= minQuality, 1L).otherwise(0L))
+        .as("n_quality"))
   }
 
   /** Cross-group vocabulary overlap: token-set Jaccard between every

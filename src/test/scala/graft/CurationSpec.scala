@@ -136,6 +136,26 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("weightedSample keeps proportionally to weight, map-only") {
+    import graft.functions.Text
+    val q = Text.qualityScore(F.col("text"))
+    val out = Curation.weightedSample(docs, "doc_id", q, rate = 0.5)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val kept = out.count().toDouble / docs.count()
+    // corpus mean quality ~0.5-0.7 → keep fraction must sit well
+    // inside (rate·min_q, rate): proportionality, not plain Bernoulli
+    assert(kept > 0.05 && kept < 0.5, s"keep fraction $kept out of range")
+    // weight 1.0 degenerates to hashSample at the same rate
+    val flat = Curation.weightedSample(docs, "doc_id", F.lit(1.0), rate = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = Curation.hashSample(docs, "doc_id", 20)
+      .select("doc_id").as[Long].collect().toSet
+    // same hash, same threshold scale — not necessarily equal sets
+    // (different granularity), but weight-1 keep rate ≈ rate
+    assert(math.abs(flat.size.toDouble / docs.count() - 0.2) < 0.05)
+    assert(plain.nonEmpty)
+  }
+
   test("vocabularyOverlap computes pairwise token-set Jaccard, overlapping pairs only") {
     val df = Seq(
       ("a", "x y z"), ("b", "y z w"), ("c", "q"),
