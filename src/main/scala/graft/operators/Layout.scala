@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 
 /** Physical data layout for scale (north-star extension): the write
   * patterns that make a 100 TB corpus cheap to read back.
@@ -50,4 +50,39 @@ object Layout {
     df.repartitionByRange(partitions, F.col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(out)
+
+  /** Morton (Z-order) interleave of two non-negative integer keys,
+    * `bits` low bits each, as one long: bit `i` of `a` lands at
+    * position `2i+1`, bit `i` of `b` at `2i`. Pure codegen'd
+    * shift/mask Column arithmetic — no UDF. Keys wider than `bits`
+    * bits alias (the layout degrades, never corrupts: z-order only
+    * decides placement). */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val (al, bl) = (a.cast("long"), b.cast("long"))
+    (0 until bits).flatMap { i =>
+      Seq(F.shiftleft(F.shiftright(al, i).bitwiseAND(F.lit(1L)), 2 * i + 1),
+        F.shiftleft(F.shiftright(bl, i).bitwiseAND(F.lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Materialize `df` Z-ORDER clustered on two key columns: rows are
+    * range-partitioned and sorted by their interleaved [[zValue]], so
+    * every output file covers a small rectangle of the
+    * (`colA`, `colB`) key space instead of a stripe of one dimension.
+    * Parquet min/max footer stats on BOTH columns then support file
+    * skipping for predicates on EITHER key — the property
+    * single-key range clustering only gives one of them. LayoutSpec
+    * asserts the per-file spans of both dimensions are a fraction of
+    * the single-key layout's. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+                    partitions: Int, out: String, bits: Int = 16): Unit = {
+    require(!df.columns.contains("__z"),
+      "writeZOrdered reserves the intermediate column name '__z'")
+    df.withColumn("__z", zValue(F.col(colA), F.col(colB), bits))
+      .repartitionByRange(partitions, F.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(out)
+  }
 }
