@@ -57,6 +57,17 @@ object Extensions {
   // event_date partitions — the other 23 are never listed into the plan)
   private val PRUNE_FROM = "2024-01-08"
   private val PRUNE_TO = "2024-01-14"
+  // z-order pruned layout: a 2-D (user band × day band) rectangle —
+  // 10 of the fixture's users over the same queried week. Nonzero at
+  // every SF (user_id starts at 0 everywhere); day_idx 7..13 =
+  // 2024-01-08..14 relative to the fixture's 2024-01-01 epoch
+  private val ZORDER_USER_LO = 0L
+  private val ZORDER_USER_HI = 9L
+  private val ZORDER_DAY_LO = 7
+  private val ZORDER_DAY_HI = 13
+  // 11 interleave bits per key: covers user_id ≤ 2047 (sf0.1 max is
+  // 1499) and day_idx ≤ 29 without aliasing
+  private val ZORDER_BITS = 11
   // blocked fuzzy dedup: 24-char blocking prefix (fixture: 5k docs →
   // 4.75k blocks, max block 4), Levenshtein over the first 80 chars
   private val FUZZY_BLOCK = 24
@@ -574,6 +585,29 @@ object Extensions {
         .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sum_value"))
     }),
 
+    // Z-order clustered materialization + 2-D pruned read-back: the
+    // Morton layout bounds every file's (user_id, day_idx) rectangle,
+    // so parquet min/max footer stats skip files for predicates on
+    // EITHER dimension — the property single-key clustering gives only
+    // one of (LayoutSpec pins the per-file span bounds). The graded
+    // read applies both band predicates and aggregates the rectangle;
+    // sums in DECIMAL so values are accumulation-order-exact
+    "x_zorder_prune" -> ((s, dir) => {
+      val out = layoutDir(dir, "events_zorder")
+      Layout.writeZOrdered(
+        Tables.scan(s, dir, "events").withColumn("day_idx",
+          F.datediff(F.to_date(F.col("ts")),
+            F.lit("2024-01-01").cast("date"))),
+        "user_id", "day_idx", 16, out, bits = ZORDER_BITS)
+      s.read.parquet(out)
+        .filter(F.col("user_id").between(ZORDER_USER_LO, ZORDER_USER_HI)
+          && F.col("day_idx").between(ZORDER_DAY_LO, ZORDER_DAY_HI))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)").as("sum_value"))
+    }),
+
     // contiguous sequence packing: per-source token-budget bins —
     // the document→fixed-context-training-sequence assignment step
     "x_pack_sequences" -> ((s, dir) =>
@@ -670,24 +704,27 @@ object Extensions {
         "source", "text", QUALITY_GATE)),
 
     // per-user running total + step delta over purchase events — the
-    // cumulative/lag analytic-window family. The running sum is done
-    // in DECIMAL so it is EXACT: a double running sum's value would
-    // depend on accumulation order (Spark folds sequentially, DuckDB
-    // uses segment trees), which no output rounding can fully mask
+    // cumulative/lag analytic-window family. BOTH derived columns are
+    // done in DECIMAL so they are EXACT: a double running sum's value
+    // would depend on accumulation order (Spark folds sequentially,
+    // DuckDB uses segment trees), and round(double - double, 6)
+    // diverges on half-way/representation cases (Spark rounds the
+    // exact BigDecimal of the binary double HALF_UP, DuckDB rounds in
+    // float arithmetic) — decimal subtraction has neither hazard
     "x_window_running" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts", "event_id")
       val wRun = w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+      val dec = F.col("value").cast("decimal(18,6)")
       Tables.scan(s, dir, "events")
         .filter(F.col("event_type") === "purchase")
         .select("event_id", "user_id", "ts", "value")
         .withColumn("running_total",
-          F.sum(F.col("value").cast("decimal(18,6)")).over(wRun)
-            .cast("decimal(18,6)"))
+          F.sum(dec).over(wRun).cast("decimal(18,6)"))
         .withColumn("delta",
-          F.round(F.col("value") - F.lag("value", 1).over(w), 6))
+          (dec - F.lag(dec, 1).over(w)).cast("decimal(18,6)"))
     })
   )
 
@@ -1338,6 +1375,17 @@ object Extensions {
           "count(*) AS n, sum(value) AS sum_value FROM events " +
           s"WHERE CAST(ts AS DATE) BETWEEN DATE '$PRUNE_FROM' AND DATE '$PRUNE_TO' " +
           "GROUP BY 1, 2"),
+      // the oracle aggregates the raw events under the same 2-D
+      // rectangle predicate the z-ordered layout read applies
+      // (day_idx d = date 2024-01-01 + d days)
+      "x_zorder_prune" ->
+        ("SELECT event_type, count(*) AS n, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value " +
+          "FROM events " +
+          s"WHERE user_id BETWEEN $ZORDER_USER_LO AND $ZORDER_USER_HI " +
+          s"AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' + $ZORDER_DAY_LO " +
+          s"AND DATE '2024-01-01' + $ZORDER_DAY_HI " +
+          "GROUP BY 1"),
       "x_pack_sequences" ->
         ("WITH t AS (SELECT doc_id, source, " +
           "CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens " +
@@ -1399,8 +1447,8 @@ object Extensions {
           "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (" +
           "PARTITION BY user_id ORDER BY ts, event_id " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS running_total, " +
-          "round(value - lag(value) OVER (" +
-          "PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta " +
+          "CAST(CAST(value AS DECIMAL(18,6)) - lag(CAST(value AS DECIMAL(18,6))) OVER (" +
+          "PARTITION BY user_id ORDER BY ts, event_id) AS DECIMAL(18,6)) AS delta " +
           "FROM events WHERE event_type = 'purchase'")
     )
   }

@@ -254,7 +254,9 @@ object SparkEntry {
       "WHERE r_name = 'ASIA' " +
       "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
       "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
-      "GROUP BY n_name ORDER BY revenue DESC"
+      // n_name tiebreak: equal decimal revenues would otherwise make
+      // the output order engine-dependent (Q3 has its l_orderkey twin)
+      "GROUP BY n_name ORDER BY revenue DESC, n_name ASC"
 
   def oracleSql: Map[String, String] = Map(
     "s1_scan_project" -> s"SELECT $customerCols FROM customer",

@@ -74,12 +74,21 @@ object Curation {
       d.select(F.col(idCol),
           F.explode(Text.distinctShingles(F.col(textCol), n)).as("g"))
         .filter(F.col("g") =!= "")
-    val benchGrams = grams(df.filter(benchPred)).select("g").distinct()
+    // cached: the benchmark gram set is consumed three times (sizing
+    // count, Bloom build, exact-confirm join) — without the persist
+    // each action would re-tokenize the benchmark side from scratch
+    val benchGrams = grams(df.filter(benchPred)).select("g").distinct().cache()
     // expectedNumItems: one pass over the (small) benchmark side to
     // size the filter; the count is cheap relative to mis-sizing it
     val nBench = math.max(benchGrams.count(), 1L)
-    val bloom = benchGrams.stat.bloomFilter("g", nBench, fpp)
-    val mightContain = F.udf((g: String) => g != null && bloom.mightContain(g))
+    // explicit broadcast variable: shipped to each executor ONCE and
+    // referenced from the UDF, instead of being serialized into every
+    // task's closure (at fpp 0.01 over millions of grams the filter is
+    // MBs — per-task shipping would dominate at 1000 executors)
+    val bloomBc = df.sparkSession.sparkContext
+      .broadcast(benchGrams.stat.bloomFilter("g", nBench, fpp))
+    val mightContain =
+      F.udf((g: String) => g != null && bloomBc.value.mightContain(g))
     grams(df.filter(!benchPred))
       .filter(mightContain(F.col("g"))) // map-side kill, no shuffle yet
       .join(benchGrams, Seq("g")) // exact confirm: no false positives

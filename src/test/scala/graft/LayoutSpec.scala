@@ -72,6 +72,52 @@ class LayoutSpec extends SparkSpec {
       s"no DPP subquery in the fact scan:\n${plan.take(800)}")
   }
 
+  test("z-ordered write bounds per-file spans of BOTH dimensions") {
+    // sf0.001 fixture: user_id 0..14, day_idx 0..29
+    val events = Tables.scan(spark, sf, "events")
+      .withColumn("day_idx", F.datediff(F.to_date(F.col("ts")),
+        F.lit("2024-01-01").cast("date")))
+    val zOut = scratch("events_zorder")
+    val kOut = scratch("events_userkey")
+    Layout.writeZOrdered(events, "user_id", "day_idx", 8, zOut, bits = 5)
+    Layout.writeRangeClustered(events, "user_id", 8, kOut)
+
+    def meanSpan(dir: String, col: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length >= 2, s"expected multiple files in $dir")
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(F.min(F.col(col).cast("long")), F.max(F.col(col).cast("long")))
+          .head()
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }.sum / files.length
+    }
+
+    val (fullUser, fullDay) = {
+      val r = events.agg(
+        F.max("user_id") - F.min("user_id"),
+        F.max(F.col("day_idx").cast("long")) - F.min(F.col("day_idx").cast("long"))).head()
+      (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    }
+
+    // the single-key layout nails user_id spans but leaves each file
+    // covering (nearly) the full day range; the z-order layout trades
+    // a bounded rectangle in BOTH dimensions
+    val zUser = meanSpan(zOut, "user_id")
+    val zDay = meanSpan(zOut, "day_idx")
+    val kDay = meanSpan(kOut, "day_idx")
+    assert(zUser <= 0.8 * fullUser,
+      s"z-layout mean user_id span $zUser not a fraction of full range $fullUser")
+    assert(zDay <= 0.8 * fullDay,
+      s"z-layout mean day_idx span $zDay not a fraction of full range $fullDay")
+    assert(zDay < kDay,
+      s"z-layout mean day_idx span $zDay not below single-key layout's $kDay")
+
+    // clustering is a re-layout, not a transformation
+    assert(spark.read.parquet(zOut).count() == events.count())
+  }
+
   test("writeDatePartitioned rejects an input that already has event_date") {
     val events = Tables.scan(spark, sf, "events")
       .withColumn("event_date", F.lit("x"))
