@@ -166,6 +166,46 @@ object Extensions {
           F.sum("o_totalprice").as("spend"))
         .filter(F.col("n_orders") >= 12)),
 
+    // full cube: all four grouping levels of (flag, status) in one
+    // pass, with GROUPING_ID disambiguating level NULLs from data
+    // NULLs — the standard OLAP cube contract (cast to BIGINT on both
+    // engines: Spark's grouping_id and DuckDB's GROUPING differ in
+    // native width)
+    "a8_cube" -> ((s, dir) =>
+      Tables.scan(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("long").as("gid"),
+          F.sum("l_quantity").as("sum_qty"),
+          F.count(F.lit(1)).as("n_rows"))),
+
+    // exact Pearson correlation via decimal co-moments: the per-row
+    // products are IEEE-identical double arithmetic on both engines,
+    // the SUMs (where accumulation order would diverge — Spark's
+    // native corr() merges streaming co-moments in partition order,
+    // so its value is not even run-stable) are DECIMAL-exact, and the
+    // final formula runs in double over identical operands → the
+    // result is bit-identical across engines. The shape is one
+    // map-side-combinable grouped pass; nothing is collected
+    "x_stats_corr" -> ((s, dir) => {
+      val x = F.col("value")
+      val y = F.hour(F.col("ts")).cast("double")
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,10)")
+      val m = Tables.scan(s, dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(dec(x)).as("sx"), F.sum(dec(y)).as("sy"),
+          F.sum(dec(x * y)).as("sxy"),
+          F.sum(dec(x * x)).as("sxx"), F.sum(dec(y * y)).as("syy"))
+      val (n, sx, sy, sxy, sxx, syy) = (F.col("n").cast("double"),
+        F.col("sx").cast("double"), F.col("sy").cast("double"),
+        F.col("sxy").cast("double"), F.col("sxx").cast("double"),
+        F.col("syy").cast("double"))
+      m.select(F.col("event_type"), F.col("n"),
+        ((n * sxy - sx * sy) /
+          (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+          .as("corr_value_hour"))
+    }),
+
     // end-to-end cleaning pipeline: quality-gate -> exact dedup ->
     // per-language counts — the composed shape of a training-data
     // preparation job, verified as one plan
@@ -608,6 +648,29 @@ object Extensions {
             .cast("decimal(18,6)").as("sum_value"))
     }),
 
+    // co-located (bucketed) join: both sides materialized bucketed +
+    // sorted on the join key with the same bucket count, so the
+    // sort-merge join runs WITHOUT a shuffle on either side — at
+    // 100 TB this is the layout that turns every repeated fact↔fact
+    // join on the declared key into a local merge (PlanShapeSpec pins
+    // the no-Exchange-under-the-join property for this exact query);
+    // spend accumulates in DECIMAL so values are order-exact
+    "x_bucketed_join" -> ((s, dir) => {
+      Tables.writeBucketed(
+        Tables.scan(s, dir, "orders").select("o_custkey", "o_totalprice"),
+        "graft_bkt_orders", "o_custkey", 8)
+      Tables.writeBucketed(
+        Tables.scan(s, dir, "customer")
+          .select(F.col("c_custkey").as("o_custkey"), F.col("c_mktsegment")),
+        "graft_bkt_customer", "o_custkey", 8)
+      s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_customer"), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).as("n_orders"),
+          F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(18,4)").as("total_spend"))
+    }),
+
     // contiguous sequence packing: per-source token-budget bins —
     // the document→fixed-context-training-sequence assignment step
     "x_pack_sequences" -> ((s, dir) =>
@@ -725,6 +788,26 @@ object Extensions {
           F.sum(dec).over(wRun).cast("decimal(18,6)"))
         .withColumn("delta",
           (dec - F.lag(dec, 1).over(w)).cast("decimal(18,6)"))
+    }),
+
+    // distribution-rank window family over recent orders: rank,
+    // quartile (ntile), percent_rank, cume_dist per status partition.
+    // Ordering includes o_orderkey so ties are impossible → every
+    // rank value is deterministic; rank-derived fractions are exact
+    // IEEE divisions of identical integers on both engines. Ranking
+    // ints are cast to BIGINT (Spark's ntile/rank are int32, DuckDB's
+    // are int64 — driver compares arrow types)
+    "x_window_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
+      Tables.scan(s, dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        .select(F.col("o_orderkey"), F.col("o_orderstatus"), F.col("o_totalprice"),
+          F.rank().over(w).cast("long").as("rnk"),
+          F.ntile(4).over(w).cast("long").as("quartile"),
+          F.percent_rank().over(w).as("pct_rank"),
+          F.cume_dist().over(w).as("cume"))
     })
   )
 
@@ -981,6 +1064,44 @@ object Extensions {
       "a7_having" ->
         ("SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend " +
           "FROM orders GROUP BY o_custkey HAVING count(*) >= 12"),
+      "a8_cube" ->
+        ("SELECT l_returnflag, l_linestatus, " +
+          "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +
+          "sum(l_quantity) AS sum_qty, count(*) AS n_rows " +
+          "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"),
+      // decimal co-moments + double formula over identical operands —
+      // mirrors the Spark side exactly (see queries map)
+      "x_stats_corr" ->
+        ("WITH m AS (SELECT event_type, count(*) AS n, " +
+          "sum(CAST(value AS DECIMAL(28,10))) AS sx, " +
+          "sum(CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,10))) AS sy, " +
+          "sum(CAST(value * CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,10))) AS sxy, " +
+          "sum(CAST(value * value AS DECIMAL(28,10))) AS sxx, " +
+          "sum(CAST(CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,10))) AS syy " +
+          "FROM events GROUP BY 1) " +
+          "SELECT event_type, n, " +
+          "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+          "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) " +
+          "AS corr_value_hour FROM m"),
+      // ranks are tie-free (o_orderkey in the ordering), so every
+      // column is a deterministic function of the sorted sequence
+      "x_window_rank" ->
+        ("SELECT o_orderkey, o_orderstatus, o_totalprice, " +
+          "CAST(rank() OVER w AS BIGINT) AS rnk, " +
+          "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+          "percent_rank() OVER w AS pct_rank, " +
+          "cume_dist() OVER w AS cume " +
+          "FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' " +
+          "WINDOW w AS (PARTITION BY o_orderstatus " +
+          "ORDER BY o_totalprice DESC, o_orderkey ASC)"),
+      // the oracle joins the raw tables — the bucketed layout is a
+      // physical re-materialization, not a transformation
+      "x_bucketed_join" ->
+        ("SELECT c_mktsegment, count(*) AS n_orders, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS total_spend " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment"),
       "x_pipeline_clean" ->
         ("WITH gated AS (SELECT doc_id, text, lang, " + qualitySql + " AS q " +
           "FROM documents WHERE (" + qualitySql + ") >= 0.55), " +

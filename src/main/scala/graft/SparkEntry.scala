@@ -227,14 +227,40 @@ object SparkEntry {
     "sql_tpch_q5" -> ((s, dir) => {
       graft.api.Graft(s, dir).enableSql(persistent = true)
       s.sql(tpchQ5Sql)
+    }),
+    "sql_tpch_q1" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql(persistent = true)
+      s.sql(tpchQ1Sql)
     })
   ) ++ Extensions.queries
 
   /** Dialect-shared TPC-H-shape SQL (identical text runs on Spark and
     * DuckDB): Q3 shipping-priority top-10 and Q5 local-supplier
     * volume, restricted to the fixture's columns. */
+  // all-decimal revenue: cast the raw 2-dp columns (unambiguous),
+  // multiply in decimal (exact), never round a double product — see
+  // the tpchQ1Sql comment for the divergence the old form risked
   private val revenueSql =
-    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS revenue"
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue"
+  // Q1 pricing summary: every money measure is EXACT — the raw
+  // columns are 2-dp values (casting THEM to decimal is unambiguous;
+  // casting a double PRODUCT is not: Spark rounds the exact binary
+  // value HALF_UP, DuckDB rounds in float arithmetic, and the 6th
+  // digit diverges — observed on sum_charge before this form), all
+  // arithmetic then stays in decimal and the output casts only widen,
+  // never round. The avg columns stay double: the driver canonicalizes
+  // at 9 significant digits, absorbing grouped-mean accumulation wobble
+  private val tpchQ1Sql: String =
+    "SELECT l_returnflag, l_linestatus, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_charge, " +
+      "avg(l_quantity) AS avg_qty, avg(l_extendedprice) AS avg_price, " +
+      "avg(l_discount) AS avg_disc, count(*) AS count_order " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+      "GROUP BY l_returnflag, l_linestatus " +
+      "ORDER BY l_returnflag, l_linestatus"
   private val tpchQ3Sql: String =
     s"SELECT l_orderkey, o_orderdate, $revenueSql " +
       "FROM customer JOIN orders ON c_custkey = o_custkey " +
@@ -394,6 +420,7 @@ object SparkEntry {
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name"),
     // dialect-shared: the oracle runs the IDENTICAL text Spark ran
     "sql_tpch_q3" -> tpchQ3Sql,
-    "sql_tpch_q5" -> tpchQ5Sql
+    "sql_tpch_q5" -> tpchQ5Sql,
+    "sql_tpch_q1" -> tpchQ1Sql
   ) ++ Extensions.oracleSql
 }

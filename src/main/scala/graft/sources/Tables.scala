@@ -52,8 +52,19 @@ object Tables {
     * merge. Requires saveAsTable (bucket metadata lives in the
     * catalog). */
   def writeBucketed(df: DataFrame, catalogTable: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // idempotent across SESSIONS, not just runs: the in-memory catalog
+    // of a fresh session has no record of a previous session's managed
+    // table, so a stale warehouse directory alone makes saveAsTable
+    // throw LOCATION_ALREADY_EXISTS — drop the entry AND clear the dir
+    spark.sql(s"DROP TABLE IF EXISTS `$catalogTable`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), catalogTable.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(catalogTable)
+  }
 }

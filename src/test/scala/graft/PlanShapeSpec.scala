@@ -61,6 +61,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("graded bucketed join shuffles only for the final aggregation (x_bucketed_join)") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("x_bucketed_join")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      // exactly ONE exchange: the group-by's. The join sits on bucket
+      // scans — neither side shuffles (the 100 TB co-location claim)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"expected 1 exchange (the agg), found $exchanges:\n${plan.take(800)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+    }
+  }
+
   test("LSH pair queries never plan a nested-loop or cartesian pair space") {
     // the round-2 formulations were O(n²): a broadcast nested-loop on
     // id_a < id_b (embeddings) and an inverted-token self-join
