@@ -78,6 +78,7 @@ object Extensions {
   private val TFIDF_TOPK = 3 // tf-idf terms kept per document
   private val PMI_MIN_COUNT = 5 // bigram support floor for PMI
   private val PMI_TOPK = 20 // collocation pairs kept
+  private val VOCAB_K = 500 // fixed vocab size for coverage report
   private val EMB_DIM = 64 // fixture embedding width (oracle range)
   private val SPLIT_TRAIN = 80 // stratified split: first 80 hash buckets
   private val SPLIT_VAL = 10 // next 10 buckets → val; remainder → test
@@ -611,6 +612,13 @@ object Extensions {
     "x_pmi" -> ((s, dir) =>
       Curation.pmiTopPairs(Tables.scan(s, dir, "documents"),
         "text", PMI_MIN_COUNT, PMI_TOPK)),
+
+    // per-source coverage of a fixed top-k corpus vocabulary — the
+    // tokenizer-sizing dashboard (what fraction of each source's
+    // token stream a k-entry vocab captures)
+    "x_vocab_coverage" -> ((s, dir) =>
+      Curation.vocabCoverage(Tables.scan(s, dir, "documents"),
+        "source", "text", VOCAB_K)),
 
     // ---- physical layout (scale path) ----
     // date-partitioned materialization + partition-pruned read-back:
@@ -1467,6 +1475,22 @@ object Extensions {
           "round(tf.tf * ln((n.n + 1.0) / (d.df + 1.0)), 6) DESC, " +
           "tf.term ASC) AS rk " +
           s"FROM tf JOIN d USING (term), n) WHERE rk <= $TFIDF_TOPK"),
+      // same tokenization as the Spark side; the vocab CTE replays the
+      // deterministic top-k (count DESC, token ASC) so the boundary
+      // ties resolve identically
+      "x_vocab_coverage" ->
+        ("WITH t AS (SELECT source, " +
+          "unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+          "FROM documents), " +
+          "nz AS (SELECT source, tok FROM t WHERE tok <> ''), " +
+          "v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM nz " +
+          s"GROUP BY 1) ORDER BY c DESC, tok ASC LIMIT $VOCAB_K) " +
+          "SELECT source, count(*) AS n_tokens, " +
+          // BIGINT cast: DuckDB's sum(INTEGER) is HUGEINT, Spark's is long
+          "CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab, " +
+          "CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / " +
+          "CAST(count(*) AS DOUBLE) AS coverage " +
+          "FROM nz LEFT JOIN v ON nz.tok = v.tok GROUP BY source"),
       "x_pmi" ->
         ("WITH t AS (SELECT string_split_regex(lower(text), '\\s+') AS t " +
           "FROM documents), " +

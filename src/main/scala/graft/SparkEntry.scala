@@ -231,6 +231,10 @@ object SparkEntry {
     "sql_tpch_q1" -> ((s, dir) => {
       graft.api.Graft(s, dir).enableSql(persistent = true)
       s.sql(tpchQ1Sql)
+    }),
+    "sql_tpch_q10" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql(persistent = true)
+      s.sql(tpchQ10Sql)
     })
   ) ++ Extensions.queries
 
@@ -261,6 +265,19 @@ object SparkEntry {
       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
       "GROUP BY l_returnflag, l_linestatus " +
       "ORDER BY l_returnflag, l_linestatus"
+  // Q10 returned-item report (fixture's column subset): revenue from
+  // R-flagged lineitems per customer over a quarter, top 20. Same
+  // all-decimal revenue; c_custkey tiebreak for engine-stable order
+  private val tpchQ10Sql: String =
+    s"SELECT c_custkey, c_name, $revenueSql, c_acctbal, n_name " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00' " +
+      "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+      "AND l_returnflag = 'R' " +
+      "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+      "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
   private val tpchQ3Sql: String =
     s"SELECT l_orderkey, o_orderdate, $revenueSql " +
       "FROM customer JOIN orders ON c_custkey = o_custkey " +
@@ -421,6 +438,7 @@ object SparkEntry {
     // dialect-shared: the oracle runs the IDENTICAL text Spark ran
     "sql_tpch_q3" -> tpchQ3Sql,
     "sql_tpch_q5" -> tpchQ5Sql,
-    "sql_tpch_q1" -> tpchQ1Sql
+    "sql_tpch_q1" -> tpchQ1Sql,
+    "sql_tpch_q10" -> tpchQ10Sql
   ) ++ Extensions.oracleSql
 }

@@ -96,6 +96,33 @@ object Curation {
       .agg(F.count(F.lit(1)).as("n_shared"))
   }
 
+  /** Per-source vocabulary coverage against the corpus's top-`k`
+    * tokens — the tokenizer-sizing signal: how much of each source's
+    * token stream a fixed-size vocab would cover. Two passes, both
+    * scale-safe: (1) token counting is a map-side-combinable groupBy
+    * whose top-k is a TakeOrdered (only k rows per partition move,
+    * ties broken on the token text so the boundary is deterministic);
+    * (2) the vocab — k rows — broadcasts into a map-side membership
+    * join, so the corpus-sized token stream shuffles once, for the
+    * per-source rollup. Coverage is an exact-integer ratio: both
+    * engines divide the same two BIGINTs, so the double is
+    * bit-identical. */
+  def vocabCoverage(df: DataFrame, sourceCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = df.select(F.col(sourceCol),
+        F.explode(Text.tokens(F.col(textCol))).as("tok"))
+      .filter(F.col("tok") =!= "")
+    val vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).as("c"))
+      .orderBy(F.col("c").desc, F.col("tok").asc).limit(k)
+      .select("tok").withColumn("in_vocab", F.lit(1L))
+    toks.join(F.broadcast(vocab), Seq("tok"), "left")
+      .groupBy(sourceCol)
+      .agg(F.count(F.lit(1)).as("n_tokens"),
+        F.sum(F.coalesce(F.col("in_vocab"), F.lit(0L))).as("n_in_vocab"))
+      .withColumn("coverage",
+        F.col("n_in_vocab").cast("double") / F.col("n_tokens").cast("double"))
+  }
+
   /** Deterministic stratified train/val/test assignment: each row's
     * split is a pure function of its id hash (`hash60(id) % 100` —
     * first `trainPct` buckets → train, next `valPct` → val, rest →
