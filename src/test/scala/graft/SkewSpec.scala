@@ -75,6 +75,51 @@ class SkewSpec extends SparkSpec {
       s"salted join side still owns $saltedMax of a $hot-row hot key")
   }
 
+  test("AQE skew-join handling splits the hot partition at runtime") {
+    // the runtime half of the skew story: manual salting is the
+    // deterministic-plan fix, AQE's OptimizeSkewedJoin is the
+    // zero-code-change one — pin that our session conventions don't
+    // break it. Thresholds are lowered so the sf0.001 fixture's hot
+    // key (~80% of rows) qualifies as skewed.
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // repartition(8) first: AQE splits a skewed partition by
+      // reassembling per-MAPPER output chunks, so a shuffle fed by a
+      // single mapper (the fixture is one small parquet file → one
+      // scan task) is unsplittable no matter how skewed it is
+      val clicks = skewed
+        .select(F.col("event_id"), F.col("skew_user").as("user_id"),
+          F.col("value"), F.col("props"))
+        .repartition(8)
+      val dim = Tables.scan(spark, sf, "customer")
+        .select(F.col("c_custkey").as("user_id"), F.col("c_name"))
+      val joined = clicks.join(dim, Seq("user_id"))
+      // collect() drives THIS DataFrame's queryExecution, so the
+      // AdaptiveSparkPlan below is the finalized one (a write would
+      // spawn its own execution and leave this plan un-finalized)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot join partition as skewed:\n${plan.take(800)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("salted ops keep rows whose salt source is NULL") {
     import spark.implicits._
     val left = Seq((1L, Some(10L), 1.0), (1L, None, 2.0), (2L, Some(11L), 3.0))
