@@ -79,6 +79,8 @@ object Extensions {
   private val PMI_MIN_COUNT = 5 // bigram support floor for PMI
   private val PMI_TOPK = 20 // collocation pairs kept
   private val VOCAB_K = 500 // fixed vocab size for coverage report
+  private val MM_FEAT_DIMS = 8 // md5-derived stub feature width (max 8)
+  private val MM_FRAME_BYTES = 256 // frame-sampling window (bytes)
   private val EMB_DIM = 64 // fixture embedding width (oracle range)
   private val SPLIT_TRAIN = 80 // stratified split: first 80 hash buckets
   private val SPLIT_VAL = 10 // next 10 buckets → val; remainder → test
@@ -515,6 +517,23 @@ object Extensions {
     // ---- multimodal plumbing (column twin of the decode stage) ----
     "x_multimodal_meta" -> ((s, dir) =>
       Multimodal.metaColumns(Tables.scan(s, dir, "documents"), "doc_id", "text")),
+
+    // feature extraction through the REAL mapPartitions decode seam
+    // (per-partition model init, streamed rows, typed output) — the
+    // oracle replays the md5-derived stub math, so the graded check
+    // covers the distributed plumbing end-to-end, not a Column twin
+    "x_multimodal_features" -> ((s, dir) =>
+      Multimodal.featurize(s,
+        Multimodal.attachPayload(Tables.scan(s, dir, "documents"),
+          "doc_id", "text"), "doc_id", MM_FEAT_DIMS).toDF()),
+
+    // fixed-stride frame sampling (the video-keyframe shape): payload
+    // cut into byte windows, each fingerprinted, streamed out of a
+    // flatMap without materializing a per-doc frame list
+    "x_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s,
+        Multimodal.attachPayload(Tables.scan(s, dir, "documents"),
+          "doc_id", "text"), "doc_id", MM_FRAME_BYTES).toDF()),
 
     // ---- corpus curation ----
     // benchmark decontamination: training docs sharing a distinct
@@ -1378,6 +1397,25 @@ object Extensions {
           "CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 960 AS INTEGER) AS width, " +
           "CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 960 AS INTEGER) AS height " +
           "FROM documents"),
+      // replays the md5-derived stub feature math (4 hex chars per
+      // dim → [-1,1) on an exact 1e-3 grid); dim cast to INTEGER to
+      // match Spark's int
+      "x_multimodal_features" ->
+        ("WITH h AS (SELECT doc_id, md5(text) AS hex FROM documents) " +
+          "SELECT doc_id, CAST(d AS INTEGER) AS dim, " +
+          "(CAST('0x' || substr(hex, CAST(4*d+1 AS BIGINT), 4) AS BIGINT) % 2000 - 1000) / 1000.0 AS feat " +
+          s"FROM h, unnest(range(0, $MM_FEAT_DIMS)) AS u(d)"),
+      // VARCHAR slicing here equals the Spark side's byte slicing
+      // because the fixture text is pure ASCII (octet_length = length
+      // on every row at every SF — asserted in ExtensionsSpec); empty
+      // payloads still emit one zero-length frame on both sides
+      "x_multimodal_frames" ->
+        ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents) " +
+          "SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, " +
+          s"CAST(least($MM_FRAME_BYTES, n - f*$MM_FRAME_BYTES) AS INTEGER) AS frame_len, " +
+          s"md5(substring(text, CAST(f*$MM_FRAME_BYTES+1 AS BIGINT), $MM_FRAME_BYTES)) AS frame_md5 " +
+          "FROM d, unnest(range(0, greatest(1, " +
+          s"CAST(ceil(n/$MM_FRAME_BYTES.0) AS BIGINT)))) AS u(f)"),
       "x_decontaminate" -> deconSql,
       // the Bloom variant is result-identical by construction (no
       // false negatives + exact confirm join) — same oracle

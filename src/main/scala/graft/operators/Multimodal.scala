@@ -54,6 +54,67 @@ object Multimodal {
       }
   }
 
+  /** One dimension of a decoded feature vector (long form: the shape
+    * that feeds the [[Similarity]] stack without nested arrays). */
+  final case class MediaFeature(doc_id: Long, dim: Int, feat: Double)
+
+  /** A sampled "frame": a fixed-size byte window of the payload with
+    * its fingerprint — the video-frame-sampling seam. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame_len: Int,
+                              frame_md5: String)
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** STUB feature extraction — the CNN-forward-pass stand-in: a
+    * `dims`-dimensional vector carved deterministically from the
+    * payload md5 (each dim from 4 hex chars → [-1.0, 1.0) on a 1e-3
+    * grid, so every value is exact in both engines). Runs through the
+    * same mapPartitions seam as [[decode]] — per-partition model init
+    * goes where the comment sits. dims ≤ 8 (md5 is 32 hex chars). */
+  def featurize(spark: SparkSession, payloads: DataFrame, idCol: String,
+                dims: Int = 8): Dataset[MediaFeature] = {
+    require(dims >= 1 && dims <= 8, s"dims must be in [1,8], got $dims")
+    import spark.implicits._
+    payloads.select(F.col(idCol).cast("long"), F.col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real extractor: load the model once per partition here
+        it.flatMap { case (id, bytes) =>
+          val hex = md5hex(bytes)
+          (0 until dims).map { i =>
+            val v = java.lang.Long.parseLong(hex.substring(4 * i, 4 * i + 4), 16)
+            MediaFeature(id, i, (v % 2000L - 1000L) / 1000.0)
+          }
+        }
+      }
+  }
+
+  /** Fixed-stride frame sampling: the payload is cut into
+    * `frameBytes`-byte windows, each fingerprinted — the shape of a
+    * video keyframe-sampling stage (decode would replace the md5).
+    * Streaming flatMap: no frame list is ever materialized per doc,
+    * so a 2 GB payload row emits frames incrementally. */
+  def sampleFrames(spark: SparkSession, payloads: DataFrame, idCol: String,
+                   frameBytes: Int = 256): Dataset[MediaFrame] = {
+    require(frameBytes >= 1, s"frameBytes must be positive, got $frameBytes")
+    import spark.implicits._
+    payloads.select(F.col(idCol).cast("long"), F.col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          (0 until math.max(1, (bytes.length + frameBytes - 1) / frameBytes))
+            .iterator.map { f =>
+              val from = f * frameBytes
+              val frame = java.util.Arrays.copyOfRange(bytes, from,
+                math.min(bytes.length, from + frameBytes))
+              MediaFrame(id, f, frame.length, md5hex(frame))
+            }
+        }
+      }
+  }
+
   /** Pure-Column twin of the decode metadata (oracle-portable): the
     * md5/length/dimension math expressed as SQL functions — used to
     * cross-check the mapPartitions path and for the DuckDB oracle. */

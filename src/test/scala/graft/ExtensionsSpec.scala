@@ -359,4 +359,30 @@ class ExtensionsSpec extends SparkSpec {
         r.getInt(3), r.getInt(4))).toSet
     assert(viaDs == viaCols)
   }
+
+  test("x_multimodal_frames oracle precondition: fixture text is pure ASCII") {
+    // the DuckDB twin slices VARCHAR by chars while Spark slices the
+    // payload by bytes — only equivalent while octet_length == length
+    // on every row; fail HERE (not as a silent oracle mismatch) if a
+    // future fixture adds multi-byte text
+    val nonAscii = docs
+      .filter(F.octet_length(F.col("text")) =!= F.length(F.col("text")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents have multi-byte text; byte-vs-char slicing diverges")
+  }
+
+  test("multimodal frame sampling covers every payload byte exactly once") {
+    val frames = Multimodal.sampleFrames(spark,
+      Multimodal.attachPayload(docs, "doc_id", "text"), "doc_id", 256)
+    val perDoc = frames.groupBy("doc_id")
+      .agg(F.sum("frame_len").as("bytes"), F.count(F.lit(1)).as("n_frames"),
+        F.max("frame_idx").as("max_idx"))
+    val joined = perDoc.join(
+      docs.select(F.col("doc_id"), F.octet_length(F.col("text")).as("len")),
+      "doc_id")
+    // total frame bytes == payload bytes, indices are 0..n-1 dense
+    assert(joined.filter(F.col("bytes") =!= F.col("len")).count() == 0)
+    assert(joined.filter(F.col("max_idx") =!= F.col("n_frames") - 1).count() == 0)
+  }
 }
