@@ -81,6 +81,7 @@ object Extensions {
   private val VOCAB_K = 500 // fixed vocab size for coverage report
   private val MM_FEAT_DIMS = 8 // md5-derived stub feature width (max 8)
   private val MM_FRAME_BYTES = 256 // frame-sampling window (bytes)
+  private val HIST_WIDTH = 50 // histogram bucket width (value units)
   private val EMB_DIM = 64 // fixture embedding width (oracle range)
   private val SPLIT_TRAIN = 80 // stratified split: first 80 hash buckets
   private val SPLIT_VAL = 10 // next 10 buckets → val; remainder → test
@@ -572,6 +573,29 @@ object Extensions {
           .select("user_id", "ts", "value"),
         "user_id", "ts", "value", prefix = "purchase")
     }),
+
+    // SCD2 dimension versioning: each user's purchases become validity
+    // intervals (valid_from/valid_to/version/is_current) — the
+    // dimension-history builder; one keyed window pass, size-preserving
+    "x_scd2" -> ((s, dir) =>
+      Temporal.scd2(
+        Tables.scan(s, dir, "events")
+          .filter(F.col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id")),
+
+    // fixed-width value histogram per event type — the distribution
+    // dashboard. Bucketing is floor(value/width): one exact IEEE
+    // division of the same 2-dp double on both engines, so boundary
+    // values land identically; map-side-combinable single pass
+    "x_histogram" -> ((s, dir) =>
+      Tables.scan(s, dir, "events")
+        .withColumn("bucket", F.floor(F.col("value") / HIST_WIDTH).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)").as("sum_value"))
+        .withColumn("bucket_lo", (F.col("bucket") * HIST_WIDTH).cast("double"))),
 
     // bucketed range join: clicks within ±5 min of each error event,
     // per user (zero-neighbor errors included)
@@ -1462,6 +1486,20 @@ object Extensions {
           "FROM events c JOIN events p ON c.event_type = 'click' " +
           "AND p.event_type = 'purchase' AND p.user_id = c.user_id " +
           "AND p.ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts"),
+      "x_scd2" ->
+        ("SELECT event_id, user_id, ts, value, ts AS valid_from, " +
+          "lead(ts) OVER w AS valid_to, " +
+          "CAST(row_number() OVER w AS BIGINT) AS version, " +
+          "(lead(ts) OVER w IS NULL) AS is_current " +
+          "FROM events WHERE event_type = 'purchase' " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+      "x_histogram" ->
+        ("SELECT event_type, bucket, count(*) AS n, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value, " +
+          s"CAST(bucket * $HIST_WIDTH AS DOUBLE) AS bucket_lo " +
+          "FROM (SELECT event_type, value, " +
+          s"CAST(floor(value / $HIST_WIDTH) AS BIGINT) AS bucket FROM events) " +
+          "GROUP BY event_type, bucket"),
       "x_asof_join" ->
         ("WITH p AS (SELECT user_id, ts, max(value) AS pv FROM events " +
           "WHERE event_type = 'purchase' GROUP BY user_id, ts), " +

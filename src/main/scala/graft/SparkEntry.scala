@@ -235,6 +235,17 @@ object SparkEntry {
     "sql_tpch_q10" -> ((s, dir) => {
       graft.api.Graft(s, dir).enableSql(persistent = true)
       s.sql(tpchQ10Sql)
+    }),
+    "sql_tpch_q18" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql(persistent = true)
+      s.sql(tpchQ18Sql)
+    }),
+    // correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + join (no per-row re-execution); the dialect-shared
+    // text runs verbatim on both engines
+    "sql_correlated" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql(persistent = true)
+      s.sql(correlatedSql)
     })
   ) ++ Extensions.queries
 
@@ -278,6 +289,24 @@ object SparkEntry {
       "AND l_returnflag = 'R' " +
       "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
       "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+  // Q18 large-volume orders: IN-subquery with a HAVING aggregate —
+  // the decorrelated-subquery join shape. sum(l_quantity) stays double
+  // because quantities are integers (the sum is exact in either engine)
+  private val tpchQ18Sql: String =
+    "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, " +
+      "sum(l_quantity) AS sum_qty " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+      "GROUP BY l_orderkey HAVING sum(l_quantity) > 150) " +
+      "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
+      "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+  private val correlatedSql: String =
+    "SELECT c_custkey, c_name, " +
+      "(SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders " +
+      "FROM customer " +
+      "WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 12 " +
+      "ORDER BY c_custkey ASC"
   private val tpchQ3Sql: String =
     s"SELECT l_orderkey, o_orderdate, $revenueSql " +
       "FROM customer JOIN orders ON c_custkey = o_custkey " +
@@ -439,6 +468,8 @@ object SparkEntry {
     "sql_tpch_q3" -> tpchQ3Sql,
     "sql_tpch_q5" -> tpchQ5Sql,
     "sql_tpch_q1" -> tpchQ1Sql,
-    "sql_tpch_q10" -> tpchQ10Sql
+    "sql_tpch_q10" -> tpchQ10Sql,
+    "sql_tpch_q18" -> tpchQ18Sql,
+    "sql_correlated" -> correlatedSql
   ) ++ Extensions.oracleSql
 }

@@ -104,4 +104,23 @@ object Temporal {
       .withColumn("n_nearby", F.coalesce(F.col("__n"), F.lit(0L)))
       .drop("__n")
   }
+
+  /** Slowly-changing-dimension (type 2) versioning: each key's change
+    * events become validity intervals — `valid_from` = the event's
+    * timestamp, `valid_to` = the NEXT event's (NULL while current),
+    * plus a dense `version` ordinal. One window pass per key (single
+    * shuffle on the key); the tie-breaker column keeps interval edges
+    * deterministic when two changes share a timestamp. At 100 TB this
+    * is the dimension-history builder: partitioned by key, nothing
+    * driver-side, output size = input size. */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+           tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(tsCol, tieCol)
+    changes
+      .withColumn("valid_from", F.col(tsCol))
+      .withColumn("valid_to", F.lead(tsCol, 1).over(w))
+      .withColumn("version", F.row_number().over(w).cast("long"))
+      .withColumn("is_current", F.col("valid_to").isNull)
+  }
 }
