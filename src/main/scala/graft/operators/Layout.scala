@@ -51,6 +51,29 @@ object Layout {
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(out)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(totalBytes / targetFileBytes)` files. The small-files
+    * problem is THE operational tax of long-running ingest at scale —
+    * every micro-batch/append leaves files far below the HDFS/object-
+    * store sweet spot, and scan planning cost grows with file count,
+    * not data size. Sizing from the actual on-disk bytes (not a row
+    * estimate) keeps output files near the target regardless of
+    * schema width; the rewrite is one round-robin repartition (no
+    * key shuffle semantics to preserve — compaction is layout-only).
+    * Returns the file count written. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** Morton (Z-order) interleave of two non-negative integer keys,
     * `bits` low bits each, as one long: bit `i` of `a` lands at
     * position `2i+1`, bit `i` of `b` at `2i`. Pure codegen'd

@@ -118,6 +118,26 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zOut).count() == events.count())
   }
 
+  test("compaction rewrites a many-small-files layout to the sized file count") {
+    val fragmented = scratch("events_fragmented")
+    val compacted = scratch("events_compacted")
+    val events = Tables.scan(spark, sf, "events")
+    // simulate micro-batch debris: 32 files for a tiny table
+    events.repartition(32).write.mode("overwrite").parquet(fragmented)
+    def parquetFiles(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(fragmented).length == 32)
+
+    val target = 256L * 1024
+    val n = Layout.compact(spark, fragmented, compacted, target)
+    val outFiles = parquetFiles(compacted)
+    // sized from real bytes: file count matches the returned plan and
+    // is far below the fragment count; nothing lost in the rewrite
+    assert(outFiles.length == n, s"wrote ${outFiles.length} files, planned $n")
+    assert(n < 32 / 2, s"compaction barely helped: $n files")
+    assert(spark.read.parquet(compacted).count() == events.count())
+  }
+
   test("writeDatePartitioned rejects an input that already has event_date") {
     val events = Tables.scan(spark, sf, "events")
       .withColumn("event_date", F.lit("x"))
