@@ -240,6 +240,14 @@ object SparkEntry {
       graft.api.Graft(s, dir).enableSql(persistent = true)
       s.sql(tpchQ18Sql)
     }),
+    "sql_tpch_q6" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql(persistent = true)
+      s.sql(tpchQ6Sql)
+    }),
+    "sql_tpch_q14" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql(persistent = true)
+      s.sql(tpchQ14Sql)
+    }),
     // correlated scalar subquery — Catalyst decorrelates it into an
     // aggregate + join (no per-row re-execution); the dialect-shared
     // text runs verbatim on both engines
@@ -301,6 +309,33 @@ object SparkEntry {
       "GROUP BY l_orderkey HAVING sum(l_quantity) > 150) " +
       "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
       "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+  // Q6 forecasting revenue change: pure scan-side filter + one global
+  // decimal sum — the pushdown showcase (every predicate reaches the
+  // parquet reader). Double BETWEENs compare identical binary values
+  // on both engines; the revenue product stays decimal end-to-end
+  private val tpchQ6Sql: String =
+    "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue " +
+      "FROM lineitem " +
+      "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+      "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+  // Q14 promo revenue share (fixture p_type is the literal category
+  // 'PROMO'): decimal sums, percentage as one double division over
+  // identical exact operands
+  private val tpchQ14Sql: String =
+    "WITH m AS (SELECT " +
+      "sum(CASE WHEN p_type = 'PROMO' THEN " +
+      "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) " +
+      "ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo, " +
+      "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00') " +
+      "SELECT CAST(promo AS DECIMAL(18,4)) AS promo_revenue, " +
+      "CAST(total AS DECIMAL(18,4)) AS total_revenue, " +
+      "100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_pct " +
+      "FROM m"
   private val correlatedSql: String =
     "SELECT c_custkey, c_name, " +
       "(SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders " +
@@ -470,6 +505,8 @@ object SparkEntry {
     "sql_tpch_q1" -> tpchQ1Sql,
     "sql_tpch_q10" -> tpchQ10Sql,
     "sql_tpch_q18" -> tpchQ18Sql,
+    "sql_tpch_q6" -> tpchQ6Sql,
+    "sql_tpch_q14" -> tpchQ14Sql,
     "sql_correlated" -> correlatedSql
   ) ++ Extensions.oracleSql
 }

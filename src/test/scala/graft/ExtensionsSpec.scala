@@ -360,6 +360,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaDs == viaCols)
   }
 
+  test("scd2 intervals tile each key's timeline exactly") {
+    val changes = Tables.scan(spark, sf, "events")
+      .filter(F.col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val hist = graft.operators.Temporal.scd2(changes, "user_id", "ts", "event_id")
+    // versions are dense from 1; each interval's valid_to equals the
+    // NEXT version's valid_from (no gaps, no overlaps); exactly one
+    // open (is_current) interval per key; size-preserving
+    assert(hist.count() == changes.count())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version")
+    val bad = hist
+      .withColumn("next_from", F.lead("valid_from", 1).over(w))
+      .withColumn("next_ver", F.lead("version", 1).over(w))
+      .filter(
+        (F.col("next_ver").isNotNull &&
+          (F.col("next_ver") =!= F.col("version") + 1 ||
+           F.col("valid_to") =!= F.col("next_from"))) ||
+        (F.col("next_ver").isNull &&
+          (!F.col("is_current") || F.col("valid_to").isNotNull)))
+      .count()
+    assert(bad == 0, s"$bad SCD2 rows break the tiling invariant")
+    val multiCurrent = hist.filter(F.col("is_current"))
+      .groupBy("user_id").count().filter(F.col("count") =!= 1).count()
+    assert(multiCurrent == 0, "a key has more than one current version")
+  }
+
   test("x_multimodal_frames oracle precondition: fixture text is pure ASCII") {
     // the DuckDB twin slices VARCHAR by chars while Spark slices the
     // payload by bytes — only equivalent while octet_length == length
