@@ -19,6 +19,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("GreaterThan(o_totalprice"), "price filter not pushed")
   }
 
+  test("sql_tpch_q6 pushes every predicate through the catalog to the scan") {
+    // Q6's scale claim: no row survives past the reader that the
+    // filter would drop — date bounds, discount band, and quantity
+    // cap all land in PushedFilters even when the table is resolved
+    // through the persistent catalog rather than a DataFrame scan
+    // the default 100-char metadata cap truncates Q6's filter list
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan = try planOf("sql_tpch_q6")
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert(plan.contains("PushedFilters: ["), plan.take(500))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), "shipdate lower bound not pushed")
+    assert(plan.contains("LessThan(l_shipdate"), "shipdate upper bound not pushed")
+    assert(plan.contains("GreaterThanOrEqual(l_discount"), "discount band not pushed")
+    assert(plan.contains("LessThan(l_quantity"), "quantity cap not pushed")
+    // the scan reads only the four columns the query touches
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"),
+      s"scan reads columns Q6 never uses: $read")
+  }
+
   test("aggregation prunes columns at the scan (a3)") {
     val plan = planOf("a3_group_agg")
     assert(!plan.contains("l_shipdate"), "scan reads columns the agg never uses")
