@@ -73,11 +73,28 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     val store = s"${td.storageName}_store"
     // a temp view with the model's name would shadow the catalog view
     spark.catalog.dropTempView(t)
+    // fast path: the store already exists AND serves this sfDir's
+    // files — registration is idempotent, skip the drop/recreate
+    // round-trip (repeated enableSql calls — one per SQL query in a
+    // batch run — would otherwise pay catalog DDL per query)
+    val expectedLoc = Tables.path(sfDir, td.storageName)
+    val current =
+      if (!spark.catalog.tableExists(store)) None
+      else scala.util.Try(
+        spark.sql(s"DESCRIBE TABLE EXTENDED $store")
+          .filter(F.col("col_name") === "Location")
+          .select("data_type").collect().headOption.map(_.getString(0))
+      ).toOption.flatten
+    val upToDate = current.exists(loc =>
+      loc.stripPrefix("file:") == new java.io.File(expectedLoc).getAbsolutePath)
+    if (upToDate && spark.catalog.tableExists(t)) return
     // external table over the storage files, shared by every model on
     // the same storage (customer_profile reuses customer's). Recreate
     // if it exists: it may point at another sfDir's files.
-    spark.sql(s"DROP TABLE IF EXISTS $store")
-    spark.catalog.createTable(store, Tables.path(sfDir, td.storageName), "parquet")
+    if (!upToDate) {
+      spark.sql(s"DROP TABLE IF EXISTS $store")
+      spark.catalog.createTable(store, expectedLoc, "parquet")
+    }
     // render the declared projection to SQL text by ANALYZING it
     // against the store table first — resolved NamedExpression.sql is
     // the supported SQL rendering (Column-node toString is not)
