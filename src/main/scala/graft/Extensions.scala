@@ -480,6 +480,11 @@ object Extensions {
       EventWindows.streamingSlidingHourly(s, dir)),
     "x_stream_session" -> ((s, dir) =>
       EventWindows.streamingSessions(s, dir, "10 minutes")),
+    // stream-static enrichment join: stream side vs a STATIC dim —
+    // no join state on either side (the missing member of the
+    // streaming-join matrix next to the stream-stream interval join)
+    "x_stream_enrich" -> ((s, dir) =>
+      EventWindows.streamingEnrich(s, dir)),
     // production-emission twin: append mode, sessions emitted once
     // when the watermark closes them; stream-tail sessions stay open
     // by design and the oracle excludes exactly those
@@ -1382,6 +1387,13 @@ object Extensions {
           "WHERE make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) " +
           "+ INTERVAL 1 HOUR <= wm.w " +
           "GROUP BY 1, 2"),
+      // the oracle is the equivalent batch join — stream-static joins
+      // are exactly-once over a finite fixture
+      "x_stream_enrich" ->
+        ("SELECT c_mktsegment, count(*) AS n_purchases, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value " +
+          "FROM events JOIN customer ON user_id = c_custkey " +
+          "WHERE event_type = 'purchase' GROUP BY 1"),
       "x_stream_tumbling" ->
         ("SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
           "event_type, count(*) AS n, sum(value) AS sum_value FROM events " +

@@ -195,6 +195,26 @@ object EventWindows {
     runToTable(joined, queryName, mode = "append")
   }
 
+  /** Stream-static enrichment: the streaming events feed joined to a
+    * STATIC dimension table (customer) — the canonical "enrich the
+    * firehose with reference data" shape. Unlike a stream-stream
+    * join, the static side holds NO streaming state: Spark re-plans
+    * it per micro-batch (broadcast for a declared dim), so state size
+    * is exactly the aggregation's, independent of dim size or stream
+    * length. Sums in decimal for cross-engine exactness. */
+  def streamingEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.sources.Tables.scan(spark, sfDir, "customer")
+      .select(F.col("c_custkey").as("user_id"), F.col("c_mktsegment"))
+    val enriched = eventsStream(spark, sfDir)
+      .filter(F.col("event_type") === "purchase")
+      .join(dim, Seq("user_id")) // static side: no join state
+      .groupBy("c_mktsegment")
+      .agg(F.count(F.lit(1)).as("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("sum_value"))
+    runToTable(enriched, "graft_stream_enrich")
+  }
+
   /** Watermarked event stream shared by the streaming twins: parquet
     * file stream of the events table (explicit physical schema —
     * int64 nano ts, see Tables.scan), ns→µs conversion, 10-minute
