@@ -589,6 +589,35 @@ object Extensions {
           .select("event_id", "user_id", "ts", "value"),
         "user_id", "ts", "event_id")),
 
+    // unpivot/melt — the inverse reshaping of a6's pivot: the wide
+    // per-status quantity columns fold back into (status, value)
+    // rows. Pure metadata reshaping (an Expand node): no shuffle
+    // beyond the pivot's own aggregation
+    "o9_unpivot" -> ((s, dir) => {
+      val wide = Tables.scan(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(F.sum("l_quantity"))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+      wide.unpivot(Array(F.col("l_returnflag")),
+        Array(F.col("qty_f"), F.col("qty_o")), "status_col", "sum_qty")
+    }),
+
+    // semi-structured extraction: the events' JSON props payload is
+    // parsed in-plan (get_json_object is codegen'd — no UDF, no
+    // driver round-trip) and aggregated like any typed column; the
+    // events-pipeline table-stakes for schema-on-read payloads
+    "x_json_extract" -> ((s, dir) =>
+      Tables.scan(s, dir, "events")
+        .withColumn("k",
+          F.get_json_object(F.col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.count(F.col("k")).as("n_k"),
+          F.sum("k").as("sum_k"),
+          F.min("k").as("min_k"), F.max("k").as("max_k"),
+          F.countDistinct("k").as("distinct_k"))),
+
     // fixed-width value histogram per event type — the distribution
     // dashboard. Bucketing is floor(value/width): one exact IEEE
     // division of the same 2-dp double on both engines, so boundary
@@ -1505,6 +1534,26 @@ object Extensions {
           "(lead(ts) OVER w IS NULL) AS is_current " +
           "FROM events WHERE event_type = 'purchase' " +
           "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+      // UNION ALL is the dialect-portable melt (Spark's unpivot KEEPS
+      // null cells, so no null filter on either side)
+      "o9_unpivot" ->
+        ("WITH w AS (SELECT l_returnflag, " +
+          "sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f, " +
+          "sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o " +
+          "FROM lineitem GROUP BY 1) " +
+          "SELECT l_returnflag, 'qty_f' AS status_col, qty_f AS sum_qty FROM w " +
+          "UNION ALL " +
+          "SELECT l_returnflag, 'qty_o' AS status_col, qty_o AS sum_qty FROM w"),
+      // ->> extracts the raw string, cast mirrors Spark's long cast;
+      // sums cast back to BIGINT (DuckDB sum(BIGINT) is HUGEINT)
+      "x_json_extract" ->
+        ("SELECT event_type, count(*) AS n, " +
+          "count(CAST(props->>'k' AS BIGINT)) AS n_k, " +
+          "CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, " +
+          "min(CAST(props->>'k' AS BIGINT)) AS min_k, " +
+          "max(CAST(props->>'k' AS BIGINT)) AS max_k, " +
+          "count(DISTINCT CAST(props->>'k' AS BIGINT)) AS distinct_k " +
+          "FROM events GROUP BY 1"),
       "x_histogram" ->
         ("SELECT event_type, bucket, count(*) AS n, " +
           "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value, " +
