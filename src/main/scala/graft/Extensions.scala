@@ -589,6 +589,46 @@ object Extensions {
           .select("event_id", "user_id", "ts", "value"),
         "user_id", "ts", "event_id")),
 
+    // calendar-spine gap fill: a generated date spine × the observed
+    // event types, left-joined to daily counts so silent days appear
+    // as explicit zeros — the "no data IS data" contract every
+    // monitoring/training-freshness pipeline needs. The spine is
+    // sequence+explode (no driver loop); counts aggregate before the
+    // join so the spine join is rows = days × types, not events
+    "x_gap_fill" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+      val daily = ev.groupBy(F.to_date(F.col("ts")).as("day"),
+          F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n_raw"))
+      val spine = s.range(1)
+        .select(F.explode(F.sequence(
+          F.lit("2024-01-01").cast("date"),
+          F.lit("2024-01-30").cast("date"))).as("day"))
+        .crossJoin(ev.select("event_type").distinct())
+      spine.join(daily, Seq("day", "event_type"), "left")
+        .select(F.col("day"), F.col("event_type"),
+          F.coalesce(F.col("n_raw"), F.lit(0L)).as("n"))
+    }),
+
+    // cohort retention: users bucketed by first-activity week, then
+    // counted per (cohort, week-offset) — the standard retention
+    // triangle. Two grouped passes (first-touch, distinct activity)
+    // and one join; every output is an integer count, so the result
+    // is engine-exact by construction
+    "x_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+        .select(F.col("user_id"),
+          F.floor(F.datediff(F.to_date(F.col("ts")),
+            F.lit("2024-01-01").cast("date")) / 7).cast("long").as("week"))
+      val cohorts = ev.groupBy("user_id")
+        .agg(F.min("week").as("cohort_week"))
+      val active = ev.distinct()
+      active.join(cohorts, "user_id")
+        .groupBy(F.col("cohort_week"),
+          (F.col("week") - F.col("cohort_week")).as("week_offset"))
+        .agg(F.countDistinct("user_id").as("n_users"))
+    }),
+
     // unpivot/melt — the inverse reshaping of a6's pivot: the wide
     // per-status quantity columns fold back into (status, value)
     // rows. Pure metadata reshaping (an Expand node): no shuffle
@@ -1534,6 +1574,26 @@ object Extensions {
           "(lead(ts) OVER w IS NULL) AS is_current " +
           "FROM events WHERE event_type = 'purchase' " +
           "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+      // generate_series is DuckDB's spine; the left join + coalesce 0
+      // mirrors the Spark side exactly
+      "x_gap_fill" ->
+        ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, " +
+          "count(*) AS n_raw FROM events GROUP BY 1, 2), " +
+          "spine AS (SELECT unnest(generate_series(DATE '2024-01-01', " +
+          "DATE '2024-01-30', INTERVAL 1 DAY))::DATE AS day), " +
+          "types AS (SELECT DISTINCT event_type FROM events) " +
+          "SELECT s.day, t.event_type, " +
+          "CAST(coalesce(d.n_raw, 0) AS BIGINT) AS n " +
+          "FROM spine s CROSS JOIN types t " +
+          "LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type"),
+      "x_cohort_retention" ->
+        ("WITH w AS (SELECT DISTINCT user_id, " +
+          "CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week " +
+          "FROM events), " +
+          "c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1) " +
+          "SELECT c.cohort_week, w.week - c.cohort_week AS week_offset, " +
+          "count(DISTINCT w.user_id) AS n_users " +
+          "FROM w JOIN c USING (user_id) GROUP BY 1, 2"),
       // UNION ALL is the dialect-portable melt (Spark's unpivot KEEPS
       // null cells, so no null filter on either side)
       "o9_unpivot" ->
