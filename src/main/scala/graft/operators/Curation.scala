@@ -52,9 +52,10 @@ object Curation {
       Seq(idCol), "left_anti")
 
   /** [[contaminated]] with a Bloom pre-filter (the 100 TB shape):
-    * the benchmark gram set is folded into a Bloom filter, broadcast
-    * inside the task closure, and applied MAP-SIDE over the training
-    * grams — the overwhelming majority of the corpus's grams (the
+    * the benchmark gram set is folded into a Bloom filter, shipped
+    * once per executor as an explicit broadcast variable, and applied
+    * MAP-SIDE over the training grams — the overwhelming majority of
+    * the corpus's grams (the
     * ones appearing in no benchmark doc) die before the shuffle, so
     * the exchange carries only probable hits instead of every gram
     * occurrence in the training corpus. Candidates that survive are
