@@ -589,6 +589,41 @@ object Extensions {
           .select("event_id", "user_id", "ts", "value"),
         "user_id", "ts", "event_id")),
 
+    // full-outer reconciliation: daily click vs purchase series
+    // joined FULL OUTER so days with only one side survive with
+    // explicit zeros — the two-feed consistency audit (the only join
+    // type the surface didn't yet grade)
+    "x_full_outer" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+      def daily(t: String, out: String) =
+        ev.filter(F.col("event_type") === t)
+          .groupBy(F.to_date(F.col("ts")).as("day"))
+          .agg(F.count(F.lit(1)).as(out))
+      daily("click", "n_clicks")
+        .join(daily("purchase", "n_purchases"), Seq("day"), "full_outer")
+        .select(F.col("day"),
+          F.coalesce(F.col("n_clicks"), F.lit(0L)).as("n_clicks"),
+          F.coalesce(F.col("n_purchases"), F.lit(0L)).as("n_purchases"))
+    }),
+
+    // value-based (RANGE) window frame: per-user trailing one-hour
+    // purchase total — the frame is defined by the ORDER-BY VALUE
+    // (event time), not a row count, so irregular event spacing is
+    // handled exactly. Ordered on epoch micros (integers) so both
+    // engines build identical frames; sums in decimal
+    "x_window_trailing" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.scan(s, dir, "events")
+        .filter(F.col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("trailing_1h",
+          F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+            .cast("decimal(18,6)"))
+    }),
+
     // calendar-spine gap fill: a generated date spine × the observed
     // event types, left-joined to daily counts so silent days appear
     // as explicit zeros — the "no data IS data" contract every
@@ -1574,6 +1609,25 @@ object Extensions {
           "(lead(ts) OVER w IS NULL) AS is_current " +
           "FROM events WHERE event_type = 'purchase' " +
           "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+      "x_full_outer" ->
+        ("WITH c AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks " +
+          "FROM events WHERE event_type = 'click' GROUP BY 1), " +
+          "p AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases " +
+          "FROM events WHERE event_type = 'purchase' GROUP BY 1) " +
+          "SELECT coalesce(c.day, p.day) AS day, " +
+          "CAST(coalesce(n_clicks, 0) AS BIGINT) AS n_clicks, " +
+          "CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases " +
+          "FROM c FULL JOIN p ON c.day = p.day"),
+      // epoch-micros ORDER BY gives both engines identical integer
+      // frame bounds; RANGE peers (equal timestamps) are included on
+      // both sides per the SQL standard
+      "x_window_trailing" ->
+        ("SELECT event_id, user_id, ts, value, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (" +
+          "PARTITION BY user_id ORDER BY epoch_us(ts) " +
+          "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+          "AS DECIMAL(18,6)) AS trailing_1h " +
+          "FROM events WHERE event_type = 'purchase'"),
       // generate_series is DuckDB's spine; the left join + coalesce 0
       // mirrors the Spark side exactly
       "x_gap_fill" ->
