@@ -589,6 +589,27 @@ object Extensions {
           .select("event_id", "user_id", "ts", "value"),
         "user_id", "ts", "event_id")),
 
+    // bag-semantics set algebra: EXCEPT ALL / INTERSECT ALL preserve
+    // multiplicity (a customer with 3 hi-spend orders and 1 finished
+    // order keeps 2 in the difference) — the multiset complement of
+    // o7's distinct set ops. Output canonicalized to per-key
+    // multiplicities so the rows are deterministic
+    "o10_bag_ops" -> ((s, dir) => {
+      val o = Tables.scan(s, dir, "orders")
+      val hi = o.filter(F.col("o_totalprice") > SETOPS_CUTOFF)
+        .select("o_custkey")
+      val fin = o.filter(F.col("o_orderstatus") === "F")
+        .select("o_custkey")
+      val ex = hi.exceptAll(fin).groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).as("except_mult"))
+      val in = hi.intersectAll(fin).groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).as("intersect_mult"))
+      ex.join(in, Seq("o_custkey"), "full_outer")
+        .select(F.col("o_custkey"),
+          F.coalesce(F.col("except_mult"), F.lit(0L)).as("except_mult"),
+          F.coalesce(F.col("intersect_mult"), F.lit(0L)).as("intersect_mult"))
+    }),
+
     // full-outer reconciliation: daily click vs purchase series
     // joined FULL OUTER so days with only one side survive with
     // explicit zeros — the two-feed consistency audit (the only join
@@ -1609,6 +1630,18 @@ object Extensions {
           "(lead(ts) OVER w IS NULL) AS is_current " +
           "FROM events WHERE event_type = 'purchase' " +
           "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+      "o10_bag_ops" ->
+        ("WITH hi AS (SELECT o_custkey FROM orders " +
+          s"WHERE o_totalprice > $SETOPS_CUTOFF), " +
+          "fin AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'), " +
+          "ex AS (SELECT o_custkey, count(*) AS except_mult FROM " +
+          "(SELECT * FROM hi EXCEPT ALL SELECT * FROM fin) GROUP BY 1), " +
+          "ia AS (SELECT o_custkey, count(*) AS intersect_mult FROM " +
+          "(SELECT * FROM hi INTERSECT ALL SELECT * FROM fin) GROUP BY 1) " +
+          "SELECT coalesce(ex.o_custkey, ia.o_custkey) AS o_custkey, " +
+          "CAST(coalesce(except_mult, 0) AS BIGINT) AS except_mult, " +
+          "CAST(coalesce(intersect_mult, 0) AS BIGINT) AS intersect_mult " +
+          "FROM ex FULL JOIN ia ON ex.o_custkey = ia.o_custkey"),
       "x_full_outer" ->
         ("WITH c AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks " +
           "FROM events WHERE event_type = 'click' GROUP BY 1), " +

@@ -1,0 +1,64 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.{functions => F}
+
+/** Cross-query conservation laws: aggregates that must reconcile with
+  * the raw tables no matter how constants or fixtures drift. These
+  * catch the silent failure mode oracle comparison can't — both
+  * engines agreeing on a query that no longer measures what its name
+  * claims (a filter constant gone stale, a spine that stopped
+  * covering the data). */
+class ConsistencySpec extends SparkSpec {
+
+  private lazy val events = Tables.scan(spark, sf, "events")
+
+  test("x_histogram buckets conserve the total event count and value mass") {
+    val h = SparkEntry.queries("x_histogram")(spark, sf)
+    val n = h.agg(F.sum("n")).head().getLong(0)
+    assert(n == events.count(), "histogram drops or double-counts rows")
+    val mass = h.agg(F.sum("sum_value")).head().getDecimal(0)
+    val raw = events.agg(F.sum(F.col("value").cast("decimal(18,6)")))
+      .head().getDecimal(0)
+    assert(mass.compareTo(raw) == 0, s"value mass drifted: $mass vs $raw")
+  }
+
+  test("x_gap_fill covers every (day, type) cell and conserves the event count") {
+    val g = SparkEntry.queries("x_gap_fill")(spark, sf)
+    val nTypes = events.select("event_type").distinct().count()
+    assert(g.count() == 30 * nTypes, "spine no longer covers days x types")
+    assert(g.agg(F.sum("n")).head().getLong(0) == events.count(),
+      "gap-filled series loses events — the spine stopped covering the data range")
+  }
+
+  test("x_cohort_retention's offset-0 row set accounts for every user exactly once") {
+    val r = SparkEntry.queries("x_cohort_retention")(spark, sf)
+    val atZero = r.filter(F.col("week_offset") === 0)
+      .agg(F.sum("n_users")).head().getLong(0)
+    val users = events.select("user_id").distinct().count()
+    assert(atZero == users,
+      s"cohort triangle base $atZero != $users distinct users")
+  }
+
+  test("x_full_outer conserves both feeds' totals") {
+    val f = SparkEntry.queries("x_full_outer")(spark, sf)
+    val (c, p) = (f.agg(F.sum("n_clicks")).head().getLong(0),
+      f.agg(F.sum("n_purchases")).head().getLong(0))
+    assert(c == events.filter(F.col("event_type") === "click").count())
+    assert(p == events.filter(F.col("event_type") === "purchase").count())
+  }
+
+  test("x_vocab_coverage is a valid occurrence ratio on every source") {
+    val v = SparkEntry.queries("x_vocab_coverage")(spark, sf)
+    val bad = v.filter(F.col("n_in_vocab") > F.col("n_tokens") ||
+      F.col("coverage") < 0 || F.col("coverage") > 1).count()
+    assert(bad == 0, "coverage outside [0,1] or in-vocab exceeds total")
+  }
+
+  test("x_scd2 and x_window_running agree on the purchase row universe") {
+    val scd = SparkEntry.queries("x_scd2")(spark, sf).select("event_id")
+    val run = SparkEntry.queries("x_window_running")(spark, sf).select("event_id")
+    assert(scd.exceptAll(run).count() == 0 && run.exceptAll(scd).count() == 0,
+      "the two purchase-derived queries disagree on which rows exist")
+  }
+}
