@@ -254,6 +254,26 @@ object SparkEntry {
     "sql_correlated" -> ((s, dir) => {
       graft.api.Graft(s, dir).enableSql(persistent = true)
       s.sql(correlatedSql)
+    }),
+    "sql_tpch_q7" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql(persistent = true)
+      s.sql(tpchQ7Sql)
+    }),
+    "sql_tpch_q8" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql(persistent = true)
+      s.sql(tpchQ8Sql)
+    }),
+    "sql_tpch_q13" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql(persistent = true)
+      s.sql(tpchQ13Sql)
+    }),
+    "sql_tpch_q15" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql(persistent = true)
+      s.sql(tpchQ15Sql)
+    }),
+    "sql_tpch_q17" -> ((s, dir) => {
+      graft.api.Graft(s, dir).enableSql(persistent = true)
+      s.sql(tpchQ17Sql)
     })
   ) ++ Extensions.queries
 
@@ -336,6 +356,81 @@ object SparkEntry {
       "CAST(total AS DECIMAL(18,4)) AS total_revenue, " +
       "100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_pct " +
       "FROM m"
+  // shared per-row decimal volume term (see tpchQ1Sql for why the
+  // factors are cast RAW and multiplied in decimal)
+  private val volExpr =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+  // Q7 volume shipping between a nation pair, both directions, by
+  // ship year (fixture nations are synthetic NATION_n; the pair is
+  // chosen so both sides have suppliers at every SF). year() cast to
+  // BIGINT: Spark's is int32, DuckDB's int64
+  private val tpchQ7Sql: String =
+    "SELECT supp_nation, cust_nation, l_year, " +
+      "CAST(sum(vol) AS DECIMAL(18,4)) AS revenue FROM (" +
+      "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+      "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+      s"$volExpr AS vol " +
+      "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN customer ON c_custkey = o_custkey " +
+      "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+      "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+      "WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8') " +
+      "OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')) " +
+      "GROUP BY supp_nation, cust_nation, l_year " +
+      "ORDER BY supp_nation, cust_nation, l_year"
+  // Q8 market share of NATION_3 suppliers in EUROPE customers' PROMO
+  // part orders, by order year: decimal sums, one double division
+  // over identical exact operands for the share
+  private val tpchQ8Sql: String =
+    "SELECT o_year, CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol " +
+      "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS nation_volume, " +
+      "CAST(sum(vol) AS DECIMAL(18,4)) AS total_volume, " +
+      "CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol " +
+      "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / " +
+      "CAST(sum(vol) AS DOUBLE) AS mkt_share FROM (" +
+      "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+      s"$volExpr AS vol, n2.n_name AS nation " +
+      "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+      "JOIN region ON n1.n_regionkey = r_regionkey " +
+      "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+      "WHERE r_name = 'EUROPE' AND p_type = 'PROMO') " +
+      "GROUP BY o_year ORDER BY o_year"
+  // Q13 customer order-count distribution: LEFT join keeps the
+  // zero-order customers (the distribution's head), double grouping
+  private val tpchQ13Sql: String =
+    "SELECT c_count, count(*) AS custdist FROM (" +
+      "SELECT c_custkey, count(o_orderkey) AS c_count " +
+      "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+      "GROUP BY c_custkey) " +
+      "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+  // Q15 top supplier(s) by quarterly revenue: the revenue CTE is
+  // decimal-exact, so the max-equality predicate is exact too (no
+  // float-compare hazard in the "ties all returned" contract)
+  private val tpchQ15Sql: String =
+    "WITH rev AS (SELECT l_suppkey AS supplier_no, " +
+      s"CAST(sum($volExpr) AS DECIMAL(18,4)) AS total_revenue " +
+      "FROM lineitem " +
+      "WHERE l_shipdate >= TIMESTAMP '1997-10-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1) " +
+      "SELECT s_suppkey, s_name, total_revenue " +
+      "FROM supplier JOIN rev ON s_suppkey = supplier_no " +
+      "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) " +
+      "ORDER BY s_suppkey"
+  // Q17 small-quantity-order revenue: correlated average per part
+  // (Catalyst decorrelates); the avg is sum-of-integer-valued-doubles
+  // over a count — deterministic on both engines — and the final
+  // division is one double op
+  private val tpchQ17Sql: String =
+    "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 " +
+      "AS avg_yearly FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE p_brand = 'Brand#1' AND l_quantity < (" +
+      "SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 " +
+      "WHERE l2.l_partkey = p_partkey)"
   private val correlatedSql: String =
     "SELECT c_custkey, c_name, " +
       "(SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders " +
@@ -507,6 +602,11 @@ object SparkEntry {
     "sql_tpch_q18" -> tpchQ18Sql,
     "sql_tpch_q6" -> tpchQ6Sql,
     "sql_tpch_q14" -> tpchQ14Sql,
+    "sql_tpch_q7" -> tpchQ7Sql,
+    "sql_tpch_q8" -> tpchQ8Sql,
+    "sql_tpch_q13" -> tpchQ13Sql,
+    "sql_tpch_q15" -> tpchQ15Sql,
+    "sql_tpch_q17" -> tpchQ17Sql,
     "sql_correlated" -> correlatedSql
   ) ++ Extensions.oracleSql
 }
