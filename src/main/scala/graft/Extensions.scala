@@ -589,6 +589,47 @@ object Extensions {
           .select("event_id", "user_id", "ts", "value"),
         "user_id", "ts", "event_id")),
 
+    // incremental aggregate refresh: a new ingest batch's partial
+    // aggregate MERGES into the standing daily aggregate instead of
+    // recomputing over the corpus — at 100 TB this is the difference
+    // between touching one batch and re-scanning history (counts and
+    // decimal sums are associative partials, so merged == full
+    // recompute EXACTLY; the oracle computes the full aggregate)
+    "x_incremental_agg" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+      def agg(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy(F.to_date(F.col("ts")).as("day"), F.col("event_type"))
+          .agg(F.count(F.lit(1)).as("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).as("sum_value"))
+      val standing = agg(ev.filter(F.col("event_id") % INCR_MOD =!= 0))
+      val batch = agg(ev.filter(F.col("event_id") % INCR_MOD === 0))
+      standing.unionByName(batch)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").as("n"),
+          F.sum("sum_value").cast("decimal(18,6)").as("sum_value"))
+    }),
+
+    // snapshot diff: two corpus versions reconciled by key +
+    // content fingerprint in ONE full-outer pass — the dataset-
+    // versioning audit (what was added / removed / kept between
+    // ingest rounds); only ids and 16-byte fingerprints shuffle
+    "x_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+        .select(F.col("doc_id"), F.md5(F.col("text")).as("fp"))
+      val v1 = docs.filter(F.col("doc_id") % 7 =!= 0)
+        .withColumnRenamed("fp", "fp1")
+      val v2 = docs.filter(F.col("doc_id") % 5 =!= 0)
+        .withColumnRenamed("fp", "fp2")
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          F.when(F.col("fp1").isNull, "added")
+            .when(F.col("fp2").isNull, "removed")
+            .when(F.col("fp1") =!= F.col("fp2"), "changed")
+            .otherwise("kept"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).as("n_docs"))
+    }),
+
     // bag-semantics set algebra: EXCEPT ALL / INTERSECT ALL preserve
     // multiplicity (a customer with 3 hi-spend orders and 1 finished
     // order keeps 2 in the difference) — the multiset complement of
@@ -1630,6 +1671,23 @@ object Extensions {
           "(lead(ts) OVER w IS NULL) AS is_current " +
           "FROM events WHERE event_type = 'purchase' " +
           "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+      // the merged incremental aggregate must equal the FULL
+      // recompute — so the oracle just aggregates everything
+      "x_incremental_agg" ->
+        ("SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value " +
+          "FROM events GROUP BY 1, 2"),
+      // the 'changed' branch is structurally present on both sides
+      // (fp inequality); the fixture's two snapshot views share text,
+      // so it is empty here by construction
+      "x_snapshot_diff" ->
+        ("WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents WHERE doc_id % 7 <> 0), " +
+          "v2 AS (SELECT doc_id, md5(text) AS fp2 FROM documents WHERE doc_id % 5 <> 0) " +
+          "SELECT CASE WHEN fp1 IS NULL THEN 'added' " +
+          "WHEN fp2 IS NULL THEN 'removed' " +
+          "WHEN fp1 <> fp2 THEN 'changed' ELSE 'kept' END AS status, " +
+          "count(*) AS n_docs " +
+          "FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id GROUP BY 1"),
       "o10_bag_ops" ->
         ("WITH hi AS (SELECT o_custkey FROM orders " +
           s"WHERE o_totalprice > $SETOPS_CUTOFF), " +
