@@ -182,24 +182,29 @@ object Extensions {
           F.sum("l_quantity").as("sum_qty"),
           F.count(F.lit(1)).as("n_rows"))),
 
-    // exact Pearson correlation via decimal co-moments: the per-row
-    // products are IEEE-identical double arithmetic on both engines,
-    // the SUMs (where accumulation order would diverge — Spark's
-    // native corr() merges streaming co-moments in partition order,
-    // so its value is not even run-stable) are DECIMAL-exact, and the
-    // final formula runs in double over identical operands → the
-    // result is bit-identical across engines. The shape is one
-    // map-side-combinable grouped pass; nothing is collected
+    // exact Pearson correlation via decimal co-moments: the RAW
+    // columns are cast to decimal first (value is exactly 2-dp, hour
+    // is a small integer — both recover bit-identically from the
+    // binary double in either engine), every product then runs in
+    // exact decimal arithmetic, the SUMs (where accumulation order
+    // would diverge — Spark's native corr() merges streaming
+    // co-moments in partition order, so its value is not even
+    // run-stable) are DECIMAL-exact, and the final formula runs in
+    // double over identical operands → the result is bit-identical
+    // across engines. Never cast a double PRODUCT to decimal: Spark
+    // rounds the exact BigDecimal of the binary double HALF_UP while
+    // DuckDB scales in float arithmetic, so the low digits diverge
+    // (the x_window_running / sum_charge hazard class). The shape is
+    // one map-side-combinable grouped pass; nothing is collected
     "x_stats_corr" -> ((s, dir) => {
-      val x = F.col("value")
-      val y = F.hour(F.col("ts")).cast("double")
-      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,10)")
+      val x = F.col("value").cast("decimal(18,6)")
+      val y = F.hour(F.col("ts")).cast("decimal(18,6)")
       val m = Tables.scan(s, dir, "events")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).as("n"),
-          F.sum(dec(x)).as("sx"), F.sum(dec(y)).as("sy"),
-          F.sum(dec(x * y)).as("sxy"),
-          F.sum(dec(x * x)).as("sxx"), F.sum(dec(y * y)).as("syy"))
+          F.sum(x).as("sx"), F.sum(y).as("sy"),
+          F.sum(x * y).as("sxy"),
+          F.sum(x * x).as("sxx"), F.sum(y * y).as("syy"))
       val (n, sx, sy, sxy, sxx, syy) = (F.col("n").cast("double"),
         F.col("sx").cast("double"), F.col("sy").cast("double"),
         F.col("sxy").cast("double"), F.col("sxx").cast("double"),
@@ -1295,11 +1300,11 @@ object Extensions {
       // mirrors the Spark side exactly (see queries map)
       "x_stats_corr" ->
         ("WITH m AS (SELECT event_type, count(*) AS n, " +
-          "sum(CAST(value AS DECIMAL(28,10))) AS sx, " +
-          "sum(CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,10))) AS sy, " +
-          "sum(CAST(value * CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,10))) AS sxy, " +
-          "sum(CAST(value * value AS DECIMAL(28,10))) AS sxx, " +
-          "sum(CAST(CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,10))) AS syy " +
+          "sum(CAST(value AS DECIMAL(18,6))) AS sx, " +
+          "sum(CAST(hour(ts) AS DECIMAL(18,6))) AS sy, " +
+          "sum(CAST(value AS DECIMAL(18,6)) * CAST(hour(ts) AS DECIMAL(18,6))) AS sxy, " +
+          "sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx, " +
+          "sum(CAST(hour(ts) AS DECIMAL(18,6)) * CAST(hour(ts) AS DECIMAL(18,6))) AS syy " +
           "FROM events GROUP BY 1) " +
           "SELECT event_type, n, " +
           "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
