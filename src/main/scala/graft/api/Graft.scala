@@ -71,12 +71,21 @@ final case class Graft(spark: SparkSession, sfDir: String) {
   private def registerPersistent(t: String): Unit = {
     val td = Catalog(t)
     val store = s"${td.storageName}_store"
+    // events.ts needs the nanos flag before any raw parquet read here
+    // (same rationale as Tables.scan; idempotent)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // a temp view with the model's name would shadow the catalog view
     spark.catalog.dropTempView(t)
     // fast path: the store already exists AND serves this sfDir's
     // files — registration is idempotent, skip the drop/recreate
     // round-trip (repeated enableSql calls — one per SQL query in a
-    // batch run — would otherwise pay catalog DDL per query)
+    // batch run — would otherwise pay catalog DDL per query). The
+    // location alone is not enough: with a persistent metastore the
+    // files at the same path may have been rewritten with a different
+    // schema since the table was created, and the catalog would keep
+    // serving the stale one — so the fast path also requires the
+    // catalog schema to equal the current footer schema (one
+    // driver-side footer read, far cheaper than the DDL round-trip)
     val expectedLoc = Tables.path(sfDir, td.storageName)
     val current =
       if (!spark.catalog.tableExists(store)) None
@@ -86,8 +95,16 @@ final case class Graft(spark: SparkSession, sfDir: String) {
           .select("data_type").collect().headOption.map(_.getString(0))
       ).toOption.flatten
     val upToDate = current.exists(loc =>
-      loc.stripPrefix("file:") == new java.io.File(expectedLoc).getAbsolutePath)
-    if (upToDate && spark.catalog.tableExists(t)) return
+      loc.stripPrefix("file:") == new java.io.File(expectedLoc).getAbsolutePath) &&
+      scala.util.Try(spark.table(store).schema ==
+        spark.read.parquet(expectedLoc).schema).getOrElse(false)
+    if (upToDate && spark.catalog.tableExists(t)) {
+      // same location, same on-disk schema: refresh the cached file
+      // listing (picks up appends at the same path) and keep the
+      // saved DDL round-trip
+      spark.catalog.refreshTable(store)
+      return
+    }
     // external table over the storage files, shared by every model on
     // the same storage (customer_profile reuses customer's). Recreate
     // if it exists: it may point at another sfDir's files.

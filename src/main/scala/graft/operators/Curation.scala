@@ -75,9 +75,9 @@ object Curation {
       d.select(F.col(idCol),
           F.explode(Text.distinctShingles(F.col(textCol), n)).as("g"))
         .filter(F.col("g") =!= "")
-    // cached: the benchmark gram set is consumed three times (sizing
-    // count, Bloom build, exact-confirm join) — without the persist
-    // each action would re-tokenize the benchmark side from scratch
+    // cached across the two EAGER consumers (sizing count, Bloom
+    // build) — without the persist each action would re-tokenize the
+    // benchmark side from scratch; released below once both have run
     val benchGrams = grams(df.filter(benchPred)).select("g").distinct().cache()
     // expectedNumItems: one pass over the (small) benchmark side to
     // size the filter; the count is cheap relative to mis-sizing it
@@ -88,6 +88,13 @@ object Curation {
     // MBs — per-task shipping would dominate at 1000 executors)
     val bloomBc = df.sparkSession.sparkContext
       .broadcast(benchGrams.stat.bloomFilter("g", nBench, fpp))
+    // both eager actions are done — release the cached blocks rather
+    // than leaking them for the session's lifetime. The exact-confirm
+    // join below recomputes the (small) benchmark gram set once,
+    // lazily, at execution time; the Bloom broadcast itself is
+    // released by Spark's ContextCleaner once the returned plan is
+    // garbage-collected
+    benchGrams.unpersist(false)
     val mightContain =
       F.udf((g: String) => g != null && bloomBc.value.mightContain(g))
     grams(df.filter(!benchPred))
@@ -99,27 +106,30 @@ object Curation {
 
   /** Per-source vocabulary coverage against the corpus's top-`k`
     * tokens — the tokenizer-sizing signal: how much of each source's
-    * token stream a fixed-size vocab would cover. Two passes, both
-    * scale-safe: (1) token counting is a map-side-combinable groupBy
-    * whose top-k is a TakeOrdered (only k rows per partition move,
-    * ties broken on the token text so the boundary is deterministic);
-    * (2) the vocab — k rows — broadcasts into a map-side membership
-    * join, so the corpus-sized token stream shuffles once, for the
-    * per-source rollup. Coverage is an exact-integer ratio: both
-    * engines divide the same two BIGINTs, so the double is
-    * bit-identical. */
+    * token stream a fixed-size vocab would cover. The corpus is
+    * tokenized ONCE: a single map-side-combinable groupBy reduces
+    * the token stream to per-(source, token) counts, and everything
+    * downstream — the global top-k vocab (ties broken on the token
+    * text so the boundary is deterministic) and the per-source
+    * rollup — runs over those counts, never re-reading the corpus.
+    * The two count branches share the same exchange (ReuseExchange),
+    * and the k-row vocab broadcasts into the rollup. Coverage is an
+    * exact-integer ratio: both engines divide the same two BIGINTs,
+    * so the double is bit-identical. */
   def vocabCoverage(df: DataFrame, sourceCol: String, textCol: String,
                     k: Int): DataFrame = {
-    val toks = df.select(F.col(sourceCol),
+    val counts = df.select(F.col(sourceCol),
         F.explode(Text.tokens(F.col(textCol))).as("tok"))
       .filter(F.col("tok") =!= "")
-    val vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).as("c"))
-      .orderBy(F.col("c").desc, F.col("tok").asc).limit(k)
+      .groupBy(sourceCol, "tok").agg(F.count(F.lit(1)).as("c"))
+    val vocab = counts.groupBy("tok").agg(F.sum("c").as("ct"))
+      .orderBy(F.col("ct").desc, F.col("tok").asc).limit(k)
       .select("tok").withColumn("in_vocab", F.lit(1L))
-    toks.join(F.broadcast(vocab), Seq("tok"), "left")
+    counts.join(F.broadcast(vocab), Seq("tok"), "left")
       .groupBy(sourceCol)
-      .agg(F.count(F.lit(1)).as("n_tokens"),
-        F.sum(F.coalesce(F.col("in_vocab"), F.lit(0L))).as("n_in_vocab"))
+      .agg(F.coalesce(F.sum("c"), F.lit(0L)).as("n_tokens"),
+        F.coalesce(F.sum(F.coalesce(F.col("in_vocab"), F.lit(0L)) * F.col("c")),
+          F.lit(0L)).as("n_in_vocab"))
       .withColumn("coverage",
         F.col("n_in_vocab").cast("double") / F.col("n_tokens").cast("double"))
   }

@@ -60,18 +60,24 @@ object Layout {
     * estimate) keeps output files near the target regardless of
     * schema width; the rewrite is one round-robin repartition (no
     * key shuffle semantics to preserve — compaction is layout-only).
-    * Returns the file count written. */
+    * Returns the file count actually written — the byte-sized target
+    * is an upper bound, not a guarantee: `repartition(n)` leaves
+    * empty partitions (which write no file) when the input has fewer
+    * rows than `n`. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetFileBytes: Long): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(inPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     val bytes = fs.getContentSummary(p).getLength
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(inPath)
       .repartition(n)
       .write.mode("overwrite").parquet(outPath)
-    n
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    out.getFileSystem(conf).listStatus(out)
+      .count(_.getPath.getName.endsWith(".parquet"))
   }
 
   /** Morton (Z-order) interleave of two non-negative integer keys,

@@ -59,8 +59,12 @@ object Tables {
     // table, so a stale warehouse directory alone makes saveAsTable
     // throw LOCATION_ALREADY_EXISTS — drop the entry AND clear the dir
     spark.sql(s"DROP TABLE IF EXISTS `$catalogTable`")
+    // resolve the managed-table location through the session catalog
+    // (honors the current database and qualified names) instead of
+    // guessing <warehouse>/<name> — the guess misses under `USE db`
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(catalogTable)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), catalogTable.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")

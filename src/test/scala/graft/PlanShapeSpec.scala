@@ -160,6 +160,25 @@ class PlanShapeSpec extends SparkSpec {
       s"expected 7 partitions read, got ${scan.metrics("numPartitions").value}")
   }
 
+  test("vocabCoverage tokenizes the corpus once (vocab + rollup share the exchange)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // both count branches hang off one per-(source, token) aggregate;
+    // if a refactor re-derives them from the raw token stream the
+    // corpus-sized tokenize+explode runs twice and a second documents
+    // scan appears in the final plan
+    val df = SparkEntry.queries("x_vocab_coverage")(spark, sf)
+    df.collect() // materialize so AQE finalizes stage reuse
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val n = scans(df.queryExecution.executedPlan).length
+    assert(n == 1, s"expected one documents scan, found $n")
+  }
+
   test("flatMapGroupsWithState totals equal batch groupBy") {
     val stream = graft.streaming.StreamingOps.streamingUserTotals(spark, sf, "ps_state")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
