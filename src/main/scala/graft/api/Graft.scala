@@ -80,13 +80,20 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     // files — registration is idempotent, skip the drop/recreate
     // round-trip (repeated enableSql calls — one per SQL query in a
     // batch run — would otherwise pay catalog DDL per query). The
-    // location alone is not enough: with a persistent metastore the
-    // files at the same path may have been rewritten with a different
-    // schema since the table was created, and the catalog would keep
-    // serving the stale one — so the fast path also requires the
-    // catalog schema to equal the current footer schema (one
-    // driver-side footer read, far cheaper than the DDL round-trip)
+    // location alone is not enough: with a PERSISTENT metastore a
+    // catalog entry can outlive the process that created it, and the
+    // files at its path may have been rewritten with a different
+    // schema since — the catalog would keep serving the stale one.
+    // So the first time this JVM sees a (store, location) pair it
+    // also requires the catalog schema to equal the current footer
+    // schema (one driver-side footer read, far cheaper than the DDL
+    // round-trip); subsequent calls in the same JVM trust it —
+    // re-reading footers per enableSql call would tax every SQL
+    // query with listing+footer I/O for no new information.
+    // Mid-JVM rewrites at the same path are out of contract (drop
+    // the store table to force re-registration).
     val expectedLoc = Tables.path(sfDir, td.storageName)
+    val absLoc = new java.io.File(expectedLoc).getAbsolutePath
     val current =
       if (!spark.catalog.tableExists(store)) None
       else scala.util.Try(
@@ -94,11 +101,13 @@ final case class Graft(spark: SparkSession, sfDir: String) {
           .filter(F.col("col_name") === "Location")
           .select("data_type").collect().headOption.map(_.getString(0))
       ).toOption.flatten
-    val upToDate = current.exists(loc =>
-      loc.stripPrefix("file:") == new java.io.File(expectedLoc).getAbsolutePath) &&
-      scala.util.Try(spark.table(store).schema ==
-        spark.read.parquet(expectedLoc).schema).getOrElse(false)
+    val footerKey = (store, absLoc)
+    val upToDate = current.exists(_.stripPrefix("file:") == absLoc) &&
+      (Graft.footerChecked.contains(footerKey) ||
+        scala.util.Try(spark.table(store).schema ==
+          spark.read.parquet(expectedLoc).schema).getOrElse(false))
     if (upToDate && spark.catalog.tableExists(t)) {
+      Graft.footerChecked.add(footerKey)
       // same location, same on-disk schema: refresh the cached file
       // listing (picks up appends at the same path) and keep the
       // saved DDL round-trip
@@ -111,6 +120,8 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     if (!upToDate) {
       spark.sql(s"DROP TABLE IF EXISTS $store")
       spark.catalog.createTable(store, expectedLoc, "parquet")
+      // schema just inferred from these footers — checked by creation
+      Graft.footerChecked.add(footerKey)
     }
     // render the declared projection to SQL text by ANALYZING it
     // against the store table first — resolved NamedExpression.sql is
@@ -127,6 +138,14 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     }
     spark.sql(s"CREATE OR REPLACE VIEW $t AS SELECT $proj FROM $store")
   }
+}
+
+object Graft {
+  // (store table, absolute location) pairs whose catalog schema this
+  // JVM has verified against the on-disk parquet footers (or created
+  // from them) — see registerPersistent's fast path
+  private val footerChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 }
 
 final case class ModelQuery(
