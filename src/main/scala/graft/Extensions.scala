@@ -209,9 +209,16 @@ object Extensions {
         F.col("sx").cast("double"), F.col("sy").cast("double"),
         F.col("sxy").cast("double"), F.col("sxx").cast("double"),
         F.col("syy").cast("double"))
+      // zero-variance guard: Spark's non-ANSI x/0 yields NULL but
+      // DuckDB's IEEE division yields Inf/NaN — an explicit NULL on a
+      // zero denominator keeps a constant-value (or constant-hour)
+      // group identical on both engines. The denominator is a double
+      // computed from identical exact operands, so the guard fires
+      // identically too.
+      val den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
       m.select(F.col("event_type"), F.col("n"),
-        ((n * sxy - sx * sy) /
-          (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+        F.when(den === 0.0, F.lit(null).cast("double"))
+          .otherwise((n * sxy - sx * sy) / den)
           .as("corr_value_hour"))
     }),
 
@@ -611,7 +618,10 @@ object Extensions {
       standing.unionByName(batch)
         .groupBy("day", "event_type")
         .agg(F.sum("n").as("n"),
-          F.sum("sum_value").cast("decimal(18,6)").as("sum_value"))
+          // output widens decimal→double: the driver hash renders
+          // decimals float-style, so trailing-zero values fail
+          // hash_match (SURVEY §5 — graded outputs are never decimal)
+          F.sum("sum_value").cast("double").as("sum_value"))
     }),
 
     // snapshot diff: two corpus versions reconciled by key +
@@ -687,25 +697,32 @@ object Extensions {
         .filter(F.col("event_type") === "purchase")
         .select("event_id", "user_id", "ts", "value")
         .withColumn("trailing_1h",
+          // decimal sum (order-exact), double output (driver-hash
+          // contract — see SURVEY §5)
           F.sum(F.col("value").cast("decimal(18,6)")).over(w)
-            .cast("decimal(18,6)"))
+            .cast("double"))
     }),
 
     // calendar-spine gap fill: a generated date spine × the observed
     // event types, left-joined to daily counts so silent days appear
     // as explicit zeros — the "no data IS data" contract every
-    // monitoring/training-freshness pipeline needs. The spine is
-    // sequence+explode (no driver loop); counts aggregate before the
-    // join so the spine join is rows = days × types, not events
+    // monitoring/training-freshness pipeline needs. The spine bounds
+    // come from min/max(to_date(ts)) — not a hardcoded range, so
+    // events outside a fixed window can never be silently dropped and
+    // the query conserves the event count at every SF. The spine is
+    // sequence+explode over the 1-row bounds aggregate (no driver
+    // loop; the cross joins are 1-row and dims-only); counts
+    // aggregate before the join so the spine join is rows =
+    // days × types, not events
     "x_gap_fill" -> ((s, dir) => {
       val ev = Tables.scan(s, dir, "events")
       val daily = ev.groupBy(F.to_date(F.col("ts")).as("day"),
           F.col("event_type"))
         .agg(F.count(F.lit(1)).as("n_raw"))
-      val spine = s.range(1)
-        .select(F.explode(F.sequence(
-          F.lit("2024-01-01").cast("date"),
-          F.lit("2024-01-30").cast("date"))).as("day"))
+      val spine = ev
+        .agg(F.min(F.to_date(F.col("ts"))).as("lo"),
+          F.max(F.to_date(F.col("ts"))).as("hi"))
+        .select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).as("day"))
         .crossJoin(ev.select("event_type").distinct())
       spine.join(daily, Seq("day", "event_type"), "left")
         .select(F.col("day"), F.col("event_type"),
@@ -770,7 +787,7 @@ object Extensions {
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).as("n"),
           F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(18,6)").as("sum_value"))
+            .cast("double").as("sum_value"))
         .withColumn("bucket_lo", (F.col("bucket") * HIST_WIDTH).cast("double"))),
 
     // bucketed range join: clicks within ±5 min of each error event,
@@ -872,7 +889,7 @@ object Extensions {
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).as("n"),
           F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(18,6)").as("sum_value"))
+            .cast("double").as("sum_value"))
     }),
 
     // co-located (bucketed) join: both sides materialized bucketed +
@@ -895,7 +912,7 @@ object Extensions {
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).as("n_orders"),
           F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-            .cast("decimal(18,4)").as("total_spend"))
+            .cast("double").as("total_spend"))
     }),
 
     // contiguous sequence packing: per-source token-budget bins —
@@ -1012,9 +1029,9 @@ object Extensions {
         .filter(F.col("event_type") === "purchase")
         .select("event_id", "user_id", "ts", "value")
         .withColumn("running_total",
-          F.sum(dec).over(wRun).cast("decimal(18,6)"))
+          F.sum(dec).over(wRun).cast("double"))
         .withColumn("delta",
-          (dec - F.lag(dec, 1).over(w)).cast("decimal(18,6)"))
+          (dec - F.lag(dec, 1).over(w)).cast("double"))
     }),
 
     // distribution-rank window family over recent orders: rank,
@@ -1305,12 +1322,17 @@ object Extensions {
           "sum(CAST(value AS DECIMAL(18,6)) * CAST(hour(ts) AS DECIMAL(18,6))) AS sxy, " +
           "sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx, " +
           "sum(CAST(hour(ts) AS DECIMAL(18,6)) * CAST(hour(ts) AS DECIMAL(18,6))) AS syy " +
-          "FROM events GROUP BY 1) " +
+          "FROM events GROUP BY 1), " +
+          // zero-variance guard mirrors the Spark side: explicit NULL
+          // on a zero denominator (DuckDB would emit Inf/NaN)
+          "f AS (SELECT event_type, n, " +
+          "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num, " +
+          "sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+          "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den " +
+          "FROM m) " +
           "SELECT event_type, n, " +
-          "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
-          "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
-          "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) " +
-          "AS corr_value_hour FROM m"),
+          "CASE WHEN den = 0 THEN NULL ELSE num / den END " +
+          "AS corr_value_hour FROM f"),
       // ranks are tie-free (o_orderkey in the ordering), so every
       // column is a deterministic function of the sorted sequence
       "x_window_rank" ->
@@ -1326,7 +1348,7 @@ object Extensions {
       // physical re-materialization, not a transformation
       "x_bucketed_join" ->
         ("SELECT c_mktsegment, count(*) AS n_orders, " +
-          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS total_spend " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend " +
           "FROM orders JOIN customer ON o_custkey = c_custkey " +
           "GROUP BY c_mktsegment"),
       "x_pipeline_clean" ->
@@ -1562,7 +1584,7 @@ object Extensions {
       // are exactly-once over a finite fixture
       "x_stream_enrich" ->
         ("SELECT c_mktsegment, count(*) AS n_purchases, " +
-          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value " +
+          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
           "FROM events JOIN customer ON user_id = c_custkey " +
           "WHERE event_type = 'purchase' GROUP BY 1"),
       "x_stream_tumbling" ->
@@ -1680,7 +1702,7 @@ object Extensions {
       // recompute — so the oracle just aggregates everything
       "x_incremental_agg" ->
         ("SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n, " +
-          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value " +
+          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
           "FROM events GROUP BY 1, 2"),
       // the 'changed' branch is structurally present on both sides
       // (fp inequality); the fixture's two snapshot views share text,
@@ -1722,15 +1744,18 @@ object Extensions {
           "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (" +
           "PARTITION BY user_id ORDER BY epoch_us(ts) " +
           "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
-          "AS DECIMAL(18,6)) AS trailing_1h " +
+          "AS DOUBLE) AS trailing_1h " +
           "FROM events WHERE event_type = 'purchase'"),
       // generate_series is DuckDB's spine; the left join + coalesce 0
       // mirrors the Spark side exactly
       "x_gap_fill" ->
         ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, " +
           "count(*) AS n_raw FROM events GROUP BY 1, 2), " +
-          "spine AS (SELECT unnest(generate_series(DATE '2024-01-01', " +
-          "DATE '2024-01-30', INTERVAL 1 DAY))::DATE AS day), " +
+          // spine bounds derived from the data, mirroring the Spark side
+          "b AS (SELECT min(CAST(ts AS DATE)) AS lo, " +
+          "max(CAST(ts AS DATE)) AS hi FROM events), " +
+          "spine AS (SELECT unnest(generate_series(lo, hi, " +
+          "INTERVAL 1 DAY))::DATE AS day FROM b), " +
           "types AS (SELECT DISTINCT event_type FROM events) " +
           "SELECT s.day, t.event_type, " +
           "CAST(coalesce(d.n_raw, 0) AS BIGINT) AS n " +
@@ -1756,17 +1781,20 @@ object Extensions {
           "SELECT l_returnflag, 'qty_o' AS status_col, qty_o AS sum_qty FROM w"),
       // ->> extracts the raw string, cast mirrors Spark's long cast;
       // sums cast back to BIGINT (DuckDB sum(BIGINT) is HUGEINT)
+      // TRY_CAST mirrors Spark's null-on-invalid cast('long'): a plain
+      // CAST would ABORT the oracle on a non-integer $.k instead of
+      // mismatching gracefully
       "x_json_extract" ->
         ("SELECT event_type, count(*) AS n, " +
-          "count(CAST(props->>'k' AS BIGINT)) AS n_k, " +
-          "CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, " +
-          "min(CAST(props->>'k' AS BIGINT)) AS min_k, " +
-          "max(CAST(props->>'k' AS BIGINT)) AS max_k, " +
-          "count(DISTINCT CAST(props->>'k' AS BIGINT)) AS distinct_k " +
+          "count(TRY_CAST(props->>'k' AS BIGINT)) AS n_k, " +
+          "CAST(sum(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, " +
+          "min(TRY_CAST(props->>'k' AS BIGINT)) AS min_k, " +
+          "max(TRY_CAST(props->>'k' AS BIGINT)) AS max_k, " +
+          "count(DISTINCT TRY_CAST(props->>'k' AS BIGINT)) AS distinct_k " +
           "FROM events GROUP BY 1"),
       "x_histogram" ->
         ("SELECT event_type, bucket, count(*) AS n, " +
-          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, " +
           s"CAST(bucket * $HIST_WIDTH AS DOUBLE) AS bucket_lo " +
           "FROM (SELECT event_type, value, " +
           s"CAST(floor(value / $HIST_WIDTH) AS BIGINT) AS bucket FROM events) " +
@@ -1872,7 +1900,7 @@ object Extensions {
       // (day_idx d = date 2024-01-01 + d days)
       "x_zorder_prune" ->
         ("SELECT event_type, count(*) AS n, " +
-          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value " +
+          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
           "FROM events " +
           s"WHERE user_id BETWEEN $ZORDER_USER_LO AND $ZORDER_USER_HI " +
           s"AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' + $ZORDER_DAY_LO " +
@@ -1938,9 +1966,9 @@ object Extensions {
         ("SELECT event_id, user_id, ts, value, " +
           "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (" +
           "PARTITION BY user_id ORDER BY ts, event_id " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS running_total, " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total, " +
           "CAST(CAST(value AS DECIMAL(18,6)) - lag(CAST(value AS DECIMAL(18,6))) OVER (" +
-          "PARTITION BY user_id ORDER BY ts, event_id) AS DECIMAL(18,6)) AS delta " +
+          "PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS delta " +
           "FROM events WHERE event_type = 'purchase'")
     )
   }

@@ -282,23 +282,31 @@ object SparkEntry {
     * volume, restricted to the fixture's columns. */
   // all-decimal revenue: cast the raw 2-dp columns (unambiguous),
   // multiply in decimal (exact), never round a double product — see
-  // the tpchQ1Sql comment for the divergence the old form risked
+  // the tpchQ1Sql comment for the divergence the old form risked.
+  // The OUTPUT cast is DOUBLE, not decimal: the driver's hash renders
+  // decimals float-style, so any trailing-zero value ('138014.00' vs
+  // '138014.0') fails hash_match even when both engines agree at full
+  // precision. One decimal→double conversion of identical exact
+  // operands is deterministic on both engines (graded outputs are
+  // double/long/string/timestamp only — SURVEY §5 contract).
   private val revenueSql =
-    "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue"
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue"
   // Q1 pricing summary: every money measure is EXACT — the raw
   // columns are 2-dp values (casting THEM to decimal is unambiguous;
   // casting a double PRODUCT is not: Spark rounds the exact binary
   // value HALF_UP, DuckDB rounds in float arithmetic, and the 6th
   // digit diverges — observed on sum_charge before this form), all
-  // arithmetic then stays in decimal and the output casts only widen,
-  // never round. The avg columns stay double: the driver canonicalizes
-  // at 9 significant digits, absorbing grouped-mean accumulation wobble
+  // arithmetic then stays in decimal; the OUTPUT casts go to DOUBLE
+  // (see revenueSql — decimal outputs fail the driver hash on
+  // trailing zeros). The avg columns stay double: the driver
+  // canonicalizes at 9 significant digits, absorbing grouped-mean
+  // accumulation wobble
   private val tpchQ1Sql: String =
     "SELECT l_returnflag, l_linestatus, " +
-      "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty, " +
-      "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price, " +
-      "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price, " +
-      "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_charge, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge, " +
       "avg(l_quantity) AS avg_qty, avg(l_extendedprice) AS avg_price, " +
       "avg(l_discount) AS avg_disc, count(*) AS count_order " +
       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
@@ -335,7 +343,7 @@ object SparkEntry {
   // on both engines; the revenue product stays decimal end-to-end
   private val tpchQ6Sql: String =
     "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
-      "CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue " +
+      "CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue " +
       "FROM lineitem " +
       "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
       "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
@@ -352,8 +360,8 @@ object SparkEntry {
       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
       "WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' " +
       "AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00') " +
-      "SELECT CAST(promo AS DECIMAL(18,4)) AS promo_revenue, " +
-      "CAST(total AS DECIMAL(18,4)) AS total_revenue, " +
+      "SELECT CAST(promo AS DOUBLE) AS promo_revenue, " +
+      "CAST(total AS DOUBLE) AS total_revenue, " +
       "100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_pct " +
       "FROM m"
   // shared per-row decimal volume term (see tpchQ1Sql for why the
@@ -366,7 +374,7 @@ object SparkEntry {
   // BIGINT: Spark's is int32, DuckDB's int64
   private val tpchQ7Sql: String =
     "SELECT supp_nation, cust_nation, l_year, " +
-      "CAST(sum(vol) AS DECIMAL(18,4)) AS revenue FROM (" +
+      "CAST(sum(vol) AS DOUBLE) AS revenue FROM (" +
       "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
       "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
       s"$volExpr AS vol " +
@@ -384,8 +392,8 @@ object SparkEntry {
   // over identical exact operands for the share
   private val tpchQ8Sql: String =
     "SELECT o_year, CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol " +
-      "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS nation_volume, " +
-      "CAST(sum(vol) AS DECIMAL(18,4)) AS total_volume, " +
+      "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_volume, " +
+      "CAST(sum(vol) AS DOUBLE) AS total_volume, " +
       "CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol " +
       "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / " +
       "CAST(sum(vol) AS DOUBLE) AS mkt_share FROM (" +
@@ -410,14 +418,15 @@ object SparkEntry {
       "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
   // Q15 top supplier(s) by quarterly revenue: the revenue CTE is
   // decimal-exact, so the max-equality predicate is exact too (no
-  // float-compare hazard in the "ties all returned" contract)
+  // float-compare hazard in the "ties all returned" contract); only
+  // the OUTPUT projection widens to double (driver-hash contract)
   private val tpchQ15Sql: String =
     "WITH rev AS (SELECT l_suppkey AS supplier_no, " +
       s"CAST(sum($volExpr) AS DECIMAL(18,4)) AS total_revenue " +
       "FROM lineitem " +
       "WHERE l_shipdate >= TIMESTAMP '1997-10-01 00:00:00' " +
       "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1) " +
-      "SELECT s_suppkey, s_name, total_revenue " +
+      "SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue " +
       "FROM supplier JOIN rev ON s_suppkey = supplier_no " +
       "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) " +
       "ORDER BY s_suppkey"

@@ -106,11 +106,12 @@ final case class Graft(spark: SparkSession, sfDir: String) {
       (Graft.footerChecked.contains(footerKey) ||
         scala.util.Try(spark.table(store).schema ==
           spark.read.parquet(expectedLoc).schema).getOrElse(false))
-    if (upToDate && spark.catalog.tableExists(t)) {
+    if (upToDate && spark.catalog.tableExists(t) &&
+        Graft.viewEnsured.contains(t)) {
       Graft.footerChecked.add(footerKey)
-      // same location, same on-disk schema: refresh the cached file
-      // listing (picks up appends at the same path) and keep the
-      // saved DDL round-trip
+      // same location, same on-disk schema, view text already ensured
+      // by THIS build: refresh the cached file listing (picks up
+      // appends at the same path) and keep the saved DDL round-trip
       spark.catalog.refreshTable(store)
       return
     }
@@ -122,6 +123,8 @@ final case class Graft(spark: SparkSession, sfDir: String) {
       spark.catalog.createTable(store, expectedLoc, "parquet")
       // schema just inferred from these footers — checked by creation
       Graft.footerChecked.add(footerKey)
+    } else {
+      spark.catalog.refreshTable(store)
     }
     // render the declared projection to SQL text by ANALYZING it
     // against the store table first — resolved NamedExpression.sql is
@@ -136,7 +139,16 @@ final case class Graft(spark: SparkSession, sfDir: String) {
       case other => throw new IllegalStateException(
         s"expected a Project over $store, analyzed to ${other.nodeName}")
     }
+    // ALWAYS re-issued at least once per JVM: with a persistent
+    // metastore, a view created by an OLDER build (different declared
+    // projection/readExpr) would otherwise keep serving its stale
+    // text — the footer check above validates only the store table's
+    // schema, never the view definition. A stale view can only come
+    // from another JVM (this build's DDL is deterministic), so one
+    // CREATE OR REPLACE per view per JVM restores correctness without
+    // re-paying catalog DDL on every enableSql call.
     spark.sql(s"CREATE OR REPLACE VIEW $t AS SELECT $proj FROM $store")
+    Graft.viewEnsured.add(t)
   }
 }
 
@@ -146,6 +158,11 @@ object Graft {
   // from them) — see registerPersistent's fast path
   private val footerChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  // view names whose CREATE OR REPLACE VIEW this JVM has issued —
+  // guards against stale view text left by an older build in a
+  // persistent metastore (see registerPersistent)
+  private val viewEnsured =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
 
 final case class ModelQuery(

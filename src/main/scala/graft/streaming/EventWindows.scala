@@ -211,7 +211,7 @@ object EventWindows {
       .groupBy("c_mktsegment")
       .agg(F.count(F.lit(1)).as("n_purchases"),
         F.sum(F.col("value").cast("decimal(18,6)"))
-          .cast("decimal(18,6)").as("sum_value"))
+          .cast("double").as("sum_value"))
     runToTable(enriched, "graft_stream_enrich")
   }
 

@@ -8,10 +8,26 @@ runs the matching oracle_sql.json entry in DuckDB against the same
 parquet tables, sorts columns by name, canonicalizes values (floats
 rounded, timestamps to isoformat at microsecond precision), sorts
 rows, and diffs. Prints PASS/FAIL per query.
+
+STRICT DECIMAL RULE (round-7, from the r6 verdict): the driver's hash
+renders DECIMAL values float-style, so any decimal output column whose
+value carries trailing zeros ('138014.00' vs '138014.0') fails the
+driver's hash_match even when both engines agree at full precision.
+str(Decimal) here used to hide that (13 driver-red rows said PASS
+locally). A query with ANY decimal-typed output column — on either
+engine — now FAILS outright: graded outputs must be
+double/long/string/timestamp only (SURVEY §5). Decimal stays legal
+INSIDE a query; only the final projection is constrained.
 """
 import sys, os, json, math, glob
+import decimal
 import duckdb
 import pyarrow.parquet as pq
+
+
+def decimal_cols(schema):
+    """Names of decimal128/256-typed columns in an arrow schema."""
+    return [f.name for f in schema if str(f.type).startswith("decimal")]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -25,6 +41,10 @@ def canon(v):
             return "NaN"
         # driver-style float normalization: round to ~9 significant digits
         return f"{v:.9g}"
+    if isinstance(v, decimal.Decimal):
+        # driver-style: decimals render through their float repr, NOT
+        # str(Decimal) — this is what made trailing-zero values diverge
+        return f"{float(v):.9g}"
     if isinstance(v, bytes):
         return v.hex()
     if hasattr(v, "isoformat"):
@@ -63,6 +83,13 @@ def main():
             n_fail += 1
             continue
         tbl = pq.read_table(res_dir)
+        bad = decimal_cols(tbl.schema)
+        if bad:
+            print(f"FAIL {name}: decimal-typed output columns {bad} — "
+                  "the driver hash renders decimals float-style and fails "
+                  "on trailing zeros; cast to DOUBLE in the final projection")
+            n_fail += 1
+            continue
         s_names = tbl.column_names
         s_cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
         s_rows, s_order = rows_of(s_cols, s_names)
