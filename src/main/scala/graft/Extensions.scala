@@ -518,6 +518,20 @@ object Extensions {
       graft.streaming.StreamingOps.streamingDedupBounded(s, dir)),
     "x_stream_state" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamingUserTotals(s, dir)),
+    // exactly-once parquet sink graded END-TO-END: the deduplicated
+    // document stream lands on disk via foreachBatch (one overwritten
+    // batch_id dir per micro-batch — a replayed batch overwrites its
+    // own output instead of appending duplicates; replay idempotence
+    // is pinned by StreamingSpec), and the graded result is the
+    // parquet READ BACK from the sink, so the whole write path sits
+    // under the oracle. The output dir is wiped first: the checkpoint
+    // pins file-listing state that must not leak across grading runs.
+    "x_stream_sink" -> ((s, dir) => {
+      val out = layoutDir(dir, "stream_sink")
+      deleteRec(new java.io.File(out))
+      graft.streaming.StreamingOps.streamingDedupToParquet(s, dir, out)
+        .select("doc_id", "fp")
+    }),
     // stream-stream interval join (append mode, watermark-bounded
     // join state): clicks ⋈ same-user purchases ≤ 2 h before
     "x_stream_join" -> ((s, dir) =>
@@ -1061,6 +1075,11 @@ object Extensions {
   private def layoutDir(sfDir: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${name}_${new java.io.File(sfDir).getName}"
 
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(); ()
+  }
+
   /** k min-hash aggregate expressions (same universal-hash literals
     * as [[Dedup.minhashA]]/[[Dedup.minhashB]] — bit-identical sigs). */
   private def mhMinsSql: String = {
@@ -1603,6 +1622,13 @@ object Extensions {
           "SELECT w_start, event_type, count(*) AS n, sum(value) AS sum_value " +
           "FROM expanded GROUP BY 1, 2"),
       "x_stream_dedup" ->
+        ("SELECT min(doc_id) AS doc_id, fp FROM (SELECT doc_id, " +
+          "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp " +
+          "FROM documents) GROUP BY fp"),
+      // the sink's read-back must equal the batch dedup — the same
+      // contract as x_stream_dedup, now proven THROUGH the parquet
+      // files the foreachBatch sink wrote
+      "x_stream_sink" ->
         ("SELECT min(doc_id) AS doc_id, fp FROM (SELECT doc_id, " +
           "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp " +
           "FROM documents) GROUP BY fp"),

@@ -360,6 +360,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaDs == viaCols)
   }
 
+  test("imageio decode reads a REAL png's dimensions through the mapPartitions seam") {
+    import spark.implicits._
+    // a genuine 5×3 PNG rendered in-memory via the in-JDK toolchain —
+    // no fixture file, no external codec
+    val img = new java.awt.image.BufferedImage(
+      5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(2, 1, 0xff00ff)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    val png = buf.toByteArray
+    val opaque = "not an image".getBytes("UTF-8")
+    val payloads = Seq((1L, png), (2L, opaque)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeImageIO(spark, payloads, "doc_id")
+      .collect().map(m => m.doc_id -> m).toMap
+    // the real image yields its TRUE pixel dimensions...
+    assert(out(1L).width == 5 && out(1L).height == 3)
+    assert(out(1L).byte_len == png.length.toLong)
+    // ...while a non-image payload falls back to the md5 stub, so a
+    // mixed corpus decodes in one pass (stub dims are md5-carved,
+    // range-pinned [64, 1023])
+    val stub = out(2L)
+    assert(stub.width >= 64 && stub.width < 1024 &&
+      stub.height >= 64 && stub.height < 1024)
+    assert(stub.byte_len == opaque.length.toLong)
+  }
+
   test("scd2 intervals tile each key's timeline exactly") {
     val changes = Tables.scan(spark, sf, "events")
       .filter(F.col("event_type") === "purchase")

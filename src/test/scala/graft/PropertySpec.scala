@@ -64,6 +64,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("QBE NULL law: a null example selects exactly the IS NULL rows (never `= NULL`)") {
+    // the reference maps a NULL example value to IS NULL (qbe,
+    // Read.scala) — `=` on NULL would select NOTHING. The fixture has
+    // no nullable column populated with NULLs, so synthesize them
+    // into the declared events.props field and pin the law over
+    // random example values including null.
+    val t = Catalog("events")
+    // small slice: the partition law below runs one qbe filter per
+    // distinct props value
+    val base = Tables.scan(spark, sf, "events").limit(40)
+      .withColumn("props",
+        F.when(F.col("event_id") % 3 === 0, F.lit(null).cast("string"))
+          .otherwise(F.col("props")))
+    val local = base.select("event_id", "props").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+    val present = local.collect { case (_, v) if v != null => v }.distinct
+    assert(local.exists(_._2 == null) && present.nonEmpty)
+    val values: Gen[Any] = Gen.oneOf[Any](null, present.head,
+      present.last, "no-such-props-value")
+    checkProp(Prop.forAllNoShrink(values) { v =>
+      val got = base.filter(Read.qbe(t, Map("props" -> v)))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      val want = local.collect {
+        case (id, pv) if (v == null && pv == null) ||
+          (v != null && pv == v) => id
+      }.toSet
+      got == want
+    }, n = 8)
+    // partition law: IS NULL rows + all per-value rows tile the table
+    val nullCount = base.filter(Read.qbe(t, Map("props" -> null))).count()
+    val valueCounts = present.map(v =>
+      base.filter(Read.qbe(t, Map("props" -> v))).count()).sum
+    assert(nullCount > 0 && nullCount + valueCounts == base.count())
+  }
+
   test("merge invariants: |upsert| = |base| + |new keys|; |delete| = |base| - |victims∩base|; update preserves count") {
     val base = Tables.scan(spark, sf, "orders")
     val n = base.count()
