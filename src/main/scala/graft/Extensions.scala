@@ -42,6 +42,10 @@ object Extensions {
   private val ANN_KMEANS_NPROBE = 8
   private val DECON_N = 4 // decontamination n-gram width
   private val DECON_MOD = 41 // benchmark split: doc_id % DECON_MOD == 0
+  // fuzzy decontamination: a wider benchmark split (bigger cross
+  // surface) and a recall-leaning estimated-Jaccard gate
+  private val FUZZY_DECON_MOD = 5
+  private val FUZZY_DECON_EST = 0.5
   private val SAMPLE_PCT = 20 // hash-sample keep rate (of 100 buckets)
   private val QUOTA_PER_SOURCE = 15 // per-source cap (truncates at all SFs)
   private val RANGE_WINDOW_SEC = 300L // range-join half-window
@@ -574,6 +578,33 @@ object Extensions {
     "x_decontaminate" -> ((s, dir) =>
       Curation.contaminated(Tables.scan(s, dir, "documents"),
         "doc_id", "text", F.col("doc_id") % DECON_MOD === 0, n = DECON_N)),
+
+    // FUZZY decontamination: training docs whose MinHash-estimated
+    // Jaccard against any mod-5 "eval split" doc reaches 0.5 —
+    // catches the paraphrased/edited benchmark leakage the exact
+    // 4-gram join (x_decontaminate) misses. Trigram shingles for the
+    // same reason as the near-dup family; candidates from the banded
+    // cross equi-join, never a training × benchmark cross product
+    "x_decontaminate_fuzzy" -> ((s, dir) =>
+      Curation.contaminatedFuzzy(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", F.col("doc_id") % FUZZY_DECON_MOD === 0,
+        k = MINHASH_K, bands = MINHASH_BANDS, threshold = FUZZY_DECON_EST,
+        terms = Text.distinctShingles(_, 3))),
+
+    // dup-cluster SIZE distribution: how large are the near-dup
+    // families? The audit that sizes dedup policy and catches a
+    // pathological "one giant cluster" LSH failure at a glance —
+    // same components as x_dedup_components, rolled up twice
+    "x_dedup_sizes" -> ((s, dir) =>
+      Dedup.dupComponents(
+        Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8,
+          k = MINHASH_K, bands = MINHASH_BANDS,
+          terms = Text.distinctShingles(_, 2)))
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).as("n_clusters"))),
 
     // Gopher-style repetition metrics + keep verdict per doc
     "x_repetition" -> ((s, dir) =>
@@ -1512,6 +1543,33 @@ object Extensions {
           "reach AS (SELECT src AS id, src AS r FROM edges " +
           "UNION SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id) " +
           "SELECT id, min(r) AS component FROM reach GROUP BY id"),
+      // the same transitive closure rolled up twice: component →
+      // cluster size → size histogram
+      "x_dedup_sizes" ->
+        ("WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" +
+          jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + ")), " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+          "UNION ALL SELECT id_b, id_a FROM pairs), " +
+          "reach AS (SELECT src AS id, src AS r FROM edges " +
+          "UNION SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id), " +
+          "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id), " +
+          "cs AS (SELECT component, count(*) AS cluster_size FROM comp " +
+          "GROUP BY 1) " +
+          "SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY 1"),
+      // banded cross matches between the training and mod-5 bench
+      // splits, rolled up per training doc — signatures replayed with
+      // the same universal-hash literals as the near-dup family
+      "x_decontaminate_fuzzy" ->
+        (s"WITH ${shingleToksCte(3)}, " +
+          s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
+          s"bands AS ($bandRows), " +
+          "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, " +
+          s"$estSql AS est FROM bands l " +
+          "JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+          s"WHERE l.doc_id % $FUZZY_DECON_MOD <> 0 " +
+          s"AND r.doc_id % $FUZZY_DECON_MOD = 0 AND $estSql >= $FUZZY_DECON_EST) " +
+          "SELECT id_a AS doc_id, count(*) AS n_bench_matches, " +
+          "max(est) AS max_est_jaccard FROM cand GROUP BY 1"),
       "x_dedup_ngram" -> jaccardLshSql(shingleToksCte(3), NGRAM_BANDS, 0.5),
       "x_minhash_sig" ->
         ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> '') " +

@@ -51,6 +51,28 @@ object Curation {
     df.join(contaminated(df, idCol, textCol, benchPred, n).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Near-duplicate decontamination — the fuzzy complement of
+    * [[contaminated]]: flags training docs whose MinHash-estimated
+    * Jaccard against ANY benchmark doc reaches `threshold`, catching
+    * the paraphrased / lightly-edited eval leakage an exact n-gram
+    * equi-join can never see. One audit row per contaminated doc
+    * with its benchmark-match count and strongest match score.
+    * Candidates come from [[Dedup.minhashCrossPairs]]' banded
+    * equi-join — never a training × benchmark cross join. */
+  def contaminatedFuzzy(df: DataFrame, idCol: String, textCol: String,
+                        benchPred: Column, k: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.5,
+                        terms: Column => Column = Text.distinctTokens(_)): DataFrame =
+    graft.operators.Dedup
+      .minhashCrossPairs(df.filter(!benchPred), df.filter(benchPred),
+        idCol, textCol, k, bands, threshold, terms)
+      .withColumnRenamed("id_a", idCol)
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_bench_matches"),
+        // est values are multiples of 1/k — exact doubles, so max is
+        // engine-deterministic
+        F.max("est_jaccard").as("max_est_jaccard"))
+
   /** [[contaminated]] with a Bloom pre-filter (the 100 TB shape):
     * the benchmark gram set is folded into a Bloom filter, shipped
     * once per executor as an explicit broadcast variable, and applied

@@ -230,6 +230,36 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Cross-corpus MinHash-LSH matches: rows of `probe` paired with
+    * rows of `corpus` that share at least one LSH band, scored by the
+    * signature-estimated Jaccard and kept at `threshold`. The
+    * asymmetric twin of [[minhashPairs]] — the shape of fuzzy
+    * decontamination (training × benchmark) and near-match retrieval
+    * audits. Both sides reduce to banded signatures BEFORE the
+    * equi-join, so pair volume is band-governed, never
+    * |probe| × |corpus|; at 100 TB the corpus side's banded frame is
+    * the only thing that shuffles, and it carries 16 ints + a 16-byte
+    * band hash per row, never text. */
+  def minhashCrossPairs(probe: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.7,
+                        terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
+    val l = bandSignatures(
+      minhashSignatures(probe, idCol, textCol, k, terms), idCol, k, bands)
+      .alias("l")
+    val r = bandSignatures(
+      minhashSignatures(corpus, idCol, textCol, k, terms), idCol, k, bands)
+      .alias("r")
+    l.join(r,
+        F.col("l.band_idx") === F.col("r.band_idx") &&
+        F.col("l.band_hash") === F.col("r.band_hash"))
+      .select(F.col(s"l.$idCol").as("id_a"),
+        F.col(s"r.$idCol").as("id_b"), estJaccard(k).as("est_jaccard"))
+      .filter(F.col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** SimHash signature (default 32 bits from the 60-bit token hash):
     * bit b of the signature is set iff more tokens have bit b set
     * than clear. One explode + one grouped sum per bit. */
