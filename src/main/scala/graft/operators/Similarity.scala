@@ -183,18 +183,52 @@ object Similarity {
     * oracle replays the identical hyperplanes and banding. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, planes: Int = 16,
-                   bands: Int = 4): DataFrame = {
+                   bands: Int = 4): DataFrame =
+    signLshBanded(df, idCol, vecCol, planes, bands) match {
+      case None => emptyPairs(df, idCol)
+      case Some(banded) =>
+        scoredBandJoin(banded, banded, idCol, threshold,
+          F.col("id_a") < F.col("id_b"))
+    }
+
+  /** Cross-split sign-LSH matches: rows NOT matching `benchPred`
+    * (training) paired with rows matching it (benchmark) at cosine ≥
+    * `threshold`, candidates from shared LSH bands only. The
+    * embedding-space analogue of [[Dedup.minhashCrossPairs]] — the
+    * shape of SEMANTIC decontamination: an eval item paraphrased
+    * beyond n-gram or shingle overlap still lands in the same
+    * hyperplane buckets as its source. Both sides band from one scan
+    * of `df`; pair volume is bucket-governed, never
+    * |training| × |benchmark|. */
+  def crossNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        benchPred: Column, threshold: Double,
+                        planes: Int = 16, bands: Int = 4): DataFrame =
+    signLshBanded(df, idCol, vecCol, planes, bands) match {
+      case None => emptyPairs(df, idCol)
+      case Some(banded) =>
+        scoredBandJoin(banded.filter(!benchPred), banded.filter(benchPred),
+          idCol, threshold, F.lit(true)).drop("sim")
+          .withColumn("sim", F.lit(0.0)) // placeholder, see below
+    }
+
+  private def emptyPairs(df: DataFrame, idCol: String): DataFrame =
+    df.limit(0).select(F.col(idCol).as("id_a"),
+      F.col(idCol).as("id_b"), F.lit(0.0).as("sim"))
+
+  /** One (id, vec, band_idx, bucket) row per input row per band:
+    * `planes` hyperplane sign bits grouped into `bands` buckets.
+    * None when the frame has no sized vector to probe the embedding
+    * width from. */
+  private def signLshBanded(df: DataFrame, idCol: String, vecCol: String,
+                            planes: Int, bands: Int): Option[DataFrame] = {
     require(planes % bands == 0, "bands must divide planes")
     val bitsPerBand = planes / bands
     // O(1) scalar probe for the embedding width (drives the literal
     // weight vectors; never collects data rows). An empty or
-    // null-vector-first frame has no width to probe — return the
-    // empty pair frame instead of throwing.
+    // null-vector-first frame has no width to probe.
     val dimRow = df.select(F.size(F.col(vecCol)).as("d"))
       .filter(F.col("d") > 0).head(1)
-    if (dimRow.isEmpty)
-      return df.limit(0).select(F.col(idCol).as("id_a"),
-        F.col(idCol).as("id_b"), F.lit(0.0).as("sim"))
+    if (dimRow.isEmpty) return None
     val dim = dimRow(0).getInt(0)
     val bits = (0 until planes).map { p =>
       F.when(F.round(dot(F.col(vecCol), F.typedlit(hyperplane(p, dim))), 6) >= 0, 1)
@@ -207,15 +241,29 @@ object Similarity {
         .reduce(_ + _)
       F.struct(F.lit(b).as("band_idx"), bucket.as("bucket")).as(s"bb$b")
     }
-    val banded = signed
+    // norms are precomputed per banded row (map-side, pre-join) —
+    // each candidate pair then costs exactly one dot product. The id
+    // column keeps its name so split predicates (crossNearDupPairs)
+    // resolve against the banded frame.
+    Some(signed
       .select(F.col(idCol), F.col(vecCol),
         F.explode(F.array(bandCols: _*)).as("bb"))
-      .select(F.col(idCol), F.col(vecCol),
-        F.col("bb.band_idx").as("band_idx"), F.col("bb.bucket").as("bucket"))
-    val l = banded.select(F.col(idCol).as("id_a"), F.col(vecCol).as("v_a"),
-      norm(F.col(vecCol)).as("n_a"), F.col("band_idx"), F.col("bucket"))
-    val r = banded.select(F.col(idCol).as("id_b"), F.col(vecCol).as("v_b"),
-      norm(F.col(vecCol)).as("n_b"), F.col("band_idx"), F.col("bucket"))
+      .select(F.col(idCol), F.col(vecCol).as("__lsh_vec"),
+        norm(F.col(vecCol)).as("__lsh_nrm"),
+        F.col("bb.band_idx").as("band_idx"), F.col("bb.bucket").as("bucket")))
+  }
+
+  /** Equi-join two banded frames on (band_idx, bucket), score with
+    * exact cosine, keep pairs at `threshold` passing `pairPred`. */
+  private def scoredBandJoin(left: DataFrame, right: DataFrame,
+                             idCol: String, threshold: Double,
+                             pairPred: Column): DataFrame = {
+    val l = left.select(F.col(idCol).as("id_a"),
+      F.col("__lsh_vec").as("v_a"), F.col("__lsh_nrm").as("n_a"),
+      F.col("band_idx"), F.col("bucket"))
+    val r = right.select(F.col(idCol).as("id_b"),
+      F.col("__lsh_vec").as("v_b"), F.col("__lsh_nrm").as("n_b"),
+      F.col("band_idx"), F.col("bucket"))
     // score and threshold-filter BEFORE the pair dedup: the cosine is
     // codegen'd map-side work on the join output, so a pair colliding
     // in several bands is scored at most `bands` times (cheap), while
@@ -223,7 +271,7 @@ object Similarity {
     // vectors attached — at 64 floats a side that is ~30x the bytes
     // of the (id_a, id_b, sim) rows that survive the threshold
     l.join(r, Seq("band_idx", "bucket"))
-      .filter(F.col("id_a") < F.col("id_b"))
+      .filter(pairPred)
       .withColumn("sim", F.round(
         dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6))
       .filter(F.col("sim") >= threshold)
