@@ -18,6 +18,15 @@ object Bench {
     // never sets it, so graded runs always cover the full set
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // a typo'd name must error loudly, not silently bench nothing
+    only.foreach { sel =>
+      val unknown = sel -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println("[bench] unknown SPARK_GRAFT_BENCH_ONLY names: " +
+          unknown.toSeq.sorted.mkString(", "))
+        sys.exit(2)
+      }
+    }
     val benched = only.fold(SparkEntry.queries)(sel =>
       SparkEntry.queries.filter { case (k, _) => sel(k) })
     val spark = SparkSession.builder()
@@ -61,13 +70,20 @@ object Bench {
       val sorted = samples(i).sorted
       names(i)._1 -> sorted(sorted.size / 2)
     }
-    // The driver captures only a bounded tail of this process's output
-    // and parses the JSON line out of it, so the line must (a) be the
-    // LAST thing printed — after spark.stop(), so no shutdown logging
-    // can follow it — and (b) stay short: millisecond precision keeps
-    // ~70 per-query entries well under the driver's 2000-char tail
-    // buffer (full nanosecond doubles overflowed it and the line was
-    // truncated mid-parse in rounds 1-3).
+    // The driver captures only a bounded (~2000-char) TAIL of this
+    // process's output and parses the LAST JSON line out of it. The
+    // full per-query line outgrew that buffer once the set passed ~80
+    // queries (at 134 queries it is ~3,400 chars — BENCH_r05–r07 all
+    // recorded "parsed": null because the leading "value": total was
+    // truncated away). So the output contract is now two lines, both
+    // after spark.stop() so no shutdown logging can follow them:
+    //   1. the full per-query line (human/tooling detail, may exceed
+    //      the tail buffer — that is fine, it is not the parsed line)
+    //   2. a SHORT final total line (<120 chars at any query count) —
+    //      the one the driver's tail parse always sees intact.
+    // The full map is also written to a local JSON file so
+    // round-over-round per-query regressions stay tracked even when
+    // the driver tail truncates line 1.
     // Locale.ROOT: a comma-decimal default locale would otherwise
     // emit invalid JSON
     def ms3(v: Double): String =
@@ -75,10 +91,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val fullLine =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val localOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    scala.util.Try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(localOut),
+        (fullLine + "\n").getBytes("UTF-8"))
+    }
     // Try: a shutdown race (e.g. streaming state-store threads) must
-    // not swallow the JSON line the driver parses — emit it regardless
+    // not swallow the JSON lines the driver parses — emit regardless
     scala.util.Try(spark.stop())
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(fullLine)
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

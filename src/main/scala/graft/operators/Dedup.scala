@@ -403,23 +403,38 @@ object Dedup {
     * label), so convergence is O(log diameter) rounds — maxIters = 20
     * covers any component a dedup job could meet, and the operator
     * THROWS rather than return unconverged (silently wrong) labels.
-    * Each round is localCheckpoint'ed so the plan doesn't deepen with
+    * Each round is checkpointed so the plan doesn't deepen with
     * iterations (lineage truncation — the loop-in-driver pattern
     * every iterative distributed algorithm on Spark needs; superseded
     * checkpoints are reclaimed by the ContextCleaner once the loop
-    * rebinds past them). Only docs appearing in at least one pair are
+    * rebinds past them). By default pins are `localCheckpoint(true)`
+    * (executor memory — fastest, not fault-tolerant); pass
+    * `reliableCheckpointDir` to route them through reliable
+    * `checkpoint()` storage for cluster runs (see the seam comment in
+    * the method body). Only docs appearing in at least one pair are
     * labeled; singletons are their own trivial component by
     * definition and never enter the join. Deterministic: no RNG,
     * min-label is order-free. */
-  def dupComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dupComponents(pairs: DataFrame, maxIters: Int = 20,
+                    reliableCheckpointDir: Option[String] = None): DataFrame = {
+    // Fault-tolerance seam: localCheckpoint(true) pins loop state in
+    // EXECUTOR memory — fastest, right for local[32] and the bench
+    // path, but its lineage cannot be recomputed, so on a real
+    // cluster an executor loss mid-loop kills the job. With
+    // `reliableCheckpointDir` set, every pin goes through a reliable
+    // `checkpoint()` to that (HDFS/object-store) directory instead —
+    // the 100-TB configuration: a lost executor re-reads pinned state
+    // from storage and the loop survives.
+    reliableCheckpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (reliableCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
     val edges = pairs.select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
     // pin the symmetric edge list once, at FULL session parallelism —
     // this is where the upstream pair generator (often a whole LSH
     // pipeline) executes, and without the checkpoint it would
     // re-execute per iteration
-    val sym = edges.union(
-        edges.select(F.col("dst").as("src"), F.col("src").as("dst")))
-      .localCheckpoint(true)
+    val sym = pin(edges.union(
+        edges.select(F.col("dst").as("src"), F.col("src").as("dst"))))
     // The label frames are pair-bounded (one row per doc that appears
     // in a pair — orders of magnitude smaller than the corpus), but
     // each round launches 4+ exchanges; at a batch session's
@@ -427,14 +442,14 @@ object Dedup {
     // (pairs are already pinned above) to a small partition count —
     // on a cluster this is sized to the pair volume, not the corpus.
     graft.ScopedShufflePartitions(pairs.sparkSession) {
-      dupComponentsLoop(sym, maxIters)
+      dupComponentsLoop(sym, maxIters, pin)
     }
   }
 
-  private def dupComponentsLoop(sym: DataFrame, maxIters: Int): DataFrame = {
-    var labels = sym.select(F.col("src").as("id")).distinct()
-      .withColumn("component", F.col("id"))
-      .localCheckpoint(true)
+  private def dupComponentsLoop(sym: DataFrame, maxIters: Int,
+                                pin: DataFrame => DataFrame): DataFrame = {
+    var labels = pin(sym.select(F.col("src").as("id")).distinct()
+      .withColumn("component", F.col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -453,12 +468,11 @@ object Dedup {
       // along so convergence is a filter on this frame, not a join.
       val parents = propagated
         .select(F.col("id").as("component"), F.col("component").as("__parent"))
-      val updated = propagated.join(parents, Seq("component"), "left")
+      val updated = pin(propagated.join(parents, Seq("component"), "left")
         .select(F.col("id"),
           F.coalesce(F.col("__parent"), F.col("component")).as("component"),
           (F.coalesce(F.col("__parent"), F.col("component")) <
-            F.col("__old")).as("__changed"))
-        .localCheckpoint(true)
+            F.col("__old")).as("__changed")))
       converged = updated.filter(F.col("__changed")).isEmpty
       labels = updated.drop("__changed")
       i += 1

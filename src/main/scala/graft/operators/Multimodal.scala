@@ -72,12 +72,20 @@ object Multimodal {
         // ImageIO scans its reader registry per call; a heavier codec
         // would hoist its context initialization to this line
         it.map { case (id, bytes) =>
+          // NonFatal, not just IOException: ImageIO readers throw
+          // RuntimeExceptions (IllegalArgumentException, CMMException,
+          // ArrayIndexOutOfBoundsException) on truncated or malformed
+          // payloads — one bad blob in a mixed 100 TB corpus must fall
+          // back to the stub, not fail the whole pass
           val img =
-            try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes)))
-            catch { case _: java.io.IOException => None }
-          img.fold(decodeStub(id, bytes)) { im =>
-            MediaMeta(id, bytes.length.toLong, md5hex(bytes),
+            if (bytes == null) None
+            else
+              try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+              catch { case scala.util.control.NonFatal(_) => None }
+          val safe = if (bytes == null) Array.empty[Byte] else bytes
+          img.fold(decodeStub(id, safe)) { im =>
+            MediaMeta(id, safe.length.toLong, md5hex(safe),
               im.getWidth, im.getHeight)
           }
         }

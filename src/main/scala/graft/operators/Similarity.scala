@@ -207,8 +207,7 @@ object Similarity {
       case None => emptyPairs(df, idCol)
       case Some(banded) =>
         scoredBandJoin(banded.filter(!benchPred), banded.filter(benchPred),
-          idCol, threshold, F.lit(true)).drop("sim")
-          .withColumn("sim", F.lit(0.0)) // placeholder, see below
+          idCol, threshold, F.lit(true))
     }
 
   private def emptyPairs(df: DataFrame, idCol: String): DataFrame =
@@ -296,7 +295,8 @@ object Similarity {
     * `(csim, -cent_id)` here; `ORDER BY csim DESC, cent_id ASC` in
     * the oracle). Recall trades off with nprobe by construction. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nprobe: Int,
+              maxDriverQueryRows: Int = 10000): DataFrame = {
     // centroids are small by contract: one driver collect, then
     // literal vectors (precomputed norms) — never a per-row join
     val cents: Array[(Long, Seq[Float], Double)] = centroids
@@ -340,9 +340,21 @@ object Similarity {
     // HALF_UP rounding at 6 dp, ties to the lower centroid id.
     val spark = corpus.sparkSession
     import spark.implicits._
-    val queryCells = queries
+    // the small-query contract is ENFORCED, not just documented: the
+    // limit() bounds the collect itself (at most maxDriverQueryRows+1
+    // rows ever reach the driver, pushed into the scan as a plan
+    // limit), so a corpus-sized query frame fails fast with a clear
+    // message instead of silently OOMing the driver at scale
+    val collectedQueries = queries
       .select(F.col(idCol).cast("long"), F.col(vecCol))
+      .limit(maxDriverQueryRows + 1)
       .collect()
+    require(collectedQueries.length <= maxDriverQueryRows,
+      s"ivfTopK query frame exceeds maxDriverQueryRows=$maxDriverQueryRows: " +
+        "queries are collected to the driver by contract (they must be " +
+        "small enough to broadcast). Pass a sampled/filtered query frame, " +
+        "or raise maxDriverQueryRows explicitly if the driver can hold it.")
+    val queryCells = collectedQueries
       .toSeq
       .flatMap { r =>
         val qid = r.getLong(0)

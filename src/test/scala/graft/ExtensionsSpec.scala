@@ -425,6 +425,65 @@ class ExtensionsSpec extends SparkSpec {
       s"$nonAscii documents have multi-byte text; byte-vs-char slicing diverges")
   }
 
+  test("crossNearDupPairs returns the real cosine, not a placeholder") {
+    import spark.implicits._
+    // ids < 10 are training, >= 10 benchmark; 1 and 10 are the same
+    // direction (cosine exactly 1.0, scale-invariant), 2 and 11 are
+    // near-orthogonal to them — the (1,10) pair must come back scored
+    val frame = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (10L, Seq(2.0f, 0.0f, 0.0f, 2.0f)),
+      (11L, Seq(0.0f, 3.0f, 3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.crossNearDupPairs(frame, "vec_id", "embedding",
+        benchPred = F.col("vec_id") >= 10L, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.get((1L, 10L)).contains(1.0),
+      s"expected (1,10) scored 1.0, got $pairs")
+    // every emitted sim honors the threshold — the old placeholder
+    // emitted 0.0 for all pairs, which this pins against
+    assert(pairs.values.forall(_ >= 0.9), s"sub-threshold sims in $pairs")
+    // and cross-split only: both-training / both-benchmark never pair
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((10L, 11L)))
+  }
+
+  test("dupComponents reliable-checkpoint path matches the local path exactly") {
+    import spark.implicits._
+    // the 200-node chain from the convergence test — long enough that
+    // the loop actually iterates and re-pins several times
+    val chain = (0L until 199L).map(i => (i, i + 1, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val local = Dedup.dupComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    try {
+      val reliable = Dedup.dupComponents(chain,
+          reliableCheckpointDir = Some(dir)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      // the reliable path really went through checkpoint storage
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable path wrote nothing to the checkpoint dir")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("ivfTopK enforces its small-query contract instead of collecting unbounded") {
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val cents = emb.filter(F.col("vec_id") % 61 === 0)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emb, queries, cents, "vec_id", "embedding",
+        k = 10, nprobe = 2, maxDriverQueryRows = 3)
+    }
+    assert(e.getMessage.contains("maxDriverQueryRows"),
+      s"guard message unhelpful: ${e.getMessage}")
+  }
+
   test("multimodal frame sampling covers every payload byte exactly once") {
     val frames = Multimodal.sampleFrames(spark,
       Multimodal.attachPayload(docs, "doc_id", "text"), "doc_id", 256)

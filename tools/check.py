@@ -114,6 +114,15 @@ def main():
         # len()/row_number() = int64) must be caught here
         try:
             duck_arrow = con.execute(sql).arrow()
+            # the strict decimal rule applies to the ORACLE projection
+            # too: a decimal-typed DuckDB column hits the same
+            # float-repr trailing-zero hazard in the driver hash
+            dbad = decimal_cols(duck_arrow.schema)
+            if dbad:
+                print(f"FAIL {name}: decimal-typed ORACLE columns {dbad} — "
+                      "cast to DOUBLE in the oracle's final projection")
+                n_fail += 1
+                continue
             s_types = {f.name: str(f.type) for f in tbl.schema}
             d_types = {f.name: str(f.type) for f in duck_arrow.schema}
             tdiff = {k: (s_types.get(k), d_types.get(k))
