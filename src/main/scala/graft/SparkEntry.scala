@@ -149,6 +149,19 @@ object SparkEntry {
         F.col("o_orderkey"),
         FTimestamp.lenientParse(raw).cast("timestamp_ntz").as("parsed"))
     }),
+    // F5 relative date math end-to-end: the reference's bulk-delete
+    // cutoff `where('last_login', '<', strtotime('-1 year'))`
+    // (README.md:150-151, /root/reference). Anchored at a FIXED
+    // instant (not now()) so the graded result replays; the fixture's
+    // events all land in Jan 2024, so a 2025-01-15 anchor puts the
+    // 1-year-back cutoff mid-range and both filter outcomes occur.
+    "f5_relative_date" -> ((s, dir) => {
+      val anchor = F.lit("2025-01-15 12:30:00").cast("timestamp_ntz")
+      Tables.scan(s, dir, "events")
+        .filter(F.col("ts") <
+          graft.functions.Dates.relative("-1 year", anchor))
+        .select(F.col("event_id"), F.col("ts"))
+    }),
     "f_verbose" -> ((s, dir) =>
       Tables.scan(s, dir, "orders").select(
         F.col("o_orderkey"),
@@ -553,6 +566,12 @@ object SparkEntry {
         "CASE WHEN regexp_matches(raw, '^\\d{9,11}$') " +
         "THEN make_timestamp(CAST(raw AS BIGINT) * 1000000) END) AS parsed " +
         "FROM raws"),
+    "f5_relative_date" ->
+      // epoch_ns // 1000 replays the Spark side's exact ns→µs
+      // truncation before both the compare and the projection
+      ("SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts " +
+        "FROM events WHERE make_timestamp(epoch_ns(ts) // 1000) < " +
+        "TIMESTAMP '2025-01-15 12:30:00' - INTERVAL 1 YEAR"),
     "f_verbose" ->
       ("SELECT o_orderkey, strftime(o_orderdate, '%m/%d/%Y') AS d_verbose, " +
         "CASE WHEN o_orderstatus = 'F' THEN 'Yes' ELSE 'No' END AS is_final, " +

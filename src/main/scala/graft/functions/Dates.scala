@@ -19,11 +19,15 @@ object Dates {
   def relative(offset: String, anchor: Column): Column = offset match {
     case Rel(n, unit) =>
       val k = n.toInt
+      // interval arithmetic, NOT add_months/date_add: those return
+      // DATE and would silently drop the anchor's time-of-day, while
+      // strtotime('-1 year') keeps it. Month-end anchors clamp the
+      // same way on both engines (Mar 31 - 1 month = Feb 28/29).
       unit match {
-        case "year"   => F.add_months(anchor, 12 * k)
-        case "month"  => F.add_months(anchor, k)
-        case "week"   => F.date_add(anchor, 7 * k)
-        case "day"    => F.date_add(anchor, k)
+        case "year"   => anchor + F.expr(s"INTERVAL ${12 * k} MONTHS")
+        case "month"  => anchor + F.expr(s"INTERVAL $k MONTHS")
+        case "week"   => anchor + F.expr(s"INTERVAL ${7 * k} DAYS")
+        case "day"    => anchor + F.expr(s"INTERVAL $k DAYS")
         case "hour"   => anchor + F.expr(s"INTERVAL $k HOURS")
         case "minute" => anchor + F.expr(s"INTERVAL $k MINUTES")
         case "second" => anchor + F.expr(s"INTERVAL $k SECONDS")

@@ -116,9 +116,11 @@ class CoverageSpec extends SparkSpec {
     def shifted(off: String): String =
       anchor.select(graft.functions.Dates.relative(off, F.col("ts")).cast("string"))
         .collect()(0).getString(0)
-    assert(shifted("-1 year").startsWith("2000-03-10"))
-    assert(shifted("2 months").startsWith("2001-05-10"))
-    assert(shifted("-1 week").startsWith("2001-03-03"))
+    // time-of-day survives every unit, as strtotime's does — interval
+    // arithmetic, not add_months/date_add (those would return DATE)
+    assert(shifted("-1 year") == "2000-03-10 12:00:00")
+    assert(shifted("2 months") == "2001-05-10 12:00:00")
+    assert(shifted("-1 week") == "2001-03-03 12:00:00")
     assert(shifted("36 hours") == "2001-03-12 00:00:00")
     intercept[IllegalArgumentException] {
       graft.functions.Dates.relative("next fortnight", F.col("ts"))
