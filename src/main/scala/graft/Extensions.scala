@@ -85,6 +85,7 @@ object Extensions {
   private val VOCAB_K = 500 // fixed vocab size for coverage report
   private val MM_FEAT_DIMS = 8 // md5-derived stub feature width (max 8)
   private val MM_FRAME_BYTES = 256 // frame-sampling window (bytes)
+  private val MM_DECODE_DOCS = 40 // docs in the mixed real+opaque decode frame
   private val HIST_WIDTH = 50 // histogram bucket width (value units)
   private val EMB_DIM = 64 // fixture embedding width (oracle range)
   private val SPLIT_TRAIN = 80 // stratified split: first 80 hash buckets
@@ -570,6 +571,33 @@ object Extensions {
       Multimodal.sampleFrames(s,
         Multimodal.attachPayload(Tables.scan(s, dir, "documents"),
           "doc_id", "text"), "doc_id", MM_FRAME_BYTES).toDF()),
+
+    // REAL image decode, graded: every 5th doc's payload is replaced
+    // executor-side with a genuine PNG whose dimensions are pure
+    // functions of doc_id (8+id%7 x 5+id%11), the rest stay opaque
+    // text bytes. decodeImageIO must actually parse the PNGs to
+    // report those dims (the stub would emit md5-derived dims and
+    // hash-mismatch), while opaque rows must fall through to the
+    // stub — one mixed-corpus pass, the realistic 100 TB shape. Only
+    // dims are projected: PNG encoder BYTES are JVM-specific, so
+    // byte_len/checksum aren't oracle-portable for real rows.
+    "x_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val mixed = Tables.scan(s, dir, "documents")
+        .filter(F.col("doc_id") < MM_DECODE_DOCS)
+        .select(F.col("doc_id").cast("long"), F.col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val payload =
+            if (id % 5 == 0)
+              Multimodal.syntheticPng((8 + id % 7).toInt, (5 + id % 11).toInt)
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (id, payload)
+        })
+        .toDF("doc_id", "payload")
+      Multimodal.decodeImageIO(s, mixed, "doc_id").toDF()
+        .select(F.col("doc_id"), F.col("width"), F.col("height"))
+    }),
 
     // ---- corpus curation ----
     // benchmark decontamination: training docs sharing a distinct
@@ -1729,6 +1757,19 @@ object Extensions {
           s"md5(substring(text, CAST(f*$MM_FRAME_BYTES+1 AS BIGINT), $MM_FRAME_BYTES)) AS frame_md5 " +
           "FROM d, unnest(range(0, greatest(1, " +
           s"CAST(ceil(n/$MM_FRAME_BYTES.0) AS BIGINT)))) AS u(f)"),
+      // real-PNG rows (doc_id % 5 = 0): true pixel dims are pure
+      // functions of doc_id — the oracle predicts them WITHOUT seeing
+      // the payload, so only a genuine ImageIO parse matches; opaque
+      // rows replay the md5 stub math
+      "x_multimodal_decode" ->
+        (s"SELECT doc_id, CAST(8 + doc_id % 7 AS INTEGER) AS width, " +
+          "CAST(5 + doc_id % 11 AS INTEGER) AS height " +
+          s"FROM documents WHERE doc_id < $MM_DECODE_DOCS AND doc_id % 5 = 0 " +
+          "UNION ALL " +
+          "SELECT doc_id, " +
+          "CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 960 AS INTEGER) AS width, " +
+          "CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 960 AS INTEGER) AS height " +
+          s"FROM documents WHERE doc_id < $MM_DECODE_DOCS AND doc_id % 5 <> 0"),
       "x_decontaminate" -> deconSql,
       // the Bloom variant is result-identical by construction (no
       // false negatives + exact confirm join) — same oracle

@@ -92,6 +92,32 @@ object Multimodal {
       }
   }
 
+  /** Deterministic tiny RGB PNG of the given dimensions — the
+    * test/fixture generator for the real-decode path. Pixels are a
+    * coordinate gradient so the payload is a legitimate multi-color
+    * image, but only the DIMENSIONS are contract: callers grade
+    * [[decodeImageIO]] by choosing width/height as functions of the
+    * row key, so an oracle can predict them without seeing the bytes
+    * (PNG encoder output is JVM-specific; dims are not). Runs on
+    * executors — generation is just encode, no display needed. */
+  def syntheticPng(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    val im = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        im.setRGB(x, y, ((x * 37 + y * 101) & 0xffffff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
   /** One dimension of a decoded feature vector (long form: the shape
     * that feeds the [[Similarity]] stack without nested arrays). */
   final case class MediaFeature(doc_id: Long, dim: Int, feat: Double)

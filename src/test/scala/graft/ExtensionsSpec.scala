@@ -386,6 +386,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(stub.byte_len == opaque.length.toLong)
   }
 
+  test("syntheticPng encodes exactly the dimensions the graded oracle predicts") {
+    import spark.implicits._
+    // same id→dims formula as x_multimodal_decode: the oracle predicts
+    // dims from doc_id alone, so the decode must really parse the PNG
+    val payloads = Seq(0L, 5L, 35L).map { id =>
+      (id, Multimodal.syntheticPng((8 + id % 7).toInt, (5 + id % 11).toInt))
+    }.toDF("doc_id", "payload")
+    val out = Multimodal.decodeImageIO(spark, payloads, "doc_id")
+      .collect().map(m => m.doc_id -> ((m.width, m.height))).toMap
+    assert(out == Map(0L -> ((8, 5)), 5L -> ((13, 10)), 35L -> ((8, 7))))
+  }
+
   test("scd2 intervals tile each key's timeline exactly") {
     val changes = Tables.scan(spark, sf, "events")
       .filter(F.col("event_type") === "purchase")
