@@ -29,8 +29,10 @@ object Bench {
     }
     val benched = only.fold(SparkEntry.queries)(sel =>
       SparkEntry.queries.filter { case (k, _) => sel(k) })
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // same catalog mode as Verify: the benched SQL-family queries go
+    // through the HMS-backed persistent catalog unless SPARK_GRAFT_HMS=0
+    val spark = graft.api.Metastore.configure(SparkSession.builder()
+      .master(s"local[$cpus]"))
       .withExtensions(new graft.plans.GraftSparkExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -11,8 +11,10 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // persistent-catalog queries register through a real Hive
+    // metastore (embedded Derby) unless SPARK_GRAFT_HMS=0
+    val spark = graft.api.Metastore.configure(SparkSession.builder()
+      .master(s"local[$cpus]"))
       .withExtensions(new graft.plans.GraftSparkExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

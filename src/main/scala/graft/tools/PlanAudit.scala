@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(a: Array[String]): Unit = {
     val sfDir = a.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = graft.api.Metastore.configure(
+      SparkSession.builder().master("local[4]"))
       .config("spark.sql.shuffle.partitions","4")
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.sql.adaptive.enabled","false")

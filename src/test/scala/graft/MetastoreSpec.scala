@@ -1,0 +1,74 @@
+package graft
+
+import graft.schema.Catalog
+import graft.sources.Tables
+import org.apache.spark.sql.{functions => F}
+
+/** Pins the HMS-backed persistent catalog (round 8): the suite session
+  * is built through [[graft.api.Metastore.configure]], so these tests
+  * run against a REAL Hive metastore (embedded Derby), exactly like
+  * Verify/Bench. */
+class MetastoreSpec extends SparkSpec {
+
+  test("suite session's catalog is a real Hive metastore") {
+    assert(spark.conf.get("spark.sql.catalogImplementation") == "hive")
+    assert(spark.sharedState.externalCatalog.unwrapped.getClass.getName
+      .contains("HiveExternalCatalog"),
+      spark.sharedState.externalCatalog.unwrapped.getClass.getName)
+  }
+
+  test("persistent registration is idempotent under HMS and spans sessions") {
+    val g = graft.api.Graft(spark, sf)
+    g.enableSql(persistent = true)
+    try {
+      val n1 = spark.sql("SELECT count(*) AS n FROM customer")
+        .collect()(0).getLong(0)
+      // second call takes the fast path (no DDL) and must not change
+      // what the catalog serves
+      g.enableSql(persistent = true)
+      val n2 = spark.sql("SELECT count(*) AS n FROM customer")
+        .collect()(0).getLong(0)
+      assert(n1 == n2 && n1 > 0)
+      // the nanos→ntz read expression survives the round-trip through
+      // HMS-stored view text
+      assert(spark.table("events").schema("ts").dataType.typeName
+        == "timestamp_ntz")
+      // metastore objects are catalog-scoped, not session-scoped: a
+      // sibling session (no temp views) resolves the model view and
+      // reads identical data — the property temp-view mode cannot have
+      val s2 = spark.newSession()
+      assert(s2.catalog.tableExists("customer"))
+      assert(s2.sql("SELECT count(*) AS n FROM customer")
+        .collect()(0).getLong(0) == n1)
+    } finally {
+      // leave no catalog views shadowing other suites' temp views
+      Catalog.tables.foreach { t =>
+        spark.sql(s"DROP VIEW IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${Catalog(t).storageName}_store")
+      }
+    }
+  }
+
+  test("bucketed-table metadata round-trips through the metastore") {
+    val buckets = 4
+    Tables.writeBucketed(
+      Tables.scan(spark, sf, "nation").select(F.col("n_nationkey"),
+        F.col("n_name")), "ms_nation_b", "n_nationkey", buckets)
+    try {
+      val cat = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser
+          .parseTableIdentifier("ms_nation_b"))
+      assert(cat.bucketSpec.exists(b =>
+        b.numBuckets == buckets && b.bucketColumnNames == Seq("n_nationkey")))
+      // and a fresh session still sees the bucket spec (it lives in
+      // HMS table properties, not in this session's memory)
+      val s2 = spark.newSession()
+      assert(s2.sessionState.catalog
+        .getTableMetadata(s2.sessionState.sqlParser
+          .parseTableIdentifier("ms_nation_b"))
+        .bucketSpec.exists(_.numBuckets == buckets))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ms_nation_b")
+    }
+  }
+}

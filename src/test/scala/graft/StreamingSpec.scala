@@ -35,6 +35,49 @@ class StreamingSpec extends SparkSpec {
       s"replay appended duplicates: $total rows for ${first.size} docs")
   }
 
+  test("an event older than the watermark is dropped; the unbounded twin keeps it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    // bounded twin: watermarked dedup — this is x_stream_dedup_bounded's
+    // operator (dropDuplicatesWithinWatermark)
+    val bounded = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val bq = bounded.toDF().toDF("doc_id", "fp", "ingest_ts")
+      .withWatermark("ingest_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_bounded").start()
+    // unbounded twin: x_stream_dedup's operator — no watermark, no
+    // late-data concept, every first occurrence is kept forever
+    val global = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val gq = global.toDF().toDF("doc_id", "fp", "ingest_ts")
+      .dropDuplicates("fp")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_global").start()
+    try {
+      // batch 1 advances the bounded twin's watermark to 11:50
+      bounded.addData((1L, "A", ts("12:00:00")))
+      global.addData((1L, "A", ts("12:00:00")))
+      bq.processAllAvailable(); gq.processAllAvailable()
+      // batch 2: fp=B is LATE (11:30 < watermark 11:50) → the bounded
+      // twin must drop it even though its fingerprint was never seen;
+      // fp=C is fresh and flows through both
+      val batch2 = Seq((2L, "B", ts("11:30:00")), (3L, "C", ts("12:01:00")))
+      bounded.addData(batch2: _*); global.addData(batch2: _*)
+      bq.processAllAvailable(); gq.processAllAvailable()
+      val bRows = spark.table("late_bounded").select("doc_id")
+        .as[Long].collect().toSet
+      val gRows = spark.table("late_global").select("doc_id")
+        .as[Long].collect().toSet
+      assert(bRows == Set(1L, 3L), s"bounded emitted $bRows")
+      assert(gRows == Set(1L, 2L, 3L), s"global emitted $gRows")
+      // the twins diverge EXACTLY on the late event — the documented
+      // trade of bounded state (README streaming matrix)
+      assert(gRows -- bRows == Set(2L))
+    } finally { bq.stop(); gq.stop() }
+  }
+
   test("stream-static enrich holds no join state and serves the updated dim on re-plan") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_enrich_dim").toString
