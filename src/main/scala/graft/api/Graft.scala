@@ -75,7 +75,26 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     // (same rationale as Tables.scan; idempotent)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // a temp view with the model's name would shadow the catalog view
+    // (dropped BEFORE any tableExists check: tableExists answers true
+    // for a same-named temp view, which would mask a dropped catalog
+    // view and let the repeat fast path below skip a needed re-create)
     spark.catalog.dropTempView(t)
+    val expectedLoc = Tables.path(sfDir, td.storageName)
+    val absLoc = new java.io.File(expectedLoc).getAbsolutePath
+    // repeat fast path: once THIS JVM has fully registered (view,
+    // location) — store created/validated AND view text issued — a
+    // later enableSql call only needs to confirm the objects still
+    // exist (suites drop them in cleanup) and refresh the cached file
+    // listing. Under the HMS-backed catalog this matters for latency:
+    // the first-registration path below costs a DESCRIBE query + a
+    // footer read per table, which against a metastore turns every
+    // enableSql call into ~0.5 s of catalog round-trips — paid once
+    // per JVM now, not once per SQL query.
+    if (Graft.fullyRegistered.contains((t, absLoc)) &&
+        spark.catalog.tableExists(store) && spark.catalog.tableExists(t)) {
+      spark.catalog.refreshTable(store)
+      return
+    }
     // fast path: the store already exists AND serves this sfDir's
     // files — registration is idempotent, skip the drop/recreate
     // round-trip (repeated enableSql calls — one per SQL query in a
@@ -92,8 +111,6 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     // query with listing+footer I/O for no new information.
     // Mid-JVM rewrites at the same path are out of contract (drop
     // the store table to force re-registration).
-    val expectedLoc = Tables.path(sfDir, td.storageName)
-    val absLoc = new java.io.File(expectedLoc).getAbsolutePath
     val current =
       if (!spark.catalog.tableExists(store)) None
       else scala.util.Try(
@@ -109,6 +126,7 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     if (upToDate && spark.catalog.tableExists(t) &&
         Graft.viewEnsured.contains(t)) {
       Graft.footerChecked.add(footerKey)
+      Graft.fullyRegistered.add((t, absLoc))
       // same location, same on-disk schema, view text already ensured
       // by THIS build: refresh the cached file listing (picks up
       // appends at the same path) and keep the saved DDL round-trip
@@ -149,6 +167,7 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     // re-paying catalog DDL on every enableSql call.
     spark.sql(s"CREATE OR REPLACE VIEW $t AS SELECT $proj FROM $store")
     Graft.viewEnsured.add(t)
+    Graft.fullyRegistered.add((t, absLoc))
   }
 }
 
@@ -163,6 +182,12 @@ object Graft {
   // persistent metastore (see registerPersistent)
   private val viewEnsured =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // (view, absolute location) pairs this JVM has registered end-to-end
+  // — the repeat fast path that skips DESCRIBE/footer work entirely
+  // (see registerPersistent); keyed by location so a different sfDir
+  // still forces full re-registration
+  private val fullyRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 }
 
 final case class ModelQuery(
