@@ -17,7 +17,7 @@ object Bench {
     // profiling (noise triage, per-operator iteration); the driver
     // never sets it, so graded runs always cover the full set
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // a typo'd name must error loudly, not silently bench nothing
     only.foreach { sel =>
       val unknown = sel -- SparkEntry.queries.keySet
@@ -99,7 +99,10 @@ object Bench {
     scala.util.Try {
       java.nio.file.Files.write(java.nio.file.Paths.get(localOut),
         (fullLine + "\n").getBytes("UTF-8"))
-    }
+    }.failed.foreach(e =>
+      // the local record is the round-over-round regression tracker —
+      // losing it silently defeats its purpose
+      System.err.println(s"[bench] could not write $localOut: ${e.getMessage}"))
     // Try: a shutdown race (e.g. streaming state-store threads) must
     // not swallow the JSON lines the driver parses — emit regardless
     scala.util.Try(spark.stop())

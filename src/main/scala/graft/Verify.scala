@@ -9,7 +9,20 @@ object Verify {
     // iteration aid; the driver always passes exactly two args)
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2)
+        Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    // a typo'd subset name silently dumps nothing and buries itself in
+    // ~130 "no spark output" lines from check.py — fail fast instead
+    // (same guard as Bench's SPARK_GRAFT_BENCH_ONLY)
+    only.foreach { sel =>
+      val unknown = sel -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println("[verify] unknown query names: " +
+          unknown.toSeq.sorted.mkString(", "))
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // persistent-catalog queries register through a real Hive
     // metastore (embedded Derby) unless SPARK_GRAFT_HMS=0

@@ -90,7 +90,12 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     // footer read per table, which against a metastore turns every
     // enableSql call into ~0.5 s of catalog round-trips — paid once
     // per JVM now, not once per SQL query.
-    if (Graft.fullyRegistered.contains((t, absLoc)) &&
+    // keyed view -> CURRENT location (not a set of seen pairs): with
+    // alternating sfDirs in one JVM, a set would still contain the
+    // OLD (view, loc) pair after re-registration re-pointed the store
+    // elsewhere, and the fast path would silently serve the other
+    // directory's data — put() on every registration invalidates it
+    if (Graft.fullyRegistered.get(t) == absLoc &&
         spark.catalog.tableExists(store) && spark.catalog.tableExists(t)) {
       spark.catalog.refreshTable(store)
       return
@@ -126,7 +131,7 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     if (upToDate && spark.catalog.tableExists(t) &&
         Graft.viewEnsured.contains(t)) {
       Graft.footerChecked.add(footerKey)
-      Graft.fullyRegistered.add((t, absLoc))
+      Graft.fullyRegistered.put(t, absLoc)
       // same location, same on-disk schema, view text already ensured
       // by THIS build: refresh the cached file listing (picks up
       // appends at the same path) and keep the saved DDL round-trip
@@ -167,7 +172,7 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     // re-paying catalog DDL on every enableSql call.
     spark.sql(s"CREATE OR REPLACE VIEW $t AS SELECT $proj FROM $store")
     Graft.viewEnsured.add(t)
-    Graft.fullyRegistered.add((t, absLoc))
+    Graft.fullyRegistered.put(t, absLoc)
   }
 }
 
@@ -182,12 +187,13 @@ object Graft {
   // persistent metastore (see registerPersistent)
   private val viewEnsured =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  // (view, absolute location) pairs this JVM has registered end-to-end
-  // — the repeat fast path that skips DESCRIBE/footer work entirely
-  // (see registerPersistent); keyed by location so a different sfDir
-  // still forces full re-registration
+  // view -> absolute location this JVM has registered end-to-end —
+  // the repeat fast path that skips DESCRIBE/footer work entirely
+  // (see registerPersistent). A MAP, not a set of pairs: re-pointing
+  // a view at a different sfDir must invalidate the old location or
+  // the fast path would serve stale data on the next alternation
   private val fullyRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }
 
 final case class ModelQuery(

@@ -32,9 +32,22 @@ object Metastore {
   def enabled: Boolean =
     sys.env.get("SPARK_GRAFT_HMS").forall(v => v != "0" && v != "false")
 
-  /** Metastore root (Derby db + warehouse + derby.log live under it). */
-  lazy val root: String = sys.env.getOrElse("SPARK_GRAFT_HMS_DIR",
-    java.nio.file.Files.createTempDirectory("graft-hms").toString)
+  /** Metastore root (Derby db + warehouse + derby.log live under it).
+    * A default (un-pinned) root is temp-per-JVM and best-effort
+    * deleted at exit — repeated Bench/Verify/test runs must not
+    * accumulate one Derby tree per process in /tmp. A pinned root is
+    * the caller's to manage (that is the point of pinning it). */
+  lazy val root: String = sys.env.get("SPARK_GRAFT_HMS_DIR").getOrElse {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hms")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      scala.util.Try(rm(dir.toFile))
+    }
+    dir.toString
+  }
 
   /** Apply the HMS catalog to a session builder (no-op when opted
     * out). Hive 2.3's embedded-mode defaults need schema auto-create

@@ -406,8 +406,13 @@ object Dedup {
     * Each round is checkpointed so the plan doesn't deepen with
     * iterations (lineage truncation — the loop-in-driver pattern
     * every iterative distributed algorithm on Spark needs; superseded
-    * checkpoints are reclaimed by the ContextCleaner once the loop
-    * rebinds past them). By default pins are `localCheckpoint(true)`
+    * localCheckpoint BLOCKS are reclaimed by the ContextCleaner once
+    * the loop rebinds past them, but reliable checkpoint FILES are
+    * only auto-deleted when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — set it
+    * on cluster runs, or apply retention on the checkpoint root;
+    * either way the per-run volume is bounded by maxIters pins of
+    * pair-frame size). By default pins are `localCheckpoint(true)`
     * (executor memory — fastest, not fault-tolerant); pass
     * `reliableCheckpointDir` to route them through reliable
     * `checkpoint()` storage for cluster runs (see the seam comment in
@@ -424,7 +429,11 @@ object Dedup {
     // `reliableCheckpointDir` set, every pin goes through a reliable
     // `checkpoint()` to that (HDFS/object-store) directory instead —
     // the 100-TB configuration: a lost executor re-reads pinned state
-    // from storage and the loop survives.
+    // from storage and the loop survives. NOTE setCheckpointDir is
+    // SparkContext-GLOBAL: it redirects every later checkpoint() in
+    // the application, and concurrent callers passing different dirs
+    // race — single checkpoint root per application is the contract
+    // (the normal cluster posture anyway).
     reliableCheckpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
       if (reliableCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)

@@ -10,7 +10,13 @@ import org.apache.spark.sql.{functions => F}
   * Verify/Bench. */
 class MetastoreSpec extends SparkSpec {
 
+  // SPARK_GRAFT_HMS=0 is a supported opt-out (in-memory catalog) —
+  // these contracts are HMS-only, so cancel rather than fail there
+  private def requireHms(): Unit = assume(graft.api.Metastore.enabled,
+    "SPARK_GRAFT_HMS=0: in-memory catalog session, HMS contracts n/a")
+
   test("suite session's catalog is a real Hive metastore") {
+    requireHms()
     assert(spark.conf.get("spark.sql.catalogImplementation") == "hive")
     assert(spark.sharedState.externalCatalog.unwrapped.getClass.getName
       .contains("HiveExternalCatalog"),
@@ -18,6 +24,7 @@ class MetastoreSpec extends SparkSpec {
   }
 
   test("persistent registration is idempotent under HMS and spans sessions") {
+    requireHms()
     val g = graft.api.Graft(spark, sf)
     g.enableSql(persistent = true)
     try {
@@ -49,7 +56,34 @@ class MetastoreSpec extends SparkSpec {
     }
   }
 
+  test("alternating sfDirs re-point the catalog instead of serving stale data") {
+    requireHms()
+    val dirA = sf // sf0.001
+    val dirB = "/root/testdata/sf0.01"
+    try {
+      graft.api.Graft(spark, dirA).enableSql(persistent = true)
+      val nA = spark.sql("SELECT count(*) AS n FROM orders")
+        .collect()(0).getLong(0)
+      graft.api.Graft(spark, dirB).enableSql(persistent = true)
+      val nB = spark.sql("SELECT count(*) AS n FROM orders")
+        .collect()(0).getLong(0)
+      assert(nA != nB, "fixture SFs should differ in row count")
+      // back to A: the repeat fast path must observe the re-pointed
+      // location and re-register, not serve B's files from the memo
+      graft.api.Graft(spark, dirA).enableSql(persistent = true)
+      val nA2 = spark.sql("SELECT count(*) AS n FROM orders")
+        .collect()(0).getLong(0)
+      assert(nA2 == nA, s"stale catalog after alternation: $nA2 != $nA")
+    } finally {
+      Catalog.tables.foreach { t =>
+        spark.sql(s"DROP VIEW IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${Catalog(t).storageName}_store")
+      }
+    }
+  }
+
   test("bucketed-table metadata round-trips through the metastore") {
+    requireHms()
     val buckets = 4
     Tables.writeBucketed(
       Tables.scan(spark, sf, "nation").select(F.col("n_nationkey"),
