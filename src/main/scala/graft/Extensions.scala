@@ -39,6 +39,11 @@ object Extensions {
   // nprobe 1-2; the fixture makes the trade steep, not the operator.
   private val ANN_KMEANS_K = 10
   private val ANN_KMEANS_ITERS = 3
+  // SemDeDup threshold: the fixture's embeddings are isotropic (see
+  // the kmeans note above), so genuine high-cosine pairs are the few
+  // planted near-dups — 0.4 keeps the dropped set non-empty at every
+  // SF while staying far above the isotropic background (~0.0)
+  private val SEMDEDUP_TAU = 0.4
   private val ANN_KMEANS_NPROBE = 8
   private val DECON_N = 4 // decontamination n-gram width
   private val DECON_MOD = 41 // benchmark split: doc_id % DECON_MOD == 0
@@ -482,6 +487,35 @@ object Extensions {
         k = ANN_KMEANS_K, iters = ANN_KMEANS_ITERS)
       Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < ANN_N_QUERIES),
         cents, "vec_id", "embedding", k = 10, nprobe = ANN_KMEANS_NPROBE)
+    }),
+
+    // SemDeDup-shaped embedding dedup: kmeans cells bound the pair
+    // space (corpus²/k, never all-pairs), within-cell cosine >= tau
+    // drops every vector with a lower-id duplicate. The oracle
+    // replays the TRAINING too (same unrolled Lloyd rounds as
+    // x_ann_kmeans), so cell parity is checked, not assumed.
+    "x_semdedup" -> ((s, dir) => {
+      val emb = Tables.scan(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = ANN_KMEANS_K, iters = ANN_KMEANS_ITERS)
+      Similarity.semDedup(emb, cents, "vec_id", "embedding", SEMDEDUP_TAU)
+    }),
+
+    // raw-corpus ingest format: documents round-trip through a
+    // JSON-lines sink + explicit-schema source (the shape a training
+    // corpus actually arrives in), then aggregate per source. The
+    // oracle replays the aggregation on the parquet table, so
+    // equality proves the JSONL round-trip is lossless — including
+    // sum(length(text)), which any broken string escaping would move.
+    "x_source_jsonl" -> ((s, dir) => {
+      val scan = Tables.scan(s, dir, "documents")
+      val out = s"/tmp/graft_jsonl_${new java.io.File(dir).getName}"
+      scan.write.mode("overwrite").json(out)
+      s.read.schema(scan.schema).json(out)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("sum_text_chars"))
     }),
 
     // ---- events: windowed aggregation (batch) + streaming twin ----
@@ -1294,8 +1328,10 @@ object Extensions {
     * IVF probe as [[ivfBodySql]]. Rounding at 6/9 dp is what makes
     * the replay engine-exact: it absorbs summation-order ulp wobble
     * on both sides, and both engines round half away from zero. */
-  private def annKmeansSql(kc: Int, iters: Int, nprobe: Int, k: Int,
-                           nQueries: Int): String = {
+  /** The unrolled deterministic Lloyd training as a `WITH` prefix
+    * ending in `cents(cent_id, cvec)` — shared by the kmeans-ANN and
+    * SemDeDup oracles so both replay the Scala trainer exactly. */
+  private def kmeansCentsSql(kc: Int, iters: Int): String = {
     val init =
       s"st AS (SELECT greatest(1, count(*) // $kc) AS s FROM embeddings), " +
         "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, " +
@@ -1318,9 +1354,30 @@ object Extensions {
     }.mkString(", ")
     // the Scala trainer emits FLOAT centroids — replicate the narrowing
     "WITH " + init + rounds +
-      s", cents AS (SELECT cent_id, CAST(cvec AS FLOAT[]) AS cvec FROM c$iters), " +
-      ivfBodySql(nprobe, k, nQueries)
+      s", cents AS (SELECT cent_id, CAST(cvec AS FLOAT[]) AS cvec FROM c$iters), "
   }
+
+  private def annKmeansSql(kc: Int, iters: Int, nprobe: Int, k: Int,
+                           nQueries: Int): String =
+    kmeansCentsSql(kc, iters) + ivfBodySql(nprobe, k, nQueries)
+
+  /** DuckDB twin of [[Similarity.semDedup]] over kmeans cells: same
+    * trained centroids, same argmax assignment expression as
+    * [[ivfBodySql]], within-cell pairs, keep-min-id. */
+  private def semDedupSql(kc: Int, iters: Int, tau: Double): String =
+    kmeansCentsSql(kc, iters) +
+      "asgn AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cent_id, " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cent_id ASC) AS rn " +
+      "FROM embeddings e CROSS JOIN cents c), " +
+      "cells AS (SELECT vec_id, v, cent_id FROM asgn WHERE rn = 1), " +
+      "prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "round(list_cosine_similarity(a.v, b.v), 6) AS sim " +
+      "FROM cells a JOIN cells b ON a.cent_id = b.cent_id " +
+      "AND a.vec_id < b.vec_id) " +
+      "SELECT id_b AS vec_id, min(id_a) AS dup_of, arg_min(sim, id_a) AS sim " +
+      s"FROM prs WHERE sim >= $tau GROUP BY 1"
 
   def oracleSql: Map[String, String] = {
     val mhMins = mhMinsSql
@@ -1660,6 +1717,16 @@ object Extensions {
       "x_ann_ivf" -> ivfSql(ANN_CENT_STRIDE, ANN_NPROBE, 10, ANN_N_QUERIES),
       "x_ann_kmeans" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
         ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES),
+      "x_semdedup" -> semDedupSql(ANN_KMEANS_K, ANN_KMEANS_ITERS, SEMDEDUP_TAU),
+      // the oracle aggregates the PARQUET table; the Spark side
+      // aggregates the JSONL round-trip of it — equality proves the
+      // sink+source pair is lossless (sums cast: DuckDB sum(BIGINT)
+      // widens to HUGEINT)
+      "x_source_jsonl" ->
+        ("SELECT source, count(*) AS n_docs, " +
+          "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+          "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars " +
+          "FROM documents GROUP BY 1"),
       "x_window_tumbling" ->
         ("SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
           "event_type, count(*) AS n, sum(value) AS sum_value FROM events " +

@@ -297,29 +297,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nprobe: Int,
               maxDriverQueryRows: Int = 10000): DataFrame = {
-    // centroids are small by contract: one driver collect, then
-    // literal vectors (precomputed norms) — never a per-row join
-    val cents: Array[(Long, Seq[Float], Double)] = centroids
-      .select(F.col(idCol).cast("long"), F.col(vecCol))
-      .collect()
-      .map { r =>
-        val cid = r.getLong(0)
-        val cv = r.getSeq[Float](1)
-        // same arithmetic as norm(): left-to-right double accumulation
-        var acc = 0.0; cv.foreach(x => acc += x.toDouble * x.toDouble)
-        (cid, cv, math.sqrt(acc))
-      }
-      .sortBy(_._1)
+    val cents = collectCentroids(centroids, idCol, vecCol)
     require(cents.nonEmpty, "ivfTopK needs at least one centroid")
 
-    /** (csim, -cent_id) structs for every centroid — lexicographic
-      * max/sort picks best similarity, ties to the LOWER id. */
     def cellStructs(vec: Column, nrm: Column): Seq[Column] =
-      cents.toSeq.map { case (cid, cv, cnorm) =>
-        F.struct(
-          F.round(dot(vec, F.typedlit(cv)) / (nrm * F.lit(cnorm)), 6).as("csim"),
-          F.lit(-cid).as("neg_id"))
-      }
+      centStructs(cents, vec, nrm)
 
     val corpusCells = corpus
       .select(F.col(idCol).as("match_id"), F.col(vecCol).as("c_vec"),
@@ -396,6 +378,72 @@ object Similarity {
       .withColumn("rank", F.row_number().over(w).cast("long"))
       .filter(F.col("rank") <= k)
       .select("query_id", "match_id", "sim", "rank")
+  }
+
+  /** Centroid frame → (id, vec, norm) literals, sorted by id.
+    * Centroids are small by contract: one driver collect, then
+    * literal vectors (precomputed norms) — never a per-row join.
+    * Norm arithmetic matches [[norm]]: left-to-right double
+    * accumulation over float values. */
+  private def collectCentroids(centroids: DataFrame, idCol: String,
+                               vecCol: String): Array[(Long, Seq[Float], Double)] =
+    centroids
+      .select(F.col(idCol).cast("long"), F.col(vecCol))
+      .collect()
+      .map { r =>
+        val cid = r.getLong(0)
+        val cv = r.getSeq[Float](1)
+        var acc = 0.0; cv.foreach(x => acc += x.toDouble * x.toDouble)
+        (cid, cv, math.sqrt(acc))
+      }
+      .sortBy(_._1)
+
+  /** (csim, -cent_id) structs for every centroid — lexicographic
+    * max/sort picks best similarity, ties to the LOWER id. Map-side
+    * argmax over centroid literals: zero exchange. */
+  private def centStructs(cents: Array[(Long, Seq[Float], Double)],
+                          vec: Column, nrm: Column): Seq[Column] =
+    cents.toSeq.map { case (cid, cv, cnorm) =>
+      F.struct(
+        F.round(dot(vec, F.typedlit(cv)) / (nrm * F.lit(cnorm)), 6).as("csim"),
+        F.lit(-cid).as("neg_id"))
+    }
+
+  /** SemDeDup-shaped embedding dedup: assign every vector to its
+    * cosine-nearest trained centroid (same map-side argmax as
+    * [[ivfTopK]] — zero exchange), score only WITHIN-cell pairs, and
+    * report every vector that has a >= `threshold` neighbor of lower
+    * id in its cell (keep-min-id, the [[graft.operators.Dedup]]
+    * convention). Output: `(vec_id, dup_of, sim)` — the dropped
+    * vector, its lowest-id duplicate, and that pair's cosine.
+    *
+    * Scale: this is the clustered formulation of embedding dedup —
+    * the pair space is bounded per cell (corpus²/k in expectation,
+    * vs corpus² brute force), and k grows with the corpus so cells
+    * stay ~constant-sized. The only shuffle is the equi-join on the
+    * cell id; no all-pairs join exists at any k. */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, idCol: String,
+               vecCol: String, threshold: Double): DataFrame = {
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    require(cents.nonEmpty, "semDedup needs at least one centroid")
+    val cells = corpus
+      .select(F.col(idCol).cast("long").as("id"), F.col(vecCol).as("vec"),
+        norm(F.col(vecCol)).as("nrm"))
+      .withColumn("cell",
+        -F.array_max(F.array(centStructs(cents, F.col("vec"), F.col("nrm")): _*))
+          .getField("neg_id"))
+    val a = cells.select(F.col("cell"), F.col("id").as("id_a"),
+      F.col("vec").as("vec_a"), F.col("nrm").as("nrm_a"))
+    val b = cells.select(F.col("cell"), F.col("id").as("id_b"),
+      F.col("vec").as("vec_b"), F.col("nrm").as("nrm_b"))
+    a.join(b, Seq("cell"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .withColumn("sim", F.round(
+        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6))
+      .filter(F.col("sim") >= threshold)
+      .groupBy(F.col("id_b").as("vec_id"))
+      .agg(F.min("id_a").as("dup_of"),
+        F.min_by(F.col("sim"), F.col("id_a")).as("sim"))
   }
 
   /** Deterministic spherical Lloyd k-means over the embedding column —

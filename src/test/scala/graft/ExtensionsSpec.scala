@@ -240,6 +240,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(rk >= rs - 0.05, f"kmeans recall $rk%.2f below stride $rs%.2f")
   }
 
+  test("semDedup drops exactly the higher-id member of a planted near-dup pair") {
+    import spark.implicits._
+    // vectors 10 and 20 are near-identical (cosine ~0.9999), vector 30
+    // is orthogonal to both; one centroid puts everything in one cell,
+    // so the cell assignment cannot mask a wrong pair/keep decision
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f, 0.1f)),
+      (20L, Array(1.0f, 0.01f, 0.1f)),
+      (30L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val oneCell = Seq((0L, Array(1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val dropped = Similarity.semDedup(vecs, oneCell, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // keep-min: 20 is reported as a dup of 10; neither 10 nor 30 drops
+    assert(dropped == Set((20L, 10L)), s"got $dropped")
+  }
+
   test("x_ann_kmeans graded config holds recall@10 >= 0.9") {
     // the fixture's embeddings are isotropic (same-label mean cosine
     // ~0.002), so recall is structurally ~nprobe/k for ANY cell
