@@ -518,6 +518,42 @@ object Extensions {
           F.sum(F.length(F.col("text")).cast("long")).as("sum_text_chars"))
     }),
 
+    // CSV twin of the ingest round-trip — the format where quoting
+    // and embedded delimiters actually bite. RFC4180-style escape
+    // (quote doubled as "") on BOTH sides, multiLine read so embedded
+    // newlines would survive too; the same parquet-side oracle proves
+    // losslessness through sum(length(text)).
+    "x_source_csv" -> ((s, dir) => {
+      val scan = Tables.scan(s, dir, "documents")
+      val out = s"/tmp/graft_csv_${new java.io.File(dir).getName}"
+      scan.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"").csv(out)
+      s.read.schema(scan.schema)
+        .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true").csv(out)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("sum_text_chars"))
+    }),
+
+    // graded small-file compaction: fragment documents into 64 tiny
+    // files (the long-running-ingest shape), byte-size compact them,
+    // and aggregate the compacted copy — the oracle aggregates the
+    // original table, so equality proves compaction is row-lossless
+    // while LayoutSpec separately pins the file-count contract.
+    "x_compaction" -> ((s, dir) => {
+      val base = s"/tmp/graft_compact_${new java.io.File(dir).getName}"
+      Tables.scan(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(s"$base/frag")
+      Layout.compact(s, s"$base/frag", s"$base/out",
+        targetFileBytes = 512L * 1024)
+      s.read.parquet(s"$base/out")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"))
+    }),
+
     // ---- events: windowed aggregation (batch) + streaming twin ----
     "x_window_tumbling" -> ((s, dir) =>
       EventWindows.tumblingHourly(Tables.scan(s, dir, "events"))),
@@ -1726,6 +1762,17 @@ object Extensions {
         ("SELECT source, count(*) AS n_docs, " +
           "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
           "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars " +
+          "FROM documents GROUP BY 1"),
+      // same oracle as the JSONL twin — both formats must reproduce
+      // the parquet original exactly
+      "x_source_csv" ->
+        ("SELECT source, count(*) AS n_docs, " +
+          "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+          "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars " +
+          "FROM documents GROUP BY 1"),
+      "x_compaction" ->
+        ("SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
           "FROM documents GROUP BY 1"),
       "x_window_tumbling" ->
         ("SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
