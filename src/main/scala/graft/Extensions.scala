@@ -537,6 +537,20 @@ object Extensions {
           F.sum(F.length(F.col("text")).cast("long")).as("sum_text_chars"))
     }),
 
+    // ORC twin — the third interchange format (columnar like the
+    // parquet native path, so this also covers the ORC reader/writer
+    // codepath end-to-end); same lossless-round-trip oracle
+    "x_source_orc" -> ((s, dir) => {
+      val scan = Tables.scan(s, dir, "documents")
+      val out = s"/tmp/graft_orc_${new java.io.File(dir).getName}"
+      scan.write.mode("overwrite").orc(out)
+      s.read.schema(scan.schema).orc(out)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("sum_text_chars"))
+    }),
+
     // graded small-file compaction: fragment documents into 64 tiny
     // files (the long-running-ingest shape), byte-size compact them,
     // and aggregate the compacted copy — the oracle aggregates the
@@ -1766,6 +1780,11 @@ object Extensions {
       // same oracle as the JSONL twin — both formats must reproduce
       // the parquet original exactly
       "x_source_csv" ->
+        ("SELECT source, count(*) AS n_docs, " +
+          "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+          "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars " +
+          "FROM documents GROUP BY 1"),
+      "x_source_orc" ->
         ("SELECT source, count(*) AS n_docs, " +
           "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
           "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars " +

@@ -256,6 +256,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(dropped == Set((20L, 10L)), s"got $dropped")
   }
 
+  test("semDedup is idempotent: the kept corpus has nothing left to drop") {
+    import spark.implicits._
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 10, iters = 3)
+    val dropped = Similarity.semDedup(emb, cents, "vec_id", "embedding", 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    // a kept vector had no >= tau lower-id neighbor in its cell;
+    // removing OTHER vectors can only shrink the pair set, so a second
+    // pass over the kept corpus must drop nothing
+    val kept = emb.filter(!F.col("vec_id").isin(dropped.toSeq: _*))
+    val second = Similarity.semDedup(kept, cents, "vec_id", "embedding", 0.4)
+    assert(second.isEmpty, s"second pass dropped ${second.count()} vectors")
+  }
+
   test("x_ann_kmeans graded config holds recall@10 >= 0.9") {
     // the fixture's embeddings are isotropic (same-label mean cosine
     // ~0.002), so recall is structurally ~nprobe/k for ANY cell
