@@ -18,8 +18,13 @@ object Bench {
     // never sets it, so graded runs always cover the full set
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // a typo'd name must error loudly, not silently bench nothing
+    // a typo'd (or all-empty, e.g. ",") selection must error loudly,
+    // not silently bench nothing
     only.foreach { sel =>
+      if (sel.isEmpty) {
+        System.err.println("[bench] SPARK_GRAFT_BENCH_ONLY selects no queries")
+        sys.exit(2)
+      }
       val unknown = sel -- SparkEntry.queries.keySet
       if (unknown.nonEmpty) {
         System.err.println("[bench] unknown SPARK_GRAFT_BENCH_ONLY names: " +

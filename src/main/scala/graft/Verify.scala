@@ -16,6 +16,10 @@ object Verify {
     // ~130 "no spark output" lines from check.py — fail fast instead
     // (same guard as Bench's SPARK_GRAFT_BENCH_ONLY)
     only.foreach { sel =>
+      if (sel.isEmpty) {
+        System.err.println("[verify] query-name filter selects no queries")
+        sys.exit(2)
+      }
       val unknown = sel -- SparkEntry.queries.keySet
       if (unknown.nonEmpty) {
         System.err.println("[verify] unknown query names: " +
