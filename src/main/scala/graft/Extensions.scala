@@ -860,6 +860,30 @@ object Extensions {
             .cast("double"))
     }),
 
+    // first/last/nth_value over the full partition frame — the
+    // "entry/exit/second-touch" profile per user. Ordering is the µs
+    // instant (matching the oracle's epoch_us truncation of the ns
+    // fixture) tie-broken by event_id, so both engines see one total
+    // order; one row per user via rn = 1 on the same ordering.
+    "x_window_firstlast" -> ((s, dir) => {
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id"))
+      val full = ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.scan(s, dir, "events")
+        .select(
+          F.col("user_id"),
+          F.row_number().over(ord).as("rn"),
+          F.first(F.col("event_type")).over(full).as("first_type"),
+          F.last(F.col("event_type")).over(full).as("last_type"),
+          F.nth_value(F.col("event_type"), 2).over(full).as("second_type"),
+          F.count(F.lit(1)).over(full).cast("long").as("n_events"))
+        .filter(F.col("rn") === 1)
+        .drop("rn")
+    }),
+
     // calendar-spine gap fill: a generated date spine × the observed
     // event types, left-joined to daily counts so silent days appear
     // as explicit zeros — the "no data IS data" contract every
@@ -2004,6 +2028,17 @@ object Extensions {
           "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
           "AS DOUBLE) AS trailing_1h " +
           "FROM events WHERE event_type = 'purchase'"),
+      "x_window_firstlast" ->
+        ("SELECT user_id, first_type, last_type, second_type, n_events FROM (" +
+          "SELECT user_id, row_number() OVER w AS rn, " +
+          "first_value(event_type) OVER wf AS first_type, " +
+          "last_value(event_type) OVER wf AS last_type, " +
+          "nth_value(event_type, 2) OVER wf AS second_type, " +
+          "CAST(count(*) OVER wf AS BIGINT) AS n_events FROM events " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), " +
+          "wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)" +
+          ") WHERE rn = 1"),
       // generate_series is DuckDB's spine; the left join + coalesce 0
       // mirrors the Spark side exactly
       "x_gap_fill" ->
