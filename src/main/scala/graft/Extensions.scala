@@ -509,7 +509,7 @@ object Extensions {
     // sum(length(text)), which any broken string escaping would move.
     "x_source_jsonl" -> ((s, dir) => {
       val scan = Tables.scan(s, dir, "documents")
-      val out = s"/tmp/graft_jsonl_${new java.io.File(dir).getName}"
+      val out = Workspace.dir(s"jsonl_${new java.io.File(dir).getName}")
       scan.write.mode("overwrite").json(out)
       s.read.schema(scan.schema).json(out)
         .groupBy("source")
@@ -525,7 +525,7 @@ object Extensions {
     // losslessness through sum(length(text)).
     "x_source_csv" -> ((s, dir) => {
       val scan = Tables.scan(s, dir, "documents")
-      val out = s"/tmp/graft_csv_${new java.io.File(dir).getName}"
+      val out = Workspace.dir(s"csv_${new java.io.File(dir).getName}")
       scan.write.mode("overwrite")
         .option("header", "true").option("escape", "\"").csv(out)
       s.read.schema(scan.schema)
@@ -542,7 +542,7 @@ object Extensions {
     // codepath end-to-end); same lossless-round-trip oracle
     "x_source_orc" -> ((s, dir) => {
       val scan = Tables.scan(s, dir, "documents")
-      val out = s"/tmp/graft_orc_${new java.io.File(dir).getName}"
+      val out = Workspace.dir(s"orc_${new java.io.File(dir).getName}")
       scan.write.mode("overwrite").orc(out)
       s.read.schema(scan.schema).orc(out)
         .groupBy("source")
@@ -557,7 +557,7 @@ object Extensions {
     // original table, so equality proves compaction is row-lossless
     // while LayoutSpec separately pins the file-count contract.
     "x_compaction" -> ((s, dir) => {
-      val base = s"/tmp/graft_compact_${new java.io.File(dir).getName}"
+      val base = Workspace.dir(s"compact_${new java.io.File(dir).getName}")
       Tables.scan(s, dir, "documents").repartition(64)
         .write.mode("overwrite").parquet(s"$base/frag")
       Layout.compact(s, s"$base/frag", s"$base/out",
@@ -675,7 +675,8 @@ object Extensions {
           val payload =
             if (id % 5 == 0)
               Multimodal.syntheticPng((8 + id % 7).toInt, (5 + id % 11).toInt)
-            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            else Option(text).getOrElse("") // NULL text → empty payload (stub path), not NPE
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           (id, payload)
         })
         .toDF("doc_id", "payload")
@@ -1236,11 +1237,12 @@ object Extensions {
     })
   )
 
-  /** Scratch dir for layout materializations — unique per SF dir so
-    * concurrent runs at different scales don't collide; the writers'
-    * overwrite mode keeps re-runs idempotent. */
+  /** Scratch dir for layout materializations — per-process root (no
+    * cross-JVM collisions, see [[Workspace]]), suffixed by the SF-dir
+    * basename so one process grading multiple scales keeps outputs
+    * apart; the writers' overwrite mode keeps re-runs idempotent. */
   private def layoutDir(sfDir: String, name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${name}_${new java.io.File(sfDir).getName}"
+    Workspace.dir(s"${name}_${new java.io.File(sfDir).getName}")
 
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
@@ -1892,8 +1894,9 @@ object Extensions {
           "WHERE q.vec_id < 5) WHERE rank <= 10"),
       "x_multimodal_meta" ->
         ("SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum, " +
-          "CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 960 AS INTEGER) AS width, " +
-          "CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 960 AS INTEGER) AS height " +
+          // coalesce mirrors the Spark side's NULL-text → empty-payload guard
+          "CAST(64 + CAST('0x' || substr(md5(coalesce(text, '')), 1, 4) AS BIGINT) % 960 AS INTEGER) AS width, " +
+          "CAST(64 + CAST('0x' || substr(md5(coalesce(text, '')), 5, 4) AS BIGINT) % 960 AS INTEGER) AS height " +
           "FROM documents"),
       // replays the md5-derived stub feature math (4 hex chars per
       // dim → [-1,1) on an exact 1e-3 grid); dim cast to INTEGER to
@@ -1924,8 +1927,9 @@ object Extensions {
           s"FROM documents WHERE doc_id < $MM_DECODE_DOCS AND doc_id % 5 = 0 " +
           "UNION ALL " +
           "SELECT doc_id, " +
-          "CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 960 AS INTEGER) AS width, " +
-          "CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 960 AS INTEGER) AS height " +
+          // coalesce mirrors the Spark side's NULL-text → empty-payload guard
+          "CAST(64 + CAST('0x' || substr(md5(coalesce(text, '')), 1, 4) AS BIGINT) % 960 AS INTEGER) AS width, " +
+          "CAST(64 + CAST('0x' || substr(md5(coalesce(text, '')), 5, 4) AS BIGINT) % 960 AS INTEGER) AS height " +
           s"FROM documents WHERE doc_id < $MM_DECODE_DOCS AND doc_id % 5 <> 0"),
       "x_decontaminate" -> deconSql,
       // the Bloom variant is result-identical by construction (no

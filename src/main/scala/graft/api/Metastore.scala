@@ -29,8 +29,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Metastore {
 
+  /** Opt-out accepts the common falsy spellings case-insensitively —
+    * "FALSE" or "off" silently enabling the metastore would be the
+    * opposite of user intent. */
   def enabled: Boolean =
-    sys.env.get("SPARK_GRAFT_HMS").forall(v => v != "0" && v != "false")
+    sys.env.get("SPARK_GRAFT_HMS").forall { v =>
+      !Set("0", "false", "no", "off").contains(v.trim.toLowerCase)
+    }
 
   /** Metastore root (Derby db + warehouse + derby.log live under it).
     * A default (un-pinned) root is temp-per-JVM and best-effort

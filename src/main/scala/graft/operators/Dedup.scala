@@ -429,12 +429,26 @@ object Dedup {
     // `reliableCheckpointDir` set, every pin goes through a reliable
     // `checkpoint()` to that (HDFS/object-store) directory instead —
     // the 100-TB configuration: a lost executor re-reads pinned state
-    // from storage and the loop survives. NOTE setCheckpointDir is
-    // SparkContext-GLOBAL: it redirects every later checkpoint() in
-    // the application, and concurrent callers passing different dirs
-    // race — single checkpoint root per application is the contract
-    // (the normal cluster posture anyway).
-    reliableCheckpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // from storage and the loop survives. setCheckpointDir is
+    // SparkContext-GLOBAL (it redirects every later checkpoint() in
+    // the application), so NEVER overwrite a root someone else set:
+    // set it only when unset, and when one is already pinned require
+    // it to match — concurrent callers with different dirs fail fast
+    // instead of silently redirecting each other's checkpoints.
+    reliableCheckpointDir.foreach { dir =>
+      val sc = pairs.sparkSession.sparkContext
+      sc.getCheckpointDir match {
+        case None => sc.setCheckpointDir(dir)
+        case Some(existing) =>
+          // the context normalizes the dir to a qualified URI +
+          // random child — match on prefix, not equality
+          require(existing.contains(new java.io.File(dir).getName) ||
+              existing.startsWith(dir) || existing.startsWith(s"file:$dir"),
+            s"SparkContext checkpoint dir already set to '$existing'; " +
+              s"refusing to redirect it to '$dir' — one checkpoint root " +
+              "per application (pass reliableCheckpointDir matching it)")
+      }
+    }
     def pin(df: DataFrame): DataFrame =
       if (reliableCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
     val edges = pairs.select(F.col("id_a").as("src"), F.col("id_b").as("dst"))

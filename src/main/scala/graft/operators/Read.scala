@@ -47,11 +47,24 @@ object Read {
     Tables.scan(spark, sfDir, table).select(key, value).distinct()
 
   /** O5 — materialized dictionary (driver-side; small results only,
-    * `model.php:1074-1082`). */
+    * `model.php:1074-1082`). The small-result contract is ENFORCED,
+    * not just documented (same discipline as `Similarity.ivfTopK`'s
+    * query collect): the limit() bounds the collect itself — at most
+    * maxDriverRows+1 rows ever reach the driver, pushed into the
+    * scan as a plan limit — so a huge table fails fast with a clear
+    * message instead of silently OOMing the driver at scale. */
   def selectMap(spark: SparkSession, sfDir: String, table: String,
-                key: String, value: String): Map[String, String] =
-    selectList(spark, sfDir, table, key, value)
-      .collect().map(r => String.valueOf(r.get(0)) -> String.valueOf(r.get(1))).toMap
+                key: String, value: String,
+                maxDriverRows: Int = 100000): Map[String, String] = {
+    val rows = selectList(spark, sfDir, table, key, value)
+      .limit(maxDriverRows + 1).collect()
+    require(rows.length <= maxDriverRows,
+      s"selectMap result exceeds maxDriverRows=$maxDriverRows rows: the " +
+        "keyed-dictionary form collects to the driver by contract. Use " +
+        "selectList (distributed) for large results, or raise " +
+        "maxDriverRows explicitly if the driver can hold it.")
+    rows.map(r => String.valueOf(r.get(0)) -> String.valueOf(r.get(1))).toMap
+  }
 
   /** A1 — total(): COUNT(*) over the QBE-filtered subquery
     * (`model.php:896-921`). Returned as a one-row frame so it can be

@@ -37,6 +37,20 @@ class CoverageSpec extends SparkSpec {
     assert(m.size == 5 && m.contains("0"))
   }
 
+  test("selectMap enforces the driver-collect bound (O5 guard)") {
+    // oversized result → fail fast with the contract message, never a
+    // silent full collect (mirrors ivfTopK's query-frame guard)
+    val e = intercept[IllegalArgumentException] {
+      Read.selectMap(spark, sf, "orders", "o_orderkey", "o_orderstatus",
+        maxDriverRows = 10)
+    }
+    assert(e.getMessage.contains("maxDriverRows"))
+    // at the bound, the dictionary still materializes
+    val m = Read.selectMap(spark, sf, "region", "r_regionkey", "r_name",
+      maxDriverRows = 5)
+    assert(m.size == 5)
+  }
+
   test("typed Dataset hydration (S9): case-class encoder over scan") {
     import spark.implicits._
     val ds = Tables.scan(spark, sf, "region").as[RegionRow]

@@ -515,6 +515,23 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("dupComponents refuses to redirect an already-set checkpoint root") {
+    import spark.implicits._
+    // the previous test left the SparkContext checkpoint root pointed
+    // at its (now-deleted) temp dir — global state, which is exactly
+    // what the guard protects: a second caller passing a DIFFERENT
+    // root must fail fast, not silently redirect everyone's
+    // checkpoint() calls
+    assume(spark.sparkContext.getCheckpointDir.isDefined)
+    val other = java.nio.file.Files.createTempDirectory("graft-ckpt2-").toString
+    val pairs = Seq((1L, 2L, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupComponents(pairs, reliableCheckpointDir = Some(other))
+    }
+    assert(e.getMessage.contains("checkpoint"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(other))
+  }
+
   test("ivfTopK enforces its small-query contract instead of collecting unbounded") {
     val queries = emb.filter(F.col("vec_id") < 5)
     val cents = emb.filter(F.col("vec_id") % 61 === 0)
