@@ -44,6 +44,10 @@ object Extensions {
   // planted near-dups — 0.4 keeps the dropped set non-empty at every
   // SF while staying far above the isotropic background (~0.0)
   private val SEMDEDUP_TAU = 0.4
+  // x_semdedup_capped cell cap: below every kmeans cell size at every
+  // SF (cells are ~n/k = 50-200 members), so the capped path always
+  // engages in the graded query
+  private val SEMDEDUP_CAP = 32
   private val ANN_KMEANS_NPROBE = 8
   private val DECON_N = 4 // decontamination n-gram width
   private val DECON_MOD = 41 // benchmark split: doc_id % DECON_MOD == 0
@@ -499,6 +503,20 @@ object Extensions {
       val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
         k = ANN_KMEANS_K, iters = ANN_KMEANS_ITERS)
       Similarity.semDedup(emb, cents, "vec_id", "embedding", SEMDEDUP_TAU)
+    }),
+
+    // capped-cell SemDeDup: the hot-cell guard exercised for real —
+    // the cap (32) is below every kmeans cell size at every SF, so
+    // ALL members take the hash-block + representative path, and the
+    // oracle replays the exact split (portable md5 blocks, min-id
+    // rep) on top of the replayed Lloyd training. The uncapped twin
+    // above pins the default path; together they grade both branches.
+    "x_semdedup_capped" -> ((s, dir) => {
+      val emb = Tables.scan(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = ANN_KMEANS_K, iters = ANN_KMEANS_ITERS)
+      Similarity.semDedup(emb, cents, "vec_id", "embedding", SEMDEDUP_TAU,
+        maxCellSize = SEMDEDUP_CAP)
     }),
 
     // raw-corpus ingest format: documents round-trip through a
@@ -1455,6 +1473,43 @@ object Extensions {
       "SELECT id_b AS vec_id, min(id_a) AS dup_of, arg_min(sim, id_a) AS sim " +
       s"FROM prs WHERE sim >= $tau GROUP BY 1"
 
+  /** DuckDB twin of [[Similarity.semDedup]] WITH the hot-cell cap:
+    * replays the deterministic md5 id-split into ~cap blocks and the
+    * min-id representative pass exactly (duplicate pairs across the
+    * two branches are harmless under min/arg_min, same as Spark). */
+  private def semDedupCappedSql(kc: Int, iters: Int, tau: Double,
+                                cap: Int): String =
+    kmeansCentsSql(kc, iters) +
+      "asgn AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cent_id, " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cent_id ASC) AS rn " +
+      "FROM embeddings e CROSS JOIN cents c), " +
+      "cells0 AS (SELECT vec_id, v, cent_id FROM asgn WHERE rn = 1), " +
+      "cn AS (SELECT cent_id, count(*) AS cell_n FROM cells0 GROUP BY 1), " +
+      "cl AS (SELECT c.vec_id, c.v, c.cent_id, n.cell_n, " +
+      s"CASE WHEN n.cell_n > $cap THEN " +
+      "CAST('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15) AS BIGINT) " +
+      s"% CAST(ceil(n.cell_n / CAST($cap AS DOUBLE)) AS BIGINT) " +
+      "ELSE CAST(0 AS BIGINT) END AS blk " +
+      "FROM cells0 c JOIN cn n USING (cent_id)), " +
+      "sp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "round(list_cosine_similarity(a.v, b.v), 6) AS sim " +
+      "FROM cl a JOIN cl b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id " +
+      s"WHERE a.cell_n <= $cap), " +
+      "bp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "round(list_cosine_similarity(a.v, b.v), 6) AS sim " +
+      "FROM cl a JOIN cl b ON a.cent_id = b.cent_id AND a.blk = b.blk " +
+      s"AND a.vec_id < b.vec_id WHERE a.cell_n > $cap), " +
+      s"rp0 AS (SELECT cent_id, min(vec_id) AS rep FROM cl WHERE cell_n > $cap GROUP BY 1), " +
+      "rp AS (SELECT r.rep AS id_a, m.vec_id AS id_b, " +
+      "round(list_cosine_similarity(rv.v, m.v), 6) AS sim " +
+      "FROM rp0 r JOIN cl rv ON rv.cent_id = r.cent_id AND rv.vec_id = r.rep " +
+      "JOIN cl m ON m.cent_id = r.cent_id AND m.vec_id > r.rep), " +
+      "prs AS (SELECT * FROM sp UNION ALL SELECT * FROM bp UNION ALL SELECT * FROM rp) " +
+      "SELECT id_b AS vec_id, min(id_a) AS dup_of, arg_min(sim, id_a) AS sim " +
+      s"FROM prs WHERE sim >= $tau GROUP BY 1"
+
   def oracleSql: Map[String, String] = {
     val mhMins = mhMinsSql
     val bandRows = bandRowsSql(MINHASH_BANDS)
@@ -1794,6 +1849,8 @@ object Extensions {
       "x_ann_kmeans" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
         ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES),
       "x_semdedup" -> semDedupSql(ANN_KMEANS_K, ANN_KMEANS_ITERS, SEMDEDUP_TAU),
+      "x_semdedup_capped" -> semDedupCappedSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
+        SEMDEDUP_TAU, SEMDEDUP_CAP),
       // the oracle aggregates the PARQUET table; the Spark side
       // aggregates the JSONL round-trip of it — equality proves the
       // sink+source pair is lossless (sums cast: DuckDB sum(BIGINT)

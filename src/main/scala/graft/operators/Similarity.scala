@@ -421,29 +421,87 @@ object Similarity {
     * the pair space is bounded per cell (corpus²/k in expectation,
     * vs corpus² brute force), and k grows with the corpus so cells
     * stay ~constant-sized. The only shuffle is the equi-join on the
-    * cell id; no all-pairs join exists at any k. */
+    * cell id; no all-pairs join exists at any k.
+    *
+    * `maxCellSize` bounds the WORST case too: natural embedding
+    * distributions are clustered, and one hot cell holding p% of the
+    * corpus would otherwise produce (pN)² within-cell pairs —
+    * quadratic blowup on exactly the data that most needs dedup.
+    * Cells over the cap are hash-split on the id into ~cap-sized
+    * blocks (a deterministic md5 split — no skewed window sort, no
+    * RNG), pairs are scored exactly within each block, and every
+    * member is additionally scored against the cell's min-id
+    * representative. Pair volume per cell is thereby ≤
+    * size·(cap + 1) instead of size²; a duplicate-dense hot cell
+    * (the case the cap exists for) still resolves every member to
+    * the true min-id duplicate through the representative pass,
+    * while cross-block near-dup pairs whose similarity to the
+    * representative falls below threshold are the documented
+    * approximation — the same graceful-degradation trade production
+    * SemDeDup makes by capping or sub-sampling oversized clusters. */
   def semDedup(corpus: DataFrame, centroids: DataFrame, idCol: String,
-               vecCol: String, threshold: Double): DataFrame = {
-    val cents = collectCentroids(centroids, idCol, vecCol)
-    require(cents.nonEmpty, "semDedup needs at least one centroid")
-    val cells = corpus
-      .select(F.col(idCol).cast("long").as("id"), F.col(vecCol).as("vec"),
-        norm(F.col(vecCol)).as("nrm"))
-      .withColumn("cell",
-        -F.array_max(F.array(centStructs(cents, F.col("vec"), F.col("nrm")): _*))
-          .getField("neg_id"))
-    val a = cells.select(F.col("cell"), F.col("id").as("id_a"),
-      F.col("vec").as("vec_a"), F.col("nrm").as("nrm_a"))
-    val b = cells.select(F.col("cell"), F.col("id").as("id_b"),
-      F.col("vec").as("vec_b"), F.col("nrm").as("nrm_b"))
-    a.join(b, Seq("cell"))
-      .filter(F.col("id_a") < F.col("id_b"))
+               vecCol: String, threshold: Double,
+               maxCellSize: Int = 1 << 20): DataFrame =
+    semDedupCandidates(corpus, centroids, idCol, vecCol, maxCellSize)
       .withColumn("sim", F.round(
         dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6))
       .filter(F.col("sim") >= threshold)
       .groupBy(F.col("id_b").as("vec_id"))
       .agg(F.min("id_a").as("dup_of"),
         F.min_by(F.col("sim"), F.col("id_a")).as("sim"))
+
+  /** Candidate pair frame behind [[semDedup]] — exposed package-side
+    * so the spec can pin the capped path's pair-volume bound
+    * directly. Emits (id_a, vec_a, nrm_a, id_b, vec_b, nrm_b) with
+    * id_a < id_b; duplicate pairs across the block/representative
+    * branches are harmless (the consumer aggregates with min). */
+  private[graft] def semDedupCandidates(corpus: DataFrame, centroids: DataFrame,
+                                        idCol: String, vecCol: String,
+                                        maxCellSize: Int): DataFrame = {
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    require(cents.nonEmpty, "semDedup needs at least one centroid")
+    require(maxCellSize >= 2, s"maxCellSize=$maxCellSize must be >= 2")
+    val cells = corpus
+      .select(F.col(idCol).cast("long").as("id"), F.col(vecCol).as("vec"),
+        norm(F.col(vecCol)).as("nrm"))
+      .withColumn("cell",
+        -F.array_max(F.array(centStructs(cents, F.col("vec"), F.col("nrm")): _*))
+          .getField("neg_id"))
+    // cell-size audit frame is k rows — broadcast it back onto the
+    // members; the only corpus-sized shuffles below key on (cell) or
+    // (cell, blk), never on anything pair-shaped
+    val sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).as("cell_n"))
+    val tagged = cells.join(F.broadcast(sizes), Seq("cell"))
+    def sideA(df: DataFrame, keys: String*): DataFrame =
+      df.select(keys.map(F.col) :+ F.col("id").as("id_a") :+
+        F.col("vec").as("vec_a") :+ F.col("nrm").as("nrm_a"): _*)
+    def sideB(df: DataFrame, keys: String*): DataFrame =
+      df.select(keys.map(F.col) :+ F.col("id").as("id_b") :+
+        F.col("vec").as("vec_b") :+ F.col("nrm").as("nrm_b"): _*)
+    val pairCols = Seq("id_a", "vec_a", "nrm_a", "id_b", "vec_b", "nrm_b")
+      .map(F.col)
+    val small = tagged.filter(F.col("cell_n") <= maxCellSize)
+    val smallPairs = sideA(small, "cell").join(sideB(small, "cell"), Seq("cell"))
+      .filter(F.col("id_a") < F.col("id_b")).select(pairCols: _*)
+    // oversized cells: deterministic ~cap-sized hash blocks. ceil
+    // keeps expected block size under the cap; the md5 split is
+    // portable (oracle-replayable) and avoids the one-task window
+    // sort a rank-based split would force onto the hot cell.
+    val big = tagged.filter(F.col("cell_n") > maxCellSize)
+      .withColumn("blk", graft.functions.Text.hash60(F.col("id")) %
+        F.ceil(F.col("cell_n") / F.lit(maxCellSize.toDouble)).cast("long"))
+    val blockPairs = sideA(big, "cell", "blk")
+      .join(sideB(big, "cell", "blk"), Seq("cell", "blk"))
+      .filter(F.col("id_a") < F.col("id_b")).select(pairCols: _*)
+    // representative pass: the cell's min-id member vs every other
+    // member — one extra comparison per member, and the reason an
+    // all-duplicates hot cell still resolves exactly (everyone meets
+    // the true min-id duplicate regardless of block)
+    val reps = big.groupBy("cell").agg(F.min("id").as("id"))
+      .join(big, Seq("cell", "id")) // ≤ k rep rows rehydrated with vectors
+    val repPairs = F.broadcast(sideA(reps, "cell")).join(sideB(big, "cell"), Seq("cell"))
+      .filter(F.col("id_a") < F.col("id_b")).select(pairCols: _*)
+    smallPairs.unionByName(blockPairs).unionByName(repPairs)
   }
 
   /** Deterministic spherical Lloyd k-means over the embedding column —

@@ -256,6 +256,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(dropped == Set((20L, 10L)), s"got $dropped")
   }
 
+  test("semDedup caps hot cells: bounded per-task pairs, exact on all-duplicates") {
+    import spark.implicits._
+    // the pathological SemDeDup input: EVERY vector identical, so one
+    // natural cluster holds the whole corpus — uncapped, that is
+    // C(600,2) ≈ 180k within-cell pairs and the quadratic blowup the
+    // cap exists to prevent
+    val n = 600; val cap = 50
+    val vec = Array(1.0f, 0.25f, 0.5f)
+    val corpus = (0L until n.toLong).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val oneCell = Seq((0L, vec)).toDF("vec_id", "embedding")
+    // pair volume is bounded ~n·cap (blocks) + n (rep pass), far
+    // under the quadratic: 2·n·cap leaves room for hash-block
+    // variance while still being 3× under C(n,2)
+    val cand = Similarity.semDedupCandidates(corpus, oneCell,
+      "vec_id", "embedding", maxCellSize = cap)
+    val nPairs = cand.count()
+    assert(nPairs <= 2L * n * cap,
+      s"capped candidates $nPairs exceed the ~n·cap bound (naive = ${n.toLong * (n - 1) / 2})")
+    // per-TASK bound: replay the md5 block split; the largest hash
+    // block caps any single join task's pair count at C(max, 2)
+    val nsplits = math.ceil(n.toDouble / cap).toLong
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val blockSizes = (0L until n.toLong).groupBy { id =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % nsplits
+    }.values.map(_.size)
+    assert(blockSizes.max <= 2 * cap,
+      s"largest hash block ${blockSizes.max} regrows the quadratic")
+    // graceful degradation is EXACT here: through the representative
+    // pass every member still resolves to the true min-id duplicate —
+    // identical output to the uncapped run
+    val capped = Similarity.semDedup(corpus, oneCell, "vec_id", "embedding",
+        0.9, maxCellSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(capped.size == n - 1 && capped.forall(_._2 == 0L), s"got ${capped.size} drops")
+    val uncapped = Similarity.semDedup(corpus, oneCell, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(capped == uncapped)
+  }
+
   test("semDedup is idempotent: the kept corpus has nothing left to drop") {
     import spark.implicits._
     val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
