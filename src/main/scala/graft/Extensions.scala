@@ -643,6 +643,17 @@ object Extensions {
     // join state): clicks ⋈ same-user purchases ≤ 2 h before
     "x_stream_join" -> ((s, dir) =>
       EventWindows.streamingIntervalJoin(s, dir)),
+    // LEFT OUTER twin — the "no match within the window" production
+    // shape (abandoned-cart / missing-ack detection): a matchless
+    // click is emitted with NULL purchase columns once the watermark
+    // proves no future purchase can still join it. Clicks too close
+    // to the end of the finite fixture (ts at/after the final
+    // watermark) never get that proof and are excluded — the oracle
+    // applies the same watermark-closed discipline as the _append
+    // window twins.
+    "x_stream_join_outer" -> ((s, dir) =>
+      EventWindows.streamingIntervalJoin(s, dir,
+        queryName = "stream_join_outer", joinType = "left_outer")),
 
     // Aggregator-based top-k: identical output to x_embed_topk via a
     // typed TopKAggregator (map-side bounded heaps) instead of a
@@ -2034,6 +2045,33 @@ object Extensions {
           "FROM events c JOIN events p ON c.event_type = 'click' " +
           "AND p.event_type = 'purchase' AND p.user_id = c.user_id " +
           "AND p.ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts"),
+      // LEFT OUTER twin: matched rows are the inner result verbatim;
+      // a matchless click appears (NULL purchase columns) only when
+      // the final watermark passed its ts — the no-match proof
+      // Structured Streaming needs before a null emission, since a
+      // purchase may join at-or-before the click's own timestamp.
+      // The watermark replay is exact: Catalyst pushes the
+      // event-type filter BELOW each side's watermark node, so each
+      // side tracks only its own substream's max event time
+      // (millisecond-floored, the engine's watermark unit) and the
+      // global watermark is the MIN of the two sides minus the
+      // 10-minute delay. Matchless clicks at/after that point never
+      // get their proof on a finite stream and are excluded on both
+      // engines (boundary verified empirically against the running query).
+      "x_stream_join_outer" ->
+        ("WITH wmc AS (SELECT make_timestamp(((epoch_ns(max(ts)) // 1000000) - 600000) * 1000) AS w " +
+          "FROM events WHERE event_type = 'click'), " +
+          "wmp AS (SELECT make_timestamp(((epoch_ns(max(ts)) // 1000000) - 600000) * 1000) AS w " +
+          "FROM events WHERE event_type = 'purchase'), " +
+          "wm AS (SELECT least((SELECT w FROM wmc), (SELECT w FROM wmp)) AS w) " +
+          "SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, " +
+          "p.event_id AS purchase_id, p.ts AS purchase_ts, " +
+          "p.value AS p_value " +
+          "FROM events c LEFT JOIN events p ON " +
+          "p.event_type = 'purchase' AND p.user_id = c.user_id " +
+          "AND p.ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts " +
+          "WHERE c.event_type = 'click' AND (p.event_id IS NOT NULL " +
+          "OR c.ts < (SELECT w FROM wm))"),
       "x_scd2" ->
         ("SELECT event_id, user_id, ts, value, ts AS valid_from, " +
           "lead(ts) OVER w AS valid_to, " +
