@@ -788,6 +788,29 @@ object Extensions {
           .select("event_id", "user_id", "ts", "value"),
         "user_id", "ts", "event_id")),
 
+    // the consuming query SCD2 exists for: clicks joined to the
+    // purchase-history dimension on ts ∈ [valid_from, valid_to) —
+    // "which version of the user's state was current when this event
+    // happened". Half-open intervals so boundary facts match exactly
+    // one version; inner join (clicks before a user's first purchase
+    // have no covering version and drop out on both engines).
+    "x_scd2_lookup" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+      val dim = Temporal.scd2(
+        ev.filter(F.col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id")
+        .select(F.col("user_id"), F.col("valid_from"), F.col("valid_to"),
+          F.col("version"), F.col("value").as("dim_value"))
+      Temporal.scd2Lookup(
+        ev.filter(F.col("event_type") === "click")
+          .select(F.col("event_id").as("click_id"), F.col("user_id"),
+            F.col("ts").as("click_ts")),
+        dim, "user_id", "click_ts")
+        .select("click_id", "user_id", "click_ts", "version", "dim_value",
+          "valid_from")
+    }),
+
     // incremental aggregate refresh: a new ingest batch's partial
     // aggregate MERGES into the standing daily aggregate instead of
     // recomputing over the corpus — at 100 TB this is the difference
@@ -2079,6 +2102,20 @@ object Extensions {
           "(lead(ts) OVER w IS NULL) AS is_current " +
           "FROM events WHERE event_type = 'purchase' " +
           "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+      // same versioned dim as a CTE, consumed by the point-in-time
+      // interval predicate (half-open, NULL valid_to = current)
+      "x_scd2_lookup" ->
+        ("WITH dim AS (SELECT user_id, ts AS valid_from, " +
+          "lead(ts) OVER w AS valid_to, " +
+          "CAST(row_number() OVER w AS BIGINT) AS version, " +
+          "value AS dim_value " +
+          "FROM events WHERE event_type = 'purchase' " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+          "SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, " +
+          "d.version, d.dim_value, d.valid_from " +
+          "FROM events c JOIN dim d ON c.event_type = 'click' " +
+          "AND d.user_id = c.user_id AND c.ts >= d.valid_from " +
+          "AND (d.valid_to IS NULL OR c.ts < d.valid_to)"),
       // the merged incremental aggregate must equal the FULL
       // recompute — so the oracle just aggregates everything
       "x_incremental_agg" ->

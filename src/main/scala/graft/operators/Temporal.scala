@@ -123,4 +123,29 @@ object Temporal {
       .withColumn("version", F.row_number().over(w).cast("long"))
       .withColumn("is_current", F.col("valid_to").isNull)
   }
+
+  /** Point-in-time lookup against an [[scd2]] dimension — the
+    * consuming query SCD2 exists for: each fact row picks the
+    * dimension version whose validity interval covers its timestamp.
+    * Intervals are HALF-OPEN `[valid_from, valid_to)` (the current
+    * version's NULL `valid_to` is an open end), so a fact landing
+    * exactly on a version boundary matches exactly one version —
+    * `BETWEEN`'s closed upper end would double-match it.
+    *
+    * Plan shape: equi-join on the key with the interval as a
+    * residual filter — shuffles both sides once on the key (SMJ),
+    * which is the right 100-TB plan for a keyed dimension lookup:
+    * per-key version chains are short, so the residual scan per key
+    * is O(versions), never a range cross product. */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame, keyCol: String,
+                 tsCol: String): DataFrame = {
+    val d = dim.columns.foldLeft(dim)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
+    facts.join(d,
+      F.col(keyCol) === F.col(s"__d_$keyCol") &&
+        F.col(tsCol) >= F.col("__d_valid_from") &&
+        (F.col("__d_valid_to").isNull || F.col(tsCol) < F.col("__d_valid_to")))
+      .drop(s"__d_$keyCol")
+      .withColumnsRenamed(
+        d.columns.filter(_ != s"__d_$keyCol").map(c => c -> c.stripPrefix("__d_")).toMap)
+  }
 }
