@@ -519,6 +519,18 @@ object Extensions {
         maxCellSize = SEMDEDUP_CAP)
     }),
 
+    // cell-balance audit for the embedding index: the kmeans-cell
+    // population distribution (mirror of x_dedup_sizes for vectors) —
+    // the dashboard that spots the hot-cell condition the semdedup
+    // cap defends against and that sizes nprobe for the IVF queries.
+    // Cheap by design: one map-side argmax + two rollups.
+    "x_ann_cell_sizes" -> ((s, dir) => {
+      val emb = Tables.scan(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = ANN_KMEANS_K, iters = ANN_KMEANS_ITERS)
+      Similarity.cellSizes(emb, cents, "vec_id", "embedding")
+    }),
+
     // raw-corpus ingest format: documents round-trip through a
     // JSON-lines sink + explicit-schema source (the shape a training
     // corpus actually arrives in), then aggregate per source. The
@@ -563,6 +575,21 @@ object Extensions {
       val out = Workspace.dir(s"orc_${new java.io.File(dir).getName}")
       scan.write.mode("overwrite").orc(out)
       s.read.schema(scan.schema).orc(out)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("sum_text_chars"))
+    }),
+
+    // Avro twin — the row-oriented interchange format raw corpora
+    // commonly arrive in. No spark-avro module on this classpath, so
+    // the round-trip runs through graft's own Hadoop-connector IO
+    // (AvroKeyInput/OutputFormat); same lossless parquet-side oracle.
+    "x_source_avro" -> ((s, dir) => {
+      val scan = Tables.scan(s, dir, "documents")
+      val out = Workspace.dir(s"avro_${new java.io.File(dir).getName}")
+      graft.sources.AvroIO.write(scan, out)
+      graft.sources.AvroIO.read(s, out, scan.schema)
         .groupBy("source")
         .agg(F.count(F.lit(1)).as("n_docs"),
           F.sum(F.col("n_chars").cast("long")).as("sum_chars"),
@@ -1885,6 +1912,17 @@ object Extensions {
       "x_semdedup" -> semDedupSql(ANN_KMEANS_K, ANN_KMEANS_ITERS, SEMDEDUP_TAU),
       "x_semdedup_capped" -> semDedupCappedSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
         SEMDEDUP_TAU, SEMDEDUP_CAP),
+      // replayed Lloyd training + argmax assignment, rolled up twice
+      "x_ann_cell_sizes" ->
+        (kmeansCentsSql(ANN_KMEANS_K, ANN_KMEANS_ITERS) +
+          "asgn AS (SELECT e.vec_id, c.cent_id, " +
+          "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+          "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+          "CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cent_id ASC) AS rn " +
+          "FROM embeddings e CROSS JOIN cents c), " +
+          "cs AS (SELECT cent_id, count(*) AS cell_size " +
+          "FROM asgn WHERE rn = 1 GROUP BY 1) " +
+          "SELECT cell_size, count(*) AS n_cells FROM cs GROUP BY 1"),
       // the oracle aggregates the PARQUET table; the Spark side
       // aggregates the JSONL round-trip of it — equality proves the
       // sink+source pair is lossless (sums cast: DuckDB sum(BIGINT)
@@ -1894,8 +1932,13 @@ object Extensions {
           "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
           "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars " +
           "FROM documents GROUP BY 1"),
-      // same oracle as the JSONL twin — both formats must reproduce
-      // the parquet original exactly
+      // same oracle as the JSONL twin — every interchange format must
+      // reproduce the parquet original exactly
+      "x_source_avro" ->
+        ("SELECT source, count(*) AS n_docs, " +
+          "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+          "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars " +
+          "FROM documents GROUP BY 1"),
       "x_source_csv" ->
         ("SELECT source, count(*) AS n_docs, " +
           "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +

@@ -450,6 +450,36 @@ object Similarity {
       .agg(F.min("id_a").as("dup_of"),
         F.min_by(F.col("sim"), F.col("id_a")).as("sim"))
 
+  /** Cell assignment shared by [[semDedup]] and [[cellSizes]]: every
+    * corpus vector mapped to its cosine-nearest centroid with the
+    * same map-side argmax as [[ivfTopK]] (centroid literals, ties to
+    * the lower id) — zero exchange. Emits (cell, id, vec, nrm). */
+  private def assignCells(corpus: DataFrame, centroids: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    require(cents.nonEmpty, "cell assignment needs at least one centroid")
+    corpus
+      .select(F.col(idCol).cast("long").as("id"), F.col(vecCol).as("vec"),
+        norm(F.col(vecCol)).as("nrm"))
+      .withColumn("cell",
+        -F.array_max(F.array(centStructs(cents, F.col("vec"), F.col("nrm")): _*))
+          .getField("neg_id"))
+  }
+
+  /** Cell-balance audit for the kmeans/IVF index: the distribution of
+    * cell populations — (cell_size, n_cells) — the dashboard that
+    * detects the hot-cell skew [[semDedup]]'s `maxCellSize` defends
+    * against and that sizes `nprobe` for [[ivfTopK]]. One map-side
+    * argmax and two rollups (k-row intermediate): runs at corpus
+    * scan cost, no join anywhere. */
+  def cellSizes(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String): DataFrame =
+    assignCells(corpus, centroids, idCol, vecCol)
+      .groupBy("cell")
+      .agg(F.count(F.lit(1)).as("cell_size"))
+      .groupBy("cell_size")
+      .agg(F.count(F.lit(1)).as("n_cells"))
+
   /** Candidate pair frame behind [[semDedup]] — exposed package-side
     * so the spec can pin the capped path's pair-volume bound
     * directly. Emits (id_a, vec_a, nrm_a, id_b, vec_b, nrm_b) with
@@ -458,15 +488,8 @@ object Similarity {
   private[graft] def semDedupCandidates(corpus: DataFrame, centroids: DataFrame,
                                         idCol: String, vecCol: String,
                                         maxCellSize: Int): DataFrame = {
-    val cents = collectCentroids(centroids, idCol, vecCol)
-    require(cents.nonEmpty, "semDedup needs at least one centroid")
     require(maxCellSize >= 2, s"maxCellSize=$maxCellSize must be >= 2")
-    val cells = corpus
-      .select(F.col(idCol).cast("long").as("id"), F.col(vecCol).as("vec"),
-        norm(F.col(vecCol)).as("nrm"))
-      .withColumn("cell",
-        -F.array_max(F.array(centStructs(cents, F.col("vec"), F.col("nrm")): _*))
-          .getField("neg_id"))
+    val cells = assignCells(corpus, centroids, idCol, vecCol)
     // cell-size audit frame is k rows — broadcast it back onto the
     // members; the only corpus-sized shuffles below key on (cell) or
     // (cell, blk), never on anything pair-shaped
