@@ -469,6 +469,56 @@ class ExtensionsSpec extends SparkSpec {
     assert(out == Map(0L -> ((8, 5)), 5L -> ((13, 10)), 35L -> ((8, 7))))
   }
 
+  test("scd2Lookup: half-open intervals give a boundary fact exactly one version") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s).toLocalDateTime
+    val changes = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), 10.0),
+      (2L, 7L, ts("2024-01-01 12:00:00"), 20.0),
+      (3L, 8L, ts("2024-01-01 11:00:00"), 30.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val dim = graft.operators.Temporal.scd2(changes, "user_id", "ts", "event_id")
+      .select(F.col("user_id"), F.col("valid_from"), F.col("valid_to"),
+        F.col("version"), F.col("value").as("dim_value"))
+    val facts = Seq(
+      (100L, 7L, ts("2024-01-01 09:00:00")), // before v1 → no version
+      (101L, 7L, ts("2024-01-01 10:30:00")), // inside v1
+      (102L, 7L, ts("2024-01-01 12:00:00")), // ON the v1/v2 boundary → v2 only
+      (103L, 7L, ts("2024-01-01 23:00:00")), // current (open) version
+      (104L, 8L, ts("2024-01-01 11:00:00"))) // on its own valid_from → v1
+      .toDF("click_id", "user_id", "click_ts")
+    val out = graft.operators.Temporal
+      .scd2Lookup(facts, dim, "user_id", "click_ts")
+      .select("click_id", "version").as[(Long, Long)].collect().toMap
+    assert(out == Map(101L -> 1L, 102L -> 2L, 103L -> 2L, 104L -> 1L), s"got $out")
+    // one version per matched fact — the half-open contract
+    assert(out.size == 4)
+  }
+
+  test("AvroIO round-trips a flat schema including NULLs, rejects nested types") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("hello"), Option(1.5), Option(true)),
+      (2L, None, None, None),
+      (3L, Option("wörld✓"), Option(-0.25), Option(false)))
+      .toDF("id", "s", "d", "b")
+    val out = graft.Workspace.dir("avro_spec")
+    graft.sources.AvroIO.write(df, out)
+    val back = graft.sources.AvroIO.read(spark, out, df.schema)
+    assert(back.schema == df.schema)
+    val a = df.orderBy("id").collect().toSeq
+    val b = back.orderBy("id").collect().toSeq
+    assert(a == b, s"round-trip drift: $a vs $b")
+    // second write to the same path replaces the first (idempotent re-runs)
+    graft.sources.AvroIO.write(df.limit(2), out)
+    assert(graft.sources.AvroIO.read(spark, out, df.schema).count() == 2)
+    val nested = Seq((1L, Seq(1.0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.AvroIO.avroSchemaJson(nested.schema)
+    }
+    assert(e.getMessage.contains("flat"))
+  }
+
   test("scd2 intervals tile each key's timeline exactly") {
     val changes = Tables.scan(spark, sf, "events")
       .filter(F.col("event_type") === "purchase")
