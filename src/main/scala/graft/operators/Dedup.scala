@@ -390,6 +390,60 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Containment pairs: doc pairs where the SMALLER shingle set is at
+    * least `threshold` inside the other — `|A∩B| / min(|A|,|B|)`.
+    * This is the subsumption detector symmetric Jaccard structurally
+    * misses: a paragraph quoted inside a much longer document has
+    * near-1.0 containment but tiny Jaccard (the union is dominated by
+    * the long doc), so MinHash-LSH banding — which estimates Jaccard —
+    * never surfaces the pair. Training-data curation needs exactly
+    * this shape (boilerplate expansion, quote-inflation, doc-in-doc
+    * republication).
+    *
+    * Candidates come from a DF-CAPPED inverted-index self-join: terms
+    * are hashed once to 60-bit longs, document frequency is computed
+    * per term, and only terms with `df <= dfCap` block pairs. That
+    * bounds candidate volume at `Σ_{df≤cap} df² ≤ dfCap · Σ df` —
+    * LINEAR in corpus size × cap, never the quadratic `Σ df²` of an
+    * uncapped inverted join (stop-shingles are exactly the terms that
+    * would otherwise pair everything with everything). The exact
+    * intersection then runs over the FULL term frames but only for
+    * candidate pairs, same discipline as [[jaccardPairsLsh]]'s verify
+    * stage. Recall caveat (documented trade): a contained pair
+    * sharing ONLY ubiquitous shingles is invisible — but n≥3 word
+    * shingles are overwhelmingly rare outside boilerplate, which is
+    * what the cap is meant to ignore. The DuckDB oracle replays the
+    * identical cap, hashes, and arithmetic. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, dfCap: Int = 20,
+                       terms: Column => Column = Text.distinctShingles(_, 3)): DataFrame = {
+    // hash once, pin: the frame feeds the df count, both sides of the
+    // candidate join, and both sides of the exact intersection
+    val toks = termRows(df, idCol, textCol, terms)
+      .select(F.col(idCol), Text.hash60(F.col("tok")).as("h"))
+      .localCheckpoint(true)
+    val sizes = toks.groupBy(idCol).agg(F.count(F.lit(1)).as("sz"))
+    val rare = toks.join(
+      toks.groupBy("h").agg(F.count(F.lit(1)).as("df"))
+        .filter(F.col("df") <= dfCap).select("h"),
+      Seq("h"))
+    val cand = rare.select(F.col(idCol).as("id_a"), F.col("h")).alias("l")
+      .join(rare.select(F.col(idCol).as("id_b"), F.col("h")).alias("r"),
+        F.col("l.h") === F.col("r.h") && F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(toks.select(F.col(idCol).as("id_a"), F.col("h")), Seq("id_a"))
+      .join(toks.select(F.col(idCol).as("id_b"), F.col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b")
+      .agg(F.count(F.lit(1)).as("inter"))
+      .join(sizes.select(F.col(idCol).as("id_a"), F.col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(F.col(idCol).as("id_b"), F.col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("containment",
+        F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")))
+      .filter(F.col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Connected components over near-dup pairs — the dup-GROUP step
     * that follows any pair generator: docs linked (transitively)
     * through pairs share a component, labeled by the minimum doc id
