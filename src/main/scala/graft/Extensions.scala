@@ -25,6 +25,11 @@ object Extensions {
   private val MINHASH_K = 16
   private val MINHASH_BANDS = 4
   private val NGRAM_BANDS = 8 // 8 bands × 2 rows — recall for the 0.5 threshold
+  // containment (subsumption) detection: trigram shingles, a doc
+  // counts as contained at 80%, and only shingles appearing in ≤ 20
+  // docs may block candidate pairs (the linear-volume cap)
+  private val CONTAIN_THRESHOLD = 0.8
+  private val CONTAIN_DFCAP = 20
   private val SIGNLSH_PLANES = 16
   private val SIGNLSH_BANDS = 4
   private val ANN_CENT_STRIDE = 61 // every 61st vector is a centroid
@@ -431,6 +436,16 @@ object Extensions {
         "doc_id", "text", threshold = 0.5,
         k = MINHASH_K, bands = NGRAM_BANDS,
         terms = Text.distinctShingles(_, 3))),
+
+    // asymmetric containment |A∩B| / min(|A|,|B|): the doc-in-doc /
+    // boilerplate-expansion shape symmetric Jaccard structurally
+    // misses (a paragraph quoted inside a long doc has containment
+    // ~1 but tiny Jaccard). Candidates via the df-capped inverted
+    // index — pair volume linear in corpus × cap, never Σ df².
+    "x_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", threshold = CONTAIN_THRESHOLD,
+        dfCap = CONTAIN_DFCAP, terms = Text.distinctShingles(_, 3))),
 
     "x_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(Tables.scan(s, dir, "documents"),
@@ -1409,6 +1424,29 @@ object Extensions {
       "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
       s"WHERE i * 1.0 / (sa.sz + sb.sz - i) >= $threshold"
 
+  /** DuckDB twin of [[Dedup.containmentPairs]]: identical hash
+    * (md5-derived 60-bit term longs), identical df cap, identical
+    * arithmetic (`i / least(sz_a, sz_b)` over distinct-hash set
+    * sizes). `toksCte` must end in `toks(doc_id, tok)`. */
+  private def containmentSql(toksCte: String, threshold: Double,
+                             dfCap: Int): String =
+    s"WITH $toksCte, " +
+      // distinct (doc, hash) set — the same defensive dedupe the
+      // Spark side applies after hashing
+      s"th AS (SELECT DISTINCT doc_id, ${h60("tok")} AS h FROM toks), " +
+      "sizes AS (SELECT doc_id, count(*) AS sz FROM th GROUP BY doc_id), " +
+      s"rareh AS (SELECT h FROM th GROUP BY h HAVING count(*) <= $dfCap), " +
+      "rare AS (SELECT t.doc_id, t.h FROM th t JOIN rareh USING (h)), " +
+      "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b " +
+      "FROM rare l JOIN rare r ON l.h = r.h AND l.doc_id < r.doc_id), " +
+      "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c " +
+      "JOIN th a ON a.doc_id = c.id_a " +
+      "JOIN th b ON b.doc_id = c.id_b AND b.h = a.h GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, i * 1.0 / least(sa.sz, sb.sz) AS containment " +
+      "FROM inter " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      s"WHERE i * 1.0 / least(sa.sz, sb.sz) >= $threshold"
+
   /** DuckDB twin of [[Similarity.hyperplane]]: ±1 weight list for
     * sign-LSH plane p, seeded by the same md5 keys. */
   private def hyperplaneSql(p: Int): String =
@@ -1848,6 +1886,8 @@ object Extensions {
           "SELECT id_a AS doc_id, count(*) AS n_bench_matches, " +
           "max(est) AS max_est_jaccard FROM cand GROUP BY 1"),
       "x_dedup_ngram" -> jaccardLshSql(shingleToksCte(3), NGRAM_BANDS, 0.5),
+      "x_containment" -> containmentSql(shingleToksCte(3),
+        CONTAIN_THRESHOLD, CONTAIN_DFCAP),
       "x_minhash_sig" ->
         ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> '') " +
           s"SELECT doc_id, $mhMins FROM toks GROUP BY doc_id"),

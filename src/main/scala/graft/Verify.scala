@@ -41,12 +41,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.forall(_.contains(name)))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed.put(name, Option(e.getMessage).getOrElse(e.getClass.getName))
         }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -64,6 +66,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // plan-time crashes otherwise vanish into stderr and a query
+    // silently drops out of the round's grading (that is exactly how
+    // round 9 lost 23 queries) — record them as a round artifact.
+    // A SIBLING file, not a key inside oracle_sql.json: the driver
+    // iterates that dict as name→SQL and an extra structured field
+    // could break its json handling.
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed_queries.json"), failedJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries failed to run: " +
+        failed.keys.mkString(", "))
     spark.stop()
   }
 }

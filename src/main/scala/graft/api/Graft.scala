@@ -152,9 +152,14 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     // render the declared projection to SQL text by ANALYZING it
     // against the store table first — resolved NamedExpression.sql is
     // the supported SQL rendering (Column-node toString is not)
-    val projected = spark.table(store).select(td.fields.map { f =>
+    val stored = spark.table(store)
+    val projected = stored.select(td.fields.map { f =>
       val base = F.col(f.physical)
-      f.readExpr.fold(base)(fn => fn(base)).alias(f.name)
+      // pass the catalog table's loaded type so storage→logical
+      // transforms adapt to the fixture's physical encoding (the
+      // rendered view SQL then bakes in the right branch)
+      f.readExpr.fold(base)(fn => fn(base, stored.schema(f.physical).dataType))
+        .alias(f.name)
     }: _*)
     val proj = projected.queryExecution.analyzed match {
       case p: org.apache.spark.sql.catalyst.plans.logical.Project =>

@@ -52,4 +52,32 @@ object Dates {
     * ns→µs truncation on every row. */
   def nanosToMicros(c: Column): Column =
     (c.cast("decimal(20,0)") / F.lit(1000)).cast("long")
+
+  /** Type-adaptive storage→logical timestamp read: normalize whatever
+    * physical encoding the parquet writer chose for an event-time
+    * column into TIMESTAMP_NTZ at micro precision. An engine that pins
+    * one blessed encoding breaks the day the upstream writer changes —
+    * a real reader honors what the file footer says:
+    *   - int64 (parquet TIMESTAMP(NANOS) surfaced as raw longs under
+    *     `spark.sql.legacy.parquet.nanosAsLong`): exact ns→µs decimal
+    *     truncation, then µs → NTZ.
+    *   - TIMESTAMP_NTZ (parquet TIMESTAMP(MICROS/MILLIS),
+    *     isAdjustedToUTC=false): already the logical type — pass
+    *     through.
+    *   - TIMESTAMP (isAdjustedToUTC=true): reinterpret as NTZ in the
+    *     session zone (sessions here pin UTC, so the instant is
+    *     preserved bit-for-bit).
+    * Anything else is a schema break and fails loudly with the type
+    * found rather than a deep CAST stack trace. */
+  def adaptiveTsToNtz(c: Column, physical: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    physical match {
+      case LongType => F.timestamp_micros(nanosToMicros(c)).cast("timestamp_ntz")
+      case TimestampNTZType => c
+      case TimestampType => c.cast("timestamp_ntz")
+      case other => throw new IllegalArgumentException(
+        s"unsupported physical encoding for timestamp column: $other " +
+          "(expected int64 epoch-nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+  }
 }

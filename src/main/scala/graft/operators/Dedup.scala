@@ -417,10 +417,16 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double, dfCap: Int = 20,
                        terms: Column => Column = Text.distinctShingles(_, 3)): DataFrame = {
-    // hash once, pin: the frame feeds the df count, both sides of the
-    // candidate join, and both sides of the exact intersection
+    // hash once, dedupe, pin: the frame feeds the df count, both sides
+    // of the candidate join, and both sides of the exact intersection.
+    // The distinct() makes (id, h) a set REGARDLESS of the terms
+    // function: a non-distinct terms emitter (or a within-doc hash60
+    // collision) would otherwise inflate the per-term df into an
+    // occurrence count, cross-multiply duplicate rows in the
+    // intersection join, and push containment past 1.0.
     val toks = termRows(df, idCol, textCol, terms)
       .select(F.col(idCol), Text.hash60(F.col("tok")).as("h"))
+      .distinct()
       .localCheckpoint(true)
     val sizes = toks.groupBy(idCol).agg(F.count(F.lit(1)).as("sz"))
     val rare = toks.join(

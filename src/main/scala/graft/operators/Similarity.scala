@@ -300,15 +300,10 @@ object Similarity {
     val cents = collectCentroids(centroids, idCol, vecCol)
     require(cents.nonEmpty, "ivfTopK needs at least one centroid")
 
-    def cellStructs(vec: Column, nrm: Column): Seq[Column] =
-      centStructs(cents, vec, nrm)
-
     val corpusCells = corpus
       .select(F.col(idCol).as("match_id"), F.col(vecCol).as("c_vec"),
         norm(F.col(vecCol)).as("c_nrm"))
-      .withColumn("cell",
-        -F.array_max(F.array(cellStructs(F.col("c_vec"), F.col("c_nrm")): _*))
-          .getField("neg_id"))
+      .withColumn("cell", cellOf(cents, F.col("c_vec"), F.col("c_nrm")))
 
     // query-side probing runs on the DRIVER: queries are eagerly
     // collect()ed at plan-BUILD time (they are small by the same
@@ -409,6 +404,40 @@ object Similarity {
         F.lit(-cid).as("neg_id"))
     }
 
+  /** Above this k the literal-struct argmax is a codegen bomb (k
+    * centroid vectors in the generated method + constant pool); the
+    * plan-shipped [[graft.plans.CentroidIndex]] path takes over. 256
+    * literals of dim ≤ ~100 stay comfortably inside JIT limits; a
+    * 100-TB IVF runs k in the 10³–10⁵ range and always takes the
+    * index path. */
+  private[graft] val MaxLiteralCentroids = 256
+
+  /** Cell id of the cosine-nearest centroid — the ONE argmax both
+    * [[assignCells]] and [[ivfTopK]] use. Zero exchange either way:
+    * k ≤ [[MaxLiteralCentroids]] embeds centroid literals in codegen;
+    * larger k ships the matrix once per plan as a reference object and
+    * loops in the JVM. Both branches share arithmetic bit-for-bit
+    * (same rounding, same tie rule), pinned by ApproxSpec. */
+  private def cellOf(cents: Array[(Long, Seq[Float], Double)],
+                     vec: Column, nrm: Column): Column =
+    cellOfStrategy(cents, vec, nrm, MaxLiteralCentroids)
+
+  /** [[cellOf]] with the literal/index cutover exposed — the spec
+    * seam that pins both physical strategies to identical
+    * assignments on the same centroid set. */
+  private[graft] def cellOfStrategy(cents: Array[(Long, Seq[Float], Double)],
+                                    vec: Column, nrm: Column,
+                                    maxLiteral: Int): Column =
+    if (cents.length <= maxLiteral)
+      -F.array_max(F.array(centStructs(cents, vec, nrm): _*))
+        .getField("neg_id")
+    else
+      graft.plans.CentroidAssign.nearestCentroid(vec, nrm,
+        new graft.plans.CentroidIndex(
+          cents.map(_._1),
+          cents.map(_._2.map(_.toDouble).toArray),
+          cents.map(_._3)))
+
   /** SemDeDup-shaped embedding dedup: assign every vector to its
     * cosine-nearest trained centroid (same map-side argmax as
     * [[ivfTopK]] — zero exchange), score only WITHIN-cell pairs, and
@@ -452,18 +481,25 @@ object Similarity {
 
   /** Cell assignment shared by [[semDedup]] and [[cellSizes]]: every
     * corpus vector mapped to its cosine-nearest centroid with the
-    * same map-side argmax as [[ivfTopK]] (centroid literals, ties to
-    * the lower id) — zero exchange. Emits (cell, id, vec, nrm). */
+    * same map-side argmax as [[ivfTopK]] (ties to the lower id) —
+    * zero exchange at any k (see [[cellOf]] for the two physical
+    * strategies). Emits (cell, id, vec, nrm). */
   private def assignCells(corpus: DataFrame, centroids: DataFrame,
-                          idCol: String, vecCol: String): DataFrame = {
+                          idCol: String, vecCol: String): DataFrame =
+    assignCellsWith(corpus, centroids, idCol, vecCol, MaxLiteralCentroids)
+
+  /** [[assignCells]] with the literal/index cutover exposed for the
+    * strategy-agreement spec. */
+  private[graft] def assignCellsWith(corpus: DataFrame, centroids: DataFrame,
+                                     idCol: String, vecCol: String,
+                                     maxLiteral: Int): DataFrame = {
     val cents = collectCentroids(centroids, idCol, vecCol)
     require(cents.nonEmpty, "cell assignment needs at least one centroid")
     corpus
       .select(F.col(idCol).cast("long").as("id"), F.col(vecCol).as("vec"),
         norm(F.col(vecCol)).as("nrm"))
       .withColumn("cell",
-        -F.array_max(F.array(centStructs(cents, F.col("vec"), F.col("nrm")): _*))
-          .getField("neg_id"))
+        cellOfStrategy(cents, F.col("vec"), F.col("nrm"), maxLiteral))
   }
 
   /** Cell-balance audit for the kmeans/IVF index: the distribution of
@@ -489,7 +525,17 @@ object Similarity {
                                         idCol: String, vecCol: String,
                                         maxCellSize: Int): DataFrame = {
     require(maxCellSize >= 2, s"maxCellSize=$maxCellSize must be >= 2")
+    // pin the cell assignment ONCE: downstream it fans out into six
+    // subtrees (the sizes agg, small×2 sides, big×2 sides, reps), and
+    // without the pin each subtree independently re-runs the k-way
+    // centroid argmax (and the Lloyd replay upstream of `centroids`)
+    // over the whole corpus — a ~6× corpus re-scan whose cost grows
+    // with k. Same executor-memory pin/lineage-truncation seam as
+    // Dedup.dupComponents: localCheckpoint is right for local[32]; a
+    // cluster deployment routes it through a reliable checkpoint dir
+    // (see the seam comment at Dedup.dupComponents).
     val cells = assignCells(corpus, centroids, idCol, vecCol)
+      .localCheckpoint(true)
     // cell-size audit frame is k rows — broadcast it back onto the
     // members; the only corpus-sized shuffles below key on (cell) or
     // (cell, blk), never on anything pair-shaped
@@ -556,13 +602,29 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
     for (_ <- 0 until iters) {
-      val structs = cents.zipWithIndex.map { case (cv, ci) =>
-        val cnorm = math.sqrt(cv.map(x => x * x).sum)
-        F.struct(
-          F.round(dot(F.col(vecCol), F.typedlit(cv.toSeq)) /
-            (norm(F.col(vecCol)) * F.lit(cnorm)), 6).as("csim"),
-          F.lit(-ci).as("neg_id"))
-      }
+      // same literal-vs-index branch as [[cellOf]], but over the
+      // DOUBLE-precision training centroids (9-dp means — a float
+      // round-trip here would change the trained result): small k
+      // embeds double literals, large k ships a CentroidIndex, whose
+      // matrix is already double. Norm arithmetic matches in both
+      // branches (left-to-right sum of squares).
+      val assigned: Column =
+        if (k <= MaxLiteralCentroids) {
+          val structs = cents.zipWithIndex.map { case (cv, ci) =>
+            val cnorm = math.sqrt(cv.map(x => x * x).sum)
+            F.struct(
+              F.round(dot(F.col(vecCol), F.typedlit(cv.toSeq)) /
+                (norm(F.col(vecCol)) * F.lit(cnorm)), 6).as("csim"),
+              F.lit(-ci).as("neg_id"))
+          }
+          -F.array_max(F.array(structs.toIndexedSeq: _*)).getField("neg_id")
+        } else
+          graft.plans.CentroidAssign.nearestCentroid(
+            F.col(vecCol), norm(F.col(vecCol)),
+            new graft.plans.CentroidIndex(
+              cents.indices.map(_.toLong).toArray,
+              cents,
+              cents.map(cv => math.sqrt(cv.map(x => x * x).sum))))
       // means are rounded to 9 dp on the driver: avg() merges partial
       // sums in shuffle-fetch order, so the raw double can wobble by
       // an ulp between runs — rounding far above ulp scale restores
@@ -571,8 +633,7 @@ object Similarity {
       // round() is half-away-from-zero, and the x_ann_kmeans oracle
       // replays this training step with round(avg(x), 9)
       val means = df
-        .withColumn("cell",
-          -F.array_max(F.array(structs.toIndexedSeq: _*)).getField("neg_id"))
+        .withColumn("cell", assigned.cast("int"))
         .select(F.col("cell"), F.posexplode(F.col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(F.avg("x").as("m"))
         .collect()

@@ -82,12 +82,12 @@ object Catalog {
       // TLD-less (invalid) address so EmailRule has both outcomes
       Field("c_email", FEmail, column = Some("c_name"),
         rules = Seq(NotEmpty, EmailRule),
-        readExpr = Some(c => F.concat(
+        readExpr = Some((c, _) => F.concat(
           F.regexp_replace(F.lower(c), "[^a-z0-9]", ""),
           F.when(F.substring(c, -1, 1).isin("0", "5"), "@invalid")
             .otherwise("@example.com")))),
       Field("c_active", FBool, column = Some("c_acctbal"),
-        readExpr = Some(c => c > 0.0))),
+        readExpr = Some((c, _) => c > 0.0))),
     sorting = Seq("c_custkey" -> Asc)))
 
   register(TableDef("supplier",
@@ -150,12 +150,13 @@ object Catalog {
   register(TableDef("events",
     fields = Seq(
       Field("event_id", FAuto, primary = true, unique = true, nullable = false),
-      // physical: int64 epoch-nanos (parquet TIMESTAMP(NANOS), read
-      // under nanosAsLong) → logical TIMESTAMP_NTZ at micro precision,
-      // matching how the DuckDB oracle sees post-truncation instants.
-      Field("ts", FTimestamp("yyyy-MM-dd HH:mm:ss"), readExpr = Some(c =>
-        F.timestamp_micros(graft.functions.Dates.nanosToMicros(c))
-          .cast("timestamp_ntz"))),
+      // physical encoding is whatever the fixture writer chose —
+      // int64 epoch-nanos (TIMESTAMP(NANOS) under nanosAsLong) or
+      // TIMESTAMP(MICROS); both have shipped. The adaptive read
+      // normalizes either to logical TIMESTAMP_NTZ at micro
+      // precision, matching how the DuckDB oracle sees the instants.
+      Field("ts", FTimestamp("yyyy-MM-dd HH:mm:ss"), readExpr = Some(
+        (c, dt) => graft.functions.Dates.adaptiveTsToNtz(c, dt))),
       Field("user_id", FInt),
       Field("event_type", FStr),
       Field("value", FFloat(4)),

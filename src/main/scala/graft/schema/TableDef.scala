@@ -27,8 +27,11 @@ final case class Field(
     onChange: Option[Column => Column] = None,
     /** storage→logical transform applied at scan time, for physical
       * encodings Spark can't map natively (e.g. the events table's
-      * nanosecond-epoch int64 → TimestampType). */
-    readExpr: Option[Column => Column] = None
+      * event-time column). Receives the column AND the physical
+      * DataType the file actually loaded as, so the transform can
+      * adapt to whatever encoding the parquet writer chose (int64
+      * nanos vs TIMESTAMP(MICROS) — the fixture has shipped both). */
+    readExpr: Option[(Column, DataType) => Column] = None
 ) {
   def physical: String = column.getOrElse(name)
   def isAuto: Boolean = ftype == FAuto

@@ -22,14 +22,19 @@ object Tables {
     * Fields with a `readExpr` get their storage→logical transform
     * applied inline (still one pruned parquet scan). */
   def scan(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
-    // as int64 under this legacy flag; runtime-settable, idempotent.
+    // a TIMESTAMP(NANOS)-encoded file is only readable in Spark 4 as
+    // int64 under this legacy flag; harmless for µs/ms encodings
+    // (they load as their natural timestamp types). Runtime-settable,
+    // idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val t = Catalog(table)
     val raw = spark.read.parquet(path(sfDir, t.storageName))
     raw.select(t.fields.map { f =>
       val base = F.col(f.physical)
-      f.readExpr.fold(base)(fn => fn(base)).alias(f.name)
+      // readExpr sees the type the file ACTUALLY loaded as, so the
+      // storage→logical transform adapts to the writer's encoding
+      f.readExpr.fold(base)(fn => fn(base, raw.schema(f.physical).dataType))
+        .alias(f.name)
     }: _*)
   }
 

@@ -216,23 +216,30 @@ object EventWindows {
   }
 
   /** Watermarked event stream shared by the streaming twins: parquet
-    * file stream of the events table (explicit physical schema —
-    * int64 nano ts, see Tables.scan), ns→µs conversion, 10-minute
-    * watermark. */
+    * file stream of the events table, 10-minute watermark. The
+    * physical schema is NOT hardcoded — a streaming source must be
+    * given a schema up front, so probe it with a one-time batch read
+    * of the same file and let the ts transform adapt to whatever
+    * encoding the footer declares (int64 nanos vs TIMESTAMP(MICROS);
+    * a pinned schema here once silently compressed 30 days of µs
+    * events into 43 minutes by dividing them as if they were nanos —
+    * plausible wrong answers, no error). */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val eventsPath = Tables.path(sfDir, "events")
+    val physSchema = spark.read.parquet(eventsPath).schema
+    val tsPhys = physSchema("ts").dataType
     // the file-stream source requires a directory: stream the SF dir
     // with a glob pinned to the events table
     spark.readStream.schema(physSchema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
+      // watermark/window state keys on TimestampType as before; under
+      // the pinned-UTC sessions the NTZ→TS cast preserves the instant
       .withColumn("ts",
-        F.timestamp_micros(graft.functions.Dates.nanosToMicros(F.col("ts"))))
+        graft.functions.Dates.adaptiveTsToNtz(F.col("ts"), tsPhys)
+          .cast("timestamp"))
       .withWatermark("ts", "10 minutes")
   }
 

@@ -158,10 +158,12 @@ object StreamingOps {
                           idleTimeout: String = "1 hour"): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // probe the physical schema from the file footer instead of
+    // pinning one (ts has shipped as both int64 nanos and
+    // TIMESTAMP(MICROS)); ts itself is unused here, but the stream
+    // schema must still match what's on disk
+    val physSchema =
+      spark.read.parquet(graft.sources.Tables.path(sfDir, "events")).schema
 
     val perUser = userTotalsTransform(
       spark.readStream.schema(physSchema)

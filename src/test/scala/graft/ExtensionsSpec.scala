@@ -240,6 +240,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(rk >= rs - 0.05, f"kmeans recall $rk%.2f below stride $rs%.2f")
   }
 
+  test("large-k cell assignment: plan-shipped index agrees with literal argmax, codegen holds") {
+    // 300 centroids is past MaxLiteralCentroids (256) — the k range
+    // where embedding every centroid as a codegen literal starts
+    // bombing the generated method / constant pool. The CentroidIndex
+    // path must produce the SAME assignment for every row (same
+    // rounding, same lower-id tie rule), and the plan must still run
+    // inside whole-stage codegen (addReferenceObj, no fallback).
+    assert(Similarity.MaxLiteralCentroids < 300)
+    val cents = emb.filter(F.col("vec_id") < 300)
+      .select(F.col("vec_id"), F.col("embedding"))
+    def assign(maxLiteral: Int): Map[Long, Long] =
+      Similarity.assignCellsWith(emb, cents, "vec_id", "embedding", maxLiteral)
+        .select("id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaIndex = assign(0) // force the CentroidIndex path
+    val viaLiterals = assign(1000) // force the literal-struct path
+    assert(viaIndex.size == emb.count())
+    assert(viaIndex == viaLiterals,
+      "index-path assignment diverges from the literal argmax: " +
+        viaIndex.toSeq.sorted.zip(viaLiterals.toSeq.sorted)
+          .filter { case (a, b) => a != b }.take(5).toString)
+    // codegen sanity: the index path's executed plan retains a
+    // WholeStageCodegen span over the projection (rendered as the
+    // `*(n)` prefix in toString — check the node type, not the text)
+    val planned = Similarity.assignCellsWith(emb, cents, "vec_id", "embedding", 0)
+      .queryExecution.executedPlan
+    val spans = planned.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+    assert(spans.nonEmpty,
+      s"index path fell out of whole-stage codegen:\n$planned")
+  }
+
+  test("kmeans trains past the literal cutover (k=300) and assigns every cell id in range") {
+    // the Lloyd loop's per-iteration argmax must also survive k >
+    // MaxLiteralCentroids (it ships a double-precision CentroidIndex
+    // instead of k literal structs). One iteration keeps the spec
+    // fast; the point is plan construction + execution at large k.
+    val km = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 300, iters = 1)
+    assert(km.count() == 300)
+    val cells = Similarity.assignCellsWith(emb, km, "vec_id", "embedding",
+        Similarity.MaxLiteralCentroids)
+      .select("cell").distinct().collect().map(_.getLong(0))
+    assert(cells.forall(c => c >= 0 && c < 300))
+  }
+
   test("semDedup drops exactly the higher-id member of a planted near-dup pair") {
     import spark.implicits._
     // vectors 10 and 20 are near-identical (cosine ~0.9999), vector 30

@@ -1,0 +1,51 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.{functions => F}
+
+/** Fixture-drift canary (round-10, from the r9 verdict): the driver
+  * regenerated `/root/testdata` between rounds and changed `events.ts`
+  * from parquet TIMESTAMP(NANOS)/int64 to TIMESTAMP(MICROS). The
+  * engine's old pinned-encoding read surfaced that as 25 scattered
+  * CAST stack traces plus a silently 1000×-compressed streaming
+  * timeline. This suite turns the same class of break into ONE failing
+  * test with a message that names the physical encoding found, so the
+  * first diagnosis step is already done.
+  */
+class FixtureSpec extends SparkSpec {
+
+  test("events.ts physical encoding is adaptively read to a logical timestamp") {
+    val physical = spark.read.parquet(Tables.path(sf, "events"))
+      .schema("ts").dataType
+    val logical = Tables.scan(spark, sf, "events").schema("ts").dataType
+    assert(logical == TimestampNTZType || logical == TimestampType,
+      s"events.ts loaded as $logical (physical encoding in the fixture: " +
+        s"$physical) — Tables.scan's adaptive read no longer normalizes " +
+        "this encoding; update Dates.adaptiveTsToNtz")
+  }
+
+  test("events.ts spans the full fixture timeline (no unit-confusion compression)") {
+    // a ns-read-as-µs (or µs-read-as-ns) mistake compresses/stretches
+    // the 30-day event span by 1000× — it does NOT error, it just
+    // produces plausible wrong windows. Assert the decoded span is
+    // over a day so unit confusion fails here, loudly, instead.
+    val physical = spark.read.parquet(Tables.path(sf, "events"))
+      .schema("ts").dataType
+    val row = Tables.scan(spark, sf, "events")
+      .agg(F.min("ts").as("lo"), F.max("ts").as("hi"),
+        (F.unix_micros(F.max("ts").cast("timestamp")) -
+          F.unix_micros(F.min("ts").cast("timestamp"))).as("span_us"))
+      .collect().head
+    val spanUs = row.getAs[Long]("span_us")
+    assert(spanUs > 24L * 3600 * 1000000,
+      s"events.ts span is only ${spanUs / 1000000.0} s (${row.get(0)} .. " +
+        s"${row.get(1)}; physical encoding in the fixture: $physical) — " +
+        "the decoded timeline collapsed, which is the signature of a " +
+        "ns/µs unit confusion in the storage→logical read")
+    // and the decoded instants must land in the fixture's era, not 1970
+    assert(row.get(0).toString.startsWith("20"),
+      s"events.ts min decoded to ${row.get(0)} (physical: $physical) — " +
+        "epoch-relative decode is off by a unit factor")
+  }
+}

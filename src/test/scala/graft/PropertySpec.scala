@@ -220,6 +220,39 @@ class PropertySpec extends SparkSpec {
     }, n = 4)
   }
 
+  test("containment law: df-capped inverted join equals brute-force set containment") {
+    // reference: distinct word-trigram shingles per doc (the exact
+    // Text.distinctShingles semantics: < 3 tokens → one whole-text
+    // shingle), containment = |A∩B| / min(|A|,|B|). With dfCap >
+    // corpus size the cap never drops a blocking term, so the blocked
+    // join must equal brute force EXACTLY — same pairs, same doubles.
+    def sh3(s: String): Set[String] = {
+      val t = s.toLowerCase.split("\\s+").toSeq
+      if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t.mkString(" "))
+    }
+    val texts = Gen.listOfN(10, for {
+      base <- Gen.oneOf("the quick brown fox jumps over dogs",
+        "lorem ipsum dolor sit amet words", "pack my box with five jugs")
+      tail <- Gen.oneOf("", " and then some trailing words appear",
+        " extra tail")
+    } yield base + tail)
+    checkProp(Prop.forAll(texts) { ts =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .containmentPairs(df, "doc_id", "text", threshold = 0.6, dfCap = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = (for {
+        (a, i) <- ts.zipWithIndex; (b, j) <- ts.zipWithIndex if i < j
+        sa = sh3(a); sb = sh3(b)
+        inter = (sa & sb).size if inter > 0
+        cont = inter.toDouble / math.min(sa.size, sb.size) if cont >= 0.6
+      } yield (i.toLong, j.toLong, cont)).toSet
+      got == want
+    }, n = 4)
+  }
+
   test("as-of law: window formulation equals brute-force per-probe scan") {
     import java.sql.Timestamp
     val rows = for {
