@@ -407,9 +407,13 @@ object Dedup {
     * LINEAR in corpus size × cap, never the quadratic `Σ df²` of an
     * uncapped inverted join (stop-shingles are exactly the terms that
     * would otherwise pair everything with everything). The exact
-    * intersection then runs over the FULL term frames but only for
-    * candidate pairs, same discipline as [[jaccardPairsLsh]]'s verify
-    * stage. Recall caveat (documented trade): a contained pair
+    * intersection is computed by rarity split — `inter = rare_inter
+    * (free from the candidate join) + common_inter (a join against
+    * only the df>cap term rows, a small frame by construction)` —
+    * with an exact upper-bound prune (`rare_inter + min common-set
+    * size`) discarding pairs before the common join; identical
+    * results to a full-frame intersection at a fraction of the join
+    * volume. Recall caveat (documented trade): a contained pair
     * sharing ONLY ubiquitous shingles is invisible — but n≥3 word
     * shingles are overwhelmingly rare outside boilerplate, which is
     * what the cap is meant to ignore. The DuckDB oracle replays the
@@ -429,21 +433,53 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     val sizes = toks.groupBy(idCol).agg(F.count(F.lit(1)).as("sz"))
-    val rare = toks.join(
-      toks.groupBy("h").agg(F.count(F.lit(1)).as("df"))
-        .filter(F.col("df") <= dfCap).select("h"),
-      Seq("h"))
-    val cand = rare.select(F.col(idCol).as("id_a"), F.col("h")).alias("l")
+    val dfc = toks.groupBy("h").agg(F.count(F.lit(1)).as("df"))
+    val rare = toks.join(dfc.filter(F.col("df") <= dfCap).select("h"), Seq("h"))
+    // Split the intersection by term rarity: every shared term is
+    // either rare (df ≤ cap) or common, so
+    //   inter = rare_inter + common_inter  — EXACTLY.
+    // rare_inter falls out of the candidate self-join itself (one
+    // grouped count — no distinct, no re-join of candidates against
+    // the full term frame). The naive alternative (re-joining each
+    // candidate pair against all of id_a's terms) explodes pairs ×
+    // avg-doc-size: at sf0.1 that was 1.1M candidates × ~52 shingles
+    // ≈ 58M join rows for a 25-row answer — 10 s of the bench.
+    val rareInter = rare.select(F.col(idCol).as("id_a"), F.col("h")).alias("l")
       .join(rare.select(F.col(idCol).as("id_b"), F.col("h")).alias("r"),
         F.col("l.h") === F.col("r.h") && F.col("id_a") < F.col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cand
-      .join(toks.select(F.col(idCol).as("id_a"), F.col("h")), Seq("id_a"))
-      .join(toks.select(F.col(idCol).as("id_b"), F.col("h")), Seq("id_b", "h"))
       .groupBy("id_a", "id_b")
-      .agg(F.count(F.lit(1)).as("inter"))
+      .agg(F.count(F.lit(1)).as("rare_inter"))
+    // common terms: df > cap means Σ df over them is bounded by the
+    // corpus's stop-shingle mass — a small frame by the same argument
+    // that makes the cap safe (1.3k of 260k doc-term rows at sf0.1)
+    val common = toks.join(dfc.filter(F.col("df") > dfCap).select("h"), Seq("h"))
+    val csz = common.groupBy(idCol).agg(F.count(F.lit(1)).as("csz"))
+    // exact upper-bound prune BEFORE touching common terms: the pair
+    // can share at most min(common-set sizes) common terms, so
+    // (rare_inter + that bound) / min(sz) < threshold kills it with
+    // no further work — at threshold 0.8 this drops almost the whole
+    // candidate set (most pairs share a handful of rare shingles)
+    val bounded = rareInter
       .join(sizes.select(F.col(idCol).as("id_a"), F.col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(F.col(idCol).as("id_b"), F.col("sz").as("sz_b")), Seq("id_b"))
+      .join(csz.select(F.col(idCol).as("id_a"), F.col("csz").as("csz_a")),
+        Seq("id_a"), "left")
+      .join(csz.select(F.col(idCol).as("id_b"), F.col("csz").as("csz_b")),
+        Seq("id_b"), "left")
+      .withColumn("max_inter", F.col("rare_inter") +
+        F.least(F.coalesce(F.col("csz_a"), F.lit(0L)),
+          F.coalesce(F.col("csz_b"), F.lit(0L))))
+      .filter(F.col("max_inter") / F.least(F.col("sz_a"), F.col("sz_b"))
+        >= threshold)
+    val commonInter = bounded.select("id_a", "id_b")
+      .join(common.select(F.col(idCol).as("id_a"), F.col("h")), Seq("id_a"))
+      .join(common.select(F.col(idCol).as("id_b"), F.col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b")
+      .agg(F.count(F.lit(1)).as("common_inter"))
+    bounded
+      .join(commonInter, Seq("id_a", "id_b"), "left")
+      .withColumn("inter", F.col("rare_inter") +
+        F.coalesce(F.col("common_inter"), F.lit(0L)))
       .withColumn("containment",
         F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")))
       .filter(F.col("containment") >= threshold)

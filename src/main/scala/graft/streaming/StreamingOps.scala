@@ -21,14 +21,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   */
 object StreamingOps {
 
-  private val docsSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("text", StringType),
-    StructField("lang", StringType), StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
   private def docsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(docsSchema)
+    // probe the physical schema from the footer (streaming sources
+    // need one up front) rather than pinning a hand-written copy —
+    // the same fixture-drift lesson as the events stream
+    val physSchema =
+      spark.read.parquet(graft.sources.Tables.path(sfDir, "documents")).schema
+    spark.readStream.schema(physSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
   }
