@@ -25,6 +25,43 @@ class FixtureSpec extends SparkSpec {
         "this encoding; update Dates.adaptiveTsToNtz")
   }
 
+  test("every catalog table scans to a type-compatible logical schema") {
+    // broad drift canary: if the driver regenerates a fixture with a
+    // different physical encoding, the adaptive reads must still land
+    // every column in the declared type FAMILY. Storage width is
+    // deliberately mirrored (an int32 key scans as int32 — zero-copy
+    // by design), so this checks family, not exact type; the case
+    // that matters is a timestamp column regressing to raw longs or
+    // strings. One readable failure naming both sides, instead of
+    // deep CAST traces in whatever query touches the column first.
+    import org.apache.spark.sql.types._
+    def family(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case FloatType | DoubleType | _: DecimalType => "fractional"
+      case StringType => "string"
+      case TimestampType | TimestampNTZType => "timestamp"
+      case BooleanType => "boolean"
+      case BinaryType => "binary"
+      case ArrayType(e, _) => s"array<${family(e)}>"
+      case other => other.typeName
+    }
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      val declared = graft.schema.Catalog(t).structType
+        .map(f => f.name -> f.dataType).toMap
+      val scanned = Tables.scan(spark, sf, t).schema
+        .map(f => f.name -> f.dataType).toMap
+      for ((name, want) <- declared) {
+        val got = scanned.getOrElse(name, sys.error(
+          s"$t.$name missing from scan (fixture drift?)"))
+        assert(family(got) == family(want),
+          s"$t.$name scans as $got (family ${family(got)}) but the " +
+            s"catalog declares $want (family ${family(want)}) — " +
+            "fixture encoding drifted past the adaptive read")
+      }
+    }
+  }
+
   test("events.ts spans the full fixture timeline (no unit-confusion compression)") {
     // a ns-read-as-µs (or µs-read-as-ns) mistake compresses/stretches
     // the 30-day event span by 1000× — it does NOT error, it just
