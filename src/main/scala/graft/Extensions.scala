@@ -30,6 +30,10 @@ object Extensions {
   // docs may block candidate pairs (the linear-volume cap)
   private val CONTAIN_THRESHOLD = 0.8
   private val CONTAIN_DFCAP = 20
+  // containment decontamination: flag a training doc when it holds
+  // half of an eval doc's shingle set (mod-5 split — same eval split
+  // as the fuzzy pass, so both leak shapes are audited on one split)
+  private val CONTAIN_DECON_THRESHOLD = 0.5
   private val SIGNLSH_PLANES = 16
   private val SIGNLSH_BANDS = 4
   private val ANN_CENT_STRIDE = 61 // every 61st vector is a centroid
@@ -775,6 +779,18 @@ object Extensions {
         k = MINHASH_K, bands = MINHASH_BANDS, threshold = FUZZY_DECON_EST,
         terms = Text.distinctShingles(_, 3))),
 
+    // CONTAINMENT decontamination: training docs that contain ≥ half
+    // of a mod-5 eval doc's trigram-shingle set — the benchmark-
+    // quoted-inside-a-long-doc leak both the exact n-gram count and
+    // Jaccard-estimating MinHash under-surface (the long doc's union
+    // dwarfs the quote). df-capped rare-shingle candidates + rarity-
+    // split intersection, same 100-TB discipline as x_containment.
+    "x_decontaminate_contain" -> ((s, dir) =>
+      Curation.contaminatedContainment(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", F.col("doc_id") % FUZZY_DECON_MOD === 0,
+        threshold = CONTAIN_DECON_THRESHOLD, dfCap = CONTAIN_DFCAP,
+        terms = Text.distinctShingles(_, 3))),
+
     // dup-cluster SIZE distribution: how large are the near-dup
     // families? The audit that sizes dedup policy and catches a
     // pathological "one giant cluster" LSH failure at a glance —
@@ -1447,6 +1463,30 @@ object Extensions {
       "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
       s"WHERE i * 1.0 / least(sa.sz, sb.sz) >= $threshold"
 
+  /** DuckDB twin of [[Curation.contaminatedContainment]]: same
+    * mod-split, same rare-candidate gating (df over the TRAINING side
+    * ≤ cap), same `inter / |bench set|` arithmetic; the full
+    * intersection here and the Spark side's rarity-split count are
+    * equal by construction. */
+  private def containDeconSql(toksCte: String, benchMod: Int,
+                              threshold: Double, dfCap: Int): String =
+    s"WITH $toksCte, " +
+      s"th AS (SELECT DISTINCT doc_id, ${h60("tok")} AS h FROM toks), " +
+      s"tr AS (SELECT doc_id, h FROM th WHERE doc_id % $benchMod <> 0), " +
+      s"be AS (SELECT doc_id AS bench_id, h FROM th WHERE doc_id % $benchMod = 0), " +
+      "bsz AS (SELECT bench_id, count(*) AS bsz FROM be GROUP BY 1), " +
+      s"rh AS (SELECT h FROM tr GROUP BY h HAVING count(*) <= $dfCap), " +
+      "cand AS (SELECT DISTINCT t.doc_id, b.bench_id FROM tr t " +
+      "JOIN rh USING (h) JOIN be b ON b.h = t.h), " +
+      "inter AS (SELECT c.doc_id, c.bench_id, count(*) AS shared FROM cand c " +
+      "JOIN tr t ON t.doc_id = c.doc_id " +
+      "JOIN be b ON b.bench_id = c.bench_id AND b.h = t.h GROUP BY 1, 2), " +
+      "pairs AS (SELECT i.doc_id, i.bench_id, " +
+      "shared * 1.0 / bsz AS c FROM inter i JOIN bsz USING (bench_id) " +
+      s"WHERE shared * 1.0 / bsz >= $threshold) " +
+      "SELECT doc_id, count(*) AS n_bench_contained, " +
+      "max(c) AS max_containment FROM pairs GROUP BY doc_id"
+
   /** DuckDB twin of [[Similarity.hyperplane]]: ±1 weight list for
     * sign-LSH plane p, seeded by the same md5 keys. */
   private def hyperplaneSql(p: Int): String =
@@ -1888,6 +1928,8 @@ object Extensions {
       "x_dedup_ngram" -> jaccardLshSql(shingleToksCte(3), NGRAM_BANDS, 0.5),
       "x_containment" -> containmentSql(shingleToksCte(3),
         CONTAIN_THRESHOLD, CONTAIN_DFCAP),
+      "x_decontaminate_contain" -> containDeconSql(shingleToksCte(3),
+        FUZZY_DECON_MOD, CONTAIN_DECON_THRESHOLD, CONTAIN_DFCAP),
       "x_minhash_sig" ->
         ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> '') " +
           s"SELECT doc_id, $mhMins FROM toks GROUP BY doc_id"),

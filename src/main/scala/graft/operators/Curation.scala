@@ -126,6 +126,77 @@ object Curation {
       .agg(F.count(F.lit(1)).as("n_shared"))
   }
 
+  /** Containment decontamination — the subsumption complement of
+    * [[contaminated]] and [[contaminatedFuzzy]]: flags training docs
+    * that CONTAIN a benchmark doc's shingle set at `threshold`
+    * (`|train∩bench| / |bench|`). A benchmark passage quoted verbatim
+    * inside a much longer training doc has near-1.0 containment but
+    * tiny Jaccard (the union is dominated by the long doc), so
+    * neither the exact n-gram count nor MinHash — which estimates
+    * Jaccard — surfaces it reliably; this is the leak shape that most
+    * directly inflates eval scores.
+    *
+    * Same scale discipline as [[graft.operators.Dedup.containmentPairs]]:
+    * candidates from rare training shingles only (document frequency
+    * over the TRAINING corpus ≤ `dfCap` — linear volume, stop-shingle
+    * mass never pairs), intersection split by rarity (`inter =
+    * rare_inter + common_inter`, the common side a small frame by
+    * construction), and an exact upper-bound prune before the common
+    * join. Documented recall caveat: a benchmark doc sharing ONLY
+    * corpus-common shingles with its containing doc is invisible —
+    * the same trade the cap buys in containmentPairs.
+    *
+    * One audit row per contaminated training doc: benchmark-hit
+    * count and the strongest containment. */
+  def contaminatedContainment(df: DataFrame, idCol: String, textCol: String,
+                              benchPred: Column, threshold: Double = 0.5,
+                              dfCap: Int = 20,
+                              terms: Column => Column = Text.distinctShingles(_, 3)): DataFrame = {
+    def termSet(d: DataFrame): DataFrame =
+      d.select(F.col(idCol),
+          F.explode(terms(F.col(textCol))).as("tok"))
+        .filter(F.col("tok") =!= "")
+        .select(F.col(idCol), Text.hash60(F.col("tok")).as("h"))
+        .distinct()
+    // hash once, pin: each side feeds multiple subtrees below
+    val train = termSet(df.filter(!benchPred)).localCheckpoint(true)
+    val bench = termSet(df.filter(benchPred))
+      .withColumnRenamed(idCol, "bench_id").localCheckpoint(true)
+    val bsz = bench.groupBy("bench_id").agg(F.count(F.lit(1)).as("bsz"))
+    val dfc = train.groupBy("h").agg(F.count(F.lit(1)).as("df"))
+    val rareTrain = train.join(dfc.filter(F.col("df") <= dfCap).select("h"), Seq("h"))
+    val commonTrain = train.join(dfc.filter(F.col("df") > dfCap).select("h"), Seq("h"))
+    // candidate (train, bench) pairs + their rare-term intersection in
+    // one grouped count — never a train × bench cross join
+    val rareInter = rareTrain.join(bench, Seq("h"))
+      .groupBy(idCol, "bench_id")
+      .agg(F.count(F.lit(1)).as("rare_inter"))
+    // per-benchmark-doc count of its shingles that are corpus-common:
+    // the exact upper bound on what the common join can still add
+    val bcz = bench.join(commonTrain.select("h").distinct(), Seq("h"))
+      .groupBy("bench_id").agg(F.count(F.lit(1)).as("bcsz"))
+    val bounded = rareInter
+      .join(bsz, Seq("bench_id"))
+      .join(bcz, Seq("bench_id"), "left")
+      .withColumn("max_inter", F.col("rare_inter") +
+        F.coalesce(F.col("bcsz"), F.lit(0L)))
+      .filter(F.col("max_inter") / F.col("bsz") >= threshold)
+    val commonInter = bounded.select(F.col(idCol), F.col("bench_id"))
+      .join(commonTrain, Seq(idCol))
+      .join(bench, Seq("bench_id", "h"))
+      .groupBy(idCol, "bench_id")
+      .agg(F.count(F.lit(1)).as("common_inter"))
+    bounded
+      .join(commonInter, Seq(idCol, "bench_id"), "left")
+      .withColumn("containment",
+        (F.col("rare_inter") + F.coalesce(F.col("common_inter"), F.lit(0L)))
+          / F.col("bsz"))
+      .filter(F.col("containment") >= threshold)
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_bench_contained"),
+        F.max("containment").as("max_containment"))
+  }
+
   /** Per-source vocabulary coverage against the corpus's top-`k`
     * tokens — the tokenizer-sizing signal: how much of each source's
     * token stream a fixed-size vocab would cover. The corpus is

@@ -39,6 +39,33 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(0L, 3L))
   }
 
+  test("contaminatedContainment flags a benchmark doc quoted inside a long doc that Jaccard misses") {
+    // bench doc 0 (5 tokens → 3 trigram shingles) is quoted verbatim
+    // inside training doc 1, which is 8× longer — containment of the
+    // bench set is 1.0 while Jaccard is ~3/40: the leak shape the
+    // MinHash pass structurally under-surfaces. Doc 3 shares nothing.
+    val quote = "alpha beta gamma delta epsilon"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (0L, quote),                    // bench (id % 2 == 0)
+      (1L, s"$filler $quote"),        // contains the full quote
+      (3L, "one two three four five") // disjoint
+    ).toDF("doc_id", "text")
+    val out = Curation.contaminatedContainment(df, "doc_id", "text",
+        F.col("doc_id") % 2 === 0, threshold = 0.9, dfCap = 20)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 1L, 1.0)),
+      s"expected doc 1 flagged with containment 1.0, got ${out.toSeq}")
+    // and the Jaccard the fuzzy pass estimates really is tiny here:
+    // 3 shared shingles over a ~41-shingle union
+    val sh = graft.functions.Text.distinctShingles(F.col("text"), 3)
+    val sets = df.select(F.col("doc_id"), sh.as("s")).as[(Long, Seq[String])]
+      .collect().toMap
+    val j = (sets(0L).toSet & sets(1L).toSet).size.toDouble /
+      (sets(0L).toSet | sets(1L).toSet).size
+    assert(j < 0.1, s"fixture no longer exhibits the low-Jaccard shape ($j)")
+  }
+
   test("repetitionMetrics measures top/dup bigram fractions") {
     val df = Seq(
       (1L, "a b a b a b"),  // bigrams: ab,ba,ab,ba,ab -> top 3/5, dup 1-2/5
