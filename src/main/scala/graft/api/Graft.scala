@@ -155,11 +155,19 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     val stored = spark.table(store)
     val projected = stored.select(td.fields.map { f =>
       val base = F.col(f.physical)
+      val phys = stored.schema(f.physical).dataType
       // pass the catalog table's loaded type so storage→logical
       // transforms adapt to the fixture's physical encoding (the
-      // rendered view SQL then bakes in the right branch)
-      f.readExpr.fold(base)(fn => fn(base, stored.schema(f.physical).dataType))
-        .alias(f.name)
+      // rendered view SQL then bakes in the right branch); declared
+      // timestamps loaded as raw longs self-heal like Tables.scan
+      val read = f.readExpr.map(fn => fn(base, phys)).getOrElse(
+        f.ftype match {
+          case _: graft.schema.FTimestamp
+              if phys == org.apache.spark.sql.types.LongType =>
+            graft.functions.Dates.adaptiveTsToNtz(base, phys)
+          case _ => base
+        })
+      read.alias(f.name)
     }: _*)
     val proj = projected.queryExecution.analyzed match {
       case p: org.apache.spark.sql.catalyst.plans.logical.Project =>

@@ -31,10 +31,21 @@ object Tables {
     val raw = spark.read.parquet(path(sfDir, t.storageName))
     raw.select(t.fields.map { f =>
       val base = F.col(f.physical)
+      val phys = raw.schema(f.physical).dataType
       // readExpr sees the type the file ACTUALLY loaded as, so the
-      // storage→logical transform adapts to the writer's encoding
-      f.readExpr.fold(base)(fn => fn(base, raw.schema(f.physical).dataType))
-        .alias(f.name)
+      // storage→logical transform adapts to the writer's encoding;
+      // declared-timestamp fields WITHOUT a readExpr self-heal too —
+      // if the fixture ever ships them as int64 epoch-nanos (the
+      // encoding events.ts once used) the scan decodes instead of
+      // surfacing longs into every downstream date expression
+      val read = f.readExpr.map(fn => fn(base, phys)).getOrElse(
+        f.ftype match {
+          case _: graft.schema.FTimestamp
+              if phys == org.apache.spark.sql.types.LongType =>
+            graft.functions.Dates.adaptiveTsToNtz(base, phys)
+          case _ => base
+        })
+      read.alias(f.name)
     }: _*)
   }
 
