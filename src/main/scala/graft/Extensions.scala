@@ -1141,6 +1141,13 @@ object Extensions {
       Curation.pmiTopPairs(Tables.scan(s, dir, "documents"),
         "text", PMI_MIN_COUNT, PMI_TOPK)),
 
+    // per-doc bigram-LM quality score (mean smoothed log-prob of the
+    // doc's bigrams under corpus statistics) — the perplexity-gate
+    // filtering signal, model-free and fully oracle-replayable
+    "x_lm_score" -> ((s, dir) =>
+      Curation.bigramLmScore(Tables.scan(s, dir, "documents"),
+        "doc_id", "text")),
+
     // per-source coverage of a fixed top-k corpus vocabulary — the
     // tokenizer-sizing dashboard (what fraction of each source's
     // token stream a k-entry vocab captures)
@@ -2442,6 +2449,24 @@ object Extensions {
           "JOIN u b ON b.tok = string_split(g, ' ')[2] " +
           "ORDER BY pmi DESC, term_a ASC, term_b ASC " +
           s"LIMIT $PMI_TOPK"),
+      // bigram-LM score: same smoothing, same per-bigram 6-dp ln
+      // rounding, same DECIMAL-exact mean as the Spark side
+      "x_lm_score" ->
+        ("WITH t AS (SELECT doc_id, " +
+          "string_split_regex(lower(text), '\\s+') AS t FROM documents), " +
+          "bgc AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM " +
+          "(SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN " +
+          "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) " +
+          "ELSE [] END) AS g FROM t)), " +
+          "cb AS (SELECT g, count(*) AS cb FROM bgc GROUP BY g), " +
+          "cu AS (SELECT w1, count(*) AS cu FROM bgc GROUP BY w1), " +
+          "v AS (SELECT count(DISTINCT tok) AS v FROM " +
+          "(SELECT unnest(t) AS tok FROM t) WHERE tok <> '') " +
+          "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+          "round(CAST(sum(CAST(round(ln((cb + 1.0) / (cu + v.v)), 6) " +
+          "AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS lm_score " +
+          "FROM bgc JOIN cb USING (g) JOIN cu USING (w1), v " +
+          "GROUP BY doc_id"),
       // the oracle aggregates the raw events under the same date
       // restriction the pruned layout read applies
       "x_partition_prune" ->

