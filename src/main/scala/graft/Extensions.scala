@@ -538,6 +538,22 @@ object Extensions {
         maxCellSize = SEMDEDUP_CAP)
     }),
 
+    // incremental SemDeDup: the mod-3 "incoming batch" of embeddings
+    // cleaned against the rest of the corpus (cell-bucketed cosine vs
+    // any corpus member, plus in-batch keep-min-id) — the embedding
+    // twin of x_neardup_incremental, completing the incremental
+    // family across all three dedup modalities. Stride centroids so
+    // the oracle replays assignment without the Lloyd unroll.
+    "x_semdedup_incremental" -> ((s, dir) => {
+      val emb = Tables.scan(s, dir, "embeddings")
+      val cents = emb.filter(F.col("vec_id") % ANN_CENT_STRIDE === 0)
+      Similarity.semDedupIncremental(
+          emb.filter(F.col("vec_id") % INCR_MOD =!= 0),
+          emb.filter(F.col("vec_id") % INCR_MOD === 0),
+          cents, "vec_id", "embedding", SEMDEDUP_TAU)
+        .select("vec_id", "label")
+    }),
+
     // cell-balance audit for the embedding index: the kmeans-cell
     // population distribution (mirror of x_dedup_sizes for vectors) —
     // the dashboard that spots the hot-cell condition the semdedup
@@ -1999,6 +2015,33 @@ object Extensions {
       "x_ann_kmeans" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
         ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES),
       "x_semdedup" -> semDedupSql(ANN_KMEANS_K, ANN_KMEANS_ITERS, SEMDEDUP_TAU),
+      // stride-centroid assignment (same argmax/tie-break as the IVF
+      // oracle), then the two incremental drop rules
+      "x_semdedup_incremental" ->
+        (s"WITH cents AS (SELECT vec_id AS cent_id, " +
+          "CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings " +
+          s"WHERE vec_id % $ANN_CENT_STRIDE = 0), " +
+          "asgn AS (SELECT e.vec_id, e.embedding, c.cent_id, " +
+          "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+          "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+          "c.cvec), 6) DESC, c.cent_id ASC) AS rn " +
+          "FROM embeddings e CROSS JOIN cents c), " +
+          "cells AS (SELECT vec_id, embedding, cent_id AS cell " +
+          "FROM asgn WHERE rn = 1), " +
+          s"b AS (SELECT * FROM cells WHERE vec_id % $INCR_MOD = 0), " +
+          s"o AS (SELECT * FROM cells WHERE vec_id % $INCR_MOD <> 0), " +
+          "dropped AS (" +
+          "SELECT DISTINCT b.vec_id FROM b JOIN o USING (cell) " +
+          "WHERE round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), " +
+          s"CAST(o.embedding AS DOUBLE[])), 6) >= $SEMDEDUP_TAU " +
+          "UNION " +
+          "SELECT DISTINCT b.vec_id FROM b JOIN b b2 USING (cell) " +
+          "WHERE b2.vec_id < b.vec_id AND " +
+          "round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), " +
+          s"CAST(b2.embedding AS DOUBLE[])), 6) >= $SEMDEDUP_TAU) " +
+          "SELECT e.vec_id, e.label FROM embeddings e " +
+          s"WHERE e.vec_id % $INCR_MOD = 0 " +
+          "AND e.vec_id NOT IN (SELECT vec_id FROM dropped)"),
       "x_semdedup_capped" -> semDedupCappedSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
         SEMDEDUP_TAU, SEMDEDUP_CAP),
       // replayed Lloyd training + argmax assignment, rolled up twice

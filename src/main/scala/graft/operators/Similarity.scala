@@ -573,6 +573,50 @@ object Similarity {
     smallPairs.unionByName(blockPairs).unionByName(repPairs)
   }
 
+  /** Incremental SemDeDup — the embedding twin of
+    * [[graft.operators.Dedup.incrementalNearDedup]], completing the
+    * incremental family (exact fingerprints, LSH text near-dup,
+    * embedding near-dup): clean an incoming `batch` of vectors
+    * against an existing `corpus` without ever re-pairing the corpus
+    * with itself. A batch vector is dropped when a ≥ `threshold`
+    * cosine neighbor exists in its cell among (a) ANY corpus vector
+    * or (b) a LOWER-ID batch vector (in-batch dedup, keep-min-id);
+    * survivors are returned as the cleaned batch.
+    *
+    * Scale: both sides take the same zero-exchange cell assignment as
+    * [[semDedup]]; the only joins are cell equi-joins whose pair
+    * volume is |batch-cell| × |cell| — batch-bounded, independent of
+    * corpus² — and the batch assignment is pinned once before its
+    * three consumers. Hot cells are the [[cellSizes]] audit's job
+    * here: an incremental pass re-runs per batch, so cap-splitting is
+    * deliberately left to the full [[semDedup]] sweep. */
+  def semDedupIncremental(corpus: DataFrame, batch: DataFrame,
+                          centroids: DataFrame, idCol: String,
+                          vecCol: String, threshold: Double): DataFrame = {
+    def sim(aV: Column, aN: Column, bV: Column, bN: Column): Column =
+      F.round(dot(aV, bV) / (aN * bN), 6)
+    val corpusCells = assignCells(corpus, centroids, idCol, vecCol)
+      .select(F.col("cell"), F.col("id").as("o_id"),
+        F.col("vec").as("o_vec"), F.col("nrm").as("o_nrm"))
+    val batchCells = assignCells(batch, centroids, idCol, vecCol)
+      .localCheckpoint(true) // feeds both drop joins + the keep list
+    val vsCorpus = batchCells.join(corpusCells, Seq("cell"))
+      .filter(sim(F.col("vec"), F.col("nrm"),
+        F.col("o_vec"), F.col("o_nrm")) >= threshold)
+      .select(F.col("id"))
+    val vsBatch = batchCells.join(
+        batchCells.select(F.col("cell"), F.col("id").as("o_id"),
+          F.col("vec").as("o_vec"), F.col("nrm").as("o_nrm")),
+        Seq("cell"))
+      .filter(F.col("o_id") < F.col("id") &&
+        sim(F.col("vec"), F.col("nrm"),
+          F.col("o_vec"), F.col("o_nrm")) >= threshold)
+      .select(F.col("id"))
+    val dropped = vsCorpus.unionByName(vsBatch).distinct()
+      .select(F.col("id").cast("long").as(idCol))
+    batch.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic spherical Lloyd k-means over the embedding column —
     * the IVF centroid trainer (better cell balance and recall than a
     * raw sample for the same nprobe).

@@ -302,6 +302,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(dropped == Set((20L, 10L)), s"got $dropped")
   }
 
+  test("semDedupIncremental drops batch near-dups of the corpus and of lower-id batch rows") {
+    import spark.implicits._
+    // one cell (single centroid) so assignment cannot mask decisions:
+    // batch 100 duplicates corpus 10 (dropped via the corpus rule),
+    // batch 201 duplicates batch 200 (only the HIGHER id drops —
+    // keep-min-id within the batch), batch 300 is orthogonal (kept)
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.1f)),
+      (11L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, Array(1.0f, 0.01f, 0.1f)),
+      (200L, Array(0.5f, 0.5f, 0.0f)),
+      (201L, Array(0.5f, 0.49f, 0.0f)),
+      (300L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val oneCell = Seq((0L, Array(1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedupIncremental(corpus, batch, oneCell,
+        "vec_id", "embedding", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    // 200 survives (no corpus match, no LOWER-id batch dup); note 200
+    // vs corpus 11 cosine is ~0.707 < 0.9
+    assert(kept == Set(200L, 300L), s"got $kept")
+  }
+
   test("semDedup caps hot cells: bounded per-task pairs, exact on all-duplicates") {
     import spark.implicits._
     // the pathological SemDeDup input: EVERY vector identical, so one
