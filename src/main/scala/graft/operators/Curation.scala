@@ -335,6 +335,46 @@ object Curation {
       F.floor(w * (rate * granularity)))
   }
 
+  /** Temperature-based source mixing — the multilingual/multi-source
+    * rebalancing step of a pre-training data recipe: each group's
+    * share of a token `budget` is proportional to `n_g^alpha` (alpha
+    * = 1 keeps natural proportions, alpha → 0 approaches uniform —
+    * the classic `p^(1/T)` upsampling of low-resource sources), and
+    * rows are then kept by the same deterministic md5-hash gate as
+    * [[hashSample]] at each group's derived rate (clamped at 1: a
+    * group can't be upsampled past its actual size without
+    * duplication, which is a training-recipe decision, not a
+    * sampling one).
+    *
+    * Engine-exact by construction: group weights `round(n_g^alpha,
+    * 6)` absorb the 1-ulp `pow` differences between runtimes, their
+    * total sums as DECIMAL (merge-order-free), and everything
+    * downstream is deterministic IEEE arithmetic on identical
+    * inputs — the keep decision replays bit-for-bit in the oracle.
+    *
+    * Scale: one map-side-combined count per group, a group-count-
+    * sized rate frame broadcast back, and a map-only filter — no
+    * shuffle touches the corpus beyond the count. */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+                     weight: Column, alpha: Double, budget: Long,
+                     granularity: Int = 10000): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = df.groupBy(groupCol).agg(F.sum(weight.cast("long")).as("n_g"))
+    val weighted = counts.withColumn("w",
+      F.round(F.pow(F.col("n_g").cast("double"), alpha), 6))
+    val tot = weighted.agg(
+      F.sum(F.col("w").cast("decimal(24,6)")).cast("double").as("__wsum"))
+    val rates = weighted.crossJoin(F.broadcast(tot))
+      .withColumn("keep_rate", F.least(F.lit(1.0),
+        F.col("w") / F.col("__wsum") * budget / F.col("n_g")))
+      .select(F.col(groupCol), F.col("keep_rate"))
+    df.join(F.broadcast(rates), Seq(groupCol))
+      .filter(Text.hash60(F.col(idCol)) % granularity <
+        F.floor(F.col("keep_rate") * granularity))
+      .drop("keep_rate")
+  }
+
   /** Per-group quota cap (RefinedWeb-style source/domain capping):
     * keeps at most `quota` rows per `groupCol` value, chosen by the
     * deterministic md5-hash order of ids (a reproducible uniform

@@ -66,6 +66,30 @@ class CurationSpec extends SparkSpec {
     assert(j < 0.1, s"fixture no longer exhibits the low-Jaccard shape ($j)")
   }
 
+  test("temperatureMix upsamples small sources toward uniform, clamps at whole-group") {
+    import graft.functions.Text
+    // source "big" has 9x the rows/tokens of "small"; with alpha = 0.5
+    // the sqrt weighting pushes shares toward uniform, so at a budget
+    // equal to ~half the corpus the SMALL source clamps to rate 1
+    // (kept whole) while "big" is downsampled — and the kept set is
+    // deterministic (same input → same rows, no RNG anywhere)
+    val docs = ((1 to 90).map(i => (i.toLong, "big", "tok tok tok tok")) ++
+      (101 to 110).map(i => (i.toLong, "small", "tok tok tok tok")))
+      .toDF("doc_id", "source", "text")
+    // tokens: big = 360, small = 40; w = 18.973666/6.324555;
+    // budget 200: small rate = .25*200/40 = 1.25 → clamp 1.0
+    val kept = Curation.temperatureMix(docs, "doc_id", "source",
+        Text.tokenCount(F.col("text")), alpha = 0.5, budget = 200L)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySource = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySource("small") == 10, s"small source must be kept whole: $bySource")
+    assert(bySource("big") < 90, s"big source must be downsampled: $bySource")
+    val again = Curation.temperatureMix(docs, "doc_id", "source",
+        Text.tokenCount(F.col("text")), alpha = 0.5, budget = 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet, "mix must be deterministic")
+  }
+
   test("bigramLmScore ranks predictable text above token salad, excludes <2-token docs") {
     // doc 1 repeats one bigram (high P under the corpus model), doc 2
     // is all-unique tokens (every bigram at the smoothing floor), doc
