@@ -121,6 +121,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(diffs.max < 0.55, s"max err ${diffs.max}")
   }
 
+  test("containmentPairs df-cap: stop-shingles block no pairs (the linearity contract)") {
+    import spark.implicits._
+    // every doc shares one boilerplate sentence (a stop-shingle with
+    // df = corpus size > cap) plus unique content. The cap's whole
+    // point is that this shared mass generates ZERO candidates — an
+    // uncapped inverted join would pair all C(n,2) docs through it.
+    // Docs 1/2 additionally share real content → still found.
+    val boiler = "all rights reserved by the site"
+    val docs = (
+      Seq((1L, s"alpha beta gamma delta epsilon zeta. $boiler"),
+        (2L, s"alpha beta gamma delta epsilon eta. $boiler")) ++
+      (10L to 40L).map(i => (i, s"unique$i word$i token$i item$i thing$i. $boiler"))
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .containmentPairs(docs, "doc_id", "text", threshold = 0.4, dfCap = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // only the genuinely-overlapping pair surfaces; no boilerplate
+    // pair among the 32 docs sharing ONLY the stop-shingles
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("dupComponents merges transitive chains to the min-id label") {
     import spark.implicits._
     // 1-2-3 is a chain (1,3 never paired directly); 5-6 separate
