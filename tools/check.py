@@ -73,13 +73,22 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify records plan-time crashes here (a query that never ran
+    # otherwise looks identical to one omitted by a name filter)
+    failed_path = f"{out_dir}/failed_queries.json"
+    crashed = {}
+    if os.path.exists(failed_path):
+        crashed = json.load(open(failed_path))
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output at {res_dir}")
+            if name in crashed:
+                print(f"FAIL {name}: CRASHED at plan/run time: {crashed[name]}")
+            else:
+                print(f"FAIL {name}: no spark output at {res_dir}")
             n_fail += 1
             continue
         tbl = pq.read_table(res_dir)
