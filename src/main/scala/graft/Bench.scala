@@ -64,6 +64,21 @@ object Bench {
     val passes = 3
     val names = benched.toSeq.sortBy(_._1)
     val samples = Array.fill(names.size)(Vector.empty[Double])
+    // Noise self-description: two rounds running (r9, r10) the
+    // driver-run tail was dominated by box contention and the
+    // diagnosis each time needed a manual clean re-run. Record the
+    // host's load average and this JVM's GC totals over the timed
+    // passes so the artifact carries its own contention evidence —
+    // load_avg far above n_cpus, or GC time a large fraction of the
+    // wall total, means "contended box", not "plan regression".
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcTotals: (Long, Long) = {
+      val gcs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      (gcs.map(_.getCollectionCount).sum, gcs.map(_.getCollectionTime).sum)
+    }
+    val loadStart = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val (gcCount0, gcMs0) = gcTotals
     for (_ <- 0 until passes; i <- names.indices) {
       val (name, fn) = names(i)
       val t0 = System.nanoTime()
@@ -98,8 +113,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val loadEnd = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val (gcCount1, gcMs1) = gcTotals
+    val noise =
+      s""""noise":{"load_avg_start":${ms3(loadStart)},"load_avg_end":${ms3(loadEnd)},""" +
+        s""""n_cpus":${Runtime.getRuntime.availableProcessors},""" +
+        s""""gc_count":${gcCount1 - gcCount0},"gc_ms":${gcMs1 - gcMs0}}"""
     val fullLine =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec",$noise,"queries":$qs,"sf":"$sfDir"}"""
     val localOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     scala.util.Try {
       java.nio.file.Files.write(java.nio.file.Paths.get(localOut),

@@ -72,10 +72,32 @@ object Verify {
     // A SIBLING file, not a key inside oracle_sql.json: the driver
     // iterates that dict as name→SQL and an extra structured field
     // could break its json handling.
-    val failedJson = failed
+    // On an `only`-filtered run MERGE with the existing file instead
+    // of replacing it (round-11 advice): the parquet outputs of the
+    // queries NOT re-run persist from the prior full run, so their
+    // crash records must persist too — a blanket overwrite would let
+    // check.py attribute a stale parquet's absence to "missing" after
+    // any filtered iteration. Entries for queries IN the filter are
+    // replaced (cleared on success, updated on failure).
+    val failedPath = Paths.get(s"$outDir/failed_queries.json")
+    val prior: Map[String, String] =
+      if (only.isEmpty || !Files.exists(failedPath)) Map.empty
+      else scala.util.Try {
+        // the session is already up — read the single-object JSON
+        // through it rather than hand-rolling a parser
+        val df = spark.read.option("multiLine", "true")
+          .json(failedPath.toString)
+        df.collect().headOption.map { row =>
+          df.schema.fieldNames.zipWithIndex.collect {
+            case (n, i) if !row.isNullAt(i) => n -> row.get(i).toString
+          }.toMap
+        }.getOrElse(Map.empty[String, String])
+      }.getOrElse(Map.empty[String, String])
+    val kept = prior.filter { case (k, _) => only.exists(!_.contains(k)) }
+    val failedJson = (kept.toSeq.sortBy(_._1) ++ failed.toSeq)
       .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/failed_queries.json"), failedJson)
+    Files.writeString(failedPath, failedJson)
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} queries failed to run: " +
         failed.keys.mkString(", "))

@@ -143,7 +143,15 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     // if it exists: it may point at another sfDir's files.
     if (!upToDate) {
       spark.sql(s"DROP TABLE IF EXISTS $store")
-      spark.catalog.createTable(store, expectedLoc, "parquet")
+      // skipHiveMetadata: these locations are single parquet FILES, and
+      // the HMS catalog's Hive-compatible persistence attempt requires
+      // a directory — it would throw, log an 8-frame stack at WARN,
+      // and fall back to Spark-native format anyway (burying real
+      // failures in CI logs). The option skips the doomed attempt and
+      // persists Spark-native directly; nothing here needs Hive-engine
+      // readability, and Spark reads its own format either way.
+      spark.catalog.createTable(store, "parquet",
+        Map("path" -> expectedLoc, "skipHiveMetadata" -> "true"))
       // schema just inferred from these footers — checked by creation
       Graft.footerChecked.add(footerKey)
     } else {

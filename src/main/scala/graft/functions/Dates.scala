@@ -72,7 +72,26 @@ object Dates {
   def adaptiveTsToNtz(c: Column, physical: org.apache.spark.sql.types.DataType): Column = {
     import org.apache.spark.sql.types._
     physical match {
-      case LongType => F.timestamp_micros(nanosToMicros(c)).cast("timestamp_ntz")
+      case LongType =>
+        // Magnitude sanity (round-11 advice): this branch ASSUMES the
+        // int64 is epoch-NANOS. A fixture shipping plain int64
+        // epoch-micros would be divided by 1000 and silently collapse
+        // the timeline to ~1970 — plausible-looking wrong data, the
+        // worst failure mode. Nanos for any era this engine could see
+        // (1980–2200) sit in [3.2e17, 7.3e18]; micros misread as nanos
+        // decode to 1970, seconds/millis likewise — all land OUTSIDE
+        // the era window and fail loudly naming the value, instead of
+        // feeding a 1000×-compressed timeline downstream. NULLs pass
+        // through (the `when` guard, not nullSafeEval, carries this).
+        val decoded = F.timestamp_micros(nanosToMicros(c)).cast("timestamp_ntz")
+        F.when(c.isNull, F.lit(null).cast("timestamp_ntz"))
+          .when(F.year(decoded).between(1980, 2200), decoded)
+          .otherwise(F.raise_error(F.concat(
+            F.lit("adaptiveTsToNtz: int64 value "), c.cast("string"),
+            F.lit(" decoded as epoch-nanos lands at "), decoded.cast("string"),
+            F.lit(" — outside the plausible era [1980, 2200]; the column "
+              + "is likely NOT epoch-nanos (plain epoch-micros/millis?)")))
+            .cast("timestamp_ntz"))
       case TimestampNTZType => c
       case TimestampType => c.cast("timestamp_ntz")
       case other => throw new IllegalArgumentException(

@@ -360,7 +360,24 @@ object Curation {
                      granularity: Int = 10000): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
     require(budget > 0, s"budget must be positive, got $budget")
-    val counts = df.groupBy(groupCol).agg(F.sum(weight.cast("long")).as("n_g"))
+    // Guard the weight column, not just the scalars (round-11 advice):
+    // a group whose summed weight is 0 or NULL (all-NULL weights, or a
+    // weight expression that can go non-positive) would make keep_rate
+    // NaN/NULL and the hash-gate filter would then silently DROP the
+    // whole group — fail loudly naming the group instead. Lazy (a
+    // per-row conditional on the |groups|-sized frame), so the
+    // operator still builds a pure plan. Unreachable with
+    // Text.tokenCount weights (always ≥ 1); latent for custom ones.
+    val counts = df.groupBy(groupCol)
+      .agg(F.sum(weight.cast("long")).as("n_g"))
+      .withColumn("n_g",
+        F.when(F.col("n_g").isNull || F.col("n_g") <= 0,
+          F.raise_error(F.concat(
+            F.lit("temperatureMix: group "), F.col(groupCol).cast("string"),
+            F.lit(" has non-positive/NULL total weight — its keep_rate " +
+              "would be NaN and the group silently dropped")))
+            .cast("long"))
+          .otherwise(F.col("n_g")))
     val weighted = counts.withColumn("w",
       F.round(F.pow(F.col("n_g").cast("double"), alpha), 6))
     val tot = weighted.agg(

@@ -34,6 +34,27 @@ final class CentroidIndex(val ids: Array[Long],
   require(ids.length == vecs.length && ids.length == norms.length,
     "centroid index arrays must be parallel")
 
+  // Content-based equality (round-11 advice): NearestCentroid is a
+  // case class embedding this object, so Catalyst canonicalization —
+  // exchange reuse, common-subexpression elimination — compares
+  // expressions through it. With default reference equality two
+  // NearestCentroid nodes built from IDENTICAL centroid sets across
+  // plan rebuilds would never canonicalize equal and reuse would
+  // silently miss (never falsely merge — but the missed reuse is
+  // real). norms are derived from vecs, so (ids, vecs) determine
+  // equality; norms still participate for defense in depth.
+  override def equals(o: Any): Boolean = o match {
+    case that: CentroidIndex =>
+      java.util.Arrays.equals(ids, that.ids) &&
+        java.util.Arrays.equals(norms, that.norms) &&
+        vecs.length == that.vecs.length &&
+        vecs.indices.forall(i => java.util.Arrays.equals(vecs(i), that.vecs(i)))
+    case _ => false
+  }
+
+  override def hashCode: Int =
+    31 * java.util.Arrays.hashCode(ids) + java.util.Arrays.hashCode(norms)
+
   /** Argmax over all centroids for one row's vector. `isFloat` is the
     * corpus element type (resolved once at plan time). */
   def assign(vec: ArrayData, isFloat: Boolean, nrm: Double): Long = {

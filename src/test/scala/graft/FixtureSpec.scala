@@ -85,4 +85,35 @@ class FixtureSpec extends SparkSpec {
       s"events.ts min decoded to ${row.get(0)} (physical: $physical) — " +
         "epoch-relative decode is off by a unit factor")
   }
+
+  test("every declared timestamp column decodes into the fixture's era") {
+    // round-11 advice: the events.ts span canary above guards ONE
+    // column; any other table gaining a unit-confused timestamp read
+    // (e.g. a fixture regenerated with plain int64 epoch-micros that
+    // the nanos branch divides by 1000) had no guard. Sweep every
+    // declared FTimestamp field of every catalog table: the decoded
+    // min/max must land in a plausible era, not at ~1970 (unit too
+    // small) or far future (unit too large). TPC-H dates are 1992-1998
+    // and the event fixture is 2024 — [1990, 2100] covers both with
+    // margin while catching every 1000× unit slip.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      val tsCols = graft.schema.Catalog(t).fields
+        .filter(_.ftype.isInstanceOf[graft.schema.FTimestamp]).map(_.name)
+      if (tsCols.nonEmpty) {
+        val aggs = tsCols.flatMap(c => Seq(
+          F.year(F.min(c).cast("timestamp")).as(s"${c}__lo"),
+          F.year(F.max(c).cast("timestamp")).as(s"${c}__hi")))
+        val row = Tables.scan(spark, sf, t).agg(aggs.head, aggs.tail: _*)
+          .collect().head
+        for (c <- tsCols; side <- Seq("lo", "hi")) {
+          val y = row.getAs[Int](s"${c}__$side")
+          assert(y >= 1990 && y <= 2100,
+            s"$t.$c decodes to year $y — outside the fixture era " +
+              "[1990, 2100]; storage→logical unit confusion " +
+              "(see Dates.adaptiveTsToNtz)")
+        }
+      }
+    }
+  }
 }
