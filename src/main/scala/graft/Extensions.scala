@@ -34,6 +34,13 @@ object Extensions {
   // half of an eval doc's shingle set (mod-5 split — same eval split
   // as the fuzzy pass, so both leak shapes are audited on one split)
   private val CONTAIN_DECON_THRESHOLD = 0.5
+  // substring-level dedup: 8-token consecutive windows; a pair needs
+  // ≥ 2 distinct shared windows (≈ a shared run of ≥ 9 tokens, or two
+  // separate 8-token spans); same df-cap linear-volume bound as
+  // containment
+  private val SUBSTR_WINDOW = 8
+  private val SUBSTR_MINSPANS = 2
+  private val SUBSTR_DFCAP = 20
   // temperature mixing: sqrt weighting against a budget just under
   // the sf0.01 corpus's ~26.6k total tokens, so small sources clamp
   // at rate 1 (kept whole) while large ones downsample — both
@@ -456,6 +463,16 @@ object Extensions {
       Dedup.containmentPairs(Tables.scan(s, dir, "documents"),
         "doc_id", "text", threshold = CONTAIN_THRESHOLD,
         dfCap = CONTAIN_DFCAP, terms = Text.distinctShingles(_, 3))),
+
+    // substring-level exact dedup: cross-document repeated token SPANS
+    // (licence blocks, boilerplate) — the shape doc-level fingerprints
+    // and token-set Jaccard both miss. Fixed 8-token windows hashed
+    // once; pairs via the same df-capped inverted index as
+    // x_containment (pair volume linear in corpus × cap, never Σ df²)
+    "x_substring_dedup" -> ((s, dir) =>
+      Dedup.substringSpanPairs(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", windowLen = SUBSTR_WINDOW,
+        minSpans = SUBSTR_MINSPANS, dfCap = SUBSTR_DFCAP)),
 
     "x_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(Tables.scan(s, dir, "documents"),
@@ -1967,6 +1984,16 @@ object Extensions {
           "SELECT id_a AS doc_id, count(*) AS n_bench_matches, " +
           "max(est) AS max_est_jaccard FROM cand GROUP BY 1"),
       "x_dedup_ngram" -> jaccardLshSql(shingleToksCte(3), NGRAM_BANDS, 0.5),
+      // identical windowing (8-token shingles), 60-bit hash, df cap,
+      // and distinct-per-doc set semantics as Dedup.substringSpanPairs
+      "x_substring_dedup" ->
+        (s"WITH ${shingleToksCte(SUBSTR_WINDOW)}, " +
+          s"wh AS (SELECT DISTINCT doc_id, ${h60("tok")} AS h FROM toks), " +
+          s"dfh AS (SELECT h FROM wh GROUP BY h HAVING count(*) <= $SUBSTR_DFCAP), " +
+          "rare AS (SELECT w.doc_id, w.h FROM wh w JOIN dfh USING (h)) " +
+          "SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS span_count " +
+          "FROM rare l JOIN rare r ON l.h = r.h AND l.doc_id < r.doc_id " +
+          s"GROUP BY 1, 2 HAVING count(*) >= $SUBSTR_MINSPANS"),
       "x_containment" -> containmentSql(shingleToksCte(3),
         CONTAIN_THRESHOLD, CONTAIN_DFCAP),
       "x_decontaminate_contain" -> containDeconSql(shingleToksCte(3),

@@ -486,6 +486,59 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Substring-level exact dedup: doc pairs sharing REPEATED TOKEN
+    * SPANS — the boilerplate/licence-block shape that survives
+    * doc-level fingerprints (the docs differ) and is under-weighted
+    * by token-set Jaccard (a 50-token licence block inside two
+    * 1000-token docs moves set overlap barely at all, but is exactly
+    * the cross-document duplication substring dedup exists to find).
+    * The last dedup modality after exact / MinHash / SimHash /
+    * Jaccard / containment / fuzzy.
+    *
+    * Windows the token stream at fixed length `windowLen` (every
+    * CONSECUTIVE windowLen-token span, the order-preserving unit —
+    * [[graft.functions.Text.shingles]] with n = windowLen), hashes
+    * each window once to a 60-bit md5-derived long, and pairs docs
+    * through a DF-CAPPED inverted index on the window hash — the
+    * identical volume bound as [[containmentPairs]]: only windows
+    * with document frequency ≤ `dfCap` block pairs, so candidate
+    * volume is `Σ_{df≤cap} df² ≤ dfCap · Σ df` — LINEAR in corpus
+    * size × cap, never the quadratic Σ df² of an uncapped inverted
+    * join. `span_count` is the number of DISTINCT shared window
+    * hashes (set semantics per doc — a window a doc repeats
+    * internally counts once); a shared L-token run of length R ≥ L
+    * contributes R − L + 1 overlapping windows, so `minSpans` ≈
+    * R_min − L + 1 tunes the minimum detected span length.
+    *
+    * Recall caveats (documented trades, both shared with the
+    * containment operator): a span shared by MORE than dfCap docs is
+    * invisible to pairing (corpus-wide boilerplate — detect it from
+    * the df frame itself, not from pairs); spans shorter than
+    * windowLen never form a window. The DuckDB oracle replays the
+    * identical windowing, hash, cap, and count. */
+  def substringSpanPairs(df: DataFrame, idCol: String, textCol: String,
+                         windowLen: Int = 8, minSpans: Int = 2,
+                         dfCap: Int = 20): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    // hash once, set-dedupe, pin: the frame feeds the df count and
+    // both sides of the pair join (same 3-consumer rationale as
+    // containmentPairs — without the checkpoint the tokenize +
+    // window + md5 lineage re-executes per consumer). The shuffle
+    // carries (id, 8-byte hash) rows, never window text.
+    val wins = termRows(df, idCol, textCol, Text.distinctShingles(_, windowLen))
+      .select(F.col(idCol), Text.hash60(F.col("tok")).as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    val dfc = wins.groupBy("h").agg(F.count(F.lit(1)).as("df"))
+    val rare = wins.join(dfc.filter(F.col("df") <= dfCap).select("h"), Seq("h"))
+    rare.select(F.col(idCol).as("id_a"), F.col("h")).alias("l")
+      .join(rare.select(F.col(idCol).as("id_b"), F.col("h")).alias("r"),
+        F.col("l.h") === F.col("r.h") && F.col("id_a") < F.col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(F.count(F.lit(1)).as("span_count"))
+      .filter(F.col("span_count") >= minSpans)
+  }
+
   /** Connected components over near-dup pairs — the dup-GROUP step
     * that follows any pair generator: docs linked (transitively)
     * through pairs share a component, labeled by the minimum doc id

@@ -142,6 +142,62 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("substringSpanPairs finds planted shared spans with exact window counts") {
+    import spark.implicits._
+    // docs 1/2 share a planted 10-token "licence block" inside
+    // otherwise-disjoint text: with 8-token windows a 10-token shared
+    // run contributes exactly 10 - 8 + 1 = 3 windows — IF the block
+    // sits at both docs' token-stream boundaries the surrounding
+    // context would otherwise create differing windows, so it is
+    // planted mid-text and only the fully-interior windows match.
+    // Doc 3 shares nothing long enough (7 tokens < windowLen).
+    val block = "this software is provided as is without any express warranty"
+    val short = "seven shared tokens in a row here"
+    val docs = Seq(
+      (1L, s"alpha beta gamma. $block. delta epsilon zeta eta theta iota"),
+      (2L, s"one two three four. $block. five six seven eight nine ten"),
+      (3L, s"totally different words entirely. $short. kappa lambda mu nu xi"),
+      (4L, s"unrelated content with no overlap at all whatsoever in any window span"),
+      (5L, s"more filler text. $short. omicron pi rho sigma tau upsilon")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.substringSpanPairs(docs, "doc_id", "text",
+        windowLen = 8, minSpans = 2, dfCap = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the 10-token block (with the attached punctuation tokens it
+    // spans "$block." = 10 tokens + boundary effects) yields interior
+    // windows only; assert the pair surfaces and its count is the
+    // number of 8-windows fully inside the shared run
+    assert(pairs.contains((1L, 2L)), s"planted licence pair missing: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"no-overlap doc paired: $pairs")
+    // docs 3/5 share only a 7-token run — shorter than one window
+    assert(!pairs.contains((3L, 5L)), s"sub-window span paired: $pairs")
+    // exact count: tokens of "$block." = 10 (the trailing '.' attaches
+    // to 'warranty.'), but 'warranty.' differs from doc context? No —
+    // both docs embed the identical "$block." run of 10 tokens with
+    // differing neighbors, so shared windows = 10 - 8 + 1 = 3
+    assert(pairs((1L, 2L)) == 3L, s"expected 3 shared windows, got ${pairs((1L, 2L))}")
+  }
+
+  test("substringSpanPairs df-cap: corpus-wide boilerplate blocks no pairs") {
+    import spark.implicits._
+    // the SAME 9-token block in 30 docs (df of its windows = 30 >
+    // cap): the cap's linearity contract — corpus-wide boilerplate
+    // generates ZERO candidate pairs, so pair volume stays linear.
+    // Docs 1/2 additionally share a rare 9-token span → still found.
+    val boiler = "all rights reserved contact the site administrator for details"
+    val rare = "the quick brown fox jumps over the lazy dog"
+    val docs = (
+      Seq((1L, s"intro one two. $rare. $boiler"),
+        (2L, s"other words here. $rare. $boiler")) ++
+      (10L to 39L).map(i => (i, s"unique$i word$i token$i item$i thing$i six$i seven$i. $boiler"))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.substringSpanPairs(docs, "doc_id", "text",
+        windowLen = 8, minSpans = 2, dfCap = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("dupComponents merges transitive chains to the min-id label") {
     import spark.implicits._
     // 1-2-3 is a chain (1,3 never paired directly); 5-6 separate

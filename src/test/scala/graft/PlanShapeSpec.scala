@@ -110,7 +110,7 @@ class PlanShapeSpec extends SparkSpec {
     // (jaccard). These guards pin the banded equi-join shape.
     for (q <- Seq("x_embed_neardup", "x_dedup_jaccard", "x_dedup_ngram",
         "x_minhash_pairs", "x_simhash_pairs", "x_decontaminate_fuzzy",
-        "x_containment", "x_decontaminate_contain")) {
+        "x_containment", "x_decontaminate_contain", "x_substring_dedup")) {
       val plan = planOf(q)
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$q fell back to a nested-loop pair join")
