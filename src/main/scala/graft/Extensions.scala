@@ -654,6 +654,36 @@ object Extensions {
           F.sum(F.length(F.col("text")).cast("long")).as("sum_text_chars"))
     }),
 
+    // schema-evolution ingest: a long-lived crawl corpus arrives in
+    // batches whose schema GROWS over time — batch 2 here adds a
+    // tok_count column batch 1 never had. Write the two batches as
+    // separate parquet directories, read the root back with
+    // mergeSchema (the union-schema read every evolving corpus
+    // needs), and aggregate per source: row/char sums prove the read
+    // is lossless across the schema seam, count(tok_count) proves the
+    // missing column NULL-fills (only batch-2 rows counted), and its
+    // sum proves batch-2 values survive. Scale note: mergeSchema
+    // footer reconciliation is a driver-side listing cost — on a
+    // 100-TB corpus pin the merged schema in a catalog table instead
+    // of re-inferring per read; the READ path (per-file projection
+    // with NULL-fill) is identical either way.
+    "x_source_evolved" -> ((s, dir) => {
+      val scan = Tables.scan(s, dir, "documents")
+      val out = Workspace.dir(s"evolved_${new java.io.File(dir).getName}")
+      scan.filter(F.col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$out/batch1")
+      scan.filter(F.col("doc_id") % 2 =!= 0)
+        .withColumn("tok_count",
+          graft.functions.Text.tokenCount(F.col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$out/batch2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/batch1", s"$out/batch2")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"),
+          F.count(F.col("tok_count")).as("n_evolved"),
+          F.sum(F.col("tok_count")).as("sum_toks"))
+    }),
+
     // graded small-file compaction: fragment documents into 64 tiny
     // files (the long-running-ingest shape), byte-size compact them,
     // and aggregate the compacted copy — the oracle aggregates the
@@ -2129,6 +2159,17 @@ object Extensions {
       "x_compaction" ->
         ("SELECT lang, count(*) AS n_docs, " +
           "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+          "FROM documents GROUP BY 1"),
+      // replays the batch split: rows/chars over ALL docs (lossless
+      // across the schema seam), the evolved-column count/sum over
+      // batch 2 only (batch-1 rows must read as NULL, so they fall
+      // out of count(col) exactly like the CASE here)
+      "x_source_evolved" ->
+        ("SELECT source, count(*) AS n_docs, " +
+          "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+          "count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS n_evolved, " +
+          "CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN " +
+          "len(string_split_regex(lower(text), '\\s+')) END) AS BIGINT) AS sum_toks " +
           "FROM documents GROUP BY 1"),
       "x_window_tumbling" ->
         ("SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start, " +
