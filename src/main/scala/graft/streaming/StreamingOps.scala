@@ -110,6 +110,32 @@ object StreamingOps {
     spark.read.parquet(s"$outDir/batch_id=*")
   }
 
+  /** Disk-backed streaming state (the 100-TB configuration): run
+    * `body` with the session's state-store provider switched to
+    * RocksDB, restoring the prior setting after. The default
+    * HDFS-backed provider keeps every key's state ON-HEAP in the
+    * executors — at real stream volumes (billions of keys across
+    * dedup fingerprints / user sessions) that is a slow-motion OOM;
+    * RocksDB spills state to local disk with bounded heap and is the
+    * provider a production deployment of ANY stateful operator here
+    * ([[streamingDedup]], [[streamingUserTotals]], the windowed
+    * aggregations) would pin in its session conf. The conf is read
+    * per-QUERY at start, so scoping it around the query launch is a
+    * complete seam; results must be IDENTICAL under either provider
+    * (state storage is an executor-local concern, not a semantics
+    * one) — StreamingSpec pins exactly that. */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Running per-user totals carried in custom state. */
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

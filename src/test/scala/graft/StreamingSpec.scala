@@ -35,6 +35,39 @@ class StreamingSpec extends SparkSpec {
       s"replay appended duplicates: $total rows for ${first.size} docs")
   }
 
+  test("stateful totals are identical under the RocksDB state-store provider") {
+    // the 100-TB configuration: streaming state on local disk
+    // (RocksDB) instead of executor heap. State storage is an
+    // executor-local concern — flatMapGroupsWithState results must be
+    // IDENTICAL under either provider; this runs the x_stream_state
+    // transform under the RocksDB seam and diffs against the batch
+    // ground truth (the same oracle the graded query uses).
+    val rocks = graft.streaming.StreamingOps.withRocksDbStateStore(spark) {
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+      graft.streaming.StreamingOps
+        .streamingUserTotals(spark, sf, "rocksdb_user_totals")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    }
+    // seam restored after the scope
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")), "provider conf leaked out of the seam")
+    val batch = graft.sources.Tables.scan(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(rocks.keySet == batch.keySet,
+      s"user sets differ: ${rocks.keySet.size} vs ${batch.keySet.size}")
+    for ((u, (n, s)) <- batch) {
+      val (rn, rs) = rocks(u)
+      // sums: the stream accumulates in arrival order, the batch agg
+      // in partition-merge order — same values, different IEEE
+      // association; compare at 1e-6 relative, not bit-exact
+      assert(rn == n && math.abs(rs - s) <= 1e-6 * math.max(1.0, math.abs(s)),
+        s"user $u: rocksdb ($rn, $rs) != batch ($n, $s)")
+    }
+  }
+
   test("an event older than the watermark is dropped; the unbounded twin keeps it") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
