@@ -577,6 +577,19 @@ object Extensions {
         .select("vec_id", "label")
     }),
 
+    // IVF with int8-quantized RESIDUALS (IVF-SQ8): the bounded-memory
+    // index layout — corpus rows stored as (cell, scale, int8
+    // residual), reconstructed against full-precision queries. Same
+    // trained centroids + probing as x_ann_kmeans; the oracle replays
+    // training, assignment, quantization, and reconstruction.
+    "x_ann_residual" -> ((s, dir) => {
+      val emb = Tables.scan(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = ANN_KMEANS_K, iters = ANN_KMEANS_ITERS)
+      Similarity.ivfResidualTopK(emb, emb.filter(F.col("vec_id") < ANN_N_QUERIES),
+        cents, "vec_id", "embedding", k = 10, nprobe = ANN_KMEANS_NPROBE)
+    }),
+
     // cell-balance audit for the embedding index: the kmeans-cell
     // population distribution (mirror of x_dedup_sizes for vectors) —
     // the dashboard that spots the hot-cell condition the semdedup
@@ -1682,6 +1695,41 @@ object Extensions {
                            nQueries: Int): String =
     kmeansCentsSql(kc, iters) + ivfBodySql(nprobe, k, nQueries)
 
+  /** DuckDB twin of [[Similarity.ivfResidualTopK]] over kmeans cells:
+    * replays training, the argmax assignment, the residual against
+    * the assigned centroid, the symmetric int8 quantization
+    * (127/max|r|, half-up), the `centroid + q/scale` reconstruction,
+    * and the probe/rank — identical arithmetic end to end. */
+  private def annResidualSql(kc: Int, iters: Int, nprobe: Int, k: Int,
+                             nQueries: Int): String = {
+    val csim = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(c.cvec AS DOUBLE[])), 6)"
+    kmeansCentsSql(kc, iters) +
+      "asgn AS (SELECT e.vec_id, e.embedding, c.cent_id, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, c.cent_id ASC) AS rn " +
+      "FROM embeddings e CROSS JOIN cents c), " +
+      "ccells AS (SELECT a.vec_id AS match_id, CAST(a.embedding AS DOUBLE[]) AS v, " +
+      "a.cent_id AS cell, CAST(c.cvec AS DOUBLE[]) AS cent FROM asgn a " +
+      "JOIN cents c ON c.cent_id = a.cent_id WHERE a.rn = 1), " +
+      "res AS (SELECT match_id, cell, cent, " +
+      "list_transform(range(1, len(v) + 1), i -> v[i] - cent[i]) AS r FROM ccells), " +
+      "sc AS (SELECT match_id, cell, cent, r, 127.0 / greatest(" +
+      "list_aggregate(list_transform(r, y -> abs(y)), 'max'), 1e-30) AS scale FROM res), " +
+      "qz AS (SELECT match_id, cell, cent, scale, " +
+      "list_transform(r, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q FROM sc), " +
+      "rec AS (SELECT match_id, cell, " +
+      "list_transform(range(1, len(q) + 1), i -> cent[i] + q[i] / scale) AS a FROM qz), " +
+      "qcells AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec, " +
+      s"cent_id AS cell FROM asgn WHERE vec_id < $nQueries AND rn <= $nprobe), " +
+      "cand AS (SELECT qc.query_id, rc.match_id, " +
+      "round(list_cosine_similarity(qc.q_vec, rc.a), 6) AS sim " +
+      "FROM qcells qc JOIN rec rc USING (cell) WHERE rc.match_id <> qc.query_id) " +
+      "SELECT query_id, match_id, sim, rank FROM (" +
+      "SELECT query_id, match_id, sim, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rank FROM cand) " +
+      s"WHERE rank <= $k"
+  }
+
   /** DuckDB twin of [[Similarity.semDedup]] over kmeans cells: same
     * trained centroids, same argmax assignment expression as
     * [[ivfBodySql]], within-cell pairs, keep-min-id. */
@@ -2088,6 +2136,8 @@ object Extensions {
       "x_embed_neardup" -> nearDupLshSql(SIGNLSH_PLANES, SIGNLSH_BANDS, 0.45),
       "x_ann_ivf" -> ivfSql(ANN_CENT_STRIDE, ANN_NPROBE, 10, ANN_N_QUERIES),
       "x_ann_kmeans" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
+        ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES),
+      "x_ann_residual" -> annResidualSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
         ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES),
       "x_semdedup" -> semDedupSql(ANN_KMEANS_K, ANN_KMEANS_ITERS, SEMDEDUP_TAU),
       // stride-centroid assignment (same argmax/tie-break as the IVF

@@ -305,33 +305,55 @@ object Similarity {
         norm(F.col(vecCol)).as("c_nrm"))
       .withColumn("cell", cellOf(cents, F.col("c_vec"), F.col("c_nrm")))
 
-    // query-side probing runs on the DRIVER: queries are eagerly
-    // collect()ed at plan-BUILD time (they are small by the same
-    // contract that lets them broadcast — callers handing a lazy /
-    // expensive frame here pay its evaluation immediately), and
-    // resolving their nprobe cells in Scala halves the generated-code
-    // volume (the corpus side is the only remaining centroid-literal
-    // tree — at ~100 centroids the duplicated codegen dominated this
-    // operator's wall-clock as pure plan-compile overhead). Arithmetic
-    // mirrors cellStructs exactly: left-to-right double accumulation,
-    // HALF_UP rounding at 6 dp, ties to the lower centroid id.
-    val spark = corpus.sparkSession
+    val queryCells = probeQueryCells(corpus.sparkSession, queries, cents,
+      idCol, vecCol, nprobe, maxDriverQueryRows)
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("match_id").asc)
+    corpusCells.join(F.broadcast(queryCells), Seq("cell"))
+      .filter(F.col("match_id") =!= F.col("query_id"))
+      .withColumn("sim", F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6))
+      .withColumn("rank", F.row_number().over(w).cast("long"))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "match_id", "sim", "rank")
+  }
+
+  /** Query-side probe resolution shared by [[ivfTopK]] and
+    * [[ivfResidualTopK]]: each query's `nprobe` cosine-nearest cells,
+    * resolved on the DRIVER. Queries are eagerly collect()ed at
+    * plan-BUILD time (they are small by the same contract that lets
+    * them broadcast — callers handing a lazy / expensive frame here
+    * pay its evaluation immediately), and resolving their nprobe
+    * cells in Scala halves the generated-code volume (the corpus side
+    * is the only remaining centroid-literal tree — at ~100 centroids
+    * the duplicated codegen dominated this operator's wall-clock as
+    * pure plan-compile overhead). Arithmetic mirrors cellStructs
+    * exactly: left-to-right double accumulation, HALF_UP rounding at
+    * 6 dp, ties to the lower centroid id.
+    *
+    * The small-query contract is ENFORCED, not just documented: the
+    * limit() bounds the collect itself (at most maxDriverQueryRows+1
+    * rows ever reach the driver, pushed into the scan as a plan
+    * limit), so a corpus-sized query frame fails fast with a clear
+    * message instead of silently OOMing the driver at scale.
+    * Returns (query_id, q_vec, q_nrm, cell). */
+  private def probeQueryCells(spark: org.apache.spark.sql.SparkSession,
+                              queries: DataFrame,
+                              cents: Array[(Long, Seq[Float], Double)],
+                              idCol: String, vecCol: String, nprobe: Int,
+                              maxDriverQueryRows: Int): DataFrame = {
     import spark.implicits._
-    // the small-query contract is ENFORCED, not just documented: the
-    // limit() bounds the collect itself (at most maxDriverQueryRows+1
-    // rows ever reach the driver, pushed into the scan as a plan
-    // limit), so a corpus-sized query frame fails fast with a clear
-    // message instead of silently OOMing the driver at scale
     val collectedQueries = queries
       .select(F.col(idCol).cast("long"), F.col(vecCol))
       .limit(maxDriverQueryRows + 1)
       .collect()
     require(collectedQueries.length <= maxDriverQueryRows,
-      s"ivfTopK query frame exceeds maxDriverQueryRows=$maxDriverQueryRows: " +
+      s"IVF query frame exceeds maxDriverQueryRows=$maxDriverQueryRows: " +
         "queries are collected to the driver by contract (they must be " +
         "small enough to broadcast). Pass a sampled/filtered query frame, " +
         "or raise maxDriverQueryRows explicitly if the driver can hold it.")
-    val queryCells = collectedQueries
+    collectedQueries
       .toSeq
       .flatMap { r =>
         val qid = r.getLong(0)
@@ -363,13 +385,81 @@ object Similarity {
           .map { case (qid2, qv2, qnrm2, cid, _) => (qid2, qv2, qnrm2, cid) }
       }
       .toDF("query_id", "q_vec", "q_nrm", "cell")
+  }
 
+  /** IVF with per-cell int8 RESIDUAL quantization (IVF-SQ8 — the
+    * bounded-memory index layout): each corpus vector is stored as
+    * its cell id, one double scale, and the int8-quantized RESIDUAL
+    * `vec − centroid(cell)`. Residuals are much smaller in magnitude
+    * than raw vectors (the centroid absorbs the shared component), so
+    * the same 8 bits carry more precision than whole-vector
+    * quantization — the standard coarse-quantizer + fine-code split
+    * of an inverted-file index.
+    *
+    * Memory/scale: a 64-dim float32 corpus row is 256 B; the residual
+    * row is 64 B + 8 B scale + 8 B cell — ~4× less index memory and
+    * shuffle volume, independent of centroid count (at 10⁵ centroids
+    * the centroid table itself is the only full-precision state, and
+    * it is k×dim, never corpus-sized). Queries stay full-precision;
+    * candidates are scored against the RECONSTRUCTED vector
+    * `centroid + residual/scale` — all-double IEEE arithmetic,
+    * rounded at 6 dp, so the DuckDB oracle replays it exactly.
+    * Recall vs the float IVF at the same nprobe is pinned ≥ 0.85 in
+    * ExtensionsSpec (the quantization distortion costs a few points
+    * on top of the probe loss; both trades are documented). */
+  def ivfResidualTopK(corpus: DataFrame, queries: DataFrame,
+                      centroids: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nprobe: Int,
+                      maxDriverQueryRows: Int = 10000): DataFrame = {
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    require(cents.nonEmpty, "ivfResidualTopK needs at least one centroid")
+    val spark = corpus.sparkSession
+
+    // centroid lookup frame (k rows, broadcast): the residual join
+    // needs the centroid VECTOR per corpus row, which the argmax
+    // expression deliberately does not emit
+    import spark.implicits._
+    val centDf = F.broadcast(
+      cents.toSeq.map { case (cid, cv, _) => (cid, cv.map(_.toDouble)) }
+        .toDF("cell", "c_cent"))
+
+    // the stored index row: (cell, match_id, scale, int8 residual).
+    // quantize() is the same symmetric int8 formula as quantizedTopK —
+    // scale = 127/max|r_i|, half-up rounding, zero-vector guard.
+    val residual = F.zip_with(F.col("c_vec"), F.col("c_cent"),
+      (x, c) => x.cast("double") - c)
+    val indexed = corpus
+      .select(F.col(idCol).as("match_id"), F.col(vecCol).as("c_vec"),
+        norm(F.col(vecCol)).as("c_nrm"))
+      .withColumn("cell", cellOf(cents, F.col("c_vec"), F.col("c_nrm")))
+      .join(centDf, Seq("cell"))
+      .withColumn("r", residual)
+      .withColumn("scale",
+        F.lit(127.0) / F.greatest(
+          F.array_max(F.transform(F.col("r"), x => F.abs(x))), F.lit(1e-30)))
+      .withColumn("q_res", F.transform(F.col("r"),
+        x => F.floor(x * F.col("scale") + 0.5).cast("long")))
+      .select("cell", "match_id", "c_cent", "scale", "q_res")
+
+    val queryCells = probeQueryCells(spark, queries, cents,
+      idCol, vecCol, nprobe, maxDriverQueryRows)
+
+    // reconstruct approx = centroid + residual/scale and score the
+    // full-precision query against it — double end to end
+    val approx = F.zip_with(F.col("c_cent"), F.col("q_res"),
+      (c, r) => c + r / F.col("scale"))
+    val aDot = F.aggregate(
+      F.zip_with(F.col("q_vec"), F.col("a_vec"),
+        (q, a) => q.cast("double") * a),
+      F.lit(0.0), (acc, x) => acc + x)
+    val aNrm = F.sqrt(F.aggregate(
+      F.transform(F.col("a_vec"), x => x * x), F.lit(0.0), (acc, x) => acc + x))
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("sim").desc, F.col("match_id").asc)
-    corpusCells.join(F.broadcast(queryCells), Seq("cell"))
+    indexed.join(F.broadcast(queryCells), Seq("cell"))
       .filter(F.col("match_id") =!= F.col("query_id"))
-      .withColumn("sim", F.round(
-        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6))
+      .withColumn("a_vec", approx)
+      .withColumn("sim", F.round(aDot / (F.col("q_nrm") * aNrm), 6))
       .withColumn("rank", F.row_number().over(w).cast("long"))
       .filter(F.col("rank") <= k)
       .select("query_id", "match_id", "sim", "rank")

@@ -479,6 +479,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall@10 $recall%.2f below the 0.9 contract")
   }
 
+  test("residual-quantized IVF holds recall@10 >= 0.85 vs the exact baseline") {
+    // IVF-SQ8 stacks two documented losses: the probe loss (nprobe 8
+    // of 10 cells, ~0.96 on this isotropic fixture — see the
+    // x_ann_kmeans note) and the int8 residual distortion (small: the
+    // centroid absorbs the shared component, so the 8 bits span only
+    // the residual range). The graded config pins >= 0.85.
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 10, iters = 3)
+    val approx = Similarity.ivfResidualTopK(emb, queries, cents,
+        "vec_id", "embedding", k = 10, nprobe = 8)
+      .select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"x_ann_residual recall@10 = $recall%.2f (int8 residuals, nprobe 8 of 10)")
+    assert(recall >= 0.85, f"recall@10 $recall%.2f below the 0.85 contract")
+  }
+
   test("quantized top-k holds recall@10 >= 0.9 vs the float baseline") {
     // int8 symmetric quantization of 64-dim unit-ish vectors keeps
     // pair ordering almost intact; the graded x_embed_quantized runs
