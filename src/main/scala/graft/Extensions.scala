@@ -128,6 +128,10 @@ object Extensions {
   private val WEIGHTED_RATE = 0.5 // top-quality keep rate for weighted sampling
   private val WEIGHTED_GRAN = 10000 // weighted-sample hash granularity
   private val QUALITY_GATE = 0.5 // per-source report quality floor
+  private val HH_K = 64 // heavy hitters: keep tokens with freq > n/64
+  private val MAD_CUT = 3.0 // robust-outlier gate: |v - med| > 3*MAD
+  private val FUNNEL_STAGES = Seq("view", "click", "purchase")
+  private val HLL_LGK = 12 // HLL sketch precision (2^12 registers)
 
   private val stopSql = Text.stopwords.map { case (l, ws) =>
     l -> ws.mkString("['", "', '", "']")
@@ -1445,6 +1449,71 @@ object Extensions {
           F.ntile(4).over(w).cast("long").as("quartile"),
           F.percent_rank().over(w).as("pct_rank"),
           F.cume_dist().over(w).as("cume"))
+    }),
+
+    // ---- data-quality gates (operators/Quality.scala) ----
+    // one-pass column profiling: nulls/distinct/min/max for four
+    // heterogeneous-typed columns in a single aggregation (one scan,
+    // one Expand for the distinct counts)
+    "x_profile_columns" -> ((s, dir) =>
+      graft.operators.Quality.profile(
+        Tables.scan(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))),
+    // declarative constraint suite over orders: the single-table
+    // checks fold into one scan; the referential rule anti-joins
+    // against the broadcast distinct customer key set
+    "x_constraint_check" -> ((s, dir) =>
+      graft.operators.Quality.checkConstraints(
+        Tables.scan(s, dir, "orders"), Seq(
+          graft.operators.Quality.NotNull("o_custkey"),
+          graft.operators.Quality.Unique("o_orderkey"),
+          graft.operators.Quality.InSet("o_orderstatus", Seq("O", "F", "P")),
+          graft.operators.Quality.Check("totalprice_positive",
+            F.col("o_totalprice") > 0),
+          graft.operators.Quality.RefIntegrity("o_custkey",
+            Tables.scan(s, dir, "customer"), "c_custkey")))),
+    // sketch-bounds-exact heavy hitters over the corpus token stream:
+    // per-partition Misra-Gries candidates, broadcast semi-join,
+    // exact HAVING-style trim — output is exact, so the oracle is a
+    // plain GROUP BY/HAVING
+    "x_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Quality.heavyHitters(
+        Tables.scan(s, dir, "documents")
+          .select(F.explode(Text.tokens(F.col("text"))).as("item")),
+        "item", HH_K)),
+
+    // ---- event analytics (operators/Analytics.scala) ----
+    // ordered-stage funnel: first-touch per stage, stage i+1 counts
+    // only at-or-after the user's stage-i time
+    "x_funnel" -> ((s, dir) =>
+      graft.operators.Analytics.funnel(
+        Tables.scan(s, dir, "events"),
+        "user_id", "ts", "event_type", FUNNEL_STAGES)),
+    // robust outliers: |value - median| > 3 * MAD per event_type,
+    // exact sort-based percentiles on both engines
+    "x_anomaly_mad" -> ((s, dir) =>
+      graft.operators.Analytics.madOutliers(
+        Tables.scan(s, dir, "events"),
+        "event_type", "value", Seq("event_id"), MAD_CUT)),
+
+    // mergeable-sketch cardinality rollup: per-source HLL sketches of
+    // the token stream, estimated per source AND hll_union'd into a
+    // corpus row WITHOUT rescanning — the re-aggregatable-rollup
+    // pattern that replaces exact DISTINCT at 100 TB. DuckDB's HLL is
+    // a different implementation, so there is no SQL oracle (driver
+    // records the rows-only check); ApproxSpec pins the estimates
+    // within 5% of exact on every row
+    "x_hll_cardinality" -> ((s, dir) => {
+      val sk = Tables.scan(s, dir, "documents")
+        .select(F.col("source"), F.explode(Text.tokens(F.col("text"))).as("tok"))
+        .groupBy("source")
+        .agg(F.hll_sketch_agg(F.col("tok"), HLL_LGK).as("sk"))
+      val per = sk.select(F.col("source"),
+        F.hll_sketch_estimate(F.col("sk")).as("est_distinct"))
+      val all = sk.agg(F.hll_union_agg(F.col("sk")).as("sk"))
+        .select(F.lit("__all__").as("source"),
+          F.hll_sketch_estimate(F.col("sk")).as("est_distinct"))
+      per.unionByName(all)
     })
   )
 
@@ -2740,7 +2809,80 @@ object Extensions {
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total, " +
           "CAST(CAST(value AS DECIMAL(18,6)) - lag(CAST(value AS DECIMAL(18,6))) OVER (" +
           "PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS delta " +
-          "FROM events WHERE event_type = 'purchase'")
+          "FROM events WHERE event_type = 'purchase'"),
+      // profile: min-then-cast (never cast-then-min), timestamps
+      // through an explicit second-precision format on both engines
+      "x_profile_columns" -> {
+        def block(c: String, mn: String, mx: String) =
+          s"SELECT '$c' AS \"column\", n_rows, " +
+            s"n_rows - nn_$c AS n_nulls, nd_$c AS n_distinct, " +
+            s"$mn AS min_value, $mx AS max_value FROM s"
+        "WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate").map { c =>
+            s"CAST(count($c) AS BIGINT) AS nn_$c, " +
+              s"CAST(count(DISTINCT $c) AS BIGINT) AS nd_$c, " +
+              (if (c == "l_shipdate")
+                s"strftime(min($c), '%Y-%m-%d %H:%M:%S') AS mn_$c, " +
+                  s"strftime(max($c), '%Y-%m-%d %H:%M:%S') AS mx_$c"
+              else s"CAST(min($c) AS VARCHAR) AS mn_$c, " +
+                s"CAST(max($c) AS VARCHAR) AS mx_$c")
+          }.mkString(", ") + " FROM lineitem) " +
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+            .map(c => block(c, s"mn_$c", s"mx_$c"))
+            .mkString(" UNION ALL ")
+      },
+      "x_constraint_check" -> {
+        val union = "SELECT 'not_null(o_custkey)' AS \"constraint\", " +
+          "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS violations FROM orders " +
+          "UNION ALL SELECT 'unique(o_orderkey)', " +
+          "CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders " +
+          "UNION ALL SELECT 'in_set(o_orderstatus)', " +
+          "CAST(sum(CASE WHEN o_orderstatus IS NOT NULL " +
+          "AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+          "UNION ALL SELECT 'check(totalprice_positive)', " +
+          "CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) FROM orders " +
+          "UNION ALL SELECT 'ref(o_custkey)', " +
+          "CAST((SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL " +
+          "AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)"
+        s"SELECT \"constraint\", violations, violations = 0 AS passed FROM ($union)"
+      },
+      // the sketch phase only bounds the exact phase's work — the
+      // graded output is the exact set, a plain GROUP BY/HAVING
+      "x_heavy_hitters" ->
+        ("WITH t AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) " +
+          "AS item FROM documents) " +
+          s"SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY item " +
+          s"HAVING count(*) * $HH_K > (SELECT count(*) FROM t)"),
+      "x_funnel" ->
+        ("WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events " +
+          "WHERE event_type = 'view' GROUP BY 1), " +
+          "s1 AS (SELECT s0.user_id, min(t0) AS t0, " +
+          "min(CASE WHEN e.ts >= t0 THEN e.ts END) AS t1 " +
+          "FROM s0 LEFT JOIN events e ON e.user_id = s0.user_id " +
+          "AND e.event_type = 'click' GROUP BY 1), " +
+          "s2 AS (SELECT s1.user_id, min(t0) AS t0, min(t1) AS t1, " +
+          "min(CASE WHEN e.ts >= t1 THEN e.ts END) AS t2 " +
+          "FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id " +
+          "AND e.event_type = 'purchase' GROUP BY 1), " +
+          "c AS (SELECT CAST(count(t0) AS BIGINT) AS n0, " +
+          "CAST(count(t1) AS BIGINT) AS n1, " +
+          "CAST(count(t2) AS BIGINT) AS n2 FROM s2) " +
+          "SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx, n0 AS n_users FROM c " +
+          "UNION ALL SELECT 'click', CAST(1 AS BIGINT), n1 FROM c " +
+          "UNION ALL SELECT 'purchase', CAST(2 AS BIGINT), n2 FROM c"),
+      // exact interpolated percentiles on both engines (Spark
+      // `percentile`, DuckDB `quantile_cont`) — same (n-1)*q rank
+      // convention, so the gate computes on identical doubles
+      "x_anomaly_mad" ->
+        ("WITH med AS (SELECT event_type AS g, quantile_cont(value, 0.5) AS med " +
+          "FROM events GROUP BY 1), " +
+          "stats AS (SELECT g, min(med) AS med, " +
+          "quantile_cont(abs(value - med), 0.5) AS mad " +
+          "FROM events e JOIN med ON e.event_type = med.g GROUP BY g) " +
+          "SELECT e.event_id, e.event_type, e.value FROM events e " +
+          "JOIN stats s ON e.event_type = s.g " +
+          s"WHERE abs(e.value - s.med) > $MAD_CUT * s.mad")
     )
   }
 }

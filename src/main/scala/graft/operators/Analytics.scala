@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Event-analytics operators over the `events` fact: ordered-stage
+  * funnels and robust (median/MAD) outlier detection — the
+  * product-analytics surface next to the windowed aggregations in
+  * [[graft.streaming.EventWindows]].
+  */
+object Analytics {
+
+  /** Ordered-stage funnel: how many users reach each stage, where
+    * stage i+1 only counts an event AT OR AFTER the user's stage-i
+    * time (first-touch semantics: each stage binds to the EARLIEST
+    * qualifying event). Output: one row per stage
+    * `(stage, stage_idx, n_users)`.
+    *
+    * Scale shape: one chain of groupBy(user) → equi-join(user) →
+    * groupBy(user) steps, all hash-partitioned on the SAME key — the
+    * first aggregation pays the only real fact shuffle and every
+    * later exchange reuses that partitioning; the ordering constraint
+    * lives in a conditional `min`, never in a non-equi join
+    * predicate, so no nested-loop pair space exists at any size. The
+    * final count-per-stage reduces a user-grain frame to |stages|
+    * rows.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    val user = F.col(userCol)
+    var cur = events.filter(F.col(typeCol) === stages.head)
+      .groupBy(user.as("u")).agg(F.min(tsCol).as("t0"))
+    for ((st, i) <- stages.tail.zipWithIndex) {
+      val nxt = events.filter(F.col(typeCol) === st)
+        .select(user.as("u"), F.col(tsCol).as("ev_ts"))
+      val carried = (0 to i).map(j => F.min(s"t$j").as(s"t$j"))
+      cur = cur.join(nxt, Seq("u"), "left")
+        .groupBy("u")
+        .agg(carried.head,
+          carried.tail :+
+            F.min(F.when(F.col("ev_ts") >= F.col(s"t$i"), F.col("ev_ts")))
+              .as(s"t${i + 1}"): _*)
+    }
+    val one = cur.agg(
+      F.count(F.col("t0")).as("n0"),
+      stages.indices.tail.map(i => F.count(F.col(s"t$i")).as(s"n$i")): _*)
+    val entries = F.explode(F.array(stages.zipWithIndex.map { case (st, i) =>
+      F.struct(F.lit(st).as("stage"), F.lit(i.toLong).as("stage_idx"),
+        F.col(s"n$i").as("n_users"))
+    }: _*))
+    one.select(entries.as("e"))
+      .select(F.col("e.stage").as("stage"),
+        F.col("e.stage_idx").as("stage_idx"),
+        F.col("e.n_users").as("n_users"))
+  }
+
+  /** Robust per-group outliers: rows where
+    * `|value - median| > cut * MAD`, with median and MAD (median
+    * absolute deviation) computed EXACTLY per group via the
+    * sort-based `percentile` aggregate — the outlier gate that, unlike
+    * mean/stddev z-scores, a few extreme values cannot drag.
+    *
+    * Two grouped passes (median needs to exist before deviations do),
+    * both keyed on the group column so the second reuses the first's
+    * partitioning; the per-group (median, MAD) frame is
+    * groups-cardinality small and broadcasts onto the fact scan for a
+    * map-side filter — the corpus is never shuffled to be filtered.
+    * Groups with MAD = 0 (constant-valued) flag any deviation, which
+    * is the standard convention and deterministic.
+    */
+  def madOutliers(events: DataFrame, groupCol: String, valueCol: String,
+                  idCols: Seq[String], cut: Double = 3.0): DataFrame = {
+    val g = F.col(groupCol)
+    val v = F.col(valueCol)
+    val med = events.groupBy(g.as("g"))
+      .agg(F.percentile(v, F.lit(0.5)).as("med"))
+    val stats = events.select(g.as("g"), v.as("v"))
+      .join(med, Seq("g"))
+      .groupBy("g")
+      .agg(F.min("med").as("med"),
+        F.percentile(F.abs(F.col("v") - F.col("med")), F.lit(0.5)).as("mad"))
+    events.join(F.broadcast(stats), g === F.col("g"))
+      .filter(F.abs(v - F.col("med")) > F.lit(cut) * F.col("mad"))
+      .select(idCols.map(F.col) :+ g.as(groupCol) :+ v.as(valueCol): _*)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.{Analytics, Quality}
+import graft.sources.Tables
+import org.apache.spark.sql.{functions => F}
+
+/** Planted-fixture semantics for the data-quality and event-analytics
+  * operators (the graded queries pin them against DuckDB on the real
+  * fixture; these pin the EDGE semantics a synthetic corpus may never
+  * hit: null/dup handling, MG's no-miss guarantee under adversarial
+  * partitioning, funnel ordering constraints, the MAD=0 convention).
+  */
+class QualitySpec extends SparkSpec {
+
+  test("profile counts nulls/distincts and renders min in native order") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(9L), Some("10")),
+      (Some(10L), Some("9")),
+      (Some(9L), None),
+      (None, Some("9"))).toDF("n", "s")
+    val rows = Quality.profile(df, Seq("n", "s")).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    val n = rows("n")
+    assert(n.getAs[Long]("n_rows") == 4 && n.getAs[Long]("n_nulls") == 1)
+    assert(n.getAs[Long]("n_distinct") == 2)
+    // min-then-cast: numeric 9 < 10 even though "10" < "9" lexically
+    assert(n.getAs[String]("min_value") == "9")
+    assert(n.getAs[String]("max_value") == "10")
+    val s = rows("s")
+    // string column: lexicographic IS the native order ("10" < "9")
+    assert(s.getAs[String]("min_value") == "10")
+    assert(s.getAs[Long]("n_nulls") == 1 && s.getAs[Long]("n_distinct") == 2)
+  }
+
+  test("constraint suite counts each violation kind exactly") {
+    import spark.implicits._
+    val child = Seq(
+      (Some(1L), Some("A"), 5.0),
+      (Some(2L), Some("B"), -1.0),
+      (Some(2L), Some("Z"), 0.0),
+      (None, None, 3.0)).toDF("id", "status", "amount")
+    val parent = Seq(1L).toDF("pk")
+    val got = Quality.checkConstraints(child, Seq(
+      Quality.NotNull("id"),
+      Quality.Unique("id"),
+      Quality.InSet("status", Seq("A", "B")),
+      Quality.Check("amount_positive", F.col("amount") > 0),
+      Quality.RefIntegrity("id", parent, "pk")))
+      .collect().map(r =>
+        r.getAs[String]("constraint") ->
+          (r.getAs[Long]("violations"), r.getAs[Boolean]("passed"))).toMap
+    assert(got("not_null(id)") == ((1L, false)))
+    assert(got("unique(id)") == ((1L, false)), "one surplus duplicate row")
+    assert(got("in_set(status)") == ((1L, false)), "NULL must not count")
+    assert(got("check(amount_positive)") == ((2L, false)), "0 and -1 fail")
+    assert(got("ref(id)") == ((2L, false)), "both id=2 rows are orphans")
+    // a passing suite reports passed=true with zero violations
+    val clean = Quality.checkConstraints(parent, Seq(Quality.NotNull("pk")))
+      .collect().head
+    assert(clean.getAs[Long]("violations") == 0L &&
+      clean.getAs[Boolean]("passed"))
+  }
+
+  test("heavy hitters: exact set, no misses, partitioning-independent") {
+    import spark.implicits._
+    val items = Seq.fill(40)("a") ++ Seq.fill(30)("b") ++
+      (0 until 30).map(i => s"tail$i") // n=100, k=5 → threshold 20
+    def run(parts: Int) =
+      Quality.heavyHitters(
+        items.toDF("item").repartition(parts), "item", k = 5)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // adversarial partitioning (many tiny partitions dilute local
+    // counts) must not lose a true heavy hitter — the pigeonhole
+    // guarantee the operator documents
+    for (parts <- Seq(1, 3, 16)) {
+      val got = run(parts)
+      assert(got == Map("a" -> 40L, "b" -> 30L),
+        s"parts=$parts: got $got")
+    }
+  }
+
+  test("funnel binds each stage at-or-after the previous stage's first touch") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: clean view→click→purchase
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      // user 2: pre-view click ignored; purchase BEFORE the counted
+      // click must not count (ordering, not mere presence)
+      (2L, 1L, "click"), (2L, 2L, "view"), (2L, 5L, "click"),
+      (2L, 4L, "purchase"),
+      // user 3: purchase with no view — never enters the funnel
+      (3L, 1L, "purchase"),
+      // user 4: view only
+      (4L, 1L, "view")).toDF("user_id", "ts", "event_type")
+    val got = Analytics.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(got == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L), got)
+  }
+
+  test("MAD outliers: robust gate flags the planted extremes only; MAD=0 flags any deviation") {
+    import spark.implicits._
+    val rows =
+      (1 to 9).map(i => (i.toLong, "b", i.toDouble)) ++
+        Seq((10L, "b", 1000.0)) ++ // med 5.5, MAD 2.5 → only 1000 flagged
+        (11 to 14).map(i => (i.toLong, "a", 7.0)) ++
+        Seq((15L, "a", 7.5)) // med 7, MAD 0 → only the 7.5 deviates
+    val got = Analytics.madOutliers(rows.toDF("event_id", "event_type", "value"),
+      "event_type", "value", Seq("event_id"), cut = 3.0)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got == Set(10L, 15L), got)
+  }
+
+  test("HLL sketch estimate stays within 5% of exact at real cardinality") {
+    // high-cardinality stream: one md5 per event (sf fixture ~1k) —
+    // unlike the 31-token vocab the graded query sees, this actually
+    // exercises estimation
+    val ids = Tables.scan(spark, sf, "events")
+      .select(F.md5(F.col("event_id").cast("string")).as("k"))
+    val exact = ids.distinct().count()
+    val est = ids.agg(F.hll_sketch_agg(F.col("k"), 12).as("sk"))
+      .select(F.hll_sketch_estimate(F.col("sk"))).collect().head.getLong(0)
+    val relErr = math.abs(est - exact).toDouble / exact
+    assert(relErr <= 0.05, s"est=$est exact=$exact relErr=$relErr")
+  }
+
+  test("x_hll_cardinality: union row merges the per-source sketches losslessly") {
+    val out = SparkEntry.queries("x_hll_cardinality")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("est_distinct"))
+      .toMap
+    val nSources = Tables.scan(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(out.size == nSources + 1, s"expected $nSources sources + union row")
+    val union = out("__all__")
+    // the union estimates the UNION of the per-source token sets: at
+    // least every per-source estimate, at most their sum
+    assert(union >= out.filterKeys(_ != "__all__").values.max)
+    assert(union <= out.filterKeys(_ != "__all__").values.sum)
+  }
+}
