@@ -132,6 +132,11 @@ object Extensions {
   private val MAD_CUT = 3.0 // robust-outlier gate: |v - med| > 3*MAD
   private val FUNNEL_STAGES = Seq("view", "click", "purchase")
   private val HLL_LGK = 12 // HLL sketch precision (2^12 registers)
+  // interval-overlap join: purchase windows × error windows per user;
+  // the 10-minute grid keeps per-interval replication at 2-3 cells
+  private val IVAL_A_MIN = 15 // purchase interval length (minutes)
+  private val IVAL_B_MIN = 10 // error interval length (minutes)
+  private val IVAL_BUCKET_SEC = 600L
 
   private val stopSql = Text.stopwords.map { case (l, ws) =>
     l -> ws.mkString("['", "', '", "']")
@@ -1495,6 +1500,57 @@ object Extensions {
       graft.operators.Analytics.madOutliers(
         Tables.scan(s, dir, "events"),
         "event_type", "value", Seq("event_id"), MAD_CUT)),
+
+    // CDC apply: fold a synthetic change feed (deletes, updates,
+    // inserts, and per-key CONFLICTING changes resolved
+    // last-writer-wins by version) into the orders snapshot — the
+    // log-structured MERGE shape; the snapshot's only work is one
+    // broadcast anti-join
+    "x_cdc_apply" -> ((s, dir) => {
+      val o = Tables.scan(s, dir, "orders")
+      val base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      def part(m: Int, op: String, ver: Long, key: org.apache.spark.sql.Column,
+               status: org.apache.spark.sql.Column,
+               price: org.apache.spark.sql.Column) =
+        o.filter(F.col("o_orderkey") % 10 === m)
+          .select(key.cast("long").as("o_orderkey"),
+            status.cast("string").as("o_orderstatus"),
+            price.cast("double").as("o_totalprice"),
+            F.lit(op).as("op"), F.lit(ver).as("ver"))
+      val k = F.col("o_orderkey")
+      val st = F.col("o_orderstatus")
+      val pr = F.col("o_totalprice")
+      val nil = F.lit(null)
+      val changes = Seq(
+        part(0, "D", 1L, k, nil, nil), // plain delete
+        part(1, "U", 1L, k, st, pr * 1.1), // plain update
+        part(2, "I", 1L, k + 1000000L, F.lit("N"), F.lit(100.0)), // insert
+        part(3, "D", 1L, k, nil, nil), // superseded by...
+        part(3, "U", 2L, k, st, pr + 5.0), // ...this later update
+        part(4, "U", 1L, k, st, pr), // superseded by...
+        part(4, "D", 2L, k, nil, nil) // ...this later delete
+      ).reduce(_.unionByName(_))
+      graft.operators.Writes.cdcApply(base, changes,
+        Seq("o_orderkey"), "op", "ver")
+    }),
+
+    // interval-overlap join: both sides are variable-length intervals
+    // (purchase vs error windows per user) — grid-bucketed equi-join
+    // with first-shared-cell dedup, never a theta pair space
+    "x_interval_join" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+      val a = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("event_id").as("a_id"), F.col("user_id"),
+          F.col("ts").as("a_start"),
+          F.expr(s"ts + INTERVAL $IVAL_A_MIN MINUTES").as("a_end"))
+      val b = ev.filter(F.col("event_type") === "error")
+        .select(F.col("event_id").as("b_id"), F.col("user_id"),
+          F.col("ts").as("b_start"),
+          F.expr(s"ts + INTERVAL $IVAL_B_MIN MINUTES").as("b_end"))
+      Temporal.intervalJoin(a, b, "user_id",
+          "a_start", "a_end", "b_start", "b_end", IVAL_BUCKET_SEC)
+        .select("a_id", "b_id", "user_id", "overlap_us")
+    }),
 
     // mergeable-sketch cardinality rollup: per-source HLL sketches of
     // the token stream, estimated per source AND hll_union'd into a
@@ -2871,6 +2927,44 @@ object Extensions {
           "SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx, n0 AS n_users FROM c " +
           "UNION ALL SELECT 'click', CAST(1 AS BIGINT), n1 FROM c " +
           "UNION ALL SELECT 'purchase', CAST(2 AS BIGINT), n2 FROM c"),
+      // replays the change-feed construction, the last-writer-wins
+      // window, and the apply in plain SQL
+      "x_cdc_apply" ->
+        ("WITH ch AS (" +
+          "SELECT o_orderkey AS k, 'D' AS op, 1 AS ver, " +
+          "CAST(NULL AS VARCHAR) AS o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice " +
+          "FROM orders WHERE o_orderkey % 10 = 0 " +
+          "UNION ALL SELECT o_orderkey, 'U', 1, o_orderstatus, o_totalprice * 1.1 " +
+          "FROM orders WHERE o_orderkey % 10 = 1 " +
+          "UNION ALL SELECT o_orderkey + 1000000, 'I', 1, 'N', 100.0 " +
+          "FROM orders WHERE o_orderkey % 10 = 2 " +
+          "UNION ALL SELECT o_orderkey, 'D', 1, NULL, NULL " +
+          "FROM orders WHERE o_orderkey % 10 = 3 " +
+          "UNION ALL SELECT o_orderkey, 'U', 2, o_orderstatus, o_totalprice + 5.0 " +
+          "FROM orders WHERE o_orderkey % 10 = 3 " +
+          "UNION ALL SELECT o_orderkey, 'U', 1, o_orderstatus, o_totalprice " +
+          "FROM orders WHERE o_orderkey % 10 = 4 " +
+          "UNION ALL SELECT o_orderkey, 'D', 2, NULL, NULL " +
+          "FROM orders WHERE o_orderkey % 10 = 4), " +
+          "latest AS (SELECT * FROM (SELECT ch.*, row_number() OVER (" +
+          "PARTITION BY k ORDER BY ver DESC, op DESC) AS rn FROM ch) WHERE rn = 1) " +
+          "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o " +
+          "WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = o.o_orderkey) " +
+          "UNION ALL SELECT k, o_orderstatus, o_totalprice FROM latest WHERE op <> 'D'"),
+      // the oracle's theta-join IS the O(n²) formulation the grid
+      // bucketing exists to avoid — correctness twin, not a plan twin
+      "x_interval_join" ->
+        (s"WITH a AS (SELECT event_id AS a_id, user_id, ts AS a_start, " +
+          s"ts + INTERVAL $IVAL_A_MIN MINUTE AS a_end FROM events " +
+          "WHERE event_type = 'purchase'), " +
+          s"b AS (SELECT event_id AS b_id, user_id, ts AS b_start, " +
+          s"ts + INTERVAL $IVAL_B_MIN MINUTE AS b_end FROM events " +
+          "WHERE event_type = 'error') " +
+          "SELECT a_id, b_id, a.user_id AS user_id, " +
+          "date_diff('microseconds', greatest(a_start, b_start), " +
+          "least(a_end, b_end)) AS overlap_us " +
+          "FROM a JOIN b ON a.user_id = b.user_id " +
+          "AND a_start < b_end AND b_start < a_end"),
       // exact interpolated percentiles on both engines (Spark
       // `percentile`, DuckDB `quantile_cont`) — same (n-1)*q rank
       // convention, so the gate computes on identical doubles

@@ -148,4 +148,50 @@ object Temporal {
       .withColumnsRenamed(
         d.columns.filter(_ != s"__d_$keyCol").map(c => c -> c.stripPrefix("__d_")).toMap)
   }
+
+  /** Interval-overlap join: every same-key (a, b) pair whose
+    * half-open intervals `[a_start, a_end)` and `[b_start, b_end)`
+    * overlap — BOTH sides are intervals of varying length, the member
+    * of the temporal-join family [[rangeCountJoin]]'s fixed-window
+    * bucketing cannot express.
+    *
+    * Plan shape: each interval replicates into every `bucketSec`-wide
+    * grid cell it touches and candidates meet on an equi-join of
+    * (key, cell) — never a theta-join pair space. A pair sharing
+    * several cells would surface once per shared cell; instead of a
+    * dedup shuffle, the join keeps a pair only in the ONE cell
+    * containing `max(a_start, b_start)` (both intervals provably
+    * cover that instant, and exactly one cell holds it) — duplicate
+    * elimination is a map-side filter. Shuffle volume is
+    * Σ span/bucketSec per side (linear, tunable via the grid width);
+    * per-cell density bounds the pair fan-out the way LSH band size
+    * bounds candidate pairs.
+    *
+    * Output: left columns + right columns (caller pre-aliases names)
+    * plus `overlap_us`, the overlap length in microseconds. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   lStart: String, lEnd: String,
+                   rStart: String, rEnd: String,
+                   bucketSec: Long): DataFrame = {
+    val usec = bucketSec * 1000000L
+    def micros(c: org.apache.spark.sql.Column) =
+      F.unix_micros(c.cast("timestamp"))
+    def cells(start: String, end: String) =
+      // half-open interval: the cell containing (end - 1us) is the
+      // last touched; sequence() is inclusive on both ends
+      F.explode(F.sequence(
+        F.floor(micros(F.col(start)) / usec),
+        F.floor((micros(F.col(end)) - 1) / usec)))
+    val lb = left.withColumn("__cell", cells(lStart, lEnd))
+    val rb = right.withColumn("__cell", cells(rStart, rEnd))
+    lb.join(rb, Seq(keyCol, "__cell"))
+      .filter(micros(F.col(lStart)) < micros(F.col(rEnd)) &&
+        micros(F.col(rStart)) < micros(F.col(lEnd)))
+      .filter(F.col("__cell") ===
+        F.floor(F.greatest(micros(F.col(lStart)), micros(F.col(rStart))) / usec))
+      .withColumn("overlap_us",
+        F.least(micros(F.col(lEnd)), micros(F.col(rEnd))) -
+          F.greatest(micros(F.col(lStart)), micros(F.col(rStart))))
+      .drop("__cell")
+  }
 }

@@ -132,4 +132,31 @@ object Writes {
   def applyOnChange(t: TableDef, rows: DataFrame): DataFrame =
     t.fields.filter(_.onChange.isDefined).foldLeft(rows)((df, f) =>
       df.withColumn(f.name, f.onChange.get(F.col(f.name))))
+
+  /** CDC apply (the log-structured MERGE shape [[upsert]] cannot
+    * express): fold a change batch of (op ∈ I/U/D, version) rows into
+    * a base snapshot. Per key, the HIGHEST-version change wins
+    * (last-writer-wins; ties broken by op descending so the outcome
+    * is deterministic even on a degenerate feed): a winning I/U
+    * replaces (or inserts) the row, a winning D removes it, and keys
+    * the batch never touches pass through untouched.
+    *
+    * Scale shape: the window pass that picks each key's winner runs
+    * over the CHANGE BATCH only (batches are small relative to the
+    * snapshot); the snapshot's only work is one anti-join against the
+    * winner key set — broadcast when the batch fits, so at 100 TB the
+    * snapshot is filtered map-side and never shuffled. `changes` must
+    * carry `base`'s columns plus `opCol`/`verCol`. */
+  def cdcApply(base: DataFrame, changes: DataFrame, pk: Seq[String],
+               opCol: String, verCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pk.map(F.col): _*)
+      .orderBy(F.col(verCol).desc, F.col(opCol).desc)
+    val latest = changes
+      .withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") === 1)
+    base.join(F.broadcast(latest.select(pk.map(F.col): _*)), pk, "left_anti")
+      .unionByName(latest.filter(F.col(opCol) =!= "D")
+        .select(base.columns.toIndexedSeq.map(F.col): _*))
+  }
 }

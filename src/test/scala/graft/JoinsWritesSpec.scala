@@ -79,6 +79,22 @@ class JoinsWritesSpec extends SparkSpec {
     assert(out.filter(F.col("o_orderpriority") === "UP").count() == nUp)
   }
 
+  test("cdc apply: last-writer-wins per key, untouched keys pass through") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq(
+      // key 2: update then delete — net delete
+      (2L, "b2", "U", 1L), (2L, null.asInstanceOf[String], "D", 2L),
+      // key 3: delete then update — net update (version order, not
+      // feed order, decides)
+      (3L, null.asInstanceOf[String], "D", 1L), (3L, "c2", "U", 2L),
+      // key 4: fresh insert
+      (4L, "d", "I", 1L)).toDF("id", "v", "op", "ver")
+    val got = Writes.cdcApply(base, changes, Seq("id"), "op", "ver")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 3L -> "c2", 4L -> "d"), got)
+  }
+
   test("validation report flags synthetic bad rows") {
     import spark.implicits._
     val bad = Seq(

@@ -324,4 +324,39 @@ class PropertySpec extends SparkSpec {
       }
     }, n = 5)
   }
+
+  test("interval-join law: grid-bucketed join equals brute-force overlap, each pair exactly once") {
+    // random variable-length intervals on a small key space; the law
+    // checks BOTH set equality against the O(n²) reference AND
+    // multiplicity 1 (the first-shared-cell dedup can neither drop a
+    // pair nor emit it twice), across bucket widths smaller than,
+    // comparable to, and larger than the interval lengths
+    val gen = Gen.listOfN(14, for {
+      key <- Gen.choose(0L, 2L)
+      start <- Gen.choose(0L, 5000L)
+      len <- Gen.choose(1L, 2500L)
+    } yield (key, start, start + len))
+    checkProp(Prop.forAll(gen) { iv =>
+      val rows = iv.zipWithIndex.map { case ((k, s0, e0), i) =>
+        (i.toLong, k,
+          new java.sql.Timestamp(s0 * 1000L), new java.sql.Timestamp(e0 * 1000L))
+      }
+      val a = rows.toDF("a_id", "k", "a_start", "a_end")
+      val b = rows.map { case (i, k, s0, e0) => (i, k, s0, e0) }
+        .toDF("b_id", "k", "b_start", "b_end")
+      val want = (for {
+        ((ka, sa, ea), i) <- iv.zipWithIndex
+        ((kb, sb, eb), j) <- iv.zipWithIndex
+        if ka == kb && sa < eb && sb < ea
+      } yield (i.toLong, j.toLong, (math.min(ea, eb) - math.max(sa, sb)) * 1000000L))
+        .toSet
+      Seq(7L, 600L, 100000L).forall { w =>
+        val out = graft.operators.Temporal
+          .intervalJoin(a, b, "k", "a_start", "a_end", "b_start", "b_end", w)
+          .select("a_id", "b_id", "overlap_us")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        out.length == out.toSet.size && out.toSet == want
+      }
+    }, n = 4)
+  }
 }
