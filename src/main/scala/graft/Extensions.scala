@@ -137,6 +137,8 @@ object Extensions {
   private val IVAL_A_MIN = 15 // purchase interval length (minutes)
   private val IVAL_B_MIN = 10 // error interval length (minutes)
   private val IVAL_BUCKET_SEC = 600L
+  private val RANK_PARTS = 8 // range partitions for the dense-id sort
+  private val BIN_COUNT = 10 // equi-depth bins (deciles)
 
   private val stopSql = Text.stopwords.map { case (l, ws) =>
     l -> ws.mkString("['", "', '", "']")
@@ -1500,6 +1502,29 @@ object Extensions {
       graft.operators.Analytics.madOutliers(
         Tables.scan(s, dir, "events"),
         "event_type", "value", Seq("event_id"), MAD_CUT)),
+
+    // scalable dense ids: global 1-based ordinals WITHOUT the
+    // single-partition row_number() window — range partitions
+    // numbered in parallel against broadcast partition offsets
+    "x_assign_ids" -> ((s, dir) =>
+      graft.operators.Ranking.denseIds(
+        Tables.scan(s, dir, "documents").select("doc_id", "source"),
+        Seq(F.col("doc_id")), RANK_PARTS)),
+    // equi-depth decile binning on the same primitive: bins defined
+    // by RANK (exactly replayable), never by quantile boundaries
+    // whose tie handling is engine-dependent
+    "x_quantile_bins" -> ((s, dir) =>
+      graft.operators.Ranking.equiDepthBins(
+        Tables.scan(s, dir, "events").select("event_id", "value"),
+        Seq(F.col("value"), F.col("event_id")), "value",
+        BIN_COUNT, RANK_PARTS)),
+    // feature scaling: per-type z-scores from DECIMAL-exact moments
+    // (merge-order-stable), broadcast stats, map-side z
+    "x_feature_scale" -> ((s, dir) =>
+      graft.operators.Analytics.standardize(
+        Tables.scan(s, dir, "events")
+          .select("event_id", "event_type", "value"),
+        "event_type", "value", Seq("event_id"))),
 
     // CDC apply: fold a synthetic change feed (deletes, updates,
     // inserts, and per-key CONFLICTING changes resolved
@@ -2927,6 +2952,34 @@ object Extensions {
           "SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx, n0 AS n_users FROM c " +
           "UNION ALL SELECT 'click', CAST(1 AS BIGINT), n1 FROM c " +
           "UNION ALL SELECT 'purchase', CAST(2 AS BIGINT), n2 FROM c"),
+      // the oracle's windowed row_number IS the single-partition
+      // formulation denseIds exists to avoid
+      "x_assign_ids" ->
+        ("SELECT doc_id, source, " +
+          "CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn " +
+          "FROM documents"),
+      "x_quantile_bins" ->
+        ("WITH r AS (SELECT event_id, value, " +
+          "row_number() OVER (ORDER BY value, event_id) AS rn, " +
+          "count(*) OVER () AS n FROM events) " +
+          s"SELECT CAST(floor((rn - 1) * $BIN_COUNT / n) AS BIGINT) AS bin, " +
+          "CAST(count(*) AS BIGINT) AS n_rows, " +
+          "min(value) AS min_value, max(value) AS max_value " +
+          "FROM r GROUP BY 1"),
+      // decimal-exact moments, double arithmetic in the SAME shape as
+      // the Spark side (x_stats_corr's merge-order-stability trick)
+      "x_feature_scale" ->
+        ("WITH m AS (SELECT event_type AS g, count(*) AS n, " +
+          "sum(CAST(value AS DECIMAL(18,6))) AS sx, " +
+          "sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx " +
+          "FROM events GROUP BY 1), " +
+          "st AS (SELECT g, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean, " +
+          "sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) " +
+          "/ (CAST(n AS DOUBLE) - 1)) AS std FROM m) " +
+          "SELECT event_id, event_type, value, " +
+          "CASE WHEN std = 0 OR std IS NULL THEN NULL " +
+          "ELSE (value - mean) / std END AS z " +
+          "FROM events e JOIN st ON e.event_type = st.g"),
       // replays the change-feed construction, the last-writer-wins
       // window, and the apply in plain SQL
       "x_cdc_apply" ->

@@ -68,6 +68,38 @@ object Analytics {
     * Groups with MAD = 0 (constant-valued) flag any deviation, which
     * is the standard convention and deterministic.
     */
+  /** Per-group z-score standardization — the ML feature-scaling step
+    * — with DECIMAL-exact sums: sum/sum-of-squares accumulate as
+    * decimals (associative, merge-order-stable), and only the final
+    * per-group scalars drop to double, so the emitted z-scores are
+    * bit-identical regardless of partial-aggregation order (Spark's
+    * native avg/stddev over doubles are merge-order-dependent — the
+    * same trick `x_stats_corr` uses). Groups with zero variance (or a
+    * single row) emit NULL rather than an engine-dependent Inf/NaN.
+    *
+    * One grouped pass builds the (groups-cardinality small) moment
+    * frame; it broadcasts onto the fact scan for a map-side z — the
+    * corpus itself is never shuffled. */
+  def standardize(df: DataFrame, groupCol: String, valueCol: String,
+                  idCols: Seq[String]): DataFrame = {
+    val x = F.col(valueCol).cast("decimal(18,6)")
+    val m = df.groupBy(F.col(groupCol).as("g"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(x).as("sx"), F.sum(x * x).as("sxx"))
+    val (n, sx, sxx) = (F.col("n").cast("double"),
+      F.col("sx").cast("double"), F.col("sxx").cast("double"))
+    val stats = m.select(F.col("g"),
+      (sx / n).as("mean"),
+      F.sqrt((sxx - sx * sx / n) / (n - 1)).as("std"))
+    df.join(F.broadcast(stats), F.col(groupCol) === F.col("g"))
+      .select(idCols.map(F.col) ++ Seq(
+        F.col(groupCol), F.col(valueCol),
+        F.when(F.col("std") === 0.0 || F.col("std").isNull,
+            F.lit(null).cast("double"))
+          .otherwise((F.col(valueCol) - F.col("mean")) / F.col("std"))
+          .as("z")): _*)
+  }
+
   def madOutliers(events: DataFrame, groupCol: String, valueCol: String,
                   idCols: Seq[String], cut: Double = 3.0): DataFrame = {
     val g = F.col(groupCol)
