@@ -1503,6 +1503,15 @@ object Extensions {
         Tables.scan(s, dir, "events"),
         "event_type", "value", Seq("event_id"), MAD_CUT)),
 
+    // event-grain sessionization: every event labeled with its user's
+    // session ordinal (10-minute gap) — the raw-event twin of the
+    // session_window aggregate
+    "x_sessionize" -> ((s, dir) =>
+      graft.operators.Analytics.sessionize(
+        Tables.scan(s, dir, "events")
+          .select("event_id", "user_id", "ts"),
+        "user_id", "ts", "event_id", gapSec = 600L)),
+
     // scalable dense ids: global 1-based ordinals WITHOUT the
     // single-partition row_number() window — range partitions
     // numbered in parallel against broadcast partition offsets
@@ -2952,6 +2961,16 @@ object Extensions {
           "SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx, n0 AS n_users FROM c " +
           "UNION ALL SELECT 'click', CAST(1 AS BIGINT), n1 FROM c " +
           "UNION ALL SELECT 'purchase', CAST(2 AS BIGINT), n2 FROM c"),
+      "x_sessionize" ->
+        ("WITH e AS (SELECT event_id, user_id, ts, " +
+          "CASE WHEN lag(ts) OVER w IS NULL " +
+          "OR date_diff('microseconds', lag(ts) OVER w, ts) > 600 * 1000000 " +
+          "THEN 1 ELSE 0 END AS f FROM events " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+          "SELECT event_id, user_id, ts, " +
+          "CAST(sum(f) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+          "AS session_seq FROM e"),
       // the oracle's windowed row_number IS the single-partition
       // formulation denseIds exists to avoid
       "x_assign_ids" ->

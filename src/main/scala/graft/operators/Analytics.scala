@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, functions => F}
 
 /** Event-analytics operators over the `events` fact: ordered-stage
@@ -68,6 +69,30 @@ object Analytics {
     * Groups with MAD = 0 (constant-valued) flag any deviation, which
     * is the standard convention and deterministic.
     */
+  /** Event-grain sessionization (gaps-and-islands): label every event
+    * with its user's session ordinal, where a gap > `gapSec` between
+    * consecutive events opens a new session. The per-EVENT twin of
+    * the `session_window` AGGREGATE in
+    * [[graft.streaming.EventWindows.sessions]] — downstream operators
+    * that need the raw events with a session key (per-session
+    * funnels, session-scoped dedup) consume this grain, not the
+    * aggregate.
+    *
+    * One shuffle on the user key; both window passes (the lag flag
+    * and the running flag-sum) share that partitioning. Ordering
+    * includes the id column so ties are impossible and the labels are
+    * deterministic. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(F.col(tsCol), F.col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def us(c: org.apache.spark.sql.Column) = F.unix_micros(c.cast("timestamp"))
+    val prev = F.lag(F.col(tsCol), 1).over(w)
+    val opens = F.when(prev.isNull ||
+      us(F.col(tsCol)) - us(prev) > gapSec * 1000000L, 1L).otherwise(0L)
+    events.withColumn("session_seq", F.sum(opens).over(run))
+  }
+
   /** Per-group z-score standardization — the ML feature-scaling step
     * — with DECIMAL-exact sums: sum/sum-of-squares accumulate as
     * decimals (associative, merge-order-stable), and only the final
