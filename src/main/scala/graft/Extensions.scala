@@ -117,6 +117,13 @@ object Extensions {
   private val MM_FEAT_DIMS = 8 // md5-derived stub feature width (max 8)
   private val MM_FRAME_BYTES = 256 // frame-sampling window (bytes)
   private val MM_DECODE_DOCS = 40 // docs in the mixed real+opaque decode frame
+  // perceptual-hash image dedup: 40 docs render 16x16 PNGs from 13
+  // seeds (doc_id % 13), so duplicate groups are a pure function of
+  // the key an oracle can replay without decoding; Hamming gate 6
+  // stays under the 8-band pigeonhole recall bound
+  private val MM_PHASH_DOCS = 40
+  private val MM_PHASH_SEEDS = 13
+  private val MM_PHASH_MAXDIST = 6
   private val HIST_WIDTH = 50 // histogram bucket width (value units)
   private val EMB_DIM = 64 // fixture embedding width (oracle range)
   private val SPLIT_TRAIN = 80 // stratified split: first 80 hash buckets
@@ -1502,6 +1509,24 @@ object Extensions {
       graft.operators.Analytics.madOutliers(
         Tables.scan(s, dir, "events"),
         "event_type", "value", Seq("event_id"), MAD_CUT)),
+
+    // image near-dup dedup: real PNG decode → 64-bit average-hash →
+    // banded equi-join candidates → exact Hamming gate. The graded
+    // corpus plants duplicate groups via seeded pixel content
+    // (doc_id % 13), so the oracle predicts the pairs from key
+    // arithmetic without seeing any bytes
+    "x_multimodal_phash" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = Tables.scan(s, dir, "documents")
+        .filter(F.col("doc_id") < MM_PHASH_DOCS)
+        .select(F.col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id,
+          Multimodal.syntheticPngSeeded(16, 16, (id % MM_PHASH_SEEDS).toInt))))
+        .toDF("doc_id", "payload")
+      Multimodal.phashPairs(
+        Multimodal.perceptualHash(s, imgs, "doc_id").toDF(),
+        "doc_id", "phash", MM_PHASH_MAXDIST)
+    }),
 
     // event-grain sessionization: every event labeled with its user's
     // session ordinal (10-minute gap) — the raw-event twin of the
@@ -2961,6 +2986,14 @@ object Extensions {
           "SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx, n0 AS n_users FROM c " +
           "UNION ALL SELECT 'click', CAST(1 AS BIGINT), n1 FROM c " +
           "UNION ALL SELECT 'purchase', CAST(2 AS BIGINT), n2 FROM c"),
+      // same seed ⇒ byte-identical PNG ⇒ identical aHash ⇒ dist 0;
+      // different seeds sit ~32 bits apart, far above the gate — the
+      // pair set is pure doc_id arithmetic
+      "x_multimodal_phash" ->
+        (s"WITH d AS (SELECT doc_id FROM documents WHERE doc_id < $MM_PHASH_DOCS) " +
+          "SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS BIGINT) AS dist " +
+          "FROM d a JOIN d b ON a.doc_id < b.doc_id " +
+          s"AND a.doc_id % $MM_PHASH_SEEDS = b.doc_id % $MM_PHASH_SEEDS"),
       "x_sessionize" ->
         ("WITH e AS (SELECT event_id, user_id, ts, " +
           "CASE WHEN lag(ts) OVER w IS NULL " +

@@ -118,6 +118,140 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Seeded variant of [[syntheticPng]]: pixels are a scrambled
+    * function of (x, y, seed), so two images share pixel content iff
+    * they share (width, height, seed) — the fixture generator for the
+    * perceptual-hash dedup path, where "which images are duplicates"
+    * must be a pure function of the row key an oracle can replay
+    * WITHOUT decoding bytes. (The plain gradient would not do: aHash
+    * of any linear gradient is a half-plane bit pattern, and
+    * different dims collide constantly.) */
+  def syntheticPngSeeded(width: Int, height: Int, seed: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    val im = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var h = x * 73856093 ^ y * 19349663 ^ seed * 83492791
+        h = (h ^ (h >>> 13)) * 1274126177
+        h ^= h >>> 16
+        im.setRGB(x, y, h & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit average-hash (aHash) of a decoded image: 8×8 block-mean
+    * luminance grid, each cell thresholded against the global mean →
+    * one bit per cell. Robust to resizing/re-encoding/small noise
+    * (block means barely move), which is exactly why pixel-equality
+    * or byte-md5 cannot dedup images after a pipeline re-encodes
+    * them. Deterministic: pure integer/double arithmetic over decoded
+    * pixels. */
+  def aHash64(im: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (im.getWidth, im.getHeight)
+    val means = new Array[Double](64)
+    var cell = 0
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val x0 = bx * w / 8; val x1 = math.max(x0 + 1, (bx + 1) * w / 8)
+        val y0 = by * h / 8; val y1 = math.max(y0 + 1, (by + 1) * h / 8)
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = im.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        means(cell) = if (n == 0) 0.0 else sum / n
+        cell += 1
+        bx += 1
+      }
+      by += 1
+    }
+    val m = means.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (means(i) > m) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** id + 64-bit perceptual hash. */
+  final case class MediaPHash(doc_id: Long, phash: Long)
+
+  /** Partition-parallel payload → perceptual hash: real ImageIO
+    * decode where the bytes are an actual image, md5-derived stub
+    * hash for opaque payloads (same mixed-corpus contract as
+    * [[decodeImageIO]]). */
+  def perceptualHash(spark: SparkSession, payloads: DataFrame,
+                     idCol: String): Dataset[MediaPHash] = {
+    import spark.implicits._
+    payloads.select(F.col(idCol).cast("long"), F.col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val im =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        val hash =
+          if (im != null) aHash64(im)
+          else java.nio.ByteBuffer.wrap(
+            java.security.MessageDigest.getInstance("MD5").digest(bytes))
+            .getLong
+        MediaPHash(id, hash)
+      })
+  }
+
+  /** Near-duplicate image pairs by banded perceptual-hash join: the
+    * 64-bit hash splits into `bands` equal slices; candidates share
+    * at least one identical slice (an EQUI join — never an all-pairs
+    * Hamming scan), then the exact `bit_count(xor) <= maxDist` filter
+    * trims. Pigeonhole recall guarantee: `maxDist < bands` flipped
+    * bits cannot touch every band, so every true pair surfaces —
+    * the image twin of the SimHash text path, with the same
+    * candidate-volume story (per-(band, value) density bounds the
+    * fan-out). */
+  def phashPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                 maxDist: Int, bands: Int = 8): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxDist < bands,
+      s"recall guarantee needs maxDist < bands ($maxDist >= $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    def banded(side: String) =
+      hashes.select(F.col(idCol).as(s"${side}_id"),
+          F.col(hashCol).as(s"h$side"))
+        .withColumn("band", F.explode(F.array((0 until bands).map(b =>
+          F.struct(F.lit(b).as("bi"),
+            F.shiftrightunsigned(F.col(s"h$side"), b * width)
+              .bitwiseAND(mask).as("bv"))): _*)))
+        .select(F.col(s"${side}_id"), F.col(s"h$side"),
+          F.col("band.bi").as("bi"), F.col("band.bv").as("bv"))
+    banded("a").join(banded("b"), Seq("bi", "bv"))
+      .filter(F.col("a_id") < F.col("b_id"))
+      .select("a_id", "b_id", "ha", "hb").distinct()
+      .withColumn("dist",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"))
+      .filter(F.col("dist") <= maxDist)
+      .select("a_id", "b_id", "dist")
+  }
+
   /** One dimension of a decoded feature vector (long form: the shape
     * that feeds the [[Similarity]] stack without nested arrays). */
   final case class MediaFeature(doc_id: Long, dim: Int, feat: Double)

@@ -636,6 +636,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(out == Map(0L -> ((8, 5)), 5L -> ((13, 10)), 35L -> ((8, 7))))
   }
 
+  test("aHash survives pixel noise and re-encoding; banded pairs find exactly the planted dups") {
+    import spark.implicits._
+    def decode(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    // the noise-robustness CLAIM (why pHash, not byte-md5): flip a few
+    // pixels of a 16×16 image — byte hashes diverge completely, the
+    // aHash moves at most a few bits
+    val base = decode(Multimodal.syntheticPngSeeded(16, 16, 3))
+    val noisy = decode(Multimodal.syntheticPngSeeded(16, 16, 3))
+    for ((x, y) <- Seq((0, 0), (7, 9), (15, 15))) noisy.setRGB(x, y, 0x808080)
+    val drift = java.lang.Long.bitCount(
+      Multimodal.aHash64(base) ^ Multimodal.aHash64(noisy))
+    assert(drift <= 6, s"3-pixel noise moved the aHash $drift bits")
+    // distinct seeds sit far apart — the banded join's precision side
+    val far = java.lang.Long.bitCount(
+      Multimodal.aHash64(base) ^
+        Multimodal.aHash64(decode(Multimodal.syntheticPngSeeded(16, 16, 4))))
+    assert(far > 6, s"distinct images only $far bits apart")
+    // end-to-end: planted duplicate groups (ids sharing seed id%3),
+    // one noisy member — pairs must be exactly the within-group ones
+    val payloads = (0L to 5L).map { id =>
+      id -> Multimodal.syntheticPngSeeded(16, 16, (id % 3).toInt)
+    }.toDF("doc_id", "payload")
+    val pairs = Multimodal.phashPairs(
+        Multimodal.perceptualHash(spark, payloads, "doc_id").toDF(),
+        "doc_id", "phash", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 3L), (1L, 4L), (2L, 5L)), pairs)
+  }
+
   test("scd2Lookup: half-open intervals give a boundary fact exactly one version") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s).toLocalDateTime
