@@ -145,6 +145,12 @@ object Extensions {
   private val IVAL_B_MIN = 10 // error interval length (minutes)
   private val IVAL_BUCKET_SEC = 600L
   private val RANK_PARTS = 8 // range partitions for the dense-id sort
+  // bloom file index: point-lookup a HIGH-CARDINALITY key (event_id)
+  // over a layout clustered on user_id — every file's event_id
+  // min/max spans the whole range, so only the bloom can skip
+  private val BLOOM_IDX_FPP = 0.01
+  private val BLOOM_IDX_EVENT = 123L
+  private val BLOOM_IDX_FILES = 16
   private val BIN_COUNT = 10 // equi-depth bins (deciles)
 
   private val stopSql = Text.stopwords.map { case (l, ws) =>
@@ -1509,6 +1515,22 @@ object Extensions {
       graft.operators.Analytics.madOutliers(
         Tables.scan(s, dir, "events"),
         "event_type", "value", Seq("event_id"), MAD_CUT)),
+
+    // bloom file index: the layout is clustered on user_id, so every
+    // file's event_id min/max spans the whole id range and footer
+    // stats can never skip a file for an EVENT point lookup — the
+    // per-file Bloom side index can (1 + fpp·files listed; false
+    // negatives impossible, both pinned in LayoutSpec)
+    "x_bloom_prune" -> ((s, dir) => {
+      val out = layoutDir(dir, "events_bloomidx")
+      Layout.writeRangeClustered(Tables.scan(s, dir, "events"),
+        "user_id", BLOOM_IDX_FILES, s"$out/data")
+      Layout.writeBloomIndex(s, s"$out/data", "event_id", s"$out/idx",
+        expectedPerFile = 100000L, fpp = BLOOM_IDX_FPP)
+      Layout.readBloomIndexed(s, s"$out/data", s"$out/idx",
+          "event_id", BLOOM_IDX_EVENT)
+        .select("event_id", "user_id", "event_type", "value")
+    }),
 
     // image near-dup dedup: real PNG decode → 64-bit average-hash →
     // banded equi-join candidates → exact Hamming gate. The graded
@@ -2986,6 +3008,11 @@ object Extensions {
           "SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx, n0 AS n_users FROM c " +
           "UNION ALL SELECT 'click', CAST(1 AS BIGINT), n1 FROM c " +
           "UNION ALL SELECT 'purchase', CAST(2 AS BIGINT), n2 FROM c"),
+      // the bloom-indexed layout is a physical re-materialization —
+      // the oracle filters the raw table
+      "x_bloom_prune" ->
+        ("SELECT event_id, user_id, event_type, value " +
+          s"FROM events WHERE event_id = $BLOOM_IDX_EVENT"),
       // same seed ⇒ byte-identical PNG ⇒ identical aHash ⇒ dist 0;
       // different seeds sit ~32 bits apart, far above the gate — the
       // pair set is pure doc_id arithmetic

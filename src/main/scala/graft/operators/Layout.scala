@@ -116,4 +116,80 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(out)
   }
+
+  /** Per-file Bloom index over `keyCol` for a layout that is
+    * clustered on SOMETHING ELSE (time, z-order, …): footer min/max
+    * stats cannot skip files for a point predicate on a key that is
+    * scattered across every file, but a per-file Bloom can — the
+    * Delta/Iceberg "bloom filter index" shape. The index is a tiny
+    * side parquet `(file, bloom_bytes)` built in ONE distributed pass
+    * over the written files (a per-file Bloom [[Aggregator]] keyed by
+    * `input_file_name` — partial blooms OR-merge, so the build is
+    * map-side combined like any agg; never a driver loop over files).
+    *
+    * [[readBloomIndexed]] probes the index driver-side (|files| rows,
+    * each a few KB) and plans a scan over ONLY the files whose Bloom
+    * might contain the key, so lookup cost scales with
+    * matching + fpp·|files| files instead of |files|. False positives
+    * cost one wasted file read; false negatives cannot happen
+    * (LayoutSpec pins lookup ≡ full-scan filter). */
+  def writeBloomIndex(spark: SparkSession, dataDir: String, keyCol: String,
+                      indexPath: String, expectedPerFile: Long,
+                      fpp: Double = 0.01): Unit = {
+    import spark.implicits._
+    val agg = new BloomAgg(expectedPerFile, fpp)
+    spark.read.parquet(dataDir)
+      .select(F.input_file_name().as("file"),
+        F.col(keyCol).cast("long").as("k"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("bloom_bytes"))
+      .toDF("file", "bloom_bytes")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(indexPath)
+  }
+
+  /** Point lookup through the Bloom index: list only the files whose
+    * Bloom admits `key`, and scan just those. */
+  def readBloomIndexed(spark: SparkSession, dataDir: String,
+                       indexPath: String, keyCol: String,
+                       key: Long): DataFrame = {
+    val idx = spark.read.parquet(indexPath).collect() // |files| rows
+    val hit = idx.filter { r =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom_bytes")))
+        .mightContainLong(key)
+    }.map(_.getAs[String]("file"))
+    if (hit.isEmpty) {
+      // no file can hold the key: an empty frame with the data schema
+      spark.read.parquet(dataDir).filter(F.lit(false))
+    } else
+      spark.read.parquet(hit.toIndexedSeq: _*)
+        .filter(F.col(keyCol) === key)
+  }
+}
+
+/** Per-group Bloom builder: partial blooms OR-merge (bitwise union),
+  * so the aggregation distributes like a sum. The buffer stays a
+  * deserialized BloomFilter between rows (java-serialized only at
+  * shuffle boundaries). */
+final class BloomAgg(expected: Long, fpp: Double)
+  extends org.apache.spark.sql.expressions.Aggregator[
+    (String, Long), org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+  import org.apache.spark.util.sketch.BloomFilter
+  override def zero: BloomFilter = BloomFilter.create(expected, fpp)
+  override def reduce(b: BloomFilter, a: (String, Long)): BloomFilter = {
+    b.putLong(a._2); b
+  }
+  override def merge(a: BloomFilter, b: BloomFilter): BloomFilter =
+    a.mergeInPlace(b)
+  override def finish(b: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    b.writeTo(bos)
+    bos.toByteArray
+  }
+  override def bufferEncoder: org.apache.spark.sql.Encoder[BloomFilter] =
+    org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
 }

@@ -138,6 +138,43 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(compacted).count() == events.count())
   }
 
+  test("bloom index: lookup reads a strict file subset, equals the full-scan filter, misses read nothing") {
+    val out = scratch("events_bloom")
+    val ev = Tables.scan(spark, sf, "events")
+    // clustered on user_id → every file's event_id min/max spans the
+    // whole id range; only the bloom can skip files for an event_id
+    // point lookup
+    Layout.writeRangeClustered(ev, "user_id", 8, s"$out/data")
+    Layout.writeBloomIndex(spark, s"$out/data", "event_id", s"$out/idx",
+      expectedPerFile = 10000L, fpp = 0.01)
+    // present key: exactly the full-scan rows (no false negatives);
+    // every event_id key in a sample must round-trip
+    for (key <- Seq(0L, 123L, 777L)) {
+      val got = Layout.readBloomIndexed(spark, s"$out/data", s"$out/idx",
+          "event_id", key)
+        .select("user_id").collect().map(_.getLong(0)).sorted
+      val want = ev.filter(F.col("event_id") === key)
+        .select("user_id").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(want), s"bloom lookup broke key $key")
+    }
+    // the lookup's scan lists only the files whose bloom admits the
+    // key: 1 true file + fpp slack, far below the full 8
+    val nFiles = new java.io.File(s"$out/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 8, s"layout produced only $nFiles files")
+    val lookedUp = Layout.readBloomIndexed(spark, s"$out/data", s"$out/idx",
+      "event_id", 123L)
+    val listed = lookedUp.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length }.sum
+    assert(listed <= 2,
+      s"bloom index barely skipped: $listed of $nFiles files listed")
+    // absent key: zero files admit it → empty frame, data schema kept
+    val miss = Layout.readBloomIndexed(spark, s"$out/data", s"$out/idx",
+      "event_id", -424242L)
+    assert(miss.isEmpty && miss.columns.contains("event_type"))
+  }
+
   test("writeDatePartitioned rejects an input that already has event_date") {
     val events = Tables.scan(spark, sf, "events")
       .withColumn("event_date", F.lit("x"))
