@@ -643,6 +643,24 @@ object Extensions {
           F.sum(F.length(F.col("text")).cast("long")).as("sum_text_chars"))
     }),
 
+    // gzip-compressed JSONL round-trip: the format a web crawl
+    // actually arrives in (.jsonl.gz). gzip is NOT splittable — one
+    // task per file — so a real 100 TB ingest's parallelism is set by
+    // the FILE COUNT, which the writer's repartition pins; everything
+    // downstream of the codec is the jsonl twin, and the oracle
+    // proves decompress→parse losslessness
+    "x_source_gzip" -> ((s, dir) => {
+      val scan = Tables.scan(s, dir, "documents")
+      val out = Workspace.dir(s"jsonlgz_${new java.io.File(dir).getName}")
+      scan.repartition(8)
+        .write.mode("overwrite").option("compression", "gzip").json(out)
+      s.read.schema(scan.schema).json(out)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("sum_text_chars"))
+    }),
+
     // CSV twin of the ingest round-trip — the format where quoting
     // and embedded delimiters actually bite. RFC4180-style escape
     // (quote doubled as "") on BOTH sides, multiLine read so embedded
@@ -1509,6 +1527,16 @@ object Extensions {
       graft.operators.Analytics.funnel(
         Tables.scan(s, dir, "events"),
         "user_id", "ts", "event_type", FUNNEL_STAGES)),
+    // group-mean imputation over a planted-null corpus (every 23rd
+    // event's value nulled): NULLs fill with their type's decimal-
+    // exact mean of the surviving values
+    "x_impute" -> ((s, dir) =>
+      graft.operators.Analytics.imputeMean(
+        Tables.scan(s, dir, "events")
+          .select(F.col("event_id"), F.col("event_type"),
+            F.when(F.col("event_id") % 23 === 0, F.lit(null))
+              .otherwise(F.col("value")).as("value")),
+        "event_type", "value", Seq("event_id"))),
     // robust outliers: |value - median| > 3 * MAD per event_type,
     // exact sort-based percentiles on both engines
     "x_anomaly_mad" -> ((s, dir) =>
@@ -2397,6 +2425,11 @@ object Extensions {
           "FROM documents GROUP BY 1"),
       // same oracle as the JSONL twin — every interchange format must
       // reproduce the parquet original exactly
+      "x_source_gzip" ->
+        ("SELECT source, count(*) AS n_docs, " +
+          "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+          "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars " +
+          "FROM documents GROUP BY 1"),
       "x_source_avro" ->
         ("SELECT source, count(*) AS n_docs, " +
           "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
@@ -3097,6 +3130,17 @@ object Extensions {
           "least(a_end, b_end)) AS overlap_us " +
           "FROM a JOIN b ON a.user_id = b.user_id " +
           "AND a_start < b_end AND b_start < a_end"),
+      "x_impute" ->
+        ("WITH e AS (SELECT event_id, event_type, " +
+          "CASE WHEN event_id % 23 = 0 THEN NULL ELSE value END AS value " +
+          "FROM events), " +
+          "m AS (SELECT event_type AS g, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / " +
+          "CAST(count(value) AS DOUBLE) AS g_mean FROM e GROUP BY 1) " +
+          "SELECT event_id, event_type, " +
+          "coalesce(value, g_mean) AS value_imputed, " +
+          "value IS NULL AS was_null " +
+          "FROM e JOIN m ON e.event_type = m.g"),
       // exact interpolated percentiles on both engines (Spark
       // `percentile`, DuckDB `quantile_cont`) — same (n-1)*q rank
       // convention, so the gate computes on identical doubles

@@ -55,6 +55,26 @@ object Analytics {
         F.col("e.n_users").as("n_users"))
   }
 
+  /** Per-group mean imputation — [[standardize]]'s sibling in the ML
+    * preprocessing pair: NULL values fill with their group's mean of
+    * the NON-NULL values, computed from DECIMAL-exact sums so the
+    * imputed constant is merge-order-stable (a group whose mean
+    * drifts by a ULP between runs would poison every downstream
+    * hash). An all-NULL group has no mean and stays NULL — imputation
+    * invents no data. Broadcast group means, map-side coalesce. */
+  def imputeMean(df: DataFrame, groupCol: String, valueCol: String,
+                 idCols: Seq[String]): DataFrame = {
+    val x = F.col(valueCol).cast("decimal(18,6)")
+    val m = df.groupBy(F.col(groupCol).as("g"))
+      .agg((F.sum(x).cast("double") /
+        F.count(F.col(valueCol)).cast("double")).as("g_mean"))
+    df.join(F.broadcast(m), F.col(groupCol) === F.col("g"))
+      .select(idCols.map(F.col) ++ Seq(
+        F.col(groupCol),
+        F.coalesce(F.col(valueCol), F.col("g_mean")).as("value_imputed"),
+        F.col(valueCol).isNull.as("was_null")): _*)
+  }
+
   /** Robust per-group outliers: rows where
     * `|value - median| > cut * MAD`, with median and MAD (median
     * absolute deviation) computed EXACTLY per group via the

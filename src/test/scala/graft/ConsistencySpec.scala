@@ -72,4 +72,24 @@ class ConsistencySpec extends SparkSpec {
     assert(scd.exceptAll(run).count() == 0 && run.exceptAll(scd).count() == 0,
       "the two purchase-derived queries disagree on which rows exist")
   }
+
+  test("every graded query has an oracle (or a documented rows-only exemption); no orphan oracles") {
+    // A query silently missing its oracleSql entry degrades to the
+    // weak rows-only check and no one notices — the alignment is a
+    // grading-surface invariant, so pin it. Exemptions must be listed
+    // HERE with their reason.
+    val rowsOnly = Set(
+      // DuckDB's HLL is a different implementation — estimates can't
+      // hash-match; QualitySpec pins the ≤5% error bound instead
+      "x_hll_cardinality")
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty,
+      s"queries with no oracle and no exemption: ${missing.toSeq.sorted.mkString(", ")}")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracles for queries that do not exist: ${orphans.toSeq.sorted.mkString(", ")}")
+    val pointless = rowsOnly -- SparkEntry.queries.keySet
+    assert(pointless.isEmpty, s"stale exemptions: $pointless")
+  }
 }

@@ -636,6 +636,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(out == Map(0L -> ((8, 5)), 5L -> ((13, 10)), 35L -> ((8, 7))))
   }
 
+  test("x_source_gzip really writes gzip members (codec engaged, not silently ignored)") {
+    import java.nio.file.{Files, Paths}
+    val out = graft.Workspace.dir("gzip_canary")
+    Tables.scan(spark, sf, "documents").limit(50)
+      .repartition(2)
+      .write.mode("overwrite").option("compression", "gzip").json(out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".json.gz")),
+      s"expected .json.gz parts, got ${parts.map(_.getName).mkString(", ")}")
+    // the bytes really are a gzip stream (magic 1f 8b), not renamed text
+    val head = Files.readAllBytes(Paths.get(parts.head.getAbsolutePath)).take(2)
+    assert(head.sameElements(Array(0x1f.toByte, 0x8b.toByte)),
+      "part file does not start with the gzip magic")
+  }
+
   test("aHash survives pixel noise and re-encoding; banded pairs find exactly the planted dups") {
     import spark.implicits._
     def decode(b: Array[Byte]) =
