@@ -145,6 +145,11 @@ object Extensions {
   private val IVAL_B_MIN = 10 // error interval length (minutes)
   private val IVAL_BUCKET_SEC = 600L
   private val RANK_PARTS = 8 // range partitions for the dense-id sort
+  // IVF-PQ: 8 subspaces × 16 sampled codes over 64-dim residuals —
+  // 8 B per indexed vector (vs 64 B SQ8, 256 B float)
+  private val PQ_M = 8
+  private val PQ_CODES = 16
+  private val PQ_RERANK = 64 // exact-rerank shortlist per query
   // bloom file index: point-lookup a HIGH-CARDINALITY key (event_id)
   // over a layout clustered on user_id — every file's event_id
   // min/max spans the whole range, so only the bloom can skip
@@ -545,6 +550,18 @@ object Extensions {
       Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < ANN_N_QUERIES),
         emb.filter(F.col("vec_id") % ANN_CENT_STRIDE === 0),
         "vec_id", "embedding", k = 10, nprobe = ANN_NPROBE)
+    }),
+
+    // IVF-PQ with exact rerank: the last rung of the quantization
+    // ladder (8 B/vector codes shortlist candidates, then only
+    // queries × 32 rows are re-scored at full precision — the
+    // production two-stage retrieval)
+    "x_ann_pq" -> ((s, dir) => {
+      val emb = Tables.scan(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(F.col("vec_id") < ANN_N_QUERIES),
+        emb.filter(F.col("vec_id") % ANN_CENT_STRIDE === 0),
+        "vec_id", "embedding", k = 10, nprobe = ANN_NPROBE,
+        m = PQ_M, codesPerSub = PQ_CODES, rerank = PQ_RERANK)
     }),
 
     // IVF with TRAINED centroids: the deterministic Lloyd trainer
@@ -1882,6 +1899,73 @@ object Extensions {
   /** IVF ANN pipeline (DuckDB twin of [[Similarity.ivfTopK]] with
     * stride-sampled centroids): identical cells, probing, and
     * tie-breaks. */
+  /** DuckDB twin of [[Similarity.ivfPqTopK]] with stride centroids:
+    * replays cell assignment, residuals, the sampled sub-codebooks
+    * (first `codes` rows by id), the per-subspace argmin encode
+    * (correlated ORDER BY dist, j — the same first-min tie-break as
+    * Spark's array_position), reconstruction via m codebook joins,
+    * and the 6-dp-rounded ADC scoring. */
+  private def annPqSql(stride: Int, nprobe: Int, k: Int, nQueries: Int,
+                       m: Int, codes: Int, dim: Int, rerank: Int): String = {
+    val sub = dim / m
+    val csim = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(c.cvec AS DOUBLE[])), 6)"
+    // lambdas may only reference columns of their OWN select (DuckDB
+    // binds no correlated tables inside a lambda), so the encode is a
+    // res × cb cross join with per-subspace distance columns, then a
+    // windowed argmin per subspace — same first-min (dist, j) order
+    // as Spark's array_position
+    def dist(s: Int) =
+      s"list_sum(list_transform(range(1, $sub + 1), i -> " +
+        s"(rr.r[$s * $sub + i] - b.r[$s * $sub + i]) * " +
+        s"(rr.r[$s * $sub + i] - b.r[$s * $sub + i]))) AS d$s"
+    val dCols = (0 until m).map(dist).mkString(", ")
+    val rCols = (0 until m).map(s =>
+      s"row_number() OVER (PARTITION BY match_id ORDER BY d$s ASC, j ASC) AS r$s")
+      .mkString(", ")
+    val cCols = (0 until m).map(s =>
+      s"max(CASE WHEN r$s = 1 THEN j END) AS c$s").mkString(", ")
+    val joins = (0 until m).map(s => s"JOIN cb b$s ON b$s.j = e.c$s")
+      .mkString(" ")
+    val caseExpr = (0 until m).map(s => s"WHEN $s THEN b$s.r[i]").mkString(" ")
+    s"WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec " +
+      s"FROM embeddings WHERE vec_id % $stride = 0), " +
+      "asgn AS (SELECT e.vec_id, e.embedding, c.cent_id, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, c.cent_id ASC) AS rn " +
+      "FROM embeddings e CROSS JOIN cents c), " +
+      "ccells AS (SELECT a.vec_id AS match_id, CAST(a.embedding AS DOUBLE[]) AS v, " +
+      "a.cent_id AS cell, CAST(c.cvec AS DOUBLE[]) AS cent FROM asgn a " +
+      "JOIN cents c ON c.cent_id = a.cent_id WHERE a.rn = 1), " +
+      "res AS (SELECT match_id, cell, cent, " +
+      "list_transform(range(1, len(v) + 1), i -> v[i] - cent[i]) AS r FROM ccells), " +
+      "cb AS (SELECT row_number() OVER (ORDER BY match_id) AS j, r FROM " +
+      s"(SELECT match_id, r FROM res ORDER BY match_id LIMIT $codes)), " +
+      s"crossed AS (SELECT rr.match_id, b.j, $dCols FROM res rr CROSS JOIN cb b), " +
+      s"rnk AS (SELECT match_id, j, $rCols FROM crossed), " +
+      s"enc AS (SELECT match_id, $cCols FROM rnk GROUP BY match_id), " +
+      s"recon AS (SELECT e.match_id, rr.cell, list_transform(range(1, $dim + 1), i -> " +
+      s"rr.cent[i] + CASE CAST((i - 1) // $sub AS INT) $caseExpr END) AS a " +
+      s"FROM enc e JOIN res rr USING (match_id) $joins), " +
+      "qcells AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec, " +
+      s"cent_id AS cell FROM asgn WHERE vec_id < $nQueries AND rn <= $nprobe), " +
+      "cand AS (SELECT qc.query_id, rc.match_id, qc.q_vec, " +
+      "round(list_cosine_similarity(qc.q_vec, rc.a), 6) AS sim " +
+      "FROM qcells qc JOIN recon rc USING (cell) WHERE rc.match_id <> qc.query_id), " +
+      // two-stage: PQ sims shortlist `rerank` per query, then only
+      // those re-score against the full-precision vector
+      "shortl AS (SELECT query_id, match_id, q_vec FROM (" +
+      "SELECT query_id, match_id, q_vec, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS prank FROM cand) " +
+      s"WHERE prank <= $rerank), " +
+      "rr2 AS (SELECT s.query_id, s.match_id, " +
+      "round(list_cosine_similarity(s.q_vec, cc.v), 6) AS sim " +
+      "FROM shortl s JOIN ccells cc ON cc.match_id = s.match_id) " +
+      "SELECT query_id, match_id, sim, rank FROM (" +
+      "SELECT query_id, match_id, sim, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rank FROM rr2) " +
+      s"WHERE rank <= $k"
+  }
+
   private def ivfSql(stride: Int, nprobe: Int, k: Int,
                      nQueries: Int): String =
     s"WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec " +
@@ -2369,6 +2453,8 @@ object Extensions {
           "JOIN sizes sb ON sb.g = group_b"),
       "x_embed_neardup" -> nearDupLshSql(SIGNLSH_PLANES, SIGNLSH_BANDS, 0.45),
       "x_ann_ivf" -> ivfSql(ANN_CENT_STRIDE, ANN_NPROBE, 10, ANN_N_QUERIES),
+      "x_ann_pq" -> annPqSql(ANN_CENT_STRIDE, ANN_NPROBE, 10, ANN_N_QUERIES,
+        PQ_M, PQ_CODES, EMB_DIM, PQ_RERANK),
       "x_ann_kmeans" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
         ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES),
       "x_ann_residual" -> annResidualSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,

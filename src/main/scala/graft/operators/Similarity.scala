@@ -465,6 +465,131 @@ object Similarity {
       .select("query_id", "match_id", "sim", "rank")
   }
 
+  /** IVF-PQ top-k (the third rung of the quantization ladder after
+    * float IVF and IVF-SQ8): each corpus vector is stored as its cell
+    * id plus `m` sub-codes — the residual `vec − centroid(cell)` is
+    * split into `m` equal subvectors and each replaced by the id of
+    * its nearest codebook entry. Index row = cell + m small ints
+    * (8 B at m=8), versus 64 B for SQ8 and 256 B for float — the
+    * memory ladder that lets a 10⁹-vector index fit a cluster's RAM.
+    *
+    * Codebooks here are built DETERMINISTICALLY by sampling: per
+    * subspace, the residual slices of the `codesPerSub` lowest-id
+    * corpus rows. Sampled codebooks trade a few recall points against
+    * kmeans-trained ones, but make "which code encodes which row" a
+    * pure function of the corpus an external engine can replay — the
+    * same sampled-vs-trained trade the stride-centroid IVF documents,
+    * applied one level down. Encoding is an argmin over codebook
+    * literals (first-min tie-break, matching SQL's ORDER BY dist, j);
+    * candidates are scored against `centroid + concat(codebook[s][
+    * code_s])`, all-double arithmetic rounded at 6 dp so the oracle
+    * replays it exactly. Recall@10 vs the float IVF at the same
+    * nprobe is pinned in ExtensionsSpec. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String, k: Int, nprobe: Int,
+                m: Int, codesPerSub: Int, rerank: Int = 0,
+                maxDriverQueryRows: Int = 10000): DataFrame = {
+    require(rerank == 0 || rerank >= k,
+      s"rerank shortlist ($rerank) must be 0 (off) or >= k ($k)")
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    require(cents.nonEmpty, "ivfPqTopK needs at least one centroid")
+    val dim = cents.head._2.length
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(codesPerSub >= 1, s"bad codesPerSub=$codesPerSub")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val centDf = F.broadcast(
+      cents.toSeq.map { case (cid, cv, _) => (cid, cv.map(_.toDouble)) }
+        .toDF("cell", "c_cent"))
+    val residual = F.zip_with(F.col("c_vec"), F.col("c_cent"),
+      (x, c) => x.cast("double") - c)
+    val resFrame = corpus
+      .select(F.col(idCol).as("match_id"), F.col(vecCol).as("c_vec"),
+        norm(F.col(vecCol)).as("c_nrm"))
+      .withColumn("cell", cellOf(cents, F.col("c_vec"), F.col("c_nrm")))
+      .join(centDf, Seq("cell"))
+      .withColumn("r", residual)
+
+    // sampled codebooks: residual slices of the codesPerSub lowest-id
+    // rows — a bounded driver collect (codesPerSub × dim doubles)
+    val cbRows: Array[Array[Double]] = resFrame
+      .select(F.col("match_id"), F.col("r"))
+      .orderBy("match_id").limit(codesPerSub)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(cbRows.nonEmpty, "empty corpus — no codebook rows")
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => cbRows.map(_.slice(s * subDim, (s + 1) * subDim)))
+
+    def sqDist(sliceCol: Column, cb: Array[Double]): Column =
+      F.aggregate(
+        F.zip_with(sliceCol, F.array(cb.toIndexedSeq.map(F.lit): _*),
+          (a, b) => (a - b) * (a - b)),
+        F.lit(0.0), (acc, x) => acc + x)
+    def codeFor(s: Int): Column = {
+      val sliceCol = F.slice(F.col("r"), s * subDim + 1, subDim)
+      val dists = F.array(
+        codebooks(s).toIndexedSeq.map(cb => sqDist(sliceCol, cb)): _*)
+      F.array_position(dists, F.array_min(dists)) // 1-based, first min
+    }
+    val indexed = resFrame
+      .withColumn("codes", F.array((0 until m).map(codeFor): _*))
+      .select("cell", "match_id", "c_cent", "codes")
+
+    val queryCells = probeQueryCells(spark, queries, cents,
+      idCol, vecCol, nprobe, maxDriverQueryRows)
+
+    // reconstruct approx = centroid + concat of the coded sub-residuals
+    val cbLit: IndexedSeq[Column] = (0 until m).map(s =>
+      F.array(codebooks(s).toIndexedSeq.map(cb =>
+        F.array(cb.toIndexedSeq.map(F.lit): _*)): _*))
+    val fine = F.concat((0 until m).map(s =>
+      F.element_at(cbLit(s),
+        F.element_at(F.col("codes"), s + 1).cast("int"))): _*)
+    val aDot = F.aggregate(
+      F.zip_with(F.col("q_vec"), F.col("a_vec"),
+        (q, a) => q.cast("double") * a),
+      F.lit(0.0), (acc, x) => acc + x)
+    val aNrm = F.sqrt(F.aggregate(
+      F.transform(F.col("a_vec"), x => x * x), F.lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("match_id").asc)
+    val pqRanked = indexed.join(F.broadcast(queryCells), Seq("cell"))
+      .filter(F.col("match_id") =!= F.col("query_id"))
+      .withColumn("a_vec", F.zip_with(F.col("c_cent"), fine, (c, f) => c + f))
+      .withColumn("sim", F.round(aDot / (F.col("q_nrm") * aNrm), 6))
+      .withColumn("rank", F.row_number().over(w).cast("long"))
+    if (rerank == 0)
+      pqRanked.filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "sim", "rank")
+    else {
+      // two-stage retrieval (the production PQ pattern): the 8 B codes
+      // produce a cheap shortlist of `rerank` per query, then ONLY
+      // those rows are re-scored against their full-precision vectors
+      // — exact-scoring cost drops from |probed cells| to
+      // queries × rerank, and the shortlist (tiny) broadcasts onto
+      // the corpus for the vector fetch
+      val shortlist = pqRanked.filter(F.col("rank") <= rerank)
+        .select(F.col("query_id"), F.col("match_id"),
+          F.col("q_vec"), F.col("q_nrm"))
+      val full = corpus.select(F.col(idCol).as("match_id"),
+        F.col(vecCol).as("f_vec"))
+      val fDot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("f_vec"),
+          (q, a) => q.cast("double") * a.cast("double")),
+        F.lit(0.0), (acc, x) => acc + x)
+      val fNrm = F.sqrt(F.aggregate(
+        F.transform(F.col("f_vec"), x => x.cast("double") * x.cast("double")),
+        F.lit(0.0), (acc, x) => acc + x))
+      full.join(F.broadcast(shortlist), Seq("match_id"))
+        .withColumn("sim", F.round(fDot / (F.col("q_nrm") * fNrm), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "sim", "rank")
+    }
+  }
+
   /** Centroid frame → (id, vec, norm) literals, sorted by id.
     * Centroids are small by contract: one driver collect, then
     * literal vectors (precomputed norms) — never a per-row join.

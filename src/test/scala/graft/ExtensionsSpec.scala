@@ -500,6 +500,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.85, f"recall@10 $recall%.2f below the 0.85 contract")
   }
 
+  test("IVF-PQ + exact rerank tracks the float IVF at the same nprobe") {
+    // The two-stage contract: 8 B/vector codes alone distort hard on
+    // an isotropic fixture with SAMPLED codebooks (overlap ~0.36
+    // measured without rerank — that run is why the rerank stage
+    // exists), but the shortlist only has to RANK the true neighbors
+    // into its top `rerank`, not score them right; the exact re-score
+    // then recovers the float IVF's answer at the same nprobe (probe
+    // loss cancels out of the comparison). This is FAISS's
+    // IndexRefine shape, and the graded config.
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val cents = emb.filter(F.col("vec_id") % 61 === 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "match_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val float = ids(Similarity.ivfTopK(emb, queries, cents,
+      "vec_id", "embedding", k = 10, nprobe = 2))
+    val pq = ids(Similarity.ivfPqTopK(emb, queries, cents,
+      "vec_id", "embedding", k = 10, nprobe = 2,
+      m = 8, codesPerSub = 16, rerank = 64))
+    val overlap = (float intersect pq).size.toDouble / float.size
+    info(f"IVF-PQ+rerank overlap@10 with float IVF = $overlap%.2f (m=8, 16 codes, rerank 64)")
+    assert(overlap >= 0.8, f"PQ+rerank kept only $overlap%.2f of the float IVF top-10")
+  }
+
   test("quantized top-k holds recall@10 >= 0.9 vs the float baseline") {
     // int8 symmetric quantization of 64-dim unit-ish vectors keeps
     // pair ordering almost intact; the graded x_embed_quantized runs
