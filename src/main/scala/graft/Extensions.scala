@@ -150,6 +150,9 @@ object Extensions {
   private val PQ_M = 8
   private val PQ_CODES = 16
   private val PQ_RERANK = 64 // exact-rerank shortlist per query
+  private val NOVELTY_N = 3 // novelty shingle width
+  private val EWMA_ALPHA = 0.3
+  private val EWMA_DEPTH = 8 // truncation bias (1-alpha)^8 ≈ 0.6%
   // bloom file index: point-lookup a HIGH-CARDINALITY key (event_id)
   // over a layout clustered on user_id — every file's event_id
   // min/max spans the whole range, so only the bloom can skip
@@ -1544,6 +1547,20 @@ object Extensions {
       graft.operators.Analytics.funnel(
         Tables.scan(s, dir, "events"),
         "user_id", "ts", "event_type", FUNNEL_STAGES)),
+    // per-doc novelty: fraction of a doc's trigram shingles whose
+    // first corpus occurrence is this doc — the "new material" signal
+    // dup-detection misses
+    "x_novelty" -> ((s, dir) =>
+      Curation.noveltyScore(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", NOVELTY_N)),
+    // truncated EWMA trend per user over purchase values — the
+    // parallel-window formulation of the sequential recurrence
+    "x_ewma" -> ((s, dir) =>
+      graft.operators.Analytics.ewma(
+        Tables.scan(s, dir, "events")
+          .filter(F.col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value", EWMA_ALPHA, EWMA_DEPTH)),
     // group-mean imputation over a planted-null corpus (every 23rd
     // event's value nulled): NULLs fill with their type's decimal-
     // exact mean of the surviving values
@@ -3216,6 +3233,30 @@ object Extensions {
           "least(a_end, b_end)) AS overlap_us " +
           "FROM a JOIN b ON a.user_id = b.user_id " +
           "AND a_start < b_end AND b_start < a_end"),
+      "x_novelty" ->
+        (s"WITH ${shingleToksCte(NOVELTY_N)}, " +
+          "fst AS (SELECT tok, min(doc_id) AS first_id FROM toks GROUP BY 1) " +
+          "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+          "CAST(sum(CASE WHEN f.first_id = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+          "CAST(sum(CASE WHEN f.first_id = t.doc_id THEN 1 ELSE 0 END) AS DOUBLE) " +
+          "/ count(*) AS novelty " +
+          "FROM toks t JOIN fst f USING (tok) GROUP BY 1"),
+      "x_ewma" -> {
+        // weights inlined at full double round-trip precision; the
+        // numerator/denominator chains are LEFT-associated on both
+        // engines, so the doubles match bit-for-bit
+        val terms = (0 until EWMA_DEPTH).map { j =>
+          val wj = (EWMA_ALPHA * math.pow(1 - EWMA_ALPHA, j)).toString
+          val l = if (j == 0) "value" else s"lag(value, $j) OVER w"
+          (s"CASE WHEN $l IS NOT NULL THEN $wj * $l ELSE 0.0 END",
+            s"CASE WHEN $l IS NOT NULL THEN $wj ELSE 0.0 END")
+        }
+        "SELECT event_id, user_id, ts, value, " +
+          s"(${terms.map(_._1).mkString(" + ")}) / " +
+          s"(${terms.map(_._2).mkString(" + ")}) AS ewma " +
+          "FROM events WHERE event_type = 'purchase' " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+      },
       "x_impute" ->
         ("WITH e AS (SELECT event_id, event_type, " +
           "CASE WHEN event_id % 23 = 0 THEN NULL ELSE value END AS value " +

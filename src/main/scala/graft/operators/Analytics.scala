@@ -55,6 +55,32 @@ object Analytics {
         F.col("e.n_users").as("n_users"))
   }
 
+  /** Truncated EWMA smoothing per key: each row's smoothed value is
+    * the weight-normalized sum of the last `depth` values in
+    * (ts, id) order, with weights `alpha·(1−alpha)^j`. The truncation
+    * is what makes the operator SCALE-SHAPED: true EWMA is a
+    * sequential recurrence (row i needs row i−1's result — an
+    * inherently serial scan per key), while the depth-`d` window is a
+    * fixed fan of `lag` expressions the window engine evaluates in
+    * ONE partitioned pass, at a bias of `(1−alpha)^d` (≈0.6% at
+    * alpha 0.3, d 8) the normalization further shrinks. Sequence
+    * heads average over the shorter available window rather than
+    * decaying toward zero. */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+           valueCol: String, alpha: Double, depth: Int): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    require(depth >= 1, s"depth must be >= 1: $depth")
+    val w = Window.partitionBy(keyCol).orderBy(F.col(tsCol), F.col(idCol))
+    val terms = (0 until depth).map { j =>
+      val wj = alpha * math.pow(1 - alpha, j)
+      val l = if (j == 0) F.col(valueCol) else F.lag(F.col(valueCol), j).over(w)
+      (F.when(l.isNotNull, F.lit(wj) * l).otherwise(F.lit(0.0)),
+        F.when(l.isNotNull, F.lit(wj)).otherwise(F.lit(0.0)))
+    }
+    events.withColumn("ewma",
+      terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _))
+  }
+
   /** Per-group mean imputation — [[standardize]]'s sibling in the ML
     * preprocessing pair: NULL values fill with their group's mean of
     * the NON-NULL values, computed from DECIMAL-exact sums so the

@@ -622,4 +622,31 @@ object Curation {
         F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6)
           .as("lm_score"))
   }
+
+  /** Per-document novelty: the fraction of a doc's distinct n-gram
+    * shingles whose FIRST corpus occurrence (minimum doc id) is this
+    * doc — the "how much of this is new material" curation signal
+    * that complements decontamination (overlap vs an EVAL set) and
+    * near-dup (overlap vs a SIMILAR doc): a doc can be dup-free yet
+    * still 90% previously-seen boilerplate n-grams.
+    *
+    * Scale shape: one inverted-index shuffle on the shingle (min-id
+    * per shingle is map-side combined), one join back on the same
+    * key (exchange reuse), one doc-grain aggregation. Shingle volume
+    * is Σ doc tokens — linear, the same bound every LSH operator here
+    * rides. */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val toks = df.select(F.col(idCol),
+        F.explode(Text.distinctShingles(F.col(textCol), n)).as("tok"))
+      .filter(F.col("tok") =!= "")
+    val first = toks.groupBy("tok").agg(F.min(F.col(idCol)).as("first_id"))
+    toks.join(first, Seq("tok"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_shingles"),
+        F.sum(F.when(F.col("first_id") === F.col(idCol), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        F.col("n_novel").cast("double") / F.col("n_shingles"))
+  }
 }
