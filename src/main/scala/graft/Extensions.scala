@@ -1547,6 +1547,12 @@ object Extensions {
       graft.operators.Analytics.funnel(
         Tables.scan(s, dir, "events"),
         "user_id", "ts", "event_type", FUNNEL_STAGES)),
+    // per-source distribution drift: KL(source ‖ corpus) over token
+    // frequencies — the domain-weighting signal next to
+    // x_mix_temperature; decimal-summed 6-dp terms replay exactly
+    "x_source_divergence" -> ((s, dir) =>
+      Curation.sourceDivergence(Tables.scan(s, dir, "documents"),
+        "source", "text")),
     // per-doc novelty: fraction of a doc's trigram shingles whose
     // first corpus occurrence is this doc — the "new material" signal
     // dup-detection misses
@@ -3233,6 +3239,19 @@ object Extensions {
           "least(a_end, b_end)) AS overlap_us " +
           "FROM a JOIN b ON a.user_id = b.user_id " +
           "AND a_start < b_end AND b_start < a_end"),
+      "x_source_divergence" ->
+        ("WITH tk AS (SELECT source AS g, " +
+          "unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents), " +
+          "tk2 AS (SELECT g, tok FROM tk WHERE tok <> ''), " +
+          "st AS (SELECT g, tok, count(*) AS c_st FROM tk2 GROUP BY 1, 2), " +
+          "sg AS (SELECT g, sum(c_st) AS n_s FROM st GROUP BY 1), " +
+          "tt AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY 1), " +
+          "tot AS (SELECT sum(c_st) AS n FROM st) " +
+          "SELECT g AS source, CAST(count(*) AS BIGINT) AS n_tokens, " +
+          "CAST(sum(CAST(round((c_st / n_s) * ln((c_st / n_s) / (c_t / n)), 6) " +
+          "AS DECIMAL(18,6))) AS DOUBLE) AS kl " +
+          "FROM st JOIN sg USING (g) JOIN tt USING (tok) CROSS JOIN tot " +
+          "GROUP BY 1"),
       "x_novelty" ->
         (s"WITH ${shingleToksCte(NOVELTY_N)}, " +
           "fst AS (SELECT tok, min(doc_id) AS first_id FROM toks GROUP BY 1) " +

@@ -649,4 +649,38 @@ object Curation {
       .withColumn("novelty",
         F.col("n_novel").cast("double") / F.col("n_shingles"))
   }
+
+  /** Per-source distribution drift: KL(source ‖ corpus) over token
+    * frequencies — the domain-weighting / "which source looks least
+    * like the mixture" signal a data recipe consumes alongside
+    * [[temperatureMix]]. Every source token exists in the corpus
+    * distribution by construction, so q > 0 and the sum is finite.
+    *
+    * Determinism: each term `p·ln(p/q)` is rounded at 6 dp and summed
+    * as DECIMAL (merge-order-free — the [[graft.functions.Text]]
+    * lm-score trick), so the emitted KL replays bit-for-bit on any
+    * engine; the 6-dp round also absorbs libm ln() ulp differences.
+    * Scale shape: one (source, token) count aggregation (map-side
+    * combined), two group-count reductions off it, a broadcast-scalar
+    * corpus total, and a map-side term computation — the corpus text
+    * is scanned once. */
+  def sourceDivergence(df: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val toks = df.select(F.col(groupCol).as("g"),
+        F.explode(Text.tokens(F.col(textCol))).as("tok"))
+      .filter(F.col("tok") =!= "")
+    val st = toks.groupBy("g", "tok").agg(F.count(F.lit(1)).as("c_st"))
+    val sg = st.groupBy("g").agg(F.sum("c_st").as("n_s"))
+    val tt = st.groupBy("tok").agg(F.sum("c_st").as("c_t"))
+    val tot = st.agg(F.sum("c_st").as("n"))
+    val p = F.col("c_st") / F.col("n_s")
+    val q = F.col("c_t") / F.col("n")
+    st.join(sg, Seq("g")).join(tt, Seq("tok"))
+      .crossJoin(F.broadcast(tot))
+      .withColumn("term",
+        F.round(p * F.log(p / q), 6).cast("decimal(18,6)"))
+      .groupBy(F.col("g").as(groupCol))
+      .agg(F.count(F.lit(1)).as("n_tokens"),
+        F.sum("term").cast("double").as("kl"))
+  }
 }

@@ -144,6 +144,7 @@ class PlanShapeSpec extends SparkSpec {
       // broadcast-scalar corpus-stats frames (Curation.scala): 1-row
       // totals / rate tables joined onto every row, never a pair space
       "x_mix_temperature", "x_lm_score", "x_tfidf", "x_pmi",
+      "x_source_divergence",
       // gap-fill spine: day-sequence × distinct event types — two
       // tiny DERIVED dims crossed to enumerate the fill domain
       "x_gap_fill",
