@@ -421,6 +421,25 @@ object Extensions {
         k = MINHASH_K, bands = MINHASH_BANDS,
         terms = Text.distinctShingles(_, 2))),
 
+    // duplication PROVENANCE: the near-dup pairs rolled up to a
+    // (source_a, source_b) matrix — which feeds are re-crawling whom.
+    // The pair frame is LSH-bounded (tiny vs the corpus), so the two
+    // source-lookup joins broadcast the pairs onto the dim projection
+    "x_dup_matrix" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      val pairs = Dedup.jaccardPairsLsh(docs, "doc_id", "text",
+        threshold = 0.8, k = MINHASH_K, bands = MINHASH_BANDS,
+        terms = Text.distinctShingles(_, 2))
+      val src = docs.select(F.col("doc_id"), F.col("source"))
+      pairs
+        .join(src.select(F.col("doc_id").as("id_a"),
+          F.col("source").as("source_a")), Seq("id_a"))
+        .join(src.select(F.col("doc_id").as("id_b"),
+          F.col("source").as("source_b")), Seq("id_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).as("n_pairs"))
+    }),
+
     // dup GROUPS: connected components over the bigram-jaccard pairs
     // (transitive near-dup closure, min-id component labels) — the
     // keep-one-per-cluster step of a dedup pipeline
@@ -2355,6 +2374,14 @@ object Extensions {
           "AND doc_id NOT IN (SELECT doc_id FROM dropin) " +
           "AND doc_id NOT IN (SELECT doc_id FROM dropx)"),
       "x_dedup_jaccard" -> jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8),
+      // the same pair set as x_dedup_jaccard, rolled up to sources
+      "x_dup_matrix" ->
+        ("WITH prs AS (" + jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + ") " +
+          "SELECT a.source AS source_a, b.source AS source_b, " +
+          "CAST(count(*) AS BIGINT) AS n_pairs " +
+          "FROM prs JOIN documents a ON a.doc_id = prs.id_a " +
+          "JOIN documents b ON b.doc_id = prs.id_b " +
+          "GROUP BY 1, 2"),
       "x_dedup_keep" ->
         ("WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" +
           jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + ")), " +
