@@ -1676,30 +1676,24 @@ object Extensions {
     // broadcast anti-join
     "x_cdc_apply" -> ((s, dir) => {
       val o = Tables.scan(s, dir, "orders")
-      val base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
-      def part(m: Int, op: String, ver: Long, key: org.apache.spark.sql.Column,
-               status: org.apache.spark.sql.Column,
-               price: org.apache.spark.sql.Column) =
-        o.filter(F.col("o_orderkey") % 10 === m)
-          .select(key.cast("long").as("o_orderkey"),
-            status.cast("string").as("o_orderstatus"),
-            price.cast("double").as("o_totalprice"),
-            F.lit(op).as("op"), F.lit(ver).as("ver"))
-      val k = F.col("o_orderkey")
-      val st = F.col("o_orderstatus")
-      val pr = F.col("o_totalprice")
-      val nil = F.lit(null)
-      val changes = Seq(
-        part(0, "D", 1L, k, nil, nil), // plain delete
-        part(1, "U", 1L, k, st, pr * 1.1), // plain update
-        part(2, "I", 1L, k + 1000000L, F.lit("N"), F.lit(100.0)), // insert
-        part(3, "D", 1L, k, nil, nil), // superseded by...
-        part(3, "U", 2L, k, st, pr + 5.0), // ...this later update
-        part(4, "U", 1L, k, st, pr), // superseded by...
-        part(4, "D", 2L, k, nil, nil) // ...this later delete
-      ).reduce(_.unionByName(_))
-      graft.operators.Writes.cdcApply(base, changes,
-        Seq("o_orderkey"), "op", "ver")
+      graft.operators.Writes.cdcApply(
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        cdcChangeFeed(o), Seq("o_orderkey"), "op", "ver")
+    }),
+
+    // streaming twin: the SAME change feed arrives as micro-batches
+    // (one file per trigger, conflicts split arbitrarily across
+    // batches) and folds into versioned parquet state — final state
+    // must equal the batch apply, which is the shared oracle
+    "x_stream_cdc" -> ((s, dir) => {
+      val o = Tables.scan(s, dir, "orders")
+      val root = layoutDir(dir, "cdc_stream")
+      cdcChangeFeed(o).repartition(4)
+        .write.mode("overwrite").parquet(s"$root/changes")
+      graft.streaming.StreamingOps.streamingCdcApply(s,
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        s"$root/changes", Seq("o_orderkey"), "op", "ver",
+        s"$root/state")
     }),
 
     // interval-overlap join: both sides are variable-length intervals
@@ -1740,6 +1734,34 @@ object Extensions {
       per.unionByName(all)
     })
   )
+
+  /** The synthetic CDC feed over orders, shared by the batch and
+    * streaming apply twins: plain delete/update/insert plus per-key
+    * CONFLICTING changes whose resolution exercises
+    * last-writer-wins by version in both engines. */
+  private def cdcChangeFeed(o: DataFrame): DataFrame = {
+    def part(m: Int, op: String, ver: Long, key: org.apache.spark.sql.Column,
+             status: org.apache.spark.sql.Column,
+             price: org.apache.spark.sql.Column) =
+      o.filter(F.col("o_orderkey") % 10 === m)
+        .select(key.cast("long").as("o_orderkey"),
+          status.cast("string").as("o_orderstatus"),
+          price.cast("double").as("o_totalprice"),
+          F.lit(op).as("op"), F.lit(ver).as("ver"))
+    val k = F.col("o_orderkey")
+    val st = F.col("o_orderstatus")
+    val pr = F.col("o_totalprice")
+    val nil = F.lit(null)
+    Seq(
+      part(0, "D", 1L, k, nil, nil), // plain delete
+      part(1, "U", 1L, k, st, pr * 1.1), // plain update
+      part(2, "I", 1L, k + 1000000L, F.lit("N"), F.lit(100.0)), // insert
+      part(3, "D", 1L, k, nil, nil), // superseded by...
+      part(3, "U", 2L, k, st, pr + 5.0), // ...this later update
+      part(4, "U", 1L, k, st, pr), // superseded by...
+      part(4, "D", 2L, k, nil, nil) // ...this later delete
+    ).reduce(_.unionByName(_))
+  }
 
   /** Scratch dir for layout materializations — per-process root (no
     * cross-JVM collisions, see [[Workspace]]), suffixed by the SF-dir
@@ -1784,6 +1806,29 @@ object Extensions {
   /** Oracle for both decontamination variants (exact and
     * Bloom-pre-filtered — the latter is result-identical by
     * construction). */
+  private lazy val cdcApplySql: String =
+    "WITH ch AS (" +
+          "SELECT o_orderkey AS k, 'D' AS op, 1 AS ver, " +
+          "CAST(NULL AS VARCHAR) AS o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice " +
+          "FROM orders WHERE o_orderkey % 10 = 0 " +
+          "UNION ALL SELECT o_orderkey, 'U', 1, o_orderstatus, o_totalprice * 1.1 " +
+          "FROM orders WHERE o_orderkey % 10 = 1 " +
+          "UNION ALL SELECT o_orderkey + 1000000, 'I', 1, 'N', 100.0 " +
+          "FROM orders WHERE o_orderkey % 10 = 2 " +
+          "UNION ALL SELECT o_orderkey, 'D', 1, NULL, NULL " +
+          "FROM orders WHERE o_orderkey % 10 = 3 " +
+          "UNION ALL SELECT o_orderkey, 'U', 2, o_orderstatus, o_totalprice + 5.0 " +
+          "FROM orders WHERE o_orderkey % 10 = 3 " +
+          "UNION ALL SELECT o_orderkey, 'U', 1, o_orderstatus, o_totalprice " +
+          "FROM orders WHERE o_orderkey % 10 = 4 " +
+          "UNION ALL SELECT o_orderkey, 'D', 2, NULL, NULL " +
+          "FROM orders WHERE o_orderkey % 10 = 4), " +
+          "latest AS (SELECT * FROM (SELECT ch.*, row_number() OVER (" +
+          "PARTITION BY k ORDER BY ver DESC, op DESC) AS rn FROM ch) WHERE rn = 1) " +
+          "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o " +
+          "WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = o.o_orderkey) " +
+          "UNION ALL SELECT k, o_orderstatus, o_totalprice FROM latest WHERE op <> 'D'"
+
   private lazy val deconSql: String =
     s"WITH ${shingleToksCte(DECON_N)}, " +
       s"bench AS (SELECT DISTINCT tok FROM toks WHERE doc_id % $DECON_MOD = 0) " +
@@ -3229,29 +3274,11 @@ object Extensions {
           "ELSE (value - mean) / std END AS z " +
           "FROM events e JOIN st ON e.event_type = st.g"),
       // replays the change-feed construction, the last-writer-wins
-      // window, and the apply in plain SQL
-      "x_cdc_apply" ->
-        ("WITH ch AS (" +
-          "SELECT o_orderkey AS k, 'D' AS op, 1 AS ver, " +
-          "CAST(NULL AS VARCHAR) AS o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice " +
-          "FROM orders WHERE o_orderkey % 10 = 0 " +
-          "UNION ALL SELECT o_orderkey, 'U', 1, o_orderstatus, o_totalprice * 1.1 " +
-          "FROM orders WHERE o_orderkey % 10 = 1 " +
-          "UNION ALL SELECT o_orderkey + 1000000, 'I', 1, 'N', 100.0 " +
-          "FROM orders WHERE o_orderkey % 10 = 2 " +
-          "UNION ALL SELECT o_orderkey, 'D', 1, NULL, NULL " +
-          "FROM orders WHERE o_orderkey % 10 = 3 " +
-          "UNION ALL SELECT o_orderkey, 'U', 2, o_orderstatus, o_totalprice + 5.0 " +
-          "FROM orders WHERE o_orderkey % 10 = 3 " +
-          "UNION ALL SELECT o_orderkey, 'U', 1, o_orderstatus, o_totalprice " +
-          "FROM orders WHERE o_orderkey % 10 = 4 " +
-          "UNION ALL SELECT o_orderkey, 'D', 2, NULL, NULL " +
-          "FROM orders WHERE o_orderkey % 10 = 4), " +
-          "latest AS (SELECT * FROM (SELECT ch.*, row_number() OVER (" +
-          "PARTITION BY k ORDER BY ver DESC, op DESC) AS rn FROM ch) WHERE rn = 1) " +
-          "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o " +
-          "WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = o.o_orderkey) " +
-          "UNION ALL SELECT k, o_orderstatus, o_totalprice FROM latest WHERE op <> 'D'"),
+      // window, and the apply in plain SQL. The streaming twin must
+      // converge to the identical state (versioned merge is
+      // batch-split-invariant), so it shares this oracle verbatim.
+      "x_cdc_apply" -> cdcApplySql,
+      "x_stream_cdc" -> cdcApplySql,
       // the oracle's theta-join IS the O(n²) formulation the grid
       // bucketing exists to avoid — correctness twin, not a plan twin
       "x_interval_join" ->

@@ -155,4 +155,47 @@ class StreamingSpec extends SparkSpec {
     // streaming state across batches
     assert(rows == Map(10L -> "SEG_A", 11L -> "SEG_B"), s"got $rows")
   }
+
+  test("streaming CDC converges to the batch apply across real micro-batch splits") {
+    import spark.implicits._
+    val root = graft.Workspace.dir("stream_cdc_spec")
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    // conflicting changes deliberately SPLIT so each file lands in
+    // its own micro-batch and the cross-batch winner is decided by
+    // VERSION, not arrival: key 2's delete (ver 2) arrives BEFORE its
+    // stale update (ver 1) — order-dependent state would resurrect it
+    val f1 = Seq((2L, null.asInstanceOf[String], "D", 2L),
+      (4L, "d", "I", 1L)).toDF("id", "v", "op", "ver")
+    val f2 = Seq((2L, "stale", "U", 1L),
+      (3L, "c2", "U", 1L)).toDF("id", "v", "op", "ver")
+    val f3 = Seq((3L, "c3", "U", 2L)).toDF("id", "v", "op", "ver")
+    // one parquet file per change batch, copied into a flat feed dir
+    // so maxFilesPerTrigger=1 yields exactly three micro-batches
+    val dirs = Seq(f1, f2, f3).zipWithIndex.map { case (df, i) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$root/feed_tmp_$i")
+      s"$root/feed_tmp_$i"
+    }
+    val feed = s"$root/feed"
+    new java.io.File(feed).mkdirs()
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      val part = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(s"$feed/c$i.parquet").toPath)
+    }
+    val got = graft.streaming.StreamingOps.streamingCdcApply(spark, base,
+        feed, Seq("id"), "op", "ver", s"$root/state")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = graft.operators.Writes.cdcApply(base,
+        f1.unionByName(f2).unionByName(f3), Seq("id"), "op", "ver")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want, s"stream $got != batch $want")
+    assert(got == Map(1L -> "a", 3L -> "c3", 4L -> "d"),
+      "version order lost across micro-batches")
+    // the run really executed MULTIPLE micro-batches (one per file)
+    val stateDirs = new java.io.File(s"$root/state").listFiles()
+      .map(_.getName).filter(_.startsWith("state_")).toSet
+    assert(Set("state_-1", "state_0", "state_1", "state_2").subsetOf(stateDirs),
+      s"expected one state per micro-batch, got $stateDirs")
+  }
 }
