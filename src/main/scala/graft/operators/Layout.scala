@@ -149,6 +149,33 @@ object Layout {
       .write.mode("overwrite").parquet(indexPath)
   }
 
+  /** Retention vacuum for generation-numbered state/batch dirs (the
+    * `state_<n>` / `batch_id=<n>` layouts the exactly-once sinks and
+    * the streaming CDC apply accumulate): delete every generation
+    * older than the newest `keepLatest`. Never touches non-matching
+    * names, returns the deleted generation numbers (sorted). The
+    * complement of the idempotent-write contract — replay safety
+    * needs generation N−1 intact while N writes, so the vacuum floor
+    * is keepLatest ≥ 2. */
+  def vacuumGenerations(rootDir: String, prefix: String,
+                        keepLatest: Int): Seq[Long] = {
+    require(keepLatest >= 2,
+      s"keepLatest must be >= 2 (replay reads generation N-1): $keepLatest")
+    val root = new java.io.File(rootDir)
+    val gens = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .flatMap(f => scala.util.Try(
+        f.getName.stripPrefix(prefix).toLong).toOption.map(_ -> f))
+      .sortBy(_._1)
+    val doomed = gens.dropRight(keepLatest)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    doomed.foreach { case (_, f) => rm(f) }
+    doomed.map(_._1).toIndexedSeq
+  }
+
   /** Point lookup through the Bloom index: list only the files whose
     * Bloom admits `key`, and scan just those. */
   def readBloomIndexed(spark: SparkSession, dataDir: String,

@@ -175,6 +175,26 @@ class LayoutSpec extends SparkSpec {
     assert(miss.isEmpty && miss.columns.contains("event_type"))
   }
 
+  test("vacuum deletes only superseded generations and keeps the replay floor") {
+    val root = scratch("vacuum")
+    val dir = new java.io.File(root)
+    dir.mkdirs()
+    for (i <- -1 to 4) {
+      val d = new java.io.File(s"$root/state_$i"); d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "part").toPath, Array[Byte](1))
+    }
+    new java.io.File(s"$root/unrelated").mkdirs()
+    val deleted = Layout.vacuumGenerations(root, "state_", keepLatest = 2)
+    assert(deleted == Seq(-1L, 0L, 1L, 2L), deleted)
+    val left = dir.listFiles().map(_.getName).toSet
+    assert(left == Set("state_3", "state_4", "unrelated"), left)
+    // the replay floor is enforced, not advisory
+    intercept[IllegalArgumentException] {
+      Layout.vacuumGenerations(root, "state_", keepLatest = 1)
+    }
+  }
+
   test("writeDatePartitioned rejects an input that already has event_date") {
     val events = Tables.scan(spark, sf, "events")
       .withColumn("event_date", F.lit("x"))
