@@ -1578,6 +1578,14 @@ object Extensions {
     "x_novelty" -> ((s, dir) =>
       Curation.noveltyScore(Tables.scan(s, dir, "documents"),
         "doc_id", "text", NOVELTY_N)),
+    // best-3 purchases per user through the bounded-heap aggregator —
+    // map-side partials move O(users × 3) rows, no per-group sort
+    // (the window twin's plan); output identical to row_number ≤ 3
+    "x_topn_group_agg" -> ((s, dir) =>
+      graft.operators.Analytics.topNPerKey(
+        Tables.scan(s, dir, "events")
+          .filter(F.col("event_type") === "purchase"),
+        "user_id", "event_id", "value", n = 3)),
     // truncated EWMA trend per user over purchase values — the
     // parallel-window formulation of the sequential recurrence
     "x_ewma" -> ((s, dir) =>
@@ -3314,6 +3322,14 @@ object Extensions {
           "CAST(sum(CASE WHEN f.first_id = t.doc_id THEN 1 ELSE 0 END) AS DOUBLE) " +
           "/ count(*) AS novelty " +
           "FROM toks t JOIN fst f USING (tok) GROUP BY 1"),
+      // the window formulation IS the oracle — identical output, the
+      // aggregator only changes the PLAN
+      "x_topn_group_agg" ->
+        ("SELECT user_id, rnk, event_id, value FROM (" +
+          "SELECT user_id, CAST(row_number() OVER (PARTITION BY user_id " +
+          "ORDER BY value DESC, event_id ASC) AS BIGINT) AS rnk, " +
+          "event_id, value FROM events WHERE event_type = 'purchase') " +
+          "WHERE rnk <= 3"),
       "x_ewma" -> {
         // weights inlined at full double round-trip precision; the
         // numerator/denominator chains are LEFT-associated on both

@@ -55,6 +55,31 @@ object Analytics {
         F.col("e.n_users").as("n_users"))
   }
 
+  /** Top-n rows per key via the bounded-heap [[graft.plans.
+    * TopKAggregator]] — the scale-preferred plan for "best n per
+    * group": the window formulation (`row_number() OVER (PARTITION BY
+    * key ORDER BY …)`) shuffles and SORTS every row of every group,
+    * while the aggregator reduces each map-side partition to ≤ n
+    * entries per key BEFORE the exchange, so the shuffle moves
+    * O(keys × n) rows regardless of fact size. Identical output to
+    * the window form (same (score desc, id asc) tie-break), which is
+    * exactly what the oracle checks. */
+  def topNPerKey(df: DataFrame, keyCol: String, idCol: String,
+                 scoreCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(F.col(keyCol).cast("long"), F.col(idCol).cast("long"),
+        F.col(scoreCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.plans.TopKAggregator(n).toColumn.name("top"))
+      .flatMap { case (k, top) =>
+        top.zipWithIndex.map { case ((id, sc), i) => (k, i + 1L, id, sc) }
+      }
+      .toDF(keyCol, "rnk", idCol, scoreCol)
+  }
+
   /** Truncated EWMA smoothing per key: each row's smoothed value is
     * the weight-normalized sum of the last `depth` values in
     * (ts, id) order, with weights `alpha·(1−alpha)^j`. The truncation

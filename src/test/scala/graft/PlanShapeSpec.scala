@@ -191,6 +191,16 @@ class PlanShapeSpec extends SparkSpec {
       s"${failures.size} plan-lint failures:\n${failures.mkString("\n")}")
   }
 
+  test("x_topn_group_agg plans a partial aggregation, never a per-group window sort") {
+    // the operator's whole point: best-n-per-key must reduce map-side
+    // to <= n entries per key before the exchange, not shuffle+sort
+    // every row the way the window twin does
+    val plan = planOf("x_topn_group_agg")
+    assert(!plan.contains("Window"), "fell back to the window formulation")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      plan.take(500))
+  }
+
   test("TPC-H Q5 shape: all dims broadcast, facts never cartesian") {
     // customer/supplier/nation/region are all declared fixed-or-small
     // dims — a 100 TB lineitem must reach the agg through broadcast
