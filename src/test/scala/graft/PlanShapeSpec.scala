@@ -158,7 +158,11 @@ class PlanShapeSpec extends SparkSpec {
       // only scan filter is qualityScore(text) >= gate — a computed
       // regexp-count expression parquet cannot evaluate; nothing
       // pushable exists (the column-pruned ReadSchema still holds)
-      "x_pipeline_clean", "x_pipeline_pack")
+      "x_pipeline_clean", "x_pipeline_pack",
+      // the typed encode seam inserts isnotnull(embedding) — an
+      // IsNotNull on a NESTED (array) column, which the parquet
+      // source cannot push; no row-level predicate exists to lose
+      "x_ann_pq")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
       case q: QueryStageExec => scans(q.plan)
