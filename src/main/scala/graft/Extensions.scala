@@ -138,6 +138,7 @@ object Extensions {
   private val HH_K = 64 // heavy hitters: keep tokens with freq > n/64
   private val MAD_CUT = 3.0 // robust-outlier gate: |v - med| > 3*MAD
   private val FUNNEL_STAGES = Seq("view", "click", "purchase")
+  private val FUNNEL_GAP_SEC = 86400L // windowed funnel: convert within 24h
   private val HLL_LGK = 12 // HLL sketch precision (2^12 registers)
   // interval-overlap join: purchase windows × error windows per user;
   // the 10-minute grid keeps per-interval replication at 2-3 cells
@@ -1578,6 +1579,13 @@ object Extensions {
     "x_novelty" -> ((s, dir) =>
       Curation.noveltyScore(Tables.scan(s, dir, "documents"),
         "doc_id", "text", NOVELTY_N)),
+    // windowed-conversion twin: each stage must land within 24h of
+    // the previous one — "converted within a day", not "eventually"
+    "x_funnel_window" -> ((s, dir) =>
+      graft.operators.Analytics.funnel(
+        Tables.scan(s, dir, "events"),
+        "user_id", "ts", "event_type", FUNNEL_STAGES,
+        maxGapSec = Some(FUNNEL_GAP_SEC))),
     // best-3 purchases per user through the bounded-heap aggregator —
     // map-side partials move O(users × 3) rows, no per-group sort
     // (the window twin's plan); output identical to row_number ≤ 3
@@ -1814,6 +1822,15 @@ object Extensions {
   /** Oracle for both decontamination variants (exact and
     * Bloom-pre-filtered — the latter is result-identical by
     * construction). */
+  /** Shared tail of the funnel oracles: stage-count rollup. */
+  private val funnelTailSql: String =
+    "c AS (SELECT CAST(count(t0) AS BIGINT) AS n0, " +
+      "CAST(count(t1) AS BIGINT) AS n1, " +
+      "CAST(count(t2) AS BIGINT) AS n2 FROM s2) " +
+      "SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx, n0 AS n_users FROM c " +
+      "UNION ALL SELECT 'click', CAST(1 AS BIGINT), n1 FROM c " +
+      "UNION ALL SELECT 'purchase', CAST(2 AS BIGINT), n2 FROM c"
+
   private lazy val cdcApplySql: String =
     "WITH ch AS (" +
           "SELECT o_orderkey AS k, 'D' AS op, 1 AS ver, " +
@@ -3224,12 +3241,21 @@ object Extensions {
           "min(CASE WHEN e.ts >= t1 THEN e.ts END) AS t2 " +
           "FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id " +
           "AND e.event_type = 'purchase' GROUP BY 1), " +
-          "c AS (SELECT CAST(count(t0) AS BIGINT) AS n0, " +
-          "CAST(count(t1) AS BIGINT) AS n1, " +
-          "CAST(count(t2) AS BIGINT) AS n2 FROM s2) " +
-          "SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx, n0 AS n_users FROM c " +
-          "UNION ALL SELECT 'click', CAST(1 AS BIGINT), n1 FROM c " +
-          "UNION ALL SELECT 'purchase', CAST(2 AS BIGINT), n2 FROM c"),
+          funnelTailSql),
+      // same chain with the 24h conversion window on each hop — the
+      // CASE window mirrors the Spark side's unix_micros bound
+      "x_funnel_window" ->
+        ("WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events " +
+          "WHERE event_type = 'view' GROUP BY 1), " +
+          "s1 AS (SELECT s0.user_id, min(t0) AS t0, " +
+          s"min(CASE WHEN e.ts >= t0 AND date_diff('microseconds', t0, e.ts) <= CAST($FUNNEL_GAP_SEC AS BIGINT) * 1000000 THEN e.ts END) AS t1 " +
+          "FROM s0 LEFT JOIN events e ON e.user_id = s0.user_id " +
+          "AND e.event_type = 'click' GROUP BY 1), " +
+          "s2 AS (SELECT s1.user_id, min(t0) AS t0, min(t1) AS t1, " +
+          s"min(CASE WHEN e.ts >= t1 AND date_diff('microseconds', t1, e.ts) <= CAST($FUNNEL_GAP_SEC AS BIGINT) * 1000000 THEN e.ts END) AS t2 " +
+          "FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id " +
+          "AND e.event_type = 'purchase' GROUP BY 1), " +
+          funnelTailSql),
       // the bloom-indexed layout is a physical re-materialization —
       // the oracle filters the raw table
       "x_bloom_prune" ->

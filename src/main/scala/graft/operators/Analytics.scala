@@ -26,7 +26,8 @@ object Analytics {
     * rows.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, stages: Seq[String]): DataFrame = {
+             typeCol: String, stages: Seq[String],
+             maxGapSec: Option[Long] = None): DataFrame = {
     require(stages.size >= 2, "a funnel needs at least two stages")
     val user = F.col(userCol)
     var cur = events.filter(F.col(typeCol) === stages.head)
@@ -35,12 +36,20 @@ object Analytics {
       val nxt = events.filter(F.col(typeCol) === st)
         .select(user.as("u"), F.col(tsCol).as("ev_ts"))
       val carried = (0 to i).map(j => F.min(s"t$j").as(s"t$j"))
+      // optional conversion window: stage i+1 must land within
+      // maxGapSec of stage i, not merely after it — "eventually
+      // converted" and "converted within a day" are different product
+      // questions and the bound changes which first-touch binds
+      val inWindow = maxGapSec.fold(F.col("ev_ts") >= F.col(s"t$i")) { g =>
+        F.col("ev_ts") >= F.col(s"t$i") &&
+          F.unix_micros(F.col("ev_ts").cast("timestamp")) -
+            F.unix_micros(F.col(s"t$i").cast("timestamp")) <= g * 1000000L
+      }
       cur = cur.join(nxt, Seq("u"), "left")
         .groupBy("u")
         .agg(carried.head,
           carried.tail :+
-            F.min(F.when(F.col("ev_ts") >= F.col(s"t$i"), F.col("ev_ts")))
-              .as(s"t${i + 1}"): _*)
+            F.min(F.when(inWindow, F.col("ev_ts"))).as(s"t${i + 1}"): _*)
     }
     val one = cur.agg(
       F.count(F.col("t0")).as("n0"),

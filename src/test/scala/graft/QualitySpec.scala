@@ -100,6 +100,27 @@ class QualitySpec extends SparkSpec {
     assert(got == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L), got)
   }
 
+  test("windowed funnel: a conversion after the gap does not count, within it does") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 converts inside the 10s window at both hops
+      (1L, 0L, "view"), (1L, 5L, "click"), (1L, 12L, "purchase"),
+      // user 2's click lands AFTER the window — eventually-converted
+      // but not windowed-converted; the unbounded funnel must count it
+      (2L, 0L, "view"), (2L, 30L, "click")).toDF("user_id", "ts", "event_type")
+    // the operator's window bound casts through unix_micros, so the
+    // planted longs become real timestamps
+    val tev = ev.withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    def tcounts(gap: Option[Long]) =
+      Analytics.funnel(tev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapSec = gap)
+        .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users"))
+        .toMap
+    assert(tcounts(None) == Map("view" -> 2L, "click" -> 2L, "purchase" -> 1L))
+    assert(tcounts(Some(10L)) == Map("view" -> 2L, "click" -> 1L, "purchase" -> 1L),
+      "the 30s-late click must fall outside the 10s window")
+  }
+
   test("MAD outliers: robust gate flags the planted extremes only; MAD=0 flags any deviation") {
     import spark.implicits._
     val rows =
