@@ -73,6 +73,61 @@ class ConsistencySpec extends SparkSpec {
       "the two purchase-derived queries disagree on which rows exist")
   }
 
+  test("novelty conservation: each distinct shingle's first occurrence is counted exactly once") {
+    // Σ n_novel over docs must equal the number of DISTINCT shingles
+    // in the corpus — every shingle has exactly one first occurrence.
+    // A min-id tie bug or a dropped join row breaks this equality.
+    val out = SparkEntry.queries("x_novelty")(spark, sf)
+    val sumNovel = out.agg(F.sum("n_novel")).collect().head.getLong(0)
+    val docs = Tables.scan(spark, sf, "documents")
+    val distinctShingles = docs.select(F.explode(
+        graft.functions.Text.distinctShingles(F.col("text"), 3)).as("t"))
+      .filter(F.col("t") =!= "").select("t").distinct().count()
+    assert(sumNovel == distinctShingles,
+      s"sum(n_novel)=$sumNovel != distinct shingles $distinctShingles")
+  }
+
+  test("source divergence: KL is non-negative (to rounding) and zero only near the mixture") {
+    // Gibbs' inequality: KL(source ‖ corpus mixture) >= 0; the 6-dp
+    // per-term rounding can push a near-zero KL slightly negative,
+    // never more than n_tokens * 5e-7
+    val rows = SparkEntry.queries("x_source_divergence")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (kl, n) = (r.getAs[Double]("kl"), r.getAs[Long]("n_tokens"))
+      assert(!kl.isNaN && !kl.isInfinite, s"${r.get(0)}: kl=$kl")
+      assert(kl >= -5e-7 * n, s"${r.get(0)}: kl=$kl below the rounding floor")
+    }
+  }
+
+  test("truncated EWMA equals the brute-force weighted mean of the trailing window") {
+    import spark.implicits._
+    val alpha = 0.3; val depth = 4
+    val rows = Seq( // two users, deliberately interleaved arrival order
+      (1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 30.0),
+      (4L, 1L, 40.0), (5L, 1L, 50.0), (6L, 1L, 60.0),
+      (7L, 2L, 5.0), (8L, 2L, 15.0))
+    val df = rows.map { case (id, u, v) => (id, u, id, v) }
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = graft.operators.Analytics
+      .ewma(df, "user_id", "ts", "event_id", "value", alpha, depth)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma"))
+      .toMap
+    // Scala reference: same weights over the available trailing rows
+    val byUser = rows.groupBy(_._2).view.mapValues(_.sortBy(_._1)).toMap
+    for ((id, u, _) <- rows) {
+      val seq = byUser(u)
+      val i = seq.indexWhere(_._1 == id)
+      val window = (0 until depth).flatMap { j =>
+        if (i - j >= 0) Some(alpha * math.pow(1 - alpha, j) -> seq(i - j)._3)
+        else None
+      }
+      val want = window.map { case (w, v) => w * v }.sum /
+        window.map(_._1).sum
+      assert(math.abs(got(id) - want) < 1e-9, s"event $id: ${got(id)} vs $want")
+    }
+  }
+
   test("every graded query has an oracle (or a documented rows-only exemption); no orphan oracles") {
     // A query silently missing its oracleSql entry degrades to the
     // weak rows-only check and no one notices — the alignment is a
