@@ -1530,9 +1530,11 @@ object Extensions {
     }),
 
     // ---- data-quality gates (operators/Quality.scala) ----
-    // one-pass column profiling: nulls/distinct/min/max for four
-    // heterogeneous-typed columns in a single aggregation (one scan,
-    // one Expand for the distinct counts)
+    // column profiling: nulls/distinct/min/max for four
+    // heterogeneous-typed columns as one aggregation branch per column
+    // (deliberately NOT a single multi-distinct aggregation — that
+    // plans an Expand multiplying the scan by the column count; see
+    // Quality.profile's scaladoc for the measurements)
     "x_profile_columns" -> ((s, dir) =>
       graft.operators.Quality.profile(
         Tables.scan(s, dir, "lineitem"),

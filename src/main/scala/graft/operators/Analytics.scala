@@ -135,20 +135,6 @@ object Analytics {
         F.col(valueCol).isNull.as("was_null")): _*)
   }
 
-  /** Robust per-group outliers: rows where
-    * `|value - median| > cut * MAD`, with median and MAD (median
-    * absolute deviation) computed EXACTLY per group via the
-    * sort-based `percentile` aggregate — the outlier gate that, unlike
-    * mean/stddev z-scores, a few extreme values cannot drag.
-    *
-    * Two grouped passes (median needs to exist before deviations do),
-    * both keyed on the group column so the second reuses the first's
-    * partitioning; the per-group (median, MAD) frame is
-    * groups-cardinality small and broadcasts onto the fact scan for a
-    * map-side filter — the corpus is never shuffled to be filtered.
-    * Groups with MAD = 0 (constant-valued) flag any deviation, which
-    * is the standard convention and deterministic.
-    */
   /** Event-grain sessionization (gaps-and-islands): label every event
     * with its user's session ordinal, where a gap > `gapSec` between
     * consecutive events opens a new session. The per-EVENT twin of
@@ -188,8 +174,12 @@ object Analytics {
   def standardize(df: DataFrame, groupCol: String, valueCol: String,
                   idCols: Seq[String]): DataFrame = {
     val x = F.col(valueCol).cast("decimal(18,6)")
+    // n counts NON-NULL values (matching what sx/sxx sum) — count(*)
+    // here would skew mean/std whenever the value column holds NULLs.
+    // NULL groups are excluded by the inner equi-join below, the
+    // standard SQL grouping convention.
     val m = df.groupBy(F.col(groupCol).as("g"))
-      .agg(F.count(F.lit(1)).as("n"),
+      .agg(F.count(x).as("n"),
         F.sum(x).as("sx"), F.sum(x * x).as("sxx"))
     val (n, sx, sxx) = (F.col("n").cast("double"),
       F.col("sx").cast("double"), F.col("sxx").cast("double"))
@@ -205,6 +195,19 @@ object Analytics {
           .as("z")): _*)
   }
 
+  /** Robust per-group outliers: rows where
+    * `|value - median| > cut * MAD`, with median and MAD (median
+    * absolute deviation) computed EXACTLY per group via the
+    * sort-based `percentile` aggregate — the outlier gate that, unlike
+    * mean/stddev z-scores, a few extreme values cannot drag.
+    *
+    * Two grouped passes (median needs to exist before deviations do),
+    * both keyed on the group column so the second reuses the first's
+    * partitioning; the per-group (median, MAD) frame is
+    * groups-cardinality small and broadcasts onto the fact scan for a
+    * map-side filter — the corpus is never shuffled to be filtered.
+    * Groups with MAD = 0 (constant-valued) flag any deviation, which
+    * is the standard convention and deterministic. */
   def madOutliers(events: DataFrame, groupCol: String, valueCol: String,
                   idCols: Seq[String], cut: Double = 3.0): DataFrame = {
     val g = F.col(groupCol)

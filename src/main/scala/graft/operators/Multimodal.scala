@@ -206,13 +206,20 @@ object Multimodal {
     payloads.select(F.col(idCol).cast("long"), F.col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
+        // same mixed-corpus contract as decodeImageIO: null payloads
+        // and ANY decoder failure (ImageIO plugins throw runtime
+        // exceptions on corrupt bytes, not just IOException) fall back
+        // to the stub hash instead of failing the job
         val im =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
         val hash =
           if (im != null) aHash64(im)
           else java.nio.ByteBuffer.wrap(
-            java.security.MessageDigest.getInstance("MD5").digest(bytes))
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(if (bytes == null) Array.emptyByteArray else bytes))
             .getLong
         MediaPHash(id, hash)
       })

@@ -58,7 +58,17 @@ object Ranking {
       var i = bc.value(pid)
       it.map { r => i += 1L; Row.fromSeq(r.toSeq :+ i) }
     }
-    (spark.createDataFrame(numbered, outSchema), total)
+    // Materialize the numbered result eagerly (localCheckpoint stores
+    // the computed partitions and truncates lineage), then release the
+    // intermediate sorted lineage NOW — without this every call pinned
+    // a full MEMORY_AND_DISK copy of the dataset for the session
+    // lifetime (the hazard Writes.scala documents). The checkpointed
+    // output itself is reclaimed by the ContextCleaner once the caller
+    // drops the returned frame, unlike CacheManager-registered caches.
+    val out = spark.createDataFrame(numbered, outSchema)
+      .localCheckpoint(eager = true)
+    rdd.unpersist(blocking = false)
+    (out, total)
   }
 
   def denseIds(df: DataFrame, sortCols: Seq[Column],

@@ -182,8 +182,17 @@ object Temporal {
       F.explode(F.sequence(
         F.floor(micros(F.col(start)) / usec),
         F.floor((micros(F.col(end)) - 1) / usec)))
-    val lb = left.withColumn("__cell", cells(lStart, lEnd))
-    val rb = right.withColumn("__cell", cells(rStart, rEnd))
+    // empty half-open intervals (end <= start) overlap nothing, but
+    // sequence(lo, hi) with hi < lo yields a DESCENDING cell list, not
+    // zero cells — an empty interval strictly inside another would
+    // pass the strict-overlap filter and emit a spurious overlap_us=0
+    // pair. Drop them before exploding.
+    def nonEmpty(start: String, end: String) =
+      micros(F.col(end)) > micros(F.col(start))
+    val lb = left.filter(nonEmpty(lStart, lEnd))
+      .withColumn("__cell", cells(lStart, lEnd))
+    val rb = right.filter(nonEmpty(rStart, rEnd))
+      .withColumn("__cell", cells(rStart, rEnd))
     lb.join(rb, Seq(keyCol, "__cell"))
       .filter(micros(F.col(lStart)) < micros(F.col(rEnd)) &&
         micros(F.col(rStart)) < micros(F.col(lEnd)))
