@@ -1750,6 +1750,24 @@ object Extensions {
         .select(F.lit("__all__").as("source"),
           F.hll_sketch_estimate(F.col("sk")).as("est_distinct"))
       per.unionByName(all)
+    }),
+
+    // exact twin of the sketch rollup: same per-source + __all__ rows
+    // with exact count(DISTINCT tok) — grades the GROUP-BY/rollup half
+    // of x_hll_cardinality against the oracle, so the only ungraded
+    // number on the board is the HLL estimate itself (QualitySpec pins
+    // that within 5% of these exact counts). Two aggregation branches
+    // over one logical scan; the global branch reduces to distinct
+    // tokens before counting, so neither branch shuffles document text
+    "x_distinct_exact" -> ((s, dir) => {
+      val toks = Tables.scan(s, dir, "documents")
+        .select(F.col("source"), F.explode(Text.tokens(F.col("text"))).as("tok"))
+      val per = toks.groupBy("source")
+        .agg(F.countDistinct("tok").as("n_distinct"))
+      val all = toks.select("tok").distinct()
+        .agg(F.count(F.lit(1)).as("n_distinct"))
+        .select(F.lit("__all__").as("source"), F.col("n_distinct"))
+      per.unionByName(all)
     })
   )
 
@@ -3396,7 +3414,17 @@ object Extensions {
           "FROM events e JOIN med ON e.event_type = med.g GROUP BY g) " +
           "SELECT e.event_id, e.event_type, e.value FROM events e " +
           "JOIN stats s ON e.event_type = s.g " +
-          s"WHERE abs(e.value - s.med) > $MAD_CUT * s.mad")
+          s"WHERE abs(e.value - s.med) > $MAD_CUT * s.mad"),
+      // exact twin of the sketch rollup (same tokenizer as the Spark
+      // side: split on whitespace, duplicates irrelevant under
+      // DISTINCT)
+      "x_distinct_exact" ->
+        ("WITH t AS (SELECT source, " +
+          "unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+          "FROM documents) " +
+          "SELECT source, count(DISTINCT tok) AS n_distinct FROM t GROUP BY source " +
+          "UNION ALL " +
+          "SELECT '__all__' AS source, count(DISTINCT tok) AS n_distinct FROM t")
     )
   }
 }

