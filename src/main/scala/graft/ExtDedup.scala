@@ -1,0 +1,427 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+import graft.functions.Text
+import graft.operators.{Curation, Dedup, Joins, Layout, Multimodal, Similarity, Skew, Temporal}
+import graft.sources.Tables
+import graft.streaming.EventWindows
+
+/** Deduplication: exact/incremental/substring, MinHash-LSH,
+  * SimHash, n-gram Jaccard, connected components, containment,
+  * novelty, snapshot diff, duplication-provenance matrix.
+  *
+  * One wiring object per operator family (query + its DuckDB
+  * oracle side by side); [[Extensions]] concatenates the
+  * families. Shared constants/helpers live in [[ExtShared]].
+  */
+private[graft] object ExtDedup {
+  import ExtShared._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- dedup ----
+    "x_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.scan(s, dir, "documents"), "doc_id", "text",
+        minCount = 1)),
+
+
+    // exact Jaccard verified on MinHash-LSH candidates — runs uncapped
+    // over the FULL corpus (the banding bounds the candidate space;
+    // the exact intersection touches gate-surviving candidates only).
+    // Terms are word BIGRAMS, not unigrams: this corpus's documents
+    // share nearly their whole unigram vocabulary by construction
+    // (unigram Jaccard ~1 for a third of ALL pairs), so a bag-of-words
+    // near-dup query degenerates to the quadratic pair space on any
+    // engine — order-sensitive shingles measure true duplication.
+    "x_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.8,
+        k = MINHASH_K, bands = MINHASH_BANDS,
+        terms = Text.distinctShingles(_, 2))),
+
+
+    // duplication PROVENANCE: the near-dup pairs rolled up to a
+    // (source_a, source_b) matrix — which feeds are re-crawling whom.
+    // The pair frame is LSH-bounded (tiny vs the corpus), so the two
+    // source-lookup joins broadcast the pairs onto the dim projection
+    "x_dup_matrix" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      val pairs = Dedup.jaccardPairsLsh(docs, "doc_id", "text",
+        threshold = 0.8, k = MINHASH_K, bands = MINHASH_BANDS,
+        terms = Text.distinctShingles(_, 2))
+      val src = docs.select(F.col("doc_id"), F.col("source"))
+      pairs
+        .join(src.select(F.col("doc_id").as("id_a"),
+          F.col("source").as("source_a")), Seq("id_a"))
+        .join(src.select(F.col("doc_id").as("id_b"),
+          F.col("source").as("source_b")), Seq("id_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).as("n_pairs"))
+    }),
+
+
+    // dup GROUPS: connected components over the bigram-jaccard pairs
+    // (transitive near-dup closure, min-id component labels) — the
+    // keep-one-per-cluster step of a dedup pipeline
+    "x_dedup_components" -> ((s, dir) =>
+      Dedup.dupComponents(
+        Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8,
+          k = MINHASH_K, bands = MINHASH_BANDS,
+          terms = Text.distinctShingles(_, 2)))),
+
+
+    // the materialized OUTPUT of transitive dedup: every doc that is
+    // not a non-representative member of a near-dup component (i.e.
+    // keep component minima and all unpaired docs) — what a cleaning
+    // pipeline actually writes back out
+    "x_dedup_keep" -> ((s, dir) => {
+      val comps = Dedup.dupComponents(
+        Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8,
+          k = MINHASH_K, bands = MINHASH_BANDS,
+          terms = Text.distinctShingles(_, 2)))
+      val drop = comps.filter(F.col("id") =!= F.col("component"))
+        .select(F.col("id").as("doc_id"))
+      Tables.scan(s, dir, "documents")
+        .join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+
+    // incremental-ingest dedup: the mod-10 "incoming batch" cleaned
+    // against the rest of the corpus (in-batch dedup + anti-join on
+    // the existing fingerprint set) — the production shape of exact
+    // dedup for a continuously ingesting pipeline
+    "x_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      Dedup.incrementalDedup(
+          docs.filter(F.col("doc_id") % INCR_MOD =!= 0),
+          docs.filter(F.col("doc_id") % INCR_MOD === 0),
+          "doc_id", "text")
+        .select("doc_id", "lang", "source")
+    }),
+
+
+    // incremental-ingest NEAR-dup: the same mod-3 batch cleaned
+    // against the corpus by LSH band collision + estimated Jaccard —
+    // the near-dup twin of x_dedup_incremental. Trigram shingles and
+    // the 0.5 threshold match x_dedup_ngram, so the fixture's known
+    // near-dup pairs exercise both drop paths across the split.
+    "x_neardup_incremental" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      Dedup.incrementalNearDedup(
+          docs.filter(F.col("doc_id") % INCR_MOD =!= 0),
+          docs.filter(F.col("doc_id") % INCR_MOD === 0),
+          "doc_id", "text", k = MINHASH_K, bands = NGRAM_BANDS,
+          threshold = 0.5, terms = Text.distinctShingles(_, 3))
+        .select("doc_id", "lang", "source")
+    }),
+
+
+    // word-trigram shingle Jaccard: order-sensitive near-dup — the
+    // shingle unit separates true edits/reorders from shared
+    // vocabulary. More, narrower bands (8×2) than the word-level query:
+    // the 0.5 threshold needs the higher capture probability.
+    "x_dedup_ngram" -> ((s, dir) =>
+      Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.5,
+        k = MINHASH_K, bands = NGRAM_BANDS,
+        terms = Text.distinctShingles(_, 3))),
+
+
+    // asymmetric containment |A∩B| / min(|A|,|B|): the doc-in-doc /
+    // boilerplate-expansion shape symmetric Jaccard structurally
+    // misses (a paragraph quoted inside a long doc has containment
+    // ~1 but tiny Jaccard). Candidates via the df-capped inverted
+    // index — pair volume linear in corpus × cap, never Σ df².
+    "x_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", threshold = CONTAIN_THRESHOLD,
+        dfCap = CONTAIN_DFCAP, terms = Text.distinctShingles(_, 3))),
+
+
+    // substring-level exact dedup: cross-document repeated token SPANS
+    // (licence blocks, boilerplate) — the shape doc-level fingerprints
+    // and token-set Jaccard both miss. Fixed 8-token windows hashed
+    // once; pairs via the same df-capped inverted index as
+    // x_containment (pair volume linear in corpus × cap, never Σ df²)
+    "x_substring_dedup" -> ((s, dir) =>
+      Dedup.substringSpanPairs(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", windowLen = SUBSTR_WINDOW,
+        minSpans = SUBSTR_MINSPANS, dfCap = SUBSTR_DFCAP)),
+
+
+    "x_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", k = MINHASH_K)),
+
+
+    // signature-only near-dup (no exact verification pass) — trigram
+    // shingle terms for the same reason as x_dedup_jaccard: unigram
+    // signatures are near-identical across this corpus
+    "x_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", k = MINHASH_K, bands = MINHASH_BANDS,
+        threshold = 0.75, terms = Text.distinctShingles(_, 3))),
+
+
+    "x_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.scan(s, dir, "documents"), "doc_id", "text",
+        bits = 32)),
+
+
+    // hamming-banded simhash pairs over trigram shingles (unigram
+    // simhashes collide corpus-wide here — see x_dedup_jaccard)
+    "x_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", bits = 32, maxHamming = 3,
+        terms = Text.distinctShingles(_, 3))),
+
+
+    // dup-cluster SIZE distribution: how large are the near-dup
+    // families? The audit that sizes dedup policy and catches a
+    // pathological "one giant cluster" LSH failure at a glance —
+    // same components as x_dedup_components, rolled up twice
+    "x_dedup_sizes" -> ((s, dir) =>
+      Dedup.dupComponents(
+        Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8,
+          k = MINHASH_K, bands = MINHASH_BANDS,
+          terms = Text.distinctShingles(_, 2)))
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).as("n_clusters"))),
+
+
+    // incremental aggregate refresh: a new ingest batch's partial
+    // aggregate MERGES into the standing daily aggregate instead of
+    // recomputing over the corpus — at 100 TB this is the difference
+    // between touching one batch and re-scanning history (counts and
+    // decimal sums are associative partials, so merged == full
+    // recompute EXACTLY; the oracle computes the full aggregate)
+    "x_incremental_agg" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+      def agg(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy(F.to_date(F.col("ts")).as("day"), F.col("event_type"))
+          .agg(F.count(F.lit(1)).as("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).as("sum_value"))
+      val standing = agg(ev.filter(F.col("event_id") % INCR_MOD =!= 0))
+      val batch = agg(ev.filter(F.col("event_id") % INCR_MOD === 0))
+      standing.unionByName(batch)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").as("n"),
+          // output widens decimal→double: the driver hash renders
+          // decimals float-style, so trailing-zero values fail
+          // hash_match (SURVEY §5 — graded outputs are never decimal)
+          F.sum("sum_value").cast("double").as("sum_value"))
+    }),
+
+
+    // snapshot diff: two corpus versions reconciled by key +
+    // content fingerprint in ONE full-outer pass — the dataset-
+    // versioning audit (what was added / removed / kept between
+    // ingest rounds); only ids and 16-byte fingerprints shuffle
+    "x_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+        .select(F.col("doc_id"), F.md5(F.col("text")).as("fp"))
+      val v1 = docs.filter(F.col("doc_id") % 7 =!= 0)
+        .withColumnRenamed("fp", "fp1")
+      val v2 = docs.filter(F.col("doc_id") % 5 =!= 0)
+        .withColumnRenamed("fp", "fp2")
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          F.when(F.col("fp1").isNull, "added")
+            .when(F.col("fp2").isNull, "removed")
+            .when(F.col("fp1") =!= F.col("fp2"), "changed")
+            .otherwise("kept"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).as("n_docs"))
+    }),
+
+
+    // blocked fuzzy dedup: prefix-blocked candidates verified by
+    // Levenshtein — catches the character-level (typo/OCR)
+    // duplicates the token-set families under-weigh
+    "x_dedup_fuzzy" -> ((s, dir) =>
+      Dedup.fuzzyPairs(Tables.scan(s, dir, "documents"), "doc_id", "text",
+        FUZZY_BLOCK, FUZZY_PREFIX, FUZZY_MAXDIST)),
+
+    // per-doc novelty: fraction of a doc's trigram shingles whose
+    // first corpus occurrence is this doc — the "new material" signal
+    // dup-detection misses
+    "x_novelty" -> ((s, dir) =>
+      Curation.noveltyScore(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", NOVELTY_N))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      ("SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp, " +
+        "min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY fp"),
+
+    "x_dedup_incremental" ->
+      ("WITH f AS (SELECT doc_id, lang, source, " +
+        "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents), " +
+        s"inc AS (SELECT * FROM f WHERE doc_id % $INCR_MOD = 0), " +
+        s"seen AS (SELECT DISTINCT fp FROM f WHERE doc_id % $INCR_MOD <> 0), " +
+        "kept AS (SELECT fp, min(doc_id) AS doc_id FROM inc GROUP BY fp) " +
+        "SELECT i.doc_id, i.lang, i.source FROM inc i " +
+        "JOIN kept k ON i.doc_id = k.doc_id " +
+        // NOT EXISTS, not NOT IN: a NULL fingerprint (NULL text)
+        // must behave like Spark's left_anti (NULL keys never
+        // match), where NOT IN would nuke the whole result
+        "WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = i.fp)"),
+
+    "x_neardup_incremental" ->
+      (s"WITH ${shingleToksCte(3)}, " +
+        s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
+        s"bands AS (${bandRowsSql(NGRAM_BANDS)}), " +
+        s"bb AS (SELECT * FROM bands WHERE doc_id % $INCR_MOD = 0), " +
+        s"bc AS (SELECT * FROM bands WHERE doc_id % $INCR_MOD <> 0), " +
+        // in-batch greedy keep-lowest-id, then the corpus probe —
+        // the two drop paths of Dedup.incrementalNearDedup
+        "dropin AS (SELECT DISTINCT r.doc_id FROM bb l JOIN bb r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+        "dropx AS (SELECT DISTINCT l.doc_id FROM bb l JOIN bc r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"WHERE $estSql >= 0.5) " +
+        "SELECT doc_id, lang, source FROM documents " +
+        s"WHERE doc_id % $INCR_MOD = 0 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM dropin) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM dropx)"),
+
+    "x_dedup_jaccard" -> jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8),
+
+    // the same pair set as x_dedup_jaccard, rolled up to sources
+    "x_dup_matrix" ->
+      ("WITH prs AS (" + jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + ") " +
+        "SELECT a.source AS source_a, b.source AS source_b, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs " +
+        "FROM prs JOIN documents a ON a.doc_id = prs.id_a " +
+        "JOIN documents b ON b.doc_id = prs.id_b " +
+        "GROUP BY 1, 2"),
+
+    "x_dedup_keep" ->
+      ("WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" +
+        jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + ")), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT src AS id, src AS r FROM edges " +
+        "UNION SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id), " +
+        "drops AS (SELECT id FROM (SELECT id, min(r) AS component " +
+        "FROM reach GROUP BY id) WHERE id <> component) " +
+        "SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT id FROM drops)"),
+
+    // transitive closure over the same pairs via a recursive CTE
+    "x_dedup_components" ->
+      ("WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" +
+        jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + ")), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT src AS id, src AS r FROM edges " +
+        "UNION SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id) " +
+        "SELECT id, min(r) AS component FROM reach GROUP BY id"),
+
+    // the same transitive closure rolled up twice: component →
+    // cluster size → size histogram
+    "x_dedup_sizes" ->
+      ("WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" +
+        jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + ")), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT src AS id, src AS r FROM edges " +
+        "UNION SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id), " +
+        "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id), " +
+        "cs AS (SELECT component, count(*) AS cluster_size FROM comp " +
+        "GROUP BY 1) " +
+        "SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY 1"),
+
+    "x_dedup_ngram" -> jaccardLshSql(shingleToksCte(3), NGRAM_BANDS, 0.5),
+
+    // identical windowing (8-token shingles), 60-bit hash, df cap,
+    // and distinct-per-doc set semantics as Dedup.substringSpanPairs
+    "x_substring_dedup" ->
+      (s"WITH ${shingleToksCte(SUBSTR_WINDOW)}, " +
+        s"wh AS (SELECT DISTINCT doc_id, ${h60("tok")} AS h FROM toks), " +
+        s"dfh AS (SELECT h FROM wh GROUP BY h HAVING count(*) <= $SUBSTR_DFCAP), " +
+        "rare AS (SELECT w.doc_id, w.h FROM wh w JOIN dfh USING (h)) " +
+        "SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS span_count " +
+        "FROM rare l JOIN rare r ON l.h = r.h AND l.doc_id < r.doc_id " +
+        s"GROUP BY 1, 2 HAVING count(*) >= $SUBSTR_MINSPANS"),
+
+    "x_containment" -> containmentSql(shingleToksCte(3),
+      CONTAIN_THRESHOLD, CONTAIN_DFCAP),
+
+    "x_minhash_sig" ->
+      ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> '') " +
+        s"SELECT doc_id, $mhMins FROM toks GROUP BY doc_id"),
+
+    "x_minhash_pairs" ->
+      (s"WITH ${shingleToksCte(3)}, " +
+        s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
+        s"bands AS ($bandRows) " +
+        "SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, " +
+        s"$estSql AS est_jaccard " +
+        "FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.75"),
+
+    "x_simhash" ->
+      ("WITH toks AS (SELECT doc_id, tok FROM (" + toksSql + ") WHERE tok <> ''), " +
+        s"h AS (SELECT doc_id, ${h60("tok")} AS h FROM toks), " +
+        s"bitsums AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id) " +
+        s"SELECT doc_id, $simhashAssemble AS simhash FROM bitsums"),
+
+    "x_simhash_pairs" ->
+      (s"WITH ${shingleToksCte(3)}, " +
+        s"h AS (SELECT doc_id, ${h60("tok")} AS h FROM toks), " +
+        s"bitsums AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id), " +
+        s"sig AS (SELECT doc_id, $simhashAssemble AS simhash FROM bitsums) " +
+        "SELECT l.doc_id AS id_a, r.doc_id AS id_b, " +
+        "bit_count(xor(l.simhash, r.simhash))::INTEGER AS hamming FROM sig l JOIN sig r " +
+        "ON l.doc_id < r.doc_id WHERE bit_count(xor(l.simhash, r.simhash)) <= 3"),
+
+    // the merged incremental aggregate must equal the FULL
+    // recompute — so the oracle just aggregates everything
+    "x_incremental_agg" ->
+      ("SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2"),
+
+    // the 'changed' branch is structurally present on both sides
+    // (fp inequality); the fixture's two snapshot views share text,
+    // so it is empty here by construction
+    "x_snapshot_diff" ->
+      ("WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents WHERE doc_id % 7 <> 0), " +
+        "v2 AS (SELECT doc_id, md5(text) AS fp2 FROM documents WHERE doc_id % 5 <> 0) " +
+        "SELECT CASE WHEN fp1 IS NULL THEN 'added' " +
+        "WHEN fp2 IS NULL THEN 'removed' " +
+        "WHEN fp1 <> fp2 THEN 'changed' ELSE 'kept' END AS status, " +
+        "count(*) AS n_docs " +
+        "FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id GROUP BY 1"),
+
+    "x_dedup_fuzzy" ->
+      ("WITH n AS (SELECT doc_id, " +
+        "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm " +
+        "FROM documents) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        s"levenshtein(substr(a.norm, 1, $FUZZY_PREFIX), substr(b.norm, 1, $FUZZY_PREFIX)) AS dist " +
+        s"FROM n a JOIN n b ON substr(a.norm, 1, $FUZZY_BLOCK) = substr(b.norm, 1, $FUZZY_BLOCK) " +
+        "AND a.doc_id < b.doc_id " +
+        s"WHERE levenshtein(substr(a.norm, 1, $FUZZY_PREFIX), substr(b.norm, 1, $FUZZY_PREFIX)) <= $FUZZY_MAXDIST"),
+
+    "x_novelty" ->
+      (s"WITH ${shingleToksCte(NOVELTY_N)}, " +
+        "fst AS (SELECT tok, min(doc_id) AS first_id FROM toks GROUP BY 1) " +
+        "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+        "CAST(sum(CASE WHEN f.first_id = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "CAST(sum(CASE WHEN f.first_id = t.doc_id THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ count(*) AS novelty " +
+        "FROM toks t JOIN fst f USING (tok) GROUP BY 1")
+  )
+}

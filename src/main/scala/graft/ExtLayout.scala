@@ -1,0 +1,493 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+import graft.functions.Text
+import graft.operators.{Curation, Dedup, Joins, Layout, Multimodal, Similarity, Skew, Temporal}
+import graft.sources.Tables
+import graft.streaming.EventWindows
+
+/** Physical layout & sources: file formats, schema evolution,
+  * compaction, partition/z-order/Bloom pruning, bucketing, skew.
+  *
+  * One wiring object per operator family (query + its DuckDB
+  * oracle side by side); [[Extensions]] concatenates the
+  * families. Shared constants/helpers live in [[ExtShared]].
+  */
+private[graft] object ExtLayout {
+  import ExtShared._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // raw-corpus ingest format: documents round-trip through a
+    // JSON-lines sink + explicit-schema source (the shape a training
+    // corpus actually arrives in), then aggregate per source. The
+    // oracle replays the aggregation on the parquet table, so
+    // equality proves the JSONL round-trip is lossless — including
+    // sum(length(text)), which any broken string escaping would move.
+    "x_source_jsonl" -> ((s, dir) => {
+      val scan = Tables.scan(s, dir, "documents")
+      val out = Workspace.dir(s"jsonl_${new java.io.File(dir).getName}")
+      scan.write.mode("overwrite").json(out)
+      s.read.schema(scan.schema).json(out)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("sum_text_chars"))
+    }),
+
+
+    // gzip-compressed JSONL round-trip: the format a web crawl
+    // actually arrives in (.jsonl.gz). gzip is NOT splittable — one
+    // task per file — so a real 100 TB ingest's parallelism is set by
+    // the FILE COUNT, which the writer's repartition pins; everything
+    // downstream of the codec is the jsonl twin, and the oracle
+    // proves decompress→parse losslessness
+    "x_source_gzip" -> ((s, dir) => {
+      val scan = Tables.scan(s, dir, "documents")
+      val out = Workspace.dir(s"jsonlgz_${new java.io.File(dir).getName}")
+      scan.repartition(8)
+        .write.mode("overwrite").option("compression", "gzip").json(out)
+      s.read.schema(scan.schema).json(out)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("sum_text_chars"))
+    }),
+
+
+    // CSV twin of the ingest round-trip — the format where quoting
+    // and embedded delimiters actually bite. RFC4180-style escape
+    // (quote doubled as "") on BOTH sides, multiLine read so embedded
+    // newlines would survive too; the same parquet-side oracle proves
+    // losslessness through sum(length(text)).
+    "x_source_csv" -> ((s, dir) => {
+      val scan = Tables.scan(s, dir, "documents")
+      val out = Workspace.dir(s"csv_${new java.io.File(dir).getName}")
+      scan.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"").csv(out)
+      s.read.schema(scan.schema)
+        .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true").csv(out)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("sum_text_chars"))
+    }),
+
+
+    // ORC twin — the third interchange format (columnar like the
+    // parquet native path, so this also covers the ORC reader/writer
+    // codepath end-to-end); same lossless-round-trip oracle
+    "x_source_orc" -> ((s, dir) => {
+      val scan = Tables.scan(s, dir, "documents")
+      val out = Workspace.dir(s"orc_${new java.io.File(dir).getName}")
+      scan.write.mode("overwrite").orc(out)
+      s.read.schema(scan.schema).orc(out)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("sum_text_chars"))
+    }),
+
+
+    // Avro twin — the row-oriented interchange format raw corpora
+    // commonly arrive in. No spark-avro module on this classpath, so
+    // the round-trip runs through graft's own Hadoop-connector IO
+    // (AvroKeyInput/OutputFormat); same lossless parquet-side oracle.
+    "x_source_avro" -> ((s, dir) => {
+      val scan = Tables.scan(s, dir, "documents")
+      val out = Workspace.dir(s"avro_${new java.io.File(dir).getName}")
+      graft.sources.AvroIO.write(scan, out)
+      graft.sources.AvroIO.read(s, out, scan.schema)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"),
+          F.sum(F.length(F.col("text")).cast("long")).as("sum_text_chars"))
+    }),
+
+
+    // schema-evolution ingest: a long-lived crawl corpus arrives in
+    // batches whose schema GROWS over time — batch 2 here adds a
+    // tok_count column batch 1 never had. Write the two batches as
+    // separate parquet directories, read the root back with
+    // mergeSchema (the union-schema read every evolving corpus
+    // needs), and aggregate per source: row/char sums prove the read
+    // is lossless across the schema seam, count(tok_count) proves the
+    // missing column NULL-fills (only batch-2 rows counted), and its
+    // sum proves batch-2 values survive. Scale note: mergeSchema
+    // footer reconciliation is a driver-side listing cost — on a
+    // 100-TB corpus pin the merged schema in a catalog table instead
+    // of re-inferring per read; the READ path (per-file projection
+    // with NULL-fill) is identical either way.
+    "x_source_evolved" -> ((s, dir) => {
+      val scan = Tables.scan(s, dir, "documents")
+      val out = Workspace.dir(s"evolved_${new java.io.File(dir).getName}")
+      scan.filter(F.col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$out/batch1")
+      scan.filter(F.col("doc_id") % 2 =!= 0)
+        .withColumn("tok_count",
+          graft.functions.Text.tokenCount(F.col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$out/batch2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/batch1", s"$out/batch2")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"),
+          F.count(F.col("tok_count")).as("n_evolved"),
+          F.sum(F.col("tok_count")).as("sum_toks"))
+    }),
+
+
+    // graded small-file compaction: fragment documents into 64 tiny
+    // files (the long-running-ingest shape), byte-size compact them,
+    // and aggregate the compacted copy — the oracle aggregates the
+    // original table, so equality proves compaction is row-lossless
+    // while LayoutSpec separately pins the file-count contract.
+    "x_compaction" -> ((s, dir) => {
+      val base = Workspace.dir(s"compact_${new java.io.File(dir).getName}")
+      Tables.scan(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(s"$base/frag")
+      Layout.compact(s, s"$base/frag", s"$base/out",
+        targetFileBytes = 512L * 1024)
+      s.read.parquet(s"$base/out")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"))
+    }),
+
+
+    // ---- multimodal plumbing (column twin of the decode stage) ----
+    "x_multimodal_meta" -> ((s, dir) =>
+      Multimodal.metaColumns(Tables.scan(s, dir, "documents"), "doc_id", "text")),
+
+
+    // feature extraction through the REAL mapPartitions decode seam
+    // (per-partition model init, streamed rows, typed output) — the
+    // oracle replays the md5-derived stub math, so the graded check
+    // covers the distributed plumbing end-to-end, not a Column twin
+    "x_multimodal_features" -> ((s, dir) =>
+      Multimodal.featurize(s,
+        Multimodal.attachPayload(Tables.scan(s, dir, "documents"),
+          "doc_id", "text"), "doc_id", MM_FEAT_DIMS).toDF()),
+
+
+    // fixed-stride frame sampling (the video-keyframe shape): payload
+    // cut into byte windows, each fingerprinted, streamed out of a
+    // flatMap without materializing a per-doc frame list
+    "x_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s,
+        Multimodal.attachPayload(Tables.scan(s, dir, "documents"),
+          "doc_id", "text"), "doc_id", MM_FRAME_BYTES).toDF()),
+
+
+    // REAL image decode, graded: every 5th doc's payload is replaced
+    // executor-side with a genuine PNG whose dimensions are pure
+    // functions of doc_id (8+id%7 x 5+id%11), the rest stay opaque
+    // text bytes. decodeImageIO must actually parse the PNGs to
+    // report those dims (the stub would emit md5-derived dims and
+    // hash-mismatch), while opaque rows must fall through to the
+    // stub — one mixed-corpus pass, the realistic 100 TB shape. Only
+    // dims are projected: PNG encoder BYTES are JVM-specific, so
+    // byte_len/checksum aren't oracle-portable for real rows.
+    "x_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val mixed = Tables.scan(s, dir, "documents")
+        .filter(F.col("doc_id") < MM_DECODE_DOCS)
+        .select(F.col("doc_id").cast("long"), F.col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val payload =
+            if (id % 5 == 0)
+              Multimodal.syntheticPng((8 + id % 7).toInt, (5 + id % 11).toInt)
+            else Option(text).getOrElse("") // NULL text → empty payload (stub path), not NPE
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (id, payload)
+        })
+        .toDF("doc_id", "payload")
+      Multimodal.decodeImageIO(s, mixed, "doc_id").toDF()
+        .select(F.col("doc_id"), F.col("width"), F.col("height"))
+    }),
+
+
+    // ---- skew mitigation (identical results, hot-key-proof plans) ----
+    // GENUINE skew, not a balanced fixture: ~80% of events collapse
+    // onto one hot key (every user_id not divisible by 5 becomes
+    // user 1) — the celebrity-key distribution the salted plans
+    // exist for. The derivation is pure arithmetic, so the oracle
+    // replays it and checks result-identity with the PLAIN agg/join;
+    // SkewSpec separately pins that the salted partial stage bounds
+    // the hottest reducer group to ~1/SALT_BUCKETS of the hot key.
+    "x_skew_agg" -> ((s, dir) =>
+      Skew.saltedAgg(
+        Tables.scan(s, dir, "events").withColumn("skew_user", skewKey),
+        "skew_user", F.col("event_id"), "value", SALT_BUCKETS)),
+
+
+    // hot-keyed click events ⋈ customer dim with the dim replicated
+    // per salt bucket — the hot user's clicks spread over
+    // SALT_BUCKETS reducers instead of stalling one task
+    "x_skew_join" -> ((s, dir) => {
+      val clicks = Tables.scan(s, dir, "events")
+        .filter(F.col("event_type") === "click")
+        .select(F.col("event_id"), skewKey.as("user_id"), F.col("value"))
+      val dim = Tables.scan(s, dir, "customer")
+        .select(F.col("c_custkey").as("user_id"), F.col("c_name"))
+      Joins.saltedJoin(clicks, dim, Seq("user_id"), SALT_BUCKETS,
+          saltFrom = F.col("event_id"))
+        .select("event_id", "user_id", "c_name", "value")
+    }),
+
+
+    // ---- physical layout (scale path) ----
+    // date-partitioned materialization + partition-pruned read-back:
+    // only the 7/30 event_date directories inside the queried week
+    // are listed into the scan (PartitionFilters, pinned by
+    // PlanShapeSpec); the aggregation runs on the pruned subset only
+    "x_partition_prune" -> ((s, dir) => {
+      val out = layoutDir(dir, "events_by_date")
+      Layout.writeDatePartitioned(Tables.scan(s, dir, "events"), "ts", out)
+      Layout.readDateRange(s, out, PRUNE_FROM, PRUNE_TO)
+        .groupBy("event_date", "event_type")
+        .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sum_value"))
+    }),
+
+
+    // Z-order clustered materialization + 2-D pruned read-back: the
+    // Morton layout bounds every file's (user_id, day_idx) rectangle,
+    // so parquet min/max footer stats skip files for predicates on
+    // EITHER dimension — the property single-key clustering gives only
+    // one of (LayoutSpec pins the per-file span bounds). The graded
+    // read applies both band predicates and aggregates the rectangle;
+    // sums in DECIMAL so values are accumulation-order-exact
+    "x_zorder_prune" -> ((s, dir) => {
+      val out = layoutDir(dir, "events_zorder")
+      Layout.writeZOrdered(
+        Tables.scan(s, dir, "events").withColumn("day_idx",
+          F.datediff(F.to_date(F.col("ts")),
+            F.lit("2024-01-01").cast("date"))),
+        "user_id", "day_idx", 16, out, bits = ZORDER_BITS)
+      s.read.parquet(out)
+        .filter(F.col("user_id").between(ZORDER_USER_LO, ZORDER_USER_HI)
+          && F.col("day_idx").between(ZORDER_DAY_LO, ZORDER_DAY_HI))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double").as("sum_value"))
+    }),
+
+
+    // co-located (bucketed) join: both sides materialized bucketed +
+    // sorted on the join key with the same bucket count, so the
+    // sort-merge join runs WITHOUT a shuffle on either side — at
+    // 100 TB this is the layout that turns every repeated fact↔fact
+    // join on the declared key into a local merge (PlanShapeSpec pins
+    // the no-Exchange-under-the-join property for this exact query);
+    // spend accumulates in DECIMAL so values are order-exact
+    "x_bucketed_join" -> ((s, dir) => {
+      Tables.writeBucketed(
+        Tables.scan(s, dir, "orders").select("o_custkey", "o_totalprice"),
+        "graft_bkt_orders", "o_custkey", 8)
+      Tables.writeBucketed(
+        Tables.scan(s, dir, "customer")
+          .select(F.col("c_custkey").as("o_custkey"), F.col("c_mktsegment")),
+        "graft_bkt_customer", "o_custkey", 8)
+      s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_customer"), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).as("n_orders"),
+          F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double").as("total_spend"))
+    }),
+
+
+    // bloom file index: the layout is clustered on user_id, so every
+    // file's event_id min/max spans the whole id range and footer
+    // stats can never skip a file for an EVENT point lookup — the
+    // per-file Bloom side index can (1 + fpp·files listed; false
+    // negatives impossible, both pinned in LayoutSpec)
+    "x_bloom_prune" -> ((s, dir) => {
+      val out = layoutDir(dir, "events_bloomidx")
+      Layout.writeRangeClustered(Tables.scan(s, dir, "events"),
+        "user_id", BLOOM_IDX_FILES, s"$out/data")
+      Layout.writeBloomIndex(s, s"$out/data", "event_id", s"$out/idx",
+        expectedPerFile = 100000L, fpp = BLOOM_IDX_FPP)
+      Layout.readBloomIndexed(s, s"$out/data", s"$out/idx",
+          "event_id", BLOOM_IDX_EVENT)
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
+
+    // image near-dup dedup: real PNG decode → 64-bit average-hash →
+    // banded equi-join candidates → exact Hamming gate. The graded
+    // corpus plants duplicate groups via seeded pixel content
+    // (doc_id % 13), so the oracle predicts the pairs from key
+    // arithmetic without seeing any bytes
+    "x_multimodal_phash" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = Tables.scan(s, dir, "documents")
+        .filter(F.col("doc_id") < MM_PHASH_DOCS)
+        .select(F.col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id,
+          Multimodal.syntheticPngSeeded(16, 16, (id % MM_PHASH_SEEDS).toInt))))
+        .toDF("doc_id", "payload")
+      Multimodal.phashPairs(
+        Multimodal.perceptualHash(s, imgs, "doc_id").toDF(),
+        "doc_id", "phash", MM_PHASH_MAXDIST)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // the oracle joins the raw tables — the bucketed layout is a
+    // physical re-materialization, not a transformation
+    "x_bucketed_join" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment"),
+
+    // the oracle aggregates the PARQUET table; the Spark side
+    // aggregates the JSONL round-trip of it — equality proves the
+    // sink+source pair is lossless (sums cast: DuckDB sum(BIGINT)
+    // widens to HUGEINT)
+    "x_source_jsonl" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars " +
+        "FROM documents GROUP BY 1"),
+
+    // same oracle as the JSONL twin — every interchange format must
+    // reproduce the parquet original exactly
+    "x_source_gzip" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars " +
+        "FROM documents GROUP BY 1"),
+
+    "x_source_avro" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars " +
+        "FROM documents GROUP BY 1"),
+
+    "x_source_csv" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars " +
+        "FROM documents GROUP BY 1"),
+
+    "x_source_orc" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_text_chars " +
+        "FROM documents GROUP BY 1"),
+
+    "x_compaction" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY 1"),
+
+    // replays the batch split: rows/chars over ALL docs (lossless
+    // across the schema seam), the evolved-column count/sum over
+    // batch 2 only (batch-1 rows must read as NULL, so they fall
+    // out of count(col) exactly like the CASE here)
+    "x_source_evolved" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS n_evolved, " +
+        "CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN " +
+        "len(string_split_regex(lower(text), '\\s+')) END) AS BIGINT) AS sum_toks " +
+        "FROM documents GROUP BY 1"),
+
+    "x_multimodal_meta" ->
+      ("SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum, " +
+        // coalesce mirrors the Spark side's NULL-text → empty-payload guard
+        "CAST(64 + CAST('0x' || substr(md5(coalesce(text, '')), 1, 4) AS BIGINT) % 960 AS INTEGER) AS width, " +
+        "CAST(64 + CAST('0x' || substr(md5(coalesce(text, '')), 5, 4) AS BIGINT) % 960 AS INTEGER) AS height " +
+        "FROM documents"),
+
+    // replays the md5-derived stub feature math (4 hex chars per
+    // dim → [-1,1) on an exact 1e-3 grid); dim cast to INTEGER to
+    // match Spark's int
+    "x_multimodal_features" ->
+      ("WITH h AS (SELECT doc_id, md5(text) AS hex FROM documents) " +
+        "SELECT doc_id, CAST(d AS INTEGER) AS dim, " +
+        "(CAST('0x' || substr(hex, CAST(4*d+1 AS BIGINT), 4) AS BIGINT) % 2000 - 1000) / 1000.0 AS feat " +
+        s"FROM h, unnest(range(0, $MM_FEAT_DIMS)) AS u(d)"),
+
+    // VARCHAR slicing here equals the Spark side's byte slicing
+    // because the fixture text is pure ASCII (octet_length = length
+    // on every row at every SF — asserted in ExtensionsSpec); empty
+    // payloads still emit one zero-length frame on both sides
+    "x_multimodal_frames" ->
+      ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents) " +
+        "SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, " +
+        s"CAST(least($MM_FRAME_BYTES, n - f*$MM_FRAME_BYTES) AS INTEGER) AS frame_len, " +
+        s"md5(substring(text, CAST(f*$MM_FRAME_BYTES+1 AS BIGINT), $MM_FRAME_BYTES)) AS frame_md5 " +
+        "FROM d, unnest(range(0, greatest(1, " +
+        s"CAST(ceil(n/$MM_FRAME_BYTES.0) AS BIGINT)))) AS u(f)"),
+
+    // real-PNG rows (doc_id % 5 = 0): true pixel dims are pure
+    // functions of doc_id — the oracle predicts them WITHOUT seeing
+    // the payload, so only a genuine ImageIO parse matches; opaque
+    // rows replay the md5 stub math
+    "x_multimodal_decode" ->
+      (s"SELECT doc_id, CAST(8 + doc_id % 7 AS INTEGER) AS width, " +
+        "CAST(5 + doc_id % 11 AS INTEGER) AS height " +
+        s"FROM documents WHERE doc_id < $MM_DECODE_DOCS AND doc_id % 5 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id, " +
+        // coalesce mirrors the Spark side's NULL-text → empty-payload guard
+        "CAST(64 + CAST('0x' || substr(md5(coalesce(text, '')), 1, 4) AS BIGINT) % 960 AS INTEGER) AS width, " +
+        "CAST(64 + CAST('0x' || substr(md5(coalesce(text, '')), 5, 4) AS BIGINT) % 960 AS INTEGER) AS height " +
+        s"FROM documents WHERE doc_id < $MM_DECODE_DOCS AND doc_id % 5 <> 0"),
+
+    // the skew twins' oracles are the PLAIN aggregation/join — the
+    // salted plans must be result-identical to the unsalted ones
+    "x_skew_agg" ->
+      (s"SELECT $skewKeySql AS skew_user, count(*) AS n_rows, " +
+        "sum(value) AS sum_value, " +
+        "min(value) AS min_value, max(value) AS max_value " +
+        "FROM events GROUP BY 1"),
+
+    "x_skew_join" ->
+      (s"WITH e AS (SELECT event_id, $skewKeySql AS user_id, value " +
+        "FROM events WHERE event_type = 'click') " +
+        "SELECT e.event_id, e.user_id, c.c_name, e.value FROM e " +
+        "JOIN customer c ON c.c_custkey = e.user_id"),
+
+    // the oracle aggregates the raw events under the same date
+    // restriction the pruned layout read applies
+    "x_partition_prune" ->
+      ("SELECT CAST(ts AS DATE) AS event_date, event_type, " +
+        "count(*) AS n, sum(value) AS sum_value FROM events " +
+        s"WHERE CAST(ts AS DATE) BETWEEN DATE '$PRUNE_FROM' AND DATE '$PRUNE_TO' " +
+        "GROUP BY 1, 2"),
+
+    // the oracle aggregates the raw events under the same 2-D
+    // rectangle predicate the z-ordered layout read applies
+    // (day_idx d = date 2024-01-01 + d days)
+    "x_zorder_prune" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+        "FROM events " +
+        s"WHERE user_id BETWEEN $ZORDER_USER_LO AND $ZORDER_USER_HI " +
+        s"AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' + $ZORDER_DAY_LO " +
+        s"AND DATE '2024-01-01' + $ZORDER_DAY_HI " +
+        "GROUP BY 1"),
+
+    // the bloom-indexed layout is a physical re-materialization —
+    // the oracle filters the raw table
+    "x_bloom_prune" ->
+      ("SELECT event_id, user_id, event_type, value " +
+        s"FROM events WHERE event_id = $BLOOM_IDX_EVENT"),
+
+    // same seed ⇒ byte-identical PNG ⇒ identical aHash ⇒ dist 0;
+    // different seeds sit ~32 bits apart, far above the gate — the
+    // pair set is pure doc_id arithmetic
+    "x_multimodal_phash" ->
+      (s"WITH d AS (SELECT doc_id FROM documents WHERE doc_id < $MM_PHASH_DOCS) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS BIGINT) AS dist " +
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id " +
+        s"AND a.doc_id % $MM_PHASH_SEEDS = b.doc_id % $MM_PHASH_SEEDS")
+  )
+}
