@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 import graft.functions.Text
-import graft.operators.{Curation, Dedup, Joins, Layout, Multimodal, Similarity, Skew, Temporal}
+import graft.operators.{Curation, Dedup, Joins, Layout, Multimodal, SignatureStore, Similarity, Skew, Temporal}
 import graft.sources.Tables
 import graft.streaming.EventWindows
 
@@ -117,6 +117,34 @@ private[graft] object ExtDedup {
           "doc_id", "text", k = MINHASH_K, bands = NGRAM_BANDS,
           threshold = 0.5, terms = Text.distinctShingles(_, 3))
         .select("doc_id", "lang", "source")
+    }),
+
+    // materialized signature store, two-batch sequence: gen=0 holds
+    // the mod-3=1 corpus's banded signatures; batch 1 (mod-3=2) is
+    // deduped against the STORE and its survivors' signatures are
+    // appended as gen=1; batch 2 (mod-3=0) is then deduped against
+    // corpus + surviving batch-1 rows with every signature read from
+    // parquet — corpus text is tokenized exactly once, at init
+    // (SignatureStoreSpec proves ingest runs with the corpus file
+    // deleted). Same shingles/threshold as x_neardup_incremental so
+    // the fixture's near-dup groups cross the splits.
+    "x_neardup_store" -> ((s, dir) => {
+      val root = layoutDir(dir, "sigstore")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+      val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
+      SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 1),
+        "doc_id", "text", root, MINHASH_K, NGRAM_BANDS, shingles3)
+      val kept1 = SignatureStore.ingest(s, root,
+        docs.filter(F.col("doc_id") % 3 === 2),
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
+      val kept2 = SignatureStore.ingest(s, root,
+        docs.filter(F.col("doc_id") % 3 === 0),
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
+      kept1.select(F.col("doc_id"), F.lit(1L).as("batch"),
+          F.col("lang"), F.col("source"))
+        .unionByName(kept2.select(F.col("doc_id"), F.lit(2L).as("batch"),
+          F.col("lang"), F.col("source")))
     }),
 
 
@@ -294,6 +322,43 @@ private[graft] object ExtDedup {
         s"WHERE doc_id % $INCR_MOD = 0 " +
         "AND doc_id NOT IN (SELECT doc_id FROM dropin) " +
         "AND doc_id NOT IN (SELECT doc_id FROM dropx)"),
+
+    // two-batch store sequence: the store after ingest 1 is corpus
+    // signatures + SURVIVING batch-1 signatures — the second stage's
+    // cross probe runs against exactly that union, replaying the
+    // parquet generations the Spark side reads
+    "x_neardup_store" ->
+      (s"WITH ${shingleToksCte(3)}, " +
+        s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
+        s"bands AS (${bandRowsSql(NGRAM_BANDS)}), " +
+        "b0 AS (SELECT * FROM bands WHERE doc_id % 3 = 1), " +
+        "b1 AS (SELECT * FROM bands WHERE doc_id % 3 = 2), " +
+        "b2 AS (SELECT * FROM bands WHERE doc_id % 3 = 0), " +
+        "drop1in AS (SELECT DISTINCT r.doc_id FROM b1 l JOIN b1 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+        "drop1x AS (SELECT DISTINCT l.doc_id FROM b1 l JOIN b0 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"WHERE $estSql >= 0.5), " +
+        "kept1 AS (SELECT DISTINCT doc_id FROM b1 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drop1in) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drop1x)), " +
+        "store2 AS (SELECT * FROM b0 UNION ALL " +
+        "SELECT * FROM b1 WHERE doc_id IN (SELECT doc_id FROM kept1)), " +
+        "drop2in AS (SELECT DISTINCT r.doc_id FROM b2 l JOIN b2 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+        "drop2x AS (SELECT DISTINCT l.doc_id FROM b2 l JOIN store2 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"WHERE $estSql >= 0.5), " +
+        "kept2 AS (SELECT DISTINCT doc_id FROM b2 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drop2in) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drop2x)) " +
+        "SELECT d.doc_id, CAST(1 AS BIGINT) AS batch, d.lang, d.source " +
+        "FROM documents d JOIN kept1 k ON d.doc_id = k.doc_id " +
+        "UNION ALL " +
+        "SELECT d.doc_id, CAST(2 AS BIGINT) AS batch, d.lang, d.source " +
+        "FROM documents d JOIN kept2 k ON d.doc_id = k.doc_id"),
 
     "x_dedup_jaccard" -> jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8),
 

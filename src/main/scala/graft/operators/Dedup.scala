@@ -94,21 +94,43 @@ object Dedup {
                            k: Int = 16, bands: Int = 4,
                            threshold: Double = 0.7,
                            terms: Column => Column = Text.distinctTokens(_)): DataFrame = {
-    val bandedB = bandSignatures(
-      minhashSignatures(incoming, idCol, textCol, k, terms), idCol, k, bands)
-    val bandedC = bandSignatures(
-      minhashSignatures(corpus, idCol, textCol, k, terms), idCol, k, bands)
-    val inBatchDrop = bandCandidates(bandedB, idCol, k, threshold)
+    val bandedB = bandedSignatures(incoming, idCol, textCol, k, bands, terms)
+    val bandedC = bandedSignatures(corpus, idCol, textCol, k, bands, terms)
+    incoming.join(incrementalDrops(bandedC, bandedB, idCol, k, threshold),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Banded MinHash signature frame — one row per (id, band) carrying
+    * the flat mh0..mh{k-1} columns plus (band_idx, band_hash). The
+    * persistable representation of a document for near-dup purposes:
+    * [[graft.operators.SignatureStore]] materializes exactly this
+    * frame, so a standing pipeline never re-tokenizes its corpus. */
+  def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, bands: Int,
+                       terms: Column => Column): DataFrame =
+    bandSignatures(minhashSignatures(df, idCol, textCol, k, terms),
+      idCol, k, bands)
+
+  /** The ids of `bandedBatch` rows dropped by incremental near-dedup:
+    * dominated by a lower-id batch row (in-batch greedy keep-lowest)
+    * or banding with ANY corpus signature at ≥ threshold. Both inputs
+    * are banded signature frames ([[bandedSignatures]] shape) — the
+    * corpus side can come straight from a materialized store, so this
+    * core never needs corpus text. Output is one `idCol` column,
+    * distinct, bounded by the batch size. */
+  def incrementalDrops(bandedCorpus: DataFrame, bandedBatch: DataFrame,
+                       idCol: String, k: Int,
+                       threshold: Double): DataFrame = {
+    val inBatchDrop = bandCandidates(bandedBatch, idCol, k, threshold)
       .select(F.col("id_b").as(idCol))
-    val l = bandedB.alias("l")
-    val r = bandedC.alias("r")
+    val l = bandedBatch.alias("l")
+    val r = bandedCorpus.alias("r")
     val crossDrop = l.join(r,
         F.col("l.band_idx") === F.col("r.band_idx") &&
         F.col("l.band_hash") === F.col("r.band_hash"))
       .filter(estJaccard(k) >= threshold)
       .select(F.col(s"l.$idCol").as(idCol))
-    val drops = inBatchDrop.union(crossDrop).distinct()
-    incoming.join(drops, Seq(idCol), "left_anti")
+    inBatchDrop.union(crossDrop).distinct()
   }
 
   /** Universal-hash family for MinHash: h_s(x) = (a_s·x + b_s) mod P

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.Text
+import graft.operators.{Dedup, SignatureStore}
+import graft.sources.Tables
+
+/** The materialized LSH signature store: result-identical to the
+  * recompute path, and physically incapable of touching corpus text
+  * after init. */
+class SignatureStoreSpec extends SparkSpec {
+
+  private val K = 16
+  private val BANDS = 8
+  private val TAU = 0.5
+  private def sh3(c: org.apache.spark.sql.Column) = Text.distinctShingles(c, 3)
+
+  private def tmp(name: String): String =
+    Workspace.dir(s"sigstore_spec_$name")
+
+  test("ingest reads only the store: corpus text deleted after init, result unchanged") {
+    val docs = Tables.scan(spark, sf, "documents")
+    val corpus = docs.filter(F.col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(F.col("doc_id") % 3 === 0)
+    // the recompute path's answer, materialized BEFORE the corpus
+    // disappears
+    val expected = Dedup
+      .incrementalNearDedup(corpus, batch, "doc_id", "text", K, BANDS, TAU, sh3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // re-home the corpus in a scratch parquet file, init the store
+    // from it, then DELETE the file — any plan that still wants
+    // corpus text now throws FileNotFound
+    val corpusPath = tmp("corpus")
+    corpus.write.mode("overwrite").parquet(corpusPath)
+    val doomed = spark.read.parquet(corpusPath)
+    val root = tmp("store")
+    ExtShared.deleteRec(new java.io.File(root))
+    SignatureStore.init(doomed, "doc_id", "text", root, K, BANDS, sh3)
+    ExtShared.deleteRec(new java.io.File(corpusPath))
+
+    val got = SignatureStore
+      .ingest(spark, root, batch, "doc_id", "text", K, BANDS, TAU, sh3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("two-batch store sequence is result-identical to full recompute") {
+    val docs = Tables.scan(spark, sf, "documents")
+    val c = docs.filter(F.col("doc_id") % 3 === 1)
+    val b1 = docs.filter(F.col("doc_id") % 3 === 2)
+    val b2 = docs.filter(F.col("doc_id") % 3 === 0)
+
+    val root = tmp("twobatch")
+    ExtShared.deleteRec(new java.io.File(root))
+    SignatureStore.init(c, "doc_id", "text", root, K, BANDS, sh3)
+    val kept1 = SignatureStore
+      .ingest(spark, root, b1, "doc_id", "text", K, BANDS, TAU, sh3)
+    val got1 = kept1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val got2 = SignatureStore
+      .ingest(spark, root, b2, "doc_id", "text", K, BANDS, TAU, sh3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // recompute path: batch 1 vs corpus, then batch 2 vs the union of
+    // corpus and batch-1 SURVIVORS
+    val want1df = Dedup
+      .incrementalNearDedup(c, b1, "doc_id", "text", K, BANDS, TAU, sh3)
+    val want1 = want1df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want2 = Dedup
+      .incrementalNearDedup(c.unionByName(want1df), b2,
+        "doc_id", "text", K, BANDS, TAU, sh3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got1 == want1)
+    assert(got2 == want2)
+    // and at least one batch actually dropped rows — the fixture's
+    // near-dup groups must cross the mod-3 splits for the sequence to
+    // grade anything
+    val nb1 = b1.count(); val nb2 = b2.count()
+    assert(got1.size + got2.size < nb1 + nb2,
+      s"no drops: kept ${got1.size}+${got2.size} of ${nb1}+${nb2}")
+  }
+
+  test("generation layout: one directory per ingest, provenance column prunes") {
+    val docs = Tables.scan(spark, sf, "documents")
+    val root = tmp("gens")
+    ExtShared.deleteRec(new java.io.File(root))
+    SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 1),
+      "doc_id", "text", root, K, BANDS, sh3)
+    assert(SignatureStore.latestGeneration(spark, root) == 0)
+    SignatureStore.ingest(spark, root, docs.filter(F.col("doc_id") % 3 === 2),
+      "doc_id", "text", K, BANDS, TAU, sh3).count()
+    assert(SignatureStore.latestGeneration(spark, root) == 1)
+    // the gen partition column replays the store as of any ingest
+    val byGen = spark.read.parquet(root)
+      .groupBy("gen").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byGen.keySet == Set(0, 1))
+    // banded store: BANDS rows per admitted document
+    val nCorpus = docs.filter(F.col("doc_id") % 3 === 1).count()
+    assert(byGen(0) == nCorpus * BANDS)
+    assert(byGen(1) % BANDS == 0)
+  }
+}
