@@ -159,6 +159,10 @@ private[graft] object ExtShared {
   private[graft] val BLOOM_IDX_EVENT = 123L
   private[graft] val BLOOM_IDX_FILES = 16
   private[graft] val BIN_COUNT = 10 // equi-depth bins (deciles)
+  // BPE training: merge rounds emitted by x_bpe_train — enough to
+  // grow multi-char subwords from the fixture vocabulary while the
+  // oracle stays a readable 12-round CTE chain
+  private[graft] val BPE_MERGES = 12
 
   private[graft] val stopSql = Text.stopwords.map { case (l, ws) =>
     l -> ws.mkString("['", "', '", "']")

@@ -158,6 +158,15 @@ private[graft] object ExtText {
       Curation.sourceDivergence(Tables.scan(s, dir, "documents"),
         "source", "text")),
 
+    // distributed BPE tokenizer training: 12 most-frequent-pair merge
+    // rounds over the distinct-word table (corpus scanned once), plus
+    // the final subword vocabulary. Deterministic tie-breaks (count
+    // desc, pair asc) and string-replace merge semantics let DuckDB
+    // replay the rounds as 12 chained CTEs — see operators/Bpe.scala
+    "x_bpe_train" -> ((s, dir) =>
+      graft.operators.Bpe.trainReport(
+        Tables.scan(s, dir, "documents"), "text", BPE_MERGES)),
+
 
     // mergeable-sketch cardinality rollup: per-source HLL sketches of
     // the token stream, estimated per source AND hll_union'd into a
@@ -199,7 +208,45 @@ private[graft] object ExtText {
     })
   )
 
+  /** N chained BPE merge-round CTEs mirroring [[graft.operators.Bpe]]
+    * exactly: same double-space symbol encoding, same greedy
+    * left-to-right `replace` merge, same (count desc, pair asc)
+    * tie-break. Round i picks its pair from w{i-1} and rewrites it
+    * into w{i}; the final SELECT unions the merge rows with the
+    * end-state vocabulary. */
+  private def bpeSql(n: Int): String = {
+    val base = "w0 AS MATERIALIZED (SELECT ' ' || " +
+      "trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS symstr, " +
+      "freq FROM (SELECT tok AS w, count(*) AS freq FROM " +
+      "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+      "FROM documents) WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok))"
+    // every w/m CTE is MATERIALIZED: DuckDB inlines CTEs by default,
+    // and each w{i} is referenced twice (p{i+1} and w{i+1}) — inlined,
+    // the 12-round chain expands 2^12 copies of w0 and never finishes
+    val rounds = (1 to n).map { i =>
+      s"p$i AS (SELECT u.pr[1] AS l, u.pr[2] AS r, " +
+        "CAST(sum(u.freq) AS BIGINT) AS cnt FROM (" +
+        "SELECT unnest(list_zip(syms[:len(syms)-1], syms[2:])) AS pr, freq " +
+        s"FROM (SELECT string_split(trim(symstr), '  ') AS syms, freq " +
+        s"FROM w${i - 1}) t) u GROUP BY 1, 2), " +
+        s"m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i " +
+        "ORDER BY cnt DESC, l, r LIMIT 1), " +
+        s"w$i AS MATERIALIZED (SELECT replace(symstr, " +
+        "' ' || l || '  ' || r || ' ', " +
+        s"' ' || l || r || ' ') AS symstr, freq FROM w${i - 1}, m$i)"
+    }.mkString(", ")
+    val mergeRows = (1 to n).map(i =>
+      s"SELECT 'merge' AS kind, CAST($i AS BIGINT) AS seq, l AS a, " +
+        s"r AS b, cnt AS n FROM m$i").mkString(" UNION ALL ")
+    s"WITH $base, $rounds $mergeRows UNION ALL " +
+      "SELECT 'vocab' AS kind, CAST(0 AS BIGINT) AS seq, sym AS a, " +
+      "CAST(NULL AS VARCHAR) AS b, CAST(sum(freq) AS BIGINT) AS n FROM " +
+      s"(SELECT unnest(string_split(trim(symstr), '  ')) AS sym, freq " +
+      s"FROM w$n) GROUP BY sym"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "x_bpe_train" -> bpeSql(BPE_MERGES),
     "x_text_stats" ->
       ("SELECT doc_id, " +
         "len(string_split_regex(lower(text), '\\s+')) AS n_tokens, " +

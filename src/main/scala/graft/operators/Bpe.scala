@@ -1,0 +1,134 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, functions => F}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.functions.Text
+
+/** Distributed BPE tokenizer training — the canonical LLM-data
+  * computation: iterative most-frequent-pair counting and merging
+  * over the corpus.
+  *
+  * Scale design: merges operate on the DISTINCT-WORD frequency table,
+  * never the corpus. The corpus is scanned exactly once (tokenize +
+  * count); every merge round then runs over |vocab| rows — bounded by
+  * distinct words (maybe 10^7 at 100 TB), not by corpus size, and
+  * each round is one map-side pair explode + one grouped sum whose
+  * result (distinct adjacent pairs) is small enough that the max-pair
+  * pick ships ONE row to the driver. The driver loop + per-round
+  * `localCheckpoint` pin is the same pattern as
+  * [[Dedup.dupComponents]]: lineage is truncated every round, so
+  * round N's plan never replays rounds 1..N-1.
+  *
+  * Determinism (so any engine can replay the merge sequence):
+  *  - tie-break = pair count DESC, then (left, right) lexicographic
+  *    ASC — no partition-order dependence;
+  *  - pair counts are exact long sums;
+  *  - a word's symbol sequence is a DOUBLE-space-delimited string
+  *    with single leading/trailing spaces (" l  o  w "). Merging pair
+  *    (l, r) is then a plain `replace(symstr, " l  r ", " lr ")`:
+  *    left-to-right non-overlapping replacement IS greedy BPE merge
+  *    order, the double-space separator makes the pattern
+  *    boundary-safe without lookarounds (a match consumes one space
+  *    from each side's separator, leaving the neighbor's boundary
+  *    intact), and `replace` behaves identically in Spark and DuckDB.
+  *
+  * Training is restricted to purely lowercase-alphabetic tokens —
+  * the classic demo alphabet — which keeps the char-split regex
+  * engine-portable (no multi-byte grapheme edge cases between Java
+  * regex and RE2).
+  */
+object Bpe {
+
+  final case class Merge(round: Int, left: String, right: String,
+                         pairCount: Long)
+
+  /** The (symstr, freq) word table the merge loop starts from. */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(F.explode(Text.tokens(F.col(textCol))).as("w"))
+      .filter(F.col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(F.count(F.lit(1)).as("freq"))
+      .select(
+        F.concat(F.lit(" "),
+          F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")),
+          F.lit(" ")).as("symstr"),
+        F.col("freq"))
+
+  /** Adjacent-pair frequency table of a word frame — one grouped sum,
+    * pairs exploded map-side. Words of a single symbol contribute no
+    * pairs (the size guard also keeps `sequence` ascending — Spark's
+    * sequence(0, -1) would yield a DESCENDING range, not an empty
+    * one). */
+  def pairCounts(words: DataFrame): DataFrame =
+    words.select(F.col("freq"),
+        F.split(F.trim(F.col("symstr")), "  ").as("syms"))
+      .filter(F.size(F.col("syms")) >= 2)
+      .select(F.col("freq"), F.explode(F.expr(
+        "transform(sequence(0, size(syms)-2), " +
+          "i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
+      .groupBy(F.col("p.l").as("l"), F.col("p.r").as("r"))
+      .agg(F.sum("freq").as("cnt"))
+
+  /** Run `nMerges` rounds; returns the merge sequence and the final
+    * word frame (symstr rewritten through every merge). Stops early
+    * if the corpus runs out of adjacent pairs. */
+  def train(docs: DataFrame, textCol: String,
+            nMerges: Int): (Seq[Merge], DataFrame) = {
+    var words = wordTable(docs, textCol).localCheckpoint(eager = true)
+    val merges = ArrayBuffer.empty[Merge]
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      val top = pairCounts(words)
+        .orderBy(F.col("cnt").desc, F.col("l").asc, F.col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += Merge(round, l, r, cnt)
+        // previous rounds' checkpoint blocks are reclaimed by the
+        // ContextCleaner once unreferenced (see dupComponents)
+        words = words.select(
+            F.replace(F.col("symstr"),
+              F.lit(s" $l  $r "), F.lit(s" $l$r ")).as("symstr"),
+            F.col("freq"))
+          .localCheckpoint(eager = true)
+        round += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** Per-occurrence symbol frequencies of a word frame — the final
+    * vocabulary report. */
+  def vocab(words: DataFrame): DataFrame =
+    words.select(F.col("freq"),
+        F.explode(F.split(F.trim(F.col("symstr")), "  ")).as("sym"))
+      .groupBy("sym").agg(F.sum("freq").as("n"))
+
+  /** Graded shape: merge rows (kind='merge', seq=round, a=left,
+    * b=right, n=pair count) followed by the final vocabulary
+    * (kind='vocab', seq=0, a=symbol, b=NULL, n=total frequency). */
+  def trainReport(docs: DataFrame, textCol: String,
+                  nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (merges, words) = train(docs, textCol, nMerges)
+    val schema = StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("seq", LongType, nullable = false),
+      StructField("a", StringType, nullable = true),
+      StructField("b", StringType, nullable = true),
+      StructField("n", LongType, nullable = false)))
+    val mergeRows = spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.map(m =>
+        Row("merge", m.round.toLong, m.left, m.right, m.pairCount)), 1),
+      schema)
+    mergeRows.unionByName(vocab(words).select(
+      F.lit("vocab").as("kind"), F.lit(0L).as("seq"),
+      F.col("sym").as("a"), F.lit(null).cast("string").as("b"),
+      F.col("n")))
+  }
+}
