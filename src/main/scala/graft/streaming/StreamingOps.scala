@@ -110,6 +110,88 @@ object StreamingOps {
     spark.read.parquet(s"$outDir/batch_id=*")
   }
 
+  /** Per-query roll-up of the progress stream: input volume, rows the
+    * watermark silently discarded, and the state footprint. */
+  final case class StreamObservation(queryName: String,
+                                     numInputRows: Long,
+                                     numRowsDroppedByWatermark: Long,
+                                     stateRows: Long,
+                                     stateMemoryBytes: Long,
+                                     batches: Long)
+
+  /** Late-data / state observability seam: run `body` (which may
+    * start any number of streaming queries) under a
+    * `StreamingQueryListener` and return its result plus one
+    * [[StreamObservation]] per query name.
+    *
+    * A 100-TB stream without drop accounting loses data silently:
+    * every watermark-bounded operator (windowed aggregation, bounded
+    * dedup, stream-stream joins) discards rows older than the
+    * watermark WITHOUT any trace in the output. The listener surfaces
+    * `numRowsDroppedByWatermark` (summed across batches and stateful
+    * operators), the state row count / memory of the LAST progress
+    * (the standing footprint an operator would alert on), and input
+    * row totals — the numbers a production deployment exports to its
+    * metrics sink from this same listener seam.
+    *
+    * Listener events are posted asynchronously; the seam waits (up to
+    * `drainMillis`) until every query STARTED inside `body` has
+    * posted its termination event, so by return the progress roll-up
+    * is complete — StreamingSpec pins an EXACT planted late-row
+    * count through it. */
+  def observeStreams[T](spark: SparkSession, drainMillis: Long = 30000)
+                       (body: => T): (T, Map[String, StreamObservation]) = {
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryProgress
+    val started = new ConcurrentLinkedQueue[java.util.UUID]()
+    val ended = new ConcurrentLinkedQueue[java.util.UUID]()
+    val progresses = new ConcurrentLinkedQueue[StreamingQueryProgress]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit =
+        started.add(e.id)
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        progresses.add(e.progress)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        ended.add(e.id)
+    }
+    spark.streams.addListener(listener)
+    val result =
+      try {
+        val r = body
+        // drain: every started query must have terminated (events for
+        // a query are posted in order, so termination implies its
+        // progress events are already in)
+        val deadline = System.nanoTime() + drainMillis * 1000000L
+        import scala.jdk.CollectionConverters._
+        while (!ended.asScala.toSet.equals(started.asScala.toSet) &&
+               System.nanoTime() < deadline) Thread.sleep(20)
+        require(ended.asScala.toSet.equals(started.asScala.toSet),
+          "streaming listener events did not drain within the deadline")
+        r
+      } finally spark.streams.removeListener(listener)
+    import scala.jdk.CollectionConverters._
+    val byName = progresses.asScala.toSeq.groupBy(_.name)
+    val obs = byName.map { case (name, ps) =>
+      val ordered = ps.sortBy(_.batchId)
+      val last = ordered.last
+      name -> StreamObservation(
+        queryName = name,
+        numInputRows = ordered.map(_.numInputRows).sum,
+        numRowsDroppedByWatermark = ordered
+          .flatMap(_.stateOperators.toSeq)
+          .map(_.numRowsDroppedByWatermark).sum,
+        stateRows = last.stateOperators.toSeq.map(_.numRowsTotal).sum,
+        stateMemoryBytes =
+          last.stateOperators.toSeq.map(_.memoryUsedBytes).sum,
+        batches = ordered.map(_.batchId).distinct.size.toLong)
+    }
+    (result, obs)
+  }
+
   /** Disk-backed streaming state (the 100-TB configuration): run
     * `body` with the session's state-store provider switched to
     * RocksDB, restoring the prior setting after. The default

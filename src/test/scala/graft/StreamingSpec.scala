@@ -35,6 +35,62 @@ class StreamingSpec extends SparkSpec {
       s"replay appended duplicates: $total rows for ${first.size} docs")
   }
 
+  test("observability: watermark drop accounting reports the exact planted late-row count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_obs").toString
+    // file order IS batch order for the file source (mod-time order),
+    // so each write pins an explicit, increasing mtime
+    def writeBatch(rows: Seq[(Long, String, Long)], mtime: Long): Unit = {
+      val before = new java.io.File(dir).listFiles()
+        .map(_.getName).toSet
+      rows.toDF("doc_id", "fp", "sec")
+        .select($"doc_id", $"fp", F.timestamp_seconds($"sec").as("ingest_ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !before(f.getName))
+        .foreach(_.setLastModified(mtime))
+    }
+    // batch 0: 10 on-time rows (ts 10000..10009s); with the 60s
+    // horizon the watermark after it is 9949s. Batch 1 exists because
+    // late-event filtering uses the PREVIOUS batch's watermark
+    // (Spark's two-version watermark: late-events = previous eviction
+    // value), so drops planted directly in batch 1 would still see
+    // the initial epoch watermark — batch 2 is the first whose late
+    // filter runs at 9949s.
+    writeBatch((0 until 10).map(i => (i.toLong, s"doc$i", 10000L + i)),
+      1000000000000L)
+    writeBatch(Seq((50L, "mid0", 10100L), (51L, "mid1", 10101L)),
+      1000000100000L)
+    // batch 2: 3 LATE rows (ts 9000s < 9949s; fresh fingerprints, so
+    // only the watermark — not dedup — can account for them) + 1
+    // on-time row
+    writeBatch(Seq((100L, "late0", 9000L), (101L, "late1", 9001L),
+      (102L, "late2", 9002L), (200L, "ok0", 10200L)),
+      1000000200000L)
+
+    val schema = spark.read.parquet(dir).schema
+    val (outs, obs) = graft.streaming.StreamingOps.observeStreams(spark) {
+      graft.ScopedShufflePartitions(spark) {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .withWatermark("ingest_ts", "60 seconds")
+          .dropDuplicatesWithinWatermark("fp")
+          .writeStream.outputMode("append")
+          .format("memory").queryName("obs_dedup").start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table("obs_dedup").select("doc_id").as[Long].collect().toSet
+      }
+    }
+    val o = obs("obs_dedup")
+    // the EXACT planted count, and nothing else, was dropped — and
+    // the dropped rows are absent from the output
+    assert(o.numRowsDroppedByWatermark == 3L, o)
+    assert(outs == ((0 until 10).map(_.toLong) ++ Seq(50L, 51L, 200L)).toSet)
+    assert(o.numInputRows == 16L, o)
+    assert(o.stateRows > 0L && o.stateMemoryBytes > 0L, o)
+    assert(o.batches >= 3L, o)
+  }
+
   test("stateful totals are identical under the RocksDB state-store provider") {
     // the 100-TB configuration: streaming state on local disk
     // (RocksDB) instead of executor heap. State storage is an
