@@ -19,6 +19,27 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   * Only aggregates that commute with the two-stage split are exposed
   * (count / sum / min / max) — an avg must be rebuilt as sum/count by
   * the caller, never averaged per bucket.
+  *
+  * ==When AQE suffices, and when salting still wins==
+  * AQE's `OptimizeSkewedJoin` is the zero-code-change alternative for
+  * BATCH JOINS: it splits an oversized shuffle partition into
+  * per-mapper chunks at runtime and duplicates the other side —
+  * SkewSpec pins that it fires (skew=true) and returns identical
+  * results on the same hot-key join. Prefer it there. Manual salting
+  * remains the only fix where AQE cannot re-plan:
+  *  - skewed AGGREGATIONS — OptimizeSkewedJoin only rewrites joins; a
+  *    hot `groupBy` key still lands on one reducer under AQE, which
+  *    is exactly [[saltedAgg]]'s case;
+  *  - STREAMING / stateful joins and aggregations — micro-batch plans
+  *    pin state to a fixed partitioning across batches, so no runtime
+  *    re-split is possible (state row ↔ partition assignment must be
+  *    stable);
+  *  - shuffles fed by FEW MAPPERS — AQE splits by reassembling
+  *    per-mapper output, so a hot key produced by one mapper (one
+  *    giant input file) is unsplittable no matter how skewed;
+  *  - full-sort / deterministic-layout requirements, where the
+  *    runtime re-plan would break a downstream contract on the
+  *    exchange.
   */
 object Skew {
 

@@ -111,10 +111,26 @@ class SkewSpec extends SparkSpec {
       // collect() drives THIS DataFrame's queryExecution, so the
       // AdaptiveSparkPlan below is the finalized one (a write would
       // spawn its own execution and leave this plan un-finalized)
+      // collect() on `joined` ITSELF finalizes its AdaptiveSparkPlan;
+      // a derived select would execute its own plan and leave this
+      // one un-finalized
       joined.collect()
+      val got = canon(joined
+        .select("event_id", "user_id", "c_name", "value").collect())
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"),
         s"AQE did not mark the hot join partition as skewed:\n${plan.take(800)}")
+      // the runtime split is a pure plan transform — same rows as the
+      // plain (and salted) join. Where AQE CANNOT do this (skewed
+      // aggregations, streaming/stateful joins, single-mapper
+      // shuffles), Skew.saltedAgg / Joins.saltedJoin remain the fix —
+      // see the Skew scaladoc for the full decision table.
+      val want = canon(skewed
+        .select(F.col("event_id"), F.col("skew_user").as("user_id"),
+          F.col("value"))
+        .join(dim, Seq("user_id"))
+        .select("event_id", "user_id", "c_name", "value").collect())
+      assert(got == want, "AQE skew split changed the join result")
     } finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
