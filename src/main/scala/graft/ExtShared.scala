@@ -538,18 +538,20 @@ private[graft] object ExtShared {
   /** The unrolled deterministic Lloyd training as a `WITH` prefix
     * ending in `cents(cent_id, cvec)` — shared by the kmeans-ANN and
     * SemDeDup oracles so both replay the Scala trainer exactly. */
-  private[graft] def kmeansCentsSql(kc: Int, iters: Int): String = {
+  private[graft] def kmeansCentsSql(kc: Int, iters: Int,
+                                    trainSrc: String = "embeddings"): String = {
     val init =
-      s"st AS (SELECT greatest(1, count(*) // $kc) AS s FROM embeddings), " +
+      s"tr AS MATERIALIZED (SELECT * FROM $trainSrc), " +
+        s"st AS (SELECT greatest(1, count(*) // $kc) AS s FROM tr), " +
         "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, " +
-        "CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings " +
+        "CAST(embedding AS DOUBLE[]) AS cvec FROM tr " +
         s"WHERE vec_id % (SELECT s FROM st) = 0 ORDER BY vec_id LIMIT $kc), "
     val rounds = (1 to iters).map { i =>
       val prev = s"c${i - 1}"
       s"a$i AS (SELECT e.vec_id, e.embedding, c.cent_id, " +
         "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
         "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, " +
-        s"c.cent_id ASC) AS rn FROM embeddings e CROSS JOIN $prev c), " +
+        s"c.cent_id ASC) AS rn FROM tr e CROSS JOIN $prev c), " +
         // parallel unnests zip: (pos, element) rows, DuckDB's posexplode
         s"x$i AS (SELECT cent_id, unnest(generate_series(1, len(embedding))) AS pos, " +
         s"unnest(CAST(embedding AS DOUBLE[])) AS x FROM a$i WHERE rn = 1), " +
@@ -565,8 +567,9 @@ private[graft] object ExtShared {
   }
 
   private[graft] def annKmeansSql(kc: Int, iters: Int, nprobe: Int, k: Int,
-                           nQueries: Int): String =
-    kmeansCentsSql(kc, iters) + ivfBodySql(nprobe, k, nQueries)
+                           nQueries: Int,
+                           trainSrc: String = "embeddings"): String =
+    kmeansCentsSql(kc, iters, trainSrc) + ivfBodySql(nprobe, k, nQueries)
 
   /** DuckDB twin of [[Similarity.ivfResidualTopK]] over kmeans cells:
     * replays training, the argmax assignment, the residual against

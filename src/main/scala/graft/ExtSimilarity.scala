@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 import graft.functions.Text
-import graft.operators.{Curation, Dedup, Joins, Layout, Multimodal, Similarity, Skew, Temporal}
+import graft.operators.{Curation, Dedup, IvfIndex, Joins, Layout, Multimodal, Similarity, Skew, Temporal}
 import graft.sources.Tables
 import graft.streaming.EventWindows
 
@@ -71,6 +71,22 @@ private[graft] object ExtSimilarity {
         k = ANN_KMEANS_K, iters = ANN_KMEANS_ITERS)
       Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < ANN_N_QUERIES),
         cents, "vec_id", "embedding", k = 10, nprobe = ANN_KMEANS_NPROBE)
+    }),
+
+    // standing IVF index maintenance: centroids trained on the EVEN
+    // half only, the odd half APPENDED by nearest-centroid assignment
+    // (no retrain — O(batch) work), search over the standing
+    // assignment. The oracle trains on the same even subset and then
+    // assigns/probes ALL vectors — bit-identical arithmetic, so index
+    // maintenance is graded, not just spec'd (IvfIndexSpec adds the
+    // recall and conditional-retrain gates).
+    "x_ann_incremental" -> ((s, dir) => {
+      val emb = Tables.scan(s, dir, "embeddings")
+      val idx0 = IvfIndex.build(emb.filter(F.col("vec_id") % 2 === 0),
+        "vec_id", "embedding", ANN_KMEANS_K, ANN_KMEANS_ITERS)
+      val idx = IvfIndex.append(idx0, emb.filter(F.col("vec_id") % 2 =!= 0))
+      IvfIndex.topK(idx, emb.filter(F.col("vec_id") < ANN_N_QUERIES),
+        k = 10, nprobe = ANN_KMEANS_NPROBE)
     }),
 
 
@@ -224,6 +240,13 @@ private[graft] object ExtSimilarity {
 
     "x_ann_kmeans" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
       ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES),
+
+    // same pipeline trained on the even half only — the append path
+    // assigns every vector to those centroids, which is exactly what
+    // ivfBodySql already does
+    "x_ann_incremental" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
+      ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES,
+      "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
 
     "x_ann_residual" -> annResidualSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
       ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES),

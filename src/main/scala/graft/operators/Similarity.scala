@@ -338,7 +338,7 @@ object Similarity {
     * limit), so a corpus-sized query frame fails fast with a clear
     * message instead of silently OOMing the driver at scale.
     * Returns (query_id, q_vec, q_nrm, cell). */
-  private def probeQueryCells(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def probeQueryCells(spark: org.apache.spark.sql.SparkSession,
                               queries: DataFrame,
                               cents: Array[(Long, Seq[Float], Double)],
                               idCol: String, vecCol: String, nprobe: Int,
@@ -617,7 +617,7 @@ object Similarity {
     * literal vectors (precomputed norms) — never a per-row join.
     * Norm arithmetic matches [[norm]]: left-to-right double
     * accumulation over float values. */
-  private def collectCentroids(centroids: DataFrame, idCol: String,
+  private[operators] def collectCentroids(centroids: DataFrame, idCol: String,
                                vecCol: String): Array[(Long, Seq[Float], Double)] =
     centroids
       .select(F.col(idCol).cast("long"), F.col(vecCol))
@@ -721,7 +721,7 @@ object Similarity {
     * same map-side argmax as [[ivfTopK]] (ties to the lower id) —
     * zero exchange at any k (see [[cellOf]] for the two physical
     * strategies). Emits (cell, id, vec, nrm). */
-  private def assignCells(corpus: DataFrame, centroids: DataFrame,
+  private[operators] def assignCells(corpus: DataFrame, centroids: DataFrame,
                           idCol: String, vecCol: String): DataFrame =
     assignCellsWith(corpus, centroids, idCol, vecCol, MaxLiteralCentroids)
 

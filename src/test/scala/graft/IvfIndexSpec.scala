@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+import graft.operators.{IvfIndex, Similarity}
+import graft.sources.Tables
+
+/** Standing IVF index maintenance: append preserves search quality,
+  * the cell-balance audit triggers retraining only when it should,
+  * and a retrain restores both balance and recall. */
+class IvfIndexSpec extends SparkSpec {
+
+  private def emb = Tables.scan(spark, sf, "embeddings")
+  private val K = 10
+  private val ITERS = 3
+  private val NPROBE = 8
+
+  /** recall@10 of `got` against brute force over `corpus`. */
+  private def recallOf(got: DataFrame, corpus: DataFrame,
+                       queries: DataFrame): Double = {
+    val exact = Similarity
+      .bruteForceTopK(corpus, queries, "vec_id", "embedding", 10)
+      .select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = got.select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (exact intersect approx).size.toDouble / exact.size
+  }
+
+  test("append keeps recall@10 >= 0.9 and equals a fresh search over the same centroids") {
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val idx0 = IvfIndex.build(emb.filter(F.col("vec_id") % 2 === 0),
+      "vec_id", "embedding", K, ITERS)
+    val idx = IvfIndex.append(idx0, emb.filter(F.col("vec_id") % 2 =!= 0))
+    val got = IvfIndex.topK(idx, queries, k = 10, nprobe = NPROBE)
+    val r = recallOf(got, emb, queries)
+    info(f"incremental-index recall@10 = $r%.2f (nprobe $NPROBE of $K cells)")
+    assert(r >= 0.9, f"recall@10 $r%.2f after append")
+    // the standing assignment searches identically to re-running
+    // ivfTopK over the same centroids on the full corpus
+    val fresh = Similarity.ivfTopK(emb, queries, idx.centroids,
+        "vec_id", "embedding", k = 10, nprobe = NPROBE)
+      .collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet == fresh)
+  }
+
+  test("balance audit: uniform append stays under the trigger, skewed append fires a retrain that restores balance and recall") {
+    import spark.implicits._
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val idx0 = IvfIndex.build(emb.filter(F.col("vec_id") % 2 === 0),
+      "vec_id", "embedding", K, ITERS)
+    val base = IvfIndex.imbalance(idx0)
+    info(f"post-build imbalance = $base%.2f")
+
+    // the fixture's isotropic odd half spreads across cells — the
+    // audit must NOT fire
+    val (idxU, retrainedU) = IvfIndex.appendAndMaybeRetrain(idx0,
+      emb.filter(F.col("vec_id") % 2 =!= 0), K, ITERS,
+      maxImbalance = base * 2.0 + 1.0)
+    assert(!retrainedU, "uniform append should not trigger a retrain")
+
+    // a DRIFTED batch: 400 near-copies of one existing vector (tiny
+    // deterministic perturbations keep vectors distinct but funnel
+    // every row into that vector's cell)
+    val seed = emb.filter(F.col("vec_id") === 0)
+      .select(F.col("embedding")).collect()(0).getSeq[Float](0)
+    val n = emb.count()
+    val hot = (0 until 400).map { i =>
+      (n + i, seed.zipWithIndex.map { case (x, d) =>
+        x + (if (d == i % seed.size) 1e-4f * ((i % 7) + 1) else 0f) })
+    }.toDF("vec_id", "embedding")
+    val noRetrain = IvfIndex.append(idxU, hot)
+    val (idxS, retrainedS) =
+      IvfIndex.appendAndMaybeRetrain(idxU, hot, K, ITERS, maxImbalance = 2.0)
+    assert(retrainedS, "skewed append must trigger a retrain " +
+      f"(imbalance was ${IvfIndex.imbalance(noRetrain)}%.2f)")
+    // retrain restores balance (the clone cluster becomes its own
+    // cell(s) instead of overloading one) and search quality holds
+    // against brute force over the grown corpus
+    assert(IvfIndex.imbalance(idxS) < IvfIndex.imbalance(noRetrain),
+      "retrain did not improve balance")
+    val grown = emb.select("vec_id", "embedding").unionByName(hot
+      .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding")))
+    val r = recallOf(IvfIndex.topK(idxS, queries, k = 10, nprobe = NPROBE),
+      grown, queries)
+    info(f"post-retrain recall@10 = $r%.2f")
+    assert(r >= 0.9, f"recall@10 $r%.2f after retrain")
+  }
+}
