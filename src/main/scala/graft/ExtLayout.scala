@@ -155,6 +155,32 @@ private[graft] object ExtLayout {
           F.sum(F.col("n_chars").cast("long")).as("sum_chars"))
     }),
 
+    // manifest-pointer compaction: the table is three appends of the
+    // documents corpus; compaction rewrites the first two while a
+    // CONCURRENT append (the third split, injected between rewrite
+    // and commit) races it — the optimistic merge must carry the
+    // append forward, and the read goes through the manifest, never a
+    // directory listing. Oracle = the whole corpus: losing the race
+    // (or double-counting a rewritten file) fails the hash.
+    "x_compact_manifest" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_tbl")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      graft.operators.ManifestTable.init(root)
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 3 === 0))
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 3 === 1))
+      graft.operators.ManifestTable.compact(s, root,
+        targetFileBytes = 4L * 1024 * 1024,
+        beforeCommit = () => {
+          graft.operators.ManifestTable.append(s, root,
+            docs.filter(F.col("doc_id") % 3 === 2)); ()
+        })
+      graft.operators.ManifestTable.read(s, root)
+    }),
+
 
     // ---- multimodal plumbing (column twin of the decode stage) ----
     "x_multimodal_meta" -> ((s, dir) =>
@@ -385,6 +411,11 @@ private[graft] object ExtLayout {
       ("SELECT lang, count(*) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY 1"),
+
+    // the manifest table holds exactly the corpus — a lost concurrent
+    // append or a double-counted rewritten file fails the hash
+    "x_compact_manifest" ->
+      "SELECT doc_id, lang, source FROM documents",
 
     // replays the batch split: rows/chars over ALL docs (lossless
     // across the schema seam), the evolved-column count/sum over
