@@ -40,6 +40,19 @@ private[graft] object ExtDedup {
         k = MINHASH_K, bands = MINHASH_BANDS,
         terms = Text.distinctShingles(_, 2))),
 
+    // PageRank over the near-dup graph (the verified-Jaccard pairs of
+    // x_dedup_jaccard, both directions): 5 synchronous rounds of
+    // decimal-summed rank flow — link analysis over duplication
+    // structure, surfacing the documents at the center of re-crawl
+    // clusters. Fixed trip count + 9-dp rounding per round = the
+    // oracle replays training as 5 materialized CTEs.
+    "x_pagerank" -> ((s, dir) =>
+      graft.operators.Retrieval.pageRank(
+        Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8, k = MINHASH_K,
+          bands = MINHASH_BANDS, terms = Text.distinctShingles(_, 2)),
+        PR_ITERS, PR_DAMPING)),
+
 
     // duplication PROVENANCE: the near-dup pairs rolled up to a
     // (source_a, source_b) matrix — which feeds are re-crawling whom.
@@ -361,6 +374,27 @@ private[graft] object ExtDedup {
         "FROM documents d JOIN kept2 k ON d.doc_id = k.doc_id"),
 
     "x_dedup_jaccard" -> jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8),
+
+    "x_pagerank" -> {
+      val rounds = (1 to PR_ITERS).map { i =>
+        s"r$i AS MATERIALIZED (SELECT e.dst AS id, " +
+          s"round((1.0 - $PR_DAMPING) / nn.n + $PR_DAMPING * " +
+          "CAST(sum(CAST(round(r.rank / CAST(deg.deg AS DOUBLE), 9) " +
+          "AS DECIMAL(28,9))) AS DOUBLE), 9) AS rank " +
+          s"FROM e JOIN deg ON e.src = deg.src " +
+          s"JOIN r${i - 1} r ON r.id = e.src, nn " +
+          "GROUP BY e.dst, nn.n)"
+      }.mkString(", ")
+      "WITH prs AS MATERIALIZED (" +
+        jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + "), " +
+        "e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs " +
+        "UNION ALL SELECT id_b, id_a FROM prs), " +
+        "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM deg), " +
+        "r0 AS MATERIALIZED (SELECT src AS id, round(1.0 / n, 9) AS rank " +
+        "FROM deg, nn), " +
+        rounds + s" SELECT id, rank FROM r$PR_ITERS"
+    },
 
     // the same pair set as x_dedup_jaccard, rolled up to sources
     "x_dup_matrix" ->

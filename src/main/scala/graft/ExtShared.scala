@@ -163,6 +163,20 @@ private[graft] object ExtShared {
   // grow multi-char subwords from the fixture vocabulary while the
   // oracle stays a readable 12-round CTE chain
   private[graft] val BPE_MERGES = 12
+  // BM25: a fixed 3-term query over the fixture vocabulary (all
+  // present at every SF); standard Robertson parameters
+  private[graft] val BM25_TERMS = Seq("join", "scan", "filter")
+  private[graft] val BM25_K1 = 1.2
+  private[graft] val BM25_B = 0.75
+  // inverted index: postings materialize only for tokens whose df is
+  // ≤ 80% of the corpus (a RELATIVE cap — the fixture's df fractions
+  // are SF-stable, so both the postings and the capped branch grade
+  // at every scale)
+  private[graft] val INVIDX_DFCAP_PCT = 80L
+  // PageRank over the near-dup pair graph: fixed-trip synchronous
+  // rounds, standard damping
+  private[graft] val PR_ITERS = 5
+  private[graft] val PR_DAMPING = 0.85
 
   private[graft] val stopSql = Text.stopwords.map { case (l, ws) =>
     l -> ws.mkString("['", "', '", "']")

@@ -158,6 +158,25 @@ private[graft] object ExtText {
       Curation.sourceDivergence(Tables.scan(s, dir, "documents"),
         "source", "text")),
 
+    // BM25 scoring for a fixed query-term set: one corpus scan (a
+    // single explode feeds doc length + every term's tf in one
+    // grouped pass), stats broadcast back, per-term contributions
+    // 6-dp-rounded and decimal-summed — bit-stable scores
+    "x_bm25" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", BM25_TERMS, BM25_K1, BM25_B)),
+
+    // inverted index with a RELATIVE df cap: rare-enough tokens carry
+    // their full ascending posting list (comma-joined — portable
+    // collation); head terms emit NULL postings + df only, the skew
+    // guard a consumer's bloom/bitmap path takes over from
+    "x_inverted_index" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      val cap = docs.count() * INVIDX_DFCAP_PCT / 100L
+      graft.operators.Retrieval.invertedIndex(docs, "doc_id", "text",
+        cap.toInt)
+    }),
+
     // distributed BPE tokenizer training: 12 most-frequent-pair merge
     // rounds over the distinct-word table (corpus scanned once), plus
     // the final subword vocabulary. Deterministic tie-breaks (count
@@ -245,8 +264,51 @@ private[graft] object ExtText {
       s"FROM w$n) GROUP BY sym"
   }
 
+  /** BM25 oracle mirroring [[graft.operators.Retrieval.bm25]] term by
+    * term: every Scala-computed double constant (k1+1, 1−b) is
+    * inlined at full round-trip precision, association order matches
+    * the Column expression exactly, and the per-term 6-dp rounding +
+    * decimal sum replays bit-for-bit. */
+  private def bm25Sql(terms: Seq[String], k1: Double, b: Double): String = {
+    val k1p1 = (k1 + 1.0).toString
+    val oneMinusB = (1.0 - b).toString
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf$i"
+    }.mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    def term(i: Int) =
+      s"CAST(CASE WHEN tf$i > 0 THEN round(" +
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * " +
+        s"CAST(tf$i AS DOUBLE) * $k1p1 / " +
+        s"(CAST(tf$i AS DOUBLE) + $k1 * ($oneMinusB + " +
+        s"$b * CAST(dl AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)))), 6) " +
+        s"ELSE 0.0 END AS DECIMAL(18,6))"
+    val hits = terms.indices
+      .map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    "WITH t AS (SELECT doc_id, " +
+      "unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents), " +
+      s"g AS (SELECT doc_id, count(*) AS dl, $tfs FROM t GROUP BY doc_id), " +
+      s"st AS (SELECT count(*) AS n, sum(dl) AS sl, $dfs FROM g) " +
+      s"SELECT doc_id, dl, CAST($hits AS BIGINT) AS n_terms_hit, " +
+      s"CAST(${terms.indices.map(term).mkString(" + ")} AS DOUBLE) AS score " +
+      s"FROM g, st WHERE $hits > 0"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "x_bpe_train" -> bpeSql(BPE_MERGES),
+
+    "x_bm25" -> bm25Sql(BM25_TERMS, BM25_K1, BM25_B),
+
+    // distinct tokens per doc; the relative df cap uses integer
+    // division on both engines (Scala Long /, DuckDB //)
+    "x_inverted_index" ->
+      (s"WITH t AS ($toksSql) " +
+        "SELECT tok, count(*) AS df, " +
+        s"CASE WHEN count(*) <= (SELECT count(*) * $INVIDX_DFCAP_PCT // 100 " +
+        "FROM documents) THEN " +
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) END AS postings " +
+        "FROM t WHERE tok <> '' GROUP BY tok"),
     "x_text_stats" ->
       ("SELECT doc_id, " +
         "len(string_split_regex(lower(text), '\\s+')) AS n_tokens, " +

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+import graft.functions.Text
+
+/** Retrieval-side operators over the document corpus: BM25 scoring,
+  * inverted-index construction, and PageRank over a document graph —
+  * the search/link-analysis companions to the dedup and curation
+  * stacks.
+  *
+  * Determinism: every floating-point SUM whose merge order Spark does
+  * not fix is replaced by a decimal sum of 6/9-dp-rounded terms (the
+  * x_source_divergence pattern), so scores replay bit-identically in
+  * any engine.
+  */
+object Retrieval {
+
+  /** BM25 scores for a FIXED query-term set, one row per document
+    * matching at least one term: (id, dl, n_terms_hit, score).
+    *
+    * One corpus scan: a single token explode feeds one grouped pass
+    * computing the document length AND each term's tf (a `sum(when)`
+    * branch per query term — queries are small by contract, they are
+    * literals in the plan). Corpus stats (N, total length, per-term
+    * df) aggregate from that grouped frame and broadcast back as a
+    * 1-row cross join — the corpus itself shuffles once, for the
+    * per-document group. Per-term contributions are rounded to 6 dp
+    * and summed as decimals. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
+      "queryTerms must be non-empty and distinct")
+    val toks = docs.select(F.col(idCol),
+      F.explode(Text.tokens(F.col(textCol))).as("tok"))
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      F.sum(F.when(F.col("tok") === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    // pin the grouped frame: it feeds the (one-row) stats aggregate
+    // AND the scoring pass — without the pin the token explode runs
+    // twice. The frame is one narrow row per document.
+    val g = toks.groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("dl"), tfCols: _*)
+      .localCheckpoint(eager = true)
+    val statCols =
+      F.count(F.lit(1)).as("n") +: F.sum("dl").as("sl") +:
+        queryTerms.indices.map(i =>
+          F.sum(F.when(F.col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    // corpus stats are ONE row — inline them as plan literals (the
+    // driver-scalar pattern) instead of a broadcast cross join, which
+    // plans as a nested-loop join the cross-plan lint (rightly) bans.
+    // Arithmetic is unchanged: Math.log here IS Spark's log.
+    val st = g.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val n = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / n.toDouble
+    val dfs = queryTerms.indices.map(i => st.getLong(2 + i))
+    def idf(i: Int): Double =
+      math.log((n - dfs(i) + 0.5) / (dfs(i) + 0.5) + 1.0)
+    def term(i: Int): Column = {
+      val tf = F.col(s"tf$i").cast("double")
+      val lenNorm = F.lit(1.0 - b) +
+        F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+      F.when(F.col(s"tf$i") > 0,
+        F.round(F.lit(idf(i)) * tf * F.lit(k1 + 1.0) /
+          (tf + F.lit(k1) * lenNorm), 6))
+        .otherwise(F.lit(0.0)).cast("decimal(18,6)")
+    }
+    val hits = queryTerms.indices
+      .map(i => F.when(F.col(s"tf$i") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    g
+      .withColumn("n_terms_hit", hits)
+      .filter(F.col("n_terms_hit") > 0)
+      .withColumn("score",
+        queryTerms.indices.map(term).reduce(_ + _).cast("double"))
+      .select(F.col(idCol), F.col("dl"), F.col("n_terms_hit"),
+        F.col("score"))
+  }
+
+  /** Inverted index: one row per distinct token with its document
+    * frequency and — for tokens with df ≤ `dfCap` — the full posting
+    * list as a comma-joined ascending id string. The cap is the scale
+    * guard: head-term posting lists are corpus-sized (a skew and
+    * row-width hazard no consumer should shuffle); hot terms emit a
+    * NULL posting and keep only the df, the same df-cap bound the
+    * substring-dedup index uses. The string form (not an array) is
+    * deliberate: fixed collation, engine-portable compare. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    dfCap: Int): DataFrame =
+    docs.select(F.col(idCol),
+        F.explode(Text.distinctTokens(F.col(textCol))).as("tok"))
+      .filter(F.col("tok") =!= "")
+      .groupBy("tok")
+      .agg(F.count(F.lit(1)).as("df"),
+        F.sort_array(F.collect_list(F.col(idCol))).as("ids"))
+      .select(F.col("tok"), F.col("df"),
+        F.when(F.col("df") <= dfCap,
+          // sort NUMERICALLY first, stringify after — a string sort
+          // would order "10" before "2" and break oracle parity
+          F.array_join(F.transform(F.col("ids"),
+            _.cast("string")), ",")).as("postings"))
+
+  /** PageRank over an UNDIRECTED edge list (id_a, id_b): each edge
+    * contributes in both directions, so every node has out-degree ≥ 1
+    * and the dangling-mass term vanishes. `iters` synchronous rounds
+    * of r' = (1-d)/N + d·Σ_in r/deg.
+    *
+    * Scale shape: ranks live in a (node, rank) frame; each round is
+    * one equi-join onto the edge list + one grouped decimal sum —
+    * both partitioned by node id, no driver traffic at all (the loop
+    * is fixed-trip-count, unlike the convergence loops that collect a
+    * delta). Lineage is pinned per round (localCheckpoint, the
+    * dupComponents pattern). Per-edge contributions are rounded to
+    * 9 dp and decimal-summed; ranks are rounded to 9 dp per round —
+    * bit-stable across partitionings and engines. */
+  def pageRank(edges: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    val dir = edges.select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
+      .unionByName(
+        edges.select(F.col("id_b").as("src"), F.col("id_a").as("dst")))
+      .localCheckpoint(eager = true)
+    val deg = dir.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
+    val n = deg.count()
+    require(n > 0, "pageRank needs at least one edge")
+    val base = (1.0 - damping) / n.toDouble
+    var ranks = deg.select(F.col("src").as("id"),
+      F.round(F.lit(1.0 / n.toDouble), 9).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val contrib = dir
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(F.col("dst"),
+          F.round(F.col("rank") / F.col("deg").cast("double"), 9)
+            .cast("decimal(28,9)").as("c"))
+      ranks = contrib.groupBy(F.col("dst").as("id"))
+        .agg(F.round(F.lit(base) +
+          F.lit(damping) * F.sum("c").cast("double"), 9).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+}

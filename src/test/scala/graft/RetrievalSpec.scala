@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.Text
+import graft.operators.{Dedup, Retrieval}
+import graft.sources.Tables
+
+/** Retrieval-family semantics: BM25 ordering, posting-list caps, and
+  * PageRank conservation/determinism. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: more matched terms outrank fewer at equal length; non-matching docs are absent") {
+    val docs = Seq(
+      (1L, "join scan filter pad pad pad"),
+      (2L, "join pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, "doc_id", "text",
+        Seq("join", "scan", "filter"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms_hit"), r.getAs[Double]("score"))).toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._1 == 3L && out(2L)._1 == 1L)
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("inverted index: rare tokens carry exact ascending postings, head tokens only df") {
+    val docs = Seq(
+      (10L, "alpha beta"), (2L, "alpha beta"), (7L, "alpha"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.invertedIndex(docs, "doc_id", "text", dfCap = 2)
+      .collect().map(r => r.getAs[String]("tok") ->
+        (r.getAs[Long]("df"), r.getAs[String]("postings"))).toMap
+    assert(out("alpha") == ((3L, null))) // over the cap: df only
+    assert(out("beta") == ((2L, "2,10"))) // numeric order, not "10,2"
+  }
+
+  test("pagerank: mass conserved, uniform on a symmetric graph, partition-independent") {
+    // triangle: symmetric → uniform ranks
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val r = Retrieval.pageRank(tri, iters = 5).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size == 3)
+    assert(r.values.toSet.size == 1, s"symmetric graph not uniform: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, s"mass leaked: $r")
+
+    // real near-dup graph: identical ranks across edge partitionings
+    val edges = Dedup.jaccardPairsLsh(Tables.scan(spark, sf, "documents"),
+      "doc_id", "text", threshold = 0.8, k = 16, bands = 4,
+      terms = Text.distinctShingles(_, 2))
+    def run(parts: Int) =
+      Retrieval.pageRank(edges.repartition(parts), iters = 5).collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val (a, b) = (run(1), run(7))
+    assert(a == b, "pagerank is partition-dependent")
+    // star center outranks leaves
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("id_a", "id_b")
+    val sr = Retrieval.pageRank(star, iters = 5).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(sr(0L) > sr(1L), s"star center does not dominate: $sr")
+  }
+}
