@@ -182,6 +182,24 @@ private[graft] object ExtRelational {
     // (event time), not a row count, so irregular event spacing is
     // handled exactly. Ordered on epoch micros (integers) so both
     // engines build identical frames; sums in decimal
+    // trailing ROBUST center: exact interpolated median over the last
+    // 10 purchases per user (rows frame, tie-broken total order) —
+    // the windowed twin of the MAD gate's percentile. O(frame) per
+    // row with a CONSTANT frame width, so it scales linearly; both
+    // engines interpolate at the (n-1)*q rank on identical doubles.
+    "x_rolling_median" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-9, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.scan(s, dir, "events")
+        .filter(F.col("event_type") === "purchase")
+        .select(F.col("event_id"), F.col("user_id"), F.col("ts"),
+          F.col("value"),
+          F.percentile(F.col("value"), F.lit(0.5)).over(w)
+            .as("med_trailing"))
+    }),
+
     "x_window_trailing" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id")
@@ -473,6 +491,12 @@ private[graft] object ExtRelational {
     // epoch-micros ORDER BY gives both engines identical integer
     // frame bounds; RANGE peers (equal timestamps) are included on
     // both sides per the SQL standard
+    "x_rolling_median" ->
+      ("SELECT event_id, user_id, ts, value, " +
+        "quantile_cont(value, 0.5) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) " +
+        "AS med_trailing FROM events WHERE event_type = 'purchase'"),
+
     "x_window_trailing" ->
       ("SELECT event_id, user_id, ts, value, " +
         "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (" +

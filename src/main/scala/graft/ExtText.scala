@@ -177,6 +177,17 @@ private[graft] object ExtText {
         cap.toInt)
     }),
 
+    // the ENCODE half of BPE: train the merge list, then segment
+    // every distinct word through it (12 codegen'd string replaces)
+    // and roll subword counts up per document — the sequence-length
+    // accounting a packing/budgeting stage consumes. The corpus
+    // re-segments nothing: words join their per-word subword count.
+    "x_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", BPE_MERGES)._1
+      graft.operators.Bpe.encodeCounts(docs, "doc_id", "text", merges)
+    }),
+
     // distributed BPE tokenizer training: 12 most-frequent-pair merge
     // rounds over the distinct-word table (corpus scanned once), plus
     // the final subword vocabulary. Deterministic tie-breaks (count
@@ -264,6 +275,47 @@ private[graft] object ExtText {
       s"FROM w$n) GROUP BY sym"
   }
 
+  /** Encode twin: replays the same training rounds, then segments
+    * each DISTINCT word through the merge list (one replace per
+    * round, mirroring [[graft.operators.Bpe.encodeWords]]) and rolls
+    * subword counts up per document. */
+  private def bpeEncodeSql(n: Int): String = {
+    val base = "w0 AS MATERIALIZED (SELECT ' ' || " +
+      "trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS symstr, " +
+      "freq FROM (SELECT tok AS w, count(*) AS freq FROM " +
+      "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+      "FROM documents) WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok))"
+    val rounds = (1 to n).map { i =>
+      s"p$i AS (SELECT u.pr[1] AS l, u.pr[2] AS r, " +
+        "CAST(sum(u.freq) AS BIGINT) AS cnt FROM (" +
+        "SELECT unnest(list_zip(syms[:len(syms)-1], syms[2:])) AS pr, freq " +
+        s"FROM (SELECT string_split(trim(symstr), '  ') AS syms, freq " +
+        s"FROM w${i - 1}) t) u GROUP BY 1, 2), " +
+        s"m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i " +
+        "ORDER BY cnt DESC, l, r LIMIT 1), " +
+        s"w$i AS MATERIALIZED (SELECT replace(symstr, " +
+        "' ' || l || '  ' || r || ' ', " +
+        s"' ' || l || r || ' ') AS symstr, freq FROM w${i - 1}, m$i)"
+    }.mkString(", ")
+    val segs = (1 to n).map { i =>
+      s"seg$i AS MATERIALIZED (SELECT w, replace(symstr, " +
+        "' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS symstr " +
+        s"FROM seg${i - 1}, m$i)"
+    }.mkString(", ")
+    s"WITH $base, $rounds, " +
+      "words AS MATERIALIZED (SELECT doc_id, tok AS w FROM " +
+      "(SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+      "FROM documents) WHERE regexp_matches(tok, '^[a-z]+$')), " +
+      "seg0 AS MATERIALIZED (SELECT DISTINCT w, ' ' || " +
+      "trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS symstr " +
+      s"FROM words), $segs, " +
+      "cnt AS (SELECT w, CAST(len(string_split(trim(symstr), '  ')) " +
+      s"AS BIGINT) AS ns FROM seg$n) " +
+      "SELECT doc_id, count(*) AS n_words, " +
+      "CAST(sum(ns) AS BIGINT) AS n_subwords " +
+      "FROM words JOIN cnt USING (w) GROUP BY doc_id"
+  }
+
   /** BM25 oracle mirroring [[graft.operators.Retrieval.bm25]] term by
     * term: every Scala-computed double constant (k1+1, 1−b) is
     * inlined at full round-trip precision, association order matches
@@ -299,6 +351,8 @@ private[graft] object ExtText {
     "x_bpe_train" -> bpeSql(BPE_MERGES),
 
     "x_bm25" -> bm25Sql(BM25_TERMS, BM25_K1, BM25_B),
+
+    "x_bpe_encode" -> bpeEncodeSql(BPE_MERGES),
 
     // distinct tokens per doc; the relative df cap uses integer
     // division on both engines (Scala Long /, DuckDB //)

@@ -102,6 +102,48 @@ object Bpe {
     (merges.toSeq, words)
   }
 
+  /** ENCODE with a trained merge list: apply the merges in training
+    * order to a word frame and return (symstr, freq) with every word
+    * segmented into final subwords. Pure column work — `merges` is a
+    * driver-side list (the tokenizer model, kilobytes), each merge is
+    * one string replace, and the 12-deep replace chain stays inside
+    * whole-stage codegen; the corpus-scale frame is never collected.
+    * Applying to the SAME corpus that trained reproduces train's
+    * final word frame exactly (BpeSpec pins it). */
+  def encodeWords(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(words) { (df, m) =>
+      df.withColumn("symstr",
+        F.replace(F.col("symstr"),
+          F.lit(s" ${m.left}  ${m.right} "),
+          F.lit(s" ${m.left}${m.right} ")))
+    }
+
+  /** Per-document subword counts under a trained merge list — the
+    * encode step's corpus-level product (sequence-length planning,
+    * token-budget accounting). Each DISTINCT word is segmented once
+    * (the word table is the unit of work, as in training); documents
+    * then join their words to the per-word subword count — the join
+    * key is the word string, the corpus never re-segments. */
+  def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[Merge]): DataFrame = {
+    val words = docs
+      .select(F.col(idCol), F.explode(Text.tokens(F.col(textCol))).as("w"))
+      .filter(F.col("w").rlike("^[a-z]+$"))
+    val segmented = encodeWords(
+      words.groupBy("w").agg(F.count(F.lit(1)).as("freq"))
+        .select(F.concat(F.lit(" "),
+          F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")),
+          F.lit(" ")).as("symstr"), F.col("w"), F.col("freq")),
+      merges)
+      .select(F.col("w"),
+        F.size(F.split(F.trim(F.col("symstr")), "  ")).cast("long")
+          .as("n_subwords"))
+    words.join(segmented, "w")
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_words"),
+        F.sum("n_subwords").as("n_subwords"))
+  }
+
   /** Per-occurrence symbol frequencies of a word frame — the final
     * vocabulary report. */
   def vocab(words: DataFrame): DataFrame =

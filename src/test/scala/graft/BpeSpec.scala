@@ -44,6 +44,14 @@ class BpeSpec extends SparkSpec {
     assert(base.forall(_.pairCount > 0))
   }
 
+  test("encode over the training corpus reproduces training's final word frame") {
+    val docs = Tables.scan(spark, sf, "documents").select("text")
+    val (merges, trained) = Bpe.train(docs, "text", 6)
+    val encoded = Bpe.encodeWords(Bpe.wordTable(docs, "text"), merges)
+    assert(encoded.select("symstr", "freq").collect().map(_.toSeq).toSet ==
+      trained.select("symstr", "freq").collect().map(_.toSeq).toSet)
+  }
+
   test("vocabulary conserves the corpus: sum of symbol frequencies equals total chars") {
     val docs = Tables.scan(spark, sf, "documents").select("text")
     val (_, words) = Bpe.train(docs, "text", 5)
