@@ -107,6 +107,17 @@ private[graft] object ExtStreaming {
     // ---- event analytics (operators/Analytics.scala) ----
     // ordered-stage funnel: first-touch per stage, stage i+1 counts
     // only at-or-after the user's stage-i time
+    // strict-adjacency sequence pattern (MATCH_RECOGNIZE-lite): count
+    // non-overlapping view->click->purchase runs of CONSECUTIVE
+    // events per user — the adjacency-sensitive twin of the funnel's
+    // "eventually after" stages. Ordered code string per user + pure
+    // string arithmetic; replace's left-to-right non-overlap IS the
+    // match semantics on both engines.
+    "x_seq_pattern" -> ((s, dir) =>
+      graft.operators.Analytics.sequencePattern(
+        Tables.scan(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", FUNNEL_STAGES)),
+
     "x_funnel" -> ((s, dir) =>
       graft.operators.Analytics.funnel(
         Tables.scan(s, dir, "events"),
@@ -262,6 +273,14 @@ private[graft] object ExtStreaming {
         "AND p.ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts " +
         "WHERE c.event_type = 'click' AND (p.event_id IS NOT NULL " +
         "OR c.ts < (SELECT w FROM wm))"),
+
+    "x_seq_pattern" ->
+      ("WITH s AS (SELECT user_id, " +
+        "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events, " +
+        "CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3 AS BIGINT) " +
+        "AS n_matches FROM s"),
 
     "x_funnel" ->
       ("WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events " +

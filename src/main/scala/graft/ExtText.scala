@@ -154,6 +154,14 @@ private[graft] object ExtText {
     // per-source distribution drift: KL(source ‖ corpus) over token
     // frequencies — the domain-weighting signal next to
     // x_mix_temperature; decimal-summed 6-dp terms replay exactly
+    // per-source token-distribution Shannon entropy: the diversity
+    // dial next to the KL drift dial — a source whose entropy
+    // collapses is repeating itself even when its KL looks stable;
+    // 6-dp decimal-summed p*ln(p) terms, exact final negation
+    "x_entropy" -> ((s, dir) =>
+      Curation.sourceEntropy(Tables.scan(s, dir, "documents"),
+        "source", "text")),
+
     "x_source_divergence" -> ((s, dir) =>
       Curation.sourceDivergence(Tables.scan(s, dir, "documents"),
         "source", "text")),
@@ -351,6 +359,18 @@ private[graft] object ExtText {
     "x_bpe_train" -> bpeSql(BPE_MERGES),
 
     "x_bm25" -> bm25Sql(BM25_TERMS, BM25_K1, BM25_B),
+
+    "x_entropy" ->
+      ("WITH t AS (SELECT source AS g, " +
+        "unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents), " +
+        "st AS (SELECT g, tok, count(*) AS c_st FROM t WHERE tok <> '' " +
+        "GROUP BY g, tok), " +
+        "sg AS (SELECT g, sum(c_st) AS n_s FROM st GROUP BY g) " +
+        "SELECT st.g AS source, count(*) AS n_distinct, " +
+        "CAST(max(n_s) AS BIGINT) AS n_tokens, " +
+        "-CAST(sum(CAST(round((c_st / n_s) * ln(c_st / n_s), 6) " +
+        "AS DECIMAL(18,6))) AS DOUBLE) AS entropy " +
+        "FROM st JOIN sg USING (g) GROUP BY st.g"),
 
     "x_bpe_encode" -> bpeEncodeSql(BPE_MERGES),
 

