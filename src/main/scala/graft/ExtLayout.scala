@@ -243,6 +243,24 @@ private[graft] object ExtLayout {
     // replays it and checks result-identity with the PLAIN agg/join;
     // SkewSpec separately pins that the salted partial stage bounds
     // the hottest reducer group to ~1/SALT_BUCKETS of the hot key.
+    // bloom-filtered fact join: a Bloom over the selective dim's keys
+    // is broadcast and kills fact rows MAP-SIDE before their shuffle —
+    // the manual runtime-row-filter for dims too big to broadcast-join
+    // at 100 TB. No false negatives, so the result is exactly the
+    // plain inner join (the oracle); PlanShapeSpec pins the
+    // filter-before-exchange shape under a forced sort-merge join.
+    "x_bloom_join" -> ((s, dir) => {
+      val hiSpend = Tables.scan(s, dir, "orders")
+        .filter(F.col("o_totalprice") > SETOPS_CUTOFF)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      Joins.bloomFilteredJoin(
+          Tables.scan(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity"),
+          "l_orderkey", hiSpend, "o_orderkey")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "o_totalprice", "o_orderstatus")
+    }),
+
     "x_skew_agg" -> ((s, dir) =>
       Skew.saltedAgg(
         Tables.scan(s, dir, "events").withColumn("skew_user", skewKey),
@@ -474,6 +492,12 @@ private[graft] object ExtLayout {
 
     // the skew twins' oracles are the PLAIN aggregation/join — the
     // salted plans must be result-identical to the unsalted ones
+    "x_bloom_join" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, " +
+        "o_totalprice, o_orderstatus " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        s"WHERE o_totalprice > $SETOPS_CUTOFF"),
+
     "x_skew_agg" ->
       (s"SELECT $skewKeySql AS skew_user, count(*) AS n_rows, " +
         "sum(value) AS sum_value, " +

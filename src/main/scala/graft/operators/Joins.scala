@@ -115,6 +115,38 @@ object Joins {
       .select(pk2).distinct()
   }
 
+  /** Bloom-filtered equi-join (scale utility): the manual form of
+    * runtime row-level filtering — a Bloom filter over the dim side's
+    * join keys is broadcast and applied to the FACT side as a
+    * map-side filter BEFORE its shuffle, so a selective dim kills
+    * most fact rows at the scan instead of shuffling them into a
+    * sort-merge join. The pattern that matters exactly when the dim
+    * side is selective but too large to broadcast-hash-join — at
+    * 100 TB the fact shuffle is the job, and this removes most of it.
+    *
+    * Blooms have NO false negatives, so the result is identical to
+    * the plain inner join (false positives just ride to the join and
+    * lose there — PlanShapeSpec pins both the identity and the
+    * filter-below-exchange plan shape). Spark's own
+    * `runtime.bloomFilter` injection covers some of these plans
+    * automatically; the explicit form works on any join and makes the
+    * sizing (`fpp`, key count) a caller decision. The key-set count
+    * and Bloom build are two eager passes over the DIM side only.
+    * Long-typed keys (the fixture's FK shape). */
+  def bloomFilteredJoin(fact: DataFrame, factKey: String,
+                        dim: DataFrame, dimKey: String,
+                        fpp: Double = 0.01): DataFrame = {
+    val keys = dim.select(F.col(dimKey)).distinct().cache()
+    val nKeys = math.max(keys.count(), 1L)
+    val bloomBc = fact.sparkSession.sparkContext
+      .broadcast(keys.stat.bloomFilter(dimKey, nKeys, fpp))
+    keys.unpersist(false)
+    val mightContain = F.udf((k: java.lang.Long) =>
+      k != null && bloomBc.value.mightContain(k.longValue()))
+    fact.filter(mightContain(F.col(factKey)))
+      .join(dim, F.col(factKey) === dim(dimKey))
+  }
+
   /** Skew-safe equi-join (scale utility): salts the skewed (left)
     * side's key into `saltBuckets` sub-keys and explodes the build
     * (right) side once per salt, so one hot key spreads over

@@ -162,7 +162,11 @@ class PlanShapeSpec extends SparkSpec {
       // the typed encode seam inserts isnotnull(embedding) — an
       // IsNotNull on a NESTED (array) column, which the parquet
       // source cannot push; no row-level predicate exists to lose
-      "x_ann_pq")
+      "x_ann_pq",
+      // the fact scan's only data filter IS the broadcast Bloom
+      // probe (a UDF — unpushable by design; it exists to kill rows
+      // before the exchange, which the dedicated case below pins)
+      "x_bloom_join")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
       case q: QueryStageExec => scans(q.plan)
@@ -193,6 +197,37 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(failures.isEmpty,
       s"${failures.size} plan-lint failures:\n${failures.mkString("\n")}")
+  }
+
+  test("bloom-filtered join: fact rows die before the exchange, result identical to the plain join") {
+    // force the sort-merge shape the operator exists for (a broadcast
+    // dim would make the bloom redundant)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "-1")
+      val fact = Tables.scan(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val dim = Tables.scan(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select("o_orderkey", "o_totalprice")
+      val joined = graft.operators.Joins
+        .bloomFilteredJoin(fact, "l_orderkey", dim, "o_orderkey")
+      val got = joined.select("l_orderkey", "l_linenumber").collect()
+        .map(r => (r.getLong(0), r.get(1))).toSorted_
+      val want = fact.join(dim, F.col("l_orderkey") === F.col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber").collect()
+        .map(r => (r.getLong(0), r.get(1))).toSorted_
+      assert(got.sameElements(want), "bloom join changed the result")
+      val s = joined.queryExecution.executedPlan.toString
+      assert(s.contains("SortMergeJoin"), s.take(400))
+      // the bloom probe is the fact side's pre-shuffle filter
+      assert(s.contains("UDF"), "no bloom filter in the plan:\n" + s.take(800))
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  private implicit class SortedOps[A <: Product](private val a: Array[A]) {
+    def toSorted_ : Array[A] = a.sortBy(_.toString)
   }
 
   test("x_topn_group_agg plans a partial aggregation, never a per-group window sort") {
