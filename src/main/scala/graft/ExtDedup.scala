@@ -85,6 +85,26 @@ private[graft] object ExtDedup {
           terms = Text.distinctShingles(_, 2)))),
 
 
+    // INCREMENTAL component maintenance: the converged labeling over
+    // the old pairs folds in the batch's pairs (any pair touching a
+    // mod-3 doc) via the COMPONENT graph — meta-CC work is bounded by
+    // the batch's pair count, never the edge history, and because an
+    // old label IS its component's min id the result is row-identical
+    // to a full recompute over ALL pairs, which is exactly what the
+    // oracle (the same recursive CTE as x_dedup_components) replays.
+    "x_components_incremental" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8,
+          k = MINHASH_K, bands = MINHASH_BANDS,
+          terms = Text.distinctShingles(_, 2))
+        .localCheckpoint(true) // the LSH pipeline runs once, not per split
+      val isNew = F.col("id_a") % INCR_MOD === 0 ||
+        F.col("id_b") % INCR_MOD === 0
+      val labels0 = Dedup.dupComponents(pairs.filter(!isNew))
+      Dedup.dupComponentsIncremental(labels0, pairs.filter(isNew))
+    }),
+
+
     // the materialized OUTPUT of transitive dedup: every doc that is
     // not a non-representative member of a near-dup component (i.e.
     // keep component minima and all unpaired docs) — what a cleaning
@@ -416,6 +436,16 @@ private[graft] object ExtDedup {
         "FROM reach GROUP BY id) WHERE id <> component) " +
         "SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT id FROM drops)"),
+
+    // the incremental fold must equal the full recompute — same CTE
+    "x_components_incremental" ->
+      ("WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" +
+        jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + ")), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT src AS id, src AS r FROM edges " +
+        "UNION SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id) " +
+        "SELECT id, min(r) AS component FROM reach GROUP BY id"),
 
     // transitive closure over the same pairs via a recursive CTE
     "x_dedup_components" ->

@@ -325,6 +325,32 @@ class PropertySpec extends SparkSpec {
     }, n = 5)
   }
 
+  test("incremental-components law: folding any batch split equals the full recompute") {
+    // random small graphs, random old/new edge split — the meta-graph
+    // fold must be row-identical to CC over the union, including
+    // batches that bridge old components, touch only new nodes, or
+    // are empty
+    val gen = for {
+      edges <- Gen.listOfN(12, for {
+        a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+      mask <- Gen.listOfN(12, Gen.oneOf(true, false))
+    } yield (edges, mask)
+    checkProp(Prop.forAll(gen) { case (edges, mask) =>
+      val all = edges.toDF("id_a", "id_b")
+      val old = edges.zip(mask).collect { case (e, false) => e }
+      val batch = edges.zip(mask).collect { case (e, true) => e }
+      val full = graft.operators.Dedup.dupComponents(all).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val labels0 = graft.operators.Dedup.dupComponents(
+        old.toDF("id_a", "id_b"))
+      val inc = graft.operators.Dedup.dupComponentsIncremental(
+          labels0, batch.toDF("id_a", "id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      inc == full
+    }, n = 4)
+  }
+
   test("interval-join law: grid-bucketed join equals brute-force overlap, each pair exactly once") {
     // random variable-length intervals on a small key space; the law
     // checks BOTH set equality against the O(n²) reference AND
