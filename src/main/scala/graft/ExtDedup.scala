@@ -85,6 +85,31 @@ private[graft] object ExtDedup {
           terms = Text.distinctShingles(_, 2)))),
 
 
+    // per-node triangle counts over the near-dup graph: local
+    // cluster density — a pair inside a triangle sits in a tight
+    // clique (template spam), one outside is a lone edit. Canonical
+    // a<b edges surface each triangle exactly once via two joins.
+    "x_triangles" -> ((s, dir) =>
+      graft.operators.Retrieval.triangleCounts(
+        Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8,
+          k = MINHASH_K, bands = MINHASH_BANDS,
+          terms = Text.distinctShingles(_, 2)))),
+
+    // quality-aware dedup: keep the BEST copy per near-dup component
+    // (argmax quality, ties to the lower id) instead of the min-id
+    // convention — what a curation pipeline actually writes out
+    "x_dedup_best" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      val labels = Dedup.dupComponents(
+        Dedup.jaccardPairsLsh(docs, "doc_id", "text", threshold = 0.8,
+          k = MINHASH_K, bands = MINHASH_BANDS,
+          terms = Text.distinctShingles(_, 2)))
+      Dedup.dedupKeepBest(docs, "doc_id", labels,
+        Text.qualityScore(F.col("text")))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // INCREMENTAL component maintenance: the converged labeling over
     // the old pairs folds in the batch's pairs (any pair touching a
     // mod-3 doc) via the COMPONENT graph — meta-CC work is bounded by
@@ -436,6 +461,35 @@ private[graft] object ExtDedup {
         "FROM reach GROUP BY id) WHERE id <> component) " +
         "SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT id FROM drops)"),
+
+    "x_triangles" ->
+      ("WITH prs AS MATERIALIZED (" +
+        jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + "), " +
+        "e AS MATERIALIZED (SELECT DISTINCT id_a, id_b FROM prs), " +
+        "tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c " +
+        "FROM e e1 JOIN e e2 ON e2.id_a = e1.id_b " +
+        "JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b) " +
+        "SELECT id, count(*) AS n_triangles FROM (" +
+        "SELECT a AS id FROM tri UNION ALL SELECT b FROM tri " +
+        "UNION ALL SELECT c FROM tri) GROUP BY id"),
+
+    // component argmax on the SAME quality formula the pipeline
+    // oracles share (qualitySql = Text.qualityScore's DuckDB twin)
+    "x_dedup_best" ->
+      ("WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" +
+        jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + ")), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT src AS id, src AS r FROM edges " +
+        "UNION SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id), " +
+        "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id), " +
+        s"q AS (SELECT doc_id, $qualitySql AS q FROM documents), " +
+        "drops AS (SELECT doc_id FROM (SELECT c.id AS doc_id, " +
+        "row_number() OVER (PARTITION BY c.component " +
+        "ORDER BY q.q DESC, c.id ASC) AS rn " +
+        "FROM comp c JOIN q ON q.doc_id = c.id) WHERE rn <> 1) " +
+        "SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drops)"),
 
     // the incremental fold must equal the full recompute — same CTE
     "x_components_incremental" ->

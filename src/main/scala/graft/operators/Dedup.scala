@@ -640,6 +640,28 @@ object Dedup {
     }
   }
 
+  /** Quality-aware dedup materialization: keep the BEST copy per
+    * near-dup component instead of the minimum id — what a curation
+    * pipeline actually wants (the min-id convention keeps whichever
+    * crawl arrived first; this keeps the highest-quality one, ties to
+    * the lower id for determinism). `labels` is a [[dupComponents]]
+    * output; docs outside any component always keep. The per-
+    * component argmax is one window pass over the PAIR-BOUNDED label
+    * frame joined to a two-column (id, quality) projection — the
+    * corpus itself is only touched by the final anti-join. */
+  def dedupKeepBest(docs: DataFrame, idCol: String, labels: DataFrame,
+                    quality: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(F.col("__q").desc, F.col(idCol).asc)
+    val drop = docs.select(F.col(idCol), quality.as("__q"))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol))
+      .withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") =!= 1)
+      .select(idCol)
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Incremental connected-components maintenance: fold a batch of
     * NEW pairs into an existing converged labeling WITHOUT touching
     * the historical edge set.

@@ -101,6 +101,27 @@ object Retrieval {
           F.array_join(F.transform(F.col("ids"),
             _.cast("string")), ",")).as("postings"))
 
+  /** Per-node triangle counts over an undirected edge list with
+    * canonical `id_a < id_b` rows (the LSH pair shape) — the local
+    * cluster-density signal: a near-dup pair inside a triangle sits
+    * in a tight clique (template spam), one outside is a lone edit.
+    *
+    * Classic two-join formulation on canonicalized edges: a triangle
+    * (a<b<c) surfaces exactly once as (a,b)⋈(b,c)⋈(a,c), so no
+    * dedup pass is needed; per-node counts explode each triangle's
+    * three corners into one grouped count. Join volume is
+    * Σ deg(v)² over the (pair-bounded) edge list, the standard bound. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val e = pairs.select("id_a", "id_b").distinct()
+    val ab = e.select(F.col("id_a").as("a"), F.col("id_b").as("b"))
+    val bc = e.select(F.col("id_a").as("b"), F.col("id_b").as("c"))
+    val ac = e.select(F.col("id_a").as("a"), F.col("id_b").as("c"))
+    val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
+    tri.select(F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).as("id"))
+      .groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_triangles"))
+  }
+
   /** PageRank over an UNDIRECTED edge list (id_a, id_b): each edge
     * contributes in both directions, so every node has out-degree ≥ 1
     * and the dangling-mass term vanishes. `iters` synchronous rounds
