@@ -274,13 +274,20 @@ private[graft] object ExtStreaming {
         "WHERE c.event_type = 'click' AND (p.event_id IS NOT NULL " +
         "OR c.ts < (SELECT w FROM wm))"),
 
-    "x_seq_pattern" ->
-      ("WITH s AS (SELECT user_id, " +
-        "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq " +
+    "x_seq_pattern" -> {
+      // mirror the operator's FULL-NAME code assignment: stage i is
+      // chr('a'+i), everything else '.'
+      val code = FUNNEL_STAGES.zipWithIndex
+        .map { case (t, i) => s"WHEN '$t' THEN '${('a' + i).toChar}'" }
+        .mkString("CASE event_type ", " ", " ELSE '.' END")
+      val pat = FUNNEL_STAGES.indices.map(i => ('a' + i).toChar).mkString
+      "WITH s AS (SELECT user_id, " +
+        s"string_agg($code, '' ORDER BY ts, event_id) AS seq " +
         "FROM events GROUP BY user_id) " +
         "SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events, " +
-        "CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3 AS BIGINT) " +
-        "AS n_matches FROM s"),
+        s"CAST((length(seq) - length(replace(seq, '$pat', ''))) / ${pat.length} " +
+        "AS BIGINT) AS n_matches FROM s"
+    },
 
     "x_funnel" ->
       ("WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events " +

@@ -269,9 +269,14 @@ private[graft] object ExtText {
         s"FROM w${i - 1}) t) u GROUP BY 1, 2), " +
         s"m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i " +
         "ORDER BY cnt DESC, l, r LIMIT 1), " +
-        s"w$i AS MATERIALIZED (SELECT replace(symstr, " +
-        "' ' || l || '  ' || r || ' ', " +
-        s"' ' || l || r || ' ') AS symstr, freq FROM w${i - 1}, m$i)"
+        // LEFT JOIN ON TRUE: if the corpus ran out of pairs before
+        // round i, m$i is empty and the round must be a NO-OP (the
+        // Spark trainer stops early); a plain cross join would empty
+        // the whole word table instead
+        s"w$i AS MATERIALIZED (SELECT CASE WHEN l IS NULL THEN symstr " +
+        "ELSE replace(symstr, ' ' || l || '  ' || r || ' ', " +
+        s"' ' || l || r || ' ') END AS symstr, freq " +
+        s"FROM w${i - 1} LEFT JOIN m$i ON true)"
     }.mkString(", ")
     val mergeRows = (1 to n).map(i =>
       s"SELECT 'merge' AS kind, CAST($i AS BIGINT) AS seq, l AS a, " +
@@ -301,14 +306,20 @@ private[graft] object ExtText {
         s"FROM w${i - 1}) t) u GROUP BY 1, 2), " +
         s"m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i " +
         "ORDER BY cnt DESC, l, r LIMIT 1), " +
-        s"w$i AS MATERIALIZED (SELECT replace(symstr, " +
-        "' ' || l || '  ' || r || ' ', " +
-        s"' ' || l || r || ' ') AS symstr, freq FROM w${i - 1}, m$i)"
+        // LEFT JOIN ON TRUE: if the corpus ran out of pairs before
+        // round i, m$i is empty and the round must be a NO-OP (the
+        // Spark trainer stops early); a plain cross join would empty
+        // the whole word table instead
+        s"w$i AS MATERIALIZED (SELECT CASE WHEN l IS NULL THEN symstr " +
+        "ELSE replace(symstr, ' ' || l || '  ' || r || ' ', " +
+        s"' ' || l || r || ' ') END AS symstr, freq " +
+        s"FROM w${i - 1} LEFT JOIN m$i ON true)"
     }.mkString(", ")
     val segs = (1 to n).map { i =>
-      s"seg$i AS MATERIALIZED (SELECT w, replace(symstr, " +
-        "' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS symstr " +
-        s"FROM seg${i - 1}, m$i)"
+      s"seg$i AS MATERIALIZED (SELECT w, CASE WHEN l IS NULL THEN symstr " +
+        "ELSE replace(symstr, ' ' || l || '  ' || r || ' ', " +
+        s"' ' || l || r || ' ') END AS symstr " +
+        s"FROM seg${i - 1} LEFT JOIN m$i ON true)"
     }.mkString(", ")
     s"WITH $base, $rounds, " +
       "words AS MATERIALIZED (SELECT doc_id, tok AS w FROM " +

@@ -168,14 +168,24 @@ object Analytics {
   def sequencePattern(events: DataFrame, userCol: String, tsCol: String,
                       idCol: String, typeCol: String,
                       pattern: Seq[String]): DataFrame = {
-    require(pattern.nonEmpty, "pattern must be non-empty")
-    val pat = pattern.map(_.substring(0, 1)).mkString
-    require(pat.length == pattern.length)
+    require(pattern.nonEmpty && pattern == pattern.distinct,
+      "pattern stages must be non-empty and distinct")
+    // codes are assigned by FULL stage name, not a first-letter
+    // abbreviation: two data types sharing a first letter (click /
+    // checkout) would otherwise silently count as each other. Stage i
+    // encodes as ('a'+i); every non-stage event becomes '.', which
+    // breaks adjacency exactly like any other non-matching character.
+    val code = pattern.zipWithIndex.foldLeft(F.lit(".")) {
+      case (acc, (stage, i)) =>
+        F.when(F.col(typeCol) === stage, ('a' + i).toChar.toString)
+          .otherwise(acc)
+    }
+    val pat = pattern.indices.map(i => ('a' + i).toChar).mkString
     val seq = F.array_join(
       F.transform(
         F.sort_array(F.collect_list(F.struct(
           F.col(tsCol).as("ts"), F.col(idCol).as("id"),
-          F.substring(F.col(typeCol), 1, 1).as("code")))),
+          code.as("code")))),
         x => x.getField("code")), "")
     events.groupBy(F.col(userCol))
       .agg(seq.as("__seq"))

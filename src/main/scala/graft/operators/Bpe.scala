@@ -126,11 +126,18 @@ object Bpe {
     * key is the word string, the corpus never re-segments. */
   def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
                    merges: Seq[Merge]): DataFrame = {
-    val words = docs
+    // ONE corpus scan: the (doc, word) multiplicity frame is pinned
+    // and feeds both the distinct-word segmentation and the per-doc
+    // rollup — without the pin the tokenize/explode lineage would
+    // execute once per consumer (the single-scan discipline bm25
+    // enforces the same way)
+    val wc = docs
       .select(F.col(idCol), F.explode(Text.tokens(F.col(textCol))).as("w"))
       .filter(F.col("w").rlike("^[a-z]+$"))
+      .groupBy(idCol, "w").agg(F.count(F.lit(1)).as("n"))
+      .localCheckpoint(eager = true)
     val segmented = encodeWords(
-      words.groupBy("w").agg(F.count(F.lit(1)).as("freq"))
+      wc.groupBy("w").agg(F.sum("n").as("freq"))
         .select(F.concat(F.lit(" "),
           F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")),
           F.lit(" ")).as("symstr"), F.col("w"), F.col("freq")),
@@ -138,10 +145,10 @@ object Bpe {
       .select(F.col("w"),
         F.size(F.split(F.trim(F.col("symstr")), "  ")).cast("long")
           .as("n_subwords"))
-    words.join(segmented, "w")
+    wc.join(segmented, "w")
       .groupBy(idCol)
-      .agg(F.count(F.lit(1)).as("n_words"),
-        F.sum("n_subwords").as("n_subwords"))
+      .agg(F.sum("n").as("n_words"),
+        F.sum(F.col("n") * F.col("n_subwords")).as("n_subwords"))
   }
 
   /** Per-occurrence symbol frequencies of a word frame — the final

@@ -58,8 +58,10 @@ object IvfIndex {
       .agg(F.count(F.lit(1)).as("n"))
       .agg(F.max("n").as("mx"), F.sum("n").as("tot"))
       .collect()(0)
-    val (mx, tot) = (row.getLong(0), row.getLong(1))
-    if (tot == 0L) 1.0 else mx.toDouble * k / tot.toDouble
+    // an EMPTY assignment frame aggregates zero groups into one
+    // all-NULL row — getLong would NPE before any tot==0 check
+    if (row.isNullAt(0) || row.isNullAt(1)) 1.0
+    else row.getLong(0).toDouble * k / row.getLong(1).toDouble
   }
 
   /** Append, then retrain ONLY if the audit degrades past

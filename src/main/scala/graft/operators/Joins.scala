@@ -143,8 +143,10 @@ object Joins {
     keys.unpersist(false)
     val mightContain = F.udf((k: java.lang.Long) =>
       k != null && bloomBc.value.mightContain(k.longValue()))
-    fact.filter(mightContain(F.col(factKey)))
-      .join(dim, F.col(factKey) === dim(dimKey))
+    // two-sided qualified refs: F.col(factKey) against the joined plan
+    // would be AMBIGUOUS whenever both sides use the same key name
+    val filtered = fact.filter(mightContain(F.col(factKey)))
+    filtered.join(dim, filtered(factKey) === dim(dimKey))
   }
 
   /** Skew-safe equi-join (scale utility): salts the skewed (left)

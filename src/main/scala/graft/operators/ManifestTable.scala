@@ -119,9 +119,14 @@ object ManifestTable {
 
   /** Rewrite the CURRENT snapshot into ~`targetFileBytes` files and
     * commit the compacted state, carrying forward any files appended
-    * after the base snapshot was taken. `beforeCommit` is a test seam
-    * for injecting a concurrent append between the rewrite and the
-    * commit race. */
+    * after the base snapshot was taken. If a CONFLICTING REWRITE wins
+    * the race (the latest manifest no longer contains the full base
+    * set — some other compaction already replaced those files), this
+    * one ABORTS and returns the winner's snapshot: merging two
+    * rewrites of the same base would commit every base row twice.
+    * The abandoned compacted files become orphans for [[vacuum]].
+    * `beforeCommit` is a test seam for injecting a concurrent
+    * append/compaction between the rewrite and the commit race. */
   def compact(spark: SparkSession, root: String, targetFileBytes: Long,
               beforeCommit: () => Unit = () => ()): Snapshot = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
@@ -135,11 +140,23 @@ object ManifestTable {
       spark.read.parquet(base.files.map(f => s"$root/$f"): _*).repartition(n))
     beforeCommit()
     val baseSet = base.files.toSet
-    commitLoop(root) { cur =>
-      // conflict-free merge: files that appeared since the base
-      // snapshot are appends — keep them alongside the compacted set
-      compacted ++ cur.files.filterNot(baseSet)
+    var result: Option[Snapshot] = None
+    while (result.isEmpty) {
+      val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
+      if (!baseSet.subsetOf(cur.files.toSet)) {
+        // a conflicting rewrite committed first — our rewrite is
+        // stale; the files it wrote are unreferenced and will be
+        // vacuumed once the orphan grace passes
+        result = Some(cur)
+      } else {
+        // conflict-free merge: files that appeared since the base
+        // snapshot are appends — keep them alongside the compacted set
+        val files = compacted ++ cur.files.filterNot(baseSet)
+        if (tryCommit(root, cur.version + 1, files))
+          result = Some(Snapshot(cur.version + 1, files))
+      }
     }
+    result.get
   }
 
   /** Optimistic commit: recompute the file list against the latest
@@ -156,16 +173,29 @@ object ManifestTable {
     committed.get
   }
 
-  /** Delete data files unreferenced by the LATEST manifest (callers
-    * gate on their reader-retention policy). Returns deleted paths. */
-  def vacuum(root: String): Seq[String] = {
+  /** Delete data files unreferenced by the LATEST manifest. Two
+    * retention gates the caller owns:
+    *  - reader retention: run only after readers pinned to older
+    *    versions have drained;
+    *  - `orphanGraceMillis`: files YOUNGER than this are spared even
+    *    when unreferenced — an in-flight append/compaction has
+    *    already written its data files but not yet committed its
+    *    manifest, and deleting them would let the writer publish a
+    *    manifest of dead paths (the orphan-retention rule every
+    *    snapshot store carries). Pass 0 only when no writer can be
+    *    in flight.
+    * Returns deleted paths. */
+  def vacuum(root: String,
+             orphanGraceMillis: Long = 24L * 3600 * 1000): Seq[String] = {
     val live = latest(root).map(_.files.toSet).getOrElse(Set.empty)
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - orphanGraceMillis
     val all = Files.walk(dataDir)
     val victims =
       try all.iterator().asScala
-        .filter(p => Files.isRegularFile(p))
+        .filter(p => Files.isRegularFile(p) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff)
         .map(p => Paths.get(root).relativize(p).toString)
         .filterNot(live)
         .toSeq

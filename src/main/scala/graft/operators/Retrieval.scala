@@ -87,19 +87,31 @@ object Retrieval {
     * substring-dedup index uses. The string form (not an array) is
     * deliberate: fixed collation, engine-portable compare. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
-                    dfCap: Int): DataFrame =
-    docs.select(F.col(idCol),
+                    dfCap: Int): DataFrame = {
+    val base = docs.select(F.col(idCol),
         F.explode(Text.distinctTokens(F.col(textCol))).as("tok"))
       .filter(F.col("tok") =!= "")
+    val dfs = base.groupBy("tok").agg(F.count(F.lit(1)).as("df"))
+    // TWO passes so head-term posting lists are never materialized:
+    // collect_list under a cap-after-aggregation would still build
+    // and shuffle the corpus-sized array for a stopword before the
+    // projection nulls it — the exact reducer-OOM the cap exists to
+    // prevent. Pass 1 is df only; pass 2 collects postings for the
+    // under-cap tokens alone (the semi-join kills hot tokens before
+    // any list exists).
+    val postings = base
+      .join(dfs.filter(F.col("df") <= dfCap).select("tok"),
+        Seq("tok"), "left_semi")
       .groupBy("tok")
-      .agg(F.count(F.lit(1)).as("df"),
-        F.sort_array(F.collect_list(F.col(idCol))).as("ids"))
-      .select(F.col("tok"), F.col("df"),
-        F.when(F.col("df") <= dfCap,
-          // sort NUMERICALLY first, stringify after — a string sort
-          // would order "10" before "2" and break oracle parity
-          F.array_join(F.transform(F.col("ids"),
-            _.cast("string")), ",")).as("postings"))
+      .agg(F.sort_array(F.collect_list(F.col(idCol))).as("ids"))
+      // sort NUMERICALLY first, stringify after — a string sort
+      // would order "10" before "2" and break oracle parity
+      .select(F.col("tok"),
+        F.array_join(F.transform(F.col("ids"), _.cast("string")), ",")
+          .as("postings"))
+    dfs.join(postings, Seq("tok"), "left")
+      .select("tok", "df", "postings")
+  }
 
   /** Per-node triangle counts over an undirected edge list with
     * canonical `id_a < id_b` rows (the LSH pair shape) — the local

@@ -174,12 +174,27 @@ object StreamingOps {
         r
       } finally spark.streams.removeListener(listener)
     import scala.jdk.CollectionConverters._
-    val byName = progresses.asScala.toSeq.groupBy(_.name)
-    val obs = byName.map { case (name, ps) =>
+    // group by the query ID, not the name: unnamed queries have a
+    // null name, and two same-named queries (a restart inside body,
+    // parallel per-source queries) would otherwise merge into one
+    // bogus roll-up with interleaved batch ids. The returned map is
+    // keyed by name where one exists and is unique; collisions and
+    // nameless queries fall back to "<name>#<id>" / the id.
+    val byId = progresses.asScala.toSeq.groupBy(_.id)
+    val nameCounts = byId.values
+      .flatMap(ps => Option(ps.head.name)).groupBy(identity)
+      .map { case (n, c) => n -> c.size }
+    val obs = byId.map { case (id, ps) =>
       val ordered = ps.sortBy(_.batchId)
       val last = ordered.last
-      name -> StreamObservation(
-        queryName = name,
+      val name = Option(last.name)
+      val key = name match {
+        case Some(n) if nameCounts(n) == 1 => n
+        case Some(n) => s"$n#$id"
+        case None => id.toString
+      }
+      key -> StreamObservation(
+        queryName = key,
         numInputRows = ordered.map(_.numInputRows).sum,
         numRowsDroppedByWatermark = ordered
           .flatMap(_.stateOperators.toSeq)

@@ -67,6 +67,23 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.latest(root).get.version == snap.version)
   }
 
+  test("racing compactions: the loser aborts instead of committing the base rows twice") {
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest4").toString
+    ManifestTable.init(root)
+    for (i <- 0 until 4)
+      ManifestTable.append(spark, root, batch(i * 25L, i * 25L + 25L))
+    // compaction B commits first (injected between A's rewrite and
+    // commit); A must detect that its base files are gone and return
+    // B's snapshot rather than merging two rewrites of the same rows
+    val snap = ManifestTable.compact(spark, root, targetFileBytes = 1L << 20,
+      beforeCommit = () =>
+        { ManifestTable.compact(spark, root, targetFileBytes = 1L << 20); () })
+    val rows = ManifestTable.read(spark, root).select("id").as[Long].collect()
+    assert(rows.length == 100, s"row count ${rows.length}: base rows duplicated")
+    assert(rows.toSet == (0L until 100L).toSet)
+    assert(ManifestTable.latest(root).get.version == snap.version)
+  }
+
   test("a reader pinned to an old snapshot survives compaction until vacuum; vacuum keeps only live files") {
     val root = java.nio.file.Files.createTempDirectory("graft_manifest3").toString
     ManifestTable.init(root)
@@ -77,7 +94,11 @@ class ManifestTableSpec extends SparkSpec {
     // data files are immutable and still referenced-on-disk: the
     // pinned snapshot reads completely even though the pointer moved
     assert(idsOf(root, pinned.files).toSet == (0L until 200L).toSet)
-    val deleted = ManifestTable.vacuum(root)
+    // default orphan grace spares everything this young — unreferenced
+    // files could belong to an in-flight writer
+    assert(ManifestTable.vacuum(root).isEmpty,
+      "orphan grace did not spare fresh unreferenced files")
+    val deleted = ManifestTable.vacuum(root, orphanGraceMillis = 0)
     assert(deleted.nonEmpty, "vacuum found nothing to delete")
     // the latest snapshot is untouched...
     assert(ids(root) == (0L until 200L).toSet)
