@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 import graft.functions.Text
-import graft.operators.{Curation, Dedup, IvfIndex, Joins, Layout, Multimodal, Similarity, Skew, Temporal}
+import graft.operators.{Curation, Dedup, IvfIndex, IvfStore, Joins, Layout, Multimodal, Similarity, Skew, Temporal}
 import graft.sources.Tables
 import graft.streaming.EventWindows
 
@@ -89,6 +89,25 @@ private[graft] object ExtSimilarity {
         k = 10, nprobe = ANN_KMEANS_NPROBE)
     }),
 
+
+    // the PERSISTED form of the standing index: centroids + gen=N
+    // assignment generations on parquet; batch 2 searches an index
+    // LOADED from disk (float vectors, norms, and cells round-trip
+    // bit-exactly) — same math as x_ann_incremental, so the two share
+    // an oracle, and IvfIndexSpec proves ingest+search run with the
+    // raw vector source deleted
+    "x_ann_store" -> ((s, dir) => {
+      val root = layoutDir(dir, "ivfstore")
+      deleteRec(new java.io.File(root))
+      val emb = Tables.scan(s, dir, "embeddings")
+      IvfStore.init(emb.filter(F.col("vec_id") % 2 === 0),
+        "vec_id", "embedding", ANN_KMEANS_K, ANN_KMEANS_ITERS, root)
+      IvfStore.ingest(s, root, emb.filter(F.col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding")
+      IvfIndex.topK(IvfStore.load(s, root, "vec_id", "embedding"),
+        emb.filter(F.col("vec_id") < ANN_N_QUERIES),
+        k = 10, nprobe = ANN_KMEANS_NPROBE)
+    }),
 
     // SemDeDup-shaped embedding dedup: kmeans cells bound the pair
     // space (corpus²/k, never all-pairs), within-cell cosine >= tau
@@ -240,6 +259,12 @@ private[graft] object ExtSimilarity {
 
     "x_ann_kmeans" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
       ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES),
+
+    // the store twin shares the incremental oracle — identical math,
+    // the only difference is the parquet round-trip
+    "x_ann_store" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
+      ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES,
+      "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
 
     // same pipeline trained on the even half only — the append path
     // assigns every vector to those centroids, which is exactly what

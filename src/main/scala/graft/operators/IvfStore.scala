@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Parquet-materialized [[IvfIndex]] — the embedding twin of
+  * [[SignatureStore]], completing the standing-pipeline trio
+  * (LSH signature store, manifest table, IVF store): the trained
+  * centroids and the assignment frame persist on disk, each ingest
+  * appends ONLY the batch's assignments as a new `gen=N` generation
+  * (write disjoint from the read glob; the `gen` column is ingest
+  * provenance), and search loads the standing index without ever
+  * touching the raw vector source again (IvfIndexSpec proves it by
+  * deleting the source between init and ingest).
+  *
+  * Layout: `root/centroids/` (k float vectors) and
+  * `root/assigned/gen=N/` in the [[Similarity.assignCellsWith]] shape
+  * (id, vec, nrm, cell) — norms and cells are computed once, at
+  * ingest, and never recomputed at query time.
+  */
+object IvfStore {
+
+  private def assignedRoot(root: String) = s"$root/assigned"
+
+  /** Train on `corpus` and persist centroids + gen=0 assignments. */
+  def init(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+           vecCol: String, k: Int, iters: Int, root: String): Unit = {
+    val idx = IvfIndex.build(corpus, idCol, vecCol, k, iters)
+    idx.centroids.write.mode("overwrite").parquet(s"$root/centroids")
+    idx.assigned.write.mode("overwrite")
+      .parquet(s"${assignedRoot(root)}/gen=0")
+  }
+
+  /** The standing index, read back from parquet. */
+  def load(spark: SparkSession, root: String, idCol: String,
+           vecCol: String): IvfIndex.Index =
+    IvfIndex.Index(
+      spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(assignedRoot(root)).drop("gen"),
+      idCol, vecCol)
+
+  /** Assign one batch against the STORED centroids and append its
+    * assignments as the next generation — O(batch) work, no retrain,
+    * no corpus re-read. Returns the updated in-memory index. */
+  def ingest(spark: SparkSession, root: String,
+             batch: org.apache.spark.sql.DataFrame, idCol: String,
+             vecCol: String): IvfIndex.Index = {
+    val idx = load(spark, root, idCol, vecCol)
+    val appended = Similarity
+      .assignCells(batch, idx.centroids, idCol, vecCol)
+      .localCheckpoint(eager = true)
+    val nextGen =
+      SignatureStore.latestGeneration(spark, assignedRoot(root)) + 1
+    appended.write.mode("overwrite")
+      .parquet(s"${assignedRoot(root)}/gen=$nextGen")
+    idx.copy(assigned = idx.assigned.unionByName(appended))
+  }
+}

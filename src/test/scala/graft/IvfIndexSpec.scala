@@ -44,6 +44,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.collect().map(_.toSeq).toSet == fresh)
   }
 
+  test("persisted store: ingest+search read only the store — raw vectors deleted after init") {
+    import graft.operators.{IvfIndex, IvfStore}
+    val even = emb.filter(F.col("vec_id") % 2 === 0)
+    val odd = emb.filter(F.col("vec_id") % 2 =!= 0)
+    val queries = emb.filter(F.col("vec_id") < 5)
+    // expected: the in-memory incremental index over the same halves
+    val expected = IvfIndex.topK(
+        IvfIndex.append(
+          IvfIndex.build(even, "vec_id", "embedding", K, ITERS), odd),
+        queries, k = 10, nprobe = NPROBE)
+      .collect().map(_.toSeq).toSet
+    // re-home the TRAINING corpus in a scratch parquet, init the
+    // store from it, delete the scratch — the store must be
+    // self-sufficient from here on
+    val srcPath = Workspace.dir("ivfstore_spec_src")
+    even.write.mode("overwrite").parquet(srcPath)
+    val root = Workspace.dir("ivfstore_spec_store")
+    ExtShared.deleteRec(new java.io.File(root))
+    IvfStore.init(spark.read.parquet(srcPath), "vec_id", "embedding",
+      K, ITERS, root)
+    ExtShared.deleteRec(new java.io.File(srcPath))
+    IvfStore.ingest(spark, root, odd, "vec_id", "embedding")
+    val got = IvfIndex.topK(
+        IvfStore.load(spark, root, "vec_id", "embedding"),
+        queries, k = 10, nprobe = NPROBE)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected, "store round-trip changed the search result")
+  }
+
   test("balance audit: uniform append stays under the trigger, skewed append fires a retrain that restores balance and recall") {
     import spark.implicits._
     val queries = emb.filter(F.col("vec_id") < 5)
