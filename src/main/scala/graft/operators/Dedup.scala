@@ -654,7 +654,12 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component")
       .orderBy(F.col("__q").desc, F.col(idCol).asc)
-    val drop = docs.select(F.col(idCol), quality.as("__q"))
+    // semi-join FIRST, score after: quality is a stack of regex
+    // passes, and component members are a sliver of the corpus —
+    // scoring everything just to rank the sliver is the waste
+    val members = docs
+      .join(labels.select(F.col("id").as(idCol)), Seq(idCol), "left_semi")
+    val drop = members.select(F.col(idCol), quality.as("__q"))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol))
       .withColumn("__rn", F.row_number().over(w))
       .filter(F.col("__rn") =!= 1)

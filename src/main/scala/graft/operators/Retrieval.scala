@@ -124,7 +124,11 @@ object Retrieval {
     * three corners into one grouped count. Join volume is
     * Σ deg(v)² over the (pair-bounded) edge list, the standard bound. */
   def triangleCounts(pairs: DataFrame): DataFrame = {
+    // pin the edge list: three join branches reference it, and the
+    // upstream pair generator (a whole LSH pipeline) would otherwise
+    // execute once per branch; the frame is pair-bounded
     val e = pairs.select("id_a", "id_b").distinct()
+      .localCheckpoint(eager = true)
     val ab = e.select(F.col("id_a").as("a"), F.col("id_b").as("b"))
     val bc = e.select(F.col("id_a").as("b"), F.col("id_b").as("c"))
     val ac = e.select(F.col("id_a").as("a"), F.col("id_b").as("c"))
@@ -149,9 +153,13 @@ object Retrieval {
     * bit-stable across partitionings and engines. */
   def pageRank(edges: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
-    val dir = edges.select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
+    // pin the RAW edges before the symmetric union: both union
+    // branches reference them, so an unpinned LSH pair generator
+    // upstream would execute twice
+    val e = edges.select("id_a", "id_b").localCheckpoint(eager = true)
+    val dir = e.select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
       .unionByName(
-        edges.select(F.col("id_b").as("src"), F.col("id_a").as("dst")))
+        e.select(F.col("id_b").as("src"), F.col("id_a").as("dst")))
       .localCheckpoint(eager = true)
     val deg = dir.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
     val n = deg.count()
