@@ -100,6 +100,24 @@ class ConsistencySpec extends SparkSpec {
     }
   }
 
+  test("entropy bounds: 0 <= H <= ln(n_distinct) per source, to rounding") {
+    // Shannon entropy over a distribution of n_distinct outcomes is
+    // bounded by ln(n_distinct) (uniform) and 0 (degenerate); the
+    // 6-dp per-term rounding moves each bound by at most
+    // n_distinct * 5e-7
+    val rows = SparkEntry.queries("x_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val nd = r.getAs[Long]("n_distinct")
+      assert(!h.isNaN && !h.isInfinite, s"${r.get(0)}: H=$h")
+      val slack = 5e-7 * nd
+      assert(h >= -slack, s"${r.get(0)}: H=$h negative beyond rounding")
+      assert(h <= math.log(nd.toDouble) + slack,
+        s"${r.get(0)}: H=$h above ln($nd)")
+    }
+  }
+
   test("truncated EWMA equals the brute-force weighted mean of the trailing window") {
     import spark.implicits._
     val alpha = 0.3; val depth = 4
