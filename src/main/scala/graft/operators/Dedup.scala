@@ -606,22 +606,7 @@ object Dedup {
     // set it only when unset, and when one is already pinned require
     // it to match — concurrent callers with different dirs fail fast
     // instead of silently redirecting each other's checkpoints.
-    reliableCheckpointDir.foreach { dir =>
-      val sc = pairs.sparkSession.sparkContext
-      sc.getCheckpointDir match {
-        case None => sc.setCheckpointDir(dir)
-        case Some(existing) =>
-          // the context normalizes the dir to a qualified URI +
-          // random child — match on prefix, not equality
-          require(existing.contains(new java.io.File(dir).getName) ||
-              existing.startsWith(dir) || existing.startsWith(s"file:$dir"),
-            s"SparkContext checkpoint dir already set to '$existing'; " +
-              s"refusing to redirect it to '$dir' — one checkpoint root " +
-              "per application (pass reliableCheckpointDir matching it)")
-      }
-    }
-    def pin(df: DataFrame): DataFrame =
-      if (reliableCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+    val pin = checkpointPinner(pairs.sparkSession, reliableCheckpointDir)
     val edges = pairs.select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
     // pin the symmetric edge list once, at FULL session parallelism —
     // this is where the upstream pair generator (often a whole LSH
@@ -714,6 +699,40 @@ object Dedup {
       .select(F.col("id"),
         F.coalesce(F.col("__mcomp"), F.col("id")).as("component"))
     remapped.unionByName(newNodes)
+  }
+
+  /** The loop-state pin every iterative operator shares
+    * ([[dupComponents]], [[Retrieval.pageRank]],
+    * [[Retrieval.triangleCounts]]): `localCheckpoint(true)` pins
+    * state in EXECUTOR memory — fastest, right for local mode — but
+    * its lineage cannot be recomputed, so on a real cluster an
+    * executor loss mid-loop kills the job. With
+    * `reliableCheckpointDir` set, every pin goes through a reliable
+    * `checkpoint()` to that (HDFS/object-store) directory instead:
+    * the 100-TB configuration. `setCheckpointDir` is
+    * SparkContext-GLOBAL, so it is set only when unset, and an
+    * already-pinned root must match — concurrent callers with
+    * different dirs fail fast instead of silently redirecting each
+    * other's checkpoints. */
+  private[operators] def checkpointPinner(
+      spark: org.apache.spark.sql.SparkSession,
+      reliableCheckpointDir: Option[String]): DataFrame => DataFrame = {
+    reliableCheckpointDir.foreach { dir =>
+      val sc = spark.sparkContext
+      sc.getCheckpointDir match {
+        case None => sc.setCheckpointDir(dir)
+        case Some(existing) =>
+          // the context normalizes the dir to a qualified URI +
+          // random child — match on prefix, not equality
+          require(existing.contains(new java.io.File(dir).getName) ||
+              existing.startsWith(dir) || existing.startsWith(s"file:$dir"),
+            s"SparkContext checkpoint dir already set to '$existing'; " +
+              s"refusing to redirect it to '$dir' — one checkpoint root " +
+              "per application (pass reliableCheckpointDir matching it)")
+      }
+    }
+    df => if (reliableCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint(true)
   }
 
   private def dupComponentsLoop(sym: DataFrame, maxIters: Int,

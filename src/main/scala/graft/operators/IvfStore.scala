@@ -21,21 +21,31 @@ object IvfStore {
 
   private def assignedRoot(root: String) = s"$root/assigned"
 
-  /** Train on `corpus` and persist centroids + gen=0 assignments. */
+  /** Train on `corpus` and persist centroids + gen=0 assignments.
+    * CLEARS any existing store under `root` first: overwrite mode
+    * alone would replace centroids and gen=0 but leave stale gen>=1
+    * generations behind — assignments computed against the OLD
+    * centroids, silently corrupting every later load/search. */
   def init(corpus: org.apache.spark.sql.DataFrame, idCol: String,
            vecCol: String, k: Int, iters: Int, root: String): Unit = {
+    val spark = corpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
     val idx = IvfIndex.build(corpus, idCol, vecCol, k, iters)
     idx.centroids.write.mode("overwrite").parquet(s"$root/centroids")
     idx.assigned.write.mode("overwrite")
       .parquet(s"${assignedRoot(root)}/gen=0")
   }
 
-  /** The standing index, read back from parquet. */
+  /** The standing index, read back from parquet. The assignment half
+    * reads through [[SignatureStore.signatures]] — one owner for the
+    * generation-store read convention. */
   def load(spark: SparkSession, root: String, idCol: String,
            vecCol: String): IvfIndex.Index =
     IvfIndex.Index(
       spark.read.parquet(s"$root/centroids"),
-      spark.read.parquet(assignedRoot(root)).drop("gen"),
+      SignatureStore.signatures(spark, assignedRoot(root)),
       idCol, vecCol)
 
   /** Assign one batch against the STORED centroids and append its

@@ -123,12 +123,15 @@ object Retrieval {
     * dedup pass is needed; per-node counts explode each triangle's
     * three corners into one grouped count. Join volume is
     * Σ deg(v)² over the (pair-bounded) edge list, the standard bound. */
-  def triangleCounts(pairs: DataFrame): DataFrame = {
+  def triangleCounts(pairs: DataFrame,
+                     reliableCheckpointDir: Option[String] = None): DataFrame = {
     // pin the edge list: three join branches reference it, and the
     // upstream pair generator (a whole LSH pipeline) would otherwise
-    // execute once per branch; the frame is pair-bounded
-    val e = pairs.select("id_a", "id_b").distinct()
-      .localCheckpoint(eager = true)
+    // execute once per branch; the frame is pair-bounded. The pin
+    // follows Dedup's escape hatch (reliable checkpoint on a real
+    // cluster, executor-memory localCheckpoint locally).
+    val pin = Dedup.checkpointPinner(pairs.sparkSession, reliableCheckpointDir)
+    val e = pin(pairs.select("id_a", "id_b").distinct())
     val ab = e.select(F.col("id_a").as("a"), F.col("id_b").as("b"))
     val bc = e.select(F.col("id_a").as("b"), F.col("id_b").as("c"))
     val ac = e.select(F.col("id_a").as("a"), F.col("id_b").as("c"))
@@ -152,22 +155,23 @@ object Retrieval {
     * 9 dp and decimal-summed; ranks are rounded to 9 dp per round —
     * bit-stable across partitionings and engines. */
   def pageRank(edges: DataFrame, iters: Int,
-               damping: Double = 0.85): DataFrame = {
-    // pin the RAW edges before the symmetric union: both union
-    // branches reference them, so an unpinned LSH pair generator
-    // upstream would execute twice
-    val e = edges.select("id_a", "id_b").localCheckpoint(eager = true)
+               damping: Double = 0.85,
+               reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val pin = Dedup.checkpointPinner(edges.sparkSession, reliableCheckpointDir)
+    // pin ONLY the raw edges (this is where an upstream LSH pair
+    // generator executes — once); the symmetric union and the degree
+    // frame are cheap projections/aggregates over the pinned frame,
+    // re-derived per consumer rather than held as extra pinned copies
+    val e = pin(edges.select("id_a", "id_b"))
     val dir = e.select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
       .unionByName(
         e.select(F.col("id_b").as("src"), F.col("id_a").as("dst")))
-      .localCheckpoint(eager = true)
     val deg = dir.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
     val n = deg.count()
     require(n > 0, "pageRank needs at least one edge")
     val base = (1.0 - damping) / n.toDouble
-    var ranks = deg.select(F.col("src").as("id"),
-      F.round(F.lit(1.0 / n.toDouble), 9).as("rank"))
-      .localCheckpoint(eager = true)
+    var ranks = pin(deg.select(F.col("src").as("id"),
+      F.round(F.lit(1.0 / n.toDouble), 9).as("rank")))
     for (_ <- 0 until iters) {
       val contrib = dir
         .join(deg, "src")
@@ -175,10 +179,9 @@ object Retrieval {
         .select(F.col("dst"),
           F.round(F.col("rank") / F.col("deg").cast("double"), 9)
             .cast("decimal(28,9)").as("c"))
-      ranks = contrib.groupBy(F.col("dst").as("id"))
+      ranks = pin(contrib.groupBy(F.col("dst").as("id"))
         .agg(F.round(F.lit(base) +
-          F.lit(damping) * F.sum("c").cast("double"), 9).as("rank"))
-        .localCheckpoint(eager = true)
+          F.lit(damping) * F.sum("c").cast("double"), 9).as("rank")))
     }
     ranks
   }
