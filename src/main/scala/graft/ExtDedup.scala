@@ -96,6 +96,17 @@ private[graft] object ExtDedup {
           k = MINHASH_K, bands = MINHASH_BANDS,
           terms = Text.distinctShingles(_, 2)))),
 
+    // local clustering coefficient over the same graph: template
+    // floods score ~1 (every copy pairs with every copy), chain-
+    // shaped drift ~0 — the per-node audit that tells the two
+    // duplication shapes apart
+    "x_clustering_coef" -> ((s, dir) =>
+      graft.operators.Retrieval.clusteringCoefficient(
+        Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8,
+          k = MINHASH_K, bands = MINHASH_BANDS,
+          terms = Text.distinctShingles(_, 2)))),
+
     // quality-aware dedup: keep the BEST copy per near-dup component
     // (argmax quality, ties to the lower id) instead of the min-id
     // convention — what a curation pipeline actually writes out
@@ -472,6 +483,25 @@ private[graft] object ExtDedup {
         "SELECT id, count(*) AS n_triangles FROM (" +
         "SELECT a AS id FROM tri UNION ALL SELECT b FROM tri " +
         "UNION ALL SELECT c FROM tri) GROUP BY id"),
+
+    "x_clustering_coef" ->
+      ("WITH prs AS MATERIALIZED (" +
+        jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + "), " +
+        "e AS MATERIALIZED (SELECT DISTINCT id_a, id_b FROM prs), " +
+        "deg AS (SELECT id, count(*) AS degree FROM (" +
+        "SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e) GROUP BY id), " +
+        "tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c " +
+        "FROM e e1 JOIN e e2 ON e2.id_a = e1.id_b " +
+        "JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b), " +
+        "tc AS (SELECT id, count(*) AS n_triangles FROM (" +
+        "SELECT a AS id FROM tri UNION ALL SELECT b FROM tri " +
+        "UNION ALL SELECT c FROM tri) GROUP BY id) " +
+        "SELECT d.id, d.degree, " +
+        "coalesce(tc.n_triangles, 0) AS n_triangles, " +
+        "CASE WHEN d.degree >= 2 THEN round(" +
+        "2.0 * CAST(coalesce(tc.n_triangles, 0) AS DOUBLE) / " +
+        "CAST(d.degree * (d.degree - 1) AS DOUBLE), 6) ELSE 0.0 END AS coef " +
+        "FROM deg d LEFT JOIN tc ON tc.id = d.id"),
 
     // component argmax on the SAME quality formula the pipeline
     // oracles share (qualitySql = Text.qualityScore's DuckDB twin)

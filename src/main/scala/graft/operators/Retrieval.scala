@@ -141,6 +141,34 @@ object Retrieval {
       .agg(F.count(F.lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node over the canonical edge
+    * list: `2·triangles(v) / (deg(v)·(deg(v)−1))` — how close each
+    * node's neighborhood is to a clique. On the near-dup graph this
+    * separates template floods (coefficient → 1: every copy pairs
+    * with every copy) from chain-shaped drift (→ 0: A matches B
+    * matches C, but A never matches C). Degree-1 nodes report 0.
+    *
+    * One pinned edge frame feeds degree AND the triangle joins (the
+    * LSH pair generator upstream executes once); the coefficient is
+    * a 6-dp-rounded division of identical operands on any engine. */
+  def clusteringCoefficient(pairs: DataFrame,
+                            reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val pin = Dedup.checkpointPinner(pairs.sparkSession, reliableCheckpointDir)
+    val e = pin(pairs.select("id_a", "id_b").distinct())
+    val deg = e.select(F.col("id_a").as("id"))
+      .unionByName(e.select(F.col("id_b").as("id")))
+      .groupBy("id").agg(F.count(F.lit(1)).as("degree"))
+    val tri = triangleCounts(e)
+    deg.join(tri, Seq("id"), "left")
+      .select(F.col("id"), F.col("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0L)).as("n_triangles"),
+        F.when(F.col("degree") >= 2,
+          F.round(F.lit(2.0) *
+            F.coalesce(F.col("n_triangles"), F.lit(0L)).cast("double") /
+            (F.col("degree") * (F.col("degree") - 1)).cast("double"), 6))
+          .otherwise(F.lit(0.0)).as("coef"))
+  }
+
   /** PageRank over an UNDIRECTED edge list (id_a, id_b): each edge
     * contributes in both directions, so every node has out-degree ≥ 1
     * and the dangling-mass term vanishes. `iters` synchronous rounds
