@@ -182,6 +182,34 @@ private[graft] object ExtLayout {
     }),
 
 
+    // row-level DELETE through the manifest (copy-on-write): two
+    // appends, then deleteWhere(doc_id % 5 = 0) races a CONCURRENT
+    // append of the third split (injected between the victim rewrite
+    // and the commit). The racing append's rows ALL survive — they
+    // landed after the victim scan, the snapshot-isolation reading of
+    // DELETE+INSERT — including its own doc_id%5=0 rows; losing the
+    // append, double-counting a rewritten file, or deleting from the
+    // racing batch each fails the hash.
+    "x_manifest_delete" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_del")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      graft.operators.ManifestTable.init(root)
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 3 === 0))
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 3 === 1))
+      graft.operators.ManifestTable.deleteWhere(s, root,
+        F.col("doc_id") % 5 === 0,
+        beforeCommit = () => {
+          graft.operators.ManifestTable.append(s, root,
+            docs.filter(F.col("doc_id") % 3 === 2)); ()
+        })
+      graft.operators.ManifestTable.read(s, root)
+    }),
+
+
     // ---- multimodal plumbing (column twin of the decode stage) ----
     "x_multimodal_meta" -> ((s, dir) =>
       Multimodal.metaColumns(Tables.scan(s, dir, "documents"), "doc_id", "text")),
@@ -434,6 +462,14 @@ private[graft] object ExtLayout {
     // append or a double-counted rewritten file fails the hash
     "x_compact_manifest" ->
       "SELECT doc_id, lang, source FROM documents",
+
+    // deleteWhere ran against the first two splits only; the racing
+    // third-split append post-dates the victim scan, so its rows all
+    // survive — including doc_id % 5 = 0
+    "x_manifest_delete" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        "WHERE (doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0) " +
+        "OR doc_id % 3 = 2"),
 
     // replays the batch split: rows/chars over ALL docs (lossless
     // across the schema seam), the evolved-column count/sum over

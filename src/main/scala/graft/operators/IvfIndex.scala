@@ -93,6 +93,10 @@ object IvfIndex {
       F.col("nrm").as("c_nrm"), F.col("cell"))
     val cents = Similarity.collectCentroids(index.centroids,
       index.idCol, index.vecCol)
+    // same guard as the per-query ivfTopK path: an empty/corrupt
+    // centroids frame should fail HERE with a clear message, not as
+    // an opaque empty-probe error downstream
+    require(cents.nonEmpty, "topK needs at least one centroid")
     val queryCells = Similarity.probeQueryCells(
       index.assigned.sparkSession, queries, cents,
       index.idCol, index.vecCol, nprobe, maxDriverQueryRows)

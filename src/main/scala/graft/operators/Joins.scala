@@ -132,10 +132,38 @@ object Joins {
     * automatically; the explicit form works on any join and makes the
     * sizing (`fpp`, key count) a caller decision. The key-set count
     * and Bloom build are two eager passes over the DIM side only.
-    * Long-typed keys (the fixture's FK shape). */
+    * Long-typed keys (the fixture's FK shape).
+    *
+    * BROADCAST LIFETIME: the Bloom broadcast must stay alive as long
+    * as the returned LAZY frame can re-execute, so this form cannot
+    * destroy it — the ~`nKeys`·log2(1/fpp)-bit blob is pinned on the
+    * driver (and each executor that ran a task) until the session
+    * ends. For a long-lived session issuing many of these, use
+    * [[withBloomFilteredJoin]], which scopes the broadcast to a
+    * callback and destroys it on exit. */
   def bloomFilteredJoin(fact: DataFrame, factKey: String,
                         dim: DataFrame, dimKey: String,
-                        fpp: Double = 0.01): DataFrame = {
+                        fpp: Double = 0.01): DataFrame =
+    buildBloomJoin(fact, factKey, dim, dimKey, fpp)._1
+
+  /** Scoped [[bloomFilteredJoin]]: `use` must run every action it
+    * needs on the joined frame; the Bloom broadcast is destroyed when
+    * it returns, releasing the driver/executor memory immediately
+    * instead of at session end. The frame must NOT escape `use` —
+    * re-executing it after the destroy fails. */
+  def withBloomFilteredJoin[T](fact: DataFrame, factKey: String,
+                               dim: DataFrame, dimKey: String,
+                               fpp: Double = 0.01)
+                              (use: DataFrame => T): T = {
+    val (joined, bc) = buildBloomJoin(fact, factKey, dim, dimKey, fpp)
+    try use(joined) finally bc.destroy()
+  }
+
+  private def buildBloomJoin(fact: DataFrame, factKey: String,
+                             dim: DataFrame, dimKey: String, fpp: Double)
+      : (DataFrame,
+         org.apache.spark.broadcast.Broadcast[
+           org.apache.spark.util.sketch.BloomFilter]) = {
     val keys = dim.select(F.col(dimKey)).distinct().cache()
     val nKeys = math.max(keys.count(), 1L)
     val bloomBc = fact.sparkSession.sparkContext
@@ -146,7 +174,7 @@ object Joins {
     // two-sided qualified refs: F.col(factKey) against the joined plan
     // would be AMBIGUOUS whenever both sides use the same key name
     val filtered = fact.filter(mightContain(F.col(factKey)))
-    filtered.join(dim, filtered(factKey) === dim(dimKey))
+    (filtered.join(dim, filtered(factKey) === dim(dimKey)), bloomBc)
   }
 
   /** Skew-safe equi-join (scale utility): salts the skewed (left)

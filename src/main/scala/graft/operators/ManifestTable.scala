@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 
 /** Manifest-pointer parquet table — compaction (and any rewrite)
   * safe under concurrent appends and live readers, without a table
@@ -87,26 +87,67 @@ object ManifestTable {
     } finally Files.deleteIfExists(tmp)
   }
 
+  private def intentDir(root: String): Path =
+    Paths.get(root, "manifest", "intents")
+
+  /** Write-intent entries: one marker per in-flight `data/<token>/`
+    * write. [[vacuum]] spares any file under a token with a live
+    * intent REGARDLESS of mtime/grace, so a writer stalled between
+    * [[writeData]] and its commit can never have its files vacuumed
+    * out from under it and then publish a manifest of dead paths.
+    * The intent is cleared once the writer's commit loop resolves
+    * (committed OR aborted — aborted files become plain orphans and
+    * age out under the grace). */
+  private def registerIntent(root: String, token: String): Unit = {
+    Files.createDirectories(intentDir(root))
+    try Files.createFile(intentDir(root).resolve(token))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  private def clearIntent(root: String, token: String): Unit =
+    Files.deleteIfExists(intentDir(root).resolve(token))
+
+  private def liveIntents(root: String): Set[String] = {
+    val dir = intentDir(root)
+    if (!Files.isDirectory(dir)) return Set.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toSet
+    finally s.close()
+  }
+
+  /** The `data/<token>/` segment of a root-relative file path. */
+  private def tokenOf(relPath: String): Option[String] = {
+    val parts = relPath.split('/')
+    if (parts.length >= 2 && parts(0) == "data") Some(parts(1)) else None
+  }
+
   /** Write `df` as immutable data files; returns their root-relative
-    * paths. Not yet visible — a commit must reference them. */
+    * paths and the write token (whose intent the CALLER must clear
+    * once its commit loop resolves). Not yet visible — a commit must
+    * reference them. */
   private def writeData(spark: SparkSession, root: String,
-                        df: DataFrame): Seq[String] = {
+                        df: DataFrame): (Seq[String], String) = {
     val token = java.util.UUID.randomUUID().toString
+    registerIntent(root, token)
     val dir = s"data/$token"
     df.write.parquet(s"$root/$dir")
     val d = Paths.get(root, dir)
     val s = Files.list(d)
-    try s.iterator().asScala
+    try (s.iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .map(n => s"$dir/$n").toSeq.sorted
+      .map(n => s"$dir/$n").toSeq.sorted, token)
     finally s.close()
   }
 
-  /** Append `df` as a new snapshot; returns the committed version. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Snapshot = {
-    val newFiles = writeData(spark, root, df)
-    commitLoop(root) { cur => cur.files ++ newFiles }
+  /** Append `df` as a new snapshot; returns the committed version.
+    * `beforeCommit` is a test seam for injecting a concurrent
+    * vacuum/writer between the data write and the commit. */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+             beforeCommit: () => Unit = () => ()): Snapshot = {
+    val (newFiles, token) = writeData(spark, root, df)
+    try { beforeCommit(); commitLoop(root) { cur => cur.files ++ newFiles } }
+    finally clearIntent(root, token)
   }
 
   /** The latest snapshot's rows. */
@@ -136,24 +177,96 @@ object ManifestTable {
     val bytes = base.files
       .map(f => Files.size(Paths.get(root, f))).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val compacted = writeData(spark, root,
+    val (compacted, token) = writeData(spark, root,
       spark.read.parquet(base.files.map(f => s"$root/$f"): _*).repartition(n))
-    beforeCommit()
-    val baseSet = base.files.toSet
+    try {
+      beforeCommit()
+      val baseSet = base.files.toSet
+      var result: Option[Snapshot] = None
+      while (result.isEmpty) {
+        val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
+        if (!baseSet.subsetOf(cur.files.toSet)) {
+          // a conflicting rewrite committed first — our rewrite is
+          // stale; the files it wrote are unreferenced and will be
+          // vacuumed once the orphan grace passes
+          result = Some(cur)
+        } else {
+          // conflict-free merge: files that appeared since the base
+          // snapshot are appends — keep them alongside the compacted set
+          val files = compacted ++ cur.files.filterNot(baseSet)
+          if (tryCommit(root, cur.version + 1, files))
+            result = Some(Snapshot(cur.version + 1, files))
+        }
+      }
+      result.get
+    } finally clearIntent(root, token)
+  }
+
+  /** Row-level DELETE — copy-on-write rewrite of ONLY the files that
+    * contain victim rows, committed through the same optimistic loop.
+    * The scale-store counterpart of the reference's own S7 delete
+    * (`classes/hive/model.php:831-853`) and the primitive a
+    * takedown/retraction pass needs: at 100 TB a purge touches the
+    * handful of files holding the victim ids, never the table.
+    *
+    *  - locating victims reads the base snapshot WITH the predicate
+    *    pushed to the parquet scan (only matching row-groups
+    *    decode) and collects one file path per AFFECTED file — a
+    *    metadata-scale collect, bounded by the file count;
+    *  - untouched files are carried into the new snapshot by
+    *    reference — their bytes are never read or rewritten;
+    *  - commit semantics differ from [[compact]] on conflict: a
+    *    compaction abort is safe (the data is unchanged, only its
+    *    layout), but a delete MUST apply — if a concurrent rewrite
+    *    replaced an affected file, the whole pass RESTARTS against
+    *    the new snapshot instead of aborting. Concurrent appends
+    *    merge conflict-free exactly as in compact (their files are
+    *    outside the affected set) — note an append racing in rows
+    *    matching `predicate` lands AFTER this delete's victim scan
+    *    and survives it, the standard snapshot-isolation reading of
+    *    a concurrent DELETE + INSERT.
+    * `beforeCommit` is the usual race-injection test seam. */
+  def deleteWhere(spark: SparkSession, root: String, predicate: Column,
+                  beforeCommit: () => Unit = () => ()): Snapshot = {
     var result: Option[Snapshot] = None
     while (result.isEmpty) {
-      val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
-      if (!baseSet.subsetOf(cur.files.toSet)) {
-        // a conflicting rewrite committed first — our rewrite is
-        // stale; the files it wrote are unreferenced and will be
-        // vacuumed once the orphan grace passes
-        result = Some(cur)
-      } else {
-        // conflict-free merge: files that appeared since the base
-        // snapshot are appends — keep them alongside the compacted set
-        val files = compacted ++ cur.files.filterNot(baseSet)
-        if (tryCommit(root, cur.version + 1, files))
-          result = Some(Snapshot(cur.version + 1, files))
+      val base = latest(root).getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      if (base.files.isEmpty) result = Some(base)
+      else {
+        val scan = spark.read.parquet(base.files.map(f => s"$root/$f"): _*)
+        val affectedAbs = scan.filter(predicate)
+          .select(F.input_file_name().as("__file")).distinct()
+          .collect().map(_.getString(0))
+        val affected = base.files.filter(f =>
+          affectedAbs.exists(_.endsWith(s"/$f")))
+        if (affected.isEmpty) result = Some(base)
+        else {
+          // survivors of ONLY the affected files; null predicate
+          // results keep the row (DELETE semantics: NULL is not TRUE)
+          val survivors = spark.read
+            .parquet(affected.map(f => s"$root/$f"): _*)
+            .filter(!F.coalesce(predicate, F.lit(false)))
+          val (newFiles, token) = writeData(spark, root, survivors)
+          try {
+            beforeCommit()
+            val affectedSet = affected.toSet
+            var retryScan = false
+            while (result.isEmpty && !retryScan) {
+              val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
+              if (!affectedSet.subsetOf(cur.files.toSet)) {
+                // a rewrite replaced our victims' files — the delete
+                // must still apply, so re-scan against the new
+                // snapshot; our rewritten files become orphans
+                retryScan = true
+              } else {
+                val files = cur.files.filterNot(affectedSet) ++ newFiles
+                if (tryCommit(root, cur.version + 1, files))
+                  result = Some(Snapshot(cur.version + 1, files))
+              }
+            }
+          } finally clearIntent(root, token)
+        }
       }
     }
     result.get
@@ -173,21 +286,27 @@ object ManifestTable {
     committed.get
   }
 
-  /** Delete data files unreferenced by the LATEST manifest. Two
-    * retention gates the caller owns:
-    *  - reader retention: run only after readers pinned to older
-    *    versions have drained;
-    *  - `orphanGraceMillis`: files YOUNGER than this are spared even
-    *    when unreferenced — an in-flight append/compaction has
-    *    already written its data files but not yet committed its
-    *    manifest, and deleting them would let the writer publish a
-    *    manifest of dead paths (the orphan-retention rule every
-    *    snapshot store carries). Pass 0 only when no writer can be
-    *    in flight.
+  /** Delete data files unreferenced by the LATEST manifest. Three
+    * retention gates:
+    *  - reader retention (caller's): run only after readers pinned to
+    *    older versions have drained;
+    *  - WRITE INTENTS (structural): a file whose `data/<token>/`
+    *    write is still in flight — intent registered at
+    *    [[writeData]], cleared when the writer's commit loop
+    *    resolves — is spared unconditionally, however old. This
+    *    closes the stalled-writer hole mtime grace alone leaves: a
+    *    writer paused longer than the grace between writeData and
+    *    commit can no longer have its files vacuumed and then
+    *    publish a manifest of dead paths;
+    *  - `orphanGraceMillis` (caller's): intent-LESS files younger
+    *    than this are still spared — belt-and-braces for externally
+    *    written data. With the intent guard, 0 is safe for files
+    *    written through this object's own writers.
     * Returns deleted paths. */
   def vacuum(root: String,
              orphanGraceMillis: Long = 24L * 3600 * 1000): Seq[String] = {
     val live = latest(root).map(_.files.toSet).getOrElse(Set.empty)
+    val intents = liveIntents(root)
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - orphanGraceMillis
@@ -198,6 +317,7 @@ object ManifestTable {
           Files.getLastModifiedTime(p).toMillis < cutoff)
         .map(p => Paths.get(root).relativize(p).toString)
         .filterNot(live)
+        .filterNot(v => tokenOf(v).exists(intents))
         .toSeq
       finally all.close()
     victims.foreach(v => Files.deleteIfExists(Paths.get(root, v)))

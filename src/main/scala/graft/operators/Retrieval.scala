@@ -158,7 +158,9 @@ object Retrieval {
     val deg = e.select(F.col("id_a").as("id"))
       .unionByName(e.select(F.col("id_b").as("id")))
       .groupBy("id").agg(F.count(F.lit(1)).as("degree"))
-    val tri = triangleCounts(e)
+    // forward the dir: the inner pins must stay reliable on a real
+    // cluster too, not silently fall back to localCheckpoint
+    val tri = triangleCounts(e, reliableCheckpointDir)
     deg.join(tri, Seq("id"), "left")
       .select(F.col("id"), F.col("degree"),
         F.coalesce(F.col("n_triangles"), F.lit(0L)).as("n_triangles"),

@@ -162,25 +162,36 @@ object StreamingOps {
     val result =
       try {
         val r = body
-        // drain: every started query must have terminated (events for
-        // a query are posted in order, so termination implies its
-        // progress events are already in)
+        // drain: every query started UNDER this listener must have
+        // terminated (events for a query are posted in order, so
+        // termination implies its progress events are already in).
+        // Scope both sides to ids seen in onQueryStarted: a query
+        // started BEFORE the listener attached that terminates during
+        // body posts an ended id that was never in started — comparing
+        // raw sets would spin the full deadline and then fail even
+        // though our own queries drained fine.
         val deadline = System.nanoTime() + drainMillis * 1000000L
         import scala.jdk.CollectionConverters._
-        while (!ended.asScala.toSet.equals(started.asScala.toSet) &&
+        while (!started.asScala.toSet.subsetOf(ended.asScala.toSet) &&
                System.nanoTime() < deadline) Thread.sleep(20)
-        require(ended.asScala.toSet.equals(started.asScala.toSet),
+        require(started.asScala.toSet.subsetOf(ended.asScala.toSet),
           "streaming listener events did not drain within the deadline")
         r
       } finally spark.streams.removeListener(listener)
     import scala.jdk.CollectionConverters._
+    // scope the roll-up to queries started under the listener —
+    // progress events from unrelated concurrent queries (one started
+    // before attach, a foreign stream on the shared session) must not
+    // be swept into the observation map
+    val startedIds = started.asScala.toSet
     // group by the query ID, not the name: unnamed queries have a
     // null name, and two same-named queries (a restart inside body,
     // parallel per-source queries) would otherwise merge into one
     // bogus roll-up with interleaved batch ids. The returned map is
     // keyed by name where one exists and is unique; collisions and
     // nameless queries fall back to "<name>#<id>" / the id.
-    val byId = progresses.asScala.toSeq.groupBy(_.id)
+    val byId = progresses.asScala.toSeq
+      .filter(p => startedIds.contains(p.id)).groupBy(_.id)
     val nameCounts = byId.values
       .flatMap(ps => Option(ps.head.name)).groupBy(identity)
       .map { case (n, c) => n -> c.size }

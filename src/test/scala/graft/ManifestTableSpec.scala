@@ -109,4 +109,123 @@ class ManifestTableSpec extends SparkSpec {
       !java.nio.file.Files.exists(java.nio.file.Paths.get(root, f))),
       "vacuum left the superseded snapshot fully intact")
   }
+
+  test("deleteWhere rewrites only affected files; a racing append loses nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest5").toString
+    ManifestTable.init(root)
+    // two disjoint batches → disjoint file sets; victims live only
+    // in the first batch's files
+    ManifestTable.append(spark, root, batch(0, 100))
+    ManifestTable.append(spark, root, batch(1000, 1100))
+    val before = ManifestTable.latest(root).get.files
+    val untouched = before.filter { f =>
+      idsOf(root, Seq(f)).forall(_ >= 1000L)
+    }
+    // delete ids 0..49, racing an append between rewrite and commit
+    val snap = ManifestTable.deleteWhere(spark, root, F.col("id") < 50,
+      beforeCommit = () =>
+        { ManifestTable.append(spark, root, batch(2000, 2050)); () })
+    assert(ids(root) ==
+      ((50L until 100L) ++ (1000L until 1100L) ++ (2000L until 2050L)).toSet,
+      "deleteWhere lost the racing append or deleted the wrong rows")
+    // copy-on-write: files with no victims are carried by REFERENCE
+    val after = ManifestTable.latest(root).get.files.toSet
+    assert(untouched.nonEmpty && untouched.forall(after),
+      "deleteWhere rewrote files that held no victim rows")
+    assert(ManifestTable.latest(root).get.version == snap.version)
+  }
+
+  test("deleteWhere null predicate rows survive; no-victim delete is a no-op snapshot") {
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest6").toString
+    ManifestTable.init(root)
+    val withNulls = batch(0, 10).withColumn("payload",
+      F.when(F.col("id") < 5, F.col("payload")))
+    ManifestTable.append(spark, root, withNulls)
+    // payload = 'row7' is NULL for ids >= 5 → those rows must SURVIVE
+    ManifestTable.deleteWhere(spark, root, F.col("payload") === "row3")
+    assert(ids(root) == ((0L until 10L).toSet - 3L))
+    val v = ManifestTable.latest(root).get.version
+    val snap = ManifestTable.deleteWhere(spark, root, F.col("id") === 999L)
+    assert(snap.version == v, "no-victim delete committed a new version")
+  }
+
+  test("vacuum mid-write spares the in-flight writer's files (intent guard)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest7").toString
+    ManifestTable.init(root)
+    ManifestTable.append(spark, root, batch(0, 50))
+    // vacuum with ZERO grace between the writer's data write and its
+    // commit: without the intent guard the freshly written files are
+    // unreferenced + past the (zero) grace and get deleted, and the
+    // writer then publishes a manifest of dead paths
+    var vacuumed: Seq[String] = null
+    ManifestTable.append(spark, root, batch(50, 100),
+      beforeCommit = () =>
+        { vacuumed = ManifestTable.vacuum(root, orphanGraceMillis = 0) })
+    // committed appends' _SUCCESS/.crc sidecars are fair game (never
+    // manifest-referenced); what the intent guard must protect is
+    // every DATA file of the in-flight write
+    assert(vacuumed.forall(p =>
+        p.endsWith(".crc") || p.endsWith("_SUCCESS")),
+      s"vacuum deleted an in-flight writer's data files: $vacuumed")
+    assert(ids(root) == (0L until 100L).toSet,
+      "writer lost rows to a concurrent vacuum")
+    // with the write committed (intent cleared), a zero-grace vacuum
+    // still deletes true orphans — the guard is scoped, not a disable
+    val orphan = java.nio.file.Paths.get(root, "data", "orphan-tok")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-dead.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(ManifestTable.vacuum(root, orphanGraceMillis = 0)
+      .contains("data/orphan-tok/part-dead.parquet"))
+  }
+
+  test("multi-writer stress: concurrent appenders + a compactor lose nothing, versions dense") {
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest8").toString
+    ManifestTable.init(root)
+    val nWriters = 4
+    val perWriter = 3
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(nWriters + 1)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def submit(bodyFn: () => Unit): Unit = {
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try bodyFn() catch { case t: Throwable => failures.add(t) }
+        }
+      }); ()
+    }
+    for (w <- 0 until nWriters) submit { () =>
+      for (b <- 0 until perWriter) {
+        val lo = (w * perWriter + b) * 100L
+        ManifestTable.append(spark, root, batch(lo, lo + 100))
+      }
+    }
+    submit { () =>
+      for (_ <- 0 until 3)
+        ManifestTable.compact(spark, root, targetFileBytes = 1L << 20)
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "stress timed out")
+    assert(failures.isEmpty, s"writer threw: ${failures.peek()}")
+    // every appended row exactly once
+    val rows = ManifestTable.read(spark, root).select("id").as[Long].collect()
+    val expect = (0L until nWriters * perWriter * 100L).toSet
+    assert(rows.length == expect.size,
+      s"${rows.length} rows vs ${expect.size}: lost or duplicated under contention")
+    assert(rows.toSet == expect)
+    // versions dense: v0..vMax all published, none skipped
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "manifest"))
+    val versions =
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") => n.stripPrefix("v").toInt }
+        .toSet
+      finally s.close()
+    assert(versions == (0 to versions.max).toSet,
+      s"version chain has gaps: ${versions.toSeq.sorted}")
+  }
 }
