@@ -217,6 +217,49 @@ private[graft] object ExtDedup {
     }),
 
 
+    // retraction/takedown propagation: the standing corpus (manifest
+    // table) + signature store ingest two splits, then every stored
+    // id divisible by 5 is PURGED from both (copy-on-write manifest
+    // delete + per-generation signature rewrite + vacuum), and a
+    // third split ingests against the purged store. The output is the
+    // corpus AFTER the whole lifecycle — it grades three semantics at
+    // once: victims vanish, survivors keep their rows, and batch-3
+    // docs whose only near-dups were purged are RE-ADMITTED (dedup
+    // against the purged store must behave as if the victims never
+    // existed — rebuilt-from-scratch equivalence, pinned row-exactly
+    // by the oracle's replay and structurally by RetractionSpec).
+    "x_retract" -> ((s, dir) => {
+      val corpusRoot = layoutDir(dir, "retract_corpus")
+      val sigRoot = layoutDir(dir, "retract_sigs")
+      deleteRec(new java.io.File(corpusRoot))
+      deleteRec(new java.io.File(sigRoot))
+      val docs = Tables.scan(s, dir, "documents")
+      val slim = (df: org.apache.spark.sql.DataFrame) =>
+        df.select("doc_id", "lang", "source")
+      val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
+      graft.operators.ManifestTable.init(corpusRoot)
+      graft.operators.ManifestTable.append(s, corpusRoot,
+        slim(docs.filter(F.col("doc_id") % 3 === 1)))
+      SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 1),
+        "doc_id", "text", sigRoot, MINHASH_K, NGRAM_BANDS, shingles3)
+      val kept1 = SignatureStore.ingest(s, sigRoot,
+        docs.filter(F.col("doc_id") % 3 === 2),
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
+      graft.operators.ManifestTable.append(s, corpusRoot, slim(kept1))
+      import s.implicits._
+      val victims = SignatureStore.signatures(s, sigRoot)
+        .select("doc_id").distinct().filter(F.col("doc_id") % 5 === 0)
+        .as[Long].collect().toSeq.sorted
+      graft.operators.Retraction.purge(s, victims, "doc_id",
+        corpusRoot = Some(corpusRoot), signatureRoot = Some(sigRoot))
+      val kept2 = SignatureStore.ingest(s, sigRoot,
+        docs.filter(F.col("doc_id") % 3 === 0),
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
+      graft.operators.ManifestTable.append(s, corpusRoot, slim(kept2))
+      graft.operators.ManifestTable.read(s, corpusRoot)
+    }),
+
+
     // word-trigram shingle Jaccard: order-sensitive near-dup — the
     // shingle unit separates true edits/reorders from shared
     // vocabulary. More, narrower bands (8×2) than the word-level query:
@@ -428,6 +471,43 @@ private[graft] object ExtDedup {
         "UNION ALL " +
         "SELECT d.doc_id, CAST(2 AS BIGINT) AS batch, d.lang, d.source " +
         "FROM documents d JOIN kept2 k ON d.doc_id = k.doc_id"),
+
+    // retraction replay: store after ingest 1 = split-1 signatures +
+    // surviving split-2 signatures; the purge drops every stored id
+    // divisible by 5; split 0 then probes the PURGED store. Final
+    // corpus = purged survivors ∪ batch-3 keeps.
+    "x_retract" ->
+      (s"WITH ${shingleToksCte(3)}, " +
+        s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
+        s"bands AS (${bandRowsSql(NGRAM_BANDS)}), " +
+        "b0 AS (SELECT * FROM bands WHERE doc_id % 3 = 1), " +
+        "b1 AS (SELECT * FROM bands WHERE doc_id % 3 = 2), " +
+        "b2 AS (SELECT * FROM bands WHERE doc_id % 3 = 0), " +
+        "drop1in AS (SELECT DISTINCT r.doc_id FROM b1 l JOIN b1 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+        "drop1x AS (SELECT DISTINCT l.doc_id FROM b1 l JOIN b0 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"WHERE $estSql >= 0.5), " +
+        "kept1 AS (SELECT DISTINCT doc_id FROM b1 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drop1in) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drop1x)), " +
+        "store2 AS (SELECT * FROM b0 UNION ALL " +
+        "SELECT * FROM b1 WHERE doc_id IN (SELECT doc_id FROM kept1)), " +
+        "purged AS (SELECT * FROM store2 WHERE doc_id % 5 <> 0), " +
+        "drop2in AS (SELECT DISTINCT r.doc_id FROM b2 l JOIN b2 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+        "drop2x AS (SELECT DISTINCT l.doc_id FROM b2 l JOIN purged r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"WHERE $estSql >= 0.5), " +
+        "kept2 AS (SELECT DISTINCT doc_id FROM b2 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drop2in) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drop2x)), " +
+        "final AS (SELECT DISTINCT doc_id FROM purged " +
+        "UNION SELECT doc_id FROM kept2) " +
+        "SELECT d.doc_id, d.lang, d.source " +
+        "FROM documents d JOIN final f ON d.doc_id = f.doc_id"),
 
     "x_dedup_jaccard" -> jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8),
 

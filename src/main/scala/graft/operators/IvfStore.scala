@@ -64,4 +64,17 @@ object IvfStore {
       .parquet(s"${assignedRoot(root)}/gen=$nextGen")
     idx.copy(assigned = idx.assigned.unionByName(appended))
   }
+
+  /** Purge victim ids from the standing index's assignment
+    * generations — the retraction path ([[SignatureStore.purge]]
+    * semantics and machinery; same single-writer contract). Centroids
+    * are untouched: they are aggregates, not per-document state, and
+    * carry no retrievable victim content — a purge only has to make
+    * the victims unfindable (no assignment row → never a search
+    * candidate → absent from every top-k). If mass removal skews the
+    * cell balance, the standing [[IvfIndex.imbalance]] audit catches
+    * it and triggers the usual retrain. Returns removed row count. */
+  def purge(spark: SparkSession, root: String,
+            victims: Seq[Long]): Long =
+    SignatureStore.purge(spark, assignedRoot(root), "id", victims)
 }

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.Text
+import graft.operators.{IvfIndex, IvfStore, ManifestTable, Retraction,
+  SignatureStore}
+import graft.sources.Tables
+
+/** Retraction/takedown: a purge must (a) leave NO victim id in any
+  * store file on disk, (b) leave every store row-identical to a store
+  * rebuilt from scratch on the purged corpus, and (c) make purged
+  * content re-admittable. */
+class RetractionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 16
+  private val BANDS = 8
+  private val TAU = 0.5
+  private def sh3(c: org.apache.spark.sql.Column) = Text.distinctShingles(c, 3)
+
+  /** Every id present in any parquet file under `root`, read from the
+    * FILES directly (no manifest/glob indirection — this is the
+    * is-it-really-gone-from-disk check). */
+  private def diskIds(root: String, idCol: String): Set[Long] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    val files =
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(_.toString).toSeq
+      finally s.close()
+    if (files.isEmpty) Set.empty
+    else spark.read.parquet(files: _*)
+      .select(F.col(idCol).cast("long")).distinct()
+      .as[Long].collect().toSet
+  }
+
+  test("tri-store purge: victims gone from disk, stores identical to a from-scratch rebuild on the purged corpus") {
+    val docs = Tables.scan(spark, sf, "documents")
+    val corpus = docs.filter(F.col("doc_id") % 3 =!= 0)
+      .select("doc_id", "text", "lang", "source")
+    val batch = docs.filter(F.col("doc_id") % 3 === 0)
+      .select("doc_id", "text", "lang", "source")
+
+    val corpusRoot = Workspace.dir("retract_corpus")
+    val sigRoot = Workspace.dir("retract_sigs")
+    Seq(corpusRoot, sigRoot).foreach(r =>
+      ExtShared.deleteRec(new java.io.File(r)))
+
+    // standing pipeline: manifest corpus + signature store, batch
+    // ingested through the store, survivors appended to the corpus
+    ManifestTable.init(corpusRoot)
+    ManifestTable.append(spark, corpusRoot, corpus)
+    SignatureStore.init(corpus, "doc_id", "text", sigRoot, K, BANDS, sh3)
+    val kept = SignatureStore
+      .ingest(spark, sigRoot, batch, "doc_id", "text", K, BANDS, TAU, sh3)
+    ManifestTable.append(spark, corpusRoot, kept)
+
+    val storedIds = SignatureStore.signatures(spark, sigRoot)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val victims = storedIds.filter(_ % 5 == 0).toSeq.sorted
+    assert(victims.nonEmpty, "fixture produced no victims")
+
+    val report = Retraction.purge(spark, victims, "doc_id",
+      corpusRoot = Some(corpusRoot), signatureRoot = Some(sigRoot))
+    assert(report.corpusRows == victims.size,
+      s"corpus removed ${report.corpusRows} rows for ${victims.size} victims")
+    assert(report.signatureRows == victims.size.toLong * BANDS,
+      "signature store did not remove exactly bands rows per victim")
+
+    // (a) NOTHING survives on disk — including superseded manifest
+    // snapshot files (vacuumed by the purge) and rewritten gen dirs
+    assert(diskIds(corpusRoot, "doc_id").intersect(victims.toSet).isEmpty,
+      "victim rows still readable in corpus data files")
+    assert(diskIds(sigRoot, "doc_id").intersect(victims.toSet).isEmpty,
+      "victim signatures still readable in store files")
+
+    // (b) row-identical to a from-scratch rebuild on the purged corpus
+    val purgedCorpus = ManifestTable.read(spark, corpusRoot)
+    assert(purgedCorpus.select("doc_id").as[Long].collect().toSet ==
+      storedIds -- victims)
+    val rebuiltRoot = Workspace.dir("retract_rebuilt")
+    ExtShared.deleteRec(new java.io.File(rebuiltRoot))
+    SignatureStore.init(purgedCorpus, "doc_id", "text", rebuiltRoot,
+      K, BANDS, sh3)
+    val sigCols = Seq("doc_id", "band_idx", "band_hash") ++
+      (0 until K).map(i => s"mh$i")
+    def rows(root: String) = SignatureStore.signatures(spark, root)
+      .select(sigCols.map(F.col): _*).collect().map(_.toSeq).toSet
+    assert(rows(sigRoot) == rows(rebuiltRoot),
+      "purged store differs from a rebuild on the purged corpus")
+  }
+
+  test("vector-store purge: assignments gone from disk, search identical to re-assigning the purged vectors") {
+    val emb = Tables.scan(spark, sf, "embeddings")
+    val ivfRoot = Workspace.dir("retract_ivf")
+    ExtShared.deleteRec(new java.io.File(ivfRoot))
+    IvfStore.init(emb, "vec_id", "embedding", k = 4, iters = 3, ivfRoot)
+    val victims = emb.filter(F.col("vec_id") % 7 === 0)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(victims.nonEmpty)
+
+    val report = Retraction.purge(spark, victims, "vec_id",
+      ivfRoot = Some(ivfRoot))
+    assert(report.vectorRows == victims.size.toLong)
+    assert(report.corpusRows == -1L && report.signatureRows == -1L)
+    assert(diskIds(s"$ivfRoot/assigned", "id")
+      .intersect(victims.toSet).isEmpty,
+      "victim vectors still readable in assignment files")
+
+    // rebuild = re-assign the purged vectors against the SAME stored
+    // centroids (assignment is deterministic given centroids);
+    // append-on-an-emptied-index is exactly that assignment path
+    val idx = IvfStore.load(spark, ivfRoot, "vec_id", "embedding")
+    val rebuilt = IvfIndex.append(
+      idx.copy(assigned = idx.assigned.limit(0)),
+      emb.filter(!F.col("vec_id").isin(victims: _*))).assigned
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell").collect()
+        .map(r => (r.getLong(0), r.getAs[Number]("cell").longValue())).toSet
+    assert(cells(idx.assigned) == cells(rebuilt),
+      "purged assignments differ from re-assigning the purged corpus")
+    // and search over the purged store never returns a victim
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val hits = IvfIndex.topK(idx, queries, k = 10, nprobe = 2)
+      .select("match_id").as[Long].collect().toSet
+    assert(hits.intersect(victims.toSet).isEmpty,
+      "a purged vector surfaced in post-purge search results")
+  }
+
+  test("re-admission: a near-copy of a purged doc is admitted where it was dropped before") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "unrelated words about lambda mu nu xi omicron pi rho sigma"))
+      .toDF("doc_id", "text")
+    val root = Workspace.dir("retract_readmit")
+    ExtShared.deleteRec(new java.io.File(root))
+    SignatureStore.init(base, "doc_id", "text", root, K, BANDS, sh3)
+
+    val copyOf1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dropped = SignatureStore.ingest(spark, root,
+      Seq((10L, copyOf1)).toDF("doc_id", "text"),
+      "doc_id", "text", K, BANDS, TAU, sh3)
+    assert(dropped.count() == 0L, "exact copy was not dropped pre-purge")
+
+    SignatureStore.purge(spark, root, "doc_id", Seq(1L))
+    val admitted = SignatureStore.ingest(spark, root,
+      Seq((11L, copyOf1)).toDF("doc_id", "text"),
+      "doc_id", "text", K, BANDS, TAU, sh3)
+    assert(admitted.select("doc_id").as[Long].collect().toSeq == Seq(11L),
+      "near-copy of a purged doc was still suppressed after the purge")
+  }
+}
