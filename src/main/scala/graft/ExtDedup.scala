@@ -217,6 +217,31 @@ private[graft] object ExtDedup {
     }),
 
 
+    // streaming ingest into the standing signature store: the corpus
+    // arrives as THREE single-file micro-batches (mtime-pinned
+    // arrival order, one file per trigger) through a foreachBatch
+    // sink whose generation commit is idempotent (gen dir = commit
+    // record — StreamingSpec replays a batch and proves the store
+    // bytes don't move). Output = final store membership with the
+    // admitting batch, so a lost batch, a double-committed replay,
+    // or a wrong probe order each fails the hash.
+    "x_stream_neardup_store" -> ((s, dir) => {
+      val root = layoutDir(dir, "stream_sigstore")
+      val batches = layoutDir(dir, "stream_sigstore_in")
+      deleteRec(new java.io.File(root))
+      deleteRec(new java.io.File(batches))
+      new java.io.File(batches).mkdirs()
+      val docs = Tables.scan(s, dir, "documents")
+      for (i <- 0 until 3)
+        writeSingleFile(docs.filter(F.col("doc_id") % 3 === i),
+          s"$batches/ingest_$i.parquet", 1000000000000L + i * 60000L)
+      val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
+      graft.streaming.StreamingOps.streamingNeardupStore(s, batches, root,
+          "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
+        .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+    }),
+
+
     // retraction/takedown propagation: the standing corpus (manifest
     // table) + signature store ingest two splits, then every stored
     // id divisible by 5 is PURGED from both (copy-on-write manifest
@@ -471,6 +496,50 @@ private[graft] object ExtDedup {
         "UNION ALL " +
         "SELECT d.doc_id, CAST(2 AS BIGINT) AS batch, d.lang, d.source " +
         "FROM documents d JOIN kept2 k ON d.doc_id = k.doc_id"),
+
+    // streaming store replay: three sequential micro-batches from an
+    // EMPTY store — batch b dedups in-batch, then against the union
+    // of all prior batches' SURVIVOR signatures
+    "x_stream_neardup_store" ->
+      (s"WITH ${shingleToksCte(3)}, " +
+        s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
+        s"bands AS (${bandRowsSql(NGRAM_BANDS)}), " +
+        "b0 AS (SELECT * FROM bands WHERE doc_id % 3 = 0), " +
+        "b1 AS (SELECT * FROM bands WHERE doc_id % 3 = 1), " +
+        "b2 AS (SELECT * FROM bands WHERE doc_id % 3 = 2), " +
+        "drop0in AS (SELECT DISTINCT r.doc_id FROM b0 l JOIN b0 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+        "kept0 AS (SELECT DISTINCT doc_id FROM b0 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drop0in)), " +
+        "store1 AS (SELECT * FROM b0 " +
+        "WHERE doc_id IN (SELECT doc_id FROM kept0)), " +
+        "drop1in AS (SELECT DISTINCT r.doc_id FROM b1 l JOIN b1 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+        "drop1x AS (SELECT DISTINCT l.doc_id FROM b1 l JOIN store1 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"WHERE $estSql >= 0.5), " +
+        "kept1 AS (SELECT DISTINCT doc_id FROM b1 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drop1in) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drop1x)), " +
+        "store2 AS (SELECT * FROM store1 UNION ALL " +
+        "SELECT * FROM b1 WHERE doc_id IN (SELECT doc_id FROM kept1)), " +
+        "drop2in AS (SELECT DISTINCT r.doc_id FROM b2 l JOIN b2 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+        "drop2x AS (SELECT DISTINCT l.doc_id FROM b2 l JOIN store2 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"WHERE $estSql >= 0.5), " +
+        "kept2 AS (SELECT DISTINCT doc_id FROM b2 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drop2in) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drop2x)), " +
+        "final AS (SELECT doc_id, 0 AS batch FROM kept0 " +
+        "UNION ALL SELECT doc_id, 1 AS batch FROM kept1 " +
+        "UNION ALL SELECT doc_id, 2 AS batch FROM kept2) " +
+        "SELECT d.doc_id, CAST(f.batch AS BIGINT) AS batch, " +
+        "d.lang, d.source " +
+        "FROM documents d JOIN final f ON d.doc_id = f.doc_id"),
 
     // retraction replay: store after ingest 1 = split-1 signatures +
     // surviving split-2 signatures; the purge drops every stored id

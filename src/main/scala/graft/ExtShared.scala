@@ -248,6 +248,29 @@ private[graft] object ExtShared {
     f.delete(); ()
   }
 
+  /** Write `df` as ONE parquet file at `destFile` with an explicit
+    * mtime — order-sensitive multi-batch file-stream fixtures need
+    * single files whose arrival order (FileStreamSource sorts by
+    * modification time) is pinned, not left to write-timing. */
+  private[graft] def writeSingleFile(df: org.apache.spark.sql.DataFrame,
+                                     destFile: String, mtime: Long): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = destFile + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath)
+      .find(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    val dest = new org.apache.hadoop.fs.Path(destFile)
+    fs.delete(dest, false)
+    require(fs.rename(part, dest), s"rename to $destFile failed")
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.setTimes(dest, mtime, -1)
+  }
+
   /** k min-hash aggregate expressions (same universal-hash literals
     * as [[Dedup.minhashA]]/[[Dedup.minhashB]] — bit-identical sigs). */
   private[graft] def mhMinsSql: String = {

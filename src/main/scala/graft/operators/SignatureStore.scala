@@ -91,6 +91,56 @@ object SignatureStore {
     incoming.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Idempotent generation commit — the streaming half of the store.
+    * A micro-batch sink calls this with a DETERMINISTIC generation
+    * number (`base + batchId`); Structured Streaming's replay
+    * contract (a failed batch re-runs with the SAME id and data)
+    * then makes the store exactly-once:
+    *  - the generation DIRECTORY is the commit record. If `gen=N`
+    *    already exists the batch was committed by a prior attempt —
+    *    return false without reading, computing, or writing anything
+    *    (the store stays byte-identical under replay);
+    *  - otherwise survivors are written to a dot-prefixed temp dir
+    *    (hidden from every store glob) and published by a single
+    *    atomic rename. A crash BEFORE the rename leaves only hidden
+    *    temp orphans (the replay redoes the work); there is no crash
+    *    window AFTER it, because the rename IS the commit.
+    * Correctness under replay needs determinism of the probe set:
+    * `foreachBatch` runs batches sequentially, so at batch b the
+    * store holds exactly generations < `gen` — the same state every
+    * replay of b sees. Returns true iff this call committed. */
+  def ingestBatch(spark: SparkSession, root: String, gen: Long,
+                  incoming: DataFrame, idCol: String, textCol: String,
+                  k: Int, bands: Int, threshold: Double,
+                  terms: Column => Column): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genPath = new org.apache.hadoop.fs.Path(s"$root/gen=$gen")
+    if (fs.exists(genPath)) return false
+    val bandedB = Dedup
+      .bandedSignatures(incoming, idCol, textCol, k, bands, terms)
+      .localCheckpoint(eager = true)
+    // first batch of a fresh store: no generations yet, so the
+    // cross-store probe runs against an empty signature frame
+    val stored =
+      if (latestGeneration(spark, root) < 0) bandedB.limit(0)
+      else signatures(spark, root)
+    val drops = Dedup
+      .incrementalDrops(stored, bandedB, idCol, k, threshold)
+      .localCheckpoint(eager = true)
+    val tmp = s"$root/.ingest-$gen-${java.util.UUID.randomUUID()}"
+    bandedB.join(drops, Seq(idCol), "left_anti").write.parquet(tmp)
+    val committed = fs.rename(new org.apache.hadoop.fs.Path(tmp), genPath)
+    if (!committed) {
+      // lost a (single-writer-contract-violating) race — whoever won
+      // committed the same deterministic content; drop our copy
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      require(fs.exists(genPath),
+        s"gen=$gen rename failed with no committed generation present")
+    }
+    committed
+  }
+
   /** Purge victim ids from the store — the retraction/takedown path
     * (opt-out, DMCA, contaminated-source recall): a standing pipeline
     * must FORGET, not just ingest. Only generations that actually

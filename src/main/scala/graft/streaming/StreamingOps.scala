@@ -347,6 +347,49 @@ object StreamingOps {
     * compromise (a production deployment points this at a
     * transactional table format and keeps the merge); superseded
     * state_i dirs are the vacuum surface. */
+  /** Streaming ingest into the standing LSH signature store — the
+    * meeting point of the exactly-once sink machinery and the
+    * generation commit protocol: each micro-batch near-dedups against
+    * the store-so-far and appends its survivors' signatures as
+    * generation `batchId` through
+    * [[graft.operators.SignatureStore.ingestBatch]]'s idempotent
+    * commit (the generation directory is the commit record; a
+    * replayed batch — same id, same data, Structured Streaming's
+    * replay contract — finds its generation already published and
+    * does nothing, so the store is byte-identical under replay;
+    * StreamingSpec pins exactly that).
+    *
+    * `foreachBatch` runs batches sequentially, which both satisfies
+    * the store's single-writer contract and makes the probe set
+    * deterministic: batch b always deduplicates against generations
+    * < b. Returns the final store membership as (idCol, batch) —
+    * batch being the admitting generation, read straight from the
+    * store's partition column. */
+  def streamingNeardupStore(spark: SparkSession, batchesDir: String,
+                            storeRoot: String, idCol: String,
+                            textCol: String, k: Int, bands: Int,
+                            threshold: Double,
+                            terms: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val physSchema = spark.read.parquet(batchesDir).schema
+    val stream = spark.readStream.schema(physSchema)
+      .option("maxFilesPerTrigger", "1") // real multi-batch execution
+      .parquet(batchesDir)
+    graft.ScopedShufflePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.operators.SignatureStore.ingestBatch(spark, storeRoot,
+            id, batch, idCol, textCol, k, bands, threshold, terms)
+          (): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(storeRoot)
+      .select(F.col(idCol), F.col("gen").cast("long").as("batch"))
+      .distinct()
+  }
+
   def streamingCdcApply(spark: SparkSession, base: DataFrame,
                         changesDir: String, pk: Seq[String],
                         opCol: String, verCol: String,

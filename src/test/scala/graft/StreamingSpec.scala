@@ -35,6 +35,60 @@ class StreamingSpec extends SparkSpec {
       s"replay appended duplicates: $total rows for ${first.size} docs")
   }
 
+  test("streaming signature store equals the batch ingest sequence; a replayed batch leaves the store byte-identical") {
+    import spark.implicits._
+    import graft.operators.SignatureStore
+    import graft.functions.Text
+    val K = 16; val BANDS = 8; val TAU = 0.5
+    def sh3(c: org.apache.spark.sql.Column) = Text.distinctShingles(c, 3)
+    val docs = graft.sources.Tables.scan(spark, sf, "documents")
+
+    // three mtime-ordered single-file micro-batches
+    val batches = Workspace.dir("stream_sigstore_spec_in")
+    val root = Workspace.dir("stream_sigstore_spec_store")
+    Seq(batches, root).foreach(r => deleteRec(new java.io.File(r)))
+    new java.io.File(batches).mkdirs()
+    for (i <- 0 until 3)
+      ExtShared.writeSingleFile(docs.filter(F.col("doc_id") % 3 === i),
+        s"$batches/ingest_$i.parquet", 1000000000000L + i * 60000L)
+    val got = graft.streaming.StreamingOps
+      .streamingNeardupStore(spark, batches, root,
+        "doc_id", "text", K, BANDS, TAU, sh3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch-mode twin: the same three ingests through ingestBatch
+    val twinRoot = Workspace.dir("stream_sigstore_spec_twin")
+    deleteRec(new java.io.File(twinRoot))
+    for (i <- 0 until 3)
+      assert(SignatureStore.ingestBatch(spark, twinRoot, i,
+        docs.filter(F.col("doc_id") % 3 === i),
+        "doc_id", "text", K, BANDS, TAU, sh3), s"batch $i did not commit")
+    val want = spark.read.parquet(twinRoot)
+      .select(F.col("doc_id"), F.col("gen").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "streaming store differs from the batch ingest sequence")
+
+    // REPLAY: re-run batch 1 with the same id and data — the commit
+    // must be a no-op and every store byte must stay where it was
+    def fileState(r: String): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(r))
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(p => p.toString -> (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+      finally s.close()
+    }
+    val before = fileState(twinRoot)
+    val committed = SignatureStore.ingestBatch(spark, twinRoot, 1,
+      docs.filter(F.col("doc_id") % 3 === 1),
+      "doc_id", "text", K, BANDS, TAU, sh3)
+    assert(!committed, "replayed batch committed a second generation")
+    assert(fileState(twinRoot) == before,
+      "replay moved store bytes (size/mtime changed or files appeared)")
+  }
+
   test("observability: watermark drop accounting reports the exact planted late-row count") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_obs").toString
