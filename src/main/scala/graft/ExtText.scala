@@ -252,12 +252,19 @@ private[graft] object ExtText {
     * tie-break. Round i picks its pair from w{i-1} and rewrites it
     * into w{i}; the final SELECT unions the merge rows with the
     * end-state vocabulary. */
+  /** Byte-level base alphabet, mirroring [[graft.operators.Bpe
+    * .byteSymstr]]: lowercase hex pairs of each token's UTF-8 bytes —
+    * `hex(encode(...))` and the `(..)` pair-split behave identically
+    * in both engines (hex strings have no multi-byte edge cases). */
+  private def byteSymstrSql(col: String): String =
+    s"' ' || trim(regexp_replace(lower(hex(encode($col))), " +
+      "'(..)', '\\1  ', 'g')) || ' '"
+
   private def bpeSql(n: Int): String = {
-    val base = "w0 AS MATERIALIZED (SELECT ' ' || " +
-      "trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS symstr, " +
+    val base = s"w0 AS MATERIALIZED (SELECT ${byteSymstrSql("w")} AS symstr, " +
       "freq FROM (SELECT tok AS w, count(*) AS freq FROM " +
       "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
-      "FROM documents) WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok))"
+      "FROM documents) WHERE tok <> '' GROUP BY tok))"
     // every w/m CTE is MATERIALIZED: DuckDB inlines CTEs by default,
     // and each w{i} is referenced twice (p{i+1} and w{i+1}) — inlined,
     // the 12-round chain expands 2^12 copies of w0 and never finishes
@@ -293,11 +300,10 @@ private[graft] object ExtText {
     * round, mirroring [[graft.operators.Bpe.encodeWords]]) and rolls
     * subword counts up per document. */
   private def bpeEncodeSql(n: Int): String = {
-    val base = "w0 AS MATERIALIZED (SELECT ' ' || " +
-      "trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS symstr, " +
+    val base = s"w0 AS MATERIALIZED (SELECT ${byteSymstrSql("w")} AS symstr, " +
       "freq FROM (SELECT tok AS w, count(*) AS freq FROM " +
       "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
-      "FROM documents) WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok))"
+      "FROM documents) WHERE tok <> '' GROUP BY tok))"
     val rounds = (1 to n).map { i =>
       s"p$i AS (SELECT u.pr[1] AS l, u.pr[2] AS r, " +
         "CAST(sum(u.freq) AS BIGINT) AS cnt FROM (" +
@@ -324,9 +330,9 @@ private[graft] object ExtText {
     s"WITH $base, $rounds, " +
       "words AS MATERIALIZED (SELECT doc_id, tok AS w FROM " +
       "(SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
-      "FROM documents) WHERE regexp_matches(tok, '^[a-z]+$')), " +
-      "seg0 AS MATERIALIZED (SELECT DISTINCT w, ' ' || " +
-      "trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS symstr " +
+      "FROM documents) WHERE tok <> ''), " +
+      "seg0 AS MATERIALIZED (SELECT DISTINCT w, " +
+      s"${byteSymstrSql("w")} AS symstr " +
       s"FROM words), $segs, " +
       "cnt AS (SELECT w, CAST(len(string_split(trim(symstr), '  ')) " +
       s"AS BIGINT) AS ns FROM seg$n) " +

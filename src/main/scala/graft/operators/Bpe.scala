@@ -27,34 +27,53 @@ import graft.functions.Text
   *    ASC — no partition-order dependence;
   *  - pair counts are exact long sums;
   *  - a word's symbol sequence is a DOUBLE-space-delimited string
-  *    with single leading/trailing spaces (" l  o  w "). Merging pair
-  *    (l, r) is then a plain `replace(symstr, " l  r ", " lr ")`:
+  *    with single leading/trailing spaces (" 6c  6f  77 "). Merging
+  *    pair (l, r) is then a plain `replace(symstr, " l  r ", " lr ")`:
   *    left-to-right non-overlapping replacement IS greedy BPE merge
   *    order, the double-space separator makes the pattern
   *    boundary-safe without lookarounds (a match consumes one space
   *    from each side's separator, leaving the neighbor's boundary
   *    intact), and `replace` behaves identically in Spark and DuckDB.
   *
-  * Training is restricted to purely lowercase-alphabetic tokens —
-  * the classic demo alphabet — which keeps the char-split regex
-  * engine-portable (no multi-byte grapheme edge cases between Java
-  * regex and RE2).
+  * BYTE-LEVEL alphabet: the base symbols are a token's UTF-8 BYTES,
+  * rendered as lowercase hex pairs ("low" → " 6c  6f  77 ", "é" →
+  * " c3  a9 ") — the alphabet real tokenizers (GPT-2/tiktoken
+  * lineage) train over. Every token trains — no script, case, or
+  * punctuation is dropped — and multi-byte characters participate
+  * bytewise, so merges can form within AND across character
+  * boundaries. Hex-pair symbols keep the whole pipeline in the
+  * engine-portable string domain: char-splitting a hex string is the
+  * same trivial `(..)` regex everywhere (no grapheme edge cases
+  * between Java regex and DuckDB's RE2), and merged symbols
+  * concatenate to longer hex strings that [[symbolText]] decodes
+  * back to UTF-8 for display.
   */
 object Bpe {
 
   final case class Merge(round: Int, left: String, right: String,
                          pairCount: Long)
 
+  /** A token column rendered as its byte-level symbol string:
+    * lowercase hex pairs of the UTF-8 bytes, double-space-delimited,
+    * space-wrapped (" 6c  6f  77 "). */
+  def byteSymstr(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.concat(F.lit(" "),
+      F.trim(F.regexp_replace(
+        F.lower(F.hex(F.encode(w, "UTF-8"))), "(..)", "$1  ")),
+      F.lit(" "))
+
+  /** Decode a (possibly merged) hex symbol back to its UTF-8 text —
+    * display/debug only; may be a partial character for symbols that
+    * split a multi-byte sequence. */
+  def symbolText(sym: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.decode(F.unhex(sym), "UTF-8")
+
   /** The (symstr, freq) word table the merge loop starts from. */
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs.select(F.explode(Text.tokens(F.col(textCol))).as("w"))
-      .filter(F.col("w").rlike("^[a-z]+$"))
+      .filter(F.col("w") =!= "")
       .groupBy("w").agg(F.count(F.lit(1)).as("freq"))
-      .select(
-        F.concat(F.lit(" "),
-          F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")),
-          F.lit(" ")).as("symstr"),
-        F.col("freq"))
+      .select(byteSymstr(F.col("w")).as("symstr"), F.col("freq"))
 
   /** Adjacent-pair frequency table of a word frame — one grouped sum,
     * pairs exploded map-side. Words of a single symbol contribute no
@@ -133,14 +152,13 @@ object Bpe {
     // enforces the same way)
     val wc = docs
       .select(F.col(idCol), F.explode(Text.tokens(F.col(textCol))).as("w"))
-      .filter(F.col("w").rlike("^[a-z]+$"))
+      .filter(F.col("w") =!= "")
       .groupBy(idCol, "w").agg(F.count(F.lit(1)).as("n"))
       .localCheckpoint(eager = true)
     val segmented = encodeWords(
       wc.groupBy("w").agg(F.sum("n").as("freq"))
-        .select(F.concat(F.lit(" "),
-          F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")),
-          F.lit(" ")).as("symstr"), F.col("w"), F.col("freq")),
+        .select(byteSymstr(F.col("w")).as("symstr"),
+          F.col("w"), F.col("freq")),
       merges)
       .select(F.col("w"),
         F.size(F.split(F.trim(F.col("symstr")), "  ")).cast("long")
