@@ -623,6 +623,93 @@ object Curation {
           .as("lm_score"))
   }
 
+  /** Learned quality gate: an add-one-smoothed multinomial Naive
+    * Bayes token classifier, self-supervised from the corpus's own
+    * extremes — the third rung of the quality ladder after the
+    * heuristic (Gopher repetition) and statistical (bigram-LM score)
+    * gates. Seed labels come from token diversity (distinct/total
+    * tokens per doc): docs at or above `posMin` are high-quality
+    * seeds (label 1), below `negMax` low-quality seeds (label 0) —
+    * the weak-supervision bootstrap real pipelines use when no human
+    * labels exist. The trained model then scores EVERY doc, seeds
+    * included, generalizing the seed signal through token
+    * co-occurrence (a mid-ratio doc full of low-quality-class tokens
+    * gates out even though no heuristic fired on it).
+    *
+    * Determinism/oracle discipline: per-token log-likelihoods
+    * `ln((c_class + 1) / (tot_class + V))` are rounded to 6 dp and
+    * summed as DECIMAL weighted by exact occurrence counts (the
+    * lm-score rule), priors are 6-dp-rounded smoothed log
+    * frequencies, and scoring uses only the seed vocabulary (OOV
+    * tokens are skipped on both engines). Boundary ratios compare as
+    * exact IEEE doubles (`distinct*1.0/total`) in both engines.
+    *
+    * Scale shape: ONE corpus tokenize feeds seeds, vocabulary, and
+    * scoring (the pinned per-doc token-count frame); training state
+    * is vocabulary-sized (per-token class counts, map-side combined);
+    * the class totals/prior stats are a contract-bounded one-row
+    * collect inlined as plan literals (the bm25 pattern — a one-row
+    * cross join would plan as the nested-loop the lint bans); scoring
+    * is one join on the token key + one doc-grain aggregation. */
+  def naiveBayesQuality(df: DataFrame, idCol: String, textCol: String,
+                        posMin: Double = 0.8,
+                        negMax: Double = 0.5): DataFrame = {
+    val wc = df.select(F.col(idCol),
+        F.explode(Text.tokens(F.col(textCol))).as("tok"))
+      .filter(F.col("tok") =!= "")
+      .groupBy(idCol, "tok").agg(F.count(F.lit(1)).as("n"))
+      .localCheckpoint(eager = true)
+    val seeds = wc.groupBy(idCol)
+      .agg(F.sum("n").as("nt"), F.count(F.lit(1)).as("nd"))
+      .withColumn("r", F.col("nd") * 1.0 / F.col("nt"))
+      .withColumn("label",
+        F.when(F.col("r") >= posMin, 1L)
+          .when(F.col("r") < negMax, 0L))
+      .filter(F.col("label").isNotNull)
+      .select(F.col(idCol), F.col("label"))
+    val seedTokens = wc.join(seeds, Seq(idCol))
+      .localCheckpoint(eager = true) // feeds stats AND the likelihoods
+    // one-row training stats → plan literals (contract-bounded)
+    val stats = seedTokens.agg(
+      F.sum(F.when(F.col("label") === 1L, F.col("n")).otherwise(0L))
+        .as("tot1"),
+      F.sum(F.when(F.col("label") === 0L, F.col("n")).otherwise(0L))
+        .as("tot0"),
+      F.countDistinct("tok").as("v"),
+      F.countDistinct(F.when(F.col("label") === 1L, F.col(idCol)))
+        .as("nd1"),
+      F.countDistinct(F.col(idCol)).as("ndAll")).collect()(0)
+    val (tot1, tot0, v) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val (nd1, ndAll) = (stats.getLong(3), stats.getLong(4))
+    require(nd1 > 0 && nd1 < ndAll,
+      s"need seeds of both classes (got $nd1 positive of $ndAll)")
+    val prior1 = BigDecimal(math.log((nd1 + 1.0) / (ndAll + 2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val prior0 = BigDecimal(math.log((ndAll - nd1 + 1.0) / (ndAll + 2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lik = seedTokens.groupBy("tok")
+      .agg(
+        F.sum(F.when(F.col("label") === 1L, F.col("n")).otherwise(0L))
+          .as("c1"),
+        F.sum(F.when(F.col("label") === 0L, F.col("n")).otherwise(0L))
+          .as("c0"))
+      .select(F.col("tok"),
+        F.round(F.log((F.col("c1") + 1.0) / F.lit((tot1 + v).toDouble)), 6)
+          .cast("decimal(12,6)").as("lp1"),
+        F.round(F.log((F.col("c0") + 1.0) / F.lit((tot0 + v).toDouble)), 6)
+          .cast("decimal(12,6)").as("lp0"))
+    wc.join(lik, Seq("tok"))
+      .groupBy(idCol)
+      .agg(F.sum("n").as("n_toks_scored"),
+        F.round(F.lit(prior1) +
+          F.sum(F.col("n") * F.col("lp1")).cast("double"), 6).as("score_pos"),
+        F.round(F.lit(prior0) +
+          F.sum(F.col("n") * F.col("lp0")).cast("double"), 6).as("score_neg"))
+      .withColumn("pred",
+        F.when(F.col("score_pos") > F.col("score_neg"), 1L).otherwise(0L))
+  }
+
   /** Per-document novelty: the fraction of a doc's distinct n-gram
     * shingles whose FIRST corpus occurrence (minimum doc id) is this
     * doc — the "how much of this is new material" curation signal

@@ -161,6 +161,43 @@ class QualitySpec extends SparkSpec {
     assert(union <= out.filterKeys(_ != "__all__").values.sum)
   }
 
+  test("Naive Bayes quality gate: perfect separation on disjoint vocabularies; scores partition-independent") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // seed extremes: repetitive docs (one word over and over, ratio
+    // -> 0) vs fully diverse docs (ratio 1.0); held-out mid-ratio
+    // docs (0.5 <= r < 0.8 — NOT seeds) mix one class's vocabulary
+    // with enough repeats to stay out of both seed bands
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),            // neg seed
+      (2L, "junk junk junk junk junk junk"),            // neg seed
+      (3L, "alpha beta gamma delta epsilon zeta"),      // pos seed
+      (4L, "iota kappa sigma tau phi omega"),           // pos seed
+      (5L, "spam junk spam junk spam junk spam junk"),  // neg seed (r=0.25)
+      (6L, "alpha beta gamma alpha beta gamma ok hm")   // held out (r=0.625)
+    ).toDF("doc_id", "text")
+    val got = Curation.naiveBayesQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pred"), r.getAs[Double]("score_pos"),
+          r.getAs[Double]("score_neg"))).toMap
+    // seeds classify themselves
+    assert(got(1L)._1 == 0L && got(2L)._1 == 0L, got)
+    assert(got(3L)._1 == 1L && got(4L)._1 == 1L, got)
+    // doc 5 (ratio 2/8 = 0.25 — a neg seed) and doc 6 (ratio 5/8 =
+    // 0.625 — held out) generalize through vocabulary co-occurrence
+    assert(got(5L)._1 == 0L, got)
+    assert(got(6L)._1 == 1L, got)
+    // scores are decimal-deterministic across partitionings
+    val base = Curation.naiveBayesQuality(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    for (p <- Seq(1, 7)) {
+      val rep = Curation.naiveBayesQuality(
+        docs.repartition(p), "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      assert(rep == base, s"partitions=$p changed NB scores")
+    }
+  }
+
   test("x_hll_cardinality estimates within 5% of the x_distinct_exact twin, row for row") {
     // the exact twin is oracle-graded; pinning the sketch against it
     // makes the HLL estimate the ONLY ungraded number on the board
