@@ -217,6 +217,34 @@ private[graft] object ExtDedup {
     }),
 
 
+    // generation compaction mid-lifecycle: init + first ingest, FOLD
+    // both generations into the base (provenance preserved as a data
+    // column), then a second ingest probes the compacted store. The
+    // output is the full membership with the admitting generation —
+    // a row lost/duplicated in the fold, a wrong carried gen, or a
+    // probe that misses the base each fails the hash. The oracle is
+    // the UNCOMPACTED replay: compaction must be invisible.
+    "x_sigstore_compact" -> ((s, dir) => {
+      val root = layoutDir(dir, "sigstore_compact")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+      val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
+      SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 1),
+        "doc_id", "text", root, MINHASH_K, NGRAM_BANDS, shingles3)
+      SignatureStore.ingest(s, root,
+        docs.filter(F.col("doc_id") % 3 === 2),
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3).count()
+      SignatureStore.compactGenerations(s, root, upTo = 1)
+      SignatureStore.ingest(s, root,
+        docs.filter(F.col("doc_id") % 3 === 0),
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3).count()
+      SignatureStore.signaturesWithGen(s, root)
+        .select(F.col("doc_id"), F.col("gen").cast("long").as("batch"))
+        .distinct()
+        .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+    }),
+
+
     // streaming ingest into the standing signature store: the corpus
     // arrives as THREE single-file micro-batches (mtime-pinned
     // arrival order, one file per trigger) through a foreachBatch
@@ -496,6 +524,43 @@ private[graft] object ExtDedup {
         "UNION ALL " +
         "SELECT d.doc_id, CAST(2 AS BIGINT) AS batch, d.lang, d.source " +
         "FROM documents d JOIN kept2 k ON d.doc_id = k.doc_id"),
+
+    // compaction replay = the UNCOMPACTED store lifecycle: gen 0 is
+    // all of split 1, gen 1 the split-2 survivors, gen 2 the split-0
+    // survivors probed against both
+    "x_sigstore_compact" ->
+      (s"WITH ${shingleToksCte(3)}, " +
+        s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
+        s"bands AS (${bandRowsSql(NGRAM_BANDS)}), " +
+        "b0 AS (SELECT * FROM bands WHERE doc_id % 3 = 1), " +
+        "b1 AS (SELECT * FROM bands WHERE doc_id % 3 = 2), " +
+        "b2 AS (SELECT * FROM bands WHERE doc_id % 3 = 0), " +
+        "drop1in AS (SELECT DISTINCT r.doc_id FROM b1 l JOIN b1 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+        "drop1x AS (SELECT DISTINCT l.doc_id FROM b1 l JOIN b0 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"WHERE $estSql >= 0.5), " +
+        "kept1 AS (SELECT DISTINCT doc_id FROM b1 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drop1in) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drop1x)), " +
+        "store2 AS (SELECT * FROM b0 UNION ALL " +
+        "SELECT * FROM b1 WHERE doc_id IN (SELECT doc_id FROM kept1)), " +
+        "drop2in AS (SELECT DISTINCT r.doc_id FROM b2 l JOIN b2 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+        "drop2x AS (SELECT DISTINCT l.doc_id FROM b2 l JOIN store2 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"WHERE $estSql >= 0.5), " +
+        "kept2 AS (SELECT DISTINCT doc_id FROM b2 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drop2in) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drop2x)), " +
+        "final AS (SELECT DISTINCT doc_id, 0 AS batch FROM b0 " +
+        "UNION ALL SELECT doc_id, 1 AS batch FROM kept1 " +
+        "UNION ALL SELECT doc_id, 2 AS batch FROM kept2) " +
+        "SELECT d.doc_id, CAST(f.batch AS BIGINT) AS batch, " +
+        "d.lang, d.source " +
+        "FROM documents d JOIN final f ON d.doc_id = f.doc_id"),
 
     // streaming store replay: three sequential micro-batches from an
     // EMPTY store — batch b dedups in-batch, then against the union

@@ -21,6 +21,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
   * says which ingest admitted each signature, and partition pruning
   * can replay the store as of any generation.
   *
+  * Many small ingests → many tiny `gen=N` directories → file-listing
+  * pressure at scale; [[compactGenerations]] folds generations
+  * 0..upTo into a versioned `base.v{K}/` directory whose rows carry
+  * `gen` as a DATA column (provenance survives compaction) plus a
+  * `_watermark` marker (the highest folded generation). Readers take
+  * the HIGHEST base version and only the gen directories ABOVE its
+  * watermark — the manifest-pointer principle: the rename that
+  * publishes `base.v{K}` is the single atomic commit point, folded
+  * gen directories become reader-invisible garbage the moment it
+  * lands (no double-count crash window), and are deleted lazily.
+  *
   * Store row shape = [[Dedup.bandedSignatures]]: (id, band_idx,
   * band_hash, mh0..mh{k-1}) — `bands` constant-width rows per
   * document regardless of document size, so the store is a small
@@ -47,22 +58,75 @@ object SignatureStore {
     Dedup.bandedSignatures(corpus, idCol, textCol, k, bands, terms)
       .write.mode("overwrite").parquet(s"$root/gen=0")
 
+  private def fsOf(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def childNames(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  /** Highest compacted base version under `root` (None before any
+    * compaction). */
+  private def baseVersion(spark: SparkSession, root: String): Option[Int] = {
+    val vs = childNames(spark, root)
+      .collect { case s if s.startsWith("base.v") =>
+        s.stripPrefix("base.v").toInt }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Highest generation folded into the current base (−1 if none). */
+  private[operators] def baseWatermark(spark: SparkSession,
+                                       root: String): Int =
+    baseVersion(spark, root).map { v =>
+      val fs = fsOf(spark, root)
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        s"$root/base.v$v/_watermark"))
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+    }.getOrElse(-1)
+
+  /** Live generation directories: above the base watermark (folded
+    * directories are reader-invisible garbage awaiting deletion). */
+  private def liveGenDirs(spark: SparkSession,
+                          root: String): Seq[(Int, String)] = {
+    val wm = baseWatermark(spark, root)
+    childNames(spark, root)
+      .collect { case s if s.startsWith("gen=") =>
+        (s.stripPrefix("gen=").toInt, s"$root/$s") }
+      .filter(_._1 > wm).sortBy(_._1)
+  }
+
+  /** The store's banded signatures WITH the `gen` provenance column:
+    * the highest compacted base (gen as a data column) unioned with
+    * the live generation directories (gen as a partition column). */
+  def signaturesWithGen(spark: SparkSession, root: String): DataFrame = {
+    val gens = liveGenDirs(spark, root)
+    val baseDf = baseVersion(spark, root).map(v =>
+      spark.read.parquet(s"$root/base.v$v"))
+    val genDf =
+      if (gens.isEmpty) None
+      else Some(spark.read.option("basePath", root)
+        .parquet(gens.map(_._2): _*)
+        .withColumn("gen", F.col("gen").cast("int")))
+    require(baseDf.nonEmpty || genDf.nonEmpty, s"empty store at $root")
+    (baseDf.toSeq ++ genDf.toSeq).reduce(_.unionByName(_))
+  }
+
   /** The store's banded signatures across all generations (the `gen`
     * provenance column dropped — [[Dedup.incrementalDrops]] expects
     * the bare [[Dedup.bandedSignatures]] shape). */
   def signatures(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(root).drop("gen")
+    signaturesWithGen(spark, root).drop("gen")
 
-  /** Highest generation present under `root` (−1 if none). */
-  def latestGeneration(spark: SparkSession, root: String): Int = {
-    val path = new org.apache.hadoop.fs.Path(root)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) -1
-    else fs.listStatus(path).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toInt }
-      .foldLeft(-1)(math.max)
-  }
+  /** Highest generation present under `root` (−1 if none) — live
+    * directories or folded into the base. */
+  def latestGeneration(spark: SparkSession, root: String): Int =
+    (baseWatermark(spark, root) +:
+      liveGenDirs(spark, root).map(_._1)).max
 
   /** Ingest one batch: near-dedup `incoming` against the store
     * (in-batch + cross drops, [[Dedup.incrementalDrops]] semantics),
@@ -113,10 +177,12 @@ object SignatureStore {
                   incoming: DataFrame, idCol: String, textCol: String,
                   k: Int, bands: Int, threshold: Double,
                   terms: Column => Column): Boolean = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, root)
     val genPath = new org.apache.hadoop.fs.Path(s"$root/gen=$gen")
-    if (fs.exists(genPath)) return false
+    // committed if the directory exists OR it was already folded into
+    // a compacted base (whose watermark outlives the directory)
+    if (fs.exists(genPath) || gen <= baseWatermark(spark, root))
+      return false
     val bandedB = Dedup
       .bandedSignatures(incoming, idCol, textCol, k, bands, terms)
       .localCheckpoint(eager = true)
@@ -163,30 +229,101 @@ object SignatureStore {
   def purge(spark: SparkSession, root: String, idCol: String,
             victims: Seq[Long]): Long = {
     require(victims.nonEmpty, "purge needs at least one victim id")
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) return 0L
-    val gens = fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toInt }
-      .sorted
+    val fs = fsOf(spark, root)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root))) return 0L
     val hit = F.col(idCol).isin(victims: _*)
     var removed = 0L
-    gens.foreach { gen =>
-      val dir = s"$root/gen=$gen"
-      val df = spark.read.parquet(dir)
+    def rewrite(dir: String, df: DataFrame, swapTo: String): Unit = {
       val nVictims = df.filter(hit).count()
       if (nVictims > 0) {
-        val tmp = s"$root/.purge-$gen-${java.util.UUID.randomUUID()}"
+        val tmp = s"$root/.purge-${java.util.UUID.randomUUID()}"
         // materialize the survivors FULLY before touching the source
         // dir — the write below is the materialization barrier
         df.filter(!hit).write.parquet(tmp)
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
         require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(dir)),
+            new org.apache.hadoop.fs.Path(swapTo)),
           s"purge swap failed for $dir")
         removed += nVictims
       }
     }
+    // stale folded directories are reader-invisible but their victim
+    // BYTES are still on disk — a takedown deletes them outright
+    val wm = baseWatermark(spark, root)
+    childNames(spark, root)
+      .collect { case s if s.startsWith("gen=") &&
+        s.stripPrefix("gen=").toInt <= wm => s }
+      .foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s"$root/$s"), true))
+    liveGenDirs(spark, root).foreach { case (_, dir) =>
+      rewrite(dir, spark.read.parquet(dir), dir)
+    }
+    // the base rewrites to the NEXT version (readers take the highest
+    // base atomically); the watermark is carried over
+    baseVersion(spark, root).foreach { v =>
+      val dir = s"$root/base.v$v"
+      val df = spark.read.parquet(dir)
+      if (df.filter(hit).limit(1).count() > 0) {
+        val tmp = s"$root/.purge-${java.util.UUID.randomUUID()}"
+        removed += df.filter(hit).count()
+        df.filter(!hit).write.parquet(tmp)
+        writeMarker(fs, s"$tmp/_watermark", wm.toString)
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(s"$root/base.v${v + 1}")),
+          s"purge swap failed for $dir")
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      }
+    }
     removed
+  }
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+                          path: String, content: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Fold generations ≤ `upTo` (plus any existing base) into the next
+    * base version — the file-listing-pressure valve for stores built
+    * by many small ingests: constant directories afterwards instead
+    * of one per ingest, with `gen` provenance preserved as a data
+    * column. The publish is ONE atomic rename of a fully-written
+    * hidden temp dir to `base.v{K+1}` (watermark marker written
+    * inside BEFORE the rename, so base + watermark commit together);
+    * folded gen directories and the previous base version become
+    * reader-invisible instantly and are deleted best-effort after.
+    * Single-writer maintenance op, like [[purge]]. Returns the number
+    * of generation directories folded. */
+  def compactGenerations(spark: SparkSession, root: String,
+                         upTo: Int, targetFileBytes: Long = 128L << 20): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = fsOf(spark, root)
+    val folded = liveGenDirs(spark, root).filter(_._1 <= upTo)
+    if (folded.isEmpty) return 0L
+    val prevBase = baseVersion(spark, root)
+    val prevWm = baseWatermark(spark, root)
+    val merged = (prevBase.map(v => spark.read.parquet(s"$root/base.v$v")).toSeq :+
+      spark.read.option("basePath", root).parquet(folded.map(_._2): _*)
+        .withColumn("gen", F.col("gen").cast("int")))
+      .reduce(_.unionByName(_))
+    val bytes = folded.map { case (_, d) =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(d)).getLength
+    }.sum + prevBase.map(v => fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$root/base.v$v")).getLength).getOrElse(0L)
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = s"$root/.compact-${java.util.UUID.randomUUID()}"
+    merged.repartition(nFiles).write.parquet(tmp)
+    val newWm = math.max(prevWm, folded.map(_._1).max)
+    writeMarker(fs, s"$tmp/_watermark", newWm.toString)
+    val nextV = prevBase.map(_ + 1).getOrElse(0)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$root/base.v$nextV")),
+      s"compaction publish failed at $root/base.v$nextV")
+    // now-invisible garbage; a crash here only leaves orphans
+    folded.foreach { case (_, d) =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true) }
+    prevBase.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/base.v$v"), true))
+    folded.size.toLong
   }
 }

@@ -385,7 +385,7 @@ object StreamingOps {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.read.parquet(storeRoot)
+    graft.operators.SignatureStore.signaturesWithGen(spark, storeRoot)
       .select(F.col(idCol), F.col("gen").cast("long").as("batch"))
       .distinct()
   }

@@ -101,4 +101,69 @@ class SignatureStoreSpec extends SparkSpec {
     assert(byGen(0) == nCorpus * BANDS)
     assert(byGen(1) % BANDS == 0)
   }
+
+  test("generation compaction folds directories, preserves provenance, and is invisible to ingest/dedup") {
+    val docs = Tables.scan(spark, sf, "documents")
+    val root = tmp("compactgens")
+    ExtShared.deleteRec(new java.io.File(root))
+    SignatureStore.init(docs.filter(F.col("doc_id") % 4 === 0),
+      "doc_id", "text", root, K, BANDS, sh3)
+    for (i <- 1 to 2)
+      SignatureStore.ingest(spark, root,
+        docs.filter(F.col("doc_id") % 4 === i),
+        "doc_id", "text", K, BANDS, TAU, sh3).count()
+    def rows() = SignatureStore.signaturesWithGen(spark, root)
+      .collect().map(_.toSeq).toSet
+    val before = rows()
+    def genDirs() = Option(new java.io.File(root).list()).get.toSeq
+      .filter(_.startsWith("gen=")).sorted
+
+    assert(SignatureStore.compactGenerations(spark, root, upTo = 1) == 2L)
+    // provenance-preserving: every (row, gen) pair survives the fold
+    assert(rows() == before, "compaction changed the store's rows")
+    assert(genDirs() == Seq("gen=2"), genDirs())
+    assert(SignatureStore.latestGeneration(spark, root) == 2)
+    // a batch whose generation was folded reads as already committed
+    assert(!SignatureStore.ingestBatch(spark, root, 1,
+      docs.filter(F.col("doc_id") % 4 === 1),
+      "doc_id", "text", K, BANDS, TAU, sh3),
+      "folded generation re-committed under replay")
+
+    // ingest continues on top of the base, and a second compaction
+    // folds base + remaining gens into the next base version
+    SignatureStore.ingest(spark, root,
+      docs.filter(F.col("doc_id") % 4 === 3),
+      "doc_id", "text", K, BANDS, TAU, sh3).count()
+    assert(SignatureStore.latestGeneration(spark, root) == 3)
+    val full = rows()
+    assert(SignatureStore.compactGenerations(spark, root, upTo = 3) == 2L)
+    assert(rows() == full)
+    assert(genDirs().isEmpty, genDirs())
+    // dedup over the fully-compacted store = dedup over the rebuilt
+    // flat store (compaction is semantically invisible)
+    val probe = docs.filter(F.col("doc_id") % 4 === 2).limit(20)
+    val banded = graft.operators.Dedup.bandedSignatures(
+      probe, "doc_id", "text", K, BANDS, sh3)
+    val gotDrops = graft.operators.Dedup.incrementalDrops(
+        SignatureStore.signatures(spark, root), banded, "doc_id", K, TAU)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotDrops.nonEmpty, "probe produced no drops — fixture too weak")
+
+    // purge reaches into the base: victims vanish from disk
+    import spark.implicits._
+    val victim = SignatureStore.signatures(spark, root)
+      .select("doc_id").as[Long].head()
+    SignatureStore.purge(spark, root, "doc_id", Seq(victim))
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    val files =
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq
+      finally s.close()
+    val onDisk = spark.read.parquet(files: _*)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!onDisk.contains(victim), "purged id survives in base files")
+  }
 }
