@@ -210,6 +210,29 @@ private[graft] object ExtLayout {
     }),
 
 
+    // snapshot time travel: three appends then a row-level delete —
+    // the output reads version 2 (exactly the first two appends, BY
+    // the manifest pointer, not a directory listing) alongside the
+    // post-delete latest, so a partial version, a delete leaking into
+    // history, or a wrong version chain each fails the hash
+    "x_manifest_timetravel" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_tt")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      graft.operators.ManifestTable.init(root)
+      for (i <- 0 until 3)
+        graft.operators.ManifestTable.append(s, root,
+          docs.filter(F.col("doc_id") % 3 === i))
+      graft.operators.ManifestTable.deleteWhere(s, root,
+        F.col("doc_id") % 7 === 0)
+      graft.operators.ManifestTable.readVersion(s, root, 2)
+        .withColumn("ver", F.lit(2L))
+        .unionByName(graft.operators.ManifestTable.read(s, root)
+          .withColumn("ver", F.lit(4L)))
+    }),
+
+
     // ---- multimodal plumbing (column twin of the decode stage) ----
     "x_multimodal_meta" -> ((s, dir) =>
       Multimodal.metaColumns(Tables.scan(s, dir, "documents"), "doc_id", "text")),
@@ -462,6 +485,15 @@ private[graft] object ExtLayout {
     // append or a double-counted rewritten file fails the hash
     "x_compact_manifest" ->
       "SELECT doc_id, lang, source FROM documents",
+
+    // v2 = the first two appends exactly; v4 (latest) = all three
+    // splits minus the deleted ids
+    "x_manifest_timetravel" ->
+      ("SELECT doc_id, lang, source, CAST(2 AS BIGINT) AS ver " +
+        "FROM documents WHERE doc_id % 3 IN (0, 1) " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, CAST(4 AS BIGINT) AS ver " +
+        "FROM documents WHERE doc_id % 7 <> 0"),
 
     // deleteWhere ran against the first two splits only; the racing
     // third-split append post-dates the victim scan, so its rows all

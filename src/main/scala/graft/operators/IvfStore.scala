@@ -65,6 +65,17 @@ object IvfStore {
     idx.copy(assigned = idx.assigned.unionByName(appended))
   }
 
+  /** Fold assignment generations ≤ `upTo` into a compacted base —
+    * [[SignatureStore.compactGenerations]] on the assignment store
+    * (same layout, same versioned-base + watermark protocol, same
+    * single-writer contract); centroids are untouched. Caps the
+    * directory count for indexes built by many small ingests. */
+  def compactGenerations(spark: SparkSession, root: String,
+                         upTo: Int,
+                         targetFileBytes: Long = 128L << 20): Long =
+    SignatureStore.compactGenerations(spark, assignedRoot(root), upTo,
+      targetFileBytes)
+
   /** Purge victim ids from the standing index's assignment
     * generations — the retraction path ([[SignatureStore.purge]]
     * semantics and machinery; same single-writer contract). Centroids

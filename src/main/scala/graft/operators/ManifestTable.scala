@@ -150,12 +150,59 @@ object ManifestTable {
     finally clearIntent(root, token)
   }
 
+  /** A specific published snapshot (None if that version was never
+    * published or has been expired by [[expireManifests]]). */
+  def snapshot(root: String, version: Int): Option[Snapshot] = {
+    val p = manifestDir(root).resolve(s"v$version")
+    if (!Files.isRegularFile(p)) None
+    else Some(Snapshot(version,
+      Files.readAllLines(p, StandardCharsets.UTF_8)
+        .asScala.toSeq.filter(_.nonEmpty)))
+  }
+
   /** The latest snapshot's rows. */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val snap = latest(root).getOrElse(
-      throw new IllegalStateException(s"no manifest at $root"))
+  def read(spark: SparkSession, root: String): DataFrame =
+    readSnapshot(spark, root, latest(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root")))
+
+  /** TIME TRAVEL: the table as of `version`. Readable as long as (a)
+    * the manifest file survives ([[expireManifests]] retention) and
+    * (b) the version's data files survive ([[vacuum]] retention —
+    * vacuum keeps only the LATEST version's files once the grace
+    * passes, so pin retention to the travel horizon you need). */
+  def readVersion(spark: SparkSession, root: String,
+                  version: Int): DataFrame =
+    readSnapshot(spark, root, snapshot(root, version).getOrElse(
+      throw new IllegalStateException(
+        s"no manifest v$version at $root (never published or expired)")))
+
+  private def readSnapshot(spark: SparkSession, root: String,
+                           snap: Snapshot): DataFrame = {
     require(snap.files.nonEmpty, s"empty table at $root (v${snap.version})")
     spark.read.parquet(snap.files.map(f => s"$root/$f"): _*)
+  }
+
+  /** Drop manifest files older than the newest `keepLast` versions —
+    * the manifest-count valve for long-lived tables (one tiny file
+    * per commit adds up over millions of commits). Time travel below
+    * the horizon is gone afterwards; the latest version is always
+    * kept (`keepLast` ≥ 1). Safe against concurrent committers: they
+    * only ever create strictly NEWER versions, and [[latest]] takes
+    * the max of what remains. Returns expired versions. */
+  def expireManifests(root: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val dir = manifestDir(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val versions = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") => n.stripPrefix("v").toInt }
+        .toSeq.sorted
+      finally s.close()
+    }
+    val victims = versions.dropRight(keepLast)
+    victims.foreach(v => Files.deleteIfExists(dir.resolve(s"v$v")))
+    victims
   }
 
   /** Rewrite the CURRENT snapshot into ~`targetFileBytes` files and

@@ -73,6 +73,45 @@ class IvfIndexSpec extends SparkSpec {
     assert(got == expected, "store round-trip changed the search result")
   }
 
+  test("assignment-generation compaction is invisible to load/search; ingest continues on the base") {
+    import graft.operators.{IvfIndex, IvfStore}
+    val root = Workspace.dir("ivfstore_spec_compact")
+    ExtShared.deleteRec(new java.io.File(root))
+    val third = (m: Int) => emb.filter(F.col("vec_id") % 3 === m)
+    IvfStore.init(third(0), "vec_id", "embedding", K, ITERS, root)
+    IvfStore.ingest(spark, root, third(1), "vec_id", "embedding")
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val before = IvfIndex.topK(
+        IvfStore.load(spark, root, "vec_id", "embedding"),
+        queries, k = 10, nprobe = NPROBE)
+      .collect().map(_.toSeq).toSet
+    assert(IvfStore.compactGenerations(spark, root, upTo = 1) == 2L)
+    // gen dirs folded into the base; search result bit-identical
+    val dirs = Option(new java.io.File(s"$root/assigned").list()).get
+      .filter(_.startsWith("gen=")).toSeq
+    assert(dirs.isEmpty, dirs)
+    val after = IvfIndex.topK(
+        IvfStore.load(spark, root, "vec_id", "embedding"),
+        queries, k = 10, nprobe = NPROBE)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "compaction changed search results")
+    // further ingest lands as gen=2 on top of the base
+    IvfStore.ingest(spark, root, third(2), "vec_id", "embedding")
+    val full = IvfIndex.topK(
+        IvfStore.load(spark, root, "vec_id", "embedding"),
+        queries, k = 10, nprobe = NPROBE)
+      .collect().map(_.toSeq).toSet
+    val want = IvfIndex.topK(
+        IvfIndex.append(
+          IvfIndex.append(
+            IvfIndex.build(third(0), "vec_id", "embedding", K, ITERS),
+            third(1)), third(2)),
+        queries, k = 10, nprobe = NPROBE)
+      .collect().map(_.toSeq).toSet
+    assert(full == want,
+      "post-compaction ingest diverged from the in-memory index")
+  }
+
   test("balance audit: uniform append stays under the trigger, skewed append fires a retrain that restores balance and recall") {
     import spark.implicits._
     val queries = emb.filter(F.col("vec_id") < 5)

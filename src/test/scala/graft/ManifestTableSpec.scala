@@ -179,6 +179,34 @@ class ManifestTableSpec extends SparkSpec {
       .contains("data/orphan-tok/part-dead.parquet"))
   }
 
+  test("time travel reads any surviving version; expireManifests drops old versions but never the latest") {
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest9").toString
+    ManifestTable.init(root)
+    ManifestTable.append(spark, root, batch(0, 50))
+    ManifestTable.append(spark, root, batch(50, 100))
+    ManifestTable.append(spark, root, batch(100, 150))
+    // v2 = first two appends, exactly
+    assert(ManifestTable.readVersion(spark, root, 2)
+      .select("id").as[Long].collect().toSet == (0L until 100L).toSet)
+    // deletes are versioned like any commit: time travel ACROSS a
+    // delete sees the pre-delete rows
+    ManifestTable.deleteWhere(spark, root, F.col("id") < 25)
+    assert(ManifestTable.readVersion(spark, root, 3)
+      .select("id").as[Long].collect().toSet == (0L until 150L).toSet)
+    assert(ids(root) == (25L until 150L).toSet)
+    // expire all but the newest two manifests
+    val expired = ManifestTable.expireManifests(root, keepLast = 2)
+    assert(expired == Seq(0, 1, 2), expired)
+    assert(ManifestTable.snapshot(root, 2).isEmpty)
+    intercept[IllegalStateException] {
+      ManifestTable.readVersion(spark, root, 2)
+    }
+    // the latest chain still reads, and new commits continue past it
+    assert(ids(root) == (25L until 150L).toSet)
+    ManifestTable.append(spark, root, batch(150, 160))
+    assert(ManifestTable.latest(root).get.version == 5)
+  }
+
   test("multi-writer stress: concurrent appenders + a compactor lose nothing, versions dense") {
     val root = java.nio.file.Files.createTempDirectory("graft_manifest8").toString
     ManifestTable.init(root)
