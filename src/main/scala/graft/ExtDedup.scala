@@ -303,8 +303,12 @@ private[graft] object ExtDedup {
       val victims = SignatureStore.signatures(s, sigRoot)
         .select("doc_id").distinct().filter(F.col("doc_id") % 5 === 0)
         .as[Long].collect().toSeq.sorted
-      graft.operators.Retraction.purge(s, victims, "doc_id",
-        corpusRoot = Some(corpusRoot), signatureRoot = Some(sigRoot))
+      // a fixture scale with no stored id divisible by 5 simply has
+      // nothing to retract — the oracle's %5<>0 filter is then a
+      // no-op on both sides
+      if (victims.nonEmpty)
+        graft.operators.Retraction.purge(s, victims, "doc_id",
+          corpusRoot = Some(corpusRoot), signatureRoot = Some(sigRoot))
       val kept2 = SignatureStore.ingest(s, sigRoot,
         docs.filter(F.col("doc_id") % 3 === 0),
         "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)

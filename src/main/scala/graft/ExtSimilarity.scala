@@ -109,6 +109,33 @@ private[graft] object ExtSimilarity {
         k = 10, nprobe = ANN_KMEANS_NPROBE)
     }),
 
+
+    // the streaming twin: the SAME odd half arrives as two
+    // mtime-ordered micro-batches through the idempotent
+    // generation-commit sink (gen = baseGen + batchId; a replayed
+    // batch recomputes nothing). Assignment against fixed centroids
+    // is batch-order-independent, so the final index — and this
+    // search — must equal the batch ingest's, which is the shared
+    // oracle
+    "x_stream_ann_store" -> ((s, dir) => {
+      val root = layoutDir(dir, "ivfstore_stream")
+      val batches = layoutDir(dir, "ivfstore_stream_in")
+      deleteRec(new java.io.File(root))
+      deleteRec(new java.io.File(batches))
+      new java.io.File(batches).mkdirs()
+      val emb = Tables.scan(s, dir, "embeddings")
+      IvfStore.init(emb.filter(F.col("vec_id") % 2 === 0),
+        "vec_id", "embedding", ANN_KMEANS_K, ANN_KMEANS_ITERS, root)
+      for (i <- 0 until 2)
+        writeSingleFile(emb.filter(F.col("vec_id") % 4 === 2 * i + 1),
+          s"$batches/ingest_$i.parquet", 1000000000000L + i * 60000L)
+      val idx = graft.streaming.StreamingOps.streamingIvfIngest(
+        s, batches, root, baseGen = 1L, "vec_id", "embedding")
+      IvfIndex.topK(idx,
+        emb.filter(F.col("vec_id") < ANN_N_QUERIES),
+        k = 10, nprobe = ANN_KMEANS_NPROBE)
+    }),
+
     // SemDeDup-shaped embedding dedup: kmeans cells bound the pair
     // space (corpus²/k, never all-pairs), within-cell cosine >= tau
     // drops every vector with a lower-id duplicate. The oracle
@@ -263,6 +290,12 @@ private[graft] object ExtSimilarity {
     // the store twin shares the incremental oracle — identical math,
     // the only difference is the parquet round-trip
     "x_ann_store" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
+      ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES,
+      "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+
+    // the streaming twin lands the same vectors in the same cells —
+    // the oracle is the batch pipeline's, unchanged
+    "x_stream_ann_store" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
       ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES,
       "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
 

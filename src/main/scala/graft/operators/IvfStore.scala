@@ -65,6 +65,28 @@ object IvfStore {
     idx.copy(assigned = idx.assigned.unionByName(appended))
   }
 
+  /** Idempotent micro-batch ingest — the vector twin of
+    * [[SignatureStore.ingestBatch]]: assign `batch` against the
+    * STORED centroids and commit it as generation `gen` through the
+    * shared atomic-rename protocol (generation directory = commit
+    * record; a replayed batch finds its generation present — or
+    * folded into a compacted base — and computes nothing, so the
+    * store is byte-identical under Structured Streaming's replay
+    * contract). `gen` must be deterministic across replays: a
+    * streaming sink uses `baseGen + batchId`, with `baseGen` fixed
+    * for the sink's lifetime (e.g. latestGeneration+1 at the moment
+    * the STREAM is created, paired with its checkpoint). Unlike the
+    * signature store's dedup ingest, assignment is order-independent
+    * across batches — only the id/generation bookkeeping needs the
+    * sequencing. Returns true iff this call committed. */
+  def ingestBatch(spark: SparkSession, root: String, gen: Long,
+                  batch: org.apache.spark.sql.DataFrame,
+                  idCol: String, vecCol: String): Boolean =
+    SignatureStore.commitGeneration(spark, assignedRoot(root), gen) {
+      Similarity.assignCells(batch,
+        spark.read.parquet(s"$root/centroids"), idCol, vecCol)
+    }
+
   /** Fold assignment generations ≤ `upTo` into a compacted base —
     * [[SignatureStore.compactGenerations]] on the assignment store
     * (same layout, same versioned-base + watermark protocol, same

@@ -176,26 +176,38 @@ object SignatureStore {
   def ingestBatch(spark: SparkSession, root: String, gen: Long,
                   incoming: DataFrame, idCol: String, textCol: String,
                   k: Int, bands: Int, threshold: Double,
-                  terms: Column => Column): Boolean = {
+                  terms: Column => Column): Boolean =
+    commitGeneration(spark, root, gen) {
+      val bandedB = Dedup
+        .bandedSignatures(incoming, idCol, textCol, k, bands, terms)
+        .localCheckpoint(eager = true)
+      // first batch of a fresh store: no generations yet, so the
+      // cross-store probe runs against an empty signature frame
+      val stored =
+        if (latestGeneration(spark, root) < 0) bandedB.limit(0)
+        else signatures(spark, root)
+      val drops = Dedup
+        .incrementalDrops(stored, bandedB, idCol, k, threshold)
+        .localCheckpoint(eager = true)
+      bandedB.join(drops, Seq(idCol), "left_anti")
+    }
+
+  /** The idempotent generation-commit primitive [[ingestBatch]] (and
+    * [[IvfStore.ingestBatch]]) rides: skip if `gen` is already
+    * committed (directory present, or folded into a compacted base
+    * whose watermark outlives it); otherwise evaluate `rows`, write
+    * them to a hidden temp dir, and publish with one atomic rename.
+    * `rows` is only evaluated when the commit will actually proceed —
+    * the replay fast-path reads and computes nothing. */
+  private[operators] def commitGeneration(spark: SparkSession,
+                                          root: String, gen: Long)
+                                         (rows: => DataFrame): Boolean = {
     val fs = fsOf(spark, root)
     val genPath = new org.apache.hadoop.fs.Path(s"$root/gen=$gen")
-    // committed if the directory exists OR it was already folded into
-    // a compacted base (whose watermark outlives the directory)
     if (fs.exists(genPath) || gen <= baseWatermark(spark, root))
       return false
-    val bandedB = Dedup
-      .bandedSignatures(incoming, idCol, textCol, k, bands, terms)
-      .localCheckpoint(eager = true)
-    // first batch of a fresh store: no generations yet, so the
-    // cross-store probe runs against an empty signature frame
-    val stored =
-      if (latestGeneration(spark, root) < 0) bandedB.limit(0)
-      else signatures(spark, root)
-    val drops = Dedup
-      .incrementalDrops(stored, bandedB, idCol, k, threshold)
-      .localCheckpoint(eager = true)
     val tmp = s"$root/.ingest-$gen-${java.util.UUID.randomUUID()}"
-    bandedB.join(drops, Seq(idCol), "left_anti").write.parquet(tmp)
+    rows.write.parquet(tmp)
     val committed = fs.rename(new org.apache.hadoop.fs.Path(tmp), genPath)
     if (!committed) {
       // lost a (single-writer-contract-violating) race — whoever won

@@ -390,6 +390,36 @@ object StreamingOps {
       .distinct()
   }
 
+  /** Streaming ingest into the standing IVF index — the vector twin
+    * of [[streamingNeardupStore]]: each micro-batch of vectors is
+    * assigned against the STORED centroids and committed as
+    * generation `baseGen + batchId` through the idempotent
+    * atomic-rename protocol ([[graft.operators.IvfStore.ingestBatch]]
+    * — a replayed batch leaves the store byte-identical). `baseGen`
+    * is fixed at sink creation (pass latestGeneration+1 of the
+    * initialized store) so generation numbers are deterministic
+    * across replays. Returns the loaded post-stream index. */
+  def streamingIvfIngest(spark: SparkSession, batchesDir: String,
+                         storeRoot: String, baseGen: Long,
+                         idCol: String, vecCol: String): graft.operators.IvfIndex.Index = {
+    val physSchema = spark.read.parquet(batchesDir).schema
+    val stream = spark.readStream.schema(physSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(batchesDir)
+    graft.ScopedShufflePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.operators.IvfStore.ingestBatch(spark, storeRoot,
+            baseGen + id, batch, idCol, vecCol)
+          (): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.operators.IvfStore.load(spark, storeRoot, idCol, vecCol)
+  }
+
   def streamingCdcApply(spark: SparkSession, base: DataFrame,
                         changesDir: String, pk: Seq[String],
                         opCol: String, verCol: String,

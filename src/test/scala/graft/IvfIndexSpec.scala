@@ -112,6 +112,50 @@ class IvfIndexSpec extends SparkSpec {
       "post-compaction ingest diverged from the in-memory index")
   }
 
+  test("streaming IVF ingest equals batch ingest; a replayed batch leaves the store byte-identical") {
+    import graft.operators.{IvfIndex, IvfStore}
+    val root = Workspace.dir("ivfstore_spec_stream")
+    val batches = Workspace.dir("ivfstore_spec_stream_in")
+    Seq(root, batches).foreach(r => ExtShared.deleteRec(new java.io.File(r)))
+    new java.io.File(batches).mkdirs()
+    IvfStore.init(emb.filter(F.col("vec_id") % 2 === 0),
+      "vec_id", "embedding", K, ITERS, root)
+    for (i <- 0 until 2)
+      ExtShared.writeSingleFile(emb.filter(F.col("vec_id") % 4 === 2 * i + 1),
+        s"$batches/ingest_$i.parquet", 1000000000000L + i * 60000L)
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val idx = graft.streaming.StreamingOps.streamingIvfIngest(
+      spark, batches, root, baseGen = 1L, "vec_id", "embedding")
+    val got = IvfIndex.topK(idx, queries, k = 10, nprobe = NPROBE)
+      .collect().map(_.toSeq).toSet
+    // batch twin over the same halves
+    val twin = Workspace.dir("ivfstore_spec_stream_twin")
+    ExtShared.deleteRec(new java.io.File(twin))
+    IvfStore.init(emb.filter(F.col("vec_id") % 2 === 0),
+      "vec_id", "embedding", K, ITERS, twin)
+    IvfStore.ingest(spark, twin, emb.filter(F.col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding")
+    val want = IvfIndex.topK(
+        IvfStore.load(spark, twin, "vec_id", "embedding"),
+        queries, k = 10, nprobe = NPROBE)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "streaming IVF ingest diverged from batch ingest")
+    // replay batch 0: no recompute, no byte moves
+    def fileState(r: String): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(r))
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(p => p.toString -> (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+      finally s.close()
+    }
+    val before = fileState(root)
+    assert(!IvfStore.ingestBatch(spark, root, 1L,
+      emb.filter(F.col("vec_id") % 4 === 1), "vec_id", "embedding"))
+    assert(fileState(root) == before, "replay moved store bytes")
+  }
+
   test("balance audit: uniform append stays under the trigger, skewed append fires a retrain that restores balance and recall") {
     import spark.implicits._
     val queries = emb.filter(F.col("vec_id") < 5)
