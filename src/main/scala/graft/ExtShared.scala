@@ -173,6 +173,7 @@ private[graft] object ExtShared {
   // are SF-stable, so both the postings and the capped branch grade
   // at every scale)
   private[graft] val INVIDX_DFCAP_PCT = 80L
+  private[graft] val BM25_TOPK = 25
   // PageRank over the near-dup pair graph: fixed-trip synchronous
   // rounds, standard damping
   private[graft] val PR_ITERS = 5

@@ -184,6 +184,17 @@ private[graft] object ExtText {
       graft.operators.Retrieval.bm25(Tables.scan(s, dir, "documents"),
         "doc_id", "text", BM25_TERMS, BM25_K1, BM25_B)),
 
+    // index-served BM25 top-k: candidates from the posting lists of
+    // the UNDER-CAP query terms (same relative df cap as
+    // x_inverted_index), every term scores, global top-k as
+    // TakeOrderedAndProject with the deterministic (score, id) order
+    "x_bm25_topk" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      val cap = docs.count() * INVIDX_DFCAP_PCT / 100L
+      graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+        BM25_TERMS, cap, BM25_TOPK, BM25_K1, BM25_B)
+    }),
+
     // inverted index with a RELATIVE df cap: rare-enough tokens carry
     // their full ascending posting list (comma-joined — portable
     // collation); head terms emit NULL postings + df only, the skew
@@ -356,6 +367,44 @@ private[graft] object ExtText {
     * inlined at full round-trip precision, association order matches
     * the Column expression exactly, and the per-term 6-dp rounding +
     * decimal sum replays bit-for-bit. */
+  /** Index-served BM25 top-k oracle: same per-term math as
+    * [[bm25Sql]], candidates restricted to docs hitting an under-cap
+    * term (the inverted index's own df rule), deterministic
+    * (score desc, doc_id asc) rank cut at k. */
+  private def bm25TopKSql(terms: Seq[String], k1: Double, b: Double,
+                          pct: Long, k: Int): String = {
+    val k1p1 = (k1 + 1.0).toString
+    val oneMinusB = (1.0 - b).toString
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf$i"
+    }.mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    def term(i: Int) =
+      s"CAST(CASE WHEN tf$i > 0 THEN round(" +
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * " +
+        s"CAST(tf$i AS DOUBLE) * $k1p1 / " +
+        s"(CAST(tf$i AS DOUBLE) + $k1 * ($oneMinusB + " +
+        s"$b * CAST(dl AS DOUBLE) / (CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)))), 6) " +
+        s"ELSE 0.0 END AS DECIMAL(18,6))"
+    val hits = terms.indices
+      .map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val cand = terms.indices
+      .map(i => s"(tf$i > 0 AND df$i <= cap)").mkString(" OR ")
+    "WITH t AS (SELECT doc_id, " +
+      "unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents), " +
+      s"g AS (SELECT doc_id, count(*) AS dl, $tfs FROM t GROUP BY doc_id), " +
+      s"st AS (SELECT count(*) AS n, sum(dl) AS sl, $dfs, " +
+      s"(SELECT count(*) * $pct // 100 FROM documents) AS cap FROM g), " +
+      s"scored AS (SELECT doc_id, CAST($hits AS BIGINT) AS n_terms_hit, " +
+      s"CAST(${terms.indices.map(term).mkString(" + ")} AS DOUBLE) AS score " +
+      s"FROM g, st WHERE $cand) " +
+      "SELECT doc_id, n_terms_hit, score, rank FROM " +
+      "(SELECT doc_id, n_terms_hit, score, " +
+      "CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) " +
+      s"AS rank FROM scored) WHERE rank <= $k"
+  }
+
   private def bm25Sql(terms: Seq[String], k1: Double, b: Double): String = {
     val k1p1 = (k1 + 1.0).toString
     val oneMinusB = (1.0 - b).toString
@@ -386,6 +435,9 @@ private[graft] object ExtText {
     "x_bpe_train" -> bpeSql(BPE_MERGES),
 
     "x_bm25" -> bm25Sql(BM25_TERMS, BM25_K1, BM25_B),
+
+    "x_bm25_topk" -> bm25TopKSql(BM25_TERMS, BM25_K1, BM25_B,
+      INVIDX_DFCAP_PCT, BM25_TOPK),
 
     "x_entropy" ->
       ("WITH t AS (SELECT source AS g, " +

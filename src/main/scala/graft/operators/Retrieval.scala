@@ -30,6 +30,68 @@ object Retrieval {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2,
            b: Double = 0.75): DataFrame = {
+    val core = bm25Core(docs, idCol, textCol, queryTerms, k1, b)
+    core.g
+      .withColumn("n_terms_hit", core.hits)
+      .filter(F.col("n_terms_hit") > 0)
+      .withColumn("score", core.score)
+      .select(F.col(idCol), F.col("dl"), F.col("n_terms_hit"),
+        F.col("score"))
+  }
+
+  /** INDEX-SERVED BM25 top-k — the retrieval shape that matters at
+    * 100 TB: candidates come from the posting lists of the UNDER-CAP
+    * query terms (exactly the terms [[invertedIndex]] materializes
+    * postings for, same df ≤ cap rule), never from a corpus-wide
+    * match scan; scoring then uses EVERY query term's tf over that
+    * candidate-bounded set (the WAND-style split: rare terms
+    * generate, all terms score — a stopword narrows no candidate set
+    * and generates none). A query of only over-cap terms returns
+    * empty: the index cannot serve it, by design, and the caller
+    * falls back to the scan-based [[bm25]].
+    *
+    * Plan shape: the per-doc grouped frame is computed once (one
+    * corpus scan — in a standing deployment this frame and the stats
+    * are maintained state); the candidate filter bounds everything
+    * downstream to ≤ Σ under-cap dfs ≤ |terms|·cap rows; the global
+    * top-k runs as TakeOrderedAndProject (distributed heap, no full
+    * sort) with the rank window applied AFTER the limit, over ≤
+    * `topK` rows. Total order = (score desc, id asc) — rounded
+    * scores + id tie-break make the cut deterministic on any engine. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], dfCap: Long, topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val core = bm25Core(docs, idCol, textCol, queryTerms, k1, b)
+    val candTerms = queryTerms.indices.filter(i => core.dfs(i) <= dfCap)
+    val scored = core.g
+      .withColumn("n_terms_hit", core.hits)
+      .withColumn("score", core.score)
+      .select(F.col(idCol), F.col("n_terms_hit"), F.col("score"))
+    if (candTerms.isEmpty) return scored.limit(0)
+      .withColumn("rank", F.lit(0L))
+    val isCandidate = candTerms
+      .map(i => F.col(s"tf$i") > 0).reduce(_ || _)
+    val top = core.g
+      .filter(isCandidate)
+      .withColumn("n_terms_hit", core.hits)
+      .withColumn("score", core.score)
+      .select(F.col(idCol), F.col("n_terms_hit"), F.col("score"))
+      .orderBy(F.col("score").desc, F.col(idCol).asc)
+      .limit(topK)
+    // rank over the already-limited frame: ≤ topK rows in one task
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(F.col("score").desc, F.col(idCol).asc)
+    top.withColumn("rank", F.row_number().over(w).cast("long"))
+  }
+
+  private final case class Bm25Core(g: DataFrame, n: Long,
+                                    avgdl: Double, dfs: Seq[Long],
+                                    hits: Column, score: Column)
+
+  private def bm25Core(docs: DataFrame, idCol: String, textCol: String,
+                       queryTerms: Seq[String], k1: Double,
+                       b: Double): Bm25Core = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
       "queryTerms must be non-empty and distinct")
     val toks = docs.select(F.col(idCol),
@@ -69,13 +131,8 @@ object Retrieval {
     val hits = queryTerms.indices
       .map(i => F.when(F.col(s"tf$i") > 0, 1L).otherwise(0L))
       .reduce(_ + _)
-    g
-      .withColumn("n_terms_hit", hits)
-      .filter(F.col("n_terms_hit") > 0)
-      .withColumn("score",
-        queryTerms.indices.map(term).reduce(_ + _).cast("double"))
-      .select(F.col(idCol), F.col("dl"), F.col("n_terms_hit"),
-        F.col("score"))
+    Bm25Core(g, n, avgdl, dfs, hits,
+      queryTerms.indices.map(term).reduce(_ + _).cast("double"))
   }
 
   /** Inverted index: one row per distinct token with its document

@@ -26,6 +26,38 @@ class RetrievalSpec extends SparkSpec {
     assert(out(1L)._2 > out(2L)._2)
   }
 
+  test("bm25TopK: rare terms generate candidates, over-cap terms only score; all-over-cap query is empty") {
+    // 'pad' appears in every doc (df 4 — over a cap of 2); 'rare' in
+    // two docs (under cap). Doc 4 matches ONLY the stopword.
+    val docs = Seq(
+      (1L, "rare pad pad pad pad pad"),
+      (2L, "rare rare pad pad pad pad"),
+      (3L, "pad nope pad pad pad pad"),
+      (4L, "pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("rare", "pad"), dfCap = 2L, topK = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms_hit"), r.getAs[Long]("rank"))).toMap
+    // candidates = posting members of 'rare' only; docs 3/4 hit only
+    // the over-cap term and are NOT generated...
+    assert(out.keySet == Set(1L, 2L), out)
+    // ...but the over-cap term still SCORES the generated candidates
+    assert(out(1L)._1 == 2L && out(2L)._1 == 2L, out)
+    assert(out(2L)._2 == 1L, "higher rare-tf doc should rank first")
+    // a query of only over-cap terms cannot be served by the index
+    assert(Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("pad"), dfCap = 2L, topK = 10).count() == 0L)
+    // with every term under the cap, topK = brute-force bm25 head
+    val brute = Retrieval.bm25(docs, "doc_id", "text", Seq("rare", "pad"))
+      .orderBy(F.col("score").desc, F.col("doc_id").asc)
+      .select("doc_id").as[Long].collect().toSeq.take(3)
+    val served = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("rare", "pad"), dfCap = 10L, topK = 3)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(served == brute, s"$served vs $brute")
+  }
+
   test("inverted index: rare tokens carry exact ascending postings, head tokens only df") {
     val docs = Seq(
       (10L, "alpha beta"), (2L, "alpha beta"), (7L, "alpha"))
