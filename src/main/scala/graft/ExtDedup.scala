@@ -54,6 +54,19 @@ private[graft] object ExtDedup {
         PR_ITERS, PR_DAMPING)),
 
 
+    // PERSONALIZED pagerank: restart mass pinned to the even-id seed
+    // set — "what is related to these docs" over the near-dup graph
+    // (expansion/retrieval), vs x_pagerank's global centrality. Same
+    // decimal round discipline; the oracle swaps the uniform restart
+    // for the seed-conditional one and replays the rounds
+    "x_pagerank_seeded" -> ((s, dir) =>
+      graft.operators.Retrieval.personalizedPageRank(
+        Dedup.jaccardPairsLsh(Tables.scan(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8, k = MINHASH_K,
+          bands = MINHASH_BANDS, terms = Text.distinctShingles(_, 2)),
+        PR_ITERS, isSeed = _ % 2 === 0, PR_DAMPING)),
+
+
     // duplication PROVENANCE: the near-dup pairs rolled up to a
     // (source_a, source_b) matrix — which feeds are re-crawling whom.
     // The pair frame is LSH-bounded (tiny vs the corpus), so the two
@@ -667,6 +680,29 @@ private[graft] object ExtDedup {
         "nn AS MATERIALIZED (SELECT count(*) AS n FROM deg), " +
         "r0 AS MATERIALIZED (SELECT src AS id, round(1.0 / n, 9) AS rank " +
         "FROM deg, nn), " +
+        rounds + s" SELECT id, rank FROM r$PR_ITERS"
+    },
+
+    "x_pagerank_seeded" -> {
+      val rounds = (1 to PR_ITERS).map { i =>
+        s"r$i AS MATERIALIZED (SELECT e.dst AS id, " +
+          s"round(CASE WHEN e.dst % 2 = 0 THEN (1.0 - $PR_DAMPING) / ns.n " +
+          s"ELSE 0.0 END + $PR_DAMPING * " +
+          "CAST(sum(CAST(round(r.rank / CAST(deg.deg AS DOUBLE), 9) " +
+          "AS DECIMAL(28,9))) AS DOUBLE), 9) AS rank " +
+          s"FROM e JOIN deg ON e.src = deg.src " +
+          s"JOIN r${i - 1} r ON r.id = e.src, ns " +
+          "GROUP BY e.dst, ns.n)"
+      }.mkString(", ")
+      "WITH prs AS MATERIALIZED (" +
+        jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8) + "), " +
+        "e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs " +
+        "UNION ALL SELECT id_b, id_a FROM prs), " +
+        "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+        "ns AS MATERIALIZED (SELECT count(*) AS n FROM deg WHERE src % 2 = 0), " +
+        "r0 AS MATERIALIZED (SELECT src AS id, " +
+        "round(CASE WHEN src % 2 = 0 THEN 1.0 / ns.n ELSE 0.0 END, 9) AS rank " +
+        "FROM deg, ns), " +
         rounds + s" SELECT id, rank FROM r$PR_ITERS"
     },
 

@@ -241,6 +241,56 @@ object Retrieval {
     * dupComponents pattern). Per-edge contributions are rounded to
     * 9 dp and decimal-summed; ranks are rounded to 9 dp per round —
     * bit-stable across partitionings and engines. */
+  /** PERSONALIZED PageRank: rank mass restarts onto a SEED set
+    * instead of uniformly — "what is related to these documents",
+    * the retrieval/expansion signal over the near-dup (or citation)
+    * graph that global PageRank's "what is central" cannot give.
+    * `isSeed` is a deterministic predicate over the node id (an
+    * engine-replayable seed definition, e.g. an id-set membership);
+    * restart mass is 1/|seeds| on seeds, 0 elsewhere, so non-seed
+    * rank decays with graph distance from the seed set.
+    *
+    * Same scale/determinism shape as [[pageRank]]: fixed-trip
+    * synchronous rounds, one equi-join + one grouped 9-dp decimal
+    * sum per round, per-round lineage pins, zero driver traffic in
+    * the loop (the single seed COUNT collects one scalar before it
+    * starts). */
+  def personalizedPageRank(edges: DataFrame, iters: Int,
+                           isSeed: Column => Column,
+                           damping: Double = 0.85,
+                           reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val pin = Dedup.checkpointPinner(edges.sparkSession, reliableCheckpointDir)
+    val e = pin(edges.select("id_a", "id_b"))
+    val dir = e.select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
+      .unionByName(
+        e.select(F.col("id_b").as("src"), F.col("id_a").as("dst")))
+    val deg = dir.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
+    val nSeeds = deg.filter(isSeed(F.col("src"))).count()
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed in the graph")
+    // restart term mirrors the oracle's text exactly: (1-d)/|seeds|
+    // for seeds, 0 elsewhere; r0 carries the raw restart vector
+    var ranks = pin(deg.select(F.col("src").as("id"),
+      F.round(F.when(isSeed(F.col("src")),
+          F.lit(1.0) / F.lit(nSeeds.toDouble))
+        .otherwise(F.lit(0.0)), 9).as("rank")))
+    for (_ <- 0 until iters) {
+      val contrib = dir
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(F.col("dst"),
+          F.round(F.col("rank") / F.col("deg").cast("double"), 9)
+            .cast("decimal(28,9)").as("c"))
+      ranks = pin(contrib.groupBy("dst")
+        .agg(F.round(
+          F.when(isSeed(F.col("dst")),
+              F.lit(1.0 - damping) / F.lit(nSeeds.toDouble))
+            .otherwise(F.lit(0.0)) +
+          F.lit(damping) * F.sum("c").cast("double"), 9).as("rank"))
+        .select(F.col("dst").as("id"), F.col("rank")))
+    }
+    ranks
+  }
+
   def pageRank(edges: DataFrame, iters: Int,
                damping: Double = 0.85,
                reliableCheckpointDir: Option[String] = None): DataFrame = {

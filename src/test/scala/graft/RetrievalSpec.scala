@@ -69,6 +69,30 @@ class RetrievalSpec extends SparkSpec {
     assert(out("beta") == ((2L, "2,10"))) // numeric order, not "10,2"
   }
 
+  test("personalized pagerank: mass stays ~1, seedless components decay geometrically, partition-independent") {
+    import graft.operators.Retrieval
+    // two components: {0,2,4} (contains both seeds) and {1,3} (no
+    // even id... 4 is even; use {1,3} odd-only as the seedless one)
+    val edges = Seq((0L, 2L), (2L, 4L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    val iters = 6
+    val out = Retrieval.personalizedPageRank(edges, iters,
+        isSeed = _ % 2 === 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // restart lands only on seeds: total mass telescopes to 1
+    assert(math.abs(out.values.sum - 1.0) < 1e-6, out)
+    // the seedless {1,3} component only LOSES mass: d^iters of its
+    // initial 0 restart — exactly 0 every round
+    assert(out(1L) == 0.0 && out(3L) == 0.0, out)
+    // seeds' neighborhood holds everything
+    assert(Seq(0L, 2L, 4L).map(out).sum > 0.999, out)
+    // partition-independence (decimal-sum discipline)
+    val rep = Retrieval.personalizedPageRank(edges.repartition(7), iters,
+        isSeed = _ % 2 === 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep == out)
+  }
+
   test("pagerank: mass conserved, uniform on a symmetric graph, partition-independent") {
     // triangle: symmetric → uniform ranks
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
