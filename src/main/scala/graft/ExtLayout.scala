@@ -210,6 +210,25 @@ private[graft] object ExtLayout {
     }),
 
 
+    // exactly-once streaming append into the manifest table: three
+    // mtime-ordered micro-batches land through appendBatch's atomic
+    // marker+filelist commit — a double-counted replay or a lost
+    // batch fails the whole-corpus hash
+    "x_stream_manifest" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_stream")
+      val batches = layoutDir(dir, "manifest_stream_in")
+      deleteRec(new java.io.File(root))
+      deleteRec(new java.io.File(batches))
+      new java.io.File(batches).mkdirs()
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      for (i <- 0 until 3)
+        writeSingleFile(docs.filter(F.col("doc_id") % 3 === i),
+          s"$batches/ingest_$i.parquet", 1000000000000L + i * 60000L)
+      graft.streaming.StreamingOps.streamingManifestAppend(s, batches, root)
+    }),
+
+
     // snapshot time travel: three appends then a row-level delete —
     // the output reads version 2 (exactly the first two appends, BY
     // the manifest pointer, not a directory listing) alongside the
@@ -484,6 +503,10 @@ private[graft] object ExtLayout {
     // the manifest table holds exactly the corpus — a lost concurrent
     // append or a double-counted rewritten file fails the hash
     "x_compact_manifest" ->
+      "SELECT doc_id, lang, source FROM documents",
+
+    // every batch exactly once = the whole corpus
+    "x_stream_manifest" ->
       "SELECT doc_id, lang, source FROM documents",
 
     // v2 = the first two appends exactly; v4 (latest) = all three

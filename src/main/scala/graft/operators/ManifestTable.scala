@@ -40,7 +40,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
   */
 object ManifestTable {
 
-  final case class Snapshot(version: Int, files: Seq[String])
+  /** One published manifest: the version's data-file list plus
+    * metadata lines (`#`-prefixed in the file — currently
+    * `#batch:<id>` markers recording which streaming micro-batches
+    * are already folded in, the exactly-once ledger [[appendBatch]]
+    * rides). Metadata commits ATOMICALLY with the file list because
+    * it lives in the same hard-linked manifest file. */
+  final case class Snapshot(version: Int, files: Seq[String],
+                            meta: Seq[String] = Seq.empty)
+
+  private def parseLines(lines: Seq[String]): (Seq[String], Seq[String]) =
+    lines.filter(_.nonEmpty).partition(!_.startsWith("#"))
 
   private def manifestDir(root: String): Path = Paths.get(root, "manifest")
 
@@ -70,18 +80,23 @@ object ManifestTable {
       val v = versions.max
       val lines = Files.readAllLines(dir.resolve(s"v$v"),
         StandardCharsets.UTF_8)
-      Some(Snapshot(v, lines.asScala.toSeq.filter(_.nonEmpty)))
+      val (files, meta) = parseLines(lines.asScala.toSeq)
+      Some(Snapshot(v, files, meta))
     }
   }
 
   /** Atomic publish of version `n`: write a temp manifest, hard-link
     * it to `v{n}` (complete-or-absent; fails if `v{n}` exists). */
   private[operators] def tryCommit(root: String, n: Int,
-                                   files: Seq[String]): Boolean = {
+                                   files: Seq[String],
+                                   meta: Seq[String] = Seq.empty): Boolean = {
+    require(meta.forall(_.startsWith("#")),
+      "metadata lines must be #-prefixed")
     val dir = manifestDir(root)
     val tmp = Files.createTempFile(dir, ".tmp-", ".manifest")
     try {
-      Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.write(tmp, (meta ++ files).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
       try { Files.createLink(dir.resolve(s"v$n"), tmp); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
@@ -146,8 +161,10 @@ object ManifestTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
              beforeCommit: () => Unit = () => ()): Snapshot = {
     val (newFiles, token) = writeData(spark, root, df)
-    try { beforeCommit(); commitLoop(root) { cur => cur.files ++ newFiles } }
-    finally clearIntent(root, token)
+    try {
+      beforeCommit()
+      commitLoop(root) { cur => (cur.files ++ newFiles, cur.meta) }
+    } finally clearIntent(root, token)
   }
 
   /** A specific published snapshot (None if that version was never
@@ -155,9 +172,50 @@ object ManifestTable {
   def snapshot(root: String, version: Int): Option[Snapshot] = {
     val p = manifestDir(root).resolve(s"v$version")
     if (!Files.isRegularFile(p)) None
-    else Some(Snapshot(version,
-      Files.readAllLines(p, StandardCharsets.UTF_8)
-        .asScala.toSeq.filter(_.nonEmpty)))
+    else {
+      val (files, meta) = parseLines(
+        Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq)
+      Some(Snapshot(version, files, meta))
+    }
+  }
+
+  /** EXACTLY-ONCE streaming append: commit `df` as micro-batch
+    * `batchId`, recording a `#batch:<id>` marker IN the manifest —
+    * marker and file list publish through the same atomic hard link,
+    * so there is no window where the data is visible but the batch
+    * unrecorded (or vice versa). A replayed batch (same id — the
+    * Structured Streaming contract) finds its marker and returns the
+    * current snapshot without writing anything; a replay racing a
+    * concurrent commit re-reads and re-checks inside the optimistic
+    * loop. The ledger grows one line per batch — compaction carries
+    * it forward verbatim; a production deployment would fold markers
+    * below the checkpoint's watermark. */
+  def appendBatch(spark: SparkSession, root: String, batchId: Long,
+                  df: DataFrame): Snapshot = {
+    val marker = s"#batch:$batchId"
+    latest(root).filter(_.meta.contains(marker)) match {
+      case Some(cur) => cur // replayed: nothing to read, write, or commit
+      case None =>
+        val (newFiles, token) = writeData(spark, root, df)
+        try {
+          var result: Option[Snapshot] = None
+          while (result.isEmpty) {
+            val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
+            if (cur.meta.contains(marker)) {
+              // a racing duplicate committed first — return ITS state
+              // without committing anything; our data files become
+              // vacuumable orphans
+              result = Some(cur)
+            } else {
+              val files = cur.files ++ newFiles
+              val meta = cur.meta :+ marker
+              if (tryCommit(root, cur.version + 1, files, meta))
+                result = Some(Snapshot(cur.version + 1, files, meta))
+            }
+          }
+          result.get
+        } finally clearIntent(root, token)
+    }
   }
 
   /** The latest snapshot's rows. */
@@ -241,8 +299,8 @@ object ManifestTable {
           // conflict-free merge: files that appeared since the base
           // snapshot are appends — keep them alongside the compacted set
           val files = compacted ++ cur.files.filterNot(baseSet)
-          if (tryCommit(root, cur.version + 1, files))
-            result = Some(Snapshot(cur.version + 1, files))
+          if (tryCommit(root, cur.version + 1, files, cur.meta))
+            result = Some(Snapshot(cur.version + 1, files, cur.meta))
         }
       }
       result.get
@@ -308,8 +366,8 @@ object ManifestTable {
                 retryScan = true
               } else {
                 val files = cur.files.filterNot(affectedSet) ++ newFiles
-                if (tryCommit(root, cur.version + 1, files))
-                  result = Some(Snapshot(cur.version + 1, files))
+                if (tryCommit(root, cur.version + 1, files, cur.meta))
+                  result = Some(Snapshot(cur.version + 1, files, cur.meta))
               }
             }
           } finally clearIntent(root, token)
@@ -322,13 +380,13 @@ object ManifestTable {
   /** Optimistic commit: recompute the file list against the latest
     * snapshot until the version link wins. */
   private def commitLoop(root: String)
-                        (merge: Snapshot => Seq[String]): Snapshot = {
+                        (merge: Snapshot => (Seq[String], Seq[String])): Snapshot = {
     var committed: Option[Snapshot] = None
     while (committed.isEmpty) {
       val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
-      val files = merge(cur)
-      if (tryCommit(root, cur.version + 1, files))
-        committed = Some(Snapshot(cur.version + 1, files))
+      val (files, meta) = merge(cur)
+      if (tryCommit(root, cur.version + 1, files, meta))
+        committed = Some(Snapshot(cur.version + 1, files, meta))
     }
     committed.get
   }

@@ -420,6 +420,33 @@ object StreamingOps {
     graft.operators.IvfStore.load(spark, storeRoot, idCol, vecCol)
   }
 
+  /** Exactly-once streaming append into a [[graft.operators
+    * .ManifestTable]]: each micro-batch commits through
+    * `appendBatch`, whose `#batch:<id>` marker publishes atomically
+    * WITH the file list — a replayed batch finds its marker and
+    * writes nothing, so the table never double-counts under
+    * failure/retry (the manifest twin of the gen-store sinks).
+    * Returns the table's rows after the stream drains. */
+  def streamingManifestAppend(spark: SparkSession, batchesDir: String,
+                              root: String): DataFrame = {
+    graft.operators.ManifestTable.init(root)
+    val physSchema = spark.read.parquet(batchesDir).schema
+    val stream = spark.readStream.schema(physSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(batchesDir)
+    graft.ScopedShufflePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.operators.ManifestTable.appendBatch(spark, root, id, batch)
+          (): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.operators.ManifestTable.read(spark, root)
+  }
+
   def streamingCdcApply(spark: SparkSession, base: DataFrame,
                         changesDir: String, pk: Seq[String],
                         opCol: String, verCol: String,

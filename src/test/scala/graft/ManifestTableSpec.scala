@@ -179,6 +179,33 @@ class ManifestTableSpec extends SparkSpec {
       .contains("data/orphan-tok/part-dead.parquet"))
   }
 
+  test("appendBatch is exactly-once: a replayed batch commits nothing; markers survive compaction") {
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest10").toString
+    ManifestTable.init(root)
+    ManifestTable.appendBatch(spark, root, 0L, batch(0, 50))
+    ManifestTable.appendBatch(spark, root, 1L, batch(50, 100))
+    val v = ManifestTable.latest(root).get.version
+    // replay batch 1 with the same id — no new version, no new rows,
+    // no new data files
+    val filesBefore = ManifestTable.latest(root).get.files
+    val snap = ManifestTable.appendBatch(spark, root, 1L, batch(50, 100))
+    assert(snap.version == v, "replayed batch committed a new version")
+    assert(ManifestTable.latest(root).get.files == filesBefore)
+    assert(ids(root) == (0L until 100L).toSet)
+    // markers ride through compaction, so replay detection survives a
+    // rewrite between the failure and the retry
+    ManifestTable.compact(spark, root, targetFileBytes = 1L << 20)
+    val snap2 = ManifestTable.appendBatch(spark, root, 0L, batch(0, 50))
+    assert(snap2.version == ManifestTable.latest(root).get.version)
+    assert(ids(root) == (0L until 100L).toSet,
+      "post-compaction replay double-counted a batch")
+    // a genuinely new batch still lands
+    ManifestTable.appendBatch(spark, root, 2L, batch(100, 120))
+    assert(ids(root) == (0L until 120L).toSet)
+    assert(ManifestTable.latest(root).get.meta.toSet ==
+      Set("#batch:0", "#batch:1", "#batch:2"))
+  }
+
   test("time travel reads any surviving version; expireManifests drops old versions but never the latest") {
     val root = java.nio.file.Files.createTempDirectory("graft_manifest9").toString
     ManifestTable.init(root)
