@@ -131,6 +131,39 @@ class RetractionSpec extends SparkSpec {
       "a purged vector surfaced in post-purge search results")
   }
 
+  test("lifecycle interleave: batch ingests, purge, compaction, and replay guards compose") {
+    import spark.implicits._
+    val root = Workspace.dir("retract_lifecycle")
+    ExtShared.deleteRec(new java.io.File(root))
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "totally different words lambda mu nu xi omicron pi rho"
+    val textC = "yet another corpus entry sigma tau upsilon phi chi psi"
+    def ingest(gen: Long, rows: (Long, String)*): Boolean =
+      SignatureStore.ingestBatch(spark, root, gen,
+        rows.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", K, BANDS, TAU, sh3)
+    assert(ingest(0, 1L -> textA, 2L -> textB))
+    assert(ingest(1, 10L -> textC, 11L -> textA)) // 11 dup of 1 → dropped
+    def members(): Set[Long] = SignatureStore.signatures(spark, root)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(members() == Set(1L, 2L, 10L))
+
+    // forget doc 1, then a copy re-admits through the BATCH protocol
+    SignatureStore.purge(spark, root, "doc_id", Seq(1L))
+    assert(ingest(2, 20L -> textA))
+    assert(members() == Set(2L, 10L, 20L))
+
+    // fold everything; folded generations refuse replay, new ones land
+    SignatureStore.compactGenerations(spark, root, upTo = 2)
+    assert(!ingest(1, 10L -> textC, 11L -> textA),
+      "folded generation re-committed under replay")
+    assert(ingest(3, 30L -> "completely fresh final batch words here ok"))
+    assert(members() == Set(2L, 10L, 20L, 30L))
+    // and a post-compaction purge still reaches the base
+    SignatureStore.purge(spark, root, "doc_id", Seq(10L))
+    assert(members() == Set(2L, 20L, 30L))
+  }
+
   test("re-admission: a near-copy of a purged doc is admitted where it was dropped before") {
     val base = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
