@@ -258,6 +258,41 @@ private[graft] object ExtDedup {
     }),
 
 
+    // SOURCE-level retraction: recall an entire contaminated source —
+    // the victim population is a corpus predicate, not a driver list,
+    // so the stores purge through frame joins (purgeIds) rather than
+    // isin literals. Same lifecycle as x_retract (two ingests, purge,
+    // third ingest against the purged store); recall is
+    // point-in-time: batch-3 docs of the recalled source are admitted
+    "x_retract_source" -> ((s, dir) => {
+      val corpusRoot = layoutDir(dir, "retractsrc_corpus")
+      val sigRoot = layoutDir(dir, "retractsrc_sigs")
+      deleteRec(new java.io.File(corpusRoot))
+      deleteRec(new java.io.File(sigRoot))
+      val docs = Tables.scan(s, dir, "documents")
+      val slim = (df: org.apache.spark.sql.DataFrame) =>
+        df.select("doc_id", "lang", "source")
+      val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
+      graft.operators.ManifestTable.init(corpusRoot)
+      graft.operators.ManifestTable.append(s, corpusRoot,
+        slim(docs.filter(F.col("doc_id") % 3 === 1)))
+      SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 1),
+        "doc_id", "text", sigRoot, MINHASH_K, NGRAM_BANDS, shingles3)
+      val kept1 = SignatureStore.ingest(s, sigRoot,
+        docs.filter(F.col("doc_id") % 3 === 2),
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
+      graft.operators.ManifestTable.append(s, corpusRoot, slim(kept1))
+      graft.operators.Retraction.purgeWhere(s,
+        F.col("source") === "src3", "doc_id", corpusRoot,
+        signatureRoot = Some(sigRoot))
+      val kept2 = SignatureStore.ingest(s, sigRoot,
+        docs.filter(F.col("doc_id") % 3 === 0),
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
+      graft.operators.ManifestTable.append(s, corpusRoot, slim(kept2))
+      graft.operators.ManifestTable.read(s, corpusRoot)
+    }),
+
+
     // streaming ingest into the standing signature store: the corpus
     // arrives as THREE single-file micro-batches (mtime-pinned
     // arrival order, one file per trigger) through a foreachBatch
@@ -621,6 +656,42 @@ private[graft] object ExtDedup {
         "UNION ALL SELECT doc_id, 2 AS batch FROM kept2) " +
         "SELECT d.doc_id, CAST(f.batch AS BIGINT) AS batch, " +
         "d.lang, d.source " +
+        "FROM documents d JOIN final f ON d.doc_id = f.doc_id"),
+
+    // source-recall replay: identical to x_retract's chain except the
+    // purge condition is source membership instead of id arithmetic
+    "x_retract_source" ->
+      (s"WITH ${shingleToksCte(3)}, " +
+        s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
+        s"bands AS (${bandRowsSql(NGRAM_BANDS)}), " +
+        "b0 AS (SELECT * FROM bands WHERE doc_id % 3 = 1), " +
+        "b1 AS (SELECT * FROM bands WHERE doc_id % 3 = 2), " +
+        "b2 AS (SELECT * FROM bands WHERE doc_id % 3 = 0), " +
+        "drop1in AS (SELECT DISTINCT r.doc_id FROM b1 l JOIN b1 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+        "drop1x AS (SELECT DISTINCT l.doc_id FROM b1 l JOIN b0 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"WHERE $estSql >= 0.5), " +
+        "kept1 AS (SELECT DISTINCT doc_id FROM b1 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drop1in) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drop1x)), " +
+        "store2 AS (SELECT * FROM b0 UNION ALL " +
+        "SELECT * FROM b1 WHERE doc_id IN (SELECT doc_id FROM kept1)), " +
+        "purged AS (SELECT * FROM store2 WHERE doc_id NOT IN " +
+        "(SELECT doc_id FROM documents WHERE source = 'src3')), " +
+        "drop2in AS (SELECT DISTINCT r.doc_id FROM b2 l JOIN b2 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+        "drop2x AS (SELECT DISTINCT l.doc_id FROM b2 l JOIN purged r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"WHERE $estSql >= 0.5), " +
+        "kept2 AS (SELECT DISTINCT doc_id FROM b2 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drop2in) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drop2x)), " +
+        "final AS (SELECT DISTINCT doc_id FROM purged " +
+        "UNION SELECT doc_id FROM kept2) " +
+        "SELECT d.doc_id, d.lang, d.source " +
         "FROM documents d JOIN final f ON d.doc_id = f.doc_id"),
 
     // retraction replay: store after ingest 1 = split-1 signatures +

@@ -110,4 +110,11 @@ object IvfStore {
   def purge(spark: SparkSession, root: String,
             victims: Seq[Long]): Long =
     SignatureStore.purge(spark, assignedRoot(root), "id", victims)
+
+  /** Frame-shaped victim purge — [[SignatureStore.purgeIds]] over the
+    * assignment generations, for victim sets that are not
+    * driver-sized (a whole recalled source). */
+  def purgeIds(spark: SparkSession, root: String,
+               victims: org.apache.spark.sql.DataFrame): Long =
+    SignatureStore.purgeIds(spark, assignedRoot(root), "id", victims)
 }

@@ -74,4 +74,43 @@ object Retraction {
       .getOrElse(-1L)
     PurgeReport(corpusRows, sigRows, vecRows)
   }
+
+  /** Predicate-shaped retraction — recall everything matching
+    * `predicate` (a poisoned SOURCE, a date range, a license class):
+    * the victim population is whatever the CURRENT corpus matches, a
+    * set that is generally NOT driver-sized, so the derived stores
+    * purge through frame joins ([[SignatureStore.purgeIds]]) instead
+    * of an id list. The victim-id frame is pinned BEFORE the corpus
+    * delete (it defines the set), then the corpus rewrites
+    * copy-on-write + vacuums, then each store drops the members.
+    * Recall is point-in-time: rows ingested AFTER the purge — even
+    * from the same source — are unaffected, exactly like the
+    * snapshot-isolation reading of the row delete. */
+  def purgeWhere(spark: SparkSession,
+                 predicate: org.apache.spark.sql.Column, idCol: String,
+                 corpusRoot: String,
+                 signatureRoot: Option[String] = None,
+                 ivfRoot: Option[String] = None,
+                 vacuumGraceMillis: Long = 0L): PurgeReport = {
+    val victims = ManifestTable.read(spark, corpusRoot)
+      .filter(predicate).select(idCol)
+      .localCheckpoint(eager = true)
+    val nVictims = victims.count()
+    val corpusRows = {
+      val before = ManifestTable.read(spark, corpusRoot).count()
+      ManifestTable.deleteWhere(spark, corpusRoot, predicate)
+      ManifestTable.vacuum(corpusRoot, vacuumGraceMillis)
+      before - ManifestTable.read(spark, corpusRoot).count()
+    }
+    val sigRows =
+      if (nVictims == 0) signatureRoot.map(_ => 0L).getOrElse(-1L)
+      else signatureRoot
+        .map(SignatureStore.purgeIds(spark, _, idCol, victims))
+        .getOrElse(-1L)
+    val vecRows =
+      if (nVictims == 0) ivfRoot.map(_ => 0L).getOrElse(-1L)
+      else ivfRoot.map(IvfStore.purgeIds(spark, _, victims))
+        .getOrElse(-1L)
+    PurgeReport(corpusRows, sigRows, vecRows)
+  }
 }

@@ -241,17 +241,45 @@ object SignatureStore {
   def purge(spark: SparkSession, root: String, idCol: String,
             victims: Seq[Long]): Long = {
     require(victims.nonEmpty, "purge needs at least one victim id")
+    // a takedown LIST is driver-sized; isin broadcasts it into the
+    // scan filter (row-group pruning applies)
+    purgeWith(spark, root,
+      df => df.filter(F.col(idCol).isin(victims: _*)),
+      df => df.filter(!F.col(idCol).isin(victims: _*)))
+  }
+
+  /** [[purge]] for a victim set that is NOT driver-sized — a whole
+    * contaminated source, a snapshot recall, any frame-shaped victim
+    * population: membership resolves through semi/anti joins instead
+    * of an `isin` literal (AQE broadcasts the smaller side), so the
+    * purge scales with the victim frame rather than a driver list.
+    * `victims` is any single-id-column frame; it is pinned once and
+    * probed per store segment. Same single-writer contract and same
+    * re-admission semantics as the list form. */
+  def purgeIds(spark: SparkSession, root: String, idCol: String,
+               victims: DataFrame): Long = {
+    require(victims.columns.length == 1,
+      s"victims frame must have exactly one id column, got ${victims.columns.mkString(",")}")
+    val v = victims.toDF("__victim_id").distinct()
+      .localCheckpoint(eager = true)
+    purgeWith(spark, root,
+      df => df.join(v, df(idCol) === v("__victim_id"), "left_semi"),
+      df => df.join(v, df(idCol) === v("__victim_id"), "left_anti"))
+  }
+
+  private def purgeWith(spark: SparkSession, root: String,
+                        hits: DataFrame => DataFrame,
+                        survivors: DataFrame => DataFrame): Long = {
     val fs = fsOf(spark, root)
     if (!fs.exists(new org.apache.hadoop.fs.Path(root))) return 0L
-    val hit = F.col(idCol).isin(victims: _*)
     var removed = 0L
     def rewrite(dir: String, df: DataFrame, swapTo: String): Unit = {
-      val nVictims = df.filter(hit).count()
+      val nVictims = hits(df).count()
       if (nVictims > 0) {
         val tmp = s"$root/.purge-${java.util.UUID.randomUUID()}"
         // materialize the survivors FULLY before touching the source
         // dir — the write below is the materialization barrier
-        df.filter(!hit).write.parquet(tmp)
+        survivors(df).write.parquet(tmp)
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
         require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
             new org.apache.hadoop.fs.Path(swapTo)),
@@ -274,10 +302,11 @@ object SignatureStore {
     baseVersion(spark, root).foreach { v =>
       val dir = s"$root/base.v$v"
       val df = spark.read.parquet(dir)
-      if (df.filter(hit).limit(1).count() > 0) {
+      val nVictims = hits(df).count()
+      if (nVictims > 0) {
         val tmp = s"$root/.purge-${java.util.UUID.randomUUID()}"
-        removed += df.filter(hit).count()
-        df.filter(!hit).write.parquet(tmp)
+        removed += nVictims
+        survivors(df).write.parquet(tmp)
         writeMarker(fs, s"$tmp/_watermark", wm.toString)
         require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
             new org.apache.hadoop.fs.Path(s"$root/base.v${v + 1}")),

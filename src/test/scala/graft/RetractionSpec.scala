@@ -131,6 +131,41 @@ class RetractionSpec extends SparkSpec {
       "a purged vector surfaced in post-purge search results")
   }
 
+  test("predicate purge (purgeWhere) equals the id-list form and sweeps victims from disk") {
+    import org.apache.spark.sql.{functions => FF}
+    val docs = Tables.scan(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val corpusRoot = Workspace.dir("retractw_corpus")
+    val sigRoot = Workspace.dir("retractw_sigs")
+    val twinRoot = Workspace.dir("retractw_twin")
+    Seq(corpusRoot, sigRoot, twinRoot).foreach(r =>
+      ExtShared.deleteRec(new java.io.File(r)))
+    ManifestTable.init(corpusRoot)
+    ManifestTable.append(spark, corpusRoot, docs)
+    SignatureStore.init(docs, "doc_id", "text", sigRoot, K, BANDS, sh3)
+    SignatureStore.init(docs, "doc_id", "text", twinRoot, K, BANDS, sh3)
+
+    import spark.implicits._
+    val victimIds = docs.filter(FF.col("source") === "src3")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(victimIds.nonEmpty)
+    val report = graft.operators.Retraction.purgeWhere(spark,
+      FF.col("source") === "src3", "doc_id", corpusRoot,
+      signatureRoot = Some(sigRoot))
+    assert(report.corpusRows == victimIds.size.toLong)
+    assert(report.signatureRows == victimIds.size.toLong * BANDS)
+    // frame purge == list purge, row for row (incl. gen provenance)
+    SignatureStore.purge(spark, twinRoot, "doc_id", victimIds)
+    def rows(r: String) = SignatureStore.signaturesWithGen(spark, r)
+      .collect().map(_.toSeq).toSet
+    assert(rows(sigRoot) == rows(twinRoot),
+      "purgeIds diverged from the isin purge")
+    // disk sweep on both stores
+    assert(diskIds(corpusRoot, "doc_id")
+      .intersect(victimIds.toSet).isEmpty)
+    assert(diskIds(sigRoot, "doc_id").intersect(victimIds.toSet).isEmpty)
+  }
+
   test("lifecycle interleave: batch ingests, purge, compaction, and replay guards compose") {
     import spark.implicits._
     val root = Workspace.dir("retract_lifecycle")
