@@ -137,6 +137,20 @@ private[graft] object ExtText {
         "doc_id", "text")),
 
 
+    // the MERGEABLE-model path: the NB sufficient statistics are
+    // doc-additive (seed labels depend only on the doc itself), so
+    // two splits train partial count frames that merge by grouped sum
+    // — and the merged model must equal full retraining, which is why
+    // this shares x_quality_nb's oracle verbatim
+    "x_quality_nb_incremental" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      Curation.naiveBayesQualityIncremental(
+        Seq(docs.filter(F.col("doc_id") % 2 === 0),
+          docs.filter(F.col("doc_id") % 2 =!= 0)),
+        "doc_id", "text")
+    }),
+
+
     // per-source coverage of a fixed top-k corpus vocabulary — the
     // tokenizer-sizing dashboard (what fraction of each source's
     // token stream a k-entry vocab captures)
@@ -367,6 +381,49 @@ private[graft] object ExtText {
     * inlined at full round-trip precision, association order matches
     * the Column expression exactly, and the per-term 6-dp rounding +
     * decimal sum replays bit-for-bit. */
+  /** Naive Bayes quality-gate oracle, shared by the full-retrain and
+    * incremental-merge queries (the merged model must be identical):
+    * replays seeding (token-diversity extremes), training (per-class
+    * token counts + smoothed likelihoods, 6-dp ln, DECIMAL sums),
+    * priors, and scoring. Spark inlines the one-row class stats as
+    * literals; the oracle carries them in the cls CTE — identical
+    * arithmetic either way. */
+  private def nbOracleSql: String =
+    "WITH wc AS (SELECT doc_id, tok, count(*) AS n FROM " +
+      "(SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+      "FROM documents) WHERE tok <> '' GROUP BY doc_id, tok), " +
+      "g AS (SELECT doc_id, sum(n) AS nt, count(*) AS nd FROM wc " +
+      "GROUP BY doc_id), " +
+      "seeds AS (SELECT doc_id, CASE WHEN nd*1.0/nt >= 0.8 THEN 1 " +
+      "ELSE 0 END AS label FROM g " +
+      "WHERE nd*1.0/nt >= 0.8 OR nd*1.0/nt < 0.5), " +
+      "stok AS (SELECT wc.doc_id, tok, n, label FROM wc " +
+      "JOIN seeds USING (doc_id)), " +
+      "cls AS (SELECT " +
+      "CAST(sum(CASE WHEN label = 1 THEN n ELSE 0 END) AS BIGINT) AS tot1, " +
+      "CAST(sum(CASE WHEN label = 0 THEN n ELSE 0 END) AS BIGINT) AS tot0, " +
+      "count(DISTINCT tok) AS v, " +
+      "count(DISTINCT CASE WHEN label = 1 THEN doc_id END) AS nd1, " +
+      "count(DISTINCT doc_id) AS ndall FROM stok), " +
+      "lik AS (SELECT tok, " +
+      "CAST(round(ln((c1 + 1.0) / (tot1 + v)), 6) AS DECIMAL(12,6)) AS lp1, " +
+      "CAST(round(ln((c0 + 1.0) / (tot0 + v)), 6) AS DECIMAL(12,6)) AS lp0 " +
+      "FROM (SELECT tok, " +
+      "sum(CASE WHEN label = 1 THEN n ELSE 0 END) AS c1, " +
+      "sum(CASE WHEN label = 0 THEN n ELSE 0 END) AS c0 " +
+      "FROM stok GROUP BY tok), cls), " +
+      "pri AS (SELECT round(ln((nd1 + 1.0) / (ndall + 2.0)), 6) AS p1, " +
+      "round(ln((ndall - nd1 + 1.0) / (ndall + 2.0)), 6) AS p0 FROM cls), " +
+      "sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks_scored, " +
+      "CAST(sum(n * lp1) AS DOUBLE) AS s1, " +
+      "CAST(sum(n * lp0) AS DOUBLE) AS s0 " +
+      "FROM wc JOIN lik USING (tok) GROUP BY doc_id) " +
+      "SELECT doc_id, n_toks_scored, score_pos, score_neg, " +
+      "CAST(CASE WHEN score_pos > score_neg THEN 1 ELSE 0 END AS BIGINT) " +
+      "AS pred FROM (SELECT doc_id, n_toks_scored, " +
+      "round(p1 + s1, 6) AS score_pos, round(p0 + s0, 6) AS score_neg " +
+      "FROM sc, pri) t"
+
   /** Index-served BM25 top-k oracle: same per-term math as
     * [[bm25Sql]], candidates restricted to docs hitting an under-cap
     * term (the inverted index's own df rule), deterministic
@@ -603,46 +660,16 @@ private[graft] object ExtText {
         "ORDER BY pmi DESC, term_a ASC, term_b ASC " +
         s"LIMIT $PMI_TOPK"),
 
+    // the incremental trainer must land on the identical model —
+    // same oracle as the full retrain
+    "x_quality_nb_incremental" -> nbOracleSql,
+
     // Naive Bayes quality gate: replays seeding (token-diversity
     // extremes), training (per-class token counts + smoothed
     // likelihoods, 6-dp ln, DECIMAL sums), priors, and scoring —
     // Spark inlines the one-row class stats as literals, the oracle
     // carries them in the cls CTE; identical arithmetic either way
-    "x_quality_nb" ->
-      ("WITH wc AS (SELECT doc_id, tok, count(*) AS n FROM " +
-        "(SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
-        "FROM documents) WHERE tok <> '' GROUP BY doc_id, tok), " +
-        "g AS (SELECT doc_id, sum(n) AS nt, count(*) AS nd FROM wc " +
-        "GROUP BY doc_id), " +
-        "seeds AS (SELECT doc_id, CASE WHEN nd*1.0/nt >= 0.8 THEN 1 " +
-        "ELSE 0 END AS label FROM g " +
-        "WHERE nd*1.0/nt >= 0.8 OR nd*1.0/nt < 0.5), " +
-        "stok AS (SELECT wc.doc_id, tok, n, label FROM wc " +
-        "JOIN seeds USING (doc_id)), " +
-        "cls AS (SELECT " +
-        "CAST(sum(CASE WHEN label = 1 THEN n ELSE 0 END) AS BIGINT) AS tot1, " +
-        "CAST(sum(CASE WHEN label = 0 THEN n ELSE 0 END) AS BIGINT) AS tot0, " +
-        "count(DISTINCT tok) AS v, " +
-        "count(DISTINCT CASE WHEN label = 1 THEN doc_id END) AS nd1, " +
-        "count(DISTINCT doc_id) AS ndall FROM stok), " +
-        "lik AS (SELECT tok, " +
-        "CAST(round(ln((c1 + 1.0) / (tot1 + v)), 6) AS DECIMAL(12,6)) AS lp1, " +
-        "CAST(round(ln((c0 + 1.0) / (tot0 + v)), 6) AS DECIMAL(12,6)) AS lp0 " +
-        "FROM (SELECT tok, " +
-        "sum(CASE WHEN label = 1 THEN n ELSE 0 END) AS c1, " +
-        "sum(CASE WHEN label = 0 THEN n ELSE 0 END) AS c0 " +
-        "FROM stok GROUP BY tok), cls), " +
-        "pri AS (SELECT round(ln((nd1 + 1.0) / (ndall + 2.0)), 6) AS p1, " +
-        "round(ln((ndall - nd1 + 1.0) / (ndall + 2.0)), 6) AS p0 FROM cls), " +
-        "sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks_scored, " +
-        "CAST(sum(n * lp1) AS DOUBLE) AS s1, " +
-        "CAST(sum(n * lp0) AS DOUBLE) AS s0 " +
-        "FROM wc JOIN lik USING (tok) GROUP BY doc_id) " +
-        "SELECT doc_id, n_toks_scored, score_pos, score_neg, " +
-        "CAST(CASE WHEN score_pos > score_neg THEN 1 ELSE 0 END AS BIGINT) " +
-        "AS pred FROM (SELECT doc_id, n_toks_scored, " +
-        "round(p1 + s1, 6) AS score_pos, round(p0 + s0, 6) AS score_neg " +
-        "FROM sc, pri) t"),
+    "x_quality_nb" -> nbOracleSql,
 
     // bigram-LM score: same smoothing, same per-bigram 6-dp ln
     // rounding, same DECIMAL-exact mean as the Spark side

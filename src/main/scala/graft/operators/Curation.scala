@@ -654,6 +654,38 @@ object Curation {
   def naiveBayesQuality(df: DataFrame, idCol: String, textCol: String,
                         posMin: Double = 0.8,
                         negMax: Double = 0.5): DataFrame = {
+    val part = nbPartial(df, idCol, textCol, posMin, negMax)
+    nbScore(part.wc, Seq(part), idCol)
+  }
+
+  /** INCREMENTAL [[naiveBayesQuality]]: the model's sufficient
+    * statistics — per-(token, class) occurrence counts and seed-doc
+    * tallies — are DOC-ADDITIVE, because a doc's seed label depends
+    * only on its own token-diversity ratio. So the model is a
+    * mergeable aggregate: each split contributes a partial-count
+    * frame + four scalars, partials merge by union + grouped sum, and
+    * the merged model is IDENTICAL to retraining on the concatenated
+    * corpus (the graded query shares x_quality_nb's oracle to prove
+    * exactly that). This is the maintenance path of a standing
+    * quality gate at 100 TB: each ingest batch ships vocabulary-sized
+    * count partials; nothing ever rescans old splits. */
+  def naiveBayesQualityIncremental(splits: Seq[DataFrame], idCol: String,
+                                   textCol: String,
+                                   posMin: Double = 0.8,
+                                   negMax: Double = 0.5): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    val parts = splits.map(nbPartial(_, idCol, textCol, posMin, negMax))
+    nbScore(parts.map(_.wc).reduce(_.unionByName(_)), parts, idCol)
+  }
+
+  /** One split's model contribution: the pinned per-doc token counts
+    * (reused for scoring), per-(token,class) seed counts, and the
+    * seed-doc tallies. */
+  private final case class NbPartial(wc: DataFrame, tokCounts: DataFrame,
+                                     nd1: Long, ndAll: Long)
+
+  private def nbPartial(df: DataFrame, idCol: String, textCol: String,
+                        posMin: Double, negMax: Double): NbPartial = {
     val wc = df.select(F.col(idCol),
         F.explode(Text.tokens(F.col(textCol))).as("tok"))
       .filter(F.col("tok") =!= "")
@@ -668,37 +700,47 @@ object Curation {
       .filter(F.col("label").isNotNull)
       .select(F.col(idCol), F.col("label"))
     val seedTokens = wc.join(seeds, Seq(idCol))
-      .localCheckpoint(eager = true) // feeds stats AND the likelihoods
-    // one-row training stats → plan literals (contract-bounded)
-    val stats = seedTokens.agg(
-      F.sum(F.when(F.col("label") === 1L, F.col("n")).otherwise(0L))
-        .as("tot1"),
-      F.sum(F.when(F.col("label") === 0L, F.col("n")).otherwise(0L))
-        .as("tot0"),
-      F.countDistinct("tok").as("v"),
-      F.countDistinct(F.when(F.col("label") === 1L, F.col(idCol)))
-        .as("nd1"),
-      F.countDistinct(F.col(idCol)).as("ndAll")).collect()(0)
-    val (tot1, tot0, v) =
-      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
-    val (nd1, ndAll) = (stats.getLong(3), stats.getLong(4))
-    require(nd1 > 0 && nd1 < ndAll,
-      s"need seeds of both classes (got $nd1 positive of $ndAll)")
-    val prior1 = BigDecimal(math.log((nd1 + 1.0) / (ndAll + 2.0)))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val prior0 = BigDecimal(math.log((ndAll - nd1 + 1.0) / (ndAll + 2.0)))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val lik = seedTokens.groupBy("tok")
+    val tokCounts = seedTokens.groupBy("tok")
       .agg(
         F.sum(F.when(F.col("label") === 1L, F.col("n")).otherwise(0L))
           .as("c1"),
         F.sum(F.when(F.col("label") === 0L, F.col("n")).otherwise(0L))
           .as("c0"))
-      .select(F.col("tok"),
-        F.round(F.log((F.col("c1") + 1.0) / F.lit((tot1 + v).toDouble)), 6)
-          .cast("decimal(12,6)").as("lp1"),
-        F.round(F.log((F.col("c0") + 1.0) / F.lit((tot0 + v).toDouble)), 6)
-          .cast("decimal(12,6)").as("lp0"))
+      .localCheckpoint(eager = true)
+    val docs = seeds.agg(
+      F.countDistinct(F.when(F.col("label") === 1L, F.col(idCol)))
+        .as("nd1"),
+      F.countDistinct(F.col(idCol)).as("ndAll")).collect()(0)
+    NbPartial(wc, tokCounts, docs.getLong(0), docs.getLong(1))
+  }
+
+  /** Score `wc` (per-doc token counts) under the model merged from
+    * `parts` — union + grouped sum of the additive count frames,
+    * scalar tallies added; likelihood/prior arithmetic identical to
+    * the single-pass trainer. */
+  private def nbScore(wc: DataFrame, parts: Seq[NbPartial],
+                      idCol: String): DataFrame = {
+    val counts = parts.map(_.tokCounts).reduce(_.unionByName(_))
+      .groupBy("tok")
+      .agg(F.sum("c1").as("c1"), F.sum("c0").as("c0"))
+    val nd1 = parts.map(_.nd1).sum
+    val ndAll = parts.map(_.ndAll).sum
+    require(nd1 > 0 && nd1 < ndAll,
+      s"need seeds of both classes (got $nd1 positive of $ndAll)")
+    val stats = counts.agg(
+      F.sum("c1").as("tot1"), F.sum("c0").as("tot0"),
+      F.count(F.lit(1)).as("v")).collect()(0)
+    val (tot1, tot0, v) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val prior1 = BigDecimal(math.log((nd1 + 1.0) / (ndAll + 2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val prior0 = BigDecimal(math.log((ndAll - nd1 + 1.0) / (ndAll + 2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lik = counts.select(F.col("tok"),
+      F.round(F.log((F.col("c1") + 1.0) / F.lit((tot1 + v).toDouble)), 6)
+        .cast("decimal(12,6)").as("lp1"),
+      F.round(F.log((F.col("c0") + 1.0) / F.lit((tot0 + v).toDouble)), 6)
+        .cast("decimal(12,6)").as("lp0"))
     wc.join(lik, Seq("tok"))
       .groupBy(idCol)
       .agg(F.sum("n").as("n_toks_scored"),

@@ -196,6 +196,17 @@ class QualitySpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       assert(rep == base, s"partitions=$p changed NB scores")
     }
+    // MERGEABLE model: training per split and merging the count
+    // partials lands on the identical model — including an uneven
+    // split where one side holds only one class's seeds
+    for (m <- Seq(2L, 3L)) {
+      val inc = Curation.naiveBayesQualityIncremental(
+        Seq(docs.filter(F.col("doc_id") % m === 0),
+          docs.filter(F.col("doc_id") % m =!= 0)),
+        "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      assert(inc == base, s"split mod $m: incremental model diverged")
+    }
   }
 
   test("x_hll_cardinality estimates within 5% of the x_distinct_exact twin, row for row") {
