@@ -258,6 +258,47 @@ private[graft] object ExtDedup {
     }),
 
 
+    // provenance replay: the store AS OF each generation, across a
+    // compaction — asOf(0) must read exactly the init split and
+    // asOf(1) the init + batch-1 survivors even AFTER both
+    // generations folded into the base (the gen data column carries
+    // the provenance the partition dirs used to)
+    "x_sigstore_asof" -> ((s, dir) => {
+      val root = layoutDir(dir, "sigstore_asof")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+      val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
+      SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 1),
+        "doc_id", "text", root, MINHASH_K, NGRAM_BANDS, shingles3)
+      SignatureStore.ingest(s, root,
+        docs.filter(F.col("doc_id") % 3 === 2),
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3).count()
+      SignatureStore.compactGenerations(s, root, upTo = 1)
+      def members(g: Int) = SignatureStore.signaturesAsOf(s, root, g)
+        .select("doc_id").distinct()
+        .withColumn("asof", F.lit(g.toLong))
+      members(0).unionByName(members(1))
+        .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+    }),
+
+
+    // dedup drop EXPLANATION: one row per (batch doc, store doc)
+    // near-match with the signature-estimated Jaccard that justified
+    // the drop — the audit trail behind incrementalDrops' bare id
+    // set (threshold tuning, takedown review, false-positive
+    // forensics). Band-bounded join, never a cross space.
+    "x_dedup_explain" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
+      Dedup.incrementalDropExplain(
+        Dedup.bandedSignatures(docs.filter(F.col("doc_id") % 3 === 1),
+          "doc_id", "text", MINHASH_K, NGRAM_BANDS, shingles3),
+        Dedup.bandedSignatures(docs.filter(F.col("doc_id") % 3 === 2),
+          "doc_id", "text", MINHASH_K, NGRAM_BANDS, shingles3),
+        "doc_id", MINHASH_K, 0.5)
+    }),
+
+
     // SOURCE-level retraction: recall an entire contaminated source —
     // the victim population is a corpus predicate, not a driver list,
     // so the stores purge through frame joins (purgeIds) rather than
@@ -657,6 +698,44 @@ private[graft] object ExtDedup {
         "SELECT d.doc_id, CAST(f.batch AS BIGINT) AS batch, " +
         "d.lang, d.source " +
         "FROM documents d JOIN final f ON d.doc_id = f.doc_id"),
+
+    // as-of replay: gen 0 = the init split's ids; gen 1 adds the
+    // batch-1 survivors (kept1 from the incremental-drop rules)
+    "x_sigstore_asof" ->
+      (s"WITH ${shingleToksCte(3)}, " +
+        s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
+        s"bands AS (${bandRowsSql(NGRAM_BANDS)}), " +
+        "b0 AS (SELECT * FROM bands WHERE doc_id % 3 = 1), " +
+        "b1 AS (SELECT * FROM bands WHERE doc_id % 3 = 2), " +
+        "drop1in AS (SELECT DISTINCT r.doc_id FROM b1 l JOIN b1 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+        "drop1x AS (SELECT DISTINCT l.doc_id FROM b1 l JOIN b0 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"WHERE $estSql >= 0.5), " +
+        "kept1 AS (SELECT DISTINCT doc_id FROM b1 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drop1in) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drop1x)), " +
+        "final AS (SELECT DISTINCT doc_id, 0 AS asof FROM b0 " +
+        "UNION ALL SELECT DISTINCT doc_id, 1 AS asof FROM b0 " +
+        "UNION ALL SELECT doc_id, 1 AS asof FROM kept1) " +
+        "SELECT d.doc_id, CAST(f.asof AS BIGINT) AS asof, " +
+        "d.lang, d.source " +
+        "FROM documents d JOIN final f ON d.doc_id = f.doc_id"),
+
+    // drop-explain replay: the cross-probe band join with the exact
+    // estimated Jaccard per matched pair
+    "x_dedup_explain" ->
+      (s"WITH ${shingleToksCte(3)}, " +
+        s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
+        s"bands AS (${bandRowsSql(NGRAM_BANDS)}), " +
+        "b0 AS (SELECT * FROM bands WHERE doc_id % 3 = 1), " +
+        "b1 AS (SELECT * FROM bands WHERE doc_id % 3 = 2) " +
+        "SELECT DISTINCT l.doc_id AS doc_id, r.doc_id AS matched_id, " +
+        s"round($estSql, 6) AS est_jaccard " +
+        "FROM b1 l JOIN b0 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"WHERE $estSql >= 0.5"),
 
     // source-recall replay: identical to x_retract's chain except the
     // purge condition is source membership instead of id arithmetic

@@ -133,6 +133,32 @@ object Dedup {
     inBatchDrop.union(crossDrop).distinct()
   }
 
+  /** Drop EXPLANATION for the cross-store half of
+    * [[incrementalDrops]] — the dedup audit trail a production
+    * pipeline keeps alongside its decisions: one row per (batch doc,
+    * store doc) near-match at/above the threshold, with the
+    * signature-estimated Jaccard that justified it. `incrementalDrops`
+    * answers WHO was dropped; this answers WHY and AGAINST WHAT —
+    * the evidence a takedown review, a threshold-tuning pass, or a
+    * false-positive investigation reads. Same band-bounded join as
+    * the drop path (never a cross space); the estimate is identical
+    * across a pair's colliding bands, so the distinct collapses to
+    * one exact row per matched pair. */
+  def incrementalDropExplain(bandedCorpus: DataFrame,
+                             bandedBatch: DataFrame, idCol: String,
+                             k: Int, threshold: Double): DataFrame = {
+    val l = bandedBatch.alias("l")
+    val r = bandedCorpus.alias("r")
+    l.join(r,
+        F.col("l.band_idx") === F.col("r.band_idx") &&
+        F.col("l.band_hash") === F.col("r.band_hash"))
+      .filter(estJaccard(k) >= threshold)
+      .select(F.col(s"l.$idCol").as(idCol),
+        F.col(s"r.$idCol").as("matched_id"),
+        F.round(estJaccard(k), 6).as("est_jaccard"))
+      .distinct()
+  }
+
   /** Universal-hash family for MinHash: h_s(x) = (a_s·x + b_s) mod P
     * over a single md5-derived base hash. One md5 per token total
     * (instead of one per seed); the mixes are integer-only and stay

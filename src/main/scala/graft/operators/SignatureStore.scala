@@ -122,6 +122,17 @@ object SignatureStore {
   def signatures(spark: SparkSession, root: String): DataFrame =
     signaturesWithGen(spark, root).drop("gen")
 
+  /** The store AS OF generation `gen` — the provenance replay the
+    * `gen` column exists for: exactly the signatures admitted by
+    * ingests 0..gen, in the bare [[Dedup.bandedSignatures]] shape.
+    * Works identically on both layouts: live `gen=N` directories
+    * prune at the partition level, a compacted base filters on its
+    * materialized gen data column (row-group stats prune). */
+  def signaturesAsOf(spark: SparkSession, root: String,
+                     gen: Int): DataFrame =
+    signaturesWithGen(spark, root)
+      .filter(F.col("gen") <= gen).drop("gen")
+
   /** Highest generation present under `root` (−1 if none) — live
     * directories or folded into the base. */
   def latestGeneration(spark: SparkSession, root: String): Int =
