@@ -60,11 +60,15 @@ object Retraction {
     require(corpusRoot.orElse(signatureRoot).orElse(ivfRoot).nonEmpty,
       "purge needs at least one store root")
     val corpusRows = corpusRoot.map { root =>
-      val before = ManifestTable.read(spark, root).count()
+      // report from ONE pushed-down victim count, not two O(table)
+      // full-corpus counts — deleteWhere itself only touches the
+      // affected files, the report must not cost more than the op
+      val n = ManifestTable.read(spark, root)
+        .filter(F.col(idCol).isin(victims: _*)).count()
       ManifestTable.deleteWhere(spark, root,
         F.col(idCol).isin(victims: _*))
       ManifestTable.vacuum(root, vacuumGraceMillis)
-      before - ManifestTable.read(spark, root).count()
+      n
     }.getOrElse(-1L)
     val sigRows = signatureRoot
       .map(SignatureStore.purge(spark, _, idCol, victims))
@@ -95,12 +99,13 @@ object Retraction {
     val victims = ManifestTable.read(spark, corpusRoot)
       .filter(predicate).select(idCol)
       .localCheckpoint(eager = true)
+    // the pinned victim frame IS the removed-row count — no extra
+    // corpus scans for the report
     val nVictims = victims.count()
     val corpusRows = {
-      val before = ManifestTable.read(spark, corpusRoot).count()
       ManifestTable.deleteWhere(spark, corpusRoot, predicate)
       ManifestTable.vacuum(corpusRoot, vacuumGraceMillis)
-      before - ManifestTable.read(spark, corpusRoot).count()
+      nVictims
     }
     val sigRows =
       if (nVictims == 0) signatureRoot.map(_ => 0L).getOrElse(-1L)

@@ -228,19 +228,6 @@ object Retrieval {
           .otherwise(F.lit(0.0)).as("coef"))
   }
 
-  /** PageRank over an UNDIRECTED edge list (id_a, id_b): each edge
-    * contributes in both directions, so every node has out-degree ≥ 1
-    * and the dangling-mass term vanishes. `iters` synchronous rounds
-    * of r' = (1-d)/N + d·Σ_in r/deg.
-    *
-    * Scale shape: ranks live in a (node, rank) frame; each round is
-    * one equi-join onto the edge list + one grouped decimal sum —
-    * both partitioned by node id, no driver traffic at all (the loop
-    * is fixed-trip-count, unlike the convergence loops that collect a
-    * delta). Lineage is pinned per round (localCheckpoint, the
-    * dupComponents pattern). Per-edge contributions are rounded to
-    * 9 dp and decimal-summed; ranks are rounded to 9 dp per round —
-    * bit-stable across partitionings and engines. */
   /** PERSONALIZED PageRank: rank mass restarts onto a SEED set
     * instead of uniformly — "what is related to these documents",
     * the retrieval/expansion signal over the near-dup (or citation)
@@ -291,6 +278,19 @@ object Retrieval {
     ranks
   }
 
+  /** PageRank over an UNDIRECTED edge list (id_a, id_b): each edge
+    * contributes in both directions, so every node has out-degree ≥ 1
+    * and the dangling-mass term vanishes. `iters` synchronous rounds
+    * of r' = (1-d)/N + d·Σ_in r/deg.
+    *
+    * Scale shape: ranks live in a (node, rank) frame; each round is
+    * one equi-join onto the edge list + one grouped decimal sum —
+    * both partitioned by node id, no driver traffic at all (the loop
+    * is fixed-trip-count, unlike the convergence loops that collect a
+    * delta). Lineage is pinned per round (localCheckpoint, the
+    * dupComponents pattern). Per-edge contributions are rounded to
+    * 9 dp and decimal-summed; ranks are rounded to 9 dp per round —
+    * bit-stable across partitionings and engines. */
   def pageRank(edges: DataFrame, iters: Int,
                damping: Double = 0.85,
                reliableCheckpointDir: Option[String] = None): DataFrame = {

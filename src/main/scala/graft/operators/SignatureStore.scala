@@ -45,8 +45,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
   * protocol fixes). Serialize ingests (and [[purge]]) per store —
   * the streaming path gets this for free because a `foreachBatch`
   * sink runs micro-batches sequentially, with an idempotent
-  * batch→generation commit for replays. Concurrent READERS are
-  * always safe: they glob at plan time and data files are immutable.
+  * batch→generation commit for replays. Concurrent READERS are safe
+  * against INGEST (it only adds directories the reader's plan never
+  * globbed) — but NOT against the maintenance ops: [[purge]] and
+  * [[compactGenerations]] delete superseded directories, so a scan
+  * planned before and executed after one can fail with
+  * FileNotFound and must re-plan (the same reader-retention rule
+  * [[ManifestTable.vacuum]] documents). Immutability protects files
+  * from mutation, not from maintenance-window deletion.
   */
 object SignatureStore {
 
@@ -278,53 +284,76 @@ object SignatureStore {
       df => df.join(v, df(idCol) === v("__victim_id"), "left_anti"))
   }
 
+  /** The purge engine. Crash-safety design: live generation
+    * directories are NEVER rewritten in place (a delete-then-rename
+    * swap would destroy a generation's survivors if the process died
+    * between the two) — instead, every live generation up to the
+    * highest AFFECTED one folds into the next base version (affected
+    * generations filtered to survivors, unaffected ones carried
+    * verbatim, gen provenance as the data column), published by the
+    * base protocol's single atomic rename. There is no state-losing
+    * crash window: before the rename the old layout is fully intact;
+    * after it the folded directories are reader-invisible garbage.
+    * The garbage sweep (stale gen dirs AND superseded base versions —
+    * both can still hold victim BYTES, which a takedown must erase)
+    * runs first, so a purge re-run after a mid-sweep crash finishes
+    * the erasure. */
   private def purgeWith(spark: SparkSession, root: String,
                         hits: DataFrame => DataFrame,
                         survivors: DataFrame => DataFrame): Long = {
     val fs = fsOf(spark, root)
     if (!fs.exists(new org.apache.hadoop.fs.Path(root))) return 0L
-    var removed = 0L
-    def rewrite(dir: String, df: DataFrame, swapTo: String): Unit = {
-      val nVictims = hits(df).count()
-      if (nVictims > 0) {
-        val tmp = s"$root/.purge-${java.util.UUID.randomUUID()}"
-        // materialize the survivors FULLY before touching the source
-        // dir — the write below is the materialization barrier
-        survivors(df).write.parquet(tmp)
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(swapTo)),
-          s"purge swap failed for $dir")
-        removed += nVictims
-      }
-    }
-    // stale folded directories are reader-invisible but their victim
-    // BYTES are still on disk — a takedown deletes them outright
+    // sweep reader-invisible garbage whose victim bytes are still on
+    // disk: generations folded below the watermark, and every base
+    // version superseded by the current highest
     val wm = baseWatermark(spark, root)
-    childNames(spark, root)
-      .collect { case s if s.startsWith("gen=") &&
-        s.stripPrefix("gen=").toInt <= wm => s }
-      .foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s"$root/$s"), true))
-    liveGenDirs(spark, root).foreach { case (_, dir) =>
-      rewrite(dir, spark.read.parquet(dir), dir)
+    val curBase = baseVersion(spark, root)
+    childNames(spark, root).foreach {
+      case s if s.startsWith("gen=") && s.stripPrefix("gen=").toInt <= wm =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$s"), true)
+      case s if s.startsWith("base.v") &&
+          curBase.exists(s.stripPrefix("base.v").toInt < _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$s"), true)
+      case _ => ()
     }
-    // the base rewrites to the NEXT version (readers take the highest
-    // base atomically); the watermark is carried over
-    baseVersion(spark, root).foreach { v =>
-      val dir = s"$root/base.v$v"
-      val df = spark.read.parquet(dir)
-      val nVictims = hits(df).count()
-      if (nVictims > 0) {
-        val tmp = s"$root/.purge-${java.util.UUID.randomUUID()}"
-        removed += nVictims
-        survivors(df).write.parquet(tmp)
-        writeMarker(fs, s"$tmp/_watermark", wm.toString)
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(s"$root/base.v${v + 1}")),
-          s"purge swap failed for $dir")
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val live = liveGenDirs(spark, root)
+    val victimsPerGen = live.map { case (g, dir) =>
+      (g, dir, hits(spark.read.parquet(dir)).count())
+    }
+    val baseVictims = curBase.map(v =>
+      hits(spark.read.parquet(s"$root/base.v$v")).count()).getOrElse(0L)
+    val affected = victimsPerGen.filter(_._3 > 0)
+    val removed = affected.map(_._3).sum + baseVictims
+    if (removed == 0) return 0L
+    // fold base + every live gen up to the highest affected one into
+    // base.v{K+1}; gens above it stay live directories
+    val newWm =
+      if (affected.isEmpty) wm else math.max(wm, affected.map(_._1).max)
+    val folded = live.filter(_._1 <= newWm)
+    val parts =
+      curBase.map(v =>
+        survivors(spark.read.parquet(s"$root/base.v$v"))).toSeq ++
+      folded.map { case (g, dir) =>
+        val df = spark.read.parquet(dir).withColumn("gen", F.lit(g))
+        if (victimsPerGen.exists(e => e._1 == g && e._3 > 0))
+          survivors(df)
+        else df
       }
-    }
+    val tmp = s"$root/.purge-${java.util.UUID.randomUUID()}"
+    // materialize the merged survivors FULLY before publishing — the
+    // write below is the materialization barrier
+    parts.reduce(_.unionByName(_)).write.parquet(tmp)
+    writeMarker(fs, s"$tmp/_watermark", newWm.toString)
+    val nextV = curBase.map(_ + 1).getOrElse(0)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$root/base.v$nextV")),
+      s"purge publish failed at $root/base.v$nextV")
+    // now-invisible garbage; a crash here only delays the byte sweep
+    // until the next purge/vacuum pass
+    folded.foreach { case (_, d) =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true) }
+    curBase.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/base.v$v"), true))
     removed
   }
 

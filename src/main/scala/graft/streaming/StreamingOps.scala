@@ -328,25 +328,6 @@ object StreamingOps {
     }
   }
 
-  /** Streaming CDC apply — the Delta-streaming-MERGE shape without a
-    * table format: an I/U/D change feed arrives in micro-batches and
-    * folds into a keyed snapshot with per-key LAST-WRITER-WINS BY
-    * VERSION. Versioned state (each row carries op + ver, the base
-    * snapshot seeds at ver 0) is what makes batch boundaries
-    * irrelevant: the per-key winner under (ver desc, op desc) is an
-    * associative max, so ANY split or ORDER of the feed across
-    * micro-batches converges to the same state —
-    * [[graft.operators.Writes.cdcApply]] over the whole feed at once
-    * (the equivalence StreamingSpec pins).
-    *
-    * Exactly-once: each batch READS state_{id−1} and OVERWRITES
-    * state_{id} — a replayed batch (same id, same data) re-reads its
-    * intact input state and rewrites its own output, the same
-    * idempotent-write contract as the batch-dir parquet sink above.
-    * Full-state rewrite per micro-batch is the parquet-state
-    * compromise (a production deployment points this at a
-    * transactional table format and keeps the merge); superseded
-    * state_i dirs are the vacuum surface. */
   /** Streaming ingest into the standing LSH signature store — the
     * meeting point of the exactly-once sink machinery and the
     * generation commit protocol: each micro-batch near-dedups against
@@ -447,6 +428,25 @@ object StreamingOps {
     graft.operators.ManifestTable.read(spark, root)
   }
 
+  /** Streaming CDC apply — the Delta-streaming-MERGE shape without a
+    * table format: an I/U/D change feed arrives in micro-batches and
+    * folds into a keyed snapshot with per-key LAST-WRITER-WINS BY
+    * VERSION. Versioned state (each row carries op + ver, the base
+    * snapshot seeds at ver 0) is what makes batch boundaries
+    * irrelevant: the per-key winner under (ver desc, op desc) is an
+    * associative max, so ANY split or ORDER of the feed across
+    * micro-batches converges to the same state —
+    * [[graft.operators.Writes.cdcApply]] over the whole feed at once
+    * (the equivalence StreamingSpec pins).
+    *
+    * Exactly-once: each batch READS state_{id−1} and OVERWRITES
+    * state_{id} — a replayed batch (same id, same data) re-reads its
+    * intact input state and rewrites its own output, the same
+    * idempotent-write contract as the batch-dir parquet sink above.
+    * Full-state rewrite per micro-batch is the parquet-state
+    * compromise (a production deployment points this at a
+    * transactional table format and keeps the merge); superseded
+    * state_i dirs are the vacuum surface. */
   def streamingCdcApply(spark: SparkSession, base: DataFrame,
                         changesDir: String, pk: Seq[String],
                         opCol: String, verCol: String,

@@ -199,6 +199,46 @@ class RetractionSpec extends SparkSpec {
     assert(members() == Set(2L, 20L, 30L))
   }
 
+  test("purging a live generation folds it into the base atomically; later generations stay byte-identical") {
+    import spark.implicits._
+    val root = Workspace.dir("retract_fold")
+    ExtShared.deleteRec(new java.io.File(root))
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "unrelated words about lambda mu nu xi omicron pi rho sigma",
+      10L -> "yet another corpus entry tau upsilon phi chi psi omega one",
+      20L -> "completely fresh final batch words here again ok fine")
+    def df(ids: Long*) = ids.map(i => i -> texts(i)).toDF("doc_id", "text")
+    SignatureStore.init(df(1L, 2L), "doc_id", "text", root, K, BANDS, sh3)
+    assert(SignatureStore.ingestBatch(spark, root, 1, df(10L),
+      "doc_id", "text", K, BANDS, TAU, sh3))
+    assert(SignatureStore.ingestBatch(spark, root, 2, df(20L),
+      "doc_id", "text", K, BANDS, TAU, sh3))
+    def fileState(dir: String): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+      finally s.close()
+    }
+    val laterGens = Seq(s"$root/gen=1", s"$root/gen=2").map(fileState)
+    SignatureStore.purge(spark, root, "doc_id", Seq(1L))
+    // the victim's generation folded into base.v0 (never rewritten in
+    // place — the crash-safe protocol); generations ABOVE it untouched
+    val dirs = Option(new java.io.File(root).list()).get.toSet
+    assert(dirs.contains("base.v0"), dirs)
+    assert(!dirs.contains("gen=0"), dirs)
+    assert(Seq(s"$root/gen=1", s"$root/gen=2").map(fileState) == laterGens,
+      "purge touched generations above the affected one")
+    def members() = SignatureStore.signatures(spark, root)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(members() == Set(2L, 10L, 20L))
+    // provenance survives the fold
+    assert(SignatureStore.signaturesAsOf(spark, root, 0)
+      .select("doc_id").distinct().as[Long].collect().toSet == Set(2L))
+  }
+
   test("re-admission: a near-copy of a purged doc is admitted where it was dropped before") {
     val base = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
