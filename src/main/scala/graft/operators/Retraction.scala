@@ -22,10 +22,14 @@ import org.apache.spark.sql.{SparkSession, functions => F}
   *
   * A takedown list is driver-sized by nature (it arrives as a legal
   * document, not a dataset), so ids pass as a Seq and broadcast into
-  * every scan filter. For each store the work is bounded by the
-  * files/generations that actually contain victims — at 100 TB a
-  * purge of a thousand ids rewrites a handful of files, never the
-  * table.
+  * every scan filter ([[purgeWhere]] is the frame-joined form for
+  * predicate-shaped victim sets). Cost model: the CORPUS rewrite is
+  * bounded by the files that actually contain victims (copy-on-write
+  * manifest delete); the derived stores fold the compacted base plus
+  * the generations up to the highest affected one into the next base
+  * version — the atomic-publish price [[SignatureStore.purgeWith]]
+  * documents, near-zero marginal cost in the mature state where
+  * victims already live in the base.
   *
   * AFTER a purge, the stores are row-identical to stores rebuilt
   * from scratch on the purged corpus (same centroids for ANN —
@@ -37,7 +41,14 @@ import org.apache.spark.sql.{SparkSession, functions => F}
   */
 object Retraction {
 
-  /** Rows removed per store (−1 = store not purged / absent). */
+  /** Rows removed per store (−1 = store not purged / absent).
+    * `corpusRows` is the victim count AT THE PIN/SNAPSHOT taken when
+    * the purge started — under the concurrent appends deleteWhere
+    * tolerates, a matching row that lands mid-purge is deleted by a
+    * restarted scan but not counted (and for [[purgeWhere]], rows
+    * admitted after the pin survive by design — point-in-time
+    * recall). The report describes the purge's SCOPE, not a
+    * row-accounting audit of the table. */
   final case class PurgeReport(corpusRows: Long, signatureRows: Long,
                                vectorRows: Long)
 

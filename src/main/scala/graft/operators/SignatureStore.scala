@@ -238,17 +238,22 @@ object SignatureStore {
 
   /** Purge victim ids from the store — the retraction/takedown path
     * (opt-out, DMCA, contaminated-source recall): a standing pipeline
-    * must FORGET, not just ingest. Only generations that actually
-    * hold victim rows are rewritten (victim membership is one
-    * filtered scan of constant-width signature rows per generation —
-    * a takedown list is small, so `isin` broadcasts it into the scan
-    * filter); untouched generations keep their files byte-identical.
-    * The rewrite is copy-on-write per generation: survivors land in a
-    * dot-prefixed temp dir (hidden from every store glob), then the
-    * generation directory is swapped. Like [[init]]/[[ingest]], purge
-    * is a SINGLE-WRITER maintenance op (the store's documented write
-    * contract); readers are safe throughout because they glob at plan
-    * time and parquet files are immutable.
+    * must FORGET, not just ingest. Victim membership is one filtered
+    * scan of constant-width signature rows per store segment (a
+    * takedown list is small, so `isin` broadcasts into the scan
+    * filter); the rewrite then FOLDS the base and every live
+    * generation up to the highest affected one into the next base
+    * version, published by a single atomic rename — see [[purgeWith]]
+    * for the crash-safety reasoning. Cost is O(base + generations ≤
+    * the highest affected), the price of atomicity: in the mature
+    * state victims are almost always already IN the base (takedowns
+    * target old content), where the base rewrite is unavoidable and
+    * the marginal fold cost is near zero; generations ABOVE the
+    * highest affected one stay byte-identical (spec-pinned). Like
+    * [[init]]/[[ingest]], purge is a SINGLE-WRITER maintenance op
+    * (the store's documented write contract); see the object doc for
+    * the concurrent-reader rule (maintenance deletes directories —
+    * readers planned before it must re-plan).
     *
     * Returns the number of signature rows removed. Purging makes the
     * store behave as if the victims were never admitted: a later
@@ -300,12 +305,16 @@ object SignatureStore {
     * the erasure. */
   private def purgeWith(spark: SparkSession, root: String,
                         hits: DataFrame => DataFrame,
-                        survivors: DataFrame => DataFrame): Long = {
+                        survivors: DataFrame => DataFrame,
+                        targetFileBytes: Long = 128L << 20): Long = {
     val fs = fsOf(spark, root)
     if (!fs.exists(new org.apache.hadoop.fs.Path(root))) return 0L
-    // sweep reader-invisible garbage whose victim bytes are still on
-    // disk: generations folded below the watermark, and every base
-    // version superseded by the current highest
+    // sweep reader-invisible garbage whose victim bytes may still be
+    // on disk: generations folded below the watermark, base versions
+    // superseded by the current highest, and crash-orphaned hidden
+    // temp dirs (.purge-*/.ingest-*/.compact-*) — safe to take
+    // unconditionally because purge runs under the store's
+    // single-writer contract, so no temp can belong to a live writer
     val wm = baseWatermark(spark, root)
     val curBase = baseVersion(spark, root)
     childNames(spark, root).foreach {
@@ -313,6 +322,8 @@ object SignatureStore {
         fs.delete(new org.apache.hadoop.fs.Path(s"$root/$s"), true)
       case s if s.startsWith("base.v") &&
           curBase.exists(s.stripPrefix("base.v").toInt < _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$s"), true)
+      case s if s.startsWith(".") =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$root/$s"), true)
       case _ => ()
     }
@@ -322,34 +333,40 @@ object SignatureStore {
     }
     val baseVictims = curBase.map(v =>
       hits(spark.read.parquet(s"$root/base.v$v")).count()).getOrElse(0L)
-    val affected = victimsPerGen.filter(_._3 > 0)
-    val removed = affected.map(_._3).sum + baseVictims
+    val affectedGens = victimsPerGen.filter(_._3 > 0).map(_._1).toSet
+    val removed = victimsPerGen.map(_._3).sum + baseVictims
     if (removed == 0) return 0L
     // fold base + every live gen up to the highest affected one into
     // base.v{K+1}; gens above it stay live directories
     val newWm =
-      if (affected.isEmpty) wm else math.max(wm, affected.map(_._1).max)
+      if (affectedGens.isEmpty) wm else math.max(wm, affectedGens.max)
     val folded = live.filter(_._1 <= newWm)
     val parts =
       curBase.map(v =>
         survivors(spark.read.parquet(s"$root/base.v$v"))).toSeq ++
       folded.map { case (g, dir) =>
         val df = spark.read.parquet(dir).withColumn("gen", F.lit(g))
-        if (victimsPerGen.exists(e => e._1 == g && e._3 > 0))
-          survivors(df)
-        else df
+        if (affectedGens(g)) survivors(df) else df
       }
+    // size the published base like compactGenerations does — a purge
+    // must not regrow the file count the base layer exists to cap
+    val bytes = (folded.map(_._2) ++
+        curBase.map(v => s"$root/base.v$v")).map { d =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(d)).getLength
+    }.sum
+    val nFiles = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = s"$root/.purge-${java.util.UUID.randomUUID()}"
     // materialize the merged survivors FULLY before publishing — the
     // write below is the materialization barrier
-    parts.reduce(_.unionByName(_)).write.parquet(tmp)
+    parts.reduce(_.unionByName(_)).repartition(nFiles).write.parquet(tmp)
     writeMarker(fs, s"$tmp/_watermark", newWm.toString)
     val nextV = curBase.map(_ + 1).getOrElse(0)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
         new org.apache.hadoop.fs.Path(s"$root/base.v$nextV")),
       s"purge publish failed at $root/base.v$nextV")
     // now-invisible garbage; a crash here only delays the byte sweep
-    // until the next purge/vacuum pass
+    // until the next purge pass
     folded.foreach { case (_, d) =>
       fs.delete(new org.apache.hadoop.fs.Path(d), true) }
     curBase.foreach(v =>
