@@ -1,11 +1,12 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Manifest-pointer parquet table — compaction (and any rewrite)
   * safe under concurrent appends and live readers, without a table
@@ -19,11 +20,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
   *
   *  - data files are immutable once written, under `data/<uuid>/` —
   *    invisible until some manifest references them;
-  *  - a commit publishes `manifest/v{N}` via an atomic hard link of a
-  *    fully-written temp file (`link(2)` fails with EEXIST on
-  *    conflict), so every published version is complete-or-absent —
-  *    a reader picking the highest `v{N}` always sees a full,
-  *    consistent snapshot;
+  *  - a commit publishes `manifest/v{N}` by atomically publishing a
+  *    fully-written temp file through the [[AtomicPublish]] seam
+  *    (fails if `v{N}` exists), so every published version is
+  *    complete-or-absent — a reader picking the highest `v{N}`
+  *    always sees a full, consistent snapshot;
   *  - writers OPTIMISTICALLY retry: re-read the latest version, merge
   *    their change, attempt `v{N+1}`. Appends merge trivially (add
   *    files). [[compact]] merges by carrying forward any file that
@@ -34,76 +35,215 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
   *    manifest — run it after readers of older versions have drained
   *    (retention is the caller's policy, as in any snapshot store).
   *
-  * The hard-link commit primitive is the local-filesystem instance of
-  * the pattern; an object-store deployment swaps in a conditional PUT
-  * (If-None-Match) and nothing else changes.
+  * ALL storage I/O goes through the Hadoop `FileSystem` API — the
+  * table deploys wherever Spark reads (local, HDFS, any
+  * `FileSystem` implementation) with ONE storage-specific primitive:
+  * the atomic publish-if-absent at the commit point, selected per
+  * scheme by [[AtomicPublish.forFs]] (local hard link / HDFS
+  * no-overwrite rename) and overridable for object stores via
+  * [[usePublisher]] (conditional PUT).
+  *
+  * The manifest also carries the table's MERGED SCHEMA as a metadata
+  * line: every append folds its batch's schema into the recorded one
+  * (new columns append; existing columns must keep their type), and
+  * readers plan with that explicit schema — schema evolution costs
+  * zero footer reads at plan time, and files written before a column
+  * existed read as NULL for it (the [[Tables]] `mergeSchema`
+  * contract, without the O(files) footer scan).
   */
 object ManifestTable {
 
   /** One published manifest: the version's data-file list plus
-    * metadata lines (`#`-prefixed in the file — currently
-    * `#batch:<id>` markers recording which streaming micro-batches
-    * are already folded in, the exactly-once ledger [[appendBatch]]
-    * rides). Metadata commits ATOMICALLY with the file list because
-    * it lives in the same hard-linked manifest file. */
+    * metadata lines (`#`-prefixed in the file — `#batch:<id>` /
+    * `#batches_through:<id>` markers recording which streaming
+    * micro-batches are already folded in (the exactly-once ledger
+    * [[appendBatch]] rides), and the merged table schema, parsed out
+    * into `schemaJson`). Metadata commits ATOMICALLY with the file
+    * list because it lives in the same atomically-published manifest
+    * file. */
   final case class Snapshot(version: Int, files: Seq[String],
-                            meta: Seq[String] = Seq.empty)
+                            meta: Seq[String] = Seq.empty,
+                            schemaJson: Option[String] = None)
 
-  private def parseLines(lines: Seq[String]): (Seq[String], Seq[String]) =
-    lines.filter(_.nonEmpty).partition(!_.startsWith("#"))
+  /** A committed row-level delete: the published snapshot and how
+    * many rows the final (post-restart) victim scan removed. */
+  final case class Delete(snapshot: Snapshot, removedRows: Long)
 
-  private def manifestDir(root: String): Path = Paths.get(root, "manifest")
+  private val SchemaPrefix = "#schema:"
+  private val BatchPrefix = "#batch:"
+  private val ThroughPrefix = "#batches_through:"
+  private val HintFile = "_last_checkpoint"
+
+  // ---- storage plumbing (Hadoop FS only — no java.nio here) ----
+
+  private def conf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: HPath): FileSystem = p.getFileSystem(conf)
+
+  @volatile private var publisherOverride: Option[AtomicPublish] = None
+
+  /** Swap the atomic-publish commit primitive — the ONE
+    * storage-specific call in the table. `None` restores the
+    * per-scheme default ([[AtomicPublish.forFs]]); an object-store
+    * deployment installs its conditional-PUT implementation here. */
+  def usePublisher(p: Option[AtomicPublish]): Unit = publisherOverride = p
+
+  private def publisher(fs: FileSystem): AtomicPublish =
+    publisherOverride.getOrElse(AtomicPublish.forFs(fs))
+
+  private def manifestDir(root: String): HPath =
+    new HPath(root, "manifest")
+
+  private def childNames(fs: FileSystem, dir: HPath): Seq[String] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+
+  private def readLines(fs: FileSystem, p: HPath): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  private def writeFile(fs: FileSystem, p: HPath, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** (files, meta-without-schema, schemaJson) of a manifest body. */
+  private def parseLines(lines: Seq[String])
+      : (Seq[String], Seq[String], Option[String]) = {
+    val (metaAll, files) = lines.filter(_.nonEmpty).partition(_.startsWith("#"))
+    val (schema, meta) = metaAll.partition(_.startsWith(SchemaPrefix))
+    (files, meta, schema.headOption.map(_.stripPrefix(SchemaPrefix)))
+  }
 
   def init(root: String): Unit = {
-    Files.createDirectories(manifestDir(root))
-    Files.createDirectories(Paths.get(root, "data"))
+    val fs = fsOf(manifestDir(root))
+    fs.mkdirs(manifestDir(root))
+    fs.mkdirs(new HPath(root, "data"))
     if (latest(root).isEmpty) {
       val ok = tryCommit(root, 0, Seq.empty)
       require(ok || latest(root).nonEmpty, s"init race lost at $root")
     }
   }
 
+  // ---- head resolution: checkpoint hint + dense-chain probe ----
+
+  /** Best-effort head hint (`manifest/_last_checkpoint`): written
+    * after every successful commit, read before resolving the head.
+    * NEVER authority — a stale hint is probed FORWARD along the
+    * dense version chain (commits are always `v{N+1}`, so any
+    * surviving version's successors exist until it IS the head), and
+    * a missing/corrupt/expired hint falls back to a full listing.
+    * Turns head resolution from O(commits) listing into O(1 +
+    * commits-since-hint) existence probes at million-commit scale. */
+  private def readHint(fs: FileSystem, dir: HPath): Option[Int] =
+    scala.util.Try {
+      readLines(fs, new HPath(dir, HintFile)).head.trim.toInt
+    }.toOption
+
+  private def writeHint(fs: FileSystem, dir: HPath, v: Int): Unit =
+    try writeFile(fs, new HPath(dir, HintFile), v.toString)
+    catch { case _: java.io.IOException => () } // hint is optional
+
+  private def versionNumbers(fs: FileSystem, dir: HPath): Seq[Int] =
+    childNames(fs, dir)
+      .collect { case n if n.startsWith("v") => n.stripPrefix("v") }
+      .filter(_.forall(_.isDigit)).filter(_.nonEmpty).map(_.toInt)
+
+  private def latestVersion(fs: FileSystem, dir: HPath): Option[Int] = {
+    if (!fs.exists(dir)) return None
+    val probed = readHint(fs, dir)
+      .filter(h => h >= 0 && fs.exists(new HPath(dir, s"v$h")))
+      .map { h =>
+        var v = h
+        while (fs.exists(new HPath(dir, s"v${v + 1}"))) v += 1
+        v
+      }
+    probed.orElse {
+      val vs = versionNumbers(fs, dir)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
   /** Highest published snapshot (None before [[init]]). */
   def latest(root: String): Option[Snapshot] = {
     val dir = manifestDir(root)
-    if (!Files.isDirectory(dir)) return None
-    val versions = {
-      val s = Files.list(dir)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("v") => n.stripPrefix("v").toInt }
-        .toSeq
-      finally s.close()
-    }
-    if (versions.isEmpty) None
-    else {
-      val v = versions.max
-      val lines = Files.readAllLines(dir.resolve(s"v$v"),
-        StandardCharsets.UTF_8)
-      val (files, meta) = parseLines(lines.asScala.toSeq)
-      Some(Snapshot(v, files, meta))
+    val fs = fsOf(dir)
+    latestVersion(fs, dir).map { v =>
+      val (files, meta, schema) = parseLines(
+        readLines(fs, new HPath(dir, s"v$v")))
+      Snapshot(v, files, meta, schema)
     }
   }
 
-  /** Atomic publish of version `n`: write a temp manifest, hard-link
-    * it to `v{n}` (complete-or-absent; fails if `v{n}` exists). */
+  /** Atomic publish of version `n`: write a temp manifest, publish it
+    * as `v{n}` through the [[AtomicPublish]] seam (complete-or-absent;
+    * fails if `v{n}` exists), then refresh the head hint. */
   private[operators] def tryCommit(root: String, n: Int,
                                    files: Seq[String],
-                                   meta: Seq[String] = Seq.empty): Boolean = {
+                                   meta: Seq[String] = Seq.empty,
+                                   schemaJson: Option[String] = None)
+      : Boolean = {
     require(meta.forall(_.startsWith("#")),
       "metadata lines must be #-prefixed")
     val dir = manifestDir(root)
-    val tmp = Files.createTempFile(dir, ".tmp-", ".manifest")
-    try {
-      Files.write(tmp, (meta ++ files).mkString("\n")
-        .getBytes(StandardCharsets.UTF_8))
-      try { Files.createLink(dir.resolve(s"v$n"), tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } finally Files.deleteIfExists(tmp)
+    val fs = fsOf(dir)
+    val tmp = new HPath(dir,
+      s".tmp-${java.util.UUID.randomUUID()}.manifest")
+    writeFile(fs, tmp,
+      (schemaJson.map(SchemaPrefix + _).toSeq ++ meta ++ files)
+        .mkString("\n"))
+    val ok =
+      try publisher(fs).publish(fs, tmp, new HPath(dir, s"v$n"))
+      finally { if (fs.exists(tmp)) fs.delete(tmp, false); () }
+    if (ok) writeHint(fs, dir, n)
+    ok
   }
 
-  private def intentDir(root: String): Path =
-    Paths.get(root, "manifest", "intents")
+  // ---- schema ledger ----
+
+  /** Fold a batch's schema into the recorded table schema: existing
+    * columns keep their position and must keep their type; brand-new
+    * columns append. The result is what every reader plans with, so
+    * evolution is append-only and type-stable by construction.
+    * Recorded fields are nullable — a file written before a column
+    * existed reads NULL for it, so no column can promise non-null
+    * across the whole table. */
+  private def mergeSchemaJson(cur: Option[String],
+                              batchRaw: StructType): String = {
+    val batch = StructType(batchRaw.fields.map(_.copy(nullable = true)))
+    cur match {
+      case None => batch.json
+      case Some(j) =>
+        val old = DataType.fromJson(j).asInstanceOf[StructType]
+        val byName: Map[String, StructField] =
+          batch.fields.map(f => f.name -> f).toMap
+        old.fields.foreach { f =>
+          byName.get(f.name).foreach { nf =>
+            require(nf.dataType.catalogString == f.dataType.catalogString,
+              s"schema evolution cannot change column '${f.name}' from " +
+                s"${f.dataType.catalogString} to ${nf.dataType.catalogString}")
+          }
+        }
+        val oldNames = old.fieldNames.toSet
+        val added = batch.fields.filterNot(f => oldNames(f.name))
+        if (added.isEmpty) j
+        else StructType(old.fields ++ added).json
+    }
+  }
+
+  private def recordedSchema(snap: Snapshot): Option[StructType] =
+    snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+
+  // ---- write intents ----
+
+  private def intentDir(root: String): HPath =
+    new HPath(manifestDir(root), "intents")
 
   /** Write-intent entries: one marker per in-flight `data/<token>/`
     * write. [[vacuum]] spares any file under a token with a live
@@ -112,22 +252,26 @@ object ManifestTable {
     * out from under it and then publish a manifest of dead paths.
     * The intent is cleared once the writer's commit loop resolves
     * (committed OR aborted — aborted files become plain orphans and
-    * age out under the grace). */
+    * age out under the grace) — or immediately, when the data write
+    * itself fails (the partial files age out the same way). */
   private def registerIntent(root: String, token: String): Unit = {
-    Files.createDirectories(intentDir(root))
-    try Files.createFile(intentDir(root).resolve(token))
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    val dir = intentDir(root)
+    val fs = fsOf(dir)
+    fs.mkdirs(dir)
+    try fs.create(new HPath(dir, token), false).close()
+    catch { case _: java.io.IOException => () } // already registered
   }
 
-  private def clearIntent(root: String, token: String): Unit =
-    Files.deleteIfExists(intentDir(root).resolve(token))
+  private def clearIntent(root: String, token: String): Unit = {
+    val p = new HPath(intentDir(root), token)
+    val fs = fsOf(p)
+    if (fs.exists(p)) fs.delete(p, false)
+    ()
+  }
 
   private def liveIntents(root: String): Set[String] = {
     val dir = intentDir(root)
-    if (!Files.isDirectory(dir)) return Set.empty
-    val s = Files.list(dir)
-    try s.iterator().asScala.map(_.getFileName.toString).toSet
-    finally s.close()
+    childNames(fsOf(dir), dir).toSet
   }
 
   /** The `data/<token>/` segment of a root-relative file path. */
@@ -139,20 +283,21 @@ object ManifestTable {
   /** Write `df` as immutable data files; returns their root-relative
     * paths and the write token (whose intent the CALLER must clear
     * once its commit loop resolves). Not yet visible — a commit must
-    * reference them. */
+    * reference them. A failed write clears its own intent before
+    * rethrowing, so partial files age out as ordinary grace-bounded
+    * orphans instead of being intent-pinned forever. */
   private def writeData(spark: SparkSession, root: String,
                         df: DataFrame): (Seq[String], String) = {
     val token = java.util.UUID.randomUUID().toString
     registerIntent(root, token)
     val dir = s"data/$token"
-    df.write.parquet(s"$root/$dir")
-    val d = Paths.get(root, dir)
-    val s = Files.list(d)
-    try (s.iterator().asScala
-      .map(_.getFileName.toString)
+    try df.write.parquet(s"$root/$dir")
+    catch { case t: Throwable => clearIntent(root, token); throw t }
+    val d = new HPath(root, dir)
+    val fs = fsOf(d)
+    (fs.listStatus(d).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .map(n => s"$dir/$n").toSeq.sorted, token)
-    finally s.close()
+      .map(n => s"$dir/$n").sorted, token)
   }
 
   /** Append `df` as a new snapshot; returns the committed version.
@@ -163,37 +308,55 @@ object ManifestTable {
     val (newFiles, token) = writeData(spark, root, df)
     try {
       beforeCommit()
-      commitLoop(root) { cur => (cur.files ++ newFiles, cur.meta) }
+      commitLoop(root) { cur =>
+        (cur.files ++ newFiles, cur.meta,
+          Some(mergeSchemaJson(cur.schemaJson, df.schema)))
+      }
     } finally clearIntent(root, token)
   }
 
   /** A specific published snapshot (None if that version was never
     * published or has been expired by [[expireManifests]]). */
   def snapshot(root: String, version: Int): Option[Snapshot] = {
-    val p = manifestDir(root).resolve(s"v$version")
-    if (!Files.isRegularFile(p)) None
+    val dir = manifestDir(root)
+    val fs = fsOf(dir)
+    val p = new HPath(dir, s"v$version")
+    if (!fs.exists(p)) None
     else {
-      val (files, meta) = parseLines(
-        Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq)
-      Some(Snapshot(version, files, meta))
+      val (files, meta, schema) = parseLines(readLines(fs, p))
+      Some(Snapshot(version, files, meta, schema))
     }
   }
 
+  // ---- exactly-once streaming ledger ----
+
+  private def batchesThrough(meta: Seq[String]): Long =
+    meta.collectFirst {
+      case s if s.startsWith(ThroughPrefix) =>
+        s.stripPrefix(ThroughPrefix).toLong
+    }.getOrElse(-1L)
+
+  /** Is micro-batch `id` already folded into `snap` — either as its
+    * own `#batch:<id>` marker or below the folded watermark? */
+  private def batchCommitted(snap: Snapshot, id: Long): Boolean =
+    id <= batchesThrough(snap.meta) ||
+      snap.meta.contains(s"$BatchPrefix$id")
+
   /** EXACTLY-ONCE streaming append: commit `df` as micro-batch
     * `batchId`, recording a `#batch:<id>` marker IN the manifest —
-    * marker and file list publish through the same atomic hard link,
+    * marker and file list publish through the same atomic commit,
     * so there is no window where the data is visible but the batch
     * unrecorded (or vice versa). A replayed batch (same id — the
-    * Structured Streaming contract) finds its marker and returns the
-    * current snapshot without writing anything; a replay racing a
-    * concurrent commit re-reads and re-checks inside the optimistic
-    * loop. The ledger grows one line per batch — compaction carries
-    * it forward verbatim; a production deployment would fold markers
-    * below the checkpoint's watermark. */
+    * Structured Streaming contract) finds its marker (or the
+    * [[foldBatches]] watermark covering it) and returns the current
+    * snapshot without writing anything; a replay racing a concurrent
+    * commit re-reads and re-checks inside the optimistic loop. The
+    * ledger grows one line per batch until [[foldBatches]] folds the
+    * contiguous prefix into a single watermark line. */
   def appendBatch(spark: SparkSession, root: String, batchId: Long,
                   df: DataFrame): Snapshot = {
-    val marker = s"#batch:$batchId"
-    latest(root).filter(_.meta.contains(marker)) match {
+    val marker = s"$BatchPrefix$batchId"
+    latest(root).filter(batchCommitted(_, batchId)) match {
       case Some(cur) => cur // replayed: nothing to read, write, or commit
       case None =>
         val (newFiles, token) = writeData(spark, root, df)
@@ -201,7 +364,7 @@ object ManifestTable {
           var result: Option[Snapshot] = None
           while (result.isEmpty) {
             val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
-            if (cur.meta.contains(marker)) {
+            if (batchCommitted(cur, batchId)) {
               // a racing duplicate committed first — return ITS state
               // without committing anything; our data files become
               // vacuumable orphans
@@ -209,14 +372,73 @@ object ManifestTable {
             } else {
               val files = cur.files ++ newFiles
               val meta = cur.meta :+ marker
-              if (tryCommit(root, cur.version + 1, files, meta))
-                result = Some(Snapshot(cur.version + 1, files, meta))
+              val schema = Some(mergeSchemaJson(cur.schemaJson, df.schema))
+              if (tryCommit(root, cur.version + 1, files, meta, schema))
+                result = Some(Snapshot(cur.version + 1, files, meta, schema))
             }
           }
           result.get
         } finally clearIntent(root, token)
     }
   }
+
+  /** Fold the streaming batch ledger: replace the contiguous prefix
+    * of `#batch:<id>` markers (starting just above the existing
+    * watermark) with one `#batches_through:<id>` line, keeping the
+    * newest `keepRecent` markers visible as an audit tail. Keeps
+    * manifest size O(files + recent batches) over millions of
+    * micro-batches; a replayed pre-watermark batch still commits
+    * nothing ([[appendBatch]] checks the watermark first). Only the
+    * CONTIGUOUS prefix folds — a gap in the id sequence (impossible
+    * under the Structured Streaming contract, possible with manual
+    * ids) is never papered over, because the watermark asserts every
+    * id at or below it committed. Maintenance op, like
+    * [[expireManifests]] — run it on the same cadence. */
+  def foldBatches(root: String, keepRecent: Int = 0): Snapshot = {
+    require(keepRecent >= 0, "keepRecent must be >= 0")
+    var res: Option[Snapshot] = None
+    while (res.isEmpty) {
+      val cur = latest(root).getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      val (newMeta, changed) = foldedMeta(cur.meta, keepRecent)
+      if (!changed) res = Some(cur)
+      else if (tryCommit(root, cur.version + 1, cur.files, newMeta,
+        cur.schemaJson))
+        res = Some(Snapshot(cur.version + 1, cur.files, newMeta,
+          cur.schemaJson))
+    }
+    res.get
+  }
+
+  private def foldedMeta(meta: Seq[String],
+                         keepRecent: Int): (Seq[String], Boolean) = {
+    val ids = meta.collect {
+      case s if s.startsWith(BatchPrefix) =>
+        s.stripPrefix(BatchPrefix).toLong
+    }.sorted
+    val chain = {
+      var t = batchesThrough(meta)
+      ids.foreach { id => if (id == t + 1) t += 1 }
+      t
+    }
+    // the watermark stops below the kept audit tail (and never moves
+    // backwards past a previous fold)
+    val kept = ids.takeRight(keepRecent)
+    val through = math.max(batchesThrough(meta),
+      if (kept.isEmpty) chain else math.min(chain, kept.min - 1))
+    val foldable = ids.filter(_ <= through).toSet
+    if (foldable.isEmpty) (meta, false)
+    else {
+      val rest = meta.filterNot { s =>
+        s.startsWith(ThroughPrefix) ||
+          (s.startsWith(BatchPrefix) &&
+            foldable(s.stripPrefix(BatchPrefix).toLong))
+      }
+      (s"$ThroughPrefix$through" +: rest, true)
+    }
+  }
+
+  // ---- reads ----
 
   /** The latest snapshot's rows. */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -234,10 +456,19 @@ object ManifestTable {
       throw new IllegalStateException(
         s"no manifest v$version at $root (never published or expired)")))
 
+  /** Plan with the manifest's recorded merged schema: zero footer
+    * reads, and files written before a column existed read NULL for
+    * it. Manifests from before the schema ledger fall back to a
+    * `mergeSchema` footer scan — same semantics, O(files) planning. */
   private def readSnapshot(spark: SparkSession, root: String,
                            snap: Snapshot): DataFrame = {
     require(snap.files.nonEmpty, s"empty table at $root (v${snap.version})")
-    spark.read.parquet(snap.files.map(f => s"$root/$f"): _*)
+    val paths = snap.files.map(f => s"$root/$f")
+    recordedSchema(snap) match {
+      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
   }
 
   /** Drop manifest files older than the newest `keepLast` versions —
@@ -246,20 +477,16 @@ object ManifestTable {
     * the horizon is gone afterwards; the latest version is always
     * kept (`keepLast` ≥ 1). Safe against concurrent committers: they
     * only ever create strictly NEWER versions, and [[latest]] takes
-    * the max of what remains. Returns expired versions. */
+    * the max of what remains (expiry deletes a PREFIX, so the hint's
+    * forward probe still lands on the head). Returns expired
+    * versions. */
   def expireManifests(root: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val dir = manifestDir(root)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    val versions = {
-      val s = Files.list(dir)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case n if n.startsWith("v") => n.stripPrefix("v").toInt }
-        .toSeq.sorted
-      finally s.close()
-    }
-    val victims = versions.dropRight(keepLast)
-    victims.foreach(v => Files.deleteIfExists(dir.resolve(s"v$v")))
+    val fs = fsOf(dir)
+    if (!fs.exists(dir)) return Seq.empty
+    val victims = versionNumbers(fs, dir).sorted.dropRight(keepLast)
+    victims.foreach(v => fs.delete(new HPath(dir, s"v$v"), false))
     victims
   }
 
@@ -279,11 +506,12 @@ object ManifestTable {
     val base = latest(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root"))
     if (base.files.isEmpty) return base
+    val fs = fsOf(new HPath(root))
     val bytes = base.files
-      .map(f => Files.size(Paths.get(root, f))).sum
+      .map(f => fs.getFileStatus(new HPath(root, f)).getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val (compacted, token) = writeData(spark, root,
-      spark.read.parquet(base.files.map(f => s"$root/$f"): _*).repartition(n))
+      readSnapshot(spark, root, base).repartition(n))
     try {
       beforeCommit()
       val baseSet = base.files.toSet
@@ -299,8 +527,10 @@ object ManifestTable {
           // conflict-free merge: files that appeared since the base
           // snapshot are appends — keep them alongside the compacted set
           val files = compacted ++ cur.files.filterNot(baseSet)
-          if (tryCommit(root, cur.version + 1, files, cur.meta))
-            result = Some(Snapshot(cur.version + 1, files, cur.meta))
+          if (tryCommit(root, cur.version + 1, files, cur.meta,
+            cur.schemaJson))
+            result = Some(Snapshot(cur.version + 1, files, cur.meta,
+              cur.schemaJson))
         }
       }
       result.get
@@ -316,42 +546,57 @@ object ManifestTable {
     *
     *  - locating victims reads the base snapshot WITH the predicate
     *    pushed to the parquet scan (only matching row-groups
-    *    decode) and collects one file path per AFFECTED file — a
-    *    metadata-scale collect, bounded by the file count;
+    *    decode) and aggregates ONE job: victim count per affected
+    *    file — a metadata-scale collect, bounded by the file count,
+    *    that also prices the [[Delete.removedRows]] report (no
+    *    second victim scan anywhere);
     *  - untouched files are carried into the new snapshot by
     *    reference — their bytes are never read or rewritten;
     *  - commit semantics differ from [[compact]] on conflict: a
     *    compaction abort is safe (the data is unchanged, only its
     *    layout), but a delete MUST apply — if a concurrent rewrite
     *    replaced an affected file, the whole pass RESTARTS against
-    *    the new snapshot instead of aborting. Concurrent appends
-    *    merge conflict-free exactly as in compact (their files are
+    *    the new snapshot instead of aborting, up to `maxRestarts`
+    *    rounds (sustained compaction churn past that fails loudly
+    *    rather than rewriting forever — each aborted round's files
+    *    are ordinary vacuum orphans). Concurrent appends merge
+    *    conflict-free exactly as in compact (their files are
     *    outside the affected set) — note an append racing in rows
     *    matching `predicate` lands AFTER this delete's victim scan
     *    and survives it, the standard snapshot-isolation reading of
     *    a concurrent DELETE + INSERT.
     * `beforeCommit` is the usual race-injection test seam. */
   def deleteWhere(spark: SparkSession, root: String, predicate: Column,
-                  beforeCommit: () => Unit = () => ()): Snapshot = {
-    var result: Option[Snapshot] = None
+                  beforeCommit: () => Unit = () => (),
+                  maxRestarts: Int = 8): Delete = {
+    require(maxRestarts >= 1, "maxRestarts must be >= 1")
+    var restarts = 0
+    var result: Option[Delete] = None
     while (result.isEmpty) {
       val base = latest(root).getOrElse(
         throw new IllegalStateException(s"no manifest at $root"))
-      if (base.files.isEmpty) result = Some(base)
+      if (base.files.isEmpty) result = Some(Delete(base, 0L))
       else {
-        val scan = spark.read.parquet(base.files.map(f => s"$root/$f"): _*)
-        val affectedAbs = scan.filter(predicate)
-          .select(F.input_file_name().as("__file")).distinct()
-          .collect().map(_.getString(0))
+        val scan = readSnapshot(spark, root, base)
+        // one pushed-down job: affected file -> victim count
+        val perFile = scan.filter(predicate)
+          .groupBy(F.input_file_name().as("__file")).count()
+          .collect().map(r => (r.getString(0), r.getLong(1)))
         val affected = base.files.filter(f =>
-          affectedAbs.exists(_.endsWith(s"/$f")))
-        if (affected.isEmpty) result = Some(base)
+          perFile.exists(_._1.endsWith(s"/$f")))
+        val removed = perFile.map(_._2).sum
+        if (affected.isEmpty) result = Some(Delete(base, 0L))
         else {
           // survivors of ONLY the affected files; null predicate
           // results keep the row (DELETE semantics: NULL is not TRUE)
-          val survivors = spark.read
-            .parquet(affected.map(f => s"$root/$f"): _*)
-            .filter(!F.coalesce(predicate, F.lit(false)))
+          val affectedPaths = affected.map(f => s"$root/$f")
+          val survivorScan = recordedSchema(base) match {
+            case Some(sc) => spark.read.schema(sc).parquet(affectedPaths: _*)
+            case None => spark.read.option("mergeSchema", "true")
+              .parquet(affectedPaths: _*)
+          }
+          val survivors =
+            survivorScan.filter(!F.coalesce(predicate, F.lit(false)))
           val (newFiles, token) = writeData(spark, root, survivors)
           try {
             beforeCommit()
@@ -363,11 +608,19 @@ object ManifestTable {
                 // a rewrite replaced our victims' files — the delete
                 // must still apply, so re-scan against the new
                 // snapshot; our rewritten files become orphans
+                restarts += 1
+                if (restarts >= maxRestarts)
+                  throw new IllegalStateException(
+                    s"deleteWhere at $root lost $restarts consecutive " +
+                      "rewrite races; pause compaction or raise maxRestarts")
                 retryScan = true
               } else {
                 val files = cur.files.filterNot(affectedSet) ++ newFiles
-                if (tryCommit(root, cur.version + 1, files, cur.meta))
-                  result = Some(Snapshot(cur.version + 1, files, cur.meta))
+                if (tryCommit(root, cur.version + 1, files, cur.meta,
+                  cur.schemaJson))
+                  result = Some(Delete(
+                    Snapshot(cur.version + 1, files, cur.meta,
+                      cur.schemaJson), removed))
               }
             }
           } finally clearIntent(root, token)
@@ -378,15 +631,16 @@ object ManifestTable {
   }
 
   /** Optimistic commit: recompute the file list against the latest
-    * snapshot until the version link wins. */
+    * snapshot until the version publish wins. */
   private def commitLoop(root: String)
-                        (merge: Snapshot => (Seq[String], Seq[String])): Snapshot = {
+      (merge: Snapshot => (Seq[String], Seq[String], Option[String]))
+      : Snapshot = {
     var committed: Option[Snapshot] = None
     while (committed.isEmpty) {
       val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
-      val (files, meta) = merge(cur)
-      if (tryCommit(root, cur.version + 1, files, meta))
-        committed = Some(Snapshot(cur.version + 1, files, meta))
+      val (files, meta, schema) = merge(cur)
+      if (tryCommit(root, cur.version + 1, files, meta, schema))
+        committed = Some(Snapshot(cur.version + 1, files, meta, schema))
     }
     committed.get
   }
@@ -412,20 +666,27 @@ object ManifestTable {
              orphanGraceMillis: Long = 24L * 3600 * 1000): Seq[String] = {
     val live = latest(root).map(_.files.toSet).getOrElse(Set.empty)
     val intents = liveIntents(root)
-    val dataDir = Paths.get(root, "data")
-    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val dataDir = new HPath(root, "data")
+    val fs = fsOf(dataDir)
+    if (!fs.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - orphanGraceMillis
-    val all = Files.walk(dataDir)
-    val victims =
-      try all.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          Files.getLastModifiedTime(p).toMillis < cutoff)
-        .map(p => Paths.get(root).relativize(p).toString)
-        .filterNot(live)
-        .filterNot(v => tokenOf(v).exists(intents))
-        .toSeq
-      finally all.close()
-    victims.foreach(v => Files.deleteIfExists(Paths.get(root, v)))
-    victims.sorted
+    val rootPrefix = {
+      val p = fs.makeQualified(new HPath(root)).toUri.getPath
+      if (p.endsWith("/")) p else p + "/"
+    }
+    val it = fs.listFiles(dataDir, true)
+    val victims = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getModificationTime < cutoff) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(rootPrefix)
+        if (!live(rel) && !tokenOf(rel).exists(intents)) victims += rel
+      }
+    }
+    victims.foreach { v =>
+      val p = new HPath(root, v)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    victims.sorted.toSeq
   }
 }

@@ -42,13 +42,11 @@ import org.apache.spark.sql.{SparkSession, functions => F}
 object Retraction {
 
   /** Rows removed per store (−1 = store not purged / absent).
-    * `corpusRows` is the victim count AT THE PIN/SNAPSHOT taken when
-    * the purge started — under the concurrent appends deleteWhere
-    * tolerates, a matching row that lands mid-purge is deleted by a
-    * restarted scan but not counted (and for [[purgeWhere]], rows
-    * admitted after the pin survive by design — point-in-time
-    * recall). The report describes the purge's SCOPE, not a
-    * row-accounting audit of the table. */
+    * For [[purge]], `corpusRows` is what the delete's own (final,
+    * post-restart) victim scan removed; for [[purgeWhere]] it is the
+    * pinned victim frame's size — rows admitted after the pin
+    * survive by design (point-in-time recall). The report describes
+    * the purge's SCOPE, not a row-accounting audit of the table. */
   final case class PurgeReport(corpusRows: Long, signatureRows: Long,
                                vectorRows: Long)
 
@@ -71,15 +69,13 @@ object Retraction {
     require(corpusRoot.orElse(signatureRoot).orElse(ivfRoot).nonEmpty,
       "purge needs at least one store root")
     val corpusRows = corpusRoot.map { root =>
-      // report from ONE pushed-down victim count, not two O(table)
-      // full-corpus counts — deleteWhere itself only touches the
-      // affected files, the report must not cost more than the op
-      val n = ManifestTable.read(spark, root)
-        .filter(F.col(idCol).isin(victims: _*)).count()
-      ManifestTable.deleteWhere(spark, root,
+      // the report rides deleteWhere's own single pushed-down victim
+      // scan ([[ManifestTable.Delete.removedRows]]) — no second
+      // corpus scan just to price the takedown
+      val d = ManifestTable.deleteWhere(spark, root,
         F.col(idCol).isin(victims: _*))
       ManifestTable.vacuum(root, vacuumGraceMillis)
-      n
+      d.removedRows
     }.getOrElse(-1L)
     val sigRows = signatureRoot
       .map(SignatureStore.purge(spark, _, idCol, victims))

@@ -45,6 +45,7 @@ class ManifestTableSpec extends SparkSpec {
       java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get(root, "manifest", s"v$v"))
         .asScala.toSeq.filter(_.nonEmpty)
+        .filterNot(_.startsWith("#")) // metadata lines (schema, batch ledger)
     }
   }
 
@@ -122,17 +123,19 @@ class ManifestTableSpec extends SparkSpec {
       idsOf(root, Seq(f)).forall(_ >= 1000L)
     }
     // delete ids 0..49, racing an append between rewrite and commit
-    val snap = ManifestTable.deleteWhere(spark, root, F.col("id") < 50,
+    val del = ManifestTable.deleteWhere(spark, root, F.col("id") < 50,
       beforeCommit = () =>
         { ManifestTable.append(spark, root, batch(2000, 2050)); () })
     assert(ids(root) ==
       ((50L until 100L) ++ (1000L until 1100L) ++ (2000L until 2050L)).toSet,
       "deleteWhere lost the racing append or deleted the wrong rows")
+    // the removed-row report comes from the delete's own victim scan
+    assert(del.removedRows == 50L, s"removedRows ${del.removedRows}")
     // copy-on-write: files with no victims are carried by REFERENCE
     val after = ManifestTable.latest(root).get.files.toSet
     assert(untouched.nonEmpty && untouched.forall(after),
       "deleteWhere rewrote files that held no victim rows")
-    assert(ManifestTable.latest(root).get.version == snap.version)
+    assert(ManifestTable.latest(root).get.version == del.snapshot.version)
   }
 
   test("deleteWhere null predicate rows survive; no-victim delete is a no-op snapshot") {
@@ -142,11 +145,14 @@ class ManifestTableSpec extends SparkSpec {
       F.when(F.col("id") < 5, F.col("payload")))
     ManifestTable.append(spark, root, withNulls)
     // payload = 'row7' is NULL for ids >= 5 → those rows must SURVIVE
-    ManifestTable.deleteWhere(spark, root, F.col("payload") === "row3")
+    val del = ManifestTable.deleteWhere(spark, root, F.col("payload") === "row3")
     assert(ids(root) == ((0L until 10L).toSet - 3L))
+    assert(del.removedRows == 1L)
     val v = ManifestTable.latest(root).get.version
-    val snap = ManifestTable.deleteWhere(spark, root, F.col("id") === 999L)
-    assert(snap.version == v, "no-victim delete committed a new version")
+    val noop = ManifestTable.deleteWhere(spark, root, F.col("id") === 999L)
+    assert(noop.snapshot.version == v,
+      "no-victim delete committed a new version")
+    assert(noop.removedRows == 0L)
   }
 
   test("vacuum mid-write spares the in-flight writer's files (intent guard)") {
@@ -232,6 +238,124 @@ class ManifestTableSpec extends SparkSpec {
     assert(ids(root) == (25L until 150L).toSet)
     ManifestTable.append(spark, root, batch(150, 160))
     assert(ManifestTable.latest(root).get.version == 5)
+  }
+
+  test("atomic-publish primitives: at most one winner, complete-or-absent") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import graft.operators.AtomicPublish
+    val root = java.nio.file.Files.createTempDirectory("graft_publish").toString
+    val fs = new HPath(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    for ((prim, name) <- Seq(
+      (AtomicPublish.LocalLink, "LocalLink"),
+      (AtomicPublish.RenameIfAbsent, "RenameIfAbsent"))) {
+      def writeTmp(body: String): HPath = {
+        val p = new HPath(root, s".tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(p, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        p
+      }
+      val dest = new HPath(root, s"commit-$name")
+      val a = writeTmp("winner")
+      val b = writeTmp("loser")
+      assert(prim.publish(fs, a, dest), s"$name: first publish lost")
+      assert(!prim.publish(fs, b, dest), s"$name: second publish won too")
+      val in = fs.open(dest)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      assert(body == "winner", s"$name: loser's bytes leaked into dest")
+    }
+    // the local default routes around local rename's silent overwrite
+    assert(AtomicPublish.forFs(fs) eq AtomicPublish.LocalLink)
+  }
+
+  test("head hint: stale, corrupt, or missing _last_checkpoint never changes the resolved head") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hint").toString
+    ManifestTable.init(root)
+    for (i <- 0 until 4)
+      ManifestTable.append(spark, root, batch(i * 10L, i * 10L + 10L))
+    val head = ManifestTable.latest(root).get.version
+    val hint = java.nio.file.Paths.get(root, "manifest", "_last_checkpoint")
+    // stale hint → forward probe along the dense chain finds the head
+    java.nio.file.Files.write(hint, "1".getBytes)
+    assert(ManifestTable.latest(root).get.version == head, "stale hint")
+    // corrupt hint → fall back to listing
+    java.nio.file.Files.write(hint, "not-a-number".getBytes)
+    assert(ManifestTable.latest(root).get.version == head, "corrupt hint")
+    // missing hint → fall back to listing
+    java.nio.file.Files.delete(hint)
+    assert(ManifestTable.latest(root).get.version == head, "missing hint")
+    // a commit refreshes it
+    ManifestTable.append(spark, root, batch(100, 110))
+    assert(new String(java.nio.file.Files.readAllBytes(hint)).trim ==
+      (head + 1).toString)
+    // hint pointing at an expired version → fall back to listing
+    ManifestTable.expireManifests(root, keepLast = 2)
+    java.nio.file.Files.write(hint, "0".getBytes)
+    assert(ManifestTable.latest(root).get.version == head + 1, "expired hint")
+  }
+
+  test("foldBatches keeps the manifest O(files + recent) over 120 micro-batches; pre-watermark replays still commit nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fold").toString
+    ManifestTable.init(root)
+    val n = 120
+    for (b <- 0 until n)
+      ManifestTable.appendBatch(spark, root, b.toLong,
+        batch(b * 2L, b * 2L + 2L).coalesce(1))
+    val preFold = ManifestTable.latest(root).get
+    assert(preFold.meta.count(_.startsWith("#batch:")) == n)
+    val folded = ManifestTable.foldBatches(root, keepRecent = 5)
+    // one watermark line + the 5-newest audit tail
+    assert(folded.meta.count(_.startsWith("#batch:")) == 5,
+      folded.meta.filter(_.startsWith("#batch")).mkString(","))
+    assert(folded.meta.contains(s"#batches_through:${n - 6}"))
+    assert(folded.files == preFold.files, "fold touched the file list")
+    // a replayed pre-watermark batch finds the watermark, not its
+    // (now folded) marker — and still commits nothing
+    val v = ManifestTable.latest(root).get.version
+    val snap = ManifestTable.appendBatch(spark, root, 3L, batch(6, 8))
+    assert(snap.version == v, "pre-watermark replay committed")
+    assert(ids(root) == (0L until n * 2L).toSet)
+    // folding again is a no-op commit-wise
+    assert(ManifestTable.foldBatches(root, keepRecent = 5).version == v)
+    // a fresh batch lands and a full fold absorbs the tail
+    ManifestTable.appendBatch(spark, root, n.toLong, batch(500, 502).coalesce(1))
+    val full = ManifestTable.foldBatches(root)
+    assert(full.meta == Seq(s"#batches_through:$n"), full.meta.mkString(","))
+    // gaps never fold: a manual far-future id stays a marker
+    ManifestTable.appendBatch(spark, root, 1000L, batch(600, 602).coalesce(1))
+    val gap = ManifestTable.foldBatches(root)
+    assert(gap.meta.toSet ==
+      Set(s"#batches_through:$n", "#batch:1000"), gap.meta.mkString(","))
+  }
+
+  test("schema evolution: a column-adding append NULL-fills older files via the recorded schema, with zero footer merging") {
+    val root = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    ManifestTable.init(root)
+    ManifestTable.append(spark, root, batch(0, 5))
+    // new column arrives in a later batch
+    ManifestTable.append(spark, root,
+      batch(5, 10).withColumn("lang", F.lit("en")))
+    val df = ManifestTable.read(spark, root)
+    assert(df.columns.toSeq == Seq("id", "payload", "lang"),
+      df.columns.mkString(","))
+    val langs = df.select("id", "lang").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert((0L until 5L).forall(langs(_).isEmpty), "old files not NULL-filled")
+    assert((5L until 10L).forall(langs(_).contains("en")))
+    // the schema rides the manifest, not a footer scan
+    assert(ManifestTable.latest(root).get.schemaJson.exists(_.contains("lang")))
+    // deletes and compaction preserve the evolved schema
+    ManifestTable.deleteWhere(spark, root, F.col("id") === 0L)
+    ManifestTable.compact(spark, root, targetFileBytes = 1L << 20)
+    val post = ManifestTable.read(spark, root)
+    assert(post.columns.toSeq == Seq("id", "payload", "lang"))
+    assert(post.count() == 9)
+    // type changes are refused loudly, not silently coerced
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root,
+        batch(10, 12).withColumn("lang", F.lit(7)))
+    }
   }
 
   test("multi-writer stress: concurrent appenders + a compactor lose nothing, versions dense") {
