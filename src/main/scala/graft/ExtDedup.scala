@@ -406,6 +406,58 @@ private[graft] object ExtDedup {
     }),
 
 
+    // RESUMED retraction: the same lifecycle as x_retract, but the
+    // purge runs through the takedown ledger and is KILLED between
+    // the corpus and signature steps — the ledger entry (intent +
+    // the corpus step's confirmation marker) is all that survives the
+    // crash, and resume() finishes the signature purge from it. The
+    // oracle is x_retract's replay VERBATIM: a resumed takedown must
+    // be row-identical to one that never crashed, including the
+    // re-admission behavior of the post-resume third ingest.
+    "x_retract_resume" -> ((s, dir) => {
+      val corpusRoot = layoutDir(dir, "retractres_corpus")
+      val sigRoot = layoutDir(dir, "retractres_sigs")
+      val ledger = layoutDir(dir, "retractres_ledger")
+      deleteRec(new java.io.File(corpusRoot))
+      deleteRec(new java.io.File(sigRoot))
+      deleteRec(new java.io.File(ledger))
+      val docs = Tables.scan(s, dir, "documents")
+      val slim = (df: org.apache.spark.sql.DataFrame) =>
+        df.select("doc_id", "lang", "source")
+      val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
+      graft.operators.ManifestTable.init(corpusRoot)
+      graft.operators.ManifestTable.append(s, corpusRoot,
+        slim(docs.filter(F.col("doc_id") % 3 === 1)))
+      SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 1),
+        "doc_id", "text", sigRoot, MINHASH_K, NGRAM_BANDS, shingles3)
+      val kept1 = SignatureStore.ingest(s, sigRoot,
+        docs.filter(F.col("doc_id") % 3 === 2),
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
+      graft.operators.ManifestTable.append(s, corpusRoot, slim(kept1))
+      import s.implicits._
+      val victims = SignatureStore.signatures(s, sigRoot)
+        .select("doc_id").distinct().filter(F.col("doc_id") % 5 === 0)
+        .as[Long].collect().toSeq.sorted
+      if (victims.nonEmpty) {
+        try graft.operators.Retraction.purge(s, victims, "doc_id",
+          corpusRoot = Some(corpusRoot), signatureRoot = Some(sigRoot),
+          ledgerRoot = Some(ledger),
+          afterStep = n => if (n == "corpus")
+            throw new RuntimeException("injected takedown crash"))
+        catch {
+          case e: RuntimeException
+            if e.getMessage == "injected takedown crash" => ()
+        }
+        graft.operators.Retraction.resume(s, ledger)
+      }
+      val kept2 = SignatureStore.ingest(s, sigRoot,
+        docs.filter(F.col("doc_id") % 3 === 0),
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
+      graft.operators.ManifestTable.append(s, corpusRoot, slim(kept2))
+      graft.operators.ManifestTable.read(s, corpusRoot)
+    }),
+
+
     // word-trigram shingle Jaccard: order-sensitive near-dup — the
     // shingle unit separates true edits/reorders from shared
     // vocabulary. More, narrower bands (8×2) than the word-level query:
@@ -777,38 +829,12 @@ private[graft] object ExtDedup {
     // surviving split-2 signatures; the purge drops every stored id
     // divisible by 5; split 0 then probes the PURGED store. Final
     // corpus = purged survivors ∪ batch-3 keeps.
-    "x_retract" ->
-      (s"WITH ${shingleToksCte(3)}, " +
-        s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
-        s"bands AS (${bandRowsSql(NGRAM_BANDS)}), " +
-        "b0 AS (SELECT * FROM bands WHERE doc_id % 3 = 1), " +
-        "b1 AS (SELECT * FROM bands WHERE doc_id % 3 = 2), " +
-        "b2 AS (SELECT * FROM bands WHERE doc_id % 3 = 0), " +
-        "drop1in AS (SELECT DISTINCT r.doc_id FROM b1 l JOIN b1 r " +
-        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
-        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
-        "drop1x AS (SELECT DISTINCT l.doc_id FROM b1 l JOIN b0 r " +
-        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
-        s"WHERE $estSql >= 0.5), " +
-        "kept1 AS (SELECT DISTINCT doc_id FROM b1 " +
-        "WHERE doc_id NOT IN (SELECT doc_id FROM drop1in) " +
-        "AND doc_id NOT IN (SELECT doc_id FROM drop1x)), " +
-        "store2 AS (SELECT * FROM b0 UNION ALL " +
-        "SELECT * FROM b1 WHERE doc_id IN (SELECT doc_id FROM kept1)), " +
-        "purged AS (SELECT * FROM store2 WHERE doc_id % 5 <> 0), " +
-        "drop2in AS (SELECT DISTINCT r.doc_id FROM b2 l JOIN b2 r " +
-        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
-        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
-        "drop2x AS (SELECT DISTINCT l.doc_id FROM b2 l JOIN purged r " +
-        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
-        s"WHERE $estSql >= 0.5), " +
-        "kept2 AS (SELECT DISTINCT doc_id FROM b2 " +
-        "WHERE doc_id NOT IN (SELECT doc_id FROM drop2in) " +
-        "AND doc_id NOT IN (SELECT doc_id FROM drop2x)), " +
-        "final AS (SELECT DISTINCT doc_id FROM purged " +
-        "UNION SELECT doc_id FROM kept2) " +
-        "SELECT d.doc_id, d.lang, d.source " +
-        "FROM documents d JOIN final f ON d.doc_id = f.doc_id"),
+    "x_retract" -> retractReplaySql,
+
+    // the SAME oracle grades the resumed takedown: a purge that
+    // crashed between stores and finished through the ledger must be
+    // row-identical to one that never crashed
+    "x_retract_resume" -> retractReplaySql,
 
     "x_dedup_jaccard" -> jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8),
 
@@ -1041,4 +1067,43 @@ private[graft] object ExtDedup {
         "/ count(*) AS novelty " +
         "FROM toks t JOIN fst f USING (tok) GROUP BY 1")
   )
+
+  /** Retraction replay, shared by `x_retract` and `x_retract_resume`
+    * (a purge resumed through the takedown ledger must be
+    * row-identical to one that never crashed): store after ingest 1 =
+    * split-1 signatures + surviving split-2 signatures; the purge
+    * drops every stored id divisible by 5; split 0 then probes the
+    * PURGED store. Final corpus = purged survivors ∪ batch-3 keeps. */
+  private lazy val retractReplaySql: String =
+    s"WITH ${shingleToksCte(3)}, " +
+      s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
+      s"bands AS (${bandRowsSql(NGRAM_BANDS)}), " +
+      "b0 AS (SELECT * FROM bands WHERE doc_id % 3 = 1), " +
+      "b1 AS (SELECT * FROM bands WHERE doc_id % 3 = 2), " +
+      "b2 AS (SELECT * FROM bands WHERE doc_id % 3 = 0), " +
+      "drop1in AS (SELECT DISTINCT r.doc_id FROM b1 l JOIN b1 r " +
+      "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+      s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+      "drop1x AS (SELECT DISTINCT l.doc_id FROM b1 l JOIN b0 r " +
+      "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+      s"WHERE $estSql >= 0.5), " +
+      "kept1 AS (SELECT DISTINCT doc_id FROM b1 " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM drop1in) " +
+      "AND doc_id NOT IN (SELECT doc_id FROM drop1x)), " +
+      "store2 AS (SELECT * FROM b0 UNION ALL " +
+      "SELECT * FROM b1 WHERE doc_id IN (SELECT doc_id FROM kept1)), " +
+      "purged AS (SELECT * FROM store2 WHERE doc_id % 5 <> 0), " +
+      "drop2in AS (SELECT DISTINCT r.doc_id FROM b2 l JOIN b2 r " +
+      "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+      s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+      "drop2x AS (SELECT DISTINCT l.doc_id FROM b2 l JOIN purged r " +
+      "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+      s"WHERE $estSql >= 0.5), " +
+      "kept2 AS (SELECT DISTINCT doc_id FROM b2 " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM drop2in) " +
+      "AND doc_id NOT IN (SELECT doc_id FROM drop2x)), " +
+      "final AS (SELECT DISTINCT doc_id FROM purged " +
+      "UNION SELECT doc_id FROM kept2) " +
+      "SELECT d.doc_id, d.lang, d.source " +
+      "FROM documents d JOIN final f ON d.doc_id = f.doc_id"
 }

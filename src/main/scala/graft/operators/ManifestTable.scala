@@ -568,7 +568,39 @@ object ManifestTable {
     * `beforeCommit` is the usual race-injection test seam. */
   def deleteWhere(spark: SparkSession, root: String, predicate: Column,
                   beforeCommit: () => Unit = () => (),
-                  maxRestarts: Int = 8): Delete = {
+                  maxRestarts: Int = 8): Delete =
+    // null predicate results keep the row (DELETE: NULL is not TRUE)
+    deleteWith(spark, root,
+      df => df.filter(predicate),
+      df => df.filter(!F.coalesce(predicate, F.lit(false))),
+      beforeCommit, maxRestarts)
+
+  /** [[deleteWhere]] for a victim set that is NOT driver-sized — the
+    * frame-shaped takedown ([[Retraction.purgeWhere]] resume path):
+    * victim membership resolves through semi/anti joins against the
+    * single-id-column `victims` frame (AQE broadcasts the smaller
+    * side) instead of an `isin` literal, with the same copy-on-write
+    * rewrite, restart, and snapshot-isolation semantics. */
+  def deleteIds(spark: SparkSession, root: String, idCol: String,
+                victims: DataFrame,
+                beforeCommit: () => Unit = () => (),
+                maxRestarts: Int = 8): Delete = {
+    require(victims.columns.length == 1,
+      s"victims frame must have exactly one id column, " +
+        s"got ${victims.columns.mkString(",")}")
+    val v = victims.toDF("__victim_id").distinct()
+      .localCheckpoint(eager = true)
+    deleteWith(spark, root,
+      df => df.join(v, df(idCol) === v("__victim_id"), "left_semi"),
+      df => df.join(v, df(idCol) === v("__victim_id"), "left_anti"),
+      beforeCommit, maxRestarts)
+  }
+
+  private def deleteWith(spark: SparkSession, root: String,
+                         hits: DataFrame => DataFrame,
+                         keep: DataFrame => DataFrame,
+                         beforeCommit: () => Unit,
+                         maxRestarts: Int): Delete = {
     require(maxRestarts >= 1, "maxRestarts must be >= 1")
     var restarts = 0
     var result: Option[Delete] = None
@@ -577,26 +609,28 @@ object ManifestTable {
         throw new IllegalStateException(s"no manifest at $root"))
       if (base.files.isEmpty) result = Some(Delete(base, 0L))
       else {
+        // the provenance column materializes AT THE SCAN, before any
+        // join/shuffle `hits` may introduce — input_file_name() after
+        // a shuffle boundary returns empty strings
         val scan = readSnapshot(spark, root, base)
+          .withColumn("__file", F.input_file_name())
         // one pushed-down job: affected file -> victim count
-        val perFile = scan.filter(predicate)
-          .groupBy(F.input_file_name().as("__file")).count()
+        val perFile = hits(scan)
+          .groupBy("__file").count()
           .collect().map(r => (r.getString(0), r.getLong(1)))
         val affected = base.files.filter(f =>
           perFile.exists(_._1.endsWith(s"/$f")))
         val removed = perFile.map(_._2).sum
         if (affected.isEmpty) result = Some(Delete(base, 0L))
         else {
-          // survivors of ONLY the affected files; null predicate
-          // results keep the row (DELETE semantics: NULL is not TRUE)
+          // survivors of ONLY the affected files
           val affectedPaths = affected.map(f => s"$root/$f")
           val survivorScan = recordedSchema(base) match {
             case Some(sc) => spark.read.schema(sc).parquet(affectedPaths: _*)
             case None => spark.read.option("mergeSchema", "true")
               .parquet(affectedPaths: _*)
           }
-          val survivors =
-            survivorScan.filter(!F.coalesce(predicate, F.lit(false)))
+          val survivors = keep(survivorScan)
           val (newFiles, token) = writeData(spark, root, survivors)
           try {
             beforeCommit()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{SparkSession, functions => F}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 /** Retraction/takedown propagation across the standing stores — the
   * lifecycle operation a production training corpus is legally
@@ -31,6 +31,18 @@ import org.apache.spark.sql.{SparkSession, functions => F}
   * documents, near-zero marginal cost in the mature state where
   * victims already live in the base.
   *
+  * CRASH SAFETY: with a `ledgerRoot`, the purge is
+  * atomic-or-resumable — the full intent (victims + target stores)
+  * publishes to the [[TakedownLedger]] BEFORE any store is touched,
+  * each store's confirmation (with its removed-row count) lands as a
+  * durable marker, and the entry clears only when every store
+  * confirmed. A crash mid-purge leaves an entry whose missing
+  * markers say exactly which stores still hold victim bytes;
+  * [[resume]] finishes every pending entry (store purges are
+  * idempotent, so a step that ran but died before its marker simply
+  * re-runs). Without a ledger the purge is the bare sequential pass
+  * — idempotent per store, but nothing persists the intent to re-run.
+  *
   * AFTER a purge, the stores are row-identical to stores rebuilt
   * from scratch on the purged corpus (same centroids for ANN —
   * assignment is deterministic given centroids): RetractionSpec pins
@@ -59,70 +71,143 @@ object Retraction {
     * intent guard makes the zero-grace default safe against in-flight
     * writers; `vacuumGraceMillis` > 0 only defers the physical erase
     * (readers pinned to pre-purge snapshots keep working until their
-    * files age out — the caller owns that retention trade). */
+    * files age out — the caller owns that retention trade).
+    *
+    * `ledgerRoot` makes the purge resumable (see object doc);
+    * `afterStep` is the crash-injection test seam, called with the
+    * store name right after its confirmation marker lands. */
   def purge(spark: SparkSession, victims: Seq[Long], idCol: String,
             corpusRoot: Option[String] = None,
             signatureRoot: Option[String] = None,
             ivfRoot: Option[String] = None,
-            vacuumGraceMillis: Long = 0L): PurgeReport = {
+            vacuumGraceMillis: Long = 0L,
+            ledgerRoot: Option[String] = None,
+            afterStep: String => Unit = _ => ()): PurgeReport = {
     require(victims.nonEmpty, "purge needs at least one victim id")
     require(corpusRoot.orElse(signatureRoot).orElse(ivfRoot).nonEmpty,
       "purge needs at least one store root")
-    val corpusRows = corpusRoot.map { root =>
-      // the report rides deleteWhere's own single pushed-down victim
-      // scan ([[ManifestTable.Delete.removedRows]]) — no second
-      // corpus scan just to price the takedown
-      val d = ManifestTable.deleteWhere(spark, root,
-        F.col(idCol).isin(victims: _*))
-      ManifestTable.vacuum(root, vacuumGraceMillis)
-      d.removedRows
-    }.getOrElse(-1L)
-    val sigRows = signatureRoot
-      .map(SignatureStore.purge(spark, _, idCol, victims))
-      .getOrElse(-1L)
-    val vecRows = ivfRoot
-      .map(IvfStore.purge(spark, _, victims))
-      .getOrElse(-1L)
-    PurgeReport(corpusRows, sigRows, vecRows)
+    ledgerRoot match {
+      case None =>
+        runSteps(spark, idCol, Left(victims), corpusRoot, signatureRoot,
+          ivfRoot, vacuumGraceMillis, confirmed = (_, _) => (),
+          already = _ => None, afterStep = afterStep)
+      case Some(lr) =>
+        val e = TakedownLedger.record(spark, lr, idCol, corpusRoot,
+          signatureRoot, ivfRoot, vacuumGraceMillis, Left(victims))
+        runEntry(spark, e, afterStep)
+    }
   }
 
   /** Predicate-shaped retraction — recall everything matching
     * `predicate` (a poisoned SOURCE, a date range, a license class):
     * the victim population is whatever the CURRENT corpus matches, a
-    * set that is generally NOT driver-sized, so the derived stores
-    * purge through frame joins ([[SignatureStore.purgeIds]]) instead
-    * of an id list. The victim-id frame is pinned BEFORE the corpus
-    * delete (it defines the set), then the corpus rewrites
-    * copy-on-write + vacuums, then each store drops the members.
-    * Recall is point-in-time: rows ingested AFTER the purge — even
-    * from the same source — are unaffected, exactly like the
-    * snapshot-isolation reading of the row delete. */
+    * set that is generally NOT driver-sized, so every store —
+    * including the corpus ([[ManifestTable.deleteIds]]) — purges
+    * through frame joins instead of an id list. The victim-id frame
+    * is pinned BEFORE any store is touched (it defines the set; with
+    * a ledger, the pin IS the entry's persisted frame), so recall is
+    * point-in-time: rows ingested AFTER the pin — even from the same
+    * source — are unaffected, exactly like the snapshot-isolation
+    * reading of the row delete. */
   def purgeWhere(spark: SparkSession,
                  predicate: org.apache.spark.sql.Column, idCol: String,
                  corpusRoot: String,
                  signatureRoot: Option[String] = None,
                  ivfRoot: Option[String] = None,
-                 vacuumGraceMillis: Long = 0L): PurgeReport = {
+                 vacuumGraceMillis: Long = 0L,
+                 ledgerRoot: Option[String] = None,
+                 afterStep: String => Unit = _ => ()): PurgeReport = {
     val victims = ManifestTable.read(spark, corpusRoot)
       .filter(predicate).select(idCol)
-      .localCheckpoint(eager = true)
-    // the pinned victim frame IS the removed-row count — no extra
-    // corpus scans for the report
-    val nVictims = victims.count()
-    val corpusRows = {
-      ManifestTable.deleteWhere(spark, corpusRoot, predicate)
-      ManifestTable.vacuum(corpusRoot, vacuumGraceMillis)
-      nVictims
+    ledgerRoot match {
+      case None =>
+        val pinned = victims.localCheckpoint(eager = true)
+        runSteps(spark, idCol, Right(pinned), Some(corpusRoot),
+          signatureRoot, ivfRoot, vacuumGraceMillis,
+          confirmed = (_, _) => (), already = _ => None,
+          afterStep = afterStep)
+      case Some(lr) =>
+        // the ledger entry's parquet frame is the pin — written and
+        // published (with the intent) before any store is touched
+        val e = TakedownLedger.record(spark, lr, idCol, Some(corpusRoot),
+          signatureRoot, ivfRoot, vacuumGraceMillis, Right(victims))
+        runEntry(spark, e, afterStep)
     }
-    val sigRows =
-      if (nVictims == 0) signatureRoot.map(_ => 0L).getOrElse(-1L)
-      else signatureRoot
-        .map(SignatureStore.purgeIds(spark, _, idCol, victims))
-        .getOrElse(-1L)
-    val vecRows =
-      if (nVictims == 0) ivfRoot.map(_ => 0L).getOrElse(-1L)
-      else ivfRoot.map(IvfStore.purgeIds(spark, _, victims))
-        .getOrElse(-1L)
+  }
+
+  /** Finish every pending ledgered takedown: re-run exactly the
+    * store steps that never confirmed (idempotent re-runs if the
+    * step ran but died before its marker), then clear the entry.
+    * Returns one report per resumed entry. Run it on recovery before
+    * admitting new ingests — the stores' single-writer contract. */
+  def resume(spark: SparkSession,
+             ledgerRoot: String): Seq[PurgeReport] =
+    TakedownLedger.pending(ledgerRoot).map(runEntry(spark, _, _ => ()))
+
+  private def runEntry(spark: SparkSession, e: TakedownLedger.Entry,
+                       afterStep: String => Unit): PurgeReport = {
+    val victims: Either[Seq[Long], DataFrame] = e.ids match {
+      case Some(ids) => Left(ids)
+      case None => Right(
+        spark.read.parquet(TakedownLedger.victimsPath(e))
+          .localCheckpoint(eager = true))
+    }
+    val report = runSteps(spark, e.idCol, victims, e.corpusRoot,
+      e.signatureRoot, e.ivfRoot, e.vacuumGraceMillis,
+      confirmed = TakedownLedger.markDone(e, _, _),
+      already = TakedownLedger.doneCount(e, _),
+      afterStep = afterStep)
+    TakedownLedger.clear(e)
+    report
+  }
+
+  /** The shared sequential pass: each store step is skipped when
+    * `already` says it confirmed (resume), and reported through
+    * `confirmed` right before the `afterStep` seam fires. */
+  private def runSteps(spark: SparkSession, idCol: String,
+                       victims: Either[Seq[Long], DataFrame],
+                       corpusRoot: Option[String],
+                       signatureRoot: Option[String],
+                       ivfRoot: Option[String],
+                       vacuumGraceMillis: Long,
+                       confirmed: (String, Long) => Unit,
+                       already: String => Option[Long],
+                       afterStep: String => Unit): PurgeReport = {
+    def step(name: String, rootOpt: Option[String])
+            (run: String => Long): Long =
+      rootOpt.map { root =>
+        already(name).getOrElse {
+          val n = run(root)
+          confirmed(name, n)
+          afterStep(name)
+          n
+        }
+      }.getOrElse(-1L)
+
+    val corpusRows = step("corpus", corpusRoot) { root =>
+      // the report rides the delete's own single pushed-down victim
+      // scan ([[ManifestTable.Delete.removedRows]]) — no second
+      // corpus scan just to price the takedown
+      val d = victims match {
+        case Left(ids) => ManifestTable.deleteWhere(spark, root,
+          F.col(idCol).isin(ids: _*))
+        case Right(df) => ManifestTable.deleteIds(spark, root, idCol, df)
+      }
+      ManifestTable.vacuum(root, vacuumGraceMillis)
+      d.removedRows
+    }
+    val sigRows = step("signatures", signatureRoot) { root =>
+      victims match {
+        case Left(ids) => SignatureStore.purge(spark, root, idCol, ids)
+        case Right(df) => SignatureStore.purgeIds(spark, root, idCol, df)
+      }
+    }
+    val vecRows = step("ivf", ivfRoot) { root =>
+      victims match {
+        case Left(ids) => IvfStore.purge(spark, root, ids)
+        case Right(df) => IvfStore.purgeIds(spark, root, df)
+      }
+    }
     PurgeReport(corpusRows, sigRows, vecRows)
   }
 }

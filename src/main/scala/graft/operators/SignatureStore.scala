@@ -328,26 +328,33 @@ object SignatureStore {
       case _ => ()
     }
     val live = liveGenDirs(spark, root)
-    val victimsPerGen = live.map { case (g, dir) =>
-      (g, dir, hits(spark.read.parquet(dir)).count())
-    }
-    val baseVictims = curBase.map(v =>
-      hits(spark.read.parquet(s"$root/base.v$v")).count()).getOrElse(0L)
-    val affectedGens = victimsPerGen.filter(_._3 > 0).map(_._1).toSet
-    val removed = victimsPerGen.map(_._3).sum + baseVictims
+    if (live.isEmpty && curBase.isEmpty) return 0L
+    // ONE store frame feeds both membership and the fold — loading
+    // each generation separately would cost a footer/listing job per
+    // directory (an uncompacted store can hold hundreds)
+    val all = signaturesWithGen(spark, root)
+    // membership is ONE grouped scan — victims per generation in a
+    // single job, not one serialized driver job per live generation.
+    // Rows with gen ≤ watermark live in the base (its gen is a data
+    // column); rows above it are live generation directories.
+    val victimsPerGen = hits(all)
+      .groupBy(F.col("gen")).count().collect()
+      .map(r => (r.getAs[Int]("gen"), r.getAs[Long]("count")))
+    val affectedGens = victimsPerGen.filter(_._1 > wm)
+      .filter(_._2 > 0).map(_._1).toSet
+    val removed = victimsPerGen.map(_._2).sum
     if (removed == 0) return 0L
     // fold base + every live gen up to the highest affected one into
     // base.v{K+1}; gens above it stay live directories
     val newWm =
       if (affectedGens.isEmpty) wm else math.max(wm, affectedGens.max)
     val folded = live.filter(_._1 <= newWm)
-    val parts =
-      curBase.map(v =>
-        survivors(spark.read.parquet(s"$root/base.v$v"))).toSeq ++
-      folded.map { case (g, dir) =>
-        val df = spark.read.parquet(dir).withColumn("gen", F.lit(g))
-        if (affectedGens(g)) survivors(df) else df
-      }
+    // survivors of everything at-or-below the new watermark, straight
+    // off the already-planned store frame: partition pruning drops
+    // the gen directories staying live, the anti filter is a no-op on
+    // unaffected generations (they hold no victims), and no
+    // per-generation re-read happens
+    val foldDf = survivors(all.filter(F.col("gen") <= newWm))
     // size the published base like compactGenerations does — a purge
     // must not regrow the file count the base layer exists to cap
     val bytes = (folded.map(_._2) ++
@@ -359,7 +366,7 @@ object SignatureStore {
     val tmp = s"$root/.purge-${java.util.UUID.randomUUID()}"
     // materialize the merged survivors FULLY before publishing — the
     // write below is the materialization barrier
-    parts.reduce(_.unionByName(_)).repartition(nFiles).write.parquet(tmp)
+    foldDf.repartition(nFiles).write.parquet(tmp)
     writeMarker(fs, s"$tmp/_watermark", newWm.toString)
     val nextV = curBase.map(_ + 1).getOrElse(0)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp),

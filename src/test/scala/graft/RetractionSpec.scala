@@ -239,6 +239,165 @@ class RetractionSpec extends SparkSpec {
       .select("doc_id").distinct().as[Long].collect().toSet == Set(2L))
   }
 
+  test("ledgered purge killed between stores resumes to the uninterrupted end state") {
+    import graft.operators.TakedownLedger
+    val docs = Tables.scan(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val roots = Seq("rl_corpus", "rl_sigs", "rl_twin_corpus",
+      "rl_twin_sigs", "rl_ledger").map(Workspace.dir)
+    roots.foreach(r => ExtShared.deleteRec(new java.io.File(r)))
+    val Seq(corpusRoot, sigRoot, twinCorpus, twinSigs, ledger) = roots
+    for ((c, s) <- Seq((corpusRoot, sigRoot), (twinCorpus, twinSigs))) {
+      ManifestTable.init(c)
+      ManifestTable.append(spark, c, docs)
+      SignatureStore.init(docs, "doc_id", "text", s, K, BANDS, sh3)
+    }
+    val victims = docs.filter(F.col("doc_id") % 5 === 0)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(victims.nonEmpty)
+
+    // uninterrupted twin = the oracle end state
+    val want = Retraction.purge(spark, victims, "doc_id",
+      corpusRoot = Some(twinCorpus), signatureRoot = Some(twinSigs))
+
+    // kill the ledgered purge right after the corpus step confirms
+    val boom = intercept[RuntimeException] {
+      Retraction.purge(spark, victims, "doc_id",
+        corpusRoot = Some(corpusRoot), signatureRoot = Some(sigRoot),
+        ledgerRoot = Some(ledger),
+        afterStep = name => if (name == "corpus")
+          throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage == "injected crash")
+    // the crash left victim SIGNATURES on disk, and a pending entry
+    // that knows the corpus step already confirmed
+    assert(diskIds(sigRoot, "doc_id").intersect(victims.toSet).nonEmpty,
+      "fixture: crash did not leave unpurged signature bytes")
+    val pending = TakedownLedger.pending(ledger)
+    assert(pending.size == 1)
+    assert(TakedownLedger.doneCount(pending.head, "corpus")
+      .contains(want.corpusRows))
+    assert(TakedownLedger.doneCount(pending.head, "signatures").isEmpty)
+
+    // resume finishes exactly the missing steps; the report carries
+    // the crashed run's confirmed corpus count from the ledger
+    val resumed = Retraction.resume(spark, ledger)
+    assert(resumed == Seq(want), s"$resumed vs $want")
+    assert(TakedownLedger.pending(ledger).isEmpty,
+      "resume left a confirmed entry in the ledger")
+    assert(diskIds(corpusRoot, "doc_id").intersect(victims.toSet).isEmpty)
+    assert(diskIds(sigRoot, "doc_id").intersect(victims.toSet).isEmpty)
+    def rows(r: String) = SignatureStore.signaturesWithGen(spark, r)
+      .collect().map(_.toSeq).toSet
+    assert(rows(sigRoot) == rows(twinSigs),
+      "resumed store differs from the uninterrupted purge")
+    assert(ManifestTable.read(spark, corpusRoot).select("doc_id")
+      .as[Long].collect().toSet ==
+      ManifestTable.read(spark, twinCorpus).select("doc_id")
+        .as[Long].collect().toSet)
+    // resuming an empty ledger is a no-op
+    assert(Retraction.resume(spark, ledger).isEmpty)
+  }
+
+  test("ledgered purgeWhere pins the victim frame in the entry; a crash after the first store still resumes") {
+    import graft.operators.TakedownLedger
+    val docs = Tables.scan(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val roots = Seq("rlw_corpus", "rlw_sigs", "rlw_ledger")
+      .map(Workspace.dir)
+    roots.foreach(r => ExtShared.deleteRec(new java.io.File(r)))
+    val Seq(corpusRoot, sigRoot, ledger) = roots
+    ManifestTable.init(corpusRoot)
+    ManifestTable.append(spark, corpusRoot, docs)
+    SignatureStore.init(docs, "doc_id", "text", sigRoot, K, BANDS, sh3)
+    val victimIds = docs.filter(F.col("source") === "src3")
+      .select("doc_id").as[Long].collect().toSet
+    assert(victimIds.nonEmpty)
+
+    // crash right after the FIRST store (corpus) confirms
+    intercept[RuntimeException] {
+      Retraction.purgeWhere(spark, F.col("source") === "src3", "doc_id",
+        corpusRoot, signatureRoot = Some(sigRoot),
+        ledgerRoot = Some(ledger),
+        afterStep = _ => throw new RuntimeException("injected crash"))
+    }
+    // the pinned frame is durable in the entry, and only the corpus
+    // step confirmed — signatures still hold victim bytes
+    val e = TakedownLedger.pending(ledger).head
+    assert(e.ids.isEmpty, "frame-shaped entry carried inline ids")
+    assert(spark.read.parquet(TakedownLedger.victimsPath(e))
+      .as[Long].collect().toSet == victimIds,
+      "pinned victim frame does not match the predicate population")
+    assert(TakedownLedger.doneCount(e, "corpus").nonEmpty)
+    assert(diskIds(sigRoot, "doc_id").intersect(victimIds).nonEmpty)
+
+    val resumed = Retraction.resume(spark, ledger)
+    assert(resumed.size == 1)
+    assert(resumed.head.corpusRows == victimIds.size.toLong)
+    assert(resumed.head.signatureRows == victimIds.size.toLong * BANDS)
+    assert(diskIds(corpusRoot, "doc_id").intersect(victimIds).isEmpty)
+    assert(diskIds(sigRoot, "doc_id").intersect(victimIds).isEmpty)
+    assert(TakedownLedger.pending(ledger).isEmpty)
+  }
+
+  test("purge membership is one grouped scan: job count does not grow with the generation count") {
+    import spark.implicits._
+    val root = Workspace.dir("retract_jobs")
+    ExtShared.deleteRec(new java.io.File(root))
+    val words = Seq("alpha beta gamma delta", "epsilon zeta eta theta",
+      "iota kappa lambda mu", "nu xi omicron pi",
+      "rho sigma tau upsilon", "phi chi psi omega",
+      "one two three four", "five six seven eight")
+    SignatureStore.init(Seq(0L -> words(0)).toDF("doc_id", "text"),
+      "doc_id", "text", root, K, BANDS, sh3)
+    for (g <- 1 until 8)
+      assert(SignatureStore.ingestBatch(spark, root, g.toLong,
+        Seq(g.toLong -> words(g)).toDF("doc_id", "text"),
+        "doc_id", "text", K, BANDS, TAU, sh3))
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        descs.add(Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse(js.stageInfos.map(_.name).mkString("|")))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE submits one stage-materialization job per union branch,
+    // which would re-introduce O(generations) JOBS (though parallel
+    // and single-action); turn it off so the metric is the actions
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      SignatureStore.purge(spark, root, "doc_id", Seq(3L))
+      // listener bus is async — poll until the count stabilizes
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val c = jobs.get()
+        if (c == last) stable += 1 else { last = c; stable = 0 }
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+    // one grouped membership scan + the base-fold write — NOT one
+    // count action per live generation (8 here); the old
+    // per-generation loop alone cost 9 actions before any rewrite
+    assert(jobs.get() <= 4,
+      s"purge over 8 generations launched ${jobs.get()} jobs: " +
+        descs.toArray.mkString(" // "))
+    assert(SignatureStore.signatures(spark, root)
+      .select("doc_id").distinct().as[Long].collect().toSet ==
+      (0L until 8L).toSet - 3L)
+  }
+
   test("re-admission: a near-copy of a purged doc is admitted where it was dropped before") {
     val base = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
