@@ -354,7 +354,7 @@ private[graft] object ExtDedup {
           s"$batches/ingest_$i.parquet", 1000000000000L + i * 60000L)
       val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
       graft.streaming.StreamingOps.streamingNeardupStore(s, batches, root,
-          "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
+          baseGen = 0L, "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
         .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
     }),
 

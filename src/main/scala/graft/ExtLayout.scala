@@ -210,6 +210,39 @@ private[graft] object ExtLayout {
     }),
 
 
+    // schema evolution THROUGH the manifest table: batch 2 adds a
+    // tok_count column batch 1 never had. The manifest records the
+    // merged schema at each commit, so the read NULL-fills batch-1
+    // rows with ZERO footer reconciliation (the catalog-pinned-schema
+    // design x_source_evolved's doc note asks for, built into the
+    // table) — and the compaction in the middle proves a rewrite
+    // carries the evolved schema. Same aggregate contract as
+    // x_source_evolved: count(tok_count) counts only batch-2 rows,
+    // its sum proves their values survive the seam and the rewrite.
+    "x_manifest_evolved" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_evolved")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+      graft.operators.ManifestTable.init(root)
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 2 === 0)
+          .select("doc_id", "source", "n_chars"))
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 2 =!= 0)
+          .select(F.col("doc_id"), F.col("source"), F.col("n_chars"),
+            graft.functions.Text.tokenCount(F.col("text"))
+              .cast("long").as("tok_count")))
+      graft.operators.ManifestTable.compact(s, root,
+        targetFileBytes = 4L * 1024 * 1024)
+      graft.operators.ManifestTable.read(s, root)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars").cast("long")).as("sum_chars"),
+          F.count(F.col("tok_count")).as("n_evolved"),
+          F.sum(F.col("tok_count")).as("sum_toks"))
+    }),
+
+
     // exactly-once streaming append into the manifest table: three
     // mtime-ordered micro-batches land through appendBatch's atomic
     // marker+filelist commit — a double-counted replay or a lost
@@ -531,6 +564,17 @@ private[graft] object ExtLayout {
     // batch 2 only (batch-1 rows must read as NULL, so they fall
     // out of count(col) exactly like the CASE here)
     "x_source_evolved" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS n_evolved, " +
+        "CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN " +
+        "len(string_split_regex(lower(text), '\\s+')) END) AS BIGINT) AS sum_toks " +
+        "FROM documents GROUP BY 1"),
+
+    // same replay as x_source_evolved — the manifest's recorded-schema
+    // read and the mid-chain compaction must both be invisible to the
+    // aggregate
+    "x_manifest_evolved" ->
       ("SELECT source, count(*) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS n_evolved, " +

@@ -343,11 +343,17 @@ object StreamingOps {
     * `foreachBatch` runs batches sequentially, which both satisfies
     * the store's single-writer contract and makes the probe set
     * deterministic: batch b always deduplicates against generations
-    * < b. Returns the final store membership as (idCol, batch) —
-    * batch being the admitting generation, read straight from the
-    * store's partition column. */
+    * < `baseGen` + b. `baseGen` is fixed at sink creation — pass 0
+    * for a fresh store, `latestGeneration + 1` when streaming INTO a
+    * store that already has generations (a raw batchId would collide
+    * with a committed generation there, and the idempotent commit
+    * would silently treat the micro-batch as a replay and drop it).
+    * Returns the final store membership as (idCol, batch) — batch
+    * being the admitting generation, read straight from the store's
+    * partition column. */
   def streamingNeardupStore(spark: SparkSession, batchesDir: String,
-                            storeRoot: String, idCol: String,
+                            storeRoot: String, baseGen: Long,
+                            idCol: String,
                             textCol: String, k: Int, bands: Int,
                             threshold: Double,
                             terms: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
@@ -360,7 +366,7 @@ object StreamingOps {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, id: Long) =>
           graft.operators.SignatureStore.ingestBatch(spark, storeRoot,
-            id, batch, idCol, textCol, k, bands, threshold, terms)
+            baseGen + id, batch, idCol, textCol, k, bands, threshold, terms)
           (): Unit
         }
         .start()

@@ -52,7 +52,7 @@ class StreamingSpec extends SparkSpec {
       ExtShared.writeSingleFile(docs.filter(F.col("doc_id") % 3 === i),
         s"$batches/ingest_$i.parquet", 1000000000000L + i * 60000L)
     val got = graft.streaming.StreamingOps
-      .streamingNeardupStore(spark, batches, root,
+      .streamingNeardupStore(spark, batches, root, baseGen = 0L,
         "doc_id", "text", K, BANDS, TAU, sh3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
@@ -87,6 +87,49 @@ class StreamingSpec extends SparkSpec {
     assert(!committed, "replayed batch committed a second generation")
     assert(fileState(twinRoot) == before,
       "replay moved store bytes (size/mtime changed or files appeared)")
+  }
+
+  test("streaming into a pre-seeded store: baseGen offsets past committed generations so batch 0 is not swallowed") {
+    import spark.implicits._
+    import graft.operators.SignatureStore
+    import graft.functions.Text
+    val K = 16; val BANDS = 8; val TAU = 0.5
+    def sh3(c: org.apache.spark.sql.Column) = Text.distinctShingles(c, 3)
+    val docs = graft.sources.Tables.scan(spark, sf, "documents")
+    val batches = Workspace.dir("stream_seeded_in")
+    val root = Workspace.dir("stream_seeded_store")
+    Seq(batches, root).foreach(r => deleteRec(new java.io.File(r)))
+    new java.io.File(batches).mkdirs()
+    // the store already holds generation 0 BEFORE the stream starts —
+    // a raw batchId-0 commit would collide with it and the idempotent
+    // protocol would silently treat micro-batch 0 as a replay
+    SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 0),
+      "doc_id", "text", root, K, BANDS, sh3)
+    for (i <- 1 to 2)
+      ExtShared.writeSingleFile(docs.filter(F.col("doc_id") % 3 === i),
+        s"$batches/ingest_$i.parquet", 1000000000000L + i * 60000L)
+    val base = SignatureStore.latestGeneration(spark, root) + 1
+    val got = graft.streaming.StreamingOps
+      .streamingNeardupStore(spark, batches, root, baseGen = base.toLong,
+        "doc_id", "text", K, BANDS, TAU, sh3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every micro-batch landed as its own post-seed generation
+    assert(got.map(_._2) == Set(0L, 1L, 2L),
+      s"generations present: ${got.map(_._2)}")
+    // batch-mode twin over the same sequence
+    val twin = Workspace.dir("stream_seeded_twin")
+    deleteRec(new java.io.File(twin))
+    SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 0),
+      "doc_id", "text", twin, K, BANDS, sh3)
+    for (i <- 1 to 2)
+      assert(SignatureStore.ingestBatch(spark, twin, i.toLong,
+        docs.filter(F.col("doc_id") % 3 === i),
+        "doc_id", "text", K, BANDS, TAU, sh3))
+    val want = SignatureStore.signaturesWithGen(spark, twin)
+      .select(F.col("doc_id"), F.col("gen").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      "pre-seeded streaming store differs from the batch ingest sequence")
   }
 
   test("observability: watermark drop accounting reports the exact planted late-row count") {
