@@ -117,4 +117,35 @@ object IvfStore {
   def purgeIds(spark: SparkSession, root: String,
                victims: org.apache.spark.sql.DataFrame): Long =
     SignatureStore.purgeIds(spark, assignedRoot(root), "id", victims)
+
+  /** Purge, then consult the cell-balance audit — the post-takedown
+    * health check [[purge]]'s doc promises: a mass removal can strand
+    * centroids trained on victim-heavy regions (their cells empty
+    * out, the survivors funnel into the few centroids left near real
+    * data), which decays recall exactly like ingest drift does.
+    * [[IvfIndex.imbalance]] is the same observable in both directions
+    * — max cell population over ideal n/k rises whether the
+    * DENOMINATOR shrank (purge) or the numerator grew (drift) — so
+    * the same threshold gates the same repair: retrain kmeans over
+    * the store's own surviving assignment frame (pinned eagerly
+    * BEFORE the store is overwritten — the raw vector source is
+    * never touched) and rewrite centroids + gen=0. Single-writer
+    * maintenance op, like everything else here. Returns (rows
+    * removed, whether the retrain fired). */
+  def purgeAndMaybeRetrain(spark: SparkSession, root: String,
+                           victims: Seq[Long], idCol: String,
+                           vecCol: String, k: Int, iters: Int,
+                           maxImbalance: Double): (Long, Boolean) = {
+    val removed = purge(spark, root, victims)
+    val idx = load(spark, root, idCol, vecCol)
+    if (IvfIndex.imbalance(idx) <= maxImbalance) (removed, false)
+    else {
+      val survivors = idx.assigned
+        .select(org.apache.spark.sql.functions.col("id").as(idCol),
+          org.apache.spark.sql.functions.col("vec").as(vecCol))
+        .localCheckpoint(eager = true)
+      init(survivors, idCol, vecCol, k, iters, root)
+      (removed, true)
+    }
+  }
 }

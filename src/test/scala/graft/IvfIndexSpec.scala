@@ -198,4 +198,59 @@ class IvfIndexSpec extends SparkSpec {
     info(f"post-retrain recall@10 = $r%.2f")
     assert(r >= 0.9, f"recall@10 $r%.2f after retrain")
   }
+
+  test("post-purge audit: purging a victim-heavy cluster fires the store retrain and restores recall@10 >= 0.9") {
+    import spark.implicits._
+    import graft.operators.IvfStore
+    val root = Workspace.dir("ivf_purge_retrain")
+    ExtShared.deleteRec(new java.io.File(root))
+    // a victim-heavy region: 8 dense clumps around orthogonal
+    // directions absent from the real data, outnumbering it — kmeans
+    // devotes most centroids to them, so the purge strands those
+    // centroids and funnels the isotropic survivors into the few left
+    val dims = emb.filter(F.col("vec_id") === 0)
+      .select(F.col("embedding")).collect()(0).getSeq[Float](0).size
+    val n = emb.count()
+    val hot = (0 until 800).map { i =>
+      (n + i, Seq.tabulate(dims)(d =>
+        (if (d == i % 8) 10f else 0f) +
+          (if (d == 8 + (i / 8) % (dims - 8)) 0.01f * ((i % 5) + 1) else 0f)))
+    }.toDF("vec_id", "embedding")
+    val corpus = emb.select("vec_id", "embedding").unionByName(hot
+      .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding")))
+    IvfStore.init(corpus, "vec_id", "embedding", K, ITERS, root)
+
+    // take down all the clumps: the surviving isotropic corpus
+    // funnels into the few centroids that were not trained onto them
+    val victims = (n until n + 800).toSeq
+    val removed = IvfStore.purge(spark, root, victims)
+    val degraded = IvfIndex.imbalance(
+      IvfStore.load(spark, root, "vec_id", "embedding"))
+    info(f"post-purge imbalance = $degraded%.2f")
+    // the audited purge on the already-purged store: the re-purge is
+    // an idempotent no-op, but the audit sees the degraded balance
+    // and fires the retrain
+    val (removedAgain, retrained) = IvfStore.purgeAndMaybeRetrain(spark,
+      root, victims, "vec_id", "embedding", K, ITERS, maxImbalance = 1.5)
+    assert(removed == 800L, s"removed $removed assignment rows")
+    assert(removedAgain == 0L, "re-purge removed rows twice")
+    assert(retrained, "victim-heavy purge did not fire the retrain")
+    val idx = IvfStore.load(spark, root, "vec_id", "embedding")
+    val bal = IvfIndex.imbalance(idx)
+    info(f"post-retrain imbalance = $bal%.2f")
+    assert(bal <= 1.5, f"retrain left imbalance at $bal%.2f")
+    // no victim survives anywhere in the rewritten store
+    assert(idx.assigned.select("id").as[Long].collect()
+      .forall(_ < n), "a purged vector survived the retrain rewrite")
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val r = recallOf(IvfIndex.topK(idx, queries, k = 10, nprobe = NPROBE),
+      emb, queries)
+    info(f"post-purge-retrain recall@10 = $r%.2f")
+    assert(r >= 0.9, f"recall@10 $r%.2f after purge retrain")
+    // a small, balanced purge on the healthy store does NOT retrain
+    val (removed2, retrained2) = IvfStore.purgeAndMaybeRetrain(spark, root,
+      Seq(7L, 11L), "vec_id", "embedding", K, ITERS, maxImbalance = 1.5)
+    assert(removed2 == 2L)
+    assert(!retrained2, "a balanced purge fired a spurious retrain")
+  }
 }
