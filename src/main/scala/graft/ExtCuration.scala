@@ -48,6 +48,47 @@ private[graft] object ExtCuration {
     }),
 
 
+    // the INCREMENTAL twin of x_pipeline_pack — the standing-pipeline
+    // north star: the corpus manifest + signature store hold the
+    // even-id split (gated) as standing state, then ONE new batch
+    // (the gated odd ids) flows gate → store-backed near-dedup
+    // (batch-sized probes against the store, corpus text never
+    // re-read) → manifest append → token packing of the admitted
+    // docs. Output = the new batch's pack assignment with `source`
+    // taken from the POST-APPEND manifest read, so a dropped or
+    // double-counted append, a wrong dedup probe, or a wrong bin each
+    // fails the hash. The oracle replays the whole chain.
+    "x_pipeline_standing" -> ((s, dir) => {
+      val corpusRoot = layoutDir(dir, "standing_corpus")
+      val sigRoot = layoutDir(dir, "standing_sigs")
+      deleteRec(new java.io.File(corpusRoot))
+      deleteRec(new java.io.File(sigRoot))
+      val docs = Tables.scan(s, dir, "documents")
+      val gate = (df: DataFrame) =>
+        df.withColumn("q", Text.qualityScore(F.col("text")))
+          .filter(F.col("q") >= 0.55)
+      val shingles3 = (c: org.apache.spark.sql.Column) =>
+        Text.distinctShingles(c, 3)
+      val g0 = gate(docs.filter(F.col("doc_id") % 2 === 0))
+      val g1 = gate(docs.filter(F.col("doc_id") % 2 === 1))
+      // standing state: manifest corpus + signature store of split 0
+      graft.operators.ManifestTable.init(corpusRoot)
+      graft.operators.ManifestTable.append(s, corpusRoot,
+        g0.select("doc_id", "source"))
+      graft.operators.SignatureStore.init(g0, "doc_id", "text",
+        sigRoot, MINHASH_K, NGRAM_BANDS, shingles3)
+      // the increment: gate -> store-backed near-dedup -> append -> pack
+      val kept1 = graft.operators.SignatureStore.ingest(s, sigRoot, g1,
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
+      graft.operators.ManifestTable.append(s, corpusRoot,
+        kept1.select("doc_id", "source"))
+      val packed = Curation.packSequences(kept1, "doc_id", "source",
+        "text", PACK_BUDGET)
+      graft.operators.ManifestTable.read(s, corpusRoot)
+        .join(packed.drop("source"), Seq("doc_id"))
+    }),
+
+
     // ---- corpus curation ----
     // benchmark decontamination: training docs sharing a distinct
     // word 4-gram with the mod-41 "eval split" — the audit list a
@@ -187,6 +228,38 @@ private[graft] object ExtCuration {
         "t AS (SELECT doc_id, source, " +
         "CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens " +
         "FROM capped) " +
+        "SELECT doc_id, source, n_tokens, " +
+        "CAST(floor(coalesce(sum(n_tokens) OVER (" +
+        "PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        s"/ $PACK_BUDGET.0) AS BIGINT) AS bin FROM t"),
+
+    // incremental-chain replay: gated splits, the store's
+    // incremental-drop rules (in-batch + cross-store, the x_retract
+    // band algebra), then the pack window over ONLY the admitted
+    // batch
+    "x_pipeline_standing" ->
+      (s"WITH ${shingleToksCte(3)}, " +
+        s"sig AS (SELECT doc_id, $mhMins FROM toks GROUP BY doc_id), " +
+        s"bands AS (${bandRowsSql(NGRAM_BANDS)}), " +
+        "gq AS (SELECT doc_id FROM documents " +
+        s"WHERE ($qualitySql) >= 0.55), " +
+        "b0 AS (SELECT b.* FROM bands b JOIN gq USING (doc_id) " +
+        "WHERE doc_id % 2 = 0), " +
+        "b1 AS (SELECT b.* FROM bands b JOIN gq USING (doc_id) " +
+        "WHERE doc_id % 2 = 1), " +
+        "drop1in AS (SELECT DISTINCT r.doc_id FROM b1 l JOIN b1 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"AND l.doc_id < r.doc_id WHERE $estSql >= 0.5), " +
+        "drop1x AS (SELECT DISTINCT l.doc_id FROM b1 l JOIN b0 r " +
+        "ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash " +
+        s"WHERE $estSql >= 0.5), " +
+        "kept1 AS (SELECT DISTINCT doc_id FROM b1 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drop1in) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drop1x)), " +
+        "t AS (SELECT d.doc_id, d.source, " +
+        "CAST(len(string_split_regex(lower(d.text), '\\s+')) AS BIGINT) AS n_tokens " +
+        "FROM documents d JOIN kept1 USING (doc_id)) " +
         "SELECT doc_id, source, n_tokens, " +
         "CAST(floor(coalesce(sum(n_tokens) OVER (" +
         "PARTITION BY source ORDER BY doc_id " +
