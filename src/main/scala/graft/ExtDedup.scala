@@ -458,6 +458,30 @@ private[graft] object ExtDedup {
     }),
 
 
+    // cross-store membership audit: the corpus manifest holds the
+    // %3∈{1,2} split, the signature store the %3∈{0,1} split —
+    // deliberately inconsistent standing state (the shape a crashed
+    // un-ledgered purge or a half-applied ingest leaves). The audit
+    // reports exactly the ids whose membership disagrees, flagged per
+    // store; a missed drift row or a false positive fails the hash.
+    "x_store_audit" -> ((s, dir) => {
+      val corpusRoot = layoutDir(dir, "audit_corpus")
+      val sigRoot = layoutDir(dir, "audit_sigs")
+      deleteRec(new java.io.File(corpusRoot))
+      deleteRec(new java.io.File(sigRoot))
+      val docs = Tables.scan(s, dir, "documents")
+      val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
+      graft.operators.ManifestTable.init(corpusRoot)
+      graft.operators.ManifestTable.append(s, corpusRoot,
+        docs.filter(F.col("doc_id") % 3 >= 1)
+          .select("doc_id", "lang", "source"))
+      SignatureStore.init(docs.filter(F.col("doc_id") % 3 <= 1),
+        "doc_id", "text", sigRoot, MINHASH_K, NGRAM_BANDS, shingles3)
+      graft.operators.Retraction.auditStores(s, "doc_id",
+        corpusRoot = Some(corpusRoot), signatureRoot = Some(sigRoot))
+    }),
+
+
     // word-trigram shingle Jaccard: order-sensitive near-dup — the
     // shingle unit separates true edits/reorders from shared
     // vocabulary. More, narrower bands (8×2) than the word-level query:
@@ -835,6 +859,13 @@ private[graft] object ExtDedup {
     // crashed between stores and finished through the ledger must be
     // row-identical to one that never crashed
     "x_retract_resume" -> retractReplaySql,
+
+    // membership drift = exactly the ids where the two split
+    // predicates disagree, with the per-store flags
+    "x_store_audit" ->
+      ("SELECT doc_id, (doc_id % 3 >= 1) AS in_corpus, " +
+        "(doc_id % 3 <= 1) AS in_signatures FROM documents " +
+        "WHERE (doc_id % 3 >= 1) <> (doc_id % 3 <= 1)"),
 
     "x_dedup_jaccard" -> jaccardLshSql(shingleToksCte(2), MINHASH_BANDS, 0.8),
 

@@ -118,6 +118,14 @@ object IvfStore {
                victims: org.apache.spark.sql.DataFrame): Long =
     SignatureStore.purgeIds(spark, assignedRoot(root), "id", victims)
 
+  /** The ids of every indexed vector — the membership column the
+    * cross-store audit ([[Retraction.auditStores]]) joins on. One
+    * id-only scan of the assignment generations. */
+  def memberIds(spark: SparkSession, root: String)
+      : org.apache.spark.sql.DataFrame =
+    SignatureStore.signatures(spark, assignedRoot(root))
+      .select(org.apache.spark.sql.functions.col("id"))
+
   /** Purge, then consult the cell-balance audit — the post-takedown
     * health check [[purge]]'s doc promises: a mass removal can strand
     * centroids trained on victim-heavy regions (their cells empty

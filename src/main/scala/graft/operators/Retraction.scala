@@ -144,6 +144,40 @@ object Retraction {
              ledgerRoot: String): Seq[PurgeReport] =
     TakedownLedger.pending(ledgerRoot).map(runEntry(spark, _, _ => ()))
 
+  /** Cross-store membership audit — the drift detector that pairs
+    * with the ledger: one row per id whose membership DISAGREES
+    * across the given stores (present in some, absent in others),
+    * with one boolean flag column per store. Empty output = the
+    * stores agree document-for-document; non-empty output after a
+    * crash, an un-ledgered partial purge, or an operational mistake
+    * (an ingest that reached one store but not another) is the
+    * signal to run [[resume]] or reconcile by hand. Cost: one
+    * distinct-id scan per store (constant-width id columns — never
+    * text or vectors) and a full outer join keyed on the id; at
+    * 100 TB every side is an id column, a small fraction of any
+    * store's own size. */
+  def auditStores(spark: SparkSession, idCol: String,
+                  corpusRoot: Option[String] = None,
+                  signatureRoot: Option[String] = None,
+                  ivfRoot: Option[String] = None): DataFrame = {
+    val stores: Seq[(String, DataFrame)] = Seq(
+      corpusRoot.map(r => "in_corpus" ->
+        ManifestTable.read(spark, r).select(F.col(idCol))),
+      signatureRoot.map(r => "in_signatures" ->
+        SignatureStore.signatures(spark, r).select(F.col(idCol))),
+      ivfRoot.map(r => "in_vectors" -> IvfStore.memberIds(spark, r))
+    ).flatten
+    require(stores.size >= 2, "audit needs at least two stores")
+    val flags = stores.map(_._1)
+    val joined = stores.map { case (flag, ids) =>
+      ids.toDF("__id").distinct().withColumn(flag, F.lit(true))
+    }.reduce((a, b) => a.join(b, Seq("__id"), "full_outer"))
+    val filled = flags.foldLeft(joined)((df, f) =>
+      df.withColumn(f, F.coalesce(F.col(f), F.lit(false))))
+    filled.filter(!flags.map(F.col).reduce(_ && _))
+      .select((F.col("__id").as(idCol) +: flags.map(F.col)): _*)
+  }
+
   private def runEntry(spark: SparkSession, e: TakedownLedger.Entry,
                        afterStep: String => Unit): PurgeReport = {
     val victims: Either[Seq[Long], DataFrame] = e.ids match {

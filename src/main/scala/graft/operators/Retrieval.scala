@@ -79,8 +79,12 @@ object Retrieval {
       .select(F.col(idCol), F.col("n_terms_hit"), F.col("score"))
       .orderBy(F.col("score").desc, F.col(idCol).asc)
       .limit(topK)
-    // rank over the already-limited frame: ≤ topK rows in one task
+    // rank over the already-limited frame: ≤ topK rows in one task.
+    // The constant partition key makes the single partition EXPLICIT
+    // (it is inherent — a global rank of ≤ topK rows), so the plan
+    // doesn't trip the partition-less-WindowExec warning in every run
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.lit(0))
       .orderBy(F.col("score").desc, F.col(idCol).asc)
     top.withColumn("rank", F.row_number().over(w).cast("long"))
   }

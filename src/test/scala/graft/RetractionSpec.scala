@@ -299,6 +299,42 @@ class RetractionSpec extends SparkSpec {
     assert(Retraction.resume(spark, ledger).isEmpty)
   }
 
+  test("cross-store audit flags the drift a crashed purge leaves and goes quiet after resume") {
+    val docs = Tables.scan(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val roots = Seq("ra_corpus", "ra_sigs", "ra_ledger").map(Workspace.dir)
+    roots.foreach(r => ExtShared.deleteRec(new java.io.File(r)))
+    val Seq(corpusRoot, sigRoot, ledger) = roots
+    ManifestTable.init(corpusRoot)
+    ManifestTable.append(spark, corpusRoot, docs)
+    SignatureStore.init(docs, "doc_id", "text", sigRoot, K, BANDS, sh3)
+    // consistent stores → silent audit
+    assert(Retraction.auditStores(spark, "doc_id",
+      corpusRoot = Some(corpusRoot), signatureRoot = Some(sigRoot))
+      .isEmpty, "audit flagged drift on consistent stores")
+    val victims = docs.filter(F.col("doc_id") % 5 === 0)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    intercept[RuntimeException] {
+      Retraction.purge(spark, victims, "doc_id",
+        corpusRoot = Some(corpusRoot), signatureRoot = Some(sigRoot),
+        ledgerRoot = Some(ledger),
+        afterStep = name => if (name == "corpus")
+          throw new RuntimeException("injected crash"))
+    }
+    // the audit names exactly the victims: gone from the corpus,
+    // still readable in the signature store
+    val drift = Retraction.auditStores(spark, "doc_id",
+      corpusRoot = Some(corpusRoot), signatureRoot = Some(sigRoot))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(drift.map(_._1).toSet == victims.toSet,
+      s"audit drift ids ${drift.map(_._1).toSet} vs victims")
+    assert(drift.forall { case (_, inCorpus, inSigs) => !inCorpus && inSigs })
+    Retraction.resume(spark, ledger)
+    assert(Retraction.auditStores(spark, "doc_id",
+      corpusRoot = Some(corpusRoot), signatureRoot = Some(sigRoot))
+      .isEmpty, "audit still flags drift after resume")
+  }
+
   test("ledgered purgeWhere pins the victim frame in the entry; a crash after the first store still resumes") {
     import graft.operators.TakedownLedger
     val docs = Tables.scan(spark, sf, "documents")
