@@ -210,6 +210,65 @@ private[graft] object ExtLayout {
     }),
 
 
+    // row-level UPDATE through the manifest (copy-on-write, the S6
+    // twin at scale): two appends, then updateWhere(doc_id % 7 = 0)
+    // rewrites lang and n_chars on matched rows while a CONCURRENT
+    // append (the third split) races in between rewrite and commit —
+    // the racing rows post-date the match scan and stay original even
+    // where they match the predicate (snapshot isolation, exactly as
+    // in the delete). Only victim-holding files are rewritten.
+    "x_manifest_update" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_upd")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.operators.ManifestTable.init(root)
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 3 === 0))
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 3 === 1))
+      graft.operators.ManifestTable.updateWhere(s, root,
+        F.col("doc_id") % 7 === 0,
+        Map("lang" -> F.lit("xx"),
+          "n_chars" -> (F.col("n_chars") + 1000)),
+        beforeCommit = () => {
+          graft.operators.ManifestTable.append(s, root,
+            docs.filter(F.col("doc_id") % 3 === 2)); ()
+        })
+      graft.operators.ManifestTable.read(s, root)
+    }),
+
+
+    // MERGE/upsert through the manifest (the S8 twin at scale): the
+    // corpus holds splits 1+2, the update set is every doc_id % 4 = 0
+    // row — colliding ids are REPLACED whole-row, new ids insert, and
+    // the update rows carry a `rev` column the table never had (the
+    // recorded schema merges; older rows read NULL). A concurrent
+    // append (split 0 minus the update ids) races the commit and
+    // survives untouched. One commit publishes all of it.
+    "x_manifest_upsert" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_ups")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      graft.operators.ManifestTable.init(root)
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 3 === 1))
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 3 === 2))
+      val updates = docs.filter(F.col("doc_id") % 4 === 0)
+        .select(F.col("doc_id"), F.lit("upserted").as("lang"),
+          F.col("source"), F.lit(2L).as("rev"))
+      graft.operators.ManifestTable.upsert(s, root, "doc_id", updates,
+        beforeCommit = () => {
+          graft.operators.ManifestTable.append(s, root,
+            docs.filter(F.col("doc_id") % 3 === 0 &&
+              F.col("doc_id") % 4 =!= 0)); ()
+        })
+      graft.operators.ManifestTable.read(s, root)
+    }),
+
+
     // schema evolution THROUGH the manifest table: batch 2 adds a
     // tok_count column batch 1 never had. The manifest records the
     // merged schema at each commit, so the read NULL-fills batch-1
@@ -558,6 +617,26 @@ private[graft] object ExtLayout {
       ("SELECT doc_id, lang, source FROM documents " +
         "WHERE (doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0) " +
         "OR doc_id % 3 = 2"),
+
+    // the update touched only the first two splits; the racing
+    // third-split append post-dates the match scan and stays original
+    "x_manifest_update" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 3 IN (0, 1) AND doc_id % 7 = 0 " +
+        "THEN 'xx' ELSE lang END AS lang, source, " +
+        "CASE WHEN doc_id % 3 IN (0, 1) AND doc_id % 7 = 0 " +
+        "THEN n_chars + 1000 ELSE n_chars END AS n_chars " +
+        "FROM documents"),
+
+    // corpus splits 1+2 ∪ racing split-0 non-update rows ∪ the whole
+    // update set = every document exactly once; %4=0 rows carry the
+    // upserted values and the merged rev column, everyone else NULL
+    "x_manifest_upsert" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 'upserted' ELSE lang END AS lang, " +
+        "source, " +
+        "CASE WHEN doc_id % 4 = 0 THEN CAST(2 AS BIGINT) END AS rev " +
+        "FROM documents"),
 
     // replays the batch split: rows/chars over ALL docs (lossless
     // across the schema seam), the evolved-column count/sum over

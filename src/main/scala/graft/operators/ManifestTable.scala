@@ -596,11 +596,172 @@ object ManifestTable {
       beforeCommit, maxRestarts)
   }
 
+  /** Row-level UPDATE — the copy-on-write twin of [[deleteWhere]]
+    * and the scale form of the reference's S6 update
+    * (`classes/hive/model.php:762-829`): rows matching `predicate`
+    * get `assignments` applied (column -> replacement expression,
+    * evaluated against the row); only the files that contain matched
+    * rows are rewritten, everything else is carried by reference.
+    * Same optimistic commit, restart-on-conflicting-rewrite, and
+    * snapshot-isolation semantics as the delete: a concurrent append
+    * lands untouched even if its rows match `predicate` (they
+    * post-date the scan). A NULL predicate result leaves the row
+    * unchanged (UPDATE WHERE semantics). Assignments must not change
+    * a column's type — the recorded schema is the contract every
+    * reader plans with. Returns the committed snapshot and the
+    * matched-row count from the update's own single victim scan. */
+  def updateWhere(spark: SparkSession, root: String, predicate: Column,
+                  assignments: Map[String, Column],
+                  beforeCommit: () => Unit = () => (),
+                  maxRestarts: Int = 8): Delete = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    rewriteWith(spark, root,
+      hits = df => df.filter(predicate),
+      rewrite = df => {
+        val unknown = assignments.keySet -- df.columns.toSet
+        require(unknown.isEmpty,
+          s"updateWhere assigns to unknown column(s): ${unknown.mkString(",")}")
+        val out = df.select(df.columns.toSeq.map { c =>
+          assignments.get(c) match {
+            case Some(expr) =>
+              F.when(F.coalesce(predicate, F.lit(false)), expr)
+                .otherwise(F.col(c)).as(c)
+            case None => F.col(c)
+          }
+        }: _*)
+        df.schema.fields.zip(out.schema.fields).foreach { case (a, b) =>
+          require(a.dataType.catalogString == b.dataType.catalogString,
+            s"assignment changes column '${a.name}' from " +
+              s"${a.dataType.catalogString} to ${b.dataType.catalogString}")
+        }
+        out
+      },
+      beforeCommit, maxRestarts)
+  }
+
   private def deleteWith(spark: SparkSession, root: String,
                          hits: DataFrame => DataFrame,
                          keep: DataFrame => DataFrame,
                          beforeCommit: () => Unit,
-                         maxRestarts: Int): Delete = {
+                         maxRestarts: Int): Delete =
+    rewriteWith(spark, root, hits, keep, beforeCommit, maxRestarts)
+
+  /** A committed MERGE: the snapshot plus how many update rows
+    * replaced an existing row vs landed as inserts. */
+  final case class Merge(snapshot: Snapshot, matchedRows: Long,
+                         insertedRows: Long)
+
+  /** MERGE / upsert — the scale form of the reference's S8 upsert
+    * (`classes/hive/model.php:918-934`): each `updates` row REPLACES
+    * the corpus row carrying the same `idCol` value (whole-row
+    * replace) or inserts if none exists, in ONE commit. Copy-on-write
+    * like the delete/update: the updates write once up front (their
+    * files are reused across restarts), matched rows' files are
+    * rewritten WITHOUT the old versions, untouched files carry by
+    * reference, and the new snapshot = carried ∪ rewritten ∪ update
+    * files. The updates may ADD columns — the recorded schema merges
+    * exactly as an append's would, and older files read NULL for
+    * them. Same optimistic commit + restart-on-conflicting-rewrite
+    * semantics as [[deleteWhere]] (a merge must apply); a concurrent
+    * append with a colliding id post-dates the match scan and
+    * survives alongside the update row — the snapshot-isolation
+    * reading of MERGE racing INSERT (last committer is not
+    * arbitrated, exactly like two racing plain appends). */
+  def upsert(spark: SparkSession, root: String, idCol: String,
+             updates: DataFrame,
+             beforeCommit: () => Unit = () => (),
+             maxRestarts: Int = 8): Merge = {
+    require(maxRestarts >= 1, "maxRestarts must be >= 1")
+    val u = updates.localCheckpoint(eager = true)
+    val nU = u.count()
+    val uIds = u.select(F.col(idCol).as("__merge_id")).distinct()
+      .localCheckpoint(eager = true)
+    require(uIds.count() == nU,
+      s"upsert updates must carry distinct '$idCol' values")
+    val (updFiles, updToken) = writeData(spark, root, u)
+    try {
+      var restarts = 0
+      var result: Option[Merge] = None
+      while (result.isEmpty) {
+        val base = latest(root).getOrElse(
+          throw new IllegalStateException(s"no manifest at $root"))
+        val schema = Some(mergeSchemaJson(base.schemaJson, u.schema))
+        if (base.files.isEmpty) {
+          // empty table: the merge is a pure insert
+          if (tryCommit(root, base.version + 1, updFiles, base.meta, schema))
+            result = Some(Merge(Snapshot(base.version + 1, updFiles,
+              base.meta, schema), 0L, nU))
+        } else {
+          val scan = readSnapshot(spark, root, base)
+            .withColumn("__file", F.input_file_name())
+          val perFile = scan
+            .join(uIds, scan(idCol) === uIds("__merge_id"), "left_semi")
+            .groupBy("__file").count()
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+          val affected = base.files.filter(f =>
+            perFile.exists(_._1.endsWith(s"/$f")))
+          val matched = perFile.map(_._2).sum
+          if (affected.isEmpty) {
+            // no collisions: the merge is a plain append of updates
+            beforeCommit()
+            val snap = commitLoop(root) { cur =>
+              (cur.files ++ updFiles, cur.meta,
+                Some(mergeSchemaJson(cur.schemaJson, u.schema)))
+            }
+            result = Some(Merge(snap, 0L, nU))
+          } else {
+            val affectedPaths = affected.map(f => s"$root/$f")
+            val affectedScan = recordedSchema(base) match {
+              case Some(sc) =>
+                spark.read.schema(sc).parquet(affectedPaths: _*)
+              case None => spark.read.option("mergeSchema", "true")
+                .parquet(affectedPaths: _*)
+            }
+            // drop the replaced versions; their update rows arrive
+            // via the already-written update files
+            val survivors = affectedScan.join(uIds,
+              affectedScan(idCol) === uIds("__merge_id"), "left_anti")
+            val (newFiles, token) = writeData(spark, root, survivors)
+            try {
+              beforeCommit()
+              val affectedSet = affected.toSet
+              var retryScan = false
+              while (result.isEmpty && !retryScan) {
+                val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
+                if (!affectedSet.subsetOf(cur.files.toSet)) {
+                  restarts += 1
+                  if (restarts >= maxRestarts)
+                    throw new IllegalStateException(
+                      s"upsert at $root lost $restarts consecutive " +
+                        "rewrite races; pause compaction or raise maxRestarts")
+                  retryScan = true
+                } else {
+                  val files =
+                    cur.files.filterNot(affectedSet) ++ newFiles ++ updFiles
+                  val sc = Some(mergeSchemaJson(cur.schemaJson, u.schema))
+                  if (tryCommit(root, cur.version + 1, files, cur.meta, sc))
+                    result = Some(Merge(
+                      Snapshot(cur.version + 1, files, cur.meta, sc),
+                      matched, nU - matched))
+                }
+              }
+            } finally clearIntent(root, token)
+          }
+        }
+      }
+      result.get
+    } finally clearIntent(root, updToken)
+  }
+
+  /** The shared copy-on-write engine: locate the files containing
+    * `hits` rows (one pushed-down job that also prices the report),
+    * rewrite ONLY those files through `rewrite`, and commit through
+    * the optimistic loop with delete-style restart semantics. */
+  private def rewriteWith(spark: SparkSession, root: String,
+                          hits: DataFrame => DataFrame,
+                          rewrite: DataFrame => DataFrame,
+                          beforeCommit: () => Unit,
+                          maxRestarts: Int): Delete = {
     require(maxRestarts >= 1, "maxRestarts must be >= 1")
     var restarts = 0
     var result: Option[Delete] = None
@@ -623,15 +784,15 @@ object ManifestTable {
         val removed = perFile.map(_._2).sum
         if (affected.isEmpty) result = Some(Delete(base, 0L))
         else {
-          // survivors of ONLY the affected files
+          // rewrite ONLY the affected files
           val affectedPaths = affected.map(f => s"$root/$f")
-          val survivorScan = recordedSchema(base) match {
+          val affectedScan = recordedSchema(base) match {
             case Some(sc) => spark.read.schema(sc).parquet(affectedPaths: _*)
             case None => spark.read.option("mergeSchema", "true")
               .parquet(affectedPaths: _*)
           }
-          val survivors = keep(survivorScan)
-          val (newFiles, token) = writeData(spark, root, survivors)
+          val (newFiles, token) =
+            writeData(spark, root, rewrite(affectedScan))
           try {
             beforeCommit()
             val affectedSet = affected.toSet
@@ -645,7 +806,7 @@ object ManifestTable {
                 restarts += 1
                 if (restarts >= maxRestarts)
                   throw new IllegalStateException(
-                    s"deleteWhere at $root lost $restarts consecutive " +
+                    s"row rewrite at $root lost $restarts consecutive " +
                       "rewrite races; pause compaction or raise maxRestarts")
                 retryScan = true
               } else {

@@ -155,6 +155,92 @@ class ManifestTableSpec extends SparkSpec {
     assert(noop.removedRows == 0L)
   }
 
+  test("updateWhere rewrites only affected files; null predicate rows and racing appends are untouched") {
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest11").toString
+    ManifestTable.init(root)
+    ManifestTable.append(spark, root, batch(0, 100))
+    ManifestTable.append(spark, root, batch(1000, 1100))
+    val before = ManifestTable.latest(root).get.files
+    val untouched = before.filter(f => idsOf(root, Seq(f)).forall(_ >= 1000L))
+    // rows with a NULL payload must stay unchanged (NULL is not TRUE)
+    ManifestTable.append(spark, root, batch(5000, 5002)
+      .withColumn("payload", F.lit(null).cast("string")))
+    val upd = ManifestTable.updateWhere(spark, root,
+      F.col("payload").startsWith("row") && F.col("id") < 50,
+      Map("payload" -> F.concat(F.lit("upd"), F.col("id"))),
+      beforeCommit = () =>
+        { ManifestTable.append(spark, root, batch(2000, 2010)); () })
+    assert(upd.removedRows == 50L, s"matched ${upd.removedRows}")
+    val rows = ManifestTable.read(spark, root)
+      .select("id", "payload").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert((0L until 50L).forall(i => rows(i).contains(s"upd$i")),
+      "matched rows not updated")
+    assert((50L until 100L).forall(i => rows(i).contains(s"row$i")))
+    assert((1000L until 1100L).forall(i => rows(i).contains(s"row$i")))
+    assert((2000L until 2010L).forall(i => rows(i).contains(s"row$i")),
+      "racing append lost or mangled")
+    assert((5000L until 5002L).forall(rows(_).isEmpty),
+      "NULL-predicate rows were touched")
+    // copy-on-write: victim-free files carried by reference
+    val after = ManifestTable.latest(root).get.files.toSet
+    assert(untouched.nonEmpty && untouched.forall(after))
+    // assigning to a column the table does not have is refused loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.updateWhere(spark, root, F.col("id") === 1L,
+        Map("no_such_col" -> F.lit("x")))
+    }
+  }
+
+  test("upsert replaces matched rows, appends new ones, and merges an added column in one commit") {
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest12").toString
+    ManifestTable.init(root)
+    ManifestTable.append(spark, root, batch(0, 100))
+    ManifestTable.append(spark, root, batch(1000, 1100))
+    val before = ManifestTable.latest(root).get.files
+    val untouched = before.filter(f => idsOf(root, Seq(f)).forall(_ >= 1000L))
+    // updates: 20 collide (0..19), 30 are new (3000..3029) — and the
+    // update rows carry a column the table never had
+    val updates = (0L until 20L) ++ (3000L until 3030L)
+    val updDf = updates.toDF("id")
+      .withColumn("payload", F.concat(F.lit("merged"), F.col("id")))
+      .withColumn("rev", F.lit(2L))
+    val m = ManifestTable.upsert(spark, root, "id", updDf,
+      beforeCommit = () =>
+        { ManifestTable.append(spark, root, batch(4000, 4010)); () })
+    assert(m.matchedRows == 20L && m.insertedRows == 30L,
+      s"matched ${m.matchedRows} inserted ${m.insertedRows}")
+    val rows = ManifestTable.read(spark, root)
+      .select("id", "payload", "rev").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toList
+    val byId = rows.groupBy(_._1)
+    assert(rows.size == byId.size, "upsert left duplicate ids")
+    assert(updates.forall(i =>
+      byId(i).head == ((i, s"merged$i", Some(2L)))),
+      "an update row missing or not replacing")
+    assert((20L until 100L).forall(i =>
+      byId(i).head == ((i, s"row$i", None))),
+      "a non-matched row was altered (rev must be NULL-filled)")
+    assert((4000L until 4010L).forall(i => byId(i).head._2 == s"row$i"),
+      "racing append lost")
+    val after = ManifestTable.latest(root).get.files.toSet
+    assert(untouched.nonEmpty && untouched.forall(after),
+      "upsert rewrote files that held no matched rows")
+    // merging into an id-distinct violation is refused
+    intercept[IllegalArgumentException] {
+      ManifestTable.upsert(spark, root, "id",
+        Seq(1L, 1L).toDF("id").withColumn("payload", F.lit("x")))
+    }
+    // a second, disjoint upsert is a pure append path
+    val m2 = ManifestTable.upsert(spark, root, "id",
+      Seq(9000L).toDF("id").withColumn("payload", F.lit("p"))
+        .withColumn("rev", F.lit(3L)))
+    assert(m2.matchedRows == 0L && m2.insertedRows == 1L)
+    assert(ManifestTable.read(spark, root).count() ==
+      (100 + 100 + 30 + 10 + 1).toLong)
+  }
+
   test("vacuum mid-write spares the in-flight writer's files (intent guard)") {
     val root = java.nio.file.Files.createTempDirectory("graft_manifest7").toString
     ManifestTable.init(root)
