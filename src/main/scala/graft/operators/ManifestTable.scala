@@ -240,6 +240,24 @@ object ManifestTable {
   private def recordedSchema(snap: Snapshot): Option[StructType] =
     snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
 
+  /** Schema-ledger seed for a PRE-LEDGER manifest: when the current
+    * snapshot holds files but no recorded schema (a table created
+    * before the ledger existed), the merge must start from the schema
+    * the existing files already carry — otherwise the first
+    * post-upgrade append would record ONLY its batch's schema and
+    * every later read would silently hide any older column the batch
+    * lacks. One mergeSchema footer read, once, at upgrade time; every
+    * commit after that reads the recorded schema. */
+  private def seededSchemaJson(spark: SparkSession, root: String,
+                               cur: Snapshot): Option[String] =
+    cur.schemaJson.orElse {
+      if (cur.files.isEmpty) None
+      else Some(StructType(
+        spark.read.option("mergeSchema", "true")
+          .parquet(cur.files.map(f => s"$root/$f"): _*)
+          .schema.fields.map(_.copy(nullable = true))).json)
+    }
+
   // ---- write intents ----
 
   private def intentDir(root: String): HPath =
@@ -258,8 +276,17 @@ object ManifestTable {
     val dir = intentDir(root)
     val fs = fsOf(dir)
     fs.mkdirs(dir)
-    try fs.create(new HPath(dir, token), false).close()
-    catch { case _: java.io.IOException => () } // already registered
+    val p = new HPath(dir, token)
+    try fs.create(p, false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case e: java.io.IOException =>
+        // a GENUINE create failure (permissions, transient FS error)
+        // must not silently drop the marker — an unprotected writer
+        // races zero-grace vacuum into the exact lost-commit window
+        // the intent guard exists to close
+        if (!fs.exists(p)) throw e
+    }
   }
 
   private def clearIntent(root: String, token: String): Unit = {
@@ -273,6 +300,14 @@ object ManifestTable {
     val dir = intentDir(root)
     childNames(fsOf(dir), dir).toSet
   }
+
+  /** The root-relative `data/<token>/part-*` suffix of an absolute
+    * scan path (`input_file_name()` output) — manifest file entries
+    * are always exactly these three segments, so equality on the
+    * suffix IS the membership test, probed through a Set in O(files)
+    * instead of a files×affected nested `endsWith` scan. */
+  private def relPathOf(absPath: String): String =
+    absPath.split('/').takeRight(3).mkString("/")
 
   /** The `data/<token>/` segment of a root-relative file path. */
   private def tokenOf(relPath: String): Option[String] = {
@@ -310,7 +345,7 @@ object ManifestTable {
       beforeCommit()
       commitLoop(root) { cur =>
         (cur.files ++ newFiles, cur.meta,
-          Some(mergeSchemaJson(cur.schemaJson, df.schema)))
+          Some(mergeSchemaJson(seededSchemaJson(spark, root, cur), df.schema)))
       }
     } finally clearIntent(root, token)
   }
@@ -372,7 +407,8 @@ object ManifestTable {
             } else {
               val files = cur.files ++ newFiles
               val meta = cur.meta :+ marker
-              val schema = Some(mergeSchemaJson(cur.schemaJson, df.schema))
+              val schema = Some(mergeSchemaJson(
+                seededSchemaJson(spark, root, cur), df.schema))
               if (tryCommit(root, cur.version + 1, files, meta, schema))
                 result = Some(Snapshot(cur.version + 1, files, meta, schema))
             }
@@ -685,7 +721,8 @@ object ManifestTable {
       while (result.isEmpty) {
         val base = latest(root).getOrElse(
           throw new IllegalStateException(s"no manifest at $root"))
-        val schema = Some(mergeSchemaJson(base.schemaJson, u.schema))
+        val schema = Some(mergeSchemaJson(
+          seededSchemaJson(spark, root, base), u.schema))
         if (base.files.isEmpty) {
           // empty table: the merge is a pure insert
           if (tryCommit(root, base.version + 1, updFiles, base.meta, schema))
@@ -694,19 +731,34 @@ object ManifestTable {
         } else {
           val scan = readSnapshot(spark, root, base)
             .withColumn("__file", F.input_file_name())
+          // one pushed-down job: per matched id, every file holding a
+          // row for it — each id attributed ONCE (to its first file),
+          // so `matched` counts DISTINCT ids even when racing appends
+          // left duplicate rows for one id, possibly across files
+          // (insertedRows = nU - matched can never go negative)
           val perFile = scan
             .join(uIds, scan(idCol) === uIds("__merge_id"), "left_semi")
-            .groupBy("__file").count()
+            .select(F.col("__file"), F.col(idCol).as("__id"))
+            .groupBy("__id")
+            .agg(F.sort_array(F.collect_set("__file")).as("fs"))
+            .select(F.posexplode(F.col("fs")).as(Seq("pos", "__file")))
+            .groupBy("__file")
+            .agg(F.sum(F.when(F.col("pos") === 0, 1L).otherwise(0L))
+              .as("firsts"))
             .collect().map(r => (r.getString(0), r.getLong(1)))
-          val affected = base.files.filter(f =>
-            perFile.exists(_._1.endsWith(s"/$f")))
+          // O(files) suffix-set probe (file entries are always
+          // data/<token>/part-*, three segments)
+          val hitRel = perFile.iterator
+            .map(x => relPathOf(x._1)).toSet
+          val affected = base.files.filter(hitRel)
           val matched = perFile.map(_._2).sum
           if (affected.isEmpty) {
             // no collisions: the merge is a plain append of updates
             beforeCommit()
             val snap = commitLoop(root) { cur =>
               (cur.files ++ updFiles, cur.meta,
-                Some(mergeSchemaJson(cur.schemaJson, u.schema)))
+                Some(mergeSchemaJson(
+                  seededSchemaJson(spark, root, cur), u.schema)))
             }
             result = Some(Merge(snap, 0L, nU))
           } else {
@@ -738,7 +790,8 @@ object ManifestTable {
                 } else {
                   val files =
                     cur.files.filterNot(affectedSet) ++ newFiles ++ updFiles
-                  val sc = Some(mergeSchemaJson(cur.schemaJson, u.schema))
+                  val sc = Some(mergeSchemaJson(
+                    seededSchemaJson(spark, root, cur), u.schema))
                   if (tryCommit(root, cur.version + 1, files, cur.meta, sc))
                     result = Some(Merge(
                       Snapshot(cur.version + 1, files, cur.meta, sc),
@@ -779,8 +832,8 @@ object ManifestTable {
         val perFile = hits(scan)
           .groupBy("__file").count()
           .collect().map(r => (r.getString(0), r.getLong(1)))
-        val affected = base.files.filter(f =>
-          perFile.exists(_._1.endsWith(s"/$f")))
+        val hitRel = perFile.iterator.map(x => relPathOf(x._1)).toSet
+        val affected = base.files.filter(hitRel)
         val removed = perFile.map(_._2).sum
         if (affected.isEmpty) result = Some(Delete(base, 0L))
         else {

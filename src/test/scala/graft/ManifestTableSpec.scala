@@ -241,6 +241,68 @@ class ManifestTableSpec extends SparkSpec {
       (100 + 100 + 30 + 10 + 1).toLong)
   }
 
+  test("pre-ledger upgrade: the first append to a schema-less manifest seeds the merge from the existing files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_preledger").toString
+    ManifestTable.init(root)
+    ManifestTable.append(spark, root, batch(0, 10)) // id, payload
+    // simulate a round-13 table: strip the recorded-schema line
+    val v1 = java.nio.file.Paths.get(root, "manifest", "v1")
+    import scala.jdk.CollectionConverters._
+    val stripped = java.nio.file.Files.readAllLines(v1).asScala
+      .filterNot(_.startsWith("#schema:"))
+    java.nio.file.Files.write(v1, stripped.mkString("\n").getBytes)
+    assert(ManifestTable.latest(root).get.schemaJson.isEmpty)
+    // the next batch LACKS payload — without the seed, the recorded
+    // schema would be id-only and every read would hide payload
+    ManifestTable.append(spark, root, (100L until 105L).toDF("id"))
+    val df = ManifestTable.read(spark, root)
+    assert(df.columns.toSeq == Seq("id", "payload"), df.columns.mkString(","))
+    val rows = df.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert((0L until 10L).forall(i => rows(i).contains(s"row$i")),
+      "pre-upgrade column hidden or emptied")
+    assert((100L until 105L).forall(rows(_).isEmpty))
+    assert(ManifestTable.latest(root).get.schemaJson.exists(_.contains("payload")),
+      "merge did not seed from the existing files' schema")
+  }
+
+  test("many-file delete touches only the victim files (suffix-set matching)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_manyfiles").toString
+    ManifestTable.init(root)
+    // 30 single-file batches with disjoint id ranges
+    for (i <- 0 until 30)
+      ManifestTable.append(spark, root,
+        batch(i * 10L, i * 10L + 10L).coalesce(1))
+    val before = ManifestTable.latest(root).get.files
+    assert(before.size == 30)
+    // victims live in exactly two files (ids 42, 171)
+    val del = ManifestTable.deleteWhere(spark, root,
+      F.col("id").isin(42L, 171L))
+    assert(del.removedRows == 2L)
+    val after = ManifestTable.latest(root).get.files
+    val carried = before.toSet.intersect(after.toSet)
+    assert(carried.size == 28,
+      s"expected 28 files carried by reference, got ${carried.size}")
+    assert(ids(root) == (0L until 300L).toSet -- Set(42L, 171L))
+  }
+
+  test("upsert matched counts DISTINCT ids even when racing appends left duplicate rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dupids").toString
+    ManifestTable.init(root)
+    // two un-arbitrated appends both carrying id 7 (the racing-append
+    // shape the docs call out) — in separate files
+    ManifestTable.append(spark, root, batch(0, 10))
+    ManifestTable.append(spark, root, batch(7, 8))
+    val m = ManifestTable.upsert(spark, root, "id",
+      Seq(7L, 9000L).toDF("id")
+        .withColumn("payload", F.concat(F.lit("m"), F.col("id"))))
+    assert(m.matchedRows == 1L && m.insertedRows == 1L,
+      s"matched ${m.matchedRows} inserted ${m.insertedRows}")
+    val sevens = ManifestTable.read(spark, root)
+      .filter(F.col("id") === 7L).collect()
+    assert(sevens.length == 1 && sevens.head.getString(1) == "m7",
+      "duplicate-id rows not all replaced by the single update row")
+  }
+
   test("vacuum mid-write spares the in-flight writer's files (intent guard)") {
     val root = java.nio.file.Files.createTempDirectory("graft_manifest7").toString
     ManifestTable.init(root)
