@@ -269,6 +269,59 @@ private[graft] object ExtLayout {
     }),
 
 
+    // stats-pruned manifest ops over a RANGE-CLUSTERED table: the
+    // table declares doc_id as a stat column and lands as 8
+    // range-disjoint files (repartitionByRange), so every file's
+    // recorded min/max is a tight doc_id band. The row delete, the
+    // update, and the final read all carry range predicates — each
+    // plans over ONLY the band-intersecting candidate files
+    // (ManifestStatsSpec proves skipped files are never opened via
+    // on-disk corruption; this grades that the pruned plans stay
+    // result-exact). At 100 TB this is the difference between a point
+    // delete opening every footer and opening one file.
+    "x_manifest_prune" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_prune")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, root,
+        docs.repartitionByRange(8, F.col("doc_id")))
+      graft.operators.ManifestTable.deleteWhere(s, root,
+        F.col("doc_id") >= 40 && F.col("doc_id") < 60)
+      graft.operators.ManifestTable.updateWhere(s, root,
+        F.col("doc_id") >= 70 && F.col("doc_id") < 80,
+        Map("lang" -> F.lit("xx")))
+      graft.operators.ManifestTable.readWhere(s, root,
+        F.col("doc_id") >= 20 && F.col("doc_id") < 120)
+    }),
+
+
+    // metadata-only aggregates off the manifest's per-file stats:
+    // whole-table and file-aligned counts answer from recorded row
+    // counts + bounds WITHOUT opening data files (mustMatch full
+    // files; only boundary files scan — ManifestStatsSpec proves the
+    // zero-I/O property by corrupting every data file). Graded here
+    // for exactness against the raw corpus.
+    "x_manifest_metacount" -> ((s, dir) => {
+      import s.implicits._
+      val root = layoutDir(dir, "manifest_metacount")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, root,
+        docs.repartitionByRange(8, F.col("doc_id")))
+      val nTotal = graft.operators.ManifestTable.countWhere(s, root)
+      val nRange = graft.operators.ManifestTable.countWhere(s, root,
+        Some(F.col("doc_id") >= 100 && F.col("doc_id") < 300))
+      val nPoint = graft.operators.ManifestTable.countWhere(s, root,
+        Some(F.col("doc_id") === 7))
+      Seq((nTotal, nRange, nPoint))
+        .toDF("n_total", "n_range", "n_point")
+    }),
+
+
     // schema evolution THROUGH the manifest table: batch 2 adds a
     // tok_count column batch 1 never had. The manifest records the
     // merged schema at each commit, so the read NULL-fills batch-1
@@ -637,6 +690,21 @@ private[graft] object ExtLayout {
         "source, " +
         "CASE WHEN doc_id % 4 = 0 THEN CAST(2 AS BIGINT) END AS rev " +
         "FROM documents"),
+
+    // the pruned read window minus the deleted band, with the updated
+    // band's lang rewritten — pruning must be invisible to the result
+    "x_manifest_prune" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id >= 70 AND doc_id < 80 THEN 'xx' ELSE lang END AS lang, " +
+        "source, n_chars FROM documents " +
+        "WHERE doc_id >= 20 AND doc_id < 120 " +
+        "AND NOT (doc_id >= 40 AND doc_id < 60)"),
+
+    "x_manifest_metacount" ->
+      ("SELECT (SELECT count(*) FROM documents) AS n_total, " +
+        "(SELECT count(*) FROM documents " +
+        "WHERE doc_id >= 100 AND doc_id < 300) AS n_range, " +
+        "(SELECT count(*) FROM documents WHERE doc_id = 7) AS n_point"),
 
     // replays the batch split: rows/chars over ALL docs (lossless
     // across the schema seam), the evolved-column count/sum over

@@ -1,0 +1,377 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import org.apache.spark.sql.{Column, SparkSession, functions => F}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics for [[ManifestTable]] — the
+  * planning-time file-skipping layer (the Iceberg/Delta min-max
+  * metrics idea, independently implemented).
+  *
+  * At WRITE time every committing op records, for each freshly
+  * written data file, its row count plus (for the table's declared
+  * stat columns) a normalized min/max and null count — ONE aggregate
+  * job over only the new files, committed atomically with the file
+  * list as `#filestat:` manifest lines. At PLAN time
+  * [[ManifestTable.candidateFiles]] evaluates a predicate against
+  * each file's bounds and lists only files that MAY contain a match —
+  * a 100 TB point delete then opens the handful of candidate files
+  * instead of every footer.
+  *
+  * Both evaluators are strictly conservative:
+  *  - [[mayMatch]] answers TRUE on any missing stat, unsupported
+  *    predicate shape, type mismatch, or parse failure — pruning is
+  *    only ever an optimization, never a semantics change;
+  *  - [[mustMatch]] (every row in the file satisfies the predicate —
+  *    the metadata-only `count(*)` fast path) answers FALSE on the
+  *    same unknowns, and additionally requires a zero null count
+  *    (NULL never satisfies a predicate, and min/max alone cannot see
+  *    nulls).
+  *
+  * Normalized value encoding (manifest lines are newline-framed, so
+  * raw values never appear unescaped):
+  *  - integral/float/double/decimal → plain numeric string
+  *    (BigDecimal-comparable; non-finite floats drop the stat);
+  *  - date → epoch days, timestamp → epoch micros (numeric);
+  *  - timestamp_ntz → fixed-width `yyyy-MM-dd HH:mm:ss.SSSSSS`
+  *    (lexicographic = chronological);
+  *  - string → the value itself, dropped when longer than
+  *    [[MaxStringStat]] chars (bound the manifest size — a long-text
+  *    column is not a pruning column);
+  * and every min/max is Base64-wrapped in the manifest line, so no
+  * value can collide with the line format.
+  */
+object ManifestStats {
+
+  /** Longest string min/max recorded; longer values drop the stat
+    * for that file+column (conservative: the file stays a candidate
+    * for every predicate on that column). */
+  val MaxStringStat = 64
+
+  /** Decoded stats of one data file: exact row count, and per stat
+    * column the normalized (min, max, nullCount). */
+  final case class FileStats(rows: Long,
+                             bounds: Map[String, (String, String, Long)])
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+
+  private def unb64(s: String): String =
+    new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  /** `rows:<n>` then `;<col>:<b64min>:<b64max>:<nulls>` per column. */
+  def encode(fs: FileStats): String =
+    (s"rows:${fs.rows}" +:
+      fs.bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi, nulls)) =>
+        s"$c:${b64(lo)}:${b64(hi)}:$nulls"
+      }).mkString(";")
+
+  def decode(payload: String): FileStats = {
+    val parts = payload.split(';').toSeq
+    val rows = parts.collectFirst {
+      case p if p.startsWith("rows:") => p.stripPrefix("rows:").toLong
+    }.getOrElse(-1L)
+    val bounds = parts.filterNot(_.startsWith("rows:")).flatMap { p =>
+      p.split(':') match {
+        case Array(c, lo, hi, n) => Some(c -> ((unb64(lo), unb64(hi), n.toLong)))
+        case _ => None
+      }
+    }.toMap
+    FileStats(rows, bounds)
+  }
+
+  private def isSupported(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+
+  /** min/max normalization — monotone per type, so it commutes with
+    * the aggregate and the normalized ordering IS the value ordering. */
+  private def norm(agg: Column, dt: DataType): Column = dt match {
+    case DateType => F.unix_date(agg).cast("string")
+    case TimestampType => F.unix_micros(agg).cast("string")
+    case TimestampNTZType => F.date_format(agg, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    case StringType =>
+      F.when(F.length(agg) <= MaxStringStat, agg) // else NULL → stat dropped
+    case _ => agg.cast("string")
+  }
+
+  /** Per-file stats of freshly written files: ONE aggregate over only
+    * the new files (the batch just written — never the table).
+    * Returns relpath → encoded payload. Stat columns the batch lacks
+    * (schema evolution) simply record no bounds — those files stay
+    * candidates for predicates on the missing column. */
+  def compute(spark: SparkSession, root: String, relFiles: Seq[String],
+              statCols: Seq[String]): Map[String, String] = {
+    if (relFiles.isEmpty || statCols.isEmpty) return Map.empty
+    val df = spark.read.parquet(relFiles.map(f => s"$root/$f"): _*)
+    val present = statCols.filter(df.columns.contains)
+      .filter(c => isSupported(df.schema(c).dataType))
+    val aggs: Seq[Column] = F.count(F.lit(1)).as("__rows") +:
+      present.flatMap { c =>
+        val dt = df.schema(c).dataType
+        Seq(norm(F.min(F.col(c)), dt), norm(F.max(F.col(c)), dt),
+          F.sum(F.when(F.col(c).isNull, 1L).otherwise(0L)))
+      }
+    val out = df.withColumn("__f", F.input_file_name())
+      .groupBy("__f").agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded by the batch's file count — metadata scale
+    out.map { r =>
+      val rel = r.getString(0).split('/').takeRight(3).mkString("/")
+      val bounds = present.zipWithIndex.flatMap { case (c, i) =>
+        val (loI, hiI, nI) = (2 + 3 * i, 3 + 3 * i, 4 + 3 * i)
+        if (r.isNullAt(loI) || r.isNullAt(hiI)) None // all-null or oversized
+        else {
+          val (lo, hi) = (r.getString(loI), r.getString(hiI))
+          if (!finite(df.schema(c).dataType, lo) ||
+              !finite(df.schema(c).dataType, hi)) None // NaN/Inf unorderable
+          else Some(c -> ((lo, hi, r.getLong(nI))))
+        }
+      }.toMap
+      rel -> encode(FileStats(r.getLong(1), bounds))
+    }.toMap
+  }
+
+  private def finite(dt: DataType, v: String): Boolean = dt match {
+    case FloatType | DoubleType =>
+      scala.util.Try(BigDecimal(v)).isSuccess
+    case _ => true
+  }
+
+  // ---- predicate evaluation against one file's bounds ----
+
+  /** Resolve a user predicate against the recorded table schema —
+    * ONE driver-side analysis pass per op (never per file), yielding
+    * properly-typed attributes and literals (type coercion applied,
+    * sugar desugared) for the per-file evaluators below. None when
+    * the predicate does not analyze (unknown column, …) — callers
+    * fall back to no pruning. */
+  def compilePredicate(spark: SparkSession, predicate: Column,
+                       schema: StructType): Option[Expression] =
+    scala.util.Try {
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .filter(predicate).queryExecution.analyzed
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+    }.toOption.flatten
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.nameParts.last)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  /** Fold the literal side of a comparison to (value, type): a bare
+    * Literal, or ANY resolved foldable expression — `lit(x).cast(…)`,
+    * `to_timestamp_ntz(lit(…))`, … — evaluated here on the driver
+    * (RuntimeReplaceable through its replacement; anything that
+    * throws, e.g. a timezone-needing cast with no zone bound, folds
+    * to None and the comparison stays conservative). */
+  private def fold(e: Expression): Option[(Any, DataType)] = e match {
+    case Literal(null, _) => None
+    case Literal(v, dt) => Some((v, dt))
+    // references.isEmpty (not `foldable`: some pure literal functions,
+    // e.g. ParseToTimestamp, report non-foldable) — deterministic and
+    // row-independent is exactly what driver evaluation needs
+    case _ if e.resolved && e.deterministic && e.references.isEmpty =>
+      scala.util.Try {
+        val v = e match {
+          case r: RuntimeReplaceable => r.replacement.eval(null)
+          case _ => e.eval(null)
+        }
+        Option(v).map((_, e.dataType))
+      }.toOption.flatten
+    case _ => None
+  }
+
+  /** Literal → the same normalized comparable space as the stats.
+    * None = not convertible (conservative). */
+  private def litComparable(colDt: DataType, v: Any,
+                            litDt: DataType): Option[Either[BigDecimal, String]] =
+    colDt match {
+      case _: NumericType | DateType | TimestampType =>
+        val n: Option[BigDecimal] = (v, litDt) match {
+          case (x: Int, _) => Some(BigDecimal(x))
+          case (x: Long, _) => Some(BigDecimal(x))
+          case (x: Short, _) => Some(BigDecimal(x.toInt))
+          case (x: Byte, _) => Some(BigDecimal(x.toInt))
+          case (x: Float, _) if !x.isNaN && !x.isInfinite =>
+            Some(BigDecimal(x.toString))
+          case (x: Double, _) if !x.isNaN && !x.isInfinite =>
+            Some(BigDecimal(x))
+          case (x: org.apache.spark.sql.types.Decimal, _) =>
+            Some(BigDecimal(x.toJavaBigDecimal))
+          // a string literal against a date column: parse to epoch days
+          case (s: org.apache.spark.unsafe.types.UTF8String, StringType)
+              if colDt == DateType =>
+            scala.util.Try(BigDecimal(
+              java.time.LocalDate.parse(s.toString).toEpochDay)).toOption
+          case _ => None
+        }
+        n.map(scala.Left(_))
+      case StringType => v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => Some(scala.Right(s.toString))
+        case s: String => Some(scala.Right(s))
+        case _ => None
+      }
+      case TimestampNTZType => v match {
+        case micros: Long if litDt == TimestampNTZType =>
+          val ldt = java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+          Some(scala.Right(ldt.format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Spark's string ordering is UTF8String binary order — unsigned
+    * UTF-8 byte comparison, NOT java.lang.String's UTF-16 order. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** sign(statVal − literal) in the column type's ordering. */
+  private def cmp(colDt: DataType, statVal: String, v: Any,
+                  litDt: DataType): Option[Int] =
+    litComparable(colDt, v, litDt).flatMap {
+      case scala.Left(n) =>
+        scala.util.Try(BigDecimal(statVal).compare(n)).toOption
+      case scala.Right(s) => Some(utf8Cmp(statVal, s))
+    }
+
+  /** Per-file bound lookup: the first resolved name with a recorded
+    * bound wins (`resolve` maps a predicate name to the stat keys to
+    * try — identity normally, the rename chain for mapped columns). */
+  private def boundsFor(name: String, st: FileStats,
+                        schema: StructType,
+                        resolve: String => Seq[String])
+      : Option[(String, String, Long, DataType)] =
+    resolve(name).iterator.flatMap { n =>
+      st.bounds.get(n).flatMap { case (lo, hi, nulls) =>
+        schema.fields.find(_.name == name)
+          .map(f => (lo, hi, nulls, f.dataType))
+      }
+    }.nextOption()
+
+  /** Can ANY row in a file with bounds `st` satisfy the COMPILED
+    * predicate ([[compilePredicate]])? TRUE on every unknown — see
+    * object doc. */
+  def mayMatch(cond: Expression, st: FileStats, schema: StructType,
+               resolve: String => Seq[String] = n => Seq(n)): Boolean =
+    mayMatchExpr(cond, st, schema, resolve)
+
+  private def mayMatchExpr(e: Expression, st: FileStats,
+                           schema: StructType,
+                           resolve: String => Seq[String]): Boolean = {
+    def may(x: Expression) = mayMatchExpr(x, st, schema, resolve)
+    // check(colSide, litSide, pred over (sign(lo−v), sign(hi−v)))
+    def check(colE: Expression, litE: Expression,
+              pred: (Int, Int) => Boolean): Option[Boolean] =
+      for {
+        n <- attrName(colE)
+        vd <- fold(litE)
+        b <- boundsFor(n, st, schema, resolve)
+        cl <- cmp(b._4, b._1, vd._1, vd._2)
+        ch <- cmp(b._4, b._2, vd._1, vd._2)
+      } yield pred(cl, ch)
+    e match {
+      case And(l, r) => may(l) && may(r)
+      case Or(l, r) => may(l) || may(r)
+      case EqualTo(a, b) =>
+        check(a, b, (cl, ch) => cl <= 0 && ch >= 0)
+          .orElse(check(b, a, (cl, ch) => cl <= 0 && ch >= 0))
+          .getOrElse(true)
+      case EqualNullSafe(a, b) =>
+        check(a, b, (cl, ch) => cl <= 0 && ch >= 0)
+          .orElse(check(b, a, (cl, ch) => cl <= 0 && ch >= 0))
+          .getOrElse(true)
+      case LessThan(a, b) => // col < v possible iff lo < v; v < col iff hi > v
+        check(a, b, (cl, _) => cl < 0)
+          .orElse(check(b, a, (_, ch) => ch > 0)).getOrElse(true)
+      case LessThanOrEqual(a, b) =>
+        check(a, b, (cl, _) => cl <= 0)
+          .orElse(check(b, a, (_, ch) => ch >= 0)).getOrElse(true)
+      case GreaterThan(a, b) => // col > v possible iff hi > v
+        check(a, b, (_, ch) => ch > 0)
+          .orElse(check(b, a, (cl, _) => cl < 0)).getOrElse(true)
+      case GreaterThanOrEqual(a, b) =>
+        check(a, b, (_, ch) => ch >= 0)
+          .orElse(check(b, a, (cl, _) => cl <= 0)).getOrElse(true)
+      case In(a, list) =>
+        attrName(a) match {
+          case Some(_) if list.nonEmpty && list.forall(l => fold(l).isDefined) =>
+            list.exists { l =>
+              check(a, l, (cl, ch) => cl <= 0 && ch >= 0).getOrElse(true)
+            }
+          case _ => true
+        }
+      case _ => true // unsupported shape: never prune on it
+    }
+  }
+
+  /** Does EVERY row in a file with bounds `st` satisfy the COMPILED
+    * predicate? FALSE on every unknown, and FALSE when the column has
+    * any nulls in the file (NULL satisfies no predicate). Powers the
+    * metadata-only `count(*)` fast path ([[ManifestTable.countWhere]]):
+    * a fully-matching file contributes its recorded row count without
+    * being opened. */
+  def mustMatch(cond: Expression, st: FileStats, schema: StructType,
+                resolve: String => Seq[String] = n => Seq(n)): Boolean =
+    mustMatchExpr(cond, st, schema, resolve)
+
+  private def mustMatchExpr(e: Expression, st: FileStats,
+                            schema: StructType,
+                            resolve: String => Seq[String]): Boolean = {
+    def must(x: Expression) = mustMatchExpr(x, st, schema, resolve)
+    def check(colE: Expression, litE: Expression,
+              pred: (Int, Int) => Boolean): Option[Boolean] =
+      for {
+        n <- attrName(colE)
+        vd <- fold(litE)
+        b <- boundsFor(n, st, schema, resolve)
+        if b._3 == 0L // any null row fails the predicate
+        cl <- cmp(b._4, b._1, vd._1, vd._2)
+        ch <- cmp(b._4, b._2, vd._1, vd._2)
+      } yield pred(cl, ch)
+    e match {
+      case And(l, r) => must(l) && must(r)
+      case Or(l, r) => must(l) || must(r)
+      case EqualTo(a, b) => // every row = v iff lo = hi = v
+        check(a, b, (cl, ch) => cl == 0 && ch == 0)
+          .orElse(check(b, a, (cl, ch) => cl == 0 && ch == 0))
+          .getOrElse(false)
+      case LessThan(a, b) => // all col < v iff hi < v
+        check(a, b, (_, ch) => ch < 0)
+          .orElse(check(b, a, (cl, _) => cl > 0)).getOrElse(false)
+      case LessThanOrEqual(a, b) =>
+        check(a, b, (_, ch) => ch <= 0)
+          .orElse(check(b, a, (cl, _) => cl >= 0)).getOrElse(false)
+      case GreaterThan(a, b) => // all col > v iff lo > v
+        check(a, b, (cl, _) => cl > 0)
+          .orElse(check(b, a, (_, ch) => ch < 0)).getOrElse(false)
+      case GreaterThanOrEqual(a, b) =>
+        check(a, b, (cl, _) => cl >= 0)
+          .orElse(check(b, a, (_, ch) => ch <= 0)).getOrElse(false)
+      case _ => false // unsupported shape: never claim full coverage
+    }
+  }
+}

@@ -63,7 +63,8 @@ object ManifestTable {
     * file. */
   final case class Snapshot(version: Int, files: Seq[String],
                             meta: Seq[String] = Seq.empty,
-                            schemaJson: Option[String] = None)
+                            schemaJson: Option[String] = None,
+                            stats: Map[String, String] = Map.empty)
 
   /** A committed row-level delete: the published snapshot and how
     * many rows the final (post-restart) victim scan removed. */
@@ -72,6 +73,8 @@ object ManifestTable {
   private val SchemaPrefix = "#schema:"
   private val BatchPrefix = "#batch:"
   private val ThroughPrefix = "#batches_through:"
+  private val StatColsPrefix = "#statcols:"
+  private val FileStatPrefix = "#filestat:"
   private val HintFile = "_last_checkpoint"
 
   // ---- storage plumbing (Hadoop FS only — no java.nio here) ----
@@ -113,23 +116,54 @@ object ManifestTable {
     finally out.close()
   }
 
-  /** (files, meta-without-schema, schemaJson) of a manifest body. */
+  /** (files, meta-without-schema/stats, schemaJson, per-file stats)
+    * of a manifest body. */
   private def parseLines(lines: Seq[String])
-      : (Seq[String], Seq[String], Option[String]) = {
+      : (Seq[String], Seq[String], Option[String], Map[String, String]) = {
     val (metaAll, files) = lines.filter(_.nonEmpty).partition(_.startsWith("#"))
-    val (schema, meta) = metaAll.partition(_.startsWith(SchemaPrefix))
-    (files, meta, schema.headOption.map(_.stripPrefix(SchemaPrefix)))
+    val (schema, rest) = metaAll.partition(_.startsWith(SchemaPrefix))
+    val (statLines, meta) = rest.partition(_.startsWith(FileStatPrefix))
+    val stats = statLines.flatMap { l =>
+      val body = l.stripPrefix(FileStatPrefix)
+      val i = body.indexOf('|')
+      if (i < 0) None else Some(body.substring(0, i) -> body.substring(i + 1))
+    }.toMap
+    (files, meta, schema.headOption.map(_.stripPrefix(SchemaPrefix)), stats)
   }
 
-  def init(root: String): Unit = {
+  def init(root: String): Unit = init(root, Seq.empty)
+
+  /** [[init]] with DECLARED STAT COLUMNS: every write records, per
+    * data file, its row count plus min/max + null count for these
+    * columns ([[ManifestStats]]), and every predicate-shaped op
+    * ([[readWhere]], [[deleteWhere]], [[updateWhere]], [[deleteIds]],
+    * [[upsert]], [[countWhere]]) prunes its file list at PLANNING
+    * time to the files whose range intersects the predicate. Declare
+    * the columns the table is clustered or keyed on — on a range-
+    * clustered 100 TB corpus a point delete then rewrites (and even
+    * SCANS) only the candidate files instead of opening every footer. */
+  def init(root: String, statColumns: Seq[String]): Unit = {
+    require(statColumns.forall(_.matches("[A-Za-z0-9_]+")),
+      s"stat column names must be word-shaped: ${statColumns.mkString(",")}")
     val fs = fsOf(manifestDir(root))
     fs.mkdirs(manifestDir(root))
     fs.mkdirs(new HPath(root, "data"))
     if (latest(root).isEmpty) {
-      val ok = tryCommit(root, 0, Seq.empty)
+      val meta = if (statColumns.isEmpty) Seq.empty
+        else Seq(s"$StatColsPrefix${statColumns.mkString(",")}")
+      val ok = tryCommit(root, 0, Seq.empty, meta)
       require(ok || latest(root).nonEmpty, s"init race lost at $root")
     }
   }
+
+  /** The table's declared stat columns (empty = stats tracking off —
+    * zero write-path overhead). Declared once at [[init]]; the line
+    * rides `meta` through every commit path. */
+  private def statColsOf(snap: Snapshot): Seq[String] =
+    snap.meta.collectFirst {
+      case l if l.startsWith(StatColsPrefix) =>
+        l.stripPrefix(StatColsPrefix).split(',').toSeq.filter(_.nonEmpty)
+    }.getOrElse(Seq.empty)
 
   // ---- head resolution: checkpoint hint + dense-chain probe ----
 
@@ -175,9 +209,9 @@ object ManifestTable {
     val dir = manifestDir(root)
     val fs = fsOf(dir)
     latestVersion(fs, dir).map { v =>
-      val (files, meta, schema) = parseLines(
+      val (files, meta, schema, stats) = parseLines(
         readLines(fs, new HPath(dir, s"v$v")))
-      Snapshot(v, files, meta, schema)
+      Snapshot(v, files, meta, schema, stats)
     }
   }
 
@@ -187,7 +221,8 @@ object ManifestTable {
   private[operators] def tryCommit(root: String, n: Int,
                                    files: Seq[String],
                                    meta: Seq[String] = Seq.empty,
-                                   schemaJson: Option[String] = None)
+                                   schemaJson: Option[String] = None,
+                                   stats: Map[String, String] = Map.empty)
       : Boolean = {
     require(meta.forall(_.startsWith("#")),
       "metadata lines must be #-prefixed")
@@ -195,8 +230,13 @@ object ManifestTable {
     val fs = fsOf(dir)
     val tmp = new HPath(dir,
       s".tmp-${java.util.UUID.randomUUID()}.manifest")
+    // stat lines only for files the version still references — a
+    // dropped file's stats drop with it
+    val fileSet = files.toSet
+    val statLines = stats.toSeq.filter(s => fileSet(s._1)).sortBy(_._1)
+      .map { case (f, payload) => s"$FileStatPrefix$f|$payload" }
     writeFile(fs, tmp,
-      (schemaJson.map(SchemaPrefix + _).toSeq ++ meta ++ files)
+      (schemaJson.map(SchemaPrefix + _).toSeq ++ statLines ++ meta ++ files)
         .mkString("\n"))
     val ok =
       try publisher(fs).publish(fs, tmp, new HPath(dir, s"v$n"))
@@ -316,13 +356,16 @@ object ManifestTable {
   }
 
   /** Write `df` as immutable data files; returns their root-relative
-    * paths and the write token (whose intent the CALLER must clear
-    * once its commit loop resolves). Not yet visible — a commit must
-    * reference them. A failed write clears its own intent before
+    * paths, the write token (whose intent the CALLER must clear
+    * once its commit loop resolves), and — when the table declares
+    * stat columns — the new files' encoded [[ManifestStats]] (one
+    * aggregate over only the new files). Not yet visible — a commit
+    * must reference them. A failed write clears its own intent before
     * rethrowing, so partial files age out as ordinary grace-bounded
     * orphans instead of being intent-pinned forever. */
-  private def writeData(spark: SparkSession, root: String,
-                        df: DataFrame): (Seq[String], String) = {
+  private def writeData(spark: SparkSession, root: String, df: DataFrame,
+                        statCols: Seq[String] = Seq.empty)
+      : (Seq[String], String, Map[String, String]) = {
     val token = java.util.UUID.randomUUID().toString
     registerIntent(root, token)
     val dir = s"data/$token"
@@ -330,22 +373,29 @@ object ManifestTable {
     catch { case t: Throwable => clearIntent(root, token); throw t }
     val d = new HPath(root, dir)
     val fs = fsOf(d)
-    (fs.listStatus(d).toSeq.map(_.getPath.getName)
+    val rel = fs.listStatus(d).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .map(n => s"$dir/$n").sorted, token)
+      .map(n => s"$dir/$n").sorted
+    (rel, token, ManifestStats.compute(spark, root, rel, statCols))
   }
+
+  /** The table's declared stat columns, read once per op. */
+  private def statCols(root: String): Seq[String] =
+    latest(root).map(statColsOf).getOrElse(Seq.empty)
 
   /** Append `df` as a new snapshot; returns the committed version.
     * `beforeCommit` is a test seam for injecting a concurrent
     * vacuum/writer between the data write and the commit. */
   def append(spark: SparkSession, root: String, df: DataFrame,
              beforeCommit: () => Unit = () => ()): Snapshot = {
-    val (newFiles, token) = writeData(spark, root, df)
+    val (newFiles, token, newStats) =
+      writeData(spark, root, df, statCols(root))
     try {
       beforeCommit()
       commitLoop(root) { cur =>
         (cur.files ++ newFiles, cur.meta,
-          Some(mergeSchemaJson(seededSchemaJson(spark, root, cur), df.schema)))
+          Some(mergeSchemaJson(seededSchemaJson(spark, root, cur), df.schema)),
+          cur.stats ++ newStats)
       }
     } finally clearIntent(root, token)
   }
@@ -358,8 +408,8 @@ object ManifestTable {
     val p = new HPath(dir, s"v$version")
     if (!fs.exists(p)) None
     else {
-      val (files, meta, schema) = parseLines(readLines(fs, p))
-      Some(Snapshot(version, files, meta, schema))
+      val (files, meta, schema, stats) = parseLines(readLines(fs, p))
+      Some(Snapshot(version, files, meta, schema, stats))
     }
   }
 
@@ -394,7 +444,8 @@ object ManifestTable {
     latest(root).filter(batchCommitted(_, batchId)) match {
       case Some(cur) => cur // replayed: nothing to read, write, or commit
       case None =>
-        val (newFiles, token) = writeData(spark, root, df)
+        val (newFiles, token, newStats) =
+          writeData(spark, root, df, statCols(root))
         try {
           var result: Option[Snapshot] = None
           while (result.isEmpty) {
@@ -409,8 +460,10 @@ object ManifestTable {
               val meta = cur.meta :+ marker
               val schema = Some(mergeSchemaJson(
                 seededSchemaJson(spark, root, cur), df.schema))
-              if (tryCommit(root, cur.version + 1, files, meta, schema))
-                result = Some(Snapshot(cur.version + 1, files, meta, schema))
+              val stats = cur.stats ++ newStats
+              if (tryCommit(root, cur.version + 1, files, meta, schema, stats))
+                result = Some(Snapshot(cur.version + 1, files, meta, schema,
+                  stats))
             }
           }
           result.get
@@ -439,9 +492,9 @@ object ManifestTable {
       val (newMeta, changed) = foldedMeta(cur.meta, keepRecent)
       if (!changed) res = Some(cur)
       else if (tryCommit(root, cur.version + 1, cur.files, newMeta,
-        cur.schemaJson))
+        cur.schemaJson, cur.stats))
         res = Some(Snapshot(cur.version + 1, cur.files, newMeta,
-          cur.schemaJson))
+          cur.schemaJson, cur.stats))
     }
     res.get
   }
@@ -546,8 +599,8 @@ object ManifestTable {
     val bytes = base.files
       .map(f => fs.getFileStatus(new HPath(root, f)).getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val (compacted, token) = writeData(spark, root,
-      readSnapshot(spark, root, base).repartition(n))
+    val (compacted, token, compactedStats) = writeData(spark, root,
+      readSnapshot(spark, root, base).repartition(n), statColsOf(base))
     try {
       beforeCommit()
       val baseSet = base.files.toSet
@@ -563,14 +616,22 @@ object ManifestTable {
           // conflict-free merge: files that appeared since the base
           // snapshot are appends — keep them alongside the compacted set
           val files = compacted ++ cur.files.filterNot(baseSet)
+          val stats = cur.stats ++ compactedStats
           if (tryCommit(root, cur.version + 1, files, cur.meta,
-            cur.schemaJson))
+            cur.schemaJson, stats))
             result = Some(Snapshot(cur.version + 1, files, cur.meta,
-              cur.schemaJson))
+              cur.schemaJson, liveStats(files, stats)))
         }
       }
       result.get
     } finally clearIntent(root, token)
+  }
+
+  /** Stats restricted to the files a snapshot references. */
+  private def liveStats(files: Seq[String],
+                        stats: Map[String, String]): Map[String, String] = {
+    val fs = files.toSet
+    stats.filter(s => fs(s._1))
   }
 
   /** Row-level DELETE — copy-on-write rewrite of ONLY the files that
@@ -609,7 +670,7 @@ object ManifestTable {
     deleteWith(spark, root,
       df => df.filter(predicate),
       df => df.filter(!F.coalesce(predicate, F.lit(false))),
-      beforeCommit, maxRestarts)
+      beforeCommit, maxRestarts, prune = Some(predicate))
 
   /** [[deleteWhere]] for a victim set that is NOT driver-sized — the
     * frame-shaped takedown ([[Retraction.purgeWhere]] resume path):
@@ -626,10 +687,17 @@ object ManifestTable {
         s"got ${victims.columns.mkString(",")}")
     val v = victims.toDF("__victim_id").distinct()
       .localCheckpoint(eager = true)
+    // the victim set is not driver-sized, but its RANGE is one row —
+    // enough to prune the victim scan to id-range-intersecting files
+    // on a clustered table (victims ⊆ [min, max] by construction)
+    val mm = v.agg(F.min("__victim_id"), F.max("__victim_id")).head()
+    val prune = if (mm.isNullAt(0)) None
+      else Some(F.col(idCol) >= F.lit(mm.get(0)) &&
+        F.col(idCol) <= F.lit(mm.get(1)))
     deleteWith(spark, root,
       df => df.join(v, df(idCol) === v("__victim_id"), "left_semi"),
       df => df.join(v, df(idCol) === v("__victim_id"), "left_anti"),
-      beforeCommit, maxRestarts)
+      beforeCommit, maxRestarts, prune)
   }
 
   /** Row-level UPDATE — the copy-on-write twin of [[deleteWhere]]
@@ -672,15 +740,16 @@ object ManifestTable {
         }
         out
       },
-      beforeCommit, maxRestarts)
+      beforeCommit, maxRestarts, prune = Some(predicate))
   }
 
   private def deleteWith(spark: SparkSession, root: String,
                          hits: DataFrame => DataFrame,
                          keep: DataFrame => DataFrame,
                          beforeCommit: () => Unit,
-                         maxRestarts: Int): Delete =
-    rewriteWith(spark, root, hits, keep, beforeCommit, maxRestarts)
+                         maxRestarts: Int,
+                         prune: Option[Column] = None): Delete =
+    rewriteWith(spark, root, hits, keep, beforeCommit, maxRestarts, prune)
 
   /** A committed MERGE: the snapshot plus how many update rows
     * replaced an existing row vs landed as inserts. */
@@ -714,7 +783,13 @@ object ManifestTable {
       .localCheckpoint(eager = true)
     require(uIds.count() == nU,
       s"upsert updates must carry distinct '$idCol' values")
-    val (updFiles, updToken) = writeData(spark, root, u)
+    val (updFiles, updToken, updStats) =
+      writeData(spark, root, u, statCols(root))
+    // the update-id RANGE prunes the match scan to intersecting files
+    val mm = uIds.agg(F.min("__merge_id"), F.max("__merge_id")).head()
+    val prune = if (mm.isNullAt(0)) None
+      else Some(F.col(idCol) >= F.lit(mm.get(0)) &&
+        F.col(idCol) <= F.lit(mm.get(1)))
     try {
       var restarts = 0
       var result: Option[Merge] = None
@@ -725,27 +800,34 @@ object ManifestTable {
           seededSchemaJson(spark, root, base), u.schema))
         if (base.files.isEmpty) {
           // empty table: the merge is a pure insert
-          if (tryCommit(root, base.version + 1, updFiles, base.meta, schema))
+          if (tryCommit(root, base.version + 1, updFiles, base.meta, schema,
+            updStats))
             result = Some(Merge(Snapshot(base.version + 1, updFiles,
-              base.meta, schema), 0L, nU))
+              base.meta, schema, updStats), 0L, nU))
         } else {
-          val scan = readSnapshot(spark, root, base)
-            .withColumn("__file", F.input_file_name())
-          // one pushed-down job: per matched id, every file holding a
-          // row for it — each id attributed ONCE (to its first file),
-          // so `matched` counts DISTINCT ids even when racing appends
-          // left duplicate rows for one id, possibly across files
-          // (insertedRows = nU - matched can never go negative)
-          val perFile = scan
-            .join(uIds, scan(idCol) === uIds("__merge_id"), "left_semi")
-            .select(F.col("__file"), F.col(idCol).as("__id"))
-            .groupBy("__id")
-            .agg(F.sort_array(F.collect_set("__file")).as("fs"))
-            .select(F.posexplode(F.col("fs")).as(Seq("pos", "__file")))
-            .groupBy("__file")
-            .agg(F.sum(F.when(F.col("pos") === 0, 1L).otherwise(0L))
-              .as("firsts"))
-            .collect().map(r => (r.getString(0), r.getLong(1)))
+          val scanFiles =
+            prune.map(candidateFiles(spark, base, _)).getOrElse(base.files)
+          // one pushed-down job over the CANDIDATE files only: per
+          // matched id, every file holding a row for it — each id
+          // attributed ONCE (to its first file), so `matched` counts
+          // DISTINCT ids even when racing appends left duplicate rows
+          // for one id, possibly across files (insertedRows =
+          // nU - matched can never go negative)
+          val perFile = if (scanFiles.isEmpty) Array.empty[(String, Long)]
+          else {
+            val scan = readSnapshot(spark, root, base.copy(files = scanFiles))
+              .withColumn("__file", F.input_file_name())
+            scan
+              .join(uIds, scan(idCol) === uIds("__merge_id"), "left_semi")
+              .select(F.col("__file"), F.col(idCol).as("__id"))
+              .groupBy("__id")
+              .agg(F.sort_array(F.collect_set("__file")).as("fs"))
+              .select(F.posexplode(F.col("fs")).as(Seq("pos", "__file")))
+              .groupBy("__file")
+              .agg(F.sum(F.when(F.col("pos") === 0, 1L).otherwise(0L))
+                .as("firsts"))
+              .collect().map(r => (r.getString(0), r.getLong(1)))
+          }
           // O(files) suffix-set probe (file entries are always
           // data/<token>/part-*, three segments)
           val hitRel = perFile.iterator
@@ -758,7 +840,8 @@ object ManifestTable {
             val snap = commitLoop(root) { cur =>
               (cur.files ++ updFiles, cur.meta,
                 Some(mergeSchemaJson(
-                  seededSchemaJson(spark, root, cur), u.schema)))
+                  seededSchemaJson(spark, root, cur), u.schema)),
+                cur.stats ++ updStats)
             }
             result = Some(Merge(snap, 0L, nU))
           } else {
@@ -773,7 +856,8 @@ object ManifestTable {
             // via the already-written update files
             val survivors = affectedScan.join(uIds,
               affectedScan(idCol) === uIds("__merge_id"), "left_anti")
-            val (newFiles, token) = writeData(spark, root, survivors)
+            val (newFiles, token, newStats) =
+              writeData(spark, root, survivors, statColsOf(base))
             try {
               beforeCommit()
               val affectedSet = affected.toSet
@@ -792,9 +876,12 @@ object ManifestTable {
                     cur.files.filterNot(affectedSet) ++ newFiles ++ updFiles
                   val sc = Some(mergeSchemaJson(
                     seededSchemaJson(spark, root, cur), u.schema))
-                  if (tryCommit(root, cur.version + 1, files, cur.meta, sc))
+                  val stats = cur.stats ++ newStats ++ updStats
+                  if (tryCommit(root, cur.version + 1, files, cur.meta, sc,
+                    stats))
                     result = Some(Merge(
-                      Snapshot(cur.version + 1, files, cur.meta, sc),
+                      Snapshot(cur.version + 1, files, cur.meta, sc,
+                        liveStats(files, stats)),
                       matched, nU - matched))
                 }
               }
@@ -806,27 +893,116 @@ object ManifestTable {
     } finally clearIntent(root, updToken)
   }
 
+  /** The files of `snap` that MAY contain rows matching `predicate`,
+    * judged purely from the manifest's recorded per-file stats —
+    * zero data or footer I/O. Files without stats (pre-stats tables,
+    * batches lacking the column) are always candidates; with no
+    * recorded schema or no stats at all this degrades to the full
+    * list. Conservative by construction ([[ManifestStats.mayMatch]]). */
+  private[graft] def candidateFiles(spark: SparkSession, snap: Snapshot,
+                                    predicate: Column): Seq[String] = {
+    val schema = recordedSchema(snap)
+    if (snap.stats.isEmpty || schema.isEmpty) return snap.files
+    // ONE analysis pass for the whole call; per-file work is pure
+    // driver-side bound arithmetic — metadata scale at a million files
+    ManifestStats.compilePredicate(spark, predicate, schema.get) match {
+      case None => snap.files
+      case Some(cond) =>
+        snap.files.filter { f =>
+          snap.stats.get(f) match {
+            case None => true
+            case Some(payload) =>
+              ManifestStats.mayMatch(cond,
+                ManifestStats.decode(payload), schema.get)
+          }
+        }
+    }
+  }
+
+  /** PRUNED READ: rows of the latest snapshot matching `predicate`,
+    * planned over ONLY the candidate files the manifest stats admit —
+    * on a range-clustered table a point/range query lists a handful
+    * of files instead of the table ([[init]] with stat columns).
+    * Result-identical to `read(...).filter(predicate)`: pruning can
+    * only drop files that provably hold no match. */
+  def readWhere(spark: SparkSession, root: String,
+                predicate: Column): DataFrame = {
+    val snap = latest(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root"))
+    val cand = candidateFiles(spark, snap, predicate)
+    if (cand.isEmpty)
+      readSnapshot(spark, root, snap).filter(predicate).limit(0)
+    else
+      readSnapshot(spark, root, snap.copy(files = cand)).filter(predicate)
+  }
+
+  /** METADATA-FIRST COUNT: `read(...).filter(predicate).count()`
+    * answered from the manifest where possible — files whose bounds
+    * prove EVERY row matches ([[ManifestStats.mustMatch]], null-free)
+    * contribute their recorded row count without being opened; files
+    * that provably hold NO match are skipped; only boundary files are
+    * scanned (with the predicate pushed down). With no predicate the
+    * whole count comes from metadata when every file carries stats.
+    * At 100 TB this turns a clustered-range count into a manifest
+    * read plus a scan of the two edge files. */
+  def countWhere(spark: SparkSession, root: String,
+                 predicate: Option[Column] = None): Long = {
+    val snap = latest(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root"))
+    def rowsOf(f: String): Option[Long] =
+      snap.stats.get(f).map(ManifestStats.decode(_).rows).filter(_ >= 0)
+    predicate match {
+      case None =>
+        val (counted, unstated) = snap.files.partition(rowsOf(_).isDefined)
+        val metaRows = counted.flatMap(rowsOf).sum
+        if (unstated.isEmpty) metaRows
+        else metaRows +
+          readSnapshot(spark, root, snap.copy(files = unstated)).count()
+      case Some(p) =>
+        val schema = recordedSchema(snap)
+        val cond = schema.flatMap(ManifestStats.compilePredicate(spark, p, _))
+        def full(f: String): Boolean = (for {
+          sc <- schema; c <- cond; payload <- snap.stats.get(f)
+        } yield ManifestStats.mustMatch(c, ManifestStats.decode(payload), sc))
+          .getOrElse(false)
+        val cand = candidateFiles(spark, snap, p)
+        val (fullFiles, boundary) =
+          cand.partition(f => full(f) && rowsOf(f).isDefined)
+        val metaRows = fullFiles.flatMap(rowsOf).sum
+        if (boundary.isEmpty) metaRows
+        else metaRows + readSnapshot(spark, root, snap.copy(files = boundary))
+          .filter(p).count()
+    }
+  }
+
   /** The shared copy-on-write engine: locate the files containing
     * `hits` rows (one pushed-down job that also prices the report),
     * rewrite ONLY those files through `rewrite`, and commit through
-    * the optimistic loop with delete-style restart semantics. */
+    * the optimistic loop with delete-style restart semantics.
+    * `prune` (the op's predicate, when it has a stats-evaluable one)
+    * bounds even the VICTIM SCAN to the manifest's candidate files —
+    * the affected set is provably inside it, so skipped files need
+    * neither scanning nor rewriting. */
   private def rewriteWith(spark: SparkSession, root: String,
                           hits: DataFrame => DataFrame,
                           rewrite: DataFrame => DataFrame,
                           beforeCommit: () => Unit,
-                          maxRestarts: Int): Delete = {
+                          maxRestarts: Int,
+                          prune: Option[Column] = None): Delete = {
     require(maxRestarts >= 1, "maxRestarts must be >= 1")
     var restarts = 0
     var result: Option[Delete] = None
     while (result.isEmpty) {
       val base = latest(root).getOrElse(
         throw new IllegalStateException(s"no manifest at $root"))
-      if (base.files.isEmpty) result = Some(Delete(base, 0L))
+      val scanFiles =
+        prune.map(candidateFiles(spark, base, _)).getOrElse(base.files)
+      if (scanFiles.isEmpty) result = Some(Delete(base, 0L))
       else {
         // the provenance column materializes AT THE SCAN, before any
         // join/shuffle `hits` may introduce — input_file_name() after
         // a shuffle boundary returns empty strings
-        val scan = readSnapshot(spark, root, base)
+        val scan = readSnapshot(spark, root, base.copy(files = scanFiles))
           .withColumn("__file", F.input_file_name())
         // one pushed-down job: affected file -> victim count
         val perFile = hits(scan)
@@ -844,8 +1020,8 @@ object ManifestTable {
             case None => spark.read.option("mergeSchema", "true")
               .parquet(affectedPaths: _*)
           }
-          val (newFiles, token) =
-            writeData(spark, root, rewrite(affectedScan))
+          val (newFiles, token, newStats) =
+            writeData(spark, root, rewrite(affectedScan), statColsOf(base))
           try {
             beforeCommit()
             val affectedSet = affected.toSet
@@ -864,11 +1040,12 @@ object ManifestTable {
                 retryScan = true
               } else {
                 val files = cur.files.filterNot(affectedSet) ++ newFiles
+                val stats = cur.stats ++ newStats
                 if (tryCommit(root, cur.version + 1, files, cur.meta,
-                  cur.schemaJson))
+                  cur.schemaJson, stats))
                   result = Some(Delete(
                     Snapshot(cur.version + 1, files, cur.meta,
-                      cur.schemaJson), removed))
+                      cur.schemaJson, liveStats(files, stats)), removed))
               }
             }
           } finally clearIntent(root, token)
@@ -881,14 +1058,16 @@ object ManifestTable {
   /** Optimistic commit: recompute the file list against the latest
     * snapshot until the version publish wins. */
   private def commitLoop(root: String)
-      (merge: Snapshot => (Seq[String], Seq[String], Option[String]))
+      (merge: Snapshot =>
+        (Seq[String], Seq[String], Option[String], Map[String, String]))
       : Snapshot = {
     var committed: Option[Snapshot] = None
     while (committed.isEmpty) {
       val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
-      val (files, meta, schema) = merge(cur)
-      if (tryCommit(root, cur.version + 1, files, meta, schema))
-        committed = Some(Snapshot(cur.version + 1, files, meta, schema))
+      val (files, meta, schema, stats) = merge(cur)
+      if (tryCommit(root, cur.version + 1, files, meta, schema, stats))
+        committed = Some(Snapshot(cur.version + 1, files, meta, schema,
+          liveStats(files, stats)))
     }
     committed.get
   }

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators.{ManifestStats, ManifestTable}
+
+/** Per-file stats + planning-time pruning: the manifest lists only
+  * range-intersecting candidate files, the victim scan of a rewrite
+  * op never opens a pruned file, and the metadata count path answers
+  * without touching data at all. The skipped-file proofs are
+  * DETERMINISTIC: a non-candidate file is corrupted on disk, so any
+  * plan that still lists it fails loudly. */
+class ManifestStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(lo: Long, hi: Long) =
+    (lo until hi).toDF("id").withColumn("payload",
+      F.concat(F.lit("row"), F.col("id")))
+
+  /** 4 single-file batches over disjoint id ranges [0,100)..[300,400). */
+  private def clustered(): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    ManifestTable.init(root, Seq("id"))
+    for (i <- 0 until 4)
+      ManifestTable.append(spark, root,
+        batch(i * 100L, i * 100L + 100L).coalesce(1))
+    root
+  }
+
+  private def corrupt(root: String, rel: String): Unit = {
+    val p = java.nio.file.Paths.get(root, rel)
+    // drop the companion .crc first or LocalFS screams checksum, not parse
+    val crc = p.getParent.resolve("." + p.getFileName.toString + ".crc")
+    java.nio.file.Files.deleteIfExists(crc)
+    java.nio.file.Files.write(p, "not parquet".getBytes)
+  }
+
+  private def fileOfRange(root: String, lo: Long): String = {
+    val snap = ManifestTable.latest(root).get
+    ManifestTable.candidateFiles(spark, snap, F.col("id") === lo).head
+  }
+
+  test("stats are recorded per file; candidateFiles lists only range-intersecting files") {
+    val root = clustered()
+    val snap = ManifestTable.latest(root).get
+    assert(snap.files.size == 4)
+    assert(snap.stats.keySet == snap.files.toSet,
+      "every data file carries a stat line")
+    val decoded = snap.files.map(f => ManifestStats.decode(snap.stats(f)))
+    assert(decoded.forall(_.rows == 100L))
+    assert(decoded.flatMap(_.bounds.get("id")).size == 4)
+    // point lookup → exactly one candidate
+    assert(ManifestTable.candidateFiles(spark, snap, F.col("id") === 150L).size == 1)
+    // range spanning two files → exactly two
+    assert(ManifestTable.candidateFiles(spark, snap,
+      F.col("id") >= 120L && F.col("id") <= 280L).size == 2)
+    // reversed operand order and isin prune too
+    assert(ManifestTable.candidateFiles(spark, snap, F.lit(150L) <= F.col("id")).size == 3)
+    assert(ManifestTable.candidateFiles(spark, snap,
+      F.col("id").isin(5L, 305L)).size == 2)
+    // out-of-range → zero candidates
+    assert(ManifestTable.candidateFiles(spark, snap, F.col("id") < 0L).isEmpty)
+    // un-evaluable shapes and un-statted columns never prune
+    assert(ManifestTable.candidateFiles(spark, snap, F.col("id") % 2 === 0).size == 4)
+    assert(ManifestTable.candidateFiles(spark, snap,
+      F.col("payload") === "row7").size == 4)
+    // OR widens, AND narrows
+    assert(ManifestTable.candidateFiles(spark, snap,
+      F.col("id") === 50L || F.col("id") === 350L).size == 2)
+  }
+
+  test("readWhere plans only candidate files and is result-identical to read+filter") {
+    val root = clustered()
+    val pred = F.col("id") >= 210L && F.col("id") < 230L
+    val pruned = ManifestTable.readWhere(spark, root, pred)
+    assert(pruned.inputFiles.length == 1,
+      s"pruned read lists ${pruned.inputFiles.length} files")
+    val expect = ManifestTable.read(spark, root).filter(pred)
+      .select("id").as[Long].collect().toSet
+    assert(pruned.select("id").as[Long].collect().toSet == expect)
+    assert(expect == (210L until 230L).toSet)
+    // empty candidate set → empty result, not an error
+    assert(ManifestTable.readWhere(spark, root, F.col("id") === -5L)
+      .isEmpty)
+  }
+
+  test("deleteWhere/updateWhere/upsert victim scans never open a pruned file (corruption proof)") {
+    val root = clustered()
+    // corrupt the [300,400) file: any scan that lists it now fails
+    corrupt(root, fileOfRange(root, 300L))
+    val del = ManifestTable.deleteWhere(spark, root, F.col("id") === 42L)
+    assert(del.removedRows == 1L)
+    val upd = ManifestTable.updateWhere(spark, root,
+      F.col("id") === 120L, Map("payload" -> F.lit("upd")))
+    assert(upd.removedRows == 1L)
+    val m = ManifestTable.upsert(spark, root, "id",
+      Seq(250L).toDF("id").withColumn("payload", F.lit("m")))
+    assert(m.matchedRows == 1L && m.insertedRows == 0L)
+    // deleteIds prunes through the victim frame's min/max range
+    val d2 = ManifestTable.deleteIds(spark, root, "id",
+      Seq(130L, 135L).toDF("victim"))
+    assert(d2.removedRows == 2L)
+    // the corrupted file was carried by reference through all four
+    // commits — still listed, never read
+    assert(ManifestTable.latest(root).get.files.contains(
+      fileOfRange(root, 300L)))
+  }
+
+  test("rewritten files get fresh stats; pruning stays exact after delete + compact") {
+    val root = clustered()
+    ManifestTable.deleteWhere(spark, root,
+      F.col("id") >= 150L && F.col("id") < 160L)
+    val snap = ManifestTable.latest(root).get
+    assert(snap.stats.keySet == snap.files.toSet,
+      "a rewritten file lost its stat line")
+    // the rewritten [100,200) file's bounds shrank with the delete
+    val f = ManifestTable.candidateFiles(spark, snap, F.col("id") === 140L)
+    assert(f.size == 1)
+    assert(ManifestTable.readWhere(spark, root,
+      F.col("id") >= 150L && F.col("id") < 160L).isEmpty)
+    ManifestTable.compact(spark, root, targetFileBytes = 1L << 20)
+    val post = ManifestTable.latest(root).get
+    assert(post.stats.keySet == post.files.toSet,
+      "compaction dropped or leaked stat lines")
+    assert(ManifestTable.read(spark, root).count() == 390)
+  }
+
+  test("countWhere answers from metadata: exact with no data I/O on aligned ranges") {
+    val root = clustered()
+    // misaligned range needs the boundary files — scan path, exact
+    assert(ManifestTable.countWhere(spark, root,
+      Some(F.col("id") >= 150L && F.col("id") < 250L)) == 100L)
+    // nulls in the stat column break mustMatch, never correctness
+    ManifestTable.append(spark, root,
+      Seq[Option[Long]](Some(500L), None).toDF("id")
+        .withColumn("payload", F.lit("x")).coalesce(1))
+    assert(ManifestTable.countWhere(spark, root,
+      Some(F.col("id") >= 400L)) == 1L)
+    // now corrupt EVERY data file: whole-table and file-aligned
+    // counts must still answer — pure metadata, zero data reads
+    val snap = ManifestTable.latest(root).get
+    snap.files.foreach(corrupt(root, _))
+    assert(ManifestTable.countWhere(spark, root) == 402L)
+    assert(ManifestTable.countWhere(spark, root,
+      Some(F.col("id") >= 100L && F.col("id") < 300L)) == 200L)
+    assert(ManifestTable.countWhere(spark, root,
+      Some(F.col("id") < 0L)) == 0L)
+  }
+
+  test("string and timestamp_ntz bounds prune with Spark's own ordering") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stats2").toString
+    ManifestTable.init(root, Seq("name", "ts"))
+    def b(names: Seq[String], day: Int) =
+      names.toDF("name").withColumn("ts",
+        F.to_timestamp_ntz(F.lit(f"2024-01-$day%02d 12:00:00")))
+    ManifestTable.append(spark, root, b(Seq("apple", "banana"), 1).coalesce(1))
+    ManifestTable.append(spark, root, b(Seq("mango", "peach"), 15).coalesce(1))
+    val snap = ManifestTable.latest(root).get
+    assert(ManifestTable.candidateFiles(spark, snap,
+      F.col("name") === "avocado").size == 1)
+    assert(ManifestTable.candidateFiles(spark, snap, F.col("name") > "zzz").isEmpty)
+    assert(ManifestTable.candidateFiles(spark, snap,
+      F.col("ts") > F.to_timestamp_ntz(F.lit("2024-01-10 00:00:00"))).size == 1)
+    // oversized strings drop the stat (stay candidates), never lie
+    val before = ManifestTable.latest(root).get.files.toSet
+    ManifestTable.append(spark, root,
+      Seq("z" * 200).toDF("name").withColumn("ts",
+        F.to_timestamp_ntz(F.lit("2024-02-01 00:00:00"))).coalesce(1))
+    val s2 = ManifestTable.latest(root).get
+    val zebra = ManifestTable.candidateFiles(spark, s2,
+      F.col("name") === "zebra")
+    // "zebra" is outside both statted files' bounds; only the
+    // oversized-bound (stat-dropped) file must survive as a candidate
+    assert(zebra.size == 1 && !before(zebra.head),
+      "file with oversized string bound must stay a candidate")
+  }
+
+  test("tables without declared stat columns have zero stats overhead and never prune") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stats3").toString
+    ManifestTable.init(root)
+    ManifestTable.append(spark, root, batch(0, 50).coalesce(1))
+    val snap = ManifestTable.latest(root).get
+    assert(snap.stats.isEmpty)
+    assert(ManifestTable.candidateFiles(spark, snap, F.col("id") === 999L) ==
+      snap.files)
+    assert(ManifestTable.countWhere(spark, root) == 50L) // scan fallback
+  }
+}
