@@ -30,18 +30,43 @@ trait AtomicPublish {
 
 object AtomicPublish {
 
+  /** Object-store schemes where rename is COPY+DELETE (or eventually
+    * consistent), not an atomic metadata op — handing them
+    * [[RenameIfAbsent]] would silently break the commit protocol, so
+    * [[forFs]] REFUSES them instead: the deployment must install its
+    * conditional-PUT publisher via [[ManifestTable.usePublisher]].
+    * (abfs/abfss are absent deliberately: ADLS Gen2 renames are
+    * atomic in the metadata service, like HDFS.) */
+  val UnsafeRenameSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos", "swift")
+
   /** The FS-appropriate default primitive:
     *  - `file:` → [[LocalLink]] (POSIX `link(2)` — atomic and
     *    fails-if-exists on every local filesystem, which plain
     *    local rename is NOT: `rename(2)` silently overwrites);
+    *  - object-store schemes with non-atomic rename → REFUSED, loudly
+    *    ([[UnsafeRenameSchemes]]) — a user deploying on S3A/GCS
+    *    without reading this scaladoc must get an error, not a
+    *    broken commit protocol;
     *  - anything else → [[RenameIfAbsent]] (HDFS-style no-overwrite
     *    rename, atomic in the NameNode).
-    * An object-store deployment (S3/GCS) registers its own
-    * [[AtomicPublish]] doing a conditional PUT (`If-None-Match: *`)
-    * of `src`'s bytes — the one storage call with the same
-    * at-most-one-winner guarantee there — via [[ManifestTable.usePublisher]]. */
-  def forFs(fs: FileSystem): AtomicPublish =
-    if (fs.getScheme == "file") LocalLink else RenameIfAbsent
+    * An object-store deployment registers its own [[AtomicPublish]]
+    * doing a conditional PUT (`If-None-Match: *`) of `src`'s bytes —
+    * the one storage call with the same at-most-one-winner guarantee
+    * there — via [[ManifestTable.usePublisher]] (the PUT-style
+    * contract — copy bytes, at-most-one-winner, loser keeps `src` —
+    * is pinned end-to-end by ManifestTableSpec's multi-writer stress
+    * under a conditional-PUT test double). */
+  def forFs(fs: FileSystem): AtomicPublish = {
+    val scheme = fs.getScheme
+    if (scheme == "file") LocalLink
+    else if (UnsafeRenameSchemes(scheme))
+      throw new IllegalArgumentException(
+        s"scheme '$scheme' has no atomic no-overwrite rename (rename is " +
+          "copy+delete there) — install a conditional-PUT AtomicPublish " +
+          "via ManifestTable.usePublisher for this store")
+    else RenameIfAbsent
+  }
 
   /** Local-filesystem primitive: hard-link `src` to `dest`.
     * `link(2)` is the only portable local call that is BOTH atomic

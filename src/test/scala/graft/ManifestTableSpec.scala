@@ -507,7 +507,87 @@ class ManifestTableSpec extends SparkSpec {
   }
 
   test("multi-writer stress: concurrent appenders + a compactor lose nothing, versions dense") {
-    val root = java.nio.file.Files.createTempDirectory("graft_manifest8").toString
+    multiWriterStress(
+      java.nio.file.Files.createTempDirectory("graft_manifest8").toString)
+  }
+
+  /** Conditional-PUT test double for the object-store commit seam:
+    * COPIES bytes (never moves `src` — the caller's cleanup contract),
+    * and arbitrates at-most-one-winner by an exists check under a
+    * mutex (the `If-None-Match: *` shape; false strictly means
+    * another PUT won — the AtomicPublish contract). The local FS has
+    * no atomic whole-object PUT, so the double stages the copied
+    * bytes and flips them visible under the winner lock. */
+  private object PutDouble extends graft.operators.AtomicPublish {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val published = new java.util.concurrent.atomic.AtomicInteger
+    val lostRaces = new java.util.concurrent.atomic.AtomicInteger
+    private val lock = new Object
+    def publish(fs: FileSystem, src: HPath, dest: HPath): Boolean =
+      lock.synchronized {
+        if (fs.exists(dest)) { lostRaces.incrementAndGet(); false }
+        else {
+          val tmp = new HPath(dest.getParent,
+            s".put-${java.util.UUID.randomUUID()}")
+          val in = fs.open(src)
+          val out = fs.create(tmp, false)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, true)
+          finally { in.close(); out.close() }
+          require(fs.rename(tmp, dest), s"PUT double flip failed at $dest")
+          published.incrementAndGet()
+          true
+        }
+      }
+  }
+
+  test("the object-store seam end to end: multi-writer stress under a conditional-PUT publisher") {
+    // deterministic arbitration check through the double first:
+    // winner's bytes land, loser returns false, src is NOT consumed
+    val pre = java.nio.file.Files.createTempDirectory("graft_put0")
+    val fs = new org.apache.hadoop.fs.Path(pre.toString).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def tmpFile(body: String) = {
+      val p = new org.apache.hadoop.fs.Path(pre.toString, s"src-$body")
+      val o = fs.create(p, true); o.write(body.getBytes("UTF-8")); o.close(); p
+    }
+    val dest = new org.apache.hadoop.fs.Path(pre.toString, "committed")
+    val (a, b) = (tmpFile("winner"), tmpFile("loser"))
+    assert(PutDouble.publish(fs, a, dest))
+    assert(!PutDouble.publish(fs, b, dest))
+    assert(fs.exists(a) && fs.exists(b),
+      "a PUT-style publisher must never consume src")
+    val in = fs.open(dest)
+    val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    assert(got == "winner")
+    // then the full multi-writer protocol through the seam override
+    PutDouble.published.set(0)
+    ManifestTable.usePublisher(Some(PutDouble))
+    try multiWriterStress(
+      java.nio.file.Files.createTempDirectory("graft_put").toString)
+    finally ManifestTable.usePublisher(None)
+    assert(PutDouble.published.get() > 0, "the PUT double never ran")
+  }
+
+  test("forFs refuses schemes whose rename is not atomic, pointing at usePublisher") {
+    import graft.operators.AtomicPublish
+    // a local FS masquerading as s3a — forFs consults only the scheme
+    class FakeS3 extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "s3a"
+    }
+    val e = intercept[IllegalArgumentException] {
+      AtomicPublish.forFs(new FakeS3)
+    }
+    assert(e.getMessage.contains("usePublisher"),
+      s"error must point at the seam: ${e.getMessage}")
+    // HDFS-style schemes still get the rename primitive
+    class FakeHdfs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "hdfs"
+    }
+    assert(AtomicPublish.forFs(new FakeHdfs) eq AtomicPublish.RenameIfAbsent)
+  }
+
+  private def multiWriterStress(root: String): Unit = {
     ManifestTable.init(root)
     val nWriters = 4
     val perWriter = 3
