@@ -374,6 +374,40 @@ private[graft] object ExtLayout {
     }),
 
 
+    // EXACTLY-ONCE streaming MERGE into the manifest (the CDC→manifest
+    // bridge): the table seeds with the whole corpus, then three
+    // mtime-ordered micro-batches of whole-row updates (doc_id%4 =
+    // 0/1/2, each carrying a rev column the table never had) land
+    // through upsertBatch — marker and merge publish in ONE atomic
+    // commit. After the stream drains, batch 0 is REPLAYED with
+    // poisoned data: the ledger must make it a no-op (an applied
+    // replay would put 'MUST_NOT_APPLY' in lang and fail the hash).
+    "x_stream_upsert" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_upsstream")
+      val batches = layoutDir(dir, "manifest_upsstream_in")
+      deleteRec(new java.io.File(root))
+      deleteRec(new java.io.File(batches))
+      new java.io.File(batches).mkdirs()
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, root, docs)
+      for (i <- 0 until 3)
+        writeSingleFile(
+          docs.filter(F.col("doc_id") % 4 === i)
+            .select(F.col("doc_id"), F.lit(s"up$i").as("lang"),
+              F.col("source"), F.lit(i + 1L).as("rev")),
+          s"$batches/cdc_$i.parquet", 1000000000000L + i * 60000L)
+      graft.streaming.StreamingOps.streamingManifestUpsert(
+        s, batches, root, "doc_id")
+      graft.operators.ManifestTable.upsertBatch(s, root, 0L, "doc_id",
+        docs.filter(F.col("doc_id") % 4 === 0)
+          .select(F.col("doc_id"), F.lit("MUST_NOT_APPLY").as("lang"),
+            F.col("source"), F.lit(99L).as("rev")))
+      graft.operators.ManifestTable.read(s, root)
+    }),
+
+
     // snapshot time travel: three appends then a row-level delete —
     // the output reads version 2 (exactly the first two appends, BY
     // the manifest pointer, not a directory listing) alongside the
@@ -653,6 +687,16 @@ private[graft] object ExtLayout {
     // every batch exactly once = the whole corpus
     "x_stream_manifest" ->
       "SELECT doc_id, lang, source FROM documents",
+
+    // each %4 class merged exactly once by its batch (whole-row
+    // replace + merged rev column); %4=3 rows untouched, rev NULL;
+    // the poisoned replay of batch 0 must be invisible
+    "x_stream_upsert" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 4 < 3 THEN 'up' || CAST(doc_id % 4 AS VARCHAR) " +
+        "ELSE lang END AS lang, source, " +
+        "CASE WHEN doc_id % 4 < 3 THEN CAST(doc_id % 4 + 1 AS BIGINT) END AS rev " +
+        "FROM documents"),
 
     // v2 = the first two appends exactly; v4 (latest) = all three
     // splits minus the deleted ids

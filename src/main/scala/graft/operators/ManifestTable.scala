@@ -775,8 +775,49 @@ object ManifestTable {
   def upsert(spark: SparkSession, root: String, idCol: String,
              updates: DataFrame,
              beforeCommit: () => Unit = () => (),
-             maxRestarts: Int = 8): Merge = {
+             maxRestarts: Int = 8): Merge =
+    upsertImpl(spark, root, idCol, updates, beforeCommit, maxRestarts, None)
+
+  /** EXACTLY-ONCE streaming MERGE — the bridge between the CDC stack
+    * and the manifest table: [[upsert]] under the same `#batch:<id>`
+    * ledger as [[appendBatch]]. The batch marker publishes in the SAME
+    * atomic commit as the merge's file-list change, so there is no
+    * window where the merge is applied but the batch unrecorded (or
+    * vice versa); a replayed micro-batch (same id — the Structured
+    * Streaming `foreachBatch` contract) finds its marker (or the
+    * [[foldBatches]] watermark covering it) and returns the current
+    * snapshot WITHOUT writing, scanning, or committing anything —
+    * `Merge(current, 0, 0)`, its data files (if any were written
+    * before a racing duplicate won) become vacuumable orphans. A
+    * rewrite-shaped merge that loses its commit race re-checks the
+    * ledger inside the restart loop, so a duplicate can never apply
+    * the batch twice. Feed ordering across DIFFERENT batch ids is the
+    * caller's contract, exactly as with a transactional-table
+    * streaming MERGE: each id applies once, last-applied-wins per
+    * key. */
+  def upsertBatch(spark: SparkSession, root: String, batchId: Long,
+                  idCol: String, updates: DataFrame,
+                  beforeCommit: () => Unit = () => (),
+                  maxRestarts: Int = 8): Merge =
+    latest(root).filter(batchCommitted(_, batchId)) match {
+      case Some(cur) => Merge(cur, 0L, 0L) // replayed: nothing to do
+      case None => upsertImpl(spark, root, idCol, updates, beforeCommit,
+        maxRestarts, Some(batchId))
+    }
+
+  private def upsertImpl(spark: SparkSession, root: String, idCol: String,
+                         updates: DataFrame,
+                         beforeCommit: () => Unit,
+                         maxRestarts: Int,
+                         batchId: Option[Long]): Merge = {
     require(maxRestarts >= 1, "maxRestarts must be >= 1")
+    // with a batch id, every commit attempt carries the marker and
+    // every loop re-checks the ledger (a racing duplicate may have
+    // committed the batch while this writer was scanning/writing)
+    def metaFor(cur: Snapshot): Seq[String] =
+      batchId.map(id => cur.meta :+ s"$BatchPrefix$id").getOrElse(cur.meta)
+    def replayed(cur: Snapshot): Boolean =
+      batchId.exists(batchCommitted(cur, _))
     val u = updates.localCheckpoint(eager = true)
     val nU = u.count()
     val uIds = u.select(F.col(idCol).as("__merge_id")).distinct()
@@ -798,12 +839,15 @@ object ManifestTable {
           throw new IllegalStateException(s"no manifest at $root"))
         val schema = Some(mergeSchemaJson(
           seededSchemaJson(spark, root, base), u.schema))
-        if (base.files.isEmpty) {
+        if (replayed(base)) {
+          // a racing duplicate committed this batch — return ITS state
+          result = Some(Merge(base, 0L, 0L))
+        } else if (base.files.isEmpty) {
           // empty table: the merge is a pure insert
-          if (tryCommit(root, base.version + 1, updFiles, base.meta, schema,
-            updStats))
+          if (tryCommit(root, base.version + 1, updFiles, metaFor(base),
+            schema, updStats))
             result = Some(Merge(Snapshot(base.version + 1, updFiles,
-              base.meta, schema, updStats), 0L, nU))
+              metaFor(base), schema, updStats), 0L, nU))
         } else {
           val scanFiles =
             prune.map(candidateFiles(spark, base, _)).getOrElse(base.files)
@@ -837,13 +881,20 @@ object ManifestTable {
           if (affected.isEmpty) {
             // no collisions: the merge is a plain append of updates
             beforeCommit()
-            val snap = commitLoop(root) { cur =>
-              (cur.files ++ updFiles, cur.meta,
-                Some(mergeSchemaJson(
-                  seededSchemaJson(spark, root, cur), u.schema)),
-                cur.stats ++ updStats)
+            while (result.isEmpty) {
+              val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
+              if (replayed(cur)) result = Some(Merge(cur, 0L, 0L))
+              else {
+                val files = cur.files ++ updFiles
+                val sc = Some(mergeSchemaJson(
+                  seededSchemaJson(spark, root, cur), u.schema))
+                val stats = cur.stats ++ updStats
+                if (tryCommit(root, cur.version + 1, files, metaFor(cur),
+                  sc, stats))
+                  result = Some(Merge(Snapshot(cur.version + 1, files,
+                    metaFor(cur), sc, liveStats(files, stats)), 0L, nU))
+              }
             }
-            result = Some(Merge(snap, 0L, nU))
           } else {
             val affectedPaths = affected.map(f => s"$root/$f")
             val affectedScan = recordedSchema(base) match {
@@ -864,7 +915,8 @@ object ManifestTable {
               var retryScan = false
               while (result.isEmpty && !retryScan) {
                 val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
-                if (!affectedSet.subsetOf(cur.files.toSet)) {
+                if (replayed(cur)) result = Some(Merge(cur, 0L, 0L))
+                else if (!affectedSet.subsetOf(cur.files.toSet)) {
                   restarts += 1
                   if (restarts >= maxRestarts)
                     throw new IllegalStateException(
@@ -877,10 +929,10 @@ object ManifestTable {
                   val sc = Some(mergeSchemaJson(
                     seededSchemaJson(spark, root, cur), u.schema))
                   val stats = cur.stats ++ newStats ++ updStats
-                  if (tryCommit(root, cur.version + 1, files, cur.meta, sc,
-                    stats))
+                  if (tryCommit(root, cur.version + 1, files, metaFor(cur),
+                    sc, stats))
                     result = Some(Merge(
-                      Snapshot(cur.version + 1, files, cur.meta, sc,
+                      Snapshot(cur.version + 1, files, metaFor(cur), sc,
                         liveStats(files, stats)),
                       matched, nU - matched))
                 }

@@ -434,6 +434,35 @@ object StreamingOps {
     graft.operators.ManifestTable.read(spark, root)
   }
 
+  /** Exactly-once streaming MERGE into a [[graft.operators
+    * .ManifestTable]] — the missing bridge between the CDC stack and
+    * the manifest stack: each micro-batch of whole-row updates lands
+    * through `upsertBatch` (replace-by-id or insert), whose
+    * `#batch:<id>` marker publishes atomically WITH the merge's
+    * file-list change — a replayed micro-batch commits NOTHING, so a
+    * CDC feed applies exactly once under any failure/retry. The table
+    * must exist (seed it with `init` + `append`); returns its rows
+    * after the stream drains. */
+  def streamingManifestUpsert(spark: SparkSession, batchesDir: String,
+                              root: String, idCol: String): DataFrame = {
+    val physSchema = spark.read.parquet(batchesDir).schema
+    val stream = spark.readStream.schema(physSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(batchesDir)
+    graft.ScopedShufflePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.operators.ManifestTable.upsertBatch(spark, root, id,
+            idCol, batch)
+          (): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.operators.ManifestTable.read(spark, root)
+  }
+
   /** Streaming CDC apply — the Delta-streaming-MERGE shape without a
     * table format: an I/U/D change feed arrives in micro-batches and
     * folds into a keyed snapshot with per-key LAST-WRITER-WINS BY

@@ -360,6 +360,44 @@ class ManifestTableSpec extends SparkSpec {
       Set("#batch:0", "#batch:1", "#batch:2"))
   }
 
+  test("upsertBatch is exactly-once: replays commit nothing even with different data; ledger shared with appendBatch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsbatch").toString
+    ManifestTable.init(root)
+    ManifestTable.append(spark, root, batch(0, 100))
+    val upd = (0L until 10L).toDF("id")
+      .withColumn("payload", F.concat(F.lit("m"), F.col("id")))
+    val m1 = ManifestTable.upsertBatch(spark, root, 0L, "id", upd)
+    assert(m1.matchedRows == 10L && m1.insertedRows == 0L)
+    val v = ManifestTable.latest(root).get.version
+    assert(ManifestTable.latest(root).get.meta.contains("#batch:0"))
+    // replay with DIFFERENT data — the ledger, not the payload, decides
+    val m2 = ManifestTable.upsertBatch(spark, root, 0L, "id",
+      (0L until 10L).toDF("id").withColumn("payload", F.lit("MUST_NOT_APPLY")))
+    assert(m2.snapshot.version == v, "replayed merge committed a new version")
+    assert(m2.matchedRows == 0L && m2.insertedRows == 0L)
+    val rows = ManifestTable.read(spark, root)
+      .select("id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0L until 10L).forall(i => rows(i) == s"m$i"),
+      "replay overwrote the first application")
+    // insert-shaped batch under a new id; fold covers later replays
+    val m3 = ManifestTable.upsertBatch(spark, root, 1L, "id",
+      (500L until 505L).toDF("id").withColumn("payload", F.lit("new")))
+    assert(m3.matchedRows == 0L && m3.insertedRows == 5L)
+    ManifestTable.foldBatches(root)
+    val v2 = ManifestTable.latest(root).get.version
+    assert(ManifestTable.upsertBatch(spark, root, 1L, "id", upd)
+      .snapshot.version == v2, "pre-watermark merge replay committed")
+    // the ledger is SHARED with appendBatch: one feed per table
+    ManifestTable.appendBatch(spark, root, 7L, batch(900, 905))
+    assert(ManifestTable.upsertBatch(spark, root, 7L, "id",
+      (900L until 905L).toDF("id").withColumn("payload", F.lit("X")))
+      .matchedRows == 0L)
+    assert(ManifestTable.read(spark, root).filter(F.col("payload") === "X")
+      .count() == 0L)
+    assert(ManifestTable.read(spark, root).count() == 110L)
+  }
+
   test("time travel reads any surviving version; expireManifests drops old versions but never the latest") {
     val root = java.nio.file.Files.createTempDirectory("graft_manifest9").toString
     ManifestTable.init(root)
