@@ -53,7 +53,10 @@ object IvfStore {
     * no corpus re-read. Returns the updated in-memory index. */
   def ingest(spark: SparkSession, root: String,
              batch: org.apache.spark.sql.DataFrame, idCol: String,
-             vecCol: String): IvfIndex.Index = {
+             vecCol: String,
+             guardLedger: Option[String] = None): IvfIndex.Index = {
+    // admission guard — see [[TakedownLedger.requireClear]]
+    guardLedger.foreach(TakedownLedger.requireClear(_, root))
     val idx = load(spark, root, idCol, vecCol)
     val appended = Similarity
       .assignCells(batch, idx.centroids, idCol, vecCol)

@@ -385,9 +385,15 @@ object ManifestTable {
 
   /** Append `df` as a new snapshot; returns the committed version.
     * `beforeCommit` is a test seam for injecting a concurrent
-    * vacuum/writer between the data write and the commit. */
+    * vacuum/writer between the data write and the commit.
+    * `guardLedger` is the [[TakedownLedger]] admission guard: with a
+    * ledger root, the append REFUSES to run while a pending takedown
+    * targets this table (recovery before admission — run
+    * [[Retraction.resume]] first). */
   def append(spark: SparkSession, root: String, df: DataFrame,
-             beforeCommit: () => Unit = () => ()): Snapshot = {
+             beforeCommit: () => Unit = () => (),
+             guardLedger: Option[String] = None): Snapshot = {
+    guardLedger.foreach(TakedownLedger.requireClear(_, root))
     val (newFiles, token, newStats) =
       writeData(spark, root, df, statCols(root))
     try {

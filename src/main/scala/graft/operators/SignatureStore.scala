@@ -159,7 +159,13 @@ object SignatureStore {
     * and AQE broadcasts the batch side against it. */
   def ingest(spark: SparkSession, root: String, incoming: DataFrame,
              idCol: String, textCol: String, k: Int, bands: Int,
-             threshold: Double, terms: Column => Column): DataFrame = {
+             threshold: Double, terms: Column => Column,
+             guardLedger: Option[String] = None): DataFrame = {
+    // admission guard: never probe-and-append against a store a
+    // crashed takedown still owes a purge (victim signatures would
+    // veto near-copies of retracted content — the exact behavior a
+    // retraction must erase). Run Retraction.resume first.
+    guardLedger.foreach(TakedownLedger.requireClear(_, root))
     val bandedB = Dedup
       .bandedSignatures(incoming, idCol, textCol, k, bands, terms)
       .localCheckpoint(eager = true)

@@ -134,18 +134,29 @@ object TakedownLedger {
     ()
   }
 
+  /** Age grace before [[pending]] sweeps a hidden `.tmp-*` dir: a
+    * LIVE [[record]] on the same ledger may still be populating its
+    * temp dir — sweeping it mid-populate would fail that purge's
+    * publish rename before any intent is durable (the same
+    * stalled-writer window the manifest vacuum's grace closes).
+    * 15 minutes dwarfs any realistic record() duration; a crashed
+    * record's orphan just waits one grace period to be swept. */
+  val TmpSweepGraceMillis: Long = 15L * 60 * 1000
+
   /** Every recorded-but-unfinished takedown (hidden temp dirs — a
     * crash DURING record — are not entries: their rename never ran,
     * so no store was touched and there is nothing to resume; they are
-    * swept here). */
-  def pending(ledgerRoot: String): Seq[Entry] = {
+    * swept here once older than `tmpSweepGraceMillis`). */
+  def pending(ledgerRoot: String,
+              tmpSweepGraceMillis: Long = TmpSweepGraceMillis): Seq[Entry] = {
     val root = new HPath(ledgerRoot)
     val fs = fsOf(root)
     if (!fs.exists(root)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - tmpSweepGraceMillis
     fs.listStatus(root).toSeq.flatMap { st =>
       val name = st.getPath.getName
       if (name.startsWith(".")) { // unpublished record attempt
-        fs.delete(st.getPath, true)
+        if (st.getModificationTime < cutoff) fs.delete(st.getPath, true)
         None
       } else if (!st.isDirectory) None
       else {
@@ -162,5 +173,25 @@ object TakedownLedger {
             .filter(_.nonEmpty).map(_.toLong))))
       }
     }
+  }
+
+  /** ADMISSION GUARD — "recovery runs before admission", enforced
+    * instead of documented: throws when any pending takedown targets
+    * `storeRoot`, so an ingest wired with a ledger root can never add
+    * rows to a store that still holds victim bytes from a crashed
+    * purge. Callers pass it to the stores' ingest entry points
+    * ([[ManifestTable.append]], [[SignatureStore.ingest]],
+    * [[IvfStore.ingest]] `guardLedger`); the fix is
+    * [[Retraction.resume]]. */
+  def requireClear(ledgerRoot: String, storeRoot: String): Unit = {
+    val blocking = pending(ledgerRoot).filter(e =>
+      e.corpusRoot.contains(storeRoot) ||
+        e.signatureRoot.contains(storeRoot) ||
+        e.ivfRoot.contains(storeRoot))
+    if (blocking.nonEmpty)
+      throw new IllegalStateException(
+        s"${blocking.size} pending takedown(s) in $ledgerRoot target " +
+          s"$storeRoot (e.g. ${blocking.head.id}) — run " +
+          "Retraction.resume on the ledger before ingesting")
   }
 }

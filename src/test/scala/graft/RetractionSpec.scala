@@ -239,6 +239,68 @@ class RetractionSpec extends SparkSpec {
       .select("doc_id").distinct().as[Long].collect().toSet == Set(2L))
   }
 
+  test("ledger admission guard: ingest after a crashed purge fails loudly until resume; tmp sweep is age-gated") {
+    import graft.operators.TakedownLedger
+    val docs = Tables.scan(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val roots = Seq("rg_corpus", "rg_sigs", "rg_ledger").map(Workspace.dir)
+    roots.foreach(r => ExtShared.deleteRec(new java.io.File(r)))
+    val Seq(corpusRoot, sigRoot, ledger) = roots
+    ManifestTable.init(corpusRoot)
+    ManifestTable.append(spark, corpusRoot, docs)
+    SignatureStore.init(docs, "doc_id", "text", sigRoot, K, BANDS, sh3)
+    val victims = docs.filter(F.col("doc_id") % 5 === 0)
+      .select("doc_id").as[Long].collect().toSeq
+    intercept[RuntimeException] {
+      Retraction.purge(spark, victims, "doc_id",
+        corpusRoot = Some(corpusRoot), signatureRoot = Some(sigRoot),
+        ledgerRoot = Some(ledger),
+        afterStep = name => if (name == "corpus")
+          throw new RuntimeException("injected crash"))
+    }
+    // guarded ingests REFUSE while the takedown is pending — on both
+    // the corpus and the signature store the entry targets
+    val more = docs.filter(F.col("doc_id") % 7 === 1).limit(5)
+    val g1 = intercept[IllegalStateException] {
+      ManifestTable.append(spark, corpusRoot, more,
+        guardLedger = Some(ledger))
+    }
+    assert(g1.getMessage.contains("Retraction.resume"))
+    intercept[IllegalStateException] {
+      SignatureStore.ingest(spark, sigRoot, more, "doc_id", "text",
+        K, BANDS, TAU, sh3, guardLedger = Some(ledger))
+    }
+    // the guard names only the targeted stores
+    TakedownLedger.requireClear(ledger, Workspace.dir("rg_other"))
+    // tmp sweep is age-gated: a live record()'s fresh temp dir
+    // survives pending(); a stale orphan is swept
+    val live = java.nio.file.Paths.get(ledger, ".tmp-live")
+    val stale = java.nio.file.Paths.get(ledger, ".tmp-stale")
+    java.nio.file.Files.createDirectories(live)
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600L * 1000))
+    assert(TakedownLedger.pending(ledger).size == 1)
+    assert(java.nio.file.Files.exists(live),
+      "sweep deleted a fresh (possibly live) record() temp dir")
+    assert(!java.nio.file.Files.exists(stale),
+      "sweep spared a stale orphan past the grace")
+    java.nio.file.Files.delete(live)
+    // resume is the fix: afterwards both guarded ingests admit
+    Retraction.resume(spark, ledger)
+    ManifestTable.append(spark, corpusRoot, more, guardLedger = Some(ledger))
+    SignatureStore.ingest(spark, sigRoot, more, "doc_id", "text",
+      K, BANDS, TAU, sh3, guardLedger = Some(ledger))
+    // an ivf-targeting entry guards the ivf root specifically
+    val e = TakedownLedger.record(spark, ledger, "doc_id",
+      None, None, Some(Workspace.dir("rg_ivf")), 0L, Left(Seq(1L)))
+    intercept[IllegalStateException] {
+      TakedownLedger.requireClear(ledger, Workspace.dir("rg_ivf"))
+    }
+    TakedownLedger.clear(e)
+  }
+
   test("ledgered purge killed between stores resumes to the uninterrupted end state") {
     import graft.operators.TakedownLedger
     val docs = Tables.scan(spark, sf, "documents")
