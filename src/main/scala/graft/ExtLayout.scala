@@ -374,6 +374,42 @@ private[graft] object ExtLayout {
     }),
 
 
+    // column RENAME + DROP through the schema ledger: batch 1 lands
+    // under the original names, then n_chars→chars and doc_id→doc
+    // rename (metadata-only — zero data I/O), batch 2 arrives under
+    // the NEW names, and source is dropped. Phase 1 reads the mixed
+    // table through the colmap (old files coalesce into the new
+    // names) WITH a pruning predicate on the renamed stat column —
+    // pre-rename files' doc_id stats must resolve through the chain;
+    // phase 2 re-reads after a compaction, which rewrites every file
+    // under the current names. Both phases must be byte-identical to
+    // the oracle's plain projection of the raw corpus.
+    "x_manifest_rename" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_rename")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 2 === 0)
+          .select("doc_id", "source", "n_chars"))
+      graft.operators.ManifestTable.renameColumn(s, root, "n_chars", "chars")
+      graft.operators.ManifestTable.renameColumn(s, root, "doc_id", "doc")
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 2 =!= 0)
+          .select(F.col("doc_id").as("doc"), F.col("source"),
+            F.col("n_chars").as("chars")))
+      graft.operators.ManifestTable.dropColumn(s, root, "source")
+      // pin phase 1 before the compaction changes the live file set
+      val phase1 = graft.operators.ManifestTable.readWhere(s, root,
+          F.col("doc") < 300).withColumn("phase", F.lit(1L))
+        .localCheckpoint(eager = true)
+      graft.operators.ManifestTable.compact(s, root,
+        targetFileBytes = 4L * 1024 * 1024)
+      phase1.unionByName(graft.operators.ManifestTable.read(s, root)
+        .withColumn("phase", F.lit(2L)))
+    }),
+
+
     // EXACTLY-ONCE streaming MERGE into the manifest (the CDC→manifest
     // bridge): the table seeds with the whole corpus, then three
     // mtime-ordered micro-batches of whole-row updates (doc_id%4 =
@@ -687,6 +723,15 @@ private[graft] object ExtLayout {
     // every batch exactly once = the whole corpus
     "x_stream_manifest" ->
       "SELECT doc_id, lang, source FROM documents",
+
+    // both phases project the raw corpus under the post-rename names;
+    // phase 1 is windowed by the pruned read's predicate
+    "x_manifest_rename" ->
+      ("SELECT doc_id AS doc, n_chars AS chars, CAST(1 AS BIGINT) AS phase " +
+        "FROM documents WHERE doc_id < 300 " +
+        "UNION ALL " +
+        "SELECT doc_id AS doc, n_chars AS chars, CAST(2 AS BIGINT) AS phase " +
+        "FROM documents"),
 
     // each %4 class merged exactly once by its batch (whole-row
     // replace + merged rev column); %4=3 rows untouched, rev NULL;

@@ -75,6 +75,8 @@ object ManifestTable {
   private val ThroughPrefix = "#batches_through:"
   private val StatColsPrefix = "#statcols:"
   private val FileStatPrefix = "#filestat:"
+  private val ColMapPrefix = "#colmap:"
+  private val DroppedPrefix = "#dropped:"
   private val HintFile = "_last_checkpoint"
 
   // ---- storage plumbing (Hadoop FS only — no java.nio here) ----
@@ -255,7 +257,13 @@ object ManifestTable {
     * existed reads NULL for it, so no column can promise non-null
     * across the whole table. */
   private def mergeSchemaJson(cur: Option[String],
-                              batchRaw: StructType): String = {
+                              batchRaw: StructType,
+                              reserved: Set[String] = Set.empty): String = {
+    val clash = batchRaw.fieldNames.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"batch column(s) ${clash.mkString(",")} are reserved by column " +
+        "history (a renamed-away or dropped name) — re-introducing them " +
+        "would resurrect old files' bytes")
     val batch = StructType(batchRaw.fields.map(_.copy(nullable = true)))
     cur match {
       case None => batch.json
@@ -279,6 +287,119 @@ object ManifestTable {
 
   private def recordedSchema(snap: Snapshot): Option[StructType] =
     snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+
+  // ---- column rename/drop (the schema ledger's second rung) ----
+
+  /** current name → its HISTORICAL names, newest first (`#colmap:`
+    * lines). Old files keep their bytes under the old names; reads
+    * coalesce through the chain. */
+  private def colmapOf(meta: Seq[String]): Map[String, Seq[String]] =
+    meta.collect {
+      case l if l.startsWith(ColMapPrefix) =>
+        val body = l.stripPrefix(ColMapPrefix)
+        val i = body.indexOf('=')
+        body.substring(0, i) ->
+          body.substring(i + 1).split(',').toSeq.filter(_.nonEmpty)
+    }.toMap
+
+  /** Tombstoned column names (`#dropped:` lines). */
+  private def droppedOf(meta: Seq[String]): Set[String] =
+    meta.collect {
+      case l if l.startsWith(DroppedPrefix) => l.stripPrefix(DroppedPrefix)
+    }.toSet
+
+  /** Names no NEW column may take: every historical name still
+    * readable through a colmap chain, and every dropped name — a
+    * batch re-introducing one would resurrect old files' bytes under
+    * it. */
+  private def reservedNames(meta: Seq[String]): Set[String] =
+    colmapOf(meta).values.flatten.toSet ++ droppedOf(meta)
+
+  private def rebuildRenameMeta(meta: Seq[String],
+                                newMap: Map[String, Seq[String]],
+                                newDropped: Set[String],
+                                statColRename: Map[String, String])
+      : Seq[String] = {
+    val kept = meta.filterNot(l =>
+      l.startsWith(ColMapPrefix) || l.startsWith(DroppedPrefix))
+      .map { l =>
+        if (l.startsWith(StatColsPrefix)) {
+          val cols = l.stripPrefix(StatColsPrefix).split(',').toSeq
+            .filter(_.nonEmpty)
+            .map(c => statColRename.getOrElse(c, c))
+            .filterNot(newDropped)
+          if (cols.isEmpty) None else Some(s"$StatColsPrefix${cols.mkString(",")}")
+        } else Some(l)
+      }.flatten
+    kept ++
+      newMap.toSeq.sortBy(_._1).map { case (n, olds) =>
+        s"$ColMapPrefix$n=${olds.mkString(",")}" } ++
+      newDropped.toSeq.sorted.map(DroppedPrefix + _)
+  }
+
+  /** RENAME a column — metadata-only commit, zero data I/O: the
+    * recorded schema takes the new name, a `#colmap:` chain keeps the
+    * old name readable from files written before the rename (reads
+    * coalesce new-then-old, so pre-rename files serve the column
+    * under its new name), and per-file stats recorded under the old
+    * name keep pruning predicates on the new name. The old name
+    * becomes RESERVED: no future batch may introduce a column with it
+    * (it would resurrect old bytes). Type is unchanged by
+    * construction; chained renames extend the chain. */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String): Snapshot = {
+    require(to.matches("[A-Za-z0-9_]+"),
+      s"column name must be word-shaped: '$to'")
+    commitLoop(root) { cur =>
+      val schema = recordedSchema(cur).orElse(
+        seededSchemaJson(spark, root, cur)
+          .map(DataType.fromJson(_).asInstanceOf[StructType]))
+        .getOrElse(throw new IllegalStateException(
+          s"cannot rename on an empty, schema-less table at $root"))
+      require(schema.fieldNames.contains(from),
+        s"no column '$from' to rename (have ${schema.fieldNames.mkString(",")})")
+      require(!schema.fieldNames.contains(to),
+        s"rename target '$to' already exists")
+      require(!reservedNames(cur.meta)(to),
+        s"rename target '$to' is reserved by column history " +
+          "(a historical or dropped name)")
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val map = colmapOf(cur.meta)
+      val newMap = (map - from) + (to -> (from +: map.getOrElse(from, Seq.empty)))
+      (cur.files,
+        rebuildRenameMeta(cur.meta, newMap, droppedOf(cur.meta),
+          Map(from -> to)),
+        Some(newSchema.json), cur.stats)
+    }
+  }
+
+  /** DROP a column — metadata-only commit: the recorded schema loses
+    * the field, so every read (and every future rewrite) excludes it;
+    * old files keep their bytes but no projection ever lists them.
+    * The name — and its whole rename chain — is tombstoned
+    * (`#dropped:`), so no future batch can re-introduce it and
+    * resurrect the old bytes. */
+  def dropColumn(spark: SparkSession, root: String,
+                 name: String): Snapshot =
+    commitLoop(root) { cur =>
+      val schema = recordedSchema(cur).orElse(
+        seededSchemaJson(spark, root, cur)
+          .map(DataType.fromJson(_).asInstanceOf[StructType]))
+        .getOrElse(throw new IllegalStateException(
+          s"cannot drop on an empty, schema-less table at $root"))
+      require(schema.fieldNames.contains(name),
+        s"no column '$name' to drop (have ${schema.fieldNames.mkString(",")})")
+      require(schema.fields.length > 1,
+        "cannot drop the table's last column")
+      val newSchema = StructType(schema.fields.filterNot(_.name == name))
+      val map = colmapOf(cur.meta)
+      val newDropped = droppedOf(cur.meta) + name ++
+        map.getOrElse(name, Seq.empty)
+      (cur.files,
+        rebuildRenameMeta(cur.meta, map - name, newDropped, Map.empty),
+        Some(newSchema.json), cur.stats)
+    }
 
   /** Schema-ledger seed for a PRE-LEDGER manifest: when the current
     * snapshot holds files but no recorded schema (a table created
@@ -400,7 +521,8 @@ object ManifestTable {
       beforeCommit()
       commitLoop(root) { cur =>
         (cur.files ++ newFiles, cur.meta,
-          Some(mergeSchemaJson(seededSchemaJson(spark, root, cur), df.schema)),
+          Some(mergeSchemaJson(seededSchemaJson(spark, root, cur), df.schema,
+            reservedNames(cur.meta))),
           cur.stats ++ newStats)
       }
     } finally clearIntent(root, token)
@@ -465,7 +587,8 @@ object ManifestTable {
               val files = cur.files ++ newFiles
               val meta = cur.meta :+ marker
               val schema = Some(mergeSchemaJson(
-                seededSchemaJson(spark, root, cur), df.schema))
+                seededSchemaJson(spark, root, cur), df.schema,
+                reservedNames(cur.meta)))
               val stats = cur.stats ++ newStats
               if (tryCommit(root, cur.version + 1, files, meta, schema, stats))
                 result = Some(Snapshot(cur.version + 1, files, meta, schema,
@@ -553,13 +676,33 @@ object ManifestTable {
 
   /** Plan with the manifest's recorded merged schema: zero footer
     * reads, and files written before a column existed read NULL for
-    * it. Manifests from before the schema ledger fall back to a
-    * `mergeSchema` footer scan — same semantics, O(files) planning. */
+    * it. RENAMED columns read through their `#colmap:` chain — the
+    * physical scan lists the historical names too (same type,
+    * nullable) and the projection coalesces new-then-old, so files
+    * written before the rename serve the column under its new name;
+    * DROPPED columns are simply absent from the projection. Manifests
+    * from before the schema ledger fall back to a `mergeSchema`
+    * footer scan — same semantics, O(files) planning. */
   private def readSnapshot(spark: SparkSession, root: String,
                            snap: Snapshot): DataFrame = {
     require(snap.files.nonEmpty, s"empty table at $root (v${snap.version})")
     val paths = snap.files.map(f => s"$root/$f")
+    val colmap = colmapOf(snap.meta)
     recordedSchema(snap) match {
+      case Some(sc) if colmap.nonEmpty =>
+        val extra = sc.fields.flatMap(f =>
+          colmap.getOrElse(f.name, Seq.empty)
+            .map(o => StructField(o, f.dataType, nullable = true)))
+        val physical = StructType(
+          sc.fields.map(_.copy(nullable = true)) ++ extra)
+        spark.read.schema(physical).parquet(paths: _*)
+          .select(sc.fields.toSeq.map { f =>
+            colmap.get(f.name) match {
+              case Some(olds) =>
+                F.coalesce((f.name +: olds).map(F.col): _*).as(f.name)
+              case None => F.col(f.name)
+            }
+          }: _*)
       case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
       case None =>
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
@@ -844,7 +987,8 @@ object ManifestTable {
         val base = latest(root).getOrElse(
           throw new IllegalStateException(s"no manifest at $root"))
         val schema = Some(mergeSchemaJson(
-          seededSchemaJson(spark, root, base), u.schema))
+          seededSchemaJson(spark, root, base), u.schema,
+          reservedNames(base.meta)))
         if (replayed(base)) {
           // a racing duplicate committed this batch — return ITS state
           result = Some(Merge(base, 0L, 0L))
@@ -893,7 +1037,8 @@ object ManifestTable {
               else {
                 val files = cur.files ++ updFiles
                 val sc = Some(mergeSchemaJson(
-                  seededSchemaJson(spark, root, cur), u.schema))
+                  seededSchemaJson(spark, root, cur), u.schema,
+                  reservedNames(cur.meta)))
                 val stats = cur.stats ++ updStats
                 if (tryCommit(root, cur.version + 1, files, metaFor(cur),
                   sc, stats))
@@ -902,13 +1047,12 @@ object ManifestTable {
               }
             }
           } else {
-            val affectedPaths = affected.map(f => s"$root/$f")
-            val affectedScan = recordedSchema(base) match {
-              case Some(sc) =>
-                spark.read.schema(sc).parquet(affectedPaths: _*)
-              case None => spark.read.option("mergeSchema", "true")
-                .parquet(affectedPaths: _*)
-            }
+            // read the affected subset through the SAME mapped
+            // projection as any read — renamed columns coalesce, so
+            // the survivors (and thus the rewritten files) carry the
+            // CURRENT names
+            val affectedScan =
+              readSnapshot(spark, root, base.copy(files = affected))
             // drop the replaced versions; their update rows arrive
             // via the already-written update files
             val survivors = affectedScan.join(uIds,
@@ -933,7 +1077,8 @@ object ManifestTable {
                   val files =
                     cur.files.filterNot(affectedSet) ++ newFiles ++ updFiles
                   val sc = Some(mergeSchemaJson(
-                    seededSchemaJson(spark, root, cur), u.schema))
+                    seededSchemaJson(spark, root, cur), u.schema,
+                    reservedNames(cur.meta)))
                   val stats = cur.stats ++ newStats ++ updStats
                   if (tryCommit(root, cur.version + 1, files, metaFor(cur),
                     sc, stats))
@@ -966,15 +1111,24 @@ object ManifestTable {
     ManifestStats.compilePredicate(spark, predicate, schema.get) match {
       case None => snap.files
       case Some(cond) =>
+        val resolve = statResolve(snap)
         snap.files.filter { f =>
           snap.stats.get(f) match {
             case None => true
             case Some(payload) =>
               ManifestStats.mayMatch(cond,
-                ManifestStats.decode(payload), schema.get)
+                ManifestStats.decode(payload), schema.get, resolve)
           }
         }
     }
+  }
+
+  /** Stat-key resolution through the rename chain: a predicate on a
+    * RENAMED column consults bounds recorded under any historical
+    * name (pre-rename files' stats), newest first. */
+  private def statResolve(snap: Snapshot): String => Seq[String] = {
+    val map = colmapOf(snap.meta)
+    n => n +: map.getOrElse(n, Seq.empty)
   }
 
   /** PRUNED READ: rows of the latest snapshot matching `predicate`,
@@ -1019,10 +1173,11 @@ object ManifestTable {
       case Some(p) =>
         val schema = recordedSchema(snap)
         val cond = schema.flatMap(ManifestStats.compilePredicate(spark, p, _))
+        val resolve = statResolve(snap)
         def full(f: String): Boolean = (for {
           sc <- schema; c <- cond; payload <- snap.stats.get(f)
-        } yield ManifestStats.mustMatch(c, ManifestStats.decode(payload), sc))
-          .getOrElse(false)
+        } yield ManifestStats.mustMatch(c, ManifestStats.decode(payload), sc,
+          resolve)).getOrElse(false)
         val cand = candidateFiles(spark, snap, p)
         val (fullFiles, boundary) =
           cand.partition(f => full(f) && rowsOf(f).isDefined)
@@ -1071,13 +1226,10 @@ object ManifestTable {
         val removed = perFile.map(_._2).sum
         if (affected.isEmpty) result = Some(Delete(base, 0L))
         else {
-          // rewrite ONLY the affected files
-          val affectedPaths = affected.map(f => s"$root/$f")
-          val affectedScan = recordedSchema(base) match {
-            case Some(sc) => spark.read.schema(sc).parquet(affectedPaths: _*)
-            case None => spark.read.option("mergeSchema", "true")
-              .parquet(affectedPaths: _*)
-          }
+          // rewrite ONLY the affected files — through the mapped
+          // projection, so rewritten files carry the CURRENT names
+          val affectedScan =
+            readSnapshot(spark, root, base.copy(files = affected))
           val (newFiles, token, newStats) =
             writeData(spark, root, rewrite(affectedScan), statColsOf(base))
           try {

@@ -544,6 +544,96 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("column rename: old files read through the new name; old names are reserved; stats and rewrites follow the chain") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rename").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root, batch(0, 50).coalesce(1))
+    // metadata-only rename: payload -> body, id -> key
+    ManifestTable.renameColumn(spark, root, "payload", "body")
+    ManifestTable.renameColumn(spark, root, "id", "key")
+    val df = ManifestTable.read(spark, root)
+    assert(df.columns.toSeq == Seq("key", "body"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0L until 50L).forall(i => rows(i) == s"row$i"),
+      "pre-rename files do not serve the renamed columns")
+    // appends arrive under the NEW names and coexist with old files
+    ManifestTable.append(spark, root, (100L until 110L).toDF("key")
+      .withColumn("body", F.lit("new")).coalesce(1))
+    assert(ManifestTable.read(spark, root).count() == 60)
+    // a batch re-introducing a historical name is refused loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root,
+        (200L until 201L).toDF("key").withColumn("payload", F.lit("x")))
+    }
+    // so is renaming onto a reserved or existing name, or a bad name
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "body", "payload")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "body", "key")
+    }
+    // type changes through the renamed column are still rejected
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root,
+        (300L until 301L).toDF("key").withColumn("body", F.lit(7)))
+    }
+    // stats pruning on the RENAMED stat column resolves the chain:
+    // the pre-rename file's bounds were recorded under 'id'
+    val snap = ManifestTable.latest(root).get
+    assert(ManifestTable.candidateFiles(spark, snap,
+      F.col("key") === 5L).size == 1,
+      "pruning lost the pre-rename file's stats across the rename")
+    assert(ManifestTable.countWhere(spark, root,
+      Some(F.col("key") < 50L)) == 50L)
+    // rewrites read through the mapping and write CURRENT names
+    val del = ManifestTable.deleteWhere(spark, root, F.col("key") === 7L)
+    assert(del.removedRows == 1L)
+    val m = ManifestTable.upsert(spark, root, "key",
+      Seq(3L).toDF("key").withColumn("body", F.lit("merged")))
+    assert(m.matchedRows == 1L)
+    ManifestTable.compact(spark, root, targetFileBytes = 1L << 20)
+    val post = ManifestTable.read(spark, root)
+    assert(post.columns.toSeq == Seq("key", "body"))
+    assert(post.count() == 59)
+    assert(post.filter(F.col("key") === 3L).head().getString(1) == "merged")
+    // chained rename keeps the whole history readable
+    ManifestTable.renameColumn(spark, root, "key", "doc_key")
+    assert(ManifestTable.read(spark, root).columns.head == "doc_key")
+    assert(ManifestTable.countWhere(spark, root,
+      Some(F.col("doc_key") === 3L)) == 1L)
+  }
+
+  test("column drop: reads and rewrites exclude the column; the name (and its chain) is tombstoned") {
+    val root = java.nio.file.Files.createTempDirectory("graft_drop").toString
+    ManifestTable.init(root)
+    ManifestTable.append(spark, root,
+      batch(0, 20).withColumn("secret", F.concat(F.lit("s"), F.col("id"))))
+    ManifestTable.renameColumn(spark, root, "secret", "hidden")
+    ManifestTable.dropColumn(spark, root, "hidden")
+    val df = ManifestTable.read(spark, root)
+    assert(df.columns.toSeq == Seq("id", "payload"),
+      s"dropped column still projected: ${df.columns.mkString(",")}")
+    // neither the dropped name nor its historical name may return
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root,
+        (100L until 101L).toDF("id").withColumn("hidden", F.lit("x")))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root,
+        (100L until 101L).toDF("id").withColumn("secret", F.lit("x")))
+    }
+    // a rewrite does not resurrect the bytes
+    ManifestTable.compact(spark, root, targetFileBytes = 1L << 20)
+    val post = ManifestTable.read(spark, root)
+    assert(post.columns.toSeq == Seq("id", "payload"))
+    assert(post.count() == 20)
+    // the last column cannot be dropped
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropColumn(spark, root, "id")
+      ManifestTable.dropColumn(spark, root, "payload")
+    }
+  }
+
   test("multi-writer stress: concurrent appenders + a compactor lose nothing, versions dense") {
     multiWriterStress(
       java.nio.file.Files.createTempDirectory("graft_manifest8").toString)
