@@ -317,8 +317,15 @@ private[graft] object ExtLayout {
         Some(F.col("doc_id") >= 100 && F.col("doc_id") < 300))
       val nPoint = graft.operators.ManifestTable.countWhere(s, root,
         Some(F.col("doc_id") === 7))
-      Seq((nTotal, nRange, nPoint))
-        .toDF("n_total", "n_range", "n_point")
+      // whole-table min/max answered from the manifest's bounds alone
+      val (dMin, dMax) = graft.operators.ManifestTable
+        .statBounds(s, root, "doc_id")
+        .map { case (a, b) =>
+          (a.asInstanceOf[Long], b.asInstanceOf[Long]) }
+        .getOrElse(throw new IllegalStateException(
+          "statBounds must answer on a fully-statted table"))
+      Seq((nTotal, nRange, nPoint, dMin, dMax))
+        .toDF("n_total", "n_range", "n_point", "min_doc", "max_doc")
     }),
 
 
@@ -793,7 +800,9 @@ private[graft] object ExtLayout {
       ("SELECT (SELECT count(*) FROM documents) AS n_total, " +
         "(SELECT count(*) FROM documents " +
         "WHERE doc_id >= 100 AND doc_id < 300) AS n_range, " +
-        "(SELECT count(*) FROM documents WHERE doc_id = 7) AS n_point"),
+        "(SELECT count(*) FROM documents WHERE doc_id = 7) AS n_point, " +
+        "(SELECT min(doc_id) FROM documents) AS min_doc, " +
+        "(SELECT max(doc_id) FROM documents) AS max_doc"),
 
     // replays the batch split: rows/chars over ALL docs (lossless
     // across the schema seam), the evolved-column count/sum over

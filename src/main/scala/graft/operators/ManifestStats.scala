@@ -52,10 +52,16 @@ object ManifestStats {
     * for every predicate on that column). */
   val MaxStringStat = 64
 
-  /** Decoded stats of one data file: exact row count, and per stat
-    * column the normalized (min, max, nullCount). */
-  final case class FileStats(rows: Long,
-                             bounds: Map[String, (String, String, Long)])
+  /** One stat column's record in one file: the normalized (min, max)
+    * — None when the column has NO non-null values in the file (the
+    * null-only marker: comparisons prune, min/max skip) — and the
+    * exact null count. A column with values whose stat was dropped
+    * (oversized string, NaN) records NO entry at all: unknown, always
+    * conservative. */
+  final case class ColStat(bounds: Option[(String, String)], nulls: Long)
+
+  /** Decoded stats of one data file. */
+  final case class FileStats(rows: Long, cols: Map[String, ColStat])
 
   private def b64(s: String): String =
     Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
@@ -63,11 +69,15 @@ object ManifestStats {
   private def unb64(s: String): String =
     new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
-  /** `rows:<n>` then `;<col>:<b64min>:<b64max>:<nulls>` per column. */
+  /** `rows:<n>` then `;<col>:<b64min>:<b64max>:<nulls>` per column;
+    * a null-only column writes `-` (not a base64 alphabet char) in
+    * both bound slots. */
   def encode(fs: FileStats): String =
     (s"rows:${fs.rows}" +:
-      fs.bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi, nulls)) =>
-        s"$c:${b64(lo)}:${b64(hi)}:$nulls"
+      fs.cols.toSeq.sortBy(_._1).map {
+        case (c, ColStat(Some((lo, hi)), nulls)) =>
+          s"$c:${b64(lo)}:${b64(hi)}:$nulls"
+        case (c, ColStat(None, nulls)) => s"$c:-:-:$nulls"
       }).mkString(";")
 
   def decode(payload: String): FileStats = {
@@ -75,13 +85,15 @@ object ManifestStats {
     val rows = parts.collectFirst {
       case p if p.startsWith("rows:") => p.stripPrefix("rows:").toLong
     }.getOrElse(-1L)
-    val bounds = parts.filterNot(_.startsWith("rows:")).flatMap { p =>
+    val cols = parts.filterNot(_.startsWith("rows:")).flatMap { p =>
       p.split(':') match {
-        case Array(c, lo, hi, n) => Some(c -> ((unb64(lo), unb64(hi), n.toLong)))
+        case Array(c, "-", "-", n) => Some(c -> ColStat(None, n.toLong))
+        case Array(c, lo, hi, n) =>
+          Some(c -> ColStat(Some((unb64(lo), unb64(hi))), n.toLong))
         case _ => None
       }
     }.toMap
-    FileStats(rows, bounds)
+    FileStats(rows, cols)
   }
 
   private def isSupported(dt: DataType): Boolean = dt match {
@@ -123,17 +135,24 @@ object ManifestStats {
       .collect() // bounded by the batch's file count — metadata scale
     out.map { r =>
       val rel = r.getString(0).split('/').takeRight(3).mkString("/")
-      val bounds = present.zipWithIndex.flatMap { case (c, i) =>
+      val rowCount = r.getLong(1)
+      val cols = present.zipWithIndex.flatMap { case (c, i) =>
         val (loI, hiI, nI) = (2 + 3 * i, 3 + 3 * i, 4 + 3 * i)
-        if (r.isNullAt(loI) || r.isNullAt(hiI)) None // all-null or oversized
-        else {
+        val nulls = r.getLong(nI)
+        if (r.isNullAt(loI) || r.isNullAt(hiI)) {
+          // null aggregates: either the column has NO values in this
+          // file (null-only marker — prunes comparisons, skips
+          // min/max) or values exist but the stat dropped (oversized
+          // string) — then record nothing: unknown stays conservative
+          if (nulls == rowCount) Some(c -> ColStat(None, nulls)) else None
+        } else {
           val (lo, hi) = (r.getString(loI), r.getString(hiI))
           if (!finite(df.schema(c).dataType, lo) ||
               !finite(df.schema(c).dataType, hi)) None // NaN/Inf unorderable
-          else Some(c -> ((lo, hi, r.getLong(nI))))
+          else Some(c -> ColStat(Some((lo, hi)), nulls))
         }
       }.toMap
-      rel -> encode(FileStats(r.getLong(1), bounds))
+      rel -> encode(FileStats(rowCount, cols))
     }.toMap
   }
 
@@ -142,6 +161,40 @@ object ManifestStats {
       scala.util.Try(BigDecimal(v)).isSuccess
     case _ => true
   }
+
+  /** Normalized-string comparison in the column type's ordering —
+    * the same ordering the evaluators use. */
+  private[operators] def cmpNormalized(dt: DataType, a: String,
+                                       b: String): Int = dt match {
+    case _: NumericType | DateType | TimestampType =>
+      BigDecimal(a).compare(BigDecimal(b))
+    case _ => utf8Cmp(a, b)
+  }
+
+  /** Normalized stat value → an external JVM value of the column's
+    * type (what `lit()`/collect would carry) — the decode side of
+    * [[norm]], for metadata-only min/max answers. */
+  private[operators] def denormalize(dt: DataType, v: String): Any =
+    dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case FloatType => v.toFloat
+      case DoubleType => v.toDouble
+      case _: DecimalType => new java.math.BigDecimal(v)
+      case DateType => java.time.LocalDate.ofEpochDay(v.toLong)
+      case TimestampType =>
+        val micros = v.toLong
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L)
+      case TimestampNTZType =>
+        java.time.LocalDateTime.parse(v,
+          java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      case _ => v
+    }
 
   // ---- predicate evaluation against one file's bounds ----
 
@@ -258,18 +311,16 @@ object ManifestStats {
       case scala.Right(s) => Some(utf8Cmp(statVal, s))
     }
 
-  /** Per-file bound lookup: the first resolved name with a recorded
-    * bound wins (`resolve` maps a predicate name to the stat keys to
+  /** Per-file stat lookup: the first resolved name with a recorded
+    * entry wins (`resolve` maps a predicate name to the stat keys to
     * try — identity normally, the rename chain for mapped columns). */
-  private def boundsFor(name: String, st: FileStats,
-                        schema: StructType,
-                        resolve: String => Seq[String])
-      : Option[(String, String, Long, DataType)] =
+  private def statFor(name: String, st: FileStats,
+                      schema: StructType,
+                      resolve: String => Seq[String])
+      : Option[(ColStat, DataType)] =
     resolve(name).iterator.flatMap { n =>
-      st.bounds.get(n).flatMap { case (lo, hi, nulls) =>
-        schema.fields.find(_.name == name)
-          .map(f => (lo, hi, nulls, f.dataType))
-      }
+      st.cols.get(n).flatMap(cs =>
+        schema.fields.find(_.name == name).map(f => (cs, f.dataType)))
     }.nextOption()
 
   /** Can ANY row in a file with bounds `st` satisfy the COMPILED
@@ -283,16 +334,23 @@ object ManifestStats {
                            schema: StructType,
                            resolve: String => Seq[String]): Boolean = {
     def may(x: Expression) = mayMatchExpr(x, st, schema, resolve)
-    // check(colSide, litSide, pred over (sign(lo−v), sign(hi−v)))
+    // check(colSide, litSide, pred over (sign(lo−v), sign(hi−v))):
+    // a NULL-ONLY column satisfies no comparison — definite false
     def check(colE: Expression, litE: Expression,
               pred: (Int, Int) => Boolean): Option[Boolean] =
       for {
         n <- attrName(colE)
         vd <- fold(litE)
-        b <- boundsFor(n, st, schema, resolve)
-        cl <- cmp(b._4, b._1, vd._1, vd._2)
-        ch <- cmp(b._4, b._2, vd._1, vd._2)
-      } yield pred(cl, ch)
+        csDt <- statFor(n, st, schema, resolve)
+        res <- csDt._1.bounds match {
+          case None => Some(false)
+          case Some((lo, hi)) =>
+            for {
+              cl <- cmp(csDt._2, lo, vd._1, vd._2)
+              ch <- cmp(csDt._2, hi, vd._1, vd._2)
+            } yield pred(cl, ch)
+        }
+      } yield res
     e match {
       case And(l, r) => may(l) && may(r)
       case Or(l, r) => may(l) || may(r)
@@ -347,10 +405,11 @@ object ManifestStats {
       for {
         n <- attrName(colE)
         vd <- fold(litE)
-        b <- boundsFor(n, st, schema, resolve)
-        if b._3 == 0L // any null row fails the predicate
-        cl <- cmp(b._4, b._1, vd._1, vd._2)
-        ch <- cmp(b._4, b._2, vd._1, vd._2)
+        csDt <- statFor(n, st, schema, resolve)
+        if csDt._1.nulls == 0L // any null row fails the predicate
+        b <- csDt._1.bounds
+        cl <- cmp(csDt._2, b._1, vd._1, vd._2)
+        ch <- cmp(csDt._2, b._2, vd._1, vd._2)
       } yield pred(cl, ch)
     e match {
       case And(l, r) => must(l) && must(r)

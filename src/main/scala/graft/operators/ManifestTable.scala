@@ -1131,6 +1131,40 @@ object ManifestTable {
     n => n +: map.getOrElse(n, Seq.empty)
   }
 
+  /** METADATA-ONLY table min/max for a stat column: Some((min, max))
+    * — as external JVM values of the column's type — when EVERY live
+    * file records null-free-or-not bounds for `col` (resolved through
+    * the rename chain); None when any file lacks the stat (the caller
+    * scans). Nulls never participate in min/max, so bounds stay exact
+    * in their presence; an all-null or empty table answers None. Like
+    * [[countWhere]], this turns a whole-table aggregate into a
+    * manifest read — zero data files opened at any scale. */
+  def statBounds(spark: SparkSession, root: String,
+                 col: String): Option[(Any, Any)] = {
+    val snap = latest(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root"))
+    val dt = recordedSchema(snap)
+      .flatMap(_.fields.find(_.name == col)).map(_.dataType)
+      .getOrElse(return None)
+    val keys = statResolve(snap)(col)
+    if (snap.files.isEmpty) return None
+    // every file must carry SOME entry for the column (bounds, or the
+    // null-only marker — which contributes nothing to min/max)
+    val entries = snap.files.map { f =>
+      snap.stats.get(f).map(ManifestStats.decode).flatMap(st =>
+        keys.iterator.flatMap(st.cols.get).nextOption())
+    }
+    if (entries.exists(_.isEmpty)) return None
+    val all = entries.flatten.flatMap(_.bounds)
+    if (all.isEmpty) None // no non-null value anywhere
+    else {
+      val ord = Ordering.fromLessThan[String](
+        ManifestStats.cmpNormalized(dt, _, _) < 0)
+      Some((ManifestStats.denormalize(dt, all.map(_._1).min(ord)),
+        ManifestStats.denormalize(dt, all.map(_._2).max(ord))))
+    }
+  }
+
   /** PRUNED READ: rows of the latest snapshot matching `predicate`,
     * planned over ONLY the candidate files the manifest stats admit —
     * on a range-clustered table a point/range query lists a handful

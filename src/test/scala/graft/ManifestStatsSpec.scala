@@ -48,7 +48,7 @@ class ManifestStatsSpec extends SparkSpec {
       "every data file carries a stat line")
     val decoded = snap.files.map(f => ManifestStats.decode(snap.stats(f)))
     assert(decoded.forall(_.rows == 100L))
-    assert(decoded.flatMap(_.bounds.get("id")).size == 4)
+    assert(decoded.flatMap(_.cols.get("id")).count(_.bounds.isDefined) == 4)
     // point lookup → exactly one candidate
     assert(ManifestTable.candidateFiles(spark, snap, F.col("id") === 150L).size == 1)
     // range spanning two files → exactly two
@@ -173,6 +173,34 @@ class ManifestStatsSpec extends SparkSpec {
     // oversized-bound (stat-dropped) file must survive as a candidate
     assert(zebra.size == 1 && !before(zebra.head),
       "file with oversized string bound must stay a candidate")
+  }
+
+  test("statBounds answers min/max from metadata alone, and refuses when any file lacks the stat") {
+    val root = clustered()
+    assert(ManifestTable.statBounds(spark, root, "id")
+      .contains((0L, 399L)))
+    // exact in the presence of nulls (nulls never join min/max)
+    ManifestTable.append(spark, root,
+      Seq[Option[Long]](Some(700L), None).toDF("id")
+        .withColumn("payload", F.lit("x")).coalesce(1))
+    assert(ManifestTable.statBounds(spark, root, "id")
+      .contains((0L, 700L)))
+    // rewrites keep it live: a delete of the current max moves it
+    ManifestTable.deleteWhere(spark, root, F.col("id") === 700L)
+    assert(ManifestTable.statBounds(spark, root, "id")
+      .contains((0L, 399L)))
+    // metadata-only proof: corrupt every data file, bounds still answer
+    val snap = ManifestTable.latest(root).get
+    snap.files.foreach(corrupt(root, _))
+    assert(ManifestTable.statBounds(spark, root, "id")
+      .contains((0L, 399L)))
+    // un-statted columns refuse rather than guess
+    assert(ManifestTable.statBounds(spark, root, "payload").isEmpty)
+    // a file without the stat (un-statted table) refuses too
+    val root2 = java.nio.file.Files.createTempDirectory("graft_sb2").toString
+    ManifestTable.init(root2)
+    ManifestTable.append(spark, root2, batch(0, 10))
+    assert(ManifestTable.statBounds(spark, root2, "id").isEmpty)
   }
 
   test("tables without declared stat columns have zero stats overhead and never prune") {
