@@ -381,6 +381,60 @@ private[graft] object ExtLayout {
     }),
 
 
+    // CLUSTERED compaction: four interleaved appends leave every file
+    // spanning the whole doc_id range (pruning useless); compact with
+    // clusterBy re-sorts the table into disjoint per-file bands, and
+    // the final pruned range read must still be row-exact.
+    // ManifestStatsSpec pins the bands (4 candidates -> 1); the hash
+    // grades that the clustered rewrite loses and invents nothing.
+    "x_manifest_cluster" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_cluster")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"))
+      for (i <- 0 until 4)
+        graft.operators.ManifestTable.append(s, root,
+          docs.filter(F.col("doc_id") % 4 === i))
+      graft.operators.ManifestTable.compact(s, root,
+        targetFileBytes = 256L * 1024, clusterBy = Seq("doc_id"))
+      graft.operators.ManifestTable.readWhere(s, root,
+        F.col("doc_id") >= 100 && F.col("doc_id") < 220)
+    }),
+
+
+    // CHANGE DATA FEED off the manifest's file diff (no per-row
+    // tracking): append -> pure inserts, row delete -> pure deletes
+    // (unchanged rows of the rewritten file cancel), update -> its
+    // delete+insert pair, compaction -> ZERO rows (layout is not
+    // data, pinned by the empty 'compact' step in the hash). Feed
+    // cost scales with the changed files only.
+    "x_manifest_changes" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_cdf")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      graft.operators.ManifestTable.init(root)
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 3 === 0)) // v1
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 3 === 1)) // v2
+      graft.operators.ManifestTable.deleteWhere(s, root,
+        F.col("doc_id") % 5 === 0)              // v3
+      graft.operators.ManifestTable.updateWhere(s, root,
+        F.col("doc_id") % 7 === 0, Map("lang" -> F.lit("xx"))) // v4
+      graft.operators.ManifestTable.compact(s, root,
+        targetFileBytes = 4L * 1024 * 1024)     // v5
+      def step(a: Int, b: Int, name: String) =
+        graft.operators.ManifestTable.changes(s, root, a, b)
+          .withColumn("step", F.lit(name))
+      step(1, 2, "append")
+        .unionByName(step(2, 3, "delete"))
+        .unionByName(step(3, 4, "update"))
+        .unionByName(step(4, 5, "compact")) // must contribute nothing
+    }),
+
+
     // column RENAME + DROP through the schema ledger: batch 1 lands
     // under the original names, then n_chars→chars and doc_id→doc
     // rename (metadata-only — zero data I/O), batch 2 arrives under
@@ -730,6 +784,26 @@ private[graft] object ExtLayout {
     // every batch exactly once = the whole corpus
     "x_stream_manifest" ->
       "SELECT doc_id, lang, source FROM documents",
+
+    // the clustered rewrite must be invisible to the windowed read
+    "x_manifest_cluster" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE doc_id >= 100 AND doc_id < 220"),
+
+    // replay of the four steps' row-level effects; the compact step
+    // contributes no rows at all
+    "x_manifest_changes" ->
+      ("SELECT doc_id, lang, source, 'insert' AS _change_type, " +
+        "'append' AS step FROM documents WHERE doc_id % 3 = 1 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, 'delete', 'delete' FROM documents " +
+        "WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, 'delete', 'update' FROM documents " +
+        "WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0 AND doc_id % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id, 'xx', source, 'insert', 'update' FROM documents " +
+        "WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0 AND doc_id % 7 = 0"),
 
     // both phases project the raw corpus under the post-rename names;
     // phase 1 is windowed by the pruned read's predicate

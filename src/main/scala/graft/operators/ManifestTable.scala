@@ -709,6 +709,55 @@ object ManifestTable {
     }
   }
 
+  /** CHANGE DATA FEED between two published versions — row-level
+    * inserts and deletes derived from the manifests' FILE diff, with
+    * no per-row tracking anywhere:
+    *  - rows of removed files EXCEPT ALL rows of added files = the
+    *    DELETES; added EXCEPT ALL removed = the INSERTS (multiset
+    *    semantics, so duplicate rows account correctly);
+    *  - an UPDATE surfaces as its delete+insert pair, and the
+    *    UNCHANGED rows of a rewritten file cancel out — a pure
+    *    COMPACTION between the versions reports ZERO changes (layout
+    *    is not data);
+    *  - cost scales with the CHANGED files only, never the table —
+    *    at 100 TB a point delete's feed reads the two file sets the
+    *    rewrite touched.
+    * Both sides read through the TO version's schema and rename
+    * chain, so changes are expressed in the newest column names. The
+    * output adds `_change_type` ('insert' | 'delete'). Both versions
+    * must still be published ([[expireManifests]] retention bounds
+    * the feed's lookback, exactly like time travel). */
+  def changes(spark: SparkSession, root: String, fromVersion: Int,
+              toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    def snap(v: Int): Snapshot = snapshot(root, v).getOrElse(
+      throw new IllegalStateException(
+        s"no manifest v$v at $root (never published or expired)"))
+    val from = snap(fromVersion)
+    val to = snap(toVersion)
+    val toSet = to.files.toSet
+    val fromSet = from.files.toSet
+    val removed = from.files.filterNot(toSet)
+    val added = to.files.filterNot(fromSet)
+    def rowsOf(files: Seq[String]): DataFrame =
+      if (files.nonEmpty) readSnapshot(spark, root, to.copy(files = files))
+      else recordedSchema(to) match {
+        case Some(sc) => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+        case None if to.files.nonEmpty =>
+          readSnapshot(spark, root, to).limit(0)
+        case None if from.files.nonEmpty =>
+          readSnapshot(spark, root, to.copy(files = from.files)).limit(0)
+        case None => throw new IllegalStateException(
+          s"empty schema-less table at $root has no change feed")
+      }
+    val del = rowsOf(removed).exceptAll(rowsOf(added))
+    val ins = rowsOf(added).exceptAll(rowsOf(removed))
+    del.withColumn("_change_type", F.lit("delete"))
+      .unionByName(ins.withColumn("_change_type", F.lit("insert")))
+  }
+
   /** Drop manifest files older than the newest `keepLast` versions —
     * the manifest-count valve for long-lived tables (one tiny file
     * per commit adds up over millions of commits). Time travel below
@@ -737,9 +786,20 @@ object ManifestTable {
     * rewrites of the same base would commit every base row twice.
     * The abandoned compacted files become orphans for [[vacuum]].
     * `beforeCommit` is a test seam for injecting a concurrent
-    * append/compaction between the rewrite and the commit race. */
+    * append/compaction between the rewrite and the commit race.
+    *
+    * `clusterBy` RANGE-CLUSTERS the rewrite on the given columns
+    * (range repartition + within-partition sort) — the maintenance op
+    * that makes stats pruning EFFECTIVE on a table built from
+    * unsorted appends: before, every file spans the whole key range
+    * and a point predicate lists every file; after, each file owns a
+    * tight disjoint band and [[candidateFiles]] lists ~one. Cluster
+    * on the declared stat columns; sorting within files also tightens
+    * parquet's own row-group stats for engines reading the files
+    * directly. */
   def compact(spark: SparkSession, root: String, targetFileBytes: Long,
-              beforeCommit: () => Unit = () => ()): Snapshot = {
+              beforeCommit: () => Unit = () => (),
+              clusterBy: Seq[String] = Seq.empty): Snapshot = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val base = latest(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root"))
@@ -748,8 +808,17 @@ object ManifestTable {
     val bytes = base.files
       .map(f => fs.getFileStatus(new HPath(root, f)).getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val (compacted, token, compactedStats) = writeData(spark, root,
-      readSnapshot(spark, root, base).repartition(n), statColsOf(base))
+    val baseRead = readSnapshot(spark, root, base)
+    val arranged = if (clusterBy.isEmpty) baseRead.repartition(n)
+    else {
+      val missing = clusterBy.filterNot(baseRead.columns.contains)
+      require(missing.isEmpty,
+        s"clusterBy column(s) not in the table: ${missing.mkString(",")}")
+      baseRead.repartitionByRange(n, clusterBy.map(F.col): _*)
+        .sortWithinPartitions(clusterBy.map(F.col): _*)
+    }
+    val (compacted, token, compactedStats) =
+      writeData(spark, root, arranged, statColsOf(base))
     try {
       beforeCommit()
       val baseSet = base.files.toSet

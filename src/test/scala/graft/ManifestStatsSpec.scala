@@ -203,6 +203,36 @@ class ManifestStatsSpec extends SparkSpec {
     assert(ManifestTable.statBounds(spark, root2, "id").isEmpty)
   }
 
+  test("clustered compaction turns every-file-spans-everything into one-candidate point lookups") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    ManifestTable.init(root, Seq("id"))
+    // interleaved appends: every file spans the WHOLE id range
+    for (i <- 0 until 4)
+      ManifestTable.append(spark, root,
+        batch(0, 400).filter(F.col("id") % 4 === i).coalesce(1))
+    val before = ManifestTable.latest(root).get
+    assert(ManifestTable.candidateFiles(spark, before,
+      F.col("id") === 200L).size == 4,
+      "fixture: interleaved appends must defeat pruning")
+    // range-cluster on the stat column during compaction
+    ManifestTable.compact(spark, root, targetFileBytes = 4L * 1024,
+      clusterBy = Seq("id"))
+    val after = ManifestTable.latest(root).get
+    assert(after.files.size > 1, "fixture needs multiple clustered files")
+    assert(ManifestTable.candidateFiles(spark, after,
+      F.col("id") === 200L).size == 1,
+      "clustered files must carry disjoint id bands")
+    // rows survive the clustered rewrite exactly
+    assert(ManifestTable.read(spark, root).select("id").as[Long]
+      .collect().toSet == (0L until 400L).toSet)
+    assert(ManifestTable.readWhere(spark, root,
+      F.col("id").between(100L, 110L)).count() == 11)
+    // unknown cluster column refused loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.compact(spark, root, 4096L, clusterBy = Seq("nope"))
+    }
+  }
+
   test("tables without declared stat columns have zero stats overhead and never prune") {
     val root = java.nio.file.Files.createTempDirectory("graft_stats3").toString
     ManifestTable.init(root)

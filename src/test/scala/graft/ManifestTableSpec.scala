@@ -544,6 +544,47 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("change data feed: file-diff CDF reports row-level inserts/deletes; compaction reports nothing") {
+    import graft.operators.ManifestTable.changes
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    ManifestTable.init(root)
+    ManifestTable.append(spark, root, batch(0, 100))    // v1
+    ManifestTable.append(spark, root, batch(100, 150))  // v2
+    ManifestTable.deleteWhere(spark, root, F.col("id") < 10)      // v3
+    ManifestTable.updateWhere(spark, root, F.col("id") === 120L,
+      Map("payload" -> F.lit("upd")))                              // v4
+    ManifestTable.compact(spark, root, targetFileBytes = 1L << 20) // v5
+    def feed(a: Int, b: Int): Map[String, Set[(Long, String)]] =
+      changes(spark, root, a, b).collect()
+        .groupBy(_.getString(2))
+        .map { case (t, rs) =>
+          t -> rs.map(r => (r.getLong(0), r.getString(1))).toSet }
+    // append: pure inserts
+    val f12 = feed(1, 2)
+    assert(!f12.contains("delete"))
+    assert(f12("insert") == (100L until 150L).map(i => (i, s"row$i")).toSet)
+    // delete: pure deletes, only the victims (unchanged rows of the
+    // rewritten file cancel)
+    val f23 = feed(2, 3)
+    assert(!f23.contains("insert"))
+    assert(f23("delete") == (0L until 10L).map(i => (i, s"row$i")).toSet)
+    // update: exactly the delete+insert pair of the changed row
+    val f34 = feed(3, 4)
+    assert(f34("delete") == Set((120L, "row120")))
+    assert(f34("insert") == Set((120L, "upd")))
+    // compaction: layout only — ZERO changes
+    assert(changes(spark, root, 4, 5).isEmpty)
+    // spanning feed composes the steps (v2 -> v5)
+    val f25 = feed(2, 5)
+    assert(f25("delete") == ((0L until 10L).map(i => (i, s"row$i")).toSet
+      + ((120L, "row120"))))
+    assert(f25("insert") == Set((120L, "upd")))
+    // same-version feed is empty; expired versions fail loudly
+    assert(changes(spark, root, 3, 3).isEmpty)
+    ManifestTable.expireManifests(root, keepLast = 2)
+    intercept[IllegalStateException] { changes(spark, root, 1, 5) }
+  }
+
   test("column rename: old files read through the new name; old names are reserved; stats and rewrites follow the chain") {
     val root = java.nio.file.Files.createTempDirectory("graft_rename").toString
     ManifestTable.init(root, Seq("id"))
