@@ -1385,6 +1385,45 @@ object ManifestTable {
     committed.get
   }
 
+  /** What one [[maintain]] pass did: the post-maintenance snapshot,
+    * whether a compaction rewrite ran, the expired manifest versions,
+    * and the vacuumed orphan paths. */
+  final case class Maintenance(snapshot: Snapshot, compacted: Boolean,
+                               expired: Seq[Int], vacuumed: Seq[String])
+
+  /** ONE-OP TABLE MAINTENANCE — the whole upkeep cadence a long-lived
+    * streaming table needs, in dependency order, so an operator
+    * schedules a single call instead of four:
+    *  1. [[foldBatches]] — the streaming ledger folds to a watermark
+    *     (manifest stays O(files + recent batches));
+    *  2. [[compact]] — only when the live file count exceeds
+    *     `maxLiveFiles` (no churn on an already-tight table), range-
+    *     clustering on `clusterBy` when given (stats pruning stays
+    *     effective as unsorted appends accumulate);
+    *  3. [[expireManifests]] — bound time travel to `keepManifests`;
+    *  4. [[vacuum]] — drop unreferenced data files past the grace.
+    * Single-writer maintenance op, like the pieces it composes;
+    * concurrent APPENDS stay safe throughout (fold/compact merge
+    * optimistically, vacuum honors write intents). */
+  def maintain(spark: SparkSession, root: String,
+               targetFileBytes: Long,
+               maxLiveFiles: Int = 64,
+               clusterBy: Seq[String] = Seq.empty,
+               keepRecentBatches: Int = 8,
+               keepManifests: Int = 20,
+               orphanGraceMillis: Long = 24L * 3600 * 1000): Maintenance = {
+    require(maxLiveFiles >= 1, "maxLiveFiles must be >= 1")
+    val folded = foldBatches(root, keepRecent = keepRecentBatches)
+    val doCompact = folded.files.size > maxLiveFiles
+    val snap =
+      if (doCompact) compact(spark, root, targetFileBytes,
+        clusterBy = clusterBy)
+      else folded
+    val expired = expireManifests(root, keepLast = keepManifests)
+    val vacuumed = vacuum(root, orphanGraceMillis)
+    Maintenance(snap, doCompact, expired, vacuumed)
+  }
+
   /** Delete data files unreferenced by the LATEST manifest. Three
     * retention gates:
     *  - reader retention (caller's): run only after readers pinned to

@@ -426,6 +426,42 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.latest(root).get.version == 5)
   }
 
+  test("maintain composes fold + conditional compact + expire + vacuum; a tight table is left untouched") {
+    val root = java.nio.file.Files.createTempDirectory("graft_maintain").toString
+    ManifestTable.init(root, Seq("id"))
+    // a streaming table's typical mess: many tiny batch files + ledger
+    for (b <- 0 until 20)
+      ManifestTable.appendBatch(spark, root, b.toLong,
+        batch(b * 10L, b * 10L + 10L).coalesce(1))
+    ManifestTable.deleteWhere(spark, root, F.col("id") === 5L)
+    val m = ManifestTable.maintain(spark, root,
+      targetFileBytes = 1L << 20, maxLiveFiles = 8,
+      clusterBy = Seq("id"), keepRecentBatches = 3,
+      keepManifests = 2, orphanGraceMillis = 0L)
+    assert(m.compacted, "20 files over an 8-file cap must compact")
+    assert(m.snapshot.files.size <= 8)
+    assert(m.snapshot.meta.count(_.startsWith("#batch:")) == 3,
+      "ledger not folded to the audit tail")
+    assert(m.expired.nonEmpty, "old manifests not expired")
+    assert(m.vacuumed.exists(_.endsWith(".parquet")),
+      "superseded data files not vacuumed")
+    assert(ManifestTable.read(spark, root).select("id").as[Long]
+      .collect().toSet == (0L until 200L).toSet - 5L)
+    // pruning still works after the clustered maintenance rewrite
+    assert(ManifestTable.candidateFiles(spark,
+      ManifestTable.latest(root).get, F.col("id") === 150L).size == 1)
+    // a replayed batch still commits nothing (watermark survives)
+    val v = ManifestTable.latest(root).get.version
+    assert(ManifestTable.appendBatch(spark, root, 2L,
+      batch(20, 30)).version == v)
+    // second maintain on the now-tight table: no compaction, no churn
+    val m2 = ManifestTable.maintain(spark, root,
+      targetFileBytes = 1L << 20, maxLiveFiles = 8,
+      keepManifests = 2, orphanGraceMillis = 0L)
+    assert(!m2.compacted)
+    assert(m2.snapshot.files == m.snapshot.files)
+  }
+
   test("atomic-publish primitives: at most one winner, complete-or-absent") {
     import org.apache.hadoop.fs.{Path => HPath}
     import graft.operators.AtomicPublish
@@ -583,6 +619,31 @@ class ManifestTableSpec extends SparkSpec {
     assert(changes(spark, root, 3, 3).isEmpty)
     ManifestTable.expireManifests(root, keepLast = 2)
     intercept[IllegalStateException] { changes(spark, root, 1, 5) }
+  }
+
+  test("change data feed across a rename: metadata-only commits feed nothing; rows surface under the NEW names") {
+    import graft.operators.ManifestTable.changes
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf2").toString
+    ManifestTable.init(root)
+    ManifestTable.append(spark, root, batch(0, 5))                 // v1
+    ManifestTable.renameColumn(spark, root, "payload", "body")     // v2
+    // a rename moves no files — the feed across it is EMPTY
+    assert(changes(spark, root, 1, 2).isEmpty,
+      "metadata-only rename produced feed rows")
+    ManifestTable.append(spark, root, (10L until 12L).toDF("id")
+      .withColumn("body", F.lit("new")))                           // v3
+    val f = changes(spark, root, 1, 3)
+    assert(f.columns.toSeq == Seq("id", "body", "_change_type"),
+      s"feed must use the TO version's names: ${f.columns.mkString(",")}")
+    val rows = f.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((10L, "new", "insert"), (11L, "new", "insert")))
+    // a delete touching a PRE-rename file reports its rows under the
+    // new name (the colmap coalesce applies to the feed too)
+    ManifestTable.deleteWhere(spark, root, F.col("id") === 2L)     // v4
+    val d = changes(spark, root, 3, 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(d == Set((2L, "row2", "delete")))
   }
 
   test("column rename: old files read through the new name; old names are reserved; stats and rewrites follow the chain") {
