@@ -233,6 +233,65 @@ class ManifestStatsSpec extends SparkSpec {
     }
   }
 
+  test("pruning soundness law: on an adversarial table, pruned reads and metadata counts equal the unpruned truth for random predicates") {
+    import org.apache.spark.sql.Column
+    val rnd = new scala.util.Random(20240815L)
+    val root = java.nio.file.Files.createTempDirectory("graft_law").toString
+    ManifestTable.init(root, Seq("id", "name", "score"))
+    // 6 overlapping files: random long ranges, random strings (empty,
+    // unicode, long), doubles with NaN/Inf, nulls in every column
+    val words = Seq("", "a", "Zebra", "zebra", "müller", "ñu", "中文",
+      "apple", "zz", "z" * 80, "0", " lead", null)
+    for (_ <- 0 until 6) {
+      val lo = rnd.nextInt(1000) - 500
+      val rows = Seq.fill(30)((
+        if (rnd.nextInt(10) == 0) None else Some((lo + rnd.nextInt(200)).toLong),
+        words(rnd.nextInt(words.size)),
+        rnd.nextInt(8) match {
+          case 0 => Double.NaN
+          case 1 => Double.PositiveInfinity
+          case _ => rnd.nextDouble() * 100 - 50
+        }))
+      ManifestTable.append(spark, root,
+        rows.toDF("id", "name", "score").coalesce(1))
+    }
+    val idVals = Seq(-600L, -1L, 0L, 3L, 77L, 250L, 501L, 9999L)
+    val strVals = Seq("", "a", "z", "müller", "中文", "Zebra", "zz")
+    val dblVals = Seq(-51.0, 0.0, 49.9, 101.0, Double.NaN)
+    def atom(): Column = rnd.nextInt(10) match {
+      case 0 => F.col("id") === idVals(rnd.nextInt(idVals.size))
+      case 1 => F.col("id") < idVals(rnd.nextInt(idVals.size))
+      case 2 => F.lit(idVals(rnd.nextInt(idVals.size))) <= F.col("id")
+      case 3 => F.col("id").isin(
+        Seq.fill(1 + rnd.nextInt(3))(idVals(rnd.nextInt(idVals.size))): _*)
+      case 4 => F.col("name") === strVals(rnd.nextInt(strVals.size))
+      case 5 => F.col("name") > strVals(rnd.nextInt(strVals.size))
+      case 6 => F.col("score") <= F.lit(dblVals(rnd.nextInt(dblVals.size)))
+      case 7 => F.col("score") > F.lit(dblVals(rnd.nextInt(dblVals.size)))
+      case 8 => F.col("id") % 7 === rnd.nextInt(7) // never prunable
+      case _ => F.col("id").between(
+        idVals(rnd.nextInt(idVals.size)), idVals(rnd.nextInt(idVals.size)))
+    }
+    def pred(depth: Int): Column =
+      if (depth == 0) atom()
+      else rnd.nextInt(3) match {
+        case 0 => pred(depth - 1) && pred(depth - 1)
+        case 1 => pred(depth - 1) || pred(depth - 1)
+        case _ => atom()
+      }
+    val truthDf = ManifestTable.read(spark, root).localCheckpoint(true)
+    for (i <- 0 until 50) {
+      val p = pred(1 + rnd.nextInt(2))
+      val truth = truthDf.filter(p).count()
+      val pruned = ManifestTable.readWhere(spark, root, p).count()
+      assert(pruned == truth,
+        s"predicate #$i pruned a matching row: $pruned vs $truth ($p)")
+      val meta = ManifestTable.countWhere(spark, root, Some(p))
+      assert(meta == truth,
+        s"predicate #$i metadata count diverged: $meta vs $truth ($p)")
+    }
+  }
+
   test("tables without declared stat columns have zero stats overhead and never prune") {
     val root = java.nio.file.Files.createTempDirectory("graft_stats3").toString
     ManifestTable.init(root)
