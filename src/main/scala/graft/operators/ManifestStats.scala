@@ -382,6 +382,14 @@ object ManifestStats {
             }
           case _ => true
         }
+      // the null count answers null predicates exactly
+      case IsNull(a) =>
+        attrName(a).flatMap(statFor(_, st, schema, resolve))
+          .map(_._1.nulls > 0L).getOrElse(true)
+      case IsNotNull(a) =>
+        attrName(a).flatMap(statFor(_, st, schema, resolve))
+          // non-null values exist iff bounds were recordable
+          .map(_._1.bounds.isDefined).getOrElse(true)
       case _ => true // unsupported shape: never prune on it
     }
   }
@@ -430,6 +438,12 @@ object ManifestStats {
       case GreaterThanOrEqual(a, b) =>
         check(a, b, (cl, _) => cl >= 0)
           .orElse(check(b, a, (_, ch) => ch <= 0)).getOrElse(false)
+      case IsNull(a) => // every row null ⇔ the null-only marker
+        attrName(a).flatMap(statFor(_, st, schema, resolve))
+          .exists(s => s._1.bounds.isEmpty && s._1.nulls > 0L)
+      case IsNotNull(a) =>
+        attrName(a).flatMap(statFor(_, st, schema, resolve))
+          .exists(_._1.nulls == 0L)
       case _ => false // unsupported shape: never claim full coverage
     }
   }

@@ -60,6 +60,15 @@ class ManifestStatsSpec extends SparkSpec {
       F.col("id").isin(5L, 305L)).size == 2)
     // out-of-range → zero candidates
     assert(ManifestTable.candidateFiles(spark, snap, F.col("id") < 0L).isEmpty)
+    // null predicates answer from the recorded null counts: no file
+    // has a null id, so IS NULL prunes everything and IS NOT NULL
+    // keeps everything
+    assert(ManifestTable.candidateFiles(spark, snap,
+      F.col("id").isNull).isEmpty)
+    assert(ManifestTable.candidateFiles(spark, snap,
+      F.col("id").isNotNull).size == 4)
+    assert(ManifestTable.countWhere(spark, root,
+      Some(F.col("id").isNotNull)) == 400L)
     // un-evaluable shapes and un-statted columns never prune
     assert(ManifestTable.candidateFiles(spark, snap, F.col("id") % 2 === 0).size == 4)
     assert(ManifestTable.candidateFiles(spark, snap,
@@ -258,7 +267,11 @@ class ManifestStatsSpec extends SparkSpec {
     val idVals = Seq(-600L, -1L, 0L, 3L, 77L, 250L, 501L, 9999L)
     val strVals = Seq("", "a", "z", "müller", "中文", "Zebra", "zz")
     val dblVals = Seq(-51.0, 0.0, 49.9, 101.0, Double.NaN)
-    def atom(): Column = rnd.nextInt(10) match {
+    def atom(): Column = rnd.nextInt(12) match {
+      case 10 =>
+        val c = Seq("id", "name", "score")(rnd.nextInt(3)); F.col(c).isNull
+      case 11 =>
+        val c = Seq("id", "name", "score")(rnd.nextInt(3)); F.col(c).isNotNull
       case 0 => F.col("id") === idVals(rnd.nextInt(idVals.size))
       case 1 => F.col("id") < idVals(rnd.nextInt(idVals.size))
       case 2 => F.lit(idVals(rnd.nextInt(idVals.size))) <= F.col("id")
