@@ -290,9 +290,11 @@ object ManifestStats {
 
   /** Spark's string ordering is UTF8String binary order — unsigned
     * UTF-8 byte comparison, NOT java.lang.String's UTF-16 order. */
-  private def utf8Cmp(a: String, b: String): Int = {
-    val x = a.getBytes(StandardCharsets.UTF_8)
-    val y = b.getBytes(StandardCharsets.UTF_8)
+  private def utf8Cmp(a: String, b: String): Int =
+    bytesCmp(a.getBytes(StandardCharsets.UTF_8),
+      b.getBytes(StandardCharsets.UTF_8))
+
+  private def bytesCmp(x: Array[Byte], y: Array[Byte]): Int = {
     var i = 0
     while (i < x.length && i < y.length) {
       val d = (x(i) & 0xff) - (y(i) & 0xff)
@@ -301,6 +303,45 @@ object ManifestStats {
     }
     x.length - y.length
   }
+
+  /** Exclusive upper bound of the prefix interval: the set of strings
+    * starting with `prefix` is EXACTLY `[prefix, succ(prefix))` in
+    * bytewise order, where succ increments the last non-0xFF byte and
+    * drops what follows. None = unbounded (all-0xFF prefix: the
+    * interval is `[prefix, +inf)`). Exact because recorded bounds are
+    * never truncated (oversized stats are DROPPED, not shortened). */
+  private def prefixSucc(prefix: String): Option[Array[Byte]] = {
+    val b = prefix.getBytes(StandardCharsets.UTF_8)
+    var i = b.length - 1
+    while (i >= 0 && b(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(b, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
+  /** (prefix, bounds) → (mayContainPrefixRow, allRowsHavePrefix). */
+  private def prefixCheck(p: String, lo: String,
+                          hi: String): (Boolean, Boolean) = {
+    val pB = p.getBytes(StandardCharsets.UTF_8)
+    val loB = lo.getBytes(StandardCharsets.UTF_8)
+    val hiB = hi.getBytes(StandardCharsets.UTF_8)
+    val succ = prefixSucc(p)
+    val may = bytesCmp(hiB, pB) >= 0 &&
+      succ.forall(s => bytesCmp(loB, s) < 0)
+    val all = bytesCmp(loB, pB) >= 0 &&
+      succ.forall(s => bytesCmp(hiB, s) < 0)
+    (may, all)
+  }
+
+  private def foldString(e: Expression): Option[String] =
+    fold(e).flatMap {
+      case (s: org.apache.spark.unsafe.types.UTF8String, _) => Some(s.toString)
+      case (s: String, _) => Some(s)
+      case _ => None
+    }
 
   /** sign(statVal − literal) in the column type's ordering. */
   private def cmp(colDt: DataType, statVal: String, v: Any,
@@ -382,6 +423,16 @@ object ManifestStats {
             }
           case _ => true
         }
+      case StartsWith(a, litE) =>
+        (for {
+          n <- attrName(a)
+          p <- foldString(litE)
+          csDt <- statFor(n, st, schema, resolve)
+          if csDt._2 == StringType
+        } yield csDt._1.bounds match {
+          case None => false // null-only: no string to carry the prefix
+          case Some((lo, hi)) => prefixCheck(p, lo, hi)._1
+        }).getOrElse(true)
       // the null count answers null predicates exactly
       case IsNull(a) =>
         attrName(a).flatMap(statFor(_, st, schema, resolve))
@@ -438,6 +489,14 @@ object ManifestStats {
       case GreaterThanOrEqual(a, b) =>
         check(a, b, (cl, _) => cl >= 0)
           .orElse(check(b, a, (_, ch) => ch <= 0)).getOrElse(false)
+      case StartsWith(a, litE) =>
+        (for {
+          n <- attrName(a)
+          p <- foldString(litE)
+          csDt <- statFor(n, st, schema, resolve)
+          if csDt._2 == StringType && csDt._1.nulls == 0L
+          b <- csDt._1.bounds
+        } yield prefixCheck(p, b._1, b._2)._2).getOrElse(false)
       case IsNull(a) => // every row null ⇔ the null-only marker
         attrName(a).flatMap(statFor(_, st, schema, resolve))
           .exists(s => s._1.bounds.isEmpty && s._1.nulls > 0L)

@@ -168,6 +168,13 @@ class ManifestStatsSpec extends SparkSpec {
     assert(ManifestTable.candidateFiles(spark, snap,
       F.col("name") === "avocado").size == 1)
     assert(ManifestTable.candidateFiles(spark, snap, F.col("name") > "zzz").isEmpty)
+    // prefix pruning: the interval [p, succ(p)) against exact bounds
+    assert(ManifestTable.candidateFiles(spark, snap,
+      F.col("name").startsWith("pe")).size == 1) // peach file only
+    assert(ManifestTable.candidateFiles(spark, snap,
+      F.col("name").startsWith("x")).isEmpty)
+    assert(ManifestTable.countWhere(spark, root,
+      Some(F.col("name").startsWith("ap"))) == 1L)
     assert(ManifestTable.candidateFiles(spark, snap,
       F.col("ts") > F.to_timestamp_ntz(F.lit("2024-01-10 00:00:00"))).size == 1)
     // oversized strings drop the stat (stay candidates), never lie
@@ -267,11 +274,13 @@ class ManifestStatsSpec extends SparkSpec {
     val idVals = Seq(-600L, -1L, 0L, 3L, 77L, 250L, 501L, 9999L)
     val strVals = Seq("", "a", "z", "müller", "中文", "Zebra", "zz")
     val dblVals = Seq(-51.0, 0.0, 49.9, 101.0, Double.NaN)
-    def atom(): Column = rnd.nextInt(12) match {
+    def atom(): Column = rnd.nextInt(13) match {
       case 10 =>
         val c = Seq("id", "name", "score")(rnd.nextInt(3)); F.col(c).isNull
       case 11 =>
         val c = Seq("id", "name", "score")(rnd.nextInt(3)); F.col(c).isNotNull
+      case 12 => F.col("name").startsWith(
+        Seq("", "a", "z", "mü", "中", "Z", "zz", "q")(rnd.nextInt(8)))
       case 0 => F.col("id") === idVals(rnd.nextInt(idVals.size))
       case 1 => F.col("id") < idVals(rnd.nextInt(idVals.size))
       case 2 => F.lit(idVals(rnd.nextInt(idVals.size))) <= F.col("id")

@@ -705,6 +705,33 @@ class ManifestTableSpec extends SparkSpec {
       Some(F.col("doc_key") === 3L)) == 1L)
   }
 
+  test("an append racing a rename fails loudly instead of resurrecting the old name") {
+    val root = java.nio.file.Files.createTempDirectory("graft_renrace").toString
+    ManifestTable.init(root)
+    ManifestTable.append(spark, root, batch(0, 10))
+    // the rename commits BETWEEN this append's data write and its
+    // commit loop: the batch still carries 'payload', which is now a
+    // reserved historical name — merging it would resurrect old bytes
+    // under a live name, so the append must throw, not commit
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root, batch(10, 20),
+        beforeCommit = () => {
+          ManifestTable.renameColumn(spark, root, "payload", "body"); ()
+        })
+    }
+    assert(e.getMessage.contains("reserved"))
+    // the failed append left nothing: same rows, and its files are
+    // ordinary vacuumable orphans (intent cleared on the way out)
+    assert(ManifestTable.read(spark, root).count() == 10)
+    assert(ManifestTable.vacuum(root, orphanGraceMillis = 0)
+      .exists(_.endsWith(".parquet")),
+      "aborted append's files must be vacuumable, not intent-pinned")
+    // re-issued under the current name, it lands
+    ManifestTable.append(spark, root, (10L until 20L).toDF("id")
+      .withColumn("body", F.concat(F.lit("row"), F.col("id"))))
+    assert(ManifestTable.read(spark, root).count() == 20)
+  }
+
   test("column drop: reads and rewrites exclude the column; the name (and its chain) is tombstoned") {
     val root = java.nio.file.Files.createTempDirectory("graft_drop").toString
     ManifestTable.init(root)
