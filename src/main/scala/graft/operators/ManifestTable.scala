@@ -1385,6 +1385,38 @@ object ManifestTable {
     committed.get
   }
 
+  /** TABLE HISTORY — one row per SURVIVING manifest version, from
+    * metadata alone (zero data I/O): file count, total rows (when
+    * every file carries stats — NULL otherwise), the file delta vs
+    * the previous surviving version, the streaming ledger state, and
+    * the recorded column count. The ops dashboard over a long-lived
+    * table; [[expireManifests]] retention bounds the lookback exactly
+    * as for time travel. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val dir = manifestDir(root)
+    val versions = versionNumbers(fsOf(dir), dir).sorted
+    val snaps = versions.flatMap(v => snapshot(root, v))
+    val out = snaps.zipWithIndex.map { case (s, i) =>
+      val prev: Set[String] =
+        if (i == 0) Set.empty else snaps(i - 1).files.toSet
+      val cur = s.files.toSet
+      val rowCounts = s.files.map(f =>
+        s.stats.get(f).map(ManifestStats.decode(_).rows).filter(_ >= 0))
+      val nRows: Option[Long] =
+        if (s.files.isEmpty) Some(0L)
+        else if (rowCounts.forall(_.isDefined)) Some(rowCounts.flatten.sum)
+        else None
+      (s.version, s.files.size, nRows,
+        (cur -- prev).size, (prev -- cur).size,
+        batchesThrough(s.meta), s.meta.count(_.startsWith(BatchPrefix)),
+        recordedSchema(s).map(_.fields.length))
+    }
+    val sp = spark
+    import sp.implicits._
+    out.toDF("version", "n_files", "n_rows", "files_added",
+      "files_removed", "batches_through", "batch_markers", "n_columns")
+  }
+
   /** What one [[maintain]] pass did: the post-maintenance snapshot,
     * whether a compaction rewrite ran, the expired manifest versions,
     * and the vacuumed orphan paths. */

@@ -314,6 +314,59 @@ class ManifestStatsSpec extends SparkSpec {
     }
   }
 
+  test("history reports per-version metadata (rows from stats, file deltas, ledger) with zero data I/O") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.appendBatch(spark, root, 0L, batch(0, 100).coalesce(1))
+    ManifestTable.appendBatch(spark, root, 1L, batch(100, 150).coalesce(1))
+    ManifestTable.deleteWhere(spark, root, F.col("id") === 5L)
+    ManifestTable.foldBatches(root)
+    // metadata-only proof: corrupt the data, history still answers
+    ManifestTable.latest(root).get.files.foreach(corrupt(root, _))
+    val h = ManifestTable.history(spark, root).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(h.keySet == Set(0, 1, 2, 3, 4))
+    assert(h(1).getInt(1) == 1 && h(1).getLong(2) == 100L)
+    assert(h(2).getLong(2) == 150L)
+    assert(h(3).getLong(2) == 149L, "post-delete rows from stats")
+    assert(h(3).getInt(3) == 1 && h(3).getInt(4) == 1,
+      "delete rewrites one file for one")
+    assert(h(2).getLong(5) == -1L && h(2).getInt(6) == 2,
+      "pre-fold ledger: two markers, no watermark")
+    assert(h(4).getLong(5) == 1L && h(4).getInt(6) == 0,
+      "post-fold ledger: watermark 1, no markers")
+    assert(h(0).isNullAt(7), "pre-schema version must report NULL columns")
+    assert((1 to 4).forall(v => h(v).getInt(7) == 2), "id+payload recorded")
+    // expire bounds the lookback; deltas re-baseline at the horizon
+    ManifestTable.expireManifests(root, keepLast = 2)
+    val h2 = ManifestTable.history(spark, root).collect()
+    assert(h2.map(_.getInt(0)).toSet == Set(3, 4))
+  }
+
+  test("a 20k-file manifest prunes in driver milliseconds, not seconds") {
+    // planning cost must stay metadata-scale: decode + bound
+    // arithmetic per file, one compiled predicate per op
+    val files = (0 until 20000).map(i => f"data/tok$i%05d/part-$i%05d.parquet")
+    val stats = files.zipWithIndex.map { case (f, i) =>
+      f -> ManifestStats.encode(ManifestStats.FileStats(100L,
+        Map("id" -> ManifestStats.ColStat(
+          Some((String.valueOf(i * 100L), String.valueOf(i * 100L + 99L))), 0L))))
+    }.toMap
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val snap = ManifestTable.Snapshot(7, files, Seq.empty,
+      Some(schema.json), stats)
+    // warm the analysis path once, then time the pruning pass
+    ManifestTable.candidateFiles(spark, snap, F.col("id") === 0L)
+    val t0 = System.nanoTime()
+    val cand = ManifestTable.candidateFiles(spark, snap,
+      F.col("id") === 1234567L)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(cand.size == 1, s"${cand.size} candidates")
+    assert(ms < 2000, f"pruning a 20k-file manifest took $ms%.0f ms")
+  }
+
   test("tables without declared stat columns have zero stats overhead and never prune") {
     val root = java.nio.file.Files.createTempDirectory("graft_stats3").toString
     ManifestTable.init(root)
