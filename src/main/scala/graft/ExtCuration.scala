@@ -72,7 +72,7 @@ private[graft] object ExtCuration {
       val g0 = gate(docs.filter(F.col("doc_id") % 2 === 0))
       val g1 = gate(docs.filter(F.col("doc_id") % 2 === 1))
       // standing state: manifest corpus + signature store of split 0
-      graft.operators.ManifestTable.init(corpusRoot)
+      graft.operators.ManifestTable.init(corpusRoot, Seq("doc_id"))
       graft.operators.ManifestTable.append(s, corpusRoot,
         g0.select("doc_id", "source"))
       graft.operators.SignatureStore.init(g0, "doc_id", "text",

@@ -314,7 +314,7 @@ private[graft] object ExtDedup {
       val slim = (df: org.apache.spark.sql.DataFrame) =>
         df.select("doc_id", "lang", "source")
       val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
-      graft.operators.ManifestTable.init(corpusRoot)
+      graft.operators.ManifestTable.init(corpusRoot, Seq("doc_id"))
       graft.operators.ManifestTable.append(s, corpusRoot,
         slim(docs.filter(F.col("doc_id") % 3 === 1)))
       SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 1),
@@ -379,7 +379,7 @@ private[graft] object ExtDedup {
       val slim = (df: org.apache.spark.sql.DataFrame) =>
         df.select("doc_id", "lang", "source")
       val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
-      graft.operators.ManifestTable.init(corpusRoot)
+      graft.operators.ManifestTable.init(corpusRoot, Seq("doc_id"))
       graft.operators.ManifestTable.append(s, corpusRoot,
         slim(docs.filter(F.col("doc_id") % 3 === 1)))
       SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 1),
@@ -425,7 +425,7 @@ private[graft] object ExtDedup {
       val slim = (df: org.apache.spark.sql.DataFrame) =>
         df.select("doc_id", "lang", "source")
       val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
-      graft.operators.ManifestTable.init(corpusRoot)
+      graft.operators.ManifestTable.init(corpusRoot, Seq("doc_id"))
       graft.operators.ManifestTable.append(s, corpusRoot,
         slim(docs.filter(F.col("doc_id") % 3 === 1)))
       SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 1),
@@ -471,7 +471,7 @@ private[graft] object ExtDedup {
       deleteRec(new java.io.File(sigRoot))
       val docs = Tables.scan(s, dir, "documents")
       val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
-      graft.operators.ManifestTable.init(corpusRoot)
+      graft.operators.ManifestTable.init(corpusRoot, Seq("doc_id"))
       graft.operators.ManifestTable.append(s, corpusRoot,
         docs.filter(F.col("doc_id") % 3 >= 1)
           .select("doc_id", "lang", "source"))
