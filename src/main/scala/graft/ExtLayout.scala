@@ -362,6 +362,34 @@ private[graft] object ExtLayout {
     }),
 
 
+    // numeric type WIDENING through the schema ledger: batch 1 lands
+    // n_chars as INT, batch 2 as LONG — the recorded type widens to
+    // bigint as a pure metadata change (the int file is carried by
+    // reference; Spark's parquet reader upcasts it at scan), and the
+    // compaction rewrite then emits uniform wide files. The aggregate
+    // must be exact across the seam.
+    "x_manifest_widen" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_widen")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 2 === 0)
+          .select(F.col("doc_id"), F.col("source"),
+            F.col("n_chars").cast("int").as("n_chars")))
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 2 =!= 0)
+          .select(F.col("doc_id"), F.col("source"),
+            F.col("n_chars").cast("long").as("n_chars")))
+      graft.operators.ManifestTable.compact(s, root,
+        targetFileBytes = 4L * 1024 * 1024)
+      graft.operators.ManifestTable.read(s, root)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_chars")).as("sum_chars"))
+    }),
+
+
     // exactly-once streaming append into the manifest table: three
     // mtime-ordered micro-batches land through appendBatch's atomic
     // marker+filelist commit — a double-counted replay or a lost
@@ -784,6 +812,13 @@ private[graft] object ExtLayout {
     // every batch exactly once = the whole corpus
     "x_stream_manifest" ->
       "SELECT doc_id, lang, source FROM documents",
+
+    // the int→bigint widening (and the rewrite through it) must be
+    // invisible to the aggregate
+    "x_manifest_widen" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY 1"),
 
     // the clustered rewrite must be invisible to the windowed read
     "x_manifest_cluster" ->

@@ -6,7 +6,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
+  IntegerType, LongType, ShortType, StructField, StructType}
 
 /** Manifest-pointer parquet table — compaction (and any rewrite)
   * safe under concurrent appends and live readers, without a table
@@ -256,6 +257,24 @@ object ManifestTable {
     * Recorded fields are nullable — a file written before a column
     * existed reads NULL for it, so no column can promise non-null
     * across the whole table. */
+  /** The common readable type of an existing column and a batch's —
+    * WIDENING inside a numeric family only (byte→short→int→long,
+    * float→double), the exact upcasts Spark's parquet reader performs
+    * on files narrower than the read schema (so widening the RECORDED
+    * type never re-reads or rewrites a file). Cross-family widening
+    * (int→double) and everything else is None: value semantics would
+    * change, not just width. */
+  private def widen(a: DataType, b: DataType): Option[DataType] = {
+    if (a == b) return Some(a)
+    val intRank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    val fpRank = Map[DataType, Int](FloatType -> 1, DoubleType -> 2)
+    def pick(r: Map[DataType, Int]) = for {
+      x <- r.get(a); y <- r.get(b)
+    } yield if (x >= y) a else b
+    pick(intRank).orElse(pick(fpRank))
+  }
+
   private def mergeSchemaJson(cur: Option[String],
                               batchRaw: StructType,
                               reserved: Set[String] = Set.empty): String = {
@@ -271,17 +290,25 @@ object ManifestTable {
         val old = DataType.fromJson(j).asInstanceOf[StructType]
         val byName: Map[String, StructField] =
           batch.fields.map(f => f.name -> f).toMap
-        old.fields.foreach { f =>
-          byName.get(f.name).foreach { nf =>
-            require(nf.dataType.catalogString == f.dataType.catalogString,
-              s"schema evolution cannot change column '${f.name}' from " +
-                s"${f.dataType.catalogString} to ${nf.dataType.catalogString}")
+        var changed = false
+        val merged = old.fields.map { f =>
+          byName.get(f.name) match {
+            case Some(nf) =>
+              val w = widen(f.dataType, nf.dataType).getOrElse(
+                throw new IllegalArgumentException(
+                  s"schema evolution cannot change column '${f.name}' from " +
+                    s"${f.dataType.catalogString} to " +
+                    s"${nf.dataType.catalogString} (only in-family numeric " +
+                    "widening is supported)"))
+              if (w != f.dataType) changed = true
+              f.copy(dataType = w)
+            case None => f
           }
         }
         val oldNames = old.fieldNames.toSet
         val added = batch.fields.filterNot(f => oldNames(f.name))
-        if (added.isEmpty) j
-        else StructType(old.fields ++ added).json
+        if (added.isEmpty && !changed) j
+        else StructType(merged ++ added).json
     }
   }
 

@@ -763,6 +763,47 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution widens numeric types in place: old files upcast at read, stats keep pruning") {
+    val root = java.nio.file.Files.createTempDirectory("graft_widen").toString
+    ManifestTable.init(root, Seq("v"))
+    def b(lo: Long, hi: Long, cast: String) =
+      (lo until hi).toDF("id").withColumn("v", F.col("id").cast(cast))
+    ManifestTable.append(spark, root, b(0, 100, "int").coalesce(1))
+    // a LONG batch widens the recorded type — metadata change only,
+    // the int file is carried by reference and upcast at read
+    val before = ManifestTable.latest(root).get.files
+    ManifestTable.append(spark, root, b(1000, 1100, "long").coalesce(1))
+    val snap = ManifestTable.latest(root).get
+    assert(before.forall(snap.files.contains), "widening rewrote a file")
+    val df = ManifestTable.read(spark, root)
+    assert(df.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.select("v").as[Long].collect().toSet ==
+      ((0L until 100L) ++ (1000L until 1100L)).toSet)
+    // a narrower later batch folds in WITHOUT narrowing the record
+    ManifestTable.append(spark, root, b(5000, 5010, "short").coalesce(1))
+    assert(ManifestTable.read(spark, root).schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // pruning on the widened column still sees the int file's stats
+    val s2 = ManifestTable.latest(root).get
+    assert(ManifestTable.candidateFiles(spark, s2,
+      F.col("v") === 50L).size == 1)
+    assert(ManifestTable.countWhere(spark, root,
+      Some(F.col("v") < 100L)) == 100L)
+    assert(ManifestTable.statBounds(spark, root, "v")
+      .contains((0L, 5009L)))
+    // non-widening changes stay rejected: cross-family and non-numeric
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root, b(0, 1, "double"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root, b(0, 1, "string"))
+    }
+    // rewrites and upserts run against the widened read schema
+    assert(ManifestTable.deleteWhere(spark, root,
+      F.col("v") === 42L).removedRows == 1L)
+    assert(ManifestTable.read(spark, root).count() == 209)
+  }
+
   test("multi-writer stress: concurrent appenders + a compactor lose nothing, versions dense") {
     multiWriterStress(
       java.nio.file.Files.createTempDirectory("graft_manifest8").toString)
