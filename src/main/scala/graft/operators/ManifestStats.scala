@@ -103,13 +103,19 @@ object ManifestStats {
   }
 
   /** min/max normalization — monotone per type, so it commutes with
-    * the aggregate and the normalized ordering IS the value ordering. */
+    * the aggregate and the normalized ordering IS the value ordering.
+    * FLOAT canonicalizes through DOUBLE first: the recorded decimal is
+    * the exact widened value (e.g. 0.1f → "0.10000000149011612"), so
+    * stats written before a float→double schema widening compare
+    * consistently with double literals afterwards — [[litComparable]]
+    * folds float literals through the same double expansion. */
   private def norm(agg: Column, dt: DataType): Column = dt match {
     case DateType => F.unix_date(agg).cast("string")
     case TimestampType => F.unix_micros(agg).cast("string")
     case TimestampNTZType => F.date_format(agg, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     case StringType =>
       F.when(F.length(agg) <= MaxStringStat, agg) // else NULL → stat dropped
+    case FloatType => agg.cast("double").cast("string")
     case _ => agg.cast("string")
   }
 
@@ -134,7 +140,7 @@ object ManifestStats {
       .groupBy("__f").agg(aggs.head, aggs.tail: _*)
       .collect() // bounded by the batch's file count — metadata scale
     out.map { r =>
-      val rel = r.getString(0).split('/').takeRight(3).mkString("/")
+      val rel = ManifestTable.relPathOf(r.getString(0))
       val rowCount = r.getLong(1)
       val cols = present.zipWithIndex.flatMap { case (c, i) =>
         val (loI, hiI, nI) = (2 + 3 * i, 3 + 3 * i, 4 + 3 * i)
@@ -147,8 +153,8 @@ object ManifestStats {
           if (nulls == rowCount) Some(c -> ColStat(None, nulls)) else None
         } else {
           val (lo, hi) = (r.getString(loI), r.getString(hiI))
-          if (!finite(df.schema(c).dataType, lo) ||
-              !finite(df.schema(c).dataType, hi)) None // NaN/Inf unorderable
+          if (!normalizedOk(df.schema(c).dataType, lo) ||
+              !normalizedOk(df.schema(c).dataType, hi)) None
           else Some(c -> ColStat(Some((lo, hi)), nulls))
         }
       }.toMap
@@ -156,9 +162,15 @@ object ManifestStats {
     }.toMap
   }
 
-  private def finite(dt: DataType, v: String): Boolean = dt match {
+  /** Is a normalized value usable for ordering? NaN/Infinity are
+    * unorderable; an NTZ outside the fixed 26-char 4-digit-year form
+    * (year ≥ 10000 or negative) breaks the lexicographic =
+    * chronological invariant — such stats drop (conservative), never
+    * lie. */
+  private def normalizedOk(dt: DataType, v: String): Boolean = dt match {
     case FloatType | DoubleType =>
       scala.util.Try(BigDecimal(v)).isSuccess
+    case TimestampNTZType => v.length == 26
     case _ => true
   }
 
@@ -256,8 +268,11 @@ object ManifestStats {
           case (x: Long, _) => Some(BigDecimal(x))
           case (x: Short, _) => Some(BigDecimal(x.toInt))
           case (x: Byte, _) => Some(BigDecimal(x.toInt))
+          // floats fold through their exact double expansion — the
+          // same canonical form [[norm]] records, so float-era stats
+          // stay comparable after a float→double widening
           case (x: Float, _) if !x.isNaN && !x.isInfinite =>
-            Some(BigDecimal(x.toString))
+            Some(BigDecimal(x.toDouble))
           case (x: Double, _) if !x.isNaN && !x.isInfinite =>
             Some(BigDecimal(x))
           case (x: org.apache.spark.sql.types.Decimal, _) =>
@@ -281,8 +296,11 @@ object ManifestStats {
             Math.floorDiv(micros, 1000000L),
             (Math.floorMod(micros, 1000000L) * 1000L).toInt,
             java.time.ZoneOffset.UTC)
-          Some(scala.Right(ldt.format(java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))))
+          val s = ldt.format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          // outside the fixed-width 4-digit-year form the ordering
+          // invariant (and the recorded stats) do not apply
+          if (s.length == 26) Some(scala.Right(s)) else None
         case _ => None
       }
       case _ => None

@@ -148,6 +148,8 @@ object ManifestTable {
   def init(root: String, statColumns: Seq[String]): Unit = {
     require(statColumns.forall(_.matches("[A-Za-z0-9_]+")),
       s"stat column names must be word-shaped: ${statColumns.mkString(",")}")
+    require(!statColumns.contains("rows"),
+      "'rows' is reserved by the stat encoding (the per-file row count)")
     val fs = fsOf(manifestDir(root))
     fs.mkdirs(manifestDir(root))
     fs.mkdirs(new HPath(root, "data"))
@@ -493,8 +495,10 @@ object ManifestTable {
     * scan path (`input_file_name()` output) — manifest file entries
     * are always exactly these three segments, so equality on the
     * suffix IS the membership test, probed through a Set in O(files)
-    * instead of a files×affected nested `endsWith` scan. */
-  private def relPathOf(absPath: String): String =
+    * instead of a files×affected nested `endsWith` scan. The ONE
+    * place the layout depth is encoded ([[ManifestStats.compute]]
+    * keys its stat map through this too). */
+  private[operators] def relPathOf(absPath: String): String =
     absPath.split('/').takeRight(3).mkString("/")
 
   /** The `data/<token>/` segment of a root-relative file path. */
@@ -527,10 +531,6 @@ object ManifestTable {
     (rel, token, ManifestStats.compute(spark, root, rel, statCols))
   }
 
-  /** The table's declared stat columns, read once per op. */
-  private def statCols(root: String): Seq[String] =
-    latest(root).map(statColsOf).getOrElse(Seq.empty)
-
   /** Append `df` as a new snapshot; returns the committed version.
     * `beforeCommit` is a test seam for injecting a concurrent
     * vacuum/writer between the data write and the commit.
@@ -542,8 +542,10 @@ object ManifestTable {
              beforeCommit: () => Unit = () => (),
              guardLedger: Option[String] = None): Snapshot = {
     guardLedger.foreach(TakedownLedger.requireClear(_, root))
-    val (newFiles, token, newStats) =
-      writeData(spark, root, df, statCols(root))
+    // stat columns are fixed at init — one snapshot read serves the
+    // whole op (the commit loop re-reads for the merge anyway)
+    val (newFiles, token, newStats) = writeData(spark, root, df,
+      latest(root).map(statColsOf).getOrElse(Seq.empty))
     try {
       beforeCommit()
       commitLoop(root) { cur =>
@@ -596,11 +598,13 @@ object ManifestTable {
   def appendBatch(spark: SparkSession, root: String, batchId: Long,
                   df: DataFrame): Snapshot = {
     val marker = s"$BatchPrefix$batchId"
-    latest(root).filter(batchCommitted(_, batchId)) match {
+    val head = latest(root)
+    head.filter(batchCommitted(_, batchId)) match {
       case Some(cur) => cur // replayed: nothing to read, write, or commit
       case None =>
-        val (newFiles, token, newStats) =
-          writeData(spark, root, df, statCols(root))
+        // the replay-check read also serves the stat-column lookup
+        val (newFiles, token, newStats) = writeData(spark, root, df,
+          head.map(statColsOf).getOrElse(Seq.empty))
         try {
           var result: Option[Snapshot] = None
           while (result.isEmpty) {
@@ -767,9 +771,22 @@ object ManifestTable {
     val fromSet = from.files.toSet
     val removed = from.files.filterNot(toSet)
     val added = to.files.filterNot(fromSet)
+    // pre-ledger manifests (no recorded schema): derive ONE merged
+    // schema over BOTH changed-file sets, so the two except-all sides
+    // align by name — two independent mergeSchema scans could differ
+    // in columns (a rewrite that added a column) and either throw or
+    // misalign positionally
+    val changedAll = removed ++ added
+    val readBase: Snapshot =
+      if (to.schemaJson.isDefined || changedAll.isEmpty) to
+      else to.copy(schemaJson = Some(StructType(
+        spark.read.option("mergeSchema", "true")
+          .parquet(changedAll.map(f => s"$root/$f"): _*)
+          .schema.fields.map(_.copy(nullable = true))).json))
     def rowsOf(files: Seq[String]): DataFrame =
-      if (files.nonEmpty) readSnapshot(spark, root, to.copy(files = files))
-      else recordedSchema(to) match {
+      if (files.nonEmpty)
+        readSnapshot(spark, root, readBase.copy(files = files))
+      else recordedSchema(readBase) match {
         case Some(sc) => spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
         case None if to.files.nonEmpty =>
@@ -1069,8 +1086,8 @@ object ManifestTable {
       .localCheckpoint(eager = true)
     require(uIds.count() == nU,
       s"upsert updates must carry distinct '$idCol' values")
-    val (updFiles, updToken, updStats) =
-      writeData(spark, root, u, statCols(root))
+    val (updFiles, updToken, updStats) = writeData(spark, root, u,
+      latest(root).map(statColsOf).getOrElse(Seq.empty))
     // the update-id RANGE prunes the match scan to intersecting files
     val mm = uIds.agg(F.min("__merge_id"), F.max("__merge_id")).head()
     val prune = if (mm.isNullAt(0)) None

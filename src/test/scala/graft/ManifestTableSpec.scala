@@ -646,6 +646,42 @@ class ManifestTableSpec extends SparkSpec {
     assert(d == Set((2L, "row2", "delete")))
   }
 
+  test("change data feed on a PRE-LEDGER table aligns both sides on one merged schema") {
+    import graft.operators.ManifestTable.changes
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf3").toString
+    ManifestTable.init(root)
+    ManifestTable.append(spark, root, batch(0, 10))                  // v1
+    ManifestTable.append(spark, root,
+      batch(10, 15).withColumn("lang", F.lit("en")))                 // v2
+    // simulate a round-13 manifest: strip the recorded-schema lines
+    import scala.jdk.CollectionConverters._
+    for (v <- 1 to 2) {
+      val p = java.nio.file.Paths.get(root, "manifest", s"v$v")
+      val stripped = java.nio.file.Files.readAllLines(p).asScala
+        .filterNot(_.startsWith("#schema:"))
+      java.nio.file.Files.write(p, stripped.mkString("\n").getBytes)
+    }
+    assert(ManifestTable.latest(root).get.schemaJson.isEmpty)
+    // removed side has (id,payload), added side (id,payload,lang):
+    // without the unified merge the exceptAll sides would mismatch
+    val f = changes(spark, root, 1, 2).collect()
+    assert(f.forall(_.getString(3) == "insert"))
+    assert(f.map(_.getLong(0)).toSet == (10L until 15L).toSet)
+    // a NARROW batch (no lang) appends: the append seeds the recorded
+    // schema from the existing files (the pre-ledger upgrade path),
+    // so the feed NULL-fills lang for the new rows and stays aligned
+    ManifestTable.append(spark, root, batch(20, 25))               // v3
+    val df2 = changes(spark, root, 2, 3)
+    val ct = df2.columns.indexOf("_change_type")
+    val f2 = df2.collect()
+    assert(f2.length == 5 && f2.forall(_.getString(ct) == "insert"),
+      "pre-ledger narrow-batch feed misaligned")
+    assert(f2.map(_.getLong(0)).toSet == (20L until 25L).toSet)
+    assert(df2.columns.contains("lang") &&
+      f2.forall(r => r.isNullAt(df2.columns.indexOf("lang"))),
+      "narrow rows must NULL-fill the seeded wider schema")
+  }
+
   test("column rename: old files read through the new name; old names are reserved; stats and rewrites follow the chain") {
     val root = java.nio.file.Files.createTempDirectory("graft_rename").toString
     ManifestTable.init(root, Seq("id"))
@@ -756,9 +792,11 @@ class ManifestTableSpec extends SparkSpec {
     val post = ManifestTable.read(spark, root)
     assert(post.columns.toSeq == Seq("id", "payload"))
     assert(post.count() == 20)
-    // the last column cannot be dropped
+    // a legitimate drop down to one column still works...
+    ManifestTable.dropColumn(spark, root, "id")
+    assert(ManifestTable.read(spark, root).columns.toSeq == Seq("payload"))
+    // ...but the LAST column cannot be dropped
     intercept[IllegalArgumentException] {
-      ManifestTable.dropColumn(spark, root, "id")
       ManifestTable.dropColumn(spark, root, "payload")
     }
   }
@@ -802,6 +840,55 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.deleteWhere(spark, root,
       F.col("v") === 42L).removedRows == 1L)
     assert(ManifestTable.read(spark, root).count() == 209)
+  }
+
+  test("float stats stay prune-sound across a float->double widening (canonical double expansion)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fwiden").toString
+    ManifestTable.init(root, Seq("score"))
+    // 0.1f is NOT representable: its double expansion is
+    // 0.10000000149011612 — the value reads surface after widening
+    ManifestTable.append(spark, root,
+      Seq(0.1f, 0.2f).toDF("score").coalesce(1))
+    ManifestTable.append(spark, root,
+      Seq(5.5d).toDF("score").coalesce(1)) // widens to double
+    val df = ManifestTable.read(spark, root)
+    assert(df.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val widened = 0.1f.toDouble
+    // the pruned read and the metadata count MUST still see the row
+    assert(ManifestTable.readWhere(spark, root,
+      F.col("score") === widened).count() == 1L,
+      "float-era stats pruned the widened row")
+    assert(ManifestTable.countWhere(spark, root,
+      Some(F.col("score") > 0.1d)) ==
+      ManifestTable.read(spark, root).filter(F.col("score") > 0.1d).count())
+    assert(ManifestTable.statBounds(spark, root, "score")
+      .contains((widened, 5.5d)))
+    // declaring the reserved encoding key is refused at init
+    intercept[IllegalArgumentException] {
+      ManifestTable.init(
+        java.nio.file.Files.createTempDirectory("graft_rows").toString,
+        Seq("rows"))
+    }
+  }
+
+  test("timestamp_ntz stats outside the 4-digit-year form drop conservatively, never lie") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ntzfar").toString
+    ManifestTable.init(root, Seq("ts"))
+    ManifestTable.append(spark, root,
+      Seq(java.time.LocalDateTime.of(12024, 1, 1, 0, 0)) // year 12024
+        .toDF("ts").coalesce(1))
+    ManifestTable.append(spark, root,
+      Seq(java.time.LocalDateTime.of(2024, 6, 1, 0, 0))
+        .toDF("ts").coalesce(1))
+    // the far-future file records NO ts bounds (stays a candidate);
+    // a range read must still find its row
+    val p = F.col("ts") > F.lit(java.time.LocalDateTime.of(9000, 1, 1, 0, 0))
+    assert(ManifestTable.readWhere(spark, root, p).count() == 1L,
+      "far-future NTZ row lost to a broken lexicographic bound")
+    assert(ManifestTable.countWhere(spark, root, Some(p)) == 1L)
+    assert(ManifestTable.statBounds(spark, root, "ts").isEmpty,
+      "bounds over an un-statted file must refuse")
   }
 
   test("multi-writer stress: concurrent appenders + a compactor lose nothing, versions dense") {
