@@ -379,6 +379,13 @@ object ManifestTable {
                    to: String): Snapshot = {
     require(to.matches("[A-Za-z0-9_]+"),
       s"column name must be word-shaped: '$to'")
+    // the SOURCE name enters the `#colmap:` chain too, whose encoding
+    // uses '=' and ',' as delimiters — defense-in-depth against a
+    // legacy column name carrying one (today Spark's parquet writer
+    // rejects such names, but a corrupt chain would silently read old
+    // files' data as NULL)
+    require(from.matches("[A-Za-z0-9_]+"),
+      s"column name must be word-shaped: '$from'")
     commitLoop(root) { cur =>
       val schema = recordedSchema(cur).orElse(
         seededSchemaJson(spark, root, cur)
@@ -757,7 +764,12 @@ object ManifestTable {
     * chain, so changes are expressed in the newest column names. The
     * output adds `_change_type` ('insert' | 'delete'). Both versions
     * must still be published ([[expireManifests]] retention bounds
-    * the feed's lookback, exactly like time travel). */
+    * the feed's lookback) AND their changed data files must survive
+    * [[vacuum]]'s reader retention (vacuum keeps only the LATEST
+    * version's files once the grace passes — exactly the
+    * [[readVersion]] contract): a removed file already vacuumed fails
+    * the pre-check below with a retention-specific error instead of a
+    * mid-job read failure. */
   def changes(spark: SparkSession, root: String, fromVersion: Int,
               toVersion: Int): DataFrame = {
     require(fromVersion <= toVersion,
@@ -771,6 +783,17 @@ object ManifestTable {
     val fromSet = from.files.toSet
     val removed = from.files.filterNot(toSet)
     val added = to.files.filterNot(fromSet)
+    // O(changed files) existence probes — the feed's own cost scale
+    locally {
+      val fs = fsOf(new HPath(root))
+      val gone = (removed ++ added)
+        .filterNot(f => fs.exists(new HPath(root, f)))
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"change feed v$fromVersion..v$toVersion at $root needs " +
+          s"${gone.size} data file(s) vacuum has already deleted " +
+          s"(e.g. ${gone.head}) — the CDF lookback is bounded by the " +
+          "vacuum/reader-retention contract, like readVersion")
+    }
     // pre-ledger manifests (no recorded schema): derive ONE merged
     // schema over BOTH changed-file sets, so the two except-all sides
     // align by name — two independent mergeSchema scans could differ

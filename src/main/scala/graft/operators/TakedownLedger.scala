@@ -59,6 +59,22 @@ object TakedownLedger {
 
   private def fsOf(p: HPath): FileSystem = p.getFileSystem(conf)
 
+  /** Canonical form of a store root for ledger matching: qualified
+    * URI rebuilt from its components — scheme, authority (null and
+    * empty unify: Hadoop renders a local path as `file:///x` but a
+    * `file:/x` input keeps no authority), absolute path without a
+    * trailing slash — so `corpus`, `./corpus/` and `file:///…/corpus`
+    * all name the same store. */
+  private def qualifiedRoot(root: String): String = {
+    val p = new HPath(root)
+    val u = fsOf(p).makeQualified(p).toUri
+    val auth = Option(u.getAuthority).filter(_.nonEmpty).getOrElse("")
+    val path = Option(u.getPath).getOrElse("")
+    val trimmed =
+      if (path.length > 1 && path.endsWith("/")) path.dropRight(1) else path
+    s"${u.getScheme}://$auth$trimmed"
+  }
+
   private def entryDir(e: Entry): HPath =
     new HPath(e.ledgerRoot, e.id)
 
@@ -184,10 +200,15 @@ object TakedownLedger {
     * [[IvfStore.ingest]] `guardLedger`); the fix is
     * [[Retraction.resume]]. */
   def requireClear(ledgerRoot: String, storeRoot: String): Unit = {
+    // compare FULLY-QUALIFIED roots: a caller spelling the same store
+    // differently (trailing slash, file: URI vs bare path, relative vs
+    // absolute) must still be blocked — exact string equality here
+    // would silently bypass the guard. Qualifying at compare time also
+    // covers entries recorded before this normalization existed.
+    val target = qualifiedRoot(storeRoot)
+    def hits(r: Option[String]) = r.exists(qualifiedRoot(_) == target)
     val blocking = pending(ledgerRoot).filter(e =>
-      e.corpusRoot.contains(storeRoot) ||
-        e.signatureRoot.contains(storeRoot) ||
-        e.ivfRoot.contains(storeRoot))
+      hits(e.corpusRoot) || hits(e.signatureRoot) || hits(e.ivfRoot))
     if (blocking.nonEmpty)
       throw new IllegalStateException(
         s"${blocking.size} pending takedown(s) in $ledgerRoot target " +

@@ -617,6 +617,13 @@ class ManifestTableSpec extends SparkSpec {
     assert(f25("insert") == Set((120L, "upd")))
     // same-version feed is empty; expired versions fail loudly
     assert(changes(spark, root, 3, 3).isEmpty)
+    // vacuum bounds the lookback like readVersion: a feed whose
+    // changed files are gone raises a retention-specific error at
+    // PLAN time, not a mid-job read failure
+    ManifestTable.vacuum(root, orphanGraceMillis = 0L)
+    val gone = intercept[IllegalStateException] { changes(spark, root, 1, 2) }
+    assert(gone.getMessage.contains("vacuum"),
+      s"expected the retention contract named: ${gone.getMessage}")
     ManifestTable.expireManifests(root, keepLast = 2)
     intercept[IllegalStateException] { changes(spark, root, 1, 5) }
   }
@@ -686,6 +693,15 @@ class ManifestTableSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_rename").toString
     ManifestTable.init(root, Seq("id"))
     ManifestTable.append(spark, root, batch(0, 50).coalesce(1))
+    // both ENDS of a rename must be word-shaped: the `#colmap:` chain
+    // uses '=' and ',' as delimiters, so a delimiter-bearing name on
+    // either side would corrupt the chain parse
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "bad,name", "ok")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "payload", "bad=name")
+    }
     // metadata-only rename: payload -> body, id -> key
     ManifestTable.renameColumn(spark, root, "payload", "body")
     ManifestTable.renameColumn(spark, root, "id", "key")

@@ -298,6 +298,14 @@ class RetractionSpec extends SparkSpec {
     intercept[IllegalStateException] {
       TakedownLedger.requireClear(ledger, Workspace.dir("rg_ivf"))
     }
+    // the guard matches the STORE, not the spelling: a trailing
+    // slash or a file: URI naming the same root must still block
+    intercept[IllegalStateException] {
+      TakedownLedger.requireClear(ledger, Workspace.dir("rg_ivf") + "/")
+    }
+    intercept[IllegalStateException] {
+      TakedownLedger.requireClear(ledger, "file:" + Workspace.dir("rg_ivf"))
+    }
     TakedownLedger.clear(e)
   }
 
