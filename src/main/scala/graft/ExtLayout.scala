@@ -284,7 +284,7 @@ private[graft] object ExtLayout {
       deleteRec(new java.io.File(root))
       val docs = Tables.scan(s, dir, "documents")
         .select("doc_id", "lang", "source", "n_chars")
-      graft.operators.ManifestTable.init(root, Seq("doc_id"))
+      graft.operators.ManifestTable.init(root, Seq("doc_id"), Seq("doc_id"))
       graft.operators.ManifestTable.append(s, root,
         docs.repartitionByRange(8, F.col("doc_id")))
       graft.operators.ManifestTable.deleteWhere(s, root,
@@ -292,8 +292,49 @@ private[graft] object ExtLayout {
       graft.operators.ManifestTable.updateWhere(s, root,
         F.col("doc_id") >= 70 && F.col("doc_id") < 80,
         Map("lang" -> F.lit("xx")))
+      // the range probe prunes on the per-file min/max bands; the
+      // IN-list probe prunes per KEY (bounds + bloom), including a
+      // deleted id (45) and ids outside every band's residue
       graft.operators.ManifestTable.readWhere(s, root,
-        F.col("doc_id") >= 20 && F.col("doc_id") < 120)
+          F.col("doc_id") >= 20 && F.col("doc_id") < 120)
+        .withColumn("probe", F.lit("range"))
+        .unionByName(graft.operators.ManifestTable.readWhere(s, root,
+            F.col("doc_id").isin(5L, 45L, 75L, 130L, 222L))
+          .withColumn("probe", F.lit("in")))
+    }),
+
+
+    // SCATTERED-KEY pruning through per-file Blooms: eight interleaved
+    // appends (doc_id ≡ i mod 8) leave every file spanning the whole
+    // id range — min/max prunes NOTHING — and the declared bloom
+    // column turns point/IN lookups into ~one-file plans anyway. The
+    // graded chain: a scattered point DELETE, a scattered three-key
+    // MERGE (both victim-scanning only bloom-admitted files —
+    // ManifestStatsSpec proves skipped files are never opened via
+    // on-disk corruption), then an IN-list and a point read. At
+    // 100 TB this is the CDC shape min/max cannot serve: a merge
+    // batch of scattered ids opens matching + fpp·files files.
+    "x_manifest_bloom" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_bloom")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"), Seq("doc_id"))
+      for (i <- 0 until 8)
+        graft.operators.ManifestTable.append(s, root,
+          docs.filter(F.col("doc_id") % 8 === i))
+      graft.operators.ManifestTable.deleteWhere(s, root,
+        F.col("doc_id") === 40L)
+      val upd = docs.filter(F.col("doc_id").isin(7L, 21L, 35L))
+        .select(F.col("doc_id"), F.lit("merged").as("lang"),
+          F.col("source"))
+      graft.operators.ManifestTable.upsert(s, root, "doc_id", upd)
+      graft.operators.ManifestTable.readWhere(s, root,
+          F.col("doc_id").isin(7L, 13L, 21L, 35L, 40L, 103L))
+        .withColumn("probe", F.lit("in"))
+        .unionByName(graft.operators.ManifestTable.readWhere(s, root,
+            F.col("doc_id") === 57L)
+          .withColumn("probe", F.lit("point")))
     }),
 
 
@@ -896,14 +937,32 @@ private[graft] object ExtLayout {
         "CASE WHEN doc_id % 4 = 0 THEN CAST(2 AS BIGINT) END AS rev " +
         "FROM documents"),
 
-    // the pruned read window minus the deleted band, with the updated
+    // the pruned probes minus the deleted band, with the updated
     // band's lang rewritten — pruning must be invisible to the result
+    // (the IN probe includes deleted id 45, which must be absent)
     "x_manifest_prune" ->
       ("SELECT doc_id, " +
         "CASE WHEN doc_id >= 70 AND doc_id < 80 THEN 'xx' ELSE lang END AS lang, " +
-        "source, n_chars FROM documents " +
+        "source, n_chars, 'range' AS probe FROM documents " +
         "WHERE doc_id >= 20 AND doc_id < 120 " +
+        "AND NOT (doc_id >= 40 AND doc_id < 60) " +
+        "UNION ALL " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id >= 70 AND doc_id < 80 THEN 'xx' ELSE lang END, " +
+        "source, n_chars, 'in' FROM documents " +
+        "WHERE doc_id IN (5, 45, 75, 130, 222) " +
         "AND NOT (doc_id >= 40 AND doc_id < 60)"),
+
+    // bloom-pruned probes: the merge rewrote three scattered ids'
+    // lang, the point delete removed id 40 (absent from the IN probe)
+    "x_manifest_bloom" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id IN (7, 21, 35) THEN 'merged' ELSE lang END AS lang, " +
+        "source, 'in' AS probe FROM documents " +
+        "WHERE doc_id IN (7, 13, 21, 35, 103) " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, 'point' FROM documents " +
+        "WHERE doc_id = 57"),
 
     "x_manifest_metacount" ->
       ("SELECT (SELECT count(*) FROM documents) AS n_total, " +

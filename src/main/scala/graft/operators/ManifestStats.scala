@@ -60,8 +60,25 @@ object ManifestStats {
     * conservative. */
   final case class ColStat(bounds: Option[(String, String)], nulls: Long)
 
-  /** Decoded stats of one data file. */
-  final case class FileStats(rows: Long, cols: Map[String, ColStat])
+  /** Decoded stats of one data file. `bloomRef` is the root-relative
+    * path of the commit's per-file BLOOM side parquet (one row per
+    * (file, column) with a serialized filter) — the file-skipping
+    * index for equality/IN predicates whose keys min/max cannot
+    * prune (scattered ids). None on pre-bloom files and bloom-less
+    * tables; blooms load LAZILY and only for equality-shaped
+    * predicates, so the manifest itself stays O(files) small lines. */
+  final case class FileStats(rows: Long, cols: Map[String, ColStat],
+                             bloomRef: Option[String] = None)
+
+  /** Per-file-per-column Bloom capacity: filters are sized for this
+    * many distinct keys at [[BloomFpp]]; a file whose column exceeds
+    * it DROPS the bloom (recording a saturated filter would cost the
+    * bytes and prune nothing) — the size cap of the bloom layer,
+    * exactly like [[MaxStringStat]] for string bounds. Files beyond
+    * the cap stay candidates for every equality predicate; cluster
+    * or split such tables to re-enter the envelope. */
+  val BloomKeyCapacity: Long = 16384L
+  val BloomFpp: Double = 0.01
 
   private def b64(s: String): String =
     Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
@@ -71,29 +88,60 @@ object ManifestStats {
 
   /** `rows:<n>` then `;<col>:<b64min>:<b64max>:<nulls>` per column;
     * a null-only column writes `-` (not a base64 alphabet char) in
-    * both bound slots. */
+    * both bound slots; a bloom side-index reference rides as a
+    * `bloomref:<b64 path>` segment ('rows' and 'bloomref' are
+    * reserved column names). */
   def encode(fs: FileStats): String =
-    (s"rows:${fs.rows}" +:
+    ((s"rows:${fs.rows}" +:
       fs.cols.toSeq.sortBy(_._1).map {
         case (c, ColStat(Some((lo, hi)), nulls)) =>
           s"$c:${b64(lo)}:${b64(hi)}:$nulls"
         case (c, ColStat(None, nulls)) => s"$c:-:-:$nulls"
-      }).mkString(";")
+      }) ++ fs.bloomRef.map(r => s"bloomref:${b64(r)}")).mkString(";")
+
+  /** CONTENT-ADDRESSED decode cache: repeated planning over the same
+    * snapshot (every DML op re-reads the manifest) would otherwise
+    * re-parse O(files) payloads per op — at million-file scale that
+    * is minutes of driver time for information that never changes.
+    * Keyed by the payload STRING ITSELF, the cache can never serve
+    * stale stats: equal payload ⇒ equal decode, and a rewritten file
+    * gets a new payload line. Bounded by a clear-on-overflow valve
+    * (re-decoding after a clear is only the cold cost again). */
+  private val decodeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileStats]()
+  private val DecodeCacheMax = 1 << 20
+
+  /** [[decode]] through the content-addressed cache — the planning
+    * hot path ([[ManifestTable.candidateFiles]] and friends). */
+  def decodeCached(payload: String): FileStats = {
+    val hit = decodeCache.get(payload)
+    if (hit != null) return hit
+    val v = decode(payload)
+    if (decodeCache.size >= DecodeCacheMax) decodeCache.clear()
+    decodeCache.putIfAbsent(payload, v)
+    v
+  }
 
   def decode(payload: String): FileStats = {
     val parts = payload.split(';').toSeq
     val rows = parts.collectFirst {
       case p if p.startsWith("rows:") => p.stripPrefix("rows:").toLong
     }.getOrElse(-1L)
-    val cols = parts.filterNot(_.startsWith("rows:")).flatMap { p =>
-      p.split(':') match {
-        case Array(c, "-", "-", n) => Some(c -> ColStat(None, n.toLong))
-        case Array(c, lo, hi, n) =>
-          Some(c -> ColStat(Some((unb64(lo), unb64(hi))), n.toLong))
-        case _ => None
-      }
-    }.toMap
-    FileStats(rows, cols)
+    val bloomRef = parts.collectFirst {
+      case p if p.startsWith("bloomref:") =>
+        unb64(p.stripPrefix("bloomref:"))
+    }
+    val cols = parts
+      .filterNot(p => p.startsWith("rows:") || p.startsWith("bloomref:"))
+      .flatMap { p =>
+        p.split(':') match {
+          case Array(c, "-", "-", n) => Some(c -> ColStat(None, n.toLong))
+          case Array(c, lo, hi, n) =>
+            Some(c -> ColStat(Some((unb64(lo), unb64(hi))), n.toLong))
+          case _ => None
+        }
+      }.toMap
+    FileStats(rows, cols, bloomRef)
   }
 
   private def isSupported(dt: DataType): Boolean = dt match {
@@ -119,26 +167,83 @@ object ManifestStats {
     case _ => agg.cast("string")
   }
 
+  /** Column types a per-file Bloom supports: integral keys probe as
+    * longs (a widening-stable encoding — byte→long casts commute with
+    * the put), strings as themselves. Floats/dates/timestamps are not
+    * lookup-key shapes; they fall to min/max pruning. */
+  private def isBloomSupported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
   /** Per-file stats of freshly written files: ONE aggregate over only
     * the new files (the batch just written — never the table).
     * Returns relpath → encoded payload. Stat columns the batch lacks
     * (schema evolution) simply record no bounds — those files stay
-    * candidates for predicates on the missing column. */
+    * candidates for predicates on the missing column.
+    *
+    * `bloomCols` additionally build a per-file Bloom filter per
+    * column IN THE SAME aggregate; the filters land in ONE side
+    * parquet under the batch's own `data/<token>/` dir (immutable
+    * with the data files, swept by vacuum with them) and each file's
+    * payload records the reference. An overfull file (more than
+    * [[BloomKeyCapacity]] distinct keys) drops its bloom —
+    * conservative, never saturated-and-useless. */
   def compute(spark: SparkSession, root: String, relFiles: Seq[String],
-              statCols: Seq[String]): Map[String, String] = {
-    if (relFiles.isEmpty || statCols.isEmpty) return Map.empty
+              statCols: Seq[String],
+              bloomCols: Seq[String] = Seq.empty): Map[String, String] = {
+    if (relFiles.isEmpty || (statCols.isEmpty && bloomCols.isEmpty))
+      return Map.empty
     val df = spark.read.parquet(relFiles.map(f => s"$root/$f"): _*)
     val present = statCols.filter(df.columns.contains)
       .filter(c => isSupported(df.schema(c).dataType))
-    val aggs: Seq[Column] = F.count(F.lit(1)).as("__rows") +:
+    val bloomPresent = bloomCols.filter(df.columns.contains)
+      .filter(c => isBloomSupported(df.schema(c).dataType))
+    val statAggs: Seq[Column] =
       present.flatMap { c =>
         val dt = df.schema(c).dataType
         Seq(norm(F.min(F.col(c)), dt), norm(F.max(F.col(c)), dt),
           F.sum(F.when(F.col(c).isNull, 1L).otherwise(0L)))
       }
+    val bloomAggs: Seq[Column] = bloomPresent.map { c =>
+      df.schema(c).dataType match {
+        case StringType =>
+          F.udaf(new StringKeyBloomAgg(BloomKeyCapacity, BloomFpp),
+            org.apache.spark.sql.Encoders.STRING).apply(F.col(c))
+        case _ =>
+          F.udaf(new LongKeyBloomAgg(BloomKeyCapacity, BloomFpp),
+            org.apache.spark.sql.Encoders.LONG)
+            .apply(F.col(c).cast("long"))
+      }
+    }
+    val aggs: Seq[Column] =
+      F.count(F.lit(1)).as("__rows") +: (statAggs ++ bloomAggs)
     val out = df.withColumn("__f", F.input_file_name())
       .groupBy("__f").agg(aggs.head, aggs.tail: _*)
       .collect() // bounded by the batch's file count — metadata scale
+    val bloomBase = 2 + 3 * present.size
+    // one side parquet per batch, inside the batch's own token dir
+    val bloomRows: Seq[(String, String, Array[Byte])] = out.toSeq.flatMap { r =>
+      val rel = ManifestTable.relPathOf(r.getString(0))
+      bloomPresent.zipWithIndex.flatMap { case (c, j) =>
+        val v =
+          if (r.isNullAt(bloomBase + j)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](bloomBase + j)
+        if (v.isEmpty) None else Some((rel, c, v))
+      }
+    }
+    val bloomRef: Option[String] =
+      if (bloomRows.isEmpty) None
+      else {
+        val tokenDir = relFiles.head.split('/').take(2).mkString("/")
+        val ref = s"$tokenDir/blooms.parquet"
+        val sp = spark
+        import sp.implicits._
+        bloomRows.toDF("file", "col", "bloom")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/$ref")
+        Some(ref)
+      }
+    val withBloom = bloomRows.iterator.map(_._1).toSet
     out.map { r =>
       val rel = ManifestTable.relPathOf(r.getString(0))
       val rowCount = r.getLong(1)
@@ -158,9 +263,65 @@ object ManifestStats {
           else Some(c -> ColStat(Some((lo, hi)), nulls))
         }
       }.toMap
-      rel -> encode(FileStats(rowCount, cols))
+      rel -> encode(FileStats(rowCount, cols,
+        bloomRef.filter(_ => withBloom(rel))))
     }.toMap
   }
+
+  // ---- bloom side-index load + probe ----
+
+  /** Deserialized bloom side files, CONTENT-ADDRESSED by absolute
+    * path: a `blooms.parquet` is immutable once its commit publishes
+    * (it lives in the batch's own `data/<token>/` dir), so a cache
+    * entry can never go stale. Clear-on-overflow valve like the
+    * decode cache. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[(String, String), org.apache.spark.util.sketch.BloomFilter]]()
+  private val BloomCacheMax = 4096
+
+  /** Load (and cache) one commit's bloom side parquet: (file-relpath,
+    * column) → filter. A missing/corrupt side file answers empty —
+    * blooms are only ever an optimization. */
+  def loadBlooms(spark: SparkSession, root: String, ref: String)
+      : Map[(String, String), org.apache.spark.util.sketch.BloomFilter] = {
+    val key = s"$root/$ref"
+    val hit = bloomCache.get(key)
+    if (hit != null) return hit
+    val loaded = scala.util.Try {
+      spark.read.parquet(key).collect().map { r =>
+        (r.getString(0), r.getString(1)) ->
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      }.toMap
+    }.getOrElse(Map.empty)
+    if (bloomCache.size >= BloomCacheMax) bloomCache.clear()
+    bloomCache.putIfAbsent(key, loaded)
+    loaded
+  }
+
+  /** Does the filter admit literal `v` (of `litDt`) as a key of a
+    * `colDt` column? None = not probe-able (type shapes the put side
+    * never recorded) — conservative. Must mirror the PUT side
+    * exactly: integral columns put `cast(long)`, strings put raw. */
+  private def bloomMayContain(
+      bf: org.apache.spark.util.sketch.BloomFilter,
+      colDt: DataType, v: Any, litDt: DataType): Option[Boolean] =
+    colDt match {
+      case ByteType | ShortType | IntegerType | LongType => v match {
+        case x: Byte => Some(bf.mightContainLong(x.toLong))
+        case x: Short => Some(bf.mightContainLong(x.toLong))
+        case x: Int => Some(bf.mightContainLong(x.toLong))
+        case x: Long => Some(bf.mightContainLong(x))
+        case _ => None
+      }
+      case StringType => v match {
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          Some(bf.mightContainString(s.toString))
+        case s: String => Some(bf.mightContainString(s))
+        case _ => None
+      }
+      case _ => None
+    }
 
   /** Is a normalized value usable for ordering? NaN/Infinity are
     * unorderable; an NTZ outside the fixed 26-char 4-digit-year form
@@ -384,15 +545,30 @@ object ManifestStats {
 
   /** Can ANY row in a file with bounds `st` satisfy the COMPILED
     * predicate ([[compilePredicate]])? TRUE on every unknown — see
-    * object doc. */
+    * object doc. `bloomFor` resolves a (current-name) column to the
+    * file's per-file Bloom, when one was recorded — equality/IN
+    * shapes then prune on key membership where min/max cannot
+    * (scattered ids); a bloom answer can only ever REMOVE candidates
+    * the bounds admitted, never add. */
   def mayMatch(cond: Expression, st: FileStats, schema: StructType,
-               resolve: String => Seq[String] = n => Seq(n)): Boolean =
-    mayMatchExpr(cond, st, schema, resolve)
+               resolve: String => Seq[String] = n => Seq(n),
+               bloomFor: String => Option[
+                 org.apache.spark.util.sketch.BloomFilter] = _ => None)
+      : Boolean =
+    mayMatchExpr(cond, st, schema, resolve, bloomFor)
+
+  /** IN-list / IN-set sizes past this evaluate conservatively (the
+    * per-file probe cost is literals × files of driver time). The
+    * scattered-id merge prune sizes itself to stay inside it. */
+  val MaxInProbe = 4096
 
   private def mayMatchExpr(e: Expression, st: FileStats,
                            schema: StructType,
-                           resolve: String => Seq[String]): Boolean = {
-    def may(x: Expression) = mayMatchExpr(x, st, schema, resolve)
+                           resolve: String => Seq[String],
+                           bloomFor: String => Option[
+                             org.apache.spark.util.sketch.BloomFilter])
+      : Boolean = {
+    def may(x: Expression) = mayMatchExpr(x, st, schema, resolve, bloomFor)
     // check(colSide, litSide, pred over (sign(lo−v), sign(hi−v))):
     // a NULL-ONLY column satisfies no comparison — definite false
     def check(colE: Expression, litE: Expression,
@@ -410,17 +586,45 @@ object ManifestStats {
             } yield pred(cl, ch)
         }
       } yield res
+    // value-level equality: bounds answer AND bloom answer combine —
+    // either saying "impossible" prunes; both unknown stays unknown
+    def valueEqMay(n: String, v: Any, vDt: DataType): Option[Boolean] = {
+      val boundsAns: Option[Boolean] =
+        statFor(n, st, schema, resolve).flatMap { case (cs, dt) =>
+          cs.bounds match {
+            case None => Some(false) // null-only: no value equals v
+            case Some((lo, hi)) =>
+              for {
+                cl <- cmp(dt, lo, v, vDt)
+                ch <- cmp(dt, hi, v, vDt)
+              } yield cl <= 0 && ch >= 0
+          }
+        }
+      val bloomAns: Option[Boolean] =
+        for {
+          bf <- bloomFor(n)
+          dt <- schema.fields.find(_.name == n).map(_.dataType)
+          ans <- bloomMayContain(bf, dt, v, vDt)
+        } yield ans
+      (boundsAns, bloomAns) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (None, None) => None
+        case _ => Some(true)
+      }
+    }
+    def eqMay(colE: Expression, litE: Expression): Option[Boolean] =
+      for {
+        n <- attrName(colE)
+        vd <- fold(litE)
+        ans <- valueEqMay(n, vd._1, vd._2)
+      } yield ans
     e match {
       case And(l, r) => may(l) && may(r)
       case Or(l, r) => may(l) || may(r)
       case EqualTo(a, b) =>
-        check(a, b, (cl, ch) => cl <= 0 && ch >= 0)
-          .orElse(check(b, a, (cl, ch) => cl <= 0 && ch >= 0))
-          .getOrElse(true)
+        eqMay(a, b).orElse(eqMay(b, a)).getOrElse(true)
       case EqualNullSafe(a, b) =>
-        check(a, b, (cl, ch) => cl <= 0 && ch >= 0)
-          .orElse(check(b, a, (cl, ch) => cl <= 0 && ch >= 0))
-          .getOrElse(true)
+        eqMay(a, b).orElse(eqMay(b, a)).getOrElse(true)
       case LessThan(a, b) => // col < v possible iff lo < v; v < col iff hi > v
         check(a, b, (cl, _) => cl < 0)
           .orElse(check(b, a, (_, ch) => ch > 0)).getOrElse(true)
@@ -435,10 +639,20 @@ object ManifestStats {
           .orElse(check(b, a, (cl, _) => cl <= 0)).getOrElse(true)
       case In(a, list) =>
         attrName(a) match {
-          case Some(_) if list.nonEmpty && list.forall(l => fold(l).isDefined) =>
-            list.exists { l =>
-              check(a, l, (cl, ch) => cl <= 0 && ch >= 0).getOrElse(true)
-            }
+          case Some(_) if list.nonEmpty && list.size <= MaxInProbe &&
+              list.forall(l => fold(l).isDefined) =>
+            list.exists(l => eqMay(a, l).getOrElse(true))
+          case _ => true
+        }
+      // the optimizer's large-IN form (isin past the InSet threshold,
+      // and the shape SQL-pushed filters arrive in): values are
+      // already internal, typed by the child — null elements never
+      // satisfy an equality, so they are skipped, not conservative
+      case InSet(a, hset) =>
+        attrName(a) match {
+          case Some(n) if hset.nonEmpty && hset.size <= MaxInProbe =>
+            hset.exists(v => v != null &&
+              valueEqMay(n, v, a.dataType).getOrElse(true))
           case _ => true
         }
       case StartsWith(a, litE) =>
@@ -524,4 +738,75 @@ object ManifestStats {
       case _ => false // unsupported shape: never claim full coverage
     }
   }
+}
+
+/** Per-file Bloom builder over long keys — partial filters OR-merge,
+  * so the aggregation distributes like a sum (the [[graft.operators
+  * .Layout]] BloomAgg design, specialized to the manifest's fixed
+  * capacity). The buffer carries an approximate NEW-key count (a put
+  * is counted only when the filter did not already admit the key;
+  * merge sums partition counts, overcounting shared keys — the
+  * conservative direction) so `finish` can DROP an overfull filter
+  * instead of recording a saturated, prune-less one. Empty bytes =
+  * dropped. */
+private[operators] final class LongKeyBloomAgg(capacity: Long, fpp: Double)
+  extends org.apache.spark.sql.expressions.Aggregator[
+    java.lang.Long,
+    (org.apache.spark.util.sketch.BloomFilter, Long), Array[Byte]] {
+  import org.apache.spark.util.sketch.BloomFilter
+  override def zero: (BloomFilter, Long) =
+    (BloomFilter.create(capacity, fpp), 0L)
+  override def reduce(b: (BloomFilter, Long),
+                      a: java.lang.Long): (BloomFilter, Long) =
+    if (a == null) b
+    else if (b._1.mightContainLong(a)) b
+    else { b._1.putLong(a); (b._1, b._2 + 1L) }
+  override def merge(x: (BloomFilter, Long),
+                     y: (BloomFilter, Long)): (BloomFilter, Long) = {
+    x._1.mergeInPlace(y._1)
+    (x._1, x._2 + y._2)
+  }
+  override def finish(b: (BloomFilter, Long)): Array[Byte] =
+    if (b._2 > capacity) Array.empty[Byte]
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      b._1.writeTo(bos)
+      bos.toByteArray
+    }
+  override def bufferEncoder
+      : org.apache.spark.sql.Encoder[(BloomFilter, Long)] =
+    org.apache.spark.sql.Encoders.javaSerialization[(BloomFilter, Long)]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+}
+
+/** [[LongKeyBloomAgg]] over string keys. */
+private[operators] final class StringKeyBloomAgg(capacity: Long, fpp: Double)
+  extends org.apache.spark.sql.expressions.Aggregator[
+    String, (org.apache.spark.util.sketch.BloomFilter, Long), Array[Byte]] {
+  import org.apache.spark.util.sketch.BloomFilter
+  override def zero: (BloomFilter, Long) =
+    (BloomFilter.create(capacity, fpp), 0L)
+  override def reduce(b: (BloomFilter, Long),
+                      a: String): (BloomFilter, Long) =
+    if (a == null) b
+    else if (b._1.mightContainString(a)) b
+    else { b._1.putString(a); (b._1, b._2 + 1L) }
+  override def merge(x: (BloomFilter, Long),
+                     y: (BloomFilter, Long)): (BloomFilter, Long) = {
+    x._1.mergeInPlace(y._1)
+    (x._1, x._2 + y._2)
+  }
+  override def finish(b: (BloomFilter, Long)): Array[Byte] =
+    if (b._2 > capacity) Array.empty[Byte]
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      b._1.writeTo(bos)
+      bos.toByteArray
+    }
+  override def bufferEncoder
+      : org.apache.spark.sql.Encoder[(BloomFilter, Long)] =
+    org.apache.spark.sql.Encoders.javaSerialization[(BloomFilter, Long)]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
 }

@@ -75,6 +75,7 @@ object ManifestTable {
   private val BatchPrefix = "#batch:"
   private val ThroughPrefix = "#batches_through:"
   private val StatColsPrefix = "#statcols:"
+  private val BloomColsPrefix = "#bloomcols:"
   private val FileStatPrefix = "#filestat:"
   private val ColMapPrefix = "#colmap:"
   private val DroppedPrefix = "#dropped:"
@@ -145,17 +146,37 @@ object ManifestTable {
     * the columns the table is clustered or keyed on — on a range-
     * clustered 100 TB corpus a point delete then rewrites (and even
     * SCANS) only the candidate files instead of opening every footer. */
-  def init(root: String, statColumns: Seq[String]): Unit = {
-    require(statColumns.forall(_.matches("[A-Za-z0-9_]+")),
-      s"stat column names must be word-shaped: ${statColumns.mkString(",")}")
-    require(!statColumns.contains("rows"),
-      "'rows' is reserved by the stat encoding (the per-file row count)")
+  def init(root: String, statColumns: Seq[String]): Unit =
+    init(root, statColumns, Seq.empty)
+
+  /** [[init]] with declared BLOOM COLUMNS on top of the stat columns:
+    * every write additionally records a per-file Bloom filter per
+    * bloom column (a side parquet in the batch's own data dir,
+    * referenced from the `#filestat:` payload), and equality/IN
+    * predicates prune on key MEMBERSHIP — the file-skipping shape
+    * min/max cannot give a SCATTERED key (a point delete on an
+    * unclustered id, a CDC merge batch): each probe opens
+    * ~(matching + fpp·files) files instead of every range-straddling
+    * file. Declare the table's lookup keys (id columns); capacity and
+    * fpp are [[ManifestStats.BloomKeyCapacity]]/[[ManifestStats
+    * .BloomFpp]] — files holding more distinct keys than the capacity
+    * drop their bloom (stay candidates) rather than saturate. */
+  def init(root: String, statColumns: Seq[String],
+           bloomColumns: Seq[String]): Unit = {
+    val declared = statColumns ++ bloomColumns
+    require(declared.forall(_.matches("[A-Za-z0-9_]+")),
+      s"stat/bloom column names must be word-shaped: ${declared.mkString(",")}")
+    require(!declared.contains("rows") && !declared.contains("bloomref"),
+      "'rows' and 'bloomref' are reserved by the stat encoding")
     val fs = fsOf(manifestDir(root))
     fs.mkdirs(manifestDir(root))
     fs.mkdirs(new HPath(root, "data"))
     if (latest(root).isEmpty) {
-      val meta = if (statColumns.isEmpty) Seq.empty
-        else Seq(s"$StatColsPrefix${statColumns.mkString(",")}")
+      val meta =
+        (if (statColumns.isEmpty) Seq.empty
+         else Seq(s"$StatColsPrefix${statColumns.mkString(",")}")) ++
+        (if (bloomColumns.isEmpty) Seq.empty
+         else Seq(s"$BloomColsPrefix${bloomColumns.mkString(",")}"))
       val ok = tryCommit(root, 0, Seq.empty, meta)
       require(ok || latest(root).nonEmpty, s"init race lost at $root")
     }
@@ -168,6 +189,13 @@ object ManifestTable {
     snap.meta.collectFirst {
       case l if l.startsWith(StatColsPrefix) =>
         l.stripPrefix(StatColsPrefix).split(',').toSeq.filter(_.nonEmpty)
+    }.getOrElse(Seq.empty)
+
+  /** The table's declared bloom columns (empty = no bloom overhead). */
+  private def bloomColsOf(snap: Snapshot): Seq[String] =
+    snap.meta.collectFirst {
+      case l if l.startsWith(BloomColsPrefix) =>
+        l.stripPrefix(BloomColsPrefix).split(',').toSeq.filter(_.nonEmpty)
     }.getOrElse(Seq.empty)
 
   // ---- head resolution: checkpoint hint + dense-chain probe ----
@@ -349,16 +377,19 @@ object ManifestTable {
                                 newDropped: Set[String],
                                 statColRename: Map[String, String])
       : Seq[String] = {
+    def renamedCols(l: String, prefix: String): Option[String] = {
+      val cols = l.stripPrefix(prefix).split(',').toSeq
+        .filter(_.nonEmpty)
+        .map(c => statColRename.getOrElse(c, c))
+        .filterNot(newDropped)
+      if (cols.isEmpty) None else Some(s"$prefix${cols.mkString(",")}")
+    }
     val kept = meta.filterNot(l =>
       l.startsWith(ColMapPrefix) || l.startsWith(DroppedPrefix))
       .map { l =>
-        if (l.startsWith(StatColsPrefix)) {
-          val cols = l.stripPrefix(StatColsPrefix).split(',').toSeq
-            .filter(_.nonEmpty)
-            .map(c => statColRename.getOrElse(c, c))
-            .filterNot(newDropped)
-          if (cols.isEmpty) None else Some(s"$StatColsPrefix${cols.mkString(",")}")
-        } else Some(l)
+        if (l.startsWith(StatColsPrefix)) renamedCols(l, StatColsPrefix)
+        else if (l.startsWith(BloomColsPrefix)) renamedCols(l, BloomColsPrefix)
+        else Some(l)
       }.flatten
     kept ++
       newMap.toSeq.sortBy(_._1).map { case (n, olds) =>
@@ -523,7 +554,8 @@ object ManifestTable {
     * rethrowing, so partial files age out as ordinary grace-bounded
     * orphans instead of being intent-pinned forever. */
   private def writeData(spark: SparkSession, root: String, df: DataFrame,
-                        statCols: Seq[String] = Seq.empty)
+                        statCols: Seq[String] = Seq.empty,
+                        bloomCols: Seq[String] = Seq.empty)
       : (Seq[String], String, Map[String, String]) = {
     val token = java.util.UUID.randomUUID().toString
     registerIntent(root, token)
@@ -535,7 +567,7 @@ object ManifestTable {
     val rel = fs.listStatus(d).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .map(n => s"$dir/$n").sorted
-    (rel, token, ManifestStats.compute(spark, root, rel, statCols))
+    (rel, token, ManifestStats.compute(spark, root, rel, statCols, bloomCols))
   }
 
   /** Append `df` as a new snapshot; returns the committed version.
@@ -551,8 +583,10 @@ object ManifestTable {
     guardLedger.foreach(TakedownLedger.requireClear(_, root))
     // stat columns are fixed at init — one snapshot read serves the
     // whole op (the commit loop re-reads for the merge anyway)
+    val head0 = latest(root)
     val (newFiles, token, newStats) = writeData(spark, root, df,
-      latest(root).map(statColsOf).getOrElse(Seq.empty))
+      head0.map(statColsOf).getOrElse(Seq.empty),
+      head0.map(bloomColsOf).getOrElse(Seq.empty))
     try {
       beforeCommit()
       commitLoop(root) { cur =>
@@ -611,7 +645,8 @@ object ManifestTable {
       case None =>
         // the replay-check read also serves the stat-column lookup
         val (newFiles, token, newStats) = writeData(spark, root, df,
-          head.map(statColsOf).getOrElse(Seq.empty))
+          head.map(statColsOf).getOrElse(Seq.empty),
+          head.map(bloomColsOf).getOrElse(Seq.empty))
         try {
           var result: Option[Snapshot] = None
           while (result.isEmpty) {
@@ -885,7 +920,7 @@ object ManifestTable {
         .sortWithinPartitions(clusterBy.map(F.col): _*)
     }
     val (compacted, token, compactedStats) =
-      writeData(spark, root, arranged, statColsOf(base))
+      writeData(spark, root, arranged, statColsOf(base), bloomColsOf(base))
     try {
       beforeCommit()
       val baseSet = base.files.toSet
@@ -972,17 +1007,44 @@ object ManifestTable {
         s"got ${victims.columns.mkString(",")}")
     val v = victims.toDF("__victim_id").distinct()
       .localCheckpoint(eager = true)
-    // the victim set is not driver-sized, but its RANGE is one row —
-    // enough to prune the victim scan to id-range-intersecting files
-    // on a clustered table (victims ⊆ [min, max] by construction)
-    val mm = v.agg(F.min("__victim_id"), F.max("__victim_id")).head()
-    val prune = if (mm.isNullAt(0)) None
-      else Some(F.col(idCol) >= F.lit(mm.get(0)) &&
-        F.col(idCol) <= F.lit(mm.get(1)))
+    val prune = idPrune(spark, idCol, v, "__victim_id")
     deleteWith(spark, root,
       df => df.join(v, df(idCol) === v("__victim_id"), "left_semi"),
       df => df.join(v, df(idCol) === v("__victim_id"), "left_anti"),
       beforeCommit, maxRestarts, prune)
+  }
+
+  /** Driver-sized id sets past this prune by RANGE only. Under the
+    * cap the ids travel as an IN-list predicate, which the per-file
+    * BLOOM stats answer key-by-key — the scattered-id shape (point
+    * deletes on unclustered keys, CDC merge batches) then opens
+    * ~(matching + fpp·files) files instead of every range-straddling
+    * file. The cap bounds the driver's per-file probe cost and stays
+    * inside [[ManifestStats.MaxInProbe]]. */
+  private val IdInPruneMax = 1024L
+
+  /** The victim/merge-scan prune for an id frame: an exact IN-list
+    * when the DISTINCT id set is small enough to probe (bloom-able),
+    * else the id RANGE (tight on a clustered table — the documented
+    * operating contract for large scattered batches: cluster by the
+    * key, or accept candidate-wide scans). */
+  private def idPrune(spark: SparkSession, idCol: String,
+                      distinctIds: DataFrame,
+                      frameCol: String): Option[Column] = {
+    val n = distinctIds.count()
+    if (n == 0) return None
+    if (n <= IdInPruneMax) {
+      val vals = distinctIds.collect().map(_.get(0)).toSeq
+      if (!vals.contains(null))
+        return Some(F.col(idCol).isInCollection(vals))
+    }
+    // the id set is not driver-sized, but its RANGE is one row —
+    // enough to prune to range-intersecting files on a clustered
+    // table (ids ⊆ [min, max] by construction)
+    val mm = distinctIds.agg(F.min(frameCol), F.max(frameCol)).head()
+    if (mm.isNullAt(0)) None
+    else Some(F.col(idCol) >= F.lit(mm.get(0)) &&
+      F.col(idCol) <= F.lit(mm.get(1)))
   }
 
   /** Row-level UPDATE — the copy-on-write twin of [[deleteWhere]]
@@ -1056,7 +1118,18 @@ object ManifestTable {
     * append with a colliding id post-dates the match scan and
     * survives alongside the update row — the snapshot-isolation
     * reading of MERGE racing INSERT (last committer is not
-    * arbitrated, exactly like two racing plain appends). */
+    * arbitrated, exactly like two racing plain appends).
+    *
+    * MATCH-SCAN OPERATING ENVELOPE: a batch of ≤ [[IdInPruneMax]]
+    * distinct ids prunes per KEY (IN-list over bounds + per-file
+    * Blooms — declare the merge key a bloom column at [[init]] and a
+    * scattered CDC batch opens ~(matching + fpp·files) files); a
+    * larger batch prunes by its id RANGE only, so either cluster the
+    * table by the merge key ([[compact]] `clusterBy` — each file owns
+    * a tight band and the scan opens the intersecting few) or accept
+    * a candidate-wide scan. Pinned by the files-opened contract spec
+    * (ManifestTableSpec) and the bloom corruption proofs
+    * (ManifestStatsSpec). */
   def upsert(spark: SparkSession, root: String, idCol: String,
              updates: DataFrame,
              beforeCommit: () => Unit = () => (),
@@ -1109,13 +1182,15 @@ object ManifestTable {
       .localCheckpoint(eager = true)
     require(uIds.count() == nU,
       s"upsert updates must carry distinct '$idCol' values")
+    val head0 = latest(root)
     val (updFiles, updToken, updStats) = writeData(spark, root, u,
-      latest(root).map(statColsOf).getOrElse(Seq.empty))
-    // the update-id RANGE prunes the match scan to intersecting files
-    val mm = uIds.agg(F.min("__merge_id"), F.max("__merge_id")).head()
-    val prune = if (mm.isNullAt(0)) None
-      else Some(F.col(idCol) >= F.lit(mm.get(0)) &&
-        F.col(idCol) <= F.lit(mm.get(1)))
+      head0.map(statColsOf).getOrElse(Seq.empty),
+      head0.map(bloomColsOf).getOrElse(Seq.empty))
+    // the update-id set prunes the match scan: an exact IN-list for
+    // driver-sized batches (bloom-answerable — scattered CDC ids
+    // still skip files), the id RANGE beyond that (cluster by the
+    // merge key to keep it tight — see the class doc's contract)
+    val prune = idPrune(spark, idCol, uIds, "__merge_id")
     try {
       var restarts = 0
       var result: Option[Merge] = None
@@ -1136,7 +1211,7 @@ object ManifestTable {
               metaFor(base), schema, updStats), 0L, nU))
         } else {
           val scanFiles =
-            prune.map(candidateFiles(spark, base, _)).getOrElse(base.files)
+            prune.map(candidateFiles(spark, root, base, _)).getOrElse(base.files)
           // one pushed-down job over the CANDIDATE files only: per
           // matched id, every file holding a row for it — each id
           // attributed ONCE (to its first file), so `matched` counts
@@ -1194,7 +1269,8 @@ object ManifestTable {
             val survivors = affectedScan.join(uIds,
               affectedScan(idCol) === uIds("__merge_id"), "left_anti")
             val (newFiles, token, newStats) =
-              writeData(spark, root, survivors, statColsOf(base))
+              writeData(spark, root, survivors, statColsOf(base),
+                bloomColsOf(base))
             try {
               beforeCommit()
               val affectedSet = affected.toSet
@@ -1239,23 +1315,65 @@ object ManifestTable {
     * recorded schema or no stats at all this degrades to the full
     * list. Conservative by construction ([[ManifestStats.mayMatch]]). */
   private[graft] def candidateFiles(spark: SparkSession, snap: Snapshot,
-                                    predicate: Column): Seq[String] = {
+                                    predicate: Column): Seq[String] =
+    candidateFilesImpl(spark, None, snap, predicate)
+
+  /** [[candidateFiles]] WITH the table root: equality/IN predicates
+    * additionally consult the per-file Bloom side index (loaded
+    * lazily, content-addressed-cached) — the scattered-key pruning
+    * min/max bounds cannot give. Every internal predicate-shaped op
+    * routes here. */
+  private[graft] def candidateFiles(spark: SparkSession, root: String,
+                                    snap: Snapshot,
+                                    predicate: Column): Seq[String] =
+    candidateFilesImpl(spark, Some(root), snap, predicate)
+
+  private def candidateFilesImpl(spark: SparkSession, root: Option[String],
+                                 snap: Snapshot,
+                                 predicate: Column): Seq[String] = {
     val schema = recordedSchema(snap)
     if (snap.stats.isEmpty || schema.isEmpty) return snap.files
     // ONE analysis pass for the whole call; per-file work is pure
     // driver-side bound arithmetic — metadata scale at a million files
     ManifestStats.compilePredicate(spark, predicate, schema.get) match {
       case None => snap.files
-      case Some(cond) =>
-        val resolve = statResolve(snap)
-        snap.files.filter { f =>
-          snap.stats.get(f) match {
-            case None => true
-            case Some(payload) =>
-              ManifestStats.mayMatch(cond,
-                ManifestStats.decode(payload), schema.get, resolve)
-          }
-        }
+      case Some(cond) => candidatesOf(spark, root, snap, schema.get, cond)
+    }
+  }
+
+  /** Shared candidate filter over a COMPILED predicate. */
+  private[graft] def candidatesOf(spark: SparkSession, root: Option[String],
+                                  snap: Snapshot,
+                                  schema: StructType,
+                                  cond: org.apache.spark.sql.catalyst
+                                    .expressions.Expression): Seq[String] = {
+    val resolve = statResolve(snap)
+    // load blooms only when the predicate has an equality/IN shape a
+    // bloom can answer — a pure range scan never touches the side
+    // files
+    val wantBloom = root.isDefined && cond.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.EqualTo => true
+      case _: org.apache.spark.sql.catalyst.expressions.EqualNullSafe => true
+      case _: org.apache.spark.sql.catalyst.expressions.In => true
+      case _: org.apache.spark.sql.catalyst.expressions.InSet => true
+      case _ => false
+    }
+    snap.files.filter { f =>
+      snap.stats.get(f) match {
+        case None => true
+        case Some(payload) =>
+          val st = ManifestStats.decodeCached(payload)
+          val bloomFor: String => Option[
+            org.apache.spark.util.sketch.BloomFilter] =
+            (st.bloomRef, root) match {
+              case (Some(ref), Some(r)) if wantBloom =>
+                val loaded = ManifestStats.loadBlooms(spark, r, ref)
+                n => resolve(n).iterator
+                  .flatMap(k => loaded.get((f, k))).nextOption()
+              case _ => _ => None
+            }
+          ManifestStats.mayMatch(cond, st, schema, resolve, bloomFor)
+      }
     }
   }
 
@@ -1287,7 +1405,7 @@ object ManifestTable {
     // every file must carry SOME entry for the column (bounds, or the
     // null-only marker — which contributes nothing to min/max)
     val entries = snap.files.map { f =>
-      snap.stats.get(f).map(ManifestStats.decode).flatMap(st =>
+      snap.stats.get(f).map(ManifestStats.decodeCached).flatMap(st =>
         keys.iterator.flatMap(st.cols.get).nextOption())
     }
     if (entries.exists(_.isEmpty)) return None
@@ -1311,7 +1429,7 @@ object ManifestTable {
                 predicate: Column): DataFrame = {
     val snap = latest(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root"))
-    val cand = candidateFiles(spark, snap, predicate)
+    val cand = candidateFiles(spark, root, snap, predicate)
     if (cand.isEmpty)
       readSnapshot(spark, root, snap).filter(predicate).limit(0)
     else
@@ -1332,7 +1450,7 @@ object ManifestTable {
     val snap = latest(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root"))
     def rowsOf(f: String): Option[Long] =
-      snap.stats.get(f).map(ManifestStats.decode(_).rows).filter(_ >= 0)
+      snap.stats.get(f).map(ManifestStats.decodeCached(_).rows).filter(_ >= 0)
     predicate match {
       case None =>
         val (counted, unstated) = snap.files.partition(rowsOf(_).isDefined)
@@ -1346,9 +1464,9 @@ object ManifestTable {
         val resolve = statResolve(snap)
         def full(f: String): Boolean = (for {
           sc <- schema; c <- cond; payload <- snap.stats.get(f)
-        } yield ManifestStats.mustMatch(c, ManifestStats.decode(payload), sc,
+        } yield ManifestStats.mustMatch(c, ManifestStats.decodeCached(payload), sc,
           resolve)).getOrElse(false)
-        val cand = candidateFiles(spark, snap, p)
+        val cand = candidateFiles(spark, root, snap, p)
         val (fullFiles, boundary) =
           cand.partition(f => full(f) && rowsOf(f).isDefined)
         val metaRows = fullFiles.flatMap(rowsOf).sum
@@ -1379,7 +1497,7 @@ object ManifestTable {
       val base = latest(root).getOrElse(
         throw new IllegalStateException(s"no manifest at $root"))
       val scanFiles =
-        prune.map(candidateFiles(spark, base, _)).getOrElse(base.files)
+        prune.map(candidateFiles(spark, root, base, _)).getOrElse(base.files)
       if (scanFiles.isEmpty) result = Some(Delete(base, 0L))
       else {
         // the provenance column materializes AT THE SCAN, before any
@@ -1401,7 +1519,8 @@ object ManifestTable {
           val affectedScan =
             readSnapshot(spark, root, base.copy(files = affected))
           val (newFiles, token, newStats) =
-            writeData(spark, root, rewrite(affectedScan), statColsOf(base))
+            writeData(spark, root, rewrite(affectedScan),
+              statColsOf(base), bloomColsOf(base))
           try {
             beforeCommit()
             val affectedSet = affected.toSet
@@ -1468,7 +1587,7 @@ object ManifestTable {
         if (i == 0) Set.empty else snaps(i - 1).files.toSet
       val cur = s.files.toSet
       val rowCounts = s.files.map(f =>
-        s.stats.get(f).map(ManifestStats.decode(_).rows).filter(_ >= 0))
+        s.stats.get(f).map(ManifestStats.decodeCached(_).rows).filter(_ >= 0))
       val nRows: Option[Long] =
         if (s.files.isEmpty) Some(0L)
         else if (rowCounts.forall(_.isDefined)) Some(rowCounts.flatten.sum)
@@ -1542,7 +1661,15 @@ object ManifestTable {
     * Returns deleted paths. */
   def vacuum(root: String,
              orphanGraceMillis: Long = 24L * 3600 * 1000): Seq[String] = {
-    val live = latest(root).map(_.files.toSet).getOrElse(Set.empty)
+    val head = latest(root)
+    val live = head.map(_.files.toSet).getOrElse(Set.empty)
+    // bloom side dirs referenced by any LIVE file's stats are live
+    // too (a carried file keeps pointing into its original commit's
+    // side parquet); an unreferenced one is an orphan like its data
+    val liveBloomDirs: Set[String] = head.map(s =>
+      s.stats.view.filterKeys(live).values
+        .flatMap(p => ManifestStats.decodeCached(p).bloomRef).toSet)
+      .getOrElse(Set.empty)
     val intents = liveIntents(root)
     val dataDir = new HPath(root, "data")
     val fs = fsOf(dataDir)
@@ -1558,7 +1685,9 @@ object ManifestTable {
       val st = it.next()
       if (st.isFile && st.getModificationTime < cutoff) {
         val rel = st.getPath.toUri.getPath.stripPrefix(rootPrefix)
-        if (!live(rel) && !tokenOf(rel).exists(intents)) victims += rel
+        if (!live(rel) && !tokenOf(rel).exists(intents) &&
+            !liveBloomDirs.exists(d => rel.startsWith(d + "/")))
+          victims += rel
       }
     }
     victims.foreach { v =>

@@ -357,14 +357,120 @@ class ManifestStatsSpec extends SparkSpec {
         org.apache.spark.sql.types.LongType)))
     val snap = ManifestTable.Snapshot(7, files, Seq.empty,
       Some(schema.json), stats)
-    // warm the analysis path once, then time the pruning pass
+    // warm the analysis path AND the content-addressed decode cache
+    // once, then time the pruning pass: repeated DML on the same
+    // snapshot must pay hash-lookup + bound arithmetic per file, not
+    // a re-parse of O(files) payloads per op
     ManifestTable.candidateFiles(spark, snap, F.col("id") === 0L)
     val t0 = System.nanoTime()
     val cand = ManifestTable.candidateFiles(spark, snap,
       F.col("id") === 1234567L)
     val ms = (System.nanoTime() - t0) / 1e6
     assert(cand.size == 1, s"${cand.size} candidates")
-    assert(ms < 2000, f"pruning a 20k-file manifest took $ms%.0f ms")
+    assert(ms < 600, f"pruning a cached 20k-file manifest took $ms%.0f ms")
+  }
+
+  /** 8 interleaved single-file batches: every file spans the whole id
+    * range (ids ≡ i mod 8), so min/max prunes NOTHING — only the
+    * per-file bloom can skip. */
+  private def scattered(): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    ManifestTable.init(root, Seq("id"), Seq("id", "payload"))
+    for (i <- 0 until 8)
+      ManifestTable.append(spark, root,
+        (0L until 400L).filter(_ % 8 == i).toDF("id")
+          .withColumn("payload", F.concat(F.lit("row"), F.col("id")))
+          .coalesce(1))
+    root
+  }
+
+  test("bloom stats prune scattered-key equality/IN where min/max cannot (corruption proof)") {
+    val root = scattered()
+    val snap = ManifestTable.latest(root).get
+    assert(snap.files.size == 8)
+    assert(snap.files.forall(f =>
+      ManifestStats.decode(snap.stats(f)).bloomRef.isDefined),
+      "every file records a bloom side reference")
+    // min/max is useless here: the range path admits all 8 files
+    assert(ManifestTable.candidateFiles(spark, snap,
+      F.col("id") === 13L).size == 8)
+    // the bloom path (root-aware) lists ~1 file (fpp slack: allow 2)
+    val c1 = ManifestTable.candidateFiles(spark, root, snap,
+      F.col("id") === 13L)
+    assert(c1.nonEmpty && c1.size <= 2, s"${c1.size} candidates")
+    // string keys bloom too
+    assert(ManifestTable.candidateFiles(spark, root, snap,
+      F.col("payload") === "row13").size <= 2)
+    // IN = union of per-key hits (3 keys, 2 distinct residue files)
+    assert(ManifestTable.candidateFiles(spark, root, snap,
+      F.col("id").isin(3L, 11L, 20L)).size <= 3)
+    // a key no file holds prunes everything (bounds say in-range)
+    assert(ManifestTable.candidateFiles(spark, root, snap,
+      F.col("id") === 401L).isEmpty)
+    // corruption proof: every non-candidate file rots on disk, yet
+    // the pruned read, the point delete, and the merge all succeed
+    snap.files.filterNot(c1.toSet).foreach(corrupt(root, _))
+    assert(ManifestTable.readWhere(spark, root, F.col("id") === 13L)
+      .select("id").as[Long].collect().toSeq == Seq(13L))
+    val del = ManifestTable.deleteIds(spark, root, "id",
+      Seq(13L).toDF("victim"))
+    assert(del.removedRows == 1L)
+    // 21 ≡ 13 (mod 8): same residue file, freshly rewritten above —
+    // the scattered-id MERGE must open only that file
+    val m = ManifestTable.upsert(spark, root, "id",
+      Seq(21L).toDF("id").withColumn("payload", F.lit("merged")))
+    assert(m.matchedRows == 1L && m.insertedRows == 0L)
+    assert(ManifestTable.readWhere(spark, root, F.col("id") === 21L)
+      .select("payload").as[String].head() == "merged")
+  }
+
+  test("bloom lifecycle: overfull files drop the filter; renames resolve; vacuum spares live sidecars and sweeps orphans") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom2").toString
+    ManifestTable.init(root, Seq.empty, Seq("id"))
+    // a file past BloomKeyCapacity distinct keys DROPS its bloom —
+    // conservative (stays a candidate), never saturated-and-lying
+    ManifestTable.append(spark, root,
+      (0L until (ManifestStats.BloomKeyCapacity + 100L)).toDF("id")
+        .coalesce(1))
+    val over = ManifestTable.latest(root).get
+    assert(over.files.forall(f =>
+      ManifestStats.decode(over.stats(f)).bloomRef.isEmpty),
+      "an overfull bloom must drop, not saturate")
+    assert(ManifestTable.candidateFiles(spark, root, over,
+      F.col("id") === 7L) == over.files)
+    // fresh scattered table for the lifecycle half
+    val root2 = scattered()
+    // RENAME: blooms recorded under 'id' keep answering for 'key'
+    // through the colmap chain
+    ManifestTable.renameColumn(spark, root2, "id", "key")
+    val renamed = ManifestTable.latest(root2).get
+    assert(ManifestTable.candidateFiles(spark, root2, renamed,
+      F.col("key") === 13L).size <= 2)
+    // vacuum spares the LIVE bloom sidecars (they live in the data
+    // token dirs of carried files)
+    ManifestTable.vacuum(root2, orphanGraceMillis = 0L)
+    val liveRefs = renamed.files.flatMap(f =>
+      ManifestStats.decode(renamed.stats(f)).bloomRef).distinct
+    assert(liveRefs.nonEmpty && liveRefs.forall(r =>
+      new java.io.File(root2, r).exists), "vacuum ate a live bloom sidecar")
+    // a clustering rewrite re-blooms everything; the old sidecars are
+    // orphans and vacuum sweeps them
+    ManifestTable.compact(spark, root2, targetFileBytes = 1L << 20,
+      clusterBy = Seq("key"))
+    ManifestTable.vacuum(root2, orphanGraceMillis = 0L)
+    // vacuum removes files (the empty dir skeleton stays, as for
+    // data token dirs): no parquet part may survive under a dead ref
+    assert(liveRefs.forall { r =>
+      val d = new java.io.File(root2, r)
+      !d.exists || Option(d.listFiles).getOrElse(Array.empty)
+        .forall(f => !f.getName.endsWith(".parquet"))
+    }, "orphaned bloom sidecars survived vacuum")
+    val after = ManifestTable.latest(root2).get
+    val newRefs = after.files.flatMap(f =>
+      ManifestStats.decode(after.stats(f)).bloomRef).distinct
+    assert(newRefs.forall(r => new java.io.File(root2, r).exists))
+    assert(ManifestTable.readWhere(spark, root2, F.col("key") === 13L)
+      .select("key").as[Long].collect().toSeq == Seq(13L))
   }
 
   test("tables without declared stat columns have zero stats overhead and never prune") {

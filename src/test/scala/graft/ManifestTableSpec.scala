@@ -303,6 +303,52 @@ class ManifestTableSpec extends SparkSpec {
       "duplicate-id rows not all replaced by the single update row")
   }
 
+  test("merge scan contract: scattered driver-sized batches prune per key (bloom); larger batches prune by id range") {
+    import graft.operators.ManifestStats
+    // files opened is measured the deterministic way: every file the
+    // contract says the merge must NOT open is corrupted on disk, so
+    // any wider scan fails loudly
+    // -- scattered half: 8 interleaved files, ids ≡ i (mod 8) --
+    val root = java.nio.file.Files.createTempDirectory("graft_mc1").toString
+    ManifestTable.init(root, Seq("id"), Seq("id"))
+    for (i <- 0 until 8)
+      ManifestTable.append(spark, root,
+        (0L until 400L).filter(_ % 8 == i).toDF("id")
+          .withColumn("payload", F.concat(F.lit("row"), F.col("id")))
+          .coalesce(1))
+    val snap = ManifestTable.latest(root).get
+    val need = ManifestTable.candidateFiles(spark, root, snap,
+      F.col("id").isin(5L, 13L))
+    assert(need.size <= 2, s"bloom admitted ${need.size} files")
+    def corrupt(r: String, rel: String): Unit = {
+      val p = java.nio.file.Paths.get(r, rel)
+      java.nio.file.Files.deleteIfExists(
+        p.getParent.resolve("." + p.getFileName.toString + ".crc"))
+      java.nio.file.Files.write(p, "not parquet".getBytes)
+    }
+    snap.files.filterNot(need.toSet).foreach(corrupt(root, _))
+    val m = ManifestTable.upsert(spark, root, "id",
+      Seq(5L, 13L).toDF("id").withColumn("payload", F.lit("m")))
+    assert(m.matchedRows == 2L && m.insertedRows == 0L)
+    // -- large-batch half: > IdInPruneMax ids prune by RANGE, the
+    // clustered-table contract (disjoint 100-wide files) --
+    val root2 = java.nio.file.Files.createTempDirectory("graft_mc2").toString
+    ManifestTable.init(root2, Seq("id"))
+    for (i <- 0 until 4)
+      ManifestTable.append(spark, root2,
+        batch(i * 100L, i * 100L + 100L).coalesce(1))
+    val snap2 = ManifestTable.latest(root2).get
+    val out = snap2.files.filter(f =>
+      ManifestStats.decode(snap2.stats(f)).cols("id").bounds.get._2.toLong
+        < 100L)
+    assert(out.size == 1, "exactly the [0,100) file is out of range")
+    out.foreach(corrupt(root2, _))
+    val big = (100L until 1300L).toDF("id")
+      .withColumn("payload", F.lit("big"))
+    val m2 = ManifestTable.upsert(spark, root2, "id", big)
+    assert(m2.matchedRows == 300L && m2.insertedRows == 900L)
+  }
+
   test("vacuum mid-write spares the in-flight writer's files (intent guard)") {
     val root = java.nio.file.Files.createTempDirectory("graft_manifest7").toString
     ManifestTable.init(root)
