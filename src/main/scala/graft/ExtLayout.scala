@@ -304,6 +304,35 @@ private[graft] object ExtLayout {
     }),
 
 
+    // SQL FRONT DOOR over the manifest table: the table registers as
+    // a catalog view served by a snapshot-pinned FileIndex relation,
+    // so pure spark.sql reads plan stats-PRUNED scans (PlanShapeSpec
+    // pins the shrunk file list) with snapshot isolation — the head
+    // view excludes the deleted band, while a versionAsOf pin still
+    // serves it (time travel under SQL). Everything downstream of the
+    // pruned listing is stock vectorized parquet + codegen.
+    "x_manifest_sql" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_sql")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"), Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, root,
+        docs.repartitionByRange(8, F.col("doc_id")))   // v1
+      graft.operators.ManifestTable.deleteWhere(s, root,
+        F.col("doc_id") >= 40 && F.col("doc_id") < 60) // v2 (head)
+      val g = graft.api.Graft(s, dir)
+      g.registerManifest("corpus_manifest", root)
+      g.registerManifest("corpus_manifest_v1", root, versionAsOf = Some(1))
+      s.sql("SELECT doc_id, lang, source, n_chars, 'head' AS ver " +
+        "FROM corpus_manifest " +
+        "WHERE (doc_id >= 30 AND doc_id < 120) OR doc_id = 7 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, n_chars, 'v1' AS ver " +
+        "FROM corpus_manifest_v1 WHERE doc_id >= 40 AND doc_id < 60")
+    }),
+
+
     // SCATTERED-KEY pruning through per-file Blooms: eight interleaved
     // appends (doc_id ≡ i mod 8) leave every file spanning the whole
     // id range — min/max prunes NOTHING — and the declared bloom
@@ -571,6 +600,48 @@ private[graft] object ExtLayout {
           .select(F.col("doc_id"), F.lit("MUST_NOT_APPLY").as("lang"),
             F.col("source"), F.lit(99L).as("rev")))
       graft.operators.ManifestTable.read(s, root)
+    }),
+
+
+    // CDC SUBSCRIPTION to a manifest table: a version-watermarked
+    // drain delivers each commit as a per-version file-diff batch
+    // (batchId = the version) into an id-LEDGERED sink manifest table
+    // — at-least-once delivery + exactly-once apply = exactly-once
+    // end to end. The grade: two appends and a row delete drain as
+    // three batches; a second drain delivers NOTHING (watermark); the
+    // watermark is then WIPED and the full feed re-delivers with the
+    // same ids — every replayed batch must be a ledger no-op, or the
+    // sink double-counts and fails the hash.
+    "x_stream_changes" -> ((s, dir) => {
+      val src = layoutDir(dir, "cdcfeed_src")
+      val sink = layoutDir(dir, "cdcfeed_sink")
+      val ckpt = layoutDir(dir, "cdcfeed_ckpt")
+      Seq(src, sink, ckpt).foreach(r => deleteRec(new java.io.File(r)))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      graft.operators.ManifestTable.init(src)
+      graft.operators.ManifestTable.append(s, src,
+        docs.filter(F.col("doc_id") % 3 === 0)) // v1
+      graft.operators.ManifestTable.append(s, src,
+        docs.filter(F.col("doc_id") % 3 === 1)) // v2
+      graft.operators.ManifestTable.deleteWhere(s, src,
+        F.col("doc_id") % 5 === 0)              // v3
+      graft.operators.ManifestTable.init(sink)
+      def subscribe(): Seq[Long] =
+        graft.streaming.ManifestChangeFeed.drain(s, src, ckpt) {
+          (batch, id) =>
+            graft.operators.ManifestTable.appendBatch(s, sink, id,
+              batch.withColumn("ver", F.lit(id)))
+            ()
+        }
+      require(subscribe() == Seq(1L, 2L, 3L), "first drain delivers all")
+      require(subscribe().isEmpty, "watermarked drain re-delivers nothing")
+      // crash-replay: the watermark vanishes, every version
+      // re-delivers under its original id — the sink's batch ledger
+      // must no-op all three
+      deleteRec(new java.io.File(ckpt))
+      require(subscribe() == Seq(1L, 2L, 3L), "replay re-delivers the feed")
+      graft.operators.ManifestTable.read(s, sink)
     }),
 
 
@@ -900,6 +971,18 @@ private[graft] object ExtLayout {
         "CASE WHEN doc_id % 4 < 3 THEN CAST(doc_id % 4 + 1 AS BIGINT) END AS rev " +
         "FROM documents"),
 
+    // the drained feed = the three versions' row-level diffs exactly
+    // once each, despite the full-feed replay
+    "x_stream_changes" ->
+      ("SELECT doc_id, lang, source, 'insert' AS _change_type, " +
+        "CAST(1 AS BIGINT) AS ver FROM documents WHERE doc_id % 3 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, 'insert', 2 FROM documents " +
+        "WHERE doc_id % 3 = 1 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, 'delete', 3 FROM documents " +
+        "WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 = 0"),
+
     // v2 = the first two appends exactly; v4 (latest) = all three
     // splits minus the deleted ids
     "x_manifest_timetravel" ->
@@ -952,6 +1035,17 @@ private[graft] object ExtLayout {
         "source, n_chars, 'in' FROM documents " +
         "WHERE doc_id IN (5, 45, 75, 130, 222) " +
         "AND NOT (doc_id >= 40 AND doc_id < 60)"),
+
+    // the head view excludes the deleted band; the v1 pin still
+    // serves it — SQL-side snapshot isolation + time travel
+    "x_manifest_sql" ->
+      ("SELECT doc_id, lang, source, n_chars, 'head' AS ver " +
+        "FROM documents " +
+        "WHERE ((doc_id >= 30 AND doc_id < 120) OR doc_id = 7) " +
+        "AND NOT (doc_id >= 40 AND doc_id < 60) " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, n_chars, 'v1' AS ver " +
+        "FROM documents WHERE doc_id >= 40 AND doc_id < 60"),
 
     // bloom-pruned probes: the merge rewrote three scattered ids'
     // lang, the point delete removed id 40 (absent from the IN probe)

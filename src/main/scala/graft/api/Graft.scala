@@ -68,6 +68,19 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     }
   }
 
+  /** Register a [[graft.operators.ManifestTable]] for `spark.sql`
+    * access alongside the model views [[enableSql]] registers: the
+    * view serves a SNAPSHOT-PINNED, stats-pruned parquet relation
+    * ([[graft.sources.ManifestSql]]) — pushed predicates shrink the
+    * planned file list through the manifest's per-file bounds and
+    * Bloom side index, so the round-13+ table machinery (snapshot
+    * isolation, time travel via `versionAsOf`, pruning) is reachable
+    * from pure SQL. Re-register (or `REFRESH TABLE`) to move the pin
+    * to the table's head. */
+  def registerManifest(name: String, root: String,
+                       versionAsOf: Option[Int] = None): Unit =
+    graft.sources.ManifestSql.register(spark, name, root, versionAsOf)
+
   private def registerPersistent(t: String): Unit = {
     val td = Catalog(t)
     val store = s"${td.storageName}_store"

@@ -655,6 +655,10 @@ object ManifestStats {
               valueEqMay(n, v, a.dataType).getOrElse(true))
           case _ => true
         }
+      // NOT by duality: if EVERY row satisfies x, none satisfies
+      // NOT x. (Rows where x is NULL satisfy neither — irrelevant
+      // here: mustMatch(x) already implies x is TRUE on every row.)
+      case Not(x) => !mustMatchExpr(x, st, schema, resolve)
       case StartsWith(a, litE) =>
         (for {
           n <- attrName(a)
@@ -735,7 +739,51 @@ object ManifestStats {
       case IsNotNull(a) =>
         attrName(a).flatMap(statFor(_, st, schema, resolve))
           .exists(_._1.nulls == 0L)
+      // NOT by duality, with a NULL guard: "every row satisfies
+      // NOT x" needs x to be FALSE on every row — mayMatch(x)=false
+      // gives "x is never TRUE", and neverNullOn(x) closes the
+      // remaining case (a NULL x makes NOT x NULL, which satisfies
+      // nothing). Blooms never participate on this side.
+      case Not(x) =>
+        neverNullOn(x, st, schema, resolve) &&
+          !mayMatchExpr(x, st, schema, resolve, _ => None)
       case _ => false // unsupported shape: never claim full coverage
+    }
+  }
+
+  /** Can `e` be proven to NEVER evaluate to NULL on any row of the
+    * file? Structural and conservative: comparisons need a null-free
+    * column side (per the recorded null counts) and a non-null
+    * foldable literal side; null tests are never null themselves;
+    * AND/OR require both operands (FALSE&&NULL is FALSE, but proving
+    * which operand short-circuits is beyond the stats). FALSE on any
+    * doubt. */
+  private def neverNullOn(e: Expression, st: FileStats,
+                          schema: StructType,
+                          resolve: String => Seq[String]): Boolean = {
+    def nn(x: Expression) = neverNullOn(x, st, schema, resolve)
+    def colNullFree(a: Expression): Boolean =
+      attrName(a).flatMap(statFor(_, st, schema, resolve))
+        .exists(_._1.nulls == 0L)
+    def sideOk(a: Expression, b: Expression): Boolean =
+      (colNullFree(a) && fold(b).isDefined) ||
+        (colNullFree(b) && fold(a).isDefined)
+    e match {
+      case And(l, r) => nn(l) && nn(r)
+      case Or(l, r) => nn(l) && nn(r)
+      case Not(x) => nn(x)
+      case IsNull(_) | IsNotNull(_) => true
+      case _: EqualNullSafe => true // <=> is never null
+      case EqualTo(a, b) => sideOk(a, b)
+      case LessThan(a, b) => sideOk(a, b)
+      case LessThanOrEqual(a, b) => sideOk(a, b)
+      case GreaterThan(a, b) => sideOk(a, b)
+      case GreaterThanOrEqual(a, b) => sideOk(a, b)
+      case StartsWith(a, l) => colNullFree(a) && foldString(l).isDefined
+      case In(a, list) =>
+        colNullFree(a) && list.forall(l => fold(l).isDefined)
+      case InSet(a, hset) => colNullFree(a) && !hset.contains(null)
+      case _ => false
     }
   }
 }

@@ -345,6 +345,21 @@ object ManifestTable {
   private def recordedSchema(snap: Snapshot): Option[StructType] =
     snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
 
+  /** The logical schema a snapshot's readers plan with: the recorded
+    * schema, or (pre-ledger table) the one-off footer-seeded merge —
+    * the [[graft.sources.ManifestSql]] front door's schema source. */
+  private[graft] def recordedSchemaOf(spark: SparkSession, root: String,
+                                      snap: Snapshot): StructType =
+    recordedSchema(snap).orElse(
+      seededSchemaJson(spark, root, snap)
+        .map(DataType.fromJson(_).asInstanceOf[StructType]))
+      .getOrElse(throw new IllegalStateException(
+        s"empty, schema-less manifest table at $root has no schema"))
+
+  /** A snapshot's rename chains (current → historical names). */
+  private[graft] def colmapOfSnap(snap: Snapshot): Map[String, Seq[String]] =
+    colmapOf(snap.meta)
+
   // ---- column rename/drop (the schema ledger's second rung) ----
 
   /** current name → its HISTORICAL names, newest first (`#colmap:`

@@ -76,6 +76,15 @@ class ManifestStatsSpec extends SparkSpec {
     // OR widens, AND narrows
     assert(ManifestTable.candidateFiles(spark, snap,
       F.col("id") === 50L || F.col("id") === 350L).size == 2)
+    // NOT prunes by duality: files whose EVERY row satisfies the
+    // negated predicate drop; the metadata count path proves the
+    // mustMatch(NOT …) side (null-free columns required)
+    assert(ManifestTable.candidateFiles(spark, snap,
+      !(F.col("id") >= 100L)).size == 1)
+    assert(ManifestTable.candidateFiles(spark, snap,
+      !F.col("id").between(0L, 399L)).isEmpty)
+    assert(ManifestTable.countWhere(spark, root,
+      Some(!(F.col("id") >= 100L))) == 100L)
   }
 
   test("readWhere plans only candidate files and is result-identical to read+filter") {
@@ -253,7 +262,9 @@ class ManifestStatsSpec extends SparkSpec {
     import org.apache.spark.sql.Column
     val rnd = new scala.util.Random(20240815L)
     val root = java.nio.file.Files.createTempDirectory("graft_law").toString
-    ManifestTable.init(root, Seq("id", "name", "score"))
+    // id and name also carry per-file BLOOMS, so the law covers the
+    // bloom-combined equality/IN path and the readWhere bloom load
+    ManifestTable.init(root, Seq("id", "name", "score"), Seq("id", "name"))
     // 6 overlapping files: random long ranges, random strings (empty,
     // unicode, long), doubles with NaN/Inf, nulls in every column
     val words = Seq("", "a", "Zebra", "zebra", "müller", "ñu", "中文",
@@ -296,9 +307,10 @@ class ManifestStatsSpec extends SparkSpec {
     }
     def pred(depth: Int): Column =
       if (depth == 0) atom()
-      else rnd.nextInt(3) match {
+      else rnd.nextInt(4) match {
         case 0 => pred(depth - 1) && pred(depth - 1)
         case 1 => pred(depth - 1) || pred(depth - 1)
+        case 2 => !pred(depth - 1) // NOT push-through (may/must duality)
         case _ => atom()
       }
     val truthDf = ManifestTable.read(spark, root).localCheckpoint(true)

@@ -282,6 +282,67 @@ class PlanShapeSpec extends SparkSpec {
       s"expected 7 partitions read, got ${scan.metrics("numPartitions").value}")
   }
 
+  test("manifest SQL front door: pushed predicates shrink the planned file list; refresh moves the pin") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import graft.operators.ManifestTable
+    import graft.sources.ManifestSql
+    import spark.implicits._
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // materialize so scan metrics fill
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    // range-clustered half: 4 disjoint single-file bands [0,400)
+    val root = java.nio.file.Files.createTempDirectory("graft_msql").toString
+    ManifestTable.init(root, Seq("id"), Seq("id"))
+    for (i <- 0 until 4)
+      ManifestTable.append(spark, root,
+        (i * 100L until i * 100L + 100L).toDF("id")
+          .withColumn("payload", F.concat(F.lit("row"), F.col("id")))
+          .coalesce(1))
+    ManifestSql.register(spark, "msql_t", root)
+    val point = spark.sql("SELECT id, payload FROM msql_t WHERE id = 150")
+    assert(filesRead(point) == 1,
+      "a pushed point predicate must plan exactly the one band file")
+    assert(point.collect().map(_.getLong(0)).toSeq == Seq(150L))
+    val range = spark.sql(
+      "SELECT count(*) AS n FROM msql_t WHERE id >= 120 AND id < 280")
+    assert(filesRead(range) == 2, "the two intersecting bands only")
+    assert(range.as[Long].head() == 160L)
+    assert(filesRead(spark.sql("SELECT * FROM msql_t")) == 4,
+      "an unfiltered read lists every file")
+    // REFRESH TABLE moves the snapshot pin to the head
+    ManifestTable.append(spark, root,
+      (400L until 500L).toDF("id")
+        .withColumn("payload", F.lit("late")).coalesce(1))
+    assert(spark.sql("SELECT count(*) FROM msql_t").as[Long].head() == 400L,
+      "the view is snapshot-pinned until refreshed")
+    spark.catalog.refreshTable("msql_t")
+    assert(spark.sql("SELECT count(*) FROM msql_t").as[Long].head() == 500L)
+    // scattered half: 8 interleaved files, only the BLOOM can prune —
+    // and it must keep pruning through pure SQL
+    val root2 = java.nio.file.Files.createTempDirectory("graft_msql2").toString
+    ManifestTable.init(root2, Seq("id"), Seq("id"))
+    for (i <- 0 until 8)
+      ManifestTable.append(spark, root2,
+        (0L until 400L).filter(_ % 8 == i).toDF("id")
+          .withColumn("payload", F.concat(F.lit("row"), F.col("id")))
+          .coalesce(1))
+    ManifestSql.register(spark, "msql_s", root2)
+    val inProbe = spark.sql(
+      "SELECT id FROM msql_s WHERE id IN (5, 13)") // both ≡ 5 (mod 8)
+    assert(filesRead(inProbe) <= 2,
+      "the bloom must shrink a scattered IN probe under SQL")
+    assert(inProbe.as[Long].collect().toSet == Set(5L, 13L))
+  }
+
   test("vocabCoverage tokenizes the corpus once (vocab + rollup share the exchange)") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
