@@ -6,26 +6,29 @@ import org.apache.spark.sql.SparkSession
   * [[SignatureStore]], completing the standing-pipeline trio
   * (LSH signature store, manifest table, IVF store): the trained
   * centroids and the assignment frame persist on disk, each ingest
-  * appends ONLY the batch's assignments as a new `gen=N` generation
-  * (write disjoint from the read glob; the `gen` column is ingest
-  * provenance), and search loads the standing index without ever
-  * touching the raw vector source again (IvfIndexSpec proves it by
-  * deleting the source between init and ingest).
+  * appends ONLY the batch's assignments as a new generation, and
+  * search loads the standing index without ever touching the raw
+  * vector source again (IvfIndexSpec proves it by deleting the
+  * source between init and ingest).
   *
   * Layout: `root/centroids/` (k float vectors) and
-  * `root/assigned/gen=N/` in the [[Similarity.assignCellsWith]] shape
-  * (id, vec, nrm, cell) — norms and cells are computed once, at
-  * ingest, and never recomputed at query time.
+  * `root/assigned/` — a [[ManifestTable]] of rows in the
+  * [[Similarity.assignCellsWith]] shape (id, vec, nrm, cell) plus
+  * the `gen` provenance column — norms and cells are computed once,
+  * at ingest, and never recomputed at query time. Generation
+  * numbering, exactly-once streaming replay, compaction, and purge
+  * all ride the manifest's batch ledger, exactly as in
+  * [[SignatureStore]] (one commit protocol for the engine).
   */
 object IvfStore {
 
   private def assignedRoot(root: String) = s"$root/assigned"
 
-  /** Train on `corpus` and persist centroids + gen=0 assignments.
-    * CLEARS any existing store under `root` first: overwrite mode
-    * alone would replace centroids and gen=0 but leave stale gen>=1
-    * generations behind — assignments computed against the OLD
-    * centroids, silently corrupting every later load/search. */
+  /** Train on `corpus` and persist centroids + gen-0 assignments.
+    * CLEARS any existing store under `root` first: overwriting only
+    * the centroids would leave stale assignments behind — computed
+    * against the OLD centroids, silently corrupting every later
+    * load/search. */
   def init(corpus: org.apache.spark.sql.DataFrame, idCol: String,
            vecCol: String, k: Int, iters: Int, root: String): Unit = {
     val spark = corpus.sparkSession
@@ -34,8 +37,11 @@ object IvfStore {
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     val idx = IvfIndex.build(corpus, idCol, vecCol, k, iters)
     idx.centroids.write.mode("overwrite").parquet(s"$root/centroids")
-    idx.assigned.write.mode("overwrite")
-      .parquet(s"${assignedRoot(root)}/gen=0")
+    ManifestTable.init(assignedRoot(root), Seq("gen", "id"), Seq("id"))
+    ManifestTable.appendBatch(spark, assignedRoot(root), 0L,
+      idx.assigned.withColumn("gen",
+        org.apache.spark.sql.functions.lit(0)))
+    ()
   }
 
   /** The standing index, read back from parquet. The assignment half
@@ -63,32 +69,38 @@ object IvfStore {
       .localCheckpoint(eager = true)
     val nextGen =
       SignatureStore.latestGeneration(spark, assignedRoot(root)) + 1
-    appended.write.mode("overwrite")
-      .parquet(s"${assignedRoot(root)}/gen=$nextGen")
+    ManifestTable.appendBatch(spark, assignedRoot(root), nextGen.toLong,
+      appended.withColumn("gen",
+        org.apache.spark.sql.functions.lit(nextGen)))
     idx.copy(assigned = idx.assigned.unionByName(appended))
   }
 
   /** Idempotent micro-batch ingest — the vector twin of
     * [[SignatureStore.ingestBatch]]: assign `batch` against the
     * STORED centroids and commit it as generation `gen` through the
-    * shared atomic-rename protocol (generation directory = commit
-    * record; a replayed batch finds its generation present — or
-    * folded into a compacted base — and computes nothing, so the
-    * store is byte-identical under Structured Streaming's replay
-    * contract). `gen` must be deterministic across replays: a
-    * streaming sink uses `baseGen + batchId`, with `baseGen` fixed
-    * for the sink's lifetime (e.g. latestGeneration+1 at the moment
-    * the STREAM is created, paired with its checkpoint). Unlike the
-    * signature store's dedup ingest, assignment is order-independent
-    * across batches — only the id/generation bookkeeping needs the
+    * manifest's exactly-once batch ledger (a replayed batch finds
+    * its marker and computes nothing, so the store is byte-identical
+    * under Structured Streaming's replay contract). `gen` must be
+    * deterministic across replays: a streaming sink uses
+    * `baseGen + batchId`, with `baseGen` fixed for the sink's
+    * lifetime (e.g. latestGeneration+1 at the moment the STREAM is
+    * created, paired with its checkpoint). Unlike the signature
+    * store's dedup ingest, assignment is order-independent across
+    * batches — only the id/generation bookkeeping needs the
     * sequencing. Returns true iff this call committed. */
   def ingestBatch(spark: SparkSession, root: String, gen: Long,
                   batch: org.apache.spark.sql.DataFrame,
-                  idCol: String, vecCol: String): Boolean =
-    SignatureStore.commitGeneration(spark, assignedRoot(root), gen) {
+                  idCol: String, vecCol: String): Boolean = {
+    val assigned = assignedRoot(root)
+    if (ManifestTable.isBatchCommitted(assigned, gen)) return false
+    ManifestTable.init(assigned, Seq("gen", "id"), Seq("id"))
+    ManifestTable.appendBatch(spark, assigned, gen,
       Similarity.assignCells(batch,
-        spark.read.parquet(s"$root/centroids"), idCol, vecCol)
-    }
+          spark.read.parquet(s"$root/centroids"), idCol, vecCol)
+        .withColumn("gen",
+          org.apache.spark.sql.functions.lit(gen.toInt)))
+    true
+  }
 
   /** Fold assignment generations ≤ `upTo` into a compacted base —
     * [[SignatureStore.compactGenerations]] on the assignment store

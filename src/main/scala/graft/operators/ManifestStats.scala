@@ -235,12 +235,19 @@ object ManifestStats {
     val bloomRef: Option[String] =
       if (bloomRows.isEmpty) None
       else {
+        // the rows are already driver-local (one per file×column) —
+        // write the sidecar directly through the FS as b64 lines:
+        // zero Spark jobs on either side of the seam, and the loader
+        // stays job-free too (planning must never launch jobs)
         val tokenDir = relFiles.head.split('/').take(2).mkString("/")
-        val ref = s"$tokenDir/blooms.parquet"
-        val sp = spark
-        import sp.implicits._
-        bloomRows.toDF("file", "col", "bloom")
-          .coalesce(1).write.mode("overwrite").parquet(s"$root/$ref")
+        val ref = s"$tokenDir/blooms.idx"
+        val p = new org.apache.hadoop.fs.Path(s"$root/$ref")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(p, true)
+        try out.write(bloomRows.map { case (f, c, b) =>
+          s"$f|$c|${Base64.getEncoder.encodeToString(b)}"
+        }.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
         Some(ref)
       }
     val withBloom = bloomRows.iterator.map(_._1).toSet
@@ -279,19 +286,30 @@ object ManifestStats {
     String, Map[(String, String), org.apache.spark.util.sketch.BloomFilter]]()
   private val BloomCacheMax = 4096
 
-  /** Load (and cache) one commit's bloom side parquet: (file-relpath,
-    * column) → filter. A missing/corrupt side file answers empty —
-    * blooms are only ever an optimization. */
+  /** Load (and cache) one commit's bloom sidecar (`file|col|b64`
+    * lines): (file-relpath, column) → filter. Pure driver-side FS
+    * read — planning never launches a Spark job. A missing/corrupt
+    * sidecar answers empty — blooms are only ever an optimization. */
   def loadBlooms(spark: SparkSession, root: String, ref: String)
       : Map[(String, String), org.apache.spark.util.sketch.BloomFilter] = {
     val key = s"$root/$ref"
     val hit = bloomCache.get(key)
     if (hit != null) return hit
     val loaded = scala.util.Try {
-      spark.read.parquet(key).collect().map { r =>
-        (r.getString(0), r.getString(1)) ->
-          org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      val p = new org.apache.hadoop.fs.Path(key)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.flatMap { l =>
+        l.split('|') match {
+          case Array(f, c, b64bloom) =>
+            Some((f, c) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(
+                Base64.getDecoder.decode(b64bloom))))
+          case _ => None
+        }
       }.toMap
     }.getOrElse(Map.empty)
     if (bloomCache.size >= BloomCacheMax) bloomCache.clear()

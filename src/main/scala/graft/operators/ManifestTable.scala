@@ -640,6 +640,25 @@ object ManifestTable {
     id <= batchesThrough(snap.meta) ||
       snap.meta.contains(s"$BatchPrefix$id")
 
+  /** Is micro-batch `id` already committed at the CURRENT head — the
+    * replay fast-path for callers that want to skip computing their
+    * batch entirely ([[appendBatch]]/[[upsertBatch]] re-check inside
+    * the commit loop regardless, so this is an optimization, never
+    * the correctness line). */
+  def isBatchCommitted(root: String, batchId: Long): Boolean =
+    latest(root).exists(batchCommitted(_, batchId))
+
+  /** Highest batch id the ledger has recorded (−1 if none): the max
+    * of the folded watermark and every visible `#batch:` marker.
+    * Authoritative even for EMPTY batches and across compaction
+    * (metadata lines carry through every rewrite) — what
+    * [[SignatureStore.latestGeneration]] answers from. */
+  private[operators] def ledgerHigh(snap: Snapshot): Long =
+    (batchesThrough(snap.meta) +: snap.meta.collect {
+      case s if s.startsWith(BatchPrefix) =>
+        s.stripPrefix(BatchPrefix).toLong
+    }).max
+
   /** EXACTLY-ONCE streaming append: commit `df` as micro-batch
     * `batchId`, recording a `#batch:<id>` marker IN the manifest —
     * marker and file list publish through the same atomic commit,
@@ -1678,10 +1697,10 @@ object ManifestTable {
              orphanGraceMillis: Long = 24L * 3600 * 1000): Seq[String] = {
     val head = latest(root)
     val live = head.map(_.files.toSet).getOrElse(Set.empty)
-    // bloom side dirs referenced by any LIVE file's stats are live
-    // too (a carried file keeps pointing into its original commit's
-    // side parquet); an unreferenced one is an orphan like its data
-    val liveBloomDirs: Set[String] = head.map(s =>
+    // bloom sidecars referenced by any LIVE file's stats are live too
+    // (a carried file keeps pointing into its original commit's
+    // sidecar); an unreferenced one is an orphan like its data
+    val liveBloomRefs: Set[String] = head.map(s =>
       s.stats.view.filterKeys(live).values
         .flatMap(p => ManifestStats.decodeCached(p).bloomRef).toSet)
       .getOrElse(Set.empty)
@@ -1701,7 +1720,7 @@ object ManifestTable {
       if (st.isFile && st.getModificationTime < cutoff) {
         val rel = st.getPath.toUri.getPath.stripPrefix(rootPrefix)
         if (!live(rel) && !tokenOf(rel).exists(intents) &&
-            !liveBloomDirs.exists(d => rel.startsWith(d + "/")))
+            !liveBloomRefs(rel))
           victims += rel
       }
     }

@@ -85,17 +85,19 @@ class IvfIndexSpec extends SparkSpec {
         IvfStore.load(spark, root, "vec_id", "embedding"),
         queries, k = 10, nprobe = NPROBE)
       .collect().map(_.toSeq).toSet
-    assert(IvfStore.compactGenerations(spark, root, upTo = 1) == 2L)
-    // gen dirs folded into the base; search result bit-identical
-    val dirs = Option(new java.io.File(s"$root/assigned").list()).get
-      .filter(_.startsWith("gen=")).toSeq
-    assert(dirs.isEmpty, dirs)
+    val preFold = graft.operators.ManifestTable
+      .latest(s"$root/assigned").get.files.size
+    assert(IvfStore.compactGenerations(spark, root, upTo = 1)
+      == preFold.toLong)
+    // files folded; search result bit-identical
+    assert(graft.operators.ManifestTable
+      .latest(s"$root/assigned").get.files.size < preFold)
     val after = IvfIndex.topK(
         IvfStore.load(spark, root, "vec_id", "embedding"),
         queries, k = 10, nprobe = NPROBE)
       .collect().map(_.toSeq).toSet
     assert(after == before, "compaction changed search results")
-    // further ingest lands as gen=2 on top of the base
+    // further ingest lands as gen=2 on top of the fold
     IvfStore.ingest(spark, root, third(2), "vec_id", "embedding")
     val full = IvfIndex.topK(
         IvfStore.load(spark, root, "vec_id", "embedding"),

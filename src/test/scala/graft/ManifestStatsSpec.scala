@@ -470,13 +470,8 @@ class ManifestStatsSpec extends SparkSpec {
     ManifestTable.compact(spark, root2, targetFileBytes = 1L << 20,
       clusterBy = Seq("key"))
     ManifestTable.vacuum(root2, orphanGraceMillis = 0L)
-    // vacuum removes files (the empty dir skeleton stays, as for
-    // data token dirs): no parquet part may survive under a dead ref
-    assert(liveRefs.forall { r =>
-      val d = new java.io.File(root2, r)
-      !d.exists || Option(d.listFiles).getOrElse(Array.empty)
-        .forall(f => !f.getName.endsWith(".parquet"))
-    }, "orphaned bloom sidecars survived vacuum")
+    assert(liveRefs.forall(r => !new java.io.File(root2, r).exists),
+      "orphaned bloom sidecars survived vacuum")
     val after = ManifestTable.latest(root2).get
     val newRefs = after.files.flatMap(f =>
       ManifestStats.decode(after.stats(f)).bloomRef).distinct

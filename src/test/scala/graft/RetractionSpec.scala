@@ -199,7 +199,7 @@ class RetractionSpec extends SparkSpec {
     assert(members() == Set(2L, 20L, 30L))
   }
 
-  test("purging a live generation folds it into the base atomically; later generations stay byte-identical") {
+  test("purge rewrites only victim-holding files; unaffected generations stay byte-identical on disk") {
     import spark.implicits._
     val root = Workspace.dir("retract_fold")
     ExtShared.deleteRec(new java.io.File(root))
@@ -222,15 +222,21 @@ class RetractionSpec extends SparkSpec {
         .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
       finally s.close()
     }
-    val laterGens = Seq(s"$root/gen=1", s"$root/gen=2").map(fileState)
+    // the files that do NOT hold the victim must be carried through
+    // the purge byte-identical (copy-on-write rewrites only the
+    // affected files; unaffected generations' files never move)
+    import graft.operators.ManifestTable
+    val preSnap = ManifestTable.latest(root).get
+    val untouched = preSnap.files.filterNot(
+      ManifestTable.candidateFiles(spark, root, preSnap,
+        F.col("doc_id") === 1L).toSet)
+    assert(untouched.nonEmpty, "fixture: no unaffected files to pin")
+    val beforeState = untouched.map(f => fileState(s"$root/$f"))
     SignatureStore.purge(spark, root, "doc_id", Seq(1L))
-    // the victim's generation folded into base.v0 (never rewritten in
-    // place — the crash-safe protocol); generations ABOVE it untouched
-    val dirs = Option(new java.io.File(root).list()).get.toSet
-    assert(dirs.contains("base.v0"), dirs)
-    assert(!dirs.contains("gen=0"), dirs)
-    assert(Seq(s"$root/gen=1", s"$root/gen=2").map(fileState) == laterGens,
-      "purge touched generations above the affected one")
+    val postFiles = ManifestTable.latest(root).get.files.toSet
+    assert(untouched.forall(postFiles), "purge dropped an unaffected file")
+    assert(untouched.map(f => fileState(s"$root/$f")) == beforeState,
+      "purge touched files that hold no victim")
     def members() = SignatureStore.signatures(spark, root)
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(members() == Set(2L, 10L, 20L))

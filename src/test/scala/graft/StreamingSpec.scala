@@ -63,7 +63,7 @@ class StreamingSpec extends SparkSpec {
       assert(SignatureStore.ingestBatch(spark, twinRoot, i,
         docs.filter(F.col("doc_id") % 3 === i),
         "doc_id", "text", K, BANDS, TAU, sh3), s"batch $i did not commit")
-    val want = spark.read.parquet(twinRoot)
+    val want = SignatureStore.signaturesWithGen(spark, twinRoot)
       .select(F.col("doc_id"), F.col("gen").cast("long"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want, "streaming store differs from the batch ingest sequence")
