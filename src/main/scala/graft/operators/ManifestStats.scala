@@ -61,8 +61,8 @@ object ManifestStats {
   final case class ColStat(bounds: Option[(String, String)], nulls: Long)
 
   /** Decoded stats of one data file. `bloomRef` is the root-relative
-    * path of the commit's per-file BLOOM side parquet (one row per
-    * (file, column) with a serialized filter) — the file-skipping
+    * path of the commit's per-file BLOOM sidecar (`blooms.idx`, one
+    * `file|col|b64-filter` line per (file, column)) — the file-skipping
     * index for equality/IN predicates whose keys min/max cannot
     * prune (scattered ids). None on pre-bloom files and bloom-less
     * tables; blooms load LAZILY and only for equality-shaped
@@ -222,7 +222,7 @@ object ManifestStats {
       .groupBy("__f").agg(aggs.head, aggs.tail: _*)
       .collect() // bounded by the batch's file count — metadata scale
     val bloomBase = 2 + 3 * present.size
-    // one side parquet per batch, inside the batch's own token dir
+    // one sidecar file per batch, inside the batch's own token dir
     val bloomRows: Seq[(String, String, Array[Byte])] = out.toSeq.flatMap { r =>
       val rel = ManifestTable.relPathOf(r.getString(0))
       bloomPresent.zipWithIndex.flatMap { case (c, j) =>
@@ -278,7 +278,7 @@ object ManifestStats {
   // ---- bloom side-index load + probe ----
 
   /** Deserialized bloom side files, CONTENT-ADDRESSED by absolute
-    * path: a `blooms.parquet` is immutable once its commit publishes
+    * path: a `blooms.idx` is immutable once its commit publishes
     * (it lives in the batch's own `data/<token>/` dir), so a cache
     * entry can never go stale. Clear-on-overflow valve like the
     * decode cache. */
@@ -295,26 +295,41 @@ object ManifestStats {
     val key = s"$root/$ref"
     val hit = bloomCache.get(key)
     if (hit != null) return hit
-    val loaded = scala.util.Try {
-      val p = new org.apache.hadoop.fs.Path(key)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(p)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      lines.flatMap { l =>
-        l.split('|') match {
-          case Array(f, c, b64bloom) =>
-            Some((f, c) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(
-                Base64.getDecoder.decode(b64bloom))))
-          case _ => None
-        }
-      }.toMap
-    }.getOrElse(Map.empty)
-    if (bloomCache.size >= BloomCacheMax) bloomCache.clear()
-    bloomCache.putIfAbsent(key, loaded)
-    loaded
+    val p = new org.apache.hadoop.fs.Path(key)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // only a GENUINELY absent sidecar (vacuumed, or hand-built table)
+    // caches the empty answer; a transient read failure must NOT be
+    // pinned forever on an immutable key — log, skip pruning for this
+    // call, retry naturally on the next op
+    val loaded: Option[Map[(String, String),
+        org.apache.spark.util.sketch.BloomFilter]] =
+      if (!fs.exists(p)) Some(Map.empty)
+      else scala.util.Try {
+        val in = fs.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.flatMap { l =>
+          l.split('|') match {
+            case Array(f, c, b64bloom) =>
+              Some((f, c) -> org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(
+                  Base64.getDecoder.decode(b64bloom))))
+            case _ => None
+          }
+        }.toMap
+      }.toOption
+    loaded match {
+      case Some(m) =>
+        if (bloomCache.size >= BloomCacheMax) bloomCache.clear()
+        bloomCache.putIfAbsent(key, m)
+        m
+      case None =>
+        System.err.println(
+          s"[graft] bloom sidecar read failed (transient?): $key — " +
+            "pruning degrades to bounds for this call")
+        Map.empty
+    }
   }
 
   /** Does the filter admit literal `v` (of `litDt`) as a key of a
@@ -806,73 +821,66 @@ object ManifestStats {
   }
 }
 
-/** Per-file Bloom builder over long keys — partial filters OR-merge,
-  * so the aggregation distributes like a sum (the [[graft.operators
-  * .Layout]] BloomAgg design, specialized to the manifest's fixed
-  * capacity). The buffer carries an approximate NEW-key count (a put
-  * is counted only when the filter did not already admit the key;
-  * merge sums partition counts, overcounting shared keys — the
-  * conservative direction) so `finish` can DROP an overfull filter
-  * instead of recording a saturated, prune-less one. Empty bytes =
-  * dropped. */
-private[operators] final class LongKeyBloomAgg(capacity: Long, fpp: Double)
+/** Per-file Bloom builder — partial filters OR-merge, so the
+  * aggregation distributes like a sum (the [[graft.operators.Layout]]
+  * BloomAgg design, specialized to the manifest's fixed capacity).
+  * The buffer carries an approximate NEW-key count (a put is counted
+  * only when the filter did not already admit the key; merge sums
+  * partition counts, overcounting shared keys — the conservative
+  * direction) so `finish` can DROP an overfull filter instead of
+  * recording a saturated, prune-less one. Empty bytes = dropped.
+  * One base class, two key-type hooks — the drop threshold and
+  * serialization logic must never drift between the types. */
+private[operators] sealed abstract class KeyBloomAgg[T](
+    capacity: Long, fpp: Double)
   extends org.apache.spark.sql.expressions.Aggregator[
-    java.lang.Long,
-    (org.apache.spark.util.sketch.BloomFilter, Long), Array[Byte]] {
+    T, (org.apache.spark.util.sketch.BloomFilter, Long), Array[Byte]] {
   import org.apache.spark.util.sketch.BloomFilter
-  override def zero: (BloomFilter, Long) =
+  protected def admits(b: BloomFilter, a: T): Boolean
+  protected def put(b: BloomFilter, a: T): Unit
+  override final def zero: (BloomFilter, Long) =
     (BloomFilter.create(capacity, fpp), 0L)
-  override def reduce(b: (BloomFilter, Long),
-                      a: java.lang.Long): (BloomFilter, Long) =
+  override final def reduce(b: (BloomFilter, Long),
+                            a: T): (BloomFilter, Long) =
     if (a == null) b
-    else if (b._1.mightContainLong(a)) b
-    else { b._1.putLong(a); (b._1, b._2 + 1L) }
-  override def merge(x: (BloomFilter, Long),
-                     y: (BloomFilter, Long)): (BloomFilter, Long) = {
+    else if (admits(b._1, a)) b
+    else { put(b._1, a); (b._1, b._2 + 1L) }
+  override final def merge(x: (BloomFilter, Long),
+                           y: (BloomFilter, Long)): (BloomFilter, Long) = {
     x._1.mergeInPlace(y._1)
     (x._1, x._2 + y._2)
   }
-  override def finish(b: (BloomFilter, Long)): Array[Byte] =
+  override final def finish(b: (BloomFilter, Long)): Array[Byte] =
     if (b._2 > capacity) Array.empty[Byte]
     else {
       val bos = new java.io.ByteArrayOutputStream()
       b._1.writeTo(bos)
       bos.toByteArray
     }
-  override def bufferEncoder
+  override final def bufferEncoder
       : org.apache.spark.sql.Encoder[(BloomFilter, Long)] =
     org.apache.spark.sql.Encoders.javaSerialization[(BloomFilter, Long)]
-  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+  override final def outputEncoder
+      : org.apache.spark.sql.Encoder[Array[Byte]] =
     org.apache.spark.sql.Encoders.BINARY
 }
 
-/** [[LongKeyBloomAgg]] over string keys. */
-private[operators] final class StringKeyBloomAgg(capacity: Long, fpp: Double)
-  extends org.apache.spark.sql.expressions.Aggregator[
-    String, (org.apache.spark.util.sketch.BloomFilter, Long), Array[Byte]] {
+private[operators] final class LongKeyBloomAgg(capacity: Long, fpp: Double)
+  extends KeyBloomAgg[java.lang.Long](capacity, fpp) {
   import org.apache.spark.util.sketch.BloomFilter
-  override def zero: (BloomFilter, Long) =
-    (BloomFilter.create(capacity, fpp), 0L)
-  override def reduce(b: (BloomFilter, Long),
-                      a: String): (BloomFilter, Long) =
-    if (a == null) b
-    else if (b._1.mightContainString(a)) b
-    else { b._1.putString(a); (b._1, b._2 + 1L) }
-  override def merge(x: (BloomFilter, Long),
-                     y: (BloomFilter, Long)): (BloomFilter, Long) = {
-    x._1.mergeInPlace(y._1)
-    (x._1, x._2 + y._2)
+  override protected def admits(b: BloomFilter, a: java.lang.Long): Boolean =
+    b.mightContainLong(a)
+  override protected def put(b: BloomFilter, a: java.lang.Long): Unit = {
+    b.putLong(a); ()
   }
-  override def finish(b: (BloomFilter, Long)): Array[Byte] =
-    if (b._2 > capacity) Array.empty[Byte]
-    else {
-      val bos = new java.io.ByteArrayOutputStream()
-      b._1.writeTo(bos)
-      bos.toByteArray
-    }
-  override def bufferEncoder
-      : org.apache.spark.sql.Encoder[(BloomFilter, Long)] =
-    org.apache.spark.sql.Encoders.javaSerialization[(BloomFilter, Long)]
-  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
-    org.apache.spark.sql.Encoders.BINARY
+}
+
+private[operators] final class StringKeyBloomAgg(capacity: Long, fpp: Double)
+  extends KeyBloomAgg[String](capacity, fpp) {
+  import org.apache.spark.util.sketch.BloomFilter
+  override protected def admits(b: BloomFilter, a: String): Boolean =
+    b.mightContainString(a)
+  override protected def put(b: BloomFilter, a: String): Unit = {
+    b.putString(a); ()
+  }
 }

@@ -151,7 +151,7 @@ object ManifestTable {
 
   /** [[init]] with declared BLOOM COLUMNS on top of the stat columns:
     * every write additionally records a per-file Bloom filter per
-    * bloom column (a side parquet in the batch's own data dir,
+    * bloom column (a `blooms.idx` sidecar in the batch's own data dir,
     * referenced from the `#filestat:` payload), and equality/IN
     * predicates prune on key MEMBERSHIP — the file-skipping shape
     * min/max cannot give a SCATTERED key (a point delete on an
@@ -192,7 +192,7 @@ object ManifestTable {
     }.getOrElse(Seq.empty)
 
   /** The table's declared bloom columns (empty = no bloom overhead). */
-  private def bloomColsOf(snap: Snapshot): Seq[String] =
+  private[operators] def bloomColsOf(snap: Snapshot): Seq[String] =
     snap.meta.collectFirst {
       case l if l.startsWith(BloomColsPrefix) =>
         l.stripPrefix(BloomColsPrefix).split(',').toSeq.filter(_.nonEmpty)
@@ -794,26 +794,41 @@ object ManifestTable {
                            snap: Snapshot): DataFrame = {
     require(snap.files.nonEmpty, s"empty table at $root (v${snap.version})")
     val paths = snap.files.map(f => s"$root/$f")
-    val colmap = colmapOf(snap.meta)
     recordedSchema(snap) match {
-      case Some(sc) if colmap.nonEmpty =>
-        val extra = sc.fields.flatMap(f =>
-          colmap.getOrElse(f.name, Seq.empty)
-            .map(o => StructField(o, f.dataType, nullable = true)))
-        val physical = StructType(
-          sc.fields.map(_.copy(nullable = true)) ++ extra)
-        spark.read.schema(physical).parquet(paths: _*)
-          .select(sc.fields.toSeq.map { f =>
-            colmap.get(f.name) match {
-              case Some(olds) =>
-                F.coalesce((f.name +: olds).map(F.col): _*).as(f.name)
-              case None => F.col(f.name)
-            }
-          }: _*)
-      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case Some(sc) =>
+        val (physical, projection) = readShapeOf(sc, colmapOf(snap.meta))
+        val scan = spark.read.schema(physical).parquet(paths: _*)
+        projection.fold(scan)(p => scan.select(p: _*))
       case None =>
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
+  }
+
+  /** The ONE owner of the rename-chain read shape, shared by the
+    * Scala reads above and the [[graft.sources.ManifestSql]] SQL
+    * front door (duplicating it would let the two paths' rename
+    * semantics drift): the physical scan schema (logical fields
+    * all-nullable, plus every historical name of a renamed column)
+    * and — when any chain exists — the new-then-old coalesce
+    * projection back to the logical shape. */
+  private[graft] def readShapeOf(logical: StructType,
+                                 colmap: Map[String, Seq[String]])
+      : (StructType, Option[Seq[Column]]) = {
+    val extra = logical.fields.flatMap(f =>
+      colmap.getOrElse(f.name, Seq.empty)
+        .map(o => StructField(o, f.dataType, nullable = true)))
+    val physical = StructType(
+      logical.fields.map(_.copy(nullable = true)) ++ extra)
+    val projection =
+      if (colmap.isEmpty) None
+      else Some(logical.fields.toSeq.map { f =>
+        colmap.get(f.name) match {
+          case Some(olds) =>
+            F.coalesce((f.name +: olds).map(F.col): _*).as(f.name)
+          case None => F.col(f.name)
+        }
+      })
+    (physical, projection)
   }
 
   /** CHANGE DATA FEED between two published versions — row-level
@@ -1065,10 +1080,14 @@ object ManifestTable {
   private def idPrune(spark: SparkSession, idCol: String,
                       distinctIds: DataFrame,
                       frameCol: String): Option[Column] = {
-    val n = distinctIds.count()
-    if (n == 0) return None
-    if (n <= IdInPruneMax) {
-      val vals = distinctIds.collect().map(_.get(0)).toSeq
+    // ONE job decides the branch AND supplies the IN values: take one
+    // row past the cap — short when the set is small, an early-exit
+    // scan when it is not (the frame is localCheckpoint-pinned by
+    // every caller, so this never recomputes upstream lineage)
+    val probe = distinctIds.take(IdInPruneMax.toInt + 1)
+    if (probe.isEmpty) return None
+    if (probe.length <= IdInPruneMax) {
+      val vals = probe.toSeq.map(_.get(0))
       if (!vals.contains(null))
         return Some(F.col(idCol).isInCollection(vals))
     }

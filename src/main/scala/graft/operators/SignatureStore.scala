@@ -236,13 +236,16 @@ object SignatureStore {
   def compactGenerations(spark: SparkSession, root: String,
                          upTo: Int, targetFileBytes: Long = 128L << 20): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val before = ManifestTable.latest(root).map(_.files.size).getOrElse(0)
+    val head = ManifestTable.latest(root)
+    val before = head.map(_.files.size).getOrElse(0)
     if (before == 0) return 0L
-    // both store shapes lead with their id column — cluster on it so
-    // the rewrite leaves disjoint id bands (purge pruning stays tight)
-    val idCol = ManifestTable.read(spark, root).columns.head
+    // cluster on the table's DECLARED bloom column (the id column
+    // initTable records authoritatively) so the rewrite leaves
+    // disjoint id bands and purge pruning stays tight — never on
+    // column position, which is an unchecked cross-module invariant
+    val idCol = ManifestTable.bloomColsOf(head.get).headOption
     ManifestTable.compact(spark, root, targetFileBytes,
-      clusterBy = Seq(idCol))
+      clusterBy = idCol.toSeq)
     eraseUnreferenced(root)
     before.toLong
   }

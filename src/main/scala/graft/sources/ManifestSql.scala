@@ -2,15 +2,15 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 
-import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.StructType
 
-import graft.operators.{ManifestStats, ManifestTable}
+import graft.operators.ManifestTable
 
 /** SQL FRONT DOOR for [[ManifestTable]] — a pruned, snapshot-pinned
   * relation registered in the session catalog, so
@@ -32,16 +32,18 @@ import graft.operators.{ManifestStats, ManifestTable}
   * would repeat the pruning but lose the vectorized exec path.
   *
   * Snapshot semantics: the relation PINS the snapshot current at
-  * registration (or `versionAsOf`) — exactly a transactional reader's
-  * contract: queries against the view are repeatable while writers
-  * commit new versions; re-[[register]] (or `REFRESH TABLE`, which
-  * routes to [[ManifestFileIndex.refresh]]) moves the pin to the
-  * head. Renamed columns read through their `#colmap:` chain (the
-  * same coalesce projection as the Scala reads); predicates on a
-  * renamed column's coalesce are not prunable shapes — compaction
-  * normalizes the files and restores pruning, as documented on the
-  * rename.
-  */
+  * registration (or the `versionAsOf` version) — exactly a
+  * transactional reader's contract: queries against the view are
+  * repeatable while writers commit new versions. `REFRESH TABLE`
+  * (routed to [[ManifestFileIndex.refresh]]) moves a HEAD pin to the
+  * current head and leaves a `versionAsOf` pin exactly where it is
+  * (a time-travel view must never silently start serving head data);
+  * re-[[register]] rebuilds everything. Renamed columns read through
+  * their `#colmap:` chain (the same coalesce projection as the Scala
+  * reads — one shared [[ManifestTable.readShapeOf]] owner);
+  * predicates on a renamed column's coalesce are not prunable
+  * shapes — compaction normalizes the files and restores pruning, as
+  * documented on the rename. */
 object ManifestSql {
 
   /** The manifest-backed [[FileIndex]]: `listFiles` returns only the
@@ -52,26 +54,27 @@ object ManifestSql {
     * ever SKIPS provably matchless files). */
   final class ManifestFileIndex(
       spark: SparkSession, root: String,
-      @volatile private var snap: ManifestTable.Snapshot,
+      initial: ManifestTable.Snapshot,
+      versionAsOf: Option[Int],
       physicalSchema: StructType) extends FileIndex {
 
-    private def fs = new HPath(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-
-    // file statuses resolve lazily ONCE per pin (refresh re-stats):
-    // the manifest records paths, not sizes — a per-query stat of
-    // every file would tax planning at large file counts
-    @volatile private var statusCache
-        : Option[Map[String, FileStatus]] = None
-
-    private def statuses: Map[String, FileStatus] = {
-      statusCache.getOrElse {
-        val m = snap.files.map(f =>
+    /** One immutable pin = (snapshot, its lazily-statted file
+      * statuses): swapped atomically by [[refresh]], so a query
+      * planning concurrently with a refresh sees a CONSISTENT pair —
+      * never the new file list against the old status map. Statuses
+      * resolve lazily once per pin: the manifest records paths, not
+      * sizes, and a per-query stat of every file would tax planning
+      * at large file counts. */
+    private final class Pin(val snap: ManifestTable.Snapshot) {
+      lazy val statuses: Map[String, FileStatus] = {
+        val fs = new HPath(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        snap.files.map(f =>
           f -> fs.getFileStatus(new HPath(root, f))).toMap
-        statusCache = Some(m)
-        m
       }
     }
+
+    @volatile private var pin = new Pin(initial)
 
     override def rootPaths: Seq[HPath] = Seq(new HPath(root))
 
@@ -80,69 +83,70 @@ object ManifestSql {
     override def listFiles(partitionFilters: Seq[Expression],
                            dataFilters: Seq[Expression])
         : Seq[PartitionDirectory] = {
+      val p = pin
       val cand =
-        if (dataFilters.isEmpty) snap.files
+        if (dataFilters.isEmpty) p.snap.files
         else {
           val cond = dataFilters.reduce(
             org.apache.spark.sql.catalyst.expressions.And)
-          ManifestTable.candidatesOf(spark, Some(root), snap,
+          ManifestTable.candidatesOf(spark, Some(root), p.snap,
             physicalSchema, cond)
         }
-      val st = statuses
       Seq(PartitionDirectory(InternalRow.empty,
-        cand.map(st).toArray[FileStatus]))
+        cand.map(p.statuses).toArray[FileStatus]))
     }
 
     override def inputFiles: Array[String] =
-      snap.files.map(f => s"$root/$f").toArray
+      pin.snap.files.map(f => s"$root/$f").toArray
 
-    /** Move the pin to the current head (REFRESH TABLE). The
-      * recorded schema must still match the registered one — a
-      * schema-changing commit (rename/drop/widen) needs a
+    /** REFRESH TABLE: a head-pinned view moves to the current head; a
+      * `versionAsOf` view re-reads its OWN version (and fails loudly
+      * if retention expired it) — time travel never silently becomes
+      * the head. The recorded schema must still match the registered
+      * one — a schema-changing commit (rename/drop/widen) needs a
       * re-[[register]], which rebuilds the projection. */
     override def refresh(): Unit = {
-      val head = ManifestTable.latest(root).getOrElse(
-        throw new IllegalStateException(s"no manifest at $root"))
-      val headPhysical = physicalSchemaOf(spark, root, head)
+      val target = resolveSnapshot(root, versionAsOf)
+      val headPhysical = physicalSchemaOf(spark, root, target)
       require(headPhysical == physicalSchema,
         s"manifest schema at $root changed since registration — " +
           "re-register the SQL view to pick up the new projection")
-      snap = head
-      statusCache = None
+      pin = new Pin(target)
     }
 
-    override def sizeInBytes: Long = statuses.values.map(_.getLen).sum
+    override def sizeInBytes: Long = pin.statuses.values.map(_.getLen).sum
   }
 
-  /** The physical read schema of a snapshot: the recorded schema
-    * (all-nullable) plus the historical names of renamed columns —
-    * exactly what the Scala-side snapshot read plans with. */
-  private def physicalSchemaOf(spark: SparkSession, root: String,
-                               snap: ManifestTable.Snapshot): StructType = {
-    val sc = ManifestTable.recordedSchemaOf(spark, root, snap)
-    val colmap = ManifestTable.colmapOfSnap(snap)
-    val extra = sc.fields.flatMap(f =>
-      colmap.getOrElse(f.name, Seq.empty)
-        .map(o => StructField(o, f.dataType, nullable = true)))
-    StructType(sc.fields.map(_.copy(nullable = true)) ++ extra)
+  private def resolveSnapshot(root: String,
+                              versionAsOf: Option[Int])
+      : ManifestTable.Snapshot = versionAsOf match {
+    case Some(v) => ManifestTable.snapshot(root, v).getOrElse(
+      throw new IllegalStateException(
+        s"no manifest v$v at $root (never published or expired)"))
+    case None => ManifestTable.latest(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root"))
   }
+
+  /** The physical read schema of a snapshot — the recorded schema
+    * plus rename-chain names, from the shared
+    * [[ManifestTable.readShapeOf]] owner. */
+  private def physicalSchemaOf(spark: SparkSession, root: String,
+                               snap: ManifestTable.Snapshot): StructType =
+    ManifestTable.readShapeOf(
+      ManifestTable.recordedSchemaOf(spark, root, snap),
+      ManifestTable.colmapOfSnap(snap))._1
 
   /** The manifest table as a DataFrame whose SCAN prunes on pushed
     * filters — the composable form ([[register]] wraps it in a temp
     * view). `versionAsOf` pins time travel. */
   def relation(spark: SparkSession, root: String,
                versionAsOf: Option[Int] = None): DataFrame = {
-    val snap = versionAsOf match {
-      case Some(v) => ManifestTable.snapshot(root, v).getOrElse(
-        throw new IllegalStateException(
-          s"no manifest v$v at $root (never published or expired)"))
-      case None => ManifestTable.latest(root).getOrElse(
-        throw new IllegalStateException(s"no manifest at $root"))
-    }
-    val logical = ManifestTable.recordedSchemaOf(spark, root, snap)
-    val physical = physicalSchemaOf(spark, root, snap)
-    val colmap = ManifestTable.colmapOfSnap(snap)
-    val idx = new ManifestFileIndex(spark, root, snap, physical)
+    val snap = resolveSnapshot(root, versionAsOf)
+    val (physical, projection) = ManifestTable.readShapeOf(
+      ManifestTable.recordedSchemaOf(spark, root, snap),
+      ManifestTable.colmapOfSnap(snap))
+    val idx = new ManifestFileIndex(spark, root, snap, versionAsOf,
+      physical)
     val rel = HadoopFsRelation(
       location = idx,
       partitionSchema = StructType(Nil),
@@ -151,14 +155,7 @@ object ManifestSql {
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
     val base = spark.baseRelationToDataFrame(rel)
-    if (colmap.isEmpty) base
-    else base.select(logical.fields.toSeq.map { f =>
-      colmap.get(f.name) match {
-        case Some(olds) =>
-          F.coalesce((f.name +: olds).map(F.col): _*).as(f.name)
-        case None => F.col(f.name)
-      }
-    }: _*)
+    projection.fold(base)(p => base.select(p: _*))
   }
 
   /** Register the manifest table as `name` for `spark.sql` access —

@@ -46,12 +46,19 @@ object ManifestChangeFeed {
   private def wmPath(checkpointDir: String): HPath =
     new HPath(checkpointDir, "version_watermark")
 
+  // the session-less overloads serve ad-hoc inspection; [[drain]]
+  // itself threads its OWN session's config, so the watermark and the
+  // feed always resolve through the same filesystem even from a
+  // thread with no active session (getActiveSession is thread-local)
   private def fsOf(p: HPath): FileSystem = p.getFileSystem(conf)
 
   /** The last DELIVERED version (None before the first drain). */
-  def watermark(checkpointDir: String): Option[Int] = {
+  def watermark(checkpointDir: String): Option[Int] =
+    watermarkWith(fsOf(wmPath(checkpointDir)), checkpointDir)
+
+  private def watermarkWith(fs: FileSystem,
+                            checkpointDir: String): Option[Int] = {
     val p = wmPath(checkpointDir)
-    val fs = fsOf(p)
     if (!fs.exists(p)) None
     else scala.util.Try {
       val in = fs.open(p)
@@ -60,9 +67,9 @@ object ManifestChangeFeed {
     }.toOption
   }
 
-  private def writeWatermark(checkpointDir: String, v: Int): Unit = {
+  private def writeWatermark(fs: FileSystem, checkpointDir: String,
+                             v: Int): Unit = {
     val p = wmPath(checkpointDir)
-    val fs = fsOf(p)
     fs.mkdirs(new HPath(checkpointDir))
     val out = fs.create(p, true)
     try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
@@ -78,12 +85,14 @@ object ManifestChangeFeed {
   def drain(spark: SparkSession, root: String, checkpointDir: String,
             fromVersion: Int = 0)
            (apply: (DataFrame, Long) => Unit): Seq[Long] = {
+    val fs = wmPath(checkpointDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = ManifestTable.latest(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root")).version
-    val start = watermark(checkpointDir).getOrElse(fromVersion)
+    val start = watermarkWith(fs, checkpointDir).getOrElse(fromVersion)
     val delivered = ((start + 1) to head).map { v =>
       apply(ManifestTable.changes(spark, root, v - 1, v), v.toLong)
-      writeWatermark(checkpointDir, v)
+      writeWatermark(fs, checkpointDir, v)
       v.toLong
     }
     delivered
