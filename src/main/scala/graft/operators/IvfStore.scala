@@ -40,7 +40,7 @@ object IvfStore {
     ManifestTable.init(assignedRoot(root), Seq("gen", "id"), Seq("id"))
     ManifestTable.appendBatch(spark, assignedRoot(root), 0L,
       idx.assigned.withColumn("gen",
-        org.apache.spark.sql.functions.lit(0)))
+        org.apache.spark.sql.functions.lit(0L)))
     ()
   }
 
@@ -69,7 +69,7 @@ object IvfStore {
       .localCheckpoint(eager = true)
     val nextGen =
       SignatureStore.latestGeneration(spark, assignedRoot(root)) + 1
-    ManifestTable.appendBatch(spark, assignedRoot(root), nextGen.toLong,
+    ManifestTable.appendBatch(spark, assignedRoot(root), nextGen,
       appended.withColumn("gen",
         org.apache.spark.sql.functions.lit(nextGen)))
     idx.copy(assigned = idx.assigned.unionByName(appended))
@@ -94,11 +94,13 @@ object IvfStore {
     val assigned = assignedRoot(root)
     if (ManifestTable.isBatchCommitted(assigned, gen)) return false
     ManifestTable.init(assigned, Seq("gen", "id"), Seq("id"))
+    // gen rides as a LONG data column, same domain as the ledger id —
+    // see [[SignatureStore.ingestBatch]]'s wrap note
     ManifestTable.appendBatch(spark, assigned, gen,
       Similarity.assignCells(batch,
           spark.read.parquet(s"$root/centroids"), idCol, vecCol)
         .withColumn("gen",
-          org.apache.spark.sql.functions.lit(gen.toInt)))
+          org.apache.spark.sql.functions.lit(gen)))
     true
   }
 

@@ -66,9 +66,16 @@ object ManifestStats {
     * index for equality/IN predicates whose keys min/max cannot
     * prune (scattered ids). None on pre-bloom files and bloom-less
     * tables; blooms load LAZILY and only for equality-shaped
-    * predicates, so the manifest itself stays O(files) small lines. */
+    * predicates, so the manifest itself stays O(files) small lines.
+    * `bytes` is the file's on-disk size, recorded at commit time from
+    * the writer's own directory listing (the Iceberg/Delta
+    * `file_size_in_bytes` idea): SQL planning and compaction sizing
+    * then read sizes from the manifest instead of one
+    * `getFileStatus` RPC per file — −1 on pre-r17 lines (legacy
+    * files fall back to the FS, and only when actually planned). */
   final case class FileStats(rows: Long, cols: Map[String, ColStat],
-                             bloomRef: Option[String] = None)
+                             bloomRef: Option[String] = None,
+                             bytes: Long = -1L)
 
   /** Per-file-per-column Bloom capacity: filters are sized for this
     * many distinct keys at [[BloomFpp]]; a file whose column exceeds
@@ -86,13 +93,15 @@ object ManifestStats {
   private def unb64(s: String): String =
     new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
-  /** `rows:<n>` then `;<col>:<b64min>:<b64max>:<nulls>` per column;
-    * a null-only column writes `-` (not a base64 alphabet char) in
-    * both bound slots; a bloom side-index reference rides as a
-    * `bloomref:<b64 path>` segment ('rows' and 'bloomref' are
-    * reserved column names). */
+  /** `rows:<n>` then `bytes:<n>` (when known) then
+    * `;<col>:<b64min>:<b64max>:<nulls>` per column; a null-only
+    * column writes `-` (not a base64 alphabet char) in both bound
+    * slots; a bloom side-index reference rides as a
+    * `bloomref:<b64 path>` segment ('rows', 'bytes' and 'bloomref'
+    * are reserved column names). */
   def encode(fs: FileStats): String =
-    ((s"rows:${fs.rows}" +:
+    ((Seq(s"rows:${fs.rows}") ++
+      (if (fs.bytes >= 0) Seq(s"bytes:${fs.bytes}") else Seq.empty) ++
       fs.cols.toSeq.sortBy(_._1).map {
         case (c, ColStat(Some((lo, hi)), nulls)) =>
           s"$c:${b64(lo)}:${b64(hi)}:$nulls"
@@ -105,11 +114,20 @@ object ManifestStats {
     * is minutes of driver time for information that never changes.
     * Keyed by the payload STRING ITSELF, the cache can never serve
     * stale stats: equal payload ⇒ equal decode, and a rewritten file
-    * gets a new payload line. Bounded by a clear-on-overflow valve
-    * (re-decoding after a clear is only the cold cost again). */
-  private val decodeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, FileStats]()
+    * gets a new payload line. Bounded by ACCESS-ORDERED (LRU)
+    * eviction: at the cap a table bigger than the cache evicts only
+    * its coldest payloads instead of dumping ~1M decoded stats and
+    * re-decoding the world on the next planning pass. Synchronized
+    * map, not a concurrent one — planning is driver-side and the
+    * per-hit critical section is a pointer move. */
   private val DecodeCacheMax = 1 << 20
+  private val decodeCache: java.util.Map[String, FileStats] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, FileStats](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, FileStats]): Boolean =
+          size() > DecodeCacheMax
+      })
 
   /** [[decode]] through the content-addressed cache — the planning
     * hot path ([[ManifestTable.candidateFiles]] and friends). */
@@ -117,8 +135,7 @@ object ManifestStats {
     val hit = decodeCache.get(payload)
     if (hit != null) return hit
     val v = decode(payload)
-    if (decodeCache.size >= DecodeCacheMax) decodeCache.clear()
-    decodeCache.putIfAbsent(payload, v)
+    decodeCache.put(payload, v)
     v
   }
 
@@ -127,12 +144,32 @@ object ManifestStats {
     val rows = parts.collectFirst {
       case p if p.startsWith("rows:") => p.stripPrefix("rows:").toLong
     }.getOrElse(-1L)
+    // same legacy-name hazard as 'bloomref' below: a pre-r17 table
+    // with a declared stat column literally named 'bytes' encodes
+    // 'bytes:<b64lo>:<b64hi>:<n>' — 4 parts, falls through to the
+    // column-stat parse, never throws here
+    def isBytes(p: String): Boolean =
+      p.startsWith("bytes:") && p.split(':').length == 2
+    val bytes = parts.collectFirst {
+      case p if isBytes(p) =>
+        scala.util.Try(p.stripPrefix("bytes:").toLong).toOption
+    }.flatten.getOrElse(-1L)
+    // a bloom REF segment is exactly two ':'-parts (prefix + b64 path);
+    // a pre-r16 table whose declared stat column was literally named
+    // 'bloomref' (word-shaped, so legal at init back then) encodes as
+    // 'bloomref:<b64lo>:<b64hi>:<n>' — 4 parts — and must fall through
+    // to the column-stat parse below, not throw in unb64 (an
+    // unprunable table beats an unreadable one, so a corrupt ref also
+    // degrades to None)
+    def isBloomRef(p: String): Boolean =
+      p.startsWith("bloomref:") && p.split(':').length == 2
     val bloomRef = parts.collectFirst {
-      case p if p.startsWith("bloomref:") =>
-        unb64(p.stripPrefix("bloomref:"))
-    }
+      case p if isBloomRef(p) =>
+        scala.util.Try(unb64(p.stripPrefix("bloomref:"))).toOption
+    }.flatten
     val cols = parts
-      .filterNot(p => p.startsWith("rows:") || p.startsWith("bloomref:"))
+      .filterNot(p => p.startsWith("rows:") || isBytes(p) ||
+        isBloomRef(p))
       .flatMap { p =>
         p.split(':') match {
           case Array(c, "-", "-", n) => Some(c -> ColStat(None, n.toLong))
@@ -141,7 +178,7 @@ object ManifestStats {
           case _ => None
         }
       }.toMap
-    FileStats(rows, cols, bloomRef)
+    FileStats(rows, cols, bloomRef, bytes)
   }
 
   private def isSupported(dt: DataType): Boolean = dt match {
@@ -176,29 +213,95 @@ object ManifestStats {
     case _ => false
   }
 
-  /** Per-file stats of freshly written files: ONE aggregate over only
-    * the new files (the batch just written — never the table).
-    * Returns relpath → encoded payload. Stat columns the batch lacks
-    * (schema evolution) simply record no bounds — those files stay
-    * candidates for predicates on the missing column.
+  /** Per-file stats of freshly written files. Returns relpath →
+    * encoded payload. Stat columns the batch lacks (schema evolution)
+    * simply record no bounds — those files stay candidates for
+    * predicates on the missing column.
     *
-    * `bloomCols` additionally build a per-file Bloom filter per
-    * column IN THE SAME aggregate; the filters land in ONE side
-    * parquet under the batch's own `data/<token>/` dir (immutable
-    * with the data files, swept by vacuum with them) and each file's
-    * payload records the reference. An overfull file (more than
-    * [[BloomKeyCapacity]] distinct keys) drops its bloom —
-    * conservative, never saturated-and-useless. */
+    * HYBRID SOURCE — footers first, aggregate as fallback: the
+    * freshly written parquet footers already carry exact per-file row
+    * counts, min/max and null counts (what Iceberg/Delta lift into
+    * their manifests), so the default write path records stats from
+    * ONE driver-side footer read per new file — ZERO Spark jobs. The
+    * Spark aggregate runs only for (a) `bloomCols` (key membership is
+    * not a footer stat) and (b) any stat column whose footer answer
+    * is not usable (INT96 timestamps, omitted/unknown statistics,
+    * exotic physical types) — and then reads only THOSE columns.
+    * [[footerColStats]] maps footer values onto the exact normalized
+    * encoding [[norm]] writes, gated by the same [[normalizedOk]] /
+    * [[MaxStringStat]] rules, so the two sources are byte-identical
+    * (pinned by ManifestStatsSpec's parity law); any footer the
+    * mapping cannot vouch for falls back to the aggregate rather
+    * than guess.
+    *
+    * `bloomCols` build a per-file Bloom filter per column (capacity
+    * `bloomCapacity`, the table's declared [[BloomKeyCapacity]]
+    * override); the filters land in ONE sidecar under the batch's own
+    * `data/<token>/` dir (immutable with the data files, swept by
+    * vacuum with them) and each file's payload records the reference.
+    * An overfull file (more distinct keys than the capacity) drops
+    * its bloom — conservative, never saturated-and-useless.
+    *
+    * `sizes` (relpath → on-disk bytes, from the writer's own
+    * directory listing) ride into the payload so planners never stat
+    * the filesystem. */
   def compute(spark: SparkSession, root: String, relFiles: Seq[String],
               statCols: Seq[String],
-              bloomCols: Seq[String] = Seq.empty): Map[String, String] = {
+              bloomCols: Seq[String] = Seq.empty,
+              bloomCapacity: Long = BloomKeyCapacity,
+              sizes: Map[String, Long] = Map.empty): Map[String, String] = {
+    if (relFiles.isEmpty) return Map.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    // footer scrape: None = footer unreadable (fall back wholesale)
+    val foot: Map[String, Option[FooterFile]] = relFiles.map(f =>
+      f -> scala.util.Try(footerFile(conf, root, f, statCols)).toOption
+    ).toMap
+    val allFootersOk = foot.values.forall(_.isDefined)
+    val aggCols: Seq[String] =
+      if (!allFootersOk) statCols
+      else statCols.filter(c => foot.values.flatten.exists(
+        _.cols.getOrElse(c, FooterNone) == FooterUnknown))
+    val (aggStats, bloomRefs) =
+      if (aggCols.nonEmpty || bloomCols.nonEmpty)
+        aggregateStats(spark, root, relFiles, aggCols, bloomCols,
+          bloomCapacity)
+      else (Map.empty[String, (Long, Map[String, ColStat])],
+        Map.empty[String, String])
+    relFiles.map { f =>
+      val ff = foot(f)
+      val agg = aggStats.get(f)
+      val rows = ff.map(_.rows).orElse(agg.map(_._1)).getOrElse(-1L)
+      val footCols: Map[String, ColStat] = ff.map(_.cols.collect {
+        case (c, FooterStat(cs)) if !aggCols.contains(c) => c -> cs
+      }).getOrElse(Map.empty)
+      val cols = footCols ++ agg.map(_._2).getOrElse(Map.empty)
+      f -> encode(FileStats(rows, cols, bloomRefs.get(f),
+        sizes.getOrElse(f, -1L)))
+    }.toMap
+  }
+
+  /** The Spark-side stats job — ONE aggregate over only the new
+    * files, reading only `statCols ++ bloomCols`: per file, the row
+    * count and each stat column's normalized bounds + null count,
+    * plus the Bloom sidecar (written here, referenced per file).
+    * Returns (relpath → (rows, colstats), relpath → bloomRef). The
+    * fallback half of [[compute]] and the reference implementation
+    * its footer half is parity-tested against. Files the scan yields
+    * no rows for (0-row files) produce no entry. */
+  private[graft] def aggregateStats(spark: SparkSession, root: String,
+                                    relFiles: Seq[String],
+                                    statCols: Seq[String],
+                                    bloomCols: Seq[String],
+                                    bloomCapacity: Long = BloomKeyCapacity)
+      : (Map[String, (Long, Map[String, ColStat])], Map[String, String]) = {
     if (relFiles.isEmpty || (statCols.isEmpty && bloomCols.isEmpty))
-      return Map.empty
+      return (Map.empty, Map.empty)
     val df = spark.read.parquet(relFiles.map(f => s"$root/$f"): _*)
     val present = statCols.filter(df.columns.contains)
       .filter(c => isSupported(df.schema(c).dataType))
     val bloomPresent = bloomCols.filter(df.columns.contains)
       .filter(c => isBloomSupported(df.schema(c).dataType))
+    if (present.isEmpty && bloomPresent.isEmpty) return (Map.empty, Map.empty)
     val statAggs: Seq[Column] =
       present.flatMap { c =>
         val dt = df.schema(c).dataType
@@ -208,10 +311,10 @@ object ManifestStats {
     val bloomAggs: Seq[Column] = bloomPresent.map { c =>
       df.schema(c).dataType match {
         case StringType =>
-          F.udaf(new StringKeyBloomAgg(BloomKeyCapacity, BloomFpp),
+          F.udaf(new StringKeyBloomAgg(bloomCapacity, BloomFpp),
             org.apache.spark.sql.Encoders.STRING).apply(F.col(c))
         case _ =>
-          F.udaf(new LongKeyBloomAgg(BloomKeyCapacity, BloomFpp),
+          F.udaf(new LongKeyBloomAgg(bloomCapacity, BloomFpp),
             org.apache.spark.sql.Encoders.LONG)
             .apply(F.col(c).cast("long"))
       }
@@ -251,7 +354,7 @@ object ManifestStats {
         Some(ref)
       }
     val withBloom = bloomRows.iterator.map(_._1).toSet
-    out.map { r =>
+    val perFile = out.map { r =>
       val rel = ManifestTable.relPathOf(r.getString(0))
       val rowCount = r.getLong(1)
       val cols = present.zipWithIndex.flatMap { case (c, i) =>
@@ -270,9 +373,264 @@ object ManifestStats {
           else Some(c -> ColStat(Some((lo, hi)), nulls))
         }
       }.toMap
-      rel -> encode(FileStats(rowCount, cols,
-        bloomRef.filter(_ => withBloom(rel))))
+      rel -> ((rowCount, cols))
     }.toMap
+    val refs = perFile.keys.flatMap(rel =>
+      bloomRef.filter(_ => withBloom(rel)).map(rel -> _)).toMap
+    (perFile, refs)
+  }
+
+  // ---- footer-sourced stats (the zero-job write path) ----
+
+  /** One stat column's footer verdict: a usable [[ColStat]], a
+    * CONFIDENT absence (the aggregate would record nothing either —
+    * column missing from the file, bounds out of the recordable form),
+    * or UNKNOWN (the footer cannot vouch — the aggregate must answer). */
+  private[graft] sealed trait FooterAnswer
+  private[graft] final case class FooterStat(cs: ColStat) extends FooterAnswer
+  private[graft] case object FooterNone extends FooterAnswer
+  private[graft] case object FooterUnknown extends FooterAnswer
+
+  private[graft] final case class FooterFile(rows: Long,
+                                             cols: Map[String, FooterAnswer])
+
+  /** Driver-side footer scrape of ONE freshly written file: exact row
+    * count (always answerable — block counts are mandatory) and, per
+    * requested stat column, the footer statistics mapped onto the
+    * SAME normalized encoding the aggregate writes. Throws on an
+    * unreadable footer — the caller falls back wholesale. */
+  private[graft] def footerFile(conf: org.apache.hadoop.conf.Configuration,
+                                root: String, f: String,
+                                statCols: Seq[String]): FooterFile = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$root/$f"), conf))
+    try {
+      val md = reader.getFooter
+      val blocks = md.getBlocks.asScala.toSeq
+      val schema = md.getFileMetaData.getSchema
+      val rows = blocks.map(_.getRowCount).sum
+      val cols = statCols.map { c =>
+        val field =
+          if (schema.containsField(c)) Some(schema.getType(Seq(c): _*))
+          else None
+        c -> (field match {
+          case None => FooterNone // absent column: aggregate records nothing too
+          case Some(t) if !t.isPrimitive => FooterNone
+          case Some(t) => scala.util.Try(
+            footerColStats(t.asPrimitiveType(), blocks, c, rows))
+            .getOrElse(FooterUnknown)
+        })
+      }.toMap
+      FooterFile(rows, cols)
+    } finally reader.close()
+  }
+
+  /** Merge one column's per-block footer statistics into a
+    * [[FooterAnswer]]. Bounds merge on the RAW values (the same
+    * orderings parquet's comparators and Spark's interpreted
+    * aggregate orderings use — NaN greatest, -0.0 < 0.0, unsigned
+    * bytes for strings) and normalize ONCE at the end, so an
+    * unrecordable value (NaN bound, oversized string) drops the
+    * entry exactly when the aggregate's whole-file min/max would. */
+  private def footerColStats(pt: org.apache.parquet.schema.PrimitiveType,
+                             blocks: Seq[
+                               org.apache.parquet.hadoop.metadata.BlockMetaData],
+                             col: String, totalRows: Long): FooterAnswer = {
+    import scala.jdk.CollectionConverters._
+    val cls = normClassOf(pt).getOrElse(return FooterUnknown)
+    var nulls = 0L
+    var lo: Any = null
+    var hi: Any = null
+    for (b <- blocks) {
+      val chunk = b.getColumns.asScala
+        .find(_.getPath.toDotString == col)
+        .getOrElse(return FooterUnknown)
+      val st = chunk.getStatistics
+      if (st == null || !st.isNumNullsSet) return FooterUnknown
+      nulls += st.getNumNulls
+      if (chunk.getValueCount - st.getNumNulls > 0) {
+        // non-null values exist in this block: bounds are required
+        if (!st.hasNonNullValue) return FooterUnknown // stats omitted
+        val bLo = cls.raw(st.genericGetMin.asInstanceOf[AnyRef])
+          .getOrElse(return FooterUnknown)
+        val bHi = cls.raw(st.genericGetMax.asInstanceOf[AnyRef])
+          .getOrElse(return FooterUnknown)
+        if (lo == null) { lo = bLo; hi = bHi }
+        else {
+          if (cls.cmp(bLo, lo) < 0) lo = bLo
+          if (cls.cmp(bHi, hi) > 0) hi = bHi
+        }
+      }
+    }
+    if (lo == null) FooterStat(ColStat(None, nulls)) // null-only (or empty)
+    else (cls.norm(lo), cls.norm(hi)) match {
+      case (Some(l), Some(h)) => FooterStat(ColStat(Some((l, h)), nulls))
+      // a bound outside the recordable form — the aggregate records
+      // nothing for such a file either (values exist, so never the
+      // null-only marker)
+      case _ => FooterNone
+    }
+  }
+
+  /** Normalization class of a parquet primitive: raw-value
+    * extraction, the merge ordering, and the final normalized
+    * encoding — each the exact footer-side mirror of [[norm]] for
+    * the Spark type the primitive round-trips as. None = a shape the
+    * mirror does not vouch for (INT96, NANOS timestamps, unsigned
+    * ints, booleans, raw binary) → the aggregate answers. */
+  private sealed abstract class NormClass {
+    def raw(v: AnyRef): Option[Any]
+    def cmp(a: Any, b: Any): Int
+    def norm(a: Any): Option[String]
+  }
+
+  private object LongClass extends NormClass {
+    override def raw(v: AnyRef): Option[Any] = v match {
+      case x: java.lang.Integer => Some(x.longValue())
+      case x: java.lang.Long => Some(x.longValue())
+      case _ => None
+    }
+    override def cmp(a: Any, b: Any): Int =
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override def norm(a: Any): Option[String] = Some(a.toString)
+  }
+
+  private object FloatClass extends NormClass {
+    override def raw(v: AnyRef): Option[Any] = v match {
+      case x: java.lang.Float => Some(x.floatValue())
+      case _ => None
+    }
+    override def cmp(a: Any, b: Any): Int =
+      java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    override def norm(a: Any): Option[String] = {
+      val f = a.asInstanceOf[Float]
+      // [[norm]] records the float's exact double expansion; NaN/Inf
+      // fail [[normalizedOk]] there — mirror the drop here
+      if (f.isNaN || f.isInfinite) None else Some(f.toDouble.toString)
+    }
+  }
+
+  private object DoubleClass extends NormClass {
+    override def raw(v: AnyRef): Option[Any] = v match {
+      case x: java.lang.Double => Some(x.doubleValue())
+      case _ => None
+    }
+    override def cmp(a: Any, b: Any): Int =
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    override def norm(a: Any): Option[String] = {
+      val d = a.asInstanceOf[Double]
+      if (d.isNaN || d.isInfinite) None else Some(d.toString)
+    }
+  }
+
+  private final class DecimalClass(scale: Int) extends NormClass {
+    override def raw(v: AnyRef): Option[Any] = v match {
+      case x: java.lang.Integer =>
+        Some(java.math.BigInteger.valueOf(x.longValue()))
+      case x: java.lang.Long =>
+        Some(java.math.BigInteger.valueOf(x.longValue()))
+      case b: org.apache.parquet.io.api.Binary =>
+        Some(new java.math.BigInteger(b.getBytes))
+      case _ => None
+    }
+    override def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[java.math.BigInteger]
+        .compareTo(b.asInstanceOf[java.math.BigInteger])
+    override def norm(a: Any): Option[String] =
+      // same rendering as Spark's Decimal.toString (plain or
+      // scientific per java.math.BigDecimal's own rules)
+      Some(new java.math.BigDecimal(
+        a.asInstanceOf[java.math.BigInteger], scale).toString)
+  }
+
+  private final class TsClass(toMicros: Long => Long,
+                              ntz: Boolean) extends NormClass {
+    override def raw(v: AnyRef): Option[Any] = v match {
+      case x: java.lang.Long => Some(toMicros(x.longValue()))
+      case _ => None
+    }
+    override def cmp(a: Any, b: Any): Int =
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override def norm(a: Any): Option[String] = {
+      val micros = a.asInstanceOf[Long]
+      if (!ntz) Some(micros.toString)
+      else scala.util.Try {
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        ldt.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      }.toOption.filter(_.length == 26) // the normalizedOk form gate
+    }
+  }
+
+  private object StringClass extends NormClass {
+    override def raw(v: AnyRef): Option[Any] = v match {
+      case b: org.apache.parquet.io.api.Binary => Some(b.getBytes)
+      case _ => None
+    }
+    override def cmp(a: Any, b: Any): Int =
+      bytesCmp(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override def norm(a: Any): Option[String] = {
+      val s = new String(a.asInstanceOf[Array[Byte]], StandardCharsets.UTF_8)
+      // [[MaxStringStat]] counts CHARACTERS (Spark length() = code
+      // points), not UTF-16 units
+      if (s.codePointCount(0, s.length) <= MaxStringStat) Some(s) else None
+    }
+  }
+
+  private def normClassOf(pt: org.apache.parquet.schema.PrimitiveType)
+      : Option[NormClass] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val ann = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case INT32 => ann match {
+        case null => Some(LongClass)
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+            if i.isSigned => Some(LongClass)
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+          Some(LongClass) // epoch days — the raw int IS the encoding
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          Some(new DecimalClass(d.getScale))
+        case _ => None
+      }
+      case INT64 => ann match {
+        case null => Some(LongClass)
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+            if i.isSigned => Some(LongClass)
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          val toMicros: Option[Long => Long] = ts.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MICROS =>
+              Some(identity[Long])
+            case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+              Some((x: Long) => Math.multiplyExact(x, 1000L))
+            case _ => None // NANOS: not a self-written shape
+          }
+          toMicros.map(f => new TsClass(f, ntz = !ts.isAdjustedToUTC))
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          Some(new DecimalClass(d.getScale))
+        case _ => None
+      }
+      case FLOAT => Some(FloatClass)
+      case DOUBLE => Some(DoubleClass)
+      case BINARY => ann match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+          Some(StringClass)
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          Some(new DecimalClass(d.getScale))
+        case _ => None
+      }
+      case FIXED_LEN_BYTE_ARRAY => ann match {
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          Some(new DecimalClass(d.getScale))
+        case _ => None
+      }
+      case _ => None // INT96, BOOLEAN: the aggregate answers
+    }
   }
 
   // ---- bloom side-index load + probe ----
@@ -286,6 +644,16 @@ object ManifestStats {
     String, Map[(String, String), org.apache.spark.util.sketch.BloomFilter]]()
   private val BloomCacheMax = 4096
 
+  /** Failed-sidecar BACKOFF (path → last failure millis): a
+    * persistently corrupt-but-present sidecar must not be re-fetched
+    * and re-logged on every planning pass of every DML op. Unlike the
+    * positive cache the entry EXPIRES ([[BloomRetryMillis]]) — the
+    * failure may be transient, and on an immutable key a later
+    * successful read can only be the true content. */
+  private val bloomFailures =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val BloomRetryMillis = 60000L
+
   /** Load (and cache) one commit's bloom sidecar (`file|col|b64`
     * lines): (file-relpath, column) → filter. Pure driver-side FS
     * read — planning never launches a Spark job. A missing/corrupt
@@ -295,6 +663,13 @@ object ManifestStats {
     val key = s"$root/$ref"
     val hit = bloomCache.get(key)
     if (hit != null) return hit
+    // inside the backoff window after a failed read: skip the
+    // re-fetch (and the re-log) — pruning degrades to bounds exactly
+    // as on the failing call itself
+    val lastFail = bloomFailures.get(key)
+    if (lastFail != null &&
+        System.currentTimeMillis() - lastFail < BloomRetryMillis)
+      return Map.empty
     val p = new org.apache.hadoop.fs.Path(key)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // only a GENUINELY absent sidecar (vacuumed, or hand-built table)
@@ -323,11 +698,13 @@ object ManifestStats {
       case Some(m) =>
         if (bloomCache.size >= BloomCacheMax) bloomCache.clear()
         bloomCache.putIfAbsent(key, m)
+        bloomFailures.remove(key)
         m
       case None =>
+        bloomFailures.put(key, System.currentTimeMillis())
         System.err.println(
           s"[graft] bloom sidecar read failed (transient?): $key — " +
-            "pruning degrades to bounds for this call")
+            s"pruning degrades to bounds for ${BloomRetryMillis / 1000}s")
         Map.empty
     }
   }

@@ -76,6 +76,7 @@ object ManifestTable {
   private val ThroughPrefix = "#batches_through:"
   private val StatColsPrefix = "#statcols:"
   private val BloomColsPrefix = "#bloomcols:"
+  private val BloomCapPrefix = "#bloomcap:"
   private val FileStatPrefix = "#filestat:"
   private val ColMapPrefix = "#colmap:"
   private val DroppedPrefix = "#dropped:"
@@ -162,12 +163,25 @@ object ManifestTable {
     * .BloomFpp]] — files holding more distinct keys than the capacity
     * drop their bloom (stay candidates) rather than saturate. */
   def init(root: String, statColumns: Seq[String],
-           bloomColumns: Seq[String]): Unit = {
+           bloomColumns: Seq[String]): Unit =
+    init(root, statColumns, bloomColumns, ManifestStats.BloomKeyCapacity)
+
+  /** [[init]] with a PER-TABLE Bloom capacity (`#bloomcap:` meta
+    * line): per-file filters size for this many distinct keys at
+    * [[ManifestStats.BloomFpp]], and a file exceeding it drops its
+    * bloom. The escape hatch for high-cardinality CDC tables, whose
+    * files hold more distinct keys than the default
+    * [[ManifestStats.BloomKeyCapacity]] exactly where key-membership
+    * pruning pays most — budget ~1.2 bytes/key/file at 1% fpp. */
+  def init(root: String, statColumns: Seq[String],
+           bloomColumns: Seq[String], bloomKeyCapacity: Long): Unit = {
     val declared = statColumns ++ bloomColumns
     require(declared.forall(_.matches("[A-Za-z0-9_]+")),
       s"stat/bloom column names must be word-shaped: ${declared.mkString(",")}")
-    require(!declared.contains("rows") && !declared.contains("bloomref"),
-      "'rows' and 'bloomref' are reserved by the stat encoding")
+    require(!declared.contains("rows") && !declared.contains("bloomref") &&
+      !declared.contains("bytes"),
+      "'rows', 'bytes' and 'bloomref' are reserved by the stat encoding")
+    require(bloomKeyCapacity > 0, "bloomKeyCapacity must be positive")
     val fs = fsOf(manifestDir(root))
     fs.mkdirs(manifestDir(root))
     fs.mkdirs(new HPath(root, "data"))
@@ -176,7 +190,8 @@ object ManifestTable {
         (if (statColumns.isEmpty) Seq.empty
          else Seq(s"$StatColsPrefix${statColumns.mkString(",")}")) ++
         (if (bloomColumns.isEmpty) Seq.empty
-         else Seq(s"$BloomColsPrefix${bloomColumns.mkString(",")}"))
+         else Seq(s"$BloomColsPrefix${bloomColumns.mkString(",")}",
+           s"$BloomCapPrefix$bloomKeyCapacity"))
       val ok = tryCommit(root, 0, Seq.empty, meta)
       require(ok || latest(root).nonEmpty, s"init race lost at $root")
     }
@@ -197,6 +212,25 @@ object ManifestTable {
       case l if l.startsWith(BloomColsPrefix) =>
         l.stripPrefix(BloomColsPrefix).split(',').toSeq.filter(_.nonEmpty)
     }.getOrElse(Seq.empty)
+
+  /** The table's per-file Bloom capacity ([[init]] override or the
+    * engine default). */
+  private def bloomCapOf(snap: Snapshot): Long =
+    snap.meta.collectFirst {
+      case l if l.startsWith(BloomCapPrefix) =>
+        l.stripPrefix(BloomCapPrefix).toLong
+    }.getOrElse(ManifestStats.BloomKeyCapacity)
+
+  /** The three write-time stat knobs a snapshot declares, bundled —
+    * every write path passes exactly this trio to [[writeData]]. */
+  private final case class StatSpec(statCols: Seq[String],
+                                    bloomCols: Seq[String],
+                                    bloomCap: Long)
+
+  private def statSpecOf(snap: Option[Snapshot]): StatSpec =
+    snap.map(s => StatSpec(statColsOf(s), bloomColsOf(s), bloomCapOf(s)))
+      .getOrElse(StatSpec(Seq.empty, Seq.empty,
+        ManifestStats.BloomKeyCapacity))
 
   // ---- head resolution: checkpoint hint + dense-chain probe ----
 
@@ -562,15 +596,17 @@ object ManifestTable {
 
   /** Write `df` as immutable data files; returns their root-relative
     * paths, the write token (whose intent the CALLER must clear
-    * once its commit loop resolves), and — when the table declares
-    * stat columns — the new files' encoded [[ManifestStats]] (one
-    * aggregate over only the new files). Not yet visible — a commit
-    * must reference them. A failed write clears its own intent before
-    * rethrowing, so partial files age out as ordinary grace-bounded
-    * orphans instead of being intent-pinned forever. */
+    * once its commit loop resolves), and the new files' encoded
+    * [[ManifestStats]] payloads: row counts and on-disk BYTES always
+    * (footer + the directory listing this method already does —
+    * planners and compaction never stat the filesystem again), plus
+    * min/max/null-count bounds for the declared stat columns and the
+    * Bloom sidecar for the declared bloom columns. Not yet visible —
+    * a commit must reference them. A failed write clears its own
+    * intent before rethrowing, so partial files age out as ordinary
+    * grace-bounded orphans instead of being intent-pinned forever. */
   private def writeData(spark: SparkSession, root: String, df: DataFrame,
-                        statCols: Seq[String] = Seq.empty,
-                        bloomCols: Seq[String] = Seq.empty)
+                        spec: StatSpec)
       : (Seq[String], String, Map[String, String]) = {
     val token = java.util.UUID.randomUUID().toString
     registerIntent(root, token)
@@ -579,10 +615,13 @@ object ManifestTable {
     catch { case t: Throwable => clearIntent(root, token); throw t }
     val d = new HPath(root, dir)
     val fs = fsOf(d)
-    val rel = fs.listStatus(d).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .map(n => s"$dir/$n").sorted
-    (rel, token, ManifestStats.compute(spark, root, rel, statCols, bloomCols))
+    val parts = fs.listStatus(d).toSeq
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+    val rel = parts.map(s => s"$dir/${s.getPath.getName}").sorted
+    val sizes = parts.map(s => s"$dir/${s.getPath.getName}" -> s.getLen).toMap
+    (rel, token, ManifestStats.compute(spark, root, rel, spec.statCols,
+      spec.bloomCols, spec.bloomCap, sizes))
   }
 
   /** Append `df` as a new snapshot; returns the committed version.
@@ -599,9 +638,8 @@ object ManifestTable {
     // stat columns are fixed at init — one snapshot read serves the
     // whole op (the commit loop re-reads for the merge anyway)
     val head0 = latest(root)
-    val (newFiles, token, newStats) = writeData(spark, root, df,
-      head0.map(statColsOf).getOrElse(Seq.empty),
-      head0.map(bloomColsOf).getOrElse(Seq.empty))
+    val (newFiles, token, newStats) =
+      writeData(spark, root, df, statSpecOf(head0))
     try {
       beforeCommit()
       commitLoop(root) { cur =>
@@ -610,6 +648,29 @@ object ManifestTable {
             reservedNames(cur.meta))),
           cur.stats ++ newStats)
       }
+    } finally clearIntent(root, token)
+  }
+
+  /** OVERWRITE: replace the table's entire contents with `df` in one
+    * atomic commit — the `INSERT OVERWRITE` shape. The new snapshot
+    * references ONLY the new files; every previous file becomes a
+    * vacuum orphan once reader retention passes. Metadata (declared
+    * stat/bloom columns, the streaming ledger, rename history) CARRIES
+    * — overwrite replaces data, not the table's identity — and the
+    * schema ledger merges exactly as an append's would (the recorded
+    * schema never narrows: readers of old versions still plan with
+    * the columns their files carry). */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame,
+                guardLedger: Option[String] = None): Snapshot = {
+    guardLedger.foreach(TakedownLedger.requireClear(_, root))
+    val head0 = latest(root)
+    val (newFiles, token, newStats) =
+      writeData(spark, root, df, statSpecOf(head0))
+    try commitLoop(root) { cur =>
+      (newFiles, cur.meta,
+        Some(mergeSchemaJson(seededSchemaJson(spark, root, cur), df.schema,
+          reservedNames(cur.meta))),
+        newStats)
     } finally clearIntent(root, token)
   }
 
@@ -678,9 +739,8 @@ object ManifestTable {
       case Some(cur) => cur // replayed: nothing to read, write, or commit
       case None =>
         // the replay-check read also serves the stat-column lookup
-        val (newFiles, token, newStats) = writeData(spark, root, df,
-          head.map(statColsOf).getOrElse(Seq.empty),
-          head.map(bloomColsOf).getOrElse(Seq.empty))
+        val (newFiles, token, newStats) =
+          writeData(spark, root, df, statSpecOf(head))
         try {
           var result: Option[Snapshot] = None
           while (result.isEmpty) {
@@ -955,9 +1015,14 @@ object ManifestTable {
     val base = latest(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root"))
     if (base.files.isEmpty) return base
-    val fs = fsOf(new HPath(root))
-    val bytes = base.files
-      .map(f => fs.getFileStatus(new HPath(root, f)).getLen).sum
+    // size the rewrite from the manifest's recorded bytes; stat the
+    // FS only for legacy files whose lines predate the bytes field
+    lazy val fs = fsOf(new HPath(root))
+    val bytes = base.files.map { f =>
+      base.stats.get(f).map(ManifestStats.decodeCached(_).bytes)
+        .filter(_ >= 0)
+        .getOrElse(fs.getFileStatus(new HPath(root, f)).getLen)
+    }.sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val baseRead = readSnapshot(spark, root, base)
     val arranged = if (clusterBy.isEmpty) baseRead.repartition(n)
@@ -969,7 +1034,7 @@ object ManifestTable {
         .sortWithinPartitions(clusterBy.map(F.col): _*)
     }
     val (compacted, token, compactedStats) =
-      writeData(spark, root, arranged, statColsOf(base), bloomColsOf(base))
+      writeData(spark, root, arranged, statSpecOf(Some(base)))
     try {
       beforeCommit()
       val baseSet = base.files.toSet
@@ -1236,9 +1301,8 @@ object ManifestTable {
     require(uIds.count() == nU,
       s"upsert updates must carry distinct '$idCol' values")
     val head0 = latest(root)
-    val (updFiles, updToken, updStats) = writeData(spark, root, u,
-      head0.map(statColsOf).getOrElse(Seq.empty),
-      head0.map(bloomColsOf).getOrElse(Seq.empty))
+    val (updFiles, updToken, updStats) =
+      writeData(spark, root, u, statSpecOf(head0))
     // the update-id set prunes the match scan: an exact IN-list for
     // driver-sized batches (bloom-answerable — scattered CDC ids
     // still skip files), the id RANGE beyond that (cluster by the
@@ -1322,8 +1386,7 @@ object ManifestTable {
             val survivors = affectedScan.join(uIds,
               affectedScan(idCol) === uIds("__merge_id"), "left_anti")
             val (newFiles, token, newStats) =
-              writeData(spark, root, survivors, statColsOf(base),
-                bloomColsOf(base))
+              writeData(spark, root, survivors, statSpecOf(Some(base)))
             try {
               beforeCommit()
               val affectedSet = affected.toSet
@@ -1573,7 +1636,7 @@ object ManifestTable {
             readSnapshot(spark, root, base.copy(files = affected))
           val (newFiles, token, newStats) =
             writeData(spark, root, rewrite(affectedScan),
-              statColsOf(base), bloomColsOf(base))
+              statSpecOf(Some(base)))
           try {
             beforeCommit()
             val affectedSet = affected.toSet

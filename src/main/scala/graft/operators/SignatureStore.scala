@@ -73,7 +73,7 @@ object SignatureStore {
     initTable(root, idCol)
     ManifestTable.appendBatch(spark, root, 0L,
       Dedup.bandedSignatures(corpus, idCol, textCol, k, bands, terms)
-        .withColumn("gen", F.lit(0)))
+        .withColumn("gen", F.lit(0L)))
     ()
   }
 
@@ -93,7 +93,7 @@ object SignatureStore {
     * A plain data-column filter, so it reads identically before and
     * after compaction (parquet row-group stats prune within files). */
   def signaturesAsOf(spark: SparkSession, root: String,
-                     gen: Int): DataFrame =
+                     gen: Long): DataFrame =
     signaturesWithGen(spark, root)
       .filter(F.col("gen") <= gen).drop("gen")
 
@@ -101,10 +101,12 @@ object SignatureStore {
     * the manifest's batch ledger alone, zero data I/O. The ledger is
     * authoritative even for EMPTY generations (a batch whose rows all
     * deduplicated away still consumed its number) and survives
-    * compaction, which carries metadata lines verbatim. */
-  def latestGeneration(spark: SparkSession, root: String): Int =
+    * compaction, which carries metadata lines verbatim. Long like the
+    * ledger id itself — a store fed by a long-lived streaming sink
+    * must not wrap its generation numbering at Int.MaxValue. */
+  def latestGeneration(spark: SparkSession, root: String): Long =
     ManifestTable.latest(root)
-      .map(s => ManifestTable.ledgerHigh(s).toInt).getOrElse(-1)
+      .map(ManifestTable.ledgerHigh).getOrElse(-1L)
 
   /** Ingest one batch: near-dedup `incoming` against the store
     * (in-batch + cross drops, [[Dedup.incrementalDrops]] semantics),
@@ -134,7 +136,7 @@ object SignatureStore {
       .incrementalDrops(signatures(spark, root), bandedB, idCol, k, threshold)
       .localCheckpoint(eager = true)
     val nextGen = latestGeneration(spark, root) + 1
-    ManifestTable.appendBatch(spark, root, nextGen.toLong,
+    ManifestTable.appendBatch(spark, root, nextGen,
       bandedB.join(drops, Seq(idCol), "left_anti")
         .withColumn("gen", F.lit(nextGen)))
     incoming.join(drops, Seq(idCol), "left_anti")
@@ -168,9 +170,12 @@ object SignatureStore {
     val drops = Dedup
       .incrementalDrops(stored, bandedB, idCol, k, threshold)
       .localCheckpoint(eager = true)
+    // gen is a LONG data column, same domain as the Long ledger id —
+    // a streaming sink's baseGen+batchId past Int.MaxValue must not
+    // silently wrap the provenance column away from the ledger
     ManifestTable.appendBatch(spark, root, gen,
       bandedB.join(drops, Seq(idCol), "left_anti")
-        .withColumn("gen", F.lit(gen.toInt)))
+        .withColumn("gen", F.lit(gen)))
     true
   }
 
@@ -178,7 +183,14 @@ object SignatureStore {
     * manifests (their file lists point at victim-holding files) and
     * vacuum every unreferenced data file NOW — a takedown erases, it
     * does not defer to the next maintenance window. Zero grace is
-    * safe under the store's single-writer contract. */
+    * safe under the store's single-writer contract.
+    *
+    * CONSEQUENCE — store roots are NOT subscribable: expireManifests
+    * (keepLast=1) + zero-grace vacuum sever time travel and any
+    * [[graft.streaming.ManifestChangeFeed]] subscription on the store
+    * root — a subscriber more than one version behind fails its next
+    * drain on the retention pre-check. Subscribe to the PIPELINE's
+    * corpus table, never to a signature/IVF store. */
   private def eraseUnreferenced(root: String): Unit = {
     ManifestTable.expireManifests(root, keepLast = 1)
     ManifestTable.vacuum(root, orphanGraceMillis = 0L)
@@ -232,7 +244,9 @@ object SignatureStore {
     * folds pointless (writes were only ever disjoint from read globs
     * in the directory layout), so the whole live set folds and
     * `upTo` is accepted for source compatibility only. Returns the
-    * number of live files folded. */
+    * number of live files folded. Like [[purge]], the trailing eager
+    * sweep makes store roots unsubscribable (see
+    * [[eraseUnreferenced]]'s retention note). */
   def compactGenerations(spark: SparkSession, root: String,
                          upTo: Int, targetFileBytes: Long = 128L << 20): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")

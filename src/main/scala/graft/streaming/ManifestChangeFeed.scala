@@ -35,7 +35,15 @@ import graft.operators.ManifestTable
   * ([[ManifestTable.expireManifests]]) and data-file retention
   * ([[ManifestTable.vacuum]]) exactly like time travel — size the
   * drain cadence inside both. Single subscriber per checkpoint dir
-  * (one watermark), like any streaming query's checkpoint. */
+  * (one watermark), like any streaming query's checkpoint.
+  *
+  * NOT SUBSCRIBABLE: signature/IVF store roots
+  * ([[graft.operators.SignatureStore]]/[[graft.operators.IvfStore]])
+  * — their purge/compaction maintenance eagerly expires all but the
+  * newest manifest and vacuums with zero grace, so a subscriber more
+  * than one version behind fails its next drain on the retention
+  * pre-check. Subscribe to pipeline corpus tables, whose retention
+  * the operator controls. */
 object ManifestChangeFeed {
 
   private def conf: Configuration =
@@ -67,13 +75,34 @@ object ManifestChangeFeed {
     }.toOption
   }
 
+  /** Advance the watermark via write-temp-then-rename — the manifest
+    * commit pattern, so the published file is always complete: a
+    * crash mid-write leaves only the temp (the next drain reads the
+    * OLD watermark and re-delivers from it — ordinary at-least-once),
+    * never a truncated watermark that silently replays the ENTIRE
+    * feed. Local/HDFS renames need the stale target removed first;
+    * a crash in that sliver leaves NO watermark — full re-drain,
+    * which ledgered sinks no-op and plain sinks absorb as the same
+    * at-least-once contract every drain already carries. */
   private def writeWatermark(fs: FileSystem, checkpointDir: String,
                              v: Int): Unit = {
     val p = wmPath(checkpointDir)
     fs.mkdirs(new HPath(checkpointDir))
-    val out = fs.create(p, true)
+    val tmp = new HPath(checkpointDir,
+      s".version_watermark.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, p)) {
+      // FileSystem.rename refuses an existing target on some schemes
+      // (local included) — drop the stale watermark and retry once
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"could not publish watermark $p (rename refused twice)")
+      }
+    }
   }
 
   /** Deliver every version published after the watermark (or after

@@ -480,14 +480,135 @@ class ManifestStatsSpec extends SparkSpec {
       .select("key").as[Long].collect().toSeq == Seq(13L))
   }
 
-  test("tables without declared stat columns have zero stats overhead and never prune") {
+  test("tables without declared stat columns record only rows+bytes and never prune") {
     val root = java.nio.file.Files.createTempDirectory("graft_stats3").toString
     ManifestTable.init(root)
     ManifestTable.append(spark, root, batch(0, 50).coalesce(1))
     val snap = ManifestTable.latest(root).get
-    assert(snap.stats.isEmpty)
+    // rows + on-disk bytes ride every filestat line even with no
+    // declared columns (r17): footer + the writer's own listing, zero
+    // Spark jobs — SQL planning and whole-table counts then never
+    // touch the FS or the data
+    assert(snap.stats.keySet == snap.files.toSet)
+    val decoded = snap.files.map(f => ManifestStats.decode(snap.stats(f)))
+    assert(decoded.forall(d => d.cols.isEmpty && d.bloomRef.isEmpty),
+      "no column bounds or blooms on an undeclared table")
+    assert(decoded.forall(_.rows == 50L))
+    snap.files.foreach { f =>
+      val onDisk = new java.io.File(root, f).length
+      assert(decoded.head.bytes == onDisk,
+        s"recorded bytes must equal the on-disk size of $f")
+    }
+    // no declared columns → nothing to prune on, ever
     assert(ManifestTable.candidateFiles(spark, snap, F.col("id") === 999L) ==
       snap.files)
-    assert(ManifestTable.countWhere(spark, root) == 50L) // scan fallback
+    // the no-predicate count is METADATA-ONLY now — corrupt the data
+    // file: the answer must still come from the recorded row counts
+    snap.files.foreach(corrupt(root, _))
+    assert(ManifestTable.countWhere(spark, root) == 50L)
+  }
+
+  test("footer-sourced stats are byte-identical to the aggregate's (parity law)") {
+    // every supported stat type plus the nasties: nulls, NaN/Inf,
+    // unicode, >MaxStringStat strings, an all-null column, negatives.
+    // The write path records stats from the parquet FOOTERS (zero
+    // Spark jobs); this law pins that those payloads equal what the
+    // Spark aggregate would have written, column for column.
+    val root = java.nio.file.Files.createTempDirectory("graft_parity").toString
+    val cols = Seq("l", "i", "d", "f", "s", "dt", "ntz", "dec", "nul")
+    ManifestTable.init(root, cols)
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 7, CAST(0.1 AS DOUBLE), CAST(2.5 AS FLOAT), 'aaa',
+        |   DATE'1999-12-31', TIMESTAMP_NTZ'2001-02-03 04:05:06.789',
+        |   CAST(1.20 AS DECIMAL(20,2)), CAST(NULL AS INT)),
+        |  (-9L, NULL, CAST('NaN' AS DOUBLE), CAST(-2.5 AS FLOAT), 'züz',
+        |   DATE'2024-02-29', TIMESTAMP_NTZ'1969-07-20 20:17:00',
+        |   CAST(-3.75 AS DECIMAL(20,2)), CAST(NULL AS INT)),
+        |  (42L, -3, CAST(4.5 AS DOUBLE), NULL, NULL,
+        |   NULL, NULL, NULL, CAST(NULL AS INT))
+        |AS t(l, i, d, f, s, dt, ntz, dec, nul)""".stripMargin)
+      .coalesce(1)
+    ManifestTable.append(spark, root, df)
+    // a second file whose string bounds are oversized (>64 chars) —
+    // both sources must DROP the string stat, not truncate it
+    ManifestTable.append(spark, root, spark.sql(
+      s"""SELECT 100L AS l, 1 AS i, CAST(1 AS DOUBLE) AS d,
+         |  CAST(1 AS FLOAT) AS f, repeat('x', 65) AS s,
+         |  DATE'2020-01-01' AS dt,
+         |  TIMESTAMP_NTZ'2020-01-01 00:00:00' AS ntz,
+         |  CAST(0 AS DECIMAL(20,2)) AS dec, CAST(NULL AS INT) AS nul
+         |""".stripMargin).coalesce(1))
+    val snap = ManifestTable.latest(root).get
+    assert(snap.files.size == 2)
+    // parity: per file, the committed payload's cols/rows equal the
+    // aggregate's answer for the same file
+    snap.files.foreach { file =>
+      val committed = ManifestStats.decode(snap.stats(file))
+      val (agg, _) = ManifestStats.aggregateStats(spark, root, Seq(file),
+        cols, Seq.empty)
+      val (aggRows, aggCols) = agg(file)
+      assert(committed.rows == aggRows, s"row-count parity for $file")
+      assert(committed.cols == aggCols,
+        s"footer/aggregate divergence for $file:\n" +
+          s"  footer:    ${committed.cols.toSeq.sortBy(_._1)}\n" +
+          s"  aggregate: ${aggCols.toSeq.sortBy(_._1)}")
+      assert(committed.bytes == new java.io.File(root, file).length)
+    }
+    // and the footer actually ANSWERED (no silent wholesale fallback)
+    // for every self-written column shape here — EXCEPT 'd' in the
+    // NaN file: parquet writers omit min/max when NaN is present
+    // (PARQUET-1222 family), so the aggregate legitimately answers it
+    val conf = spark.sparkContext.hadoopConfiguration
+    snap.files.zipWithIndex.foreach { case (file, idx) =>
+      val ff = ManifestStats.footerFile(conf, root, file, cols)
+      cols.filterNot(c => c == "d" && idx == 0).foreach(c => assert(
+        ff.cols(c) != ManifestStats.FooterUnknown,
+        s"footer could not answer '$c' in $file — fallback fired"))
+    }
+    // spot-check the nasty semantics on file 1
+    val st1 = ManifestStats.decode(snap.stats(snap.files.head))
+    assert(!st1.cols.contains("d"), "NaN bounds must DROP the stat")
+    assert(st1.cols("nul") == ManifestStats.ColStat(None, 3L),
+      "all-null column records the null-only marker")
+    assert(st1.cols("s").bounds.contains(("aaa", "züz")),
+      "string bounds in unsigned UTF-8 byte order")
+    assert(st1.cols("l").bounds.contains(("-9", "42")))
+    assert(st1.cols("dec").bounds.contains(("-3.75", "1.20")),
+      "decimal bounds keep their declared scale rendering")
+    val st2 = ManifestStats.decode(snap.stats(snap.files(1)))
+    assert(!st2.cols.contains("s"), "oversized string bounds must drop")
+  }
+
+  test("per-table bloom capacity: a small declared capacity drops blooms the default keeps") {
+    import spark.implicits._
+    // 100 distinct keys in one file: capacity 64 saturates → dropped;
+    // the engine default (16384) records the filter
+    val small = java.nio.file.Files.createTempDirectory("graft_cap1").toString
+    ManifestTable.init(small, Seq("id"), Seq("id"), bloomKeyCapacity = 64L)
+    ManifestTable.append(spark, small, (0L until 100L).toDF("id").coalesce(1))
+    val sSnap = ManifestTable.latest(small).get
+    assert(sSnap.files.forall(f =>
+      ManifestStats.decode(sSnap.stats(f)).bloomRef.isEmpty),
+      "an over-capacity file must drop its bloom, never saturate it")
+    val dflt = java.nio.file.Files.createTempDirectory("graft_cap2").toString
+    ManifestTable.init(dflt, Seq("id"), Seq("id"))
+    ManifestTable.append(spark, dflt, (0L until 100L).toDF("id").coalesce(1))
+    val dSnap = ManifestTable.latest(dflt).get
+    assert(dSnap.files.forall(f =>
+      ManifestStats.decode(dSnap.stats(f)).bloomRef.isDefined))
+    // a RAISED capacity records where the default would drop
+    val big = java.nio.file.Files.createTempDirectory("graft_cap3").toString
+    val n = ManifestStats.BloomKeyCapacity + 100L
+    ManifestTable.init(big, Seq("id"), Seq("id"),
+      bloomKeyCapacity = 4L * ManifestStats.BloomKeyCapacity)
+    ManifestTable.append(spark, big, (0L until n).toDF("id").coalesce(1))
+    val bSnap = ManifestTable.latest(big).get
+    assert(bSnap.files.forall(f =>
+      ManifestStats.decode(bSnap.stats(f)).bloomRef.isDefined),
+      "the raised capacity must keep the bloom past the default cap")
+    // sanity: the raised-capacity table still reads and prunes
+    assert(ManifestTable.readWhere(spark, big, F.col("id") === 7L)
+      .count() == 1L)
   }
 }

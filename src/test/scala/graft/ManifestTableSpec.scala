@@ -1116,4 +1116,30 @@ class ManifestTableSpec extends SparkSpec {
     assert(versions == (0 to versions.max).toSet,
       s"version chain has gaps: ${versions.toSeq.sorted}")
   }
+
+  test("overwrite atomically replaces the snapshot; identity metadata and the batch ledger carry") {
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest_ow").toString
+    ManifestTable.init(root, Seq("id"), Seq("id"))
+    ManifestTable.appendBatch(spark, root, 7L, batch(0, 100))
+    ManifestTable.append(spark, root, batch(100, 200))
+    val before = ManifestTable.latest(root).get
+    ManifestTable.overwrite(spark, root, batch(500, 520))
+    val after = ManifestTable.latest(root).get
+    // contents fully replaced, one version step, old files orphaned
+    assert(ids(root) == (500L until 520L).toSet)
+    assert(after.version == before.version + 1)
+    assert(after.files.toSet.intersect(before.files.toSet).isEmpty)
+    // identity metadata carries: declared stat/bloom columns still
+    // drive pruning on the REPLACED data...
+    assert(ManifestTable.candidateFiles(spark, root, after,
+      F.col("id") === 999L).isEmpty)
+    // ...and the streaming ledger survives — a replay of batch 7
+    // commits nothing even though its rows were overwritten away
+    val replayed = ManifestTable.appendBatch(spark, root, 7L, batch(0, 100))
+    assert(replayed.version == after.version, "replay must be a no-op")
+    assert(ids(root) == (500L until 520L).toSet)
+    // superseded files sweep as ordinary orphans once readers drain
+    val swept = ManifestTable.vacuum(root, orphanGraceMillis = 0L)
+    assert(before.files.forall(swept.contains))
+  }
 }

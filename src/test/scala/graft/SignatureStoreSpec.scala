@@ -92,10 +92,11 @@ class SignatureStoreSpec extends SparkSpec {
       "doc_id", "text", K, BANDS, TAU, sh3).count()
     assert(SignatureStore.latestGeneration(spark, root) == 1)
     // the gen provenance column replays the store as of any ingest
+    // (a LONG column since r17 — same domain as the ledger id)
     val byGen = SignatureStore.signaturesWithGen(spark, root)
       .groupBy("gen").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(byGen.keySet == Set(0, 1))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byGen.keySet == Set(0L, 1L))
     // banded store: BANDS rows per admitted document
     val nCorpus = docs.filter(F.col("doc_id") % 3 === 1).count()
     assert(byGen(0) == nCorpus * BANDS)
