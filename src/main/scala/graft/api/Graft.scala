@@ -75,11 +75,26 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     * planned file list through the manifest's per-file bounds and
     * Bloom side index, so the round-13+ table machinery (snapshot
     * isolation, time travel via `versionAsOf`, pruning) is reachable
-    * from pure SQL. Re-register (or `REFRESH TABLE`) to move the pin
-    * to the table's head. */
+    * from pure SQL, and `INSERT INTO` / `INSERT OVERWRITE` write
+    * through the ledgered commit protocol. Re-register (or `REFRESH
+    * TABLE`) to move the pin to the table's head.
+    *
+    * `persistent = true` is the metastore mode ([[enableSql]]'s
+    * twin): a real catalog entry (`USING graft-manifest`) that
+    * survives the JVM — every session resolving it pins the
+    * then-current head; schema-changing commits need a re-register
+    * (the resolution fails loudly until then). Persistent mode
+    * registers heads only — time travel stays a session-level pin
+    * (`versionAsOf` with the default temp-view mode). */
   def registerManifest(name: String, root: String,
-                       versionAsOf: Option[Int] = None): Unit =
-    graft.sources.ManifestSql.register(spark, name, root, versionAsOf)
+                       versionAsOf: Option[Int] = None,
+                       persistent: Boolean = false): Unit =
+    if (persistent) {
+      require(versionAsOf.isEmpty,
+        "persistent manifest registration pins the HEAD — time travel " +
+          "is a session-level pin (use the default temp-view mode)")
+      graft.sources.ManifestSql.registerPersistent(spark, name, root)
+    } else graft.sources.ManifestSql.register(spark, name, root, versionAsOf)
 
   private def registerPersistent(t: String): Unit = {
     val td = Catalog(t)

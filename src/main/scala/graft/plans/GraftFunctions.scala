@@ -37,6 +37,10 @@ object GraftFunctions {
         new ExpressionInfo(classOf[DotProduct].getName, name), builder))
     }
     e.injectPostHocResolutionRule(BroadcastFixedDims)
+    // custom post-hoc rules run AFTER the built-in DataSourceAnalysis,
+    // so this sees (and rewrites) the raw-write command the catalog
+    // insert path would otherwise produce — see [[ManifestSqlInserts]]
+    e.injectPostHocResolutionRule(ManifestSqlInserts)
   }
 }
 

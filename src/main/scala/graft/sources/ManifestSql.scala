@@ -53,25 +53,51 @@ object ManifestSql {
     * re-applies every filter on the rows anyway (this index only
     * ever SKIPS provably matchless files). */
   final class ManifestFileIndex(
-      spark: SparkSession, root: String,
+      spark: SparkSession, val root: String,
       initial: ManifestTable.Snapshot,
-      versionAsOf: Option[Int],
+      val versionAsOf: Option[Int],
       physicalSchema: StructType) extends FileIndex {
 
-    /** One immutable pin = (snapshot, its lazily-statted file
-      * statuses): swapped atomically by [[refresh]], so a query
-      * planning concurrently with a refresh sees a CONSISTENT pair —
-      * never the new file list against the old status map. Statuses
-      * resolve lazily once per pin: the manifest records paths, not
-      * sizes, and a per-query stat of every file would tax planning
-      * at large file counts. */
+    /** One immutable pin = (snapshot, its file statuses): swapped
+      * atomically by [[refresh]], so a query planning concurrently
+      * with a refresh sees a CONSISTENT pair — never the new file
+      * list against the old status map. Statuses SYNTHESIZE from the
+      * manifest's recorded per-file byte sizes (the `bytes:` stat the
+      * writer commits with the file list — the Iceberg/Delta
+      * `file_size_in_bytes` idea), so planning issues ZERO
+      * per-file `getFileStatus` RPCs; only legacy files whose lines
+      * predate the bytes field fall back to the FS, and only when a
+      * query actually plans them ([[listFiles]] maps candidates, not
+      * the table). The synthesized status carries mtime 0 — batch
+      * file-source planning reads only path and length (split
+      * sizing), never modification time. */
     private final class Pin(val snap: ManifestTable.Snapshot) {
-      lazy val statuses: Map[String, FileStatus] = {
-        val fs = new HPath(root).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        snap.files.map(f =>
-          f -> fs.getFileStatus(new HPath(root, f))).toMap
+      private val recordedBytes: Map[String, Long] =
+        snap.files.flatMap { f =>
+          snap.stats.get(f).map(p =>
+              graft.operators.ManifestStats.decodeCached(p).bytes)
+            .filter(_ >= 0L).map(f -> _)
+        }.toMap
+      private lazy val fs = new HPath(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      private val cache =
+        new java.util.concurrent.ConcurrentHashMap[String, FileStatus]()
+      def statusOf(f: String): FileStatus = {
+        val hit = cache.get(f)
+        if (hit != null) return hit
+        val st = recordedBytes.get(f) match {
+          case Some(len) => new FileStatus(len, false, 1,
+            128L * 1024 * 1024, 0L, new HPath(root, f))
+          case None => fs.getFileStatus(new HPath(root, f))
+        }
+        cache.putIfAbsent(f, st)
+        st
       }
+      /** Table size for the optimizer: recorded bytes, plus an FS
+        * stat for only the legacy files lacking them. */
+      lazy val totalBytes: Long =
+        snap.files.map(f =>
+          recordedBytes.getOrElse(f, statusOf(f).getLen)).sum
     }
 
     @volatile private var pin = new Pin(initial)
@@ -93,7 +119,7 @@ object ManifestSql {
             physicalSchema, cond)
         }
       Seq(PartitionDirectory(InternalRow.empty,
-        cand.map(p.statuses).toArray[FileStatus]))
+        cand.map(p.statusOf).toArray[FileStatus]))
     }
 
     override def inputFiles: Array[String] =
@@ -114,7 +140,7 @@ object ManifestSql {
       pin = new Pin(target)
     }
 
-    override def sizeInBytes: Long = pin.statuses.values.map(_.getLen).sum
+    override def sizeInBytes: Long = pin.totalBytes
   }
 
   private def resolveSnapshot(root: String,
@@ -136,32 +162,147 @@ object ManifestSql {
       ManifestTable.recordedSchemaOf(spark, root, snap),
       ManifestTable.colmapOfSnap(snap))._1
 
+  /** [[ParquetFileFormat]] with the RAW write path disabled: plain
+    * `INSERT INTO`/`INSERT OVERWRITE` on the front-door relation
+    * routes through [[ManifestWritableRelation.insert]] (the
+    * `InsertableRelation` case of Spark's DataSourceAnalysis precedes
+    * its HadoopFsRelation case), but any OTHER V1 write shape that
+    * falls through to `InsertIntoHadoopFsRelationCommand` would write
+    * bare parquet into the table root — files no manifest references,
+    * invisible to readers and swept by vacuum. Better a loud refusal
+    * at `prepareWrite` (write jobs only — the read side never calls
+    * it) than silent data loss. */
+  private final class ManifestGuardedParquet extends ParquetFileFormat {
+    override def prepareWrite(sparkSession: SparkSession,
+                              job: org.apache.hadoop.mapreduce.Job,
+                              options: Map[String, String],
+                              dataSchema: StructType)
+        : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+      throw new UnsupportedOperationException(
+        "manifest tables accept plain INSERT INTO (ledgered append) " +
+          "and INSERT OVERWRITE (atomic replace) only — this write " +
+          "shape would bypass the manifest commit protocol; use the " +
+          "ManifestTable Scala API for merges and row-level DML")
+  }
+
+  /** The front-door [[HadoopFsRelation]], WRITABLE through the
+    * manifest commit protocol: `INSERT INTO` appends (one atomic
+    * ledgered commit), `INSERT OVERWRITE` replaces the snapshot
+    * ([[ManifestTable.overwrite]]) — never a raw file write into the
+    * root. After a successful insert the relation's own pin moves to
+    * the new head, so the writing session's next read sees its write
+    * (the transactional-table contract); OTHER registrations of the
+    * same table keep their pins until refreshed, exactly as for
+    * Scala-path writes. Time-travel registrations refuse writes. */
+  final class ManifestWritableRelation private[sources] (
+      spark: SparkSession, val root: String,
+      val versionAsOf: Option[Int],
+      idx: ManifestFileIndex, physical: StructType)
+    extends HadoopFsRelation(idx, StructType(Nil), physical, None,
+      new ManifestGuardedParquet, Map.empty)(spark)
+    with org.apache.spark.sql.sources.InsertableRelation {
+    override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+      require(versionAsOf.isEmpty,
+        s"cannot INSERT into a versionAsOf registration of $root — " +
+          "time travel is read-only; register the head to write")
+      // positional alignment — SQL INSERT semantics; the analyzer has
+      // already arity-checked and cast the query to the table schema
+      val aligned =
+        if (data.columns.toSeq == physical.fieldNames.toSeq) data
+        else data.toDF(physical.fieldNames.toIndexedSeq: _*)
+      if (overwrite) ManifestTable.overwrite(spark, root, aligned)
+      else ManifestTable.append(spark, root, aligned)
+      idx.refresh()
+    }
+  }
+
+  /** The bare front-door relation (physical schema, no rename
+    * projection) — what the SQL machinery plans and what
+    * [[ManifestSource]] serves out of the persistent catalog. */
+  private[sources] def baseRelation(spark: SparkSession, root: String,
+                                    versionAsOf: Option[Int])
+      : ManifestWritableRelation = {
+    val snap = resolveSnapshot(root, versionAsOf)
+    val (physical, _) = ManifestTable.readShapeOf(
+      ManifestTable.recordedSchemaOf(spark, root, snap),
+      ManifestTable.colmapOfSnap(snap))
+    val idx = new ManifestFileIndex(spark, root, snap, versionAsOf,
+      physical)
+    new ManifestWritableRelation(spark, root, versionAsOf, idx, physical)
+  }
+
   /** The manifest table as a DataFrame whose SCAN prunes on pushed
     * filters — the composable form ([[register]] wraps it in a temp
     * view). `versionAsOf` pins time travel. */
   def relation(spark: SparkSession, root: String,
                versionAsOf: Option[Int] = None): DataFrame = {
     val snap = resolveSnapshot(root, versionAsOf)
-    val (physical, projection) = ManifestTable.readShapeOf(
+    val (_, projection) = ManifestTable.readShapeOf(
       ManifestTable.recordedSchemaOf(spark, root, snap),
       ManifestTable.colmapOfSnap(snap))
-    val idx = new ManifestFileIndex(spark, root, snap, versionAsOf,
-      physical)
-    val rel = HadoopFsRelation(
-      location = idx,
-      partitionSchema = StructType(Nil),
-      dataSchema = physical,
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
-      options = Map.empty)(spark)
-    val base = spark.baseRelationToDataFrame(rel)
+    val base = spark.baseRelationToDataFrame(
+      baseRelation(spark, root, versionAsOf))
     projection.fold(base)(p => base.select(p: _*))
   }
 
   /** Register the manifest table as `name` for `spark.sql` access —
     * the SQL twin of [[ManifestTable.read]], with planning-time file
-    * pruning under pure SQL. Re-register to move the snapshot pin. */
+    * pruning under pure SQL. Re-register to move the snapshot pin.
+    * On an un-renamed table the view is the bare insertable relation,
+    * so `INSERT INTO name ...` / `INSERT OVERWRITE ...` write through
+    * the ledgered commit; a rename-chained table registers its
+    * coalesce projection, which SQL cannot insert through (the Scala
+    * writers remain the write path there). */
   def register(spark: SparkSession, name: String, root: String,
                versionAsOf: Option[Int] = None): Unit =
     relation(spark, root, versionAsOf).createOrReplaceTempView(name)
+
+  /** PERSISTENT registration: a real catalog entry (HMS-backed under
+    * `Graft.enableSql(persistent = true)`'s session wiring) that
+    * survives the JVM — `USING graft-manifest` with the table root as
+    * its path, resolved back through [[ManifestSource]] on every
+    * session, each resolution pinning the THEN-current head. The
+    * catalog stores the schema at registration; a schema-changing
+    * commit (new column, rename, drop, widen) needs a re-register,
+    * the same contract as [[ManifestFileIndex.refresh]]. A
+    * rename-chained table persists as `<name>_store` (the physical
+    * relation) plus a VIEW `name` applying the coalesce projection —
+    * read-only; an un-renamed table persists directly as `name`,
+    * SQL-insertable. Time travel is session business (a pin, not an
+    * identity) — `versionAsOf` is intentionally absent here. */
+  def registerPersistent(spark: SparkSession, name: String,
+                         root: String): Unit = {
+    val snap = resolveSnapshot(root, None)
+    val (_, projection) = ManifestTable.readShapeOf(
+      ManifestTable.recordedSchemaOf(spark, root, snap),
+      ManifestTable.colmapOfSnap(snap))
+    // a same-named temp view would shadow the catalog entry
+    spark.catalog.dropTempView(name)
+    def createTable(tableName: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      spark.catalog.createTable(tableName, "graft-manifest",
+        Map("path" -> root))
+      ()
+    }
+    projection match {
+      case None => createTable(name)
+      case Some(cols) =>
+        val store = s"${name}_store"
+        createTable(store)
+        // render the coalesce projection to SQL text by analyzing it
+        // against the catalog table (resolved NamedExpression.sql is
+        // the supported rendering — the registerPersistent model-view
+        // pattern, Graft.scala)
+        val projected = spark.table(store).select(cols: _*)
+        val projSql = projected.queryExecution.analyzed match {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            p.projectList.map(_.sql).mkString(", ")
+          case other => throw new IllegalStateException(
+            s"expected a Project over $store, got ${other.nodeName}")
+        }
+        spark.sql(s"CREATE OR REPLACE VIEW $name AS " +
+          s"SELECT $projSql FROM $store")
+        ()
+    }
+  }
 }

@@ -13,4 +13,21 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object graftbridge {
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** `Dataset.ofRows` (private[sql] in Spark 4) — a logical plan as a
+    * DataFrame, for RunnableCommands that receive a child plan. */
+  def ofRows(spark: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A batch DataFrame re-wrapped with `isStreaming = true` — what a
+    * V1 streaming Source's `getBatch` must return (the engine asserts
+    * it; `internalCreateDataFrame` is private[sql]). The plan's
+    * execution stays lazy: the RDD materializes when the micro-batch
+    * runs. */
+  def asStreamingFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

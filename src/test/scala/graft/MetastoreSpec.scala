@@ -82,6 +82,61 @@ class MetastoreSpec extends SparkSpec {
     }
   }
 
+  test("persistent manifest registration survives sessions, keeps pruning, and accepts SQL writes") {
+    requireHms()
+    import graft.operators.ManifestTable
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pm").toString
+    ManifestTable.init(root, Seq("id"))
+    for (i <- 0 until 4)
+      ManifestTable.append(spark, root,
+        (i * 100L until i * 100L + 100L).toDF("id")
+          .withColumn("payload", F.concat(F.lit("row"), F.col("id")))
+          .coalesce(1))
+    try {
+      graft.api.Graft(spark, sf)
+        .registerManifest("pm_corpus", root, persistent = true)
+      // a SIBLING session (no temp views) resolves the catalog entry:
+      // the provider rebuilds the pruned relation against the
+      // then-current head — the restart-survival shape
+      val s2 = spark.newSession()
+      assert(s2.catalog.tableExists("pm_corpus"))
+      val point = s2.sql("SELECT id FROM pm_corpus WHERE id = 150")
+      point.collect()
+      // the pushed predicate pruned the planned file list in s2
+      val scanned = point.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numFiles").value
+        }
+      assert(point.as[Long].collect().toSeq == Seq(150L))
+      assert(scanned.contains(1L),
+        s"catalog-resolved read planned ${scanned} files, expected 1")
+      // SQL INSERT through the catalog entry lands a ledgered commit
+      val vBefore = ManifestTable.latest(root).get.version
+      s2.sql("INSERT INTO pm_corpus VALUES (1000, 'late')")
+      assert(ManifestTable.latest(root).get.version == vBefore + 1,
+        "INSERT INTO must publish one manifest commit")
+      assert(s2.sql("SELECT count(*) FROM pm_corpus").as[Long].head == 401L)
+      // a schema-changing commit invalidates the registration LOUDLY
+      ManifestTable.append(spark, root,
+        (2000L until 2001L).toDF("id")
+          .withColumn("payload", F.lit("x"))
+          .withColumn("extra", F.lit(1L)))
+      val s3 = spark.newSession()
+      val err = intercept[Exception](s3.table("pm_corpus").collect())
+      assert(err.getMessage.contains("re-register"),
+        s"expected the evolved-schema refusal, got: ${err.getMessage}")
+      // re-registering picks up the new projection
+      graft.api.Graft(spark, sf)
+        .registerManifest("pm_corpus", root, persistent = true)
+      assert(spark.newSession().sql(
+        "SELECT count(extra) FROM pm_corpus").as[Long].head == 1L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pm_corpus")
+    }
+  }
+
   test("bucketed-table metadata round-trips through the metastore") {
     requireHms()
     val buckets = 4

@@ -343,6 +343,81 @@ class PlanShapeSpec extends SparkSpec {
     assert(inProbe.as[Long].collect().toSet == Set(5L, 13L))
   }
 
+  test("SQL INSERT routes through the ledgered commit, never a raw file write") {
+    import graft.operators.ManifestTable
+    import graft.sources.ManifestSql
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_msqlw").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root,
+      (0L until 100L).toDF("id").withColumn("payload", F.lit("seed")))
+    ManifestSql.register(spark, "msqlw_t", root)
+    val v1 = ManifestTable.latest(root).get
+    spark.sql("INSERT INTO msqlw_t VALUES (500, 'ins')")
+    val v2 = ManifestTable.latest(root).get
+    // one atomic manifest commit; new files live under data/<token>/
+    // (the InsertableRelation path) — a raw InsertIntoHadoopFsRelation
+    // write would drop bare part files into the root instead
+    assert(v2.version == v1.version + 1)
+    val newFiles = v2.files.toSet -- v1.files.toSet
+    assert(newFiles.nonEmpty &&
+      newFiles.forall(_.matches("data/[0-9a-f-]+/part-.*\\.parquet")))
+    assert(!new java.io.File(root).listFiles().exists(_.isFile),
+      "a raw write bypassed the manifest and landed files in the root")
+    // the writing session's view sees its own write without REFRESH
+    assert(spark.sql("SELECT count(*) FROM msqlw_t").as[Long].head == 101L)
+    // stats recorded for the inserted file: the new id prunes to it
+    assert(ManifestTable.candidateFiles(spark, root, v2,
+      F.col("id") === 500L).forall(newFiles.contains))
+    // INSERT OVERWRITE = one atomic replace commit
+    spark.sql("INSERT OVERWRITE msqlw_t SELECT id, payload FROM msqlw_t " +
+      "WHERE id >= 90")
+    assert(spark.sql("SELECT count(*) FROM msqlw_t").as[Long].head == 11L)
+    assert(ManifestTable.latest(root).get.version == v2.version + 1)
+    // a time-travel registration refuses writes
+    ManifestSql.register(spark, "msqlw_v1", root, versionAsOf = Some(1))
+    val err = intercept[Exception](
+      spark.sql("INSERT INTO msqlw_v1 VALUES (9, 'x')"))
+    assert(err.getMessage.contains("time travel") ||
+      Option(err.getCause).exists(_.getMessage.contains("time travel")),
+      s"expected the read-only time-travel refusal, got: $err")
+  }
+
+  test("SQL planning stats ZERO files: non-candidate files deleted from disk still plan") {
+    import graft.operators.ManifestTable
+    import graft.sources.ManifestSql
+    import spark.implicits._
+    // the r16 index statted every file at first planning (one
+    // getFileStatus RPC each); r17 synthesizes statuses from the
+    // manifest's recorded bytes. The corruption-proof idiom, one step
+    // harder: DELETE every non-candidate file outright — any FS stat
+    // or footer touch on them now throws, so a pruned SQL read that
+    // still answers proves planning reads the manifest alone.
+    val root = java.nio.file.Files.createTempDirectory("graft_msql0").toString
+    ManifestTable.init(root, Seq("id"))
+    for (i <- 0 until 4)
+      ManifestTable.append(spark, root,
+        (i * 100L until i * 100L + 100L).toDF("id")
+          .withColumn("payload", F.concat(F.lit("row"), F.col("id")))
+          .coalesce(1))
+    ManifestSql.register(spark, "msql_zero", root)
+    val snap = ManifestTable.latest(root).get
+    val keep = ManifestTable.candidateFiles(spark, snap,
+      F.col("id") === 150L)
+    assert(keep.size == 1)
+    snap.files.filterNot(keep.contains).foreach { f =>
+      val victim = new java.io.File(root, f)
+      assert(victim.delete(), s"could not delete $f")
+      // the local FS's checksum sidecar too, so nothing of the file
+      // remains to answer from
+      new java.io.File(victim.getParentFile,
+        "." + victim.getName + ".crc").delete()
+    }
+    val out = spark.sql(
+      "SELECT id, payload FROM msql_zero WHERE id >= 150 AND id < 152")
+    assert(out.collect().map(_.getLong(0)).toSeq.sorted == Seq(150L, 151L))
+  }
+
   test("vocabCoverage tokenizes the corpus once (vocab + rollup share the exchange)") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
