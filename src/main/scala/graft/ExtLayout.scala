@@ -645,6 +645,92 @@ private[graft] object ExtLayout {
     }),
 
 
+    // the change feed as a REGISTERED Structured Streaming source:
+    // spark.readStream.format("graft-cdf") drains the same three
+    // versions through a real streaming query (offset log, triggers,
+    // foreachBatch) into an id-ledgered sink. The grade: a restart on
+    // the same checkpoint delivers nothing (the offset log IS the
+    // watermark), and a WIPED checkpoint replays the feed with the
+    // same deterministic batch id — the sink ledger must no-op it or
+    // the hash double-counts. Rows carry _commit_version, so per-
+    // commit attribution survives Spark's range batching.
+    "x_stream_cdf_source" -> ((s, dir) => {
+      val src = layoutDir(dir, "cdfsrc_src")
+      val sink = layoutDir(dir, "cdfsrc_sink")
+      val ckpt = layoutDir(dir, "cdfsrc_ckpt")
+      Seq(src, sink, ckpt).foreach(r => deleteRec(new java.io.File(r)))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      graft.operators.ManifestTable.init(src)
+      graft.operators.ManifestTable.append(s, src,
+        docs.filter(F.col("doc_id") % 3 === 0)) // v1
+      graft.operators.ManifestTable.append(s, src,
+        docs.filter(F.col("doc_id") % 3 === 1)) // v2
+      graft.operators.ManifestTable.deleteWhere(s, src,
+        F.col("doc_id") % 5 === 0)              // v3
+      graft.operators.ManifestTable.init(sink)
+      def run(): Unit = graft.ScopedShufflePartitions(s) {
+        val q = s.readStream.format("graft-cdf").option("path", src)
+          .load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                           id: Long) =>
+            graft.operators.ManifestTable.appendBatch(s, sink, id, batch)
+            (): Unit
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run() // drains versions 1..3 in one deterministic batch (id 0)
+      run() // restart on the same checkpoint: the offset log no-ops
+      deleteRec(new java.io.File(ckpt))
+      run() // wiped checkpoint: full replay, same id — ledger no-ops
+      graft.operators.ManifestTable.read(s, sink)
+    }),
+
+
+    // SQL WRITE PATH through the front door: INSERT INTO appends via
+    // the ledgered commit (two SQL batches land as v2/v3), a
+    // SQL-SOURCED merge applies exactly once (upsertBatch fed FROM
+    // spark.sql, then REPLAYED with poisoned data — the batch ledger
+    // must no-op it), and INSERT OVERWRITE atomically replaces the
+    // snapshot. Phase 1 pins the pre-overwrite table; phase 2 reads
+    // the replaced one. A raw-file write bypassing the manifest, a
+    // double-applied merge, or a non-atomic overwrite each fails the
+    // hash.
+    "x_manifest_sql_write" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_sqlw")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      docs.createOrReplaceTempView("sqlw_docs")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"), Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 3 === 0)) // v1: Scala seed
+      val g = graft.api.Graft(s, dir)
+      g.registerManifest("sqlw_corpus", root)
+      s.sql("INSERT INTO sqlw_corpus " +
+        "SELECT doc_id, lang, source FROM sqlw_docs WHERE doc_id % 3 = 1")
+      s.sql("INSERT INTO sqlw_corpus " +
+        "SELECT doc_id, upper(lang), source FROM sqlw_docs " +
+        "WHERE doc_id % 3 = 2")
+      // SQL-sourced ledgered merge + poisoned replay
+      graft.operators.ManifestTable.upsertBatch(s, root, 100L, "doc_id",
+        s.sql("SELECT doc_id, 'merged' AS lang, source FROM sqlw_docs " +
+          "WHERE doc_id % 10 = 0"))
+      graft.operators.ManifestTable.upsertBatch(s, root, 100L, "doc_id",
+        s.sql("SELECT doc_id, 'MUST_NOT_APPLY' AS lang, source " +
+          "FROM sqlw_docs WHERE doc_id % 10 = 0"))
+      val phase1 = graft.operators.ManifestTable.read(s, root)
+        .withColumn("phase", F.lit(1L)).localCheckpoint(eager = true)
+      s.sql("INSERT OVERWRITE sqlw_corpus " +
+        "SELECT doc_id, lang, source FROM sqlw_docs WHERE doc_id < 100")
+      phase1.unionByName(graft.operators.ManifestTable.read(s, root)
+        .withColumn("phase", F.lit(2L)))
+    }),
+
+
     // snapshot time travel: three appends then a row-level delete —
     // the output reads version 2 (exactly the first two appends, BY
     // the manifest pointer, not a directory listing) alongside the
@@ -982,6 +1068,32 @@ private[graft] object ExtLayout {
         "UNION ALL " +
         "SELECT doc_id, lang, source, 'delete', 3 FROM documents " +
         "WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 = 0"),
+
+    // the registered streaming source delivers the same three
+    // versions' diffs exactly once, restart- and replay-proof, each
+    // row stamped with its commit version
+    "x_stream_cdf_source" ->
+      ("SELECT doc_id, lang, source, 'insert' AS _change_type, " +
+        "CAST(1 AS BIGINT) AS _commit_version FROM documents " +
+        "WHERE doc_id % 3 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, 'insert', 2 FROM documents " +
+        "WHERE doc_id % 3 = 1 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, 'delete', 3 FROM documents " +
+        "WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 = 0"),
+
+    // phase 1: the Scala seed ∪ two SQL inserts, with the %10=0 rows
+    // whole-row replaced by the SQL-sourced merge (the poisoned
+    // replay invisible); phase 2: the INSERT OVERWRITE replacement
+    "x_manifest_sql_write" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 10 = 0 THEN 'merged' " +
+        "WHEN doc_id % 3 = 2 THEN upper(lang) ELSE lang END AS lang, " +
+        "source, CAST(1 AS BIGINT) AS phase FROM documents " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, CAST(2 AS BIGINT) AS phase " +
+        "FROM documents WHERE doc_id < 100"),
 
     // v2 = the first two appends exactly; v4 (latest) = all three
     // splits minus the deleted ids
