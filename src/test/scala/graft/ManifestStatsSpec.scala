@@ -380,6 +380,19 @@ class ManifestStatsSpec extends SparkSpec {
     val ms = (System.nanoTime() - t0) / 1e6
     assert(cand.size == 1, s"${cand.size} candidates")
     assert(ms < 600, f"pruning a cached 20k-file manifest took $ms%.0f ms")
+    // REPEATED-op cost (the r17 LRU contract): a table bigger than
+    // any clear-all valve must keep serving warm decodes — 20 more
+    // pruning passes may cost at most ~per-pass bound arithmetic,
+    // never a periodic re-decode of the world (the old cache dumped
+    // all ~1M entries at its cap and re-parsed O(files) payloads on
+    // the next op)
+    val t1 = System.nanoTime()
+    for (i <- 0 until 20)
+      ManifestTable.candidateFiles(spark, snap,
+        F.col("id") === (i * 97L + 11L))
+    val msAll = (System.nanoTime() - t1) / 1e6
+    assert(msAll < 20 * 600,
+      f"20 warm pruning passes took $msAll%.0f ms — decode cache churn")
   }
 
   /** 8 interleaved single-file batches: every file spans the whole id
