@@ -252,10 +252,30 @@ object ManifestStats {
               sizes: Map[String, Long] = Map.empty): Map[String, String] = {
     if (relFiles.isEmpty) return Map.empty
     val conf = spark.sparkContext.hadoopConfiguration
-    // footer scrape: None = footer unreadable (fall back wholesale)
-    val foot: Map[String, Option[FooterFile]] = relFiles.map(f =>
-      f -> scala.util.Try(footerFile(conf, root, f, statCols)).toOption
-    ).toMap
+    // footer scrape, POOLED: each footer open is 1-2 storage
+    // round-trips, so a many-file batch on an object store must not
+    // pay them serially on the driver (the Iceberg/Delta planner-pool
+    // idea). None = footer unreadable (fall back wholesale).
+    val foot: Map[String, Option[FooterFile]] =
+      if (relFiles.size == 1)
+        Map(relFiles.head -> scala.util.Try(
+          footerFile(conf, root, relFiles.head, statCols)).toOption)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, relFiles.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks: java.util.List[java.util.concurrent.Callable[
+            (String, Option[FooterFile])]] = relFiles.map { f =>
+            new java.util.concurrent.Callable[(String, Option[FooterFile])] {
+              override def call(): (String, Option[FooterFile]) =
+                f -> scala.util.Try(
+                  footerFile(conf, root, f, statCols)).toOption
+            }: java.util.concurrent.Callable[(String, Option[FooterFile])]
+          }.asJava
+          pool.invokeAll(tasks).asScala.map(_.get()).toMap
+        } finally pool.shutdown()
+      }
     val allFootersOk = foot.values.forall(_.isDefined)
     val aggCols: Seq[String] =
       if (!allFootersOk) statCols

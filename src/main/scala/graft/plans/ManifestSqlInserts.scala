@@ -36,19 +36,18 @@ case class ManifestSqlInserts(spark: SparkSession) extends Rule[LogicalPlan] {
           "manifest tables accept plain INSERT INTO / INSERT OVERWRITE " +
             "only — partitioned/bucketed insert shapes have no manifest " +
             "equivalent")
-        require(idx.versionAsOf.isEmpty,
-          s"cannot INSERT into a versionAsOf registration of ${idx.root} " +
-            "— time travel is read-only; register the head to write")
+        // versionAsOf (time-travel) registrations are refused inside
+        // ManifestSql.sqlInsert, the one owner of the write guards
         ManifestInsertCommand(idx.root, c.query,
           c.mode == SaveMode.Overwrite, c.outputColumnNames, idx)
     }
 }
 
-/** The ledgered-commit execution of a SQL insert on a manifest table:
-  * append or atomic overwrite through [[ManifestTable]], then move
-  * the registration's own head pin so the writing session's next
-  * read sees the write ([[ManifestSql.ManifestWritableRelation]]'s
-  * contract, mirrored for the catalog path). */
+/** The ledgered-commit execution of a SQL insert on a manifest table
+  * — a thin shell over [[ManifestSql.sqlInsert]], the ONE owner of
+  * the SQL-insert commit semantics (alignment, append/overwrite
+  * dispatch, pin move, cache invalidation) shared with the temp-view
+  * `InsertableRelation` path. */
 case class ManifestInsertCommand(root: String, query: LogicalPlan,
                                  overwrite: Boolean,
                                  outputColumnNames: Seq[String],
@@ -56,14 +55,9 @@ case class ManifestInsertCommand(root: String, query: LogicalPlan,
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
   override def run(session: SparkSession): Seq[Row] = {
-    // positional alignment under the table's column names — SQL
-    // INSERT semantics; the analyzer has already arity-checked and
-    // cast the query to the table schema
-    val data = graftbridge.ofRows(session, query)
-      .toDF(outputColumnNames.toIndexedSeq: _*)
-    if (overwrite) ManifestTable.overwrite(session, root, data)
-    else ManifestTable.append(session, root, data)
-    index.refresh()
+    ManifestSql.sqlInsert(session,
+      index, graftbridge.ofRows(session, query), overwrite,
+      outputColumnNames)
     Seq.empty
   }
 }

@@ -28,7 +28,14 @@ import graft.operators.ManifestTable
   * Options:
   *  - `path` (required): the manifest table root;
   *  - `fromVersion` (default 0): versions ≤ this are never delivered
-  *    (0 = the whole feed since init).
+  *    (0 = the whole feed since init);
+  *  - `maxVersionsPerTrigger` (default unbounded): cap the versions
+  *    one micro-batch covers — a cold subscriber to a long-lived
+  *    table then pages through history instead of planning one
+  *    union over every version ever published. The cap's frontier
+  *    persists in the source's own metadata dir and is written
+  *    before each offer, so offsets stay monotone across restarts
+  *    (a capped re-offer can never rewind below a committed offset).
   *
   * Delivery is the engine's exactly-once-offsets + at-least-once
   * side effects: a crashed micro-batch REPLAYS with the same batchId
@@ -63,8 +70,9 @@ final class CdfStreamSource extends StreamSourceProvider
                             providerName: String,
                             parameters: Map[String, String]): Source =
     new CdfStreamSource.CdfSource(sqlContext.sparkSession,
-      rootOf(parameters),
-      parameters.get("fromVersion").map(_.trim.toInt).getOrElse(0))
+      rootOf(parameters), metadataPath,
+      parameters.get("fromVersion").map(_.trim.toInt).getOrElse(0),
+      parameters.get("maxVersionsPerTrigger").map(_.trim.toInt))
 }
 
 object CdfStreamSource {
@@ -84,11 +92,55 @@ object CdfStreamSource {
   }
 
   private final class CdfSource(spark: SparkSession, root: String,
-                                fromVersion: Int) extends Source {
+                                metadataPath: String, fromVersion: Int,
+                                maxVersionsPerTrigger: Option[Int])
+    extends Source {
+
+    maxVersionsPerTrigger.foreach(m => require(m > 0,
+      s"maxVersionsPerTrigger must be positive, got $m"))
 
     private val pinnedSchema = changeSchema(spark, root)
 
     override def schema: StructType = pinnedSchema
+
+    // ---- offered-offset log (rate limiting that survives restart) --
+    // The offset the source last OFFERED persists in the source's own
+    // metadata dir and is written BEFORE getOffset returns (the
+    // FileStreamSource pattern): offsets are then monotone across
+    // restarts by construction — a capped cold re-offer can never
+    // land BELOW an offset the engine already committed, which would
+    // re-deliver versions under NEW batch ids (the one shape a
+    // ledgered sink cannot no-op).
+    private def offeredPath = new org.apache.hadoop.fs.Path(
+      metadataPath, "max_offered_version")
+    private def fs = offeredPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    private def readOffered(): Option[Int] =
+      scala.util.Try {
+        val in = fs.open(offeredPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toInt
+        finally in.close()
+      }.toOption
+
+    private def writeOffered(v: Int): Unit = {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+        s".max_offered.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, offeredPath)) {
+        fs.delete(offeredPath, false)
+        if (!fs.rename(tmp, offeredPath)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(
+            s"could not publish offered-offset log at $offeredPath")
+        }
+      }
+    }
 
     private def versionOf(o: OffsetV1): Int = o match {
       case l: LongOffset => l.offset.toInt
@@ -98,16 +150,55 @@ object CdfStreamSource {
     override def getOffset: Option[OffsetV1] = {
       val head = ManifestTable.latest(root).getOrElse(
         throw new IllegalStateException(s"no manifest at $root")).version
-      if (head > fromVersion) Some(LongOffset(head.toLong)) else None
+      val base = math.max(readOffered().getOrElse(fromVersion), fromVersion)
+      val next = maxVersionsPerTrigger
+        .map(m => math.min(head, base + m)).getOrElse(head)
+      if (next <= base) None
+      else {
+        writeOffered(next) // durable BEFORE the engine sees the offer
+        Some(LongOffset(next.toLong))
+      }
+    }
+
+    /** One per-version frame, CONFORMED to the pinned source schema:
+      * a column added to the table after the stream started is
+      * dropped (the subscription serves the schema it was created
+      * with — restart from a fresh checkpoint to widen); a pinned
+      * column missing from an OLD version's frame (the stream pinned
+      * at a later schema, e.g. a capped cold subscriber paging
+      * through pre-evolution history) null-fills, exactly as a batch
+      * read of those files would; and a pinned column gone from the
+      * HEAD schema too (rename/drop landed mid-stream) fails loudly
+      * with the re-subscribe instruction instead of wedging every
+      * retry on a union mismatch — null-filling THAT would silently
+      * blank renamed data. */
+    private def conformed(v: Int): DataFrame = {
+      val part = ManifestTable.changes(spark, root, v - 1, v)
+        .withColumn("_commit_version", F.lit(v.toLong))
+      val have = part.columns.toSet
+      val missing = pinnedSchema.fields.filterNot(f => have(f.name))
+      if (missing.nonEmpty) {
+        val headCols = ManifestTable.recordedSchemaOf(spark, root,
+          ManifestTable.latest(root).getOrElse(throw
+            new IllegalStateException(s"no manifest at $root")))
+          .fieldNames.toSet ++ Set("_change_type", "_commit_version")
+        val gone = missing.map(_.name).filterNot(headCols)
+        if (gone.nonEmpty) throw new IllegalStateException(
+          s"manifest table at $root no longer serves column(s) " +
+            s"${gone.mkString(",")} the stream pinned at creation " +
+            "(a rename/drop landed mid-stream) — re-subscribe with a " +
+            "fresh checkpoint to pick up the new schema")
+      }
+      part.select(pinnedSchema.fields.map(f =>
+        if (have(f.name)) F.col(f.name)
+        else F.lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     }
 
     override def getBatch(start: Option[OffsetV1],
                           end: OffsetV1): DataFrame = {
       val lo = start.map(versionOf).getOrElse(fromVersion)
       val hi = versionOf(end)
-      val parts = ((lo + 1) to hi).map(v =>
-        ManifestTable.changes(spark, root, v - 1, v)
-          .withColumn("_commit_version", F.lit(v.toLong)))
+      val parts = ((lo + 1) to hi).map(conformed)
       val batch = parts.reduceLeftOption(_.unionByName(_)).getOrElse(
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),

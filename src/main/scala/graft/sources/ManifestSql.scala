@@ -72,20 +72,22 @@ object ManifestSql {
       * file-source planning reads only path and length (split
       * sizing), never modification time. */
     private final class Pin(val snap: ManifestTable.Snapshot) {
-      private val recordedBytes: Map[String, Long] =
-        snap.files.flatMap { f =>
-          snap.stats.get(f).map(p =>
-              graft.operators.ManifestStats.decodeCached(p).bytes)
-            .filter(_ >= 0L).map(f -> _)
-        }.toMap
       private lazy val fs = new HPath(root).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       private val cache =
         new java.util.concurrent.ConcurrentHashMap[String, FileStatus]()
+      // per-file, on demand — pin construction (registration, every
+      // post-insert refresh) stays O(1): a query planning N candidates
+      // decodes N payloads (through the shared content-addressed LRU),
+      // never the whole table
+      private def recordedBytesOf(f: String): Option[Long] =
+        snap.stats.get(f)
+          .map(p => graft.operators.ManifestStats.decodeCached(p).bytes)
+          .filter(_ >= 0L)
       def statusOf(f: String): FileStatus = {
         val hit = cache.get(f)
         if (hit != null) return hit
-        val st = recordedBytes.get(f) match {
+        val st = recordedBytesOf(f) match {
           case Some(len) => new FileStatus(len, false, 1,
             128L * 1024 * 1024, 0L, new HPath(root, f))
           case None => fs.getFileStatus(new HPath(root, f))
@@ -97,7 +99,7 @@ object ManifestSql {
         * stat for only the legacy files lacking them. */
       lazy val totalBytes: Long =
         snap.files.map(f =>
-          recordedBytes.getOrElse(f, statusOf(f).getLen)).sum
+          recordedBytesOf(f).getOrElse(statusOf(f).getLen)).sum
     }
 
     @volatile private var pin = new Pin(initial)
@@ -201,19 +203,34 @@ object ManifestSql {
     extends HadoopFsRelation(idx, StructType(Nil), physical, None,
       new ManifestGuardedParquet, Map.empty)(spark)
     with org.apache.spark.sql.sources.InsertableRelation {
-    override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-      require(versionAsOf.isEmpty,
-        s"cannot INSERT into a versionAsOf registration of $root — " +
-          "time travel is read-only; register the head to write")
-      // positional alignment — SQL INSERT semantics; the analyzer has
-      // already arity-checked and cast the query to the table schema
-      val aligned =
-        if (data.columns.toSeq == physical.fieldNames.toSeq) data
-        else data.toDF(physical.fieldNames.toIndexedSeq: _*)
-      if (overwrite) ManifestTable.overwrite(spark, root, aligned)
-      else ManifestTable.append(spark, root, aligned)
-      idx.refresh()
-    }
+    override def insert(data: DataFrame, overwrite: Boolean): Unit =
+      sqlInsert(spark, idx, data, overwrite, physical.fieldNames.toSeq)
+  }
+
+  /** The ONE owner of SQL-insert commit semantics, shared by the
+    * temp-view `InsertableRelation` path and the catalog-path rewrite
+    * rule ([[graft.plans.ManifestInsertCommand]]) — two copies would
+    * let the paths drift. Positional alignment under the table's
+    * column names (SQL INSERT semantics; the analyzer has already
+    * arity-checked and cast the query), ledgered append or atomic
+    * overwrite, then: move this registration's own head pin (the
+    * writing session's next read sees the write) and invalidate any
+    * CACHED plans over the table root (`CACHE TABLE` holds
+    * materialized InMemoryRelations that a pin move alone cannot
+    * see — Spark's own insert commands recache the same way). */
+  private[graft] def sqlInsert(spark: SparkSession, idx: ManifestFileIndex,
+                               data: DataFrame, overwrite: Boolean,
+                               columnNames: Seq[String]): Unit = {
+    require(idx.versionAsOf.isEmpty,
+      s"cannot INSERT into a versionAsOf registration of ${idx.root} — " +
+        "time travel is read-only; register the head to write")
+    val aligned =
+      if (data.columns.toSeq == columnNames) data
+      else data.toDF(columnNames.toIndexedSeq: _*)
+    if (overwrite) ManifestTable.overwrite(spark, idx.root, aligned)
+    else ManifestTable.append(spark, idx.root, aligned)
+    idx.refresh()
+    spark.catalog.refreshByPath(idx.root)
   }
 
   /** The bare front-door relation (physical schema, no rename
@@ -278,17 +295,35 @@ object ManifestSql {
       ManifestTable.colmapOfSnap(snap))
     // a same-named temp view would shadow the catalog entry
     spark.catalog.dropTempView(name)
+    // drop WHATEVER shape a previous registration left under a name:
+    // a rename on the table flips the registration shape from a bare
+    // TABLE `name` to `name_store` + VIEW `name` (and a fresh root
+    // under a reused name can flip it back) — DROP TABLE refuses
+    // views and vice versa, so probe the catalog for the right verb
+    def dropAnyShape(objName: String): Unit = {
+      if (spark.catalog.tableExists(objName)) {
+        val isView = scala.util.Try(
+          spark.catalog.getTable(objName).tableType == "VIEW")
+          .getOrElse(false)
+        if (isView) spark.sql(s"DROP VIEW IF EXISTS $objName")
+        else spark.sql(s"DROP TABLE IF EXISTS $objName")
+      }
+      ()
+    }
     def createTable(tableName: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      dropAnyShape(tableName)
       spark.catalog.createTable(tableName, "graft-manifest",
         Map("path" -> root))
       ()
     }
     projection match {
-      case None => createTable(name)
+      case None =>
+        dropAnyShape(s"${name}_store") // stale store from a view-shaped past
+        createTable(name)
       case Some(cols) =>
         val store = s"${name}_store"
         createTable(store)
+        dropAnyShape(name) // a bare-TABLE past blocks CREATE OR REPLACE VIEW
         // render the coalesce projection to SQL text by analyzing it
         // against the catalog table (resolved NamedExpression.sql is
         // the supported rendering — the registerPersistent model-view

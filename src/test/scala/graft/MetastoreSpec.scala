@@ -132,8 +132,30 @@ class MetastoreSpec extends SparkSpec {
         .registerManifest("pm_corpus", root, persistent = true)
       assert(spark.newSession().sql(
         "SELECT count(extra) FROM pm_corpus").as[Long].head == 1L)
+      // CACHE TABLE must not serve stale rows across a SQL INSERT
+      // (the catalog-path insert invalidates by path, like Spark's
+      // own insert commands)
+      val s4 = spark.newSession()
+      s4.sql("CACHE TABLE pm_corpus")
+      val nCached = s4.sql("SELECT count(*) FROM pm_corpus").as[Long].head
+      s4.sql("INSERT INTO pm_corpus VALUES (3000, 'c', 5)")
+      assert(s4.sql("SELECT count(*) FROM pm_corpus").as[Long].head
+        == nCached + 1, "cached plan served stale rows after INSERT")
+      s4.sql("UNCACHE TABLE pm_corpus")
+      // a RENAME flips the registration shape (bare TABLE → store +
+      // VIEW): re-register must replace the old shape, not refuse
+      ManifestTable.renameColumn(spark, root, "payload", "body")
+      graft.api.Graft(spark, sf)
+        .registerManifest("pm_corpus", root, persistent = true)
+      val s5 = spark.newSession()
+      assert(s5.catalog.getTable("pm_corpus").tableType == "VIEW")
+      assert(s5.sql("SELECT count(body) FROM pm_corpus").as[Long].head
+        == nCached + 1, "the coalesce view must serve renamed data")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS pm_corpus")
+      Seq("DROP VIEW IF EXISTS pm_corpus",
+        "DROP TABLE IF EXISTS pm_corpus",
+        "DROP TABLE IF EXISTS pm_corpus_store")
+        .foreach(s => scala.util.Try(spark.sql(s)))
     }
   }
 

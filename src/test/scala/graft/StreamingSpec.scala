@@ -407,5 +407,77 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(got() == before, "ledgered sink double-counted a replay")
     assert(batches >= 3, "the source never delivered a micro-batch")
+
+    // ADDITIVE mid-stream schema evolution must not wedge the query:
+    // a commit with a brand-new column, landing while the query is
+    // RUNNING (so the source's pinned schema predates it), streams
+    // with the new column DROPPED (the subscription serves its pinned
+    // schema) instead of failing the union on every retry. Fresh
+    // sink+checkpoint: a wiped-then-continued checkpoint would reuse
+    // batch ids the old sink ledger already holds.
+    def feedSet(hi: Int): Set[(Long, String, Long)] =
+      (1 to hi).flatMap(v =>
+        ManifestTable.changes(spark, src, v - 1, v)
+          .withColumn("_commit_version", F.lit(v.toLong))
+          .select("id", "_change_type", "_commit_version")
+          .as[(Long, String, Long)].collect()).toSet
+    val sink3 = s"$dir/sink3"
+    ManifestTable.init(sink3)
+    locally {
+      val q = spark.readStream.format("graft-cdf").option("path", src)
+        .load()
+        .writeStream.option("checkpointLocation", s"$dir/ckpt3")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          ManifestTable.appendBatch(spark, sink3, id, b)
+          (): Unit
+        }
+        .start()
+      try {
+        q.processAllAvailable() // drains v1..v4, pinned pre-evolution
+        ManifestTable.append(spark, src, mk(600, 605)
+          .withColumn("extra", F.lit(9L))) // v5, evolves the table
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val sink3Got = ManifestTable.read(spark, sink3)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(sink3Got == feedSet(5),
+      "the schema-evolving commit must still stream (pinned columns)")
+    assert(!ManifestTable.read(spark, sink3).columns.contains("extra"),
+      "a mid-stream column must be dropped, not smuggled in")
+
+    // maxVersionsPerTrigger PAGES a cold subscriber through history
+    // one version per micro-batch instead of one union over them all,
+    // and the capped frontier must never rewind across restarts
+    // (this subscriber pins the POST-evolution schema, so the pre-
+    // evolution versions null-fill the late column)
+    val ckpt2 = s"$dir/ckpt2"
+    val sink2 = s"$dir/sink2"
+    ManifestTable.init(sink2)
+    var ids2 = Vector.empty[Long]
+    def runCapped(): Unit = {
+      val q = spark.readStream.format("graft-cdf").option("path", src)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt2)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          ids2 :+= id
+          ManifestTable.appendBatch(spark, sink2, id, b)
+          (): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runCapped()
+    // head is v5 → five paged batches, one per version
+    assert(ids2 == Vector(0L, 1L, 2L, 3L, 4L),
+      s"expected one batch per version, got $ids2")
+    assert(ManifestTable.read(spark, sink2)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet == feedSet(5),
+      "paged delivery must equal the batch feed's content")
+    runCapped() // restart: the persisted frontier offers nothing new
+    assert(ids2.size == 5, "capped restart re-offered an old version")
   }
 }
