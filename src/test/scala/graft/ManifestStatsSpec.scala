@@ -593,6 +593,73 @@ class ManifestStatsSpec extends SparkSpec {
     assert(!st2.cols.contains("s"), "oversized string bounds must drop")
   }
 
+  test("footer stats merge MULTI-ROW-GROUP files exactly (randomized parity, all physical shapes)") {
+    import spark.implicits._
+    // tiny parquet block size forces many row groups per file — the
+    // footer path must merge per-block statistics with the exact
+    // orderings the aggregate uses (raw-value merge, normalize once).
+    // Randomized values (seeded) over every physical shape the writer
+    // produces: INT32/INT64/FLBA decimals, INT64 long, double with
+    // nulls, strings (unicode, shuffled so block mins/maxes differ),
+    // date, and the session-default timestamp type.
+    val rnd = new scala.util.Random(421742)
+    val root = java.nio.file.Files.createTempDirectory("graft_rg").toString
+    val rows = (0 until 60000).map { i =>
+      val l = rnd.nextLong() % 1000000L
+      (l,
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Double.valueOf(rnd.nextDouble() * 2e6 - 1e6),
+        s"s${rnd.nextInt(100000)}züß",
+        new java.math.BigDecimal(rnd.nextInt(1000000))
+          .movePointLeft(2), // decimal(8,2)  -> INT32
+        new java.math.BigDecimal(rnd.nextLong() % 100000000000L)
+          .movePointLeft(4), // decimal(18,4) -> INT64
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          rnd.nextInt(30000).toLong)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          rnd.nextInt(2000000000).toLong, rnd.nextInt(1000000) * 1000L)))
+    }
+    val df = rows.toDF("l", "d", "s", "dec8", "dec18", "dt", "ts")
+      .select(F.col("l"), F.col("d"), F.col("s"),
+        F.col("dec8").cast("decimal(8,2)").as("dec8"),
+        F.col("dec18").cast("decimal(18,4)").as("dec18"),
+        F.col("dt"), F.col("ts"))
+    df.coalesce(1).write
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(s"$root/data/tok1")
+    val rel = new java.io.File(s"$root/data/tok1").listFiles()
+      .map(_.getName).filter(n => n.startsWith("part-") &&
+        n.endsWith(".parquet"))
+      .map(n => s"data/tok1/$n").toSeq
+    assert(rel.size == 1)
+    // precondition: the file really has several row groups
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$root/${rel.head}"), conf))
+    val nBlocks = try reader.getFooter.getBlocks.size finally reader.close()
+    assert(nBlocks > 1, s"fixture must span row groups, got $nBlocks")
+    val cols = Seq("l", "d", "s", "dec8", "dec18", "dt", "ts")
+    // parity: whatever compute commits equals the aggregate's answer
+    val payload = ManifestStats.compute(spark, root, rel, cols)
+    val (agg, _) = ManifestStats.aggregateStats(spark, root, rel, cols,
+      Seq.empty)
+    val committed = ManifestStats.decode(payload(rel.head))
+    val (aggRows, aggCols) = agg(rel.head)
+    assert(committed.rows == aggRows)
+    assert(committed.cols == aggCols,
+      s"multi-row-group footer/aggregate divergence:\n" +
+        s"  footer:    ${committed.cols.toSeq.sortBy(_._1)}\n" +
+        s"  aggregate: ${aggCols.toSeq.sortBy(_._1)}")
+    // and the block-merge path genuinely answered (not the fallback)
+    // for the always-footerable shapes; ts depends on the session's
+    // parquet timestamp encoding (INT96 falls back by design)
+    val ff = ManifestStats.footerFile(conf, root, rel.head, cols)
+    Seq("l", "d", "s", "dec8", "dec18", "dt").foreach(c => assert(
+      ff.cols(c) != ManifestStats.FooterUnknown,
+      s"footer could not answer '$c' across row groups"))
+  }
+
   test("per-table bloom capacity: a small declared capacity drops blooms the default keeps") {
     import spark.implicits._
     // 100 distinct keys in one file: capacity 64 saturates → dropped;
