@@ -110,36 +110,62 @@ object CdfStreamSource {
     // restarts by construction — a capped cold re-offer can never
     // land BELOW an offset the engine already committed, which would
     // re-deliver versions under NEW batch ids (the one shape a
-    // ledgered sink cannot no-op).
-    private def offeredPath = new org.apache.hadoop.fs.Path(
-      metadataPath, "max_offered_version")
-    private def fs = offeredPath.getFileSystem(
+    // ledgered sink cannot no-op). The log is APPEND-ONLY and carries
+    // the value in the file NAME (`max_offered.<version>`, content
+    // irrelevant): recovery reads the max over the listing, so no
+    // state ever needs deleting or renaming on the offer path — a
+    // crash at any point leaves either the old set or the old set
+    // plus one higher marker, both monotone. (The previous
+    // delete-then-rename single file had a crash window that erased
+    // the log entirely and let a capped restart re-offer below a
+    // committed offset.) Markers BELOW the new max are garbage, not
+    // state — pruned best-effort after each advance.
+    private def metaDir = new org.apache.hadoop.fs.Path(metadataPath)
+    private def fs = metaDir.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    private val MarkerPrefix = "max_offered."
+    // pre-r18 checkpoints wrote the value INTO this single file
+    private def legacyOfferedPath =
+      new org.apache.hadoop.fs.Path(metadataPath, "max_offered_version")
 
-    private def readOffered(): Option[Int] =
-      scala.util.Try {
-        val in = fs.open(offeredPath)
+    private def readOffered(): Option[Int] = {
+      val markers = scala.util.Try {
+        fs.listStatus(metaDir).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith(MarkerPrefix))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix(MarkerPrefix).toInt).toOption)
+      }.getOrElse(Nil)
+      val legacy = scala.util.Try {
+        val in = fs.open(legacyOfferedPath)
         try scala.io.Source.fromInputStream(in, "UTF-8")
           .mkString.trim.toInt
         finally in.close()
       }.toOption
+      (markers ++ legacy).reduceOption(_ max _)
+    }
 
     private def writeOffered(v: Int): Unit = {
-      fs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
-      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
-        s".max_offered.tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try out.write(v.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!fs.rename(tmp, offeredPath)) {
-        fs.delete(offeredPath, false)
-        if (!fs.rename(tmp, offeredPath)) {
-          fs.delete(tmp, false)
-          throw new java.io.IOException(
-            s"could not publish offered-offset log at $offeredPath")
+      fs.mkdirs(metaDir)
+      val marker = new org.apache.hadoop.fs.Path(metaDir,
+        s"$MarkerPrefix$v")
+      // overwrite=true keeps a same-version re-offer idempotent; the
+      // name alone carries the value, so a partial create is still a
+      // valid marker
+      fs.create(marker, true).close()
+      // prune superseded markers (and the legacy file) — pure garbage
+      // collection: losing this step never loses the frontier
+      scala.util.Try {
+        fs.listStatus(metaDir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(MarkerPrefix) &&
+            scala.util.Try(n.stripPrefix(MarkerPrefix).toInt)
+              .toOption.exists(_ < v))
+            fs.delete(st.getPath, false)
         }
+        fs.delete(legacyOfferedPath, false)
       }
+      ()
     }
 
     private def versionOf(o: OffsetV1): Int = o match {
@@ -150,14 +176,23 @@ object CdfStreamSource {
     override def getOffset: Option[OffsetV1] = {
       val head = ManifestTable.latest(root).getOrElse(
         throw new IllegalStateException(s"no manifest at $root")).version
-      val base = math.max(readOffered().getOrElse(fromVersion), fromVersion)
+      val offered = readOffered()
+      val base = math.max(offered.getOrElse(fromVersion), fromVersion)
       val next = maxVersionsPerTrigger
         .map(m => math.min(head, base + m)).getOrElse(head)
-      if (next <= base) None
-      else {
+      if (next > base) {
         writeOffered(next) // durable BEFORE the engine sees the offer
         Some(LongOffset(next.toLong))
-      }
+      } else if (offered.isDefined) {
+        // RE-OFFER the persisted frontier: the offered log is written
+        // before the engine durably records the offer, so a crash in
+        // that window leaves offered > committed — returning None here
+        // would strand the gap (committed, offered] until some future
+        // commit raises the head. Offering `base` is free when the
+        // engine is caught up (equal offset = no-op) and builds the
+        // gap batch when it is behind.
+        Some(LongOffset(base.toLong))
+      } else None
     }
 
     /** One per-version frame, CONFORMED to the pinned source schema:

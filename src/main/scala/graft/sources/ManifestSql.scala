@@ -287,6 +287,16 @@ object ManifestSql {
     * read-only; an un-renamed table persists directly as `name`,
     * SQL-insertable. Time travel is session business (a pin, not an
     * identity) — `versionAsOf` is intentionally absent here. */
+  /** Backtick-quote an identifier for splicing into SQL text: each
+    * dot-separated part is escaped, so reserved words, hyphens, and
+    * case-odd names resolve to exactly the named object instead of
+    * failing the parse or resolving elsewhere. A literal dot INSIDE a
+    * part is out of contract (dots are the multipart separator —
+    * Spark's own `spark.table(name)` parses them the same way). */
+  private def quotedId(name: String): String =
+    name.split('.').map(p => "`" + p.replace("`", "``") + "`")
+      .mkString(".")
+
   def registerPersistent(spark: SparkSession, name: String,
                          root: String): Unit = {
     val snap = resolveSnapshot(root, None)
@@ -305,8 +315,8 @@ object ManifestSql {
         val isView = scala.util.Try(
           spark.catalog.getTable(objName).tableType == "VIEW")
           .getOrElse(false)
-        if (isView) spark.sql(s"DROP VIEW IF EXISTS $objName")
-        else spark.sql(s"DROP TABLE IF EXISTS $objName")
+        if (isView) spark.sql(s"DROP VIEW IF EXISTS ${quotedId(objName)}")
+        else spark.sql(s"DROP TABLE IF EXISTS ${quotedId(objName)}")
       }
       ()
     }
@@ -328,15 +338,15 @@ object ManifestSql {
         // against the catalog table (resolved NamedExpression.sql is
         // the supported rendering — the registerPersistent model-view
         // pattern, Graft.scala)
-        val projected = spark.table(store).select(cols: _*)
+        val projected = spark.table(quotedId(store)).select(cols: _*)
         val projSql = projected.queryExecution.analyzed match {
           case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
             p.projectList.map(_.sql).mkString(", ")
           case other => throw new IllegalStateException(
             s"expected a Project over $store, got ${other.nodeName}")
         }
-        spark.sql(s"CREATE OR REPLACE VIEW $name AS " +
-          s"SELECT $projSql FROM $store")
+        spark.sql(s"CREATE OR REPLACE VIEW ${quotedId(name)} AS " +
+          s"SELECT $projSql FROM ${quotedId(store)}")
         ()
     }
   }

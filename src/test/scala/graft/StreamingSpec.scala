@@ -480,4 +480,61 @@ class StreamingSpec extends SparkSpec {
     runCapped() // restart: the persisted frontier offers nothing new
     assert(ids2.size == 5, "capped restart re-offered an old version")
   }
+
+  test("graft-cdf offered-offset log: append-only markers, legacy recovery, and the crash-window re-offer") {
+    import graft.operators.ManifestTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdfoff").toString
+    val src = s"$dir/src"; val meta = s"$dir/meta"
+    ManifestTable.init(src)
+    ManifestTable.append(spark, src, (0L until 10L).toDF("id")) // v1
+    ManifestTable.append(spark, src, (10L until 20L).toDF("id")) // v2
+    def mkSource() = new graft.sources.CdfStreamSource()
+      .createSource(spark.sqlContext, meta, None, "graft-cdf",
+        Map("path" -> src))
+    def offsetOf(o: org.apache.spark.sql.execution.streaming.Offset): Long =
+      o.json.trim.toLong
+    val s1 = mkSource()
+    assert(s1.getOffset.map(offsetOf).contains(2L))
+    // the frontier persisted as an append-only marker whose NAME is
+    // the value — no mutable file to lose in a crash window
+    val markers = new java.io.File(meta).listFiles()
+      .map(_.getName).filter(_.startsWith("max_offered.")).toSeq
+    assert(markers == Seq("max_offered.2"), s"got $markers")
+    // CRASH-WINDOW RE-OFFER: offered (2) == head (2), but the engine
+    // may have crashed before durably logging the offer — getOffset
+    // must keep re-offering the persisted frontier (the engine no-ops
+    // when caught up, builds the gap batch when behind), never None,
+    // which would strand (committed, offered] until an unrelated
+    // future commit
+    assert(s1.getOffset.map(offsetOf).contains(2L),
+      "quiescent table with a persisted offer must re-offer, not None")
+    // ... and the gap batch is buildable from a behind-committed start
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val gap = s1.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    assert(gap.schema.fieldNames.contains("_commit_version"))
+    // a fresh source on the same metadata dir recovers the frontier
+    // from the marker listing
+    assert(mkSource().getOffset.map(offsetOf).contains(2L))
+    // LEGACY recovery: a pre-r18 checkpoint stored the value inside a
+    // single max_offered_version file — read it, take the max, and
+    // never rewind below it even when it is AHEAD of the markers
+    val meta2 = s"$dir/meta2"
+    new java.io.File(meta2).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(meta2, "max_offered_version"),
+      "2".getBytes("UTF-8"))
+    val s2 = new graft.sources.CdfStreamSource()
+      .createSource(spark.sqlContext, meta2, None, "graft-cdf",
+        Map("path" -> src))
+    assert(s2.getOffset.map(offsetOf).contains(2L),
+      "legacy offered file must be honored (re-offered, not rewound)")
+    // a new commit advances past the recovered frontier and prunes
+    // superseded markers
+    ManifestTable.append(spark, src, (20L until 30L).toDF("id")) // v3
+    assert(s1.getOffset.map(offsetOf).contains(3L))
+    val after = new java.io.File(meta).listFiles()
+      .map(_.getName).filter(_.startsWith("max_offered.")).toSeq
+    assert(after == Seq("max_offered.3"), s"got $after")
+  }
 }
