@@ -731,6 +731,45 @@ private[graft] object ExtLayout {
     }),
 
 
+    // SQL ROW-LEVEL DML through the front door: DELETE FROM prunes
+    // its victim scan and commits through the ledger, UPDATE rewrites
+    // only matched files, a batch-id MERGE whole-row-replaces-or-
+    // inserts by key exactly once (the POISONED replay under the same
+    // id must no-op against the batch ledger), and a MATCHED-DELETE
+    // merge takes down a key list. Every statement is pure SQL — the
+    // Scala writers own the semantics underneath, so a raw rewrite,
+    // a double-applied merge, or a band leaking back each fails the
+    // hash. The deleted band's %10=0 ids come BACK via the merge's
+    // NOT MATCHED arm (insert), pinning that both merge arms ran.
+    "x_manifest_sql_dml" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_sqldml")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      docs.createOrReplaceTempView("sqldml_docs")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"), Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, root, docs) // v1: full seed
+      val g = graft.api.Graft(s, dir)
+      g.registerManifest("sqldml_corpus", root)
+      s.sql("DELETE FROM sqldml_corpus WHERE doc_id >= 40 AND doc_id < 60")
+      s.sql("UPDATE sqldml_corpus SET lang = 'xx' WHERE doc_id % 7 = 0")
+      val merge = "MERGE INTO sqldml_corpus t USING " +
+        "(SELECT doc_id, '%s' AS lang, source FROM sqldml_docs " +
+        "WHERE doc_id %% 10 = 0) s ON t.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+      s.conf.set(graft.sources.ManifestSql.BatchIdConf, "100")
+      s.sql(merge.format("merged"))
+      // poisoned replay under the SAME batch id — the ledger no-ops
+      s.conf.set(graft.sources.ManifestSql.BatchIdConf, "100")
+      s.sql(merge.format("MUST_NOT_APPLY"))
+      s.sql("MERGE INTO sqldml_corpus t USING " +
+        "(SELECT doc_id FROM sqldml_docs " +
+        "WHERE doc_id % 13 = 0 AND doc_id % 10 <> 0) s " +
+        "ON t.doc_id = s.doc_id WHEN MATCHED THEN DELETE")
+      s.sql("SELECT doc_id, lang, source FROM sqldml_corpus")
+    }),
+
+
     // snapshot time travel: three appends then a row-level delete —
     // the output reads version 2 (exactly the first two appends, BY
     // the manifest pointer, not a directory listing) alongside the
@@ -1094,6 +1133,20 @@ private[graft] object ExtLayout {
         "UNION ALL " +
         "SELECT doc_id, lang, source, CAST(2 AS BIGINT) AS phase " +
         "FROM documents WHERE doc_id < 100"),
+
+    // the lifecycle fold of the four SQL DML statements: %10=0 rows
+    // always present as 'merged' (matched-replace inside the live
+    // set, NOT-MATCHED re-insert inside the deleted band); everyone
+    // else survives only outside the deleted band and the %13 merge-
+    // delete list, with %7=0 survivors updated to 'xx'; the poisoned
+    // replay invisible
+    "x_manifest_sql_dml" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 10 = 0 THEN 'merged' " +
+        "WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang, source " +
+        "FROM documents " +
+        "WHERE doc_id % 10 = 0 " +
+        "OR (NOT (doc_id >= 40 AND doc_id < 60) AND doc_id % 13 <> 0)"),
 
     // v2 = the first two appends exactly; v4 (latest) = all three
     // splits minus the deleted ids

@@ -517,6 +517,40 @@ object ManifestTable {
         Some(newSchema.json), cur.stats)
     }
 
+  /** ADD COLUMNS — metadata-only commit, zero data I/O: the recorded
+    * schema gains the (nullable) fields, every existing file reads
+    * NULL for them (exactly as an appended batch carrying the column
+    * would leave older files), and the next append may populate them.
+    * The SQL `ALTER TABLE … ADD COLUMNS` routes here
+    * ([[graft.plans.ManifestSqlAlter]]); the same rules as a
+    * schema-merging append apply: no clash with a live column, no
+    * resurrection of a reserved (renamed-away/dropped) name. */
+  def addColumns(spark: SparkSession, root: String,
+                 cols: StructType): Snapshot = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    cols.fieldNames.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
+      s"column name must be word-shaped: '$n'"))
+    commitLoop(root) { cur =>
+      val schema = recordedSchema(cur).orElse(
+        seededSchemaJson(spark, root, cur)
+          .map(DataType.fromJson(_).asInstanceOf[StructType]))
+        .getOrElse(throw new IllegalStateException(
+          s"cannot add columns on an empty, schema-less table at $root"))
+      val clash = cols.fieldNames.toSet.intersect(schema.fieldNames.toSet)
+      require(clash.isEmpty,
+        s"column(s) ${clash.mkString(",")} already exist")
+      val reserved = cols.fieldNames.toSet
+        .intersect(reservedNames(cur.meta))
+      require(reserved.isEmpty,
+        s"column name(s) ${reserved.mkString(",")} are reserved by " +
+          "column history (a renamed-away or dropped name) — " +
+          "re-introducing them would resurrect old files' bytes")
+      val newSchema = StructType(schema.fields ++
+        cols.fields.map(_.copy(nullable = true)))
+      (cur.files, cur.meta, Some(newSchema.json), cur.stats)
+    }
+  }
+
   /** Schema-ledger seed for a PRE-LEDGER manifest: when the current
     * snapshot holds files but no recorded schema (a table created
     * before the ledger existed), the merge must start from the schema

@@ -41,6 +41,13 @@ object GraftFunctions {
     // so this sees (and rewrites) the raw-write command the catalog
     // insert path would otherwise produce — see [[ManifestSqlInserts]]
     e.injectPostHocResolutionRule(ManifestSqlInserts)
+    // row-level DML (DELETE FROM / UPDATE / MERGE INTO) on manifest
+    // tables: fully resolved by the stock analyzer, rejected only at
+    // checkAnalysis for non-v2 targets — rewritten here first
+    e.injectPostHocResolutionRule(ManifestSqlDml.apply)
+    // ALTER TABLE ... ADD COLUMNS on manifest catalog tables: schema
+    // ledger commit + in-place catalog refresh (no re-register)
+    e.injectPostHocResolutionRule(ManifestSqlAlter.apply)
   }
 }
 

@@ -1,0 +1,300 @@
+package graft.plans
+
+import scala.annotation.tailrec
+
+import org.apache.spark.sql.{Column, Row, SparkSession, functions => F,
+  graftbridge}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast,
+  EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+
+import graft.sources.ManifestSql
+
+/** SQL row-level DML on manifest tables: `DELETE FROM`, `UPDATE`, and
+  * `MERGE INTO` rewritten to the ledgered copy-on-write writers —
+  * the one lakehouse write shape the SQL front door was still missing
+  * after the r17 insert path.
+  *
+  * Spark's parser produces [[DeleteFromTable]] / [[UpdateTable]] /
+  * [[MergeIntoTable]] logical plans and its analyzer fully resolves
+  * them over a V1 relation (star actions expand into per-column
+  * assignments) — but only a DSv2 `SupportsRowLevelOperations` table
+  * gets a rewrite, so V1 targets die in `checkAnalysis` with "only
+  * supported with v2 tables". This post-hoc resolution rule (the
+  * Delta-analysis seam, same batch as [[ManifestSqlInserts]]) matches
+  * the resolved plans whose target digs down to a
+  * [[ManifestSql.ManifestFileIndex]] relation and rewrites them into
+  * runnable commands over the Scala writers, which already own the
+  * semantics end to end:
+  *
+  *  - `DELETE FROM t WHERE p` → `ManifestTable.deleteWhere` — the
+  *    victim scan prunes through per-file bounds + Blooms, rewrites
+  *    only affected files, restarts on commit conflict;
+  *  - `UPDATE t SET c = e, … WHERE p` → `ManifestTable.updateWhere`;
+  *  - `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE
+  *    SET * WHEN NOT MATCHED THEN INSERT *` →
+  *    `ManifestTable.upsert` (whole-row replace-or-insert by key) —
+  *    or `upsertBatch` when [[ManifestSql.BatchIdConf]] is set, so a
+  *    replayed MERGE no-ops against the batch ledger;
+  *  - `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN DELETE`
+  *    (alone) → `ManifestTable.deleteIds` — the key-list takedown.
+  *
+  * Everything else refuses LOUDLY with the exact unsupported piece
+  * named: conditional/partial merge actions, composite ON keys,
+  * `NOT MATCHED BY SOURCE`, subqueries in DML predicates (the v2
+  * rewrite they would need has no V1 seam), and time-travel
+  * registrations (writes need the head). Predicates and update
+  * values re-resolve BY NAME against the table's fresh read frame —
+  * the rule's plan-time attributes belong to the registration's
+  * pinned snapshot, the write's victim scan runs against the head. */
+case class ManifestSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import ManifestSqlDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case d @ DeleteFromTable(ManifestTarget(idx), cond)
+          if d.childrenResolved =>
+        refuseSubquery(cond, "DELETE")
+        ManifestDeleteCommand(idx, byName(cond))
+
+      case u @ UpdateTable(ManifestTarget(idx), assignments, cond)
+          if u.childrenResolved =>
+        cond.foreach(refuseSubquery(_, "UPDATE"))
+        val pairs = assignments.map {
+          case Assignment(key: AttributeReference, value) =>
+            refuseSubquery(value, "UPDATE")
+            val v = byName(value)
+            key.name -> (if (value.dataType == key.dataType) v
+              else v.cast(key.dataType))
+          case Assignment(other, _) => throw new UnsupportedOperationException(
+            "manifest SQL UPDATE assigns whole columns only — " +
+              s"'${other.sql}' is not a column of the target table")
+        }
+        ManifestUpdateCommand(idx,
+          cond.map(byName).getOrElse(F.lit(true)), pairs)
+
+      case m @ MergeIntoTable(tgt @ ManifestTarget(idx), source, cond,
+          matched, notMatched, notMatchedBySource, withSchemaEvolution)
+          if m.childrenResolved =>
+        require(notMatchedBySource.isEmpty,
+          "manifest SQL MERGE does not support WHEN NOT MATCHED BY " +
+            "SOURCE — express source-absent maintenance as a second " +
+            "DELETE/UPDATE statement")
+        require(!withSchemaEvolution,
+          "manifest SQL MERGE does not support WITH SCHEMA EVOLUTION — " +
+            "evolve the schema with an append or ALTER first")
+        refuseSubquery(cond, "MERGE")
+        val idKey = mergeKeyOf(tgt, source, cond)
+        (matched, notMatched) match {
+          // upsert shape: UPDATE SET * + INSERT * (whole-row
+          // replace-or-insert — the CDC apply shape)
+          case (Seq(UpdateAction(None, uAssigns, _)),
+                Seq(InsertAction(None, iAssigns))) =>
+            val plan = upsertPlanOf(tgt, idKey, uAssigns, iAssigns)
+            ManifestMergeUpsertCommand(idx, idKey.name, source, plan)
+          // key-list delete shape: WHEN MATCHED THEN DELETE alone
+          case (Seq(DeleteAction(None)), Seq()) =>
+            ManifestMergeDeleteCommand(idx, idKey.name, source,
+              stripCast(idKey.sourceSide))
+          case _ => throw new UnsupportedOperationException(
+            "manifest SQL MERGE supports exactly 'WHEN MATCHED THEN " +
+              "UPDATE SET * WHEN NOT MATCHED THEN INSERT *' (upsert) " +
+              "or 'WHEN MATCHED THEN DELETE' alone — conditional or " +
+              "partial merge actions have no whole-row manifest " +
+              "equivalent; use the ManifestTable Scala API")
+        }
+    }
+}
+
+object ManifestSqlDml {
+
+  /** Dig through the alias/view wrapping the analyzer leaves over a
+    * registered manifest table to its [[ManifestSql.ManifestFileIndex]].
+    * Matches the BARE relation only: a rename-chained registration
+    * serves a coalesce Project, which (exactly like SQL INSERT) is
+    * not a writable shape — the dig stops at any real operator. */
+  private object ManifestTarget {
+    @tailrec private def dig(p: LogicalPlan)
+        : Option[ManifestSql.ManifestFileIndex] = p match {
+      case SubqueryAlias(_, child) => dig(child)
+      case v: View => dig(v.child)
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case m: ManifestSql.ManifestFileIndex => Some(m)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+    def unapply(p: LogicalPlan): Option[ManifestSql.ManifestFileIndex] =
+      dig(p)
+  }
+
+  /** Re-resolve a plan-time expression BY NAME: the rule's attributes
+    * are bound to the registration's pinned relation, but the writers
+    * scan the table head fresh — column names are the stable identity
+    * (unique on a manifest table by construction). `With` common-
+    * expression wrappers (how the analyzer lands `nullif` & friends)
+    * are inlined FIRST, while the tree is still fully resolved —
+    * their reconstruction eagerly computes `dataType`, which an
+    * injected [[UnresolvedAttribute]] cannot answer. Inlining
+    * duplicates the shared sub-expression; the re-analysis of the
+    * writer's filter re-extracts it. */
+  private def byName(e: Expression): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{CommonExpressionRef,
+      With}
+    val inlined = e.transformUp {
+      case w: With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case r: CommonExpressionRef if defs.contains(r.id) => defs(r.id)
+        }
+    }
+    graftbridge.toColumn(inlined.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+  }
+
+  private def refuseSubquery(e: Expression, verb: String): Unit =
+    require(!SubqueryExpression.hasSubquery(e),
+      s"manifest SQL $verb does not support subqueries in its " +
+        "condition — materialize the subquery and MERGE on its key, " +
+        "or use the ManifestTable Scala API")
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case other => other
+  }
+
+  /** The merge key: the ON condition must be a single equality
+    * between one TARGET column and one source-side expression —
+    * `ManifestTable.upsert` merges by exactly one key column. */
+  private final case class MergeKey(name: String, targetAttr: AttributeReference,
+                                    sourceSide: Expression)
+
+  private def mergeKeyOf(tgt: LogicalPlan, source: LogicalPlan,
+                         cond: Expression): MergeKey = {
+    val tgtIds = tgt.outputSet
+    def sideOf(a: Expression, b: Expression): Option[MergeKey] =
+      stripCast(a) match {
+        case attr: AttributeReference if tgtIds.contains(attr) &&
+            stripCast(b).references.subsetOf(source.outputSet) =>
+          Some(MergeKey(attr.name, attr, b))
+        case _ => None
+      }
+    cond match {
+      case EqualTo(l, r) =>
+        sideOf(l, r).orElse(sideOf(r, l)).getOrElse(
+          throw new UnsupportedOperationException(
+            "manifest SQL MERGE needs ON <target column> = <source " +
+              s"expression>; got '${cond.sql}'"))
+      case _ => throw new UnsupportedOperationException(
+        "manifest SQL MERGE merges by ONE key column — composite or " +
+          s"non-equality ON conditions ('${cond.sql}') have no " +
+          "single-key manifest upsert; use the Scala API")
+    }
+  }
+
+  /** Validate the star shape and build the updates projection over
+    * the source: every target column assigned from the source, and
+    * the MATCHED assignments semantically identical to the INSERT
+    * ones (whole-row replace = insert row — anything else is a
+    * partial update the upsert would silently widen). Returns the
+    * aliased projection in TARGET column order. */
+  private def upsertPlanOf(tgt: LogicalPlan, idKey: MergeKey,
+                           uAssigns: Seq[Assignment],
+                           iAssigns: Seq[Assignment]): Seq[(String, Expression)] = {
+    def keyed(as: Seq[Assignment], which: String): Map[String, Expression] =
+      as.map {
+        case Assignment(k: AttributeReference, v) => k.name -> v
+        case Assignment(other, _) => throw new UnsupportedOperationException(
+          s"manifest SQL MERGE $which assigns whole columns only — " +
+            s"'${other.sql}' is not a column of the target table")
+      }.toMap
+    val uMap = keyed(uAssigns, "UPDATE")
+    val iMap = keyed(iAssigns, "INSERT")
+    val targetCols = tgt.output.map(_.name)
+    val missing = targetCols.filterNot(iMap.contains)
+    require(missing.isEmpty,
+      "manifest SQL MERGE INSERT must cover every target column " +
+        s"(whole-row insert); missing ${missing.mkString(",")} — " +
+        "use INSERT * or list all columns")
+    val drifted = targetCols.filter(c => uMap.get(c).exists(u =>
+      !u.semanticEquals(iMap(c))))
+    require(uMap.keySet == iMap.keySet && drifted.isEmpty,
+      "manifest SQL MERGE is whole-row replace-or-insert: the UPDATE " +
+        "and INSERT assignments must be identical per column (UPDATE " +
+        "SET * / INSERT *); " +
+        (if (drifted.nonEmpty) s"columns ${drifted.mkString(",")} differ"
+         else "the assigned column sets differ"))
+    // the ON key must BE the inserted key, or matched rows would be
+    // replaced under a different identity than they matched on
+    require(stripCast(iMap(idKey.name))
+        .semanticEquals(stripCast(idKey.sourceSide)),
+      s"manifest SQL MERGE: the ON key '${idKey.name}' must equal the " +
+        "inserted value for that column")
+    targetCols.map(c => c -> iMap(c))
+  }
+
+  /** `DELETE FROM <manifest table> WHERE p` as a runnable command —
+    * a thin shell over [[ManifestSql.sqlDelete]], the one owner. */
+  case class ManifestDeleteCommand(index: ManifestSql.ManifestFileIndex,
+                                   predicate: Column)
+    extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      ManifestSql.sqlDelete(session, index, predicate)
+      Seq.empty
+    }
+  }
+
+  /** `UPDATE <manifest table> SET … WHERE p` as a runnable command. */
+  case class ManifestUpdateCommand(index: ManifestSql.ManifestFileIndex,
+                                   predicate: Column,
+                                   assignments: Seq[(String, Column)])
+    extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      ManifestSql.sqlUpdate(session, index, predicate, assignments)
+      Seq.empty
+    }
+  }
+
+  /** Upsert-shaped MERGE: project the source through the INSERT
+    * assignments (resolved expressions over the source plan — same
+    * exprIds, so no re-resolution needed) into target column order,
+    * then replace-or-insert by the key. */
+  case class ManifestMergeUpsertCommand(index: ManifestSql.ManifestFileIndex,
+                                        idCol: String, source: LogicalPlan,
+                                        projection: Seq[(String, Expression)])
+    extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(source)
+    override def run(session: SparkSession): Seq[Row] = {
+      val updates = graftbridge.ofRows(session, source)
+        .select(projection.map { case (name, e) =>
+          graftbridge.toColumn(e).as(name) }: _*)
+      ManifestSql.sqlMergeUpsert(session, index, idCol, updates)
+      Seq.empty
+    }
+  }
+
+  /** Delete-shaped MERGE: the source's key expression is the victim
+    * id list. */
+  case class ManifestMergeDeleteCommand(index: ManifestSql.ManifestFileIndex,
+                                        idCol: String, source: LogicalPlan,
+                                        key: Expression)
+    extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(source)
+    override def run(session: SparkSession): Seq[Row] = {
+      val victims = graftbridge.ofRows(session, source)
+        .select(graftbridge.toColumn(key).as("__victim_id"))
+      ManifestSql.sqlMergeDelete(session, index, idCol, victims)
+      Seq.empty
+    }
+  }
+}

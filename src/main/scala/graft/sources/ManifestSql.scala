@@ -233,6 +233,89 @@ object ManifestSql {
     spark.catalog.refreshByPath(idx.root)
   }
 
+  /** Session conf carrying the ledger batch id for an idempotent SQL
+    * MERGE (the Delta `txnVersion` idea, public pattern): when set,
+    * the next `MERGE INTO` on a manifest table commits under
+    * `#batch:<id>` — a replay with the same id finds the marker and
+    * no-ops. AUTO-RESET after each merge (applied or no-oped), so a
+    * stale id can never silently swallow an unrelated later merge. */
+  val BatchIdConf = "spark.graft.sql.batchId"
+
+  private def requireHead(idx: ManifestFileIndex, verb: String): Unit =
+    require(idx.versionAsOf.isEmpty,
+      s"cannot $verb a versionAsOf registration of ${idx.root} — " +
+        "time travel is read-only; register the head to write")
+
+  /** Shared post-write bookkeeping for every SQL write shape: move
+    * THIS registration's pin to the new head (the writing session's
+    * next read sees its write) and invalidate cached plans over the
+    * table root — same contract as [[sqlInsert]]. */
+  private def afterSqlWrite(spark: SparkSession,
+                            idx: ManifestFileIndex): Unit = {
+    idx.refresh()
+    spark.catalog.refreshByPath(idx.root)
+  }
+
+  /** The ONE owner of SQL `DELETE FROM` semantics: the ledgered
+    * copy-on-write [[ManifestTable.deleteWhere]] (victim scan pruned
+    * by the predicate through bounds + Blooms), then the shared pin
+    * move + cache invalidation. */
+  private[graft] def sqlDelete(spark: SparkSession, idx: ManifestFileIndex,
+                               predicate: org.apache.spark.sql.Column)
+      : Unit = {
+    requireHead(idx, "DELETE FROM")
+    ManifestTable.deleteWhere(spark, idx.root, predicate)
+    afterSqlWrite(spark, idx)
+  }
+
+  /** The ONE owner of SQL `UPDATE` semantics:
+    * [[ManifestTable.updateWhere]] under the same guards. */
+  private[graft] def sqlUpdate(spark: SparkSession, idx: ManifestFileIndex,
+                               predicate: org.apache.spark.sql.Column,
+                               assignments: Seq[(String,
+                                 org.apache.spark.sql.Column)]): Unit = {
+    requireHead(idx, "UPDATE")
+    ManifestTable.updateWhere(spark, idx.root, predicate,
+      assignments.toMap)
+    afterSqlWrite(spark, idx)
+  }
+
+  /** The ONE owner of SQL upsert-shaped `MERGE INTO` semantics
+    * (`WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT
+    * *`): whole-row replace-or-insert by the ON key through
+    * [[ManifestTable.upsert]] — or [[ManifestTable.upsertBatch]] when
+    * [[BatchIdConf]] is set, making the merge ledgered and a replay a
+    * no-op. The conf auto-resets afterward in BOTH outcomes. */
+  private[graft] def sqlMergeUpsert(spark: SparkSession,
+                                    idx: ManifestFileIndex, idCol: String,
+                                    updates: DataFrame): Unit = {
+    requireHead(idx, "MERGE INTO")
+    val batchId = spark.conf.getOption(BatchIdConf).map { raw =>
+      scala.util.Try(raw.trim.toLong).getOrElse(throw
+        new IllegalArgumentException(
+          s"$BatchIdConf must be a long, got '$raw'"))
+    }
+    try batchId match {
+      case Some(id) =>
+        ManifestTable.upsertBatch(spark, idx.root, id, idCol, updates)
+      case None => ManifestTable.upsert(spark, idx.root, idCol, updates)
+    } finally batchId.foreach(_ => spark.conf.unset(BatchIdConf))
+    afterSqlWrite(spark, idx)
+  }
+
+  /** The ONE owner of SQL delete-shaped `MERGE INTO` semantics
+    * (`WHEN MATCHED THEN DELETE`, no other clauses): delete target
+    * rows whose ON key appears in the source —
+    * [[ManifestTable.deleteIds]], whose victim scan prunes per key
+    * for driver-sized id sets. */
+  private[graft] def sqlMergeDelete(spark: SparkSession,
+                                    idx: ManifestFileIndex, idCol: String,
+                                    victims: DataFrame): Unit = {
+    requireHead(idx, "MERGE INTO")
+    ManifestTable.deleteIds(spark, idx.root, idCol, victims)
+    afterSqlWrite(spark, idx)
+  }
+
   /** The bare front-door relation (physical schema, no rename
     * projection) — what the SQL machinery plans and what
     * [[ManifestSource]] serves out of the persistent catalog. */

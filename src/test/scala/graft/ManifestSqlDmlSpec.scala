@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** SQL row-level DML on manifest tables ([[graft.plans.ManifestSqlDml]]):
+  * DELETE FROM / UPDATE / MERGE INTO rewritten to the ledgered
+  * copy-on-write writers, with the refusal surface pinned. */
+class ManifestSqlDmlSpec extends SparkSpec {
+  import graft.operators.ManifestTable
+
+  private def freshTable(prefix: String, n: Long = 100L): (String, String) = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    val root = s"$dir/t"
+    ManifestTable.init(root, Seq("id"), Seq("id"))
+    ManifestTable.append(spark, root,
+      (0L until n).toDF("id")
+        .withColumn("v", F.concat(F.lit("row"), F.col("id")))
+        .withColumn("n", F.col("id") * 2))
+    (dir, root)
+  }
+
+  test("DELETE FROM routes through the ledgered deleteWhere and moves the registration pin") {
+    val (_, root) = freshTable("graft_sqldel")
+    graft.sources.ManifestSql.register(spark, "sqldml_del", root)
+    val v0 = ManifestTable.latest(root).get.version
+    spark.sql("DELETE FROM sqldml_del WHERE id >= 40 AND id < 60")
+    // a ledgered commit, not a raw rewrite
+    assert(ManifestTable.latest(root).get.version == v0 + 1)
+    // the writing session's view sees the delete without re-register
+    assert(spark.sql("SELECT count(*) AS n FROM sqldml_del").head().getLong(0) == 80L)
+    assert(ManifestTable.read(spark, root)
+      .filter(F.col("id") >= 40 && F.col("id") < 60).count() == 0L)
+    // NULL-predicate rows survive (DELETE: NULL is not TRUE)
+    spark.sql("DELETE FROM sqldml_del WHERE n / nullif(id - 99, 0) > 1000000")
+    assert(spark.sql("SELECT count(*) FROM sqldml_del").head().getLong(0) > 0L)
+  }
+
+  test("UPDATE applies expressions against row values; unmatched rows untouched") {
+    val (_, root) = freshTable("graft_sqlupd")
+    graft.sources.ManifestSql.register(spark, "sqldml_upd", root)
+    spark.sql("UPDATE sqldml_upd SET v = concat(v, '!'), n = n + 1 WHERE id < 5")
+    val got = spark.sql("SELECT id, v, n FROM sqldml_upd WHERE id < 7 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.take(5).forall { case (id, v, n) =>
+      v == s"row$id!" && n == id * 2 + 1 })
+    assert(got.drop(5).forall { case (id, v, n) =>
+      v == s"row$id" && n == id * 2 })
+    // implicit store-assignment cast: integer literal into a BIGINT col
+    spark.sql("UPDATE sqldml_upd SET n = 7 WHERE id = 10")
+    assert(spark.sql("SELECT n FROM sqldml_upd WHERE id = 10")
+      .head().getLong(0) == 7L)
+  }
+
+  test("MERGE upsert = whole-row replace-or-insert; a replayed batch-id MERGE no-ops; the conf auto-resets") {
+    import spark.implicits._
+    val (_, root) = freshTable("graft_sqlmrg", n = 50L)
+    graft.sources.ManifestSql.register(spark, "sqldml_mrg", root)
+    (40L until 70L).toDF("id")
+      .withColumn("v", F.lit("merged")).withColumn("n", F.lit(-1L))
+      .createOrReplaceTempView("sqldml_mrg_src")
+    spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "7")
+    spark.sql("MERGE INTO sqldml_mrg t USING sqldml_mrg_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.conf.getOption(graft.sources.ManifestSql.BatchIdConf).isEmpty,
+      "batch-id conf must auto-reset after the merge")
+    val after = spark.sql("SELECT count(*) AS n, " +
+      "sum(CASE WHEN v = 'merged' THEN 1 ELSE 0 END) AS m FROM sqldml_mrg").head()
+    assert(after.getLong(0) == 70L && after.getLong(1) == 30L)
+    // replay with the SAME batch id and poisoned data: the ledger no-ops
+    (40L until 70L).toDF("id")
+      .withColumn("v", F.lit("MUST_NOT_APPLY")).withColumn("n", F.lit(-9L))
+      .createOrReplaceTempView("sqldml_mrg_src")
+    spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "7")
+    spark.sql("MERGE INTO sqldml_mrg t USING sqldml_mrg_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.conf.getOption(graft.sources.ManifestSql.BatchIdConf).isEmpty,
+      "conf must reset on the no-op path too")
+    assert(spark.sql("SELECT count(*) FROM sqldml_mrg WHERE v = 'MUST_NOT_APPLY'")
+      .head().getLong(0) == 0L, "replayed MERGE applied twice")
+    // hash-match the Scala twin on a fresh table
+    val (_, root2) = freshTable("graft_sqlmrg2", n = 50L)
+    ManifestTable.upsert(spark, root2, "id",
+      (40L until 70L).toDF("id")
+        .withColumn("v", F.lit("merged")).withColumn("n", F.lit(-1L)))
+    val sqlRows = ManifestTable.read(spark, root)
+      .orderBy("id").collect().toSeq
+    val scalaRows = ManifestTable.read(spark, root2)
+      .orderBy("id").collect().toSeq
+    assert(sqlRows == scalaRows, "SQL MERGE must equal the Scala upsert twin")
+  }
+
+  test("MERGE WHEN MATCHED THEN DELETE alone = key-list takedown") {
+    import spark.implicits._
+    val (_, root) = freshTable("graft_sqlmrgdel")
+    graft.sources.ManifestSql.register(spark, "sqldml_mdel", root)
+    Seq(3L, 5L, 8L, 500L).toDF("id").createOrReplaceTempView("sqldml_mdel_src")
+    spark.sql("MERGE INTO sqldml_mdel t USING sqldml_mdel_src s " +
+      "ON t.id = s.id WHEN MATCHED THEN DELETE")
+    val left = ManifestTable.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(left == (0L until 100L).toSet -- Set(3L, 5L, 8L))
+  }
+
+  test("DML works on the PERSISTENT catalog registration too") {
+    val (_, root) = freshTable("graft_sqldmlcat")
+    graft.api.Graft(spark, sf)
+      .registerManifest("sqldml_cat", root, persistent = true)
+    try {
+      spark.sql("DELETE FROM sqldml_cat WHERE id % 10 = 0")
+      spark.sql("UPDATE sqldml_cat SET v = 'x' WHERE id = 11")
+      assert(spark.sql("SELECT count(*) FROM sqldml_cat").head().getLong(0) == 90L)
+      assert(spark.sql("SELECT v FROM sqldml_cat WHERE id = 11")
+        .head().getString(0) == "x")
+      assert(ManifestTable.read(spark, root)
+        .filter(F.col("id") % 10 === 0).count() == 0L,
+        "the catalog DML must hit the manifest, not a raw path")
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_cat")
+  }
+
+  test("the refusal surface: time travel, partial merges, composite keys, subqueries, NOT MATCHED BY SOURCE") {
+    import spark.implicits._
+    val (_, root) = freshTable("graft_sqldmlref")
+    graft.sources.ManifestSql.register(spark, "sqldml_ref", root)
+    graft.sources.ManifestSql.register(spark, "sqldml_ref_v1", root,
+      versionAsOf = Some(1))
+    (0L until 5L).toDF("id").withColumn("v", F.lit("s"))
+      .withColumn("n", F.lit(0L)).createOrReplaceTempView("sqldml_ref_src")
+    def refuse(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage != null && e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    refuse("DELETE FROM sqldml_ref_v1 WHERE id = 1", "time travel is read-only")
+    refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v", "supports exactly")
+    // partial UPDATE alongside INSERT *: the star-shape validator
+    refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = 'other' " +
+      "WHEN NOT MATCHED THEN INSERT *", "identical per column")
+    refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s " +
+      "ON t.id = s.id AND t.v = s.v " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      "ONE key column")
+    refuse("DELETE FROM sqldml_ref WHERE id IN (SELECT id FROM sqldml_ref_src)",
+      "subqueries")
+    refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE", "NOT MATCHED BY SOURCE")
+    // conditional matched actions refuse too
+    refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s ON t.id = s.id " +
+      "WHEN MATCHED AND s.n > 0 THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *", "supports exactly")
+    // a non-manifest target is untouched by the rule (stock error)
+    (0L until 3L).toDF("id").createOrReplaceTempView("sqldml_plain")
+    intercept[Exception](spark.sql("DELETE FROM sqldml_plain WHERE id = 1"))
+  }
+}

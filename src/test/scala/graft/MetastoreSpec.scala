@@ -159,6 +159,65 @@ class MetastoreSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves the schema ledger and refreshes the catalog in place") {
+    requireHms()
+    import graft.operators.ManifestTable
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pma").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root,
+      (0L until 100L).toDF("id")
+        .withColumn("payload", F.concat(F.lit("row"), F.col("id")))
+        .coalesce(1))
+    try {
+      graft.api.Graft(spark, sf)
+        .registerManifest("pma_corpus", root, persistent = true)
+      val v0 = ManifestTable.latest(root).get
+      spark.sql("ALTER TABLE pma_corpus ADD COLUMNS (score BIGINT, tag STRING)")
+      // ONE metadata-only ledger commit: same files, evolved schema
+      val v1 = ManifestTable.latest(root).get
+      assert(v1.version == v0.version + 1 && v1.files == v0.files,
+        "ALTER must be a metadata-only ledger commit")
+      // session A keeps reading (NULL-filled) without re-registering
+      assert(spark.sql("SELECT count(score) FROM pma_corpus")
+        .as[Long].head() == 0L)
+      assert(spark.sql("SELECT count(*) FROM pma_corpus")
+        .as[Long].head() == 100L)
+      // session B resolves the catalog entry against the widened
+      // schema — the r17 contract would have failed loudly here until
+      // a manual re-register
+      val s2 = spark.newSession()
+      assert(s2.table("pma_corpus").columns.toSeq ==
+        Seq("id", "payload", "score", "tag"))
+      // ...and can populate the new columns through plain SQL at once
+      s2.sql("INSERT INTO pma_corpus VALUES (1000, 'late', 7, 't')")
+      assert(s2.sql("SELECT sum(score) FROM pma_corpus")
+        .as[Long].head() == 7L)
+      // session A's pin is at the ALTER-time head (the standing
+      // snapshot contract); a REFRESH moves it — and must NOT trip
+      // the drift guard, since A's post-ALTER relation already
+      // carries the evolved schema
+      spark.catalog.refreshTable("pma_corpus")
+      assert(spark.sql("SELECT count(*) FROM pma_corpus")
+        .as[Long].head() == 101L,
+        "session A must see the post-ALTER insert after REFRESH")
+      // refusals: a clash with a live column, and a reserved name
+      val clash = intercept[Exception](
+        spark.sql("ALTER TABLE pma_corpus ADD COLUMNS (payload STRING)"))
+      assert(clash.getMessage.contains("already exist"))
+      ManifestTable.renameColumn(spark, root, "tag", "label")
+      val reserved = intercept[Exception](
+        spark.sql("ALTER TABLE pma_corpus ADD COLUMNS (tag STRING)"))
+      assert(reserved.getMessage.contains("reserved"),
+        s"expected the reserved-name refusal, got: ${reserved.getMessage}")
+    } finally {
+      Seq("DROP VIEW IF EXISTS pma_corpus",
+        "DROP TABLE IF EXISTS pma_corpus",
+        "DROP TABLE IF EXISTS pma_corpus_store")
+        .foreach(s => scala.util.Try(spark.sql(s)))
+    }
+  }
+
   test("bucketed-table metadata round-trips through the metastore") {
     requireHms()
     val buckets = 4

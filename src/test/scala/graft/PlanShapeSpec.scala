@@ -383,6 +383,63 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the read-only time-travel refusal, got: $err")
   }
 
+  test("SQL DML victim scans stay pruned: DELETE/UPDATE rewrite one band file; MERGE rewrites only bloom-admitted files") {
+    import graft.operators.ManifestTable
+    import graft.sources.ManifestSql
+    import spark.implicits._
+    // clustered half: 4 disjoint single-file bands — a point DELETE
+    // and a point UPDATE must each rewrite exactly the one band file
+    // and carry the other three by reference (the Scala writers'
+    // affected-files contract, preserved through the SQL route)
+    val root = java.nio.file.Files.createTempDirectory("graft_msqldml").toString
+    ManifestTable.init(root, Seq("id"), Seq("id"))
+    for (i <- 0 until 4)
+      ManifestTable.append(spark, root,
+        (i * 100L until i * 100L + 100L).toDF("id")
+          .withColumn("payload", F.concat(F.lit("row"), F.col("id")))
+          .coalesce(1))
+    ManifestSql.register(spark, "msqldml_t", root)
+    val v0 = ManifestTable.latest(root).get
+    spark.sql("DELETE FROM msqldml_t WHERE id = 150")
+    val v1 = ManifestTable.latest(root).get
+    assert(v1.version == v0.version + 1, "DELETE must be one ledgered commit")
+    assert((v0.files.toSet intersect v1.files.toSet).size == 3,
+      "a point DELETE must carry the 3 unaffected band files by reference")
+    assert((v0.files.toSet -- v1.files.toSet).size == 1,
+      "a point DELETE must rewrite exactly the one matching band file")
+    spark.sql("UPDATE msqldml_t SET payload = 'upd' WHERE id = 250")
+    val v2 = ManifestTable.latest(root).get
+    assert((v1.files.toSet intersect v2.files.toSet).size == 3 &&
+      (v1.files.toSet -- v2.files.toSet).size == 1,
+      "a point UPDATE must rewrite exactly the one matching band file")
+    // scattered half: 8 interleaved files (min/max prunes nothing) —
+    // a 2-key MERGE's match scan admits files per KEY through the
+    // bloom, so at most the files actually carrying the keys (+fpp)
+    // are rewritten; the other ~6 carry by reference
+    val root2 = java.nio.file.Files.createTempDirectory("graft_msqldml2").toString
+    ManifestTable.init(root2, Seq("id"), Seq("id"))
+    for (i <- 0 until 8)
+      ManifestTable.append(spark, root2,
+        (0L until 400L).filter(_ % 8 == i).toDF("id")
+          .withColumn("payload", F.concat(F.lit("row"), F.col("id")))
+          .coalesce(1))
+    ManifestSql.register(spark, "msqldml_s", root2)
+    val s0 = ManifestTable.latest(root2).get
+    Seq(5L, 13L).toDF("id").withColumn("payload", F.lit("merged"))
+      .createOrReplaceTempView("msqldml_src")
+    spark.sql("MERGE INTO msqldml_s t USING msqldml_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val s1 = ManifestTable.latest(root2).get
+    val rewritten = s0.files.toSet -- s1.files.toSet
+    // both keys ≡ 5 (mod 8): one genuine victim file; allow one more
+    // for bloom fpp, never a candidate-wide rewrite
+    assert(rewritten.size <= 2,
+      s"scattered MERGE rewrote ${rewritten.size} files — victim scan " +
+        "not bloom-pruned through SQL")
+    assert(spark.sql("SELECT count(*) FROM msqldml_s WHERE payload = 'merged'")
+      .as[Long].head() == 2L)
+  }
+
   test("SQL planning stats ZERO files: non-candidate files deleted from disk still plan") {
     import graft.operators.ManifestTable
     import graft.sources.ManifestSql
