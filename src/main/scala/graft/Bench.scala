@@ -22,12 +22,12 @@ object Bench {
     // not silently bench nothing
     only.foreach { sel =>
       if (sel.isEmpty) {
-        System.err.println("[bench] SPARK_GRAFT_BENCH_ONLY selects no queries")
+        graft.util.Log.warn(s"[bench] SPARK_GRAFT_BENCH_ONLY selects no queries")
         sys.exit(2)
       }
       val unknown = sel -- SparkEntry.queries.keySet
       if (unknown.nonEmpty) {
-        System.err.println("[bench] unknown SPARK_GRAFT_BENCH_ONLY names: " +
+        graft.util.Log.warn(s"[bench] unknown SPARK_GRAFT_BENCH_ONLY names: " +
           unknown.toSeq.sorted.mkString(", "))
         sys.exit(2)
       }
@@ -84,7 +84,7 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        graft.util.Log.warn(s"[bench] $name failed: ${e.getMessage}")
       }
       samples(i) :+= (System.nanoTime() - t0) / 1e9
     }
@@ -128,7 +128,7 @@ object Bench {
     }.failed.foreach(e =>
       // the local record is the round-over-round regression tracker —
       // losing it silently defeats its purpose
-      System.err.println(s"[bench] could not write $localOut: ${e.getMessage}"))
+      graft.util.Log.warn(s"[bench] could not write $localOut: ${e.getMessage}"))
     // Try: a shutdown race (e.g. streaming state-store threads) must
     // not swallow the JSON lines the driver parses — emit regardless
     scala.util.Try(spark.stop())

@@ -324,12 +324,23 @@ private[graft] object ExtLayout {
       val g = graft.api.Graft(s, dir)
       g.registerManifest("corpus_manifest", root)
       g.registerManifest("corpus_manifest_v1", root, versionAsOf = Some(1))
+      // the third arm reads the SAME v1 pin through the registered
+      // provider's option path (the ad-hoc time-travel recipe the
+      // persistent catalog mode documents) — its rows must equal the
+      // registered-view arm's, so the provider's pin contract is
+      // oracle-graded too
+      val optArm = s.read.format("graft-manifest")
+        .option("path", root).option("versionAsOf", "1").load()
+        .filter(F.col("doc_id") >= 40 && F.col("doc_id") < 60)
+        .select(F.col("doc_id"), F.col("lang"), F.col("source"),
+          F.col("n_chars"), F.lit("v1opt").as("ver"))
       s.sql("SELECT doc_id, lang, source, n_chars, 'head' AS ver " +
         "FROM corpus_manifest " +
         "WHERE (doc_id >= 30 AND doc_id < 120) OR doc_id = 7 " +
         "UNION ALL " +
         "SELECT doc_id, lang, source, n_chars, 'v1' AS ver " +
         "FROM corpus_manifest_v1 WHERE doc_id >= 40 AND doc_id < 60")
+        .unionByName(optArm)
     }),
 
 
@@ -1201,8 +1212,9 @@ private[graft] object ExtLayout {
         "WHERE doc_id IN (5, 45, 75, 130, 222) " +
         "AND NOT (doc_id >= 40 AND doc_id < 60)"),
 
-    // the head view excludes the deleted band; the v1 pin still
-    // serves it — SQL-side snapshot isolation + time travel
+    // the head view excludes the deleted band; the v1 pin (both the
+    // registered view AND the provider's versionAsOf option path)
+    // still serves it — SQL-side snapshot isolation + time travel
     "x_manifest_sql" ->
       ("SELECT doc_id, lang, source, n_chars, 'head' AS ver " +
         "FROM documents " +
@@ -1210,6 +1222,9 @@ private[graft] object ExtLayout {
         "AND NOT (doc_id >= 40 AND doc_id < 60) " +
         "UNION ALL " +
         "SELECT doc_id, lang, source, n_chars, 'v1' AS ver " +
+        "FROM documents WHERE doc_id >= 40 AND doc_id < 60 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, n_chars, 'v1opt' AS ver " +
         "FROM documents WHERE doc_id >= 40 AND doc_id < 60"),
 
     // bloom-pruned probes: the merge rewrote three scattered ids'

@@ -17,12 +17,12 @@ object Verify {
     // (same guard as Bench's SPARK_GRAFT_BENCH_ONLY)
     only.foreach { sel =>
       if (sel.isEmpty) {
-        System.err.println("[verify] query-name filter selects no queries")
+        graft.util.Log.warn(s"[verify] query-name filter selects no queries")
         sys.exit(2)
       }
       val unknown = sel -- SparkEntry.queries.keySet
       if (unknown.nonEmpty) {
-        System.err.println("[verify] unknown query names: " +
+        graft.util.Log.warn(s"[verify] unknown query names: " +
           unknown.toSeq.sorted.mkString(", "))
         sys.exit(2)
       }
@@ -47,7 +47,7 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          graft.util.Log.warn(s"[verify] $name failed: ${e.getMessage}")
           failed.put(name, Option(e.getMessage).getOrElse(e.getClass.getName))
         }
     }
@@ -99,7 +99,7 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(failedPath, failedJson)
     if (failed.nonEmpty)
-      System.err.println(s"[verify] ${failed.size} queries failed to run: " +
+      graft.util.Log.warn(s"[verify] ${failed.size} queries failed to run: " +
         failed.keys.mkString(", "))
     spark.stop()
   }

@@ -63,7 +63,7 @@ final case class Graft(spark: SparkSession, sfDir: String) {
       }
       register.failed.foreach { e =>
         spark.catalog.dropTempView(t)
-        System.err.println(s"[graft] enableSql: skipping '$t' (${e.getMessage})")
+        graft.util.Log.warn(s"enableSql: skipping '$t' (${e.getMessage})")
       }
     }
   }
@@ -85,7 +85,12 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     * then-current head; schema-changing commits need a re-register
     * (the resolution fails loudly until then). Persistent mode
     * registers heads only — time travel stays a session-level pin
-    * (`versionAsOf` with the default temp-view mode). */
+    * (`versionAsOf` with the default temp-view mode). A persistent
+    * RE-registration publishes under a temp name and swaps via
+    * drop+rename, so the name's unavailability window is two catalog
+    * statements — not zero: session-catalog DDL has no transactional
+    * swap, and a concurrent reader can transiently miss the name.
+    * Schedule re-registers off the query path. */
   def registerManifest(name: String, root: String,
                        versionAsOf: Option[Int] = None,
                        persistent: Boolean = false): Unit =

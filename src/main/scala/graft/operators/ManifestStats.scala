@@ -722,8 +722,8 @@ object ManifestStats {
         m
       case None =>
         bloomFailures.put(key, System.currentTimeMillis())
-        System.err.println(
-          s"[graft] bloom sidecar read failed (transient?): $key — " +
+        graft.util.Log.warn(
+          s"bloom sidecar read failed (transient?): $key — " +
             s"pruning degrades to bounds for ${BloomRetryMillis / 1000}s")
         Map.empty
     }

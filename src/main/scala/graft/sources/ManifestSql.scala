@@ -403,11 +403,29 @@ object ManifestSql {
       }
       ()
     }
+    // Re-registration publishes under a TEMP name first, then
+    // drop-old + rename-new: the expensive step (createTable resolves
+    // the provider relation — snapshot read, schema build) happens
+    // OUTSIDE the unavailability window, which shrinks to two catalog
+    // round-trips. Session-catalog DDL has no transactional swap
+    // (Spark's own CREATE OR REPLACE paths share the residual
+    // window), so a reader racing those two statements can still see
+    // the name absent for a moment — documented on registerManifest.
     def createTable(tableName: String): Unit = {
-      dropAnyShape(tableName)
-      spark.catalog.createTable(tableName, "graft-manifest",
+      val tmp = s"${tableName}_reg_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      spark.catalog.createTable(tmp, "graft-manifest",
         Map("path" -> root))
-      ()
+      try {
+        dropAnyShape(tableName)
+        spark.sql(s"ALTER TABLE ${quotedId(tmp)} " +
+          s"RENAME TO ${quotedId(tableName)}")
+        ()
+      } catch {
+        case t: Throwable =>
+          scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS ${quotedId(tmp)}"))
+          throw t
+      }
     }
     projection match {
       case None =>
