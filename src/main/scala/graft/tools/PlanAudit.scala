@@ -8,6 +8,7 @@ object PlanAudit {
     val sfDir = a.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = graft.api.Metastore.configure(
       SparkSession.builder().master("local[4]"))
+      .withExtensions(new graft.plans.GraftSparkExtensions)
       .config("spark.sql.shuffle.partitions","4")
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.sql.adaptive.enabled","false")
