@@ -339,7 +339,13 @@ private[graft] object ExtLayout {
         "WHERE (doc_id >= 30 AND doc_id < 120) OR doc_id = 7 " +
         "UNION ALL " +
         "SELECT doc_id, lang, source, n_chars, 'v1' AS ver " +
-        "FROM corpus_manifest_v1 WHERE doc_id >= 40 AND doc_id < 60")
+        "FROM corpus_manifest_v1 WHERE doc_id >= 40 AND doc_id < 60 " +
+        // the same v1 pin a third way: the path-addressed TVF (no
+        // registration at all) — ad-hoc SQL time travel
+        "UNION ALL " +
+        s"SELECT doc_id, lang, source, n_chars, 'v1tvf' AS ver " +
+        s"FROM graft_manifest('$root', 1) " +
+        "WHERE doc_id >= 40 AND doc_id < 60")
         .unionByName(optArm)
     }),
 
@@ -1222,6 +1228,9 @@ private[graft] object ExtLayout {
         "AND NOT (doc_id >= 40 AND doc_id < 60) " +
         "UNION ALL " +
         "SELECT doc_id, lang, source, n_chars, 'v1' AS ver " +
+        "FROM documents WHERE doc_id >= 40 AND doc_id < 60 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, n_chars, 'v1tvf' AS ver " +
         "FROM documents WHERE doc_id >= 40 AND doc_id < 60 " +
         "UNION ALL " +
         "SELECT doc_id, lang, source, n_chars, 'v1opt' AS ver " +

@@ -26,14 +26,67 @@ object GraftFunctions {
     "rolling_hash" -> (exprs => RollingHash(exprs(0)))
   )
 
-  def register(spark: SparkSession): Unit = functions.foreach { case (name, builder) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, builder, "scala_udf")
+  /** A TVF argument that must be a constant, evaluated at resolution
+    * time (the argument names a TABLE, not a per-row value). */
+  private def constArg(e: Expression, fn: String, what: String): Any = {
+    require(e.foldable, s"$fn's $what argument must be a constant")
+    val v = e.eval()
+    require(v != null, s"$fn's $what argument must not be NULL")
+    v
+  }
+
+  /** Table-valued functions — the path-addressed SQL surface (the
+    * ``delta.`path``` idea, as TVFs so no catalog object is needed):
+    *  - `graft_manifest('<root>'[, versionAsOf])` — a manifest table
+    *    read straight from its root: the same snapshot-pinned pruned
+    *    FileIndex relation a registration serves (one builder call
+    *    per analysis, pinning the then-current head — or the named
+    *    version for ad-hoc SQL time travel);
+    *  - `graft_history('<root>')` — the table's version history from
+    *    metadata alone (file/row counts, deltas, ledger state; zero
+    *    data I/O).
+    * Builders run at resolution time on the driver and return the
+    * relation's analyzed plan — re-analysis is idempotent on a
+    * resolved [[org.apache.spark.sql.execution.datasources.LogicalRelation]]. */
+  private val tableFunctions: Seq[(String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    "graft_manifest" -> (exprs => {
+      require(exprs.nonEmpty && exprs.size <= 2,
+        "usage: graft_manifest('<table root>'[, versionAsOf])")
+      val spark = SparkSession.active
+      val root = constArg(exprs(0), "graft_manifest", "root").toString
+      val ver = exprs.drop(1).headOption.map(e =>
+        constArg(e, "graft_manifest", "versionAsOf").toString.toInt)
+      graft.sources.ManifestSql.relation(spark, root, ver)
+        .queryExecution.analyzed
+    }),
+    "graft_history" -> (exprs => {
+      require(exprs.size == 1, "usage: graft_history('<table root>')")
+      val spark = SparkSession.active
+      val root = constArg(exprs(0), "graft_history", "root").toString
+      graft.operators.ManifestTable.history(spark, root)
+        .queryExecution.analyzed
+    })
+  )
+
+  def register(spark: SparkSession): Unit = {
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+    tableFunctions.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
   }
 
   private[plans] def inject(e: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProduct].getName, name), builder))
+    }
+    tableFunctions.foreach { case (name, builder) =>
+      e.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[DotProduct].getName, name), builder))
     }
     e.injectPostHocResolutionRule(BroadcastFixedDims)

@@ -383,6 +383,54 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the read-only time-travel refusal, got: $err")
   }
 
+  test("path TVFs: graft_manifest prunes like a registration and pins versions; graft_history answers from metadata") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import graft.operators.ManifestTable
+    import spark.implicits._
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_tvf").toString
+    ManifestTable.init(root, Seq("id"), Seq("id"))
+    for (i <- 0 until 4)
+      ManifestTable.append(spark, root,
+        (i * 100L until i * 100L + 100L).toDF("id")
+          .withColumn("payload", F.concat(F.lit("row"), F.col("id")))
+          .coalesce(1))
+    // no registration anywhere: the TVF reads the root directly, and
+    // the pushed point predicate still plans exactly one band file
+    val point = spark.sql(
+      s"SELECT id FROM graft_manifest('$root') WHERE id = 150")
+    point.collect()
+    assert(scans(point.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum == 1,
+      "the TVF read must prune through the manifest stats")
+    assert(point.collect().map(_.getLong(0)).toSeq == Seq(150L))
+    // version pin: v2 = the first two appends only
+    ManifestTable.deleteWhere(spark, root, F.col("id") < 50) // v5
+    assert(spark.sql(s"SELECT count(*) FROM graft_manifest('$root', 2)")
+      .as[Long].head() == 200L, "graft_manifest(root, v) must pin v")
+    assert(spark.sql(s"SELECT count(*) FROM graft_manifest('$root')")
+      .as[Long].head() == 350L)
+    // history: one row per surviving version, from metadata alone —
+    // corrupt every data file first, the TVF must still answer
+    ManifestTable.latest(root).get.files.foreach { f =>
+      val victim = new java.io.File(root, f)
+      java.nio.file.Files.write(victim.toPath, Array[Byte](1, 2, 3))
+    }
+    val hist = spark.sql(s"SELECT * FROM graft_history('$root')")
+    assert(hist.count() == 6L, // v0 (init) + 4 appends + the delete
+      "one history row per version")
+    // a non-constant argument refuses loudly
+    val err = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_manifest(concat('$root', id))"))
+    assert(err.getMessage != null)
+  }
+
   test("SQL DML victim scans stay pruned: DELETE/UPDATE rewrite one band file; MERGE rewrites only bloom-admitted files") {
     import graft.operators.ManifestTable
     import graft.sources.ManifestSql
