@@ -748,6 +748,34 @@ private[graft] object ExtLayout {
     }),
 
 
+    // the DataFrame WRITER front door: df.write.format(
+    // "graft-manifest") creates the table (manifest init + ledgered
+    // first append, stat/bloom shape declared via options), append =
+    // one ledgered commit, overwrite = atomic snapshot replace — and
+    // the read-back goes through the path-addressed TVF, so the whole
+    // lifecycle (create/append/replace/read) runs registration-free
+    // on idiomatic Spark API. Raw files in the root, a lost append,
+    // or a non-atomic replace each fails the hash.
+    "x_manifest_writer" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_writer")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      docs.filter(F.col("doc_id") % 3 === 0)
+        .write.format("graft-manifest")
+        .option("path", root)
+        .option("statCols", "doc_id").option("bloomCols", "doc_id")
+        .save() // create: init + v1
+      docs.filter(F.col("doc_id") % 3 =!= 0)
+        .write.format("graft-manifest").mode("append").save(root) // v2
+      docs.filter(F.col("doc_id") < 120)
+        .write.format("graft-manifest").mode("overwrite").save(root) // v3
+      docs.filter(F.col("doc_id") >= 300)
+        .write.format("graft-manifest").mode("append").save(root) // v4
+      s.sql(s"SELECT doc_id, lang, source FROM graft_manifest('$root')")
+    }),
+
+
     // SQL ROW-LEVEL DML through the front door: DELETE FROM prunes
     // its victim scan and commits through the ledger, UPDATE rewrites
     // only matched files, a batch-id MERGE whole-row-replaces-or-
@@ -1150,6 +1178,12 @@ private[graft] object ExtLayout {
         "UNION ALL " +
         "SELECT doc_id, lang, source, CAST(2 AS BIGINT) AS phase " +
         "FROM documents WHERE doc_id < 100"),
+
+    // the writer lifecycle fold: the overwrite replaced everything
+    // with doc_id < 120, then the final append added doc_id >= 300
+    "x_manifest_writer" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        "WHERE doc_id < 120 OR doc_id >= 300"),
 
     // the lifecycle fold of the four SQL DML statements: %10=0 rows
     // always present as 'merged' (matched-replace inside the live

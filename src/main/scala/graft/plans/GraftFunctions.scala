@@ -66,6 +66,21 @@ object GraftFunctions {
       val root = constArg(exprs(0), "graft_history", "root").toString
       graft.operators.ManifestTable.history(spark, root)
         .queryExecution.analyzed
+    }),
+    // the change feed as a TVF (the table_changes idea): row-level
+    // inserts/deletes between two versions, straight from the
+    // manifest file diff — batch cost scales with the changed files
+    "graft_changes" -> (exprs => {
+      require(exprs.size == 3,
+        "usage: graft_changes('<table root>', fromVersion, toVersion)")
+      val spark = SparkSession.active
+      val root = constArg(exprs(0), "graft_changes", "root").toString
+      val from = constArg(exprs(1), "graft_changes", "fromVersion")
+        .toString.toInt
+      val to = constArg(exprs(2), "graft_changes", "toVersion")
+        .toString.toInt
+      graft.operators.ManifestTable.changes(spark, root, from, to)
+        .queryExecution.analyzed
     })
   )
 

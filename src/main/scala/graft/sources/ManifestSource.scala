@@ -1,9 +1,12 @@
 package graft.sources
 
-import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  RelationProvider, SchemaRelationProvider}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.sources.{BaseRelation,
+  CreatableRelationProvider, DataSourceRegister, RelationProvider,
+  SchemaRelationProvider}
 import org.apache.spark.sql.types.StructType
+
+import graft.operators.{ManifestStats, ManifestTable}
 
 /** `USING graft-manifest` — the DataSource V1 provider that lets
   * [[graft.operators.ManifestTable]] roots live in a PERSISTENT
@@ -27,7 +30,8 @@ import org.apache.spark.sql.types.StructType
   * `ManifestFileIndex.refresh`. Nullability-only drift is tolerated
   * (every recorded field is nullable by construction). */
 final class ManifestSource extends RelationProvider
-  with SchemaRelationProvider with DataSourceRegister {
+  with SchemaRelationProvider with CreatableRelationProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
 
@@ -40,6 +44,60 @@ final class ManifestSource extends RelationProvider
       : BaseRelation =
     ManifestSql.baseRelation(sqlContext.sparkSession,
       rootOf(parameters), parameters.get("versionAsOf").map(_.trim.toInt))
+
+  /** The WRITE arm ([[CreatableRelationProvider]]): makes
+    * `df.write.format("graft-manifest").option("path", root)` and
+    * SQL `CREATE TABLE … USING graft-manifest OPTIONS (path …) AS
+    * SELECT …` first-class — a table is CREATED (manifest init +
+    * first ledgered append) or written through the existing commit
+    * protocol, never as raw files. SaveMode maps exactly onto the
+    * ledger ops: ErrorIfExists refuses an existing manifest, Ignore
+    * no-ops one, Append appends (creating if absent), Overwrite
+    * replaces the snapshot atomically (creating if absent).
+    *
+    * Creation-time declarations ride options: `statCols` /
+    * `bloomCols` (comma-separated) and `bloomCapacity` — the same
+    * knobs as [[ManifestTable.init]]. On an EXISTING table they
+    * refuse loudly: stats/bloom shape is a table declaration, not a
+    * per-write preference (recompact/re-init to change it). */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    require(parameters.get("versionAsOf").isEmpty,
+      "cannot write through a versionAsOf option — time travel is " +
+        "read-only")
+    def csv(k: String): Seq[String] = parameters.get(k).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val statCols = csv("statCols")
+    val bloomCols = csv("bloomCols")
+    val bloomCap = parameters.get("bloomCapacity").map(_.trim.toLong)
+    val exists = ManifestTable.latest(root).isDefined
+    if (exists)
+      require(statCols.isEmpty && bloomCols.isEmpty && bloomCap.isEmpty,
+        s"statCols/bloomCols/bloomCapacity are creation-time " +
+          s"declarations and the manifest table at $root already " +
+          "exists — drop/re-init the table to change its stat shape")
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"manifest table at $root already exists (SaveMode." +
+            "ErrorIfExists) — use mode(\"append\") or mode(\"overwrite\")")
+      case SaveMode.Ignore if exists => ()
+      case _ =>
+        if (!exists)
+          ManifestTable.init(root, statCols, bloomCols,
+            bloomCap.getOrElse(ManifestStats.BloomKeyCapacity))
+        if (mode == SaveMode.Overwrite && exists)
+          ManifestTable.overwrite(spark, root, data)
+        else ManifestTable.append(spark, root, data)
+        // cached plans over the root must not serve the pre-write
+        // snapshot (same contract as the SQL insert path)
+        spark.catalog.refreshByPath(root)
+    }
+    ManifestSql.baseRelation(spark, root, None)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String],

@@ -1142,4 +1142,64 @@ class ManifestTableSpec extends SparkSpec {
     val swept = ManifestTable.vacuum(root, orphanGraceMillis = 0L)
     assert(before.files.forall(swept.contains))
   }
+
+  test("DataFrame writer: format graft-manifest creates with declared stats, maps SaveModes onto the ledger, and CTAS registers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dfw").toString
+    val root = s"$dir/t"
+    // CREATE: default mode on a fresh root — init (with the declared
+    // stat/bloom shape) + first ledgered append
+    batch(0, 100).write.format("graft-manifest")
+      .option("path", root)
+      .option("statCols", "id").option("bloomCols", "id")
+      .save()
+    val v1 = ManifestTable.latest(root).get
+    assert(ids(root) == (0L until 100L).toSet)
+    assert(v1.files.forall(_.matches("data/[0-9a-f-]+/part-.*\\.parquet")),
+      "the writer must land manifest-referenced files, not raw parquet")
+    // the declared stat shape drives pruning from the very first write
+    assert(ManifestTable.candidateFiles(spark, root, v1,
+      F.col("id") === 99999L).isEmpty)
+    // ErrorIfExists refuses an existing manifest
+    val err = intercept[Exception](
+      batch(0, 10).write.format("graft-manifest").save(root))
+    assert(err.getMessage.contains("already exists"))
+    // Ignore no-ops one
+    batch(0, 10).write.format("graft-manifest").mode("ignore").save(root)
+    assert(ManifestTable.latest(root).get.version == v1.version)
+    // stat declarations on an existing table refuse loudly
+    val decl = intercept[Exception](
+      batch(100, 110).write.format("graft-manifest")
+        .option("statCols", "id").mode("append").save(root))
+    assert(decl.getMessage.contains("creation-time"))
+    // Append = one ledgered commit
+    batch(100, 150).write.format("graft-manifest").mode("append").save(root)
+    assert(ManifestTable.latest(root).get.version == v1.version + 1)
+    assert(ids(root) == (0L until 150L).toSet)
+    // Overwrite = atomic snapshot replace, identity metadata carried
+    batch(500, 520).write.format("graft-manifest").mode("overwrite").save(root)
+    assert(ids(root) == (500L until 520L).toSet)
+    assert(ManifestTable.candidateFiles(spark, root,
+      ManifestTable.latest(root).get, F.col("id") === 1L).isEmpty,
+      "pruning must survive the writer-path overwrite")
+    // CTAS: one SQL statement creates table + catalog entry + data
+    val root2 = s"$dir/ct"
+    spark.sql("DROP TABLE IF EXISTS dfw_ctas")
+    try {
+      batch(0, 30).createOrReplaceTempView("dfw_src")
+      spark.sql("CREATE TABLE dfw_ctas USING `graft-manifest` " +
+        s"OPTIONS (path '$root2', statCols 'id') " +
+        "AS SELECT * FROM dfw_src")
+      assert(ManifestTable.latest(root2).isDefined,
+        "CTAS must create a real manifest table")
+      assert(spark.sql("SELECT count(*) FROM dfw_ctas")
+        .as[Long].head() == 30L)
+      // and the catalog entry takes row-level SQL DML like any other
+      spark.sql("DELETE FROM dfw_ctas WHERE id < 10")
+      assert(spark.sql("SELECT count(*) FROM dfw_ctas")
+        .as[Long].head() == 20L)
+      assert(ManifestTable.read(spark, root2).count() == 20L)
+    } finally {
+      scala.util.Try(spark.sql("DROP TABLE IF EXISTS dfw_ctas"))
+    }
+  }
 }

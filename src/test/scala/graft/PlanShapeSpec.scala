@@ -416,6 +416,14 @@ class PlanShapeSpec extends SparkSpec {
       .as[Long].head() == 200L, "graft_manifest(root, v) must pin v")
     assert(spark.sql(s"SELECT count(*) FROM graft_manifest('$root')")
       .as[Long].head() == 350L)
+    // the change-feed TVF equals the Scala feed, row for row
+    val tvfChanges = spark.sql(
+      s"SELECT * FROM graft_changes('$root', 4, 5)")
+      .collect().map(_.toSeq).toSet
+    val scalaChanges = ManifestTable.changes(spark, root, 4, 5)
+      .collect().map(_.toSeq).toSet
+    assert(tvfChanges == scalaChanges && tvfChanges.nonEmpty,
+      "graft_changes must equal ManifestTable.changes")
     // history: one row per surviving version, from metadata alone —
     // corrupt every data file first, the TVF must still answer
     ManifestTable.latest(root).get.files.foreach { f =>
