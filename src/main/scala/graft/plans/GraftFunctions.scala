@@ -116,6 +116,9 @@ object GraftFunctions {
     // ALTER TABLE ... ADD COLUMNS on manifest catalog tables: schema
     // ledger commit + in-place catalog refresh (no re-register)
     e.injectPostHocResolutionRule(ManifestSqlAlter.apply)
+    // maintenance DDL (GRAFT COMPACT/VACUUM/EXPIRE/MAINTAIN) — a
+    // four-statement grammar; everything else delegates verbatim
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

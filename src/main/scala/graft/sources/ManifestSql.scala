@@ -227,19 +227,42 @@ object ManifestSql {
     val aligned =
       if (data.columns.toSeq == columnNames) data
       else data.toDF(columnNames.toIndexedSeq: _*)
-    if (overwrite) ManifestTable.overwrite(spark, idx.root, aligned)
-    else ManifestTable.append(spark, idx.root, aligned)
+    withBatchId(spark) {
+      case Some(_) if overwrite => throw new IllegalArgumentException(
+        s"$BatchIdConf applies to INSERT INTO and MERGE INTO only — " +
+          "INSERT OVERWRITE is not a replayable micro-batch shape")
+      case Some(id) => ManifestTable.appendBatch(spark, idx.root, id, aligned)
+      case None =>
+        if (overwrite) ManifestTable.overwrite(spark, idx.root, aligned)
+        else ManifestTable.append(spark, idx.root, aligned)
+    }
     idx.refresh()
     spark.catalog.refreshByPath(idx.root)
   }
 
   /** Session conf carrying the ledger batch id for an idempotent SQL
-    * MERGE (the Delta `txnVersion` idea, public pattern): when set,
-    * the next `MERGE INTO` on a manifest table commits under
-    * `#batch:<id>` — a replay with the same id finds the marker and
-    * no-ops. AUTO-RESET after each merge (applied or no-oped), so a
-    * stale id can never silently swallow an unrelated later merge. */
+    * write (the Delta `txnVersion` idea, public pattern): when set,
+    * the next `MERGE INTO` or `INSERT INTO` on a manifest table
+    * commits under `#batch:<id>` — a replay with the same id finds
+    * the marker and no-ops. AUTO-RESET after each write (applied or
+    * no-oped), so a stale id can never silently swallow an unrelated
+    * later write. `INSERT OVERWRITE` refuses it: an overwrite is not
+    * a replayable micro-batch shape. */
   val BatchIdConf = "spark.graft.sql.batchId"
+
+  /** Read-and-consume the [[BatchIdConf]] around one SQL write: the
+    * conf resets whether the write applies or no-ops, and a
+    * non-numeric value fails before any data moves. */
+  private def withBatchId[A](spark: SparkSession)
+                            (f: Option[Long] => A): A = {
+    val batchId = spark.conf.getOption(BatchIdConf).map { raw =>
+      scala.util.Try(raw.trim.toLong).getOrElse(throw
+        new IllegalArgumentException(
+          s"$BatchIdConf must be a long, got '$raw'"))
+    }
+    try f(batchId)
+    finally batchId.foreach(_ => spark.conf.unset(BatchIdConf))
+  }
 
   private def requireHead(idx: ManifestFileIndex, verb: String): Unit =
     require(idx.versionAsOf.isEmpty,
@@ -290,16 +313,11 @@ object ManifestSql {
                                     idx: ManifestFileIndex, idCol: String,
                                     updates: DataFrame): Unit = {
     requireHead(idx, "MERGE INTO")
-    val batchId = spark.conf.getOption(BatchIdConf).map { raw =>
-      scala.util.Try(raw.trim.toLong).getOrElse(throw
-        new IllegalArgumentException(
-          s"$BatchIdConf must be a long, got '$raw'"))
-    }
-    try batchId match {
+    withBatchId(spark) {
       case Some(id) =>
         ManifestTable.upsertBatch(spark, idx.root, id, idCol, updates)
       case None => ManifestTable.upsert(spark, idx.root, idCol, updates)
-    } finally batchId.foreach(_ => spark.conf.unset(BatchIdConf))
+    }
     afterSqlWrite(spark, idx)
   }
 

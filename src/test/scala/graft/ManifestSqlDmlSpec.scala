@@ -90,6 +90,28 @@ class ManifestSqlDmlSpec extends SparkSpec {
     assert(sqlRows == scalaRows, "SQL MERGE must equal the Scala upsert twin")
   }
 
+  test("a batch-id INSERT INTO is ledgered: the replay no-ops; INSERT OVERWRITE refuses the conf") {
+    val (_, root) = freshTable("graft_sqlinsb", n = 20L)
+    graft.sources.ManifestSql.register(spark, "sqldml_insb", root)
+    spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "5")
+    spark.sql("INSERT INTO sqldml_insb VALUES (100, 'ins', 0)")
+    assert(spark.conf.getOption(graft.sources.ManifestSql.BatchIdConf).isEmpty,
+      "conf must auto-reset after the insert")
+    assert(spark.sql("SELECT count(*) FROM sqldml_insb").head().getLong(0) == 21L)
+    // same batch id, poisoned data: the ledger no-ops the replay
+    spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "5")
+    spark.sql("INSERT INTO sqldml_insb VALUES (999, 'MUST_NOT_APPLY', 0)")
+    assert(spark.sql("SELECT count(*) FROM sqldml_insb").head().getLong(0) == 21L,
+      "replayed batch-id INSERT applied twice")
+    // an overwrite is not a replayable micro-batch shape
+    spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "6")
+    val e = intercept[Exception](
+      spark.sql("INSERT OVERWRITE sqldml_insb VALUES (1, 'x', 0)"))
+    assert(e.getMessage.contains("not a replayable"))
+    assert(spark.conf.getOption(graft.sources.ManifestSql.BatchIdConf).isEmpty,
+      "a refused write must still consume the stale id")
+  }
+
   test("MERGE WHEN MATCHED THEN DELETE alone = key-list takedown") {
     import spark.implicits._
     val (_, root) = freshTable("graft_sqlmrgdel")
