@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.{AlterTableAddColumnsCommand,
-  LeafRunnableCommand}
+  LeafRunnableCommand, TruncateTableCommand}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.operators.ManifestTable
@@ -41,6 +41,18 @@ case class ManifestSqlAlter(spark: SparkSession) extends Rule[LogicalPlan] {
       case AlterTableAddColumnsCommand(ident, cols)
           if isManifestTable(ident) =>
         ManifestSqlAlter.AddColumnsCommand(ident, cols)
+
+      // Spark's V1 TRUNCATE deletes the files under the table
+      // location — on a manifest root that would erase ledger + data
+      // behind every reader's back. Rewrite it to the ledgered
+      // equivalent: one atomic empty-overwrite commit (schema and
+      // declarations carried, history time-travel-able, old files
+      // ordinary vacuum orphans).
+      case TruncateTableCommand(ident, partSpec)
+          if isManifestTable(ident) =>
+        require(partSpec.isEmpty,
+          "manifest tables have no partitions to truncate")
+        ManifestSqlAlter.TruncateCommand(ident)
     }
 
   private def isManifestTable(ident: TableIdentifier): Boolean = {
@@ -80,6 +92,33 @@ object ManifestSqlAlter {
       // schema-drift guard): the next resolution rebuilds from the
       // updated catalog entry against the evolved recorded schema
       cat.refreshTable(ident)
+      Seq.empty
+    }
+  }
+
+  /** TRUNCATE as a versioned ledger commit: overwrite with zero rows
+    * of the RECORDED schema — never a file deletion (see the rule's
+    * doc). History stays time travel-readable; the superseded files
+    * become ordinary vacuum orphans. */
+  case class TruncateCommand(ident: TableIdentifier)
+    extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      val meta = session.sessionState.catalog.getTableMetadata(ident)
+      val root = meta.storage.properties.get("path")
+        .orElse(meta.storage.locationUri.map(u =>
+          new org.apache.hadoop.fs.Path(u).toString))
+        .getOrElse(throw new IllegalStateException(
+          s"manifest catalog table ${ident.quotedString} has no path"))
+      val name = ident.quotedString
+      if (session.catalog.isCached(name)) session.catalog.uncacheTable(name)
+      val schema = StructType(meta.dataSchema.fields.map(
+        _.copy(nullable = true)))
+      ManifestTable.overwrite(session, root,
+        session.createDataFrame(new java.util.ArrayList[Row](), schema))
+      // drop the cached relation (its FileIndex pin predates the
+      // truncate) and any cached plans over the root
+      session.sessionState.catalog.refreshTable(ident)
+      session.catalog.refreshByPath(root)
       Seq.empty
     }
   }

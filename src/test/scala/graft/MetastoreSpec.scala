@@ -218,6 +218,40 @@ class MetastoreSpec extends SparkSpec {
     }
   }
 
+  test("TRUNCATE TABLE on a manifest catalog entry is a ledgered empty-overwrite, never a file deletion") {
+    requireHms()
+    import graft.operators.ManifestTable
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pmt").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root,
+      (0L until 50L).toDF("id").withColumn("payload", F.lit("p")))
+    try {
+      graft.api.Graft(spark, sf)
+        .registerManifest("pmt_corpus", root, persistent = true)
+      val v0 = ManifestTable.latest(root).get
+      spark.sql("TRUNCATE TABLE pmt_corpus")
+      val v1 = ManifestTable.latest(root).get
+      assert(v1.version == v0.version + 1,
+        "TRUNCATE must be one ledgered commit")
+      assert(spark.sql("SELECT count(*) FROM pmt_corpus")
+        .as[Long].head() == 0L)
+      // the pre-truncate files are STILL ON DISK (vacuum orphans, not
+      // victims of Spark's location-deleting V1 truncate) and history
+      // still time-travels
+      assert(v0.files.forall(f => new java.io.File(root, f).exists()),
+        "TRUNCATE must never delete files under the table root")
+      assert(ManifestTable.readVersion(spark, root, v0.version)
+        .count() == 50L, "pre-truncate history must stay readable")
+      // the table keeps living: schema carried, inserts land
+      spark.sql("INSERT INTO pmt_corpus VALUES (7, 'post')")
+      assert(spark.sql("SELECT count(*) FROM pmt_corpus")
+        .as[Long].head() == 1L)
+    } finally {
+      scala.util.Try(spark.sql("DROP TABLE IF EXISTS pmt_corpus"))
+    }
+  }
+
   test("bucketed-table metadata round-trips through the metastore") {
     requireHms()
     val buckets = 4
