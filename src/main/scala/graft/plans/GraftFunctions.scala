@@ -67,6 +67,48 @@ object GraftFunctions {
       graft.operators.ManifestTable.history(spark, root)
         .queryExecution.analyzed
     }),
+    // the per-file stats dashboard: one row per (file, declared stat
+    // column) with the recorded bounds/null counts, plus file-level
+    // rows/bytes/bloom — how an operator SEES pruning quality
+    // (overlapping bands = cluster it; missing blooms = raise the
+    // capacity). Metadata-scale: O(files × statCols) driver rows,
+    // zero data I/O.
+    "graft_files" -> (exprs => {
+      require(exprs.size == 1, "usage: graft_files('<table root>')")
+      val spark = SparkSession.active
+      val root = constArg(exprs(0), "graft_files", "root").toString
+      val snap = graft.operators.ManifestTable.latest(root).getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      val rows = snap.files.flatMap { f =>
+        snap.stats.get(f) match {
+          case None => Seq(org.apache.spark.sql.Row(
+            f, null, null, false, null, null, null, null))
+          case Some(payload) =>
+            val fs = graft.operators.ManifestStats.decodeCached(payload)
+            val bytes: java.lang.Long = if (fs.bytes >= 0) fs.bytes else null
+            if (fs.cols.isEmpty)
+              Seq(org.apache.spark.sql.Row(f, fs.rows, bytes,
+                fs.bloomRef.isDefined, null, null, null, null))
+            else fs.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+              org.apache.spark.sql.Row(f, fs.rows, bytes,
+                fs.bloomRef.isDefined, c,
+                cs.bounds.map(_._1).orNull, cs.bounds.map(_._2).orNull,
+                cs.nulls)
+            }
+        }
+      }
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("file", StringType, nullable = false),
+        StructField("rows", LongType), StructField("bytes", LongType),
+        StructField("bloom", BooleanType, nullable = false),
+        StructField("col", StringType), StructField("min", StringType),
+        StructField("max", StringType), StructField("nulls", LongType)))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schema).queryExecution.analyzed
+    }),
     // the change feed as a TVF (the table_changes idea): row-level
     // inserts/deletes between two versions, straight from the
     // manifest file diff — batch cost scales with the changed files

@@ -416,6 +416,19 @@ class PlanShapeSpec extends SparkSpec {
       .as[Long].head() == 200L, "graft_manifest(root, v) must pin v")
     assert(spark.sql(s"SELECT count(*) FROM graft_manifest('$root')")
       .as[Long].head() == 350L)
+    // the per-file stats dashboard: every live file reported with its
+    // recorded rows/bytes and the declared column's bounds
+    val files = spark.sql(s"SELECT * FROM graft_files('$root')")
+    val nLive = ManifestTable.latest(root).get.files.size
+    assert(files.count() == nLive.toLong,
+      "one row per (file, declared stat col) with a single stat col")
+    assert(files.filter(F.col("col") === "id" &&
+        F.col("min").isNotNull && F.col("max").isNotNull &&
+        F.col("bytes") > 0L && F.col("bloom")).count() == nLive.toLong,
+      "every file must report bounds, bytes, and its bloom")
+    assert(files.agg(F.sum(F.col("rows"))).head().getLong(0) == 350L,
+      "recorded per-file rows must sum to the table count")
+
     // the change-feed TVF equals the Scala feed, row for row
     val tvfChanges = spark.sql(
       s"SELECT * FROM graft_changes('$root', 4, 5)")
