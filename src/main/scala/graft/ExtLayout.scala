@@ -815,6 +815,50 @@ private[graft] object ExtLayout {
     }),
 
 
+    // GENERAL SQL MERGE — the full lakehouse shape in one ledgered
+    // statement: conditional matched DELETE (first-true-wins beats
+    // the update), PARTIAL conditional UPDATE (source-referencing
+    // expression, untouched columns carry), conditional NOT MATCHED
+    // INSERT with explicit column list, and NOT MATCHED BY SOURCE
+    // maintenance of source-absent rows — plus the POISONED same-
+    // batch-id replay the ledger must no-op. A wrong clause order, a
+    // whole-row widening of the partial update, an insert leaking
+    // past its condition, an NMBS arm hitting matched rows, or a
+    // double-applied merge each fails the hash.
+    "x_manifest_sql_merge" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_sqlgm")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      docs.createOrReplaceTempView("sqlgm_docs")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"), Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, root, docs)
+      graft.api.Graft(s, dir).registerManifest("sqlgm_corpus", root)
+      // matched arm: every %4=0 doc; unmatched arm: fresh negative
+      // keys derived from %6=0 docs (never collide with real ids)
+      s.sql("SELECT doc_id, lang, source FROM sqlgm_docs " +
+        "WHERE doc_id % 4 = 0 " +
+        "UNION ALL SELECT -doc_id - 1 AS doc_id, lang, source " +
+        "FROM sqlgm_docs WHERE doc_id % 6 = 0")
+        .createOrReplaceTempView("sqlgm_src")
+      val merge = "MERGE INTO sqlgm_corpus t USING sqlgm_src s " +
+        "ON t.doc_id = s.doc_id " +
+        "WHEN MATCHED AND s.lang = 'en' THEN DELETE " +
+        "WHEN MATCHED AND t.doc_id %% 8 = 0 " +
+        "THEN UPDATE SET lang = concat('%s', s.lang) " +
+        "WHEN NOT MATCHED AND s.lang IN ('en', 'de') " +
+        "THEN INSERT (doc_id, lang, source) VALUES (s.doc_id, s.lang, '%s') " +
+        "WHEN NOT MATCHED BY SOURCE AND t.doc_id %% 9 = 0 " +
+        "THEN UPDATE SET lang = 'stale'"
+      s.conf.set(graft.sources.ManifestSql.BatchIdConf, "300")
+      s.sql(merge.format("u_", "ins"))
+      // poisoned replay under the SAME batch id — the ledger no-ops
+      s.conf.set(graft.sources.ManifestSql.BatchIdConf, "300")
+      s.sql(merge.format("POISON_", "POISON"))
+      s.sql("SELECT doc_id, lang, source FROM sqlgm_corpus")
+    }),
+
+
     // snapshot time travel: three appends then a row-level delete —
     // the output reads version 2 (exactly the first two appends, BY
     // the manifest pointer, not a directory listing) alongside the
@@ -1198,6 +1242,21 @@ private[graft] object ExtLayout {
         "FROM documents " +
         "WHERE doc_id % 10 = 0 " +
         "OR (NOT (doc_id >= 40 AND doc_id < 60) AND doc_id % 13 <> 0)"),
+
+    // the general-merge fold: matched (%4=0) 'en' rows deleted first
+    // (clause order), surviving matched %8=0 rows partially updated
+    // from the source, unmatched %9=0 rows NMBS-stamped 'stale',
+    // en/de %6=0 docs re-keyed negative and inserted with source
+    // 'ins'; the poisoned replay invisible
+    "x_manifest_sql_merge" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 4 = 0 AND doc_id % 8 = 0 THEN 'u_' || lang " +
+        "WHEN doc_id % 4 <> 0 AND doc_id % 9 = 0 THEN 'stale' " +
+        "ELSE lang END AS lang, source " +
+        "FROM documents WHERE NOT (doc_id % 4 = 0 AND lang = 'en') " +
+        "UNION ALL " +
+        "SELECT -doc_id - 1 AS doc_id, lang, 'ins' AS source " +
+        "FROM documents WHERE doc_id % 6 = 0 AND lang IN ('en', 'de')"),
 
     // v2 = the first two appends exactly; v4 (latest) = all three
     // splits minus the deleted ids

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
-  IntegerType, LongType, ShortType, StructField, StructType}
+  IntegerType, LongType, NullType, ShortType, StructField, StructType}
 
 /** Manifest-pointer parquet table — compaction (and any rewrite)
   * safe under concurrent appends and live readers, without a table
@@ -1456,6 +1456,334 @@ object ManifestTable {
       }
       result.get
     } finally clearIntent(root, updToken)
+  }
+
+  /** One `WHEN MATCHED` / `WHEN NOT MATCHED BY SOURCE` clause of a
+    * general [[mergeInto]]: the first clause whose `condition` holds
+    * (None = unconditional) applies its action; later clauses and
+    * rows matching no clause are untouched. Conditions and update
+    * values evaluate over the MERGE FRAME: the target's columns
+    * under their own names, the source's under [[sourceCol]]
+    * (`__s_<name>`) — null for a `NOT MATCHED BY SOURCE` row, whose
+    * clauses therefore must reference target columns only. */
+  final case class WhenMatched(condition: Option[Column],
+                               action: MergeAction)
+  sealed trait MergeAction
+  /** Assign `assignments` (target column -> merge-frame expression);
+    * unassigned columns keep their row values. Assignments must not
+    * change a column's type — the recorded schema is every reader's
+    * planning contract, exactly as [[updateWhere]] enforces. */
+  final case class MergeUpdate(assignments: Map[String, Column])
+    extends MergeAction
+  /** Drop the row. */
+  case object MergeDelete extends MergeAction
+  /** One `WHEN NOT MATCHED [AND cond] THEN INSERT` clause: for a
+    * source row matching no target key, the first clause whose
+    * condition holds inserts a row built from `assignments` (target
+    * column -> expression over the source's [[sourceCol]] names);
+    * unassigned columns insert NULL. Source rows matching no insert
+    * clause are dropped, per SQL MERGE. */
+  final case class WhenNotMatched(condition: Option[Column],
+                                  assignments: Map[String, Column])
+
+  /** A source column inside a [[mergeInto]] clause expression: the
+    * merge frame exposes the source under the reserved `__s_` prefix
+    * so colliding names stay addressable on both sides. */
+  def sourceCol(name: String): Column = F.col(SourcePrefix + name)
+
+  private[graft] val SourcePrefix = "__s_"
+  private val MergeKeyCol = "__merge_key"
+  private val MergePresentCol = "__s_present"
+
+  /** GENERAL MERGE — the full SQL `MERGE INTO` shape ([[upsert]] is
+    * the whole-row fast path; this is everything else): conditional
+    * and partial `WHEN MATCHED THEN UPDATE/DELETE` clauses,
+    * conditional `WHEN NOT MATCHED THEN INSERT` clauses, and `WHEN
+    * NOT MATCHED BY SOURCE THEN UPDATE/DELETE` clauses, applied in
+    * declaration order (first true condition wins, per ANSI), in ONE
+    * atomic copy-on-write commit.
+    *
+    * Source rows must carry DISTINCT non-null `sourceKey` values —
+    * with duplicates, which source row updates a matched target row
+    * would be nondeterministic (the ANSI cardinality violation), so
+    * the merge refuses up front; null-keyed source rows match
+    * nothing and fall to the NOT MATCHED clauses. The target may
+    * hold several rows for one key (appends are unconstrained);
+    * every one of them matches and the fired clause applies to each.
+    *
+    * VICTIM PRUNING: matched-clause victims prune per KEY exactly
+    * like [[upsert]] (IN-list + Blooms for driver-sized batches, key
+    * range beyond — same operating envelope); `NOT MATCHED BY
+    * SOURCE` victims prune by the OR of their clause conditions
+    * through the same bounds/Bloom stats (an unconditional clause
+    * degrades to a full scan, necessarily: every unmatched row
+    * changes). Files with no row fired by any clause carry by
+    * reference untouched. Same optimistic commit +
+    * restart-on-conflicting-rewrite + snapshot-isolation semantics
+    * as [[deleteWhere]]/[[upsert]]: a concurrent append post-dates
+    * the match scan and lands unmerged.
+    *
+    * With `batchId` the commit carries the `#batch:<id>` ledger
+    * marker in the SAME atomic publish — a replayed merge (same id)
+    * no-ops, the [[upsertBatch]] exactly-once contract.
+    *
+    * Returns `Merge(snapshot, matchedRows, insertedRows)`:
+    * matchedRows = target rows a MATCHED clause fired on,
+    * insertedRows = rows the NOT MATCHED clauses inserted. */
+  def mergeInto(spark: SparkSession, root: String, idCol: String,
+                source: DataFrame, sourceKey: Column,
+                matched: Seq[WhenMatched] = Seq.empty,
+                notMatched: Seq[WhenNotMatched] = Seq.empty,
+                notMatchedBySource: Seq[WhenMatched] = Seq.empty,
+                batchId: Option[Long] = None,
+                beforeCommit: () => Unit = () => (),
+                maxRestarts: Int = 8): Merge = {
+    require(maxRestarts >= 1, "maxRestarts must be >= 1")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "mergeInto needs at least one clause")
+    val srcNames = source.columns.toSeq
+    require(srcNames.distinct == srcNames,
+      s"merge source has duplicate column names: ${srcNames.mkString(",")}")
+    require(!srcNames.exists(_.startsWith("__")),
+      "merge source column names must not start with '__' (reserved " +
+        "for the merge frame)")
+    def replayed(cur: Snapshot): Boolean =
+      batchId.exists(batchCommitted(cur, _))
+    latest(root) match {
+      case Some(head) if replayed(head) => return Merge(head, 0L, 0L)
+      case None =>
+        throw new IllegalStateException(s"no manifest at $root")
+      case _ => ()
+    }
+    // the source pins once: key first, columns under the __s_ prefix,
+    // plus the match marker the left-outer join nulls out
+    val src = source.select(
+      (sourceKey.as(MergeKeyCol) +:
+        srcNames.map(c => F.col(c).as(SourcePrefix + c))) :+
+        F.lit(true).as(MergePresentCol): _*)
+      .localCheckpoint(eager = true)
+    val srcKeys = src.select(MergeKeyCol).filter(F.col(MergeKeyCol).isNotNull)
+    val nSrcKeys = srcKeys.count()
+    require(srcKeys.distinct().count() == nSrcKeys,
+      s"mergeInto source must carry distinct '$MergeKeyCol' values — " +
+        "a duplicate key makes the matched update nondeterministic " +
+        "(the ANSI MERGE cardinality violation); de-duplicate the " +
+        "source first")
+    val keyPrune = idPrune(spark, idCol, srcKeys.distinct(), MergeKeyCol)
+    // null-safe first-true-wins: a NULL condition is NOT TRUE (ANSI)
+    def holds(c: Option[Column]): Column =
+      c.map(F.coalesce(_, F.lit(false))).getOrElse(F.lit(true))
+    def anyHolds(cs: Seq[WhenMatched]): Column =
+      cs.map(c => holds(c.condition)).reduce(_ || _)
+    def metaFor(cur: Snapshot): Seq[String] =
+      batchId.map(id => cur.meta :+ s"$BatchPrefix$id").getOrElse(cur.meta)
+
+    var restarts = 0
+    var result: Option[Merge] = None
+    while (result.isEmpty) {
+      val base = latest(root).getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      if (replayed(base)) { result = Some(Merge(base, 0L, 0L)) }
+      else {
+        // ---- victim discovery (pruned probes, driver-sized output)
+        // key candidates serve BOTH the matched probe and the insert
+        // anti-join: conservative superset of files that can hold a
+        // source key
+        val keyFiles =
+          if (base.files.isEmpty) Seq.empty
+          else keyPrune.map(candidateFiles(spark, root, base, _))
+            .getOrElse(base.files)
+        val nmbsFiles =
+          if (notMatchedBySource.isEmpty || base.files.isEmpty) Seq.empty
+          else candidateFiles(spark, root, base,
+            anyHolds(notMatchedBySource))
+        def scanOf(files: Seq[String]): DataFrame =
+          readSnapshot(spark, root, base.copy(files = files))
+            .withColumn("__file", F.input_file_name())
+        // per-file fired-row counts, matched and not-matched-by-source
+        // tagged apart — ONE pushed-down job over the union
+        val mProbe =
+          if (matched.isEmpty || keyFiles.isEmpty) None
+          else {
+            val scan = scanOf(keyFiles)
+            Some(scan
+              .join(src, scan(idCol) === src(MergeKeyCol), "inner")
+              .filter(anyHolds(matched))
+              .select(F.col("__file"), F.lit(true).as("__m")))
+          }
+        val nProbe =
+          if (nmbsFiles.isEmpty) None
+          else {
+            val scan = scanOf(nmbsFiles)
+            Some(scan
+              .join(srcKeys, scan(idCol) === srcKeys(MergeKeyCol),
+                "left_anti")
+              .filter(anyHolds(notMatchedBySource))
+              .select(F.col("__file"), F.lit(false).as("__m")))
+          }
+        val perFile = (mProbe ++ nProbe).reduceOption(_ unionByName _)
+          .map(_.groupBy("__file")
+            .agg(F.sum(F.when(F.col("__m"), 1L).otherwise(0L)).as("m"))
+            .collect().map(r => (r.getString(0), r.getLong(1))))
+          .getOrElse(Array.empty[(String, Long)])
+        val hitRel = perFile.iterator.map(x => relPathOf(x._1)).toSet
+        val affected = base.files.filter(hitRel)
+        val matchedRows = perFile.map(_._2).sum
+        // ---- the rewritten victims: left-outer the source onto the
+        // affected rows, fold the clauses first-true-wins
+        val rewritten =
+          if (affected.isEmpty) None
+          else {
+            val victims = readSnapshot(spark, root,
+              base.copy(files = affected))
+            val unknown = (matched ++ notMatchedBySource).flatMap {
+              case WhenMatched(_, MergeUpdate(as)) => as.keys
+              case _ => Nil
+            }.toSet -- victims.columns.toSet
+            require(unknown.isEmpty,
+              "merge UPDATE assigns to unknown column(s): " +
+                unknown.mkString(","))
+            val frame = victims.join(src,
+              victims(idCol) === src(MergeKeyCol), "left_outer")
+            val isM = F.coalesce(F.col(MergePresentCol), F.lit(false))
+            // clause index: matched clauses 0.., NMBS clauses offset
+            // by the matched count; -1 = untouched
+            val allClauses = matched ++ notMatchedBySource
+            val clauseIdx = allClauses.zipWithIndex.foldRight(
+              F.lit(-1): Column) { case ((cl, i), rest) =>
+              val side = if (i < matched.size) isM else !isM
+              F.when(side && holds(cl.condition), F.lit(i)).otherwise(rest)
+            }
+            val tagged = frame.withColumn("__clause", clauseIdx)
+            val dropIdx = allClauses.zipWithIndex.collect {
+              case (WhenMatched(_, MergeDelete), i) => i }
+            val kept =
+              if (dropIdx.isEmpty) tagged
+              else tagged.filter(!F.col("__clause")
+                .isInCollection(dropIdx.map(Int.box)))
+            Some(kept.select(victims.columns.toIndexedSeq.map { c =>
+              val folded = allClauses.zipWithIndex.foldRight(
+                victims(c)) { case ((cl, i), rest) =>
+                cl.action match {
+                  case MergeUpdate(as) if as.contains(c) =>
+                    F.when(F.col("__clause") === i, as(c)).otherwise(rest)
+                  case _ => rest
+                }
+              }
+              folded.as(c)
+            }: _*))
+          }
+        // ---- the inserts: source rows matching NO target key, first
+        // insert clause wins, unassigned columns NULL
+        val targetSchema = recordedSchema(base).getOrElse(
+          rewritten.map(r => r.schema).getOrElse(
+            if (base.files.isEmpty) StructType(Seq.empty)
+            else readSnapshot(spark, root, base).schema))
+        val inserts =
+          if (notMatched.isEmpty) None
+          else {
+            val unmatched =
+              if (base.files.isEmpty || keyFiles.isEmpty) src
+              else {
+                val keys = readSnapshot(spark, root,
+                  base.copy(files = keyFiles)).select(idCol)
+                src.join(keys, src(MergeKeyCol) === keys(idCol),
+                  "left_anti")
+              }
+            val iIdx = notMatched.zipWithIndex.foldRight(
+              F.lit(-1): Column) { case ((cl, i), rest) =>
+              F.when(holds(cl.condition), F.lit(i)).otherwise(rest)
+            }
+            val fired = unmatched.withColumn("__iclause", iIdx)
+              .filter(F.col("__iclause") >= 0)
+            val cols =
+              if (targetSchema.nonEmpty) targetSchema.fields.toSeq
+              else {
+                // empty un-seeded table: the insert clauses define the
+                // shape — every assigned column, in first-clause order
+                val names = notMatched.flatMap(_.assignments.keys).distinct
+                require(names.nonEmpty, "mergeInto into an empty " +
+                  "schemaless table needs at least one INSERT assignment")
+                names.map(n => StructField(n, NullType))
+              }
+            val nullRest: StructField => Column = f =>
+              if (targetSchema.nonEmpty) F.lit(null).cast(f.dataType)
+              else F.lit(null)
+            Some(fired.select(cols.map { f =>
+              val v = notMatched.zipWithIndex.foldRight(nullRest(f)) {
+                case ((cl, i), rest) =>
+                  cl.assignments.get(f.name) match {
+                    case Some(e) => F.when(F.col("__iclause") === i, e)
+                      .otherwise(rest)
+                    case None => rest
+                  }
+              }
+              (if (targetSchema.nonEmpty) v.cast(f.dataType) else v)
+                .as(f.name)
+            }: _*))
+          }
+        // type-safety: a rewrite must not change the recorded shape
+        rewritten.foreach { r =>
+          val before = readSnapshot(spark, root,
+            base.copy(files = affected)).schema
+          before.fields.zip(r.schema.fields).foreach { case (a, b) =>
+            require(a.dataType.catalogString == b.dataType.catalogString,
+              s"merge assignment changes column '${a.name}' from " +
+                s"${a.dataType.catalogString} to ${b.dataType.catalogString}")
+          }
+        }
+        val insertsPinned = inserts.map(_.localCheckpoint(eager = true))
+        val insertedRows = insertsPinned.map(_.count()).getOrElse(0L)
+        val outFrames = rewritten.toSeq ++
+          insertsPinned.filter(_ => insertedRows > 0L)
+        if (outFrames.isEmpty) {
+          // nothing fired: no-op — unless the ledger marker must land
+          if (batchId.isEmpty) result = Some(Merge(base, 0L, 0L))
+          else {
+            val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
+            if (replayed(cur)) result = Some(Merge(cur, 0L, 0L))
+            else if (tryCommit(root, cur.version + 1, cur.files,
+              metaFor(cur), cur.schemaJson, cur.stats))
+              result = Some(Merge(Snapshot(cur.version + 1, cur.files,
+                metaFor(cur), cur.schemaJson, cur.stats), 0L, 0L))
+          }
+        } else {
+          val out = outFrames.reduce(_ unionByName _)
+          val (newFiles, token, newStats) =
+            writeData(spark, root, out, statSpecOf(Some(base)))
+          try {
+            beforeCommit()
+            val affectedSet = affected.toSet
+            var retryScan = false
+            while (result.isEmpty && !retryScan) {
+              val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
+              if (replayed(cur)) result = Some(Merge(cur, 0L, 0L))
+              else if (!affectedSet.subsetOf(cur.files.toSet)) {
+                restarts += 1
+                if (restarts >= maxRestarts)
+                  throw new IllegalStateException(
+                    s"mergeInto at $root lost $restarts consecutive " +
+                      "rewrite races; pause compaction or raise maxRestarts")
+                retryScan = true
+              } else {
+                val files = cur.files.filterNot(affectedSet) ++ newFiles
+                val sc = Some(mergeSchemaJson(
+                  seededSchemaJson(spark, root, cur), out.schema,
+                  reservedNames(cur.meta)))
+                val stats = cur.stats ++ newStats
+                if (tryCommit(root, cur.version + 1, files, metaFor(cur),
+                  sc, stats))
+                  result = Some(Merge(
+                    Snapshot(cur.version + 1, files, metaFor(cur), sc,
+                      liveStats(files, stats)),
+                    matchedRows, insertedRows))
+              }
+            }
+          } finally clearIntent(root, token)
+        }
+      }
+    }
+    result.get
   }
 
   /** The files of `snap` that MAY contain rows matching `predicate`,

@@ -42,16 +42,23 @@ import graft.sources.ManifestSql
   *    or `upsertBatch` when [[ManifestSql.BatchIdConf]] is set, so a
   *    replayed MERGE no-ops against the batch ledger;
   *  - `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN DELETE`
-  *    (alone) → `ManifestTable.deleteIds` — the key-list takedown.
+  *    (alone) → `ManifestTable.deleteIds` — the key-list takedown;
+  *  - every OTHER merge shape — conditional matched clauses, partial
+  *    `UPDATE SET c = e`, multiple WHEN arms, conditional inserts,
+  *    `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE` —
+  *    → `ManifestTable.mergeInto`, the general copy-on-write merge
+  *    (clauses translated with source attributes re-addressed under
+  *    the merge frame's `__s_` prefix).
   *
-  * Everything else refuses LOUDLY with the exact unsupported piece
-  * named: conditional/partial merge actions, composite ON keys,
-  * `NOT MATCHED BY SOURCE`, subqueries in DML predicates (the v2
-  * rewrite they would need has no V1 seam), and time-travel
-  * registrations (writes need the head). Predicates and update
-  * values re-resolve BY NAME against the table's fresh read frame —
-  * the rule's plan-time attributes belong to the registration's
-  * pinned snapshot, the write's victim scan runs against the head. */
+  * Still refused LOUDLY with the exact unsupported piece named:
+  * composite or non-equality ON keys (the manifest upsert merges by
+  * one key column), `WITH SCHEMA EVOLUTION`, subqueries in DML
+  * predicates (the v2 rewrite they would need has no V1 seam), and
+  * time-travel registrations (writes need the head). Predicates and
+  * update values re-resolve BY NAME against the table's fresh read
+  * frame — the rule's plan-time attributes belong to the
+  * registration's pinned snapshot, the write's victim scan runs
+  * against the head. */
 case class ManifestSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
   import ManifestSqlDml._
@@ -81,33 +88,29 @@ case class ManifestSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
       case m @ MergeIntoTable(tgt @ ManifestTarget(idx), source, cond,
           matched, notMatched, notMatchedBySource, withSchemaEvolution)
-          if m.childrenResolved =>
-        require(notMatchedBySource.isEmpty,
-          "manifest SQL MERGE does not support WHEN NOT MATCHED BY " +
-            "SOURCE — express source-absent maintenance as a second " +
-            "DELETE/UPDATE statement")
+          if m.childrenResolved && m.expressions.forall(_.resolved) =>
         require(!withSchemaEvolution,
           "manifest SQL MERGE does not support WITH SCHEMA EVOLUTION — " +
             "evolve the schema with an append or ALTER first")
         refuseSubquery(cond, "MERGE")
         val idKey = mergeKeyOf(tgt, source, cond)
-        (matched, notMatched) match {
+        (matched, notMatched, notMatchedBySource) match {
           // upsert shape: UPDATE SET * + INSERT * (whole-row
-          // replace-or-insert — the CDC apply shape)
+          // replace-or-insert — the CDC apply shape); kept as a fast
+          // path: the update rows append directly, no join rewrite
           case (Seq(UpdateAction(None, uAssigns, _)),
-                Seq(InsertAction(None, iAssigns))) =>
+                Seq(InsertAction(None, iAssigns)), Seq()) =>
             val plan = upsertPlanOf(tgt, idKey, uAssigns, iAssigns)
             ManifestMergeUpsertCommand(idx, idKey.name, source, plan)
           // key-list delete shape: WHEN MATCHED THEN DELETE alone
-          case (Seq(DeleteAction(None)), Seq()) =>
+          case (Seq(DeleteAction(None)), Seq(), Seq()) =>
             ManifestMergeDeleteCommand(idx, idKey.name, source,
               stripCast(idKey.sourceSide))
-          case _ => throw new UnsupportedOperationException(
-            "manifest SQL MERGE supports exactly 'WHEN MATCHED THEN " +
-              "UPDATE SET * WHEN NOT MATCHED THEN INSERT *' (upsert) " +
-              "or 'WHEN MATCHED THEN DELETE' alone — conditional or " +
-              "partial merge actions have no whole-row manifest " +
-              "equivalent; use the ManifestTable Scala API")
+          // everything else — conditional / partial / multi-clause /
+          // NOT MATCHED BY SOURCE — is the general copy-on-write merge
+          case _ =>
+            generalMerge(idx, idKey, tgt, source,
+              matched, notMatched, notMatchedBySource)
         }
     }
 }
@@ -146,8 +149,11 @@ object ManifestSqlDml {
     * their reconstruction eagerly computes `dataType`, which an
     * injected [[UnresolvedAttribute]] cannot answer. Inlining
     * duplicates the shared sub-expression; the re-analysis of the
-    * writer's filter re-extracts it. */
-  private def byName(e: Expression): Column = {
+    * writer's filter re-extracts it. `rename` picks the name each
+    * attribute re-resolves under — the merge translator maps source
+    * attrs to their merge-frame `__s_` alias through it. */
+  private def byNameWith(e: Expression)
+                        (rename: AttributeReference => String): Column = {
     import org.apache.spark.sql.catalyst.expressions.{CommonExpressionRef,
       With}
     val inlined = e.transformUp {
@@ -158,8 +164,68 @@ object ManifestSqlDml {
         }
     }
     graftbridge.toColumn(inlined.transform {
-      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      case a: AttributeReference => UnresolvedAttribute.quoted(rename(a))
     })
+  }
+
+  private def byName(e: Expression): Column = byNameWith(e)(_.name)
+
+  /** Translate the GENERAL MERGE shape — conditional / partial /
+    * multi-clause / `NOT MATCHED BY SOURCE` — into
+    * [[graft.operators.ManifestTable.mergeInto]] clauses. Plan-time
+    * expressions re-resolve by name over the writer's merge frame:
+    * target attributes under their own names, source attributes
+    * under the frame's `__s_` prefix ([[graft.operators.ManifestTable
+    * .sourceCol]]) — so colliding names stay unambiguous. Assignment
+    * values cast to the target column's type exactly as UPDATE's do;
+    * subqueries refuse in every clause. */
+  private def generalMerge(idx: ManifestSql.ManifestFileIndex,
+                           idKey: MergeKey, tgt: LogicalPlan,
+                           source: LogicalPlan,
+                           matched: Seq[MergeAction],
+                           notMatched: Seq[MergeAction],
+                           notMatchedBySource: Seq[MergeAction])
+      : LogicalPlan = {
+    import graft.operators.{ManifestTable => MT}
+    val tgtSet = tgt.outputSet
+    def overFrame(e: Expression): Column = {
+      refuseSubquery(e, "MERGE")
+      byNameWith(e)(a =>
+        if (tgtSet.contains(a)) a.name else MT.SourcePrefix + a.name)
+    }
+    def assignsOf(as: Seq[Assignment], which: String)
+        : Map[String, Column] =
+      as.map {
+        case Assignment(k: AttributeReference, v) =>
+          val col = overFrame(v)
+          k.name -> (if (v.dataType == k.dataType) col
+            else col.cast(k.dataType))
+        case Assignment(other, _) => throw new UnsupportedOperationException(
+          s"manifest SQL MERGE $which assigns whole columns only — " +
+            s"'${other.sql}' is not a column of the target table")
+      }.toMap
+    def matchedOf(which: String)(a: MergeAction): MT.WhenMatched = a match {
+      case UpdateAction(c, as, _) =>
+        MT.WhenMatched(c.map(overFrame), MT.MergeUpdate(assignsOf(as, which)))
+      case DeleteAction(c) =>
+        MT.WhenMatched(c.map(overFrame), MT.MergeDelete)
+      case other => throw new UnsupportedOperationException(
+        s"manifest SQL MERGE $which supports UPDATE and DELETE " +
+          s"actions only; got ${other.getClass.getSimpleName}")
+    }
+    val nm = notMatched.map {
+      case InsertAction(c, as) =>
+        MT.WhenNotMatched(c.map(overFrame), assignsOf(as, "INSERT"))
+      case other => throw new UnsupportedOperationException(
+        "manifest SQL MERGE WHEN NOT MATCHED supports INSERT only; " +
+          s"got ${other.getClass.getSimpleName}")
+    }
+    // the ON key evaluates over the BARE source frame (original
+    // names) — it feeds the merge key before the frame renames
+    val sourceKey = byName(idKey.sourceSide)
+    ManifestMergeIntoCommand(idx, idKey.name, source, sourceKey,
+      matched.map(matchedOf("UPDATE")), nm,
+      notMatchedBySource.map(matchedOf("NOT MATCHED BY SOURCE")))
   }
 
   private def refuseSubquery(e: Expression, verb: String): Unit =
@@ -279,6 +345,27 @@ object ManifestSqlDml {
         .select(projection.map { case (name, e) =>
           graftbridge.toColumn(e).as(name) }: _*)
       ManifestSql.sqlMergeUpsert(session, index, idCol, updates)
+      Seq.empty
+    }
+  }
+
+  /** General MERGE: clause-translated [[graft.operators.ManifestTable
+    * .mergeInto]] over the analyzed source plan — conditional,
+    * partial, multi-clause, and `NOT MATCHED BY SOURCE` shapes,
+    * ledgered under [[ManifestSql.BatchIdConf]] exactly like the
+    * upsert fast path. */
+  case class ManifestMergeIntoCommand(
+      index: ManifestSql.ManifestFileIndex, idCol: String,
+      source: LogicalPlan, sourceKey: Column,
+      matched: Seq[graft.operators.ManifestTable.WhenMatched],
+      notMatched: Seq[graft.operators.ManifestTable.WhenNotMatched],
+      notMatchedBySource: Seq[graft.operators.ManifestTable.WhenMatched])
+    extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(source)
+    override def run(session: SparkSession): Seq[Row] = {
+      ManifestSql.sqlMergeInto(session, index, idCol,
+        graftbridge.ofRows(session, source), sourceKey,
+        matched, notMatched, notMatchedBySource)
       Seq.empty
     }
   }

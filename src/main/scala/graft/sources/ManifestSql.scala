@@ -321,6 +321,29 @@ object ManifestSql {
     afterSqlWrite(spark, idx)
   }
 
+  /** The ONE owner of GENERAL SQL `MERGE INTO` semantics — every
+    * shape beyond the whole-row upsert and key-list-delete fast
+    * paths: conditional/partial `WHEN MATCHED THEN UPDATE/DELETE`,
+    * conditional `WHEN NOT MATCHED THEN INSERT`, and `WHEN NOT
+    * MATCHED BY SOURCE` clauses, through the copy-on-write
+    * [[ManifestTable.mergeInto]]. [[BatchIdConf]] makes it ledgered
+    * exactly as the upsert shape. */
+  private[graft] def sqlMergeInto(spark: SparkSession,
+                                  idx: ManifestFileIndex, idCol: String,
+                                  source: DataFrame,
+                                  sourceKey: org.apache.spark.sql.Column,
+                                  matched: Seq[ManifestTable.WhenMatched],
+                                  notMatched: Seq[ManifestTable.WhenNotMatched],
+                                  notMatchedBySource:
+                                    Seq[ManifestTable.WhenMatched]): Unit = {
+    requireHead(idx, "MERGE INTO")
+    withBatchId(spark) { id =>
+      ManifestTable.mergeInto(spark, idx.root, idCol, source, sourceKey,
+        matched, notMatched, notMatchedBySource, batchId = id)
+    }
+    afterSqlWrite(spark, idx)
+  }
+
   /** The ONE owner of SQL delete-shaped `MERGE INTO` semantics
     * (`WHEN MATCHED THEN DELETE`, no other clauses): delete target
     * rows whose ON key appears in the source —

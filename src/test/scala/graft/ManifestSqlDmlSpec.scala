@@ -140,7 +140,7 @@ class ManifestSqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_cat")
   }
 
-  test("the refusal surface: time travel, partial merges, composite keys, subqueries, NOT MATCHED BY SOURCE") {
+  test("the refusal surface: time travel, composite keys, subqueries, duplicate source keys") {
     import spark.implicits._
     val (_, root) = freshTable("graft_sqldmlref")
     graft.sources.ManifestSql.register(spark, "sqldml_ref", root)
@@ -154,27 +154,97 @@ class ManifestSqlDmlSpec extends SparkSpec {
         s"expected '$needle' in: ${e.getMessage}")
     }
     refuse("DELETE FROM sqldml_ref_v1 WHERE id = 1", "time travel is read-only")
-    refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s ON t.id = s.id " +
-      "WHEN MATCHED THEN UPDATE SET v = s.v", "supports exactly")
-    // partial UPDATE alongside INSERT *: the star-shape validator
-    refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s ON t.id = s.id " +
-      "WHEN MATCHED THEN UPDATE SET v = 'other' " +
-      "WHEN NOT MATCHED THEN INSERT *", "identical per column")
     refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s " +
       "ON t.id = s.id AND t.v = s.v " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
       "ONE key column")
     refuse("DELETE FROM sqldml_ref WHERE id IN (SELECT id FROM sqldml_ref_src)",
       "subqueries")
+    // the general merge path refuses subqueries in clause conditions
     refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s ON t.id = s.id " +
-      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
-      "WHEN NOT MATCHED BY SOURCE THEN DELETE", "NOT MATCHED BY SOURCE")
-    // conditional matched actions refuse too
-    refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s ON t.id = s.id " +
-      "WHEN MATCHED AND s.n > 0 THEN UPDATE SET * " +
-      "WHEN NOT MATCHED THEN INSERT *", "supports exactly")
+      "WHEN MATCHED AND t.n > (SELECT max(n) FROM sqldml_ref_src) " +
+      "THEN UPDATE SET v = 'x'", "subqueries")
+    // the ANSI cardinality violation: duplicate source keys refuse
+    (Seq(1L, 1L)).toDF("id").withColumn("v", F.lit("dup"))
+      .createOrReplaceTempView("sqldml_ref_dup")
+    refuse("MERGE INTO sqldml_ref t USING sqldml_ref_dup s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v", "distinct")
     // a non-manifest target is untouched by the rule (stock error)
     (0L until 3L).toDF("id").createOrReplaceTempView("sqldml_plain")
     intercept[Exception](spark.sql("DELETE FROM sqldml_plain WHERE id = 1"))
+  }
+
+  test("general MERGE: conditional matched clauses first-true-wins, partial updates, conditional inserts, NOT MATCHED BY SOURCE") {
+    import spark.implicits._
+    val (_, root) = freshTable("graft_sqlgm")
+    graft.sources.ManifestSql.register(spark, "sqldml_gm", root)
+    (50L until 120L).toDF("id")
+      .withColumn("sv", F.concat(F.lit("s"), F.col("id")))
+      .withColumn("cat", F.col("id") % 2)
+      .createOrReplaceTempView("sqldml_gm_src")
+    spark.sql("""
+      MERGE INTO sqldml_gm t USING sqldml_gm_src s ON t.id = s.id
+      WHEN MATCHED AND t.id % 10 = 0 THEN DELETE
+      WHEN MATCHED AND s.cat = 1 THEN UPDATE SET v = concat(t.v, '+', s.sv)
+      WHEN NOT MATCHED AND s.id < 110 THEN INSERT (id, v) VALUES (s.id, s.sv)
+      WHEN NOT MATCHED BY SOURCE AND t.id < 5 THEN UPDATE SET n = -1
+      WHEN NOT MATCHED BY SOURCE AND t.id >= 45 AND t.id < 50 THEN DELETE
+    """)
+    val rows = ManifestTable.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else Long.box(r.getLong(2)))).toSeq
+    val expected = (
+      // unmatched target rows: first NMBS clause stamps n=-1 under 5,
+      // second drops 45..49, everyone else untouched
+      (0L until 45L).map(id => (id, s"row$id",
+        Long.box(if (id < 5) -1L else id * 2))) ++
+      // matched rows: %10=0 deleted first (clause order beats the
+      // update), odd ids partially updated (n untouched), evens stay
+      (50L until 100L).filter(_ % 10 != 0).map(id => (id,
+        if (id % 2 == 1) s"row$id+s$id" else s"row$id", Long.box(id * 2))) ++
+      // conditional inserts: unassigned n inserts NULL
+      (100L until 110L).map(id => (id, s"s$id", null: java.lang.Long))
+    ).sortBy(_._1)
+    assert(rows == expected)
+  }
+
+  test("a general (conditional) MERGE is ledgered under a batch id; the no-op shape still commits the marker") {
+    import spark.implicits._
+    val (_, root) = freshTable("graft_sqlgmb", n = 30L)
+    graft.sources.ManifestSql.register(spark, "sqldml_gmb", root)
+    (20L until 40L).toDF("id").withColumn("sv", F.lit("g"))
+      .createOrReplaceTempView("sqldml_gmb_src")
+    val merge = "MERGE INTO sqldml_gmb t USING sqldml_gmb_src s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED AND t.id %% 2 = 0 THEN UPDATE SET v = '%s' " +
+      "WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, '%s', 0)"
+    spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "21")
+    spark.sql(merge.format("upd", "ins"))
+    assert(spark.conf.getOption(graft.sources.ManifestSql.BatchIdConf).isEmpty)
+    // poisoned replay under the same id: the ledger no-ops
+    spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "21")
+    spark.sql(merge.format("POISON", "POISON"))
+    val counts = spark.sql("SELECT sum(CASE WHEN v = 'upd' THEN 1 ELSE 0 " +
+      "END) AS u, sum(CASE WHEN v = 'ins' THEN 1 ELSE 0 END) AS i, " +
+      "sum(CASE WHEN v LIKE 'POISON%' THEN 1 ELSE 0 END) AS p, " +
+      "count(*) AS n FROM sqldml_gmb").head()
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2),
+      counts.getLong(3)) == ((5L, 10L, 0L, 40L)))
+    // a merge that fires NOTHING still publishes its batch marker in
+    // one commit, so ITS replay no-ops too
+    (500L until 505L).toDF("id").withColumn("sv", F.lit("z"))
+      .createOrReplaceTempView("sqldml_gmb_src2")
+    val v0 = ManifestTable.latest(root).get.version
+    spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "22")
+    spark.sql("MERGE INTO sqldml_gmb t USING sqldml_gmb_src2 s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = 'never'")
+    assert(ManifestTable.latest(root).get.version == v0 + 1,
+      "the marker-only commit must land")
+    assert(ManifestTable.isBatchCommitted(root, 22L))
+    spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "22")
+    spark.sql("MERGE INTO sqldml_gmb t USING sqldml_gmb_src2 s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = 'never'")
+    assert(ManifestTable.latest(root).get.version == v0 + 1,
+      "the replayed no-op merge must not commit again")
   }
 }

@@ -1202,4 +1202,60 @@ class ManifestTableSpec extends SparkSpec {
       scala.util.Try(spark.sql("DROP TABLE IF EXISTS dfw_ctas"))
     }
   }
+
+  test("mergeInto rewrites ONLY files a clause fires on; matched-but-unfired rows carry by reference") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gmerge").toString
+    ManifestTable.init(root, Seq("id"), Seq("id"))
+    ManifestTable.append(spark, root, batch(0, 50))    // file(s) A
+    val fileA = ManifestTable.latest(root).get.files
+    ManifestTable.append(spark, root, batch(50, 100))  // file(s) B
+    // source keys live ONLY in B's range; conditions fire on some
+    val src = (60L until 80L).toDF("sid")
+      .withColumn("stag", F.concat(F.lit("m"), F.col("sid")))
+    val m = ManifestTable.mergeInto(spark, root, "id", src, F.col("sid"),
+      matched = Seq(ManifestTable.WhenMatched(
+        Some(F.col("id") % 2 === 0),
+        ManifestTable.MergeUpdate(Map(
+          "payload" -> ManifestTable.sourceCol("stag"))))))
+    val after = ManifestTable.latest(root).get.files
+    assert(fileA.forall(after.contains),
+      "files without a fired row must carry by reference")
+    assert(m.matchedRows == 10L && m.insertedRows == 0L)
+    val got = ManifestTable.read(spark, root)
+      .filter(F.col("id").between(60, 79))
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    (60L until 80L).foreach { id =>
+      assert(got(id) == (if (id % 2 == 0) s"m$id" else s"row$id"))
+    }
+    // a merge whose clauses fire on NOTHING is a version-preserving
+    // no-op (no batch id, no rewrite, no commit)
+    val v = ManifestTable.latest(root).get.version
+    val m2 = ManifestTable.mergeInto(spark, root, "id", src, F.col("sid"),
+      matched = Seq(ManifestTable.WhenMatched(
+        Some(F.lit(false)), ManifestTable.MergeDelete)))
+    assert(m2.snapshot.version == v && m2.matchedRows == 0L)
+    assert(ManifestTable.latest(root).get.version == v)
+  }
+
+  test("mergeInto insert-only against an empty schemaless table defines the shape from its assignments") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gmerge0").toString
+    ManifestTable.init(root)
+    val src = (0L until 5L).toDF("sid")
+      .withColumn("sval", F.concat(F.lit("v"), F.col("sid")))
+    val m = ManifestTable.mergeInto(spark, root, "id", src, F.col("sid"),
+      notMatched = Seq(ManifestTable.WhenNotMatched(None, Map(
+        "id" -> ManifestTable.sourceCol("sid"),
+        "payload" -> ManifestTable.sourceCol("sval")))))
+    assert(m.insertedRows == 5L)
+    assert(ids(root) == (0L until 5L).toSet)
+    assert(ManifestTable.read(spark, root).columns.toSeq ==
+      Seq("id", "payload"))
+    // and a second merge against the now-populated table matches
+    val m2 = ManifestTable.mergeInto(spark, root, "id", src, F.col("sid"),
+      matched = Seq(ManifestTable.WhenMatched(None, ManifestTable.MergeDelete)),
+      notMatched = Seq(ManifestTable.WhenNotMatched(None, Map(
+        "id" -> ManifestTable.sourceCol("sid")))))
+    assert(m2.matchedRows == 5L && m2.insertedRows == 0L)
+    assert(ManifestTable.read(spark, root).count() == 0L)
+  }
 }
