@@ -707,6 +707,62 @@ private[graft] object ExtLayout {
     }),
 
 
+    // the REGISTERED streaming SINK closes the loop: readStream
+    // (graft-cdf) → writeStream (graft-manifest) is a manifest-to-
+    // manifest pipeline with ZERO foreachBatch code — every micro-
+    // batch commits through the #batch ledger, so the engine's
+    // replays no-op. Two sinks drain the same feed: append mode
+    // journals the raw change rows; update mode replace-or-inserts
+    // the insert rows by doc_id (the CDC state shape). The grade: a
+    // restart delivers nothing, and a WIPED-checkpoint replay (same
+    // deterministic batch id) must no-op in BOTH sink ledgers — a
+    // sink that double-appends or double-merges fails the hash.
+    "x_stream_manifest_sink" -> ((s, dir) => {
+      val src = layoutDir(dir, "msink_src")
+      val aSink = layoutDir(dir, "msink_feed")
+      val uSink = layoutDir(dir, "msink_state")
+      val ckA = layoutDir(dir, "msink_cka")
+      val ckU = layoutDir(dir, "msink_cku")
+      Seq(src, aSink, uSink, ckA, ckU)
+        .foreach(r => deleteRec(new java.io.File(r)))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      graft.operators.ManifestTable.init(src)
+      graft.operators.ManifestTable.append(s, src,
+        docs.filter(F.col("doc_id") % 3 === 0)) // v1
+      graft.operators.ManifestTable.append(s, src,
+        docs.filter(F.col("doc_id") % 3 === 1)) // v2
+      graft.operators.ManifestTable.deleteWhere(s, src,
+        F.col("doc_id") % 5 === 0)              // v3
+      def run(): Unit = graft.ScopedShufflePartitions(s) {
+        def feed() = s.readStream.format("graft-cdf")
+          .option("path", src).load()
+        val qa = feed().writeStream.format("graft-manifest")
+          .option("path", aSink)
+          .option("checkpointLocation", ckA)
+          .outputMode("append").start()
+        val qu = feed().filter(F.col("_change_type") === "insert")
+          .select("doc_id", "lang", "source")
+          .writeStream.format("graft-manifest")
+          .option("path", uSink).option("mergeKey", "doc_id")
+          .option("checkpointLocation", ckU)
+          .outputMode("update").start()
+        try { qa.processAllAvailable(); qu.processAllAvailable() }
+        finally { qa.stop(); qu.stop() }
+      }
+      run() // both sinks drain the 3-version feed as batch 0
+      run() // restart: the offset logs deliver nothing
+      Seq(ckA, ckU).foreach(c => deleteRec(new java.io.File(c)))
+      run() // wiped checkpoints: batch 0 replays — both ledgers no-op
+      graft.operators.ManifestTable.read(s, aSink)
+        .withColumn("arm", F.lit("feed"))
+        .unionByName(graft.operators.ManifestTable.read(s, uSink)
+          .withColumn("_change_type", F.lit("state"))
+          .withColumn("_commit_version", F.lit(-1L))
+          .withColumn("arm", F.lit("state")))
+    }),
+
+
     // SQL WRITE PATH through the front door: INSERT INTO appends via
     // the ledgered commit (two SQL batches land as v2/v3), a
     // SQL-SOURCED merge applies exactly once (upsertBatch fed FROM
@@ -1210,6 +1266,22 @@ private[graft] object ExtLayout {
         "UNION ALL " +
         "SELECT doc_id, lang, source, 'delete', 3 FROM documents " +
         "WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 = 0"),
+
+    // feed arm = the cdf journal exactly (same fold as above); state
+    // arm = every insert ever, replace-or-inserted once by doc_id
+    "x_stream_manifest_sink" ->
+      ("SELECT doc_id, lang, source, 'insert' AS _change_type, " +
+        "CAST(1 AS BIGINT) AS _commit_version, 'feed' AS arm " +
+        "FROM documents WHERE doc_id % 3 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, 'insert', 2, 'feed' " +
+        "FROM documents WHERE doc_id % 3 = 1 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, 'delete', 3, 'feed' " +
+        "FROM documents WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, 'state', -1, 'state' " +
+        "FROM documents WHERE doc_id % 3 IN (0, 1)"),
 
     // phase 1: the Scala seed ∪ two SQL inserts, with the %10=0 rows
     // whole-row replaced by the SQL-sourced merge (the poisoned

@@ -221,6 +221,13 @@ object ManifestTable {
         l.stripPrefix(BloomCapPrefix).toLong
     }.getOrElse(ManifestStats.BloomKeyCapacity)
 
+  /** The table's declared stat shape, for callers that must check a
+    * RE-declaration for idempotence (the streaming sink passes its
+    * creation options on every restart). */
+  private[graft] def declaredStatShape(snap: Snapshot)
+      : (Seq[String], Seq[String], Long) =
+    (statColsOf(snap), bloomColsOf(snap), bloomCapOf(snap))
+
   /** The three write-time stat knobs a snapshot declares, bundled —
     * every write path passes exactly this trio to [[writeData]]. */
   private final case class StatSpec(statCols: Seq[String],
@@ -794,6 +801,42 @@ object ManifestTable {
               if (tryCommit(root, cur.version + 1, files, meta, schema, stats))
                 result = Some(Snapshot(cur.version + 1, files, meta, schema,
                   stats))
+            }
+          }
+          result.get
+        } finally clearIntent(root, token)
+    }
+  }
+
+  /** [[overwrite]] under the batch ledger — the streaming
+    * COMPLETE-mode commit: the new snapshot references ONLY this
+    * batch's files AND carries the `#batch:<id>` marker in the same
+    * atomic publish, so a replayed micro-batch (same id) returns the
+    * current snapshot without writing or committing anything. Same
+    * identity-metadata carry as [[overwrite]]. */
+  def overwriteBatch(spark: SparkSession, root: String, batchId: Long,
+                     df: DataFrame): Snapshot = {
+    val marker = s"$BatchPrefix$batchId"
+    val head = latest(root)
+    head.filter(batchCommitted(_, batchId)) match {
+      case Some(cur) => cur // replayed: nothing to read, write, or commit
+      case None =>
+        val (newFiles, token, newStats) =
+          writeData(spark, root, df, statSpecOf(head))
+        try {
+          var result: Option[Snapshot] = None
+          while (result.isEmpty) {
+            val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
+            if (batchCommitted(cur, batchId)) result = Some(cur)
+            else {
+              val meta = cur.meta :+ marker
+              val schema = Some(mergeSchemaJson(
+                seededSchemaJson(spark, root, cur), df.schema,
+                reservedNames(cur.meta)))
+              if (tryCommit(root, cur.version + 1, newFiles, meta, schema,
+                newStats))
+                result = Some(Snapshot(cur.version + 1, newFiles, meta,
+                  schema, newStats))
             }
           }
           result.get

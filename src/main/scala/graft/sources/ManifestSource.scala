@@ -1,9 +1,11 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.sources.{BaseRelation,
   CreatableRelationProvider, DataSourceRegister, RelationProvider,
-  SchemaRelationProvider}
+  SchemaRelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.{ManifestStats, ManifestTable}
@@ -31,7 +33,7 @@ import graft.operators.{ManifestStats, ManifestTable}
   * (every recorded field is nullable by construction). */
 final class ManifestSource extends RelationProvider
   with SchemaRelationProvider with CreatableRelationProvider
-  with DataSourceRegister {
+  with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
 
@@ -97,6 +99,37 @@ final class ManifestSource extends RelationProvider
         spark.catalog.refreshByPath(root)
     }
     ManifestSql.baseRelation(spark, root, None)
+  }
+
+  /** The STREAMING WRITE arm ([[StreamSinkProvider]]):
+    * `df.writeStream.format("graft-manifest").option("path", root)` —
+    * every output mode commits through the `#batch:<id>` ledger, so
+    * engine-level batch replays no-op (exactly-once without
+    * `foreachBatch`). See [[ManifestStreamSink]] for the mode →
+    * ledger-op mapping and the one-ledger-per-table contract. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val root = rootOf(parameters)
+    require(parameters.get("versionAsOf").isEmpty,
+      "cannot write through a versionAsOf option — time travel is " +
+        "read-only")
+    require(partitionColumns.isEmpty,
+      "graft-manifest does not partition by directory — cluster the " +
+        "table with compact(clusterBy) / GRAFT COMPACT ... CLUSTER BY " +
+        "instead")
+    val mergeKey = parameters.get("mergeKey").map(_.trim).filter(_.nonEmpty)
+    require(outputMode != OutputMode.Update() || mergeKey.isDefined,
+      "update mode replace-or-inserts by key — pass a 'mergeKey' " +
+        "option naming the merge column")
+    require(outputMode == OutputMode.Update() || mergeKey.isEmpty,
+      s"'mergeKey' applies to update mode only (got $outputMode)")
+    def csv(k: String): Seq[String] = parameters.get(k).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    new ManifestStreamSink(sqlContext.sparkSession, root, outputMode,
+      mergeKey, csv("statCols"), csv("bloomCols"),
+      parameters.get("bloomCapacity").map(_.trim.toLong))
   }
 
   override def createRelation(sqlContext: SQLContext,

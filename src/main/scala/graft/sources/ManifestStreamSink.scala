@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession, graftbridge}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.{ManifestStats, ManifestTable}
+
+/** `df.writeStream.format("graft-manifest")` — the manifest table as
+  * a REAL Structured Streaming sink, exactly-once WITHOUT
+  * `foreachBatch` boilerplate: every mode commits through the
+  * `#batch:<micro-batch-id>` ledger in the same atomic publish as its
+  * file-list change, so the engine's at-least-once batch replays
+  * (crash recovery, speculative re-fires) no-op against the marker.
+  * The natural twin of the `graft-cdf` SOURCE: a pipeline can now be
+  * manifest-to-manifest end to end under plain `readStream` →
+  * `writeStream`.
+  *
+  * Modes:
+  *  - `append`: each micro-batch is a ledgered append
+  *    ([[ManifestTable.appendBatch]]);
+  *  - `update`: each micro-batch replace-or-inserts by the REQUIRED
+  *    `mergeKey` option ([[ManifestTable.upsertBatch]]) — the
+  *    streaming CDC apply shape, subject to upsert's documented
+  *    match-scan envelope (declare the key a bloom column, or
+  *    cluster by it);
+  *  - `complete`: each micro-batch atomically replaces the table
+  *    ([[ManifestTable.overwriteBatch]]) — the streaming-aggregation
+  *    full-result shape; history stays time-travel-readable and old
+  *    files become ordinary vacuum orphans.
+  *
+  * Table creation and declarations follow the batch writer exactly:
+  * an absent table is initialized on the first batch with the
+  * `statCols` / `bloomCols` / `bloomCapacity` options; on an existing
+  * table those options refuse loudly (a table declaration, not a
+  * per-write preference).
+  *
+  * ONE LEDGER PER TABLE: micro-batch ids are the CHECKPOINT's
+  * identity. Re-pointing a table at a fresh checkpoint (or a second
+  * query) restarts ids at 0, which the ledger treats as replays of
+  * long-committed batches and no-ops — the same contract as
+  * hand-rolled `appendBatch` in `foreachBatch`, documented there.
+  * Use one standing query (and its checkpoint) per sink table.
+  *
+  * The micro-batch frame re-wraps over its own incremental execution
+  * ([[graftbridge.asBatchFrame]]) — planning a fresh query over a
+  * streaming-marked plan would throw — and materializes exactly once
+  * inside the ledgered writer. */
+private[sources] final class ManifestStreamSink(
+    spark: SparkSession, root: String, mode: OutputMode,
+    mergeKey: Option[String], statCols: Seq[String],
+    bloomCols: Seq[String], bloomCap: Option[Long]) extends Sink {
+
+  // a restarted query re-passes its creation options every time, so
+  // a MATCHING re-declaration on an existing table is idempotent and
+  // accepted; only a CONFLICTING shape refuses (same spirit as the
+  // batch writer's creation-time contract — the stat shape is the
+  // table's declaration, never a per-write preference)
+  ManifestTable.latest(root).foreach { snap =>
+    val (dStat, dBloom, dCap) = ManifestTable.declaredStatShape(snap)
+    require((statCols.isEmpty || statCols == dStat) &&
+      (bloomCols.isEmpty || bloomCols == dBloom) &&
+      (bloomCap.isEmpty || bloomCap.contains(dCap)),
+      s"statCols/bloomCols/bloomCapacity are creation-time " +
+        s"declarations and the manifest table at $root already " +
+        s"exists with a different shape (statCols=${dStat.mkString(",")}" +
+        s" bloomCols=${dBloom.mkString(",")} bloomCapacity=$dCap) — " +
+        "drop/re-init the table to change it")
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val df = graftbridge.asBatchFrame(spark, data)
+    if (ManifestTable.latest(root).isEmpty)
+      ManifestTable.init(root, statCols, bloomCols,
+        bloomCap.getOrElse(ManifestStats.BloomKeyCapacity))
+    if (mode == OutputMode.Append())
+      ManifestTable.appendBatch(spark, root, batchId, df)
+    else if (mode == OutputMode.Update())
+      ManifestTable.upsertBatch(spark, root, batchId, mergeKey.get, df)
+    else
+      ManifestTable.overwriteBatch(spark, root, batchId, df)
+    // cached plans over the root must not serve the pre-batch
+    // snapshot (same contract as every other write path)
+    spark.catalog.refreshByPath(root)
+  }
+
+  override def toString: String = s"ManifestSink[$root, $mode]"
+}

@@ -30,4 +30,17 @@ object graftbridge {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse: the micro-batch frame a V1 streaming Sink's
+    * `addBatch` receives, re-wrapped as a BATCH DataFrame over the
+    * SAME (incremental) execution — planning a new query over the
+    * streaming-marked plan would throw, and `toRdd` keeps execution
+    * lazy and inside the micro-batch. Callers must materialize it
+    * exactly once (the ledgered writers checkpoint or single-action
+    * it by construction). */
+  def asBatchFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

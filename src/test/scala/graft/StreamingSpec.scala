@@ -537,4 +537,107 @@ class StreamingSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("max_offered.")).toSeq
     assert(after == Seq("max_offered.3"), s"got $after")
   }
+
+  test("graft-manifest streaming sink: every mode is exactly-once through the batch ledger") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.ManifestTable
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_snk").toString
+
+    // ---- append mode: two batches, restart, wiped-checkpoint replay
+    val aRoot = s"$dir/a"; val aCkpt = s"$dir/ackpt"
+    val aIn = MemoryStream[Long]
+    def runAppend(): Unit = {
+      val q = aIn.toDF().toDF("id").writeStream
+        .format("graft-manifest").option("path", aRoot)
+        .option("statCols", "id")
+        .option("checkpointLocation", aCkpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    aIn.addData(0L until 10L: _*)
+    runAppend()
+    aIn.addData(10L until 20L: _*)
+    runAppend()
+    def aIds(): Seq[Long] = ManifestTable.read(spark, aRoot)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(aIds() == (0L until 20L))
+    // the sink created the table WITH its declared stat column
+    assert(ManifestTable.statBounds(spark, aRoot, "id").isDefined,
+      "statCols option must reach the created table")
+    // restart on the same checkpoint: nothing re-delivered
+    runAppend()
+    assert(aIds() == (0L until 20L), "restart re-appended a batch")
+    // wiped checkpoint: batch ids restart at 0 and the ledger no-ops
+    deleteRec(new java.io.File(aCkpt))
+    val aIn2 = MemoryStream[Long]
+    aIn2.addData(0L until 10L: _*)
+    val qr = aIn2.toDF().toDF("id").writeStream
+      .format("graft-manifest").option("path", aRoot)
+      .option("checkpointLocation", aCkpt)
+      .outputMode("append").start()
+    try qr.processAllAvailable() finally qr.stop()
+    assert(aIds() == (0L until 20L),
+      "ledgered sink double-counted a wiped-checkpoint replay")
+
+    // ---- update mode: replace-or-insert by the mergeKey option
+    val uRoot = s"$dir/u"; val uCkpt = s"$dir/uckpt"
+    ManifestTable.init(uRoot, Seq("id"), Seq("id"))
+    ManifestTable.append(spark, uRoot,
+      (0L until 10L).toDF("id").withColumn("v", F.lit("old")))
+    val uIn = MemoryStream[(Long, String)]
+    val uq = uIn.toDF().toDF("id", "v").writeStream
+      .format("graft-manifest").option("path", uRoot)
+      .option("mergeKey", "id")
+      .option("checkpointLocation", uCkpt)
+      .outputMode("update").start()
+    try {
+      uIn.addData((5L, "new5"), (12L, "new12"))
+      uq.processAllAvailable()
+    } finally uq.stop()
+    val uGot = ManifestTable.read(spark, uRoot)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(uGot.size == 11 && uGot(5L) == "new5" &&
+      uGot(12L) == "new12" && uGot(4L) == "old")
+
+    // ---- complete mode: each batch atomically replaces the table
+    val cRoot = s"$dir/c"; val cCkpt = s"$dir/cckpt"
+    val cIn = MemoryStream[Long]
+    val cq = cIn.toDF().toDF("id")
+      .groupBy(F.col("id") % 2 === 0 as "even").count()
+      .writeStream
+      .format("graft-manifest").option("path", cRoot)
+      .option("checkpointLocation", cCkpt)
+      .outputMode("complete").start()
+    try {
+      cIn.addData(0L until 4L: _*)
+      cq.processAllAvailable()
+      cIn.addData(4L until 10L: _*)
+      cq.processAllAvailable()
+    } finally cq.stop()
+    val cGot = ManifestTable.read(spark, cRoot)
+      .select("even", "count").as[(Boolean, Long)].collect().toMap
+    assert(cGot == Map(true -> 5L, false -> 5L),
+      s"complete mode must serve ONLY the final aggregation state, got $cGot")
+    // every batch is a time-travel-readable version with its marker
+    assert(ManifestTable.isBatchCommitted(cRoot, 0L) &&
+      ManifestTable.isBatchCommitted(cRoot, 1L))
+
+    // ---- the refusal surface
+    val rIn = MemoryStream[Long]
+    val e1 = intercept[Exception](rIn.toDF().toDF("id").writeStream
+      .format("graft-manifest").option("path", s"$dir/x")
+      .option("checkpointLocation", s"$dir/xckpt")
+      .outputMode("update").start())
+    assert(e1.getMessage.contains("mergeKey"))
+    // a MATCHING re-declaration is idempotent (restarts re-pass it —
+    // runAppend above already proved it); a CONFLICTING one refuses
+    val e2 = intercept[Exception](rIn.toDF().toDF("id").writeStream
+      .format("graft-manifest").option("path", aRoot)
+      .option("statCols", "id,other")
+      .option("checkpointLocation", s"$dir/yckpt")
+      .outputMode("append").start())
+    assert(e2.getMessage.contains("creation-time"))
+  }
 }
