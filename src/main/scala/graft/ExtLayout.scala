@@ -871,6 +871,31 @@ private[graft] object ExtLayout {
     }),
 
 
+    // IN-SUBQUERY DML: DELETE and UPDATE carrying one uncorrelated
+    // 'col IN (SELECT …)' conjunct — the subquery materializes as a
+    // values frame joined semi/anti against the pruned victim scan
+    // (never a driver list), with the residue conjunct narrowing
+    // both the prune and the fire condition. A dropped residue, a
+    // driver-collected list, or IN-NULL mishandling each fails the
+    // hash.
+    "x_manifest_sql_in" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_sqlin")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      docs.createOrReplaceTempView("sqlin_docs")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"), Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, root, docs)
+      graft.api.Graft(s, dir).registerManifest("sqlin_corpus", root)
+      s.sql("DELETE FROM sqlin_corpus WHERE doc_id >= 100 AND doc_id IN " +
+        "(SELECT doc_id FROM sqlin_docs WHERE lang = 'en')")
+      s.sql("UPDATE sqlin_corpus SET lang = concat(lang, '!') " +
+        "WHERE doc_id < 250 AND doc_id IN " +
+        "(SELECT doc_id FROM sqlin_docs WHERE source = 'src3')")
+      s.sql("SELECT doc_id, lang, source FROM sqlin_corpus")
+    }),
+
+
     // GENERAL SQL MERGE — the full lakehouse shape in one ledgered
     // statement: conditional matched DELETE (first-true-wins beats
     // the update), PARTIAL conditional UPDATE (source-referencing
@@ -897,8 +922,12 @@ private[graft] object ExtLayout {
         "UNION ALL SELECT -doc_id - 1 AS doc_id, lang, source " +
         "FROM sqlgm_docs WHERE doc_id % 6 = 0")
         .createOrReplaceTempView("sqlgm_src")
+      // COMPOSITE key: (doc_id, source) — both components of a
+      // matched pair come from the same document row, so the fold is
+      // identical to the single-key one while grading the
+      // multi-column join + per-component pruning path
       val merge = "MERGE INTO sqlgm_corpus t USING sqlgm_src s " +
-        "ON t.doc_id = s.doc_id " +
+        "ON t.doc_id = s.doc_id AND t.source = s.source " +
         "WHEN MATCHED AND s.lang = 'en' THEN DELETE " +
         "WHEN MATCHED AND t.doc_id %% 8 = 0 " +
         "THEN UPDATE SET lang = concat('%s', s.lang) " +
@@ -1314,6 +1343,15 @@ private[graft] object ExtLayout {
         "FROM documents " +
         "WHERE doc_id % 10 = 0 " +
         "OR (NOT (doc_id >= 40 AND doc_id < 60) AND doc_id % 13 <> 0)"),
+
+    // the IN-subquery fold: en docs at/above 100 deleted (the
+    // residue spares the low band), src3 docs under 250 updated
+    "x_manifest_sql_in" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id < 250 AND source = 'src3' " +
+        "THEN lang || '!' ELSE lang END AS lang, source " +
+        "FROM documents " +
+        "WHERE NOT (doc_id >= 100 AND lang = 'en')"),
 
     // the general-merge fold: matched (%4=0) 'en' rows deleted first
     // (clause order), surviving matched %8=0 rows partially updated

@@ -1285,6 +1285,88 @@ object ManifestTable {
       beforeCommit, maxRestarts, prune = Some(predicate))
   }
 
+  /** [[deleteWhere]] with a FRAME-shaped membership term: victims
+    * are rows where `residue` holds (None = always) AND `inCol` is in
+    * `values` (one-column frame, unbounded — the `WHERE p AND c IN
+    * (SELECT …)` shape; membership resolves through semi/anti joins,
+    * never a driver list). The victim scan prunes by the residue AND
+    * the value set (IN-list + Blooms when driver-sized, range
+    * beyond — [[deleteIds]]' envelope); null `inCol` values and null
+    * membership rows keep their rows (IN: NULL is not TRUE). */
+  def deleteWhereIn(spark: SparkSession, root: String,
+                    residue: Option[Column], inCol: String,
+                    values: DataFrame,
+                    beforeCommit: () => Unit = () => (),
+                    maxRestarts: Int = 8): Delete = {
+    require(values.columns.length == 1,
+      s"values frame must have exactly one column, " +
+        s"got ${values.columns.mkString(",")}")
+    val v = values.toDF("__in_id").na.drop().distinct()
+      .localCheckpoint(eager = true)
+    val res = residue.getOrElse(F.lit(true))
+    val prune = (residue.toSeq ++ idPrune(spark, inCol, v, "__in_id"))
+      .reduceOption(_ && _)
+    deleteWith(spark, root,
+      hits = df => df.filter(res)
+        .join(v, df(inCol) === v("__in_id"), "left_semi"),
+      // keep = everything but (residue ∧ in-set): the anti side
+      // entirely, plus semi-side rows failing the residue — a
+      // disjoint partition of the victim files' rows
+      keep = df => df.join(v, df(inCol) === v("__in_id"), "left_anti")
+        .unionByName(df
+          .join(v, df(inCol) === v("__in_id"), "left_semi")
+          .filter(!F.coalesce(res, F.lit(false)))),
+      beforeCommit, maxRestarts, prune)
+  }
+
+  /** [[updateWhere]] with a FRAME-shaped membership term: rows where
+    * `residue` holds AND `inCol` is in `values` get `assignments`
+    * applied — the `UPDATE … WHERE p AND c IN (SELECT …)` shape.
+    * Same pruning, rewrite, and type contract as [[updateWhere]]. */
+  def updateWhereIn(spark: SparkSession, root: String,
+                    residue: Option[Column], inCol: String,
+                    values: DataFrame,
+                    assignments: Map[String, Column],
+                    beforeCommit: () => Unit = () => (),
+                    maxRestarts: Int = 8): Delete = {
+    require(assignments.nonEmpty, "updateWhereIn needs an assignment")
+    require(values.columns.length == 1,
+      s"values frame must have exactly one column, " +
+        s"got ${values.columns.mkString(",")}")
+    val v = values.toDF("__in_id").na.drop().distinct()
+      .withColumn("__in_hit", F.lit(true))
+      .localCheckpoint(eager = true)
+    val res = residue.getOrElse(F.lit(true))
+    val prune = (residue.toSeq ++
+      idPrune(spark, inCol, v.select("__in_id"), "__in_id"))
+      .reduceOption(_ && _)
+    rewriteWith(spark, root,
+      hits = df => df.filter(res)
+        .join(v, df(inCol) === v("__in_id"), "left_semi"),
+      rewrite = df => {
+        val unknown = assignments.keySet -- df.columns.toSet
+        require(unknown.isEmpty,
+          s"updateWhereIn assigns to unknown column(s): " +
+            unknown.mkString(","))
+        val marked = df.join(v, df(inCol) === v("__in_id"), "left_outer")
+        val fire = F.coalesce(res, F.lit(false)) &&
+          F.coalesce(F.col("__in_hit"), F.lit(false))
+        val out = marked.select(df.columns.toSeq.map { c =>
+          assignments.get(c) match {
+            case Some(expr) => F.when(fire, expr).otherwise(df(c)).as(c)
+            case None => df(c)
+          }
+        }: _*)
+        df.schema.fields.zip(out.schema.fields).foreach { case (a, b) =>
+          require(a.dataType.catalogString == b.dataType.catalogString,
+            s"assignment changes column '${a.name}' from " +
+              s"${a.dataType.catalogString} to ${b.dataType.catalogString}")
+        }
+        out
+      },
+      beforeCommit, maxRestarts, prune)
+  }
+
   private def deleteWith(spark: SparkSession, root: String,
                          hits: DataFrame => DataFrame,
                          keep: DataFrame => DataFrame,
@@ -1535,7 +1617,7 @@ object ManifestTable {
   def sourceCol(name: String): Column = F.col(SourcePrefix + name)
 
   private[graft] val SourcePrefix = "__s_"
-  private val MergeKeyCol = "__merge_key"
+  private def mergeKeyCol(i: Int) = s"__merge_key_$i"
   private val MergePresentCol = "__s_present"
 
   /** GENERAL MERGE — the full SQL `MERGE INTO` shape ([[upsert]] is
@@ -1546,17 +1628,23 @@ object ManifestTable {
     * declaration order (first true condition wins, per ANSI), in ONE
     * atomic copy-on-write commit.
     *
-    * Source rows must carry DISTINCT non-null `sourceKey` values —
-    * with duplicates, which source row updates a matched target row
-    * would be nondeterministic (the ANSI cardinality violation), so
-    * the merge refuses up front; null-keyed source rows match
-    * nothing and fall to the NOT MATCHED clauses. The target may
+    * The merge key is `idCols` (one or more target columns) matched
+    * against `sourceKeys` (one expression over the source per key
+    * column, positionally — the composite CDC shape, e.g.
+    * `(tenant_id, id)`). Source rows must carry DISTINCT
+    * all-non-null key tuples — with duplicates, which source row
+    * updates a matched target row would be nondeterministic (the
+    * ANSI cardinality violation), so the merge refuses up front; a
+    * tuple with ANY null component equality-matches nothing and
+    * falls to the NOT MATCHED clauses. The target may
     * hold several rows for one key (appends are unconstrained);
     * every one of them matches and the fired clause applies to each.
     *
     * VICTIM PRUNING: matched-clause victims prune per KEY exactly
-    * like [[upsert]] (IN-list + Blooms for driver-sized batches, key
-    * range beyond — same operating envelope); `NOT MATCHED BY
+    * like [[upsert]] — each key COMPONENT prunes independently
+    * (IN-list + Blooms for driver-sized batches, component range
+    * beyond — same operating envelope) and the conjunction of the
+    * component predicates gates the file; `NOT MATCHED BY
     * SOURCE` victims prune by the OR of their clause conditions
     * through the same bounds/Bloom stats (an unconditional clause
     * degrades to a full scan, necessarily: every unmatched row
@@ -1573,8 +1661,8 @@ object ManifestTable {
     * Returns `Merge(snapshot, matchedRows, insertedRows)`:
     * matchedRows = target rows a MATCHED clause fired on,
     * insertedRows = rows the NOT MATCHED clauses inserted. */
-  def mergeInto(spark: SparkSession, root: String, idCol: String,
-                source: DataFrame, sourceKey: Column,
+  def mergeInto(spark: SparkSession, root: String, idCols: Seq[String],
+                source: DataFrame, sourceKeys: Seq[Column],
                 matched: Seq[WhenMatched] = Seq.empty,
                 notMatched: Seq[WhenNotMatched] = Seq.empty,
                 notMatchedBySource: Seq[WhenMatched] = Seq.empty,
@@ -1584,6 +1672,11 @@ object ManifestTable {
     require(maxRestarts >= 1, "maxRestarts must be >= 1")
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "mergeInto needs at least one clause")
+    require(idCols.nonEmpty && idCols.size == sourceKeys.size,
+      s"mergeInto needs one source key expression per target key " +
+        s"column (got ${idCols.size} columns, ${sourceKeys.size} keys)")
+    require(idCols.distinct == idCols,
+      s"mergeInto key columns repeat: ${idCols.mkString(",")}")
     val srcNames = source.columns.toSeq
     require(srcNames.distinct == srcNames,
       s"merge source has duplicate column names: ${srcNames.mkString(",")}")
@@ -1598,21 +1691,30 @@ object ManifestTable {
         throw new IllegalStateException(s"no manifest at $root")
       case _ => ()
     }
-    // the source pins once: key first, columns under the __s_ prefix,
-    // plus the match marker the left-outer join nulls out
+    val keyCols = idCols.indices.map(mergeKeyCol)
+    // the source pins once: keys first, columns under the __s_
+    // prefix, plus the match marker the left-outer join nulls out
     val src = source.select(
-      (sourceKey.as(MergeKeyCol) +:
+      (sourceKeys.zip(keyCols).map { case (e, k) => e.as(k) } ++
         srcNames.map(c => F.col(c).as(SourcePrefix + c))) :+
         F.lit(true).as(MergePresentCol): _*)
       .localCheckpoint(eager = true)
-    val srcKeys = src.select(MergeKeyCol).filter(F.col(MergeKeyCol).isNotNull)
+    val allNonNull = keyCols.map(k => F.col(k).isNotNull).reduce(_ && _)
+    val srcKeys = src.select(keyCols.map(F.col): _*).filter(allNonNull)
     val nSrcKeys = srcKeys.count()
     require(srcKeys.distinct().count() == nSrcKeys,
-      s"mergeInto source must carry distinct '$MergeKeyCol' values — " +
-        "a duplicate key makes the matched update nondeterministic " +
-        "(the ANSI MERGE cardinality violation); de-duplicate the " +
-        "source first")
-    val keyPrune = idPrune(spark, idCol, srcKeys.distinct(), MergeKeyCol)
+      "mergeInto source must carry distinct key tuples — a duplicate " +
+        "key makes the matched update nondeterministic (the ANSI " +
+        "MERGE cardinality violation); de-duplicate the source first")
+    // each component prunes independently; the conjunction gates the
+    // file (conservative superset of tuple-matching files)
+    val keyPrune = idCols.indices.flatMap(i =>
+      idPrune(spark, idCols(i),
+        srcKeys.select(keyCols(i)).distinct(), keyCols(i)))
+      .reduceOption(_ && _)
+    def keyJoinCond(left: DataFrame, right: DataFrame): Column =
+      idCols.zip(keyCols).map { case (c, k) => left(c) === right(k) }
+        .reduce(_ && _)
     // null-safe first-true-wins: a NULL condition is NOT TRUE (ANSI)
     def holds(c: Option[Column]): Column =
       c.map(F.coalesce(_, F.lit(false))).getOrElse(F.lit(true))
@@ -1650,7 +1752,7 @@ object ManifestTable {
           else {
             val scan = scanOf(keyFiles)
             Some(scan
-              .join(src, scan(idCol) === src(MergeKeyCol), "inner")
+              .join(src, keyJoinCond(scan, src), "inner")
               .filter(anyHolds(matched))
               .select(F.col("__file"), F.lit(true).as("__m")))
           }
@@ -1659,8 +1761,7 @@ object ManifestTable {
           else {
             val scan = scanOf(nmbsFiles)
             Some(scan
-              .join(srcKeys, scan(idCol) === srcKeys(MergeKeyCol),
-                "left_anti")
+              .join(srcKeys, keyJoinCond(scan, srcKeys), "left_anti")
               .filter(anyHolds(notMatchedBySource))
               .select(F.col("__file"), F.lit(false).as("__m")))
           }
@@ -1687,7 +1788,7 @@ object ManifestTable {
               "merge UPDATE assigns to unknown column(s): " +
                 unknown.mkString(","))
             val frame = victims.join(src,
-              victims(idCol) === src(MergeKeyCol), "left_outer")
+              keyJoinCond(victims, src), "left_outer")
             val isM = F.coalesce(F.col(MergePresentCol), F.lit(false))
             // clause index: matched clauses 0.., NMBS clauses offset
             // by the matched count; -1 = untouched
@@ -1729,9 +1830,9 @@ object ManifestTable {
               if (base.files.isEmpty || keyFiles.isEmpty) src
               else {
                 val keys = readSnapshot(spark, root,
-                  base.copy(files = keyFiles)).select(idCol)
-                src.join(keys, src(MergeKeyCol) === keys(idCol),
-                  "left_anti")
+                  base.copy(files = keyFiles))
+                  .select(idCols.map(F.col): _*)
+                src.join(keys, keyJoinCond(keys, src), "left_anti")
               }
             val iIdx = notMatched.zipWithIndex.foldRight(
               F.lit(-1): Column) { case ((cl, i), rest) =>

@@ -45,15 +45,23 @@ import graft.sources.ManifestSql
   *    (alone) → `ManifestTable.deleteIds` — the key-list takedown;
   *  - every OTHER merge shape — conditional matched clauses, partial
   *    `UPDATE SET c = e`, multiple WHEN arms, conditional inserts,
+  *    COMPOSITE ON keys (a conjunction of equalities),
   *    `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE` —
   *    → `ManifestTable.mergeInto`, the general copy-on-write merge
   *    (clauses translated with source attributes re-addressed under
   *    the merge frame's `__s_` prefix).
   *
+  * DELETE/UPDATE predicates may carry ONE UNCORRELATED
+  * `col IN (SELECT …)` term as a top-level conjunct — it
+  * materializes as the values frame of `deleteWhereIn` /
+  * `updateWhereIn` (semi/anti joins, unbounded, victim scan pruned
+  * by the residue AND the value set).
+  *
   * Still refused LOUDLY with the exact unsupported piece named:
-  * composite or non-equality ON keys (the manifest upsert merges by
-  * one key column), `WITH SCHEMA EVOLUTION`, subqueries in DML
-  * predicates (the v2 rewrite they would need has no V1 seam), and
+  * non-equality or disjunctive ON conditions (no key to join and
+  * prune by), `WITH SCHEMA EVOLUTION`, correlated subqueries and
+  * `NOT IN` (no sound V1 frame-join twin), subqueries anywhere but
+  * the one IN term (merge clause conditions, update values), and
   * time-travel registrations (writes need the head). Predicates and
   * update values re-resolve BY NAME against the table's fresh read
   * frame — the rule's plan-time attributes belong to the
@@ -65,14 +73,16 @@ case class ManifestSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
-      case d @ DeleteFromTable(ManifestTarget(idx), cond)
-          if d.childrenResolved =>
-        refuseSubquery(cond, "DELETE")
-        ManifestDeleteCommand(idx, byName(cond))
+      case d @ DeleteFromTable(tgt @ ManifestTarget(idx), cond)
+          if d.childrenResolved && cond.resolved =>
+        extractIn(cond, tgt, "DELETE") match {
+          case None => ManifestDeleteCommand(idx, byName(cond))
+          case Some(in) => ManifestDeleteInCommand(idx,
+            in.residue.map(byName), in.col, in.values)
+        }
 
-      case u @ UpdateTable(ManifestTarget(idx), assignments, cond)
-          if u.childrenResolved =>
-        cond.foreach(refuseSubquery(_, "UPDATE"))
+      case u @ UpdateTable(tgt @ ManifestTarget(idx), assignments, cond)
+          if u.childrenResolved && cond.forall(_.resolved) =>
         val pairs = assignments.map {
           case Assignment(key: AttributeReference, value) =>
             refuseSubquery(value, "UPDATE")
@@ -83,8 +93,13 @@ case class ManifestSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
             "manifest SQL UPDATE assigns whole columns only — " +
               s"'${other.sql}' is not a column of the target table")
         }
-        ManifestUpdateCommand(idx,
-          cond.map(byName).getOrElse(F.lit(true)), pairs)
+        cond.flatMap(extractIn(_, tgt, "UPDATE")) match {
+          case None =>
+            ManifestUpdateCommand(idx,
+              cond.map(byName).getOrElse(F.lit(true)), pairs)
+          case Some(in) => ManifestUpdateInCommand(idx,
+            in.residue.map(byName), in.col, in.values, pairs)
+        }
 
       case m @ MergeIntoTable(tgt @ ManifestTarget(idx), source, cond,
           matched, notMatched, notMatchedBySource, withSchemaEvolution)
@@ -93,23 +108,27 @@ case class ManifestSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
           "manifest SQL MERGE does not support WITH SCHEMA EVOLUTION — " +
             "evolve the schema with an append or ALTER first")
         refuseSubquery(cond, "MERGE")
-        val idKey = mergeKeyOf(tgt, source, cond)
+        val idKeys = mergeKeysOf(tgt, source, cond)
         (matched, notMatched, notMatchedBySource) match {
           // upsert shape: UPDATE SET * + INSERT * (whole-row
           // replace-or-insert — the CDC apply shape); kept as a fast
-          // path: the update rows append directly, no join rewrite
+          // path: the update rows append directly, no join rewrite.
+          // Single-key only — the composite shape goes general.
           case (Seq(UpdateAction(None, uAssigns, _)),
-                Seq(InsertAction(None, iAssigns)), Seq()) =>
-            val plan = upsertPlanOf(tgt, idKey, uAssigns, iAssigns)
-            ManifestMergeUpsertCommand(idx, idKey.name, source, plan)
+                Seq(InsertAction(None, iAssigns)), Seq())
+              if idKeys.size == 1 =>
+            val plan = upsertPlanOf(tgt, idKeys.head, uAssigns, iAssigns)
+            ManifestMergeUpsertCommand(idx, idKeys.head.name, source, plan)
           // key-list delete shape: WHEN MATCHED THEN DELETE alone
-          case (Seq(DeleteAction(None)), Seq(), Seq()) =>
-            ManifestMergeDeleteCommand(idx, idKey.name, source,
-              stripCast(idKey.sourceSide))
+          case (Seq(DeleteAction(None)), Seq(), Seq())
+              if idKeys.size == 1 =>
+            ManifestMergeDeleteCommand(idx, idKeys.head.name, source,
+              stripCast(idKeys.head.sourceSide))
           // everything else — conditional / partial / multi-clause /
-          // NOT MATCHED BY SOURCE — is the general copy-on-write merge
+          // composite-key / NOT MATCHED BY SOURCE — is the general
+          // copy-on-write merge
           case _ =>
-            generalMerge(idx, idKey, tgt, source,
+            generalMerge(idx, idKeys, tgt, source,
               matched, notMatched, notMatchedBySource)
         }
     }
@@ -180,7 +199,7 @@ object ManifestSqlDml {
     * values cast to the target column's type exactly as UPDATE's do;
     * subqueries refuse in every clause. */
   private def generalMerge(idx: ManifestSql.ManifestFileIndex,
-                           idKey: MergeKey, tgt: LogicalPlan,
+                           idKeys: Seq[MergeKey], tgt: LogicalPlan,
                            source: LogicalPlan,
                            matched: Seq[MergeAction],
                            notMatched: Seq[MergeAction],
@@ -220,10 +239,10 @@ object ManifestSqlDml {
         "manifest SQL MERGE WHEN NOT MATCHED supports INSERT only; " +
           s"got ${other.getClass.getSimpleName}")
     }
-    // the ON key evaluates over the BARE source frame (original
-    // names) — it feeds the merge key before the frame renames
-    val sourceKey = byName(idKey.sourceSide)
-    ManifestMergeIntoCommand(idx, idKey.name, source, sourceKey,
+    // the ON keys evaluate over the BARE source frame (original
+    // names) — they feed the merge keys before the frame renames
+    ManifestMergeIntoCommand(idx, idKeys.map(_.name), source,
+      idKeys.map(k => byName(k.sourceSide)),
       matched.map(matchedOf("UPDATE")), nm,
       notMatchedBySource.map(matchedOf("NOT MATCHED BY SOURCE")))
   }
@@ -234,20 +253,83 @@ object ManifestSqlDml {
         "condition — materialize the subquery and MERGE on its key, " +
         "or use the ManifestTable Scala API")
 
+  /** One `<target column> IN (SELECT …)` term extracted from a DML
+    * predicate: the residue (the other conjuncts, subquery-free),
+    * the member column, and the subquery plan. */
+  private final case class InTerm(residue: Option[Expression],
+                                  col: String, values: LogicalPlan)
+
+  /** Decompose a DML predicate with a subquery into `residue AND
+    * col IN (SELECT …)` — the shape [[graft.operators.ManifestTable
+    * .deleteWhereIn]]/`updateWhereIn` serve with frame joins (no V1
+    * seam exists for the general v2 subquery rewrite). Returns None
+    * when the predicate has NO subquery (the plain path). Refuses
+    * loudly: more than one subquery term, a CORRELATED subquery, a
+    * disjunctive placement (the term must be a top-level conjunct),
+    * `NOT IN` (its three-valued NULL semantics have no frame-join
+    * twin — rewrite as NOT EXISTS-style anti logic in Scala), a
+    * multi-column IN tuple, and a non-column member expression. */
+  private def extractIn(cond: Expression, tgt: LogicalPlan,
+                        verb: String): Option[InTerm] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, InSubquery,
+      ListQuery, Not}
+    if (!SubqueryExpression.hasSubquery(cond)) return None
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val (subq, rest) = conjuncts(cond)
+      .partition(SubqueryExpression.hasSubquery)
+    require(subq.size == 1 && rest.forall(!SubqueryExpression.hasSubquery(_)),
+      s"manifest SQL $verb supports exactly ONE 'col IN (SELECT …)' " +
+        "term, as a top-level AND conjunct")
+    subq.head match {
+      case InSubquery(Seq(v), lq: ListQuery) =>
+        require(lq.outerAttrs.isEmpty,
+          s"manifest SQL $verb supports UNCORRELATED IN subqueries " +
+            "only — a correlated predicate has no V1 rewrite; use " +
+            "MERGE or the Scala API")
+        stripCast(v) match {
+          case a: AttributeReference if tgt.outputSet.contains(a) =>
+            Some(InTerm(rest.reduceOption(And), a.name, lq.plan))
+          case other => throw new UnsupportedOperationException(
+            s"manifest SQL $verb IN-subquery member must be one " +
+              s"target column; got '${other.sql}'")
+        }
+      case Not(_: InSubquery) =>
+        throw new UnsupportedOperationException(
+          s"manifest SQL $verb does not support NOT IN (SELECT …) — " +
+            "its three-valued NULL semantics have no sound frame-join " +
+            "twin; filter the NULLs and use an anti MERGE, or the " +
+            "Scala API")
+      case other => throw new UnsupportedOperationException(
+        s"manifest SQL $verb supports subqueries only as " +
+          s"'col IN (SELECT …)'; got '${other.sql}'")
+    }
+  }
+
   private def stripCast(e: Expression): Expression = e match {
     case c: Cast => stripCast(c.child)
     case other => other
   }
 
-  /** The merge key: the ON condition must be a single equality
-    * between one TARGET column and one source-side expression —
-    * `ManifestTable.upsert` merges by exactly one key column. */
+  /** The merge key(s): the ON condition must be a CONJUNCTION of
+    * equalities, each between one distinct TARGET column and one
+    * source-side expression — the (possibly composite) key the
+    * manifest merge joins and prunes by. Anything else (OR,
+    * non-equality, target-vs-target, a column keyed twice) refuses
+    * with the exact unsupported piece named. */
   private final case class MergeKey(name: String, targetAttr: AttributeReference,
                                     sourceSide: Expression)
 
-  private def mergeKeyOf(tgt: LogicalPlan, source: LogicalPlan,
-                         cond: Expression): MergeKey = {
+  private def mergeKeysOf(tgt: LogicalPlan, source: LogicalPlan,
+                          cond: Expression): Seq[MergeKey] = {
     val tgtIds = tgt.outputSet
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
     def sideOf(a: Expression, b: Expression): Option[MergeKey] =
       stripCast(a) match {
         case attr: AttributeReference if tgtIds.contains(attr) &&
@@ -255,17 +337,21 @@ object ManifestSqlDml {
           Some(MergeKey(attr.name, attr, b))
         case _ => None
       }
-    cond match {
+    val keys = conjuncts(cond).map {
       case EqualTo(l, r) =>
         sideOf(l, r).orElse(sideOf(r, l)).getOrElse(
           throw new UnsupportedOperationException(
             "manifest SQL MERGE needs ON <target column> = <source " +
-              s"expression>; got '${cond.sql}'"))
-      case _ => throw new UnsupportedOperationException(
-        "manifest SQL MERGE merges by ONE key column — composite or " +
-          s"non-equality ON conditions ('${cond.sql}') have no " +
-          "single-key manifest upsert; use the Scala API")
+              s"expression> per conjunct; got '${EqualTo(l, r).sql}'"))
+      case other => throw new UnsupportedOperationException(
+        "manifest SQL MERGE merges by equality key(s) — " +
+          s"'${other.sql}' in the ON condition is not an equality " +
+          "conjunct; use the Scala API for non-equi merge logic")
     }
+    require(keys.map(_.name).distinct.size == keys.size,
+      "manifest SQL MERGE keys each target column at most once in " +
+        s"the ON condition; got ${keys.map(_.name).mkString(",")}")
+    keys
   }
 
   /** Validate the star shape and build the updates projection over
@@ -320,6 +406,35 @@ object ManifestSqlDml {
     }
   }
 
+  /** `DELETE FROM t WHERE [p AND] c IN (SELECT …)` — the subquery
+    * materializes as the values FRAME of [[graft.operators
+    * .ManifestTable.deleteWhereIn]] (semi/anti joins, unbounded). */
+  case class ManifestDeleteInCommand(index: ManifestSql.ManifestFileIndex,
+                                     residue: Option[Column],
+                                     inCol: String, values: LogicalPlan)
+    extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(values)
+    override def run(session: SparkSession): Seq[Row] = {
+      ManifestSql.sqlDeleteIn(session, index, residue, inCol,
+        graftbridge.ofRows(session, values))
+      Seq.empty
+    }
+  }
+
+  /** `UPDATE t SET … WHERE [p AND] c IN (SELECT …)`. */
+  case class ManifestUpdateInCommand(index: ManifestSql.ManifestFileIndex,
+                                     residue: Option[Column],
+                                     inCol: String, values: LogicalPlan,
+                                     assignments: Seq[(String, Column)])
+    extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(values)
+    override def run(session: SparkSession): Seq[Row] = {
+      ManifestSql.sqlUpdateIn(session, index, residue, inCol,
+        graftbridge.ofRows(session, values), assignments)
+      Seq.empty
+    }
+  }
+
   /** `UPDATE <manifest table> SET … WHERE p` as a runnable command. */
   case class ManifestUpdateCommand(index: ManifestSql.ManifestFileIndex,
                                    predicate: Column,
@@ -355,16 +470,16 @@ object ManifestSqlDml {
     * ledgered under [[ManifestSql.BatchIdConf]] exactly like the
     * upsert fast path. */
   case class ManifestMergeIntoCommand(
-      index: ManifestSql.ManifestFileIndex, idCol: String,
-      source: LogicalPlan, sourceKey: Column,
+      index: ManifestSql.ManifestFileIndex, idCols: Seq[String],
+      source: LogicalPlan, sourceKeys: Seq[Column],
       matched: Seq[graft.operators.ManifestTable.WhenMatched],
       notMatched: Seq[graft.operators.ManifestTable.WhenNotMatched],
       notMatchedBySource: Seq[graft.operators.ManifestTable.WhenMatched])
     extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(session: SparkSession): Seq[Row] = {
-      ManifestSql.sqlMergeInto(session, index, idCol,
-        graftbridge.ofRows(session, source), sourceKey,
+      ManifestSql.sqlMergeInto(session, index, idCols,
+        graftbridge.ofRows(session, source), sourceKeys,
         matched, notMatched, notMatchedBySource)
       Seq.empty
     }

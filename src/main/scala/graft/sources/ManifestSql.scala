@@ -291,6 +291,32 @@ object ManifestSql {
     afterSqlWrite(spark, idx)
   }
 
+  /** SQL `DELETE FROM … WHERE [p AND] c IN (SELECT …)`:
+    * [[ManifestTable.deleteWhereIn]] under the same guards — the
+    * subquery arrives as an unbounded values frame. */
+  private[graft] def sqlDeleteIn(spark: SparkSession,
+                                 idx: ManifestFileIndex,
+                                 residue: Option[org.apache.spark.sql.Column],
+                                 inCol: String, values: DataFrame): Unit = {
+    requireHead(idx, "DELETE FROM")
+    ManifestTable.deleteWhereIn(spark, idx.root, residue, inCol, values)
+    afterSqlWrite(spark, idx)
+  }
+
+  /** SQL `UPDATE … WHERE [p AND] c IN (SELECT …)`:
+    * [[ManifestTable.updateWhereIn]] under the same guards. */
+  private[graft] def sqlUpdateIn(spark: SparkSession,
+                                 idx: ManifestFileIndex,
+                                 residue: Option[org.apache.spark.sql.Column],
+                                 inCol: String, values: DataFrame,
+                                 assignments: Seq[(String,
+                                   org.apache.spark.sql.Column)]): Unit = {
+    requireHead(idx, "UPDATE")
+    ManifestTable.updateWhereIn(spark, idx.root, residue, inCol, values,
+      assignments.toMap)
+    afterSqlWrite(spark, idx)
+  }
+
   /** The ONE owner of SQL `UPDATE` semantics:
     * [[ManifestTable.updateWhere]] under the same guards. */
   private[graft] def sqlUpdate(spark: SparkSession, idx: ManifestFileIndex,
@@ -329,16 +355,17 @@ object ManifestSql {
     * [[ManifestTable.mergeInto]]. [[BatchIdConf]] makes it ledgered
     * exactly as the upsert shape. */
   private[graft] def sqlMergeInto(spark: SparkSession,
-                                  idx: ManifestFileIndex, idCol: String,
+                                  idx: ManifestFileIndex,
+                                  idCols: Seq[String],
                                   source: DataFrame,
-                                  sourceKey: org.apache.spark.sql.Column,
+                                  sourceKeys: Seq[org.apache.spark.sql.Column],
                                   matched: Seq[ManifestTable.WhenMatched],
                                   notMatched: Seq[ManifestTable.WhenNotMatched],
                                   notMatchedBySource:
                                     Seq[ManifestTable.WhenMatched]): Unit = {
     requireHead(idx, "MERGE INTO")
     withBatchId(spark) { id =>
-      ManifestTable.mergeInto(spark, idx.root, idCol, source, sourceKey,
+      ManifestTable.mergeInto(spark, idx.root, idCols, source, sourceKeys,
         matched, notMatched, notMatchedBySource, batchId = id)
     }
     afterSqlWrite(spark, idx)

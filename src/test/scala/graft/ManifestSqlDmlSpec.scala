@@ -140,7 +140,7 @@ class ManifestSqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_cat")
   }
 
-  test("the refusal surface: time travel, composite keys, subqueries, duplicate source keys") {
+  test("the refusal surface: time travel, non-equality ON, NOT IN / correlated subqueries, duplicate source keys") {
     import spark.implicits._
     val (_, root) = freshTable("graft_sqldmlref")
     graft.sources.ManifestSql.register(spark, "sqldml_ref", root)
@@ -154,12 +154,25 @@ class ManifestSqlDmlSpec extends SparkSpec {
         s"expected '$needle' in: ${e.getMessage}")
     }
     refuse("DELETE FROM sqldml_ref_v1 WHERE id = 1", "time travel is read-only")
+    // non-equality / disjunctive ON conditions have no key to join by
     refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s " +
-      "ON t.id = s.id AND t.v = s.v " +
+      "ON t.id > s.id " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
-      "ONE key column")
-    refuse("DELETE FROM sqldml_ref WHERE id IN (SELECT id FROM sqldml_ref_src)",
-      "subqueries")
+      "not an equality")
+    refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s " +
+      "ON t.id = s.id OR t.v = s.v " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      "not an equality")
+    // a column keyed twice is ambiguous
+    refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s " +
+      "ON t.id = s.id AND t.id = s.n " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v", "at most once")
+    // NOT IN and correlated subqueries have no sound V1 rewrite
+    refuse("DELETE FROM sqldml_ref WHERE id NOT IN " +
+      "(SELECT id FROM sqldml_ref_src)", "NOT IN")
+    refuse("DELETE FROM sqldml_ref WHERE id IN " +
+      "(SELECT id FROM sqldml_ref_src s WHERE s.v = sqldml_ref.v)",
+      "UNCORRELATED")
     // the general merge path refuses subqueries in clause conditions
     refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s ON t.id = s.id " +
       "WHEN MATCHED AND t.n > (SELECT max(n) FROM sqldml_ref_src) " +
@@ -206,6 +219,100 @@ class ManifestSqlDmlSpec extends SparkSpec {
       (100L until 110L).map(id => (id, s"s$id", null: java.lang.Long))
     ).sortBy(_._1)
     assert(rows == expected)
+  }
+
+  test("DELETE and UPDATE accept one uncorrelated IN (SELECT ...) conjunct") {
+    import spark.implicits._
+    val (_, root) = freshTable("graft_sqlin")
+    graft.sources.ManifestSql.register(spark, "sqldml_in", root)
+    (0L until 200L).map(i => (i, i % 7)).toDF("k", "tag")
+      .createOrReplaceTempView("sqldml_in_aux")
+    // bare IN
+    spark.sql("DELETE FROM sqldml_in WHERE id IN " +
+      "(SELECT k FROM sqldml_in_aux WHERE tag = 0)")
+    // IN AND a residue — only the residue-passing members delete
+    spark.sql("DELETE FROM sqldml_in WHERE id >= 50 AND id IN " +
+      "(SELECT k FROM sqldml_in_aux WHERE tag = 1)")
+    val left = ManifestTable.read(spark, root)
+      .select("id").as[Long].collect().toSet
+    val expect = (0L until 100L)
+      .filterNot(_ % 7 == 0)
+      .filterNot(i => i >= 50 && i % 7 == 1).toSet
+    assert(left == expect)
+    // UPDATE with residue + IN, expression referencing the row
+    spark.sql("UPDATE sqldml_in SET v = concat(v, '*') " +
+      "WHERE id < 20 AND id IN " +
+      "(SELECT k FROM sqldml_in_aux WHERE tag = 2)")
+    val starred = ManifestTable.read(spark, root)
+      .filter(F.col("v").endsWith("*"))
+      .select("id").as[Long].collect().toSet
+    assert(starred == (0L until 20L).filter(_ % 7 == 2).toSet)
+    // NULL members never fire (IN: NULL is not TRUE)
+    spark.sql("DELETE FROM sqldml_in WHERE id IN " +
+      "(SELECT CASE WHEN tag = 3 THEN k ELSE NULL END " +
+      "FROM sqldml_in_aux)")
+    val afterNull = ManifestTable.read(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(afterNull == expect.filterNot(_ % 7 == 3))
+  }
+
+  test("composite ON keys: a conjunction of equalities merges by the full key tuple") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlck").toString
+    val root = s"$dir/t"
+    ManifestTable.init(root, Seq("grp", "id"), Seq("id"))
+    // two rows share id=1 in different groups — a single-key merge
+    // could not tell them apart
+    ManifestTable.append(spark, root,
+      Seq(("a", 1L, "a1"), ("a", 2L, "a2"), ("b", 1L, "b1"),
+        ("b", 3L, "b3")).toDF("grp", "id", "v"))
+    graft.sources.ManifestSql.register(spark, "sqldml_ck", root)
+    Seq(("a", 1L, "A1"), ("b", 1L, "B1"), ("c", 9L, "C9"))
+      .toDF("grp", "id", "nv").createOrReplaceTempView("sqldml_ck_src")
+    spark.sql("MERGE INTO sqldml_ck t USING sqldml_ck_src s " +
+      "ON t.grp = s.grp AND t.id = s.id " +
+      "WHEN MATCHED AND t.grp = 'a' THEN UPDATE SET v = s.nv " +
+      "WHEN MATCHED THEN DELETE " +
+      "WHEN NOT MATCHED THEN INSERT (grp, id, v) VALUES (s.grp, s.id, s.nv)")
+    val got = ManifestTable.read(spark, root)
+      .select("grp", "id", "v").as[(String, Long, String)]
+      .collect().toSet
+    // (a,1) updated, (b,1) deleted, (c,9) inserted, others untouched
+    assert(got == Set(("a", 1L, "A1"), ("a", 2L, "a2"), ("b", 3L, "b3"),
+      ("c", 9L, "C9")))
+    // the Scala-API twin on the same shape must agree
+    val root2 = s"$dir/t2"
+    ManifestTable.init(root2, Seq("grp", "id"), Seq("id"))
+    ManifestTable.append(spark, root2,
+      Seq(("a", 1L, "a1"), ("a", 2L, "a2"), ("b", 1L, "b1"),
+        ("b", 3L, "b3")).toDF("grp", "id", "v"))
+    val m = ManifestTable.mergeInto(spark, root2, Seq("grp", "id"),
+      Seq(("a", 1L, "A1"), ("b", 1L, "B1"), ("c", 9L, "C9"))
+        .toDF("grp", "id", "nv"),
+      Seq(F.col("grp"), F.col("id")),
+      matched = Seq(
+        ManifestTable.WhenMatched(Some(F.col("grp") === "a"),
+          ManifestTable.MergeUpdate(Map(
+            "v" -> ManifestTable.sourceCol("nv")))),
+        ManifestTable.WhenMatched(None, ManifestTable.MergeDelete)),
+      notMatched = Seq(ManifestTable.WhenNotMatched(None, Map(
+        "grp" -> ManifestTable.sourceCol("grp"),
+        "id" -> ManifestTable.sourceCol("id"),
+        "v" -> ManifestTable.sourceCol("nv")))))
+    assert(m.matchedRows == 2L && m.insertedRows == 1L)
+    val got2 = ManifestTable.read(spark, root2)
+      .select("grp", "id", "v").as[(String, Long, String)]
+      .collect().toSet
+    assert(got2 == got)
+    // duplicate key TUPLES refuse; same components in different
+    // tuples are fine (("a",1) and ("b",1) share id=1 above)
+    val e = intercept[Exception](ManifestTable.mergeInto(spark, root2,
+      Seq("grp", "id"),
+      Seq(("a", 1L, "x"), ("a", 1L, "y")).toDF("grp", "id", "nv"),
+      Seq(F.col("grp"), F.col("id")),
+      matched = Seq(ManifestTable.WhenMatched(None,
+        ManifestTable.MergeDelete))))
+    assert(e.getMessage.contains("distinct"))
   }
 
   test("a general (conditional) MERGE is ledgered under a batch id; the no-op shape still commits the marker") {

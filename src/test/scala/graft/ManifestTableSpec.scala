@@ -1212,7 +1212,7 @@ class ManifestTableSpec extends SparkSpec {
     // source keys live ONLY in B's range; conditions fire on some
     val src = (60L until 80L).toDF("sid")
       .withColumn("stag", F.concat(F.lit("m"), F.col("sid")))
-    val m = ManifestTable.mergeInto(spark, root, "id", src, F.col("sid"),
+    val m = ManifestTable.mergeInto(spark, root, Seq("id"), src, Seq(F.col("sid")),
       matched = Seq(ManifestTable.WhenMatched(
         Some(F.col("id") % 2 === 0),
         ManifestTable.MergeUpdate(Map(
@@ -1230,7 +1230,7 @@ class ManifestTableSpec extends SparkSpec {
     // a merge whose clauses fire on NOTHING is a version-preserving
     // no-op (no batch id, no rewrite, no commit)
     val v = ManifestTable.latest(root).get.version
-    val m2 = ManifestTable.mergeInto(spark, root, "id", src, F.col("sid"),
+    val m2 = ManifestTable.mergeInto(spark, root, Seq("id"), src, Seq(F.col("sid")),
       matched = Seq(ManifestTable.WhenMatched(
         Some(F.lit(false)), ManifestTable.MergeDelete)))
     assert(m2.snapshot.version == v && m2.matchedRows == 0L)
@@ -1242,7 +1242,7 @@ class ManifestTableSpec extends SparkSpec {
     ManifestTable.init(root)
     val src = (0L until 5L).toDF("sid")
       .withColumn("sval", F.concat(F.lit("v"), F.col("sid")))
-    val m = ManifestTable.mergeInto(spark, root, "id", src, F.col("sid"),
+    val m = ManifestTable.mergeInto(spark, root, Seq("id"), src, Seq(F.col("sid")),
       notMatched = Seq(ManifestTable.WhenNotMatched(None, Map(
         "id" -> ManifestTable.sourceCol("sid"),
         "payload" -> ManifestTable.sourceCol("sval")))))
@@ -1251,7 +1251,7 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).columns.toSeq ==
       Seq("id", "payload"))
     // and a second merge against the now-populated table matches
-    val m2 = ManifestTable.mergeInto(spark, root, "id", src, F.col("sid"),
+    val m2 = ManifestTable.mergeInto(spark, root, Seq("id"), src, Seq(F.col("sid")),
       matched = Seq(ManifestTable.WhenMatched(None, ManifestTable.MergeDelete)),
       notMatched = Seq(ManifestTable.WhenNotMatched(None, Map(
         "id" -> ManifestTable.sourceCol("sid")))))
