@@ -159,8 +159,13 @@ object GraftFunctions {
     // ledger commit + in-place catalog refresh (no re-register)
     e.injectPostHocResolutionRule(ManifestSqlAlter.apply)
     // maintenance DDL (GRAFT COMPACT/VACUUM/EXPIRE/MAINTAIN) — a
-    // four-statement grammar; everything else delegates verbatim
-    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // four-statement grammar; everything else delegates verbatim.
+    // The wrapper also re-routes ALTER TABLE RENAME/DROP COLUMN on
+    // manifest catalog tables at PARSE time: ResolveSessionCatalog
+    // throws for those v2-only statements over V1 tables DURING
+    // resolution, before any injected rule can rewrite them
+    e.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
   }
 }
 

@@ -34,20 +34,22 @@ import graft.operators.ManifestTable
   * wrapper never shadows standard SQL; a malformed GRAFT statement
   * fails with the usage line rather than falling through to a
   * confusing ANSI parse error. */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
 
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    parseGraft(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    parseGraft(sqlText).getOrElse(
+      rewriteAlter(session, delegate.parsePlan(sqlText)))
 
   // parameterized spark.sql(text, args) must keep its binding — only
   // intercept our grammar (which has no parameters), else delegate the
   // PARAMETERIZED entry point, not parsePlan
   override def parsePlanWithParameters(sqlText: String,
                                        ctx: ParameterContext): LogicalPlan =
-    parseGraft(sqlText).getOrElse(
-      delegate.parsePlanWithParameters(sqlText, ctx))
+    parseGraft(sqlText).getOrElse(rewriteAlter(session,
+      delegate.parsePlanWithParameters(sqlText, ctx)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
@@ -114,6 +116,67 @@ object GraftSqlParser {
           "  GRAFT VACUUM '<root>' [RETAIN <n> HOURS]\n" +
           "  GRAFT EXPIRE '<root>' KEEP <k>\n" +
           "  GRAFT MAINTAIN '<root>' [TARGET <bytes>] [CLUSTER BY c1[, c2…]]")
+    }
+  }
+
+  /** `ALTER TABLE t RENAME COLUMN a TO b` / `ALTER TABLE t DROP
+    * COLUMN[S] [IF EXISTS] …` re-routed to the manifest schema
+    * ledger when `t` is a session-catalog `graft-manifest` table.
+    * This MUST happen at parse time: the statements are v2-only, so
+    * `ResolveSessionCatalog` throws `unsupportedTableOperationError`
+    * for a V1 target DURING resolution — no injected resolution or
+    * post-hoc rule ever sees the plan. Non-manifest targets (and any
+    * lookup failure) pass through untouched and keep the stock
+    * behavior. Top-level columns only — nested paths refuse with the
+    * reason named. */
+  private def rewriteAlter(session: SparkSession,
+                           plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName,
+      UnresolvedTable}
+    import org.apache.spark.sql.catalyst.plans.logical.{DropColumns,
+      RenameColumn}
+    def manifestIdent(u: UnresolvedTable): Option[TableIdentifier] = {
+      val parts = u.multipartIdentifier match {
+        case Seq(cat, db, t)
+            if cat.equalsIgnoreCase("spark_catalog") => Seq(db, t)
+        case p => p
+      }
+      val ident = parts match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case _ => return None
+      }
+      val cat = session.sessionState.catalog
+      val isManifest = scala.util.Try(
+        cat.tableExists(ident) && !cat.isTempView(ident) &&
+          cat.getTableMetadata(ident).provider
+            .exists(_.equalsIgnoreCase("graft-manifest"))).getOrElse(false)
+      if (isManifest) Some(ident) else None
+    }
+    def topLevel(name: Seq[String], verb: String): String = name match {
+      case Seq(col) => col
+      case nested => throw new UnsupportedOperationException(
+        s"manifest $verb renames/drops top-level columns only; " +
+          s"'${nested.mkString(".")}' is nested")
+    }
+    plan match {
+      case RenameColumn(u: UnresolvedTable, UnresolvedFieldName(name),
+          newName) =>
+        manifestIdent(u).map(ident => ManifestSqlAlter.RenameColumnCommand(
+          ident, topLevel(name, "RENAME COLUMN"), newName): LogicalPlan)
+          .getOrElse(plan)
+      case DropColumns(u: UnresolvedTable, cols, ifExists) =>
+        manifestIdent(u).map { ident =>
+          val names = cols.map {
+            case UnresolvedFieldName(name) =>
+              topLevel(name, "DROP COLUMN")
+            case other => throw new IllegalStateException(
+              s"unexpected field shape in DROP COLUMN: $other")
+          }
+          ManifestSqlAlter.DropColumnsCommand(ident, names,
+            ifExists): LogicalPlan
+        }.getOrElse(plan)
+      case other => other
     }
   }
 

@@ -9,6 +9,7 @@ import org.apache.spark.sql.execution.command.{AlterTableAddColumnsCommand,
 import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.operators.ManifestTable
+import graft.sources.ManifestSql
 
 /** `ALTER TABLE <manifest catalog table> ADD COLUMNS (…)` routed
   * through the schema ledger, with the catalog registration refreshed
@@ -30,11 +31,23 @@ import graft.operators.ManifestTable
   * stale registration fails loudly with the standing re-register
   * instruction rather than serving a schema the table no longer has.
   *
-  * Scope: ADD COLUMNS only. Renames and drops change what existing
-  * bytes MEAN (coalesce chains, tombstones) — they stay on the Scala
-  * API with an explicit re-register, and a rename-chained
-  * registration's coalesce VIEW has a fixed SELECT list no ALTER can
-  * extend (alter its `<name>_store` table instead). */
+  * RENAME COLUMN and DROP COLUMN(S) route through the same ledger
+  * (coalesce chains, tombstones — `ManifestTable.renameColumn` /
+  * `dropColumn`), but are REWRITTEN AT PARSE TIME by
+  * [[GraftSqlParser]], not here: those statements are v2-only, so
+  * `ResolveSessionCatalog` throws for a V1 target DURING resolution,
+  * before any injected rule sees the plan. Their runnable commands
+  * ([[ManifestSqlAlter.RenameColumnCommand]] /
+  * [[ManifestSqlAlter.DropColumnsCommand]]) live in this object
+  * beside the ADD COLUMNS one. Because a rename/drop changes the
+  * PHYSICAL projection (not just appends nullable fields), their
+  * epilogue re-registers the catalog entry the way
+  * `registerPersistent` would register the table today: a
+  * rename-chained table flips to `<name>_store` + coalesce VIEW
+  * (read-only from SQL — the documented rename-chain contract), a
+  * drop stays a bare insertable table. Top-level columns only, and a
+  * coalesce VIEW's fixed SELECT list cannot itself be altered
+  * (alter its `<name>_store` table instead). */
 case class ManifestSqlAlter(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
@@ -64,6 +77,73 @@ case class ManifestSqlAlter(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object ManifestSqlAlter {
+
+  private def rootOf(session: SparkSession,
+                     ident: TableIdentifier): String = {
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    meta.storage.properties.get("path")
+      .orElse(meta.storage.locationUri.map(u =>
+        new org.apache.hadoop.fs.Path(u).toString))
+      .getOrElse(throw new IllegalStateException(
+        s"manifest catalog table ${ident.quotedString} has no path"))
+  }
+
+  /** Shared epilogue of a schema-SHAPE change (rename/drop): the
+    * physical projection changed, so rebuild the registration the
+    * way [[ManifestSql.registerPersistent]] would register it today
+    * — a rename-chained table flips to `<name>_store` + coalesce
+    * VIEW, a drop stays (or returns to) a bare table. The ledger
+    * commit comes FIRST; a failed rebuild leaves the stale entry
+    * failing loudly with the standing re-register instruction. */
+  private def reRegister(session: SparkSession,
+                         ident: TableIdentifier): Unit = {
+    val name = ident.unquotedString
+    ManifestSql.registerPersistent(session, name,
+      rootOf(session, ident))
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN a TO b` on a manifest catalog
+    * table: ledger rename (old files read through the chain), then
+    * the in-place registration rebuild. */
+  case class RenameColumnCommand(ident: TableIdentifier,
+                                 from: String, to: String)
+    extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      val root = rootOf(session, ident)
+      val name = ident.quotedString
+      if (session.catalog.isCached(name)) session.catalog.uncacheTable(name)
+      ManifestTable.renameColumn(session, root, from, to)
+      reRegister(session, ident)
+      Seq.empty
+    }
+  }
+
+  /** `ALTER TABLE … DROP COLUMN[S] [IF EXISTS] …` on a manifest
+    * catalog table: ledger tombstone per column, then the
+    * registration rebuild. With IF EXISTS, columns absent from the
+    * CURRENT recorded schema skip silently (the parse-time rewrite
+    * cannot resolve fields — the analyzer never gets the plan); an
+    * IF EXISTS list where nothing exists is a full no-op. */
+  case class DropColumnsCommand(ident: TableIdentifier,
+                                cols: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      val root = rootOf(session, ident)
+      val have = ManifestTable.latest(root)
+        .map(s => ManifestTable.recordedSchemaOf(session, root, s)
+          .fieldNames.toSet)
+        .getOrElse(Set.empty[String])
+      val victims =
+        if (ifExists) cols.filter(have) else cols
+      if (victims.nonEmpty) {
+        val name = ident.quotedString
+        if (session.catalog.isCached(name)) session.catalog.uncacheTable(name)
+        victims.foreach(c => ManifestTable.dropColumn(session, root, c))
+        reRegister(session, ident)
+      }
+      Seq.empty
+    }
+  }
 
   /** The ledgered ALTER: schema-ledger commit, catalog schema update,
     * relation-cache drop — in that order (see class doc). */

@@ -218,6 +218,57 @@ class MetastoreSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN route through the schema ledger and rebuild the registration in place") {
+    requireHms()
+    import graft.operators.ManifestTable
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_prd").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root,
+      (0L until 50L).toDF("id")
+        .withColumn("payload", F.concat(F.lit("row"), F.col("id")))
+        .withColumn("junk", F.lit("x"))
+        .coalesce(1))
+    try {
+      graft.api.Graft(spark, sf)
+        .registerManifest("prd_corpus", root, persistent = true)
+      val v0 = ManifestTable.latest(root).get
+      // DROP: metadata-only tombstone, bare table stays SQL-writable
+      spark.sql("ALTER TABLE prd_corpus DROP COLUMN junk")
+      val v1 = ManifestTable.latest(root).get
+      assert(v1.version == v0.version + 1 && v1.files == v0.files,
+        "DROP COLUMN must be a metadata-only ledger commit")
+      assert(spark.table("prd_corpus").columns.toSeq ==
+        Seq("id", "payload"))
+      spark.sql("INSERT INTO prd_corpus VALUES (500, 'late')")
+      // IF EXISTS on a missing column is a no-op, not an error
+      spark.sql("ALTER TABLE prd_corpus DROP COLUMN IF EXISTS ghost")
+      // RENAME: the chain serves OLD files through the NEW name; the
+      // registration flips to store+view (read-only from SQL)
+      spark.sql("ALTER TABLE prd_corpus RENAME COLUMN payload TO body")
+      assert(spark.table("prd_corpus").columns.toSeq == Seq("id", "body"))
+      assert(spark.sql("SELECT body FROM prd_corpus WHERE id = 7")
+        .as[String].head() == "row7",
+        "pre-rename files must read through the coalesce chain")
+      assert(spark.sql("SELECT count(*) FROM prd_corpus")
+        .as[Long].head() == 51L)
+      // a sibling session resolves the rebuilt registration directly
+      val s2 = spark.newSession()
+      assert(s2.table("prd_corpus").columns.toSeq == Seq("id", "body"))
+      assert(s2.sql("SELECT body FROM prd_corpus WHERE id = 500")
+        .as[String].head() == "late")
+      // refusals: nested path and unknown column fail loudly
+      val missing = intercept[Exception](
+        spark.sql("ALTER TABLE prd_corpus DROP COLUMN ghost"))
+      assert(missing.getMessage != null)
+    } finally {
+      Seq("DROP VIEW IF EXISTS prd_corpus",
+        "DROP TABLE IF EXISTS prd_corpus",
+        "DROP TABLE IF EXISTS prd_corpus_store")
+        .foreach(s => scala.util.Try(spark.sql(s)))
+    }
+  }
+
   test("TRUNCATE TABLE on a manifest catalog entry is a ledgered empty-overwrite, never a file deletion") {
     requireHms()
     import graft.operators.ManifestTable
