@@ -1302,20 +1302,23 @@ object ManifestTable {
       s"values frame must have exactly one column, " +
         s"got ${values.columns.mkString(",")}")
     val v = values.toDF("__in_id").na.drop().distinct()
+      .withColumn("__in_hit", F.lit(true))
       .localCheckpoint(eager = true)
     val res = residue.getOrElse(F.lit(true))
-    val prune = (residue.toSeq ++ idPrune(spark, inCol, v, "__in_id"))
+    val prune = (residue.toSeq ++
+      idPrune(spark, inCol, v.select("__in_id"), "__in_id"))
       .reduceOption(_ && _)
     deleteWith(spark, root,
       hits = df => df.filter(res)
         .join(v, df(inCol) === v("__in_id"), "left_semi"),
-      // keep = everything but (residue ∧ in-set): the anti side
-      // entirely, plus semi-side rows failing the residue — a
-      // disjoint partition of the victim files' rows
-      keep = df => df.join(v, df(inCol) === v("__in_id"), "left_anti")
-        .unionByName(df
-          .join(v, df(inCol) === v("__in_id"), "left_semi")
-          .filter(!F.coalesce(res, F.lit(false)))),
+      // keep = everything but (residue ∧ in-set), in ONE pass over
+      // the victim files: left-outer the membership marker on, drop
+      // the firing rows, project the original columns back
+      keep = df => df
+        .join(v, df(inCol) === v("__in_id"), "left_outer")
+        .filter(!(F.coalesce(res, F.lit(false)) &&
+          F.coalesce(F.col("__in_hit"), F.lit(false))))
+        .select(df.columns.toSeq.map(c => df(c)): _*),
       beforeCommit, maxRestarts, prune)
   }
 
@@ -1720,6 +1723,12 @@ object ManifestTable {
       c.map(F.coalesce(_, F.lit(false))).getOrElse(F.lit(true))
     def anyHolds(cs: Seq[WhenMatched]): Column =
       cs.map(c => holds(c.condition)).reduce(_ || _)
+    // the FILE-level prune uses the RAW disjunction: the stats
+    // evaluator treats a Coalesce wrapper as an unsupported shape
+    // (never prune), and null-safety is a row concern — a file where
+    // no condition can be TRUE has no firable row either way
+    def anyRaw(cs: Seq[WhenMatched]): Column =
+      cs.map(_.condition.getOrElse(F.lit(true))).reduce(_ || _)
     def metaFor(cur: Snapshot): Seq[String] =
       batchId.map(id => cur.meta :+ s"$BatchPrefix$id").getOrElse(cur.meta)
 
@@ -1741,7 +1750,7 @@ object ManifestTable {
         val nmbsFiles =
           if (notMatchedBySource.isEmpty || base.files.isEmpty) Seq.empty
           else candidateFiles(spark, root, base,
-            anyHolds(notMatchedBySource))
+            anyRaw(notMatchedBySource))
         def scanOf(files: Seq[String]): DataFrame =
           readSnapshot(spark, root, base.copy(files = files))
             .withColumn("__file", F.input_file_name())
@@ -1840,6 +1849,13 @@ object ManifestTable {
             }
             val fired = unmatched.withColumn("__iclause", iIdx)
               .filter(F.col("__iclause") >= 0)
+            if (targetSchema.nonEmpty) {
+              val unknown = notMatched.flatMap(_.assignments.keys).toSet --
+                targetSchema.fieldNames.toSet
+              require(unknown.isEmpty,
+                "merge INSERT assigns to unknown column(s): " +
+                  unknown.mkString(","))
+            }
             val cols =
               if (targetSchema.nonEmpty) targetSchema.fields.toSeq
               else {

@@ -102,6 +102,18 @@ object ManifestSqlAlter {
       rootOf(session, ident))
   }
 
+  /** Resolve a user-written column name against the recorded schema
+    * under the session's case-sensitivity conf — the parse-time
+    * rewrite bypasses the analyzer's field resolution, so the stock
+    * case-insensitive (by default) semantics are re-applied here. */
+  private def resolveCol(session: SparkSession, root: String,
+                         name: String): Option[String] = {
+    val resolver = session.sessionState.conf.resolver
+    ManifestTable.latest(root)
+      .flatMap(s => ManifestTable.recordedSchemaOf(session, root, s)
+        .fieldNames.find(resolver(_, name)))
+  }
+
   /** `ALTER TABLE … RENAME COLUMN a TO b` on a manifest catalog
     * table: ledger rename (old files read through the chain), then
     * the in-place registration rebuild. */
@@ -110,9 +122,12 @@ object ManifestSqlAlter {
     extends LeafRunnableCommand {
     override def run(session: SparkSession): Seq[Row] = {
       val root = rootOf(session, ident)
+      val resolved = resolveCol(session, root, from).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$from' to rename on ${ident.quotedString}"))
       val name = ident.quotedString
       if (session.catalog.isCached(name)) session.catalog.uncacheTable(name)
-      ManifestTable.renameColumn(session, root, from, to)
+      ManifestTable.renameColumn(session, root, resolved, to)
       reRegister(session, ident)
       Seq.empty
     }
@@ -120,26 +135,43 @@ object ManifestSqlAlter {
 
   /** `ALTER TABLE … DROP COLUMN[S] [IF EXISTS] …` on a manifest
     * catalog table: ledger tombstone per column, then the
-    * registration rebuild. With IF EXISTS, columns absent from the
-    * CURRENT recorded schema skip silently (the parse-time rewrite
-    * cannot resolve fields — the analyzer never gets the plan); an
-    * IF EXISTS list where nothing exists is a full no-op. */
+    * registration rebuild. Names resolve case-per-conf against the
+    * CURRENT recorded schema (the analyzer never sees this plan);
+    * with IF EXISTS, absent columns skip silently. The WHOLE list
+    * validates up front — missing columns (without IF EXISTS),
+    * duplicates after resolution, and dropping every remaining
+    * column all refuse BEFORE the first ledger commit, so a
+    * multi-column statement cannot half-apply on its own
+    * validation; and if a drop still fails mid-list (a concurrent
+    * schema race), the registration is rebuilt for whatever DID
+    * commit, so the catalog never serves a schema the ledger no
+    * longer has. */
   case class DropColumnsCommand(ident: TableIdentifier,
                                 cols: Seq[String], ifExists: Boolean)
     extends LeafRunnableCommand {
     override def run(session: SparkSession): Seq[Row] = {
       val root = rootOf(session, ident)
-      val have = ManifestTable.latest(root)
-        .map(s => ManifestTable.recordedSchemaOf(session, root, s)
-          .fieldNames.toSet)
-        .getOrElse(Set.empty[String])
-      val victims =
-        if (ifExists) cols.filter(have) else cols
+      val victims = cols.flatMap { c =>
+        resolveCol(session, root, c) match {
+          case Some(r) => Some(r)
+          case None if ifExists => None
+          case None => throw new IllegalArgumentException(
+            s"no column '$c' to drop on ${ident.quotedString} " +
+              "(use IF EXISTS to ignore missing columns)")
+        }
+      }.distinct
       if (victims.nonEmpty) {
+        val width = ManifestTable.latest(root)
+          .map(s => ManifestTable.recordedSchemaOf(session, root, s)
+            .fieldNames.length).getOrElse(0)
+        require(victims.size < width,
+          s"cannot drop every column of ${ident.quotedString}")
         val name = ident.quotedString
         if (session.catalog.isCached(name)) session.catalog.uncacheTable(name)
-        victims.foreach(c => ManifestTable.dropColumn(session, root, c))
-        reRegister(session, ident)
+        var dropped = 0
+        try victims.foreach { c =>
+          ManifestTable.dropColumn(session, root, c); dropped += 1
+        } finally if (dropped > 0) reRegister(session, ident)
       }
       Seq.empty
     }
@@ -153,11 +185,7 @@ object ManifestSqlAlter {
     override def run(session: SparkSession): Seq[Row] = {
       val cat = session.sessionState.catalog
       val meta = cat.getTableMetadata(ident)
-      val root = meta.storage.properties.get("path")
-        .orElse(meta.storage.locationUri.map(u =>
-          new org.apache.hadoop.fs.Path(u).toString))
-        .getOrElse(throw new IllegalStateException(
-          s"manifest catalog table ${ident.quotedString} has no path"))
+      val root = rootOf(session, ident)
       val added = StructType(colsToAdd.map(_.copy(nullable = true)))
       // CACHE TABLE materializations carry the old schema — drop them
       // BEFORE the ledger moves (uncache re-resolves the table, which
@@ -184,11 +212,7 @@ object ManifestSqlAlter {
     extends LeafRunnableCommand {
     override def run(session: SparkSession): Seq[Row] = {
       val meta = session.sessionState.catalog.getTableMetadata(ident)
-      val root = meta.storage.properties.get("path")
-        .orElse(meta.storage.locationUri.map(u =>
-          new org.apache.hadoop.fs.Path(u).toString))
-        .getOrElse(throw new IllegalStateException(
-          s"manifest catalog table ${ident.quotedString} has no path"))
+      val root = rootOf(session, ident)
       val name = ident.quotedString
       if (session.catalog.isCached(name)) session.catalog.uncacheTable(name)
       val schema = StructType(meta.dataSchema.fields.map(

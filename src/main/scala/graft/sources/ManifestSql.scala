@@ -375,12 +375,31 @@ object ManifestSql {
     * (`WHEN MATCHED THEN DELETE`, no other clauses): delete target
     * rows whose ON key appears in the source —
     * [[ManifestTable.deleteIds]], whose victim scan prunes per key
-    * for driver-sized id sets. */
+    * for driver-sized id sets. A set [[BatchIdConf]] must be
+    * CONSUMED here like every other MERGE shape (a stale id left
+    * behind could silently no-op an unrelated later write): with an
+    * id, the delete routes through the general
+    * [[ManifestTable.mergeInto]] with a matched-DELETE clause, whose
+    * commit carries the ledger marker — a replayed batch no-ops. */
   private[graft] def sqlMergeDelete(spark: SparkSession,
                                     idx: ManifestFileIndex, idCol: String,
                                     victims: DataFrame): Unit = {
     requireHead(idx, "MERGE INTO")
-    ManifestTable.deleteIds(spark, idx.root, idCol, victims)
+    withBatchId(spark) {
+      case Some(id) =>
+        // single-col by contract; dedup like deleteIds does — key
+        // multiplicity is meaningless for a delete
+        val keyed = victims.toDF("mergekey").distinct()
+        ManifestTable.mergeInto(spark, idx.root, Seq(idCol),
+          keyed, Seq(org.apache.spark.sql.functions.col("mergekey")),
+          matched = Seq(ManifestTable.WhenMatched(None,
+            ManifestTable.MergeDelete)),
+          batchId = Some(id))
+        ()
+      case None =>
+        ManifestTable.deleteIds(spark, idx.root, idCol, victims)
+        ()
+    }
     afterSqlWrite(spark, idx)
   }
 

@@ -43,14 +43,4 @@ object graftbridge {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
-
-  /** The session-catalog [[catalyst.catalog.CatalogTable]] behind a
-    * DSv2 `ResolvedTable` when it wraps a V1 table (`V1Table` is
-    * private[sql]) — how a post-hoc rule recognizes its own provider
-    * inside the v2-only ALTER plans. */
-  def v1CatalogTable(t: connector.catalog.Table)
-      : Option[catalyst.catalog.CatalogTable] = t match {
-    case v1: connector.catalog.V1Table => Some(v1.v1Table)
-    case _ => None
-  }
 }

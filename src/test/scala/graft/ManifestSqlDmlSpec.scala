@@ -112,7 +112,7 @@ class ManifestSqlDmlSpec extends SparkSpec {
       "a refused write must still consume the stale id")
   }
 
-  test("MERGE WHEN MATCHED THEN DELETE alone = key-list takedown") {
+  test("MERGE WHEN MATCHED THEN DELETE alone = key-list takedown; a batch id makes it ledgered and never leaks") {
     import spark.implicits._
     val (_, root) = freshTable("graft_sqlmrgdel")
     graft.sources.ManifestSql.register(spark, "sqldml_mdel", root)
@@ -122,6 +122,23 @@ class ManifestSqlDmlSpec extends SparkSpec {
     val left = ManifestTable.read(spark, root)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(left == (0L until 100L).toSet -- Set(3L, 5L, 8L))
+    // the delete-shaped MERGE must CONSUME a batch id like every
+    // other write — a leaked stale id could silently no-op an
+    // unrelated later INSERT — and the ledgered delete replays no-op
+    Seq(10L, 11L).toDF("id").createOrReplaceTempView("sqldml_mdel_src2")
+    spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "31")
+    spark.sql("MERGE INTO sqldml_mdel t USING sqldml_mdel_src2 s " +
+      "ON t.id = s.id WHEN MATCHED THEN DELETE")
+    assert(spark.conf.getOption(graft.sources.ManifestSql.BatchIdConf).isEmpty,
+      "batch-id conf must be consumed by the delete-shaped MERGE")
+    assert(ManifestTable.isBatchCommitted(root, 31L))
+    val v = ManifestTable.latest(root).get.version
+    spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "31")
+    spark.sql("MERGE INTO sqldml_mdel t USING sqldml_mdel_src s " +
+      "ON t.id = s.id WHEN MATCHED THEN DELETE") // poisoned key list
+    assert(ManifestTable.latest(root).get.version == v,
+      "replayed batch-id MERGE-DELETE must no-op")
+    assert(ManifestTable.read(spark, root).count() == 95L)
   }
 
   test("DML works on the PERSISTENT catalog registration too") {

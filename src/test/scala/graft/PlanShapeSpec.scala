@@ -509,6 +509,82 @@ class PlanShapeSpec extends SparkSpec {
       .as[Long].head() == 2L)
   }
 
+  test("GENERAL merge victim scans stay pruned: matched via blooms per key, NOT MATCHED BY SOURCE via its clause bounds") {
+    import graft.operators.ManifestTable
+    import graft.sources.ManifestSql
+    import spark.implicits._
+    // scattered half: 8 interleaved files, min/max prunes nothing —
+    // a conditional PARTIAL merge (no NMBS) must still admit victim
+    // files per KEY through the bloom, exactly like the upsert path
+    val root = java.nio.file.Files.createTempDirectory("graft_gmprune").toString
+    ManifestTable.init(root, Seq("id"), Seq("id"))
+    for (i <- 0 until 8)
+      ManifestTable.append(spark, root,
+        (0L until 400L).filter(_ % 8 == i).toDF("id")
+          .withColumn("payload", F.concat(F.lit("row"), F.col("id")))
+          .coalesce(1))
+    ManifestSql.register(spark, "gmprune_t", root)
+    val v0 = ManifestTable.latest(root).get
+    Seq(5L, 13L).toDF("id").withColumn("np", F.lit("m"))
+      .createOrReplaceTempView("gmprune_src")
+    spark.sql("MERGE INTO gmprune_t t USING gmprune_src s ON t.id = s.id " +
+      "WHEN MATCHED AND t.id < 1000 THEN UPDATE SET payload = s.np")
+    val v1 = ManifestTable.latest(root).get
+    val rewritten = v0.files.toSet -- v1.files.toSet
+    // both keys ≡ 5 (mod 8): one genuine victim file (+1 fpp slack)
+    assert(rewritten.size <= 2,
+      s"general merge rewrote ${rewritten.size} files — matched scan " +
+        "not bloom-pruned")
+    assert(spark.sql("SELECT count(*) FROM gmprune_t WHERE payload = 'm'")
+      .as[Long].head() == 2L)
+    // clustered half: 4 disjoint bands — a merge whose NOT MATCHED BY
+    // SOURCE clause is bounded to one band must rewrite only the
+    // key-admitted file(s) plus that band, never the whole table
+    val root2 = java.nio.file.Files.createTempDirectory("graft_gmprune2").toString
+    ManifestTable.init(root2, Seq("id"), Seq("id"))
+    for (i <- 0 until 4)
+      ManifestTable.append(spark, root2,
+        (i * 100L until i * 100L + 100L).toDF("id")
+          .withColumn("payload", F.concat(F.lit("row"), F.col("id")))
+          .coalesce(1))
+    ManifestSql.register(spark, "gmprune_b", root2)
+    val b0 = ManifestTable.latest(root2).get
+    Seq(7L).toDF("id").withColumn("np", F.lit("m"))
+      .createOrReplaceTempView("gmprune_src2")
+    // the PROBES must be metadata-pruned, not just the rewrite set:
+    // physically DELETE the two bands neither the key prune (id=7 →
+    // 0-band) nor the NMBS clause bounds (250..260 → 200-band) can
+    // admit — if either probe scanned candidate-wide, it would crash
+    // on the missing files
+    val spareable = b0.files.filter { f =>
+      val ids = spark.read.parquet(s"$root2/$f").agg(F.min("id")).head()
+      val lo = ids.getLong(0)
+      lo >= 100 && lo < 200 || lo >= 300
+    }
+    assert(spareable.size == 2)
+    spareable.foreach(f => new java.io.File(s"$root2/$f").delete())
+    spark.sql("MERGE INTO gmprune_b t USING gmprune_src2 s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET payload = s.np " +
+      "WHEN NOT MATCHED BY SOURCE AND t.id >= 250 AND t.id < 260 " +
+      "THEN UPDATE SET payload = 'stale'")
+    val b1 = ManifestTable.latest(root2).get
+    val rewritten2 = b0.files.toSet -- b1.files.toSet
+    assert(rewritten2.size == 2,
+      s"NMBS-bounded merge rewrote ${rewritten2.size} files — expected " +
+        "exactly the id=7 band and the 200-band (clause-bounds pruning)")
+    // the untouched (and disk-deleted) bands carried by reference
+    assert(spareable.forall(b1.files.contains))
+    // verify through the REWRITTEN files alone (the spared bands are
+    // gone from disk)
+    val newFiles = b1.files.filterNot(b0.files.toSet)
+    val counts = spark.read
+      .parquet(newFiles.map(f => s"$root2/$f"): _*)
+      .agg(F.sum(F.when(F.col("payload") === "m", 1L).otherwise(0L)),
+        F.sum(F.when(F.col("payload") === "stale", 1L).otherwise(0L)))
+      .head()
+    assert((counts.getLong(0), counts.getLong(1)) == ((1L, 10L)))
+  }
+
   test("SQL planning stats ZERO files: non-candidate files deleted from disk still plan") {
     import graft.operators.ManifestTable
     import graft.sources.ManifestSql
