@@ -324,6 +324,9 @@ private[graft] object ExtLayout {
       val g = graft.api.Graft(s, dir)
       g.registerManifest("corpus_manifest", root)
       g.registerManifest("corpus_manifest_v1", root, versionAsOf = Some(1))
+      // a CATALOG entry for the time-travel SYNTAX arm (VERSION AS OF
+      // needs a real catalog identity; re-registration is idempotent)
+      g.registerManifest("corpus_manifest_cat", root, persistent = true)
       // the third arm reads the SAME v1 pin through the registered
       // provider's option path (the ad-hoc time-travel recipe the
       // persistent catalog mode documents) — its rows must equal the
@@ -345,6 +348,12 @@ private[graft] object ExtLayout {
         "UNION ALL " +
         s"SELECT doc_id, lang, source, n_chars, 'v1tvf' AS ver " +
         s"FROM graft_manifest('$root', 1) " +
+        "WHERE doc_id >= 40 AND doc_id < 60 " +
+        // ...and a FOURTH way: the ANSI time-travel SYNTAX on the
+        // catalog entry (parse-time re-route to the same TVF pin)
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, n_chars, 'v1sql' AS ver " +
+        "FROM corpus_manifest_cat VERSION AS OF 1 " +
         "WHERE doc_id >= 40 AND doc_id < 60")
         .unionByName(optArm)
     }),
@@ -1434,6 +1443,9 @@ private[graft] object ExtLayout {
         "FROM documents WHERE doc_id >= 40 AND doc_id < 60 " +
         "UNION ALL " +
         "SELECT doc_id, lang, source, n_chars, 'v1tvf' AS ver " +
+        "FROM documents WHERE doc_id >= 40 AND doc_id < 60 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, n_chars, 'v1sql' AS ver " +
         "FROM documents WHERE doc_id >= 40 AND doc_id < 60 " +
         "UNION ALL " +
         "SELECT doc_id, lang, source, n_chars, 'v1opt' AS ver " +

@@ -715,6 +715,22 @@ object ManifestTable {
     } finally clearIntent(root, token)
   }
 
+  /** The latest version whose manifest was PUBLISHED at or before
+    * `millis` (epoch) — `TIMESTAMP AS OF` resolution, the
+    * commit-file-mtime convention (manifests are written once,
+    * atomically, so mtime = commit time). None when the timestamp
+    * predates the table (or every surviving version — expired
+    * history cannot be addressed, exactly like version time
+    * travel). */
+  def versionAt(root: String, millis: Long): Option[Int] = {
+    val dir = manifestDir(root)
+    val fs = fsOf(dir)
+    versionNumbers(fs, dir).sorted.flatMap { v =>
+      scala.util.Try(fs.getFileStatus(new HPath(dir, s"v$v")))
+        .toOption.map(st => (v, st.getModificationTime))
+    }.filter(_._2 <= millis).lastOption.map(_._1)
+  }
+
   /** A specific published snapshot (None if that version was never
     * published or has been expired by [[expireManifests]]). */
   def snapshot(root: String, version: Int): Option[Snapshot] = {

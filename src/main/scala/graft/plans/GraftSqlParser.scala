@@ -41,14 +41,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan =
     parseGraft(sqlText).getOrElse(
-      rewriteAlter(session, delegate.parsePlan(sqlText)))
+      rewriteManifestSql(session, delegate.parsePlan(sqlText)))
 
   // parameterized spark.sql(text, args) must keep its binding — only
   // intercept our grammar (which has no parameters), else delegate the
   // PARAMETERIZED entry point, not parsePlan
   override def parsePlanWithParameters(sqlText: String,
                                        ctx: ParameterContext): LogicalPlan =
-    parseGraft(sqlText).getOrElse(rewriteAlter(session,
+    parseGraft(sqlText).getOrElse(rewriteManifestSql(session,
       delegate.parsePlanWithParameters(sqlText, ctx)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -129,44 +129,63 @@ object GraftSqlParser {
     * lookup failure) pass through untouched and keep the stock
     * behavior. Top-level columns only — nested paths refuse with the
     * reason named. */
-  private def rewriteAlter(session: SparkSession,
-                           plan: LogicalPlan): LogicalPlan = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName,
-      UnresolvedTable}
+  /** The session-catalog identifier behind a multipart name IFF it
+    * names a `graft-manifest` table (temp views and lookup failures
+    * return None → stock behavior). */
+  private def manifestIdentOf(session: SparkSession,
+                              multipart: Seq[String])
+      : Option[TableIdentifier] = {
+    val parts = multipart match {
+      case Seq(cat, db, t)
+          if cat.equalsIgnoreCase("spark_catalog") => Seq(db, t)
+      case p => p
+    }
+    val ident = parts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    val cat = session.sessionState.catalog
+    val isManifest = scala.util.Try(
+      cat.tableExists(ident) && !cat.isTempView(ident) &&
+        cat.getTableMetadata(ident).provider
+          .exists(_.equalsIgnoreCase("graft-manifest"))).getOrElse(false)
+    if (isManifest) Some(ident) else None
+  }
+
+  private def manifestRootOf(session: SparkSession,
+                             ident: TableIdentifier): String = {
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    meta.storage.properties.get("path")
+      .orElse(meta.storage.locationUri.map(u =>
+        new org.apache.hadoop.fs.Path(u).toString))
+      .getOrElse(throw new IllegalStateException(
+        s"manifest catalog table ${ident.quotedString} has no path"))
+  }
+
+  private def rewriteManifestSql(session: SparkSession,
+                                 plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel,
+      UnresolvedFieldName, UnresolvedRelation, UnresolvedTable,
+      UnresolvedTableValuedFunction}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.plans.logical.{DropColumns,
       RenameColumn}
-    def manifestIdent(u: UnresolvedTable): Option[TableIdentifier] = {
-      val parts = u.multipartIdentifier match {
-        case Seq(cat, db, t)
-            if cat.equalsIgnoreCase("spark_catalog") => Seq(db, t)
-        case p => p
-      }
-      val ident = parts match {
-        case Seq(t) => TableIdentifier(t)
-        case Seq(db, t) => TableIdentifier(t, Some(db))
-        case _ => return None
-      }
-      val cat = session.sessionState.catalog
-      val isManifest = scala.util.Try(
-        cat.tableExists(ident) && !cat.isTempView(ident) &&
-          cat.getTableMetadata(ident).provider
-            .exists(_.equalsIgnoreCase("graft-manifest"))).getOrElse(false)
-      if (isManifest) Some(ident) else None
-    }
     def topLevel(name: Seq[String], verb: String): String = name match {
       case Seq(col) => col
       case nested => throw new UnsupportedOperationException(
         s"manifest $verb renames/drops top-level columns only; " +
           s"'${nested.mkString(".")}' is nested")
     }
-    plan match {
+    val altered = plan match {
       case RenameColumn(u: UnresolvedTable, UnresolvedFieldName(name),
           newName) =>
-        manifestIdent(u).map(ident => ManifestSqlAlter.RenameColumnCommand(
-          ident, topLevel(name, "RENAME COLUMN"), newName): LogicalPlan)
+        manifestIdentOf(session, u.multipartIdentifier)
+          .map(ident => ManifestSqlAlter.RenameColumnCommand(
+            ident, topLevel(name, "RENAME COLUMN"), newName): LogicalPlan)
           .getOrElse(plan)
       case DropColumns(u: UnresolvedTable, cols, ifExists) =>
-        manifestIdent(u).map { ident =>
+        manifestIdentOf(session, u.multipartIdentifier).map { ident =>
           val names = cols.map {
             case UnresolvedFieldName(name) =>
               topLevel(name, "DROP COLUMN")
@@ -177,6 +196,48 @@ object GraftSqlParser {
             ifExists): LogicalPlan
         }.getOrElse(plan)
       case other => other
+    }
+    // `FROM t VERSION AS OF n` / `TIMESTAMP AS OF ts` on a manifest
+    // catalog table, anywhere in the query: v2-only syntax (the V1
+    // resolution path throws), re-routed to the graft_manifest TVF —
+    // the same pinned pruned relation the option path serves.
+    // TIMESTAMP AS OF resolves by COMMIT TIME (manifest publish
+    // mtime, the Delta convention) to the latest version at or
+    // before it, computed now — the statement executes immediately
+    // after parsing. Non-manifest relations pass through untouched.
+    altered.transformUpWithSubqueries {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        manifestIdentOf(session, u.multipartIdentifier).map { ident =>
+          val root = manifestRootOf(session, ident)
+          val version = (ver, ts) match {
+            case (Some(v), _) =>
+              scala.util.Try(v.trim.toInt).getOrElse(
+                throw new IllegalArgumentException(
+                  s"VERSION AS OF on ${ident.quotedString} takes an " +
+                    s"integer manifest version; got '$v'"))
+            case (None, Some(Literal(s, org.apache.spark.sql.types
+                .StringType))) =>
+              val text = s.toString
+              val millis = scala.util.Try(
+                java.sql.Timestamp.valueOf(text).getTime).orElse(
+                scala.util.Try(java.sql.Date.valueOf(text).getTime))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"TIMESTAMP AS OF: cannot parse '$text' — use " +
+                    "'yyyy-MM-dd[ HH:mm:ss[.f]]'"))
+              ManifestTable.versionAt(root, millis).getOrElse(
+                throw new IllegalArgumentException(
+                  s"TIMESTAMP AS OF '$s' predates every surviving " +
+                    s"version of ${ident.quotedString}"))
+            case (None, Some(other)) =>
+              throw new UnsupportedOperationException(
+                "TIMESTAMP AS OF on a manifest table takes a literal " +
+                  s"'yyyy-MM-dd HH:mm:ss[.f]' string; got ${other.sql}")
+            case (None, None) => throw new IllegalStateException(
+              s"time travel with neither version nor timestamp: $tt")
+          }
+          UnresolvedTableValuedFunction(Seq("graft_manifest"),
+            Seq(Literal(root), Literal(version))): LogicalPlan
+        }.getOrElse(tt)
     }
   }
 

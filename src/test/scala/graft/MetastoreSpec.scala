@@ -269,6 +269,54 @@ class MetastoreSpec extends SparkSpec {
     }
   }
 
+  test("SQL time-travel syntax: VERSION AS OF / TIMESTAMP AS OF on manifest catalog tables") {
+    requireHms()
+    import graft.operators.ManifestTable
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ptt").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root, (0L until 10L).toDF("id"))   // v1
+    ManifestTable.append(spark, root, (10L until 30L).toDF("id"))  // v2
+    Thread.sleep(1100) // a clean commit-mtime boundary
+    val betweenTs = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1100)
+    ManifestTable.append(spark, root, (30L until 60L).toDF("id"))  // v3
+    try {
+      graft.api.Graft(spark, sf)
+        .registerManifest("ptt_corpus", root, persistent = true)
+      def n(sql: String): Long = spark.sql(sql).as[Long].head()
+      assert(n("SELECT count(*) FROM ptt_corpus VERSION AS OF 1") == 10L)
+      assert(n("SELECT count(*) FROM ptt_corpus VERSION AS OF 2") == 30L)
+      assert(n("SELECT count(*) FROM ptt_corpus") == 60L)
+      // TIMESTAMP AS OF resolves by commit time to the version then
+      assert(n("SELECT count(*) FROM ptt_corpus " +
+        s"TIMESTAMP AS OF '$betweenTs'") == 30L)
+      assert(n("SELECT count(*) FROM ptt_corpus " +
+        "TIMESTAMP AS OF '2099-01-01'") == 60L)
+      // the travelled relation composes inside a bigger query
+      assert(n("SELECT count(*) FROM ptt_corpus t JOIN " +
+        "(SELECT id FROM ptt_corpus VERSION AS OF 1) o ON t.id = o.id")
+        == 10L)
+      val early = intercept[Exception](spark.sql(
+        "SELECT count(*) FROM ptt_corpus TIMESTAMP AS OF '1970-01-02'")
+        .collect())
+      assert(early.getMessage.contains("predates"))
+      val badTs = intercept[Exception](spark.sql(
+        "SELECT count(*) FROM ptt_corpus TIMESTAMP AS OF 'not a time'")
+        .collect())
+      assert(badTs.getMessage.contains("cannot parse"))
+      // a non-manifest table keeps the stock (unsupported) behavior
+      (0L until 3L).toDF("id").write.mode("overwrite")
+        .saveAsTable("ptt_plain")
+      intercept[Exception](
+        spark.sql("SELECT * FROM ptt_plain VERSION AS OF 1").collect())
+    } finally {
+      Seq("DROP TABLE IF EXISTS ptt_corpus",
+        "DROP TABLE IF EXISTS ptt_plain")
+        .foreach(s => scala.util.Try(spark.sql(s)))
+    }
+  }
+
   test("TRUNCATE TABLE on a manifest catalog entry is a ledgered empty-overwrite, never a file deletion") {
     requireHms()
     import graft.operators.ManifestTable
