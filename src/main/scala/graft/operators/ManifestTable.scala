@@ -725,10 +725,19 @@ object ManifestTable {
   def versionAt(root: String, millis: Long): Option[Int] = {
     val dir = manifestDir(root)
     val fs = fsOf(dir)
-    versionNumbers(fs, dir).sorted.flatMap { v =>
-      scala.util.Try(fs.getFileStatus(new HPath(dir, s"v$v")))
-        .toOption.map(st => (v, st.getModificationTime))
-    }.filter(_._2 <= millis).lastOption.map(_._1)
+    // ONE listing serves names and mtimes both (N sequential
+    // getFileStatus probes would pay a round-trip per retained
+    // version on an object store)
+    scala.util.Try(fs.listStatus(dir).toSeq).getOrElse(Seq.empty)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.length > 1 &&
+          n.drop(1).forall(_.isDigit))
+          Some((n.drop(1).toInt, st.getModificationTime))
+        else None
+      }
+      .filter(_._2 <= millis)
+      .sortBy(_._1).lastOption.map(_._1)
   }
 
   /** A specific published snapshot (None if that version was never

@@ -51,8 +51,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     parseGraft(sqlText).getOrElse(rewriteManifestSql(session,
       delegate.parsePlanWithParameters(sqlText, ctx)))
 
+  // view bodies re-parse through THIS entry point (SessionCatalog →
+  // parseQuery): a persistent view over `… VERSION AS OF n` must get
+  // the same time-travel re-route at read time as its CREATE did
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(sqlText)
+    rewriteManifestSql(session, delegate.parseQuery(sqlText))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -218,9 +221,18 @@ object GraftSqlParser {
             case (None, Some(Literal(s, org.apache.spark.sql.types
                 .StringType))) =>
               val text = s.toString
+              // interpret the literal in the SESSION timezone, like
+              // every other timestamp in the query (Timestamp/Date
+              // .valueOf parse the LOCAL datetime fields; going
+              // through LocalDateTime strips the JVM default zone
+              // they'd otherwise bake in)
+              val zone = java.time.ZoneId.of(
+                session.sessionState.conf.sessionLocalTimeZone)
               val millis = scala.util.Try(
-                java.sql.Timestamp.valueOf(text).getTime).orElse(
-                scala.util.Try(java.sql.Date.valueOf(text).getTime))
+                java.sql.Timestamp.valueOf(text).toLocalDateTime).orElse(
+                scala.util.Try(
+                  java.sql.Date.valueOf(text).toLocalDate.atStartOfDay()))
+                .map(_.atZone(zone).toInstant.toEpochMilli)
                 .getOrElse(throw new IllegalArgumentException(
                   s"TIMESTAMP AS OF: cannot parse '$text' — use " +
                     "'yyyy-MM-dd[ HH:mm:ss[.f]]'"))
@@ -235,8 +247,13 @@ object GraftSqlParser {
             case (None, None) => throw new IllegalStateException(
               s"time travel with neither version nor timestamp: $tt")
           }
-          UnresolvedTableValuedFunction(Seq("graft_manifest"),
-            Seq(Literal(root), Literal(version))): LogicalPlan
+          // keep the table name as the relation's qualifier, so
+          // `SELECT t.c FROM t VERSION AS OF n` resolves like the
+          // stock syntax would
+          org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+            ident.table,
+            UnresolvedTableValuedFunction(Seq("graft_manifest"),
+              Seq(Literal(root), Literal(version)))): LogicalPlan
         }.getOrElse(tt)
     }
   }

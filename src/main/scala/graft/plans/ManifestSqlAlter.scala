@@ -125,6 +125,17 @@ object ManifestSqlAlter {
       val resolved = resolveCol(session, root, from).getOrElse(
         throw new IllegalArgumentException(
           s"no column '$from' to rename on ${ident.quotedString}"))
+      // the target-name collision check must use the SAME resolver:
+      // renaming a -> B on a table with column b would otherwise
+      // pass the ledger's exact-match guard and leave every
+      // unqualified reference ambiguous under the default
+      // case-insensitive resolution (a case-only rename of the SAME
+      // column stays allowed)
+      resolveCol(session, root, to).filter(_ != resolved).foreach(c =>
+        throw new IllegalArgumentException(
+          s"cannot rename '$resolved' to '$to' on " +
+            s"${ident.quotedString} — it collides with column '$c' " +
+            "under the session's case-insensitive resolution"))
       val name = ident.quotedString
       if (session.catalog.isCached(name)) session.catalog.uncacheTable(name)
       ManifestTable.renameColumn(session, root, resolved, to)
@@ -138,11 +149,11 @@ object ManifestSqlAlter {
     * registration rebuild. Names resolve case-per-conf against the
     * CURRENT recorded schema (the analyzer never sees this plan);
     * with IF EXISTS, absent columns skip silently. The WHOLE list
-    * validates up front — missing columns (without IF EXISTS),
-    * duplicates after resolution, and dropping every remaining
-    * column all refuse BEFORE the first ledger commit, so a
-    * multi-column statement cannot half-apply on its own
-    * validation; and if a drop still fails mid-list (a concurrent
+    * validates up front — missing columns (without IF EXISTS)
+    * and dropping every remaining column refuse BEFORE the first
+    * ledger commit (duplicates after resolution collapse into one
+    * drop), so a multi-column statement cannot half-apply on its
+    * own validation; and if a drop still fails mid-list (a concurrent
     * schema race), the registration is rebuilt for whatever DID
     * commit, so the catalog never serves a schema the ledger no
     * longer has. */
