@@ -169,8 +169,7 @@ object GraftSqlParser {
   private def rewriteManifestSql(session: SparkSession,
                                  plan: LogicalPlan): LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel,
-      UnresolvedFieldName, UnresolvedRelation, UnresolvedTable,
-      UnresolvedTableValuedFunction}
+      UnresolvedFieldName, UnresolvedRelation, UnresolvedTable}
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.plans.logical.{DropColumns,
       RenameColumn}
@@ -247,13 +246,20 @@ object GraftSqlParser {
             case (None, None) => throw new IllegalStateException(
               s"time travel with neither version nor timestamp: $tt")
           }
-          // keep the table name as the relation's qualifier, so
+          // emit the pinned pruned relation DIRECTLY (what the
+          // graft_manifest TVF builds) rather than a call to the
+          // TVF: the TVF is a session-temporary function, and a
+          // PERSISTENT view body may not reference temp objects —
+          // the relation plan has no such reference, so views over
+          // the syntax create and re-read cleanly (each re-parse
+          // re-pins, like every other registration-free read). The
+          // SubqueryAlias keeps the table name as the qualifier, so
           // `SELECT t.c FROM t VERSION AS OF n` resolves like the
-          // stock syntax would
+          // stock syntax would.
           org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
             ident.table,
-            UnresolvedTableValuedFunction(Seq("graft_manifest"),
-              Seq(Literal(root), Literal(version)))): LogicalPlan
+            graft.sources.ManifestSql.relation(session, root,
+              Some(version)).queryExecution.analyzed): LogicalPlan
         }.getOrElse(tt)
     }
   }

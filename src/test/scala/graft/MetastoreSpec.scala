@@ -297,6 +297,19 @@ class MetastoreSpec extends SparkSpec {
       assert(n("SELECT count(*) FROM ptt_corpus t JOIN " +
         "(SELECT id FROM ptt_corpus VERSION AS OF 1) o ON t.id = o.id")
         == 10L)
+      // ...and qualified references resolve through the rewrite
+      assert(n("SELECT count(ptt_corpus.id) FROM ptt_corpus " +
+        "VERSION AS OF 1") == 10L)
+      // a persistent VIEW over the syntax keeps working at READ time:
+      // SessionCatalog re-parses the stored body through parseQuery,
+      // which must apply the same re-route
+      spark.sql("CREATE OR REPLACE VIEW ptt_v1 AS " +
+        "SELECT id FROM ptt_corpus VERSION AS OF 1")
+      assert(n("SELECT count(*) FROM ptt_v1") == 10L)
+      val s3 = spark.newSession()
+      assert(s3.sql("SELECT count(*) FROM ptt_v1")
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong).head() == 10L,
+        "a sibling session must resolve the time-travel view body")
       val early = intercept[Exception](spark.sql(
         "SELECT count(*) FROM ptt_corpus TIMESTAMP AS OF '1970-01-02'")
         .collect())
@@ -311,7 +324,8 @@ class MetastoreSpec extends SparkSpec {
       intercept[Exception](
         spark.sql("SELECT * FROM ptt_plain VERSION AS OF 1").collect())
     } finally {
-      Seq("DROP TABLE IF EXISTS ptt_corpus",
+      Seq("DROP VIEW IF EXISTS ptt_v1",
+        "DROP TABLE IF EXISTS ptt_corpus",
         "DROP TABLE IF EXISTS ptt_plain")
         .foreach(s => scala.util.Try(spark.sql(s)))
     }
