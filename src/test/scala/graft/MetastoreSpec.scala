@@ -310,6 +310,20 @@ class MetastoreSpec extends SparkSpec {
       assert(s3.sql("SELECT count(*) FROM ptt_v1")
         .as[Long](org.apache.spark.sql.Encoders.scalaLong).head() == 10L,
         "a sibling session must resolve the time-travel view body")
+      // the literal is interpreted in the SESSION timezone: the same
+      // instant written as Tokyo wall-clock under a Tokyo session
+      // must pick the same version the UTC text picked above (a JVM-
+      // default-zone parse would be off by the zone gap)
+      val tokyoText = betweenTs.toInstant
+        .atZone(java.time.ZoneId.of("Asia/Tokyo")).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val utcZone = spark.conf.get("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      try assert(n("SELECT count(*) FROM ptt_corpus " +
+        s"TIMESTAMP AS OF '$tokyoText'") == 30L,
+        "TIMESTAMP AS OF must parse in the session timezone")
+      finally spark.conf.set("spark.sql.session.timeZone", utcZone)
       val early = intercept[Exception](spark.sql(
         "SELECT count(*) FROM ptt_corpus TIMESTAMP AS OF '1970-01-02'")
         .collect())
