@@ -80,6 +80,7 @@ object ManifestTable {
   private val FileStatPrefix = "#filestat:"
   private val ColMapPrefix = "#colmap:"
   private val DroppedPrefix = "#dropped:"
+  private val SinkCkptPrefix = "#sinkckpt:"
   private val HintFile = "_last_checkpoint"
 
   // ---- storage plumbing (Hadoop FS only — no java.nio here) ----
@@ -774,6 +775,52 @@ object ManifestTable {
     * the correctness line). */
   def isBatchCommitted(root: String, batchId: Long): Boolean =
     latest(root).exists(batchCommitted(_, batchId))
+
+  /** The streaming-sink checkpoint fingerprint recorded on this
+    * table, if any ([[claimSinkCheckpoint]]). */
+  private def sinkCheckpointOf(snap: Snapshot): Option[String] =
+    snap.meta.collectFirst {
+      case s if s.startsWith(SinkCkptPrefix) =>
+        s.stripPrefix(SinkCkptPrefix)
+    }
+
+  /** Claim this table's streaming-batch ledger for the sink
+    * checkpoint fingerprinted `fp` — replay-identity hardening for
+    * the registered sink: micro-batch ids are only meaningful
+    * RELATIVE TO ONE CHECKPOINT, so a SECOND query (or a relocated
+    * checkpoint) pointed at the same table would restart ids at 0
+    * and the ledger would silently no-op its batches as replays.
+    * The first fingerprinted commit records `#sinkckpt:<fp>` (an
+    * ordinary meta line — it carries through compaction and every
+    * rewrite, like the `#batch:` markers); a later claim with the
+    * SAME fingerprint is a no-op (the restart path), a DIFFERENT one
+    * refuses loudly instead of losing data. The claim is a separate
+    * metadata-only commit ahead of the batch commit — a crash
+    * between the two re-claims idempotently on restart. Hand-rolled
+    * `foreachBatch` writers ([[appendBatch]] & co.) carry no
+    * fingerprint and are untouched — their one-ledger-per-table
+    * contract stays documented. */
+  private[graft] def claimSinkCheckpoint(root: String, fp: String): Unit = {
+    var done = false
+    while (!done) {
+      val cur = latest(root).getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      sinkCheckpointOf(cur) match {
+        case Some(existing) =>
+          require(existing == fp,
+            s"the streaming-batch ledger at $root belongs to the sink " +
+              s"checkpoint fingerprinted '$existing'; this query's " +
+              s"checkpoint fingerprints '$fp' — its micro-batch ids " +
+              "would silently no-op against the other checkpoint's " +
+              "ledger (one standing query per sink table). Write " +
+              "through the original checkpoint, or re-init the table")
+          done = true
+        case None =>
+          done = tryCommit(root, cur.version + 1, cur.files,
+            cur.meta :+ s"$SinkCkptPrefix$fp", cur.schemaJson, cur.stats)
+      }
+    }
+  }
 
   /** Highest batch id the ledger has recorded (−1 if none): the max
     * of the folded watermark and every visible `#batch:` marker.
@@ -1646,7 +1693,11 @@ object ManifestTable {
 
   private[graft] val SourcePrefix = "__s_"
   private def mergeKeyCol(i: Int) = s"__merge_key_$i"
-  private val MergePresentCol = "__s_present"
+  // deliberately OUTSIDE the `__s_<name>` image: source columns alias
+  // under that prefix, so a marker named `__s_present` would collide
+  // with a legitimate source column named `present`. Source names may
+  // not start with `__` (checked below), so `__merge_*` is unreachable.
+  private val MergePresentCol = "__merge_present"
 
   /** GENERAL MERGE — the full SQL `MERGE INTO` shape ([[upsert]] is
     * the whole-row fast path; this is everything else): conditional
@@ -1659,12 +1710,15 @@ object ManifestTable {
     * The merge key is `idCols` (one or more target columns) matched
     * against `sourceKeys` (one expression over the source per key
     * column, positionally — the composite CDC shape, e.g.
-    * `(tenant_id, id)`). Source rows must carry DISTINCT
-    * all-non-null key tuples — with duplicates, which source row
-    * updates a matched target row would be nondeterministic (the
-    * ANSI cardinality violation), so the merge refuses up front; a
-    * tuple with ANY null component equality-matches nothing and
-    * falls to the NOT MATCHED clauses. The target may
+    * `(tenant_id, id)`). Duplicate source key tuples follow ANSI: a
+    * duplicate that MATCHES a target row refuses (which copy updates
+    * it would be nondeterministic — the cardinality violation,
+    * detected against the pruned target scan, not by a blanket
+    * up-front distinctness demand), while duplicate UNMATCHED rows
+    * each insert, so insert-only merges take raw append-shaped
+    * feeds unchanged; a tuple with ANY null component
+    * equality-matches nothing and falls to the NOT MATCHED clauses.
+    * The target may
     * hold several rows for one key (appends are unconstrained);
     * every one of them matches and the fired clause applies to each.
     *
@@ -1730,10 +1784,20 @@ object ManifestTable {
     val allNonNull = keyCols.map(k => F.col(k).isNotNull).reduce(_ && _)
     val srcKeys = src.select(keyCols.map(F.col): _*).filter(allNonNull)
     val nSrcKeys = srcKeys.count()
-    require(srcKeys.distinct().count() == nSrcKeys,
-      "mergeInto source must carry distinct key tuples — a duplicate " +
-        "key makes the matched update nondeterministic (the ANSI " +
-        "MERGE cardinality violation); de-duplicate the source first")
+    // ANSI cardinality: a duplicate source key tuple is a violation
+    // only when it would fire a MATCHED clause on one target row
+    // twice — duplicate UNMATCHED rows each insert (per SQL MERGE),
+    // and NOT MATCHED BY SOURCE clauses never touch a matched row.
+    // So: no blanket up-front refusal; with matched clauses present,
+    // the duplicated keys probe the (pruned) target inside the scan
+    // loop and refuse only on an actual multi-match.
+    val dupKeys =
+      if (srcKeys.distinct().count() == nSrcKeys) None
+      else Some(srcKeys.groupBy(keyCols.map(F.col): _*)
+        .agg(F.count(F.lit(1)).as("__dup_n"))
+        .filter(F.col("__dup_n") > 1)
+        .select(keyCols.map(F.col): _*)
+        .localCheckpoint(eager = true))
     // each component prunes independently; the conjunction gates the
     // file (conservative superset of tuple-matching files)
     val keyPrune = idCols.indices.flatMap(i =>
@@ -1772,6 +1836,19 @@ object ManifestTable {
           if (base.files.isEmpty) Seq.empty
           else keyPrune.map(candidateFiles(spark, root, base, _))
             .getOrElse(base.files)
+        // the ANSI cardinality check, on the rows it actually covers:
+        // a duplicated source key that matches a target row would
+        // update/delete it nondeterministically — refuse; duplicates
+        // matching NOTHING are legal and fall to the insert clauses
+        if (matched.nonEmpty && dupKeys.nonEmpty && keyFiles.nonEmpty) {
+          val dk = dupKeys.get
+          val scan = readSnapshot(spark, root, base.copy(files = keyFiles))
+          require(scan.join(dk, keyJoinCond(scan, dk), "left_semi").isEmpty,
+            "mergeInto: duplicate source key tuples match an existing " +
+              "target row — which duplicate updates it would be " +
+              "nondeterministic (the ANSI MERGE cardinality violation); " +
+              "de-duplicate the source first")
+        }
         val nmbsFiles =
           if (notMatchedBySource.isEmpty || base.files.isEmpty) Seq.empty
           else candidateFiles(spark, root, base,
@@ -1821,8 +1898,16 @@ object ManifestTable {
             require(unknown.isEmpty,
               "merge UPDATE assigns to unknown column(s): " +
                 unknown.mkString(","))
-            val frame = victims.join(src,
-              keyJoinCond(victims, src), "left_outer")
+            // with no matched clause, no kept expression references a
+            // source column — join only the DEDUPLICATED key+marker
+            // frame, so a duplicate source key (legal here) cannot fan
+            // a carried row out into two copies
+            val joinSrc =
+              if (matched.nonEmpty) src
+              else src.select(keyCols.map(F.col) :+
+                F.col(MergePresentCol): _*).dropDuplicates(keyCols)
+            val frame = victims.join(joinSrc,
+              keyJoinCond(victims, joinSrc), "left_outer")
             val isM = F.coalesce(F.col(MergePresentCol), F.lit(false))
             // clause index: matched clauses 0.., NMBS clauses offset
             // by the matched count; -1 = untouched

@@ -149,10 +149,31 @@ object GraftSqlParser {
       case _ => return None
     }
     val cat = session.sessionState.catalog
-    val isManifest = scala.util.Try(
-      cat.tableExists(ident) && !cat.isTempView(ident) &&
-        cat.getTableMetadata(ident).provider
-          .exists(_.equalsIgnoreCase("graft-manifest"))).getOrElse(false)
+    // a LOOKUP MISS is the ordinary non-manifest case → stock
+    // behavior; an INFRASTRUCTURE failure (metastore down mid-parse)
+    // must not silently disengage the rewrite — the statement would
+    // then die with the confusing stock v2-only error — so it is
+    // logged loudly before falling through (the statement re-touches
+    // the catalog at resolution and surfaces the real failure there)
+    val isManifest =
+      try {
+        cat.tableExists(ident) && !cat.isTempView(ident) &&
+          cat.getTableMetadata(ident).provider
+            .exists(_.equalsIgnoreCase("graft-manifest"))
+      } catch {
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException |
+             _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException |
+             _: org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException
+            => false
+        case scala.util.control.NonFatal(t) =>
+          graft.util.Log.warn(
+            s"catalog lookup of ${ident.quotedString} failed during " +
+              s"parse-time manifest detection (${t.getClass.getName}: " +
+              s"${t.getMessage}); falling through to stock behavior — " +
+              "if this IS a manifest table, the statement may fail " +
+              "with a v2-only error instead of the manifest path")
+          false
+      }
     if (isManifest) Some(ident) else None
   }
 
@@ -253,11 +274,12 @@ object GraftSqlParser {
           // the relation plan has no such reference, so views over
           // the syntax create and re-read cleanly (each re-parse
           // re-pins, like every other registration-free read). The
-          // SubqueryAlias keeps the table name as the qualifier, so
-          // `SELECT t.c FROM t VERSION AS OF n` resolves like the
-          // stock syntax would.
+          // SubqueryAlias keeps the FULL multipart identifier as the
+          // qualifier, so both `SELECT t.c FROM t VERSION AS OF n`
+          // and the database-qualified `SELECT db.t.c FROM db.t
+          // VERSION AS OF n` resolve like the stock syntax would.
           org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
-            ident.table,
+            ident.database.toSeq :+ ident.table,
             graft.sources.ManifestSql.relation(session, root,
               Some(version)).queryExecution.analyzed): LogicalPlan
         }.getOrElse(tt)

@@ -113,12 +113,20 @@ case class ManifestSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
           // upsert shape: UPDATE SET * + INSERT * (whole-row
           // replace-or-insert — the CDC apply shape); kept as a fast
           // path: the update rows append directly, no join rewrite.
-          // Single-key only — the composite shape goes general.
+          // Single-key only — the composite shape goes general, and
+          // so does any unconditional pair that ISN'T whole-row
+          // (partial update, narrower insert, key-drifting insert —
+          // all legal ANSI, upsertPlanOf answers None for them).
           case (Seq(UpdateAction(None, uAssigns, _)),
                 Seq(InsertAction(None, iAssigns)), Seq())
               if idKeys.size == 1 =>
-            val plan = upsertPlanOf(tgt, idKeys.head, uAssigns, iAssigns)
-            ManifestMergeUpsertCommand(idx, idKeys.head.name, source, plan)
+            upsertPlanOf(tgt, idKeys.head, uAssigns, iAssigns) match {
+              case Some(plan) =>
+                ManifestMergeUpsertCommand(idx, idKeys.head.name,
+                  source, plan)
+              case None => generalMerge(idx, idKeys, tgt, source,
+                matched, notMatched, notMatchedBySource)
+            }
           // key-list delete shape: WHEN MATCHED THEN DELETE alone
           case (Seq(DeleteAction(None)), Seq(), Seq())
               if idKeys.size == 1 =>
@@ -354,45 +362,37 @@ object ManifestSqlDml {
     keys
   }
 
-  /** Validate the star shape and build the updates projection over
-    * the source: every target column assigned from the source, and
-    * the MATCHED assignments semantically identical to the INSERT
-    * ones (whole-row replace = insert row — anything else is a
-    * partial update the upsert would silently widen). Returns the
-    * aliased projection in TARGET column order. */
+  /** Is this unconditional UPDATE+INSERT pair the WHOLE-ROW
+    * replace-or-insert shape the upsert fast path serves? Some(the
+    * aliased projection in TARGET column order) when every target
+    * column is assigned from the source, the MATCHED assignments are
+    * semantically identical to the INSERT ones (whole-row replace =
+    * insert row), and the ON key IS the inserted key (a matched row
+    * must be replaced under the identity it matched on); None for
+    * every other pair — partial updates, narrower inserts, drifted
+    * or key-shifting assignments are all legal ANSI merges, they
+    * just run through the general copy-on-write path instead. */
   private def upsertPlanOf(tgt: LogicalPlan, idKey: MergeKey,
                            uAssigns: Seq[Assignment],
-                           iAssigns: Seq[Assignment]): Seq[(String, Expression)] = {
-    def keyed(as: Seq[Assignment], which: String): Map[String, Expression] =
-      as.map {
+                           iAssigns: Seq[Assignment])
+      : Option[Seq[(String, Expression)]] = {
+    def keyed(as: Seq[Assignment]): Option[Map[String, Expression]] = {
+      val pairs = as.collect {
         case Assignment(k: AttributeReference, v) => k.name -> v
-        case Assignment(other, _) => throw new UnsupportedOperationException(
-          s"manifest SQL MERGE $which assigns whole columns only — " +
-            s"'${other.sql}' is not a column of the target table")
-      }.toMap
-    val uMap = keyed(uAssigns, "UPDATE")
-    val iMap = keyed(iAssigns, "INSERT")
-    val targetCols = tgt.output.map(_.name)
-    val missing = targetCols.filterNot(iMap.contains)
-    require(missing.isEmpty,
-      "manifest SQL MERGE INSERT must cover every target column " +
-        s"(whole-row insert); missing ${missing.mkString(",")} — " +
-        "use INSERT * or list all columns")
-    val drifted = targetCols.filter(c => uMap.get(c).exists(u =>
-      !u.semanticEquals(iMap(c))))
-    require(uMap.keySet == iMap.keySet && drifted.isEmpty,
-      "manifest SQL MERGE is whole-row replace-or-insert: the UPDATE " +
-        "and INSERT assignments must be identical per column (UPDATE " +
-        "SET * / INSERT *); " +
-        (if (drifted.nonEmpty) s"columns ${drifted.mkString(",")} differ"
-         else "the assigned column sets differ"))
-    // the ON key must BE the inserted key, or matched rows would be
-    // replaced under a different identity than they matched on
-    require(stripCast(iMap(idKey.name))
-        .semanticEquals(stripCast(idKey.sourceSide)),
-      s"manifest SQL MERGE: the ON key '${idKey.name}' must equal the " +
-        "inserted value for that column")
-    targetCols.map(c => c -> iMap(c))
+      }
+      if (pairs.size == as.size) Some(pairs.toMap) else None
+    }
+    for {
+      uMap <- keyed(uAssigns)
+      iMap <- keyed(iAssigns)
+      targetCols = tgt.output.map(_.name)
+      if targetCols.forall(iMap.contains)
+      if uMap.keySet == iMap.keySet
+      if targetCols.forall(c =>
+        uMap.get(c).forall(_.semanticEquals(iMap(c))))
+      if stripCast(iMap(idKey.name))
+        .semanticEquals(stripCast(idKey.sourceSide))
+    } yield targetCols.map(c => c -> iMap(c))
   }
 
   /** `DELETE FROM <manifest table> WHERE p` as a runnable command —

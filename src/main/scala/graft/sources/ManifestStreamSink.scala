@@ -35,12 +35,18 @@ import graft.operators.{ManifestStats, ManifestTable}
   * table those options refuse loudly (a table declaration, not a
   * per-write preference).
   *
-  * ONE LEDGER PER TABLE: micro-batch ids are the CHECKPOINT's
-  * identity. Re-pointing a table at a fresh checkpoint (or a second
-  * query) restarts ids at 0, which the ledger treats as replays of
-  * long-committed batches and no-ops — the same contract as
-  * hand-rolled `appendBatch` in `foreachBatch`, documented there.
-  * Use one standing query (and its checkpoint) per sink table.
+  * ONE LEDGER PER TABLE — ENFORCED: micro-batch ids are the
+  * CHECKPOINT's identity, so the sink's first commit records a
+  * fingerprint of its checkpoint location beside the batch ledger
+  * (`#sinkckpt:` — [[ManifestTable.claimSinkCheckpoint]]). A
+  * restarted query (same checkpoint — including a WIPED one at the
+  * same location, whose id-0 replays still no-op) re-claims
+  * idempotently; a SECOND query or a RELOCATED checkpoint, whose
+  * restarted ids would otherwise silently no-op as replays of
+  * long-committed batches, refuses loudly at its first batch. A
+  * query with no explicit `checkpointLocation` option carries no
+  * fingerprint and keeps the documented hand-rolled-`foreachBatch`
+  * contract (ledger no-ops, caller's responsibility).
   *
   * The micro-batch frame re-wraps over its own incremental execution
   * ([[graftbridge.asBatchFrame]]) — planning a fresh query over a
@@ -49,7 +55,8 @@ import graft.operators.{ManifestStats, ManifestTable}
 private[sources] final class ManifestStreamSink(
     spark: SparkSession, root: String, mode: OutputMode,
     mergeKey: Option[String], statCols: Seq[String],
-    bloomCols: Seq[String], bloomCap: Option[Long]) extends Sink {
+    bloomCols: Seq[String], bloomCap: Option[Long],
+    checkpointFp: Option[String]) extends Sink {
 
   // a restarted query re-passes its creation options every time, so
   // a MATCHING re-declaration on an existing table is idempotent and
@@ -69,19 +76,27 @@ private[sources] final class ManifestStreamSink(
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    val df = graftbridge.asBatchFrame(spark, data)
+    // the micro-batch frame's OWN session (the streaming query's
+    // session clone), not the construction-time one: per-query SQL
+    // conf (session timezone, shuffle partitions set for the stream)
+    // must govern the ledgered write — the Delta-sink convention
+    val session = data.sparkSession
+    val df = graftbridge.asBatchFrame(session, data)
     if (ManifestTable.latest(root).isEmpty)
       ManifestTable.init(root, statCols, bloomCols,
         bloomCap.getOrElse(ManifestStats.BloomKeyCapacity))
+    // replay-identity: this query's checkpoint must own the ledger
+    // BEFORE any batch id is interpreted against it
+    checkpointFp.foreach(ManifestTable.claimSinkCheckpoint(root, _))
     if (mode == OutputMode.Append())
-      ManifestTable.appendBatch(spark, root, batchId, df)
+      ManifestTable.appendBatch(session, root, batchId, df)
     else if (mode == OutputMode.Update())
-      ManifestTable.upsertBatch(spark, root, batchId, mergeKey.get, df)
+      ManifestTable.upsertBatch(session, root, batchId, mergeKey.get, df)
     else
-      ManifestTable.overwriteBatch(spark, root, batchId, df)
+      ManifestTable.overwriteBatch(session, root, batchId, df)
     // cached plans over the root must not serve the pre-batch
     // snapshot (same contract as every other write path)
-    spark.catalog.refreshByPath(root)
+    session.catalog.refreshByPath(root)
   }
 
   override def toString: String = s"ManifestSink[$root, $mode]"

@@ -194,11 +194,12 @@ class ManifestSqlDmlSpec extends SparkSpec {
     refuse("MERGE INTO sqldml_ref t USING sqldml_ref_src s ON t.id = s.id " +
       "WHEN MATCHED AND t.n > (SELECT max(n) FROM sqldml_ref_src) " +
       "THEN UPDATE SET v = 'x'", "subqueries")
-    // the ANSI cardinality violation: duplicate source keys refuse
+    // the ANSI cardinality violation: duplicate source keys that
+    // MATCH a target row refuse (which copy wins is nondeterministic)
     (Seq(1L, 1L)).toDF("id").withColumn("v", F.lit("dup"))
       .createOrReplaceTempView("sqldml_ref_dup")
     refuse("MERGE INTO sqldml_ref t USING sqldml_ref_dup s ON t.id = s.id " +
-      "WHEN MATCHED THEN UPDATE SET v = s.v", "distinct")
+      "WHEN MATCHED THEN UPDATE SET v = s.v", "cardinality violation")
     // a non-manifest target is untouched by the rule (stock error)
     (0L until 3L).toDF("id").createOrReplaceTempView("sqldml_plain")
     intercept[Exception](spark.sql("DELETE FROM sqldml_plain WHERE id = 1"))
@@ -321,15 +322,17 @@ class ManifestSqlDmlSpec extends SparkSpec {
       .select("grp", "id", "v").as[(String, Long, String)]
       .collect().toSet
     assert(got2 == got)
-    // duplicate key TUPLES refuse; same components in different
-    // tuples are fine (("a",1) and ("b",1) share id=1 above)
+    // duplicate key TUPLES matching a target row refuse; same
+    // components in different tuples are fine (("a",1) and ("b",1)
+    // share id=1 above) — ("a",1) survives merge m, so the duplicated
+    // ("a",1) tuple is an actual multi-match
     val e = intercept[Exception](ManifestTable.mergeInto(spark, root2,
       Seq("grp", "id"),
       Seq(("a", 1L, "x"), ("a", 1L, "y")).toDF("grp", "id", "nv"),
       Seq(F.col("grp"), F.col("id")),
       matched = Seq(ManifestTable.WhenMatched(None,
         ManifestTable.MergeDelete))))
-    assert(e.getMessage.contains("distinct"))
+    assert(e.getMessage.contains("cardinality violation"))
   }
 
   test("a general (conditional) MERGE is ledgered under a batch id; the no-op shape still commits the marker") {
@@ -370,5 +373,59 @@ class ManifestSqlDmlSpec extends SparkSpec {
       "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = 'never'")
     assert(ManifestTable.latest(root).get.version == v0 + 1,
       "the replayed no-op merge must not commit again")
+  }
+
+  test("ANSI duplicate-source semantics: unmatched duplicates each insert; only an actual multi-match refuses; 'present' source column is no collision") {
+    import spark.implicits._
+    val (_, root) = freshTable("graft_sqldup", n = 10L)
+    graft.sources.ManifestSql.register(spark, "sqldml_dup", root)
+    // duplicate keys (200, 200) match NO target row: legal even with a
+    // MATCHED clause present (cardinality is about actual multi-match),
+    // and each duplicate fires the INSERT clause, per ANSI MERGE
+    Seq(200L, 200L, 3L).toDF("id").withColumn("v", F.lit("ins"))
+      .withColumn("n", F.lit(-1L))
+      .createOrReplaceTempView("sqldml_dup_src")
+    spark.sql("MERGE INTO sqldml_dup t USING sqldml_dup_src s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.v, s.n)")
+    val out = ManifestTable.read(spark, root)
+    assert(out.filter(F.col("id") === 200L).count() == 2L,
+      "duplicate unmatched source rows must each insert")
+    assert(out.filter(F.col("id") === 3L && F.col("v") === "ins")
+      .count() == 1L)
+    assert(out.count() == 12L)
+    // insert-only merge with duplicates: no matched clause, no refusal
+    Seq(300L, 300L).toDF("id").withColumn("v", F.lit("dup2"))
+      .withColumn("n", F.lit(0L))
+      .createOrReplaceTempView("sqldml_dup_src2")
+    spark.sql("MERGE INTO sqldml_dup t USING sqldml_dup_src2 s " +
+      "ON t.id = s.id WHEN NOT MATCHED THEN INSERT *")
+    assert(ManifestTable.read(spark, root)
+      .filter(F.col("id") === 300L).count() == 2L)
+    // NMBS-only merge with duplicate source keys: a carried row that
+    // MATCHES the duplicated key must not fan out into two copies
+    Seq(1L, 1L).toDF("id").createOrReplaceTempView("sqldml_dup_src3")
+    val before = ManifestTable.read(spark, root).count()
+    spark.sql("MERGE INTO sqldml_dup t USING sqldml_dup_src3 s " +
+      "ON t.id = s.id " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n = -5")
+    val after = ManifestTable.read(spark, root)
+    assert(after.count() == before,
+      "an NMBS-only merge must never change the row count")
+    assert(after.filter(F.col("id") === 1L).count() == 1L,
+      "the carried matched row must not duplicate under the join")
+    assert(after.filter(F.col("id") === 1L).head().getLong(2) == 2L,
+      "the matched row is untouched by NOT MATCHED BY SOURCE")
+    assert(after.filter(F.col("id") =!= 1L && F.col("n") =!= -5L)
+      .count() == 0L)
+    // a source column literally named 'present' must not collide with
+    // the merge frame's internal match marker
+    Seq((5L, true)).toDF("id", "present")
+      .createOrReplaceTempView("sqldml_dup_src4")
+    spark.sql("MERGE INTO sqldml_dup t USING sqldml_dup_src4 s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = cast(s.present AS string)")
+    assert(ManifestTable.read(spark, root).filter(F.col("id") === 5L)
+      .head().getString(1) == "true")
   }
 }

@@ -639,5 +639,26 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", s"$dir/yckpt")
       .outputMode("append").start())
     assert(e2.getMessage.contains("creation-time"))
+    // replay-identity: a SECOND query (a DIFFERENT checkpoint) at the
+    // same table would restart micro-batch ids at 0 and the ledger
+    // would silently no-op them as replays — it must refuse loudly at
+    // its first batch instead (the restart and wiped-checkpoint paths
+    // above already proved the SAME checkpoint keeps no-opping)
+    val zIn = MemoryStream[Long]
+    zIn.addData(100L until 105L: _*)
+    val zq = zIn.toDF().toDF("id").writeStream
+      .format("graft-manifest").option("path", aRoot)
+      .option("statCols", "id")
+      .option("checkpointLocation", s"$dir/zckpt")
+      .outputMode("append").start()
+    val e3 = intercept[Exception](
+      try zq.processAllAvailable() finally zq.stop())
+    def causeChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(causeChain(e3).exists(_.contains("one standing query")),
+      s"expected the checkpoint-identity refusal, got: ${causeChain(e3)}")
+    assert(aIds() == (0L until 20L),
+      "the refused second query must not have written anything")
   }
 }
