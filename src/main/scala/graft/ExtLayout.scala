@@ -880,13 +880,16 @@ private[graft] object ExtLayout {
     }),
 
 
-    // IN-SUBQUERY DML: DELETE and UPDATE carrying one uncorrelated
-    // 'col IN (SELECT …)' conjunct — the subquery materializes as a
-    // values frame joined semi/anti against the pruned victim scan
-    // (never a driver list), with the residue conjunct narrowing
-    // both the prune and the fire condition. A dropped residue, a
-    // driver-collected list, or IN-NULL mishandling each fails the
-    // hash.
+    // SUBQUERY-PREDICATE DML: DELETE and UPDATE carrying membership
+    // conjuncts — uncorrelated 'col IN (SELECT …)' (one, and TWO in
+    // one predicate), equality-correlated EXISTS, and NOT EXISTS
+    // (sound anti semantics, unlike the refused NOT IN) — each
+    // subquery materializing as a values frame joined against the
+    // pruned victim scan (never a driver list), with the residue
+    // conjunct narrowing both the prune and the fire condition. A
+    // dropped residue, a driver-collected list, a fanned-out join,
+    // IN-NULL mishandling, or inverted EXISTS polarity each fails
+    // the hash.
     "x_manifest_sql_in" -> ((s, dir) => {
       val root = layoutDir(dir, "manifest_sqlin")
       deleteRec(new java.io.File(root))
@@ -901,6 +904,21 @@ private[graft] object ExtLayout {
       s.sql("UPDATE sqlin_corpus SET lang = concat(lang, '!') " +
         "WHERE doc_id < 250 AND doc_id IN " +
         "(SELECT doc_id FROM sqlin_docs WHERE source = 'src3')")
+      // TWO IN terms in one predicate: both value sets must gate
+      s.sql("UPDATE sqlin_corpus SET source = concat(source, '+') " +
+        "WHERE doc_id IN " +
+        "(SELECT doc_id FROM sqlin_docs WHERE doc_id % 2 = 0) " +
+        "AND doc_id IN " +
+        "(SELECT doc_id FROM sqlin_docs WHERE doc_id % 3 = 0)")
+      // equality-correlated EXISTS with an inner-only conjunct
+      s.sql("DELETE FROM sqlin_corpus WHERE doc_id < 30 AND EXISTS " +
+        "(SELECT 1 FROM sqlin_docs d " +
+        "WHERE d.doc_id = sqlin_corpus.doc_id AND d.lang = 'de')")
+      // NOT EXISTS: rows whose key matches NO values row fire
+      s.sql("UPDATE sqlin_corpus SET lang = concat(lang, '?') " +
+        "WHERE doc_id >= 400 AND NOT EXISTS " +
+        "(SELECT 1 FROM sqlin_docs d " +
+        "WHERE d.doc_id = sqlin_corpus.doc_id AND d.source = 'src1')")
       s.sql("SELECT doc_id, lang, source FROM sqlin_corpus")
     }),
 
@@ -1353,14 +1371,24 @@ private[graft] object ExtLayout {
         "WHERE doc_id % 10 = 0 " +
         "OR (NOT (doc_id >= 40 AND doc_id < 60) AND doc_id % 13 <> 0)"),
 
-    // the IN-subquery fold: en docs at/above 100 deleted (the
-    // residue spares the low band), src3 docs under 250 updated
+    // the subquery-predicate fold: en docs at/above 100 deleted (the
+    // residue spares the low band), src3 docs under 250 updated,
+    // %6=0 docs (the two-IN conjunction) source-stamped, de docs
+    // under 30 EXISTS-deleted, non-src1 docs at/above 400
+    // NOT-EXISTS-stamped — all predicates over the ORIGINAL table
+    // (doc_id is unique), so the fold composes per column
     "x_manifest_sql_in" ->
       ("SELECT doc_id, " +
-        "CASE WHEN doc_id < 250 AND source = 'src3' " +
-        "THEN lang || '!' ELSE lang END AS lang, source " +
+        "CASE WHEN doc_id >= 400 AND source <> 'src1' " +
+        "THEN (CASE WHEN doc_id < 250 AND source = 'src3' " +
+        "THEN lang || '!' ELSE lang END) || '?' " +
+        "ELSE CASE WHEN doc_id < 250 AND source = 'src3' " +
+        "THEN lang || '!' ELSE lang END END AS lang, " +
+        "CASE WHEN doc_id % 6 = 0 THEN source || '+' " +
+        "ELSE source END AS source " +
         "FROM documents " +
-        "WHERE NOT (doc_id >= 100 AND lang = 'en')"),
+        "WHERE NOT (doc_id >= 100 AND lang = 'en') " +
+        "AND NOT (doc_id < 30 AND lang = 'de')"),
 
     // the general-merge fold: matched (%4=0) 'en' rows deleted first
     // (clause order), surviving matched %8=0 rows partially updated

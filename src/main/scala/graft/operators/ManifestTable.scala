@@ -1357,75 +1357,78 @@ object ManifestTable {
       beforeCommit, maxRestarts, prune = Some(predicate))
   }
 
-  /** [[deleteWhere]] with a FRAME-shaped membership term: victims
-    * are rows where `residue` holds (None = always) AND `inCol` is in
-    * `values` (one-column frame, unbounded — the `WHERE p AND c IN
-    * (SELECT …)` shape; membership resolves through semi/anti joins,
-    * never a driver list). The victim scan prunes by the residue AND
-    * the value set (IN-list + Blooms when driver-sized, range
-    * beyond — [[deleteIds]]' envelope); null `inCol` values and null
-    * membership rows keep their rows (IN: NULL is not TRUE). */
-  def deleteWhereIn(spark: SparkSession, root: String,
-                    residue: Option[Column], inCol: String,
-                    values: DataFrame,
-                    beforeCommit: () => Unit = () => (),
-                    maxRestarts: Int = 8): Delete = {
-    require(values.columns.length == 1,
-      s"values frame must have exactly one column, " +
-        s"got ${values.columns.mkString(",")}")
-    val v = values.toDF("__in_id").na.drop().distinct()
-      .withColumn("__in_hit", F.lit(true))
-      .localCheckpoint(eager = true)
-    val res = residue.getOrElse(F.lit(true))
-    val prune = (residue.toSeq ++
-      idPrune(spark, inCol, v.select("__in_id"), "__in_id"))
-      .reduceOption(_ && _)
+  /** One FRAME-shaped membership conjunct of a [[deleteWhereTerms]]/
+    * [[updateWhereTerms]] predicate: `col IN <values>` (`negated =
+    * false` — the `c IN (SELECT …)` / equality-correlated `EXISTS`
+    * shape) or `col` matching NO values row (`negated = true` — the
+    * equality-correlated `NOT EXISTS` shape, sound anti-join
+    * semantics: a NULL `col` matches nothing, so it FIRES under
+    * negation, exactly as `NOT EXISTS (… WHERE s.k = t.k)` does; this
+    * is NOT `NOT IN`, whose three-valued NULL semantics stay
+    * refused). `values` is a one-column frame, unbounded — membership
+    * resolves through joins, never a driver list. */
+  final case class MembershipTerm(col: String, values: DataFrame,
+                                  negated: Boolean = false)
+
+  /** [[deleteWhere]] with N FRAME-shaped membership terms: victims
+    * are rows where `residue` holds (None = always) AND every term
+    * holds — the `WHERE p AND c1 IN (SELECT …) AND EXISTS (…) AND
+    * NOT EXISTS (…)` shape. The victim scan prunes by the residue
+    * AND each POSITIVE term's value set (IN-list + Blooms when
+    * driver-sized, range beyond — [[deleteIds]]' envelope); negated
+    * terms cannot prune (absence is not a bounds-provable property).
+    * Null `col` values on a positive term keep their rows (IN: NULL
+    * is not TRUE); on a negated term they fire (anti semantics). */
+  def deleteWhereTerms(spark: SparkSession, root: String,
+                       residue: Option[Column],
+                       terms: Seq[MembershipTerm],
+                       beforeCommit: () => Unit = () => (),
+                       maxRestarts: Int = 8): Delete = {
+    require(terms.nonEmpty, "deleteWhereTerms needs at least one term")
+    val (mark, fire, prune) = membership(spark, residue, terms)
     deleteWith(spark, root,
-      hits = df => df.filter(res)
-        .join(v, df(inCol) === v("__in_id"), "left_semi"),
-      // keep = everything but (residue ∧ in-set), in ONE pass over
-      // the victim files: left-outer the membership marker on, drop
+      hits = df => mark(df).filter(fire)
+        .select(df.columns.toSeq.map(c => df(c)): _*),
+      // keep = everything but (residue ∧ all terms), in ONE pass over
+      // the victim files: left-outer every membership marker on, drop
       // the firing rows, project the original columns back
-      keep = df => df
-        .join(v, df(inCol) === v("__in_id"), "left_outer")
-        .filter(!(F.coalesce(res, F.lit(false)) &&
-          F.coalesce(F.col("__in_hit"), F.lit(false))))
+      keep = df => mark(df).filter(!fire)
         .select(df.columns.toSeq.map(c => df(c)): _*),
       beforeCommit, maxRestarts, prune)
   }
 
-  /** [[updateWhere]] with a FRAME-shaped membership term: rows where
-    * `residue` holds AND `inCol` is in `values` get `assignments`
-    * applied — the `UPDATE … WHERE p AND c IN (SELECT …)` shape.
-    * Same pruning, rewrite, and type contract as [[updateWhere]]. */
-  def updateWhereIn(spark: SparkSession, root: String,
+  /** Single-term [[deleteWhereTerms]] — the `WHERE p AND c IN
+    * (SELECT …)` fast form. */
+  def deleteWhereIn(spark: SparkSession, root: String,
                     residue: Option[Column], inCol: String,
                     values: DataFrame,
-                    assignments: Map[String, Column],
                     beforeCommit: () => Unit = () => (),
-                    maxRestarts: Int = 8): Delete = {
-    require(assignments.nonEmpty, "updateWhereIn needs an assignment")
-    require(values.columns.length == 1,
-      s"values frame must have exactly one column, " +
-        s"got ${values.columns.mkString(",")}")
-    val v = values.toDF("__in_id").na.drop().distinct()
-      .withColumn("__in_hit", F.lit(true))
-      .localCheckpoint(eager = true)
-    val res = residue.getOrElse(F.lit(true))
-    val prune = (residue.toSeq ++
-      idPrune(spark, inCol, v.select("__in_id"), "__in_id"))
-      .reduceOption(_ && _)
+                    maxRestarts: Int = 8): Delete =
+    deleteWhereTerms(spark, root, residue,
+      Seq(MembershipTerm(inCol, values)), beforeCommit, maxRestarts)
+
+  /** [[updateWhere]] with N FRAME-shaped membership terms: rows where
+    * `residue` holds AND every term holds get `assignments` applied.
+    * Same pruning, rewrite, and type contract as [[updateWhere]];
+    * term semantics as [[deleteWhereTerms]]. */
+  def updateWhereTerms(spark: SparkSession, root: String,
+                       residue: Option[Column],
+                       terms: Seq[MembershipTerm],
+                       assignments: Map[String, Column],
+                       beforeCommit: () => Unit = () => (),
+                       maxRestarts: Int = 8): Delete = {
+    require(assignments.nonEmpty, "updateWhereTerms needs an assignment")
+    require(terms.nonEmpty, "updateWhereTerms needs at least one term")
+    val (mark, fire, prune) = membership(spark, residue, terms)
     rewriteWith(spark, root,
-      hits = df => df.filter(res)
-        .join(v, df(inCol) === v("__in_id"), "left_semi"),
+      hits = df => mark(df).filter(fire)
+        .select(df.columns.toSeq.map(c => df(c)): _*),
       rewrite = df => {
         val unknown = assignments.keySet -- df.columns.toSet
         require(unknown.isEmpty,
-          s"updateWhereIn assigns to unknown column(s): " +
+          s"updateWhereTerms assigns to unknown column(s): " +
             unknown.mkString(","))
-        val marked = df.join(v, df(inCol) === v("__in_id"), "left_outer")
-        val fire = F.coalesce(res, F.lit(false)) &&
-          F.coalesce(F.col("__in_hit"), F.lit(false))
+        val marked = mark(df)
         val out = marked.select(df.columns.toSeq.map { c =>
           assignments.get(c) match {
             case Some(expr) => F.when(fire, expr).otherwise(df(c)).as(c)
@@ -1440,6 +1443,52 @@ object ManifestTable {
         out
       },
       beforeCommit, maxRestarts, prune)
+  }
+
+  /** Single-term [[updateWhereTerms]]. */
+  def updateWhereIn(spark: SparkSession, root: String,
+                    residue: Option[Column], inCol: String,
+                    values: DataFrame,
+                    assignments: Map[String, Column],
+                    beforeCommit: () => Unit = () => (),
+                    maxRestarts: Int = 8): Delete =
+    updateWhereTerms(spark, root, residue,
+      Seq(MembershipTerm(inCol, values)), assignments,
+      beforeCommit, maxRestarts)
+
+  /** Shared membership machinery: (frame marker, fire predicate,
+    * file prune) for a residue + N terms. Each term's values pin
+    * once (deduplicated, nulls dropped — a NULL never equality-
+    * matches) and left-outer a `__in_hit_<i>` marker onto the victim
+    * frame; `fire` is the conjunction of the null-safe residue and
+    * every marker (negated markers inverted). */
+  private def membership(spark: SparkSession, residue: Option[Column],
+                         terms: Seq[MembershipTerm])
+      : (DataFrame => DataFrame, Column, Option[Column]) = {
+    val prepared = terms.zipWithIndex.map { case (t, i) =>
+      require(t.values.columns.length == 1,
+        s"values frame must have exactly one column, " +
+          s"got ${t.values.columns.mkString(",")}")
+      val v = t.values.toDF(s"__in_id_$i").na.drop().distinct()
+        .withColumn(s"__in_hit_$i", F.lit(true))
+        .localCheckpoint(eager = true)
+      (t, v, s"__in_id_$i", s"__in_hit_$i")
+    }
+    val res = residue.getOrElse(F.lit(true))
+    val prune = (residue.toSeq ++
+      prepared.filterNot(_._1.negated).flatMap { case (t, v, idc, _) =>
+        idPrune(spark, t.col, v.select(idc), idc)
+      }).reduceOption(_ && _)
+    val mark = (df: DataFrame) =>
+      prepared.foldLeft(df) { case (acc, (t, v, idc, _)) =>
+        acc.join(v, acc(t.col) === v(idc), "left_outer")
+      }
+    val fire = (F.coalesce(res, F.lit(false)) +:
+      prepared.map { case (t, _, _, hitc) =>
+        val hit = F.coalesce(F.col(hitc), F.lit(false))
+        if (t.negated) !hit else hit
+      }).reduce(_ && _)
+    (mark, fire, prune)
   }
 
   private def deleteWith(spark: SparkSession, root: String,

@@ -19,11 +19,17 @@ import graft.operators.ManifestTable
   * session parser it wraps.
   *
   * {{{
-  *   GRAFT COMPACT '<root>' [TARGET <bytes>] [CLUSTER BY c1[, c2…]]
-  *   GRAFT VACUUM '<root>' [RETAIN <n> HOURS]
-  *   GRAFT EXPIRE '<root>' KEEP <k>
-  *   GRAFT MAINTAIN '<root>' [TARGET <bytes>] [CLUSTER BY c1[, c2…]]
+  *   GRAFT COMPACT {'<root>'|TABLE <name>} [TARGET <bytes>] [CLUSTER BY c1[, c2…]]
+  *   GRAFT VACUUM {'<root>'|TABLE <name>} [RETAIN <n> HOURS]
+  *   GRAFT EXPIRE {'<root>'|TABLE <name>} KEEP <k>
+  *   GRAFT MAINTAIN {'<root>'|TABLE <name>} [TARGET <bytes>] [CLUSTER BY c1[, c2…]]
   * }}}
+  *
+  * The target is a path literal, or — for catalog users who never
+  * handled the root — `TABLE db.t`, resolved at run time through the
+  * same manifest detection the ALTER path uses ([[GraftSqlParser
+  * .manifestIdentOf]]); a non-manifest name refuses with the path
+  * form suggested.
   *
   * Each statement is a runnable command over the corresponding
   * [[ManifestTable]] op and RETURNS its report as rows (files after
@@ -76,49 +82,87 @@ object GraftSqlParser {
 
   private val DefaultTargetBytes = 128L * 1024 * 1024
 
-  // '<root>' with '' as the escaped quote (standard SQL string)
-  private val RootRe = "'((?:[^']|'')*)'"
+  /** The table a GRAFT maintenance statement addresses: a path
+    * literal (`'<root>'`) or — for catalog users who never handled
+    * the root — a session-catalog identifier (`TABLE db.t`),
+    * resolved through the SAME manifest detection the ALTER and
+    * time-travel paths use. Name resolution happens at RUN time
+    * (the command may be planned ahead of execution); the multipart
+    * parse happens at parse time, so a malformed identifier fails
+    * with the usage line. */
+  private[plans] sealed trait TableRef {
+    def rootIn(session: SparkSession): String
+    def display: String
+  }
+  private[plans] final case class PathRef(root: String) extends TableRef {
+    override def rootIn(session: SparkSession): String = root
+    override def display: String = root
+  }
+  private[plans] final case class NameRef(parts: Seq[String], raw: String)
+    extends TableRef {
+    override def rootIn(session: SparkSession): String = {
+      val ident = manifestIdentOf(session, parts).getOrElse(
+        throw new IllegalArgumentException(
+          s"GRAFT maintenance by name needs a session-catalog " +
+            s"`USING graft-manifest` table; '$raw' is not one — for " +
+            "temp views or unregistered tables address the root " +
+            "path: GRAFT … '<root>'"))
+      manifestRootOf(session, ident)
+    }
+    override def display: String = raw
+  }
+
+  // '<root>' with '' as the escaped quote (standard SQL string), OR
+  // TABLE <identifier> (optionally backtick-quoted parts; no
+  // whitespace/semicolons inside — parseMultipartIdentifier validates
+  // the rest)
+  private val TargetRe = """(?:'((?:[^']|'')*)'|TABLE\s+([^\s;']+))"""
   private val CompactRe =
-    ("""(?is)^\s*GRAFT\s+COMPACT\s+""" + RootRe +
+    ("""(?is)^\s*GRAFT\s+COMPACT\s+""" + TargetRe +
       """(?:\s+TARGET\s+(\d+))?(?:\s+CLUSTER\s+BY\s+([\w\s,]+?))?\s*;?\s*$""").r
   private val VacuumRe =
-    ("""(?is)^\s*GRAFT\s+VACUUM\s+""" + RootRe +
+    ("""(?is)^\s*GRAFT\s+VACUUM\s+""" + TargetRe +
       """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""").r
   private val ExpireRe =
-    ("""(?is)^\s*GRAFT\s+EXPIRE\s+""" + RootRe +
+    ("""(?is)^\s*GRAFT\s+EXPIRE\s+""" + TargetRe +
       """\s+KEEP\s+(\d+)\s*;?\s*$""").r
   private val MaintainRe =
-    ("""(?is)^\s*GRAFT\s+MAINTAIN\s+""" + RootRe +
+    ("""(?is)^\s*GRAFT\s+MAINTAIN\s+""" + TargetRe +
       """(?:\s+TARGET\s+(\d+))?(?:\s+CLUSTER\s+BY\s+([\w\s,]+?))?\s*;?\s*$""").r
 
   private def unquote(s: String): String = s.replace("''", "'")
   private def cols(s: String): Seq[String] =
     Option(s).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
 
+  private def refOf(root: String, ident: String): TableRef =
+    if (root != null) PathRef(unquote(root))
+    else NameRef(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseMultipartIdentifier(ident), ident)
+
   private[plans] def parseGraft(sqlText: String): Option[LogicalPlan] = {
     if (!sqlText.trim.toUpperCase(java.util.Locale.ROOT)
       .startsWith("GRAFT")) return None
     sqlText match {
-      case CompactRe(root, target, by) =>
-        Some(GraftCompactCommand(unquote(root),
+      case CompactRe(root, ident, target, by) =>
+        Some(GraftCompactCommand(refOf(root, ident),
           Option(target).map(_.toLong).getOrElse(DefaultTargetBytes),
           cols(by)))
-      case VacuumRe(root, hours) =>
-        Some(GraftVacuumCommand(unquote(root),
+      case VacuumRe(root, ident, hours) =>
+        Some(GraftVacuumCommand(refOf(root, ident),
           Option(hours).map(_.toLong * 3600 * 1000)
             .getOrElse(24L * 3600 * 1000)))
-      case ExpireRe(root, keep) =>
-        Some(GraftExpireCommand(unquote(root), keep.toInt))
-      case MaintainRe(root, target, by) =>
-        Some(GraftMaintainCommand(unquote(root),
+      case ExpireRe(root, ident, keep) =>
+        Some(GraftExpireCommand(refOf(root, ident), keep.toInt))
+      case MaintainRe(root, ident, target, by) =>
+        Some(GraftMaintainCommand(refOf(root, ident),
           Option(target).map(_.toLong).getOrElse(DefaultTargetBytes),
           cols(by)))
       case _ => throw new IllegalArgumentException(
         "malformed GRAFT statement — usage:\n" +
-          "  GRAFT COMPACT '<root>' [TARGET <bytes>] [CLUSTER BY c1[, c2…]]\n" +
-          "  GRAFT VACUUM '<root>' [RETAIN <n> HOURS]\n" +
-          "  GRAFT EXPIRE '<root>' KEEP <k>\n" +
-          "  GRAFT MAINTAIN '<root>' [TARGET <bytes>] [CLUSTER BY c1[, c2…]]")
+          "  GRAFT COMPACT {'<root>'|TABLE <name>} [TARGET <bytes>] [CLUSTER BY c1[, c2…]]\n" +
+          "  GRAFT VACUUM {'<root>'|TABLE <name>} [RETAIN <n> HOURS]\n" +
+          "  GRAFT EXPIRE {'<root>'|TABLE <name>} KEEP <k>\n" +
+          "  GRAFT MAINTAIN {'<root>'|TABLE <name>} [TARGET <bytes>] [CLUSTER BY c1[, c2…]]")
     }
   }
 
@@ -286,13 +330,14 @@ object GraftSqlParser {
     }
   }
 
-  case class GraftCompactCommand(root: String, targetBytes: Long,
+  case class GraftCompactCommand(target: TableRef, targetBytes: Long,
                                  clusterBy: Seq[String])
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("version", IntegerType, nullable = false)(),
       AttributeReference("files", LongType, nullable = false)())
     override def run(session: SparkSession): Seq[Row] = {
+      val root = target.rootIn(session)
       val snap = ManifestTable.compact(session, root, targetBytes,
         clusterBy = clusterBy)
       session.catalog.refreshByPath(root)
@@ -300,23 +345,25 @@ object GraftSqlParser {
     }
   }
 
-  case class GraftVacuumCommand(root: String, graceMillis: Long)
+  case class GraftVacuumCommand(target: TableRef, graceMillis: Long)
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("swept_files", LongType, nullable = false)())
     override def run(session: SparkSession): Seq[Row] =
-      Seq(Row(ManifestTable.vacuum(root, graceMillis).size.toLong))
+      Seq(Row(ManifestTable.vacuum(target.rootIn(session),
+        graceMillis).size.toLong))
   }
 
-  case class GraftExpireCommand(root: String, keep: Int)
+  case class GraftExpireCommand(target: TableRef, keep: Int)
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       AttributeReference("expired_versions", LongType, nullable = false)())
     override def run(session: SparkSession): Seq[Row] =
-      Seq(Row(ManifestTable.expireManifests(root, keep).size.toLong))
+      Seq(Row(ManifestTable.expireManifests(target.rootIn(session),
+        keep).size.toLong))
   }
 
-  case class GraftMaintainCommand(root: String, targetBytes: Long,
+  case class GraftMaintainCommand(target: TableRef, targetBytes: Long,
                                   clusterBy: Seq[String])
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
@@ -326,6 +373,7 @@ object GraftSqlParser {
       AttributeReference("expired_versions", LongType, nullable = false)(),
       AttributeReference("swept_files", LongType, nullable = false)())
     override def run(session: SparkSession): Seq[Row] = {
+      val root = target.rootIn(session)
       val m = ManifestTable.maintain(session, root, targetBytes,
         clusterBy = clusterBy)
       session.catalog.refreshByPath(root)

@@ -51,17 +51,21 @@ import graft.sources.ManifestSql
   *    (clauses translated with source attributes re-addressed under
   *    the merge frame's `__s_` prefix).
   *
-  * DELETE/UPDATE predicates may carry ONE UNCORRELATED
-  * `col IN (SELECT …)` term as a top-level conjunct — it
-  * materializes as the values frame of `deleteWhereIn` /
-  * `updateWhereIn` (semi/anti joins, unbounded, victim scan pruned
-  * by the residue AND the value set).
+  * DELETE/UPDATE predicates may carry ANY NUMBER of membership
+  * terms as top-level conjuncts — UNCORRELATED `col IN (SELECT …)`
+  * and `[NOT] EXISTS (SELECT … WHERE s.k = t.col [AND inner…])`
+  * with exactly one equality correlation — each materializing as a
+  * values frame of `deleteWhereTerms` / `updateWhereTerms` (joins,
+  * unbounded, victim scan pruned by the residue AND every positive
+  * term's value set).
   *
   * Still refused LOUDLY with the exact unsupported piece named:
   * non-equality or disjunctive ON conditions (no key to join and
-  * prune by), `WITH SCHEMA EVOLUTION`, correlated subqueries and
-  * `NOT IN` (no sound V1 frame-join twin), subqueries anywhere but
-  * the one IN term (merge clause conditions, update values), and
+  * prune by), `WITH SCHEMA EVOLUTION`, correlated IN / multi-
+  * equality EXISTS and `NOT IN` (no sound V1 frame-join twin;
+  * NOT EXISTS' anti semantics ARE sound and supported), subqueries
+  * anywhere but those terms (merge clause conditions, update
+  * values), and
   * time-travel registrations (writes need the head). Predicates and
   * update values re-resolve BY NAME against the table's fresh read
   * frame — the rule's plan-time attributes belong to the
@@ -75,10 +79,10 @@ case class ManifestSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.resolveOperatorsUp {
       case d @ DeleteFromTable(tgt @ ManifestTarget(idx), cond)
           if d.childrenResolved && cond.resolved =>
-        extractIn(cond, tgt, "DELETE") match {
+        extractMembership(cond, tgt, "DELETE") match {
           case None => ManifestDeleteCommand(idx, byName(cond))
-          case Some(in) => ManifestDeleteInCommand(idx,
-            in.residue.map(byName), in.col, in.values)
+          case Some(m) => ManifestDeleteInCommand(idx,
+            m.residue.map(byName), m.terms)
         }
 
       case u @ UpdateTable(tgt @ ManifestTarget(idx), assignments, cond)
@@ -93,12 +97,12 @@ case class ManifestSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
             "manifest SQL UPDATE assigns whole columns only — " +
               s"'${other.sql}' is not a column of the target table")
         }
-        cond.flatMap(extractIn(_, tgt, "UPDATE")) match {
+        cond.flatMap(extractMembership(_, tgt, "UPDATE")) match {
           case None =>
             ManifestUpdateCommand(idx,
               cond.map(byName).getOrElse(F.lit(true)), pairs)
-          case Some(in) => ManifestUpdateInCommand(idx,
-            in.residue.map(byName), in.col, in.values, pairs)
+          case Some(m) => ManifestUpdateInCommand(idx,
+            m.residue.map(byName), m.terms, pairs)
         }
 
       case m @ MergeIntoTable(tgt @ ManifestTarget(idx), source, cond,
@@ -261,59 +265,127 @@ object ManifestSqlDml {
         "condition — materialize the subquery and MERGE on its key, " +
         "or use the ManifestTable Scala API")
 
-  /** One `<target column> IN (SELECT …)` term extracted from a DML
-    * predicate: the residue (the other conjuncts, subquery-free),
-    * the member column, and the subquery plan. */
-  private final case class InTerm(residue: Option[Expression],
-                                  col: String, values: LogicalPlan)
+  /** One membership term extracted from a DML predicate: the member
+    * target column, the one-column values plan, and polarity
+    * (`negated = true` for `NOT EXISTS`). */
+  private[plans] final case class TermSpec(col: String,
+                                           values: LogicalPlan,
+                                           negated: Boolean)
 
-  /** Decompose a DML predicate with a subquery into `residue AND
-    * col IN (SELECT …)` — the shape [[graft.operators.ManifestTable
-    * .deleteWhereIn]]/`updateWhereIn` serve with frame joins (no V1
-    * seam exists for the general v2 subquery rewrite). Returns None
-    * when the predicate has NO subquery (the plain path). Refuses
-    * loudly: more than one subquery term, a CORRELATED subquery, a
-    * disjunctive placement (the term must be a top-level conjunct),
-    * `NOT IN` (its three-valued NULL semantics have no frame-join
-    * twin — rewrite as NOT EXISTS-style anti logic in Scala), a
-    * multi-column IN tuple, and a non-column member expression. */
-  private def extractIn(cond: Expression, tgt: LogicalPlan,
-                        verb: String): Option[InTerm] = {
-    import org.apache.spark.sql.catalyst.expressions.{And, InSubquery,
-      ListQuery, Not}
+  /** The membership terms of a DML predicate plus the subquery-free
+    * residue. */
+  private final case class Membership(residue: Option[Expression],
+                                      terms: Seq[TermSpec])
+
+  /** Decompose a DML predicate with subqueries into `residue AND
+    * term1 AND term2 …`, each term a shape [[graft.operators
+    * .ManifestTable.deleteWhereTerms]]/`updateWhereTerms` serve with
+    * frame joins (no V1 seam exists for the general v2 subquery
+    * rewrite):
+    *
+    *  - `col IN (SELECT …)`, UNCORRELATED — the subquery is the
+    *    values frame;
+    *  - `EXISTS (SELECT … WHERE s.k = t.col [AND inner…])` /
+    *    `NOT EXISTS (…)` with exactly ONE equality correlating one
+    *    TARGET column to one inner expression — equivalent to
+    *    `t.col IN/anti-join (SELECT k FROM s WHERE inner…)`, the
+    *    sound frame twin (a NULL `t.col` equality-matches nothing,
+    *    which is exactly EXISTS' semantics on both polarities).
+    *
+    * Returns None when the predicate has NO subquery (the plain
+    * path). Refuses loudly: a disjunctive placement (terms must be
+    * top-level conjuncts), `NOT IN` (its three-valued NULL semantics
+    * have no sound frame-join twin), correlated IN, uncorrelated
+    * EXISTS (it is a row-independent constant — evaluate it and drop
+    * the conjunct), multi-equality or non-equality correlation,
+    * multi-column IN tuples, and non-column member expressions. */
+  private def extractMembership(cond: Expression, tgt: LogicalPlan,
+                                verb: String): Option[Membership] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And, Exists,
+      InSubquery, ListQuery, Not, OuterReference}
     if (!SubqueryExpression.hasSubquery(cond)) return None
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
+    def targetCol(v: Expression, what: String): String =
+      stripCast(v) match {
+        case a: AttributeReference if tgt.outputSet.contains(a) => a.name
+        case other => throw new UnsupportedOperationException(
+          s"manifest SQL $verb $what must be one target column; " +
+            s"got '${other.sql}'")
+      }
+    // `[NOT] EXISTS (SELECT … WHERE s.k = t.col AND inner…)` → the
+    // values plan `SELECT k FROM s WHERE inner…` + the target column:
+    // dig to the subquery's top filter (through the trivial SELECT-1
+    // projection), split its conjuncts by outer-reference use, and
+    // demand exactly one outer equality
+    def existsTerm(e: Exists, negated: Boolean): TermSpec = {
+      require(e.outerAttrs.nonEmpty,
+        s"manifest SQL $verb: an UNCORRELATED EXISTS is a constant " +
+          "(the subquery is row-independent) — evaluate it and drop " +
+          "the conjunct")
+      def hasOuter(x: Expression): Boolean =
+        x.exists(_.isInstanceOf[OuterReference])
+      val (filterCond, child) = e.plan match {
+        case Project(_, Filter(c, ch)) => (c, ch)
+        case Filter(c, ch) => (c, ch)
+        case other => throw new UnsupportedOperationException(
+          s"manifest SQL $verb EXISTS must be a filtered SELECT " +
+            s"(got ${other.nodeName}) — use the Scala API for more")
+      }
+      val (outer, inner) = conjuncts(filterCond).partition(hasOuter)
+      val (attr, innerSide) = outer match {
+        case Seq(EqualTo(a, b)) =>
+          def split(x: Expression, y: Expression)
+              : Option[(Expression, Expression)] = stripCast(x) match {
+            case OuterReference(o) if !hasOuter(y) => Some((o, y))
+            case _ => None
+          }
+          split(a, b).orElse(split(b, a)).getOrElse(
+            throw new UnsupportedOperationException(
+              s"manifest SQL $verb EXISTS must correlate as " +
+                "'<inner expr> = <target column>' exactly once; got " +
+                s"'${EqualTo(a, b).sql}'"))
+        case other => throw new UnsupportedOperationException(
+          s"manifest SQL $verb EXISTS needs exactly ONE equality " +
+            "conjunct correlating the target (and any number of " +
+            s"inner-only conjuncts); got ${other.size} correlated " +
+            "conjunct(s)")
+      }
+      val col = targetCol(attr, "EXISTS correlation")
+      require(inner.forall(!SubqueryExpression.hasSubquery(_)),
+        s"manifest SQL $verb EXISTS must not nest further subqueries")
+      val filtered = inner.reduceOption(And)
+        .map(Filter(_, child)).getOrElse(child)
+      TermSpec(col,
+        Project(Seq(Alias(innerSide, s"__exists_key")()), filtered),
+        negated)
+    }
     val (subq, rest) = conjuncts(cond)
       .partition(SubqueryExpression.hasSubquery)
-    require(subq.size == 1 && rest.forall(!SubqueryExpression.hasSubquery(_)),
-      s"manifest SQL $verb supports exactly ONE 'col IN (SELECT …)' " +
-        "term, as a top-level AND conjunct")
-    subq.head match {
+    val terms = subq.map {
       case InSubquery(Seq(v), lq: ListQuery) =>
         require(lq.outerAttrs.isEmpty,
           s"manifest SQL $verb supports UNCORRELATED IN subqueries " +
-            "only — a correlated predicate has no V1 rewrite; use " +
-            "MERGE or the Scala API")
-        stripCast(v) match {
-          case a: AttributeReference if tgt.outputSet.contains(a) =>
-            Some(InTerm(rest.reduceOption(And), a.name, lq.plan))
-          case other => throw new UnsupportedOperationException(
-            s"manifest SQL $verb IN-subquery member must be one " +
-              s"target column; got '${other.sql}'")
-        }
+            "only — a correlated IN has no V1 rewrite; use " +
+            "EXISTS-with-one-equality, MERGE, or the Scala API")
+        TermSpec(targetCol(v, "IN-subquery member"), lq.plan,
+          negated = false)
       case Not(_: InSubquery) =>
         throw new UnsupportedOperationException(
           s"manifest SQL $verb does not support NOT IN (SELECT …) — " +
             "its three-valued NULL semantics have no sound frame-join " +
-            "twin; filter the NULLs and use an anti MERGE, or the " +
-            "Scala API")
+            "twin; use NOT EXISTS (whose anti semantics ARE sound), " +
+            "or the Scala API")
+      case e: Exists => existsTerm(e, negated = false)
+      case Not(e: Exists) => existsTerm(e, negated = true)
       case other => throw new UnsupportedOperationException(
-        s"manifest SQL $verb supports subqueries only as " +
-          s"'col IN (SELECT …)'; got '${other.sql}'")
+        s"manifest SQL $verb supports subqueries only as top-level " +
+          "'col IN (SELECT …)' / '[NOT] EXISTS (…)' AND-conjuncts; " +
+          s"got '${other.sql}'")
     }
+    Some(Membership(rest.reduceOption(And), terms))
   }
 
   private def stripCast(e: Expression): Expression = e match {
@@ -406,31 +478,34 @@ object ManifestSqlDml {
     }
   }
 
-  /** `DELETE FROM t WHERE [p AND] c IN (SELECT …)` — the subquery
-    * materializes as the values FRAME of [[graft.operators
-    * .ManifestTable.deleteWhereIn]] (semi/anti joins, unbounded). */
+  /** `DELETE FROM t WHERE [p AND] <membership terms>` — each
+    * subquery materializes as a values FRAME of [[graft.operators
+    * .ManifestTable.deleteWhereTerms]] (joins, unbounded). */
   case class ManifestDeleteInCommand(index: ManifestSql.ManifestFileIndex,
                                      residue: Option[Column],
-                                     inCol: String, values: LogicalPlan)
+                                     terms: Seq[TermSpec])
     extends LeafRunnableCommand {
-    override def innerChildren: Seq[LogicalPlan] = Seq(values)
+    override def innerChildren: Seq[LogicalPlan] = terms.map(_.values)
     override def run(session: SparkSession): Seq[Row] = {
-      ManifestSql.sqlDeleteIn(session, index, residue, inCol,
-        graftbridge.ofRows(session, values))
+      ManifestSql.sqlDeleteIn(session, index, residue,
+        terms.map(t => graft.operators.ManifestTable.MembershipTerm(
+          t.col, graftbridge.ofRows(session, t.values), t.negated)))
       Seq.empty
     }
   }
 
-  /** `UPDATE t SET … WHERE [p AND] c IN (SELECT …)`. */
+  /** `UPDATE t SET … WHERE [p AND] <membership terms>`. */
   case class ManifestUpdateInCommand(index: ManifestSql.ManifestFileIndex,
                                      residue: Option[Column],
-                                     inCol: String, values: LogicalPlan,
+                                     terms: Seq[TermSpec],
                                      assignments: Seq[(String, Column)])
     extends LeafRunnableCommand {
-    override def innerChildren: Seq[LogicalPlan] = Seq(values)
+    override def innerChildren: Seq[LogicalPlan] = terms.map(_.values)
     override def run(session: SparkSession): Seq[Row] = {
-      ManifestSql.sqlUpdateIn(session, index, residue, inCol,
-        graftbridge.ofRows(session, values), assignments)
+      ManifestSql.sqlUpdateIn(session, index, residue,
+        terms.map(t => graft.operators.ManifestTable.MembershipTerm(
+          t.col, graftbridge.ofRows(session, t.values), t.negated)),
+        assignments)
       Seq.empty
     }
   }

@@ -291,28 +291,30 @@ object ManifestSql {
     afterSqlWrite(spark, idx)
   }
 
-  /** SQL `DELETE FROM … WHERE [p AND] c IN (SELECT …)`:
-    * [[ManifestTable.deleteWhereIn]] under the same guards — the
-    * subquery arrives as an unbounded values frame. */
+  /** SQL `DELETE FROM … WHERE [p AND] <membership terms>` — each
+    * term a `c IN (SELECT …)` or equality-correlated `[NOT] EXISTS`
+    * conjunct: [[ManifestTable.deleteWhereTerms]] under the same
+    * guards — the subqueries arrive as unbounded values frames. */
   private[graft] def sqlDeleteIn(spark: SparkSession,
                                  idx: ManifestFileIndex,
                                  residue: Option[org.apache.spark.sql.Column],
-                                 inCol: String, values: DataFrame): Unit = {
+                                 terms: Seq[ManifestTable.MembershipTerm])
+      : Unit = {
     requireHead(idx, "DELETE FROM")
-    ManifestTable.deleteWhereIn(spark, idx.root, residue, inCol, values)
+    ManifestTable.deleteWhereTerms(spark, idx.root, residue, terms)
     afterSqlWrite(spark, idx)
   }
 
-  /** SQL `UPDATE … WHERE [p AND] c IN (SELECT …)`:
-    * [[ManifestTable.updateWhereIn]] under the same guards. */
+  /** SQL `UPDATE … WHERE [p AND] <membership terms>`:
+    * [[ManifestTable.updateWhereTerms]] under the same guards. */
   private[graft] def sqlUpdateIn(spark: SparkSession,
                                  idx: ManifestFileIndex,
                                  residue: Option[org.apache.spark.sql.Column],
-                                 inCol: String, values: DataFrame,
+                                 terms: Seq[ManifestTable.MembershipTerm],
                                  assignments: Seq[(String,
                                    org.apache.spark.sql.Column)]): Unit = {
     requireHead(idx, "UPDATE")
-    ManifestTable.updateWhereIn(spark, idx.root, residue, inCol, values,
+    ManifestTable.updateWhereTerms(spark, idx.root, residue, terms,
       assignments.toMap)
     afterSqlWrite(spark, idx)
   }

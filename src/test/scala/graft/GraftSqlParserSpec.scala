@@ -44,6 +44,41 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM ddl_t").as[Long].head() == 300L)
   }
 
+  test("GRAFT maintenance by TABLE name resolves through the catalog for all four statements") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddln").toString
+    val root = s"$dir/t"
+    ManifestTable.init(root, Seq("id"))
+    for (i <- 0 until 4)
+      ManifestTable.append(spark, root,
+        (0L until 200L).filter(_ % 4 == i).toDF("id")
+          .withColumn("payload", F.concat(F.lit("p"), F.col("id")))
+          .coalesce(1))
+    graft.api.Graft(spark, sf)
+      .registerManifest("ddl_named", root, persistent = true)
+    try {
+      val before = ManifestTable.latest(root).get
+      val c = spark.sql(
+        "GRAFT COMPACT TABLE ddl_named TARGET 4194304 CLUSTER BY id")
+        .head()
+      assert(c.getInt(0) == before.version + 1 && c.getLong(1) < 4L)
+      assert(spark.sql("GRAFT EXPIRE TABLE ddl_named KEEP 2")
+        .head().getLong(0) > 0L)
+      assert(spark.sql("GRAFT VACUUM TABLE ddl_named RETAIN 0 HOURS")
+        .head().getLong(0) >= 4L)
+      val m = spark.sql("GRAFT MAINTAIN TABLE ddl_named").head()
+      assert(!m.getBoolean(2), "a tight table must not re-compact")
+      assert(spark.sql("SELECT count(*) FROM ddl_named")
+        .head().getLong(0) == 200L,
+        "maintenance by name must never touch live data")
+      // a non-manifest name refuses with the path form suggested
+      (0L until 3L).toDF("id").createOrReplaceTempView("ddl_plain")
+      val e = intercept[Exception](
+        spark.sql("GRAFT COMPACT TABLE ddl_plain"))
+      assert(e.getMessage.contains("USING graft-manifest"),
+        s"got: ${e.getMessage}")
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_named")
+  }
+
   test("the wrapper is transparent: ANSI SQL, parameterized queries, and malformed GRAFT statements") {
     // plain SQL parses through the delegate untouched
     assert(spark.sql("SELECT 1 + 1 AS v").head().getInt(0) == 2)

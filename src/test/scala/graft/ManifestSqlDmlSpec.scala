@@ -274,6 +274,59 @@ class ManifestSqlDmlSpec extends SparkSpec {
     assert(afterNull == expect.filterNot(_ % 7 == 3))
   }
 
+  test("multi-IN, EXISTS, and NOT EXISTS membership conjuncts") {
+    import spark.implicits._
+    val (_, root) = freshTable("graft_sqlex")
+    graft.sources.ManifestSql.register(spark, "sqldml_ex", root)
+    (0L until 200L).map(i => (i, i % 7)).toDF("k", "tag")
+      .createOrReplaceTempView("sqldml_ex_aux")
+    // TWO IN conjuncts: the intersection fires
+    spark.sql("DELETE FROM sqldml_ex WHERE id IN " +
+      "(SELECT k FROM sqldml_ex_aux WHERE tag = 0) AND id IN " +
+      "(SELECT k FROM sqldml_ex_aux WHERE k < 50)")
+    def ids(): Set[Long] = ManifestTable.read(spark, root)
+      .select("id").as[Long].collect().toSet
+    val afterTwoIn = (0L until 100L)
+      .filterNot(i => i % 7 == 0 && i < 50).toSet
+    assert(ids() == afterTwoIn)
+    // equality-correlated EXISTS with an inner-only conjunct
+    spark.sql("DELETE FROM sqldml_ex WHERE id >= 90 AND EXISTS " +
+      "(SELECT 1 FROM sqldml_ex_aux a " +
+      "WHERE a.k = sqldml_ex.id AND a.tag = 2)")
+    val afterExists = afterTwoIn.filterNot(i => i >= 90 && i % 7 == 2)
+    assert(ids() == afterExists)
+    // NOT EXISTS: rows matching NO values row fire (anti semantics)
+    spark.sql("UPDATE sqldml_ex SET v = 'orphan' WHERE NOT EXISTS " +
+      "(SELECT 1 FROM sqldml_ex_aux a " +
+      "WHERE a.k = sqldml_ex.id AND a.k < 95)")
+    val orphaned = ManifestTable.read(spark, root)
+      .filter(F.col("v") === "orphan")
+      .select("id").as[Long].collect().toSet
+    assert(orphaned == afterExists.filter(_ >= 95),
+      s"got $orphaned")
+    // a MIXED predicate: residue + IN + NOT EXISTS in one statement
+    spark.sql("DELETE FROM sqldml_ex WHERE id >= 10 AND id IN " +
+      "(SELECT k FROM sqldml_ex_aux WHERE tag = 1) AND NOT EXISTS " +
+      "(SELECT 1 FROM sqldml_ex_aux a " +
+      "WHERE a.k = sqldml_ex.id AND a.k < 60)")
+    assert(ids() == afterExists
+      .filterNot(i => i >= 10 && i % 7 == 1 && i >= 60))
+    // refusals: uncorrelated EXISTS (a constant), multi-equality
+    // correlation, and correlation on a non-target column
+    def refuse(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage != null && e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    refuse("DELETE FROM sqldml_ex WHERE EXISTS " +
+      "(SELECT 1 FROM sqldml_ex_aux WHERE tag = 4)",
+      "UNCORRELATED EXISTS")
+    refuse("DELETE FROM sqldml_ex WHERE EXISTS " +
+      "(SELECT 1 FROM sqldml_ex_aux a WHERE a.k = sqldml_ex.id " +
+      "AND a.tag = sqldml_ex.n)",
+      "exactly ONE equality")
+  }
+
   test("composite ON keys: a conjunction of equalities merges by the full key tuple") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sqlck").toString
