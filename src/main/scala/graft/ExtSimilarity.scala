@@ -110,6 +110,28 @@ private[graft] object ExtSimilarity {
     }),
 
 
+    // the SQL surface of the standing index: the graft_ann_topk TVF
+    // loads the SAME persisted store (centroids + generation
+    // assignments) and serves top-k from pure SQL — column names
+    // inferred from the stored centroids, queries supplied as a
+    // view. It IS IvfIndex.topK underneath, so this arm shares
+    // x_ann_store's oracle; a drifting SQL path, a mis-inferred
+    // column, or a dropped nprobe each fails the hash.
+    "x_ann_sql" -> ((s, dir) => {
+      val root = layoutDir(dir, "ivfstore_sql")
+      deleteRec(new java.io.File(root))
+      val emb = Tables.scan(s, dir, "embeddings")
+      IvfStore.init(emb.filter(F.col("vec_id") % 2 === 0),
+        "vec_id", "embedding", ANN_KMEANS_K, ANN_KMEANS_ITERS, root)
+      IvfStore.ingest(s, root, emb.filter(F.col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding")
+      graft.plans.GraftFunctions.register(s)
+      emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+        .createOrReplaceTempView("ann_sql_queries")
+      s.sql("SELECT query_id, match_id, sim, rank FROM graft_ann_topk(" +
+        s"'$root', 'ann_sql_queries', 10, $ANN_KMEANS_NPROBE)")
+    }),
+
     // the streaming twin: the SAME odd half arrives as two
     // mtime-ordered micro-batches through the idempotent
     // generation-commit sink (gen = baseGen + batchId; a replayed
@@ -296,6 +318,12 @@ private[graft] object ExtSimilarity {
     // the streaming twin lands the same vectors in the same cells —
     // the oracle is the batch pipeline's, unchanged
     "x_stream_ann_store" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
+      ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES,
+      "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+
+    // the TVF arm searches the same store through the same math —
+    // x_ann_store's oracle, unchanged
+    "x_ann_sql" -> annKmeansSql(ANN_KMEANS_K, ANN_KMEANS_ITERS,
       ANN_KMEANS_NPROBE, 10, ANN_N_QUERIES,
       "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
 

@@ -109,6 +109,47 @@ object GraftFunctions {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         schema).queryExecution.analyzed
     }),
+    // ANN search over a STANDING IVF store from pure SQL — the one
+    // extension family a SQL-only user couldn't reach (dedup/text/
+    // layout all have SQL twins): top-k cosine neighbors for every
+    // row of a QUERIES table against the persisted index (centroids
+    // + generation-committed assignments), never touching the raw
+    // vector source. (id, vector) column names are inferred from the
+    // stored centroids schema — the one array<float> column is the
+    // vector — so the caller passes only the store root, a queries
+    // table whose columns match, k, and nprobe. Work scales as
+    // queries × (nprobe/k_cells) × corpus — the same bounded probe
+    // as the Scala path, which this IS (IvfIndex.topK).
+    "graft_ann_topk" -> (exprs => {
+      require(exprs.size >= 3 && exprs.size <= 4,
+        "usage: graft_ann_topk('<ivf store root>', '<queries table>'," +
+          " k[, nprobe])")
+      val spark = SparkSession.active
+      val root = constArg(exprs(0), "graft_ann_topk", "root").toString
+      val queriesName =
+        constArg(exprs(1), "graft_ann_topk", "queries").toString
+      val k = constArg(exprs(2), "graft_ann_topk", "k").toString.toInt
+      val nprobe = exprs.drop(3).headOption
+        .map(e => constArg(e, "graft_ann_topk", "nprobe").toString.toInt)
+        .getOrElse(1)
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      val centSchema =
+        spark.read.parquet(s"$root/centroids").schema.fields
+      val (vecFields, idFields) = centSchema.partition(_.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+      require(vecFields.length == 1 && idFields.length == 1,
+        s"graft_ann_topk: $root/centroids must carry exactly one " +
+          "array<float> vector column and one id column; got " +
+          centSchema.map(f => s"${f.name}:${f.dataType.simpleString}")
+            .mkString(", "))
+      val idx = graft.operators.IvfStore.load(spark, root,
+        idFields.head.name, vecFields.head.name)
+      graft.operators.IvfIndex
+        .topK(idx, spark.table(queriesName), k, nprobe)
+        .queryExecution.analyzed
+    }),
     // the change feed as a TVF (the table_changes idea): row-level
     // inserts/deletes between two versions, straight from the
     // manifest file diff — batch cost scales with the changed files

@@ -884,4 +884,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(joined.filter(F.col("bytes") =!= F.col("len")).count() == 0)
     assert(joined.filter(F.col("max_idx") =!= F.col("n_frames") - 1).count() == 0)
   }
+
+  test("graft_ann_topk TVF: bad arity and un-inferable stores refuse with the reason named") {
+    graft.plans.GraftFunctions.register(spark)
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM graft_ann_topk('/tmp/x')").collect())
+    assert(e1.getMessage.contains("usage: graft_ann_topk"))
+    // a "store" whose centroids carry no array<float> column cannot
+    // infer (id, vector) names — the refusal names the schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_annsql").toString
+    import spark.implicits._
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$dir/centroids")
+    Seq(1L).toDF("q").createOrReplaceTempView("annsql_q")
+    val e2 = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_ann_topk('$dir', 'annsql_q', 5)")
+        .collect())
+    assert(e2.getMessage.contains("exactly one"), s"got: ${e2.getMessage}")
+  }
 }
