@@ -1,0 +1,333 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.ManifestTable
+import graft.plans.ManifestSqlAlter
+import graft.sources.ManifestSql
+
+/** The DSv2 `TableCatalog` door onto graft-manifest tables — the
+  * structural alternative to the parse-time re-routes the V1
+  * session-catalog path needs (`GraftSqlParser`): under a v2 catalog,
+  * Spark's OWN analyzer serves time travel (`loadTable(ident,
+  * version/timestamp)` overloads), ALTER (RENAME/DROP COLUMN included
+  * — the statements that are v2-only and die in `ResolveSessionCatalog`
+  * for V1 targets), and INSERT (a [[org.apache.spark.sql.connector
+  * .write.V1Write]] onto the ledgered commit) with no injected
+  * string rewriting at all.
+  *
+  * Install: `spark.sql.catalog.graft=graft.catalog.GraftCatalog`
+  * (settable at runtime before first use — [[GraftCatalog.install]]).
+  * Then `graft.db.t` addresses the SAME table `db.t` names on the V1
+  * path: this catalog is a v2 WINDOW onto the session catalog's
+  * `USING graft-manifest` entries (namespaces = databases), not a
+  * second metadata store — both doors always see one table. The V1
+  * path keeps working unchanged; migration is incremental by
+  * construction.
+  *
+  * Reads: [[GraftTable]] carries no scan machinery of its own — the
+  * injected [[graft.plans.GraftDsv2Reads]] resolution rule replaces
+  * the analyzed `DataSourceV2Relation` with the SAME pruned,
+  * snapshot-pinned V1 relation every other door serves
+  * ([[ManifestSql.relation]]), exprIds re-stamped so parent operators
+  * keep resolving (the public DeltaAnalysis pattern). One scan
+  * implementation for the engine — stats pruning, Bloom skipping, and
+  * the vectorized parquet path are shared, not duplicated. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+  }
+
+  override def name(): String = catalogName
+
+  private def session: SparkSession = SparkSession.active
+
+  private def sessionCatalog = session.sessionState.catalog
+
+  private def v1Ident(ident: Identifier): TableIdentifier = {
+    ident.namespace() match {
+      case Array() => TableIdentifier(ident.name(),
+        Some(sessionCatalog.getCurrentDatabase))
+      case Array(db) => TableIdentifier(ident.name(), Some(db))
+      case other => throw new NoSuchTableException(
+        Array(catalogName) ++ other :+ ident.name())
+    }
+  }
+
+  /** A resolved manifest behind a graft identifier: the table root,
+    * plus whether the registration is RENAME-CHAINED (`<name>_store`
+    * manifest table + coalesce VIEW `<name>` — what the V1 door's
+    * rename epilogue leaves). A chained table READS through this door
+    * (the relation applies the colmap projection itself); writes and
+    * ALTERs refuse with the store named, mirroring the V1 read-only
+    * rename-chain contract. */
+  private final case class Resolved(root: String, chained: Boolean)
+
+  private def isManifestEntry(v1: TableIdentifier): Boolean =
+    sessionCatalog.tableExists(v1) && !sessionCatalog.isTempView(v1) &&
+      sessionCatalog.getTableMetadata(v1).provider
+        .exists(_.equalsIgnoreCase(ManifestSql.ManifestProvider))
+
+  /** Resolve a graft identifier to its manifest root, or a loud
+    * NoSuchTable — this catalog only ever serves `USING
+    * graft-manifest` entries (directly, or through their
+    * rename-chain `<name>_store` sibling); other providers keep
+    * resolving through their own doors. */
+  private def resolve(ident: Identifier): Resolved = {
+    val v1 = v1Ident(ident)
+    def missing = new NoSuchTableException(
+      Array(catalogName) ++ ident.namespace() :+ ident.name())
+    if (isManifestEntry(v1))
+      Resolved(rootOf(sessionCatalog.getTableMetadata(v1)),
+        chained = false)
+    else {
+      // the rename-chain shape: `name` is a VIEW over `name_store`
+      val store = v1.copy(table = v1.table + "_store")
+      val viewShaped = sessionCatalog.tableExists(v1) &&
+        !sessionCatalog.isTempView(v1) &&
+        sessionCatalog.getTableMetadata(v1).tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
+      if (viewShaped && isManifestEntry(store))
+        Resolved(rootOf(sessionCatalog.getTableMetadata(store)),
+          chained = true)
+      else throw missing
+    }
+  }
+
+  private def rootOf(meta: org.apache.spark.sql.catalyst.catalog
+      .CatalogTable): String =
+    meta.storage.properties.get("path")
+      .orElse(meta.storage.locationUri.map(u =>
+        new org.apache.hadoop.fs.Path(u).toString))
+      .getOrElse(throw new IllegalStateException(
+        s"manifest catalog table ${meta.identifier.quotedString} " +
+          "has no path"))
+
+  override def loadTable(ident: Identifier): Table = {
+    val r = resolve(ident)
+    GraftTable(session, fullName(ident), r.root, None,
+      readOnlyChain = r.chained)
+  }
+
+  /** `VERSION AS OF <n>` — served natively by the v2 resolution
+    * path; no parse-time re-route. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val r = resolve(ident)
+    val v = scala.util.Try(version.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF on ${fullName(ident)} takes an integer " +
+          s"manifest version; got '$version'"))
+    GraftTable(session, fullName(ident), r.root, Some(v),
+      readOnlyChain = r.chained)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — `timestamp` arrives in MICROseconds
+    * since epoch, already parsed by the analyzer in the session
+    * timezone; resolved by commit mtime ([[ManifestTable.versionAt]],
+    * the Delta convention) AT RESOLUTION time, like every other
+    * registration-free pin. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val r = resolve(ident)
+    val millis = Math.floorDiv(timestamp, 1000L)
+    val v = ManifestTable.versionAt(r.root, millis).getOrElse(
+      throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF predates every surviving version of " +
+          fullName(ident)))
+    GraftTable(session, fullName(ident), r.root, Some(v),
+      readOnlyChain = r.chained)
+  }
+
+  private def fullName(ident: Identifier): String =
+    (Seq(catalogName) ++ ident.namespace() :+ ident.name()).mkString(".")
+
+  override def tableExists(ident: Identifier): Boolean =
+    scala.util.Try(resolve(ident)).isSuccess
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val db = namespace match {
+      case Array() => sessionCatalog.getCurrentDatabase
+      case Array(d) => d
+      case other => throw new NoSuchNamespaceException(
+        Array(catalogName) ++ other)
+    }
+    if (!sessionCatalog.databaseExists(db))
+      throw new NoSuchNamespaceException(Array(catalogName, db))
+    sessionCatalog.listTables(db).filter { t =>
+      scala.util.Try(sessionCatalog.getTableMetadata(t).provider
+        .exists(_.equalsIgnoreCase(ManifestSql.ManifestProvider)))
+        .getOrElse(false)
+    }.map(t => Identifier.of(Array(db), t.table)).toArray
+  }
+
+  /** CREATE TABLE graft.db.t (cols) — requires a `path`/`location`
+    * property. A manifest already there registers as-is (schemas must
+    * agree is the reader's business — the recorded schema wins); an
+    * absent one is INITIALIZED with the declared columns recorded via
+    * an empty ledgered overwrite, honoring `statCols`/`bloomCols`/
+    * `bloomCapacity` properties. The entry lands in the session
+    * catalog (`USING graft-manifest`), so the V1 door sees it too. */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-manifest does not partition by directory — cluster with " +
+        "GRAFT COMPACT ... CLUSTER BY instead")
+    val props = properties.asScala
+    val root = props.get("path").orElse(props.get("location")).getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE TABLE ${fullName(ident)} needs a 'path' (or " +
+          "'location') property naming the manifest root"))
+    def csv(k: String): Seq[String] = props.get(k).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    if (ManifestTable.latest(root).isEmpty) {
+      ManifestTable.init(root, csv("statCols"), csv("bloomCols"),
+        props.get("bloomCapacity").map(_.trim.toLong)
+          .getOrElse(graft.operators.ManifestStats.BloomKeyCapacity))
+      if (schema.nonEmpty)
+        ManifestTable.overwrite(session, root, session.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(schema.fields.map(_.copy(nullable = true)))))
+    }
+    val v1 = v1Ident(ident)
+    ManifestSql.registerPersistent(session, v1.unquotedString, root)
+    loadTable(ident)
+  }
+
+  /** ALTER under v2 — the statements that needed parse-time
+    * re-routing on the V1 path resolve natively here; each change
+    * routes through the SAME ledger commands the V1 door uses (one
+    * owner per semantic). */
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    val v1 = v1Ident(ident)
+    val r = resolve(ident) // existence + provider check
+    require(!r.chained,
+      s"${fullName(ident)} is a rename-chained registration (a " +
+        s"coalesce VIEW over ${ident.name()}_store) — its fixed " +
+        s"SELECT list cannot be altered; ALTER " +
+        s"${ident.name()}_store instead")
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "manifest ALTER adds top-level columns only; " +
+            s"'${add.fieldNames().mkString(".")}' is nested")
+        ManifestSqlAlter.AddColumnsCommand(v1, Seq(
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames().head, add.dataType(),
+            nullable = true))).run(session)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "manifest ALTER renames top-level columns only; " +
+            s"'${rn.fieldNames().mkString(".")}' is nested")
+        ManifestSqlAlter.RenameColumnCommand(v1,
+          rn.fieldNames().head, rn.newName()).run(session)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "manifest ALTER drops top-level columns only; " +
+            s"'${del.fieldNames().mkString(".")}' is nested")
+        ManifestSqlAlter.DropColumnsCommand(v1,
+          Seq(del.fieldNames().head), del.ifExists()).run(session)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog does not support table change " +
+          s"${other.getClass.getSimpleName} — supported: ADD COLUMNS, " +
+          "RENAME COLUMN, DROP COLUMN")
+    }
+    loadTable(ident)
+  }
+
+  /** DROP TABLE drops the catalog entry; the manifest root (an
+    * external location by construction) stays on disk. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val exists = tableExists(ident)
+    if (exists) {
+      val v1 = v1Ident(ident)
+      sessionCatalog.dropTable(v1, ignoreIfNotExists = true,
+        purge = false)
+    }
+    exists
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val r = resolve(oldIdent)
+    require(!r.chained,
+      s"rename the ${oldIdent.name()}_store pair through the session " +
+        "catalog — a chained registration is two objects")
+    sessionCatalog.renameTable(v1Ident(oldIdent), v1Ident(newIdent))
+  }
+
+  override def invalidateTable(ident: Identifier): Unit =
+    scala.util.Try(sessionCatalog.refreshTable(v1Ident(ident)))
+
+  // ---- namespaces = the session catalog's databases ----
+
+  override def defaultNamespace(): Array[String] =
+    Array(sessionCatalog.getCurrentDatabase)
+
+  override def listNamespaces(): Array[Array[String]] =
+    sessionCatalog.listDatabases().map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = namespace match {
+    case Array() => listNamespaces()
+    case Array(db) if sessionCatalog.databaseExists(db) => Array.empty
+    case other => throw new NoSuchNamespaceException(
+      Array(catalogName) ++ other)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace match {
+      case Array(db) => sessionCatalog.databaseExists(db)
+      case _ => false
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = namespace match {
+    case Array(db) if sessionCatalog.databaseExists(db) =>
+      new util.HashMap[String, String]()
+    case other => throw new NoSuchNamespaceException(
+      Array(catalogName) ++ other)
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "create databases through the session catalog (CREATE DATABASE)")
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "alter databases through the session catalog")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "drop databases through the session catalog (DROP DATABASE)")
+}
+
+object GraftCatalog {
+
+  /** The conf key installing this catalog as `graft` — settable at
+    * runtime BEFORE the first `graft.…` reference (Spark loads
+    * catalog plugins lazily, once, per session). */
+  val ConfKey = "spark.sql.catalog.graft"
+
+  /** Install the catalog into a live session (idempotent). */
+  def install(spark: SparkSession): Unit =
+    spark.conf.set(ConfKey, classOf[GraftCatalog].getName)
+}

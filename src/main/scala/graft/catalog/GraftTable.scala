@@ -1,0 +1,86 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table,
+  TableCapability}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate,
+  V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.ManifestTable
+import graft.sources.ManifestSql
+
+/** The DSv2 [[Table]] behind [[GraftCatalog]] — deliberately THIN:
+  *
+  *  - READS carry no scan machinery here. The table declares
+  *    `BATCH_READ`, and the injected [[graft.plans.GraftDsv2Reads]]
+  *    rule replaces its `DataSourceV2Relation` with the pruned
+  *    snapshot-pinned V1 relation ([[ManifestSql.relation]]) during
+  *    analysis — one shared scan path for every door (the public
+  *    DeltaAnalysis pattern; a second DSv2 reader would duplicate the
+  *    stats/Bloom pruning and lose the vectorized parquet exec).
+  *  - WRITES go through the `V1_BATCH_WRITE` fallback: the
+  *    [[WriteBuilder]] builds a [[V1Write]] whose
+  *    [[InsertableRelation]] is the SAME ledgered append/overwrite
+  *    the V1 SQL door commits through — `INSERT INTO graft.db.t` is
+  *    one atomic manifest commit, `INSERT OVERWRITE` (truncate mode)
+  *    an atomic snapshot replace. Time-travel pins refuse writes.
+  *
+  * `versionAsOf` pins a snapshot for the native v2 time-travel
+  * overloads (`VERSION AS OF` / `TIMESTAMP AS OF`). The SCHEMA is
+  * resolved lazily from the pinned snapshot's recorded schema —
+  * exactly what the V1 relation will serve when the read rule swaps
+  * it in. */
+final case class GraftTable(spark: SparkSession, fullName: String,
+                            root: String, versionAsOf: Option[Int],
+                            readOnlyChain: Boolean = false)
+  extends Table with SupportsWrite {
+
+  override def name(): String = fullName
+
+  /** The pinned relation — built once per analysis (the same pin the
+    * rewrite rule serves, so schema and scan agree). */
+  lazy val relation: DataFrame =
+    ManifestSql.relation(spark, root, versionAsOf)
+
+  override def schema(): StructType = relation.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def properties(): util.Map[String, String] =
+    Map("path" -> root,
+      "provider" -> ManifestSql.ManifestProvider).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit = {
+              require(versionAsOf.isEmpty,
+                s"cannot INSERT into a time-travel pin of $fullName — " +
+                  "time travel is read-only; address the head to write")
+              require(!readOnlyChain,
+                s"$fullName is a rename-chained registration — " +
+                  "read-only from SQL (the documented rename-chain " +
+                  "contract); write through the ManifestTable Scala API")
+              val session = data.sparkSession
+              // positional alignment + the BatchIdConf ledger contract
+              // + the commit, all through the ONE V1-shared owner
+              ManifestSql.sqlInsertAt(session, root, data, overwrite,
+                ManifestSql.relation(session, root, None).columns.toSeq)
+              session.catalog.refreshByPath(root)
+            }
+          }
+      }
+    }
+}

@@ -188,6 +188,10 @@ object GraftFunctions {
         new ExpressionInfo(classOf[DotProduct].getName, name), builder))
     }
     e.injectPostHocResolutionRule(BroadcastFixedDims)
+    // the DSv2 door's read half — MUST precede ManifestSqlDml in
+    // this batch (post-hoc rules run once, in injection order), so
+    // v2-addressed DML targets arrive already in V1 shape
+    e.injectPostHocResolutionRule(GraftDsv2Reads)
     // custom post-hoc rules run AFTER the built-in DataSourceAnalysis,
     // so this sees (and rewrites) the raw-write command the catalog
     // insert path would otherwise produce — see [[ManifestSqlInserts]]

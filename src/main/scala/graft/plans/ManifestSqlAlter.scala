@@ -195,7 +195,6 @@ object ManifestSqlAlter {
     extends LeafRunnableCommand {
     override def run(session: SparkSession): Seq[Row] = {
       val cat = session.sessionState.catalog
-      val meta = cat.getTableMetadata(ident)
       val root = rootOf(session, ident)
       val added = StructType(colsToAdd.map(_.copy(nullable = true)))
       // CACHE TABLE materializations carry the old schema — drop them
@@ -204,8 +203,18 @@ object ManifestSqlAlter {
       val name = ident.quotedString
       if (session.catalog.isCached(name)) session.catalog.uncacheTable(name)
       ManifestTable.addColumns(session, root, added)
-      cat.alterTableDataSchema(ident,
-        StructType(meta.dataSchema.fields ++ added.fields))
+      // the catalog schema must be the manifest's own PHYSICAL read
+      // shape — recorded schema plus rename-chain names, in ITS
+      // order. Appending to the old catalog schema would drift on a
+      // rename-chained STORE table (new recorded columns land before
+      // the chain names, not after) and trip the provider's
+      // schema-drift guard on the next resolution.
+      val snap = ManifestTable.latest(root).getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      val (physical, _) = ManifestTable.readShapeOf(
+        ManifestTable.recordedSchemaOf(session, root, snap),
+        ManifestTable.colmapOfSnap(snap))
+      cat.alterTableDataSchema(ident, physical)
       // drop the session's cached RELATION (not Catalog.refreshTable,
       // which would re-drive the OLD FileIndex's refresh and trip its
       // schema-drift guard): the next resolution rebuilds from the

@@ -152,12 +152,26 @@ object ManifestSqlDml {
     * registered manifest table to its [[ManifestSql.ManifestFileIndex]].
     * Matches the BARE relation only: a rename-chained registration
     * serves a coalesce Project, which (exactly like SQL INSERT) is
-    * not a writable shape — the dig stops at any real operator. */
+    * not a writable shape — the dig stops at any real operator. The
+    * one Project shape that IS walked through: a pure IDENTITY
+    * re-alias (every item an attribute, or an alias of one, under
+    * its own name) — what [[GraftDsv2Reads]] stamps over the V1
+    * relation to keep the v2 exprIds resolving, which changes no
+    * row and no column. */
   private object ManifestTarget {
+    private def identityRealias(p: Project): Boolean =
+      p.projectList.size == p.child.output.size &&
+        p.projectList.forall {
+          case a: AttributeReference => true
+          case a @ org.apache.spark.sql.catalyst.expressions.Alias(
+              c: AttributeReference, _) => a.name == c.name
+          case _ => false
+        }
     @tailrec private def dig(p: LogicalPlan)
         : Option[ManifestSql.ManifestFileIndex] = p match {
       case SubqueryAlias(_, child) => dig(child)
       case v: View => dig(v.child)
+      case pr: Project if identityRealias(pr) => dig(pr.child)
       case l: LogicalRelation => l.relation match {
         case h: HadoopFsRelation => h.location match {
           case m: ManifestSql.ManifestFileIndex => Some(m)

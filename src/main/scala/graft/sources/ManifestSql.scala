@@ -46,6 +46,11 @@ import graft.operators.ManifestTable
   * documented on the rename. */
 object ManifestSql {
 
+  /** The datasource provider name manifest catalog entries register
+    * under (`USING graft-manifest`) — the one string every door
+    * (V1 rules, parse-time rewrites, the DSv2 catalog) detects by. */
+  val ManifestProvider = "graft-manifest"
+
   /** The manifest-backed [[FileIndex]]: `listFiles` returns only the
     * files whose recorded stats may match the pushed data filters.
     * Conservative everywhere the stats machinery is — an
@@ -224,6 +229,19 @@ object ManifestSql {
     require(idx.versionAsOf.isEmpty,
       s"cannot INSERT into a versionAsOf registration of ${idx.root} — " +
         "time travel is read-only; register the head to write")
+    sqlInsertAt(spark, idx.root, data, overwrite, columnNames)
+    idx.refresh()
+    spark.catalog.refreshByPath(idx.root)
+  }
+
+  /** The root-addressed core of [[sqlInsert]] — shared with the DSv2
+    * door ([[graft.catalog.GraftTable]]), which has no standing
+    * FileIndex to re-pin (every v2 analysis builds a fresh pin):
+    * positional alignment, the [[BatchIdConf]] ledger contract, and
+    * the append/overwrite commit, one owner. */
+  private[graft] def sqlInsertAt(spark: SparkSession, root: String,
+                                 data: DataFrame, overwrite: Boolean,
+                                 columnNames: Seq[String]): Unit = {
     val aligned =
       if (data.columns.toSeq == columnNames) data
       else data.toDF(columnNames.toIndexedSeq: _*)
@@ -231,13 +249,11 @@ object ManifestSql {
       case Some(_) if overwrite => throw new IllegalArgumentException(
         s"$BatchIdConf applies to INSERT INTO and MERGE INTO only — " +
           "INSERT OVERWRITE is not a replayable micro-batch shape")
-      case Some(id) => ManifestTable.appendBatch(spark, idx.root, id, aligned)
+      case Some(id) => ManifestTable.appendBatch(spark, root, id, aligned)
       case None =>
-        if (overwrite) ManifestTable.overwrite(spark, idx.root, aligned)
-        else ManifestTable.append(spark, idx.root, aligned)
+        if (overwrite) ManifestTable.overwrite(spark, root, aligned)
+        else ManifestTable.append(spark, root, aligned)
     }
-    idx.refresh()
-    spark.catalog.refreshByPath(idx.root)
   }
 
   /** Session conf carrying the ledger batch id for an idempotent SQL

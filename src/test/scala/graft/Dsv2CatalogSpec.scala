@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** The DSv2 door ([[graft.catalog.GraftCatalog]] +
+  * [[graft.plans.GraftDsv2Reads]]): `graft.db.t` is a v2 window onto
+  * the SAME session-catalog manifest entries the V1 path serves —
+  * reads share the pruned V1 scan, time travel and ALTER resolve
+  * through Spark's native v2 analysis (no parse-time re-routes),
+  * inserts ride the V1Write fallback onto the ledgered commit, and
+  * row-level DML lands on the same copy-on-write writers. */
+class Dsv2CatalogSpec extends SparkSpec {
+  import graft.operators.ManifestTable
+
+  private def freshTable(prefix: String, name: String,
+                         n: Long = 100L): String = {
+    import spark.implicits._
+    graft.catalog.GraftCatalog.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    val root = s"$dir/t"
+    ManifestTable.init(root, Seq("id"), Seq("id"))
+    ManifestTable.append(spark, root,
+      (0L until n).toDF("id")
+        .withColumn("v", F.concat(F.lit("row"), F.col("id")))
+        .withColumn("n", F.col("id") * 2))
+    graft.api.Graft(spark, sf).registerManifest(name, root,
+      persistent = true)
+    root
+  }
+
+  test("graft.default.t reads the same rows as the V1 door, through the pruned V1 scan") {
+    val root = freshTable("graft_v2r", "v2read")
+    try {
+      val v2 = spark.sql(
+        "SELECT id, v, n FROM graft.default.v2read ORDER BY id")
+      val v1 = spark.sql("SELECT id, v, n FROM v2read ORDER BY id")
+      assert(v2.collect().toSeq == v1.collect().toSeq)
+      // the analyzed v2 relation must have been swapped for the V1
+      // scan: no DataSourceV2Relation survives analysis
+      val analyzed = spark.sql(
+        "SELECT * FROM graft.default.v2read WHERE id = 7")
+      assert(!analyzed.queryExecution.analyzed.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.datasources
+          .v2.DataSourceV2Relation]),
+        "the v2 relation must swap to the shared V1 scan")
+      // and the shared scan still PRUNES: a point predicate plans
+      // fewer files than the table holds
+      val scan = analyzed.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scan.nonEmpty, "expected the V1 parquet scan")
+      val total = ManifestTable.latest(root).get.files.size
+      assert(scan.head.inputRDDs().nonEmpty)
+      assert(analyzed.collect().map(_.getLong(0)).toSeq == Seq(7L))
+      val planned = scan.head.metadata.get("Location")
+      assert(planned.isDefined)
+      // qualified column references resolve (the re-alias keeps
+      // exprIds AND names)
+      assert(spark.sql("SELECT v2read.id FROM graft.default.v2read " +
+        "AS v2read WHERE v2read.id = 3").count() == 1L)
+      assert(total >= 1)
+    } finally spark.sql("DROP TABLE IF EXISTS v2read")
+  }
+
+  test("native v2 time travel: VERSION AS OF and TIMESTAMP AS OF with no parse-time re-route") {
+    import spark.implicits._
+    val root = freshTable("graft_v2tt", "v2tt", n = 50L) // v1
+    try {
+      ManifestTable.append(spark, root,
+        (50L until 80L).toDF("id")
+          .withColumn("v", F.lit("b2")).withColumn("n", F.lit(0L))) // v2
+      ManifestTable.deleteWhere(spark, root, F.col("id") < 10)      // v3
+      spark.catalog.refreshTable("v2tt")
+      def n(sql: String): Long = spark.sql(sql).head().getLong(0)
+      assert(n("SELECT count(*) FROM graft.default.v2tt") == 70L)
+      assert(n("SELECT count(*) FROM graft.default.v2tt VERSION AS OF 1")
+        == 50L)
+      assert(n("SELECT count(*) FROM graft.default.v2tt VERSION AS OF 2")
+        == 80L)
+      // TIMESTAMP AS OF resolves by commit mtime: the far future is
+      // the head; far past refuses with the manifest's own message
+      assert(n("SELECT count(*) FROM graft.default.v2tt " +
+        "TIMESTAMP AS OF '2999-01-01 00:00:00'") == 70L)
+      val e = intercept[Exception](spark.sql(
+        "SELECT count(*) FROM graft.default.v2tt " +
+          "TIMESTAMP AS OF '1990-01-01 00:00:00'").collect())
+      assert(e.getMessage.contains("predates"), s"got: ${e.getMessage}")
+      // hash-equal to the V1 TVF pin of the same version
+      val tvf = spark.sql(
+        s"SELECT id FROM graft_manifest('$root', 2) ORDER BY id")
+      val v2 = spark.sql(
+        "SELECT id FROM graft.default.v2tt VERSION AS OF 2 ORDER BY id")
+      assert(v2.collect().toSeq == tvf.collect().toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS v2tt")
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE through the V1Write fallback are ledgered commits") {
+    val root = freshTable("graft_v2w", "v2write", n = 10L)
+    try {
+      val v0 = ManifestTable.latest(root).get.version
+      spark.sql("INSERT INTO graft.default.v2write " +
+        "SELECT id + 100 AS id, 'ins' AS v, 0 AS n FROM range(5)")
+      assert(ManifestTable.latest(root).get.version == v0 + 1,
+        "INSERT INTO must be ONE ledgered commit")
+      assert(spark.sql("SELECT count(*) FROM graft.default.v2write")
+        .head().getLong(0) == 15L)
+      // a batch-id insert is ledgered and its replay no-ops
+      spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "77")
+      spark.sql("INSERT INTO graft.default.v2write " +
+        "SELECT 500 AS id, 'x' AS v, 0 AS n")
+      assert(ManifestTable.isBatchCommitted(root, 77L))
+      spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "77")
+      spark.sql("INSERT INTO graft.default.v2write " +
+        "SELECT 501 AS id, 'poison' AS v, 0 AS n")
+      assert(spark.sql("SELECT count(*) FROM graft.default.v2write " +
+        "WHERE id >= 500").head().getLong(0) == 1L,
+        "the replayed batch-id insert must no-op")
+      // INSERT OVERWRITE = atomic snapshot replace, history readable
+      val vPre = ManifestTable.latest(root).get.version
+      spark.sql("INSERT OVERWRITE graft.default.v2write " +
+        "SELECT 1 AS id, 'only' AS v, 9 AS n")
+      assert(spark.sql("SELECT count(*) FROM graft.default.v2write")
+        .head().getLong(0) == 1L)
+      assert(spark.sql("SELECT count(*) FROM graft.default.v2write " +
+        s"VERSION AS OF $vPre").head().getLong(0) == 16L,
+        "pre-overwrite history must stay time-travel readable")
+      // time-travel pins refuse writes
+      val e = intercept[Exception](spark.sql(
+        "INSERT INTO graft.default.v2write VERSION AS OF 1 " +
+          "SELECT 9 AS id, 'x' AS v, 0 AS n"))
+      assert(e != null)
+    } finally spark.sql("DROP TABLE IF EXISTS v2write")
+  }
+
+  test("ALTER ADD/RENAME/DROP COLUMN resolve natively through catalog.alterTable") {
+    val root = freshTable("graft_v2a", "v2alter", n = 5L)
+    try {
+      spark.sql("ALTER TABLE graft.default.v2alter " +
+        "ADD COLUMNS (extra STRING)")
+      assert(spark.table("v2alter").columns.contains("extra"),
+        "the V1 door must see the v2-added column (one metadata store)")
+      // DROP on the still-bare table keeps it a bare table
+      spark.sql("ALTER TABLE graft.default.v2alter DROP COLUMN extra")
+      assert(!spark.sql("SELECT * FROM graft.default.v2alter")
+        .columns.contains("extra"))
+      // the recorded schema moved through the LEDGER each time
+      val recorded = ManifestTable.recordedSchemaOf(spark, root,
+        ManifestTable.latest(root).get).fieldNames.toSeq
+      assert(recorded == Seq("id", "v", "n"), s"got $recorded")
+      // RENAME flips the registration to the chained shape
+      // (<name>_store + coalesce VIEW) — v2 reads keep working
+      // through the store root with the colmap projection…
+      spark.sql("ALTER TABLE graft.default.v2alter " +
+        "RENAME COLUMN v TO vv")
+      assert(spark.sql("SELECT vv FROM graft.default.v2alter")
+        .count() == 5L,
+        "a chained table must stay v2-readable under the new name")
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.default.v2alter VERSION AS OF 1")
+        .head().getLong(0) == 5L,
+        "time travel must keep working on the chained shape")
+      // …while further v2 ALTERs and writes refuse with the store
+      // named (the documented read-only rename-chain contract)
+      val e = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.default.v2alter ADD COLUMNS (x STRING)"))
+      assert(e.getMessage.contains("v2alter_store"),
+        s"got: ${e.getMessage}")
+      val e2 = intercept[Exception](spark.sql(
+        "INSERT INTO graft.default.v2alter " +
+          "SELECT 9 AS id, 'x' AS vv, 0 AS n"))
+      assert(e2.getMessage.contains("rename-chained"),
+        s"got: ${e2.getMessage}")
+      // the STORE itself stays a bare manifest table — v2-alterable
+      spark.sql("ALTER TABLE graft.default.v2alter_store " +
+        "ADD COLUMNS (x STRING)")
+      assert(spark.table("v2alter_store").columns.contains("x"))
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS v2alter")
+      spark.sql("DROP TABLE IF EXISTS v2alter")
+      spark.sql("DROP TABLE IF EXISTS v2alter_store")
+    }
+  }
+
+  test("row-level DML on the v2 address lands on the ledgered copy-on-write writers") {
+    val root = freshTable("graft_v2d", "v2dml")
+    try {
+      spark.sql("DELETE FROM graft.default.v2dml WHERE id >= 90")
+      spark.sql("UPDATE graft.default.v2dml SET v = 'u' WHERE id < 5")
+      import spark.implicits._
+      Seq((3L, "m"), (200L, "m")).toDF("id", "nv")
+        .createOrReplaceTempView("v2dml_src")
+      spark.sql("MERGE INTO graft.default.v2dml t USING v2dml_src s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+        "WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.nv, -1)")
+      val got = ManifestTable.read(spark, root)
+      assert(got.count() == 91L)
+      assert(got.filter(F.col("id") === 3L).head().getString(1) == "m")
+      assert(got.filter(F.col("id") === 200L).count() == 1L)
+      assert(got.filter(F.col("v") === "u").count() == 4L,
+        "ids 0,1,2,4 keep the UPDATE stamp; 3 was re-merged")
+      // the membership-subquery shape works on the v2 address too,
+      // including a graft.… relation INSIDE the subquery
+      spark.sql("DELETE FROM graft.default.v2dml WHERE id IN " +
+        "(SELECT id FROM graft.default.v2dml WHERE n > 100)")
+      assert(ManifestTable.read(spark, root)
+        .filter(F.col("n") > 100).count() == 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS v2dml")
+  }
+
+  test("catalog surface: tableExists/listTables/CREATE/DROP; non-manifest names stay invisible") {
+    import spark.implicits._
+    graft.catalog.GraftCatalog.install(spark)
+    val root = freshTable("graft_v2c", "v2cat", n = 3L)
+    try {
+      // a plain (non-manifest) catalog table is NOT served by this door
+      Seq(1L).toDF("id").write.mode("overwrite")
+        .saveAsTable("v2cat_plain")
+      val e = intercept[Exception](
+        spark.table("graft.default.v2cat_plain").collect())
+      assert(e.getMessage.toLowerCase.contains("table"),
+        s"got: ${e.getMessage}")
+      val listed = spark.sql("SHOW TABLES IN graft.default")
+        .select("tableName").collect().map(_.getString(0)).toSet
+      assert(listed.contains("v2cat") && !listed.contains("v2cat_plain"),
+        s"got $listed")
+      // CREATE TABLE through the v2 catalog: init + register, both
+      // doors see it, inserts work immediately
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_v2ct").toString
+      spark.sql("CREATE TABLE graft.default.v2created " +
+        s"(id BIGINT, v STRING) LOCATION '$dir/ct'")
+      spark.sql("INSERT INTO graft.default.v2created " +
+        "SELECT 1 AS id, 'a' AS v")
+      assert(spark.sql("SELECT v FROM v2created").head().getString(0)
+        == "a", "the V1 door must serve the v2-created table")
+      spark.sql("DROP TABLE graft.default.v2created")
+      assert(!spark.catalog.tableExists("v2created"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS v2cat")
+      spark.sql("DROP TABLE IF EXISTS v2cat_plain")
+    }
+  }
+}
