@@ -327,6 +327,8 @@ private[graft] object ExtLayout {
       // a CATALOG entry for the time-travel SYNTAX arm (VERSION AS OF
       // needs a real catalog identity; re-registration is idempotent)
       g.registerManifest("corpus_manifest_cat", root, persistent = true)
+      // the DSv2 arms address the same entry as graft.default.…
+      graft.catalog.GraftCatalog.install(s)
       // the third arm reads the SAME v1 pin through the registered
       // provider's option path (the ad-hoc time-travel recipe the
       // persistent catalog mode documents) — its rows must equal the
@@ -354,6 +356,18 @@ private[graft] object ExtLayout {
         "UNION ALL " +
         "SELECT doc_id, lang, source, n_chars, 'v1sql' AS ver " +
         "FROM corpus_manifest_cat VERSION AS OF 1 " +
+        "WHERE doc_id >= 40 AND doc_id < 60 " +
+        // ...and the DSv2 door (r19): head + native v2 time travel
+        // through graft.default.* — NO parse-time re-route; the v2
+        // relation swaps to the same pruned V1 scan, so these arms
+        // must hash-equal their V1 twins
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, n_chars, 'v2' AS ver " +
+        "FROM graft.default.corpus_manifest_cat " +
+        "WHERE (doc_id >= 30 AND doc_id < 120) OR doc_id = 7 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, n_chars, 'v2sql' AS ver " +
+        "FROM graft.default.corpus_manifest_cat VERSION AS OF 1 " +
         "WHERE doc_id >= 40 AND doc_id < 60")
         .unionByName(optArm)
     }),
@@ -1477,6 +1491,14 @@ private[graft] object ExtLayout {
         "FROM documents WHERE doc_id >= 40 AND doc_id < 60 " +
         "UNION ALL " +
         "SELECT doc_id, lang, source, n_chars, 'v1opt' AS ver " +
+        "FROM documents WHERE doc_id >= 40 AND doc_id < 60 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, n_chars, 'v2' AS ver " +
+        "FROM documents " +
+        "WHERE ((doc_id >= 30 AND doc_id < 120) OR doc_id = 7) " +
+        "AND NOT (doc_id >= 40 AND doc_id < 60) " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, source, n_chars, 'v2sql' AS ver " +
         "FROM documents WHERE doc_id >= 40 AND doc_id < 60"),
 
     // bloom-pruned probes: the merge rewrote three scattered ids'

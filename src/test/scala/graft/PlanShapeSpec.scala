@@ -620,6 +620,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(0)).toSeq.sorted == Seq(150L, 151L))
   }
 
+  test("the DSv2 door keeps metadata pruning: non-candidate files deleted from disk still answer via graft.default.*") {
+    import graft.operators.ManifestTable
+    import spark.implicits._
+    // the v2 relation swaps to the shared V1 scan (GraftDsv2Reads) —
+    // prove the swap keeps the manifest-only planning contract with
+    // the same corruption idiom: every non-candidate band is GONE
+    // from disk, so an unpruned plan (or any per-file stat) crashes
+    // instead of passing
+    val root = java.nio.file.Files.createTempDirectory("graft_v2zero")
+      .toString + "/t"
+    ManifestTable.init(root, Seq("id"))
+    for (i <- 0 until 4)
+      ManifestTable.append(spark, root,
+        (i * 100L until i * 100L + 100L).toDF("id")
+          .withColumn("payload", F.concat(F.lit("row"), F.col("id")))
+          .coalesce(1))
+    graft.api.Graft(spark, sf)
+      .registerManifest("v2_zero", root, persistent = true)
+    graft.catalog.GraftCatalog.install(spark)
+    try {
+      val snap = ManifestTable.latest(root).get
+      val keep = ManifestTable.candidateFiles(spark, snap,
+        F.col("id") === 250L)
+      assert(keep.size == 1)
+      snap.files.filterNot(keep.contains).foreach { f =>
+        val victim = new java.io.File(root, f)
+        assert(victim.delete(), s"could not delete $f")
+        new java.io.File(victim.getParentFile,
+          "." + victim.getName + ".crc").delete()
+      }
+      val out = spark.sql("SELECT id, payload FROM graft.default.v2_zero " +
+        "WHERE id >= 250 AND id < 252")
+      assert(out.collect().map(_.getLong(0)).toSeq.sorted ==
+        Seq(250L, 251L))
+    } finally spark.sql("DROP TABLE IF EXISTS v2_zero")
+  }
+
   test("vocabCoverage tokenizes the corpus once (vocab + rollup share the exchange)") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
