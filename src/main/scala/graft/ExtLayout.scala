@@ -795,6 +795,53 @@ private[graft] object ExtLayout {
     // the replaced one. A raw-file write bypassing the manifest, a
     // double-applied merge, or a non-atomic overwrite each fails the
     // hash.
+    // TABLE-ADDRESSED streaming through the DSv2 door (r19):
+    // readStream.table("graft.default.feed") serves the insert-row
+    // feed (graft-manifest's StreamSourceProvider via the
+    // V2TableWithV1Fallback seam — offsets, restart monotonicity and
+    // retention checks all the cdf source's), writeStream.toTable
+    // lands on the exactly-once ledgered sink. The grade: seed →
+    // drain → append → drain (incremental), restart (no re-delivery),
+    // wiped-checkpoint replay (ledger no-ops), then a row-level
+    // DELETE on the feed which must feed NOTHING to the insert feed.
+    // A re-delivered batch, a rewound offset, or a delete leaking
+    // into the feed each fails the hash.
+    "x_stream_table" -> ((s, dir) => {
+      val feed = layoutDir(dir, "stbl_feed")
+      val sink = layoutDir(dir, "stbl_sink")
+      val ckpt = layoutDir(dir, "stbl_ckpt")
+      Seq(feed, sink, ckpt).foreach(r => deleteRec(new java.io.File(r)))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      graft.operators.ManifestTable.init(feed, Seq("doc_id"), Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, feed,
+        docs.filter(F.col("doc_id") % 2 === 0))
+      graft.operators.ManifestTable.init(sink, Seq("doc_id"), Seq("doc_id"))
+      graft.operators.ManifestTable.overwrite(s, sink, docs.limit(0))
+      val g = graft.api.Graft(s, dir)
+      g.registerManifest("stbl_feed", feed, persistent = true)
+      g.registerManifest("stbl_sink", sink, persistent = true)
+      graft.catalog.GraftCatalog.install(s)
+      def run(): Unit = graft.ScopedShufflePartitions(s) {
+        val q = s.readStream.table("graft.default.stbl_feed")
+          .writeStream.format("graft-manifest")
+          .option("checkpointLocation", ckpt)
+          .toTable("graft.default.stbl_sink")
+        try q.processAllAvailable() finally q.stop()
+      }
+      run() // the seed batch
+      graft.operators.ManifestTable.append(s, feed,
+        docs.filter(F.col("doc_id") % 2 =!= 0))
+      run() // incremental: only the odd half arrives
+      run() // restart: offsets deliver nothing
+      deleteRec(new java.io.File(ckpt))
+      run() // wiped checkpoint: full replay — the sink ledger no-ops
+      graft.operators.ManifestTable.deleteWhere(s, feed,
+        F.col("doc_id") % 10 === 0)
+      run() // a delete commit feeds NO insert rows
+      graft.operators.ManifestTable.read(s, sink)
+    }),
+
     "x_manifest_sql_write" -> ((s, dir) => {
       val root = layoutDir(dir, "manifest_sqlw")
       deleteRec(new java.io.File(root))
@@ -1384,6 +1431,13 @@ private[graft] object ExtLayout {
         "FROM documents " +
         "WHERE doc_id % 10 = 0 " +
         "OR (NOT (doc_id >= 40 AND doc_id < 60) AND doc_id % 13 <> 0)"),
+
+    // the table-addressed stream: both halves delivered exactly once
+    // (incremental batch, restart, and wiped-checkpoint replay all
+    // no-op against offsets + the sink ledger), and the feed-side
+    // DELETE commit feeds nothing — the sink is exactly the corpus
+    "x_stream_table" ->
+      "SELECT doc_id, lang, source FROM documents",
 
     // the subquery-predicate fold: en docs at/above 100 deleted (the
     // residue spares the low band), src3 docs under 250 updated,

@@ -76,7 +76,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * (the relation applies the colmap projection itself); writes and
     * ALTERs refuse with the store named, mirroring the V1 read-only
     * rename-chain contract. */
-  private final case class Resolved(root: String, chained: Boolean)
+  private final case class Resolved(root: String, chained: Boolean,
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable)
 
   private def isManifestEntry(v1: TableIdentifier): Boolean =
     sessionCatalog.tableExists(v1) && !sessionCatalog.isTempView(v1) &&
@@ -92,9 +93,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val v1 = v1Ident(ident)
     def missing = new NoSuchTableException(
       Array(catalogName) ++ ident.namespace() :+ ident.name())
-    if (isManifestEntry(v1))
-      Resolved(rootOf(sessionCatalog.getTableMetadata(v1)),
-        chained = false)
+    if (isManifestEntry(v1)) {
+      val meta = sessionCatalog.getTableMetadata(v1)
+      Resolved(rootOf(meta), chained = false, meta)
+    }
     else {
       // the rename-chain shape: `name` is a VIEW over `name_store`
       val store = v1.copy(table = v1.table + "_store")
@@ -102,10 +104,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         !sessionCatalog.isTempView(v1) &&
         sessionCatalog.getTableMetadata(v1).tableType ==
           org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
-      if (viewShaped && isManifestEntry(store))
-        Resolved(rootOf(sessionCatalog.getTableMetadata(store)),
-          chained = true)
-      else throw missing
+      if (viewShaped && isManifestEntry(store)) {
+        val meta = sessionCatalog.getTableMetadata(store)
+        Resolved(rootOf(meta), chained = true, meta)
+      } else throw missing
     }
   }
 
@@ -121,7 +123,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val r = resolve(ident)
     GraftTable(session, fullName(ident), r.root, None,
-      readOnlyChain = r.chained)
+      readOnlyChain = r.chained, v1Meta = Some(r.meta))
   }
 
   /** `VERSION AS OF <n>` — served natively by the v2 resolution
@@ -133,7 +135,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"VERSION AS OF on ${fullName(ident)} takes an integer " +
           s"manifest version; got '$version'"))
     GraftTable(session, fullName(ident), r.root, Some(v),
-      readOnlyChain = r.chained)
+      readOnlyChain = r.chained, v1Meta = Some(r.meta))
   }
 
   /** `TIMESTAMP AS OF <ts>` — `timestamp` arrives in MICROseconds
@@ -149,7 +151,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"TIMESTAMP AS OF predates every surviving version of " +
           fullName(ident)))
     GraftTable(session, fullName(ident), r.root, Some(v),
-      readOnlyChain = r.chained)
+      readOnlyChain = r.chained, v1Meta = Some(r.meta))
   }
 
   private def fullName(ident: Identifier): String =

@@ -38,10 +38,32 @@ import graft.sources.ManifestSql
   * it in. */
 final case class GraftTable(spark: SparkSession, fullName: String,
                             root: String, versionAsOf: Option[Int],
-                            readOnlyChain: Boolean = false)
-  extends Table with SupportsWrite {
+                            readOnlyChain: Boolean = false,
+                            v1Meta: Option[org.apache.spark.sql.catalyst
+                              .catalog.CatalogTable] = None)
+  extends Table with SupportsWrite
+  with org.apache.spark.sql.graftbridge.V1FallbackTable {
 
   override def name(): String = fullName
+
+  /** STREAMING fallback (r19): `spark.readStream.table("graft.db.t")`
+    * / `writeStream.toTable(…)` resolve through the V1 provider this
+    * CatalogTable names — `graft-manifest`'s StreamSourceProvider
+    * (the insert-row feed; `readChangeFeed=true` for change rows) and
+    * its exactly-once ledgered sink. Only the head streams: a
+    * time-travel pin is a fixed snapshot, and a rename-chained VIEW
+    * has no provider entry of its own. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog
+      .CatalogTable = {
+    require(versionAsOf.isEmpty,
+      s"cannot stream a time-travel pin of $fullName — a pinned " +
+        "snapshot never changes; stream the head")
+    require(!readOnlyChain,
+      s"$fullName is a rename-chained registration — stream its " +
+        "<name>_store table (physical names) or the change feed")
+    v1Meta.getOrElse(throw new IllegalStateException(
+      s"$fullName carries no catalog entry to stream through"))
+  }
 
   /** The pinned relation — built once per analysis (the same pin the
     * rewrite rule serves, so schema and scan agree). */

@@ -33,13 +33,60 @@ import graft.operators.{ManifestStats, ManifestTable}
   * (every recorded field is nullable by construction). */
 final class ManifestSource extends RelationProvider
   with SchemaRelationProvider with CreatableRelationProvider
-  with StreamSinkProvider with DataSourceRegister {
+  with StreamSinkProvider
+  with org.apache.spark.sql.sources.StreamSourceProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-manifest requires a 'path' option (the manifest table root)"))
+
+  // ---- STREAMING READ arm (r19): the table itself as a source ----
+  // `spark.readStream.table("graft.default.t")` (through the DSv2
+  // door's V1 fallback) or `.format("graft-manifest").option("path",
+  // root)` streams the table's INSERT-ROW FEED: every row any commit
+  // ADDED, in the table's own schema — appends deliver whole batches,
+  // row-level updates/merges deliver their rewritten rows (the Delta
+  // `ignoreChanges` contract, here the default and documented),
+  // compaction delivers nothing. `readChangeFeed=true` serves the
+  // full change rows instead (`_change_type`/`_commit_version` —
+  // exactly format "graft-cdf", which this arm delegates to, offsets,
+  // rate limiting, and restart monotonicity included).
+
+  private def readChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.trim.equalsIgnoreCase("true"))
+
+  private def tableSchema(spark: org.apache.spark.sql.SparkSession,
+                          root: String): StructType = {
+    val full = CdfStreamSource.changeSchema(spark, root)
+    StructType(full.fields.dropRight(2)) // minus _change_type/_commit_version
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val root = rootOf(parameters)
+    (shortName(),
+      if (readChangeFeed(parameters))
+        CdfStreamSource.changeSchema(sqlContext.sparkSession, root)
+      else tableSchema(sqlContext.sparkSession, root))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val cdf = new CdfStreamSource().createSource(sqlContext,
+      metadataPath, None, "graft-cdf", parameters - "readChangeFeed")
+    if (readChangeFeed(parameters)) cdf
+    else new ManifestSource.InsertFeedSource(cdf,
+      tableSchema(sqlContext.sparkSession, rootOf(parameters)))
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String])
@@ -153,5 +200,34 @@ final class ManifestSource extends RelationProvider
         s"${schema.simpleString}, current ${rel.schema.simpleString}) — " +
         "re-register the catalog entry to pick up the new projection")
     rel
+  }
+}
+
+object ManifestSource {
+
+  /** The insert-row feed: the change feed filtered to `insert` rows
+    * and projected back to the table's own schema — plan-level
+    * transformations of the underlying streaming-marked micro-batch
+    * frame, so laziness and the streaming marker carry. Offsets,
+    * rate limiting, restart monotonicity, and retention checks all
+    * belong to the wrapped CDF source. */
+  private final class InsertFeedSource(
+      underlying: org.apache.spark.sql.execution.streaming.Source,
+      tableSchema: StructType)
+    extends org.apache.spark.sql.execution.streaming.Source {
+    import org.apache.spark.sql.{functions => F}
+    override def schema: StructType = tableSchema
+    override def getOffset = underlying.getOffset
+    override def getBatch(
+        start: Option[org.apache.spark.sql.execution.streaming.Offset],
+        end: org.apache.spark.sql.execution.streaming.Offset)
+        : DataFrame =
+      underlying.getBatch(start, end)
+        .filter(F.col("_change_type") === "insert")
+        .select(tableSchema.fieldNames.toIndexedSeq.map(F.col): _*)
+    override def commit(
+        end: org.apache.spark.sql.execution.streaming.Offset): Unit =
+      underlying.commit(end)
+    override def stop(): Unit = underlying.stop()
   }
 }

@@ -14,6 +14,13 @@ object graftbridge {
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** Public re-export of the `private[sql]` streaming-fallback trait:
+    * a DSv2 [[connector.catalog.Table]] implementing it streams
+    * through the V1 provider its `v1Table` names (the Delta pattern
+    * for `readStream.table` / `writeStream.toTable` without a DSv2
+    * reader). */
+  trait V1FallbackTable extends connector.catalog.V2TableWithV1Fallback
+
   /** `Dataset.ofRows` (private[sql] in Spark 4) — a logical plan as a
     * DataFrame, for RunnableCommands that receive a child plan. */
   def ofRows(spark: SparkSession,

@@ -208,6 +208,67 @@ class Dsv2CatalogSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS v2dml")
   }
 
+  test("table-addressed streaming: readStream.table -> writeStream.toTable through the V1 fallback") {
+    import spark.implicits._
+    graft.catalog.GraftCatalog.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2s").toString
+    val feedRoot = s"$dir/feed"; val sinkRoot = s"$dir/sink"
+    val ckpt = s"$dir/ckpt"
+    ManifestTable.init(feedRoot, Seq("id"), Seq("id"))
+    ManifestTable.append(spark, feedRoot,
+      (0L until 20L).toDF("id").withColumn("v", F.lit("a")))
+    ManifestTable.init(sinkRoot, Seq("id"), Seq("id"))
+    // seed the sink's schema with a zero-row overwrite (a schemaless
+    // empty table has no relation to register)
+    ManifestTable.overwrite(spark, sinkRoot,
+      (0L until 0L).toDF("id").withColumn("v", F.lit("")))
+    val g = graft.api.Graft(spark, sf)
+    g.registerManifest("v2sfeed", feedRoot, persistent = true)
+    g.registerManifest("v2ssink", sinkRoot, persistent = true)
+    try {
+      def run(): Unit = {
+        val q = spark.readStream.table("graft.default.v2sfeed")
+          .writeStream.format("graft-manifest")
+          .option("checkpointLocation", ckpt)
+          .toTable("graft.default.v2ssink")
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      def sinkIds(): Seq[Long] = ManifestTable.read(spark, sinkRoot)
+        .select("id").as[Long].collect().toSeq.sorted
+      assert(sinkIds() == (0L until 20L),
+        "the insert-row feed must deliver the seeded batch")
+      // incremental: only the new append arrives on the next run
+      ManifestTable.append(spark, feedRoot,
+        (20L until 30L).toDF("id").withColumn("v", F.lit("b")))
+      run()
+      assert(sinkIds() == (0L until 30L))
+      // restart with nothing new: no re-delivery (offsets + ledger)
+      run()
+      assert(sinkIds() == (0L until 30L), "restart re-delivered rows")
+      // a row-level delete feeds nothing to the insert-row feed,
+      // while the change-feed option serves the delete rows
+      ManifestTable.deleteWhere(spark, feedRoot, F.col("id") < 5)
+      run()
+      assert(sinkIds() == (0L until 30L),
+        "a delete commit must feed no insert rows")
+      val changes = spark.readStream
+        .option("readChangeFeed", "true")
+        .table("graft.default.v2sfeed")
+      assert(changes.columns.contains("_change_type"))
+      val mem = changes.writeStream.format("memory")
+        .queryName("v2s_changes")
+        .option("checkpointLocation", s"$dir/ckpt_cdf").start()
+      try mem.processAllAvailable() finally mem.stop()
+      val byType = spark.table("v2s_changes").groupBy("_change_type")
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType.getOrElse("delete", 0L) == 5L, s"got $byType")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS v2sfeed")
+      spark.sql("DROP TABLE IF EXISTS v2ssink")
+    }
+  }
+
   test("catalog surface: tableExists/listTables/CREATE/DROP; non-manifest names stay invisible") {
     import spark.implicits._
     graft.catalog.GraftCatalog.install(spark)
