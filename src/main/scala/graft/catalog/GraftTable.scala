@@ -101,6 +101,12 @@ final case class GraftTable(spark: SparkSession, fullName: String,
               ManifestSql.sqlInsertAt(session, root, data, overwrite,
                 ManifestSql.relation(session, root, None).columns.toSeq)
               session.catalog.refreshByPath(root)
+              // the V1 door's per-NAME relation cache pins the
+              // snapshot it resolved — drop it so the session's next
+              // V1-name read sees this v2-door write (one table, two
+              // doors, one read-your-writes contract)
+              v1Meta.map(_.identifier).foreach(id => scala.util.Try(
+                session.sessionState.catalog.refreshTable(id)))
             }
           }
       }

@@ -208,6 +208,39 @@ class Dsv2CatalogSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS v2dml")
   }
 
+  test("CTAS and REPLACE TABLE through the v2 catalog; cross-door read-your-writes") {
+    graft.catalog.GraftCatalog.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2ct").toString
+    val root = s"$dir/t"
+    try {
+      spark.sql("CREATE TABLE graft.default.v2ctas " +
+        s"LOCATION '$root' AS SELECT id, 'x' AS v FROM range(5)")
+      assert(spark.sql("SELECT count(*) FROM v2ctas").head().getLong(0)
+        == 5L, "the V1 door must serve the v2 CTAS immediately")
+      // REPLACE at the SAME location = truncate-mode write: the old
+      // rows are gone, and the SESSION'S OWN primed V1-name read sees
+      // the replacement (read-your-writes across doors)
+      spark.sql("REPLACE TABLE graft.default.v2ctas " +
+        s"LOCATION '$root' AS SELECT id, 'y' AS v FROM range(3)")
+      assert(spark.sql("SELECT count(*), min(v) FROM v2ctas").head()
+        .getLong(0) == 3L,
+        "a primed V1-name read must see the v2 REPLACE, not its pin")
+      assert(spark.sql("SELECT DISTINCT v FROM graft.default.v2ctas")
+        .head().getString(0) == "y")
+      assert(ManifestTable.read(spark, root).count() == 3L)
+      // pre-replace history stays time-travel readable (the replace
+      // is a ledgered overwrite, never a file deletion)
+      val head = ManifestTable.latest(root).get.version
+      assert(spark.sql("SELECT count(*) FROM graft.default.v2ctas " +
+        s"VERSION AS OF ${head - 1}").head().getLong(0) == 5L)
+      // plain v2 INSERT also satisfies same-session V1-name reads
+      spark.sql("INSERT INTO graft.default.v2ctas " +
+        "SELECT 99 AS id, 'z' AS v")
+      assert(spark.sql("SELECT count(*) FROM v2ctas").head().getLong(0)
+        == 4L)
+    } finally spark.sql("DROP TABLE IF EXISTS v2ctas")
+  }
+
   test("table-addressed streaming: readStream.table -> writeStream.toTable through the V1 fallback") {
     import spark.implicits._
     graft.catalog.GraftCatalog.install(spark)
