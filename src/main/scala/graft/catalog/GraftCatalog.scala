@@ -44,7 +44,8 @@ import graft.sources.ManifestSql
   * keep resolving (the public DeltaAnalysis pattern). One scan
   * implementation for the engine — stats pruning, Bloom skipping, and
   * the vectorized parquet path are shared, not duplicated. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with StagingTableCatalog {
 
   private var catalogName: String = "graft"
 
@@ -208,6 +209,106 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val v1 = v1Ident(ident)
     ManifestSql.registerPersistent(session, v1.unquotedString, root)
     loadTable(ident)
+  }
+
+  // ---- ATOMIC CTAS / REPLACE (StagingTableCatalog, r19) ----
+  // CTAS and REPLACE TABLE [AS SELECT] stage their work and publish
+  // in commitStagedChanges, so a REPLACE never has a window where the
+  // table is absent (the non-staged drop-then-create shape): the data
+  // swap is ONE ledgered overwrite at the root, and the catalog entry
+  // is refreshed (same root) or repointed (one alterTable) — never
+  // dropped. A plain REPLACE TABLE (no AS SELECT) that writes nothing
+  // commits a ledgered EMPTY overwrite of the declared schema, per
+  // SQL semantics. abort: a manifest this statement inited is deleted
+  // (nothing referenced it); a committed data overwrite stays — it is
+  // a versioned commit, history intact — and is WARNed about.
+
+  private def stagedTable(ident: Identifier,
+                          info: org.apache.spark.sql.connector.catalog
+                            .TableInfo,
+                          replace: Boolean, orCreate: Boolean)
+      : StagedTable = {
+    require(info.partitions().isEmpty,
+      "graft-manifest does not partition by directory — cluster with " +
+        "GRAFT COMPACT ... CLUSTER BY instead")
+    val props = info.properties().asScala
+    val existing = scala.util.Try(resolve(ident)).toOption
+    if (!replace && existing.isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          Array(catalogName) ++ ident.namespace() :+ ident.name())
+    if (replace && !orCreate && existing.isEmpty)
+      throw new NoSuchTableException(
+        Array(catalogName) ++ ident.namespace() :+ ident.name())
+    existing.filter(_.chained).foreach(_ =>
+      throw new UnsupportedOperationException(
+        s"${fullName(ident)} is a rename-chained registration — " +
+          s"replace its ${ident.name()}_store, or drop both objects " +
+          "first"))
+    val root = props.get("path").orElse(props.get("location"))
+      .orElse(existing.map(_.root)).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE/REPLACE TABLE ${fullName(ident)} needs a 'path' " +
+            "(or LOCATION) naming the manifest root"))
+    def csv(k: String): Seq[String] = props.get(k).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val freshlyInited = ManifestTable.latest(root).isEmpty
+    if (freshlyInited)
+      ManifestTable.init(root, csv("statCols"), csv("bloomCols"),
+        props.get("bloomCapacity").map(_.trim.toLong)
+          .getOrElse(graft.operators.ManifestStats.BloomKeyCapacity))
+    StagedGraftTable(session, this, ident, fullName(ident), root,
+      StructType(info.schema().fields.map(_.copy(nullable = true))),
+      replaceSemantics = replace, freshlyInited = freshlyInited)
+  }
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : StagedTable = stagedTable(ident, info, replace = false,
+    orCreate = false)
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : StagedTable = stagedTable(ident, info, replace = true,
+    orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : StagedTable = stagedTable(ident, info, replace = true,
+    orCreate = true)
+
+  /** The publish half of a staged CTAS/REPLACE: the catalog entry is
+    * created fresh, schema-refreshed in place (same root), or
+    * repointed in ONE alterTable (new root) — the table name is never
+    * absent mid-statement. */
+  private[catalog] def publishStaged(ident: Identifier,
+                                     root: String): Unit = {
+    val v1 = v1Ident(ident)
+    val existing = scala.util.Try(resolve(ident)).toOption
+    existing match {
+      case None =>
+        ManifestSql.registerPersistent(session, v1.unquotedString, root)
+      case Some(r) =>
+        val snap = ManifestTable.latest(root).getOrElse(
+          throw new IllegalStateException(s"no manifest at $root"))
+        val (physical, _) = ManifestTable.readShapeOf(
+          ManifestTable.recordedSchemaOf(session, root, snap),
+          ManifestTable.colmapOfSnap(snap))
+        val meta = sessionCatalog.getTableMetadata(v1)
+        if (r.root == root) {
+          if (meta.dataSchema != physical)
+            sessionCatalog.alterTableDataSchema(v1, physical)
+        } else {
+          // repoint storage + schema in one catalog operation
+          sessionCatalog.alterTable(meta.copy(
+            schema = physical,
+            storage = meta.storage.copy(
+              locationUri = Some(new org.apache.hadoop.fs.Path(root)
+                .toUri),
+              properties = meta.storage.properties + ("path" -> root))))
+        }
+        sessionCatalog.refreshTable(v1)
+    }
   }
 
   /** ALTER under v2 — the statements that needed parse-time

@@ -35,6 +35,44 @@ object GraftFunctions {
     v
   }
 
+  /** A manifest-table TVF target: a PATH (anything with a '/') or —
+    * for catalog users who never handled the root — a session-catalog
+    * `USING graft-manifest` TABLE NAME (`'db.t'` / `'t'`), resolved
+    * to its root. A slash-less string that names no manifest table
+    * refuses with both interpretations spelled out. */
+  private def rootOfArg(spark: SparkSession, arg: String,
+                        fn: String): String = {
+    if (arg.contains("/")) return arg
+    val parts = scala.util.Try(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseMultipartIdentifier(arg)).getOrElse(Seq(arg))
+    val ident = parts match {
+      case Seq(t) => Some(org.apache.spark.sql.catalyst
+        .TableIdentifier(t))
+      case Seq(db, t) => Some(org.apache.spark.sql.catalyst
+        .TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    val cat = spark.sessionState.catalog
+    ident.filter(i => scala.util.Try(
+      cat.tableExists(i) && !cat.isTempView(i) &&
+        cat.getTableMetadata(i).provider.exists(
+          _.equalsIgnoreCase(graft.sources.ManifestSql.ManifestProvider)))
+      .getOrElse(false))
+      .map { i =>
+        val meta = cat.getTableMetadata(i)
+        meta.storage.properties.get("path")
+          .orElse(meta.storage.locationUri.map(u =>
+            new org.apache.hadoop.fs.Path(u).toString))
+          .getOrElse(throw new IllegalStateException(
+            s"manifest catalog table ${i.quotedString} has no path"))
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$fn: '$arg' has no '/' (so it is not a path) and names no " +
+          "session-catalog `USING graft-manifest` table — pass the " +
+          "table root path, or register the table first"))
+  }
+
   /** Table-valued functions — the path-addressed SQL surface (the
     * ``delta.`path``` idea, as TVFs so no catalog object is needed):
     *  - `graft_manifest('<root>'[, versionAsOf])` — a manifest table
@@ -52,18 +90,22 @@ object GraftFunctions {
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
     "graft_manifest" -> (exprs => {
       require(exprs.nonEmpty && exprs.size <= 2,
-        "usage: graft_manifest('<table root>'[, versionAsOf])")
+        "usage: graft_manifest('<root or table name>'[, versionAsOf])")
       val spark = SparkSession.active
-      val root = constArg(exprs(0), "graft_manifest", "root").toString
+      val root = rootOfArg(spark,
+        constArg(exprs(0), "graft_manifest", "root").toString,
+        "graft_manifest")
       val ver = exprs.drop(1).headOption.map(e =>
         constArg(e, "graft_manifest", "versionAsOf").toString.toInt)
       graft.sources.ManifestSql.relation(spark, root, ver)
         .queryExecution.analyzed
     }),
     "graft_history" -> (exprs => {
-      require(exprs.size == 1, "usage: graft_history('<table root>')")
+      require(exprs.size == 1, "usage: graft_history('<root or table name>')")
       val spark = SparkSession.active
-      val root = constArg(exprs(0), "graft_history", "root").toString
+      val root = rootOfArg(spark,
+        constArg(exprs(0), "graft_history", "root").toString,
+        "graft_history")
       graft.operators.ManifestTable.history(spark, root)
         .queryExecution.analyzed
     }),
@@ -74,9 +116,11 @@ object GraftFunctions {
     // capacity). Metadata-scale: O(files × statCols) driver rows,
     // zero data I/O.
     "graft_files" -> (exprs => {
-      require(exprs.size == 1, "usage: graft_files('<table root>')")
+      require(exprs.size == 1, "usage: graft_files('<root or table name>')")
       val spark = SparkSession.active
-      val root = constArg(exprs(0), "graft_files", "root").toString
+      val root = rootOfArg(spark,
+        constArg(exprs(0), "graft_files", "root").toString,
+        "graft_files")
       val snap = graft.operators.ManifestTable.latest(root).getOrElse(
         throw new IllegalStateException(s"no manifest at $root"))
       val rows = snap.files.flatMap { f =>
@@ -155,9 +199,11 @@ object GraftFunctions {
     // manifest file diff — batch cost scales with the changed files
     "graft_changes" -> (exprs => {
       require(exprs.size == 3,
-        "usage: graft_changes('<table root>', fromVersion, toVersion)")
+        "usage: graft_changes('<root or table name>', fromVersion, toVersion)")
       val spark = SparkSession.active
-      val root = constArg(exprs(0), "graft_changes", "root").toString
+      val root = rootOfArg(spark,
+        constArg(exprs(0), "graft_changes", "root").toString,
+        "graft_changes")
       val from = constArg(exprs(1), "graft_changes", "fromVersion")
         .toString.toInt
       val to = constArg(exprs(2), "graft_changes", "toVersion")

@@ -238,6 +238,28 @@ class Dsv2CatalogSpec extends SparkSpec {
         "SELECT 99 AS id, 'z' AS v")
       assert(spark.sql("SELECT count(*) FROM v2ctas").head().getLong(0)
         == 4L)
+      // REPLACE to a NEW location repoints the entry in one
+      // alterTable (never a drop — no absent-name window); the old
+      // root stays intact on disk as history
+      val root2 = s"$dir/t2"
+      spark.sql("REPLACE TABLE graft.default.v2ctas " +
+        s"LOCATION '$root2' AS SELECT id, 'w' AS v FROM range(7)")
+      assert(spark.sql("SELECT count(*) FROM graft.default.v2ctas")
+        .head().getLong(0) == 7L)
+      assert(spark.sql("SELECT count(*) FROM v2ctas").head().getLong(0)
+        == 7L, "the repointed V1 name must serve the new root")
+      assert(ManifestTable.read(spark, root).count() == 4L,
+        "the abandoned root keeps its data")
+      // plain REPLACE TABLE (no AS SELECT) = an empty table of the
+      // declared schema, as a ledgered overwrite
+      spark.sql("REPLACE TABLE graft.default.v2ctas " +
+        s"(id BIGINT, v STRING) LOCATION '$root2'")
+      assert(spark.sql("SELECT count(*) FROM graft.default.v2ctas")
+        .head().getLong(0) == 0L)
+      val head2 = ManifestTable.latest(root2).get.version
+      assert(spark.sql("SELECT count(*) FROM graft.default.v2ctas " +
+        s"VERSION AS OF ${head2 - 1}").head().getLong(0) == 7L,
+        "the plain REPLACE is a versioned overwrite, not a wipe")
     } finally spark.sql("DROP TABLE IF EXISTS v2ctas")
   }
 

@@ -76,6 +76,15 @@ class GraftSqlParserSpec extends SparkSpec {
         spark.sql("GRAFT COMPACT TABLE ddl_plain"))
       assert(e.getMessage.contains("USING graft-manifest"),
         s"got: ${e.getMessage}")
+      // the manifest TVFs accept the registered NAME too (r19):
+      // slash = path, otherwise the session catalog resolves it
+      assert(spark.sql("SELECT count(*) FROM graft_manifest('ddl_named')")
+        .head().getLong(0) == 200L)
+      assert(spark.sql("SELECT max(version) FROM graft_history('ddl_named')")
+        .head().getInt(0) >= 1)
+      val e2 = intercept[Exception](
+        spark.sql("SELECT * FROM graft_history('no_such_name')"))
+      assert(e2.getMessage.contains("names no"), s"got: ${e2.getMessage}")
     } finally spark.sql("DROP TABLE IF EXISTS ddl_named")
   }
 
