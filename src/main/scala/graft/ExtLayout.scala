@@ -795,6 +795,38 @@ private[graft] object ExtLayout {
     // the replaced one. A raw-file write bypassing the manifest, a
     // double-applied merge, or a non-atomic overwrite each fails the
     // hash.
+    // MERGE WITH SCHEMA EVOLUTION (r19): a star merge whose source
+    // carries a column the target lacks ADDS it through the schema
+    // ledger inside the same statement — matched rows take the
+    // source value, inserted rows carry it, every untouched row
+    // reads NULL, and the read-back goes through the CATALOG entry,
+    // so the in-place registration refresh is graded too (a stale
+    // entry would fail the SELECT, a dropped column the hash).
+    "x_manifest_sql_evolve" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_sqlevo")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      docs.createOrReplaceTempView("sqlevo_docs")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"), Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, root,
+        docs.select("doc_id", "lang", "source"))
+      graft.api.Graft(s, dir)
+        .registerManifest("sqlevo_corpus", root, persistent = true)
+      s.sql("SELECT doc_id, lang, source, " +
+        "CAST(n_chars AS BIGINT) AS score FROM sqlevo_docs " +
+        "WHERE doc_id % 4 = 0 " +
+        "UNION ALL SELECT -doc_id - 1 AS doc_id, lang, source, " +
+        "CAST(n_chars AS BIGINT) AS score FROM sqlevo_docs " +
+        "WHERE doc_id % 6 = 0")
+        .createOrReplaceTempView("sqlevo_src")
+      s.sql("MERGE WITH SCHEMA EVOLUTION INTO sqlevo_corpus t " +
+        "USING sqlevo_src s ON t.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      s.sql("SELECT doc_id, lang, source, score FROM sqlevo_corpus")
+    }),
+
     // TABLE-ADDRESSED streaming through the DSv2 door (r19):
     // readStream.table("graft.default.feed") serves the insert-row
     // feed (graft-manifest's StreamSourceProvider via the
@@ -1431,6 +1463,18 @@ private[graft] object ExtLayout {
         "FROM documents " +
         "WHERE doc_id % 10 = 0 " +
         "OR (NOT (doc_id >= 40 AND doc_id < 60) AND doc_id % 13 <> 0)"),
+
+    // the evolving-merge fold: %4=0 rows matched (whole-row replace,
+    // score set), %6=0 rows re-keyed negative and inserted with
+    // score, everything else reads NULL in the evolved column
+    "x_manifest_sql_evolve" ->
+      ("SELECT doc_id, lang, source, " +
+        "CASE WHEN doc_id % 4 = 0 THEN CAST(n_chars AS BIGINT) END " +
+        "AS score FROM documents " +
+        "UNION ALL " +
+        "SELECT -doc_id - 1 AS doc_id, lang, source, " +
+        "CAST(n_chars AS BIGINT) AS score FROM documents " +
+        "WHERE doc_id % 6 = 0"),
 
     // the table-addressed stream: both halves delivered exactly once
     // (incremental batch, restart, and wiped-checkpoint replay all

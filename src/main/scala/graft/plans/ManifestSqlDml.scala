@@ -59,9 +59,18 @@ import graft.sources.ManifestSql
   * unbounded, victim scan pruned by the residue AND every positive
   * term's value set).
   *
+  * `MERGE … WITH SCHEMA EVOLUTION` (r19): source columns absent
+  * from the target are ADDED through the schema ledger before the
+  * merge (metadata-only; existing files read NULL; a catalog target
+  * gets the in-place entry refresh), and every star-shaped action
+  * (`UPDATE SET *` by the analyzer's fromStar flag, `INSERT *` by
+  * whole-row-same-name shape) gains `newCol := s.newCol` — the Delta
+  * evolution contract; explicit column lists cannot name new columns
+  * (they would not have resolved) and are never widened.
+  *
   * Still refused LOUDLY with the exact unsupported piece named:
   * non-equality or disjunctive ON conditions (no key to join and
-  * prune by), `WITH SCHEMA EVOLUTION`, correlated IN / multi-
+  * prune by), correlated IN / multi-
   * equality EXISTS and `NOT IN` (no sound V1 frame-join twin;
   * NOT EXISTS' anti semantics ARE sound and supported), subqueries
   * anywhere but those terms (merge clause conditions, update
@@ -107,13 +116,65 @@ case class ManifestSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
       case m @ MergeIntoTable(tgt @ ManifestTarget(idx), source, cond,
           matched, notMatched, notMatchedBySource, withSchemaEvolution)
-          if m.childrenResolved && m.expressions.forall(_.resolved) =>
-        require(!withSchemaEvolution,
-          "manifest SQL MERGE does not support WITH SCHEMA EVOLUTION — " +
-            "evolve the schema with an append or ALTER first")
+          if m.childrenResolved && cond.resolved &&
+            resolvedModuloEvolution(spark, m) =>
         refuseSubquery(cond, "MERGE")
         val idKeys = mergeKeysOf(tgt, source, cond)
-        (matched, notMatched, notMatchedBySource) match {
+        // WITH SCHEMA EVOLUTION, two shapes carry new columns (the
+        // analyzer expands V1-target stars over the OLD schema and
+        // leaves explicit new-column keys unresolved — nothing
+        // evolves a V1 relation natively, only checkAnalysis would
+        // refuse, and this rule runs first):
+        //  - EXPLICIT `SET extra = …` — the unresolved key names the
+        //    column, the resolved source-side value its type;
+        //  - STAR actions (`UPDATE SET *` by the analyzer's fromStar
+        //    flag, `INSERT *` by whole-row-same-name shape) — they
+        //    gain `newCol := s.newCol` for every source column
+        //    absent from the target, the Delta evolution contract.
+        // The columns are ADDED through the schema ledger before the
+        // merge (metadata-only; existing files read NULL; a catalog
+        // target gets the in-place entry refresh).
+        val resolver = spark.sessionState.conf.resolver
+        def starShapedInsert(as: Seq[Assignment]): Boolean =
+          tgt.output.forall(t => as.exists {
+            case Assignment(k: AttributeReference, v) =>
+              resolver(k.name, t.name) && (stripCast(v) match {
+                case a: AttributeReference => resolver(a.name, t.name)
+                case _ => false
+              })
+            case _ => false
+          })
+        val evolveCols: Seq[org.apache.spark.sql.types.StructField] =
+          if (!withSchemaEvolution) Seq.empty
+          else {
+            val explicit = (matched ++ notMatched ++ notMatchedBySource)
+              .flatMap(assignmentsOf)
+              .flatMap(evolvedKeyOf(spark, m, _))
+            val starPresent = matched.exists {
+              case UpdateAction(_, _, true) => true
+              case _ => false
+            } || notMatched.exists {
+              case InsertAction(_, as) => starShapedInsert(as)
+              case _ => false
+            }
+            val starDiff =
+              if (!starPresent) Seq.empty
+              else source.schema.fields.toIndexedSeq
+                .filterNot(f =>
+                  tgt.output.exists(t => resolver(t.name, f.name)))
+                .map(_.copy(nullable = true))
+            (explicit ++ starDiff).foldLeft(
+              Vector.empty[org.apache.spark.sql.types.StructField]) {
+              (acc, f) =>
+                if (acc.exists(_.name == f.name)) acc else acc :+ f
+            }
+          }
+        if (evolveCols.nonEmpty)
+          generalMerge(idx, idKeys, tgt, source, matched, notMatched,
+            notMatchedBySource, evolveCols,
+            catalogIdentOf(spark, tgt),
+            starInsert = starShapedInsert)
+        else (matched, notMatched, notMatchedBySource) match {
           // upsert shape: UPDATE SET * + INSERT * (whole-row
           // replace-or-insert — the CDC apply shape); kept as a fast
           // path: the update rows append directly, no join rewrite.
@@ -229,7 +290,13 @@ object ManifestSqlDml {
                            source: LogicalPlan,
                            matched: Seq[MergeAction],
                            notMatched: Seq[MergeAction],
-                           notMatchedBySource: Seq[MergeAction])
+                           notMatchedBySource: Seq[MergeAction],
+                           evolveCols: Seq[org.apache.spark.sql.types
+                             .StructField] = Seq.empty,
+                           refreshIdent: Option[org.apache.spark.sql
+                             .catalyst.TableIdentifier] = None,
+                           starInsert: Seq[Assignment] => Boolean =
+                             _ => false)
       : LogicalPlan = {
     import graft.operators.{ManifestTable => MT}
     val tgtSet = tgt.outputSet
@@ -238,20 +305,38 @@ object ManifestSqlDml {
       byNameWith(e)(a =>
         if (tgtSet.contains(a)) a.name else MT.SourcePrefix + a.name)
     }
-    def assignsOf(as: Seq[Assignment], which: String)
-        : Map[String, Column] =
-      as.map {
-        case Assignment(k: AttributeReference, v) =>
-          val col = overFrame(v)
-          k.name -> (if (v.dataType == k.dataType) col
-            else col.cast(k.dataType))
-        case Assignment(other, _) => throw new UnsupportedOperationException(
-          s"manifest SQL MERGE $which assigns whole columns only — " +
-            s"'${other.sql}' is not a column of the target table")
-      }.toMap
+    val evolvedNames = evolveCols.map(_.name).toSet
+    // `newCol := s.newCol` for every evolved column, spliced into
+    // star-shaped actions (the analyzer expanded their stars over
+    // the PRE-evolution target schema); explicit entries override
+    val evolveAssigns: Map[String, Column] =
+      evolveCols.map(f => f.name -> MT.sourceCol(f.name)).toMap
+    def assignsOf(as: Seq[Assignment], which: String,
+                  star: Boolean): Map[String, Column] =
+      (if (star) evolveAssigns else Map.empty[String, Column]) ++
+        as.map {
+          case Assignment(k: AttributeReference, v) =>
+            val col = overFrame(v)
+            k.name -> (if (v.dataType == k.dataType) col
+              else col.cast(k.dataType))
+          // an EVOLVED column's key could not resolve against the
+          // pre-evolution target — its name is the column the command
+          // will have added; the value's (source) type IS its type
+          case Assignment(u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute, v)
+              if u.nameParts.size == 1 && evolvedNames.exists(
+                _.equalsIgnoreCase(u.nameParts.head)) =>
+            evolvedNames.find(_.equalsIgnoreCase(u.nameParts.head)).get ->
+              overFrame(v)
+          case Assignment(other, _) =>
+            throw new UnsupportedOperationException(
+              s"manifest SQL MERGE $which assigns whole columns only — " +
+                s"'${other.sql}' is not a column of the target table")
+        }.toMap
     def matchedOf(which: String)(a: MergeAction): MT.WhenMatched = a match {
-      case UpdateAction(c, as, _) =>
-        MT.WhenMatched(c.map(overFrame), MT.MergeUpdate(assignsOf(as, which)))
+      case UpdateAction(c, as, fromStar) =>
+        MT.WhenMatched(c.map(overFrame),
+          MT.MergeUpdate(assignsOf(as, which, star = fromStar)))
       case DeleteAction(c) =>
         MT.WhenMatched(c.map(overFrame), MT.MergeDelete)
       case other => throw new UnsupportedOperationException(
@@ -260,7 +345,8 @@ object ManifestSqlDml {
     }
     val nm = notMatched.map {
       case InsertAction(c, as) =>
-        MT.WhenNotMatched(c.map(overFrame), assignsOf(as, "INSERT"))
+        MT.WhenNotMatched(c.map(overFrame),
+          assignsOf(as, "INSERT", star = starInsert(as)))
       case other => throw new UnsupportedOperationException(
         "manifest SQL MERGE WHEN NOT MATCHED supports INSERT only; " +
           s"got ${other.getClass.getSimpleName}")
@@ -270,7 +356,89 @@ object ManifestSqlDml {
     ManifestMergeIntoCommand(idx, idKeys.map(_.name), source,
       idKeys.map(k => byName(k.sourceSide)),
       matched.map(matchedOf("UPDATE")), nm,
-      notMatchedBySource.map(matchedOf("NOT MATCHED BY SOURCE")))
+      notMatchedBySource.map(matchedOf("NOT MATCHED BY SOURCE")),
+      evolveCols, refreshIdent)
+  }
+
+  /** The session-catalog identifier of the merge TARGET, when it is
+    * a (non-temp) `USING graft-manifest` catalog entry — recovered
+    * from the alias chain the catalog resolution wrapped around the
+    * relation, so a schema-evolving merge can refresh the entry in
+    * place (the AddColumnsCommand epilogue). Temp views and TVF
+    * targets have no entry; evolution on them commits the ledger
+    * only (their registrations keep the loud re-register contract). */
+  private def catalogIdentOf(spark: SparkSession, tgt: LogicalPlan)
+      : Option[org.apache.spark.sql.catalyst.TableIdentifier] = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    def candidates(p: LogicalPlan): Seq[Seq[String]] = p match {
+      case s @ SubqueryAlias(id, child) =>
+        candidates(child) :+ (id.qualifier :+ id.name)
+      case v: View => candidates(v.child)
+      case pr: Project => candidates(pr.child)
+      case _ => Seq.empty
+    }
+    val cat = spark.sessionState.catalog
+    candidates(tgt).iterator // candidates build child-first: deepest
+      .map(_.takeRight(2))   // (qualified catalog) alias leads
+      .flatMap {
+        case Seq(t) => Some(TableIdentifier(t))
+        case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+        case _ => None
+      }
+      .find(i => scala.util.Try(
+        cat.tableExists(i) && !cat.isTempView(i) &&
+          cat.getTableMetadata(i).provider.exists(
+            _.equalsIgnoreCase(ManifestSql.ManifestProvider)))
+        .getOrElse(false))
+  }
+
+  /** Is every expression of the merge resolved, MODULO the one
+    * unresolved shape `WITH SCHEMA EVOLUTION` legally leaves on a V1
+    * target: an assignment KEY naming a source column absent from
+    * the target (the analyzer expands star actions over target ∪
+    * source; nothing can resolve the new keys before the table
+    * widens — only checkAnalysis would refuse, and this rule runs
+    * first)? */
+  private def resolvedModuloEvolution(spark: SparkSession,
+                                      m: MergeIntoTable): Boolean = {
+    if (!m.withSchemaEvolution) return m.expressions.forall(_.resolved)
+    def assignOk(a: Assignment): Boolean =
+      a.resolved || evolvedKeyOf(spark, m, a).isDefined
+    def actionOk(a: MergeAction): Boolean = a match {
+      case UpdateAction(c, as, _) =>
+        c.forall(_.resolved) && as.forall(assignOk)
+      case InsertAction(c, as) =>
+        c.forall(_.resolved) && as.forall(assignOk)
+      case DeleteAction(c) => c.forall(_.resolved)
+      case other => other.resolved
+    }
+    m.mergeCondition.resolved &&
+      (m.matchedActions ++ m.notMatchedActions ++
+        m.notMatchedBySourceActions).forall(actionOk)
+  }
+
+  private def assignmentsOf(a: MergeAction): Seq[Assignment] = a match {
+    case UpdateAction(_, as, _) => as
+    case InsertAction(_, as) => as
+    case _ => Seq.empty
+  }
+
+  /** The evolved column behind an assignment, when its key is the
+    * legal unresolved shape: a one-part name matching a SOURCE
+    * column and no target column; the value (resolved, source-side)
+    * carries the type. */
+  private def evolvedKeyOf(spark: SparkSession, m: MergeIntoTable,
+                           a: Assignment)
+      : Option[org.apache.spark.sql.types.StructField] = a.key match {
+    case u: UnresolvedAttribute
+        if u.nameParts.size == 1 && a.value.resolved =>
+      val resolver = spark.sessionState.conf.resolver
+      val name = u.nameParts.head
+      if (m.targetTable.output.exists(t => resolver(t.name, name))) None
+      else m.sourceTable.output.find(s => resolver(s.name, name))
+        .map(s => org.apache.spark.sql.types.StructField(
+          s.name, a.value.dataType, nullable = true))
+    case _ => None
   }
 
   private def refuseSubquery(e: Expression, verb: String): Unit =
@@ -370,6 +538,14 @@ object ManifestSqlDml {
       val col = targetCol(attr, "EXISTS correlation")
       require(inner.forall(!SubqueryExpression.hasSubquery(_)),
         s"manifest SQL $verb EXISTS must not nest further subqueries")
+      // a correlation BURIED below the top filter (a correlated join
+      // inside the body, an outer ref in a nested operator) would
+      // leave OuterReferences in the values plan — refuse clearly
+      // here, not with an opaque run-time resolution error
+      require(!child.exists(p => p.expressions.exists(hasOuter)),
+        s"manifest SQL $verb EXISTS must correlate only in its " +
+          "top-level WHERE clause — a correlation nested deeper has " +
+          "no frame-join rewrite")
       val filtered = inner.reduceOption(And)
         .map(Filter(_, child)).getOrElse(child)
       TermSpec(col,
@@ -563,13 +739,40 @@ object ManifestSqlDml {
       source: LogicalPlan, sourceKeys: Seq[Column],
       matched: Seq[graft.operators.ManifestTable.WhenMatched],
       notMatched: Seq[graft.operators.ManifestTable.WhenNotMatched],
-      notMatchedBySource: Seq[graft.operators.ManifestTable.WhenMatched])
+      notMatchedBySource: Seq[graft.operators.ManifestTable.WhenMatched],
+      evolveCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty,
+      refreshIdent: Option[org.apache.spark.sql.catalyst
+        .TableIdentifier] = None)
     extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(session: SparkSession): Seq[Row] = {
+      // WITH SCHEMA EVOLUTION: the ledger widens FIRST (metadata-only
+      // commit; existing files read NULL), re-filtered against the
+      // RUN-time recorded schema so a replayed/raced statement whose
+      // columns already landed skips cleanly; a catalog target gets
+      // the in-place entry refresh (the ALTER ADD COLUMNS epilogue),
+      // a temp-view/TVF target commits the ledger alone
+      if (evolveCols.nonEmpty) {
+        import graft.operators.ManifestTable
+        val recorded = ManifestTable.latest(index.root)
+          .map(s => ManifestTable.recordedSchemaOf(session, index.root, s)
+            .fieldNames.toSet).getOrElse(Set.empty)
+        val resolver = session.sessionState.conf.resolver
+        val missing = evolveCols.filterNot(f =>
+          recorded.exists(resolver(_, f.name)))
+        if (missing.nonEmpty) refreshIdent match {
+          case Some(ident) =>
+            ManifestSqlAlter.AddColumnsCommand(ident, missing).run(session)
+          case None =>
+            ManifestTable.addColumns(session, index.root,
+              org.apache.spark.sql.types.StructType(missing))
+        }
+        ()
+      }
       ManifestSql.sqlMergeInto(session, index, idCols,
         graftbridge.ofRows(session, source), sourceKeys,
-        matched, notMatched, notMatchedBySource)
+        matched, notMatched, notMatchedBySource,
+        refreshPin = evolveCols.isEmpty)
       Seq.empty
     }
   }

@@ -380,13 +380,20 @@ object ManifestSql {
                                   matched: Seq[ManifestTable.WhenMatched],
                                   notMatched: Seq[ManifestTable.WhenNotMatched],
                                   notMatchedBySource:
-                                    Seq[ManifestTable.WhenMatched]): Unit = {
+                                    Seq[ManifestTable.WhenMatched],
+                                  refreshPin: Boolean = true): Unit = {
     requireHead(idx, "MERGE INTO")
     withBatchId(spark) { id =>
       ManifestTable.mergeInto(spark, idx.root, idCols, source, sourceKeys,
         matched, notMatched, notMatchedBySource, batchId = id)
     }
-    afterSqlWrite(spark, idx)
+    // a SCHEMA-EVOLVING merge widened the table: this plan's pinned
+    // index belongs to the pre-evolution registration (its refresh
+    // would rightly trip the drift guard) and the catalog entry was
+    // already refreshed in place — only the cached-plan invalidation
+    // remains to do
+    if (refreshPin) afterSqlWrite(spark, idx)
+    else spark.catalog.refreshByPath(idx.root)
   }
 
   /** The ONE owner of SQL delete-shaped `MERGE INTO` semantics

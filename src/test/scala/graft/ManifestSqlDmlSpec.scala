@@ -428,6 +428,70 @@ class ManifestSqlDmlSpec extends SparkSpec {
       "the replayed no-op merge must not commit again")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: star actions add source-only columns through the ledger; catalog entry refreshes in place") {
+    import spark.implicits._
+    val (_, root) = freshTable("graft_sqlevo", n = 10L)
+    graft.api.Graft(spark, sf)
+      .registerManifest("sqldml_evo", root, persistent = true)
+    try {
+      Seq((3L, "up", 30L, 7L), (100L, "new", 0L, 9L))
+        .toDF("id", "v", "n", "extra")
+        .createOrReplaceTempView("sqldml_evo_src")
+      spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "55")
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO sqldml_evo t " +
+        "USING sqldml_evo_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      // the V1-name catalog read serves the widened schema WITHOUT a
+      // re-register (the in-place AddColumns epilogue ran)
+      val got = spark.sql(
+        "SELECT id, v, n, extra FROM sqldml_evo ORDER BY id").collect()
+      assert(got.length == 11)
+      val byId = got.map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) null else Long.box(r.getLong(3)))).toMap
+      assert(byId(3L) == (("up", 30L, Long.box(7L))))
+      assert(byId(100L) == (("new", 0L, Long.box(9L))))
+      assert(byId(4L) == (("row4", 8L, null)),
+        "untouched rows read NULL in the evolved column")
+      // the ledger recorded the column (data-path truth, not catalog)
+      val recorded = ManifestTable.recordedSchemaOf(spark, root,
+        ManifestTable.latest(root).get).fieldNames.toSeq
+      assert(recorded == Seq("id", "v", "n", "extra"))
+      // the evolving merge was LEDGERED; its replay (poisoned source,
+      // same id) must no-op — including the ALTER re-check
+      assert(ManifestTable.isBatchCommitted(root, 55L))
+      Seq((3L, "poison", -1L, -1L)).toDF("id", "v", "n", "extra")
+        .createOrReplaceTempView("sqldml_evo_src2")
+      spark.conf.set(graft.sources.ManifestSql.BatchIdConf, "55")
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO sqldml_evo t " +
+        "USING sqldml_evo_src2 s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      assert(spark.sql("SELECT v FROM sqldml_evo WHERE id = 3")
+        .head().getString(0) == "up", "replayed evolving merge applied")
+      // evolution with an EXPLICIT partial update: the star insert
+      // carries the new column, the explicit update never widens
+      // (the source must still cover every CURRENT target column —
+      // INSERT * semantics, evolution or not)
+      Seq((4L, "x2", 0L, 0L, 42L), (200L, "n2", 1L, 0L, 43L))
+        .toDF("id", "v", "n", "extra", "extra2")
+        .createOrReplaceTempView("sqldml_evo_src3")
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO sqldml_evo t " +
+        "USING sqldml_evo_src3 s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val r4 = spark.sql(
+        "SELECT v, extra2 FROM sqldml_evo WHERE id = 4").head()
+      assert(r4.getString(0) == "x2" && r4.isNullAt(1),
+        "an explicit UPDATE must not be widened by evolution")
+      val r200 = spark.sql(
+        "SELECT extra2 FROM sqldml_evo WHERE id = 200").head()
+      assert(r200.getLong(0) == 43L,
+        "the star INSERT must carry the evolved column")
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_evo")
+  }
+
   test("ANSI duplicate-source semantics: unmatched duplicates each insert; only an actual multi-match refuses; 'present' source column is no collision") {
     import spark.implicits._
     val (_, root) = freshTable("graft_sqldup", n = 10L)
