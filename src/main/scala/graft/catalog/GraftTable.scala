@@ -12,7 +12,6 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate,
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 
-import graft.operators.ManifestTable
 import graft.sources.ManifestSql
 
 /** The DSv2 [[Table]] behind [[GraftCatalog]] — deliberately THIN:
