@@ -99,6 +99,10 @@ final case class Graft(spark: SparkSession, sfDir: String) {
         "persistent manifest registration pins the HEAD — time travel " +
           "is a session-level pin (use the default temp-view mode)")
       graft.sources.ManifestSql.registerPersistent(spark, name, root)
+      // every persistent registration is also v2-addressable as
+      // `graft.<db>.<name>` — install the DSv2 window (idempotent
+      // conf set; the catalog loads lazily on first reference)
+      graft.catalog.GraftCatalog.install(spark)
     } else graft.sources.ManifestSql.register(spark, name, root, versionAsOf)
 
   private def registerPersistent(t: String): Unit = {

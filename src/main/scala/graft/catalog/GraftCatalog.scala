@@ -430,7 +430,9 @@ object GraftCatalog {
     * catalog plugins lazily, once, per session). */
   val ConfKey = "spark.sql.catalog.graft"
 
-  /** Install the catalog into a live session (idempotent). */
+  /** Install the catalog into a live session (idempotent; a user's
+    * own `graft` catalog binding, if any, is never clobbered). */
   def install(spark: SparkSession): Unit =
-    spark.conf.set(ConfKey, classOf[GraftCatalog].getName)
+    if (spark.conf.getOption(ConfKey).isEmpty)
+      spark.conf.set(ConfKey, classOf[GraftCatalog].getName)
 }
