@@ -158,8 +158,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def fullName(ident: Identifier): String =
     (Seq(catalogName) ++ ident.namespace() :+ ident.name()).mkString(".")
 
+  /** Only a definitive "no such table" answers false — a transient
+    * metastore failure must propagate, not read as "absent" (which
+    * could green-light a CREATE over a live table). */
   override def tableExists(ident: Identifier): Boolean =
-    scala.util.Try(resolve(ident)).isSuccess
+    try { resolve(ident); true }
+    catch { case _: NoSuchTableException => false }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val db = namespace match {
@@ -197,14 +201,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "'location') property naming the manifest root"))
     def csv(k: String): Seq[String] = props.get(k).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
-    if (ManifestTable.latest(root).isEmpty) {
-      ManifestTable.init(root, csv("statCols"), csv("bloomCols"),
-        props.get("bloomCapacity").map(_.trim.toLong)
-          .getOrElse(graft.operators.ManifestStats.BloomKeyCapacity))
-      if (schema.nonEmpty)
-        ManifestTable.overwrite(session, root, session.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType(schema.fields.map(_.copy(nullable = true)))))
+    ManifestTable.latest(root) match {
+      case None =>
+        ManifestTable.init(root, csv("statCols"), csv("bloomCols"),
+          props.get("bloomCapacity").map(_.trim.toLong)
+            .getOrElse(graft.operators.ManifestStats.BloomKeyCapacity))
+        if (schema.nonEmpty)
+          ManifestTable.overwrite(session, root, session.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(schema.fields.map(_.copy(nullable = true)))))
+      case Some(snap) if schema.nonEmpty =>
+        // registering an existing manifest: the RECORDED schema wins
+        // (documented contract) — but a silently-ignored declaration
+        // surprises; say so when they differ
+        val recorded = ManifestTable.recordedSchemaOf(session, root, snap)
+        val declared =
+          StructType(schema.fields.map(_.copy(nullable = true)))
+        if (recorded != declared)
+          graft.util.Log.warn(
+            s"CREATE TABLE ${fullName(ident)}: the manifest at $root " +
+              s"already exists; its recorded schema " +
+              s"(${recorded.simpleString}) wins over the declared " +
+              s"column list (${declared.simpleString})")
+      case _ => ()
     }
     val v1 = v1Ident(ident)
     ManifestSql.registerPersistent(session, v1.unquotedString, root)
@@ -253,10 +272,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     def csv(k: String): Seq[String] = props.get(k).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     val freshlyInited = ManifestTable.latest(root).isEmpty
-    if (freshlyInited)
+    if (freshlyInited) {
+      // a staged statement that fails must be able to clean up what
+      // it created WITHOUT destroying anything else — so a CTAS /
+      // REPLACE may only INITIALIZE into an absent or empty
+      // directory. A non-empty, manifest-less location (e.g. a plain
+      // parquet dataset) refuses loudly: aborting such a statement
+      // would otherwise have to guess which of the directory's
+      // contents it owns.
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
+      require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+        s"CREATE/REPLACE TABLE ${fullName(ident)}: $root exists, is " +
+          "not empty, and carries no manifest — refusing to stage a " +
+          "table into it (an aborted statement could not clean up " +
+          "without touching pre-existing contents); point at an " +
+          "empty/absent location or init the manifest explicitly")
       ManifestTable.init(root, csv("statCols"), csv("bloomCols"),
         props.get("bloomCapacity").map(_.trim.toLong)
           .getOrElse(graft.operators.ManifestStats.BloomKeyCapacity))
+    }
     StagedGraftTable(session, this, ident, fullName(ident), root,
       StructType(info.schema().fields.map(_.copy(nullable = true))),
       replaceSemantics = replace, freshlyInited = freshlyInited)
@@ -354,15 +389,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** DROP TABLE drops the catalog entry; the manifest root (an
-    * external location by construction) stays on disk. */
+    * external location by construction) stays on disk. A
+    * rename-chained registration is TWO session-catalog objects
+    * (coalesce VIEW + `<name>_store` table) — dropping only the view
+    * would orphan the store, so it refuses loudly like ALTER/RENAME
+    * do: drop both objects through the session catalog. */
   override def dropTable(ident: Identifier): Boolean = {
-    val exists = tableExists(ident)
-    if (exists) {
-      val v1 = v1Ident(ident)
-      sessionCatalog.dropTable(v1, ignoreIfNotExists = true,
-        purge = false)
+    val r = try Some(resolve(ident))
+      catch { case _: NoSuchTableException => None }
+    r match {
+      case None => false
+      case Some(res) =>
+        require(!res.chained,
+          s"${fullName(ident)} is a rename-chained registration (a " +
+            s"coalesce VIEW over ${ident.name()}_store) — drop BOTH " +
+            "objects through the session catalog (DROP VIEW " +
+            s"${ident.name()}; DROP TABLE ${ident.name()}_store)")
+        sessionCatalog.dropTable(v1Ident(ident), ignoreIfNotExists = true,
+          purge = false)
+        true
     }
-    exists
   }
 
   override def renameTable(oldIdent: Identifier,

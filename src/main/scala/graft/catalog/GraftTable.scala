@@ -65,8 +65,20 @@ final case class GraftTable(spark: SparkSession, fullName: String,
   }
 
   /** The pinned relation — built once per analysis (the same pin the
-    * rewrite rule serves, so schema and scan agree). */
+    * rewrite rule serves, so schema and scan agree). Head pins stay
+    * `versionAsOf = None` — the DML rewrites downstream must see a
+    * HEAD registration (writable), not a frozen version. */
   lazy val relation: DataFrame =
+    ManifestSql.relation(spark, root, versionAsOf)
+
+  /** A FRESH relation with its own exprIds: the analyzer caches one
+    * [[GraftTable]] per name per query, so a self-join sees this
+    * instance twice — the second occurrence must not share the
+    * first's output attributes (Spark's DeduplicateRelations has
+    * already run by post-hoc time). A head pin re-resolves the head;
+    * a commit racing mid-analysis between the two constructions is
+    * the same exposure any two same-query file-source scans share. */
+  def freshRelation: DataFrame =
     ManifestSql.relation(spark, root, versionAsOf)
 
   override def schema(): StructType = relation.schema

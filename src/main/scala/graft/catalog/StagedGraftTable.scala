@@ -88,11 +88,17 @@ final case class StagedGraftTable(spark: SparkSession,
 
   override def abortStagedChanges(): Unit = {
     if (freshlyInited) {
-      // nothing referenced this manifest — remove it wholesale
+      // nothing referenced this manifest — remove what THIS statement
+      // created: the manifest and data trees, then the root only if
+      // that emptied it (stageCreate refused non-empty manifest-less
+      // locations, so the root was absent or empty before init; still,
+      // never recursively delete a root that holds anything else)
       scala.util.Try {
         val p = new org.apache.hadoop.fs.Path(root)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root, "manifest"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(root, "data"), true)
+        if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, false)
       }
       ()
     } else if (wrote)

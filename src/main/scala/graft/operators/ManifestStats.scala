@@ -72,10 +72,20 @@ object ManifestStats {
     * `file_size_in_bytes` idea): SQL planning and compaction sizing
     * then read sizes from the manifest instead of one
     * `getFileStatus` RPC per file — −1 on pre-r17 lines (legacy
-    * files fall back to the FS, and only when actually planned). */
+    * files fall back to the FS, and only when actually planned).
+    * `dvRef`/`dvRows` are the file's DELETION VECTOR (merge-on-read
+    * deletes, r20): `dvRef` names the root-relative `data/<token>`
+    * directory holding (file, pos) parquet rows — the positions of
+    * this file's deleted rows — and `dvRows` is their exact count.
+    * Readers overlay the DV (anti-join on parquet row position);
+    * rewrites (compact, copy-on-write DML) fold it away with the
+    * payload they replace. None/0 = no deleted rows (every pre-r20
+    * line). */
   final case class FileStats(rows: Long, cols: Map[String, ColStat],
                              bloomRef: Option[String] = None,
-                             bytes: Long = -1L)
+                             bytes: Long = -1L,
+                             dvRef: Option[String] = None,
+                             dvRows: Long = 0L)
 
   /** Per-file-per-column Bloom capacity: filters are sized for this
     * many distinct keys at [[BloomFpp]]; a file whose column exceeds
@@ -106,7 +116,8 @@ object ManifestStats {
         case (c, ColStat(Some((lo, hi)), nulls)) =>
           s"$c:${b64(lo)}:${b64(hi)}:$nulls"
         case (c, ColStat(None, nulls)) => s"$c:-:-:$nulls"
-      }) ++ fs.bloomRef.map(r => s"bloomref:${b64(r)}")).mkString(";")
+      }) ++ fs.bloomRef.map(r => s"bloomref:${b64(r)}") ++
+      fs.dvRef.map(r => s"dvref:${b64(r)}:${fs.dvRows}")).mkString(";")
 
   /** CONTENT-ADDRESSED decode cache: repeated planning over the same
     * snapshot (every DML op re-reads the manifest) would otherwise
@@ -167,9 +178,29 @@ object ManifestStats {
       case p if isBloomRef(p) =>
         scala.util.Try(unb64(p.stripPrefix("bloomref:"))).toOption
     }.flatten
+    // a DV ref is exactly three ':'-parts (prefix + b64 dir + count).
+    // A legacy stat column literally NAMED 'dvref' encodes 4 parts and
+    // falls through to the column parse ('dvref' is reserved at init
+    // from r20 on). Unlike a corrupt bloomref — where degrading to
+    // None merely loses pruning — a corrupt DV ref must FAIL LOUDLY:
+    // dropping it would silently resurrect deleted rows.
+    def isDvRef(p: String): Boolean =
+      p.startsWith("dvref:") && p.split(':').length == 3
+    val dv = parts.collectFirst {
+      case p if isDvRef(p) =>
+        val Array(_, ref, n) = p.split(':')
+        (scala.util.Try(unb64(ref)).toOption,
+          scala.util.Try(n.toLong).toOption) match {
+          case (Some(r), Some(c)) => (r, c)
+          case _ => throw new IllegalStateException(
+            s"corrupt deletion-vector reference in file stats: '$p' — " +
+              "refusing to read (dropping a DV would resurrect " +
+              "deleted rows)")
+        }
+    }
     val cols = parts
       .filterNot(p => p.startsWith("rows:") || isBytes(p) ||
-        isBloomRef(p))
+        isBloomRef(p) || isDvRef(p))
       .flatMap { p =>
         p.split(':') match {
           case Array(c, "-", "-", n) => Some(c -> ColStat(None, n.toLong))
@@ -178,7 +209,8 @@ object ManifestStats {
           case _ => None
         }
       }.toMap
-    FileStats(rows, cols, bloomRef, bytes)
+    FileStats(rows, cols, bloomRef, bytes, dv.map(_._1),
+      dv.map(_._2).getOrElse(0L))
   }
 
   private def isSupported(dt: DataType): Boolean = dt match {

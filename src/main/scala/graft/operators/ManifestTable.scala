@@ -81,6 +81,7 @@ object ManifestTable {
   private val ColMapPrefix = "#colmap:"
   private val DroppedPrefix = "#dropped:"
   private val SinkCkptPrefix = "#sinkckpt:"
+  private val DvModePrefix = "#dvmode:"
   private val HintFile = "_last_checkpoint"
 
   // ---- storage plumbing (Hadoop FS only — no java.nio here) ----
@@ -180,8 +181,9 @@ object ManifestTable {
     require(declared.forall(_.matches("[A-Za-z0-9_]+")),
       s"stat/bloom column names must be word-shaped: ${declared.mkString(",")}")
     require(!declared.contains("rows") && !declared.contains("bloomref") &&
-      !declared.contains("bytes"),
-      "'rows', 'bytes' and 'bloomref' are reserved by the stat encoding")
+      !declared.contains("bytes") && !declared.contains("dvref"),
+      "'rows', 'bytes', 'bloomref' and 'dvref' are reserved by the " +
+        "stat encoding")
     require(bloomKeyCapacity > 0, "bloomKeyCapacity must be positive")
     val fs = fsOf(manifestDir(root))
     fs.mkdirs(manifestDir(root))
@@ -800,24 +802,60 @@ object ManifestTable {
     * `foreachBatch` writers ([[appendBatch]] & co.) carry no
     * fingerprint and are untouched — their one-ledger-per-table
     * contract stays documented. */
-  private[graft] def claimSinkCheckpoint(root: String, fp: String): Unit = {
+  private[graft] def claimSinkCheckpoint(root: String, queryId: String,
+                                         locHash: String): Unit = {
+    val fp = s"$queryId@$locHash"
+    def reclaim(cur: Snapshot): Boolean =
+      tryCommit(root, cur.version + 1, cur.files,
+        cur.meta.filterNot(_.startsWith(SinkCkptPrefix)) :+
+          s"$SinkCkptPrefix$fp", cur.schemaJson, cur.stats)
     var done = false
     while (!done) {
       val cur = latest(root).getOrElse(
         throw new IllegalStateException(s"no manifest at $root"))
       sinkCheckpointOf(cur) match {
-        case Some(existing) =>
-          require(existing == fp,
+        case None => done = reclaim(cur)
+        case Some(existing) if existing == fp => done = true
+        case Some(existing) if existing.contains('@') =>
+          val Array(eQid, eLoc) = existing.split('@')
+          if (eQid == queryId) {
+            // same QUERY at a new location — a copied/relocated
+            // checkpoint keeps its persisted id, and its batch ids ARE
+            // this ledger's; record the move
+            done = reclaim(cur)
+          } else if (eLoc == locHash) {
+            // the WIPED-checkpoint shape: a fresh query id at the SAME
+            // location. Its deterministic replays of already-committed
+            // batches no-op correctly against the id watermark — the
+            // documented recovery path — but any NEW content arriving
+            // under an already-committed id would be silently dropped.
+            // Warn loudly and adopt; a divergent feed needs a re-init.
+            graft.util.Log.warn(
+              s"streaming sink at $root: checkpoint at this location " +
+                s"was recreated (query $eQid -> $queryId). Replays of " +
+                "already-committed batches will no-op via the batch " +
+                "ledger; if the new query's feed DIVERGES from the " +
+                "original, batches whose ids are already committed " +
+                "would be dropped — re-init the table for a divergent " +
+                "feed")
+            done = reclaim(cur)
+          } else throw new IllegalArgumentException(
             s"the streaming-batch ledger at $root belongs to the sink " +
-              s"checkpoint fingerprinted '$existing'; this query's " +
-              s"checkpoint fingerprints '$fp' — its micro-batch ids " +
-              "would silently no-op against the other checkpoint's " +
-              "ledger (one standing query per sink table). Write " +
-              "through the original checkpoint, or re-init the table")
-          done = true
-        case None =>
-          done = tryCommit(root, cur.version + 1, cur.files,
-            cur.meta :+ s"$SinkCkptPrefix$fp", cur.schemaJson, cur.stats)
+              s"query fingerprinted '$existing'; this is a DIFFERENT " +
+              s"query ('$fp') — its micro-batch ids would silently " +
+              "no-op against the other query's ledger (one standing " +
+              "query per sink table). Write through the original " +
+              "checkpoint, or re-init the table")
+        case Some(legacy) =>
+          // pre-r20 claim: a bare path hash. The same location
+          // upgrades in place; a different one is a second query.
+          if (legacy == locHash) done = reclaim(cur)
+          else throw new IllegalArgumentException(
+            s"the streaming-batch ledger at $root belongs to the sink " +
+              s"checkpoint fingerprinted '$legacy' (pre-r20 form); " +
+              s"this query's checkpoint fingerprints '$locHash' — one " +
+              "standing query per sink table. Write through the " +
+              "original checkpoint, or re-init the table")
       }
     }
   }
@@ -972,6 +1010,84 @@ object ManifestTable {
     }
   }
 
+  // ---- deletion vectors (merge-on-read deletes) ----
+
+  /** The DV columns every sidecar parquet carries: the root-relative
+    * data-file path and the parquet ROW POSITION of a deleted row in
+    * it (Spark's `_metadata.row_index` — stable for an immutable
+    * file, the public mechanism Delta's DVs key on). */
+  private val DvSchema = StructType(Seq(
+    StructField("file", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** Deleted rows above this total skip the explicit broadcast on the
+    * overlay anti-join (a DV that big should be folded by compaction
+    * anyway; the plain join still works). ~16 bytes/row broadcast. */
+  private val DvBroadcastMaxRows = 4L * 1000 * 1000
+
+  /** file → (dv dir, deleted-row count) for the files of `snap` that
+    * carry one. Empty on every pre-r20 snapshot. */
+  private[graft] def dvRefsOf(snap: Snapshot,
+                              files: Seq[String])
+      : Map[String, (String, Long)] =
+    files.flatMap(f => snap.stats.get(f).flatMap { p =>
+      val st = ManifestStats.decodeCached(p)
+      st.dvRef.map(r => f -> (r, st.dvRows))
+    }).toMap
+
+  /** Root-relative path of an absolute scan path, as a Column —
+    * the codegen'd twin of [[relPathOf]] (last three segments). */
+  private def relPathCol(abs: Column): Column =
+    F.array_join(F.slice(F.split(abs, "/"), -3, 3), "/")
+
+  /** The (file, pos) rows of the given DV dirs, optionally restricted
+    * to `onlyFiles` (exact schema read — no footer scan). */
+  private def dvRows(spark: SparkSession, root: String,
+                     dirs: Seq[String],
+                     onlyFiles: Option[Seq[String]] = None): DataFrame = {
+    val df = spark.read.schema(DvSchema)
+      .parquet(dirs.distinct.sorted.map(d => s"$root/$d"): _*)
+    onlyFiles match {
+      case Some(fs) if fs.size <= 1024 =>
+        df.filter(F.col("file").isInCollection(fs))
+      case _ => df
+    }
+  }
+
+  /** MERGE-ON-READ OVERLAY — the one owner every Scala read path
+    * funnels through ([[readSnapshot]]); the SQL doors apply the same
+    * shape via [[graft.sources.ManifestSql]]. `scanned` must carry
+    * `absCol` (absolute file path) and `posCol` (parquet row index)
+    * alongside the data columns; rows whose (file, pos) appear in any
+    * live DV drop. The DV side broadcasts when small (a point
+    * delete's overlay is a map-side hash probe — no shuffle on the
+    * 100 TB scan side); a huge DV falls back to a plain join and is
+    * compaction's cue to fold. */
+  private def overlayDv(spark: SparkSession, root: String,
+                        dvMap: Map[String, (String, Long)],
+                        scanned: DataFrame, absCol: String,
+                        posCol: String): DataFrame = {
+    if (dvMap.isEmpty) return scanned
+    val dv = dvRows(spark, root, dvMap.values.map(_._1).toSeq,
+      Some(dvMap.keys.toSeq))
+      .withColumnRenamed("file", "__dv_file")
+      .withColumnRenamed("pos", "__dv_pos")
+    val side =
+      if (dvMap.values.map(_._2).sum <= DvBroadcastMaxRows) F.broadcast(dv)
+      else dv
+    scanned.join(side,
+      relPathCol(scanned(absCol)) === side("__dv_file") &&
+        scanned(posCol) === side("__dv_pos"),
+      "left_anti")
+  }
+
+  /** Does any live file of `snap` carry a deletion vector? (The
+    * cheap gate the SQL doors probe before building an overlay.) */
+  private[graft] def hasDv(snap: Snapshot): Boolean =
+    snap.files.exists(f => snap.stats.get(f).exists(
+      ManifestStats.decodeCached(_).dvRef.isDefined))
+
   // ---- reads ----
 
   /** The latest snapshot's rows. */
@@ -1000,17 +1116,57 @@ object ManifestTable {
     * from before the schema ledger fall back to a `mergeSchema`
     * footer scan — same semantics, O(files) planning. */
   private def readSnapshot(spark: SparkSession, root: String,
-                           snap: Snapshot): DataFrame = {
+                           snap: Snapshot): DataFrame =
+    readSnapshotImpl(spark, root, snap, fileCol = None, posCol = None)
+
+  /** [[readSnapshot]] plus PROVENANCE: `fileCol` (absolute file path
+    * of each row's source file) and/or `posCol` (parquet row index in
+    * it) materialize AT THE SCAN — before any join the DV overlay may
+    * introduce (`input_file_name()` after a shuffle boundary returns
+    * empty strings; `_metadata` is join-safe by construction). The
+    * copy-on-write victim scans and the MoR delete both ride this. */
+  private def readSnapshotImpl(spark: SparkSession, root: String,
+                               snap: Snapshot,
+                               fileCol: Option[String],
+                               posCol: Option[String]): DataFrame = {
     require(snap.files.nonEmpty, s"empty table at $root (v${snap.version})")
     val paths = snap.files.map(f => s"$root/$f")
-    recordedSchema(snap) match {
+    val dvMap = dvRefsOf(snap, snap.files)
+    val needMeta = dvMap.nonEmpty || posCol.isDefined
+    val (scan0, dataCols) = recordedSchema(snap) match {
       case Some(sc) =>
         val (physical, projection) = readShapeOf(sc, colmapOf(snap.meta))
         val scan = spark.read.schema(physical).parquet(paths: _*)
-        projection.fold(scan)(p => scan.select(p: _*))
+        (scan, projection.getOrElse(
+          sc.fieldNames.toSeq.map(F.col)))
       case None =>
-        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        val scan = spark.read.option("mergeSchema", "true")
+          .parquet(paths: _*)
+        (scan, scan.columns.toSeq.map(F.col))
     }
+    if (!needMeta && fileCol.isEmpty) {
+      return scan0.select(dataCols: _*)
+    }
+    if (!needMeta) {
+      // provenance without DVs: the classic scan-time column
+      return scan0.select(dataCols :+
+        F.input_file_name().as(fileCol.get): _*)
+    }
+    // DV path (or an explicit posCol ask): select data columns plus
+    // the parquet metadata identity, overlay, then shape the output
+    val abs = "__graft_abs"
+    val pos = "__graft_pos"
+    val wide = scan0.select(dataCols ++ Seq(
+      F.col("_metadata.file_path").as(abs),
+      F.col("_metadata.row_index").as(pos)): _*)
+    val overlaid = overlayDv(spark, root, dvMap, wide, abs, pos)
+    val keep = overlaid.columns.toSeq.flatMap {
+      case `abs` =>
+        fileCol.map(c => F.col(abs).as(c))
+      case `pos` => posCol.map(c => F.col(pos).as(c))
+      case c => Some(F.col(c))
+    }
+    overlaid.select(keep: _*)
   }
 
   /** The ONE owner of the rename-chain read shape, shared by the
@@ -1074,13 +1230,23 @@ object ManifestTable {
     val to = snap(toVersion)
     val toSet = to.files.toSet
     val fromSet = from.files.toSet
-    val removed = from.files.filterNot(toSet)
-    val added = to.files.filterNot(fromSet)
+    // a file carried between the versions whose DELETION-VECTOR state
+    // moved participates as removed@from + added@to: the except-all
+    // math then yields exactly the newly-DV'd rows as deletes (and a
+    // DV-restoring rewrite's rows as inserts) — a DV-only commit
+    // changes no file list, but it IS a row-level change
+    val dvChanged = from.files.filter(toSet).filter(f =>
+      dvStateOf(from, f) != dvStateOf(to, f))
+    val removed = from.files.filterNot(toSet) ++ dvChanged
+    val added = to.files.filterNot(fromSet) ++ dvChanged
     // O(changed files) existence probes — the feed's own cost scale
     locally {
       val fs = fsOf(new HPath(root))
+      val dvDirs = (dvRefsOf(from, removed) ++ dvRefsOf(to, added))
+        .values.map(_._1).toSeq.distinct
       val gone = (removed ++ added)
-        .filterNot(f => fs.exists(new HPath(root, f)))
+        .filterNot(f => fs.exists(new HPath(root, f))) ++
+        dvDirs.filterNot(d => fs.exists(new HPath(root, d)))
       if (gone.nonEmpty) throw new IllegalStateException(
         s"change feed v$fromVersion..v$toVersion at $root needs " +
           s"${gone.size} data file(s) vacuum has already deleted " +
@@ -1099,9 +1265,12 @@ object ManifestTable {
         spark.read.option("mergeSchema", "true")
           .parquet(changedAll.map(f => s"$root/$f"): _*)
           .schema.fields.map(_.copy(nullable = true))).json))
-    def rowsOf(files: Seq[String]): DataFrame =
+    // each side reads under ITS OWN version's stat payloads, so a
+    // file's DV overlay matches the version being diffed
+    def rowsOf(files: Seq[String], statsOf: Snapshot): DataFrame =
       if (files.nonEmpty)
-        readSnapshot(spark, root, readBase.copy(files = files))
+        readSnapshot(spark, root,
+          readBase.copy(files = files, stats = statsOf.stats))
       else recordedSchema(readBase) match {
         case Some(sc) => spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
@@ -1112,8 +1281,8 @@ object ManifestTable {
         case None => throw new IllegalStateException(
           s"empty schema-less table at $root has no change feed")
       }
-    val del = rowsOf(removed).exceptAll(rowsOf(added))
-    val ins = rowsOf(added).exceptAll(rowsOf(removed))
+    val del = rowsOf(removed, from).exceptAll(rowsOf(added, to))
+    val ins = rowsOf(added, to).exceptAll(rowsOf(removed, from))
     del.withColumn("_change_type", F.lit("delete"))
       .unionByName(ins.withColumn("_change_type", F.lit("insert")))
   }
@@ -1499,6 +1668,209 @@ object ManifestTable {
                          prune: Option[Column] = None): Delete =
     rewriteWith(spark, root, hits, keep, beforeCommit, maxRestarts, prune)
 
+  // ---- merge-on-read deletes ----
+
+  /** MERGE-ON-READ DELETE — the write-amplification answer to
+    * [[deleteWhere]]'s copy-on-write: instead of REWRITING every file
+    * that holds a victim row (a 1-row delete rewrites a whole band
+    * file; a scattered takedown rewrites every touched file — the
+    * wrong cost model for frequent small deletes at 100 TB), the
+    * commit records each victim's (file, row-position) in a DELETION
+    * VECTOR sidecar and points the affected files' stat payloads at
+    * it (`dvref:` — [[ManifestStats.FileStats.dvRef]]). NO DATA FILE
+    * IS REWRITTEN; the commit is metadata-plus-sidecar sized.
+    *
+    *  - READERS overlay the DV everywhere: every Scala read plans the
+    *    anti-join on `_metadata.row_index` inside [[readSnapshot]],
+    *    and the SQL doors (temp view, persistent catalog, DSv2) apply
+    *    the same overlay via [[graft.sources.ManifestSql]] /
+    *    [[graft.plans.GraftMorReads]]. A small DV broadcasts — the
+    *    overlay is a map-side probe, no shuffle on the scan side.
+    *  - TIME TRAVEL is exact: DV refs live in per-version stat
+    *    payloads, so an older version reads its own (or no) DV.
+    *  - REWRITES FOLD DVs: [[compact]] reads through the overlay and
+    *    replaces the payloads, so compaction restores DV-free files
+    *    (and exact stats); copy-on-write DML on a DV'd file does the
+    *    same for the files it touches. [[vacuum]] spares sidecars
+    *    referenced by any live payload and collects superseded ones.
+    *  - COUNTS stay metadata-exact: payloads carry the exact deleted
+    *    count, so `rows − dvRows` prices a file without opening it.
+    *  - The CHANGE FEED reports DV'd rows as row-level deletes — a
+    *    DV-only commit diffs the two versions' DV state, reading only
+    *    the affected files ([[changes]]).
+    *
+    * Same optimistic-commit + restart semantics as [[deleteWhere]]:
+    * a concurrent rewrite of an affected file (or a concurrent MoR
+    * delete touching it) restarts the victim scan against the new
+    * snapshot, up to `maxRestarts`. Repeated MoR deletes on one file
+    * UNION into a single superseding sidecar (one `dvref` per file).
+    * Returns the committed snapshot and the exact victim count —
+    * already-deleted rows are invisible to the victim scan and never
+    * double-count. */
+  def deleteWhereMoR(spark: SparkSession, root: String, predicate: Column,
+                     beforeCommit: () => Unit = () => (),
+                     maxRestarts: Int = 8): Delete =
+    // null predicate results keep the row (DELETE: NULL is not TRUE)
+    morDelete(spark, root, df => df.filter(predicate),
+      beforeCommit, maxRestarts, prune = Some(predicate))
+
+  /** [[deleteWhereTerms]] in merge-on-read form: victims are rows
+    * where `residue` and every membership term hold — same term
+    * semantics and pruning, zero data files rewritten. */
+  def deleteWhereTermsMoR(spark: SparkSession, root: String,
+                          residue: Option[Column],
+                          terms: Seq[MembershipTerm],
+                          beforeCommit: () => Unit = () => (),
+                          maxRestarts: Int = 8): Delete = {
+    require(terms.nonEmpty, "deleteWhereTermsMoR needs at least one term")
+    val (mark, fire, prune) = membership(spark, residue, terms)
+    morDelete(spark, root, df => mark(df).filter(fire),
+      beforeCommit, maxRestarts, prune)
+  }
+
+  /** [[deleteIds]] in merge-on-read form — the takedown shape: victim
+    * membership resolves through a semi join against the (unbounded)
+    * one-column `victims` frame; only DV sidecars commit. */
+  def deleteIdsMoR(spark: SparkSession, root: String, idCol: String,
+                   victims: DataFrame,
+                   beforeCommit: () => Unit = () => (),
+                   maxRestarts: Int = 8): Delete = {
+    require(victims.columns.length == 1,
+      s"victims frame must have exactly one id column, " +
+        s"got ${victims.columns.mkString(",")}")
+    val v = victims.toDF("__victim_id").distinct()
+      .localCheckpoint(eager = true)
+    val prune = idPrune(spark, idCol, v, "__victim_id")
+    morDelete(spark, root,
+      df => df.join(v, df(idCol) === v("__victim_id"), "left_semi"),
+      beforeCommit, maxRestarts, prune)
+  }
+
+  /** A snapshot's DV identity for one file — the drift probe the MoR
+    * commit loop compares across snapshots. */
+  private def dvStateOf(snap: Snapshot, f: String): (Option[String], Long) =
+    snap.stats.get(f).map(ManifestStats.decodeCached)
+      .map(st => (st.dvRef, st.dvRows)).getOrElse((None, 0L))
+
+  /** The shared MoR-delete engine: scan the candidate files WITH
+    * row-position provenance (the scan overlays existing DVs, so
+    * victims are live rows only), persist victim (file, pos) rows —
+    * unioned with the affected files' prior DV rows — as ONE new
+    * sidecar under its own `data/<token>/`, and commit by pointing
+    * the affected files' stat payloads at it. The file LIST never
+    * changes. Commit-loop drift checks: an affected file replaced by
+    * a rewrite, OR its DV state moved by a concurrent MoR delete,
+    * restarts the scan (a lost MoR-MoR race must not clobber the
+    * winner's sidecar pointer). */
+  private def morDelete(spark: SparkSession, root: String,
+                        hits: DataFrame => DataFrame,
+                        beforeCommit: () => Unit,
+                        maxRestarts: Int,
+                        prune: Option[Column]): Delete = {
+    require(maxRestarts >= 1, "maxRestarts must be >= 1")
+    val abs = "__graft_file"
+    val pos = "__graft_pos"
+    var restarts = 0
+    var result: Option[Delete] = None
+    while (result.isEmpty) {
+      val base = latest(root).getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      val scanFiles =
+        prune.map(candidateFiles(spark, root, base, _)).getOrElse(base.files)
+      if (scanFiles.isEmpty) result = Some(Delete(base, 0L))
+      else {
+        val scan = readSnapshotImpl(spark, root,
+          base.copy(files = scanFiles), fileCol = Some(abs),
+          posCol = Some(pos))
+        // pin the victim set: the per-file pricing and the sidecar
+        // write must see the same rows
+        val victims = hits(scan)
+          .select(relPathCol(F.col(abs)).as("file"), F.col(pos).as("pos"))
+          .localCheckpoint(eager = true)
+        val perFile = victims.groupBy("file").count()
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        if (perFile.isEmpty) result = Some(Delete(base, 0L))
+        else {
+          val affected = base.files.filter(perFile.contains)
+          val removed = perFile.values.sum
+          // prior DV rows of the affected files carry into the new
+          // sidecar (one dvref per file — the new one supersedes)
+          val oldRefs = dvRefsOf(base, affected)
+          val newDv = if (oldRefs.isEmpty) victims else {
+            val affectedDf = spark.createDataFrame(
+              spark.sparkContext.parallelize(
+                affected.map(org.apache.spark.sql.Row(_)), 1),
+              StructType(Seq(StructField("__aff",
+                org.apache.spark.sql.types.StringType, nullable = false))))
+            val carried = dvRows(spark, root,
+              oldRefs.values.map(_._1).toSeq)
+              .join(affectedDf, F.col("file") === F.col("__aff"),
+                "left_semi")
+            victims.unionByName(carried)
+          }
+          val token = java.util.UUID.randomUUID().toString
+          registerIntent(root, token)
+          val dvDir = s"data/$token"
+          try {
+            val total = removed + oldRefs.values.map(_._2).sum
+            val nParts = math.max(1L,
+              total / (8L * 1000 * 1000)).toInt
+            newDv.repartition(nParts).write.parquet(s"$root/$dvDir")
+            beforeCommit()
+            val affectedSet = affected.toSet
+            var retryScan = false
+            while (result.isEmpty && !retryScan) {
+              val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
+              val drifted = !affectedSet.subsetOf(cur.files.toSet) ||
+                affected.exists(f =>
+                  dvStateOf(cur, f) != dvStateOf(base, f))
+              if (drifted) {
+                restarts += 1
+                if (restarts >= maxRestarts)
+                  throw new IllegalStateException(
+                    s"MoR delete at $root lost $restarts consecutive " +
+                      "races; pause compaction or raise maxRestarts")
+                retryScan = true
+              } else {
+                val stats2 = cur.stats ++ affected.map { f =>
+                  val st = cur.stats.get(f)
+                    .map(ManifestStats.decodeCached)
+                    .getOrElse(ManifestStats.FileStats(-1L, Map.empty))
+                  f -> ManifestStats.encode(st.copy(dvRef = Some(dvDir),
+                    dvRows = st.dvRows + perFile(f)))
+                }
+                if (tryCommit(root, cur.version + 1, cur.files, cur.meta,
+                  cur.schemaJson, stats2))
+                  result = Some(Delete(
+                    Snapshot(cur.version + 1, cur.files, cur.meta,
+                      cur.schemaJson, liveStats(cur.files, stats2)),
+                    removed))
+              }
+            }
+          } finally clearIntent(root, token)
+        }
+      }
+    }
+    result.get
+  }
+
+  /** The `#dvmode:` table declaration: with merge-on-read deletes ON,
+    * the SQL `DELETE FROM` door routes through [[deleteWhereMoR]] /
+    * [[deleteWhereTermsMoR]] instead of the copy-on-write rewrite
+    * (the Scala API always offers both). An ordinary metadata commit;
+    * carries through compaction and every rewrite like any meta
+    * line. */
+  def setMorDeletes(root: String, on: Boolean): Snapshot =
+    commitLoop(root) { cur =>
+      val rest = cur.meta.filterNot(_.startsWith(DvModePrefix))
+      val meta = if (on) rest :+ s"${DvModePrefix}on" else rest
+      (cur.files, meta, cur.schemaJson, cur.stats)
+    }
+
+  /** Is the table declared merge-on-read for SQL deletes? */
+  def morDeletes(snap: Snapshot): Boolean =
+    snap.meta.contains(s"${DvModePrefix}on")
+
   /** A committed MERGE: the snapshot plus how many update rows
     * replaced an existing row vs landed as inserts. */
   final case class Merge(snapshot: Snapshot, matchedRows: Long,
@@ -1620,8 +1992,9 @@ object ManifestTable {
           // nU - matched can never go negative)
           val perFile = if (scanFiles.isEmpty) Array.empty[(String, Long)]
           else {
-            val scan = readSnapshot(spark, root, base.copy(files = scanFiles))
-              .withColumn("__file", F.input_file_name())
+            val scan = readSnapshotImpl(spark, root,
+              base.copy(files = scanFiles), fileCol = Some("__file"),
+              posCol = None)
             scan
               .join(uIds, scan(idCol) === uIds("__merge_id"), "left_semi")
               .select(F.col("__file"), F.col(idCol).as("__id"))
@@ -1886,25 +2259,34 @@ object ManifestTable {
           else keyPrune.map(candidateFiles(spark, root, base, _))
             .getOrElse(base.files)
         // the ANSI cardinality check, on the rows it actually covers:
-        // a duplicated source key that matches a target row would
-        // update/delete it nondeterministically — refuse; duplicates
-        // matching NOTHING are legal and fall to the insert clauses
+        // a violation is a target row MORE THAN ONE source row would
+        // actually MODIFY (fire a matched clause on) — duplicates
+        // matching nothing are legal inserts, and duplicate copies
+        // whose conditions are false on that row attempt nothing. The
+        // probe is bounded to dup-keyed target rows (semi-join), then
+        // counts FIRING source pairs per target row.
         if (matched.nonEmpty && dupKeys.nonEmpty && keyFiles.nonEmpty) {
           val dk = dupKeys.get
           val scan = readSnapshot(spark, root, base.copy(files = keyFiles))
-          require(scan.join(dk, keyJoinCond(scan, dk), "left_semi").isEmpty,
-            "mergeInto: duplicate source key tuples match an existing " +
-              "target row — which duplicate updates it would be " +
-              "nondeterministic (the ANSI MERGE cardinality violation); " +
-              "de-duplicate the source first")
+          val dup = scan.join(dk, keyJoinCond(scan, dk), "left_semi")
+            .withColumn("__rowid", F.monotonically_increasing_id())
+          val firing = dup.join(src, keyJoinCond(dup, src), "inner")
+            .filter(anyHolds(matched))
+          require(firing.groupBy("__rowid").count()
+            .filter(F.col("count") > 1).isEmpty,
+            "mergeInto: more than one source row (duplicate key " +
+              "tuples) attempts to modify the same target row — which " +
+              "copy updates it would be nondeterministic (the ANSI " +
+              "MERGE cardinality violation); de-duplicate the source " +
+              "first")
         }
         val nmbsFiles =
           if (notMatchedBySource.isEmpty || base.files.isEmpty) Seq.empty
           else candidateFiles(spark, root, base,
             anyRaw(notMatchedBySource))
         def scanOf(files: Seq[String]): DataFrame =
-          readSnapshot(spark, root, base.copy(files = files))
-            .withColumn("__file", F.input_file_name())
+          readSnapshotImpl(spark, root, base.copy(files = files),
+            fileCol = Some("__file"), posCol = None)
         // per-file fired-row counts, matched and not-matched-by-source
         // tagged apart — ONE pushed-down job over the union
         val mProbe =
@@ -2199,6 +2581,12 @@ object ManifestTable {
       .getOrElse(return None)
     val keys = statResolve(snap)(col)
     if (snap.files.isEmpty) return None
+    // a deletion vector can have removed the very row a bound came
+    // from — bounds stay SOUND for pruning (supersets), but this
+    // method promises EXACT min/max, so any live DV answers None
+    // (compaction folds DVs and restores the metadata answer)
+    if (snap.files.exists(f => snap.stats.get(f).exists(p =>
+      ManifestStats.decodeCached(p).dvRows > 0L))) return None
     // every file must carry SOME entry for the column (bounds, or the
     // null-only marker — which contributes nothing to min/max)
     val entries = snap.files.map { f =>
@@ -2246,8 +2634,13 @@ object ManifestTable {
                  predicate: Option[Column] = None): Long = {
     val snap = latest(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root"))
+    // LIVE rows of a file: recorded rows minus its exact DV count —
+    // metadata-exact even under merge-on-read deletes (a mustMatch
+    // file's every row matches, deleted ones included, so live
+    // matches = rows − dvRows)
     def rowsOf(f: String): Option[Long] =
-      snap.stats.get(f).map(ManifestStats.decodeCached(_).rows).filter(_ >= 0)
+      snap.stats.get(f).map(ManifestStats.decodeCached)
+        .filter(_.rows >= 0).map(st => st.rows - st.dvRows)
     predicate match {
       case None =>
         val (counted, unstated) = snap.files.partition(rowsOf(_).isDefined)
@@ -2298,10 +2691,12 @@ object ManifestTable {
       if (scanFiles.isEmpty) result = Some(Delete(base, 0L))
       else {
         // the provenance column materializes AT THE SCAN, before any
-        // join/shuffle `hits` may introduce — input_file_name() after
-        // a shuffle boundary returns empty strings
-        val scan = readSnapshot(spark, root, base.copy(files = scanFiles))
-          .withColumn("__file", F.input_file_name())
+        // join/shuffle `hits` may introduce — and the scan overlays
+        // any deletion vectors, so already-MoR-deleted rows are never
+        // victims (or survivors) of a copy-on-write pass
+        val scan = readSnapshotImpl(spark, root,
+          base.copy(files = scanFiles), fileCol = Some("__file"),
+          posCol = None)
         // one pushed-down job: affected file -> victim count
         val perFile = hits(scan)
           .groupBy("__file").count()
@@ -2384,7 +2779,8 @@ object ManifestTable {
         if (i == 0) Set.empty else snaps(i - 1).files.toSet
       val cur = s.files.toSet
       val rowCounts = s.files.map(f =>
-        s.stats.get(f).map(ManifestStats.decodeCached(_).rows).filter(_ >= 0))
+        s.stats.get(f).map(ManifestStats.decodeCached)
+          .filter(_.rows >= 0).map(st => st.rows - st.dvRows))
       val nRows: Option[Long] =
         if (s.files.isEmpty) Some(0L)
         else if (rowCounts.forall(_.isDefined)) Some(rowCounts.flatten.sum)
@@ -2467,6 +2863,14 @@ object ManifestTable {
       s.stats.view.filterKeys(live).values
         .flatMap(p => ManifestStats.decodeCached(p).bloomRef).toSet)
       .getOrElse(Set.empty)
+    // deletion-vector sidecar DIRS referenced by any live file's
+    // payload are live wholesale (their parquet parts plus writer
+    // bookkeeping files); a superseded sidecar is an orphan like any
+    // unreferenced data
+    val liveDvDirs: Set[String] = head.map(s =>
+      s.stats.view.filterKeys(live).values
+        .flatMap(p => ManifestStats.decodeCached(p).dvRef).toSet)
+      .getOrElse(Set.empty)
     val intents = liveIntents(root)
     val dataDir = new HPath(root, "data")
     val fs = fsOf(dataDir)
@@ -2483,7 +2887,8 @@ object ManifestTable {
       if (st.isFile && st.getModificationTime < cutoff) {
         val rel = st.getPath.toUri.getPath.stripPrefix(rootPrefix)
         if (!live(rel) && !tokenOf(rel).exists(intents) &&
-            !liveBloomRefs(rel))
+            !liveBloomRefs(rel) &&
+            !tokenOf(rel).exists(t => liveDvDirs(s"data/$t")))
           victims += rel
       }
     }

