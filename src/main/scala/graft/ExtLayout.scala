@@ -210,6 +210,81 @@ private[graft] object ExtLayout {
     }),
 
 
+    // MERGE-ON-READ delete (deletion vectors, r20): the write-
+    // amplification answer to x_manifest_delete's copy-on-write — the
+    // table is declared MoR via SQL (GRAFT MOR … ON), two SQL DELETEs
+    // commit deletion-vector sidecars WITHOUT rewriting any data file
+    // (the file list is asserted identical), repeat deletes union
+    // into one superseding sidecar per file, a post-delete append
+    // lands untouched, and the read-back goes through the V1 catalog
+    // door — grading the injected overlay rule (GraftMorReads), the
+    // broadcast anti-join on parquet row position, and the DV-exact
+    // row accounting in one hash.
+    "x_manifest_delete_mor" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_mor")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 3 === 0))
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 3 === 1))
+      graft.api.Graft(s, dir)
+        .registerManifest("mor_corpus", root, persistent = true)
+      s.sql(s"GRAFT MOR TABLE mor_corpus ON")
+      val before = graft.operators.ManifestTable.latest(root).get.files
+      s.sql("DELETE FROM mor_corpus WHERE doc_id % 5 = 0")
+      s.sql("DELETE FROM mor_corpus WHERE doc_id % 7 = 0")
+      val after = graft.operators.ManifestTable.latest(root).get.files
+      require(after == before,
+        "MoR DELETE must not rewrite any data file")
+      // an append AFTER the deletes: its rows (matching or not) are
+      // untouched by the standing DVs
+      graft.operators.ManifestTable.append(s, root,
+        docs.filter(F.col("doc_id") % 3 === 2))
+      s.catalog.refreshTable("mor_corpus")
+      s.sql("SELECT doc_id, lang, source FROM mor_corpus")
+    }),
+
+
+    // PREDICATE OVERWRITE (replaceWhere, r20) — the daily-partition-
+    // reload shape: two disjoint doc_id bands are each replaced with
+    // a RELOADED slice (fewer rows, rewritten lang) in ONE ledgered
+    // commit per band — band one through the v2 SQL door (INSERT
+    // INTO … REPLACE WHERE, OverwriteByExpression → the ledgered
+    // overwriteWhere), band two through the V1 writer option
+    // (.option("replaceWhere", …).mode(overwrite)). Files outside a
+    // band carry by reference; rows inside it that the reload drops
+    // must VANISH; a leaked row outside the band (the constraint the
+    // op validates) or a double-applied band fails the hash.
+    "x_manifest_replace_where" -> ((s, dir) => {
+      val root = layoutDir(dir, "manifest_rw")
+      deleteRec(new java.io.File(root))
+      val docs = Tables.scan(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      graft.operators.ManifestTable.init(root, Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, root, docs)
+      graft.api.Graft(s, dir)
+        .registerManifest("rw_corpus", root, persistent = true)
+      graft.catalog.GraftCatalog.install(s)
+      docs.createOrReplaceTempView("rw_src")
+      s.sql("INSERT INTO graft.default.rw_corpus " +
+        "REPLACE WHERE doc_id >= 100 AND doc_id < 200 " +
+        "SELECT doc_id, 'xx' AS lang, source FROM rw_src " +
+        "WHERE doc_id >= 100 AND doc_id < 200 AND doc_id % 2 = 0")
+      docs.filter(F.col("doc_id") >= 300 && F.col("doc_id") < 400 &&
+          F.col("doc_id") % 2 === 0)
+        .withColumn("lang", F.lit("yy"))
+        .write.format("graft-manifest")
+        .option("path", root)
+        .option("replaceWhere", "doc_id >= 300 AND doc_id < 400")
+        .mode("overwrite").save()
+      s.catalog.refreshTable("rw_corpus")
+      s.sql("SELECT doc_id, lang, source FROM rw_corpus")
+    }),
+
+
     // row-level UPDATE through the manifest (copy-on-write, the S6
     // twin at scale): two appends, then updateWhere(doc_id % 7 = 0)
     // rewrites lang and n_chars on matched rows while a CONCURRENT
@@ -487,16 +562,23 @@ private[graft] object ExtLayout {
         docs.filter(F.col("doc_id") % 2 === 0)
           .select(F.col("doc_id"), F.col("source"),
             F.col("n_chars").cast("int").as("n_chars")))
+      // EXPLICIT SQL widening (r20): ALTER COLUMN … TYPE BIGINT
+      // re-routes at parse time to the ledger widen (metadata-only;
+      // the int files upcast at read) and refreshes the catalog
+      // entry in place — graded against the append-driven widening
+      // arm below and the post-compact read-back, all in one hash
+      graft.api.Graft(s, dir)
+        .registerManifest("widen_corpus", root, persistent = true)
+      s.sql("ALTER TABLE widen_corpus ALTER COLUMN n_chars TYPE BIGINT")
       graft.operators.ManifestTable.append(s, root,
         docs.filter(F.col("doc_id") % 2 =!= 0)
           .select(F.col("doc_id"), F.col("source"),
             F.col("n_chars").cast("long").as("n_chars")))
       graft.operators.ManifestTable.compact(s, root,
         targetFileBytes = 4L * 1024 * 1024)
-      graft.operators.ManifestTable.read(s, root)
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).as("n_docs"),
-          F.sum(F.col("n_chars")).as("sum_chars"))
+      s.catalog.refreshTable("widen_corpus")
+      s.sql("SELECT source, count(*) AS n_docs, " +
+        "sum(n_chars) AS sum_chars FROM widen_corpus GROUP BY source")
     }),
 
 
@@ -1533,6 +1615,23 @@ private[graft] object ExtLayout {
       ("SELECT doc_id, lang, source FROM documents " +
         "WHERE (doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0) " +
         "OR doc_id % 3 = 2"),
+
+    // the MoR deletes hit the first two splits (%5 then %7, DV'd, no
+    // rewrite); the third split appended after them survives whole
+    "x_manifest_delete_mor" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        "WHERE (doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0 " +
+        "AND doc_id % 7 <> 0) OR doc_id % 3 = 2"),
+
+    // each replaced band keeps only its reloaded (even-id, recolored)
+    // rows; everything outside the bands is untouched
+    "x_manifest_replace_where" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id >= 100 AND doc_id < 200 THEN 'xx' " +
+        "WHEN doc_id >= 300 AND doc_id < 400 THEN 'yy' " +
+        "ELSE lang END AS lang, source FROM documents " +
+        "WHERE doc_id < 100 OR (doc_id >= 200 AND doc_id < 300) " +
+        "OR doc_id >= 400 OR doc_id % 2 = 0"),
 
     // the update touched only the first two splits; the racing
     // third-split append post-dates the match scan and stays original

@@ -380,10 +380,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"'${del.fieldNames().mkString(".")}' is nested")
         ManifestSqlAlter.DropColumnsCommand(v1,
           Seq(del.fieldNames().head), del.ifExists()).run(session)
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1,
+          "manifest ALTER COLUMN TYPE changes top-level columns only; " +
+            s"'${upd.fieldNames().mkString(".")}' is nested")
+        ManifestSqlAlter.WidenColumnCommand(v1,
+          upd.fieldNames().head, upd.newDataType()).run(session)
       case other => throw new UnsupportedOperationException(
         s"graft catalog does not support table change " +
           s"${other.getClass.getSimpleName} — supported: ADD COLUMNS, " +
-          "RENAME COLUMN, DROP COLUMN")
+          "RENAME COLUMN, DROP COLUMN, ALTER COLUMN TYPE (in-family " +
+          "numeric widening)")
     }
     loadTable(ident)
   }

@@ -85,16 +85,28 @@ final case class GraftTable(spark: SparkSession, fullName: String,
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def properties(): util.Map[String, String] =
     Map("path" -> root,
       "provider" -> ManifestSql.ManifestProvider).asJava
 
+  /** `INSERT OVERWRITE` arrives as truncate() (= overwrite
+    * AlwaysTrue); `INSERT INTO … REPLACE WHERE <cond>` arrives as
+    * overwrite(filters) — the PREDICATE OVERWRITE shape, served by
+    * [[graft.operators.ManifestTable.overwriteWhere]]: replace
+    * exactly the matching rows with the query's in one ledgered
+    * commit (pruned victim rewrite + append; new rows must satisfy
+    * the predicate). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      private var replaceFilters
+          : Option[Array[org.apache.spark.sql.sources.Filter]] = None
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : WriteBuilder = { replaceFilters = Some(filters); this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -107,10 +119,27 @@ final case class GraftTable(spark: SparkSession, fullName: String,
                   "read-only from SQL (the documented rename-chain " +
                   "contract); write through the ManifestTable Scala API")
               val session = data.sparkSession
-              // positional alignment + the BatchIdConf ledger contract
-              // + the commit, all through the ONE V1-shared owner
-              ManifestSql.sqlInsertAt(session, root, data, overwrite,
-                ManifestSql.relation(session, root, None).columns.toSeq)
+              val columns =
+                ManifestSql.relation(session, root, None).columns.toSeq
+              val truncating = replaceFilters.exists(_.forall(
+                _ == org.apache.spark.sql.sources.AlwaysTrue))
+              replaceFilters.filterNot(_ => truncating) match {
+                case Some(filters) =>
+                  val cond = filters.map(GraftTable.filterToColumn)
+                    .reduceOption(_ && _)
+                    .getOrElse(org.apache.spark.sql.functions.lit(true))
+                  val aligned =
+                    if (data.columns.toSeq == columns) data
+                    else data.toDF(columns.toIndexedSeq: _*)
+                  graft.operators.ManifestTable.overwriteWhere(
+                    session, root, cond, aligned)
+                  ()
+                case None =>
+                  // positional alignment + the BatchIdConf ledger
+                  // contract + the commit, through the ONE V1 owner
+                  ManifestSql.sqlInsertAt(session, root, data,
+                    truncating, columns)
+              }
               session.catalog.refreshByPath(root)
               // the V1 door's per-NAME relation cache pins the
               // snapshot it resolved — drop it so the session's next
@@ -122,4 +151,41 @@ final case class GraftTable(spark: SparkSession, fullName: String,
           }
       }
     }
+}
+
+object GraftTable {
+
+  /** The v2 `REPLACE WHERE` condition arrives as translated source
+    * filters — re-expressed as a Column for the ledgered predicate
+    * overwrite. Every translatable shape is covered; an unknown
+    * filter class refuses loudly (never silently widen or narrow a
+    * REPLACE region). */
+  private[catalog] def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.functions._
+    f match {
+      case AlwaysTrue() => lit(true)
+      case AlwaysFalse() => lit(false)
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isInCollection(vs.toSeq)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case And(l, r) => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+      case Not(c) => !filterToColumn(c)
+      case StringStartsWith(a, v) => col(a).startsWith(v)
+      case StringEndsWith(a, v) => col(a).endsWith(v)
+      case StringContains(a, v) => col(a).contains(v)
+      case other => throw new UnsupportedOperationException(
+        s"REPLACE WHERE filter shape ${other.getClass.getSimpleName} " +
+          "is not supported on manifest tables")
+    }
+  }
 }

@@ -561,6 +561,52 @@ object ManifestTable {
     }
   }
 
+  /** WIDEN a column's recorded type — metadata-only commit, zero data
+    * I/O: the same in-family numeric widening an appended wider batch
+    * triggers ([[widen]]: byte→short→int→long, float→double — the
+    * exact upcasts Spark's parquet reader performs on files narrower
+    * than the read schema), but EXPLICIT, so `ALTER TABLE … ALTER
+    * COLUMN … TYPE` works without writing a row. Narrowing and
+    * cross-family changes refuse with the reason named. Recorded
+    * per-file stats stay prune-sound across the widening (bounds
+    * normalize canonically — ManifestTableSpec pins the float→double
+    * case). A no-op widen (same type) commits nothing. */
+  def widenColumn(spark: SparkSession, root: String, name: String,
+                  to: DataType): Snapshot = {
+    var res: Option[Snapshot] = None
+    while (res.isEmpty) {
+      val cur = latest(root).getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      val schema = recordedSchema(cur).orElse(
+        seededSchemaJson(spark, root, cur)
+          .map(DataType.fromJson(_).asInstanceOf[StructType]))
+        .getOrElse(throw new IllegalStateException(
+          s"cannot widen on an empty, schema-less table at $root"))
+      val field = schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' to widen " +
+            s"(have ${schema.fieldNames.mkString(",")})"))
+      val w = widen(field.dataType, to).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot change column '$name' from " +
+            s"${field.dataType.catalogString} to ${to.catalogString} " +
+            "(only in-family numeric widening is supported)"))
+      require(w == to,
+        s"cannot NARROW column '$name' from " +
+          s"${field.dataType.catalogString} to ${to.catalogString}")
+      if (w == field.dataType) res = Some(cur) // already that wide
+      else {
+        val newSchema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f))
+        if (tryCommit(root, cur.version + 1, cur.files, cur.meta,
+          Some(newSchema.json), cur.stats))
+          res = Some(Snapshot(cur.version + 1, cur.files, cur.meta,
+            Some(newSchema.json), cur.stats))
+      }
+    }
+    res.get
+  }
+
   /** Schema-ledger seed for a PRE-LEDGER manifest: when the current
     * snapshot holds files but no recorded schema (a table created
     * before the ledger existed), the merge must start from the schema
@@ -1064,10 +1110,10 @@ object ManifestTable {
     * delete's overlay is a map-side hash probe — no shuffle on the
     * 100 TB scan side); a huge DV falls back to a plain join and is
     * compaction's cue to fold. */
-  private def overlayDv(spark: SparkSession, root: String,
-                        dvMap: Map[String, (String, Long)],
-                        scanned: DataFrame, absCol: String,
-                        posCol: String): DataFrame = {
+  private[graft] def overlayDv(spark: SparkSession, root: String,
+                               dvMap: Map[String, (String, Long)],
+                               scanned: DataFrame, absCol: String,
+                               posCol: String): DataFrame = {
     if (dvMap.isEmpty) return scanned
     val dv = dvRows(spark, root, dvMap.values.map(_._1).toSeq,
       Some(dvMap.keys.toSeq))
@@ -1852,6 +1898,126 @@ object ManifestTable {
       }
     }
     result.get
+  }
+
+  /** PREDICATE OVERWRITE — `replaceWhere` / v2 `INSERT INTO …
+    * REPLACE WHERE`: replace EXACTLY the rows matching `predicate`
+    * with `df`, in ONE ledgered commit. The daily-partition-reload
+    * shape: on a date-clustered 100 TB table, reloading one day
+    * rewrites only that day's files (the victim scan prunes through
+    * bounds + Blooms like [[deleteWhere]]'s) and appends the new
+    * files — never a full-table rewrite, never two commits with a
+    * visible half-state between them.
+    *
+    *  - every NEW row must satisfy `predicate` (the Delta
+    *    `replaceWhere` constraint): a violating reload would
+    *    silently leak rows outside the replaced region — refused
+    *    up front with the violation counted;
+    *  - files with no matching row carry by reference; files with
+    *    matching rows are rewritten WITHOUT them (the keep side
+    *    reads through any deletion-vector overlay, folding DVs for
+    *    the files it touches); `df`'s rows land as fresh files. All
+    *    three sets publish in one atomic commit;
+    *  - `df` may add columns — the recorded schema merges exactly as
+    *    an append's would;
+    *  - RACING APPEND semantics are [[deleteWhere]]'s snapshot
+    *    isolation: an append committing between this op's victim
+    *    scan and its commit survives untouched even where its rows
+    *    match `predicate` (they post-date the scan); a conflicting
+    *    REWRITE of an affected file restarts the scan, up to
+    *    `maxRestarts`;
+    *  - returns the committed snapshot and the REPLACED row count.
+    * A no-victim predicate degrades to a plain ledgered append of
+    * `df` (the reload of a not-yet-loaded day). */
+  def overwriteWhere(spark: SparkSession, root: String,
+                     predicate: Column, df: DataFrame,
+                     beforeCommit: () => Unit = () => (),
+                     maxRestarts: Int = 8): Delete = {
+    require(maxRestarts >= 1, "maxRestarts must be >= 1")
+    val head0 = latest(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root"))
+    val pinned = df.localCheckpoint(eager = true)
+    val violations = pinned
+      .filter(!F.coalesce(predicate, F.lit(false))).count()
+    require(violations == 0L,
+      s"overwriteWhere: $violations new row(s) do not satisfy the " +
+        "replace predicate — they would land OUTSIDE the replaced " +
+        "region; widen the predicate or filter the input")
+    val (newFiles, newToken, newStats) =
+      writeData(spark, root, pinned, statSpecOf(Some(head0)))
+    try {
+      var restarts = 0
+      var result: Option[Delete] = None
+      while (result.isEmpty) {
+        val base = latest(root).getOrElse(Snapshot(-1, Seq.empty))
+        val schemaNew = Some(mergeSchemaJson(
+          seededSchemaJson(spark, root, base), pinned.schema,
+          reservedNames(base.meta)))
+        val scanFiles =
+          if (base.files.isEmpty) Seq.empty
+          else candidateFiles(spark, root, base, predicate)
+        val (affected, removed) =
+          if (scanFiles.isEmpty) (Seq.empty[String], 0L)
+          else {
+            val scan = readSnapshotImpl(spark, root,
+              base.copy(files = scanFiles), fileCol = Some("__file"),
+              posCol = None)
+            val perFile = scan.filter(predicate)
+              .groupBy("__file").count()
+              .collect().map(r => (r.getString(0), r.getLong(1)))
+            val hitRel = perFile.iterator.map(x => relPathOf(x._1)).toSet
+            (base.files.filter(hitRel), perFile.map(_._2).sum)
+          }
+        if (affected.isEmpty) {
+          // nothing to replace: the op is a plain ledgered append
+          beforeCommit()
+          while (result.isEmpty) {
+            val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
+            val files = cur.files ++ newFiles
+            val stats = cur.stats ++ newStats
+            if (tryCommit(root, cur.version + 1, files, cur.meta,
+              schemaNew, stats))
+              result = Some(Delete(Snapshot(cur.version + 1, files,
+                cur.meta, schemaNew, liveStats(files, stats)), 0L))
+          }
+        } else {
+          // keep side of the affected files (DV overlay applied, so
+          // a MoR-deleted row neither survives nor double-counts)
+          val keep = readSnapshot(spark, root,
+            base.copy(files = affected))
+            .filter(!F.coalesce(predicate, F.lit(false)))
+          val (keptFiles, keptToken, keptStats) =
+            writeData(spark, root, keep, statSpecOf(Some(base)))
+          try {
+            beforeCommit()
+            val affectedSet = affected.toSet
+            var retryScan = false
+            while (result.isEmpty && !retryScan) {
+              val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
+              if (!affectedSet.subsetOf(cur.files.toSet)) {
+                restarts += 1
+                if (restarts >= maxRestarts)
+                  throw new IllegalStateException(
+                    s"overwriteWhere at $root lost $restarts " +
+                      "consecutive rewrite races; pause compaction or " +
+                      "raise maxRestarts")
+                retryScan = true
+              } else {
+                val files = cur.files.filterNot(affectedSet) ++
+                  keptFiles ++ newFiles
+                val stats = cur.stats ++ keptStats ++ newStats
+                if (tryCommit(root, cur.version + 1, files, cur.meta,
+                  schemaNew, stats))
+                  result = Some(Delete(
+                    Snapshot(cur.version + 1, files, cur.meta,
+                      schemaNew, liveStats(files, stats)), removed))
+              }
+            }
+          } finally clearIntent(root, keptToken)
+        }
+      }
+      result.get
+    } finally clearIntent(root, newToken)
   }
 
   /** The `#dvmode:` table declaration: with merge-on-read deletes ON,

@@ -249,6 +249,10 @@ object GraftFunctions {
     // ALTER TABLE ... ADD COLUMNS on manifest catalog tables: schema
     // ledger commit + in-place catalog refresh (no re-register)
     e.injectPostHocResolutionRule(ManifestSqlAlter.apply)
+    // merge-on-read READ correctness for catalog-resolved manifest
+    // relations whose pinned snapshot carries deletion vectors — runs
+    // LAST so the DML/insert rules above still see raw targets
+    e.injectPostHocResolutionRule(GraftMorReads)
     // maintenance DDL (GRAFT COMPACT/VACUUM/EXPIRE/MAINTAIN) — a
     // four-statement grammar; everything else delegates verbatim.
     // The wrapper also re-routes ALTER TABLE RENAME/DROP COLUMN on

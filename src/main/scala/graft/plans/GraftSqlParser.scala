@@ -23,6 +23,7 @@ import graft.operators.ManifestTable
   *   GRAFT VACUUM {'<root>'|TABLE <name>} [RETAIN <n> HOURS]
   *   GRAFT EXPIRE {'<root>'|TABLE <name>} KEEP <k>
   *   GRAFT MAINTAIN {'<root>'|TABLE <name>} [TARGET <bytes>] [CLUSTER BY c1[, c2…]]
+  *   GRAFT MOR {'<root>'|TABLE <name>} {ON|OFF}
   * }}}
   *
   * The target is a path literal, or — for catalog users who never
@@ -129,6 +130,9 @@ object GraftSqlParser {
   private val MaintainRe =
     ("""(?is)^\s*GRAFT\s+MAINTAIN\s+""" + TargetRe +
       """(?:\s+TARGET\s+(\d+))?(?:\s+CLUSTER\s+BY\s+([\w\s,]+?))?\s*;?\s*$""").r
+  private val MorRe =
+    ("""(?is)^\s*GRAFT\s+MOR\s+""" + TargetRe +
+      """\s+(ON|OFF)\s*;?\s*$""").r
 
   private def unquote(s: String): String = s.replace("''", "'")
   private def cols(s: String): Seq[String] =
@@ -157,12 +161,16 @@ object GraftSqlParser {
         Some(GraftMaintainCommand(refOf(root, ident),
           Option(target).map(_.toLong).getOrElse(DefaultTargetBytes),
           cols(by)))
+      case MorRe(root, ident, mode) =>
+        Some(GraftMorCommand(refOf(root, ident),
+          mode.equalsIgnoreCase("ON")))
       case _ => throw new IllegalArgumentException(
         "malformed GRAFT statement — usage:\n" +
           "  GRAFT COMPACT {'<root>'|TABLE <name>} [TARGET <bytes>] [CLUSTER BY c1[, c2…]]\n" +
           "  GRAFT VACUUM {'<root>'|TABLE <name>} [RETAIN <n> HOURS]\n" +
           "  GRAFT EXPIRE {'<root>'|TABLE <name>} KEEP <k>\n" +
-          "  GRAFT MAINTAIN {'<root>'|TABLE <name>} [TARGET <bytes>] [CLUSTER BY c1[, c2…]]")
+          "  GRAFT MAINTAIN {'<root>'|TABLE <name>} [TARGET <bytes>] [CLUSTER BY c1[, c2…]]\n" +
+          "  GRAFT MOR {'<root>'|TABLE <name>} {ON|OFF}")
     }
   }
 
@@ -261,6 +269,32 @@ object GraftSqlParser {
           }
           ManifestSqlAlter.DropColumnsCommand(ident, names,
             ifExists): LogicalPlan
+        }.getOrElse(plan)
+      // ALTER COLUMN … TYPE — v2-only like RENAME/DROP COLUMN, so
+      // the re-route must happen at parse time too. ONLY the pure
+      // type-change shape routes to the ledger widen; any other spec
+      // (comment, position, nullability, default) passes through to
+      // the stock (refusing) path rather than being half-applied.
+      case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns
+          if ac.table.isInstanceOf[UnresolvedTable] &&
+            ac.specs.forall(s => s.newDataType.isDefined &&
+              s.newNullability.isEmpty && s.newComment.isEmpty &&
+              s.newPosition.isEmpty && s.newDefaultExpression.isEmpty &&
+              !s.dropDefault) =>
+        val u = ac.table.asInstanceOf[UnresolvedTable]
+        manifestIdentOf(session, u.multipartIdentifier).map { ident =>
+          require(ac.specs.size == 1,
+            "manifest ALTER COLUMN TYPE changes one column per " +
+              "statement")
+          val spec = ac.specs.head
+          val col = spec.column match {
+            case UnresolvedFieldName(name) =>
+              topLevel(name, "ALTER COLUMN")
+            case other => throw new IllegalStateException(
+              s"unexpected field shape in ALTER COLUMN: $other")
+          }
+          ManifestSqlAlter.WidenColumnCommand(ident, col,
+            spec.newDataType.get): LogicalPlan
         }.getOrElse(plan)
       case other => other
     }
@@ -361,6 +395,19 @@ object GraftSqlParser {
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(ManifestTable.expireManifests(target.rootIn(session),
         keep).size.toLong))
+  }
+
+  /** `GRAFT MOR <t> ON|OFF` — declare (or revoke) merge-on-read
+    * deletes: with the flag on, SQL `DELETE FROM` records deletion
+    * vectors instead of rewriting victim files
+    * ([[ManifestTable.setMorDeletes]]). */
+  case class GraftMorCommand(target: TableRef, on: Boolean)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(ManifestTable.setMorDeletes(target.rootIn(session), on)
+        .version.toLong))
   }
 
   case class GraftMaintainCommand(target: TableRef, targetBytes: Long,

@@ -224,6 +224,38 @@ object ManifestSqlAlter {
     }
   }
 
+  /** `ALTER TABLE … ALTER COLUMN c TYPE <t>` on a manifest catalog
+    * table: the ledger's in-family numeric widening
+    * ([[ManifestTable.widenColumn]] — metadata-only, files narrower
+    * than the new type upcast at read exactly as Spark's parquet
+    * reader always does), then the in-place catalog-schema update of
+    * the ADD COLUMNS epilogue (widening changes a column's TYPE, not
+    * the projection shape — no re-register needed). Narrowing and
+    * cross-family changes refuse loudly from the ledger. */
+  case class WidenColumnCommand(ident: TableIdentifier,
+                                col: String,
+                                to: org.apache.spark.sql.types.DataType)
+    extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      val cat = session.sessionState.catalog
+      val root = rootOf(session, ident)
+      val resolved = resolveCol(session, root, col).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$col' to widen on ${ident.quotedString}"))
+      val name = ident.quotedString
+      if (session.catalog.isCached(name)) session.catalog.uncacheTable(name)
+      ManifestTable.widenColumn(session, root, resolved, to)
+      val snap = ManifestTable.latest(root).getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      val (physical, _) = ManifestTable.readShapeOf(
+        ManifestTable.recordedSchemaOf(session, root, snap),
+        ManifestTable.colmapOfSnap(snap))
+      cat.alterTableDataSchema(ident, physical)
+      cat.refreshTable(ident)
+      Seq.empty
+    }
+  }
+
   /** TRUNCATE as a versioned ledger commit: overwrite with zero rows
     * of the RECORDED schema — never a file deletion (see the rule's
     * doc). History stays time travel-readable; the superseded files

@@ -128,6 +128,15 @@ final class ManifestSource extends RelationProvider
         s"statCols/bloomCols/bloomCapacity are creation-time " +
           s"declarations and the manifest table at $root already " +
           "exists — drop/re-init the table to change its stat shape")
+    // PREDICATE OVERWRITE: mode(Overwrite) + a 'replaceWhere' option
+    // (a SQL boolean expression) replaces exactly the matching rows
+    // with the batch in one ledgered commit (ManifestTable
+    // .overwriteWhere — pruned victim scan, new rows must satisfy
+    // the predicate). The daily-partition-reload shape.
+    val replaceWhere = parameters.get("replaceWhere").map(_.trim)
+      .filter(_.nonEmpty)
+    require(replaceWhere.isEmpty || mode == SaveMode.Overwrite,
+      "'replaceWhere' applies to mode(\"overwrite\") only")
     mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(
@@ -138,9 +147,14 @@ final class ManifestSource extends RelationProvider
         if (!exists)
           ManifestTable.init(root, statCols, bloomCols,
             bloomCap.getOrElse(ManifestStats.BloomKeyCapacity))
-        if (mode == SaveMode.Overwrite && exists)
-          ManifestTable.overwrite(spark, root, data)
-        else ManifestTable.append(spark, root, data)
+        (mode, replaceWhere) match {
+          case (SaveMode.Overwrite, Some(cond)) if exists =>
+            ManifestTable.overwriteWhere(spark, root,
+              org.apache.spark.sql.functions.expr(cond), data)
+          case (SaveMode.Overwrite, _) if exists =>
+            ManifestTable.overwrite(spark, root, data)
+          case _ => ManifestTable.append(spark, root, data)
+        }
         // cached plans over the root must not serve the pre-write
         // snapshot (same contract as the SQL insert path)
         spark.catalog.refreshByPath(root)

@@ -105,9 +105,21 @@ object ManifestSql {
       lazy val totalBytes: Long =
         snap.files.map(f =>
           recordedBytesOf(f).getOrElse(statusOf(f).getLen)).sum
+      /** Any deletion vector among the pinned files? Once per pin. */
+      lazy val hasDv: Boolean = ManifestTable.hasDv(snap)
     }
 
     @volatile private var pin = new Pin(initial)
+
+    /** The snapshot this index currently serves — what the DV-overlay
+      * machinery keys on (same pin as the planned scan, so overlay
+      * and file list always agree). */
+    private[graft] def pinnedSnapshot: ManifestTable.Snapshot = pin.snap
+
+    /** Does the pinned snapshot carry any deletion vector? Computed
+      * once per pin ([[graft.plans.GraftMorReads]] probes this on
+      * every query — O(files) once, not per query). */
+    private[graft] def pinnedHasDv: Boolean = pin.hasDv
 
     override def rootPaths: Seq[HPath] = Seq(new HPath(root))
 
@@ -204,7 +216,8 @@ object ManifestSql {
   final class ManifestWritableRelation private[sources] (
       spark: SparkSession, val root: String,
       val versionAsOf: Option[Int],
-      idx: ManifestFileIndex, physical: StructType)
+      private[graft] val idx: ManifestFileIndex,
+      private[graft] val physical: StructType)
     extends HadoopFsRelation(idx, StructType(Nil), physical, None,
       new ManifestGuardedParquet, Map.empty)(spark)
     with org.apache.spark.sql.sources.InsertableRelation {
@@ -295,29 +308,41 @@ object ManifestSql {
     spark.catalog.refreshByPath(idx.root)
   }
 
+  /** Should SQL deletes on this table run merge-on-read? The
+    * `#dvmode:` table declaration ([[ManifestTable.setMorDeletes]]). */
+  private def sqlDeletesAreMoR(idx: ManifestFileIndex): Boolean =
+    ManifestTable.latest(idx.root).exists(ManifestTable.morDeletes)
+
   /** The ONE owner of SQL `DELETE FROM` semantics: the ledgered
     * copy-on-write [[ManifestTable.deleteWhere]] (victim scan pruned
-    * by the predicate through bounds + Blooms), then the shared pin
-    * move + cache invalidation. */
+    * by the predicate through bounds + Blooms) — or, on a table
+    * declared merge-on-read ([[ManifestTable.setMorDeletes]]), the
+    * deletion-vector [[ManifestTable.deleteWhereMoR]], which rewrites
+    * NO data file — then the shared pin move + cache invalidation. */
   private[graft] def sqlDelete(spark: SparkSession, idx: ManifestFileIndex,
                                predicate: org.apache.spark.sql.Column)
       : Unit = {
     requireHead(idx, "DELETE FROM")
-    ManifestTable.deleteWhere(spark, idx.root, predicate)
+    if (sqlDeletesAreMoR(idx))
+      ManifestTable.deleteWhereMoR(spark, idx.root, predicate)
+    else ManifestTable.deleteWhere(spark, idx.root, predicate)
     afterSqlWrite(spark, idx)
   }
 
   /** SQL `DELETE FROM … WHERE [p AND] <membership terms>` — each
     * term a `c IN (SELECT …)` or equality-correlated `[NOT] EXISTS`
-    * conjunct: [[ManifestTable.deleteWhereTerms]] under the same
-    * guards — the subqueries arrive as unbounded values frames. */
+    * conjunct: [[ManifestTable.deleteWhereTerms]] (merge-on-read
+    * twin under `#dvmode:`) under the same guards — the subqueries
+    * arrive as unbounded values frames. */
   private[graft] def sqlDeleteIn(spark: SparkSession,
                                  idx: ManifestFileIndex,
                                  residue: Option[org.apache.spark.sql.Column],
                                  terms: Seq[ManifestTable.MembershipTerm])
       : Unit = {
     requireHead(idx, "DELETE FROM")
-    ManifestTable.deleteWhereTerms(spark, idx.root, residue, terms)
+    if (sqlDeletesAreMoR(idx))
+      ManifestTable.deleteWhereTermsMoR(spark, idx.root, residue, terms)
+    else ManifestTable.deleteWhereTerms(spark, idx.root, residue, terms)
     afterSqlWrite(spark, idx)
   }
 
@@ -433,8 +458,14 @@ object ManifestSql {
     * [[ManifestSource]] serves out of the persistent catalog. */
   private[sources] def baseRelation(spark: SparkSession, root: String,
                                     versionAsOf: Option[Int])
+      : ManifestWritableRelation =
+    baseRelationAt(spark, root, versionAsOf,
+      resolveSnapshot(root, versionAsOf))
+
+  private def baseRelationAt(spark: SparkSession, root: String,
+                             versionAsOf: Option[Int],
+                             snap: ManifestTable.Snapshot)
       : ManifestWritableRelation = {
-    val snap = resolveSnapshot(root, versionAsOf)
     val (physical, _) = ManifestTable.readShapeOf(
       ManifestTable.recordedSchemaOf(spark, root, snap),
       ManifestTable.colmapOfSnap(snap))
@@ -443,19 +474,123 @@ object ManifestSql {
     new ManifestWritableRelation(spark, root, versionAsOf, idx, physical)
   }
 
+  // ---- merge-on-read overlay for the SQL doors ----
+
+  /** True while THIS THREAD is building a manifest relation or its DV
+    * overlay: the injected [[graft.plans.GraftMorReads]] rule must
+    * not fire on the internal analyses those constructions trigger
+    * (it would recurse / double-wrap). */
+  private val constructing = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  private[graft] def underConstruction: Boolean = constructing.get()
+
+  private[graft] def guardedConstruction[A](f: => A): A = {
+    val prev = constructing.get()
+    constructing.set(true)
+    try f finally constructing.set(prev)
+  }
+
+  /** The DELETION-VECTOR overlay over a planned manifest frame:
+    * select `cols` plus the parquet file/row-position metadata,
+    * anti-join the pinned snapshot's DV rows, and project back to
+    * exactly `cols` — the same shape every Scala read plans inside
+    * [[ManifestTable]], expressed over the SQL relation (pushed
+    * filters still reach the scan THROUGH the left side of the
+    * anti-join). */
+  private def withDvOverlay(spark: SparkSession, root: String,
+                            snap: ManifestTable.Snapshot,
+                            base: DataFrame,
+                            cols: Seq[org.apache.spark.sql.Column])
+      : DataFrame = {
+    val abs = "__graft_abs"
+    val pos = "__graft_pos"
+    val wide = base.select(cols ++ Seq(
+      org.apache.spark.sql.functions.col("_metadata.file_path").as(abs),
+      org.apache.spark.sql.functions.col("_metadata.row_index").as(pos))
+      : _*)
+    ManifestTable.overlayDv(spark, root,
+      ManifestTable.dvRefsOf(snap, snap.files), wide, abs, pos)
+      .drop(abs, pos)
+  }
+
+  /** Overlay an already-analyzed V1 manifest [[org.apache.spark.sql
+    * .execution.datasources.LogicalRelation]] (the persistent-catalog
+    * resolution path) with its pinned snapshot's deletion vectors —
+    * the plan [[graft.plans.GraftMorReads]] swaps in. `rel` may be
+    * the [[ManifestWritableRelation]] itself OR the plain
+    * `HadoopFsRelation` copy Spark's FindDataSourceTable leaves (the
+    * copy keeps the [[ManifestFileIndex]], which carries everything
+    * the overlay needs). Output attributes re-alias under the
+    * original exprIds so parents keep resolving (the same pattern as
+    * the DSv2 read swap). */
+  private[graft] def dvOverlayFor(spark: SparkSession,
+                                  idx: ManifestFileIndex,
+                                  rel: org.apache.spark.sql.sources
+                                    .BaseRelation,
+                                  original: org.apache.spark.sql.catalyst
+                                    .plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    guardedConstruction {
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      val snap = idx.pinnedSnapshot
+      val base = spark.baseRelationToDataFrame(rel)
+      val overlaid = withDvOverlay(spark, idx.root, snap, base,
+        original.output.map(a =>
+          org.apache.spark.sql.functions.col(a.name)))
+      val analyzed0 = overlaid.queryExecution.analyzed
+      // Catalog.refreshTable walks the resolved plan and does an
+      // UNGUARDED catalogTable.get on every LogicalRelation leaf —
+      // a catalog-resolved original carries its CatalogTable, so
+      // every relation inside the overlay (the re-read table AND the
+      // DV sidecar scan, whose cache identity IS this table) must
+      // carry it too, or refreshTable dies on None.get
+      val analyzed = original match {
+        case olr: org.apache.spark.sql.execution.datasources
+          .LogicalRelation if olr.catalogTable.isDefined =>
+          analyzed0.transform {
+            case ilr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation if ilr.catalogTable.isEmpty =>
+              ilr.copy(catalogTable = olr.catalogTable)
+          }
+        case _ => analyzed0
+      }
+      val resolver = spark.sessionState.conf.resolver
+      val aligned = original.output.map { out =>
+        val src = analyzed.output.find(a => resolver(a.name, out.name))
+          .getOrElse(throw new IllegalStateException(
+            s"column '${out.name}' missing from the DV-overlaid " +
+              s"manifest relation at ${idx.root}"))
+        Alias(src, out.name)(exprId = out.exprId,
+          qualifier = out.qualifier)
+      }
+      org.apache.spark.sql.catalyst.plans.logical.Project(aligned,
+        analyzed)
+    }
+
   /** The manifest table as a DataFrame whose SCAN prunes on pushed
     * filters — the composable form ([[register]] wraps it in a temp
-    * view). `versionAsOf` pins time travel. */
+    * view). `versionAsOf` pins time travel. A snapshot carrying
+    * deletion vectors gets the overlay applied HERE (one resolution
+    * serves pin and overlay), so the frame is correct even in a
+    * session without the graft extensions. */
   def relation(spark: SparkSession, root: String,
-               versionAsOf: Option[Int] = None): DataFrame = {
-    val snap = resolveSnapshot(root, versionAsOf)
-    val (_, projection) = ManifestTable.readShapeOf(
-      ManifestTable.recordedSchemaOf(spark, root, snap),
-      ManifestTable.colmapOfSnap(snap))
-    val base = spark.baseRelationToDataFrame(
-      baseRelation(spark, root, versionAsOf))
-    projection.fold(base)(p => base.select(p: _*))
-  }
+               versionAsOf: Option[Int] = None): DataFrame =
+    guardedConstruction {
+      val snap = resolveSnapshot(root, versionAsOf)
+      val (_, projection) = ManifestTable.readShapeOf(
+        ManifestTable.recordedSchemaOf(spark, root, snap),
+        ManifestTable.colmapOfSnap(snap))
+      val rel = baseRelationAt(spark, root, versionAsOf, snap)
+      val base = spark.baseRelationToDataFrame(rel)
+      if (!ManifestTable.hasDv(snap))
+        projection.fold(base)(p => base.select(p: _*))
+      else
+        withDvOverlay(spark, root, snap, base,
+          projection.getOrElse(
+            base.columns.toSeq.map(org.apache.spark.sql.functions.col)))
+    }
 
   /** Register the manifest table as `name` for `spark.sql` access —
     * the SQL twin of [[ManifestTable.read]], with planning-time file

@@ -358,6 +358,60 @@ class Dsv2CatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER COLUMN TYPE widens through BOTH doors; REPLACE WHERE is one ledgered predicate overwrite") {
+    import spark.implicits._
+    val root = freshTable("graft_v2w", "v2widen", n = 50L)
+    try {
+      // freshTable's n column is already BIGINT; add an INT column to
+      // widen through the doors
+      spark.sql("ALTER TABLE graft.default.v2widen ADD COLUMNS (m INT)")
+      // v2 door
+      spark.sql(
+        "ALTER TABLE graft.default.v2widen ALTER COLUMN m TYPE BIGINT")
+      assert(spark.table("v2widen").schema("m").dataType ==
+        org.apache.spark.sql.types.LongType)
+      // narrowing refuses through the v2 door — Spark's own analyzer
+      // (canUpCast) catches it before the catalog; the ledger's own
+      // NARROW refusal stands behind it for direct callers
+      val e = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.default.v2widen ALTER COLUMN m TYPE INT"))
+      assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+        e.getMessage.contains("NARROW"), e.getMessage)
+      // cross-family (int→double IS a Spark upcast, but changes
+      // value semantics in the files) refuses from the LEDGER
+      val e1b = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.default.v2widen ALTER COLUMN m TYPE DOUBLE"))
+      assert(e1b.getMessage.contains("widening"), e1b.getMessage)
+      // V1 door (parse-time re-route): widen another added column
+      spark.sql("ALTER TABLE v2widen ADD COLUMNS (k SMALLINT)")
+      spark.sql("ALTER TABLE v2widen ALTER COLUMN k TYPE INT")
+      assert(spark.table("v2widen").schema("k").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      // data files were never rewritten by any of it
+      assert(ManifestTable.latest(root).get.files.nonEmpty)
+
+      // REPLACE WHERE through the v2 door: one ledgered commit
+      val vPre = ManifestTable.latest(root).get.version
+      spark.sql("INSERT INTO graft.default.v2widen " +
+        "REPLACE WHERE id >= 10 AND id < 20 " +
+        "SELECT id, 'rw' AS v, id * 2 AS n, NULL AS m, NULL AS k " +
+        "FROM range(10, 15)")
+      assert(ManifestTable.latest(root).get.version == vPre + 1,
+        "REPLACE WHERE must be ONE ledgered commit")
+      val got = spark.sql(
+        "SELECT id, v FROM v2widen WHERE id >= 10 AND id < 20 ORDER BY id")
+        .as[(Long, String)].collect().toSeq
+      assert(got == (10L until 15L).map(i => (i, "rw")),
+        s"got $got")
+      // leaked-row constraint: a new row outside the region refuses
+      val e2 = intercept[Exception](spark.sql(
+        "INSERT INTO graft.default.v2widen " +
+          "REPLACE WHERE id < 5 " +
+          "SELECT 40 AS id, 'bad' AS v, 0 AS n, NULL AS m, NULL AS k"))
+      assert(e2.getMessage.contains("do not satisfy"), e2.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS v2widen")
+  }
+
   test("self-join on one v2 name: branches get distinct exprIds and correct rows") {
     freshTable("graft_v2sj", "v2selfjoin", n = 10L)
     try {

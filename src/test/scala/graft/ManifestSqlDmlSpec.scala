@@ -545,4 +545,59 @@ class ManifestSqlDmlSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).filter(F.col("id") === 5L)
       .head().getString(1) == "true")
   }
+
+  test("merge-on-read SQL: DELETE under #dvmode rewrites no file; every door's read overlays") {
+    import spark.implicits._
+    val (_, root) = freshTable("graft_sqlmor")
+    graft.api.Graft(spark, sf).registerManifest("sqldml_mor", root,
+      persistent = true)
+    graft.catalog.GraftCatalog.install(spark)
+    ManifestTable.setMorDeletes(root, on = true)
+    val before = ManifestTable.latest(root).get.files
+    spark.sql("DELETE FROM sqldml_mor WHERE id % 5 = 0")
+    assert(ManifestTable.latest(root).get.files == before,
+      "#dvmode DELETE must not rewrite any data file")
+    val want = (0L until 100L).filterNot(_ % 5 == 0).toSet
+    // V1 catalog door (GraftMorReads swaps the resolved relation)
+    assert(spark.sql("SELECT id FROM sqldml_mor")
+      .as[Long].collect().toSet == want)
+    // spark.table over the catalog entry — same rule, DataFrame form
+    assert(spark.table("sqldml_mor").select("id")
+      .as[Long].collect().toSet == want)
+    // DSv2 door (GraftDsv2Reads swaps to the overlaid relation())
+    assert(spark.sql("SELECT id FROM graft.default.sqldml_mor")
+      .as[Long].collect().toSet == want)
+    // Scala door
+    assert(ManifestTable.read(spark, root).select("id")
+      .as[Long].collect().toSet == want)
+    // the IN-subquery arm routes MoR too
+    spark.range(0, 4).select(F.col("id") * 7 as "vid")
+      .createOrReplaceTempView("sqldml_mor_vic")
+    val files1 = ManifestTable.latest(root).get.files
+    spark.sql("DELETE FROM sqldml_mor WHERE id IN " +
+      "(SELECT vid FROM sqldml_mor_vic)")
+    assert(ManifestTable.latest(root).get.files == files1)
+    val want2 = want -- Seq(7L, 14L, 21L) // 0 was already deleted
+    assert(spark.sql("SELECT id FROM sqldml_mor")
+      .as[Long].collect().toSet == want2)
+    // a pushed filter still prunes/pushes through the overlay's
+    // anti-join: predicate reaches the parquet scan
+    val plan = spark.sql(
+      "SELECT id FROM sqldml_mor WHERE id = 11").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("EqualTo(id,11)") &&
+      plan.contains("PushedFilters"),
+      s"filter must push through the DV overlay, got:\n$plan")
+    // and the overlay join is a broadcast anti-join (map-side probe,
+    // no shuffle on the scan side)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast anti-join overlay, got:\n$plan")
+    // switching the mode off restores copy-on-write
+    ManifestTable.setMorDeletes(root, on = false)
+    val files2 = ManifestTable.latest(root).get.files
+    spark.sql("DELETE FROM sqldml_mor WHERE id = 1")
+    assert(ManifestTable.latest(root).get.files != files2,
+      "with #dvmode off the delete must be copy-on-write again")
+    spark.sql("DROP TABLE IF EXISTS sqldml_mor")
+  }
 }

@@ -1258,4 +1258,237 @@ class ManifestTableSpec extends SparkSpec {
     assert(m2.matchedRows == 5L && m2.insertedRows == 0L)
     assert(ManifestTable.read(spark, root).count() == 0L)
   }
+
+  test("overwriteWhere replaces exactly the matching band in one commit; constraint and racing append pinned") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ow1").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root, batch(0, 100))
+    ManifestTable.append(spark, root, batch(100, 200))
+    ManifestTable.append(spark, root, batch(200, 300))
+    val vPre = ManifestTable.latest(root).get.version
+    // the reload: fewer rows than the band held, new payloads; a
+    // RACING append of in-band rows lands between scan and commit —
+    // snapshot isolation says it survives whole
+    val reload = (100L until 150L).toDF("id")
+      .withColumn("payload", F.lit("reloaded"))
+    val d = ManifestTable.overwriteWhere(spark, root,
+      F.col("id") >= 100 && F.col("id") < 200, reload,
+      beforeCommit = () => {
+        ManifestTable.append(spark, root, batch(150, 160)); ()
+      })
+    assert(d.removedRows == 100L)
+    assert(ids(root) ==
+      ((0L until 100L) ++ (100L until 160L) ++ (200L until 300L)).toSet)
+    assert(ManifestTable.read(spark, root)
+      .filter(F.col("payload") === "reloaded").count() == 50L)
+    // racer rows kept their ORIGINAL payloads (post-scan rows are
+    // never replaced, even in-band)
+    assert(ManifestTable.read(spark, root)
+      .filter(F.col("id") >= 150 && F.col("id") < 160 &&
+        F.col("payload").startsWith("row")).count() == 10L)
+    // exactly two commits: the racer's append + the ONE replace
+    assert(ManifestTable.latest(root).get.version == vPre + 2)
+    // the replaceWhere constraint: a new row outside the region refuses
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.overwriteWhere(spark, root, F.col("id") < 10,
+        Seq(50L).toDF("id").withColumn("payload", F.lit("x"))))
+    assert(e.getMessage.contains("do not satisfy"))
+    // a no-victim predicate degrades to a plain ledgered append
+    val d2 = ManifestTable.overwriteWhere(spark, root,
+      F.col("id") >= 1000,
+      (1000L until 1005L).toDF("id").withColumn("payload", F.lit("n")))
+    assert(d2.removedRows == 0L)
+    assert(ids(root).count(_ >= 1000L) == 5)
+  }
+
+  test("widenColumn: explicit in-family widening is metadata-only; narrowing and cross-family refuse") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wd1").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root, (0L until 50L).toDF("id")
+      .withColumn("n", F.col("id").cast("int")))
+    val before = ManifestTable.latest(root).get
+    val snap = ManifestTable.widenColumn(spark, root, "n",
+      org.apache.spark.sql.types.LongType)
+    assert(snap.files == before.files, "widening must not touch data")
+    val read = ManifestTable.read(spark, root)
+    assert(read.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(read.agg(F.sum("n")).head().getLong(0) == (0L until 50L).sum)
+    // stats stay prune-sound across the widening
+    assert(ManifestTable.readWhere(spark, root, F.col("n") === 7L)
+      .count() == 1L)
+    // idempotent: same type commits nothing
+    assert(ManifestTable.widenColumn(spark, root, "n",
+      org.apache.spark.sql.types.LongType).version == snap.version)
+    // narrowing and cross-family refuse
+    assert(intercept[IllegalArgumentException](
+      ManifestTable.widenColumn(spark, root, "n",
+        org.apache.spark.sql.types.IntegerType))
+      .getMessage.contains("NARROW"))
+    assert(intercept[IllegalArgumentException](
+      ManifestTable.widenColumn(spark, root, "n",
+        org.apache.spark.sql.types.StringType))
+      .getMessage.contains("widening"))
+  }
+
+  // ---- merge-on-read deletion vectors ----
+
+  private def dvOf(root: String): Map[String, (String, Long)] = {
+    val snap = ManifestTable.latest(root).get
+    snap.files.flatMap { f =>
+      snap.stats.get(f).flatMap { p =>
+        val st = graft.operators.ManifestStats.decodeCached(p)
+        st.dvRef.map(r => f -> (r, st.dvRows))
+      }
+    }.toMap
+  }
+
+  test("deleteWhereMoR rewrites NO data file; reads, counts, and time travel are exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mor1").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root, batch(0, 100))
+    ManifestTable.append(spark, root, batch(100, 200))
+    ManifestTable.append(spark, root, batch(200, 300))
+    val before = ManifestTable.latest(root).get
+    val d = ManifestTable.deleteWhereMoR(spark, root,
+      F.col("id") % 5 === 0)
+    // THE contract: the file list is byte-identical — no rewrite
+    assert(d.snapshot.files == before.files,
+      "MoR delete must not touch the data file list")
+    assert(d.removedRows == 60L)
+    assert(ids(root) == (0L until 300L).filter(_ % 5 != 0).toSet)
+    // per-file DV refs landed with exact counts
+    val dv = dvOf(root)
+    assert(dv.nonEmpty && dv.values.map(_._2).sum == 60L)
+    // metadata-exact counting: no predicate, and a mustMatch band
+    assert(ManifestTable.countWhere(spark, root) == 240L)
+    assert(ManifestTable.countWhere(spark, root,
+      Some(F.col("id") < 100)) == 80L)
+    // pruned read through the overlay
+    assert(ManifestTable.readWhere(spark, root, F.col("id") < 10)
+      .select("id").as[Long].collect().toSet ==
+      (0L until 10L).filterNot(_ % 5 == 0).toSet)
+    // statBounds refuses exactness under a live DV
+    assert(ManifestTable.statBounds(spark, root, "id").isEmpty)
+    // time travel: the pre-delete version still serves every row
+    assert(ManifestTable.readVersion(spark, root, before.version)
+      .count() == 300L)
+  }
+
+  test("repeat MoR deletes union into one superseding sidecar; deleted rows never double-count") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mor2").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root, batch(0, 100))
+    val d1 = ManifestTable.deleteWhereMoR(spark, root, F.col("id") % 5 === 0)
+    assert(d1.removedRows == 20L)
+    // a subset of the already-deleted rows: zero victims, no commit churn
+    val d2 = ManifestTable.deleteWhereMoR(spark, root, F.col("id") % 10 === 0)
+    assert(d2.removedRows == 0L)
+    // an overlapping set: only the NEW victims count
+    val d3 = ManifestTable.deleteWhereMoR(spark, root, F.col("id") % 2 === 0)
+    assert(d3.removedRows == 40L) // evens minus the 10 already-gone %10s
+    assert(ids(root) == (1L until 100L by 2).filterNot(_ % 5 == 0).toSet)
+    // ONE dv ref per file, counts exact
+    val dv = dvOf(root)
+    assert(dv.values.map(_._2).sum == 60L)
+    assert(ManifestTable.countWhere(spark, root) == 40L)
+  }
+
+  test("compaction folds DVs away; vacuum spares live sidecars and collects superseded ones") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mor3").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root, batch(0, 100))
+    ManifestTable.append(spark, root, batch(100, 200))
+    ManifestTable.deleteWhereMoR(spark, root, F.col("id") % 3 === 0)
+    val live = ids(root)
+    // vacuum with zero grace: the LIVE sidecar must survive
+    ManifestTable.vacuum(root, orphanGraceMillis = 0L)
+    assert(ids(root) == live, "vacuum deleted a live DV sidecar")
+    // a second delete supersedes the first sidecar; vacuum collects it
+    val firstDv = dvOf(root).values.map(_._1).toSet
+    ManifestTable.deleteWhereMoR(spark, root, F.col("id") % 7 === 0)
+    val secondDv = dvOf(root).values.map(_._1).toSet
+    assert(firstDv.intersect(secondDv).isEmpty)
+    val vacuumed = ManifestTable.vacuum(root, orphanGraceMillis = 0L)
+    assert(firstDv.forall(d => vacuumed.exists(_.startsWith(d + "/"))),
+      s"superseded sidecar not collected: $vacuumed")
+    assert(ids(root) == live.filterNot(_ % 7 == 0))
+    // compaction reads THROUGH the overlay and folds the DVs
+    val snap = ManifestTable.compact(spark, root, targetFileBytes = 1L << 20)
+    assert(dvOf(root).isEmpty, "compaction must fold DVs into the rewrite")
+    assert(ids(root) == live.filterNot(_ % 7 == 0))
+    // exact stats are restored
+    assert(ManifestTable.statBounds(spark, root, "id").isDefined)
+    // the folded sidecar is now an orphan
+    val vacuumed2 = ManifestTable.vacuum(root, orphanGraceMillis = 0L)
+    assert(secondDv.forall(d => vacuumed2.exists(_.startsWith(d + "/"))))
+    assert(ids(root) == live.filterNot(_ % 7 == 0))
+    assert(snap.files == ManifestTable.latest(root).get.files)
+  }
+
+  test("the change feed reports a DV-only commit as row-level deletes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mor4").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root, batch(0, 100))
+    val v1 = ManifestTable.latest(root).get.version
+    val d = ManifestTable.deleteWhereMoR(spark, root, F.col("id") % 4 === 0)
+    val feed = ManifestTable.changes(spark, root, v1, d.snapshot.version)
+      .select(F.col("id"), F.col("_change_type"))
+      .as[(Long, String)].collect().toSeq
+    assert(feed.forall(_._2 == "delete"), s"got $feed")
+    assert(feed.map(_._1).toSet == (0L until 100L by 4).toSet)
+    // and a CoW rewrite of the DV'd file afterwards is NOT a change
+    // (the overlay rows cancel against the rewritten file)
+    val c = ManifestTable.compact(spark, root, targetFileBytes = 1L << 20)
+    assert(ManifestTable.changes(spark, root, d.snapshot.version,
+      c.version).count() == 0L,
+      "compaction folding a DV must not surface as row changes")
+  }
+
+  test("MoR delete racing a MoR delete restarts and applies both; copy-on-write folds the DV it touches") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mor5").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root, batch(0, 100))
+    // inject a second MoR delete between the first's scan and commit
+    var injected = false
+    val d = ManifestTable.deleteWhereMoR(spark, root, F.col("id") < 10,
+      beforeCommit = () => {
+        if (!injected) {
+          injected = true
+          ManifestTable.deleteWhereMoR(spark, root, F.col("id") >= 90)
+          ()
+        }
+      })
+    assert(d.removedRows == 10L)
+    assert(ids(root) == (10L until 90L).toSet,
+      "a lost MoR-MoR race clobbered the winner's sidecar")
+    // copy-on-write UPDATE touching EVERY file (unprunable predicate
+    // over all live rows): deleted rows must not resurrect in the
+    // rewrites, and every touched file's DV folds away with its
+    // replaced payload
+    ManifestTable.updateWhere(spark, root, F.col("id") >= 0L,
+      Map("payload" -> F.lit("updated")))
+    assert(ids(root) == (10L until 90L).toSet,
+      "a CoW rewrite resurrected MoR-deleted rows")
+    assert(dvOf(root).isEmpty,
+      "the CoW rewrite must fold the touched files' DVs")
+    assert(ManifestTable.read(spark, root)
+      .filter(F.col("payload") === "updated").count() == 80L)
+  }
+
+  test("upsert on a DV'd table: survivors come from the overlay, never the raw file") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mor6").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root, batch(0, 100))
+    ManifestTable.deleteWhereMoR(spark, root, F.col("id") % 2 === 0)
+    val updates = Seq(1L, 3L, 200L).toDF("id")
+      .withColumn("payload", F.lit("up"))
+    val m = ManifestTable.upsert(spark, root, "id", updates)
+    assert(m.matchedRows == 2L && m.insertedRows == 1L)
+    val got = ManifestTable.read(spark, root)
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    assert(got.size == 51L) // 50 odd survivors + the insert
+    assert(got(1L) == "up" && got(3L) == "up" && got(200L) == "up")
+    assert(!got.contains(2L), "a deleted row resurrected through upsert")
+  }
 }

@@ -761,4 +761,33 @@ class PlanShapeSpec extends SparkSpec {
       assert(star.split("BroadcastHashJoin").length - 1 == 2, star.take(800))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("merge-on-read delete: zero data files rewritten; overlay is a broadcast anti-join with filters still pushed") {
+    import graft.operators.ManifestTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_psmor").toString
+    val root = s"$dir/t"
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root, (0L until 2000L).toDF("id")
+      .withColumn("v", F.col("id") * 3))
+    val before = ManifestTable.latest(root).get
+    val d = ManifestTable.deleteWhereMoR(spark, root, F.col("id") % 9 === 0)
+    // THE MoR contract: the data-file list is IDENTICAL — a point
+    // delete is a metadata-plus-sidecar commit, never a band rewrite
+    assert(d.snapshot.files == before.files,
+      "MoR delete rewrote a data file")
+    assert(d.removedRows > 0L)
+    // the read plan: pushed filter reaches the parquet scan THROUGH
+    // the DV overlay, and the overlay itself is a BROADCAST anti-join
+    // (map-side probe — the 100 TB scan side never shuffles for it)
+    val q = ManifestTable.readWhere(spark, root, F.col("id") === 12L)
+    assert(q.as[(Long, Long)].collect().toSeq == Seq((12L, 36L)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,12)"),
+      s"pushed filter lost under the DV overlay:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV overlay must be a broadcast anti-join:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
+      s"DV overlay planned a shuffle/cartesian:\n${plan.take(1200)}")
+  }
 }
