@@ -41,9 +41,47 @@ final case class GraftTable(spark: SparkSession, fullName: String,
                             v1Meta: Option[org.apache.spark.sql.catalyst
                               .catalog.CatalogTable] = None)
   extends Table with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.graftbridge.V1FallbackTable {
 
   override def name(): String = fullName
+
+  /** NATIVE v2 DELETE ([[org.apache.spark.sql.connector.catalog
+    * .SupportsDelete]]) — the API-contract door for `DELETE FROM
+    * graft.db.t` with a filter-translatable condition: Spark's own
+    * `OptimizeMetadataOnlyDeleteFromTable` plans it straight to this
+    * call, with NO injected rule involved. Today the injected
+    * rewrite chain (GraftDsv2Reads → ManifestSqlDml) serves v2 DML
+    * first — this door is the structural backstop that keeps
+    * v2-addressed DELETE working even if the analyzer's rule order
+    * reshuffles (or in a session without the graft extensions), and
+    * it honors the table's `#dvmode:` declaration (deletion vectors
+    * vs copy-on-write) exactly like the SQL rewrite path. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    versionAsOf.isEmpty && !readOnlyChain
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(versionAsOf.isEmpty,
+      s"cannot DELETE from a time-travel pin of $fullName — " +
+        "time travel is read-only; address the head to write")
+    require(!readOnlyChain,
+      s"$fullName is a rename-chained registration — read-only from " +
+        "SQL; write through the ManifestTable Scala API")
+    val session = SparkSession.active
+    val cond = filters.map(GraftTable.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val mor = graft.operators.ManifestTable.latest(root)
+      .exists(graft.operators.ManifestTable.morDeletes)
+    if (mor)
+      graft.operators.ManifestTable.deleteWhereMoR(session, root, cond)
+    else graft.operators.ManifestTable.deleteWhere(session, root, cond)
+    session.catalog.refreshByPath(root)
+    v1Meta.map(_.identifier).foreach(id => scala.util.Try(
+      session.sessionState.catalog.refreshTable(id)))
+  }
 
   /** STREAMING fallback (r19): `spark.readStream.table("graft.db.t")`
     * / `writeStream.toTable(…)` resolve through the V1 provider this

@@ -117,10 +117,10 @@ object Curation {
     // released by Spark's ContextCleaner once the returned plan is
     // garbage-collected
     benchGrams.unpersist(false)
-    val mightContain =
-      F.udf((g: String) => g != null && bloomBc.value.mightContain(g))
     grams(df.filter(!benchPred))
-      .filter(mightContain(F.col("g"))) // map-side kill, no shuffle yet
+      // map-side kill, no shuffle yet — native codegen'd probe (a
+      // Scala UDF would box every gram and break the codegen span)
+      .filter(graft.plans.BloomMightContain.probe(F.col("g"), bloomBc))
       .join(benchGrams, Seq("g")) // exact confirm: no false positives
       .groupBy(idCol)
       .agg(F.count(F.lit(1)).as("n_shared"))

@@ -169,11 +169,13 @@ object Joins {
     val bloomBc = fact.sparkSession.sparkContext
       .broadcast(keys.stat.bloomFilter(dimKey, nKeys, fpp))
     keys.unpersist(false)
-    val mightContain = F.udf((k: java.lang.Long) =>
-      k != null && bloomBc.value.mightContain(k.longValue()))
+    // NATIVE codegen'd probe (graft.plans.BloomMightContain) — a
+    // Scala UDF here would box every fact key and break the
+    // whole-stage span the scan->filter spine sits in
     // two-sided qualified refs: F.col(factKey) against the joined plan
     // would be AMBIGUOUS whenever both sides use the same key name
-    val filtered = fact.filter(mightContain(F.col(factKey)))
+    val filtered = fact.filter(
+      graft.plans.BloomMightContain.probe(F.col(factKey), bloomBc))
     (filtered.join(dim, filtered(factKey) === dim(dimKey)), bloomBc)
   }
 

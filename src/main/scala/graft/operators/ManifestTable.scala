@@ -2020,6 +2020,62 @@ object ManifestTable {
     } finally clearIntent(root, newToken)
   }
 
+  /** FOLD DELETION VECTORS: rewrite ONLY the files carrying a DV
+    * (reading through the overlay, so the rewrite drops the deleted
+    * rows), leaving every DV-free file untouched — the targeted
+    * physical-erase completion of a merge-on-read delete, and the
+    * second half of a DV-based TAKEDOWN: the MoR commit makes victims
+    * unreadable instantly (metadata-sized), this pass erases their
+    * bytes, and [[vacuum]] then deletes the superseded files and
+    * sidecars. A table with no DVs is a zero-cost no-op (no scan, no
+    * commit). Same optimistic-commit + restart semantics as
+    * [[compact]]'s conflict rule, but restricted to the DV'd files.
+    * Also the maintenance valve for a DV that grew past broadcast
+    * size. */
+  def foldDeletes(spark: SparkSession, root: String,
+                  targetFileBytes: Long = 128L * 1024 * 1024)
+      : Snapshot = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    var result: Option[Snapshot] = None
+    while (result.isEmpty) {
+      val base = latest(root).getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      val dvFiles = base.files.filter(f =>
+        base.stats.get(f).exists(
+          ManifestStats.decodeCached(_).dvRef.isDefined))
+      if (dvFiles.isEmpty) result = Some(base)
+      else {
+        val bytes = dvFiles.flatMap(f => base.stats.get(f)
+          .map(ManifestStats.decodeCached(_).bytes).filter(_ >= 0)).sum
+        val n = math.max(1L,
+          (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        val folded = readSnapshot(spark, root,
+          base.copy(files = dvFiles)).repartition(n)
+        val (newFiles, token, newStats) =
+          writeData(spark, root, folded, statSpecOf(Some(base)))
+        try {
+          val dvSet = dvFiles.toSet
+          var retryScan = false
+          while (result.isEmpty && !retryScan) {
+            val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
+            val drifted = !dvSet.subsetOf(cur.files.toSet) ||
+              dvFiles.exists(f => dvStateOf(cur, f) != dvStateOf(base, f))
+            if (drifted) retryScan = true // re-derive the DV'd set
+            else {
+              val files = cur.files.filterNot(dvSet) ++ newFiles
+              val stats = cur.stats ++ newStats
+              if (tryCommit(root, cur.version + 1, files, cur.meta,
+                cur.schemaJson, stats))
+                result = Some(Snapshot(cur.version + 1, files, cur.meta,
+                  cur.schemaJson, liveStats(files, stats)))
+            }
+          }
+        } finally clearIntent(root, token)
+      }
+    }
+    result.get
+  }
+
   /** The `#dvmode:` table declaration: with merge-on-read deletes ON,
     * the SQL `DELETE FROM` door routes through [[deleteWhereMoR]] /
     * [[deleteWhereTermsMoR]] instead of the copy-on-write rewrite

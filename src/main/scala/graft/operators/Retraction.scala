@@ -82,7 +82,8 @@ object Retraction {
             ivfRoot: Option[String] = None,
             vacuumGraceMillis: Long = 0L,
             ledgerRoot: Option[String] = None,
-            afterStep: String => Unit = _ => ()): PurgeReport = {
+            afterStep: String => Unit = _ => (),
+            morDeletes: Boolean = false): PurgeReport = {
     require(victims.nonEmpty, "purge needs at least one victim id")
     require(corpusRoot.orElse(signatureRoot).orElse(ivfRoot).nonEmpty,
       "purge needs at least one store root")
@@ -90,11 +91,12 @@ object Retraction {
       case None =>
         runSteps(spark, idCol, Left(victims), corpusRoot, signatureRoot,
           ivfRoot, vacuumGraceMillis, confirmed = (_, _) => (),
-          already = _ => None, afterStep = afterStep)
+          already = _ => None, afterStep = afterStep,
+          morDeletes = morDeletes)
       case Some(lr) =>
         val e = TakedownLedger.record(spark, lr, idCol, corpusRoot,
           signatureRoot, ivfRoot, vacuumGraceMillis, Left(victims))
-        runEntry(spark, e, afterStep)
+        runEntry(spark, e, afterStep, morDeletes)
     }
   }
 
@@ -116,7 +118,8 @@ object Retraction {
                  ivfRoot: Option[String] = None,
                  vacuumGraceMillis: Long = 0L,
                  ledgerRoot: Option[String] = None,
-                 afterStep: String => Unit = _ => ()): PurgeReport = {
+                 afterStep: String => Unit = _ => (),
+                 morDeletes: Boolean = false): PurgeReport = {
     val victims = ManifestTable.read(spark, corpusRoot)
       .filter(predicate).select(idCol)
     ledgerRoot match {
@@ -125,13 +128,13 @@ object Retraction {
         runSteps(spark, idCol, Right(pinned), Some(corpusRoot),
           signatureRoot, ivfRoot, vacuumGraceMillis,
           confirmed = (_, _) => (), already = _ => None,
-          afterStep = afterStep)
+          afterStep = afterStep, morDeletes = morDeletes)
       case Some(lr) =>
         // the ledger entry's parquet frame is the pin — written and
         // published (with the intent) before any store is touched
         val e = TakedownLedger.record(spark, lr, idCol, Some(corpusRoot),
           signatureRoot, ivfRoot, vacuumGraceMillis, Right(victims))
-        runEntry(spark, e, afterStep)
+        runEntry(spark, e, afterStep, morDeletes)
     }
   }
 
@@ -179,7 +182,8 @@ object Retraction {
   }
 
   private def runEntry(spark: SparkSession, e: TakedownLedger.Entry,
-                       afterStep: String => Unit): PurgeReport = {
+                       afterStep: String => Unit,
+                       morDeletes: Boolean = false): PurgeReport = {
     val victims: Either[Seq[Long], DataFrame] = e.ids match {
       case Some(ids) => Left(ids)
       case None => Right(
@@ -190,7 +194,7 @@ object Retraction {
       e.signatureRoot, e.ivfRoot, e.vacuumGraceMillis,
       confirmed = TakedownLedger.markDone(e, _, _),
       already = TakedownLedger.doneCount(e, _),
-      afterStep = afterStep)
+      afterStep = afterStep, morDeletes = morDeletes)
     TakedownLedger.clear(e)
     report
   }
@@ -206,7 +210,8 @@ object Retraction {
                        vacuumGraceMillis: Long,
                        confirmed: (String, Long) => Unit,
                        already: String => Option[Long],
-                       afterStep: String => Unit): PurgeReport = {
+                       afterStep: String => Unit,
+                       morDeletes: Boolean = false): PurgeReport = {
     def step(name: String, rootOpt: Option[String])
             (run: String => Long): Long =
       rootOpt.map { root =>
@@ -221,12 +226,28 @@ object Retraction {
     val corpusRows = step("corpus", corpusRoot) { root =>
       // the report rides the delete's own single pushed-down victim
       // scan ([[ManifestTable.Delete.removedRows]]) — no second
-      // corpus scan just to price the takedown
-      val d = victims match {
-        case Left(ids) => ManifestTable.deleteWhere(spark, root,
+      // corpus scan just to price the takedown.
+      // `morDeletes` splits RECALL from ERASE: the deletion-vector
+      // commit makes victims unreadable instantly (metadata-sized —
+      // the compliance clock stops there), foldDeletes below then
+      // rewrites only the DV'd files to erase the bytes. The
+      // copy-on-write path does both in its one rewrite.
+      val d = (victims, morDeletes) match {
+        case (Left(ids), false) => ManifestTable.deleteWhere(spark, root,
           F.col(idCol).isin(ids: _*))
-        case Right(df) => ManifestTable.deleteIds(spark, root, idCol, df)
+        case (Left(ids), true) => ManifestTable.deleteWhereMoR(spark,
+          root, F.col(idCol).isin(ids: _*))
+        case (Right(df), false) =>
+          ManifestTable.deleteIds(spark, root, idCol, df)
+        case (Right(df), true) =>
+          ManifestTable.deleteIdsMoR(spark, root, idCol, df)
       }
+      // fold ANY standing deletion vectors (this purge's, or ones a
+      // crashed MoR takedown left behind — the resume path re-enters
+      // here with morDeletes=false and still erases them): a takedown
+      // that leaves victim bytes readable in place has not taken
+      // anything down. DV-free tables no-op at zero cost.
+      ManifestTable.foldDeletes(spark, root)
       ManifestTable.vacuum(root, vacuumGraceMillis)
       d.removedRows
     }

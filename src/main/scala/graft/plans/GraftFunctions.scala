@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.{functions => F}
 
 /** SQL surface for graft's native expressions and catalog-driven
   * planning rules.
@@ -166,17 +167,16 @@ object GraftFunctions {
     // as the Scala path, which this IS (IvfIndex.topK).
     "graft_ann_topk" -> (exprs => {
       require(exprs.size >= 3 && exprs.size <= 4,
-        "usage: graft_ann_topk('<ivf store root>', '<queries table>'," +
-          " k[, nprobe])")
+        "usage: graft_ann_topk('<ivf store root>', " +
+          "'<queries table>' | array(<query vector>), k[, nprobe])")
       val spark = SparkSession.active
       val root = constArg(exprs(0), "graft_ann_topk", "root").toString
-      val queriesName =
-        constArg(exprs(1), "graft_ann_topk", "queries").toString
       val k = constArg(exprs(2), "graft_ann_topk", "k").toString.toInt
       val nprobe = exprs.drop(3).headOption
         .map(e => constArg(e, "graft_ann_topk", "nprobe").toString.toInt)
         .getOrElse(1)
-      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      import org.apache.spark.sql.types.{ArrayType, FloatType,
+        NumericType}
       val centSchema =
         spark.read.parquet(s"$root/centroids").schema.fields
       val (vecFields, idFields) = centSchema.partition(_.dataType match {
@@ -188,10 +188,35 @@ object GraftFunctions {
           "array<float> vector column and one id column; got " +
           centSchema.map(f => s"${f.name}:${f.dataType.simpleString}")
             .mkString(", "))
+      // the queries: a registered table NAME, or an INLINE array
+      // literal (one query vector, served as query_id 0) — the
+      // ad-hoc probe shape that needs no temp view
+      val queries = exprs(1).dataType match {
+        case ArrayType(_: NumericType, _) =>
+          val arr = constArg(exprs(1), "graft_ann_topk", "query vector")
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val elem = exprs(1).dataType.asInstanceOf[ArrayType].elementType
+          val floats: Seq[Float] = arr.toSeq[Any](elem).map {
+            case null => throw new IllegalArgumentException(
+              "graft_ann_topk: the inline query vector must not " +
+                "contain NULLs")
+            case n: java.lang.Number => n.floatValue()
+            case d: org.apache.spark.sql.types.Decimal => d.toFloat
+            case other => throw new IllegalArgumentException(
+              s"graft_ann_topk: non-numeric vector element $other")
+          }
+          spark.range(1).select(
+            F.lit(0L).cast(idFields.head.dataType)
+              .as(idFields.head.name),
+            F.typedlit(floats).as(vecFields.head.name))
+        case _ =>
+          spark.table(
+            constArg(exprs(1), "graft_ann_topk", "queries").toString)
+      }
       val idx = graft.operators.IvfStore.load(spark, root,
         idFields.head.name, vecFields.head.name)
       graft.operators.IvfIndex
-        .topK(idx, spark.table(queriesName), k, nprobe)
+        .topK(idx, queries, k, nprobe)
         .queryExecution.analyzed
     }),
     // the change feed as a TVF (the table_changes idea): row-level

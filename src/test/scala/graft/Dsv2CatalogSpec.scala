@@ -412,6 +412,44 @@ class Dsv2CatalogSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS v2widen")
   }
 
+  test("native SupportsDelete: v2 DELETE works through Spark's own API door, no injected rule involved") {
+    import spark.implicits._
+    val root = freshTable("graft_v2sd", "v2supdel", n = 40L)
+    try {
+      graft.catalog.GraftCatalog.install(spark)
+      val cat = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      val t = cat.loadTable(org.apache.spark.sql.connector.catalog
+        .Identifier.of(Array("default"), "v2supdel"))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
+      // the exact call Spark's OptimizeMetadataOnlyDeleteFromTable
+      // plans for a filter-translatable DELETE — the structural
+      // backstop against injected-rule reordering
+      assert(t.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.LessThan("id", 5L))))
+      t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.LessThan("id", 5L)))
+      assert(spark.table("v2supdel").select("id").as[Long]
+        .collect().toSet == (5L until 40L).toSet)
+      // honors the table's #dvmode declaration: MoR = no file rewrite
+      ManifestTable.setMorDeletes(root, on = true)
+      val before = ManifestTable.latest(root).get.files
+      t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 35L)))
+      assert(ManifestTable.latest(root).get.files == before,
+        "SupportsDelete under #dvmode must record a DV, not rewrite")
+      assert(spark.table("v2supdel").select("id").as[Long]
+        .collect().toSet == (5L until 35L).toSet)
+      // a time-travel pin refuses through the same door
+      val pinned = cat.asInstanceOf[graft.catalog.GraftCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog
+          .Identifier.of(Array("default"), "v2supdel"), "1")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
+      assert(!pinned.canDeleteWhere(
+        Array.empty[org.apache.spark.sql.sources.Filter]))
+    } finally spark.sql("DROP TABLE IF EXISTS v2supdel")
+  }
+
   test("self-join on one v2 name: branches get distinct exprIds and correct rows") {
     freshTable("graft_v2sj", "v2selfjoin", n = 10L)
     try {

@@ -901,4 +901,28 @@ class ExtensionsSpec extends SparkSpec {
         .collect())
     assert(e2.getMessage.contains("exactly one"), s"got: ${e2.getMessage}")
   }
+
+  test("graft_ann_topk inline query vector matches the single-row table form") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_annsql3").toString + "/store"
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j) % 13).toFloat / 13f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    graft.operators.IvfStore.init(emb, "vec_id", "embedding", 4, 3, root)
+    Seq((0L, vecs(5)._2)).toDF("vec_id", "embedding")
+      .createOrReplaceTempView("annsql_q3")
+    val viaTable = spark.sql("SELECT query_id, match_id, sim, rank " +
+      s"FROM graft_ann_topk('$root', 'annsql_q3', 5, 2) ORDER BY rank")
+      .collect().toSeq
+    val lit = vecs(5)._2.map(_.toString).mkString(", ")
+    val viaInline = spark.sql("SELECT query_id, match_id, sim, rank " +
+      s"FROM graft_ann_topk('$root', array($lit), 5, 2) ORDER BY rank")
+      .collect().toSeq
+    assert(viaInline == viaTable,
+      s"inline form diverged:\n$viaInline\nvs\n$viaTable")
+    assert(viaInline.nonEmpty && viaInline.head.getLong(1) == 5L,
+      "the query vector's own id must be its top match")
+  }
 }

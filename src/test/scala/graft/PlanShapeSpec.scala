@@ -164,8 +164,8 @@ class PlanShapeSpec extends SparkSpec {
       // source cannot push; no row-level predicate exists to lose
       "x_ann_pq",
       // the fact scan's only data filter IS the broadcast Bloom
-      // probe (a UDF — unpushable by design; it exists to kill rows
-      // before the exchange, which the dedicated case below pins)
+      // probe (a native expression parquet cannot push — it exists to
+      // kill rows before the exchange, which the case below pins)
       "x_bloom_join")
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
@@ -221,8 +221,12 @@ class PlanShapeSpec extends SparkSpec {
       assert(got.sameElements(want), "bloom join changed the result")
       val s = joined.queryExecution.executedPlan.toString
       assert(s.contains("SortMergeJoin"), s.take(400))
-      // the bloom probe is the fact side's pre-shuffle filter
-      assert(s.contains("UDF"), "no bloom filter in the plan:\n" + s.take(800))
+      // the bloom probe is the fact side's pre-shuffle filter — the
+      // NATIVE expression (codegen'd), not a boxing Scala UDF
+      assert(s.contains("bloommightcontain"),
+        "no native bloom probe in the plan:\n" + s.take(800))
+      assert(!s.contains("UDF"),
+        "the bloom probe regressed to a Scala UDF:\n" + s.take(800))
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 

@@ -33,8 +33,11 @@ class RetractionSpec extends SparkSpec {
         .map(_.toString).toSeq
       finally s.close()
     if (files.isEmpty) Set.empty
-    else spark.read.parquet(files: _*)
-      .select(F.col(idCol).cast("long")).distinct()
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+      // a deletion-vector sidecar carries (file, pos), not the id —
+      // its rows read NULL for the id column and are not "bytes of
+      // a victim row" (they hold positions, not content)
+      .select(F.col(idCol).cast("long")).na.drop().distinct()
       .as[Long].collect().toSet
   }
 
@@ -531,5 +534,48 @@ class RetractionSpec extends SparkSpec {
       "doc_id", "text", K, BANDS, TAU, sh3)
     assert(admitted.select("doc_id").as[Long].collect().toSeq == Seq(11L),
       "near-copy of a purged doc was still suppressed after the purge")
+  }
+
+  test("merge-on-read purge: recall lands first, the fold erases the bytes, and resume-shaped CoW completes an abandoned DV") {
+    val corpusRoot = Workspace.dir("retract_mor")
+    ExtShared.deleteRec(new java.io.File(corpusRoot))
+    val docs = (0L until 200L)
+      .map(i => (i, s"document body number $i with some words"))
+      .toDF("doc_id", "text")
+    ManifestTable.init(corpusRoot, Seq("doc_id"))
+    ManifestTable.append(spark, corpusRoot, docs)
+    val victims = (0L until 200L by 10).toSeq
+
+    val report = Retraction.purge(spark, victims, "doc_id",
+      corpusRoot = Some(corpusRoot), morDeletes = true)
+    assert(report.corpusRows == victims.size)
+    // fully erased: rows unreadable, NO standing DV, and no victim
+    // BYTES anywhere on disk (fold + zero-grace vacuum swept the
+    // superseded files and the sidecar)
+    assert(ManifestTable.read(spark, corpusRoot)
+      .filter(F.col("doc_id").isin(victims: _*)).count() == 0L)
+    val snap = ManifestTable.latest(corpusRoot).get
+    assert(snap.files.forall(f => snap.stats.get(f).forall(p =>
+      graft.operators.ManifestStats.decodeCached(p).dvRef.isEmpty)),
+      "the purge left a standing deletion vector")
+    assert(diskIds(corpusRoot, "doc_id")
+      .intersect(victims.toSet).isEmpty,
+      "victim bytes still readable on disk after a MoR purge")
+
+    // an ABANDONED MoR delete (recall committed, erase never ran —
+    // the crash-between shape): a later purge of OTHER ids through
+    // the ordinary CoW path must still fold and erase it (the resume
+    // path re-enters exactly this code with morDeletes=false)
+    ManifestTable.deleteWhereMoR(spark, corpusRoot,
+      F.col("doc_id") === 7L)
+    assert(diskIds(corpusRoot, "doc_id").contains(7L),
+      "fixture: the DV'd bytes should still be on disk pre-fold")
+    Retraction.purge(spark, Seq(13L), "doc_id",
+      corpusRoot = Some(corpusRoot))
+    assert(!diskIds(corpusRoot, "doc_id").contains(7L),
+      "the CoW purge must fold and erase the abandoned DV's bytes")
+    assert(!diskIds(corpusRoot, "doc_id").contains(13L))
+    assert(ManifestTable.read(spark, corpusRoot).count() ==
+      200L - victims.size - 2L)
   }
 }

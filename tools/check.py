@@ -162,5 +162,45 @@ def main():
     sys.exit(1 if n_fail else 0)
 
 
+def bench_gate(new_path, prior_path, max_ratio=1.3):
+    """LIKE-FOR-LIKE bench regression gate (round-20, from the r19
+    verdict): the headline '2x of the r1 198 s baseline' decays as the
+    board grows (~10 s of new graded lifecycles per round), so the
+    meaningful signal is the SHARED-query total against the prior
+    round's idle record. Compares the queries present in BOTH bench
+    JSONs ({"queries": {name: seconds}}) and fails when the new shared
+    total exceeds max_ratio x the prior one — a real regression
+    cluster, not board growth. Run on an IDLE box only (BASELINE.md
+    documents ~10% run-to-run variance; 1.3 leaves headroom for it).
+
+    Usage: python3 tools/check.py bench <new.json> <prior.json> [ratio]
+    """
+    new = json.load(open(new_path))
+    prior = json.load(open(prior_path))
+    nq, pq_ = new.get("queries", {}), prior.get("queries", {})
+    shared = sorted(set(nq) & set(pq_))
+    if not shared:
+        print("bench-gate: no shared queries — nothing to compare")
+        sys.exit(0)
+    tn = sum(nq[q] for q in shared)
+    tp = sum(pq_[q] for q in shared)
+    ratio = tn / tp if tp > 0 else float("inf")
+    movers = sorted(((nq[q] - pq_[q], q) for q in shared), reverse=True)
+    print(f"bench-gate: shared {len(shared)} queries: "
+          f"{tp:.1f}s -> {tn:.1f}s ({ratio:.2f}x, gate {max_ratio}x)")
+    for d, q in movers[:5]:
+        print(f"  {q}: {pq_[q]:.2f}s -> {nq[q]:.2f}s ({d:+.2f}s)")
+    if ratio > max_ratio:
+        print(f"bench-gate: FAIL — shared-query total regressed past "
+              f"{max_ratio}x; name the cause or fix the movers above")
+        sys.exit(1)
+    print("bench-gate: PASS")
+    sys.exit(0)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 2 and sys.argv[1] == "bench":
+        bench_gate(sys.argv[2], sys.argv[3],
+                   float(sys.argv[4]) if len(sys.argv) > 4 else 1.3)
+    else:
+        main()
