@@ -406,6 +406,51 @@ private[graft] object ExtDedup {
     }),
 
 
+    // MERGE-ON-READ retraction (r20): the same lifecycle as
+    // x_retract, but the corpus purge runs DV-first — the
+    // deletion-vector commit recalls the victims instantly
+    // (metadata-sized; the compliance clock stops there), then
+    // foldDeletes rewrites only the DV'd files and vacuum erases the
+    // bytes. The final state must be row-identical to the
+    // copy-on-write takedown (the shared replay oracle), and the
+    // post-purge third ingest must re-admit exactly as before —
+    // recall-vs-erase decoupling is not allowed to change WHAT is
+    // taken down.
+    "x_retract_mor" -> ((s, dir) => {
+      val corpusRoot = layoutDir(dir, "retractmor_corpus")
+      val sigRoot = layoutDir(dir, "retractmor_sigs")
+      deleteRec(new java.io.File(corpusRoot))
+      deleteRec(new java.io.File(sigRoot))
+      val docs = Tables.scan(s, dir, "documents")
+      val slim = (df: org.apache.spark.sql.DataFrame) =>
+        df.select("doc_id", "lang", "source")
+      val shingles3 = (c: org.apache.spark.sql.Column) =>
+        Text.distinctShingles(c, 3)
+      graft.operators.ManifestTable.init(corpusRoot, Seq("doc_id"))
+      graft.operators.ManifestTable.append(s, corpusRoot,
+        slim(docs.filter(F.col("doc_id") % 3 === 1)))
+      SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 1),
+        "doc_id", "text", sigRoot, MINHASH_K, NGRAM_BANDS, shingles3)
+      val kept1 = SignatureStore.ingest(s, sigRoot,
+        docs.filter(F.col("doc_id") % 3 === 2),
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
+      graft.operators.ManifestTable.append(s, corpusRoot, slim(kept1))
+      import s.implicits._
+      val victims = SignatureStore.signatures(s, sigRoot)
+        .select("doc_id").distinct().filter(F.col("doc_id") % 5 === 0)
+        .as[Long].collect().toSeq.sorted
+      if (victims.nonEmpty)
+        graft.operators.Retraction.purge(s, victims, "doc_id",
+          corpusRoot = Some(corpusRoot), signatureRoot = Some(sigRoot),
+          morDeletes = true)
+      val kept2 = SignatureStore.ingest(s, sigRoot,
+        docs.filter(F.col("doc_id") % 3 === 0),
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
+      graft.operators.ManifestTable.append(s, corpusRoot, slim(kept2))
+      graft.operators.ManifestTable.read(s, corpusRoot)
+    }),
+
+
     // RESUMED retraction: the same lifecycle as x_retract, but the
     // purge runs through the takedown ledger and is KILLED between
     // the corpus and signature steps — the ledger entry (intent +
@@ -854,6 +899,10 @@ private[graft] object ExtDedup {
     // divisible by 5; split 0 then probes the PURGED store. Final
     // corpus = purged survivors ∪ batch-3 keeps.
     "x_retract" -> retractReplaySql,
+
+    // the SAME oracle grades the merge-on-read takedown: DV-recall +
+    // fold + vacuum must end row-identical to the copy-on-write purge
+    "x_retract_mor" -> retractReplaySql,
 
     // the SAME oracle grades the resumed takedown: a purge that
     // crashed between stores and finished through the ledger must be

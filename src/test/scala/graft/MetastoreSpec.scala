@@ -402,4 +402,51 @@ class MetastoreSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ms_nation_b")
     }
   }
+
+  test("ALTER COLUMN TYPE widens through the ledger and spans sessions; non-widening changes refuse loudly") {
+    requireHms()
+    import graft.operators.ManifestTable
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pmw").toString
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root,
+      (0L until 60L).toDF("id")
+        .withColumn("n", F.col("id").cast("int")).coalesce(1))
+    try {
+      graft.api.Graft(spark, sf)
+        .registerManifest("pmw_corpus", root, persistent = true)
+      val v0 = ManifestTable.latest(root).get
+      spark.sql("ALTER TABLE pmw_corpus ALTER COLUMN n TYPE BIGINT")
+      // ONE metadata-only ledger commit: same files, widened schema
+      val v1 = ManifestTable.latest(root).get
+      assert(v1.files == v0.files,
+        "widening must be a metadata-only ledger commit")
+      // session A keeps reading — int files upcast at read
+      assert(spark.table("pmw_corpus").schema("n").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(spark.sql("SELECT sum(n) FROM pmw_corpus").as[Long].head()
+        == (0L until 60L).sum)
+      // a FRESH session resolves the catalog entry against the
+      // widened schema and can insert a genuinely long value at once
+      val s2 = spark.newSession()
+      assert(s2.table("pmw_corpus").schema("n").dataType ==
+        org.apache.spark.sql.types.LongType)
+      s2.sql("INSERT INTO pmw_corpus VALUES (1000, 5000000000)")
+      assert(s2.sql("SELECT max(n) FROM pmw_corpus").as[Long].head()
+        == 5000000000L)
+      // non-widening changes refuse loudly (Spark's own analyzer
+      // catches narrowing; the ledger refuses cross-family)
+      val e1 = intercept[Exception](spark.sql(
+        "ALTER TABLE pmw_corpus ALTER COLUMN n TYPE INT"))
+      assert(e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+        e1.getMessage.contains("NARROW"), e1.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        "ALTER TABLE pmw_corpus ALTER COLUMN n TYPE DOUBLE"))
+      assert(e2.getMessage.contains("widening"), e2.getMessage)
+    } finally {
+      Seq("DROP TABLE IF EXISTS pmw_corpus",
+        "DROP TABLE IF EXISTS pmw_corpus_store")
+        .foreach(s => scala.util.Try(spark.sql(s)))
+    }
+  }
 }
