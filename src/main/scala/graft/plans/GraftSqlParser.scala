@@ -24,6 +24,7 @@ import graft.operators.ManifestTable
   *   GRAFT EXPIRE {'<root>'|TABLE <name>} KEEP <k>
   *   GRAFT MAINTAIN {'<root>'|TABLE <name>} [TARGET <bytes>] [CLUSTER BY c1[, c2…]]
   *   GRAFT MOR {'<root>'|TABLE <name>} {ON|OFF}
+  *   GRAFT FOLD {'<root>'|TABLE <name>} [TARGET <bytes>]
   * }}}
   *
   * The target is a path literal, or — for catalog users who never
@@ -133,6 +134,9 @@ object GraftSqlParser {
   private val MorRe =
     ("""(?is)^\s*GRAFT\s+MOR\s+""" + TargetRe +
       """\s+(ON|OFF)\s*;?\s*$""").r
+  private val FoldRe =
+    ("""(?is)^\s*GRAFT\s+FOLD\s+""" + TargetRe +
+      """(?:\s+TARGET\s+(\d+))?\s*;?\s*$""").r
 
   private def unquote(s: String): String = s.replace("''", "'")
   private def cols(s: String): Seq[String] =
@@ -164,13 +168,17 @@ object GraftSqlParser {
       case MorRe(root, ident, mode) =>
         Some(GraftMorCommand(refOf(root, ident),
           mode.equalsIgnoreCase("ON")))
+      case FoldRe(root, ident, target) =>
+        Some(GraftFoldCommand(refOf(root, ident),
+          Option(target).map(_.toLong).getOrElse(DefaultTargetBytes)))
       case _ => throw new IllegalArgumentException(
         "malformed GRAFT statement — usage:\n" +
           "  GRAFT COMPACT {'<root>'|TABLE <name>} [TARGET <bytes>] [CLUSTER BY c1[, c2…]]\n" +
           "  GRAFT VACUUM {'<root>'|TABLE <name>} [RETAIN <n> HOURS]\n" +
           "  GRAFT EXPIRE {'<root>'|TABLE <name>} KEEP <k>\n" +
           "  GRAFT MAINTAIN {'<root>'|TABLE <name>} [TARGET <bytes>] [CLUSTER BY c1[, c2…]]\n" +
-          "  GRAFT MOR {'<root>'|TABLE <name>} {ON|OFF}")
+          "  GRAFT MOR {'<root>'|TABLE <name>} {ON|OFF}\n" +
+          "  GRAFT FOLD {'<root>'|TABLE <name>} [TARGET <bytes>]")
     }
   }
 
@@ -408,6 +416,23 @@ object GraftSqlParser {
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(ManifestTable.setMorDeletes(target.rootIn(session), on)
         .version.toLong))
+  }
+
+  /** `GRAFT FOLD <t> [TARGET <bytes>]` — rewrite ONLY the files
+    * carrying a deletion vector (the physical-erase completion of a
+    * merge-on-read delete): [[ManifestTable.foldDeletes]]. Zero-cost
+    * no-op on a DV-free table. Returns the head version (unchanged
+    * when nothing folded). */
+  case class GraftFoldCommand(target: TableRef, targetBytes: Long)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val root = target.rootIn(session)
+      val snap = ManifestTable.foldDeletes(session, root, targetBytes)
+      session.catalog.refreshByPath(root)
+      Seq(Row(snap.version.toLong))
+    }
   }
 
   case class GraftMaintainCommand(target: TableRef, targetBytes: Long,

@@ -108,4 +108,34 @@ class GraftSqlParserSpec extends SparkSpec {
     // GRAFT VACUUM on a missing root is the documented no-op sweep
     assert(spark.sql("GRAFT VACUUM '/no/such''path'").head().getLong(0) == 0L)
   }
+
+  test("GRAFT MOR declares merge-on-read deletes; GRAFT FOLD erases standing deletion vectors") {
+    import spark.implicits._
+    import graft.operators.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_pfold").toString
+    val root = s"$dir/t"
+    ManifestTable.init(root, Seq("id"))
+    ManifestTable.append(spark, root, (0L until 100L).toDF("id")
+      .withColumn("v", F.col("id") * 2))
+    // declare MoR by path, delete through the Scala MoR API, then
+    // FOLD: only DV'd files rewrite, the DV refs disappear, rows hold
+    spark.sql(s"GRAFT MOR '$root' ON")
+    assert(ManifestTable.morDeletes(ManifestTable.latest(root).get))
+    ManifestTable.deleteWhereMoR(spark, root, F.col("id") % 4 === 0)
+    def dvCount(): Int = {
+      val s = ManifestTable.latest(root).get
+      s.files.count(f => s.stats.get(f).exists(p =>
+        graft.operators.ManifestStats.decodeCached(p).dvRef.isDefined))
+    }
+    assert(dvCount() > 0, "fixture: expected standing DVs")
+    val v = spark.sql(s"GRAFT FOLD '$root'").head().getLong(0)
+    assert(v == ManifestTable.latest(root).get.version.toLong)
+    assert(dvCount() == 0, "GRAFT FOLD left a standing DV")
+    assert(ManifestTable.read(spark, root).count() == 75L)
+    // idempotent: a DV-free fold commits nothing
+    val v2 = spark.sql(s"GRAFT FOLD '$root'").head().getLong(0)
+    assert(v2 == v, "a DV-free GRAFT FOLD must be a no-op")
+    spark.sql(s"GRAFT MOR '$root' OFF")
+    assert(!ManifestTable.morDeletes(ManifestTable.latest(root).get))
+  }
 }
