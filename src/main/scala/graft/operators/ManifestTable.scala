@@ -82,6 +82,10 @@ object ManifestTable {
   private val DroppedPrefix = "#dropped:"
   private val SinkCkptPrefix = "#sinkckpt:"
   private val DvModePrefix = "#dvmode:"
+  /** Sentinel the streaming sink records when `<ckpt>/metadata` is
+    * unreadable — a FALLBACK identity, never a match witness (see
+    * [[claimSinkCheckpoint]]). */
+  private[graft] val UnknownQid = "qid-unknown"
   private val HintFile = "_last_checkpoint"
 
   // ---- storage plumbing (Hadoop FS only — no java.nio here) ----
@@ -851,6 +855,12 @@ object ManifestTable {
   private[graft] def claimSinkCheckpoint(root: String, queryId: String,
                                          locHash: String): Unit = {
     val fp = s"$queryId@$locHash"
+    // the unreadable-metadata fallback id: NEVER a match witness —
+    // two genuinely different queries that both hit the fallback
+    // would otherwise pass the same-query branch and adopt each
+    // other's ledger (the exact silent-no-op hazard the claim
+    // refuses); for sentinel ids only the location hash may decide
+    def knownQid(q: String): Boolean = q != UnknownQid
     def reclaim(cur: Snapshot): Boolean =
       tryCommit(root, cur.version + 1, cur.files,
         cur.meta.filterNot(_.startsWith(SinkCkptPrefix)) :+
@@ -861,10 +871,12 @@ object ManifestTable {
         throw new IllegalStateException(s"no manifest at $root"))
       sinkCheckpointOf(cur) match {
         case None => done = reclaim(cur)
+        // existing == fp implies equal location hashes, so even a
+        // sentinel-id match is a genuine same-location restart
         case Some(existing) if existing == fp => done = true
         case Some(existing) if existing.contains('@') =>
           val Array(eQid, eLoc) = existing.split('@')
-          if (eQid == queryId) {
+          if (eQid == queryId && knownQid(queryId)) {
             // same QUERY at a new location — a copied/relocated
             // checkpoint keeps its persisted id, and its batch ids ARE
             // this ledger's; record the move
@@ -1405,10 +1417,15 @@ object ManifestTable {
       var result: Option[Snapshot] = None
       while (result.isEmpty) {
         val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
-        if (!baseSet.subsetOf(cur.files.toSet)) {
-          // a conflicting rewrite committed first — our rewrite is
-          // stale; the files it wrote are unreferenced and will be
-          // vacuumed once the orphan grace passes
+        if (!baseSet.subsetOf(cur.files.toSet) ||
+          base.files.exists(f => dvStateOf(cur, f) != dvStateOf(base, f))) {
+          // a conflicting rewrite committed first — or a concurrent
+          // MoR delete moved a file's DV state (our rewrite read
+          // through the OLD overlay and would resurrect its victims
+          // while dropping the DV pointer). Either way our rewrite is
+          // stale; aborting is safe (compaction is layout-only) and
+          // the files it wrote are unreferenced and will be vacuumed
+          // once the orphan grace passes
           result = Some(cur)
         } else {
           // conflict-free merge: files that appeared since the base
@@ -1994,7 +2011,13 @@ object ManifestTable {
             var retryScan = false
             while (result.isEmpty && !retryScan) {
               val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
-              if (!affectedSet.subsetOf(cur.files.toSet)) {
+              // DV-state drift counts as a conflict exactly like a
+              // file rewrite: the keep side read through base's DV
+              // overlay, so publishing it under a moved DV would
+              // resurrect the concurrent MoR delete's victims
+              if (!affectedSet.subsetOf(cur.files.toSet) ||
+                affected.exists(f =>
+                  dvStateOf(cur, f) != dvStateOf(base, f))) {
                 restarts += 1
                 if (restarts >= maxRestarts)
                   throw new IllegalStateException(
@@ -2033,9 +2056,12 @@ object ManifestTable {
     * Also the maintenance valve for a DV that grew past broadcast
     * size. */
   def foldDeletes(spark: SparkSession, root: String,
-                  targetFileBytes: Long = 128L * 1024 * 1024)
+                  targetFileBytes: Long = 128L * 1024 * 1024,
+                  maxRestarts: Int = 8)
       : Snapshot = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(maxRestarts >= 1, "maxRestarts must be >= 1")
+    var restarts = 0
     var result: Option[Snapshot] = None
     while (result.isEmpty) {
       val base = latest(root).getOrElse(
@@ -2060,8 +2086,19 @@ object ManifestTable {
             val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
             val drifted = !dvSet.subsetOf(cur.files.toSet) ||
               dvFiles.exists(f => dvStateOf(cur, f) != dvStateOf(base, f))
-            if (drifted) retryScan = true // re-derive the DV'd set
-            else {
+            if (drifted) {
+              // re-derive the DV'd set — but boundedly: every lost
+              // round has already rewritten all DV'd files (vacuum
+              // orphans), so a steady MoR-delete stream must fail
+              // loudly rather than livelock writing garbage forever
+              restarts += 1
+              if (restarts >= maxRestarts)
+                throw new IllegalStateException(
+                  s"foldDeletes at $root lost $restarts consecutive " +
+                    "MoR-delete races; pause the delete stream or " +
+                    "raise maxRestarts")
+              retryScan = true
+            } else {
               val files = cur.files.filterNot(dvSet) ++ newFiles
               val stats = cur.stats ++ newStats
               if (tryCommit(root, cur.version + 1, files, cur.meta,
@@ -2272,7 +2309,11 @@ object ManifestTable {
               while (result.isEmpty && !retryScan) {
                 val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
                 if (replayed(cur)) result = Some(Merge(cur, 0L, 0L))
-                else if (!affectedSet.subsetOf(cur.files.toSet)) {
+                // survivors were read through base's DV overlay — a
+                // moved DV state is a conflict, same as a file rewrite
+                else if (!affectedSet.subsetOf(cur.files.toSet) ||
+                  affected.exists(f =>
+                    dvStateOf(cur, f) != dvStateOf(base, f))) {
                   restarts += 1
                   if (restarts >= maxRestarts)
                     throw new IllegalStateException(
@@ -2681,7 +2722,11 @@ object ManifestTable {
             while (result.isEmpty && !retryScan) {
               val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
               if (replayed(cur)) result = Some(Merge(cur, 0L, 0L))
-              else if (!affectedSet.subsetOf(cur.files.toSet)) {
+              // the merge frame was read through base's DV overlay — a
+              // moved DV state is a conflict, same as a file rewrite
+              else if (!affectedSet.subsetOf(cur.files.toSet) ||
+                affected.exists(f =>
+                  dvStateOf(cur, f) != dvStateOf(base, f))) {
                 restarts += 1
                 if (restarts >= maxRestarts)
                   throw new IllegalStateException(
@@ -2941,10 +2986,15 @@ object ManifestTable {
             var retryScan = false
             while (result.isEmpty && !retryScan) {
               val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
-              if (!affectedSet.subsetOf(cur.files.toSet)) {
-                // a rewrite replaced our victims' files — the delete
-                // must still apply, so re-scan against the new
-                // snapshot; our rewritten files become orphans
+              if (!affectedSet.subsetOf(cur.files.toSet) ||
+                affected.exists(f =>
+                  dvStateOf(cur, f) != dvStateOf(base, f))) {
+                // a rewrite replaced our victims' files — or a
+                // concurrent MoR delete moved a file's DV state (our
+                // survivor scan used the OLD overlay and would
+                // resurrect its victims). The delete must still
+                // apply, so re-scan against the new snapshot; our
+                // rewritten files become orphans
                 restarts += 1
                 if (restarts >= maxRestarts)
                   throw new IllegalStateException(

@@ -28,9 +28,18 @@ import org.apache.spark.util.sketch.BloomFilter
   * Semantics match the UDFs it replaces: NULL keys probe to FALSE
   * (a NULL never equality-joins), never NULL. Strings probe their
   * UTF-8 bytes (`mightContainBinary` — byte-identical to
-  * `putString`); integral types probe as longs. */
+  * `putString`); integral types probe as longs.
+  *
+  * The Broadcast handle is deliberately NOT `@transient`: under
+  * interpreted/fallback evaluation (codegen compile failure,
+  * CODEGEN_FACTORY_MODE=NO_CODEGEN) the expression itself is
+  * serialized into the task closure, and a transient handle would
+  * deserialize as null and NPE in `eval` on executors. Broadcast
+  * handles are designed to travel in closures (the torrent value
+  * is fetched lazily per executor), so keeping the field
+  * serializable costs only the small handle. */
 case class BloomMightContain(child: Expression,
-                             @transient bloom: Broadcast[BloomFilter])
+                             bloom: Broadcast[BloomFilter])
   extends UnaryExpression with Predicate {
 
   override def nullable: Boolean = false

@@ -118,7 +118,7 @@ private[sources] final class ManifestStreamSink(
         s"could not read the streaming query id from $loc/metadata — " +
           "fingerprinting the checkpoint location alone (a recreated " +
           "checkpoint at this path would not be flagged)")
-      "qid-unknown"
+      ManifestTable.UnknownQid
     }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {

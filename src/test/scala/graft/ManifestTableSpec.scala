@@ -1476,6 +1476,102 @@ class ManifestTableSpec extends SparkSpec {
       .filter(F.col("payload") === "updated").count() == 80L)
   }
 
+  test("the unknown-qid sink claim sentinel never matches across locations") {
+    // two different queries that BOTH hit the unreadable-metadata
+    // fallback id must not adopt each other's batch ledger: for the
+    // sentinel, only the location hash may decide
+    val root = java.nio.file.Files.createTempDirectory("graft_qidsent").toString
+    ManifestTable.init(root)
+    ManifestTable.claimSinkCheckpoint(root, ManifestTable.UnknownQid, "aaaa")
+    // a same-location restart under the sentinel is accepted
+    ManifestTable.claimSinkCheckpoint(root, ManifestTable.UnknownQid, "aaaa")
+    // a DIFFERENT location under the sentinel is a different query
+    intercept[IllegalArgumentException] {
+      ManifestTable.claimSinkCheckpoint(root, ManifestTable.UnknownQid, "bbbb")
+    }
+    // a real qid at the claimed location is the wiped-checkpoint
+    // shape: warn-and-adopt (the documented recovery path)
+    ManifestTable.claimSinkCheckpoint(root, "qid-real", "aaaa")
+    // ...after which the sentinel at a new location still refuses
+    intercept[IllegalArgumentException] {
+      ManifestTable.claimSinkCheckpoint(root, ManifestTable.UnknownQid, "cccc")
+    }
+  }
+
+  test("rewrite commits racing a MoR delete must not resurrect its victims") {
+    // the reverse direction of the MoR-MoR race above: a rewrite-style
+    // commit (compact / upsert / overwriteWhere) whose survivor scan
+    // ran BEFORE a concurrent MoR delete committed used the old DV
+    // overlay — publishing it unchecked would resurrect the delete's
+    // victims and drop the DV pointer. Each loop must detect the
+    // DV-state drift and restart (upsert/overwrite) or abort (compact).
+    // compact: abort is safe (layout-only) — the MoR delete must win
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("graft_mor_rw1").toString
+      ManifestTable.init(root, Seq("id"))
+      ManifestTable.append(spark, root, batch(0, 100))
+      ManifestTable.append(spark, root, batch(100, 200))
+      var injected = false
+      ManifestTable.compact(spark, root, targetFileBytes = 1L << 20,
+        beforeCommit = () => {
+          if (!injected) {
+            injected = true
+            ManifestTable.deleteWhereMoR(spark, root, F.col("id") < 20)
+            ()
+          }
+        })
+      assert(ids(root) == (20L until 200L).toSet,
+        "compact racing a MoR delete resurrected its victims")
+    }
+    // upsert: the merge must still apply, so it restarts against the
+    // post-delete snapshot (and the restart's scan sees the DV)
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("graft_mor_rw2").toString
+      ManifestTable.init(root, Seq("id"))
+      // ONE data file: the injected delete's DV lands on the exact
+      // file the upsert is rewriting, so the drift check must fire
+      ManifestTable.append(spark, root, batch(0, 100).coalesce(1))
+      var injected = false
+      val updDf = Seq(50L, 51L).toDF("id")
+        .withColumn("payload", F.lit("merged"))
+      val m = ManifestTable.upsert(spark, root, "id", updDf,
+        beforeCommit = () => {
+          if (!injected) {
+            injected = true
+            ManifestTable.deleteWhereMoR(spark, root, F.col("id") < 10)
+            ()
+          }
+        })
+      assert(m.matchedRows == 2L, s"matched ${m.matchedRows}")
+      assert(ids(root) == (10L until 100L).toSet,
+        "upsert racing a MoR delete resurrected its victims")
+      assert(ManifestTable.read(spark, root)
+        .filter(F.col("payload") === "merged").count() == 2L)
+    }
+    // overwriteWhere: same restart contract as upsert
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("graft_mor_rw3").toString
+      ManifestTable.init(root, Seq("id"))
+      ManifestTable.append(spark, root, batch(0, 100).coalesce(1))
+      var injected = false
+      val reload = Seq(60L, 61L).toDF("id")
+        .withColumn("payload", F.lit("reloaded"))
+      val d = ManifestTable.overwriteWhere(spark, root,
+        F.col("id") >= 60 && F.col("id") < 70, reload,
+        beforeCommit = () => {
+          if (!injected) {
+            injected = true
+            ManifestTable.deleteWhereMoR(spark, root, F.col("id") < 10)
+            ()
+          }
+        })
+      assert(d.removedRows == 10L, s"replaced ${d.removedRows}")
+      assert(ids(root) ==
+        ((10L until 60L) ++ Seq(60L, 61L) ++ (70L until 100L)).toSet,
+        "overwriteWhere racing a MoR delete resurrected its victims")
+    }
+  }
+
   test("upsert on a DV'd table: survivors come from the overlay, never the raw file") {
     val root = java.nio.file.Files.createTempDirectory("graft_mor6").toString
     ManifestTable.init(root, Seq("id"))

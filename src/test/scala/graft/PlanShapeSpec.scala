@@ -230,6 +230,31 @@ class PlanShapeSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("bloom probe survives closure serialization under interpreted eval") {
+    // fallback path (codegen compile failure / NO_CODEGEN): the
+    // expression itself travels in the task closure, so the Broadcast
+    // handle must NOT be @transient — a transient handle deserializes
+    // null and eval NPEs on executors
+    val keys = spark.range(1L, 4L).toDF("k")
+    val bloom = keys.stat.bloomFilter("k", 3L, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val expr = graft.plans.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.LongType, nullable = true), bc)
+    // round-trip through Java serialization (the closure path)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(expr); oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.plans.BloomMightContain]
+    val hit = org.apache.spark.sql.catalyst.InternalRow(2L)
+    assert(back.eval(hit) == true, "present key probed false after round-trip")
+    val miss = org.apache.spark.sql.catalyst.InternalRow(999999L)
+    assert(back.eval(miss) == bloom.mightContainLong(999999L))
+    bc.destroy()
+  }
+
   private implicit class SortedOps[A <: Product](private val a: Array[A]) {
     def toSorted_ : Array[A] = a.sortBy(_.toString)
   }
