@@ -244,13 +244,17 @@ private[graft] object ExtDedup {
       val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
       SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 1),
         "doc_id", "text", root, MINHASH_K, NGRAM_BANDS, shingles3)
+      // the survivors frame is deliberately DISCARDED UNEVALUATED:
+      // ingest's store commit is eager inside (appendBatch), so
+      // forcing the returned anti-join with a count() would be one
+      // wasted action per ingest
       SignatureStore.ingest(s, root,
         docs.filter(F.col("doc_id") % 3 === 2),
-        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3).count()
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
       SignatureStore.compactGenerations(s, root, upTo = 1)
       SignatureStore.ingest(s, root,
         docs.filter(F.col("doc_id") % 3 === 0),
-        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3).count()
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
       SignatureStore.signaturesWithGen(s, root)
         .select(F.col("doc_id"), F.col("gen").cast("long").as("batch"))
         .distinct()
@@ -270,9 +274,10 @@ private[graft] object ExtDedup {
       val shingles3 = (c: org.apache.spark.sql.Column) => Text.distinctShingles(c, 3)
       SignatureStore.init(docs.filter(F.col("doc_id") % 3 === 1),
         "doc_id", "text", root, MINHASH_K, NGRAM_BANDS, shingles3)
+      // discarded unevaluated — see x_sigstore_compact's ingest note
       SignatureStore.ingest(s, root,
         docs.filter(F.col("doc_id") % 3 === 2),
-        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3).count()
+        "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
       SignatureStore.compactGenerations(s, root, upTo = 1)
       def members(g: Int) = SignatureStore.signaturesAsOf(s, root, g)
         .select("doc_id").distinct()

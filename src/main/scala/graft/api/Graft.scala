@@ -134,7 +134,14 @@ final case class Graft(spark: SparkSession, sfDir: String) {
     // directory's data — put() on every registration invalidates it
     if (Graft.fullyRegistered.get(t) == absLoc &&
         spark.catalog.tableExists(store) && spark.catalog.tableExists(t)) {
-      spark.catalog.refreshTable(store)
+      // NO per-call refreshTable here: the stores are single immutable
+      // parquet files (a same-path rewrite is out of contract — see
+      // the footer-check comment below), and refreshing per enableSql
+      // call costs an HMS round-trip per table AND drops the cached
+      // relation, re-listing and re-planning the scan for EVERY SQL
+      // query in a batch run. Callers that rewrite a store in place
+      // drop the store table (forcing the slow path) per the
+      // documented contract.
       return
     }
     // fast path: the store already exists AND serves this sfDir's

@@ -152,8 +152,11 @@ object Curation {
                               benchPred: Column, threshold: Double = 0.5,
                               dfCap: Int = 20,
                               terms: Column => Column = Text.distinctShingles(_, 3)): DataFrame = {
+    // parallelism floor before the explode: same one-dominant-CPU-
+    // stage rationale as containmentPairs' term frame ([[Spread]])
     def termSet(d: DataFrame): DataFrame =
-      d.select(F.col(idCol),
+      Spread.floor(d.select(F.col(idCol), F.col(textCol)))
+        .select(F.col(idCol),
           F.explode(terms(F.col(textCol))).as("tok"))
         .filter(F.col("tok") =!= "")
         .select(F.col(idCol), Text.hash60(F.col("tok")).as("h"))

@@ -174,9 +174,21 @@ object Dedup {
   /** One row per (id, non-empty term) — the shared term-explode
     * every signature/intersection path starts from. */
   private def termRows(df: DataFrame, idCol: String, textCol: String,
-                       terms: Column => Column): DataFrame =
-    df.select(F.col(idCol), F.explode(terms(F.col(textCol))).as("tok"))
+                       terms: Column => Column,
+                       spread: Boolean = false): DataFrame = {
+    // spread=true: raise the projected (id, text) input to the
+    // cluster's parallelism floor before the explode ([[Spread]]) —
+    // for the operators whose shingle+hash expansion is ONE dominant
+    // CPU stage (containment/substring: every window of every doc is
+    // hashed). The signature family stays un-spread: its per-doc
+    // aggregates fan out over more, smaller stages where the extra
+    // partitions cost more in per-task overhead than they buy
+    // (measured both ways at sf0.1/local[32]).
+    val in = df.select(F.col(idCol), F.col(textCol))
+    (if (spread) Spread.floor(in) else in)
+      .select(F.col(idCol), F.explode(terms(F.col(textCol))).as("tok"))
       .filter(F.col("tok") =!= "")
+  }
 
   /** k min-hash aggregates over a term frame, plus optional extra
     * aggregates computed in the SAME grouped pass (e.g. the term
@@ -476,7 +488,7 @@ object Dedup {
     // collision) would otherwise inflate the per-term df into an
     // occurrence count, cross-multiply duplicate rows in the
     // intersection join, and push containment past 1.0.
-    val toks = termRows(df, idCol, textCol, terms)
+    val toks = termRows(df, idCol, textCol, terms, spread = true)
       .select(F.col(idCol), Text.hash60(F.col("tok")).as("h"))
       .distinct()
       .localCheckpoint(true)
@@ -573,7 +585,8 @@ object Dedup {
     // containmentPairs — without the checkpoint the tokenize +
     // window + md5 lineage re-executes per consumer). The shuffle
     // carries (id, 8-byte hash) rows, never window text.
-    val wins = termRows(df, idCol, textCol, Text.distinctShingles(_, windowLen))
+    val wins = termRows(df, idCol, textCol,
+        Text.distinctShingles(_, windowLen), spread = true)
       .select(F.col(idCol), Text.hash60(F.col("tok")).as("h"))
       .distinct()
       .localCheckpoint(true)

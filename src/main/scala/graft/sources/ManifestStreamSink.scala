@@ -103,6 +103,17 @@ private[sources] final class ManifestStreamSink(
     * metadata file falls back to the legacy path fingerprint with a
     * WARN rather than failing the stream. */
   private def queryFp(loc: String): String =
+    // cached per sink instance (one sink per streaming query): the
+    // engine writes <ckpt>/metadata once before batch 0 and never
+    // changes it, so re-reading it on EVERY addBatch is a wasted FS
+    // round-trip per micro-batch — at object-store latency a real tax
+    // on a high-frequency stream
+    queryFpCache.computeIfAbsent(loc, l => queryFpUncached(l))
+
+  private val queryFpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def queryFpUncached(loc: String): String =
     scala.util.Try {
       val p = new org.apache.hadoop.fs.Path(loc, "metadata")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

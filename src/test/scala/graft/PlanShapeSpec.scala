@@ -230,6 +230,28 @@ class PlanShapeSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("Spread.floor raises a narrow scan to the parallelism floor, no-ops past it") {
+    // the containment/substring term explodes are one dominant CPU
+    // stage; their input must not inherit a 1-partition file layout.
+    // The exchange sits UPSTREAM of each operator's localCheckpoint
+    // pin, so the final query plan cannot show it — pin the partition
+    // arithmetic here instead.
+    val docs = Tables.scan(spark, sf, "documents").select("doc_id", "text")
+    val target = spark.sparkContext.defaultParallelism
+    assert(docs.rdd.getNumPartitions < target,
+      "fixture layout grew past the floor — this spec needs a smaller scan")
+    val spreadPlan = graft.operators.Spread.floor(docs)
+      .queryExecution.executedPlan.toString
+    assert(spreadPlan.contains("RoundRobinPartitioning"),
+      "Spread.floor added no exchange on an under-parallel scan:\n" +
+        spreadPlan.take(400))
+    assert(graft.operators.Spread.floor(docs).rdd.getNumPartitions == target)
+    // already at/over the floor: byte-identical frame, NO added shuffle
+    val wide = docs.repartition(target)
+    assert(graft.operators.Spread.floor(wide) eq wide,
+      "Spread.floor must be a no-op at or above the floor")
+  }
+
   test("bloom probe survives closure serialization under interpreted eval") {
     // fallback path (codegen compile failure / NO_CODEGEN): the
     // expression itself travels in the task closure, so the Broadcast
