@@ -239,8 +239,10 @@ object ManifestStats {
   /** Column types a per-file Bloom supports: integral keys probe as
     * longs (a widening-stable encoding — byte→long casts commute with
     * the put), strings as themselves. Floats/dates/timestamps are not
-    * lookup-key shapes; they fall to min/max pruning. */
-  private def isBloomSupported(dt: DataType): Boolean = dt match {
+    * lookup-key shapes; they fall to min/max pruning. Shared with the
+    * write-fused tap ([[graft.plans.BloomWriteTap]]) so eligibility
+    * never drifts between the two builders. */
+  private[graft] def isBloomSupported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType => true
     case _ => false
   }
@@ -281,7 +283,9 @@ object ManifestStats {
               statCols: Seq[String],
               bloomCols: Seq[String] = Seq.empty,
               bloomCapacity: Long = BloomKeyCapacity,
-              sizes: Map[String, Long] = Map.empty): Map[String, String] = {
+              sizes: Map[String, Long] = Map.empty,
+              preBlooms: Option[Map[String, Map[String, (Array[Byte], Long)]]] =
+                None): Map[String, String] = {
     if (relFiles.isEmpty) return Map.empty
     val conf = spark.sparkContext.hadoopConfiguration
     // footer scrape, POOLED: each footer open is 1-2 storage
@@ -313,8 +317,21 @@ object ManifestStats {
       if (!allFootersOk) statCols
       else statCols.filter(c => foot.values.flatten.exists(
         _.cols.getOrElse(c, FooterNone) == FooterUnknown))
+    // write-fused blooms ([[graft.plans.BloomWriteTap]]): usable only
+    // when no aggregate is needed anyway, the footers vouch for row
+    // counts, and every file with rows carries a tap entry — any gap
+    // falls back wholesale to the read-back aggregate (the reference
+    // implementation)
+    val pre: Option[Map[String, Map[String, (Array[Byte], Long)]]] =
+      preBlooms.filter(pb => aggCols.isEmpty && allFootersOk &&
+        relFiles.forall { f =>
+          foot(f).exists(_.rows == 0L) || pb.contains(f)
+        })
     val (aggStats, bloomRefs) =
-      if (aggCols.nonEmpty || bloomCols.nonEmpty)
+      if (pre.isDefined)
+        (Map.empty[String, (Long, Map[String, ColStat])],
+          sidecarFromPre(spark, root, relFiles, pre.get, bloomCapacity))
+      else if (aggCols.nonEmpty || bloomCols.nonEmpty)
         aggregateStats(spark, root, relFiles, aggCols, bloomCols,
           bloomCapacity)
       else (Map.empty[String, (Long, Map[String, ColStat])],
@@ -387,24 +404,7 @@ object ManifestStats {
         if (v.isEmpty) None else Some((rel, c, v))
       }
     }
-    val bloomRef: Option[String] =
-      if (bloomRows.isEmpty) None
-      else {
-        // the rows are already driver-local (one per file×column) —
-        // write the sidecar directly through the FS as b64 lines:
-        // zero Spark jobs on either side of the seam, and the loader
-        // stays job-free too (planning must never launch jobs)
-        val tokenDir = relFiles.head.split('/').take(2).mkString("/")
-        val ref = s"$tokenDir/blooms.idx"
-        val p = new org.apache.hadoop.fs.Path(s"$root/$ref")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val out = fs.create(p, true)
-        try out.write(bloomRows.map { case (f, c, b) =>
-          s"$f|$c|${Base64.getEncoder.encodeToString(b)}"
-        }.mkString("\n").getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        Some(ref)
-      }
+    val bloomRef: Option[String] = writeSidecar(spark, root, relFiles, bloomRows)
     val withBloom = bloomRows.iterator.map(_._1).toSet
     val perFile = out.map { r =>
       val rel = ManifestTable.relPathOf(r.getString(0))
@@ -430,6 +430,51 @@ object ManifestStats {
     val refs = perFile.keys.flatMap(rel =>
       bloomRef.filter(_ => withBloom(rel)).map(rel -> _)).toMap
     (perFile, refs)
+  }
+
+  /** Write one commit's bloom sidecar (`file|col|b64` lines) under
+    * the batch's own token dir. The rows are driver-local — zero
+    * Spark jobs on either side of the seam, and the loader stays
+    * job-free too (planning must never launch jobs). None when there
+    * is nothing to record. Shared by the aggregate path and the
+    * write-fused tap path so the on-disk format can never drift. */
+  private def writeSidecar(spark: SparkSession, root: String,
+                           relFiles: Seq[String],
+                           bloomRows: Seq[(String, String, Array[Byte])])
+      : Option[String] = {
+    if (bloomRows.isEmpty) return None
+    val tokenDir = relFiles.head.split('/').take(2).mkString("/")
+    val ref = s"$tokenDir/blooms.idx"
+    val p = new org.apache.hadoop.fs.Path(s"$root/$ref")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bloomRows.map { case (f, c, b) =>
+      s"$f|$c|${Base64.getEncoder.encodeToString(b)}"
+    }.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    Some(ref)
+  }
+
+  /** Sidecar + per-file refs from write-fused tap results
+    * ([[graft.plans.BloomWriteTap]]) — the zero-job twin of
+    * [[aggregateStats]]'s bloom half. Applies the SAME capacity drop:
+    * a filter whose approximate new-key count exceeds the capacity
+    * records nothing (conservative — the file stays a candidate for
+    * every equality predicate), exactly like KeyBloomAgg.finish. */
+  private def sidecarFromPre(spark: SparkSession, root: String,
+                             relFiles: Seq[String],
+                             pre: Map[String, Map[String, (Array[Byte], Long)]],
+                             bloomCapacity: Long): Map[String, String] = {
+    val bloomRows: Seq[(String, String, Array[Byte])] =
+      relFiles.flatMap { f =>
+        pre.getOrElse(f, Map.empty).toSeq.sortBy(_._1).collect {
+          case (c, (bytes, newKeys))
+              if newKeys <= bloomCapacity && bytes.nonEmpty => (f, c, bytes)
+        }
+      }
+    val ref = writeSidecar(spark, root, relFiles, bloomRows)
+    val withBloom = bloomRows.iterator.map(_._1).toSet
+    ref.map(r => withBloom.map(_ -> r).toMap).getOrElse(Map.empty)
   }
 
   // ---- footer-sourced stats (the zero-job write path) ----

@@ -705,7 +705,14 @@ object ManifestTable {
     val token = java.util.UUID.randomUUID().toString
     registerIntent(root, token)
     val dir = s"data/$token"
-    try df.write.parquet(s"$root/$dir")
+    // declared bloom columns build DURING the write job (guide §1.2:
+    // one pass, not two) — the tap feeds per-task filters to an
+    // accumulator; compute() falls back to the read-back aggregate
+    // whenever the harvest cannot vouch for the partition→file map
+    val tap = graft.plans.BloomWriteTap.install(df, spec.bloomCols,
+      spec.bloomCap)
+    val toWrite = tap.map(_.frame).getOrElse(df)
+    try toWrite.write.parquet(s"$root/$dir")
     catch { case t: Throwable => clearIntent(root, token); throw t }
     val d = new HPath(root, dir)
     val fs = fsOf(d)
@@ -715,7 +722,7 @@ object ManifestTable {
     val rel = parts.map(s => s"$dir/${s.getPath.getName}").sorted
     val sizes = parts.map(s => s"$dir/${s.getPath.getName}" -> s.getLen).toMap
     (rel, token, ManifestStats.compute(spark, root, rel, spec.statCols,
-      spec.bloomCols, spec.bloomCap, sizes))
+      spec.bloomCols, spec.bloomCap, sizes, tap.flatMap(_.harvest(rel))))
   }
 
   /** Append `df` as a new snapshot; returns the committed version.

@@ -49,13 +49,27 @@ object Profile {
     case class J(id: Int, t0: Long, site: String)
     val open = new java.util.concurrent.ConcurrentHashMap[Int, J]
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(J, Long)]
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]
     @volatile var on = false
+    override def onOtherEvent(e: SparkListenerEvent): Unit = e match {
+      case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+        execDesc.put(s.executionId,
+          s.description.linesIterator.nextOption().getOrElse("").take(90)); ()
+      case _ => ()
+    }
     override def onJobStart(j: SparkListenerJobStart): Unit = if (on) {
       // first graft frame of the job's call stack — which operator
       // launched this action
       val site = j.stageInfos.headOption.map(_.details).flatMap(d =>
         d.split('\n').find(l => l.contains("graft.") &&
-          !l.contains("graft.tools."))).getOrElse("?").trim
+          !l.contains("graft.tools."))).getOrElse {
+        // no graft frame: show the top non-reflective frames so the
+        // job is still attributable (Dataset actions, AQE stages, ...)
+        val eid = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+        eid.flatMap(id => Option(execDesc.get(id.toLong)))
+          .map(d => s"[sql exec] $d").getOrElse("?")
+      }.trim
       open.put(j.jobId, J(j.jobId, System.nanoTime(), site)); ()
     }
     override def onJobEnd(e: SparkListenerJobEnd): Unit = if (on) {

@@ -449,6 +449,55 @@ class ManifestStatsSpec extends SparkSpec {
       .select("payload").as[String].head() == "merged")
   }
 
+  test("bloom filters build inside the write job (no aggregate job); maxRecordsPerFile falls back to the aggregate") {
+    // the write-fused tap (BloomWriteTap): a bloom-table append must
+    // launch exactly ONE Spark job — the data write — with the
+    // sidecar built from the write job's own accumulator
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_tap").toString
+    ManifestTable.init(root, Seq("id"), Seq("id", "payload"))
+    spark.sparkContext.addSparkListener(l)
+    try {
+      ManifestTable.append(spark, root, batch(0L, 100L).coalesce(2))
+      Thread.sleep(300) // job-start events are async; let them land
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get == 1,
+      s"bloom-table append launched ${jobs.get} jobs; the filter must " +
+        "build inside the single write job")
+    // ... and the tap-built sidecar prunes exactly like the aggregate's
+    val snap = ManifestTable.latest(root).get
+    assert(snap.files.size == 2)
+    assert(snap.files.forall(f =>
+      ManifestStats.decode(snap.stats(f)).bloomRef.isDefined))
+    assert(ManifestTable.candidateFiles(spark, root, snap,
+      F.col("id") === 1000L).isEmpty, "absent key must bloom-prune")
+    assert(ManifestTable.candidateFiles(spark, root, snap,
+      F.col("payload") === "row7").nonEmpty, "present key must stay")
+    // fallback: with maxRecordsPerFile set the one-file-per-task
+    // mapping breaks, so the tap must refuse and the aggregate path
+    // must produce the same pruning behavior
+    val root2 = java.nio.file.Files.createTempDirectory("graft_tap2").toString
+    ManifestTable.init(root2, Seq("id"), Seq("id", "payload"))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "40")
+    try ManifestTable.append(spark, root2, batch(0L, 100L).coalesce(1))
+    finally spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    val snap2 = ManifestTable.latest(root2).get
+    assert(snap2.files.size == 3, s"expected 3 split files, ${snap2.files}")
+    assert(snap2.files.forall(f =>
+      ManifestStats.decode(snap2.stats(f)).bloomRef.isDefined),
+      "aggregate fallback must still record blooms on split files")
+    assert(ManifestTable.candidateFiles(spark, root2, snap2,
+      F.col("id") === 1000L).isEmpty)
+    assert(ManifestTable.candidateFiles(spark, root2, snap2,
+      F.col("id") === 7L).size <= 2)
+  }
+
   test("bloom lifecycle: overfull files drop the filter; renames resolve; vacuum spares live sidecars and sweeps orphans") {
     val root = java.nio.file.Files.createTempDirectory("graft_bloom2").toString
     ManifestTable.init(root, Seq.empty, Seq("id"))
