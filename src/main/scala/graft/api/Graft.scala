@@ -177,9 +177,12 @@ final case class Graft(spark: SparkSession, sfDir: String) {
       Graft.footerChecked.add(footerKey)
       Graft.fullyRegistered.put(t, absLoc)
       // same location, same on-disk schema, view text already ensured
-      // by THIS build: refresh the cached file listing (picks up
-      // appends at the same path) and keep the saved DDL round-trip
-      spark.catalog.refreshTable(store)
+      // by THIS build — NO refresh, same contract as the fully-
+      // registered fast path above: the store locations are single
+      // immutable parquet FILES, so appends at the same path are
+      // impossible and a same-path rewrite is out of contract (the
+      // rewriter must DROP the store table, forcing the slow path —
+      // MetastoreSpec pins both halves of this contract)
       return
     }
     // external table over the storage files, shared by every model on

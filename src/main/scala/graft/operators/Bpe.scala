@@ -189,9 +189,11 @@ object Bpe {
       StructField("a", StringType, nullable = true),
       StructField("b", StringType, nullable = true),
       StructField("n", LongType, nullable = false)))
+    // LocalRelation, not parallelize: driver-local merge rows embed in
+    // the plan (no RDD closure to clean, no extra single-task stage)
     val mergeRows = spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.map(m =>
-        Row("merge", m.round.toLong, m.left, m.right, m.pairCount)), 1),
+      java.util.Arrays.asList(merges.map(m =>
+        Row("merge", m.round.toLong, m.left, m.right, m.pairCount)): _*),
       schema)
     mergeRows.unionByName(vocab(words).select(
       F.lit("vocab").as("kind"), F.lit(0L).as("seq"),

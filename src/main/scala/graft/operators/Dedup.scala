@@ -660,7 +660,8 @@ object Dedup {
     // (pairs are already pinned above) to a small partition count —
     // on a cluster this is sized to the pair volume, not the corpus.
     graft.ScopedShufflePartitions(pairs.sparkSession) {
-      dupComponentsLoop(sym, maxIters, pin)
+      dupComponentsLoop(sym, maxIters, pin,
+        reliable = reliableCheckpointDir.isDefined)
     }
   }
 
@@ -775,7 +776,8 @@ object Dedup {
   }
 
   private def dupComponentsLoop(sym: DataFrame, maxIters: Int,
-                                pin: DataFrame => DataFrame): DataFrame = {
+                                pin: DataFrame => DataFrame,
+                                reliable: Boolean): DataFrame = {
     var labels = pin(sym.select(F.col("src").as("id")).distinct()
       .withColumn("component", F.col("id")))
     var converged = false
@@ -793,15 +795,28 @@ object Dedup {
       // label). Every label is the id of a node in the frame, so the
       // self-join resolves; this is what turns O(diameter) rounds
       // into O(log diameter) on long chains. The previous label rides
-      // along so convergence is a filter on this frame, not a join.
+      // along so convergence COUNTS in the pin's own materializing
+      // job (guide §1.2: the separate per-round convergence action
+      // was a driver round-trip that re-scanned rows the pin had just
+      // materialized).
       val parents = propagated
         .select(F.col("id").as("component"), F.col("component").as("__parent"))
-      val updated = pin(propagated.join(parents, Seq("component"), "left")
+      val round = propagated.join(parents, Seq("component"), "left")
         .select(F.col("id"),
           F.coalesce(F.col("__parent"), F.col("component")).as("component"),
           (F.coalesce(F.col("__parent"), F.col("component")) <
-            F.col("__old")).as("__changed")))
-      converged = updated.filter(F.col("__changed")).isEmpty
+            F.col("__old")).as("__changed"))
+      val (updated, changed) =
+        if (reliable) {
+          // reliable checkpoints go through Dataset.checkpoint (the
+          // fault-tolerance seam is the point there, not the action
+          // count) — convergence stays a filter on the pinned frame
+          val u = pin(round)
+          (u, u.filter(F.col("__changed")).isEmpty match {
+            case true => 0L; case false => 1L
+          })
+        } else pinCountingChanged(round)
+      converged = changed == 0L
       labels = updated.drop("__changed")
       i += 1
     }
@@ -809,6 +824,26 @@ object Dedup {
       s"dupComponents did not converge in $maxIters rounds — component " +
         "diameter exceeds 2^maxIters; raise maxIters")
     labels
+  }
+
+  /** Fused local-checkpoint pin: mark the frame's RDD for local
+    * checkpointing and materialize it with ONE job that also counts
+    * the true rows of `__changed` — exactly what
+    * `localCheckpoint(eager=true)` + a separate convergence count
+    * used to take two driver round-trips for. Returns the pinned
+    * frame (a LogicalRDD over the checkpointed rows, the same wrap
+    * `Dataset.localCheckpoint` produces) and the count. */
+  private def pinCountingChanged(df: DataFrame): (DataFrame, Long) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val idx = df.schema.fieldIndex("__changed")
+    val changed = rdd.mapPartitions { it =>
+      var c = 0L
+      it.foreach(r => if (!r.isNullAt(idx) && r.getBoolean(idx)) c += 1)
+      Iterator.single(c)
+    }.fold(0L)(_ + _)
+    (org.apache.spark.sql.graftbridge.fromInternalRdd(
+      df.sparkSession, rdd, df.schema), changed)
   }
 
   /** Blocked fuzzy near-dup pairs by edit distance.

@@ -860,7 +860,9 @@ object ManifestTable {
     * fingerprint and are untouched — their one-ledger-per-table
     * contract stays documented. */
   private[graft] def claimSinkCheckpoint(root: String, queryId: String,
-                                         locHash: String): Unit = {
+                                         locHash: String,
+                                         head0: Option[Snapshot] = None)
+      : Snapshot = {
     val fp = s"$queryId@$locHash"
     // the unreadable-metadata fallback id: NEVER a match witness —
     // two genuinely different queries that both hit the fallback
@@ -868,19 +870,30 @@ object ManifestTable {
     // other's ledger (the exact silent-no-op hazard the claim
     // refuses); for sentinel ids only the location hash may decide
     def knownQid(q: String): Boolean = q != UnknownQid
-    def reclaim(cur: Snapshot): Boolean =
-      tryCommit(root, cur.version + 1, cur.files,
-        cur.meta.filterNot(_.startsWith(SinkCkptPrefix)) :+
-          s"$SinkCkptPrefix$fp", cur.schemaJson, cur.stats)
-    var done = false
-    while (!done) {
-      val cur = latest(root).getOrElse(
+    def reclaim(cur: Snapshot): Option[Snapshot] = {
+      val meta = cur.meta.filterNot(_.startsWith(SinkCkptPrefix)) :+
+        s"$SinkCkptPrefix$fp"
+      if (tryCommit(root, cur.version + 1, cur.files, meta,
+        cur.schemaJson, cur.stats))
+        Some(Snapshot(cur.version + 1, cur.files, meta, cur.schemaJson,
+          cur.stats))
+      else None
+    }
+    // first iteration may ride a caller-read head (the sink's
+    // one-read-per-batch seam) — a stale head only costs a lost
+    // tryCommit and a fresh re-read, never a wrong claim verdict
+    // (the matched fingerprint is immutable once recorded)
+    var pending = head0
+    var done: Option[Snapshot] = None
+    while (done.isEmpty) {
+      val cur = pending.orElse(latest(root)).getOrElse(
         throw new IllegalStateException(s"no manifest at $root"))
+      pending = None
       sinkCheckpointOf(cur) match {
         case None => done = reclaim(cur)
         // existing == fp implies equal location hashes, so even a
         // sentinel-id match is a genuine same-location restart
-        case Some(existing) if existing == fp => done = true
+        case Some(existing) if existing == fp => done = Some(cur)
         case Some(existing) if existing.contains('@') =>
           val Array(eQid, eLoc) = existing.split('@')
           if (eQid == queryId && knownQid(queryId)) {
@@ -923,6 +936,7 @@ object ManifestTable {
               "original checkpoint, or re-init the table")
       }
     }
+    done.get
   }
 
   /** Highest batch id the ledger has recorded (−1 if none): the max
@@ -948,9 +962,23 @@ object ManifestTable {
     * ledger grows one line per batch until [[foldBatches]] folds the
     * contiguous prefix into a single watermark line. */
   def appendBatch(spark: SparkSession, root: String, batchId: Long,
-                  df: DataFrame): Snapshot = {
+                  df: DataFrame): Snapshot =
+    appendBatchWith(spark, root, batchId, df, latest(root))
+
+  /** [[appendBatch]] against a head the CALLER already read — the
+    * one-manifest-read-per-micro-batch seam (guide §6 round-trips):
+    * the streaming sink and the signature store read the head once
+    * per batch and thread it through the replay check, the stat
+    * lookup, and the commit loop's FIRST attempt. A stale head is
+    * harmless by construction: it can only miss NEWER commits (batch
+    * markers never retract), so a stale replay-check FALSE is
+    * re-checked inside the loop after the version-collision re-read,
+    * and a stale commit attempt loses `tryCommit` (atomic
+    * complete-or-absent) and retries fresh. */
+  private[graft] def appendBatchWith(spark: SparkSession, root: String,
+                                     batchId: Long, df: DataFrame,
+                                     head: Option[Snapshot]): Snapshot = {
     val marker = s"$BatchPrefix$batchId"
-    val head = latest(root)
     head.filter(batchCommitted(_, batchId)) match {
       case Some(cur) => cur // replayed: nothing to read, write, or commit
       case None =>
@@ -958,9 +986,9 @@ object ManifestTable {
         val (newFiles, token, newStats) =
           writeData(spark, root, df, statSpecOf(head))
         try {
+          var cur = head.getOrElse(Snapshot(-1, Seq.empty))
           var result: Option[Snapshot] = None
           while (result.isEmpty) {
-            val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
             if (batchCommitted(cur, batchId)) {
               // a racing duplicate committed first — return ITS state
               // without committing anything; our data files become
@@ -976,6 +1004,7 @@ object ManifestTable {
               if (tryCommit(root, cur.version + 1, files, meta, schema, stats))
                 result = Some(Snapshot(cur.version + 1, files, meta, schema,
                   stats))
+              else cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
             }
           }
           result.get
@@ -990,18 +1019,24 @@ object ManifestTable {
     * current snapshot without writing or committing anything. Same
     * identity-metadata carry as [[overwrite]]. */
   def overwriteBatch(spark: SparkSession, root: String, batchId: Long,
-                     df: DataFrame): Snapshot = {
+                     df: DataFrame): Snapshot =
+    overwriteBatchWith(spark, root, batchId, df, latest(root))
+
+  /** [[overwriteBatch]] against a caller-read head — same one-read
+    * seam and staleness argument as [[appendBatchWith]]. */
+  private[graft] def overwriteBatchWith(spark: SparkSession, root: String,
+                                        batchId: Long, df: DataFrame,
+                                        head: Option[Snapshot]): Snapshot = {
     val marker = s"$BatchPrefix$batchId"
-    val head = latest(root)
     head.filter(batchCommitted(_, batchId)) match {
       case Some(cur) => cur // replayed: nothing to read, write, or commit
       case None =>
         val (newFiles, token, newStats) =
           writeData(spark, root, df, statSpecOf(head))
         try {
+          var cur = head.getOrElse(Snapshot(-1, Seq.empty))
           var result: Option[Snapshot] = None
           while (result.isEmpty) {
-            val cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
             if (batchCommitted(cur, batchId)) result = Some(cur)
             else {
               val meta = cur.meta :+ marker
@@ -1012,6 +1047,7 @@ object ManifestTable {
                 newStats))
                 result = Some(Snapshot(cur.version + 1, newFiles, meta,
                   schema, newStats))
+              else cur = latest(root).getOrElse(Snapshot(-1, Seq.empty))
             }
           }
           result.get
@@ -1159,6 +1195,18 @@ object ManifestTable {
   def read(spark: SparkSession, root: String): DataFrame =
     readSnapshot(spark, root, latest(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root")))
+
+  /** [[read]] against a snapshot the caller already resolved — the
+    * one-read seam for lifecycle operators that read, number, and
+    * commit against the same head ([[SignatureStore.ingest]]). */
+  private[operators] def readWith(spark: SparkSession, root: String,
+                                  snap: Snapshot): DataFrame =
+    readSnapshot(spark, root, snap)
+
+  /** [[isBatchCommitted]] against a caller-read head. */
+  private[operators] def isBatchCommittedIn(head: Option[Snapshot],
+                                            batchId: Long): Boolean =
+    head.exists(batchCommitted(_, batchId))
 
   /** TIME TRAVEL: the table as of `version`. Readable as long as (a)
     * the manifest file survives ([[expireManifests]] retention) and
@@ -1867,11 +1915,11 @@ object ManifestTable {
           // sidecar (one dvref per file — the new one supersedes)
           val oldRefs = dvRefsOf(base, affected)
           val newDv = if (oldRefs.isEmpty) victims else {
-            val affectedDf = spark.createDataFrame(
-              spark.sparkContext.parallelize(
-                affected.map(org.apache.spark.sql.Row(_)), 1),
-              StructType(Seq(StructField("__aff",
-                org.apache.spark.sql.types.StringType, nullable = false))))
+            // LocalRelation, not parallelize: a driver-local name list
+            // embeds in the plan (broadcastable, no RDD closure to
+            // clean, no extra stage)
+            val affectedDf = spark.createDataset(affected)(
+              org.apache.spark.sql.Encoders.STRING).toDF("__aff")
             val carried = dvRows(spark, root,
               oldRefs.values.map(_._1).toSeq)
               .join(affectedDf, F.col("file") === F.col("__aff"),
@@ -2196,17 +2244,30 @@ object ManifestTable {
                   idCol: String, updates: DataFrame,
                   beforeCommit: () => Unit = () => (),
                   maxRestarts: Int = 8): Merge =
-    latest(root).filter(batchCommitted(_, batchId)) match {
+    upsertBatchWith(spark, root, batchId, idCol, updates, latest(root),
+      beforeCommit, maxRestarts)
+
+  /** [[upsertBatch]] against a caller-read head — same one-read seam
+    * and staleness argument as [[appendBatchWith]] (the rewrite path
+    * additionally re-checks drift inside its restart loop). */
+  private[graft] def upsertBatchWith(spark: SparkSession, root: String,
+                                     batchId: Long, idCol: String,
+                                     updates: DataFrame,
+                                     head: Option[Snapshot],
+                                     beforeCommit: () => Unit = () => (),
+                                     maxRestarts: Int = 8): Merge =
+    head.filter(batchCommitted(_, batchId)) match {
       case Some(cur) => Merge(cur, 0L, 0L) // replayed: nothing to do
       case None => upsertImpl(spark, root, idCol, updates, beforeCommit,
-        maxRestarts, Some(batchId))
+        maxRestarts, Some(batchId), head)
     }
 
   private def upsertImpl(spark: SparkSession, root: String, idCol: String,
                          updates: DataFrame,
                          beforeCommit: () => Unit,
                          maxRestarts: Int,
-                         batchId: Option[Long]): Merge = {
+                         batchId: Option[Long],
+                         headHint: Option[Snapshot] = None): Merge = {
     require(maxRestarts >= 1, "maxRestarts must be >= 1")
     // with a batch id, every commit attempt carries the marker and
     // every loop re-checks the ledger (a racing duplicate may have
@@ -2221,7 +2282,7 @@ object ManifestTable {
       .localCheckpoint(eager = true)
     require(uIds.count() == nU,
       s"upsert updates must carry distinct '$idCol' values")
-    val head0 = latest(root)
+    val head0 = headHint.orElse(latest(root))
     val (updFiles, updToken, updStats) =
       writeData(spark, root, u, statSpecOf(head0))
     // the update-id set prunes the match scan: an exact IN-list for
@@ -2232,9 +2293,15 @@ object ManifestTable {
     try {
       var restarts = 0
       var result: Option[Merge] = None
+      // a caller-passed head rides into the first iteration (the
+      // sink's one-read seam — fresh by construction there); callers
+      // without a hint keep the post-write fresh read, so the public
+      // upsert's race window is unchanged
+      var baseHint = headHint
       while (result.isEmpty) {
-        val base = latest(root).getOrElse(
+        val base = baseHint.orElse(latest(root)).getOrElse(
           throw new IllegalStateException(s"no manifest at $root"))
+        baseHint = None
         val schema = Some(mergeSchemaJson(
           seededSchemaJson(spark, root, base), u.schema,
           reservedNames(base.meta)))

@@ -129,16 +129,23 @@ object SignatureStore {
     // veto near-copies of retracted content — the exact behavior a
     // retraction must erase). Run Retraction.resume first.
     guardLedger.foreach(TakedownLedger.requireClear(_, root))
+    // ONE manifest read serves the store scan, the generation number,
+    // and the append's replay check + first commit attempt (guide §6
+    // round-trips; safe under the store's single-writer contract —
+    // the three reads could never legitimately disagree)
+    val head = ManifestTable.latest(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root"))
     val bandedB = Dedup
       .bandedSignatures(incoming, idCol, textCol, k, bands, terms)
       .localCheckpoint(eager = true)
     val drops = Dedup
-      .incrementalDrops(signatures(spark, root), bandedB, idCol, k, threshold)
+      .incrementalDrops(ManifestTable.readWith(spark, root, head).drop("gen"),
+        bandedB, idCol, k, threshold)
       .localCheckpoint(eager = true)
-    val nextGen = latestGeneration(spark, root) + 1
-    ManifestTable.appendBatch(spark, root, nextGen,
+    val nextGen = ManifestTable.ledgerHigh(head) + 1
+    ManifestTable.appendBatchWith(spark, root, nextGen,
       bandedB.join(drops, Seq(idCol), "left_anti")
-        .withColumn("gen", F.lit(nextGen)))
+        .withColumn("gen", F.lit(nextGen)), Some(head))
     incoming.join(drops, Seq(idCol), "left_anti")
   }
 
@@ -158,24 +165,32 @@ object SignatureStore {
                   incoming: DataFrame, idCol: String, textCol: String,
                   k: Int, bands: Int, threshold: Double,
                   terms: Column => Column): Boolean = {
-    if (ManifestTable.isBatchCommitted(root, gen)) return false
-    initTable(root, idCol) // first batch of a fresh store self-inits
+    // ONE manifest read per micro-batch (guide §6): the head read
+    // here answers the replay check, the fresh-store branch, the
+    // store scan, and the append's first commit attempt
+    var head = ManifestTable.latest(root)
+    if (ManifestTable.isBatchCommittedIn(head, gen)) return false
+    if (head.isEmpty) {
+      initTable(root, idCol) // first batch of a fresh store self-inits
+      head = ManifestTable.latest(root)
+    }
     val bandedB = Dedup
       .bandedSignatures(incoming, idCol, textCol, k, bands, terms)
       .localCheckpoint(eager = true)
     // fresh store: the cross-store probe runs against an empty frame
     val stored =
-      if (latestGeneration(spark, root) < 0) bandedB.limit(0)
-      else signatures(spark, root)
+      if (head.map(ManifestTable.ledgerHigh).getOrElse(-1L) < 0)
+        bandedB.limit(0)
+      else ManifestTable.readWith(spark, root, head.get).drop("gen")
     val drops = Dedup
       .incrementalDrops(stored, bandedB, idCol, k, threshold)
       .localCheckpoint(eager = true)
     // gen is a LONG data column, same domain as the Long ledger id —
     // a streaming sink's baseGen+batchId past Int.MaxValue must not
     // silently wrap the provenance column away from the ledger
-    ManifestTable.appendBatch(spark, root, gen,
+    ManifestTable.appendBatchWith(spark, root, gen,
       bandedB.join(drops, Seq(idCol), "left_anti")
-        .withColumn("gen", F.lit(gen)))
+        .withColumn("gen", F.lit(gen)), head)
     true
   }
 

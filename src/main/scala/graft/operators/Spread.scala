@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Scale-adaptive parallelism floor for CPU-heavy per-row pipelines
   * (optimization guide §2.6 idle capacity, §6 input splits).
@@ -17,6 +18,19 @@ import org.apache.spark.sql.DataFrame
   * parallelism with one round-robin exchange of the (caller-
   * projected) input.
   *
+  * SCAN-SHAPED INPUTS ONLY: the partition-count probe goes through
+  * `Dataset.rdd`, and under AQE that FINALIZES the plan — for a frame
+  * whose plan contains an exchange it would actually execute the
+  * upstream shuffle stages at plan-construction time (real jobs,
+  * then re-run by the caller's query — a silent double execution).
+  * So the floor first whitelists the LOGICAL plan: only
+  * project/filter chains over leaf relations (file scans, local
+  * relations, checkpoint RDDs) are probed; anything else — joins,
+  * aggregates, repartitions, unions, generators — returns unchanged
+  * (such frames already inherit shuffle partitioning, or are not the
+  * single-dominant-map-stage shape the floor exists for). For the
+  * whitelisted shapes `.rdd` is file-split arithmetic, never a job.
+  *
   * Scale behavior: at 100 TB a corpus scan already yields thousands
   * of partitions >= defaultParallelism, so the branch is a NO-OP and
   * no shuffle is added; on a small or badly-packed layout the one
@@ -28,10 +42,23 @@ import org.apache.spark.sql.DataFrame
   * so results are partitioning-invariant.
   */
 private[graft] object Spread {
+
+  /** Is this logical plan a narrow chain over leaves — guaranteed
+    * exchange-free, so planning its RDD can never run a job? */
+  private def scanShaped(p: LogicalPlan): Boolean = p match {
+    case _: LeafNode => true
+    case prj: Project => scanShaped(prj.child)
+    case f: Filter => scanShaped(f.child)
+    case a: SubqueryAlias => scanShaped(a.child)
+    case _ => false
+  }
+
   def floor(df: DataFrame): DataFrame = {
+    if (!scanShaped(df.queryExecution.analyzed)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // getNumPartitions plans (never runs) the frame — callers pass
-    // narrow scan projections, so this is file-split arithmetic
+    // getNumPartitions plans (never runs) the frame — the whitelist
+    // above guarantees an exchange-free scan, so this is file-split
+    // arithmetic
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 }

@@ -102,18 +102,33 @@ private[sources] final class ManifestStreamSink(
     * at the first batch (the file exists by then); an unreadable
     * metadata file falls back to the legacy path fingerprint with a
     * WARN rather than failing the stream. */
-  private def queryFp(loc: String): String =
+  private def queryFp(loc: String): String = {
     // cached per sink instance (one sink per streaming query): the
     // engine writes <ckpt>/metadata once before batch 0 and never
     // changes it, so re-reading it on EVERY addBatch is a wasted FS
     // round-trip per micro-batch — at object-store latency a real tax
-    // on a high-frequency stream
-    queryFpCache.computeIfAbsent(loc, l => queryFpUncached(l))
+    // on a high-frequency stream. Only SUCCESSFUL reads cache: a
+    // transient FS error at batch 0 must not pin the weaker sentinel
+    // fingerprint for the sink's lifetime — the next addBatch retries
+    // the metadata read instead
+    val hit = queryFpCache.get(loc)
+    if (hit != null) return hit
+    queryFpUncached(loc) match {
+      case Some(fp) => queryFpCache.putIfAbsent(loc, fp); fp
+      case None =>
+        graft.util.Log.warn(
+          s"could not read the streaming query id from $loc/metadata — " +
+            "fingerprinting the checkpoint location alone (a recreated " +
+            "checkpoint at this path would not be flagged); will retry " +
+            "on the next batch")
+        ManifestTable.UnknownQid
+    }
+  }
 
   private val queryFpCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def queryFpUncached(loc: String): String =
+  private def queryFpUncached(loc: String): Option[String] =
     scala.util.Try {
       val p = new org.apache.hadoop.fs.Path(loc, "metadata")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -124,13 +139,7 @@ private[sources] final class ManifestStreamSink(
       val m = """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body)
       "qid-" + m.getOrElse(throw new IllegalStateException(
         s"no id in $p")).group(1)
-    }.getOrElse {
-      graft.util.Log.warn(
-        s"could not read the streaming query id from $loc/metadata — " +
-          "fingerprinting the checkpoint location alone (a recreated " +
-          "checkpoint at this path would not be flagged)")
-      ManifestTable.UnknownQid
-    }
+    }.toOption
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the micro-batch frame's OWN session (the streaming query's
@@ -139,19 +148,31 @@ private[sources] final class ManifestStreamSink(
     // must govern the ledgered write — the Delta-sink convention
     val session = data.sparkSession
     val df = graftbridge.asBatchFrame(session, data)
-    if (ManifestTable.latest(root).isEmpty)
+    // ONE manifest read per micro-batch: the head read here threads
+    // through the init check, the checkpoint claim, and the ledgered
+    // write's replay check + first commit attempt (guide §6 I/O
+    // round-trips — at object-store latency each extra head
+    // resolution is a per-batch tax). Stale-head safety is argued at
+    // [[ManifestTable.appendBatchWith]].
+    var head = ManifestTable.latest(root)
+    if (head.isEmpty) {
       ManifestTable.init(root, statCols, bloomCols,
         bloomCap.getOrElse(ManifestStats.BloomKeyCapacity))
+      head = ManifestTable.latest(root) // first batch only
+    }
     // replay-identity: this query's checkpoint must own the ledger
     // BEFORE any batch id is interpreted against it
-    checkpointLocation.foreach(loc =>
-      ManifestTable.claimSinkCheckpoint(root, queryFp(loc), pathFp(loc)))
+    checkpointLocation.foreach { loc =>
+      head = Some(ManifestTable.claimSinkCheckpoint(root, queryFp(loc),
+        pathFp(loc), head))
+    }
     if (mode == OutputMode.Append())
-      ManifestTable.appendBatch(session, root, batchId, df)
+      ManifestTable.appendBatchWith(session, root, batchId, df, head)
     else if (mode == OutputMode.Update())
-      ManifestTable.upsertBatch(session, root, batchId, mergeKey.get, df)
+      ManifestTable.upsertBatchWith(session, root, batchId, mergeKey.get,
+        df, head)
     else
-      ManifestTable.overwriteBatch(session, root, batchId, df)
+      ManifestTable.overwriteBatchWith(session, root, batchId, df, head)
     // cached plans over the root must not serve the pre-batch
     // snapshot (same contract as every other write path)
     session.catalog.refreshByPath(root)

@@ -38,6 +38,17 @@ object graftbridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** A driver-built RDD of InternalRows as a batch DataFrame — the
+    * wrap side of hand-rolled checkpoint fusion (materialize + count
+    * in one job, then keep using the pinned RDD as a frame). */
+  def fromInternalRdd(spark: SparkSession,
+                      rdd: org.apache.spark.rdd.RDD[
+                        catalyst.InternalRow],
+                      schema: types.StructType): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(rdd, schema, isStreaming = false)
+  }
+
   /** The inverse: the micro-batch frame a V1 streaming Sink's
     * `addBatch` receives, re-wrapped as a BATCH DataFrame over the
     * SAME (incremental) execution — planning a new query over the

@@ -82,6 +82,47 @@ class MetastoreSpec extends SparkSpec {
     }
   }
 
+  test("in-place store rewrite contract: dropping the store table forces the slow path and fresh data") {
+    // The enableSql repeat fast path deliberately skips refreshTable
+    // (stores are single immutable parquet files); a caller that
+    // rewrites a store file AT THE SAME PATH must drop the store
+    // table first. This pins the contract's actionable half: after
+    // the drop, re-registration goes through the slow path and serves
+    // the rewritten bytes — if a future edit lets the fast path
+    // survive a dropped table (or the slow path skip the footer
+    // re-check), this fails.
+    requireHms()
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_rw")
+    val src = java.nio.file.Paths.get(sf)
+    java.nio.file.Files.list(src).forEach { p =>
+      java.nio.file.Files.copy(p, tmpDir.resolve(p.getFileName.toString))
+      ()
+    }
+    try {
+      graft.api.Graft(spark, tmpDir.toString).enableSql(persistent = true)
+      val n0 = spark.sql("SELECT count(*) AS n FROM orders")
+        .collect()(0).getLong(0)
+      // in-place rewrite: a different SF's orders file at the SAME path
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.01/orders.parquet"),
+        tmpDir.resolve("orders.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the documented invalidation: drop the store table, re-enable
+      val store = s"${Catalog("orders").storageName}_store"
+      spark.sql(s"DROP TABLE IF EXISTS $store")
+      graft.api.Graft(spark, tmpDir.toString).enableSql(persistent = true)
+      val n1 = spark.sql("SELECT count(*) AS n FROM orders")
+        .collect()(0).getLong(0)
+      assert(n1 != n0,
+        s"dropped store table still served the pre-rewrite data ($n1)")
+    } finally {
+      Catalog.tables.foreach { t =>
+        spark.sql(s"DROP VIEW IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${Catalog(t).storageName}_store")
+      }
+    }
+  }
+
   test("persistent manifest registration survives sessions, keeps pruning, and accepts SQL writes") {
     requireHms()
     import graft.operators.ManifestTable
