@@ -77,9 +77,14 @@ private[graft] object ExtCuration {
         g0.select("doc_id", "source"))
       graft.operators.SignatureStore.init(g0, "doc_id", "text",
         sigRoot, MINHASH_K, NGRAM_BANDS, shingles3)
-      // the increment: gate -> store-backed near-dedup -> append -> pack
+      // the increment: gate -> store-backed near-dedup -> append -> pack.
+      // kept1 feeds THREE siblings (corpus append, packing, the final
+      // join) — unpinned, each re-runs the regex quality gate over the
+      // split (guide: N sibling branches re-execute the lineage N
+      // times); one localCheckpoint runs it once
       val kept1 = graft.operators.SignatureStore.ingest(s, sigRoot, g1,
         "doc_id", "text", MINHASH_K, NGRAM_BANDS, 0.5, shingles3)
+        .localCheckpoint(true)
       graft.operators.ManifestTable.append(s, corpusRoot,
         kept1.select("doc_id", "source"))
       val packed = Curation.packSequences(kept1, "doc_id", "source",

@@ -812,10 +812,8 @@ object Dedup {
           // fault-tolerance seam is the point there, not the action
           // count) — convergence stays a filter on the pinned frame
           val u = pin(round)
-          (u, u.filter(F.col("__changed")).isEmpty match {
-            case true => 0L; case false => 1L
-          })
-        } else pinCountingChanged(round)
+          (u, if (u.filter(F.col("__changed")).isEmpty) 0L else 1L)
+        } else Pin.countWhere(round, "__changed")
       converged = changed == 0L
       labels = updated.drop("__changed")
       i += 1
@@ -826,25 +824,6 @@ object Dedup {
     labels
   }
 
-  /** Fused local-checkpoint pin: mark the frame's RDD for local
-    * checkpointing and materialize it with ONE job that also counts
-    * the true rows of `__changed` — exactly what
-    * `localCheckpoint(eager=true)` + a separate convergence count
-    * used to take two driver round-trips for. Returns the pinned
-    * frame (a LogicalRDD over the checkpointed rows, the same wrap
-    * `Dataset.localCheckpoint` produces) and the count. */
-  private def pinCountingChanged(df: DataFrame): (DataFrame, Long) = {
-    val rdd = df.queryExecution.toRdd.map(_.copy())
-    rdd.localCheckpoint()
-    val idx = df.schema.fieldIndex("__changed")
-    val changed = rdd.mapPartitions { it =>
-      var c = 0L
-      it.foreach(r => if (!r.isNullAt(idx) && r.getBoolean(idx)) c += 1)
-      Iterator.single(c)
-    }.fold(0L)(_ + _)
-    (org.apache.spark.sql.graftbridge.fromInternalRdd(
-      df.sparkSession, rdd, df.schema), changed)
-  }
 
   /** Blocked fuzzy near-dup pairs by edit distance.
     *

@@ -67,11 +67,14 @@ object IvfStore {
     val appended = Similarity
       .assignCells(batch, idx.centroids, idCol, vecCol)
       .localCheckpoint(eager = true)
-    val nextGen =
-      SignatureStore.latestGeneration(spark, assignedRoot(root)) + 1
-    ManifestTable.appendBatch(spark, assignedRoot(root), nextGen,
+    // one manifest read serves the generation number AND the append's
+    // replay check + first commit attempt (same seam as
+    // [[SignatureStore.ingest]])
+    val head = ManifestTable.latest(assignedRoot(root))
+    val nextGen = head.map(ManifestTable.ledgerHigh).getOrElse(-1L) + 1
+    ManifestTable.appendBatchWith(spark, assignedRoot(root), nextGen,
       appended.withColumn("gen",
-        org.apache.spark.sql.functions.lit(nextGen)))
+        org.apache.spark.sql.functions.lit(nextGen)), head)
     idx.copy(assigned = idx.assigned.unionByName(appended))
   }
 

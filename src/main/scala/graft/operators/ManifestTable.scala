@@ -1900,13 +1900,13 @@ object ManifestTable {
         val scan = readSnapshotImpl(spark, root,
           base.copy(files = scanFiles), fileCol = Some(abs),
           posCol = Some(pos))
-        // pin the victim set: the per-file pricing and the sidecar
-        // write must see the same rows
-        val victims = hits(scan)
-          .select(relPathCol(F.col(abs)).as("file"), F.col(pos).as("pos"))
-          .localCheckpoint(eager = true)
-        val perFile = victims.groupBy("file").count()
-          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        // pin the victim set — the per-file pricing and the sidecar
+        // write must see the same rows — and price it IN the pin's
+        // own materializing job (Pin.countByKey: one action, not a
+        // pin plus a grouped count over the rows just pinned)
+        val (victims, perFile) = Pin.countByKey(hits(scan)
+          .select(relPathCol(F.col(abs)).as("file"), F.col(pos).as("pos")),
+          "file")
         if (perFile.isEmpty) result = Some(Delete(base, 0L))
         else {
           val affected = base.files.filter(perFile.contains)
@@ -2008,13 +2008,17 @@ object ManifestTable {
     require(maxRestarts >= 1, "maxRestarts must be >= 1")
     val head0 = latest(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root"))
-    val pinned = df.localCheckpoint(eager = true)
-    val violations = pinned
-      .filter(!F.coalesce(predicate, F.lit(false))).count()
+    // fused pin (Pin.countWhere): the violation audit rides the pin's
+    // own materializing job; the audit column lives only in the
+    // pinned rows and is projected away before the write
+    val (pinnedV, violations) = Pin.countWhere(
+      df.withColumn("__graft_viol", !F.coalesce(predicate, F.lit(false))),
+      "__graft_viol")
     require(violations == 0L,
       s"overwriteWhere: $violations new row(s) do not satisfy the " +
         "replace predicate — they would land OUTSIDE the replaced " +
         "region; widen the predicate or filter the input")
+    val pinned = pinnedV.drop("__graft_viol")
     val (newFiles, newToken, newStats) =
       writeData(spark, root, pinned, statSpecOf(Some(head0)))
     try {
@@ -2276,11 +2280,12 @@ object ManifestTable {
       batchId.map(id => cur.meta :+ s"$BatchPrefix$id").getOrElse(cur.meta)
     def replayed(cur: Snapshot): Boolean =
       batchId.exists(batchCommitted(cur, _))
-    val u = updates.localCheckpoint(eager = true)
-    val nU = u.count()
-    val uIds = u.select(F.col(idCol).as("__merge_id")).distinct()
-      .localCheckpoint(eager = true)
-    require(uIds.count() == nU,
+    // fused pins (Pin.count): each pin's materializing job carries
+    // its count — two actions per upsert instead of four
+    val (u, nU) = Pin.count(updates)
+    val (uIds, nIds) =
+      Pin.count(u.select(F.col(idCol).as("__merge_id")).distinct())
+    require(nIds == nU,
       s"upsert updates must carry distinct '$idCol' values")
     val head0 = headHint.orElse(latest(root))
     val (updFiles, updToken, updStats) =
