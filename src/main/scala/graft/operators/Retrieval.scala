@@ -192,7 +192,14 @@ object Retrieval {
     // follows Dedup's escape hatch (reliable checkpoint on a real
     // cluster, executor-memory localCheckpoint locally).
     val pin = Dedup.checkpointPinner(pairs.sparkSession, reliableCheckpointDir)
-    val e = pin(pairs.select("id_a", "id_b").distinct())
+    triangleCountsPinned(pin(pairs.select("id_a", "id_b").distinct()))
+  }
+
+  /** [[triangleCounts]] body over an edge frame the caller has ALREADY
+    * deduplicated and pinned — [[clusteringCoefficient]] shares its
+    * pinned frame instead of paying a second distinct exchange and a
+    * second checkpoint materialization over identical rows. */
+  private def triangleCountsPinned(e: DataFrame): DataFrame = {
     val ab = e.select(F.col("id_a").as("a"), F.col("id_b").as("b"))
     val bc = e.select(F.col("id_a").as("b"), F.col("id_b").as("c"))
     val ac = e.select(F.col("id_a").as("a"), F.col("id_b").as("c"))
@@ -219,9 +226,9 @@ object Retrieval {
     val deg = e.select(F.col("id_a").as("id"))
       .unionByName(e.select(F.col("id_b").as("id")))
       .groupBy("id").agg(F.count(F.lit(1)).as("degree"))
-    // forward the dir: the inner pins must stay reliable on a real
-    // cluster too, not silently fall back to localCheckpoint
-    val tri = triangleCounts(e, reliableCheckpointDir)
+    // e is already distinct + pinned — share it with the triangle
+    // joins directly rather than re-distinct + re-pin identical rows
+    val tri = triangleCountsPinned(e)
     deg.join(tri, Seq("id"), "left")
       .select(F.col("id"), F.col("degree"),
         F.coalesce(F.col("n_triangles"), F.lit(0L)).as("n_triangles"),
@@ -255,8 +262,19 @@ object Retrieval {
     val dir = e.select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
       .unionByName(
         e.select(F.col("id_b").as("src"), F.col("id_a").as("dst")))
-    val deg = dir.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
-    val nSeeds = deg.filter(isSeed(F.col("src"))).count()
+    // same degree pin as [[pageRank]] (never changes across rounds;
+    // node-bounded); locally the seed count rides the pin's
+    // materializing job via a projected-away boolean
+    val rawDeg = dir.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
+    val (deg, nSeeds) =
+      if (reliableCheckpointDir.isDefined) {
+        val d = pin(rawDeg)
+        (d, d.filter(isSeed(F.col("src"))).count())
+      } else {
+        val (d, s) = Pin.countWhere(
+          rawDeg.withColumn("__seed", isSeed(F.col("src"))), "__seed")
+        (d.drop("__seed"), s)
+      }
     require(nSeeds > 0, "personalizedPageRank needs at least one seed in the graph")
     // restart term mirrors the oracle's text exactly: (1-d)/|seeds|
     // for seeds, 0 elsewhere; r0 carries the raw restart vector
@@ -299,16 +317,24 @@ object Retrieval {
                damping: Double = 0.85,
                reliableCheckpointDir: Option[String] = None): DataFrame = {
     val pin = Dedup.checkpointPinner(edges.sparkSession, reliableCheckpointDir)
-    // pin ONLY the raw edges (this is where an upstream LSH pair
-    // generator executes — once); the symmetric union and the degree
-    // frame are cheap projections/aggregates over the pinned frame,
-    // re-derived per consumer rather than held as extra pinned copies
+    // pin the raw edges (this is where an upstream LSH pair generator
+    // executes — once); the symmetric union stays a cheap projection
+    // over the pinned frame, re-derived per consumer
     val e = pin(edges.select("id_a", "id_b"))
     val dir = e.select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
       .unionByName(
         e.select(F.col("id_b").as("src"), F.col("id_a").as("dst")))
-    val deg = dir.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
-    val n = deg.count()
+    // pin the degree frame too: it never changes across rounds, and
+    // unpinned every round's contrib join re-ran the dir scan + the
+    // groupBy exchange that derives it (guide §2.4 — remove repeated
+    // shuffles outright); the frame is node-bounded. Local pins fuse
+    // the node count into the pin's own materializing job (Pin.count);
+    // the reliable seam keeps Dataset.checkpoint + a count over the
+    // pinned frame (fault tolerance is that seam's point).
+    val rawDeg = dir.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
+    val (deg, n) =
+      if (reliableCheckpointDir.isDefined) { val d = pin(rawDeg); (d, d.count()) }
+      else Pin.count(rawDeg)
     require(n > 0, "pageRank needs at least one edge")
     val base = (1.0 - damping) / n.toDouble
     var ranks = pin(deg.select(F.col("src").as("id"),

@@ -117,4 +117,32 @@ class RetrievalSpec extends SparkSpec {
       .map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(sr(0L) > sr(1L), s"star center does not dominate: $sr")
   }
+
+  test("graph operators: reliable-checkpoint path matches the local path exactly") {
+    // the degree pin takes a different seam per mode (fused Pin.count
+    // locally, Dataset.checkpoint + a count over the pinned frame on
+    // the reliable path) — both must produce identical output. The
+    // checkpoint root is SparkContext-global: reuse one another suite
+    // already set rather than fail the redirect guard.
+    val edges = Seq((0L, 2L), (2L, 4L), (0L, 4L), (1L, 3L), (4L, 6L))
+      .toDF("id_a", "id_b")
+    val dir = spark.sparkContext.getCheckpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-ckpt-pr-").toString)
+    def ranks(d: Option[String]) =
+      Retrieval.pageRank(edges, iters = 4, reliableCheckpointDir = d)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(Some(dir)) == ranks(None))
+    def seeded(d: Option[String]) =
+      Retrieval.personalizedPageRank(edges, iters = 4,
+          isSeed = _ % 2 === 0, reliableCheckpointDir = d)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(seeded(Some(dir)) == seeded(None))
+    def coef(d: Option[String]) =
+      Retrieval.clusteringCoefficient(edges, reliableCheckpointDir = d)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(coef(Some(dir)) == coef(None))
+    // the triangle {0,2,4} must survive the shared-pin refactor
+    assert(coef(None)(0L) == ((2L, 1L, 1.0)))
+  }
 }
